@@ -1,0 +1,159 @@
+package graft.core
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Layer A — the reference's implemented surface (SURVEY.md §2.1), as a
+  * plain-Scala core: named workspaces of files, version-pinned snapshot
+  * reads, point lookup returning file contents or a recursive listing, and
+  * the reference's four error classes.
+  *
+  * Mirrored semantics (citations into /root/reference):
+  *  - path sanitization drops `.`/`..` components and a leading `/`
+  *    (rewrites, never rejects) — src/core.rs:30-46;
+  *  - version resolution tries a named ref first, then a unique id-prefix
+  *    match — src/http_server.rs:154-165;
+  *  - default version "latest", default path "" — src/http_server.rs:105-115;
+  *  - File{name, contents} | Directory{name, items} result sum type —
+  *    src/core.rs:90-94 (listing includes the root itself, recursively —
+  *    src/http_server.rs:255-265; we normalize to workspace-relative paths).
+  *
+  * Versioning is a content-addressed snapshot store (dir-per-version plus a
+  * named-ref map) rather than libgit2 — same observable behavior, zero
+  * dependencies, and each version directory is immutable, which is exactly
+  * the property Spark needs for deterministic re-reads at scale.
+  */
+object Workspace {
+
+  final case class WorkspaceName(value: String) extends AnyVal
+  final case class WorkspaceVersion(value: String) extends AnyVal
+
+  /** Sanitized workspace-relative path. Mirrors src/core.rs:30-46:
+    * silently REWRITES (never rejects) traversal components.
+    */
+  final case class WorkspacePath private (value: String) extends AnyVal
+
+  object WorkspacePath {
+    def apply(raw: String): WorkspacePath = {
+      val kept = raw.split('/')
+        .filter(c => c.nonEmpty && c != "." && c != "..")
+      new WorkspacePath(kept.mkString("/"))
+    }
+  }
+
+  sealed trait QueryError { def message: String }
+  /** Workspace (repo) cannot be opened — src/http_server.rs:145-151. */
+  final case class RepoNotFound(name: String) extends QueryError {
+    def message = s"Could not open workspace '$name'"
+  }
+  /** Version resolves to no (or an ambiguous) snapshot — :158-165. */
+  final case class VersionNotFound(version: String) extends QueryError {
+    def message = s"Could not resolve version '$version'"
+  }
+  /** Snapshot materialization failure — :173-200. */
+  final case class CheckoutFailed(detail: String) extends QueryError {
+    def message = s"Could not checkout snapshot: $detail"
+  }
+  /** Resolved path absent from the snapshot — :240-247. */
+  final case class PathNotFound(path: String) extends QueryError {
+    def message = s"Path '$path' does not exist in this version"
+  }
+
+  sealed trait QueryResult { def name: String }
+  final case class FileResult(name: String, contents: String)
+    extends QueryResult
+  final case class DirectoryResult(name: String, items: Seq[String])
+    extends QueryResult
+
+  final case class WorkspaceQuery(name: WorkspaceName, path: WorkspacePath,
+                                  version: WorkspaceVersion)
+
+  /** Content-addressed snapshot store rooted at `mount`:
+    * mount/<workspace>/objects/<versionId>/... (immutable snapshot dirs)
+    * mount/<workspace>/refs                  (lines "name<TAB>versionId")
+    */
+  final class SnapshotStore(mount: Path) {
+
+    private def wsRoot(name: String): Path = mount.resolve(name)
+
+    def refs(name: String): Map[String, String] = {
+      val f = wsRoot(name).resolve("refs")
+      if (!Files.exists(f)) Map.empty
+      else Files.readAllLines(f).asScala
+        .map(_.split('\t')).collect { case Array(k, v) => k -> v }.toMap
+    }
+
+    def versionIds(name: String): Seq[String] = {
+      val objs = wsRoot(name).resolve("objects")
+      if (!Files.isDirectory(objs)) Seq.empty
+      else Files.list(objs).iterator().asScala.map(_.getFileName.toString)
+        .toSeq.sorted
+    }
+
+    /** Named ref first, then unique id-prefix — src/http_server.rs:154-165. */
+    def resolve(name: String, version: String): Either[QueryError, String] =
+      refs(name).get(version) match {
+        case Some(id) => Right(id)
+        case None =>
+          versionIds(name).filter(_.startsWith(version)) match {
+            case Seq(one) => Right(one)
+            case _        => Left(VersionNotFound(version))
+          }
+      }
+
+    def snapshotDir(name: String, versionId: String): Path =
+      wsRoot(name).resolve("objects").resolve(versionId)
+
+    def workspaceExists(name: String): Boolean =
+      Files.isDirectory(wsRoot(name))
+
+    /** The reference's one end-to-end operator (A1): point lookup of a file
+      * or recursive directory listing at (name, version, path).
+      * Defaults mirror src/http_server.rs:105-115.
+      */
+    def query(name: String, version: String = "latest",
+              rawPath: String = ""): Either[QueryError, QueryResult] = {
+      val path = WorkspacePath(rawPath)
+      if (!workspaceExists(name)) Left(RepoNotFound(name))
+      else resolve(name, version).flatMap { id =>
+        val snap = snapshotDir(name, id)
+        if (!Files.isDirectory(snap))
+          Left(CheckoutFailed(s"snapshot $id missing"))
+        else {
+          val target =
+            if (path.value.isEmpty) snap else snap.resolve(path.value)
+          if (!Files.exists(target)) Left(PathNotFound(path.value))
+          else if (Files.isRegularFile(target))
+            Right(FileResult(path.value, Files.readString(target)))
+          else {
+            // recursive walk, root included (src/http_server.rs:255-265),
+            // normalized to workspace-relative sorted paths.
+            val items = Files.walk(target).iterator().asScala
+              .map(p => snap.relativize(p).toString)
+              .toSeq.sorted
+            Right(DirectoryResult(path.value, items))
+          }
+        }
+      }
+    }
+  }
+
+  /** Render layer (A10): the reference's 5 Handlebars templates
+    * (src/template.rs:16-22) as plain string templates.
+    */
+  object Render {
+    def page(title: String, body: String): String =
+      s"<html><head><title>$title</title></head><body>$body</body></html>"
+    def error(message: String): String =
+      page("Error", s"<p class=\"error\">$message</p>")
+    def foundFile(name: String, contents: String): String =
+      page(name, s"<pre>$contents</pre>")
+    def foundDirectory(name: String, items: Seq[String]): String =
+      page(name, items.map(i => s"<li>$i</li>").mkString("<ul>", "", "</ul>"))
+    def render(r: Either[QueryError, QueryResult]): String = r match {
+      case Left(e)                         => error(e.message)
+      case Right(FileResult(n, c))         => foundFile(n, c)
+      case Right(DirectoryResult(n, it))   => foundDirectory(n, it)
+    }
+  }
+}

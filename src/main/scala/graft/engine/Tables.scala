@@ -1,0 +1,63 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table loaders for the driver corpus (TESTDATA.md / FIXTURES.md).
+  *
+  * Scale-design notes (100 TB):
+  *  - Every loader is a plain `spark.read.parquet` on a path, so Catalyst's
+  *    data-source V2 pushdown (filters, column pruning, partition pruning on
+  *    partitioned layouts) applies unchanged on a real cluster.
+  *  - No `.cache()`/`.collect()` here: loaders return lazy plans only.
+  *  - `ensureConf` pins only per-session SQL confs that are safe to set at
+  *    runtime; cluster sizing (shuffle partitions, AQE) is left to the
+  *    session owner (Verify/Bench mains or the user's session).
+  */
+object Tables {
+  /** Runtime-settable confs the corpus requires. Idempotent. */
+  def ensureConf(spark: SparkSession): Unit = {
+    // events.ts is Parquet INT64 TIMESTAMP(NANOS) — Spark rejects it unless
+    // this legacy flag is on; with it, ts surfaces as bigint nanoseconds.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    ensureConf(spark)
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Raw events: ts is bigint nanoseconds since epoch. */
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+
+  /** Events with `ts_us` (bigint micros — matches DuckDB's ns→us truncation)
+    * and `ts_t` (TIMESTAMP, UTC session) for event-time operators.
+    * Integer division keeps full precision (ns values exceed 2^53, so any
+    * double math on raw ts would silently corrupt timestamps).
+    */
+  def eventsWithTime(s: SparkSession, d: String): DataFrame = {
+    events(s, d)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Register all tables as temp views for spark.sql-based queries. */
+  def registerAll(s: SparkSession, d: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings").foreach { n =>
+      table(s, d, n).createOrReplaceTempView(n)
+    }
+    events(s, d).createOrReplaceTempView("events")
+  }
+}

@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection primitives for document corpora:
+  * exact word-set Jaccard (ground truth), MinHash+LSH banding, SimHash with
+  * pigeonhole chunk blocking. SURVEY.md §2.2 "LLM-data-pipeline operators".
+  *
+  * Scale design:
+  *  - `exactJaccardPairs` is the only O(n²) path and exists as the
+  *    correctness oracle / last-mile verifier; its cross join carries a
+  *    size-ratio pre-filter that is implied by the Jaccard threshold, so
+  *    most pairs are discarded before any array intersection.
+  *  - `minHashLshPairs` is the 100 TB path: cost is O(n · perms) for
+  *    signatures plus a shuffle join on (band, bandHash) buckets — no
+  *    quadratic blow-up. Candidates are verified with exact Jaccard, so
+  *    precision is 1.0 and only recall depends on the band/row choice.
+  *  - `simHashPairs` blocks on 16-bit chunks of the 64-bit signature: by
+  *    pigeonhole, any pair within Hamming distance 3 shares at least one
+  *    of the 4 chunks, so the blocked join is lossless for maxHamming <= 3.
+  */
+object TextDedup {
+
+  /** Distinct 5-word shingles — the discriminative unit for near-dup
+    * detection (unigram sets saturate on a small vocabulary). */
+  private def toks(c: Column): Column = {
+    val words = split(c, " ")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(words) - 5, lit(0))),
+      i => concat_ws(" ", slice(words, i + 1, lit(5)))))
+  }
+
+  /** Exact all-pairs word-set Jaccard >= threshold. Columns: d1, d2, jacc. */
+  def exactJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val t = docs.select(col("doc_id"), toks(col("text")).as("toks"))
+      .withColumn("sz", size(col("toks")))
+    val a = t.select(col("doc_id").as("d1"), col("toks").as("t1"),
+      col("sz").as("sz1"))
+    val b = t.select(col("doc_id").as("d2"), col("toks").as("t2"),
+      col("sz").as("sz2"))
+    val jaccRaw = col("inter").cast("double") /
+      (col("sz1") + col("sz2") - col("inter"))
+    a.crossJoin(b)
+      .filter(col("d1") < col("d2"))
+      // implied by J >= t: min/max size ratio must reach t — cheap prune
+      .filter(least(col("sz1"), col("sz2")).cast("double") /
+        greatest(col("sz1"), col("sz2")) >= threshold)
+      .withColumn("inter", size(array_intersect(col("t1"), col("t2"))))
+      .filter(jaccRaw >= threshold)
+      .select(col("d1"), col("d2"), round(jaccRaw, 6).as("jacc"))
+  }
+
+  /** MinHash signatures (`numPerms` murmur3 permutations) + LSH banding,
+    * then exact-Jaccard verification of candidates (precision 1.0).
+    * Columns: d1, d2, jacc.
+    */
+  def minHashLshPairs(docs: DataFrame, numPerms: Int, bands: Int,
+                      threshold: Double): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val rows = numPerms / bands
+    val exploded = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    // h_i(doc) = min over tokens of murmur3(tok, i)
+    val sigCols = (0 until numPerms).map(i =>
+      min(hash(col("tok"), lit(i))).as(s"h$i"))
+    val sigs = exploded.groupBy(col("doc_id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+    // band j = xxhash64 of its `rows` consecutive minhashes
+    val bandCols = (0 until bands).map { j =>
+      val hs = (j * rows until (j + 1) * rows).map(i => col(s"h$i"))
+      struct(lit(j).as("band"), xxhash64(hs: _*).as("bh"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bh"))
+    val cand = buckets.alias("x")
+      .join(buckets.alias("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    // verify candidates with exact Jaccard → zero false positives
+    val t = docs.select(col("doc_id"), toks(col("text")).as("toks"))
+      .withColumn("sz", size(col("toks")))
+    val jaccRaw = col("inter").cast("double") /
+      (col("sz1") + col("sz2") - col("inter"))
+    cand
+      .join(t.select(col("doc_id").as("d1"), col("toks").as("t1"),
+        col("sz").as("sz1")), "d1")
+      .join(t.select(col("doc_id").as("d2"), col("toks").as("t2"),
+        col("sz").as("sz2")), "d2")
+      .withColumn("inter", size(array_intersect(col("t1"), col("t2"))))
+      .filter(jaccRaw >= threshold)
+      .select(col("d1"), col("d2"), round(jaccRaw, 6).as("jacc"))
+  }
+
+  /** 64-bit SimHash per document over xxhash64(token), candidate pairs with
+    * Hamming distance <= maxHamming found via 4×16-bit chunk blocking
+    * (lossless for maxHamming <= 3). Columns: d1, d2, hamming.
+    */
+  def simHashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "chunk blocking is lossless only for <= 3")
+    val exploded = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .withColumn("th", xxhash64(col("tok")))
+    // per bit b: count of tokens with bit set minus count with bit clear
+    val bitCols = (0 until 64).map(b =>
+      sum(when(expr(s"(th >> $b) & 1") === 1, 1).otherwise(-1)).as(s"b$b"))
+    val withBits = exploded.groupBy(col("doc_id"))
+      .agg(bitCols.head, bitCols.tail: _*)
+    val sim = (0 until 64).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_.bitwiseOR(_))
+    val sigs = withBits.select(col("doc_id"), sim.as("sh"))
+    // block on 16-bit chunks: hamming<=3 pairs share >=1 exact chunk
+    val chunks = sigs.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"),
+          expr(s"(sh >> ${c * 16}) & 65535").as("cv"))): _*)).as("ch"))
+      .select(col("doc_id"), col("sh"), col("ch.c"), col("ch.cv"))
+    chunks.alias("x")
+      .join(chunks.alias("y"),
+        col("x.c") === col("y.c") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

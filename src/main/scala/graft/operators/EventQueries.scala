@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{QueryPack, Tables}
+import graft.plans.AsOfJoin
+
+/** Event-time operators over the `events` table, run in batch mode with the
+  * same `window()` / `session_window()` expressions Structured Streaming
+  * uses (the streaming variants live in graft.streaming and are exercised
+  * by ScalaTest with Trigger.AvailableNow). SURVEY.md §2.2 "Streaming".
+  *
+  * Time model: `ts` is bigint NANOseconds (see Tables.eventsWithTime).
+  * All derived epochs use integer division — ns magnitudes exceed 2^53 so
+  * any double arithmetic would silently corrupt them. DuckDB truncates the
+  * parquet ns to microseconds on read, so every comparison is done at
+  * microsecond (or coarser) granularity.
+  */
+object EventQueries extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- tumbling event-time window ---------------------------------------
+    "q_tumbling_window" -> ((s, d) => {
+      Tables.eventsWithTime(s, d)
+        .groupBy(window(col("ts_t"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+        .select(unix_timestamp(col("w.start")).as("hour_s"),
+          col("event_type"), col("n"), col("sum_v"))
+        .orderBy(col("hour_s"), col("event_type"))
+    }),
+
+    // -- sliding window (1h every 30m → each event in 2 windows) -----------
+    "q_sliding_window" -> ((s, d) => {
+      Tables.eventsWithTime(s, d)
+        .groupBy(window(col("ts_t"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_v"))
+        .select(unix_timestamp(col("w.start")).as("win_s"), col("n"),
+          col("avg_v"))
+        .orderBy(col("win_s"))
+    }),
+
+    // -- session window (30-minute inactivity gap) per user ----------------
+    "q_session_window" -> ((s, d) => {
+      Tables.eventsWithTime(s, d)
+        .groupBy(col("user_id"), session_window(col("ts_t"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_v"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+          col("n_events"), col("sum_v"))
+        .orderBy(col("user_id"), col("session_start_us"))
+    }),
+
+    // -- as-of join: each purchase matched to the latest prior view --------
+    "q_asof_join" -> ((s, d) => {
+      val e = Tables.eventsWithTime(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts_us").as("v_ts"),
+          col("value").as("v_value"))
+      AsOfJoin.asofBackward(
+          purchases, views,
+          leftKey = col("user_id"), rightKey = col("v_user"),
+          leftTs = col("ts_us"), rightTs = col("v_ts"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("v_ts").as("view_ts"), col("v_value").as("view_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // -- keyed dedup: first event per (user_id, event_type) ----------------
+    "q_dedup_keyed" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      Tables.eventsWithTime(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts_us"))
+        .orderBy(col("user_id"), col("event_type"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_tumbling_window" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_s, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM events GROUP BY 1, 2 ORDER BY hour_s, event_type""".stripMargin,
+
+    "q_sliding_window" ->
+      """SELECT win_s, count(*) AS n, round(avg(value), 6) AS avg_v
+        |FROM (SELECT unnest([(epoch_us(ts) // 1800000000) * 1800,
+        |                     (epoch_us(ts) // 1800000000) * 1800 - 1800])
+        |        AS win_s, value
+        |      FROM events) t
+        |GROUP BY win_s ORDER BY win_s""".stripMargin,
+
+    "q_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, value,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts))
+        |      > 1800000000 THEN 1
+        |      WHEN lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL THEN 1
+        |      ELSE 0 END AS new_session
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, us, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM e)
+        |SELECT user_id, min(us) AS session_start_us,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_v
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS us, 0 AS is_p,
+        |         NULL::BIGINT AS event_id, value AS v_value
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts) AS us, 1 AS is_p, event_id,
+        |         NULL::DOUBLE AS v_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT user_id, us, is_p, event_id,
+        |    last_value(CASE WHEN is_p = 0 THEN us END IGNORE NULLS)
+        |      OVER w AS view_ts,
+        |    last_value(CASE WHEN is_p = 0 THEN v_value END IGNORE NULLS)
+        |      OVER w AS view_value
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, is_p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, us AS ts_us, view_ts, view_value
+        |FROM m WHERE is_p = 1 ORDER BY event_id""".stripMargin,
+
+    "q_dedup_keyed" ->
+      """SELECT user_id, event_type, event_id, ts_us
+        |FROM (SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY epoch_us(ts) ASC, event_id ASC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+  )
+}

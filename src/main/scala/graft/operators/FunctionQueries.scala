@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{QueryPack, Tables}
+
+/** Scalar-function surface: string, date/time, math, array (higher-order),
+  * JSON, cast/null handling. SURVEY.md §2.2 "Scalar functions".
+  *
+  * Everything stays inside whole-stage codegen (`functions._` only, no
+  * UDFs), so these project at full Tungsten speed at any scale.
+  *
+  * Cross-engine gotchas handled here (vs the DuckDB oracle):
+  *  - Spark `log` is natural log; DuckDB `log` is log10 → oracle uses `ln`.
+  *  - double→int CAST truncates in Spark but rounds in DuckDB → always
+  *    `floor`/`round` explicitly before casting.
+  *  - Spark `split` is regex-based; a literal separator works identically
+  *    to DuckDB `string_split`.
+  */
+object FunctionQueries extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- string functions --------------------------------------------------
+    "q_string_funcs" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          upper(col("p_name")).as("uname"),
+          substring(col("p_name"), 1, 8).as("prefix8"),
+          length(col("p_name")).cast("bigint").as("name_len"),
+          lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("no_vowels"),
+          size(split(col("p_name"), " ")).cast("bigint").as("n_words"),
+          levenshtein(col("p_brand"), col("p_type")).cast("bigint").as("lev"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // -- date/time functions ----------------------------------------------
+    "q_date_funcs" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("bigint").as("y"),
+          month(col("o_orderdate")).cast("bigint").as("m"),
+          dayofmonth(col("o_orderdate")).cast("bigint").as("dom"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1995-01-01").cast("date")).cast("bigint")
+            .as("days_since_epoch0"),
+          date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd")
+            .as("due_date"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // -- math functions ----------------------------------------------------
+    "q_math_funcs" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_linenumber") === 1)
+        .select(
+          col("l_orderkey"),
+          abs(col("l_discount") - 0.05).as("abs_d"),
+          round(col("l_extendedprice"), 1).as("round1"),
+          floor(col("l_extendedprice")).as("flr"),
+          ceil(col("l_extendedprice")).as("cl"),
+          round(pow(col("l_quantity"), 2.0), 6).as("qty_sq"),
+          round(sqrt(col("l_extendedprice")), 6).as("sqrt_p"),
+          round(exp(col("l_discount")), 6).as("exp_d"),
+          round(log(col("l_extendedprice")), 6).as("ln_p"),
+          pmod(col("l_orderkey"), lit(7)).as("key_mod"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // -- array / higher-order functions over embeddings --------------------
+    "q_array_funcs" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .withColumn("vd", col("embedding").cast("array<double>"))
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast("bigint").as("n_dims"),
+          round(aggregate(col("vd"), lit(0.0), (acc, x) => acc + x), 6)
+            .as("sum_all"),
+          round(aggregate(slice(col("vd"), 1, 5), lit(0.0), (acc, x) => acc + x), 6)
+            .as("sum_first5"),
+          size(filter(col("vd"), x => x > 0.0)).cast("bigint").as("n_pos"),
+          round(aggregate(transform(col("vd"), x => x * x), lit(0.0),
+            (acc, x) => acc + x), 6).as("sq_norm"),
+          round(array_min(col("vd")), 6).as("min_v"),
+          round(array_max(col("vd")), 6).as("max_v"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // -- JSON functions over events.props ----------------------------------
+    "q_json_funcs" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          round(avg(col("k")), 6).as("avg_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    // -- casts, try_cast, NaN/null handling --------------------------------
+    "q_cast_null" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          col("c_acctbal").cast("string").as("bal_str"),
+          col("c_name").try_cast("int").as("name_as_int"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).try_cast("bigint")
+            .as("name_num"),
+          floor(col("c_acctbal")).cast("bigint").as("bal_floor"),
+          // ANSI mode (Spark 4 default): plain / by zero throws;
+          // try_divide → NULL matches DuckDB's division-by-zero → NULL.
+          try_divide(col("c_acctbal"),
+            col("c_acctbal") - col("c_acctbal")).as("div0"),
+          isnan(lit(Double.NaN) * col("c_acctbal")).as("nan_flag"),
+          nanvl(lit(Double.NaN) * col("c_acctbal"), lit(-9.0)).as("nan_fixed"),
+          coalesce(col("c_mktsegment").try_cast("double"), lit(-1.0))
+            .as("seg_num"))
+        .orderBy(col("c_custkey"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  upper(p_name) AS uname,
+        |  substring(p_name, 1, 8) AS prefix8,
+        |  length(p_name) AS name_len,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+        |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels,
+        |  len(string_split(p_name, ' ')) AS n_words,
+        |  levenshtein(p_brand, p_type) AS lev
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y,
+        |  month(o_orderdate) AS m,
+        |  dayofmonth(o_orderdate) AS dom,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  datediff('day', DATE '1995-01-01',
+        |           CAST(o_orderdate AS DATE)) AS days_since_epoch0,
+        |  strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT l_orderkey,
+        |  abs(l_discount - 0.05) AS abs_d,
+        |  round(l_extendedprice, 1) AS round1,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS flr,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS cl,
+        |  round(pow(l_quantity, 2.0), 6) AS qty_sq,
+        |  round(sqrt(l_extendedprice), 6) AS sqrt_p,
+        |  round(exp(l_discount), 6) AS exp_d,
+        |  round(ln(l_extendedprice), 6) AS ln_p,
+        |  l_orderkey % 7 AS key_mod
+        |FROM lineitem WHERE l_linenumber = 1
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT vec_id,
+        |  len(embedding) AS n_dims,
+        |  round(list_sum(vd), 6) AS sum_all,
+        |  round(list_sum(vd[1:5]), 6) AS sum_first5,
+        |  len(list_filter(vd, x -> x > 0.0)) AS n_pos,
+        |  round(list_sum(list_transform(vd, x -> x * x)), 6) AS sq_norm,
+        |  round(list_min(vd), 6) AS min_v,
+        |  round(list_max(vd), 6) AS max_v
+        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd, embedding
+        |      FROM embeddings) t
+        |ORDER BY vec_id""".stripMargin,
+
+    "q_json_funcs" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  round(avg(k), 6) AS avg_k,
+        |  max(k) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(props->>'$.k' AS INT) AS k FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_cast_null" ->
+      """SELECT c_custkey,
+        |  CAST(c_acctbal AS VARCHAR) AS bal_str,
+        |  TRY_CAST(c_name AS INT) AS name_as_int,
+        |  TRY_CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT)
+        |    AS name_num,
+        |  CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
+        |  c_acctbal / (c_acctbal - c_acctbal) AS div0,
+        |  isnan('nan'::DOUBLE * c_acctbal) AS nan_flag,
+        |  CASE WHEN isnan('nan'::DOUBLE * c_acctbal) THEN -9.0
+        |       ELSE 'nan'::DOUBLE * c_acctbal END AS nan_fixed,
+        |  coalesce(TRY_CAST(c_mktsegment AS DOUBLE), -1.0) AS seg_num
+        |FROM customer ORDER BY c_custkey""".stripMargin
+  )
+}

@@ -1,0 +1,268 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{QueryPack, Tables}
+
+/** Join surface: inner equi (SMJ/SHJ), broadcast, outer, semi/anti,
+  * cross/theta, range join, self join. SURVEY.md §2.2 "Joins".
+  *
+  * Scale notes:
+  *  - Dimension tables (region 5, nation 25, supplier, part) are explicitly
+  *    `broadcast()`-hinted: at 100 TB the fact side never shuffles for these.
+  *  - Fact-fact joins (lineitem ⋈ orders) are left to Catalyst: they shuffle
+  *    on the join key once and AQE can convert to broadcast when a filtered
+  *    side turns out small at runtime.
+  *  - Non-equi joins are deliberately bounded: the range join's build side
+  *    is a tiny literal band table (BroadcastNestedLoopJoin — fine because
+  *    the broadcast side is O(10) rows, never the fact table).
+  */
+object JoinQueries extends QueryPack {
+
+  /** Literal price-band dimension used by the range join (both engines). */
+  private def bands(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("b0", 0.0, 100.0),
+      ("b1", 100.0, 150.0),
+      ("b2", 150.0, 175.0),
+      ("b3", 175.0, 1e9)
+    ).toDF("band", "lo", "hi")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- TPC-H Q3 shape (adapted: no o_shippriority in corpus) -------------
+    "q3_join" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-01-01"))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1997-01-01"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(20)
+    }),
+
+    // -- TPC-H Q5 shape: 6-table join, dims broadcast ----------------------
+    "q5_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+      val l = Tables.lineitem(s, d)
+      val su = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
+    // -- broadcast join: revenue per region --------------------------------
+    "q_broadcast_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("sum_price"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name"))
+    }),
+
+    // -- left outer join + null handling -----------------------------------
+    "q_left_outer" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("spend"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // -- full outer join ---------------------------------------------------
+    "q_full_outer" -> ((s, d) => {
+      // customers with high balance vs customers having open orders:
+      // full outer exposes both unmatched sides.
+      val a = Tables.customer(s, d).filter(col("c_acctbal") > 7500)
+        .select(col("c_custkey").as("k"), col("c_acctbal"))
+      val b = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+        .groupBy(col("o_custkey").as("k2"))
+        .agg(count(lit(1)).as("n_open"))
+      a.join(b, col("k") === col("k2"), "full_outer")
+        .select(
+          coalesce(col("k"), col("k2")).as("custkey"),
+          col("c_acctbal"),
+          coalesce(col("n_open"), lit(0L)).as("n_open"))
+        .orderBy(col("custkey").asc_nulls_last)
+    }),
+
+    // -- left semi (EXISTS) ------------------------------------------------
+    "q_semi_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // -- left anti (NOT EXISTS) -------------------------------------------
+    "q_anti_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // -- cross join (small × small) ---------------------------------------
+    "q_cross_join" -> ((s, d) => {
+      val r = Tables.region(s, d).select(col("r_name"))
+      val st = Tables.orders(s, d).select(col("o_orderstatus")).distinct()
+      r.crossJoin(st).orderBy(col("r_name"), col("o_orderstatus"))
+    }),
+
+    // -- theta join: equi + range residual ---------------------------------
+    "q_theta_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 100 DAYS"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_late"),
+          round(sum(col("l_extendedprice")), 2).as("late_value"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // -- pure range join against tiny broadcast band table -----------------
+    "q_range_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      e.join(broadcast(bands(s)),
+          col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+        .orderBy(col("band"))
+    }),
+
+    // -- self join: supplier pairs in the same nation ----------------------
+    "q_self_join" -> ((s, d) => {
+      val s1 = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("k1"), col("s_nationkey").as("nk"))
+      val s2 = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("k2"), col("s_nationkey").as("nk2"))
+      s1.join(s2, col("nk") === col("nk2") && col("k1") < col("k2"))
+        .select(col("nk").as("s_nationkey"), col("k1"), col("k2"))
+        .orderBy(col("s_nationkey"), col("k1"), col("k2"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q3_join" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 20""".stripMargin,
+
+    "q5_join" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q_broadcast_join" ->
+      """SELECT r_name, round(sum(o_totalprice), 2) AS sum_price,
+        |       count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |       round(coalesce(sum(o_totalprice), 0.0), 2) AS spend
+        |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_full_outer" ->
+      """SELECT coalesce(a.k, b.k2) AS custkey, a.c_acctbal,
+        |       coalesce(b.n_open, 0) AS n_open
+        |FROM (SELECT c_custkey AS k, c_acctbal FROM customer
+        |      WHERE c_acctbal > 7500) a
+        |FULL OUTER JOIN (SELECT o_custkey AS k2, count(*) AS n_open
+        |                 FROM orders WHERE o_orderstatus = 'O'
+        |                 GROUP BY o_custkey) b
+        |ON a.k = b.k2
+        |ORDER BY custkey ASC NULLS LAST""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_cross_join" ->
+      """SELECT r_name, o_orderstatus
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) st
+        |ORDER BY r_name, o_orderstatus""".stripMargin,
+
+    "q_theta_join" ->
+      """SELECT o_orderstatus, count(*) AS n_late,
+        |       round(sum(l_extendedprice), 2) AS late_value
+        |FROM lineitem JOIN orders
+        |  ON l_orderkey = o_orderkey
+        | AND l_shipdate > o_orderdate + INTERVAL 100 DAY
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT band, count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM events
+        |JOIN (VALUES ('b0', 0.0, 100.0), ('b1', 100.0, 150.0),
+        |             ('b2', 150.0, 175.0), ('b3', 175.0, 1e9))
+        |     bands(band, lo, hi)
+        |  ON value >= lo AND value < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q_self_join" ->
+      """SELECT s1.s_nationkey, s1.s_suppkey AS k1, s2.s_suppkey AS k2
+        |FROM supplier s1 JOIN supplier s2
+        |  ON s1.s_nationkey = s2.s_nationkey
+        | AND s1.s_suppkey < s2.s_suppkey
+        |ORDER BY s1.s_nationkey, k1, k2""".stripMargin
+  )
+}

@@ -1,0 +1,357 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{QueryPack, Tables}
+
+/** Scans, projection, filter, distinct, conditionals, aggregation,
+  * grouping sets / rollup / cube, sort / limit / top-k, set operations.
+  * SURVEY.md §2.2 "Scans", "Projection / filter", "Aggregations",
+  * "Sort / limit / top-k", "Set operations".
+  *
+  * Scale notes: all aggregates here are partial+final hash aggregates
+  * (map-side combine for free); filters/projections reach the parquet scan
+  * via Catalyst pushdown (verified with .explain in RelationalSpec);
+  * top-k compiles to TakeOrderedAndProject (no global sort of the input).
+  */
+object RelationalQueries extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- scan + projection + computed column + filter pushdown -------------
+    "q_scan_project" -> ((s, d) => {
+      // round via floor(x*100+0.5): identical binary-double arithmetic on
+      // both engines (Spark's round() goes through BigDecimal's shortest
+      // decimal repr and can differ from DuckDB's at .xx5 boundaries).
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 45)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100 + 0.5) / 100).as("revenue"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // -- filter: IN / BETWEEN / LIKE / NOT NULL ----------------------------
+    "q_filter_pred" -> ((s, d) => {
+      Tables.customer(s, d)
+        .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE") &&
+          col("c_acctbal").between(100.0, 5000.0) &&
+          col("c_name").like("%5%") &&
+          col("c_nationkey").isNotNull)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // -- distinct ----------------------------------------------------------
+    "q_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // -- conditional: CASE WHEN / coalesce / nullif ------------------------
+    "q_conditional" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 200000, "big")
+            .when(col("o_totalprice") > 100000, "mid")
+            .otherwise("small").as("bucket"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN"))
+            .as("status2"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // -- TPC-H Q1 shape: partial+final hash aggregate ----------------------
+    "q1_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 6).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // -- exact count distinct ---------------------------------------------
+    "q_count_distinct" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // -- approx distinct (HLL) — engine-specific sketch, no oracle --------
+    "q_approx_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // -- exact percentiles -------------------------------------------------
+    "q_percentile" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25_price"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // -- approx percentile (t-digest-ish sketch) — no oracle ---------------
+    "q_approx_percentile" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile_approx(l_extendedprice, 0.5, 1000)"), 2)
+          .as("ap50_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // -- rollup with grouping_id ------------------------------------------
+    "q_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().cast("int").as("gid"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("gid"),
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // -- cube --------------------------------------------------------------
+    "q_cube" -> ((s, d) => {
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping_id().cast("int").as("gid"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("gid"),
+          col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // -- grouping sets (SQL surface) --------------------------------------
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |       CAST(grouping_id() AS INT) AS gid,
+          |       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+          |       COUNT(*) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          |                        (l_returnflag), ())
+          |ORDER BY gid,
+          |         l_returnflag ASC NULLS FIRST,
+          |         l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // -- filtered / conditional aggregation -------------------------------
+    "q_filtered_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(sum(when(col("l_discount") > 0.05, col("l_extendedprice"))
+            .otherwise(0.0)), 2).as("disc_rev"),
+          count(when(col("l_tax") > 0.04, lit(1))).as("n_taxed"),
+          round(avg(when(col("l_quantity") > 25, col("l_quantity"))), 6)
+            .as("avg_big_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // -- collect_set (sorted for determinism) ------------------------------
+    "q_collect" -> ((s, d) => {
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(
+          sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+          count(lit(1)).as("n"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // -- multi-key sort + limit + offset ----------------------------------
+    "q_sort_multi" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority").asc, col("o_totalprice").desc,
+          col("o_orderkey").asc)
+        .offset(10)
+        .limit(100)
+    }),
+
+    // -- global top-k (TakeOrderedAndProject) ------------------------------
+    "q_topk" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+        .limit(25)
+    }),
+
+    // -- set ops: union distinct ------------------------------------------
+    "q_union" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(col("o_totalprice") > 150000).select(col("o_custkey"))
+      val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      a.union(b).distinct().orderBy(col("o_custkey"))
+    }),
+
+    // -- set ops: intersect all -------------------------------------------
+    "q_intersect_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(col("o_totalprice") > 150000).select(col("o_custkey"))
+      val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      a.intersectAll(b).orderBy(col("o_custkey"))
+    }),
+
+    // -- set ops: except all ----------------------------------------------
+    "q_except_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(col("o_totalprice") > 150000).select(col("o_custkey"))
+      val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      a.exceptAll(b).orderBy(col("o_custkey"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) / 100
+        |         AS revenue
+        |FROM lineitem WHERE l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_filter_pred" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE')
+        |  AND c_acctbal BETWEEN 100.0 AND 5000.0
+        |  AND c_name LIKE '%5%' AND c_nationkey IS NOT NULL
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_conditional" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 200000 THEN 'big'
+        |       WHEN o_totalprice > 100000 THEN 'mid'
+        |       ELSE 'small' END AS bucket,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status2
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_extendedprice), 6) AS avg_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+        |  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+        |         l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        |  round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+        |  round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), ())
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+        |         l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_filtered_agg" ->
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END), 2) AS disc_rev,
+        |  count(*) FILTER (WHERE l_tax > 0.04) AS n_taxed,
+        |  round(avg(l_quantity) FILTER (WHERE l_quantity > 25), 6) AS avg_big_qty
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_collect" ->
+      """SELECT c_nationkey,
+        |  list_sort(list(DISTINCT c_mktsegment)) AS segments,
+        |  count(*) AS n
+        |FROM customer GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "q_sort_multi" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
+        |LIMIT 100 OFFSET 10""".stripMargin,
+
+    "q_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 25""".stripMargin,
+
+    "q_union" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+        |UNION
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_intersect_all" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_except_all" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin
+  )
+}

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{QueryPack, Tables}
+import graft.functions.Vectors
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.2
+  * "Similarity search" / "LLM-data-pipeline operators"): brute-force cosine
+  * top-k (the correctness baseline), threshold pair mining, kNN label
+  * agreement, and a random-hyperplane LSH ANN variant (the scale path;
+  * recall asserted against brute force in VectorSpec, no SQL oracle since
+  * signatures derive from murmur3).
+  *
+  * Scale notes: the brute-force paths broadcast the (small) query set and
+  * stream the corpus — a 100 TB corpus never shuffles. The LSH path
+  * bucket-joins on signatures, turning O(|Q|·|C|) into O(candidates).
+  */
+object VectorQueries extends QueryPack {
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        Vectors.asDouble(col("embedding")).as("v"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- per-label embedding statistics ------------------------------------
+    "q_embed_stats" -> ((s, d) => {
+      emb(s, d)
+        .withColumn("sq_norm", Vectors.sqNorm(col("v")))
+        .withColumn("dim0", element_at(col("v"), 1))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("sq_norm")), 6).as("avg_sq_norm"),
+          round(avg(col("dim0")), 6).as("avg_dim0"))
+        .orderBy(col("label"))
+    }),
+
+    // -- brute-force cosine top-k for a query set --------------------------
+    "q_sim_topk" -> ((s, d) => {
+      val q = emb(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val c = emb(s, d)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_raw").desc, col("c_id").asc)
+      c.join(broadcast(q), col("q_id") =!= col("c_id"))
+        .withColumn("cos_raw", Vectors.cosine(col("qv"), col("cv")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk").cast("bigint").as("rnk"), col("c_id"),
+          round(col("cos_raw"), 6).as("cos"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // -- all-pairs above similarity threshold ------------------------------
+    "q_sim_pairs" -> ((s, d) => {
+      val a = emb(s, d).select(col("vec_id").as("d1"), col("v").as("v1"))
+      val b = emb(s, d).select(col("vec_id").as("d2"), col("v").as("v2"))
+      a.join(b, col("d1") < col("d2"))
+        .withColumn("cos_raw", Vectors.cosine(col("v1"), col("v2")))
+        .filter(col("cos_raw") >= 0.4)
+        .select(col("d1"), col("d2"), round(col("cos_raw"), 6).as("cos"))
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // -- kNN label agreement: of the 5 nearest, how many share the label --
+    "q_knn_label" -> ((s, d) => {
+      val q = emb(s, d).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("v").as("qv"))
+      val c = emb(s, d)
+        .select(col("vec_id").as("c_id"), col("label").as("c_label"),
+          col("v").as("cv"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_raw").desc, col("c_id").asc)
+      c.join(broadcast(q), col("q_id") =!= col("c_id"))
+        .withColumn("cos_raw", Vectors.cosine(col("qv"), col("cv")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .groupBy(col("q_id"), col("q_label"))
+        .agg(sum(when(col("c_label") === col("q_label"), 1).otherwise(0))
+          .as("n_same_label"))
+        .orderBy(col("q_id"))
+    }),
+
+    // -- LSH-bucketed ANN (scale path; recall checked in VectorSpec) -------
+    "q_sim_lsh" -> ((s, d) => {
+      val sigs = emb(s, d)
+        .withColumn("sig", Vectors.rhpSignature(col("v"), 16))
+      // block on 8-bit halves of the signature: pairs agreeing on either
+      // half become candidates (multi-probe style recall boost).
+      val chunks = sigs.select(col("vec_id"), col("label"), col("v"),
+          explode(array(
+            struct(lit(0).as("c"), expr("sig & 255").as("cv")),
+            struct(lit(1).as("c"), expr("(sig >> 8) & 255").as("cv")))).as("ch"))
+        .select(col("vec_id"), col("v"), col("ch.c"), col("ch.cv"))
+      val q = chunks.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("c"),
+          col("cv"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_raw").desc, col("c_id").asc)
+      chunks.alias("cand")
+        .join(broadcast(q),
+          col("cand.c") === q("c") && col("cand.cv") === q("cv") &&
+            col("cand.vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("qv"), col("cand.vec_id").as("c_id"),
+          col("cand.v").as("cv"))
+        .distinct()
+        .withColumn("cos_raw", Vectors.cosine(col("qv"), col("cv")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk").cast("bigint").as("rnk"), col("c_id"),
+          round(col("cos_raw"), 6).as("cos"))
+        .orderBy(col("q_id"), col("rnk"))
+    })
+  )
+
+  def oracle: Map[String, String] = {
+    val dotAB = "list_dot_product(a.vd, b.vd)"
+    Map(
+      "q_embed_stats" ->
+        """SELECT label, count(*) AS n,
+          |  round(avg(list_dot_product(vd, vd)), 6) AS avg_sq_norm,
+          |  round(avg(vd[1]), 6) AS avg_dim0
+          |FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS vd
+          |      FROM embeddings) t
+          |GROUP BY label ORDER BY label""".stripMargin,
+
+      "q_sim_topk" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+           |  FROM embeddings),
+           |s AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+           |    $dotAB / (sqrt(list_dot_product(a.vd, a.vd)) *
+           |              sqrt(list_dot_product(b.vd, b.vd))) AS cos_raw
+           |  FROM e a JOIN e b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+           |r AS (SELECT q_id, c_id, cos_raw,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY cos_raw DESC, c_id ASC) AS rnk
+           |  FROM s)
+           |SELECT q_id, rnk, c_id, round(cos_raw, 6) AS cos
+           |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+      "q_sim_pairs" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+           |  FROM embeddings)
+           |SELECT a.vec_id AS d1, b.vec_id AS d2,
+           |  round($dotAB / (sqrt(list_dot_product(a.vd, a.vd)) *
+           |    sqrt(list_dot_product(b.vd, b.vd))), 6) AS cos
+           |FROM e a JOIN e b ON a.vec_id < b.vec_id
+           |WHERE $dotAB / (sqrt(list_dot_product(a.vd, a.vd)) *
+           |  sqrt(list_dot_product(b.vd, b.vd))) >= 0.4
+           |ORDER BY d1, d2""".stripMargin,
+
+      "q_knn_label" ->
+        s"""WITH e AS (SELECT vec_id, label,
+           |    CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
+           |s AS (SELECT a.vec_id AS q_id, a.label AS q_label,
+           |    b.label AS c_label, b.vec_id AS c_id,
+           |    $dotAB / (sqrt(list_dot_product(a.vd, a.vd)) *
+           |              sqrt(list_dot_product(b.vd, b.vd))) AS cos_raw
+           |  FROM e a JOIN e b ON a.vec_id < 20 AND a.vec_id <> b.vec_id),
+           |r AS (SELECT q_id, q_label, c_label,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY cos_raw DESC, c_id ASC) AS rnk
+           |  FROM s)
+           |SELECT q_id, q_label,
+           |  CAST(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_same_label
+           |FROM r WHERE rnk <= 5 GROUP BY q_id, q_label
+           |ORDER BY q_id""".stripMargin
+    )
+  }
+}

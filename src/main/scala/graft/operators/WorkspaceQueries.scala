@@ -1,0 +1,99 @@
+package graft.operators
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Workspace._
+import graft.engine.QueryPack
+
+/** Layer-A declared queries: exercise the reference's single end-to-end
+  * operator (workspace point lookup, SURVEY.md §2.1 A1–A9 + A13) over a
+  * deterministic fixture, exposed as a DataFrame so the driver's gate can
+  * hash it. The oracle is a literal VALUES table — valid because every
+  * output byte is a pure function of the fixed fixture.
+  */
+object WorkspaceQueries extends QueryPack {
+
+  /** Build the deterministic two-version fixture workspace and return the
+    * store mount. Layout:
+    *   v1 (id aaaa1111…): data.csv, docs/readme.txt
+    *   v2 (id bbbb2222…): data.csv (changed), docs/readme.txt, docs/extra.txt
+    * refs: latest→v2, stable→v1
+    */
+  def fixture(): SnapshotStore = {
+    val mount = Files.createTempDirectory("graft_ws")
+    val ws = mount.resolve("demo")
+    def write(dir: Path, rel: String, contents: String): Unit = {
+      val p = dir.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, contents)
+    }
+    val v1 = ws.resolve("objects").resolve("aaaa1111c0ffee")
+    val v2 = ws.resolve("objects").resolve("bbbb2222c0ffee")
+    write(v1, "data.csv", "k,v\n1,10\n2,20\n")
+    write(v1, "docs/readme.txt", "version one readme")
+    write(v2, "data.csv", "k,v\n1,10\n2,20\n3,30\n")
+    write(v2, "docs/readme.txt", "version two readme")
+    write(v2, "docs/extra.txt", "extra file")
+    Files.writeString(ws.resolve("refs"),
+      "latest\tbbbb2222c0ffee\nstable\taaaa1111c0ffee\n")
+    new SnapshotStore(mount)
+  }
+
+  /** Run a scripted set of lookups covering: file read, recursive dir
+    * listing, default version, named ref, id-prefix resolution, path
+    * sanitization rewrite, and all four error classes.
+    */
+  private def run(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val store = fixture()
+    def row(c: String, r: Either[QueryError, QueryResult])
+        : (String, String, String) = r match {
+      case Right(FileResult(n, contents)) => (c, "file", contents)
+      case Right(DirectoryResult(n, items)) =>
+        (c, "directory", items.mkString(";"))
+      case Left(e) => (c, "error", e.getClass.getSimpleName)
+    }
+    Seq(
+      row("file_latest", store.query("demo", "latest", "data.csv")),
+      row("file_stable", store.query("demo", "stable", "data.csv")),
+      row("file_prefix", store.query("demo", "aaaa", "docs/readme.txt")),
+      row("dir_listing", store.query("demo", "latest", "docs")),
+      row("root_listing", store.query("demo")),
+      row("sanitized", store.query("demo", "latest", "../docs/./readme.txt")),
+      row("err_repo", store.query("nope", "latest", "data.csv")),
+      row("err_version", store.query("demo", "zzz", "data.csv")),
+      row("err_path", store.query("demo", "latest", "missing.txt")),
+      row("err_ambiguous", store.query("demo", "", "data.csv"))
+    ).toDF("case", "kind", "payload").orderBy("case")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_workspace_lookup" -> ((s, _) => run(s))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_workspace_lookup" ->
+      """SELECT * FROM (VALUES
+        |  ('dir_listing', 'directory',
+        |   'docs;docs/extra.txt;docs/readme.txt'),
+        |  ('err_ambiguous', 'error', 'VersionNotFound'),
+        |  ('err_path', 'error', 'PathNotFound'),
+        |  ('err_repo', 'error', 'RepoNotFound'),
+        |  ('err_version', 'error', 'VersionNotFound'),
+        |  ('file_latest', 'file', 'k,v
+        |1,10
+        |2,20
+        |3,30
+        |'),
+        |  ('file_prefix', 'file', 'version one readme'),
+        |  ('file_stable', 'file', 'k,v
+        |1,10
+        |2,20
+        |'),
+        |  ('root_listing', 'directory',
+        |   ';data.csv;docs;docs/extra.txt;docs/readme.txt'),
+        |  ('sanitized', 'file', 'version two readme')
+        |) AS t("case", kind, payload)
+        |ORDER BY "case"""".stripMargin
+  )
+}
