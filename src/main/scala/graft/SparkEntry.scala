@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.engine.QueryPack
 import graft.operators._
+import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +23,8 @@ object SparkEntry {
     TextQueries,
     VectorQueries,
     CustomAggQueries,
-    WorkspaceQueries
+    WorkspaceQueries,
+    StreamingQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

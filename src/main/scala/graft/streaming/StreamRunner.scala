@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+import graft.engine.Tables
+
+/** Bounded-run harness for Structured Streaming queries (SURVEY.md §2.2
+  * "Streaming"): a file source over the `events` parquet, a caller-supplied
+  * stream transform, and a memory sink drained with `Trigger.AvailableNow`
+  * so the result comes back as a plain DataFrame the correctness gate can
+  * hash against a DuckDB oracle.
+  *
+  * Scale notes (100 TB):
+  *  - The SAME transform runs unmodified against an unbounded source
+  *    (kafka/files) with a durable sink — `Trigger.AvailableNow` + memory
+  *    sink are only the bounded test harness; nothing in the query logic
+  *    assumes boundedness.
+  *  - State (windows, dedup keys, per-key state) is bounded by watermarks,
+  *    so executor state stores don't grow without limit on a real stream.
+  *  - The memory sink materializes on the driver — test-only; production
+  *    sinks (parquet/kafka) stream through executors.
+  */
+object StreamRunner {
+
+  /** Streaming view of `events` with `ts_t` (TIMESTAMP, UTC) event time.
+    * `ts` is Parquet INT64 TIMESTAMP(NANOS) surfaced as bigint ns
+    * (nanosAsLong); integer division avoids double-precision corruption.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensureConf(spark)
+    // Streaming sources need an explicit schema; take it from the batch
+    // reader (driver-side footer read, no data scan).
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream
+      .schema(schema)
+      // Single input file -> exactly one micro-batch under AvailableNow,
+      // which makes append-mode stateful output deterministic in tests.
+      .option("maxFilesPerTrigger", "1000000")
+      // The file stream source wants a directory; select just the events
+      // file out of the corpus dir.
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run `stream` to a memory sink until all available data is processed,
+    * then return the sink contents as a batch DataFrame.
+    */
+  def runToTable(spark: SparkSession, stream: DataFrame, name: String,
+                 mode: String): DataFrame = {
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.engine.{QueryPack, Tables}
+
+/** Per-user running state carried by the stateful operator. */
+case class UserState(n: Long, sum: Double)
+
+/** Final per-user emission from the stateful operator. */
+case class UserStats(user_id: Long, n_events: Long, sum_raw: Double)
+
+/** Structured Streaming operators (SURVEY.md §2.2 "Streaming"), each run
+  * bounded via [[StreamRunner]] (file source → memory sink →
+  * `Trigger.AvailableNow`) so results are hash-checkable against DuckDB.
+  * The reference declares the streaming surface only as "querying …
+  * table-structured datasets" over its workspace tables
+  * (/root/reference/README.md:3); `events` is the driver corpus' stream
+  * table.
+  *
+  * Every transform here is a production streaming plan: watermarks bound
+  * state, aggregations are keyed (shuffle on group keys only), the
+  * stream-static join broadcasts the dimension side. Only the source/sink
+  * pair is test-specific.
+  */
+object StreamingQueries extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- watermarked tumbling event-time window, complete mode -------------
+    "q_stream_tumbling" -> ((s, d) => {
+      val agg = StreamRunner.eventsStream(s, d)
+        .withWatermark("ts_t", "10 minutes")
+        .groupBy(window(col("ts_t"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_raw"))
+      StreamRunner.runToTable(s, agg, "g_stream_tumbling", "complete")
+        .select(unix_timestamp(col("w.start")).as("hour_s"),
+          col("event_type"), col("n"), round(col("sum_raw"), 2).as("sum_v"))
+        .orderBy(col("hour_s"), col("event_type"))
+    }),
+
+    // -- sliding window (1h every 30m), complete mode -----------------------
+    "q_stream_sliding" -> ((s, d) => {
+      val agg = StreamRunner.eventsStream(s, d)
+        .withWatermark("ts_t", "10 minutes")
+        .groupBy(window(col("ts_t"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_raw"))
+      StreamRunner.runToTable(s, agg, "g_stream_sliding", "complete")
+        .select(unix_timestamp(col("w.start")).as("win_s"), col("n"),
+          round(col("avg_raw"), 6).as("avg_v"))
+        .orderBy(col("win_s"))
+    }),
+
+    // -- streaming dedup within watermark -----------------------------------
+    "q_stream_dedup" -> ((s, d) => {
+      val deduped = StreamRunner.eventsStream(s, d)
+        .withWatermark("ts_t", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts_us"))
+      StreamRunner.runToTable(s, deduped, "g_stream_dedup", "append")
+        .orderBy(col("event_id"))
+    }),
+
+    // -- stream-static join: events enriched with the customer dim ----------
+    // The static side is small → broadcast; no shuffle of the stream.
+    "q_stream_static_join" -> ((s, d) => {
+      val cust = broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val joined = StreamRunner.eventsStream(s, d)
+        .join(cust, col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("c_mktsegment"),
+          col("value"))
+      StreamRunner.runToTable(s, joined, "g_stream_static_join", "append")
+        .orderBy(col("event_id"))
+    }),
+
+    // -- stateful per-key processing (flatMapGroupsWithState) ---------------
+    // One emission per key per micro-batch; the single-file source gives
+    // exactly one batch under AvailableNow (see StreamRunner), so the
+    // output is the per-user total — deterministic and oracle-checkable.
+    "q_stream_stateful" -> ((s, d) => {
+      import s.implicits._
+      val typed = StreamRunner.eventsStream(s, d)
+        .select(col("user_id"), col("value")).as[(Long, Double)]
+      val stats = typed.groupByKey(_._1)
+        .flatMapGroupsWithState[UserState, UserStats](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+          (user: Long, rows: Iterator[(Long, Double)],
+           state: GroupState[UserState]) =>
+            val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+            var n = prev.n
+            var sum = prev.sum
+            rows.foreach { case (_, v) => n += 1; sum += v }
+            state.update(UserState(n, sum))
+            Iterator(UserStats(user, n, sum))
+        }
+      StreamRunner.runToTable(s, stats.toDF(), "g_stream_stateful", "append")
+        .select(col("user_id"), col("n_events"),
+          round(col("sum_raw"), 2).as("sum_v"))
+        .orderBy(col("user_id"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_s, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM events GROUP BY 1, 2 ORDER BY hour_s, event_type""".stripMargin,
+
+    "q_stream_sliding" ->
+      """SELECT win_s, count(*) AS n, round(avg(value), 6) AS avg_v
+        |FROM (SELECT unnest([(epoch_us(ts) // 1800000000) * 1800,
+        |                     (epoch_us(ts) // 1800000000) * 1800 - 1800])
+        |        AS win_s, value
+        |      FROM events) t
+        |GROUP BY win_s ORDER BY win_s""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_stream_static_join" ->
+      """SELECT event_id, user_id, c_mktsegment, value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |ORDER BY event_id""".stripMargin,
+
+    "q_stream_stateful" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_v
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}
