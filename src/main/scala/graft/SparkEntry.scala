@@ -23,6 +23,7 @@ object SparkEntry {
     TextQueries,
     VectorQueries,
     CustomAggQueries,
+    MultimodalQueries,
     WorkspaceQueries,
     StreamingQueries
   )

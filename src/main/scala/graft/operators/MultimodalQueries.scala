@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{QueryPack, Tables}
+
+/** Decoded-asset features produced by the (stubbed) decoder. */
+case class MediaFeatures(doc_id: Long, n_bytes: Int, avg_byte: Double,
+                         byte_entropy: Double)
+
+/** Multimodal-column operators: image/audio/video handled as opaque
+  * `binary` columns with typed metadata (SURVEY.md §2.2 "Multimodal
+  * columns"; the reference stores whole files as opaque payloads —
+  * /root/reference/src/core.rs:90-94 — which is exactly the multimodal
+  * model: bytes + metadata, interpreted only by an explicit decode step).
+  *
+  * The corpus has no real media files, so the binary payload is the
+  * UTF-8 encoding of `documents.text` — a deterministic stand-in with the
+  * same plumbing (BinaryType column, metadata struct, per-partition batch
+  * decode). The DECODE step is a STUB: `decodeFeatures` computes
+  * deterministic byte statistics where a real pipeline would call an
+  * image/audio codec; swap its body to integrate a real decoder. The
+  * Spark-side shape — schema, iterator-to-iterator `mapPartitions` (the
+  * JVM analog of `mapInPandas`: streaming batches, no whole-partition
+  * materialization), partition-preserving narrow execution — is real and
+  * tested.
+  *
+  * Scale notes (100 TB): every operator here is a narrow map over the
+  * scan — no shuffle, no driver collect; frame sampling explodes rows but
+  * stays partition-local. Real media would arrive via
+  * `spark.read.format("binaryFile")` with the same downstream plan.
+  */
+object MultimodalQueries extends QueryPack {
+
+  /** STUB decoder: real systems decode media bytes here (libjpeg/ffmpeg…).
+    * Deterministic byte statistics stand in for decoded features.
+    */
+  private def decodeFeatures(docId: Long, blob: Array[Byte]): MediaFeatures = {
+    var sum = 0L
+    val hist = new Array[Long](256)
+    var i = 0
+    while (i < blob.length) {
+      val b = blob(i) & 0xff
+      sum += b
+      hist(b) += 1
+      i += 1
+    }
+    val n = blob.length.max(1)
+    var entropy = 0.0
+    var j = 0
+    while (j < 256) {
+      if (hist(j) > 0) {
+        val p = hist(j).toDouble / n
+        entropy -= p * math.log(p) / math.log(2)
+      }
+      j += 1
+    }
+    MediaFeatures(docId, blob.length, sum.toDouble / n, entropy)
+  }
+
+  /** documents with an opaque binary payload + typed metadata struct —
+    * the canonical multimodal column pair.
+    */
+  private def assets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("blob", encode(col("text"), "UTF-8"))
+      .withColumn("meta", struct(
+        lit("application/octet-stream").as("content_type"),
+        length(col("blob")).as("n_bytes"),
+        col("source").as("origin")))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- metadata projection over opaque payloads ---------------------------
+    "q_mm_metadata" -> ((s, d) => {
+      assets(s, d)
+        .select(col("doc_id"), col("meta.content_type").as("content_type"),
+          col("meta.n_bytes").cast("bigint").as("n_bytes"),
+          col("meta.origin").as("origin"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- frame sampling: fixed-size chunks, partition-local explode ---------
+    "q_mm_framesample" -> ((s, d) => {
+      val frame = 256
+      assets(s, d)
+        .select(col("doc_id"), col("blob"),
+          posexplode(sequence(lit(0),
+            ceil(length(col("blob")) / lit(frame)).cast("int") - 1)))
+        .select(col("doc_id"), col("col").cast("bigint").as("frame_id"),
+          least(lit(frame), length(col("blob")) - col("col") * frame)
+            .cast("bigint").as("frame_bytes"))
+        .orderBy(col("doc_id"), col("frame_id"))
+    }),
+
+    // -- resize: deterministic truncation of the payload --------------------
+    // substring() operates directly on BinaryType; md5 of the resized blob
+    // makes the result hash-checkable without shipping the bytes.
+    "q_mm_resize" -> ((s, d) => {
+      assets(s, d)
+        .select(col("doc_id"),
+          expr("substring(blob, 1, 128)").as("small"))
+        .select(col("doc_id"),
+          length(col("small")).cast("bigint").as("out_bytes"),
+          md5(col("small")).as("out_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- batch decode via mapPartitions (stubbed codec) ---------------------
+    // Iterator-to-iterator: the decoder sees a stream of (id, bytes)
+    // batches exactly like mapInPandas batches — no partition
+    // materialization. Oracle-less by design (features are stub-defined);
+    // the ScalaTest spec pins exact values on known inputs.
+    "q_mm_decode" -> ((s, d) => {
+      import s.implicits._
+      assets(s, d)
+        .select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, blob) => decodeFeatures(id, blob) })
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"),
+          round(col("avg_byte"), 6).as("avg_byte"),
+          round(col("byte_entropy"), 6).as("byte_entropy"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_mm_metadata" ->
+      """SELECT doc_id, 'application/octet-stream' AS content_type,
+        |  strlen(text) AS n_bytes, source AS origin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_mm_framesample" ->
+      """SELECT doc_id, i AS frame_id,
+        |  least(256, nb - 256 * i) AS frame_bytes
+        |FROM (SELECT doc_id, strlen(text) AS nb,
+        |        unnest(range(0, CAST(ceil(strlen(text) / 256.0) AS BIGINT)))
+        |          AS i
+        |      FROM documents) t
+        |ORDER BY doc_id, frame_id""".stripMargin,
+
+    "q_mm_resize" ->
+      """SELECT doc_id,
+        |  strlen(substr(text, 1, 128)) AS out_bytes,
+        |  md5(substr(text, 1, 128)) AS out_md5
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
