@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Exact-row semantics for the core relational operators on tiny literal
+  * inputs (join null-handling, semi/anti, set ops with duplicates), plus
+  * algebraic invariants over the corpus (SURVEY.md §5.2).
+  */
+class RelationalOpsSpec extends AnyFunSuite {
+  import SparkFixture.{spark, sfDir}
+  import spark.implicits._
+
+  private lazy val l = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "lv")
+  private lazy val r = Seq((2, "x"), (3, "y"), (4, "z")).toDF("k2", "rv")
+
+  test("left outer join fills null for unmatched left rows") {
+    val out = l.join(r, $"k" === $"k2", "left_outer")
+      .select($"k", $"rv").orderBy($"k").as[(Int, Option[String])].collect()
+    assert(out.toSeq == Seq((1, None), (2, Some("x")), (3, Some("y"))))
+  }
+
+  test("full outer join keeps both dangling sides") {
+    val out = l.join(r, $"k" === $"k2", "full_outer")
+      .select(coalesce($"k", $"k2").as("kk")).orderBy($"kk")
+      .as[Int].collect()
+    assert(out.toSeq == Seq(1, 2, 3, 4))
+  }
+
+  test("semi join filters, anti join complements") {
+    val semi = l.join(r, $"k" === $"k2", "left_semi").select($"k")
+      .as[Int].collect().sorted
+    val anti = l.join(r, $"k" === $"k2", "left_anti").select($"k")
+      .as[Int].collect().sorted
+    assert(semi.toSeq == Seq(2, 3) && anti.toSeq == Seq(1))
+    assert((semi ++ anti).sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("exceptAll and intersectAll respect multiplicity") {
+    val a = Seq(1, 1, 2, 3).toDF("v")
+    val b = Seq(1, 2, 2).toDF("v")
+    assert(a.exceptAll(b).as[Int].collect().sorted.toSeq == Seq(1, 3))
+    assert(a.intersectAll(b).as[Int].collect().sorted.toSeq == Seq(1, 2))
+  }
+
+  test("rollup adds per-level subtotals") {
+    val df = Seq(("g1", 1), ("g1", 2), ("g2", 3)).toDF("g", "v")
+    val out = df.rollup($"g").agg(sum($"v").as("s"))
+      .select($"g", $"s").as[(Option[String], Long)].collect().toSet
+    assert(out == Set((Some("g1"), 3L), (Some("g2"), 3L), (None, 6L)))
+  }
+
+  test("window running sum is prefix-monotone per partition") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(("p", 1), ("p", 2), ("p", 3), ("q", 5)).toDF("g", "v")
+    val w = Window.partitionBy($"g").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = df.withColumn("rs", sum($"v").over(w))
+      .orderBy($"g", $"v").as[(String, Int, Long)].collect()
+    assert(out.toSeq ==
+      Seq(("p", 1, 1L), ("p", 2, 3L), ("p", 3, 6L), ("q", 5, 5L)))
+  }
+
+  // -- algebraic invariants over the corpus --------------------------------
+
+  test("invariant: filter result is a subset; union counts add") {
+    val li = graft.engine.Tables.lineitem(spark, sfDir)
+    val f = li.filter($"l_quantity" > 25)
+    assert(f.count() <= li.count())
+    assert(f.exceptAll(li).isEmpty)
+    val o = graft.engine.Tables.orders(spark, sfDir)
+    assert(o.union(o).count() == 2 * o.count())
+  }
+
+  test("invariant: dropDuplicates is idempotent") {
+    val d = graft.engine.Tables.documents(spark, sfDir)
+      .select($"lang", $"source")
+    val once = d.dropDuplicates()
+    assert(once.count() == once.dropDuplicates().count())
+  }
+
+  test("invariant: orderBy is a permutation") {
+    val c = graft.engine.Tables.customer(spark, sfDir)
+    assert(c.orderBy($"c_acctbal").count() == c.count())
+  }
+}

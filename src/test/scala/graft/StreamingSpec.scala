@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamRunner
+
+/** Structured Streaming semantics the batch oracle cannot check:
+  * watermark-driven late-data drop and append-mode window finalization,
+  * driven batch-by-batch through a MemoryStream. Plus bounded-run parity
+  * between the streaming pack and its batch twin on the corpus.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkFixture.{spark, sfDir}
+  import spark.implicits._
+
+  test("watermark drops late rows; append emits finalized windows only") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Long] // epoch seconds
+    val agg = input.toDF()
+      .select(timestamp_seconds($"value").as("ts"))
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window($"ts", "10 seconds").as("w"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("g_late_drop")
+      .outputMode("append").start()
+    try {
+      // batch 1: events at 5s and 15s -> watermark advances to 15-10=5
+      input.addData(5L, 15L)
+      q.processAllAvailable()
+      // batch 2: event at 100s -> watermark advances to 90;
+      // processAllAvailable includes the watermark-commit batch, so
+      // windows [0,10) and [10,20) finalize and emit here.
+      input.addData(100L)
+      q.processAllAvailable()
+      val mid = spark.table("g_late_drop")
+        .select(unix_timestamp($"w.start").as("s"), $"n")
+        .as[(Long, Long)].collect().toMap
+      assert(mid == Map(0L -> 1L, 10L -> 1L), s"unexpected: $mid")
+      // batch 3: 1s is LATE (behind watermark 90) -> dropped; its window
+      // is already finalized and must NOT re-emit or change. 120s pushes
+      // the watermark to 110, finalizing [100,110).
+      input.addData(1L, 120L)
+      q.processAllAvailable()
+      val out = spark.table("g_late_drop")
+        .select(unix_timestamp($"w.start").as("s"), $"n")
+        .as[(Long, Long)].collect().toMap
+      assert(out == Map(0L -> 1L, 10L -> 1L, 100L -> 1L),
+        s"late row leaked or window re-emitted: $out")
+    } finally q.stop()
+  }
+
+  test("bounded streaming run matches the batch twin on the corpus") {
+    val streamed = SparkEntry.queries("q_stream_tumbling")(spark, sfDir)
+    val batch = SparkEntry.queries("q_tumbling_window")(spark, sfDir)
+    // identical column semantics: hour_s/event_type/n/sum_v
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("streaming source exposes event-time columns") {
+    val st = StreamRunner.eventsStream(spark, sfDir)
+    assert(st.isStreaming)
+    assert(Seq("ts_us", "ts_t").forall(st.columns.contains))
+  }
+}

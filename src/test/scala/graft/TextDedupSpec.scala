@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextDedup
+
+/** Near-dup primitives (graft/functions/TextDedup.scala) on a corpus with
+  * planted duplicates: exact Jaccard is the ground truth; MinHash-LSH must
+  * have precision 1.0 (verified candidates) and catch exact copies;
+  * SimHash chunk blocking must catch hamming-0 pairs.
+  */
+class TextDedupSpec extends AnyFunSuite {
+  import SparkFixture.spark
+  import spark.implicits._
+
+  // 12-word docs: 0 and 1 identical; 2 shares a 7-word prefix with 0
+  // (near-dup); 3 unrelated.
+  private val base = "alpha bravo charlie delta echo foxtrot golf " +
+    "hotel india juliet kilo lima"
+  private lazy val docs = Seq(
+    (0L, base),
+    (1L, base),
+    (2L, "alpha bravo charlie delta echo foxtrot golf mike november " +
+      "oscar papa quebec"),
+    (3L, "one two three four five six seven eight nine ten eleven twelve")
+  ).toDF("doc_id", "text")
+
+  private lazy val exact =
+    TextDedup.exactJaccardPairs(docs, 0.2)
+      .select($"d1", $"d2", $"jacc").as[(Long, Long, Double)]
+      .collect().toSeq
+
+  test("exact Jaccard: identical docs score 1.0") {
+    assert(exact.contains((0L, 1L, 1.0)))
+  }
+
+  test("exact Jaccard: near-dup found, unrelated doc excluded") {
+    // docs 0 and 2 share shingles from the 7-word common prefix
+    assert(exact.exists(p => p._1 == 0L && p._2 == 2L && p._3 > 0.2))
+    assert(!exact.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("MinHash-LSH: subset of exact pairs (precision 1.0) incl. the copy") {
+    val lsh = TextDedup.minHashLshPairs(docs, numPerms = 16, bands = 4,
+      threshold = 0.2)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    val exactKeys = exact.map(p => (p._1, p._2)).toSet
+    assert(lsh.subsetOf(exactKeys), s"false positives: ${lsh -- exactKeys}")
+    // identical docs have identical signatures -> always a candidate
+    assert(lsh.contains((0L, 1L)))
+  }
+
+  test("SimHash: identical docs at hamming 0; self-pairs excluded") {
+    val sh = TextDedup.simHashPairs(docs, maxHamming = 3)
+      .select($"d1", $"d2", $"hamming").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(sh.contains((0L, 1L, 0L)))
+    assert(sh.forall(p => p._1 < p._2))
+    assert(sh.forall(_._3 <= 3))
+  }
+}

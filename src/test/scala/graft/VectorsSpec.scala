@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+/** Vector math (graft/functions/Vectors.scala): exact values on known
+  * inputs, cosine bounds, and scale-invariance of the RHP-LSH signature.
+  */
+class VectorsSpec extends AnyFunSuite {
+  import SparkFixture.spark
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+    (2L, Seq(1.0, 0.0), Seq(0.0, 1.0)),
+    (3L, Seq(2.0, 0.0), Seq(4.0, 0.0))
+  ).toDF("id", "a", "b")
+
+  test("dot product and norm are exact") {
+    val (d, n) = df.filter($"id" === 1)
+      .select(Vectors.dot($"a", $"b"), Vectors.sqNorm($"a"))
+      .as[(Double, Double)].head()
+    assert(d == 32.0) // 1*4 + 2*5 + 3*6
+    assert(n == 14.0)
+  }
+
+  test("cosine: orthogonal -> 0, parallel -> 1") {
+    val c2 = df.filter($"id" === 2)
+      .select(Vectors.cosine($"a", $"b")).as[Double].head()
+    val c3 = df.filter($"id" === 3)
+      .select(Vectors.cosine($"a", $"b")).as[Double].head()
+    assert(math.abs(c2) < 1e-12)
+    assert(math.abs(c3 - 1.0) < 1e-12)
+  }
+
+  test("RHP signature is deterministic and scale-invariant") {
+    val sigs = df.select($"id",
+      Vectors.rhpSignature($"a", 16).as("s1"),
+      Vectors.rhpSignature(transform($"a", x => x * 7.5), 16).as("s2"))
+      .as[(Long, Long, Long)].collect()
+    sigs.foreach { case (id, s1, s2) =>
+      assert(s1 == s2, s"signature not scale-invariant for id=$id")
+    }
+    // rerun -> identical (pure function of the input)
+    val again = df.select($"id", Vectors.rhpSignature($"a", 16).as("s"))
+      .as[(Long, Long)].collect().toMap
+    sigs.foreach { case (id, s1, _) => assert(again(id) == s1) }
+  }
+}

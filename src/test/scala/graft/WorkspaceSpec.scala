@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.core.Workspace._
+
+/** Layer A semantics (SURVEY.md §2.1): sanitization is a rewrite that can
+  * never escape the workspace root, version resolution is named-ref-first
+  * then unique-prefix, lookups return the File/Directory sum type, and the
+  * four reference error classes are distinguishable.
+  */
+class WorkspaceSpec extends AnyFunSuite {
+
+  /** Run a scalacheck property under ScalaTest (the scalatestplus bridge
+    * isn't in the offline cache; plain scalacheck is).
+    */
+  private def checkProp(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  // -- path sanitization (reference src/core.rs:30-46 semantics) -----------
+
+  test("sanitize drops . and .. components and leading slashes") {
+    assert(WorkspacePath("/a/b").value == "a/b")
+    assert(WorkspacePath("a/./b").value == "a/b")
+    assert(WorkspacePath("../../etc/passwd").value == "etc/passwd")
+    assert(WorkspacePath("").value == "")
+    assert(WorkspacePath("..").value == "")
+    assert(WorkspacePath("a//b").value == "a/b")
+  }
+
+  private val pathGen: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.oneOf(".", "..", "", "/"),
+    Gen.alphaNumStr.suchThat(_.nonEmpty)
+  )).map(_.mkString("/"))
+
+  test("property: sanitized paths never traverse upward") {
+    checkProp(Prop.forAll(pathGen) { raw =>
+      val p = WorkspacePath(raw).value
+      !p.startsWith("/") &&
+        !p.split('/').contains("..") && !p.split('/').contains(".")
+    })
+  }
+
+  test("property: sanitization is idempotent") {
+    checkProp(Prop.forAll(pathGen) { raw =>
+      val once = WorkspacePath(raw).value
+      WorkspacePath(once).value == once
+    })
+  }
+
+  // -- snapshot store: fixture with two versions ---------------------------
+
+  private def mkStore(): (SnapshotStore, Path) = {
+    val mount = Files.createTempDirectory("graft-ws")
+    val objs = mount.resolve("w/objects")
+    Files.createDirectories(objs.resolve("abc123/sub"))
+    Files.createDirectories(objs.resolve("def456"))
+    Files.writeString(objs.resolve("abc123/t.csv"), "a,b\n1,2\n")
+    Files.writeString(objs.resolve("abc123/sub/n.txt"), "nested")
+    Files.writeString(objs.resolve("def456/t.csv"), "a,b\n9,9\n")
+    Files.writeString(mount.resolve("w/refs"),
+      "latest\tdef456\nv1\tabc123\n")
+    (new SnapshotStore(mount), mount)
+  }
+
+  test("version resolution: named ref beats prefix; unique prefix works") {
+    val (st, _) = mkStore()
+    assert(st.resolve("w", "latest") == Right("def456"))
+    assert(st.resolve("w", "v1") == Right("abc123"))
+    assert(st.resolve("w", "abc") == Right("abc123"))
+    assert(st.resolve("w", "zzz") == Left(VersionNotFound("zzz")))
+    // empty prefix matches both ids -> ambiguous -> error, like git
+    assert(st.resolve("w", "") == Left(VersionNotFound("")))
+  }
+
+  test("file lookup returns contents at the pinned version") {
+    val (st, _) = mkStore()
+    assert(st.query("w", "v1", "t.csv") ==
+      Right(FileResult("t.csv", "a,b\n1,2\n")))
+    assert(st.query("w", "latest", "t.csv") ==
+      Right(FileResult("t.csv", "a,b\n9,9\n")))
+    // default version is "latest" (src/http_server.rs:105-110)
+    assert(st.query("w", rawPath = "t.csv") ==
+      Right(FileResult("t.csv", "a,b\n9,9\n")))
+  }
+
+  test("directory lookup lists recursively, root included") {
+    val (st, _) = mkStore()
+    val Right(DirectoryResult(name, items)) = st.query("w", "v1", ""): @unchecked
+    assert(name == "")
+    assert(items == Seq("", "sub", "sub/n.txt", "t.csv"))
+  }
+
+  test("traversal attempts are rewritten, not rejected") {
+    val (st, _) = mkStore()
+    assert(st.query("w", "v1", "../../t.csv") ==
+      Right(FileResult("t.csv", "a,b\n1,2\n")))
+  }
+
+  test("all four error classes are reachable and distinct") {
+    val (st, _) = mkStore()
+    assert(st.query("nope", "latest", "") == Left(RepoNotFound("nope")))
+    assert(st.query("w", "v9", "") == Left(VersionNotFound("v9")))
+    assert(st.query("w", "v1", "missing.txt") ==
+      Left(PathNotFound("missing.txt")))
+    // dangling ref -> checkout failure
+    val (st2, mount2) = mkStore()
+    Files.writeString(mount2.resolve("w/refs"), "latest\tgone999\n")
+    assert(st2.query("w", "latest", "") match {
+      case Left(CheckoutFailed(_)) => true
+      case _ => false
+    })
+  }
+
+  test("render covers error / file / directory shapes") {
+    assert(Render.render(Left(RepoNotFound("x")))
+      .contains("Could not open workspace 'x'"))
+    assert(Render.render(Right(FileResult("f", "body"))).contains("<pre>body</pre>"))
+    assert(Render.render(Right(DirectoryResult("d", Seq("a", "b"))))
+      .contains("<li>a</li><li>b</li>"))
+  }
+}
