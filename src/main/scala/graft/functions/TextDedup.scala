@@ -31,22 +31,34 @@ object TextDedup {
       i => concat_ws(" ", slice(words, i + 1, lit(5)))))
   }
 
-  /** Exact all-pairs word-set Jaccard >= threshold. Columns: d1, d2, jacc. */
+  /** Exact all-pairs word-set Jaccard >= threshold. Columns: d1, d2, jacc.
+    *
+    * Implemented as an inverted-index join, NOT a cross join: explode
+    * shingles, self-join on the shingle, count shared shingles per pair.
+    * Only pairs with >= 1 common shingle are ever materialized — pairs
+    * with zero intersection have Jaccard 0 and can't pass any positive
+    * threshold, so the result is exactly the all-pairs answer. Cost is
+    * sum over shingles of (docs-per-shingle choose 2): near-linear on
+    * real corpora where 5-word shingles are discriminative, vs O(n²)
+    * for the cross join. The size-ratio prune (implied by J >= t)
+    * discards most candidates before the per-pair aggregate.
+    */
   def exactJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val t = docs.select(col("doc_id"), toks(col("text")).as("toks"))
       .withColumn("sz", size(col("toks")))
-    val a = t.select(col("doc_id").as("d1"), col("toks").as("t1"),
-      col("sz").as("sz1"))
-    val b = t.select(col("doc_id").as("d2"), col("toks").as("t2"),
-      col("sz").as("sz2"))
+    val ex = t.select(col("doc_id"), col("sz"),
+      explode(col("toks")).as("tok"))
     val jaccRaw = col("inter").cast("double") /
       (col("sz1") + col("sz2") - col("inter"))
-    a.crossJoin(b)
-      .filter(col("d1") < col("d2"))
+    ex.alias("a")
+      .join(ex.alias("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
       // implied by J >= t: min/max size ratio must reach t — cheap prune
-      .filter(least(col("sz1"), col("sz2")).cast("double") /
-        greatest(col("sz1"), col("sz2")) >= threshold)
-      .withColumn("inter", size(array_intersect(col("t1"), col("t2"))))
+      .filter(least(col("a.sz"), col("b.sz")).cast("double") /
+        greatest(col("a.sz"), col("b.sz")) >= threshold)
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.sz").as("sz1"), col("b.sz").as("sz2"))
+      .agg(count(lit(1)).as("inter"))
       .filter(jaccRaw >= threshold)
       .select(col("d1"), col("d2"), round(jaccRaw, 6).as("jacc"))
   }

@@ -125,27 +125,47 @@ object TextQueries extends QueryPack {
     }),
 
     // -- near-dup: character 3-gram Jaccard --------------------------------
+    // Prefix-filter similarity join (SSJoin/PPJoin family): under ANY
+    // global total order on grams, two sets with J >= t must share an
+    // element within their first floor((1-t)*|set|)+1 grams. We order by
+    // xxhash64(gram) (deterministic, near-uniform), join on prefix grams
+    // only, then verify candidates exactly. Lossless, and avoids the
+    // O(n²) cross join — the scale path for char-gram dedup (3-grams are
+    // too common for a plain inverted index).
     "q_dedup_ngram" -> ((s, d) => {
+      val thr = 0.8
       val docs = Tables.documents(s, d)
         .withColumn("nt", norm(col("text")))
         .withColumn("grams", array_distinct(transform(
           sequence(lit(0), length(col("nt")) - 3),
           i => col("nt").substr(lit(1) + i, lit(3)))))
         .select(col("doc_id"), col("grams"), size(col("grams")).as("sz"))
-      val a = docs.select(col("doc_id").as("d1"), col("grams").as("g1"),
-        col("sz").as("sz1"))
-      val b = docs.select(col("doc_id").as("d2"), col("grams").as("g2"),
-        col("sz").as("sz2"))
-      a.crossJoin(b)
-        .filter(col("d1") < col("d2"))
-        // size prune: J >= 0.8 requires |sz1-sz2| <= 0.2 * max → cheap
-        // pre-filter that cannot drop a qualifying pair.
-        .filter(least(col("sz1"), col("sz2")).cast("double") /
-          greatest(col("sz1"), col("sz2")) >= 0.8)
+      val prefixed = docs.withColumn("sorted",
+          array_sort(transform(col("grams"),
+            g => struct(xxhash64(g).as("h"), g.as("g")))))
+        .withColumn("prefix", transform(
+          slice(col("sorted"), 1,
+            (floor(col("sz") * (1 - thr)) + 1).cast("int")),
+          x => x.getField("g")))
+      val ex = prefixed.select(col("doc_id"), col("sz"),
+        explode(col("prefix")).as("pg"))
+      val cand = ex.alias("a")
+        .join(ex.alias("b"),
+          col("a.pg") === col("b.pg") && col("a.doc_id") < col("b.doc_id") &&
+            // size prune: J >= t requires min/max size ratio >= t
+            least(col("a.sz"), col("b.sz")).cast("double") /
+              greatest(col("a.sz"), col("b.sz")) >= thr)
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      cand
+        .join(docs.select(col("doc_id").as("d1"), col("grams").as("g1"),
+          col("sz").as("sz1")), "d1")
+        .join(docs.select(col("doc_id").as("d2"), col("grams").as("g2"),
+          col("sz").as("sz2")), "d2")
         .withColumn("inter", size(array_intersect(col("g1"), col("g2"))))
         .withColumn("jacc", round(col("inter").cast("double") /
           (col("sz1") + col("sz2") - col("inter")), 6))
-        .filter(col("jacc") >= 0.8)
+        .filter(col("jacc") >= thr)
         .select(col("d1"), col("d2"), col("jacc"))
         .orderBy(col("d1"), col("d2"))
     }),
