@@ -44,6 +44,10 @@ object TextDedup {
     * discards most candidates before the per-pair aggregate.
     */
   def exactJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    // Pairs with zero shared shingles are never materialized, so the
+    // inverted-index rewrite equals all-pairs only for positive thresholds
+    // (and the size-ratio prune divides meaningfully only then).
+    require(threshold > 0, "threshold must be positive")
     val t = docs.select(col("doc_id"), toks(col("text")).as("toks"))
       .withColumn("sz", size(col("toks")))
     val ex = t.select(col("doc_id"), col("sz"),

@@ -83,6 +83,9 @@ object MultimodalQueries extends QueryPack {
     "q_mm_framesample" -> ((s, d) => {
       val frame = 256
       assets(s, d)
+        // empty blob: ceil(0/256)-1 = -1 would make sequence(0,-1) infer
+        // step -1 and emit bogus frames; the oracle's range(0,0) is empty.
+        .filter(length(col("blob")) > 0)
         .select(col("doc_id"), col("blob"),
           posexplode(sequence(lit(0),
             ceil(length(col("blob")) / lit(frame)).cast("int") - 1)))
@@ -138,6 +141,10 @@ object MultimodalQueries extends QueryPack {
         |      FROM documents) t
         |ORDER BY doc_id, frame_id""".stripMargin,
 
+    // ASCII-only oracle: Spark's substring(blob,1,128) is byte-based while
+    // DuckDB's substr(text,1,128) is character-based; they agree only when
+    // every document is single-byte UTF-8. MultimodalSpec asserts the
+    // corpus is pure ASCII so this equivalence holds.
     "q_mm_resize" ->
       """SELECT doc_id,
         |  strlen(substr(text, 1, 128)) AS out_bytes,

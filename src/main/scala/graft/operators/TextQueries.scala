@@ -127,7 +127,7 @@ object TextQueries extends QueryPack {
     // -- near-dup: character 3-gram Jaccard --------------------------------
     // Prefix-filter similarity join (SSJoin/PPJoin family): under ANY
     // global total order on grams, two sets with J >= t must share an
-    // element within their first floor((1-t)*|set|)+1 grams. We order by
+    // element within their first sz - ceil(t*sz) + 1 grams. We order by
     // xxhash64(gram) (deterministic, near-uniform), join on prefix grams
     // only, then verify candidates exactly. Lossless, and avoids the
     // O(n²) cross join — the scale path for char-gram dedup (3-grams are
@@ -140,12 +140,15 @@ object TextQueries extends QueryPack {
           sequence(lit(0), length(col("nt")) - 3),
           i => col("nt").substr(lit(1) + i, lit(3)))))
         .select(col("doc_id"), col("grams"), size(col("grams")).as("sz"))
+      // Lossless prefix length sz - ceil(t*sz) + 1; the 1e-9 guards the
+      // FP product (e.g. floor(5 * (1-0.8)) = 0 in doubles).
+      val prefixLen =
+        (col("sz") - ceil(col("sz") * thr - lit(1e-9)) + 1).cast("int")
       val prefixed = docs.withColumn("sorted",
           array_sort(transform(col("grams"),
             g => struct(xxhash64(g).as("h"), g.as("g")))))
         .withColumn("prefix", transform(
-          slice(col("sorted"), 1,
-            (floor(col("sz") * (1 - thr)) + 1).cast("int")),
+          slice(col("sorted"), lit(1), prefixLen),
           x => x.getField("g")))
       val ex = prefixed.select(col("doc_id"), col("sz"),
         explode(col("prefix")).as("pg"))

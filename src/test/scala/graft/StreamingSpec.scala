@@ -58,6 +58,16 @@ class StreamingSpec extends AnyFunSuite {
       batch.exceptAll(streamed).isEmpty)
   }
 
+  test("q_stream_dedup oracle precondition: event_id is unique") {
+    // dropDuplicatesWithinWatermark keeps an arbitrary row per event_id,
+    // so the plain SELECT-FROM-events oracle is only deterministic when
+    // event_ids never repeat; pin that assumption here.
+    val ev = graft.engine.Tables.events(spark, sfDir)
+    val (n, d) = ev.agg(count(lit(1)), countDistinct($"event_id"))
+      .as[(Long, Long)].collect().head
+    assert(n == d, s"duplicate event_ids: $n rows, $d distinct")
+  }
+
   test("streaming source exposes event-time columns") {
     val st = StreamRunner.eventsStream(spark, sfDir)
     assert(st.isStreaming)
