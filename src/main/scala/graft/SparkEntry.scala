@@ -19,6 +19,7 @@ object SparkEntry {
     JoinQueries,
     WindowQueries,
     FunctionQueries,
+    SourceQueries,
     EventQueries,
     TextQueries,
     VectorQueries,

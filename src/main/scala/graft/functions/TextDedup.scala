@@ -48,7 +48,10 @@ object TextDedup {
     // inverted-index rewrite equals all-pairs only for positive thresholds
     // (and the size-ratio prune divides meaningfully only then).
     require(threshold > 0, "threshold must be positive")
-    val t = docs.select(col("doc_id"), toks(col("text")).as("toks"))
+    // Repartition before shingling: the corpus is often a single parquet
+    // split locally, and the per-doc shingle transform must parallelize.
+    val t = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), toks(col("text")).as("toks"))
       .withColumn("sz", size(col("toks")))
     val ex = t.select(col("doc_id"), col("sz"),
       explode(col("toks")).as("tok"))
@@ -75,7 +78,7 @@ object TextDedup {
                       threshold: Double): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val rows = numPerms / bands
-    val exploded = docs
+    val exploded = docs.repartition(col("doc_id"))
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
     // h_i(doc) = min over tokens of murmur3(tok, i)
     val sigCols = (0 until numPerms).map(i =>
@@ -97,7 +100,8 @@ object TextDedup {
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
     // verify candidates with exact Jaccard → zero false positives
-    val t = docs.select(col("doc_id"), toks(col("text")).as("toks"))
+    val t = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), toks(col("text")).as("toks"))
       .withColumn("sz", size(col("toks")))
     val jaccRaw = col("inter").cast("double") /
       (col("sz1") + col("sz2") - col("inter"))
@@ -117,7 +121,7 @@ object TextDedup {
     */
   def simHashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "chunk blocking is lossless only for <= 3")
-    val exploded = docs
+    val exploded = docs.repartition(col("doc_id"))
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
       .withColumn("th", xxhash64(col("tok")))
     // per bit b: count of tokens with bit set minus count with bit clear

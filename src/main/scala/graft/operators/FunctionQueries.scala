@@ -104,6 +104,26 @@ object FunctionQueries extends QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    // -- map functions ------------------------------------------------------
+    // The map itself can't be hash-compared across engines (Spark maps are
+    // unordered), so every output column is a scalar/array DERIVED from the
+    // map — the oracle recomputes the same values from the base columns.
+    "q_map_funcs" -> ((s, d) => {
+      Tables.customer(s, d)
+        .withColumn("m", map(
+          lit("seg"), col("c_mktsegment"),
+          lit("name"), col("c_name"),
+          lit("nk"), col("c_nationkey").cast("string")))
+        .select(
+          col("c_custkey"),
+          element_at(col("m"), "seg").as("seg"),
+          element_at(col("m"), "missing").as("missing_key"),
+          size(col("m")).cast("bigint").as("m_size"),
+          array_sort(map_keys(col("m"))).as("keys_sorted"),
+          array_contains(map_values(col("m")), col("c_name")).as("has_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // -- casts, try_cast, NaN/null handling --------------------------------
     "q_cast_null" -> ((s, d) => {
       Tables.customer(s, d)
@@ -186,6 +206,15 @@ object FunctionQueries extends QueryPack {
         |FROM (SELECT event_type,
         |        CAST(props->>'$.k' AS INT) AS k FROM events) t
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_map_funcs" ->
+      """SELECT c_custkey,
+        |  c_mktsegment AS seg,
+        |  CAST(NULL AS VARCHAR) AS missing_key,
+        |  3 AS m_size,
+        |  ['name', 'nk', 'seg'] AS keys_sorted,
+        |  true AS has_name
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_cast_null" ->
       """SELECT c_custkey,

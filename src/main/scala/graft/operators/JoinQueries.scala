@@ -95,6 +95,19 @@ object JoinQueries extends QueryPack {
         .orderBy(col("c_custkey"))
     }),
 
+    // -- right outer join --------------------------------------------------
+    // Mirror of q_left_outer with the build/probe sides swapped: keeps all
+    // customers even when the (larger, left) orders side has no match.
+    "q_right_outer" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      o.join(c, col("o_custkey") === col("c_custkey"), "right_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          max(col("o_orderpriority")).as("max_prio"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // -- full outer join ---------------------------------------------------
     "q_full_outer" -> ((s, d) => {
       // customers with high balance vs customers having open orders:
@@ -212,6 +225,12 @@ object JoinQueries extends QueryPack {
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
         |       round(coalesce(sum(o_totalprice), 0.0), 2) AS spend
         |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_right_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |       max(o_orderpriority) AS max_prio
+        |FROM orders RIGHT OUTER JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
 
     "q_full_outer" ->

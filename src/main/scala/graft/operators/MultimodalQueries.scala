@@ -116,6 +116,8 @@ object MultimodalQueries extends QueryPack {
     "q_mm_decode" -> ((s, d) => {
       import s.implicits._
       assets(s, d)
+        // single-file corpus = one input split; spread the decode work
+        .repartition(col("doc_id"))
         .select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, blob) => decodeFeatures(id, blob) })
         .toDF()

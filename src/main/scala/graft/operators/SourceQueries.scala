@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.{QueryPack, Tables}
+
+/** Source/sink surface (SURVEY.md §2.2 "Scans / sources / sinks"): CSV,
+  * JSON-lines, and text scans plus their sinks, exercised as write→read
+  * roundtrips against the parquet corpus so every query stays DuckDB
+  * hash-checkable (the roundtrip is the identity on the projected data,
+  * so the oracle is plain SQL over the original table). The reference's
+  * declared input format is CSV (/root/reference/README.md:7); its file
+  * reads are whole-file text (/root/reference/src/http_server.rs:249-253).
+  *
+  * Scale notes: the sink/scan pair is the same `DataFrameWriter`/
+  * `DataFrameReader` API that targets distributed storage on a cluster —
+  * only the path changes. Each roundtrip writes with the parallelism of
+  * the source (no coalesce(1)): at 100 TB the write fans out per
+  * partition and the read lists/splits files in parallel. CSV/JSON scans
+  * get explicit schemas (no inference pass over the data — inference
+  * reads the whole input once, a full extra scan at scale).
+  */
+object SourceQueries extends QueryPack {
+
+  /** Deterministic scratch dir per (sfDir, name); /tmp is the stand-in for
+    * the warehouse path a cluster deployment would use. */
+  private def scratch(d: String, name: String): String =
+    s"/tmp/graft_io/${d.replaceAll("[^a-zA-Z0-9]", "_")}/$name"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- CSV sink + CSV scan (header, explicit schema) ----------------------
+    "q_csv_roundtrip" -> ((s, d) => {
+      val out = scratch(d, "nation_csv")
+      Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", LongType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", LongType)))
+      s.read.option("header", "true").schema(schema).csv(out)
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // -- JSON-lines sink + scan (explicit schema, no inference pass) --------
+    "q_json_roundtrip" -> ((s, d) => {
+      val out = scratch(d, "supplier_json")
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"))
+        .write.mode("overwrite").json(out)
+      val schema = StructType(Seq(
+        StructField("s_suppkey", LongType),
+        StructField("s_name", StringType),
+        StructField("s_nationkey", LongType),
+        StructField("s_acctbal", DoubleType)))
+      s.read.schema(schema).json(out)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          round(col("s_acctbal"), 2).as("s_acctbal"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // -- text sink + whole-line text scan (the reference's read model) ------
+    "q_text_scan" -> ((s, d) => {
+      val out = scratch(d, "region_text")
+      Tables.region(s, d)
+        .select(concat_ws("|", col("r_regionkey"), col("r_name")).as("value"))
+        .write.mode("overwrite").text(out)
+      s.read.text(out)
+        .select(col("value"),
+          length(col("value")).cast("bigint").as("line_len"),
+          split(col("value"), "\\|").getItem(0).cast("bigint").as("key"))
+        .orderBy(col("key"))
+    }),
+
+    // -- parquet sink + scan: pushdown survives the roundtrip ---------------
+    "q_parquet_roundtrip" -> ((s, d) => {
+      val out = scratch(d, "orders_pq")
+      Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .filter(col("o_totalprice") > 100000.0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // -- in-memory table (literal rows) joined to a scanned dim -------------
+    "q_inmem_table" -> ((s, d) => {
+      val schema = StructType(Seq(
+        StructField("r_regionkey", LongType, nullable = false),
+        StructField("bloc", StringType, nullable = false)))
+      val rows = java.util.Arrays.asList(
+        Row(0L, "old-world"), Row(1L, "new-world"), Row(2L, "new-world"),
+        Row(3L, "old-world"), Row(4L, "old-world"))
+      val blocs = s.createDataFrame(rows, schema)
+      Tables.nation(s, d).alias("n")
+        .join(broadcast(blocs).alias("b"),
+          col("b.r_regionkey") === col("n.n_regionkey"))
+        .groupBy(col("b.bloc").as("bloc"))
+        .agg(count(lit(1)).as("n_nations"),
+          min(col("n_name")).as("first_nation"))
+        .orderBy(col("bloc"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_csv_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_json_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey,
+        |  round(s_acctbal, 2) AS s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "q_text_scan" ->
+      """SELECT concat(r_regionkey, '|', r_name) AS value,
+        |  length(concat(r_regionkey, '|', r_name)) AS line_len,
+        |  r_regionkey AS key
+        |FROM region ORDER BY key""".stripMargin,
+
+    "q_parquet_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_inmem_table" ->
+      """SELECT bloc, count(*) AS n_nations, min(n_name) AS first_nation
+        |FROM nation JOIN (VALUES (0, 'old-world'), (1, 'new-world'),
+        |  (2, 'new-world'), (3, 'old-world'), (4, 'old-world'))
+        |  AS b(r_regionkey, bloc) ON b.r_regionkey = nation.n_regionkey
+        |GROUP BY bloc ORDER BY bloc""".stripMargin
+  )
+}

@@ -1,0 +1,178 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions (with `doGenCode`) for per-pair hot loops.
+  *
+  * Spark's higher-order functions (`zip_with`, `aggregate`,
+  * `array_intersect`) evaluate interpreted — measured ~50-70µs per call on
+  * 64-140 element arrays, which multiplies catastrophically inside a
+  * similarity join evaluating millions of pairs (SURVEY.md §4.2 "custom
+  * Expression (codegen) if the HOF version is too slow"). These compile
+  * into the whole-stage-codegen loop: a tight primitive-array walk with
+  * zero allocation per row.
+  *
+  * Lives under `org.apache.spark.sql` because the expression SPI types
+  * (`AbstractDataType`, `ExpressionUtils`) are `private[sql]`; the public
+  * face is `graft.functions.Native`.
+  *
+  * Null semantics: standard `BinaryExpression` null-propagation (null
+  * array → null result); null ELEMENTS are not expected (inputs are
+  * generated arrays) and read as 0.0/0 per Spark's primitive accessors.
+  */
+object NativeExpressions {
+
+  /** Sequential-fold dot product over two array<double> columns; same
+    * left-to-right summation order as the HOF formulation and DuckDB's
+    * `list_dot_product`, so results stay bit-identical to the oracle. */
+  case class DotProductDouble(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_dot"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += $a.getDouble($i) * $b.getDouble($i);
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Intersection size of two ASCENDING-sorted int arrays via a linear
+    * merge — no per-row hash set, no allocation. Caller guarantees sorted
+    * distinct inputs (e.g. `array_sort(collect_list(...))` of distinct
+    * keys); unsorted input silently undercounts. */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(IntegerType), ArrayType(IntegerType))
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_sorted_intersect_count"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val nx = x.numElements()
+      val ny = y.numElements()
+      var i = 0; var j = 0; var c = 0
+      while (i < nx && j < ny) {
+        val xv = x.getInt(i); val yv = y.getInt(j)
+        if (xv == yv) { c += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+      c
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val ni = ctx.freshName("ni")
+        val nj = ctx.freshName("nj")
+        val c = ctx.freshName("c")
+        val xv = ctx.freshName("xv")
+        val yv = ctx.freshName("yv")
+        s"""
+           |int $i = 0, $j = 0, $c = 0;
+           |int $ni = $a.numElements(), $nj = $b.numElements();
+           |while ($i < $ni && $j < $nj) {
+           |  int $xv = $a.getInt($i);
+           |  int $yv = $b.getInt($j);
+           |  if ($xv == $yv) { $c++; $i++; $j++; }
+           |  else if ($xv < $yv) { $i++; } else { $j++; }
+           |}
+           |${ev.value} = $c;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Distinct byte-trigram codes of a binary column, ascending-sorted, as
+    * array<int> (code = b0<<16 | b1<<8 | b2, bytes zero-extended). One
+    * tight pass + sort + in-place dedup per row, replacing an interpreted
+    * `array_distinct(transform(sequence(...), substr))` pipeline measured
+    * at ~3ms/KB. On ASCII text byte-trigrams equal character-trigrams;
+    * multi-byte UTF-8 would shingle bytes, not codepoints (fine for
+    * dedup fingerprints, different from a char-level oracle).
+    * CodegenFallback: evaluated once per document in a narrow map stage,
+    * not in a per-pair loop, so interpretation cost is immaterial. */
+  case class SortedDistinctTrigramCodes(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "graft_trigram_codes"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[Array[Byte]]
+      val n = bytes.length - 2
+      if (n <= 0) return new GenericArrayData(Array.empty[Int])
+      val codes = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        codes(i) = ((bytes(i) & 0xff) << 16) |
+          ((bytes(i + 1) & 0xff) << 8) | (bytes(i + 2) & 0xff)
+        i += 1
+      }
+      java.util.Arrays.sort(codes)
+      var w = 1
+      i = 1
+      while (i < n) {
+        if (codes(i) != codes(w - 1)) { codes(w) = codes(i); w += 1 }
+        i += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(codes, w))
+    }
+
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  private def expr(c: Column) = ExpressionUtils.expression(c)
+
+  /** Column API for the native expressions. */
+  def dot(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProductDouble(expr(a), expr(b)))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedIntersectCount(expr(a), expr(b)))
+
+  def trigramCodes(bin: Column): Column =
+    ExpressionUtils.column(SortedDistinctTrigramCodes(expr(bin)))
+}
