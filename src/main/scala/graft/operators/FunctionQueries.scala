@@ -118,7 +118,7 @@ object FunctionQueries extends QueryPack {
           col("c_custkey"),
           element_at(col("m"), "seg").as("seg"),
           element_at(col("m"), "missing").as("missing_key"),
-          size(col("m")).cast("bigint").as("m_size"),
+          size(col("m")).as("m_size"),
           array_sort(map_keys(col("m"))).as("keys_sorted"),
           array_contains(map_values(col("m")), col("c_name")).as("has_name"))
         .orderBy(col("c_custkey"))

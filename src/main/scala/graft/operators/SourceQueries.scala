@@ -36,9 +36,9 @@ object SourceQueries extends QueryPack {
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
         .write.mode("overwrite").option("header", "true").csv(out)
       val schema = StructType(Seq(
-        StructField("n_nationkey", LongType),
+        StructField("n_nationkey", IntegerType),
         StructField("n_name", StringType),
-        StructField("n_regionkey", LongType)))
+        StructField("n_regionkey", IntegerType)))
       s.read.option("header", "true").schema(schema).csv(out)
         .orderBy(col("n_nationkey"))
     }),
@@ -53,7 +53,7 @@ object SourceQueries extends QueryPack {
       val schema = StructType(Seq(
         StructField("s_suppkey", LongType),
         StructField("s_name", StringType),
-        StructField("s_nationkey", LongType),
+        StructField("s_nationkey", IntegerType),
         StructField("s_acctbal", DoubleType)))
       s.read.schema(schema).json(out)
         .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
@@ -70,7 +70,7 @@ object SourceQueries extends QueryPack {
       s.read.text(out)
         .select(col("value"),
           length(col("value")).cast("bigint").as("line_len"),
-          split(col("value"), "\\|").getItem(0).cast("bigint").as("key"))
+          split(col("value"), "\\|").getItem(0).cast("int").as("key"))
         .orderBy(col("key"))
     }),
 

@@ -91,6 +91,54 @@ object VectorQueries extends QueryPack {
         .orderBy(col("q_id"))
     }),
 
+    // -- IVF ANN: centroid-partitioned approximate top-k -------------------
+    // Inverted-file index: corpus vectors are assigned to their nearest
+    // centroid (deterministic centroid set = first `nlist` vectors, no
+    // iterative k-means so the oracle can replicate it exactly); queries
+    // probe the `nprobe` nearest lists and brute-force only within them.
+    // Scale notes: the centroid table broadcasts (nlist rows), assignment
+    // is one narrow pass over the corpus, and the candidate join is an
+    // equi-join on cid — search cost drops from O(|Q|·|C|) to
+    // O(|Q|·|C|·nprobe/nlist) with no all-pairs step.
+    "q_sim_ivf" -> ((s, d) => {
+      val nlist = 16; val nprobe = 2; val k = 5
+      val e = emb(s, d).withColumn("nrm", Vectors.norm(col("v")))
+      val cents = e.filter(col("vec_id") < nlist)
+        .select(col("vec_id").as("cid"), col("v").as("cv"),
+          col("nrm").as("cnrm"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cid").asc)
+      val assign = e.crossJoin(broadcast(cents))
+        .withColumn("csim",
+          Vectors.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id").as("c_id"), col("v").as("cv2"),
+          col("nrm").as("cnrm2"), col("cid"))
+      val wProbe = Window.partitionBy(col("q_id"))
+        .orderBy(col("csim").desc, col("cid").asc)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qnrm"))
+        .crossJoin(broadcast(cents))
+        .withColumn("csim",
+          Vectors.dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= nprobe)
+        .select(col("q_id"), col("qv"), col("qnrm"), col("cid"))
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_raw").desc, col("c_id").asc)
+      probes.join(assign, "cid")
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("cos_raw",
+          Vectors.dot(col("qv"), col("cv2")) / (col("qnrm") * col("cnrm2")))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= k)
+        .select(col("q_id"), col("rnk").cast("bigint").as("rnk"), col("c_id"),
+          round(col("cos_raw"), 6).as("cos"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     // -- LSH-bucketed ANN (scale path; recall checked in VectorSpec) -------
     "q_sim_lsh" -> ((s, d) => {
       val sigs = emb(s, d)
@@ -158,6 +206,37 @@ object VectorQueries extends QueryPack {
            |WHERE $dotAB / (sqrt(list_dot_product(a.vd, a.vd)) *
            |  sqrt(list_dot_product(b.vd, b.vd))) >= 0.4
            |ORDER BY d1, d2""".stripMargin,
+
+      "q_sim_ivf" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+          |  FROM embeddings),
+          |n AS (SELECT vec_id, vd,
+          |    sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
+          |c AS (SELECT vec_id AS cid, vd AS cv, nrm AS cnrm
+          |  FROM n WHERE vec_id < 16),
+          |asg AS (SELECT vec_id, cid FROM (
+          |  SELECT n.vec_id, c.cid, row_number() OVER (
+          |      PARTITION BY n.vec_id
+          |      ORDER BY list_dot_product(n.vd, c.cv) / (n.nrm * c.cnrm)
+          |        DESC, c.cid ASC) AS arn
+          |  FROM n CROSS JOIN c) t WHERE arn = 1),
+          |probes AS (SELECT q_id, cid FROM (
+          |  SELECT n.vec_id AS q_id, c.cid, row_number() OVER (
+          |      PARTITION BY n.vec_id
+          |      ORDER BY list_dot_product(n.vd, c.cv) / (n.nrm * c.cnrm)
+          |        DESC, c.cid ASC) AS prn
+          |  FROM n CROSS JOIN c WHERE n.vec_id < 10) t WHERE prn <= 2),
+          |cand AS (SELECT p.q_id, a.vec_id AS c_id,
+          |    list_dot_product(qn.vd, cn.vd) / (qn.nrm * cn.nrm) AS cos_raw
+          |  FROM probes p JOIN asg a ON p.cid = a.cid
+          |  JOIN n qn ON qn.vec_id = p.q_id
+          |  JOIN n cn ON cn.vec_id = a.vec_id
+          |  WHERE a.vec_id <> p.q_id)
+          |SELECT q_id, rnk, c_id, round(cos_raw, 6) AS cos FROM (
+          |  SELECT q_id, c_id, cos_raw, row_number() OVER (
+          |      PARTITION BY q_id ORDER BY cos_raw DESC, c_id ASC) AS rnk
+          |  FROM cand) t
+          |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
 
       "q_knn_label" ->
         s"""WITH e AS (SELECT vec_id, label,

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.NativeExpressions
+
+/** The native codegen expressions must agree exactly with the interpreted
+  * Spark formulations they replace — including FP summation order for the
+  * dot product (bit-identical, not approximately equal), since oracle
+  * hashes compare exact doubles. Batched property runs: Spark jobs are
+  * too slow for per-case round trips, so each property collects its
+  * random cases into ONE DataFrame and compares columns.
+  */
+class NativeExpressionsSpec extends AnyFunSuite {
+  import SparkFixture.spark
+  import spark.implicits._
+
+  test("dot == interpreted aggregate(zip_with(...)) bit-for-bit") {
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-1e3, 1e3))
+    val cases = Gen.listOfN(50, Gen.zip(vecGen, vecGen)).sample.get
+    val df = cases.toDF("a", "b")
+    val rows = df.select(
+        NativeExpressions.dot(col("a"), col("b")),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (native, hof) =>
+      assert(java.lang.Double.doubleToLongBits(native) ==
+        java.lang.Double.doubleToLongBits(hof))
+    }
+  }
+
+  test("dot handles empty and null arrays") {
+    val df = Seq((Some(Seq.empty[Double]), Some(Seq.empty[Double])),
+                 (None, Some(Seq(1.0)))).toDF("a", "b")
+    val out = df.select(NativeExpressions.dot(col("a"), col("b")))
+      .as[Option[Double]].collect()
+    assert(out(0).contains(0.0) && out(1).isEmpty)
+  }
+
+  test("sortedIntersectCount == size(array_intersect) on sorted distinct") {
+    val listGen = Gen.listOf(Gen.chooseNum(-100, 100))
+    val cases = Gen.listOfN(100, Gen.zip(listGen, listGen)).sample.get
+      .map { case (a, b) => (a.distinct.sorted, b.distinct.sorted) }
+    val df = cases.toDF("a", "b")
+    val rows = df.select(
+        NativeExpressions.sortedIntersectCount(col("a"), col("b")),
+        size(array_intersect(col("a"), col("b"))))
+      .as[(Int, Int)].collect()
+    rows.foreach { case (native, builtin) => assert(native == builtin) }
+  }
+
+  test("trigramCodes == distinct sorted substring trigrams (ASCII)") {
+    val asciiText = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaLowerChar, 2 -> Gen.const(' '))).map(_.mkString)
+    val cases = Gen.listOfN(100, asciiText).sample.get
+    val df = cases.toDF("t")
+    val rows = df.select(col("t"), NativeExpressions.trigramCodes(
+        encode(col("t"), "UTF-8"))).as[(String, Seq[Int])].collect()
+    rows.foreach { case (t, native) =>
+      val expected = t.getBytes("UTF-8").sliding(3).filter(_.length == 3)
+        .map(b => ((b(0) & 0xff) << 16) | ((b(1) & 0xff) << 8) | (b(2) & 0xff))
+        .toSeq.distinct.sorted
+      assert(native == expected, s"input: '$t'")
+    }
+  }
+
+  test("trigramCodes: empty and short input yield empty arrays") {
+    val df = Seq("", "ab").toDF("t")
+    val out = df.select(NativeExpressions.trigramCodes(
+        encode(col("t"), "UTF-8"))).as[Seq[Int]].collect()
+    assert(out.forall(_.isEmpty))
+  }
+}

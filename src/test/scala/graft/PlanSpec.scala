@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the properties that decide whether a
+  * query survives a 100 TB scale-up, pinned so a refactor can't silently
+  * regress them:
+  *   - filters/projections reach the parquet scan (PushedFilters /
+  *     narrow ReadSchema),
+  *   - small dimension tables broadcast (no shuffle of the fact side),
+  *   - no CartesianProduct / BroadcastNestedLoopJoin outside the queries
+  *     that are intentionally all-pairs,
+  *   - the banded dedup join is a ShuffledHashJoin on its blocking keys.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkFixture.{spark, sfDir}
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    // collect() runs df's OWN QueryExecution (count() would wrap a new
+    // one), so AQE finalizes the join strategies we assert on
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_scan_project pushes filter and prunes columns at the scan") {
+    val p = plan("q_scan_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.contains("PushedFilters: []"), "no filters pushed:\n" + p)
+    // projection reaches the reader: only the selected+filter columns
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_comment") && !read.contains("l_partkey"),
+      "scan reads columns the query never uses: " + read)
+  }
+
+  test("q5_join broadcasts the dimension tables") {
+    val p = plan("q5_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_broadcast_join has no shuffle on the dimension side") {
+    val p = plan("q_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("only intentionally-all-pairs queries use nested-loop/cartesian") {
+    val allPairs = Set("q_cross_join", "q_theta_join", "q_sim_pairs",
+      "q_sim_topk", "q_knn_label", "q_range_join", "q_asof_join")
+    // spot-check a representative non-all-pairs subset (full corpus scan
+    // per plan costs minutes; these are the join-shaped queries)
+    val mustBeKeyed = Seq("q3_join", "q_left_outer", "q_right_outer",
+      "q_full_outer", "q_semi_join", "q_anti_join", "q_self_join",
+      "q_dedup_ngram", "q_dedup_jaccard", "q_dedup_minhash")
+    for (q <- mustBeKeyed) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q degenerated to a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to a nested-loop join")
+      assert(!allPairs.contains(q))
+    }
+  }
+
+  test("q_dedup_ngram joins hashed on its banded blocking keys") {
+    val p = plan("q_dedup_ngram")
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("whole-stage codegen covers the aggregation pipeline of q1_agg") {
+    val p = plan("q1_agg")
+    // codegen'd operators render with a "*(stageId)" prefix
+    assert(p.contains("*(") && p.contains("HashAggregate"), p)
+  }
+}
