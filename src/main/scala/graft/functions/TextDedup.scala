@@ -23,13 +23,16 @@ import org.apache.spark.sql.functions._
 object TextDedup {
 
   /** Distinct 5-word shingles — the discriminative unit for near-dup
-    * detection (unigram sets saturate on a small vocabulary). */
-  private def toks(c: Column): Column = {
-    val words = split(c, " ")
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(words) - 5, lit(0))),
-      i => concat_ws(" ", slice(words, i + 1, lit(5)))))
-  }
+    * detection (unigram sets saturate on a small vocabulary). Represented
+    * as sorted 64-bit hashes (NativeExpressions.SortedDistinctShingleHashes)
+    * rather than strings: one native pass per doc instead of an
+    * interpreted transform/slice/concat pipeline, and every downstream
+    * join/intersection compares longs. Set cardinalities — and therefore
+    * every Jaccard value — are unchanged barring a 64-bit collision
+    * inside a single pair's union (~1e-14). */
+  private def toks(c: Column): Column =
+    org.apache.spark.sql.graft.NativeExpressions
+      .shingleHashes(encode(c, "UTF-8"), lit(5))
 
   /** Exact all-pairs word-set Jaccard >= threshold. Columns: d1, d2, jacc.
     *

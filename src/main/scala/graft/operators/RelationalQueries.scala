@@ -195,6 +195,46 @@ object RelationalQueries extends QueryPack {
         .limit(100)
     }),
 
+    // -- partition-local sort (the secondary-sort pattern) -----------------
+    // repartition by key co-locates whole groups; sortWithinPartitions
+    // orders each partition WITHOUT a global shuffle-and-merge; one
+    // streaming pass over the sorted partition then emits each group's
+    // first row. This is the scale idiom for "cheapest per-group
+    // extremum over a huge table" when a global sort would be wasteful.
+    "q_sort_local" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .repartition(col("l_orderkey"))
+        // l_linenumber repeats within an order in this corpus — the price
+        // tie-break keeps the emitted first row deterministic
+        .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+        .as[(Long, Int, Double)]
+        .mapPartitions { it =>
+          var last = Long.MinValue
+          it.flatMap { case (k, ln, price) =>
+            if (k != last) { last = k; Iterator.single((k, ln, price)) }
+            else Iterator.empty
+          }
+        }
+        .toDF("l_orderkey", "first_line", "first_price")
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // -- unionByName: same schemas, different column order -----------------
+    "q_union_byname" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(col("o_totalprice") > 150000)
+        .select(col("o_custkey"), col("o_totalprice").as("price"))
+      val b = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_totalprice").as("price"), col("o_custkey"))
+      a.unionByName(b)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("price")), 2).as("sum_price"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // -- global top-k (TakeOrderedAndProject) ------------------------------
     "q_topk" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -330,6 +370,24 @@ object RelationalQueries extends QueryPack {
       """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
         |ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
         |LIMIT 100 OFFSET 10""".stripMargin,
+
+    "q_sort_local" ->
+      """SELECT l_orderkey, l_linenumber AS first_line,
+        |  l_extendedprice AS first_price
+        |FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_linenumber, l_extendedprice) AS rn
+        |  FROM lineitem) t
+        |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+
+    "q_union_byname" ->
+      """SELECT o_custkey, count(*) AS n, round(sum(price), 2) AS sum_price
+        |FROM (SELECT o_custkey, o_totalprice AS price FROM orders
+        |        WHERE o_totalprice > 150000
+        |      UNION ALL
+        |      SELECT o_custkey, o_totalprice AS price FROM orders
+        |        WHERE o_orderstatus = 'F') t
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem

@@ -51,6 +51,20 @@ object StreamingQueries extends QueryPack {
         .orderBy(col("win_s"))
     }),
 
+    // -- session window (complete mode; batch twin: q_session_window) -------
+    "q_stream_session" -> ((s, d) => {
+      val agg = StreamRunner.eventsStream(s, d)
+        .withWatermark("ts_t", "10 minutes")
+        .groupBy(col("user_id"),
+          session_window(col("ts_t"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_raw"))
+      StreamRunner.runToTable(s, agg, "g_stream_session", "complete")
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("session_start_us"),
+          col("n_events"), round(col("sum_raw"), 2).as("sum_v"))
+        .orderBy(col("user_id"), col("session_start_us"))
+    }),
+
     // -- streaming dedup within watermark -----------------------------------
     "q_stream_dedup" -> ((s, d) => {
       val deduped = StreamRunner.eventsStream(s, d)
@@ -119,6 +133,26 @@ object StreamingQueries extends QueryPack {
     "q_stream_dedup" ->
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_stream_session" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, value,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts))
+        |      > 1800000000 THEN 1
+        |      WHEN lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL THEN 1
+        |      ELSE 0 END AS new_session
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, us, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM e)
+        |SELECT user_id, min(us) AS session_start_us,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_v
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
 
     "q_stream_static_join" ->
       """SELECT event_id, user_id, c_mktsegment, value

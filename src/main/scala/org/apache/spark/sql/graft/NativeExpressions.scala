@@ -164,6 +164,73 @@ object NativeExpressions {
         newChild: Expression): Expression = copy(child = newChild)
   }
 
+  /** Distinct FNV-1a-64 hashes of a document's rolling `nWords`-word
+    * shingles, ascending-sorted, as array<long>. Splits the UTF-8 bytes
+    * on EVERY 0x20 (like `split(text, " ")` — runs of spaces yield empty
+    * words), so each shingle's bytes are exactly the original byte range
+    * from its first word's start to its last word's end; the hash runs
+    * over that range with no string materialization. Fewer than `nWords`
+    * words → one shingle spanning the whole text, matching
+    * `sequence(0, greatest(n-k, 0))` + `slice` + `concat_ws` semantics.
+    * Replaces a ~1ms/doc interpreted HOF pipeline; downstream set ops
+    * compare longs instead of 40-byte strings (collision odds for a
+    * corpus of ~10^6 shingles: ~1e-7 per corpus, ~1e-14 per doc pair).
+    * CodegenFallback: evaluated once per document, not per pair. */
+  case class SortedDistinctShingleHashes(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(BinaryType, IntegerType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_shingle_hashes"
+
+    override protected def nullSafeEval(bin: Any, n: Any): Any = {
+      val bytes = bin.asInstanceOf[Array[Byte]]
+      val nWords = n.asInstanceOf[Int]
+      // word k spans [starts(k), ends(k))
+      var words = 1
+      var i = 0
+      while (i < bytes.length) { if (bytes(i) == ' ') words += 1; i += 1 }
+      val starts = new Array[Int](words)
+      val ends = new Array[Int](words)
+      var w = 0
+      starts(0) = 0
+      i = 0
+      while (i < bytes.length) {
+        if (bytes(i) == ' ') { ends(w) = i; w += 1; starts(w) = i + 1 }
+        i += 1
+      }
+      ends(w) = bytes.length
+      val nWin = math.max(words - nWords, 0) + 1
+      val hashes = new Array[Long](nWin)
+      var k = 0
+      while (k < nWin) {
+        val from = starts(k)
+        val to = ends(math.min(k + nWords - 1, words - 1))
+        var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
+        var j = from
+        while (j < to) {
+          h ^= (bytes(j) & 0xffL)
+          h *= 0x100000001b3L
+          j += 1
+        }
+        hashes(k) = h
+        k += 1
+      }
+      java.util.Arrays.sort(hashes)
+      var out = 1
+      k = 1
+      while (k < nWin) {
+        if (hashes(k) != hashes(out - 1)) { hashes(out) = hashes(k); out += 1 }
+        k += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(hashes, out))
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   private def expr(c: Column) = ExpressionUtils.expression(c)
 
   /** Column API for the native expressions. */
@@ -175,4 +242,8 @@ object NativeExpressions {
 
   def trigramCodes(bin: Column): Column =
     ExpressionUtils.column(SortedDistinctTrigramCodes(expr(bin)))
+
+  def shingleHashes(bin: Column, nWords: Column): Column =
+    ExpressionUtils.column(
+      SortedDistinctShingleHashes(expr(bin), expr(nWords)))
 }
