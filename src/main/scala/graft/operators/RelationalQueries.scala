@@ -244,6 +244,15 @@ object RelationalQueries extends QueryPack {
         .limit(25)
     }),
 
+    // -- pivot (explicit value list so no extra distinct-scan job) ---------
+    "q_pivot" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum(col("o_totalprice")), 2))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // -- set ops: union distinct ------------------------------------------
     "q_union" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -393,6 +402,17 @@ object RelationalQueries extends QueryPack {
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
         |LIMIT 25""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  round(sum(CASE WHEN o_orderstatus = 'F'
+        |    THEN o_totalprice END), 2) AS "F",
+        |  round(sum(CASE WHEN o_orderstatus = 'O'
+        |    THEN o_totalprice END), 2) AS "O",
+        |  round(sum(CASE WHEN o_orderstatus = 'P'
+        |    THEN o_totalprice END), 2) AS "P"
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_union" ->
       """SELECT o_custkey FROM orders WHERE o_totalprice > 150000

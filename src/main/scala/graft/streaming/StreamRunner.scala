@@ -51,13 +51,24 @@ object StreamRunner {
     */
   def runToTable(spark: SparkSession, stream: DataFrame, name: String,
                  mode: String): DataFrame = {
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Stateful operators allocate one state-store instance per shuffle
+    // partition and pay a commit per partition per micro-batch; at the
+    // test corpus size that fixed cost dominates, so pin a small state
+    // parallelism for the bounded run (a production deployment sizes
+    // this to the key cardinality). The conf is a plan-time setting —
+    // restore it after the query drains so batch queries are unaffected.
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = stream.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.NativeExpressions
+
+/** Exactness of the size-banded 3-gram Jaccard join (q_dedup_ngram)
+  * against a brute-force all-pairs computation on an adversarial synthetic
+  * corpus: a dense gram universe (6-letter alphabet), heavy near-dup
+  * clusters, and document sizes spread across geometric band boundaries —
+  * the cases where a blocking scheme would lose pairs if the
+  * adjacent-band/tie-break logic were wrong.
+  */
+class NgramDedupSpec extends AnyFunSuite {
+  import SparkFixture.spark
+  import spark.implicits._
+
+  private val dir = java.nio.file.Files
+    .createTempDirectory("graft_ngram_synth").toString
+
+  private def buildCorpus(): Unit = {
+    val rnd = new scala.util.Random(42)
+    def randDoc(len: Int): String =
+      (0 until len).map { i =>
+        if (i % 6 == 5) ' ' else ('a' + rnd.nextInt(6)).toChar
+      }.mkString
+    // sizes sweep the band range; step chosen so some adjacent docs land
+    // at size ratios right around the 0.8 banding threshold
+    val base = (0 until 60).map(i => randDoc(40 + i * 3))
+    // near-dup clusters: single-char mutations of a subset
+    val mutated = base.take(20).zipWithIndex.map { case (t, i) =>
+      val pos = rnd.nextInt(t.length)
+      t.updated(pos, if (t(pos) == 'a') 'b' else 'a')
+    }
+    val docs = (base ++ mutated).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  test("banded q_dedup_ngram equals brute-force all-pairs on synthetic corpus") {
+    buildCorpus()
+    val banded = SparkEntry.queries("q_dedup_ngram")(spark, dir)
+      .select($"d1", $"d2", $"jacc").as[(Long, Long, Double)]
+      .collect().toSet
+
+    val g = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("gids", NativeExpressions.trigramCodes(
+        encode(regexp_replace(lower(trim($"text")), "\\s+", " "), "UTF-8")))
+      .withColumn("sz", size($"gids"))
+    val brute = g.alias("a").crossJoin(g.alias("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter", NativeExpressions.sortedIntersectCount(
+        col("a.gids"), col("b.gids")))
+      .withColumn("jacc", round(col("inter").cast("double") /
+        (col("a.sz") + col("b.sz") - col("inter")), 6))
+      .filter($"jacc" >= 0.8)
+      .select(col("a.doc_id"), col("b.doc_id"), $"jacc")
+      .as[(Long, Long, Double)].collect().toSet
+
+    assert(brute.nonEmpty, "synthetic corpus produced no qualifying pairs — test is vacuous")
+    assert(banded == brute,
+      s"missing: ${brute -- banded}; extra: ${banded -- brute}")
+  }
+}
