@@ -21,6 +21,10 @@ object Tables {
     // this legacy flag is on; with it, ts surfaces as bigint nanoseconds.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // native SQL functions + the HOF dot-product rewrite rule (the
+    // builder-extensions path only covers sessions built with
+    // spark.sql.extensions=...GraftExtensions)
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
   }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {

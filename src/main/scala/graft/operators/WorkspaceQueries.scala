@@ -68,7 +68,27 @@ object WorkspaceQueries extends QueryPack {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_workspace_lookup" -> ((s, _) => run(s))
+    "q_workspace_lookup" -> ((s, _) => run(s)),
+
+    // time-travel table read: the same table at two pinned versions,
+    // united and tagged — the workspace analog of `versionAsOf`
+    "q_workspace_table" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      val store = fixture()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.IntegerType)))
+      def at(version: String): DataFrame =
+        graft.engine.WorkspaceTables
+          .csv(s, store, "demo", version, "data.csv", schema)
+          .fold(e => sys.error(e.message), identity)
+          .withColumn("version", lit(version))
+      at("stable").unionByName(at("latest"))
+        .select(col("version"), col("k"), col("v"))
+        .orderBy(col("version"), col("k"))
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -94,6 +114,13 @@ object WorkspaceQueries extends QueryPack {
         |   ';data.csv;docs;docs/extra.txt;docs/readme.txt'),
         |  ('sanitized', 'file', 'version two readme')
         |) AS t("case", kind, payload)
-        |ORDER BY "case"""".stripMargin
+        |ORDER BY "case"""".stripMargin,
+
+    "q_workspace_table" ->
+      """SELECT * FROM (VALUES
+        |  ('latest', 1, 10), ('latest', 2, 20), ('latest', 3, 30),
+        |  ('stable', 1, 10), ('stable', 2, 20)
+        |) AS t(version, k, v)
+        |ORDER BY version, k""".stripMargin
   )
 }
