@@ -145,8 +145,8 @@ object MultimodalQueries extends QueryPack {
 
     // ASCII-only oracle: Spark's substring(blob,1,128) is byte-based while
     // DuckDB's substr(text,1,128) is character-based; they agree only when
-    // every document is single-byte UTF-8. MultimodalSpec asserts the
-    // corpus is pure ASCII so this equivalence holds.
+    // every document is single-byte UTF-8. FunctionsSpec pins that corpus
+    // precondition so a generator change fails loudly.
     "q_mm_resize" ->
       """SELECT doc_id,
         |  strlen(substr(text, 1, 128)) AS out_bytes,

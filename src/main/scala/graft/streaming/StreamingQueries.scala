@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import graft.engine.{QueryPack, Tables}
 
 /** Per-user running state carried by the stateful operator. */
@@ -10,6 +10,35 @@ case class UserState(n: Long, sum: Double)
 
 /** Final per-user emission from the stateful operator. */
 case class UserStats(user_id: Long, n_events: Long, sum_raw: Double)
+
+/** Per-user state for the transformWithState processor. */
+case class MaxState(n: Long, mx: Double)
+
+/** Per-user emission from the transformWithState processor. */
+case class UserMax(user_id: Long, n_events: Long, max_raw: Double)
+
+/** Spark 4 arbitrary-state API (`transformWithState`): per-user running
+  * count + max in a typed `ValueState`, one emission per key per
+  * micro-batch. Requires the RocksDB state store provider.
+  */
+class MaxProcessor extends StatefulProcessor[Long, (Long, Double), UserMax] {
+  @transient private var state: ValueState[MaxState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[MaxState]("maxState",
+      Encoders.product[MaxState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+                               timerValues: TimerValues): Iterator[UserMax] = {
+    val prev =
+      if (state.exists()) state.get() else MaxState(0L, Double.NegativeInfinity)
+    var n = prev.n
+    var mx = prev.mx
+    rows.foreach { case (_, v) => n += 1; if (v > mx) mx = v }
+    state.update(MaxState(n, mx))
+    Iterator.single(UserMax(key, n, mx))
+  }
+}
 
 /** Structured Streaming operators (SURVEY.md §2.2 "Streaming"), each run
   * bounded via [[StreamRunner]] (file source → memory sink →
@@ -113,6 +142,32 @@ object StreamingQueries extends QueryPack {
         .select(col("user_id"), col("n_events"),
           round(col("sum_raw"), 2).as("sum_v"))
         .orderBy(col("user_id"))
+    }),
+
+    // -- transformWithState (Spark 4 arbitrary-state API) -------------------
+    // Typed ValueState per key, RocksDB-backed (the API requires it); the
+    // single AvailableNow batch makes the per-key emission the final
+    // running aggregate, so the output is oracle-checkable.
+    "q_stream_transform" -> ((s, d) => {
+      import s.implicits._
+      val confKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(confKey)
+      s.conf.set(confKey, "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+      try {
+        val typed = StreamRunner.eventsStream(s, d)
+          .select(col("user_id"), col("value")).as[(Long, Double)]
+        val out = typed.groupByKey(_._1)
+          .transformWithState(new MaxProcessor, TimeMode.None(),
+            OutputMode.Append())
+        StreamRunner.runToTable(s, out.toDF(), "g_stream_transform", "append")
+          .select(col("user_id"), col("n_events"),
+            round(col("max_raw"), 2).as("max_v"))
+          .orderBy(col("user_id"))
+      } finally prev match {
+        case Some(p) => s.conf.set(confKey, p)
+        case None    => s.conf.unset(confKey)
+      }
     })
   )
 
@@ -161,6 +216,10 @@ object StreamingQueries extends QueryPack {
 
     "q_stream_stateful" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_v
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_stream_transform" ->
+      """SELECT user_id, count(*) AS n_events, round(max(value), 2) AS max_v
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -20,6 +20,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(many - expected) < 1e-9)
   }
 
+  test("corpus text is single-byte UTF-8 (q_mm_resize oracle precondition)") {
+    // The resize oracle compares Spark's byte-based substring(blob,1,128)
+    // against DuckDB's character-based substr(text,1,128); they agree
+    // only while every document is pure ASCII. Pin that assumption —
+    // this fails loudly if the corpus generator ever emits multi-byte
+    // text, instead of the oracle hash silently mismatching.
+    val bad = graft.engine.Tables.documents(spark, sfDir)
+      .filter(octet_length(encode($"text", "UTF-8")) =!= length($"text"))
+      .count()
+    assert(bad == 0, s"$bad documents contain multi-byte characters")
+  }
+
   test("multimodal decode agrees with metadata byte counts") {
     val meta = SparkEntry.queries("q_mm_metadata")(spark, sfDir)
       .select($"doc_id", $"n_bytes").as[(Long, Long)].collect().toMap
