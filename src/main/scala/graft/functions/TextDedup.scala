@@ -81,17 +81,16 @@ object TextDedup {
                       threshold: Double): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val rows = numPerms / bands
-    val exploded = docs.repartition(col("doc_id"))
-      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-    // h_i(doc) = min over tokens of murmur3(tok, i)
-    val sigCols = (0 until numPerms).map(i =>
-      min(hash(col("tok"), lit(i))).as(s"h$i"))
-    val sigs = exploded.groupBy(col("doc_id"))
-      .agg(sigCols.head, sigCols.tail: _*)
+    // whole signature in one narrow pass per doc (no explode, no
+    // numPerms-column min aggregate)
+    val sigs = docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.NativeExpressions
+          .minHashSignature(toks(col("text")), lit(numPerms)).as("sig"))
     // band j = xxhash64 of its `rows` consecutive minhashes
     val bandCols = (0 until bands).map { j =>
-      val hs = (j * rows until (j + 1) * rows).map(i => col(s"h$i"))
-      struct(lit(j).as("band"), xxhash64(hs: _*).as("bh"))
+      struct(lit(j).as("band"),
+        xxhash64(slice(col("sig"), j * rows + 1, rows)).as("bh"))
     }
     val buckets = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
@@ -124,18 +123,11 @@ object TextDedup {
     */
   def simHashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "chunk blocking is lossless only for <= 3")
-    val exploded = docs.repartition(col("doc_id"))
-      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-      .withColumn("th", xxhash64(col("tok")))
-    // per bit b: count of tokens with bit set minus count with bit clear
-    val bitCols = (0 until 64).map(b =>
-      sum(when(expr(s"(th >> $b) & 1") === 1, 1).otherwise(-1)).as(s"b$b"))
-    val withBits = exploded.groupBy(col("doc_id"))
-      .agg(bitCols.head, bitCols.tail: _*)
-    val sim = (0 until 64).map(b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
-      .reduce(_.bitwiseOR(_))
-    val sigs = withBits.select(col("doc_id"), sim.as("sh"))
+    // per-doc signature in one narrow pass (no explode, no 64-column
+    // conditional aggregate)
+    val sigs = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), org.apache.spark.sql.graft.NativeExpressions
+        .simHash64(toks(col("text"))).as("sh"))
     // block on 16-bit chunks: hamming<=3 pairs share >=1 exact chunk
     val chunks = sigs.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(c =>

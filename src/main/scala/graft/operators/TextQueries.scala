@@ -111,6 +111,8 @@ object TextQueries extends QueryPack {
     // -- exact dedup by normalized-text hash -------------------------------
     "q_dedup_exact" -> ((s, d) => {
       Tables.documents(s, d)
+        // parallelize the per-doc sha2 (single local parquet split)
+        .repartition(col("doc_id"))
         .withColumn("fp", sha2(norm(col("text")), 256))
         .groupBy(col("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))

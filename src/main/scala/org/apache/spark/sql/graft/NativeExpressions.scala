@@ -231,6 +231,87 @@ object NativeExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** 64-bit SimHash of a document's shingle-hash set (array<long>): per
+    * bit, count set-vs-clear across all element hashes; emit the majority
+    * bit. One narrow pass per doc — replaces an explode + 64-column
+    * conditional aggregate over the whole corpus. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_simhash64"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val hs = input.asInstanceOf[ArrayData]
+      val n = hs.numElements()
+      val counts = new Array[Int](64)
+      var i = 0
+      while (i < n) {
+        val h = hs.getLong(i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) {
+        if (counts(b) > 0) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    }
+
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  /** MinHash signature over a shingle-hash set: permutation i's value is
+    * min over elements of splitmix64(h ^ seed_i). One narrow pass per doc
+    * (O(elements × perms)) — replaces an explode + numPerms-column min
+    * aggregate. Hash family is engine-specific by design (the LSH packs
+    * are recall-checked against exact Jaccard, not oracle-hashed). */
+  case class MinHashSignature(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(LongType), IntegerType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_minhash_signature"
+
+    private def mix64(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+
+    override protected def nullSafeEval(a: Any, p: Any): Any = {
+      val hs = a.asInstanceOf[ArrayData]
+      val perms = p.asInstanceOf[Int]
+      val n = hs.numElements()
+      val sig = Array.fill(perms)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val h = hs.getLong(i)
+        var k = 0
+        while (k < perms) {
+          val v = mix64(h ^ (0x9e3779b97f4a7c15L * (k + 1)))
+          if (v < sig(k)) sig(k) = v
+          k += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   private def expr(c: Column) = ExpressionUtils.expression(c)
 
   /** Column API for the native expressions. */
@@ -246,4 +327,10 @@ object NativeExpressions {
   def shingleHashes(bin: Column, nWords: Column): Column =
     ExpressionUtils.column(
       SortedDistinctShingleHashes(expr(bin), expr(nWords)))
+
+  def simHash64(hashes: Column): Column =
+    ExpressionUtils.column(SimHash64(expr(hashes)))
+
+  def minHashSignature(hashes: Column, perms: Column): Column =
+    ExpressionUtils.column(MinHashSignature(expr(hashes), expr(perms)))
 }
