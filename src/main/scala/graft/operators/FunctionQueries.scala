@@ -104,6 +104,26 @@ object FunctionQueries extends QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    // -- structured JSON: from_json / json_tuple / to_json ------------------
+    // Canonical re-serialization keeps the oracle engine-agnostic: both
+    // sides emit {"k":<int>} with no whitespace.
+    "q_json_struct" -> ((s, d) => {
+      import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+      val schema = StructType(Seq(StructField("k", IntegerType)))
+      Tables.events(s, d)
+        .withColumn("j", from_json(col("props"), schema))
+        .withColumn("kt", json_tuple(col("props"), "k"))
+        .filter(col("j.k") > 80)
+        .select(
+          col("event_id"),
+          col("j.k").as("k"),
+          col("kt").cast("int").as("k_tuple"),
+          // Spark serializes {"k":<n>} with no whitespace; the oracle
+          // string-builds the same canonical form
+          to_json(struct(col("j.k").as("k"))).as("json_out"))
+        .orderBy(col("event_id"))
+    }),
+
     // -- map functions ------------------------------------------------------
     // The map itself can't be hash-compared across engines (Spark maps are
     // unordered), so every output column is a scalar/array DERIVED from the
@@ -206,6 +226,14 @@ object FunctionQueries extends QueryPack {
         |FROM (SELECT event_type,
         |        CAST(props->>'$.k' AS INT) AS k FROM events) t
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_json_struct" ->
+      """SELECT event_id,
+        |  CAST(props->>'$.k' AS INT) AS k,
+        |  CAST(props->>'$.k' AS INT) AS k_tuple,
+        |  concat('{"k":', CAST(props->>'$.k' AS INT), '}') AS json_out
+        |FROM events WHERE CAST(props->>'$.k' AS INT) > 80
+        |ORDER BY event_id""".stripMargin,
 
     "q_map_funcs" ->
       """SELECT c_custkey,
