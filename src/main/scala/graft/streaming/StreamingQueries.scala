@@ -194,7 +194,7 @@ object StreamingQueries extends QueryPack {
         |  SELECT user_id, epoch_us(ts) AS us, value,
         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
         |      (PARTITION BY user_id ORDER BY epoch_us(ts))
-        |      > 1800000000 THEN 1
+        |      >= 1800000000 THEN 1
         |      WHEN lag(epoch_us(ts)) OVER
         |      (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL THEN 1
         |      ELSE 0 END AS new_session

@@ -62,11 +62,15 @@ object GraftFunctions {
   )
 
   /** Idempotent registration on a live session (the builder-extensions
-    * path only applies to sessions constructed with the config). */
+    * path only applies to sessions constructed with the config). Cheap
+    * on repeat calls: bails on the registry probe — this is invoked from
+    * every table load (Tables.ensureConf). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    all.foreach { case (ident, i, builder) =>
-      registry.registerFunction(ident, i, builder)
+    if (!registry.functionExists(all.head._1)) {
+      all.foreach { case (ident, i, builder) =>
+        registry.registerFunction(ident, i, builder)
+      }
     }
     if (!spark.experimental.extraOptimizations.contains(NativeDotProductRewrite)) {
       spark.experimental.extraOptimizations =

@@ -20,7 +20,9 @@ import org.apache.spark.sql.types._
   *
   * Lives under `org.apache.spark.sql` because the expression SPI types
   * (`AbstractDataType`, `ExpressionUtils`) are `private[sql]`; the public
-  * face is `graft.functions.Native`.
+  * faces are the Column helpers below, `graft.functions.Vectors` /
+  * `graft.functions.TextDedup`, and the SQL registrations in
+  * `GraftFunctions`.
   *
   * Null semantics: standard `BinaryExpression` null-propagation (null
   * array → null result); null ELEMENTS are not expected (inputs are
@@ -30,21 +32,35 @@ object NativeExpressions {
 
   /** Sequential-fold dot product over two array<double> columns; same
     * left-to-right summation order as the HOF formulation and DuckDB's
-    * `list_dot_product`, so results stay bit-identical to the oracle. */
+    * `list_dot_product`, so results stay bit-identical to the oracle.
+    * Null semantics are faithful to
+    * `aggregate(zip_with(a,b,(x,y)->x*y), 0.0, +)` on ALL inputs:
+    * unequal lengths (zip_with null-pads) or any null element → NULL —
+    * required for NativeDotProductRewrite to be semantics-preserving. */
   case class DotProductDouble(left: Expression, right: Expression)
       extends BinaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[AbstractDataType] =
       Seq(ArrayType(DoubleType), ArrayType(DoubleType))
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def prettyName: String = "graft_dot"
 
-    override protected def nullSafeEval(a: Any, b: Any): Any = {
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val a = left.eval(input)
+      if (a == null) return null
+      val b = right.eval(input)
+      if (b == null) return null
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (y.numElements() != n) return null
       var s = 0.0
       var i = 0
-      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        s += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
       s
     }
 
@@ -55,12 +71,19 @@ object NativeExpressions {
         val n = ctx.freshName("n")
         val s = ctx.freshName("s")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $s = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $s += $a.getDouble($i) * $b.getDouble($i);
+           |int $n = $a.numElements();
+           |if ($b.numElements() != $n) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $s = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+           |      ${ev.isNull} = true; break;
+           |    }
+           |    $s += $a.getDouble($i) * $b.getDouble($i);
+           |  }
+           |  if (!${ev.isNull}) { ${ev.value} = $s; }
            |}
-           |${ev.value} = $s;
          """.stripMargin
       })
 
@@ -186,6 +209,9 @@ object NativeExpressions {
     override protected def nullSafeEval(bin: Any, n: Any): Any = {
       val bytes = bin.asInstanceOf[Array[Byte]]
       val nWords = n.asInstanceOf[Int]
+      if (nWords <= 0)
+        throw new IllegalArgumentException(
+          s"graft_shingle_hashes: nWords must be positive, got $nWords")
       // word k spans [starts(k), ends(k))
       var words = 1
       var i = 0

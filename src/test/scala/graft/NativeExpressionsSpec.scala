@@ -39,6 +39,25 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(out(0).contains(0.0) && out(1).isEmpty)
   }
 
+  test("dot matches HOF semantics on unequal lengths and null elements") {
+    // aggregate(zip_with(...)) null-pads shorter arrays and propagates
+    // null elements to a NULL result; the native expression must agree
+    // (the rewrite rule advertises bit-equal behavior on ALL inputs)
+    val df = spark.sql(
+      """SELECT a, b FROM VALUES
+        |  (array(1.0d, 2.0d), array(3.0d)),
+        |  (array(1.0d, cast(null AS double)), array(3.0d, 4.0d)),
+        |  (array(), array(1.0d))
+        |AS t(a, b)""".stripMargin)
+    val rows = df.select(
+        NativeExpressions.dot(col("a"), col("b")),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x))
+      .as[(Option[Double], Option[Double])].collect()
+    rows.foreach { case (native, hof) => assert(native == hof) }
+    assert(rows.forall(_._1.isEmpty), "all edge rows must be NULL")
+  }
+
   test("sortedIntersectCount == size(array_intersect) on sorted distinct") {
     val listGen = Gen.listOf(Gen.chooseNum(-100, 100))
     val cases = Gen.listOfN(100, Gen.zip(listGen, listGen)).sample.get

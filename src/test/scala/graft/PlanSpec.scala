@@ -52,13 +52,14 @@ class PlanSpec extends AnyFunSuite {
     val mustBeKeyed = Seq("q3_join", "q_left_outer", "q_right_outer",
       "q_full_outer", "q_semi_join", "q_anti_join", "q_self_join",
       "q_dedup_ngram", "q_dedup_jaccard", "q_dedup_minhash")
+    assert(mustBeKeyed.forall(q => !allPairs.contains(q)),
+      "a query is listed as both keyed and all-pairs")
     for (q <- mustBeKeyed) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
         s"$q degenerated to a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$q degenerated to a nested-loop join")
-      assert(!allPairs.contains(q))
     }
   }
 
