@@ -119,6 +119,32 @@ object TextQueries extends QueryPack {
         .orderBy(col("keep_id"))
     }),
 
+    // -- near-dup: embedding-cosine over documents -------------------------
+    // Joins each document to its embedding (doc_id == vec_id in this
+    // corpus) and mines cosine-near pairs, flagging whether the pair is
+    // also an exact text duplicate. Brute-force pair scan is the
+    // correctness baseline; q_sim_lsh / q_sim_ivf are the ANN scale
+    // paths for the same column.
+    "q_dedup_embed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"),
+        graft.functions.Vectors.asDouble(col("embedding")).as("v"))
+      val de = Tables.documents(s, d)
+        .select(col("doc_id"), sha2(norm(col("text")), 256).as("fp"))
+        .join(e, col("doc_id") === col("vec_id"))
+        .withColumn("nrm", graft.functions.Vectors.norm(col("v")))
+      val a = de.select(col("doc_id").as("d1"), col("fp").as("fp1"),
+        col("v").as("v1"), col("nrm").as("n1"))
+      val b = de.select(col("doc_id").as("d2"), col("fp").as("fp2"),
+        col("v").as("v2"), col("nrm").as("n2"))
+      a.join(b, col("d1") < col("d2"))
+        .withColumn("cos_raw", graft.functions.Vectors
+          .dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+        .filter(col("cos_raw") >= 0.45)
+        .select(col("d1"), col("d2"), round(col("cos_raw"), 6).as("cos"),
+          (col("fp1") === col("fp2")).as("exact_dup"))
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     // -- near-dup: exact word-set Jaccard (ground truth for LSH variants) --
     "q_dedup_jaccard" -> ((s, d) => {
       TextDedup.exactJaccardPairs(
@@ -277,6 +303,19 @@ object TextQueries extends QueryPack {
         s"""SELECT sha256($normSql) AS fp, min(doc_id) AS keep_id,
            |  count(*) AS n_copies
            |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+      "q_dedup_embed" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+           |  FROM embeddings),
+           |de AS (SELECT d.doc_id, sha256($normSql) AS fp, e.vd,
+           |    sqrt(list_dot_product(e.vd, e.vd)) AS nrm
+           |  FROM documents d JOIN e ON d.doc_id = e.vec_id)
+           |SELECT a.doc_id AS d1, b.doc_id AS d2,
+           |  round(list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm), 6) AS cos,
+           |  a.fp = b.fp AS exact_dup
+           |FROM de a JOIN de b ON a.doc_id < b.doc_id
+           |WHERE list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm) >= 0.45
+           |ORDER BY d1, d2""".stripMargin,
 
       "q_dedup_jaccard" ->
         """WITH t AS (SELECT doc_id,
