@@ -94,6 +94,21 @@ object StreamingQueries extends QueryPack {
         .orderBy(col("user_id"), col("session_start_us"))
     }),
 
+    // -- update output mode: per-key counts, single-batch bounded run -------
+    // Update mode emits only keys changed in each micro-batch; under one
+    // AvailableNow batch every key changes exactly once, so the sink
+    // holds one final row per key — deterministic and oracle-checkable
+    // (complete/append are covered by the window queries above).
+    "q_stream_update" -> ((s, d) => {
+      val agg = StreamRunner.eventsStream(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_raw"))
+      StreamRunner.runToTable(s, agg, "g_stream_update", "update")
+        .select(col("event_type"), col("n"),
+          round(col("sum_raw"), 2).as("sum_v"))
+        .orderBy(col("event_type"))
+    }),
+
     // -- streaming dedup within watermark -----------------------------------
     "q_stream_dedup" -> ((s, d) => {
       val deduped = StreamRunner.eventsStream(s, d)
@@ -188,6 +203,10 @@ object StreamingQueries extends QueryPack {
     "q_stream_dedup" ->
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_stream_update" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_stream_session" ->
       """WITH e AS (

@@ -68,6 +68,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q_parquet_roundtrip pushes its filter into the re-read scan") {
+    val p = plan("q_parquet_roundtrip")
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), " +
+      "GreaterThan(o_totalprice"), p)
+  }
+
+  test("native dot product stays inside whole-stage codegen in q_sim_pairs") {
+    val p = plan("q_sim_pairs")
+    assert(p.contains("graft_dot"), p)
+    // the pair loop (BNLJ condition/projection) must not show an
+    // interpreted HOF
+    assert(!p.contains("aggregate(zip_with"), p)
+  }
+
   test("whole-stage codegen covers the aggregation pipeline of q1_agg") {
     val p = plan("q1_agg")
     // codegen'd operators render with a "*(stageId)" prefix
