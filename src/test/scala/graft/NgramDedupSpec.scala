@@ -38,6 +38,31 @@ class NgramDedupSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
   }
 
+  test("inverted-index word-shingle Jaccard equals brute force on synthetic corpus") {
+    buildCorpus()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val viaIndex = graft.functions.TextDedup
+      .exactJaccardPairs(docs.select($"doc_id", $"text"), 0.3)
+      .select($"d1", $"d2", $"jacc").as[(Long, Long, Double)]
+      .collect().toSet
+
+    val t = docs.withColumn("toks",
+        NativeExpressions.shingleHashes(encode($"text", "UTF-8"), lit(5)))
+      .withColumn("sz", size($"toks"))
+    val brute = t.alias("a").crossJoin(t.alias("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter", size(array_intersect(col("a.toks"), col("b.toks"))))
+      .withColumn("jacc", round($"inter".cast("double") /
+        (col("a.sz") + col("b.sz") - $"inter"), 6))
+      .filter($"jacc" >= 0.3)
+      .select(col("a.doc_id"), col("b.doc_id"), $"jacc")
+      .as[(Long, Long, Double)].collect().toSet
+
+    assert(brute.nonEmpty, "synthetic corpus produced no qualifying pairs — test is vacuous")
+    assert(viaIndex == brute,
+      s"missing: ${brute -- viaIndex}; extra: ${viaIndex -- brute}")
+  }
+
   test("banded q_dedup_ngram equals brute-force all-pairs on synthetic corpus") {
     buildCorpus()
     val banded = SparkEntry.queries("q_dedup_ngram")(spark, dir)
