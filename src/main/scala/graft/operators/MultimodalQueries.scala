@@ -111,8 +111,9 @@ object MultimodalQueries extends QueryPack {
     // -- batch decode via mapPartitions (stubbed codec) ---------------------
     // Iterator-to-iterator: the decoder sees a stream of (id, bytes)
     // batches exactly like mapInPandas batches — no partition
-    // materialization. Oracle-less by design (features are stub-defined);
-    // the ScalaTest spec pins exact values on known inputs.
+    // materialization. The stub features are deterministic byte stats,
+    // so the oracle recomputes them in SQL (per-char histogram over the
+    // ASCII corpus); the ScalaTest spec additionally pins exact values.
     "q_mm_decode" -> ((s, d) => {
       import s.implicits._
       assets(s, d)
@@ -142,6 +143,24 @@ object MultimodalQueries extends QueryPack {
         |          AS i
         |      FROM documents) t
         |ORDER BY doc_id, frame_id""".stripMargin,
+
+    // Byte-stat oracle for the stub decoder: histogram of ascii codes per
+    // doc (single-byte corpus, pinned by FunctionsSpec) reproduces
+    // n_bytes / avg_byte / entropy. Both engines round at 6dp after
+    // double arithmetic whose summation-order noise is ~1e-15 relative.
+    "q_mm_decode" ->
+      """WITH chars AS (
+        |  SELECT doc_id, strlen(text) AS n,
+        |    ascii(substring(text, CAST(i AS INT), 1)) AS b
+        |  FROM documents, unnest(range(1, strlen(text) + 1)) AS t(i)),
+        |hist AS (
+        |  SELECT doc_id, n, b, count(*) AS c
+        |  FROM chars GROUP BY doc_id, n, b)
+        |SELECT doc_id, CAST(n AS INT) AS n_bytes,
+        |  round(sum(b * c) / CAST(n AS DOUBLE), 6) AS avg_byte,
+        |  round(-sum((c / CAST(n AS DOUBLE)) *
+        |    log2(c / CAST(n AS DOUBLE))), 6) AS byte_entropy
+        |FROM hist GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
 
     // ASCII-only oracle: Spark's substring(blob,1,128) is byte-based while
     // DuckDB's substr(text,1,128) is character-based; they agree only when

@@ -93,10 +93,20 @@ object RelationalQueries extends QueryPack {
     }),
 
     // -- approx distinct (HLL) — engine-specific sketch, no oracle --------
+    // HLL estimates are engine-specific, so the oracle-checkable output
+    // is the exact count plus a bounded-relative-error flag: the gate
+    // fails if the sketch ever drifts past 5% (HLL merge is
+    // register-wise max — commutative — so the estimate is deterministic
+    // for fixed data regardless of partitioning).
     "q_approx_distinct" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey")).as("approx_raw"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_raw") - col("exact_parts")).cast("double") /
+            col("exact_parts") < 0.05).as("approx_within_5pct"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -112,11 +122,19 @@ object RelationalQueries extends QueryPack {
     }),
 
     // -- approx percentile (t-digest-ish sketch) — no oracle ---------------
+    // Same pattern: exact median + a flag that the sketch median lands
+    // within 2% relative error.
     "q_approx_percentile" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(round(expr("percentile_approx(l_extendedprice, 0.5, 1000)"), 2)
-          .as("ap50_price"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 2)
+            .as("exact_p50"),
+          expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("ap_raw"),
+          expr("percentile(l_extendedprice, 0.5)").as("ex_raw"))
+        .select(col("l_returnflag"), col("exact_p50"),
+          (abs(col("ap_raw") - col("ex_raw")) / col("ex_raw") < 0.02)
+            .as("approx_within_2pct"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -331,6 +349,19 @@ object RelationalQueries extends QueryPack {
         |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
         |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
         |  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |  true AS approx_within_5pct
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+        |  true AS approx_within_2pct
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
