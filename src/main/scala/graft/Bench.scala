@@ -17,11 +17,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val pool = Executors.newCachedThreadPool()
-    // One hung query must not lose the whole round's bench artifact:
-    // run each count under a job group with a hard timeout; on timeout
-    // cancel the group's jobs and record -2 for that query.
+    // One hung query must not lose the whole round's bench artifact: run
+    // each count under a job group with a hard timeout. On timeout,
+    // cancel the group AND stop any active streaming query — streams run
+    // their micro-batches on their own thread under their own job group,
+    // so cancelJobGroup alone would leave an orphaned stream burning
+    // cores under every subsequent query. Returns true on success.
     def timedCount(name: String,
-                   fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Long = {
+                   fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean = {
       val task = pool.submit(new java.util.concurrent.Callable[Long] {
         override def call(): Long = {
           spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
@@ -29,29 +32,40 @@ object Bench {
           finally spark.sparkContext.clearJobGroup()
         }
       })
-      try task.get(timeoutSec, TimeUnit.SECONDS)
+      try { task.get(timeoutSec, TimeUnit.SECONDS); true }
       catch {
         case _: TimeoutException =>
           spark.sparkContext.cancelJobGroup(name)
+          spark.streams.active.foreach { q =>
+            try q.stop() catch { case _: Throwable => () }
+          }
           task.cancel(true)
           System.err.println(s"[bench] $name TIMED OUT after ${timeoutSec}s")
-          -2L
-        case _: Throwable => -1L
+          false
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: " +
+            Option(e.getCause).getOrElse(e).getMessage)
+          false
       }
     }
     // Untimed warmup: JIT + codegen + parquet footer caches, so the first
-    // timed query measures the operator rather than JVM warmup.
-    timedCount("warmup", SparkEntry.queries("q_scan_project"))
+    // timed query measures the operator rather than JVM warmup. Guarded:
+    // a missing warmup query must not sink the whole artifact.
+    try timedCount("warmup", SparkEntry.queries("q_scan_project"))
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      timedCount(name, fn)
+      val ok = timedCount(name, fn)
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-24s $dt%8.2f s")
-      name -> dt
+      System.err.println(f"[bench] $name%-24s $dt%8.2f s" +
+        (if (ok) "" else "  [FAILED/TIMEOUT]"))
+      // failures are recorded as negative sentinels so a timeout ceiling
+      // can never masquerade as a measurement in round-over-round diffs
+      name -> (if (ok) dt else -dt)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ > 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     pool.shutdownNow()

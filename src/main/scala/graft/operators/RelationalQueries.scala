@@ -94,16 +94,17 @@ object RelationalQueries extends QueryPack {
 
     // -- approx distinct (HLL) — engine-specific sketch, no oracle --------
     // HLL estimates are engine-specific, so the oracle-checkable output
-    // is the exact count plus a bounded-relative-error flag: the gate
-    // fails if the sketch ever drifts past 5% (HLL merge is
+    // is the exact count plus a bounded-relative-error flag (HLL merge is
     // register-wise max — commutative — so the estimate is deterministic
-    // for fixed data regardless of partitioning).
+    // for fixed data regardless of partitioning). rsd=0.01 gives the 5%
+    // bound a ~5-sigma margin; the default rsd=0.05 would make the flag a
+    // one-sigma coin flip on a regenerated corpus.
     "q_approx_distinct" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
           countDistinct(col("l_partkey")).as("exact_parts"),
-          approx_count_distinct(col("l_partkey")).as("approx_raw"))
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_raw"))
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("approx_raw") - col("exact_parts")).cast("double") /
             col("exact_parts") < 0.05).as("approx_within_5pct"))
@@ -123,12 +124,15 @@ object RelationalQueries extends QueryPack {
 
     // -- approx percentile (t-digest-ish sketch) — no oracle ---------------
     // Same pattern: exact median + a flag that the sketch median lands
-    // within 2% relative error.
+    // within 2% relative error. floor(x*100+0.5)/100 rounding (see
+    // q_scan_project) keeps the .xx5 boundary identical cross-engine —
+    // an even-count group's median is an average of two 2dp prices and
+    // lands exactly on that boundary.
     "q_approx_percentile" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 2)
+          (floor(expr("percentile(l_extendedprice, 0.5)") * 100 + 0.5) / 100)
             .as("exact_p50"),
           expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("ap_raw"),
           expr("percentile(l_extendedprice, 0.5)").as("ex_raw"))
@@ -360,7 +364,8 @@ object RelationalQueries extends QueryPack {
 
     "q_approx_percentile" ->
       """SELECT l_returnflag,
-        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+        |  floor(quantile_cont(l_extendedprice, 0.5) * 100 + 0.5) / 100
+        |    AS exact_p50,
         |  true AS approx_within_2pct
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,

@@ -126,22 +126,16 @@ object TextQueries extends QueryPack {
     // correctness baseline; q_sim_lsh / q_sim_ivf are the ANN scale
     // paths for the same column.
     "q_dedup_embed" -> ((s, d) => {
-      val e = Tables.embeddings(s, d).select(col("vec_id"),
-        graft.functions.Vectors.asDouble(col("embedding")).as("v"))
-      val de = Tables.documents(s, d)
+      val points = Tables.documents(s, d)
         .select(col("doc_id"), sha2(norm(col("text")), 256).as("fp"))
-        .join(e, col("doc_id") === col("vec_id"))
-        .withColumn("nrm", graft.functions.Vectors.norm(col("v")))
-      val a = de.select(col("doc_id").as("d1"), col("fp").as("fp1"),
-        col("v").as("v1"), col("nrm").as("n1"))
-      val b = de.select(col("doc_id").as("d2"), col("fp").as("fp2"),
-        col("v").as("v2"), col("nrm").as("n2"))
-      a.join(b, col("d1") < col("d2"))
-        .withColumn("cos_raw", graft.functions.Vectors
-          .dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
-        .filter(col("cos_raw") >= 0.45)
-        .select(col("d1"), col("d2"), round(col("cos_raw"), 6).as("cos"),
-          (col("fp1") === col("fp2")).as("exact_dup"))
+        .join(Tables.embeddings(s, d).select(col("vec_id"),
+            graft.functions.Vectors.asDouble(col("embedding")).as("v")),
+          col("doc_id") === col("vec_id"))
+        .select(col("doc_id").as("id"), col("v"), col("fp"))
+      graft.functions.Vectors.cosinePairs(points, 0.45)
+        .select(col("id_1").as("d1"), col("id_2").as("d2"),
+          round(col("cos_raw"), 6).as("cos"),
+          (col("fp_1") === col("fp_2")).as("exact_dup"))
         .orderBy(col("d1"), col("d2"))
     }),
 

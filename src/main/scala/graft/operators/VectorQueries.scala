@@ -55,19 +55,11 @@ object VectorQueries extends QueryPack {
     }),
 
     // -- all-pairs above similarity threshold ------------------------------
-    // Norms are computed ONCE per vector before the pair join (a per-pair
-    // norm recomputes the same fold |corpus| times — measured 3× slower).
     "q_sim_pairs" -> ((s, d) => {
-      val n = emb(s, d).withColumn("nrm", Vectors.norm(col("v")))
-      val a = n.select(col("vec_id").as("d1"), col("v").as("v1"),
-        col("nrm").as("n1"))
-      val b = n.select(col("vec_id").as("d2"), col("v").as("v2"),
-        col("nrm").as("n2"))
-      a.join(b, col("d1") < col("d2"))
-        .withColumn("cos_raw",
-          Vectors.dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
-        .filter(col("cos_raw") >= 0.4)
-        .select(col("d1"), col("d2"), round(col("cos_raw"), 6).as("cos"))
+      Vectors.cosinePairs(
+          emb(s, d).select(col("vec_id").as("id"), col("v")), 0.4)
+        .select(col("id_1").as("d1"), col("id_2").as("d2"),
+          round(col("cos_raw"), 6).as("cos"))
         .orderBy(col("d1"), col("d2"))
     }),
 

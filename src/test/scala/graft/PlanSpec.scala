@@ -46,7 +46,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("only intentionally-all-pairs queries use nested-loop/cartesian") {
     val allPairs = Set("q_cross_join", "q_theta_join", "q_sim_pairs",
-      "q_sim_topk", "q_knn_label", "q_range_join", "q_asof_join")
+      "q_sim_topk", "q_knn_label", "q_range_join", "q_asof_join",
+      "q_dedup_embed")
     // spot-check a representative non-all-pairs subset (full corpus scan
     // per plan costs minutes; these are the join-shaped queries)
     val mustBeKeyed = Seq("q3_join", "q_left_outer", "q_right_outer",
