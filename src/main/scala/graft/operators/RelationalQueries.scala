@@ -266,6 +266,28 @@ object RelationalQueries extends QueryPack {
         .limit(25)
     }),
 
+    // -- SQL entry point: CTE + correlated scalar subquery + EXISTS --------
+    // Exercises the parser/analyzer path (SURVEY §3.3 entry point 1) and
+    // Catalyst's subquery decorrelation: the correlated scalar subquery
+    // rewrites to an aggregate + join, EXISTS to a left-semi join — no
+    // per-row re-execution survives into the physical plan.
+    "q_sql_subquery" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        """WITH open_custs AS (
+          |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+          |SELECT c.c_custkey,
+          |  floor(c.c_acctbal * 100 + 0.5) / 100 AS bal
+          |FROM customer c
+          |WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+          |                     WHERE c2.c_nationkey = c.c_nationkey)
+          |  AND EXISTS (SELECT 1 FROM open_custs oc
+          |              WHERE oc.o_custkey = c.c_custkey)
+          |  AND c.c_nationkey IN (SELECT n_nationkey FROM nation
+          |                        WHERE n_regionkey < 3)
+          |ORDER BY c.c_custkey""".stripMargin)
+    }),
+
     // -- pivot (explicit value list so no extra distinct-scan job) ---------
     "q_pivot" -> ((s, d) => {
       Tables.orders(s, d)
@@ -438,6 +460,20 @@ object RelationalQueries extends QueryPack {
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
         |LIMIT 25""".stripMargin,
+
+    "q_sql_subquery" ->
+      """WITH open_custs AS (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |SELECT c.c_custkey,
+        |  floor(c.c_acctbal * 100 + 0.5) / 100 AS bal
+        |FROM customer c
+        |WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                     WHERE c2.c_nationkey = c.c_nationkey)
+        |  AND EXISTS (SELECT 1 FROM open_custs oc
+        |              WHERE oc.o_custkey = c.c_custkey)
+        |  AND c.c_nationkey IN (SELECT n_nationkey FROM nation
+        |                        WHERE n_regionkey < 3)
+        |ORDER BY c.c_custkey""".stripMargin,
 
     "q_pivot" ->
       """SELECT o_orderpriority,
