@@ -17,18 +17,37 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val pool = Executors.newCachedThreadPool()
+    // Session confs that query functions legitimately mutate (StreamRunner
+    // pins shuffle partitions for state stores; q_stream_transform swaps
+    // the state-store provider). Their `finally` blocks restore them on the
+    // normal path, but a timed-out pool thread may stay parked inside a
+    // non-interruptible Spark call, so the Bench driver thread re-pins
+    // these after every query to keep later measurements honest.
+    val guardedConfs = Seq(
+      "spark.sql.shuffle.partitions",
+      "spark.sql.streaming.stateStore.providerClass")
+    val confBaseline: Map[String, Option[String]] =
+      guardedConfs.map(k => k -> spark.conf.getOption(k)).toMap
+    def restoreConfs(): Unit = confBaseline.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
     // One hung query must not lose the whole round's bench artifact: run
-    // each count under a job group with a hard timeout. On timeout,
+    // each query under a job group with a hard timeout. On timeout,
     // cancel the group AND stop any active streaming query — streams run
     // their micro-batches on their own thread under their own job group,
     // so cancelJobGroup alone would leave an orphaned stream burning
     // cores under every subsequent query. Returns true on success.
-    def timedCount(name: String,
-                   fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean = {
-      val task = pool.submit(new java.util.concurrent.Callable[Long] {
-        override def call(): Long = {
+    //
+    // Materialization is a noop-format write, not count(): Catalyst prunes
+    // top-level sorts/projects under a count, so count() under-measures
+    // queries whose cost is in the final sort/serialize.
+    def timedRun(name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean = {
+      val task = pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = {
           spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-          try fn(spark, sfDir).count()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           finally spark.sparkContext.clearJobGroup()
         }
       })
@@ -46,27 +65,53 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: " +
             Option(e.getCause).getOrElse(e).getMessage)
           false
-      }
+      } finally restoreConfs()
     }
     // Untimed warmup: JIT + codegen + parquet footer caches, so the first
     // timed query measures the operator rather than JVM warmup. Guarded:
     // a missing warmup query must not sink the whole artifact.
-    try timedCount("warmup", SparkEntry.queries("q_scan_project"))
+    try timedRun("warmup", SparkEntry.queries("q_scan_project"))
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = timedCount(name, fn)
+      val ok = timedRun(name, fn)
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-24s $dt%8.2f s" +
         (if (ok) "" else "  [FAILED/TIMEOUT]"))
       // failures are recorded as negative sentinels so a timeout ceiling
       // can never masquerade as a measurement in round-over-round diffs
       name -> (if (ok) dt else -dt)
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.values.filter(_ > 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    }
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
+    // comma decimal separator would corrupt the JSON line.
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def ent(kv: (String, Double)): String = "\"" + kv._1 + "\":" + d3(kv._2)
+    // The driver captures only the LAST 2000 characters of output and
+    // parses the bench JSON out of that tail; the round-2 line (91 queries
+    // at nanosecond precision, ~2900 chars) overflowed it and the round
+    // recorded parsed:null. Keep the line comfortably under the buffer:
+    // 3-decimal seconds, slowest queries first, and stop adding per-query
+    // entries at a fixed character budget. The complete map goes to
+    // BENCH_DETAIL.json alongside the repo for human diffing.
+    val total = results.map(_._2).filter(_ > 0).sum
+    val byCost = results.sortBy { case (_, v) => -math.abs(v) }
+    val budget = 1500
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    byCost.foreach { kv =>
+      val s = ent(kv)
+      if (used + s.length + 1 <= budget) { kept += s; used += s.length + 1 }
+    }
+    val omitted = results.size - kept.size
+    val fullJson = results.sortBy(_._1).map(ent).mkString(
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":{""",
+      ",", s"""},"sf":"$sfDir"}""")
+    try {
+      val w = new java.io.PrintWriter("BENCH_DETAIL.json")
+      try w.println(fullJson) finally w.close()
+    } catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","n":${results.size},"queries_omitted":$omitted,"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"}""")
     spark.stop()
     pool.shutdownNow()
     ()
