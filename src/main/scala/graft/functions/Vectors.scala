@@ -39,14 +39,61 @@ object Vectors {
     * are computed once per point BEFORE the pair join (recomputing them
     * per pair triples the fold work — measured 3× slower). Output: every
     * input column twice, suffixed `_1`/`_2` (id_1 < id_2), plus raw
-    * `cos_raw >= threshold`. Intentionally O(n²): this is the exactness
-    * baseline; LSH/IVF are the scale paths. */
+    * `cos_raw >= threshold`. Intentionally O(n²): kept ONLY as the
+    * recall baseline for [[ivfBlockedPairs]] in VectorSpec — no declared
+    * query uses it (a full-corpus cross join cannot ship at 100 TB). */
   def cosinePairs(points: org.apache.spark.sql.DataFrame,
                   threshold: Double): org.apache.spark.sql.DataFrame = {
     val n = points.withColumn("nrm", norm(col("v")))
     def side(suffix: String) =
       n.select(n.columns.map(c => col(c).as(s"$c$suffix")).toSeq: _*)
     side("_1").join(side("_2"), col("id_1") < col("id_2"))
+      .withColumn("cos_raw",
+        dot(col("v_1"), col("v_2")) / (col("nrm_1") * col("nrm_2")))
+      .filter(col("cos_raw") >= threshold)
+  }
+
+  /** IVF-blocked threshold pair mining — the scale path that replaces the
+    * all-pairs cross join. Every vector is assigned to its `nprobe`
+    * nearest of `nlist` deterministic centroids (the nlist lowest-id
+    * vectors; no iterative k-means, so a SQL oracle replicates the
+    * blocking bit-for-bit — same trick as q_sim_ivf); only pairs sharing
+    * a cell become candidates, and each candidate is verified with the
+    * exact cosine, so precision is 1.0. Cost: O(n·nlist) assignment (the
+    * centroid table broadcasts) + per-cell quadratic candidate work —
+    * at scale nlist grows with the corpus (cells stay bounded), keeping
+    * per-task work flat; cells shuffle-partition across the cluster.
+    * Approximate by design: a qualifying pair sharing no probed cell is
+    * missed. Recall vs [[cosinePairs]] is asserted in VectorSpec;
+    * near-identical vectors (the dedup regime) rank their centroids
+    * near-identically, so true near-dups share their top cell a.s.
+    * Output: every input column twice (`_1`/`_2`, id_1 < id_2) + cos_raw.
+    */
+  def ivfBlockedPairs(points: org.apache.spark.sql.DataFrame,
+                      threshold: Double, nlist: Int, nprobe: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = points.withColumn("nrm", norm(col("v")))
+    val cents = n.orderBy(col("id")).limit(nlist)
+      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val wAssign = Window.partitionBy(col("id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    val asg = n.select(col("id"), col("v"), col("nrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim",
+        dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") <= nprobe)
+      .select(col("id"), col("cid"))
+    // pairs sharing >= 1 probed cell; distinct because a pair can share 2
+    val cand = asg.alias("x")
+      .join(asg.alias("y"),
+        col("x.cid") === col("y.cid") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_1"), col("y.id").as("id_2"))
+      .distinct()
+    def side(suffix: String) =
+      n.select(n.columns.map(c => col(c).as(s"$c$suffix")).toSeq: _*)
+    cand.join(side("_1"), "id_1").join(side("_2"), "id_2")
       .withColumn("cos_raw",
         dot(col("v_1"), col("v_2")) / (col("nrm_1") * col("nrm_2")))
       .filter(col("cos_raw") >= threshold)

@@ -139,7 +139,9 @@ object FunctionQueries extends QueryPack {
           element_at(col("m"), "seg").as("seg"),
           element_at(col("m"), "missing").as("missing_key"),
           size(col("m")).as("m_size"),
-          array_sort(map_keys(col("m"))).as("keys_sorted"),
+          // joined to a string — raw array cells crash the driver's
+          // pandas-based canonical sort (unhashable ndarray)
+          array_join(array_sort(map_keys(col("m"))), ",").as("keys_sorted"),
           array_contains(map_values(col("m")), col("c_name")).as("has_name"))
         .orderBy(col("c_custkey"))
     }),
@@ -240,7 +242,7 @@ object FunctionQueries extends QueryPack {
         |  c_mktsegment AS seg,
         |  CAST(NULL AS VARCHAR) AS missing_key,
         |  3 AS m_size,
-        |  ['name', 'nk', 'seg'] AS keys_sorted,
+        |  'name,nk,seg' AS keys_sorted,
         |  true AS has_name
         |FROM customer ORDER BY c_custkey""".stripMargin,
 

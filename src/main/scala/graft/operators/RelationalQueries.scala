@@ -197,12 +197,14 @@ object RelationalQueries extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
-    // -- collect_set (sorted for determinism) ------------------------------
+    // -- collect_set (sorted + joined to a string: the driver's pandas
+    // canonicalizer can't hash raw array cells, so emit a scalar) ----------
     "q_collect" -> ((s, d) => {
       Tables.customer(s, d)
         .groupBy(col("c_nationkey"))
         .agg(
-          sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+          array_join(sort_array(collect_set(col("c_mktsegment"))), ",")
+            .as("segments"),
           count(lit(1)).as("n"))
         .orderBy(col("c_nationkey"))
     }),
@@ -319,6 +321,22 @@ object RelationalQueries extends QueryPack {
       val a = o.filter(col("o_totalprice") > 150000).select(col("o_custkey"))
       val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
       a.exceptAll(b).orderBy(col("o_custkey"))
+    }),
+
+    // -- set ops: intersect distinct (left-semi + distinct under the hood) -
+    "q_intersect" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(col("o_totalprice") > 150000).select(col("o_custkey"))
+      val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      a.intersect(b).orderBy(col("o_custkey"))
+    }),
+
+    // -- set ops: except distinct (left-anti + distinct under the hood) ----
+    "q_except" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(col("o_totalprice") > 150000).select(col("o_custkey"))
+      val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      a.except(b).orderBy(col("o_custkey"))
     })
   )
 
@@ -428,7 +446,8 @@ object RelationalQueries extends QueryPack {
 
     "q_collect" ->
       """SELECT c_nationkey,
-        |  list_sort(list(DISTINCT c_mktsegment)) AS segments,
+        |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',')
+        |    AS segments,
         |  count(*) AS n
         |FROM customer GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
@@ -501,6 +520,18 @@ object RelationalQueries extends QueryPack {
     "q_except_all" ->
       """SELECT o_custkey FROM orders WHERE o_totalprice > 150000
         |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+        |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY o_custkey""".stripMargin
   )

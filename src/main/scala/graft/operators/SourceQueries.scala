@@ -23,15 +23,18 @@ import graft.engine.{QueryPack, Tables}
   */
 object SourceQueries extends QueryPack {
 
-  /** Deterministic scratch dir per (sfDir, name); /tmp is the stand-in for
-    * the warehouse path a cluster deployment would use. */
-  private def scratch(d: String, name: String): String =
-    s"/tmp/graft_io/${d.replaceAll("[^a-zA-Z0-9]", "_")}/$name"
+  /** Scratch dir per (application, sfDir, name); /tmp is the stand-in for
+    * the warehouse path a cluster deployment would use. The applicationId
+    * segment keeps concurrent JVMs (Bench + Verify on the same corpus)
+    * from racing on the same roundtrip files. */
+  private def scratch(s: SparkSession, d: String, name: String): String =
+    s"/tmp/graft_io/${s.sparkContext.applicationId}/" +
+      s"${d.replaceAll("[^a-zA-Z0-9]", "_")}/$name"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- CSV sink + CSV scan (header, explicit schema) ----------------------
     "q_csv_roundtrip" -> ((s, d) => {
-      val out = scratch(d, "nation_csv")
+      val out = scratch(s, d, "nation_csv")
       Tables.nation(s, d)
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
         .write.mode("overwrite").option("header", "true").csv(out)
@@ -45,7 +48,7 @@ object SourceQueries extends QueryPack {
 
     // -- JSON-lines sink + scan (explicit schema, no inference pass) --------
     "q_json_roundtrip" -> ((s, d) => {
-      val out = scratch(d, "supplier_json")
+      val out = scratch(s, d, "supplier_json")
       Tables.supplier(s, d)
         .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
           col("s_acctbal"))
@@ -63,7 +66,7 @@ object SourceQueries extends QueryPack {
 
     // -- text sink + whole-line text scan (the reference's read model) ------
     "q_text_scan" -> ((s, d) => {
-      val out = scratch(d, "region_text")
+      val out = scratch(s, d, "region_text")
       Tables.region(s, d)
         .select(concat_ws("|", col("r_regionkey"), col("r_name")).as("value"))
         .write.mode("overwrite").text(out)
@@ -76,7 +79,7 @@ object SourceQueries extends QueryPack {
 
     // -- parquet sink + scan: pushdown survives the roundtrip ---------------
     "q_parquet_roundtrip" -> ((s, d) => {
-      val out = scratch(d, "orders_pq")
+      val out = scratch(s, d, "orders_pq")
       Tables.orders(s, d)
         .filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))

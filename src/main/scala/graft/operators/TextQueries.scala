@@ -122,9 +122,11 @@ object TextQueries extends QueryPack {
     // -- near-dup: embedding-cosine over documents -------------------------
     // Joins each document to its embedding (doc_id == vec_id in this
     // corpus) and mines cosine-near pairs, flagging whether the pair is
-    // also an exact text duplicate. Brute-force pair scan is the
-    // correctness baseline; q_sim_lsh / q_sim_ivf are the ANN scale
-    // paths for the same column.
+    // also an exact text duplicate. IVF-blocked (deterministic centroids,
+    // nprobe 2, exact-cosine verify — see Vectors.ivfBlockedPairs): no
+    // full-corpus cross join, so the plan survives 100×. The oracle
+    // replicates the identical blocking; recall vs all-pairs is asserted
+    // in VectorSpec.
     "q_dedup_embed" -> ((s, d) => {
       val points = Tables.documents(s, d)
         .select(col("doc_id"), sha2(norm(col("text")), 256).as("fp"))
@@ -132,7 +134,8 @@ object TextQueries extends QueryPack {
             graft.functions.Vectors.asDouble(col("embedding")).as("v")),
           col("doc_id") === col("vec_id"))
         .select(col("doc_id").as("id"), col("v"), col("fp"))
-      graft.functions.Vectors.cosinePairs(points, 0.45)
+      graft.functions.Vectors.ivfBlockedPairs(points, 0.45,
+          nlist = 16, nprobe = 2)
         .select(col("id_1").as("d1"), col("id_2").as("d2"),
           round(col("cos_raw"), 6).as("cos"),
           (col("fp_1") === col("fp_2")).as("exact_dup"))
@@ -303,11 +306,23 @@ object TextQueries extends QueryPack {
            |  FROM embeddings),
            |de AS (SELECT d.doc_id, sha256($normSql) AS fp, e.vd,
            |    sqrt(list_dot_product(e.vd, e.vd)) AS nrm
-           |  FROM documents d JOIN e ON d.doc_id = e.vec_id)
-           |SELECT a.doc_id AS d1, b.doc_id AS d2,
+           |  FROM documents d JOIN e ON d.doc_id = e.vec_id),
+           |c AS (SELECT doc_id AS cid, vd AS cv, nrm AS cnrm
+           |  FROM de ORDER BY doc_id LIMIT 16),
+           |asg AS (SELECT doc_id, cid FROM (
+           |  SELECT de.doc_id, c.cid, row_number() OVER (
+           |      PARTITION BY de.doc_id
+           |      ORDER BY list_dot_product(de.vd, c.cv) / (de.nrm * c.cnrm)
+           |        DESC, c.cid ASC) AS arn
+           |  FROM de CROSS JOIN c) t WHERE arn <= 2),
+           |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+           |  FROM asg x JOIN asg y
+           |  ON x.cid = y.cid AND x.doc_id < y.doc_id)
+           |SELECT cand.d1, cand.d2,
            |  round(list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm), 6) AS cos,
            |  a.fp = b.fp AS exact_dup
-           |FROM de a JOIN de b ON a.doc_id < b.doc_id
+           |FROM cand JOIN de a ON a.doc_id = cand.d1
+           |  JOIN de b ON b.doc_id = cand.d2
            |WHERE list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm) >= 0.45
            |ORDER BY d1, d2""".stripMargin,
 

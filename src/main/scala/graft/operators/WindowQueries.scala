@@ -65,13 +65,16 @@ object WindowQueries extends QueryPack {
     }),
 
     // -- value-range frame -------------------------------------------------
+    // Partitioned by o_custkey (high-cardinality), NOT o_orderstatus (3
+    // values): a 3-partition window caps parallelism at 3 tasks and at
+    // 100× puts tens of millions of rows behind one sort.
     "q_window_range" -> ((s, d) => {
-      val w = Window.partitionBy(col("o_orderstatus"))
+      val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice"))
         .rangeBetween(-10000, 0)
       Tables.orders(s, d)
         .withColumn("n_within_10k", count(lit(1)).over(w))
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("n_within_10k"))
         .orderBy(col("o_orderkey"))
     }),
@@ -141,8 +144,8 @@ object WindowQueries extends QueryPack {
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "q_window_range" ->
-      """SELECT o_orderkey, o_orderstatus, o_totalprice,
-        |  count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
         |    RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_within_10k
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 

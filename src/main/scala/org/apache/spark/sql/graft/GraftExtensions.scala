@@ -111,7 +111,12 @@ object NativeDotProductRewrite extends Rule[LogicalPlan] {
               el: NamedLambdaVariable, _),
               Seq(la: NamedLambdaVariable, le: NamedLambdaVariable), _),
             finish: LambdaFunction)
-          if zero == 0.0 &&
+          // raw-bits check: -0.0 == 0.0 numerically, but a -0.0 seed
+          // changes the advertised bit-equality on empty arrays
+          // (fold over [] returns the seed itself)
+          if zero != null &&
+            java.lang.Double.doubleToRawLongBits(
+              zero.asInstanceOf[Double]) == 0L &&
             mx.exprId == zx.exprId && my.exprId == zy.exprId &&
             acc.exprId == la.exprId && el.exprId == le.exprId &&
             isIdentityFinish(finish) &&

@@ -317,6 +317,10 @@ object NativeExpressions {
     override protected def nullSafeEval(a: Any, p: Any): Any = {
       val hs = a.asInstanceOf[ArrayData]
       val perms = p.asInstanceOf[Int]
+      // fail with a clear message instead of a NegativeArraySizeException
+      // buried in an executor stack (SortedDistinctShingleHashes already
+      // validates its own arg the same way)
+      require(perms > 0, s"graft_minhash_signature: perms must be > 0, got $perms")
       val n = hs.numElements()
       val sig = Array.fill(perms)(Long.MaxValue)
       var i = 0

@@ -54,4 +54,18 @@ class ExtensionsSpec extends AnyFunSuite {
     val (m, s1) = df.as[(Double, Double)].head()
     assert(m == 8.0 && s1 == 12.0)
   }
+
+  test("rule does not fire on a -0.0 seed (raw-bits zero check)") {
+    // -0.0 == 0.0 numerically, but fold over an empty array returns the
+    // seed — rewriting would turn -0.0 into +0.0 and break advertised
+    // bit-equality. The guard compares raw bits, so this stays HOF.
+    val df = Seq((Seq.empty[Double], Seq.empty[Double])).toDF("a", "b")
+      .select(aggregate(zip_with($"a", $"b", (x, y) => x * y),
+        lit(-0.0), (acc, x) => acc + x).as("d"))
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("graft_dot"), opt)
+    val d = df.as[Double].head()
+    assert(java.lang.Double.doubleToRawLongBits(d) ==
+      java.lang.Double.doubleToRawLongBits(-0.0))
+  }
 }

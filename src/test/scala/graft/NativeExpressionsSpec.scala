@@ -91,4 +91,17 @@ class NativeExpressionsSpec extends AnyFunSuite {
         encode(col("t"), "UTF-8"))).as[Seq[Int]].collect()
     assert(out.forall(_.isEmpty))
   }
+
+  test("minHashSignature rejects non-positive perms with a clear message") {
+    val df = Seq("a b c d e f g").toDF("t")
+    val bad = df.select(NativeExpressions.minHashSignature(
+      NativeExpressions.shingleHashes(encode(col("t"), "UTF-8"), lit(5)),
+      lit(0)))
+    val e = intercept[Exception](bad.collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("perms must be > 0")),
+      s"unexpected failure: $e")
+  }
 }

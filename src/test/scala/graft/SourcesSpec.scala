@@ -47,6 +47,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.toSeq == rows)
   }
 
+  test("roundtrip scratch dirs are namespaced by applicationId") {
+    // two JVMs (Bench + Verify) running the same roundtrip query on the
+    // same corpus must not race on the same /tmp files — the scratch path
+    // carries the Spark applicationId
+    graft.operators.SourceQueries.queries("q_csv_roundtrip")(
+      spark, SparkFixture.sfDir).collect()
+    val appDir = new java.io.File(
+      s"/tmp/graft_io/${spark.sparkContext.applicationId}")
+    assert(appDir.isDirectory,
+      s"expected per-application scratch dir at $appDir")
+  }
+
   test("explicit-schema reads never run an inference scan") {
     // schema-pinned read of a CSV with a wrong-looking column still uses
     // the declared type (inference would have picked int)

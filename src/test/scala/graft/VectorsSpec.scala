@@ -34,6 +34,32 @@ class VectorsSpec extends AnyFunSuite {
     assert(math.abs(c3 - 1.0) < 1e-12)
   }
 
+  test("ivfBlockedPairs: precision 1.0 and full recall on near-dups") {
+    // sf0.001 embeddings corpus: the blocked miner must emit a SUBSET of
+    // the exact all-pairs result (precision 1.0, identical cos values)
+    // and must retain every genuine near-dup pair (cos >= 0.9 — vectors
+    // that similar rank their IVF centroids near-identically).
+    val pts = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+      .select(col("vec_id").as("id"),
+        Vectors.asDouble(col("embedding")).as("v"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_1", $"id_2", $"cos_raw").as[(Long, Long, Double)]
+        .collect().map { case (a, b, c) => (a, b) -> c }.toMap
+    val exact = pairs(Vectors.cosinePairs(pts, 0.45))
+    val blocked = pairs(Vectors.ivfBlockedPairs(pts, 0.45, 16, 2))
+    blocked.foreach { case (k, c) =>
+      assert(exact.contains(k), s"false positive pair $k")
+      assert(exact(k) == c, s"cos mismatch for $k")
+    }
+    val nearDups = exact.filter(_._2 >= 0.9).keySet
+    val missedNearDups = nearDups -- blocked.keySet
+    assert(missedNearDups.isEmpty,
+      s"near-dup pairs missed by IVF blocking: $missedNearDups")
+    // and overall recall at the loose 0.45 threshold stays useful
+    assert(blocked.size >= exact.size / 2,
+      s"recall ${blocked.size}/${exact.size} below 50%")
+  }
+
   test("RHP signature is deterministic and scale-invariant") {
     val sigs = df.select($"id",
       Vectors.rhpSignature($"a", 16).as("s1"),
