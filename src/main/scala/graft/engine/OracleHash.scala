@@ -1,0 +1,69 @@
+package graft.engine
+
+/** DuckDB SQL text generators for the engine's portable hash family
+  * (FNV-1a-64 shingle hashes, splitmix64 — see
+  * org.apache.spark.sql.graft.NativeExpressions.mix64), letting the
+  * MinHash/SimHash/RHP-LSH oracles regenerate bit-identical signatures.
+  *
+  * DuckDB integers trap on overflow, so every wrapping 64-bit op is
+  * emulated in HUGEINT and reduced mod 2^64; the wrapping multiply splits
+  * the left operand at 2^32 so no intermediate exceeds ~2^97. The
+  * splitmix64 chain is staged across subquery projections (z1 → z2 → z3)
+  * rather than one nested expression — textual inlining of the full chain
+  * would repeat each stage's operand twice per stage (8× blowup).
+  *
+  * Generated text is deliberately oracle-only: the Spark side uses the
+  * native codegen'd expressions; this exists so CORRECTNESS rows for the
+  * LSH family are hash-checked instead of `no_oracle`.
+  */
+object OracleHash {
+
+  /** (a * b) mod 2^64 over UBIGINT-typed SQL expressions. */
+  def u64mul(a: String, b: String): String =
+    s"CAST(((($a)::HUGEINT % 4294967296) * ($b)::HUGEINT" +
+      s" + ((($a)::HUGEINT // 4294967296) * ($b)::HUGEINT % 4294967296)" +
+      s" * 4294967296) % 18446744073709551616 AS UBIGINT)"
+
+  /** (a + b) mod 2^64 over UBIGINT-typed SQL expressions. */
+  def u64add(a: String, b: String): String =
+    s"CAST((($a)::HUGEINT + ($b)::HUGEINT) % 18446744073709551616 AS UBIGINT)"
+
+  /** splitmix64's golden-gamma constant, as UBIGINT SQL. */
+  val golden = "11400714819323198485::UBIGINT"
+
+  /** FNV-1a-64 of an ASCII string expression `s` (matches
+    * SortedDistinctShingleHashes' per-shingle byte hash — the corpus is
+    * ASCII, so ord(char) == byte). `j` is the byte-index lambda variable:
+    * callers nesting this inside another lambda must not reuse `j`. */
+  def fnv1a64(s: String): String =
+    s"list_reduce(list_prepend(14695981039346656037::UBIGINT," +
+      s" list_transform(range(1, length($s)+1)," +
+      s" j -> ord(substring($s, j, 1))::UBIGINT))," +
+      s" (h, c) -> ${u64mul("xor(h, c)", "1099511628211::UBIGINT")})"
+
+  /** CTE fragment `w, sh` producing (doc_id, toks): distinct FNV-1a-64
+    * hashes of each document's 5-word shingles over normalized text —
+    * the DuckDB twin of `TextDedup.toks`. Compose as
+    * s"WITH $shingleCtes, ...". */
+  val shingleCtes: String = {
+    val norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    val shingleHash = fnv1a64("array_to_string(ws[(i+1):(i+5)], ' ')")
+    s"""w AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM documents),
+       |sh AS (SELECT doc_id,
+       |    list_distinct(list_transform(range(0, greatest(len(ws) - 4, 1)),
+       |      i -> $shingleHash)) AS toks
+       |  FROM w)""".stripMargin
+  }
+
+  /** CTE fragment staging splitmix64 of a seed expression available in
+    * CTE `from` (with columns `keep`); emits CTEs `p1_, p2_, p3_` and the
+    * final value is `xor(z3, z3 >> 31)` computed by the caller from p3_.
+    */
+  def splitmixStages(from: String, keep: String, seedExpr: String): String = {
+    val s1 = u64mul("xor(z1, z1 >> 30)", "13787848793156543929::UBIGINT")
+    val s2 = u64mul("xor(z2, z2 >> 27)", "10723151780598845931::UBIGINT")
+    s"""p1_ AS (SELECT $keep, ${u64add(seedExpr, golden)} AS z1 FROM $from),
+       |p2_ AS (SELECT $keep, $s1 AS z2 FROM p1_),
+       |p3_ AS (SELECT $keep, $s2 AS z3 FROM p2_)""".stripMargin
+  }
+}

@@ -87,10 +87,14 @@ object TextDedup {
       .select(col("doc_id"),
         org.apache.spark.sql.graft.NativeExpressions
           .minHashSignature(toks(col("text")), lit(numPerms)).as("sig"))
-    // band j = xxhash64 of its `rows` consecutive minhashes
+    // band j's bucket key is its `rows` consecutive minhashes verbatim —
+    // raw-slice equality is what xxhash64(slice) approximated, and it is
+    // oracle-replicable (the DuckDB twin regenerates the same slices).
+    // At cluster scale the wider key costs rows*8 bytes per bucket row in
+    // the shuffle; hash it back down only if that ever dominates.
     val bandCols = (0 until bands).map { j =>
       struct(lit(j).as("band"),
-        xxhash64(slice(col("sig"), j * rows + 1, rows)).as("bh"))
+        slice(col("sig"), j * rows + 1, rows).as("bh"))
     }
     val buckets = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))

@@ -99,10 +99,14 @@ object Vectors {
       .filter(col("cos_raw") >= threshold)
   }
 
-  /** Deterministic ±1 pseudo-random hyperplane component for LSH:
-    * sign derived from murmur3 of (plane, dim). */
+  /** Deterministic ±1 pseudo-random hyperplane component for LSH: parity
+    * of splitmix64(plane*4096 + dim) — pure 64-bit arithmetic, so a SQL
+    * oracle regenerates identical signs (murmur3 would be
+    * engine-specific). Assumes dim < 4096 (embedding dims here are 64). */
   def hyperplaneSign(plane: Int, dim: Column): Column =
-    when(pmod(hash(lit(plane), dim), lit(2)) === 0, lit(1.0))
+    when(org.apache.spark.sql.graft.NativeExpressions
+        .splitmix64(lit(plane.toLong * 4096L) + dim.cast("long"))
+        .bitwiseAND(lit(1L)) === 0, lit(1.0))
       .otherwise(lit(-1.0))
 
   /** `bits`-bit random-hyperplane LSH signature of a vector: bit k is the
@@ -112,8 +116,7 @@ object Vectors {
       // sum_j v[j] * sign(k, j), via a fold over dimension indices
       val p = aggregate(
         zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, j) => x * when(pmod(hash(lit(k), j), lit(2)) === 0, lit(1.0))
-            .otherwise(lit(-1.0))),
+          (x, j) => x * hyperplaneSign(k, j)),
         lit(0.0), (acc, x) => acc + x)
       when(p > 0, lit(1L << k)).otherwise(0L)
     }

@@ -11,12 +11,11 @@ import graft.functions.TextDedup
   * candidate generation (in TextDedup), language-ID heuristic, quality
   * scoring, token counting, document fingerprinting.
   *
-  * Oracle policy: everything with engine-independent arithmetic (md5
-  * fingerprints, Jaccard over word sets, ratios) has a DuckDB twin.
-  * MinHash/SimHash use Spark's hash functions (murmur3/xxhash64) whose
-  * exact outputs are engine-specific by design → no SQL oracle; instead
-  * TextDedupSpec asserts candidate recall == 1.0 against the exact-Jaccard
-  * query on the corpus.
+  * Oracle policy: every query has a DuckDB twin. MinHash/SimHash run on
+  * the portable FNV-1a-64 + splitmix64 family (graft.engine.OracleHash
+  * generates the SQL that regenerates identical signatures), so even the
+  * LSH packs are hash-checked; TextDedupSpec additionally asserts
+  * candidate recall == 1.0 against the exact-Jaccard query.
   */
 object TextQueries extends QueryPack {
 
@@ -216,7 +215,7 @@ object TextQueries extends QueryPack {
         .orderBy(col("d1"), col("d2"))
     }),
 
-    // -- near-dup: MinHash + LSH banding (no oracle: murmur3-seeded) -------
+    // -- near-dup: MinHash + LSH banding (FNV/splitmix64 — oracle-hashed) --
     "q_dedup_minhash" -> ((s, d) => {
       TextDedup.minHashLshPairs(
           Tables.documents(s, d).select(col("doc_id"), col("text")),
@@ -224,7 +223,7 @@ object TextQueries extends QueryPack {
         .orderBy(col("d1"), col("d2"))
     }),
 
-    // -- near-dup: SimHash + chunk blocking (no oracle: xxhash64-based) ----
+    // -- near-dup: SimHash + chunk blocking (FNV-hashed — oracle-hashed) ---
     "q_dedup_simhash" -> ((s, d) => {
       TextDedup.simHashPairs(
           Tables.documents(s, d).select(col("doc_id"), col("text")),
@@ -342,6 +341,67 @@ object TextQueries extends QueryPack {
           |    (len(a.toks) + len(b.toks)
           |     - len(list_intersect(a.toks, b.toks))) >= 0.7
           |ORDER BY d1, d2""".stripMargin,
+
+      // MinHash: regenerate the FNV-1a shingle hashes and splitmix64
+      // signature family in SQL (graft.engine.OracleHash), band on raw
+      // 4-minhash slices, verify candidates with exact Jaccard — the
+      // exact relational twin of TextDedup.minHashLshPairs.
+      "q_dedup_minhash" -> {
+        import graft.engine.OracleHash._
+        s"""WITH $shingleCtes,
+           |ex AS (SELECT doc_id, unnest(toks) AS h FROM sh),
+           |exk AS (SELECT doc_id, k, h
+           |  FROM ex CROSS JOIN (SELECT unnest(range(0, 16)) AS k)),
+           |${splitmixStages("exk", "doc_id, k",
+              "xor(h, " + u64mul(golden, "(k+1)::UBIGINT") + ")")},
+           |mh AS (SELECT doc_id, k, min(xor(z3, z3 >> 31)) AS m
+           |  FROM p3_ GROUP BY doc_id, k),
+           |sig AS (SELECT doc_id, list(m ORDER BY k) AS sg
+           |  FROM mh GROUP BY doc_id),
+           |bk AS (SELECT doc_id, b, sg[(b*4+1):(b*4+4)] AS key
+           |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+           |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+           |  FROM bk x JOIN bk y
+           |  ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+           |v AS (SELECT doc_id, toks, len(toks) AS sz FROM sh)
+           |SELECT cand.d1, cand.d2,
+           |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+           |    (a.sz + b.sz - len(list_intersect(a.toks, b.toks))), 6)
+           |    AS jacc
+           |FROM cand JOIN v a ON a.doc_id = cand.d1
+           |  JOIN v b ON b.doc_id = cand.d2
+           |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+           |    (a.sz + b.sz - len(list_intersect(a.toks, b.toks))) >= 0.7
+           |ORDER BY d1, d2""".stripMargin
+      },
+
+      // SimHash: same FNV shingle hashes; per-bit majority vote, 16-bit
+      // chunk blocking, Hamming via bit_count(xor) — the relational twin
+      // of TextDedup.simHashPairs.
+      "q_dedup_simhash" -> {
+        import graft.engine.OracleHash._
+        s"""WITH $shingleCtes,
+           |eb AS (SELECT doc_id, b,
+           |    CASE WHEN 2 * len(list_filter(toks,
+           |          h -> ((h >> CAST(b AS INT)) & 1::UBIGINT) = 1::UBIGINT))
+           |          > len(toks)
+           |         THEN (1::UBIGINT << CAST(b AS INT))
+           |         ELSE 0::UBIGINT END AS bit
+           |  FROM sh CROSS JOIN (SELECT unnest(range(0, 64)) AS b)),
+           |sim AS (SELECT doc_id,
+           |    CAST(sum(bit::HUGEINT) % 18446744073709551616 AS UBIGINT)
+           |      AS sg
+           |  FROM eb GROUP BY doc_id),
+           |ch AS (SELECT doc_id, sg, c,
+           |    (sg >> CAST(c*16 AS INT)) & 65535::UBIGINT AS cv
+           |  FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS c)),
+           |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+           |    CAST(bit_count(xor(x.sg, y.sg)) AS INT) AS hamming
+           |  FROM ch x JOIN ch y
+           |  ON x.c = y.c AND x.cv = y.cv AND x.doc_id < y.doc_id)
+           |SELECT d1, d2, hamming FROM cand WHERE hamming <= 3
+           |ORDER BY d1, d2""".stripMargin
+      },
 
       "q_dedup_ngram" ->
         """WITH n AS (SELECT doc_id,

@@ -10,8 +10,8 @@ import graft.functions.Vectors
   * "Similarity search" / "LLM-data-pipeline operators"): brute-force cosine
   * top-k (the correctness baseline), threshold pair mining, kNN label
   * agreement, and a random-hyperplane LSH ANN variant (the scale path;
-  * recall asserted against brute force in VectorSpec, no SQL oracle since
-  * signatures derive from murmur3).
+  * recall asserted against brute force in VectorSpec, and hash-checked
+  * against a DuckDB twin that regenerates the splitmix64 signatures).
   *
   * Scale notes: the brute-force paths broadcast the (small) query set and
   * stream the corpus — a 100 TB corpus never shuffles. The LSH path
@@ -136,7 +136,8 @@ object VectorQueries extends QueryPack {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
-    // -- LSH-bucketed ANN (scale path; recall checked in VectorSpec) -------
+    // -- LSH-bucketed ANN (scale path; recall checked in VectorSpec,
+    //    signatures + output hash-checked against the DuckDB twin) --------
     "q_sim_lsh" -> ((s, d) => {
       val sigs = emb(s, d)
         .withColumn("sig", Vectors.rhpSignature(col("v"), 16))
@@ -246,6 +247,51 @@ object VectorQueries extends QueryPack {
           |      PARTITION BY q_id ORDER BY cos_raw DESC, c_id ASC) AS rnk
           |  FROM cand) t
           |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+      // RHP-LSH: regenerate the splitmix64 hyperplane signs (they depend
+      // only on (plane, dim)), rebuild each 16-bit signature via
+      // list_dot_product projections (same sequential FP fold as the
+      // Spark HOF), then the identical 8-bit chunk blocking + cosine
+      // ranking — the exact relational twin of the q_sim_lsh plan.
+      "q_sim_lsh" -> {
+        import graft.engine.OracleHash._
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+           |  FROM embeddings),
+           |kj AS (SELECT k, j FROM (SELECT unnest(range(0, 16)) AS k)
+           |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j)),
+           |${splitmixStages("kj", "k, j", "(k*4096 + j)::UBIGINT")},
+           |signs AS (SELECT k,
+           |    list(CASE WHEN (xor(z3, z3 >> 31) & 1::UBIGINT) = 0::UBIGINT
+           |         THEN 1.0 ELSE -1.0 END ORDER BY j) AS sv
+           |  FROM p3_ GROUP BY k),
+           |proj AS (SELECT e.vec_id, signs.k,
+           |    CASE WHEN list_dot_product(e.vd, signs.sv) > 0
+           |         THEN (1::UBIGINT << CAST(signs.k AS INT))
+           |         ELSE 0::UBIGINT END AS bit
+           |  FROM e CROSS JOIN signs),
+           |sig AS (SELECT vec_id,
+           |    CAST(sum(bit::HUGEINT) % 18446744073709551616 AS UBIGINT)
+           |      AS sg
+           |  FROM proj GROUP BY vec_id),
+           |ch AS (SELECT vec_id, c,
+           |    (sg >> CAST(c*8 AS INT)) & 255::UBIGINT AS cv
+           |  FROM sig CROSS JOIN (SELECT unnest(range(0, 2)) AS c)),
+           |q AS (SELECT vec_id AS q_id, c, cv FROM ch WHERE vec_id < 10),
+           |cand AS (SELECT DISTINCT q.q_id, ch.vec_id AS c_id
+           |  FROM ch JOIN q
+           |  ON ch.c = q.c AND ch.cv = q.cv AND ch.vec_id <> q.q_id),
+           |n AS (SELECT vec_id, vd,
+           |    sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
+           |s AS (SELECT cand.q_id, cand.c_id,
+           |    list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm) AS cos_raw
+           |  FROM cand JOIN n a ON a.vec_id = cand.q_id
+           |    JOIN n b ON b.vec_id = cand.c_id),
+           |r AS (SELECT q_id, c_id, cos_raw, row_number() OVER (
+           |    PARTITION BY q_id ORDER BY cos_raw DESC, c_id ASC) AS rnk
+           |  FROM s)
+           |SELECT q_id, rnk, c_id, round(cos_raw, 6) AS cos
+           |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+      },
 
       "q_knn_label" ->
         s"""WITH e AS (SELECT vec_id, label,

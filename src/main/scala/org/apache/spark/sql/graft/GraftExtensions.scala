@@ -58,7 +58,13 @@ object GraftFunctions {
       }),
     (FunctionIdentifier("graft_shingle_hashes"),
       info("graft_shingle_hashes", "_FUNC_(bin, n) - sorted distinct n-word shingle hashes"),
-      binary(NativeExpressions.SortedDistinctShingleHashes) _)
+      binary(NativeExpressions.SortedDistinctShingleHashes) _),
+    (FunctionIdentifier("graft_splitmix64"),
+      info("graft_splitmix64", "_FUNC_(x) - splitmix64 finalizer of a 64-bit value"),
+      args => {
+        require(args.length == 1, s"expected 1 argument, got ${args.length}")
+        NativeExpressions.SplitMix64(args.head)
+      })
   )
 
   /** Idempotent registration on a live session (the builder-extensions

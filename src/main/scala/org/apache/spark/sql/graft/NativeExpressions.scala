@@ -295,24 +295,48 @@ object NativeExpressions {
         newChild: Expression): Expression = copy(child = newChild)
   }
 
+  /** splitmix64 finalizer — the engine's portable hash: pure 64-bit
+    * arithmetic (add/xor/shift/multiply mod 2^64), so a DuckDB oracle can
+    * replicate it exactly with staged HUGEINT expressions, unlike Spark's
+    * murmur3/xxhash64 whose exact outputs are engine-private. Shared by
+    * [[MinHashSignature]], [[SplitMix64]], and (via SQL text generated in
+    * graft.engine.OracleHash) the correctness oracles. */
+  private[graft] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Scalar splitmix64 over a long column. Used for the RHP-LSH
+    * hyperplane signs (Vectors.hyperplaneSign) so the signature family is
+    * oracle-replicable. CodegenFallback: evaluated once per (plane, dim)
+    * inside an already-interpreted HOF pipeline. */
+  case class SplitMix64(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_splitmix64"
+
+    override protected def nullSafeEval(input: Any): Any =
+      mix64(input.asInstanceOf[Long])
+
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(child = newChild)
+  }
+
   /** MinHash signature over a shingle-hash set: permutation i's value is
     * min over elements of splitmix64(h ^ seed_i). One narrow pass per doc
     * (O(elements × perms)) — replaces an explode + numPerms-column min
-    * aggregate. Hash family is engine-specific by design (the LSH packs
-    * are recall-checked against exact Jaccard, not oracle-hashed). */
+    * aggregate. The splitmix64 family is portable, so the LSH packs are
+    * both recall-checked against exact Jaccard AND oracle-hashed (the
+    * DuckDB twin regenerates identical signatures). */
   case class MinHashSignature(left: Expression, right: Expression)
       extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
     override def inputTypes: Seq[AbstractDataType] =
       Seq(ArrayType(LongType), IntegerType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "graft_minhash_signature"
-
-    private def mix64(z0: Long): Long = {
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
 
     override protected def nullSafeEval(a: Any, p: Any): Any = {
       val hs = a.asInstanceOf[ArrayData]
@@ -360,6 +384,9 @@ object NativeExpressions {
 
   def simHash64(hashes: Column): Column =
     ExpressionUtils.column(SimHash64(expr(hashes)))
+
+  def splitmix64(x: Column): Column =
+    ExpressionUtils.column(SplitMix64(expr(x)))
 
   def minHashSignature(hashes: Column, perms: Column): Column =
     ExpressionUtils.column(MinHashSignature(expr(hashes), expr(perms)))
