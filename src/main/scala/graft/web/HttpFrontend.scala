@@ -1,0 +1,158 @@
+package graft.web
+
+import java.net.InetSocketAddress
+import java.net.URLDecoder
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.core.Workspace
+import graft.core.Workspace.{Render, SnapshotStore, WorkspacePath}
+
+/** Layer A HTTP surface (SURVEY.md §2.1 A11/A12/A14), on the JDK's
+  * built-in `com.sun.net.httpserver` (zero new dependencies). Routes
+  * mirror /root/reference/src/http_server.rs:21-37:
+  *
+  *   GET /                      -> "Hello, World!"
+  *   GET /health                -> "Healthy!"
+  *   GET /web_assets/<tail>     -> asset contents, content-type always
+  *                                 `text/css` (the reference's hard-coded
+  *                                 quirk — src/web.rs:12-16); 404 missing
+  *   GET /workspaces            -> "List all workspaces" (reference stub)
+  *   GET /workspaces/<name>?version=<ref>&path=<p>
+  *                              -> rendered workspace query
+  *                                 (src/http_server.rs:105-280)
+  *
+  * A14 provenance: the detail route emits the reference's raw-input /
+  * sanitized / configured / computed log block
+  * (src/http_server.rs:206-236) through the injected `log` sink once the
+  * version resolves — the reference returns its error template before
+  * logging when resolution fails, and so does this.
+  *
+  * Non-GET methods get 405, matching warp's rejection of `warp::get()`
+  * filters; unmatched paths get 404.
+  */
+final class HttpFrontend(store: SnapshotStore, mount: Path,
+                         assetsRoot: Path, log: String => Unit) {
+
+  private var server: HttpServer = _
+
+  /** Bound port (after start; pass port=0 for an ephemeral one). */
+  def port: Int = server.getAddress.getPort
+
+  def start(requestedPort: Int): Unit = {
+    server = HttpServer.create(new InetSocketAddress(requestedPort), 0)
+    server.createContext("/", exchange => handle(exchange))
+    server.setExecutor(null) // single-threaded dispatch is plenty here
+    server.start()
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  private def handle(ex: HttpExchange): Unit = {
+    try {
+      if (ex.getRequestMethod != "GET") reply(ex, 405, "")
+      else route(ex)
+    } finally ex.close()
+  }
+
+  private def route(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath
+    path match {
+      case "/"        => reply(ex, 200, "Hello, World!")
+      case "/health"  => reply(ex, 200, "Healthy!")
+      case "/workspaces" | "/workspaces/" =>
+        reply(ex, 200, "List all workspaces")
+      case p if p.startsWith("/web_assets/") =>
+        serveAsset(ex, p.stripPrefix("/web_assets/"))
+      case p if p.startsWith("/workspaces/") =>
+        p.stripPrefix("/workspaces/").split("/", -1) match {
+          case Array(name) if name.nonEmpty => detail(ex, name)
+          case _                            => reply(ex, 404, "")
+        }
+      case _ => reply(ex, 404, "")
+    }
+  }
+
+  /** Static assets under `assetsRoot`; content-type is hard-coded to
+    * `text/css` regardless of extension — a faithful port of the
+    * reference's "TODO: Handle other file types" quirk
+    * (src/web.rs:12-16). Traversal is neutralized with the same
+    * WorkspacePath sanitizer the query path uses. */
+  private def serveAsset(ex: HttpExchange, tail: String): Unit = {
+    log(s"Requesting asset: $tail")
+    val rel = WorkspacePath(tail).value
+    val f = assetsRoot.resolve(rel)
+    if (rel.nonEmpty && Files.isRegularFile(f))
+      reply(ex, 200, Files.readString(f), contentType = "text/css")
+    else reply(ex, 404, "")
+  }
+
+  private def detail(ex: HttpExchange, name: String): Unit = {
+    val params = queryParams(ex)
+    val rawVersion = params.getOrElse("version", "latest")
+    val rawPath = params.getOrElse("path", "")
+    // two-phase like the reference: resolve first (so the provenance
+    // block can carry the resolved snapshot id), then run the query
+    val resolved =
+      if (store.workspaceExists(name)) store.resolve(name, rawVersion)
+      else Left(Workspace.RepoNotFound(name))
+    resolved.foreach { id =>
+      log(s"Version: $rawVersion -> Commit: $id")
+      log(provenance(name, rawVersion, rawPath, id))
+    }
+    reply(ex, 200,
+      Render.render(store.query(name, rawVersion, rawPath)),
+      contentType = "text/html")
+  }
+
+  /** The reference's provenance block — src/http_server.rs:206-236. */
+  private def provenance(rawName: String, rawVersion: String,
+                         rawPath: String, commitId: String): String = {
+    val sanitized = WorkspacePath(rawPath)
+    s"""-- Input --
+       |Workspace Name: $rawName
+       |Workspace Version: $rawVersion
+       |Workspace Path: $rawPath
+       |-- Sanitized --
+       |Workspace Name: $rawName
+       |Workspace Path: ${sanitized.value}
+       |Workspace Version: $rawVersion
+       |Commit ID: $commitId
+       |-- Configured --
+       |Workspaces Mount: $mount
+       |-- Computed --
+       |Snapshot Mount: ${store.snapshotDir(rawName, commitId)}
+       |Target Path: ${store.snapshotDir(rawName, commitId)
+                        .resolve(sanitized.value)}""".stripMargin
+  }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] = {
+    val q = ex.getRequestURI.getRawQuery
+    if (q == null || q.isEmpty) Map.empty
+    else q.split('&').toSeq.flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) =>
+          Some(URLDecoder.decode(k, StandardCharsets.UTF_8) ->
+            URLDecoder.decode(v, StandardCharsets.UTF_8))
+        case Array(k) =>
+          Some(URLDecoder.decode(k, StandardCharsets.UTF_8) -> "")
+        case _ => None
+      }
+    }.toMap
+  }
+
+  private def reply(ex: HttpExchange, status: Int, body: String,
+                    contentType: String = "text/plain"): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    // JDK contract: -1 means an empty body
+    ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) {
+      val os = ex.getResponseBody
+      os.write(bytes)
+      os.close()
+    }
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Path}
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Workspace.SnapshotStore
+import graft.web.HttpFrontend
+
+/** Route-level tests for the Layer A HTTP surface (A11/A12/A14): exact
+  * bodies for the fixed routes, the text/css asset quirk, all four error
+  * pages, and the provenance log block.
+  */
+class HttpFrontendSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val logs = new scala.collection.mutable.ArrayBuffer[String]
+  private var mount: Path = _
+  private var assets: Path = _
+  private var front: HttpFrontend = _
+  private val client = HttpClient.newHttpClient()
+
+  override def beforeAll(): Unit = {
+    mount = Files.createTempDirectory("graft-http-ws")
+    val objs = mount.resolve("w/objects")
+    Files.createDirectories(objs.resolve("abc123/sub"))
+    Files.writeString(objs.resolve("abc123/t.csv"), "a,b\n1,2\n")
+    Files.writeString(objs.resolve("abc123/sub/n.txt"), "nested")
+    Files.writeString(mount.resolve("w/refs"), "latest\tabc123\n")
+    // a snapshot id present in refs but missing on disk -> CheckoutFailed
+    Files.writeString(mount.resolve("w/refs"),
+      "latest\tabc123\nbroken\tmissing0\n")
+    assets = Files.createTempDirectory("graft-http-assets")
+    Files.writeString(assets.resolve("app.js"), "console.log('hi')")
+    front = new HttpFrontend(new SnapshotStore(mount), mount, assets,
+      logs.synchronized { s => logs += s })
+    front.start(0)
+  }
+
+  override def afterAll(): Unit = front.stop()
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${front.port}$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("/ says Hello, World! and /health says Healthy!") {
+    assert(get("/").body() == "Hello, World!")
+    assert(get("/health").body() == "Healthy!")
+  }
+
+  test("/workspaces is the reference's list stub") {
+    assert(get("/workspaces").body() == "List all workspaces")
+  }
+
+  test("asset route serves content with the hard-coded text/css type") {
+    val r = get("/web_assets/app.js")
+    assert(r.statusCode() == 200)
+    assert(r.body() == "console.log('hi')")
+    // the reference's quirk: content-type is text/css even for .js
+    assert(r.headers().firstValue("Content-Type").get() == "text/css")
+    assert(get("/web_assets/nope.css").statusCode() == 404)
+    // traversal components are sanitized away, not honored
+    assert(get("/web_assets/..%2Fapp.js").body() == "console.log('hi')")
+  }
+
+  test("detail route renders a file at the default version") {
+    val r = get("/workspaces/w?path=t.csv")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("<pre>a,b\n1,2\n</pre>"))
+  }
+
+  test("detail route renders a recursive directory listing at the root") {
+    val body = get("/workspaces/w").body()
+    assert(body.contains("<li>t.csv</li>"))
+    assert(body.contains("<li>sub/n.txt</li>"))
+  }
+
+  test("all four error classes render as error pages") {
+    assert(get("/workspaces/ghost").body()
+      .contains("Could not open workspace 'ghost'"))
+    assert(get("/workspaces/w?version=zzz").body()
+      .contains("Could not resolve version 'zzz'"))
+    assert(get("/workspaces/w?version=broken").body()
+      .contains("Could not checkout snapshot"))
+    assert(get("/workspaces/w?path=ghost.txt").body()
+      .contains("does not exist in this version"))
+  }
+
+  test("provenance block is logged once the version resolves") {
+    logs.clear()
+    get("/workspaces/w?path=..%2Ft.csv")
+    val block = logs.mkString("\n")
+    assert(block.contains("Version: latest -> Commit: abc123"))
+    assert(block.contains("-- Input --"))
+    assert(block.contains("Workspace Path: ../t.csv"))   // raw
+    assert(block.contains("-- Sanitized --"))
+    assert(block.contains("Workspace Path: t.csv"))      // sanitized
+    assert(block.contains("Commit ID: abc123"))
+    // resolution failure returns the error page BEFORE logging provenance
+    logs.clear()
+    get("/workspaces/w?version=zzz")
+    assert(!logs.exists(_.contains("-- Input --")))
+  }
+
+  test("unmatched paths 404 and non-GET 405") {
+    assert(get("/workspaces/w/too/deep").statusCode() == 404)
+    assert(get("/nope").statusCode() == 404)
+    val r = client.send(
+      HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${front.port}/health"))
+        .POST(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 405)
+  }
+}
