@@ -68,10 +68,17 @@ object Bench {
       } finally restoreConfs()
     }
     // Untimed warmup: JIT + codegen + parquet footer caches, so the first
-    // timed query measures the operator rather than JVM warmup. Guarded:
-    // a missing warmup query must not sink the whole artifact.
-    try timedRun("warmup", SparkEntry.queries("q_scan_project"))
-    catch { case _: Throwable => () }
+    // timed queries measure the operator rather than JVM warmup. One
+    // representative query per heavy code path (scan/project, hash
+    // aggregate, window sort, date kernels) — a scan-only warmup left the
+    // first aggregate/window/date queries in alphabetical order absorbing
+    // several seconds of JIT (r3: q_approx_distinct 5.9s was mostly
+    // warmup). Guarded: a missing warmup query must not sink the artifact.
+    Seq("q_scan_project", "q1_agg", "q_approx_distinct", "q_window_rank",
+        "q_date_funcs").foreach { w =>
+        try timedRun(s"warmup:$w", SparkEntry.queries(w))
+        catch { case _: Throwable => () }
+      }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = timedRun(name, fn)
@@ -99,19 +106,35 @@ object Bench {
     val budget = 1500
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
-    byCost.foreach { kv =>
-      val s = ent(kv)
+    // strict slowest-first prefix: stop at the first entry that does not
+    // fit, so the kept set is exactly the N most expensive queries and
+    // the omitted set is exactly the cheapest tail
+    val it = byCost.iterator
+    var full = false
+    while (!full && it.hasNext) {
+      val s = ent(it.next())
       if (used + s.length + 1 <= budget) { kept += s; used += s.length + 1 }
+      else full = true
     }
     val omitted = results.size - kept.size
+    // "mat" records the materialization mode so round-over-round totals
+    // are only compared within the same methodology (r2 used count(),
+    // which let Catalyst prune top-level sorts; r3+ use a noop write)
     val fullJson = results.sortBy(_._1).map(ent).mkString(
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":{""",
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"mat":"noop","queries":{""",
       ",", s"""},"sf":"$sfDir"}""")
+    // anchor BENCH_DETAIL.json at the repo root (PWD may differ under the
+    // driver's launcher) and make write failures visible
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo") +
+      "/BENCH_DETAIL.json"
     try {
-      val w = new java.io.PrintWriter("BENCH_DETAIL.json")
+      val w = new java.io.PrintWriter(detailPath)
       try w.println(fullJson) finally w.close()
-    } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","n":${results.size},"queries_omitted":$omitted,"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"}""")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write $detailPath: $e")
+    }
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","n":${results.size},"mat":"noop","queries_omitted":$omitted,"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"}""")
     spark.stop()
     pool.shutdownNow()
     ()

@@ -64,4 +64,41 @@ object Tables {
     }
     events(s, d).createOrReplaceTempView("events")
   }
+
+  /** Catalog registration with computed statistics — the CBO posture for
+    * cluster deployments. Temp views carry only file-size estimates; a
+    * catalog table plus `ANALYZE TABLE` gives the optimizer row counts
+    * (and per-column NDV/min/max with FOR ALL COLUMNS), which is what
+    * makes join-order and broadcast decisions trustworthy at 100× — AQE
+    * can only re-plan shuffles it has already started, while CBO avoids
+    * the bad join tree up front. Tables are registered as external
+    * parquet tables (no data copy) under the given name prefix;
+    * `spark.sql.cbo.enabled` + join reorder are switched on. */
+  def registerAnalyzed(s: SparkSession, d: String,
+                       prefix: String = "g_"): Unit = {
+    ensureConf(s)
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings", "events").foreach { n =>
+      s.sql(s"CREATE TABLE IF NOT EXISTS $prefix$n USING parquet " +
+        s"LOCATION '$d/$n.parquet'")
+      // row count + size for every table; NDV/min/max histograms only for
+      // atomic-typed columns (ANALYZE rejects array/map columns — the
+      // embeddings vector), which is all the join/filter planner reads
+      val atomicCols = s.table(s"$prefix$n").schema.fields
+        .filterNot(f => f.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType  => true
+          case _: org.apache.spark.sql.types.MapType    => true
+          case _: org.apache.spark.sql.types.StructType => true
+          case _                                        => false
+        })
+        .map(f => s"`${f.name}`")
+      s.sql(s"ANALYZE TABLE $prefix$n COMPUTE STATISTICS")
+      if (atomicCols.nonEmpty) {
+        s.sql(s"ANALYZE TABLE $prefix$n COMPUTE STATISTICS " +
+          s"FOR COLUMNS ${atomicCols.mkString(", ")}")
+      }
+    }
+  }
 }

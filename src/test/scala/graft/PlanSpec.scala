@@ -88,4 +88,31 @@ class PlanSpec extends AnyFunSuite {
     // codegen'd operators render with a "*(stageId)" prefix
     assert(p.contains("*(") && p.contains("HashAggregate"), p)
   }
+
+  test("analyzed catalog tables drive CBO decisions with AQE off") {
+    // registerAnalyzed = catalog tables + ANALYZE TABLE + cbo.enabled:
+    // the optimizer must (a) know exact row counts and (b) pick a
+    // broadcast join from statistics alone — no hints, no AQE runtime
+    // re-planning. This is the q5 shape: fact join dim join dim.
+    graft.engine.Tables.registerAnalyzed(spark, sfDir)
+    val stats = spark.table("g_orders")
+      .queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.isDefined && stats.rowCount.get.toLong > 0,
+      s"ANALYZE did not produce a row count: $stats")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = spark.sql(
+        """SELECT n.n_name, count(*) AS cnt
+          |FROM g_orders o
+          |JOIN g_customer c ON o.o_custkey = c.c_custkey
+          |JOIN g_nation n ON c.c_nationkey = n.n_nationkey
+          |GROUP BY n.n_name""".stripMargin)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"),
+        "stats did not drive a broadcast join:\n" + p)
+      assert(!p.contains("CartesianProduct"), p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
