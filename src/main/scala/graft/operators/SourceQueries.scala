@@ -91,6 +91,39 @@ object SourceQueries extends QueryPack {
         .orderBy(col("o_orderkey"))
     }),
 
+    // -- bucketed write + co-located join (zero shuffle on either side) -----
+    // Both sides are written bucketed (and bucket-sorted) on the join key
+    // with the same bucket count, so the sort-merge join reads co-located
+    // buckets and needs NO exchange — the idiom that turns a repeated
+    // fact-dim join from a per-query shuffle into a one-time layout cost.
+    // The downstream groupBy keys start with the bucket key, so the
+    // aggregation reuses the same partitioning too (PlanSpec pins the
+    // no-hash-exchange property). The merge hint only forces SMJ over a
+    // broadcast at test scale; it adds nothing at real scale.
+    "q_bucketed_join" -> ((s, d) => {
+      val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val ordT = s"b_orders_$tag"
+      val custT = s"b_customer_$tag"
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", scratch(s, d, "orders_bucketed"))
+        .saveAsTable(ordT)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"))
+        .write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", scratch(s, d, "customer_bucketed"))
+        .saveAsTable(custT)
+      s.table(ordT).hint("merge")
+        .join(s.table(custT), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // -- in-memory table (literal rows) joined to a scanned dim -------------
     "q_inmem_table" -> ((s, d) => {
       val schema = StructType(Seq(
@@ -130,6 +163,12 @@ object SourceQueries extends QueryPack {
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
         |FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_bucketed_join" ->
+      """SELECT c_custkey, c_name, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
 
     "q_inmem_table" ->
       """SELECT bloc, count(*) AS n_nations, min(n_name) AS first_nation

@@ -107,6 +107,61 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // -- deterministic corpus split (train/valid/test) ---------------------
+    // Split membership is a pure function of splitmix64(doc_id): stable
+    // across runs, engines, row order, and partitioning — the property a
+    // training pipeline needs so no example ever migrates between train
+    // and eval. The >>> 8 keeps the bucket arithmetic in the positive
+    // range on both engines (signed long here, UBIGINT in the oracle).
+    "q_hash_split" -> ((s, d) => {
+      val bucket = pmod(shiftrightunsigned(
+        org.apache.spark.sql.graft.NativeExpressions.splitmix64(col("doc_id")),
+        8), lit(100))
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "valid")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 6).as("avg_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("split"))
+    }),
+
+    // -- within-document repetition (Gopher-style quality signal) ----------
+    // Duplicate word-trigram fraction: high values flag boilerplate /
+    // degenerate generations. Narrow per-doc map — scales trivially.
+    "q_repetition_ratio" -> ((s, d) => {
+      val toks = split(norm(col("text")), " ")
+      val tris = transform(
+        sequence(lit(0), greatest(size(toks) - 3, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(3))))
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(tris).cast("bigint").as("n_tris"),
+          round(lit(1.0) - size(array_distinct(tris)).cast("double") /
+            size(tris), 6).as("rep_ratio"))
+        .withColumn("repetitive", col("rep_ratio") > 0.2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- stopword coverage (language-quality signal) -----------------------
+    // Natural text carries a stable stopword fraction; near-zero flags
+    // token soup / non-linguistic content. Narrow per-doc map.
+    "q_stopword_ratio" -> ((s, d) => {
+      val stop = Seq("the", "a", "an", "and", "of", "to", "in", "is",
+        "on", "for")
+      val toks = split(norm(col("text")), " ")
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(toks).cast("bigint").as("n_tokens"),
+          size(filter(toks, t => t.isInCollection(stop))).cast("bigint")
+            .as("n_stop"))
+        .withColumn("stop_ratio",
+          round(col("n_stop").cast("double") / col("n_tokens"), 6))
+        .withColumn("looks_natural", col("stop_ratio") >= 0.1)
+        .orderBy(col("doc_id"))
+    }),
+
     // -- exact dedup by normalized-text hash -------------------------------
     "q_dedup_exact" -> ((s, d) => {
       Tables.documents(s, d)
@@ -294,6 +349,51 @@ object TextQueries extends QueryPack {
            |      string_split($normSql, ' ')[i+1:i+5], ' '))))
            |    AS min_shingle_md5
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_hash_split" -> {
+        import graft.engine.OracleHash._
+        s"""WITH ${splitmixStages("documents", "doc_id, n_chars",
+              "doc_id::UBIGINT")},
+           |b AS (SELECT doc_id, n_chars,
+           |    (xor(z3, z3 >> 31) >> 8) % 100::UBIGINT AS bk FROM p3_),
+           |s AS (SELECT doc_id, n_chars,
+           |    CASE WHEN bk < 80::UBIGINT THEN 'train'
+           |         WHEN bk < 90::UBIGINT THEN 'valid'
+           |         ELSE 'test' END AS split
+           |  FROM b)
+           |SELECT split, count(*) AS n_docs,
+           |  round(avg(n_chars), 6) AS avg_chars,
+           |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+           |FROM s GROUP BY split ORDER BY split""".stripMargin
+      },
+
+      "q_repetition_ratio" ->
+        s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws
+           |  FROM documents),
+           |t AS (SELECT doc_id,
+           |    list_transform(range(0, greatest(len(ws) - 3, 0) + 1),
+           |      i -> array_to_string(ws[(i+1):(i+3)], ' ')) AS tris
+           |  FROM w)
+           |SELECT doc_id, len(tris) AS n_tris,
+           |  round(1.0 - CAST(len(list_distinct(tris)) AS DOUBLE)
+           |    / len(tris), 6) AS rep_ratio,
+           |  round(1.0 - CAST(len(list_distinct(tris)) AS DOUBLE)
+           |    / len(tris), 6) > 0.2 AS repetitive
+           |FROM t ORDER BY doc_id""".stripMargin,
+
+      "q_stopword_ratio" ->
+        s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws
+           |  FROM documents)
+           |SELECT doc_id, len(ws) AS n_tokens,
+           |  len(list_filter(ws, t -> t IN ('the','a','an','and','of',
+           |    'to','in','is','on','for'))) AS n_stop,
+           |  round(CAST(len(list_filter(ws, t -> t IN ('the','a','an',
+           |    'and','of','to','in','is','on','for'))) AS DOUBLE)
+           |    / len(ws), 6) AS stop_ratio,
+           |  round(CAST(len(list_filter(ws, t -> t IN ('the','a','an',
+           |    'and','of','to','in','is','on','for'))) AS DOUBLE)
+           |    / len(ws), 6) >= 0.1 AS looks_natural
+           |FROM w ORDER BY doc_id""".stripMargin,
 
       "q_dedup_exact" ->
         s"""SELECT sha256($normSql) AS fp, min(doc_id) AS keep_id,

@@ -133,6 +133,33 @@ object StreamingQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // -- stream-stream inner join with event-time interval ------------------
+    // Both sides watermarked and the join carries a time-range predicate,
+    // so each side's buffered state is bounded (rows age out once the
+    // other side's watermark passes view_t <= click_t + 30min) — the
+    // requirement for an unbounded run. Inner join in append mode is
+    // exact, so the batch twin is a plain interval self-join.
+    "q_stream_stream_join" -> ((s, d) => {
+      val clicks = StreamRunner.eventsStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+          col("ts_t").as("click_t"), col("ts_us").as("click_us"))
+        .withWatermark("click_t", "10 minutes")
+      val views = StreamRunner.eventsStream(s, d)
+        .filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("vu"),
+          col("ts_t").as("view_t"), col("ts_us").as("view_us"))
+        .withWatermark("view_t", "10 minutes")
+      val joined = clicks.join(views,
+        col("cu") === col("vu") &&
+          col("view_t") >= col("click_t") &&
+          col("view_t") <= col("click_t") + expr("INTERVAL 30 MINUTES"))
+        .select(col("click_id"), col("view_id"), col("cu").as("user_id"),
+          col("click_us"), col("view_us"))
+      StreamRunner.runToTable(s, joined, "g_stream_stream_join", "append")
+        .orderBy(col("click_id"), col("view_id"))
+    }),
+
     // -- stateful per-key processing (flatMapGroupsWithState) ---------------
     // One emission per key per micro-batch; the single-file source gives
     // exactly one batch under AvailableNow (see StreamRunner), so the
@@ -232,6 +259,15 @@ object StreamingQueries extends QueryPack {
       """SELECT event_id, user_id, c_mktsegment, value
         |FROM events JOIN customer ON user_id = c_custkey
         |ORDER BY event_id""".stripMargin,
+
+    "q_stream_stream_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS view_id, a.user_id,
+        |  epoch_us(a.ts) AS click_us, epoch_us(b.ts) AS view_us
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |WHERE a.event_type = 'click' AND b.event_type = 'view'
+        |  AND epoch_us(b.ts) >= epoch_us(a.ts)
+        |  AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000
+        |ORDER BY click_id, view_id""".stripMargin,
 
     "q_stream_stateful" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_v

@@ -89,6 +89,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(") && p.contains("HashAggregate"), p)
   }
 
+  test("q_bucketed_join joins and aggregates with no hash exchange") {
+    val p = plan("q_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p)
+    // both scan sides are bucketed on the join key and the groupBy leads
+    // with it, so the only exchange left is the final orderBy's range
+    // partitioning
+    assert(!p.contains("Exchange hashpartitioning"),
+      "bucketed join still shuffled:\n" + p)
+  }
+
   test("analyzed catalog tables drive CBO decisions with AQE off") {
     // registerAnalyzed = catalog tables + ANALYZE TABLE + cbo.enabled:
     // the optimizer must (a) know exact row counts and (b) pick a
