@@ -99,12 +99,19 @@ object RelationalQueries extends QueryPack {
     // for fixed data regardless of partitioning). rsd=0.01 gives the 5%
     // bound a ~5-sigma margin; the default rsd=0.05 would make the flag a
     // one-sigma coin flip on a regenerated corpus.
+    // The exact and approx aggregates run as SEPARATE aggregations joined
+    // on the group key: mixing countDistinct with a non-distinct aggregate
+    // forces Catalyst's expand plan, where the HLL partial (16 KB of
+    // registers at rsd=0.01) is keyed by (group, l_partkey) instead of
+    // group — ~200k × 16 KB of buffers at sf0.1 (measured 3.7 s vs 1.7 s
+    // split). The join is 3 rows — free.
     "q_approx_distinct" -> ((s, d) => {
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          approx_count_distinct(col("l_partkey"), 0.01).as("approx_raw"))
+      val li = Tables.lineitem(s, d)
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      val approx = li.groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_raw"))
+      exact.join(approx, "l_returnflag")
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("approx_raw") - col("exact_parts")).cast("double") /
             col("exact_parts") < 0.05).as("approx_within_5pct"))
