@@ -22,6 +22,7 @@ object SparkEntry {
     SourceQueries,
     EventQueries,
     TextQueries,
+    PipelineQueries,
     VectorQueries,
     CustomAggQueries,
     MultimodalQueries,

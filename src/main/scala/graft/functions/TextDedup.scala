@@ -34,6 +34,11 @@ object TextDedup {
     org.apache.spark.sql.graft.NativeExpressions
       .shingleHashes(encode(c, "UTF-8"), lit(5))
 
+  /** Public accessor for the 5-word shingle hash set — shared with the
+    * decontamination / dup-cluster pipeline operators so every shingle
+    * consumer agrees on one representation. */
+  def wordShingles(c: Column): Column = toks(c)
+
   /** Exact all-pairs word-set Jaccard >= threshold. Columns: d1, d2, jacc.
     *
     * Implemented as an inverted-index join, NOT a cross join: explode

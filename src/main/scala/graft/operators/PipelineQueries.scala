@@ -1,0 +1,296 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.NativeExpressions
+import graft.engine.{OracleHash, QueryPack, Tables}
+import graft.functions.TextDedup
+
+/** Training-data curation operators a 100 TB corpus pipeline runs between
+  * raw ingest and tokenization (SURVEY.md §2.2 "LLM-data-pipeline
+  * operators"): near-dup cluster consolidation, benchmark decontamination,
+  * deterministic stratified sampling, language rebalancing, sequence
+  * packing, and PII-style anonymization.
+  *
+  * Determinism policy: anything "random" (sampling, rebalancing order) is
+  * a pure function of splitmix64 over the row key — stable across runs,
+  * engines, partitionings, and row order, which is what makes the DuckDB
+  * oracles exact and what a reproducible training pipeline needs anyway.
+  */
+object PipelineQueries extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- near-dup CLUSTERS: connected components over the pair graph ------
+    // Pair mining (q_dedup_*) yields edges; dedup pipelines need the
+    // transitive closure — one canonical doc per duplicate GROUP, not per
+    // pair. Min-label propagation: every vertex starts as its own label
+    // and repeatedly takes the min label over its neighborhood, converging
+    // in graph-diameter rounds (dup clusters are shallow in practice; the
+    // iteration cap is asserted, not silently truncated). Each round is a
+    // keyed join + partial-aggregated groupBy — fully distributed; the
+    // only driver-side value is the scalar convergence count. At larger
+    // diameters the same loop carries the large-star/small-star O(log n)
+    // variant; the per-round dataflow is identical.
+    "q_dup_clusters" -> ((s, d) => {
+      val pairs = TextDedup.exactJaccardPairs(
+          Tables.documents(s, d).select(col("doc_id"), col("text")), 0.7)
+        .select(col("d1"), col("d2"))
+      val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+        .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+        .persist()
+      var labels = edges.select(col("src").as("v"), col("src").as("lbl"))
+        .distinct()
+      var prev: DataFrame = null
+      var changed = 1L
+      var iters = 0
+      while (changed > 0 && iters < 30) {
+        val nbrMin = edges.join(labels, col("src") === col("v"))
+          .groupBy(col("dst")).agg(min(col("lbl")).as("nl"))
+        val stepped = labels.join(nbrMin, col("v") === col("dst"), "left")
+          .select(col("v"), col("lbl"),
+            least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("nxt"))
+          .persist()
+        changed = stepped.filter(col("nxt") =!= col("lbl")).count()
+        if (prev != null) prev.unpersist()
+        prev = stepped
+        labels = stepped.select(col("v"), col("nxt").as("lbl"))
+        iters += 1
+      }
+      require(changed == 0,
+        s"dup-graph did not converge in $iters rounds (diameter > cap)")
+      // localCheckpoint truncates the k-round join lineage so the persisted
+      // loop frames can be dropped before the result is consumed
+      val fin = labels.localCheckpoint(true)
+      if (prev != null) prev.unpersist()
+      edges.unpersist()
+      fin.groupBy(col("lbl").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          array_join(sort_array(collect_list(col("v"))), ",").as("members"))
+        .orderBy(col("cluster_id"))
+    }),
+
+    // -- benchmark DECONTAMINATION: shingle-overlap flagging ---------------
+    // Training docs sharing any 5-word shingle with the held-out set
+    // (deterministic stand-in: doc_id % 40 == 0) are flagged. The eval
+    // side of the join is small by nature (benchmarks are thousands of
+    // docs, not billions), so its distinct shingle set broadcasts and the
+    // corpus side streams through a semi-join — no shuffle of the 100 TB
+    // side. Shingles are the same FNV-1a-64 hashes the dedup family uses.
+    "q_decontaminate" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          TextDedup.wordShingles(col("text")).as("toks"))
+      val bench = sh.filter(pmod(col("doc_id"), lit(40)) === 0)
+        .select(explode(col("toks")).as("h")).distinct()
+      val hits = sh.filter(pmod(col("doc_id"), lit(40)) =!= 0)
+        .select(col("doc_id"), explode(col("toks")).as("h"))
+        .join(broadcast(bench), Seq("h"), "left_semi")
+        .select(col("doc_id")).distinct()
+      sh.filter(pmod(col("doc_id"), lit(40)) =!= 0)
+        .join(hits.withColumn("hit", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("hit"), lit(false)).as("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- deterministic STRATIFIED SAMPLING ---------------------------------
+    // Per-language keep rates (downsample the over-represented language)
+    // decided by a splitmix64 bucket of the doc key — reproducible, order-
+    // independent, and decorrelated from q_hash_split's train/test buckets
+    // by a different seed derivation. A narrow map + one aggregation; no
+    // shuffle of kept rows is needed until a consumer asks for them.
+    "q_sample_stratified" -> ((s, d) => {
+      val bucket = pmod(shiftrightunsigned(
+        NativeExpressions.splitmix64(col("doc_id") * 131 + 7), 8), lit(100))
+      Tables.documents(s, d)
+        .withColumn("bucket", bucket)
+        .withColumn("rate",
+          when(col("lang") === "en", 20)
+            .when(col("lang") === "zh", 80).otherwise(50))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("bucket") < col("rate"), 1).otherwise(0))
+            .as("n_sampled"),
+          min(col("rate")).as("rate_pct"),
+          min(when(col("bucket") < col("rate"), col("doc_id")))
+            .as("first_kept"))
+        .withColumn("realized_pct",
+          round(col("n_sampled") * 100.0 / col("n_total"), 6))
+        .orderBy(col("lang"))
+    }),
+
+    // -- language REBALANCING: cap each stratum at N docs by hash order ----
+    // Exact per-group top-N via two-phase selection: phase 1 takes the
+    // per-(lang, salt) top-N over 32 salts — a high-cardinality window, so
+    // no 5-partition parallelism cliff — and phase 2 ranks only the
+    // surviving 32·N rows per language. Equivalent to a single per-lang
+    // rank (the per-lang top-N is contained in the union of per-salt
+    // top-Ns) but survives a 100× scale-up. Hash order uses the top 56
+    // bits so signed-long and unsigned-64 comparisons agree.
+    "q_rebalance" -> ((s, d) => {
+      val cap = 60
+      val base = Tables.documents(s, d)
+        .withColumn("hk", shiftrightunsigned(
+          NativeExpressions.splitmix64(col("doc_id") * 977 + 3), 8))
+      val w1 = Window.partitionBy(col("lang"), pmod(col("doc_id"), lit(32)))
+        .orderBy(col("hk"), col("doc_id"))
+      val w2 = Window.partitionBy(col("lang"))
+        .orderBy(col("hk"), col("doc_id"))
+      val kept = base
+        .withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= cap)
+        .withColumn("rn2", row_number().over(w2)).filter(col("rn2") <= cap)
+      val before = base.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
+      val after = kept.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_after"),
+        sum(col("n_chars")).as("sum_chars_kept"))
+      before.join(after, "lang").orderBy(col("lang"))
+    }),
+
+    // -- SEQUENCE PACKING: concat-and-chunk into fixed context windows -----
+    // GPT-style packing: within each output shard, docs are concatenated
+    // in key order and cut every 2048 tokens; a doc's bin is the window
+    // its first token lands in. Packing is inherently sequential per
+    // shard, so the shard key (lang × doc-hash) has to carry the
+    // parallelism — shard count scales with the cluster, not the corpus.
+    "q_pack_sequences" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang"), col("shard"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .withColumn("shard", pmod(col("doc_id"), lit(8)))
+        .withColumn("tok", size(split(col("text"), " ")))
+        .withColumn("cum", sum(col("tok")).over(w))
+        .withColumn("bin",
+          floor((col("cum") - col("tok")).cast("double") / 2048.0)
+            .cast("bigint"))
+        .groupBy(col("lang"), col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("sum_tokens"))
+        .orderBy(col("lang"), col("shard"), col("bin"))
+    }),
+
+    // -- ANONYMIZATION: pseudonymize keys, redact IDs, generalize values ---
+    // The release-prep triple: stable keyed pseudonym (salted sha2 — same
+    // input, same pseudonym, so joins still work downstream), regex
+    // redaction of embedded identifiers, and numeric generalization
+    // (bucketing) of a quasi-identifier. Narrow per-row map — scales
+    // trivially; sha2/regexp_replace are codegen'd built-ins.
+    "q_anonymize" -> ((s, d) => {
+      Tables.customer(s, d).select(
+        sha2(concat(lit("pepper-1:"), col("c_custkey").cast("string")), 256)
+          .as("pseudo_id"),
+        regexp_replace(col("c_name"), "[0-9]+", "[ID]").as("name_redacted"),
+        (floor(col("c_acctbal") / 1000.0) * 1000).cast("bigint")
+          .as("acctbal_bucket"),
+        col("c_mktsegment"))
+        .orderBy(col("pseudo_id"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    // Recursive CTE computes the same min-reachable-label fixpoint the
+    // Spark loop converges to; the pair CTE is q_dedup_jaccard's (string
+    // shingles — cardinality-identical to the hashed sets).
+    "q_dup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(string_split(text, ' ')) - 4, 1)),
+        |      i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' ')))
+        |      AS toks
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |    (len(a.toks) + len(b.toks)
+        |     - len(list_intersect(a.toks, b.toks))) >= 0.7),
+        |e AS (SELECT d1 AS src, d2 AS dst FROM p
+        |  UNION ALL SELECT d2, d1 FROM p),
+        |reach(v, r) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN e ON reach.v = e.src),
+        |lbl AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v)
+        |SELECT cluster_id, count(*) AS n_members,
+        |  array_to_string(list(v ORDER BY v), ',') AS members
+        |FROM lbl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    "q_decontaminate" -> {
+      s"""WITH ${OracleHash.shingleCtes},
+         |bench AS (SELECT DISTINCT unnest(toks) AS h FROM sh
+         |  WHERE doc_id % 40 = 0),
+         |tr AS (SELECT doc_id, unnest(toks) AS h FROM sh
+         |  WHERE doc_id % 40 <> 0),
+         |hits AS (SELECT DISTINCT tr.doc_id FROM tr JOIN bench USING (h))
+         |SELECT d.doc_id, d.lang,
+         |  (hits.doc_id IS NOT NULL) AS contaminated
+         |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+         |WHERE d.doc_id % 40 <> 0 ORDER BY d.doc_id""".stripMargin
+    },
+
+    "q_sample_stratified" -> {
+      import graft.engine.OracleHash._
+      s"""WITH ${splitmixStages("documents", "doc_id, lang",
+            "(doc_id*131+7)::UBIGINT")},
+         |b AS (SELECT doc_id, lang,
+         |    CAST((xor(z3, z3 >> 31) >> 8) % 100::UBIGINT AS BIGINT)
+         |      AS bucket
+         |  FROM p3_),
+         |r AS (SELECT doc_id, lang, bucket,
+         |    CASE WHEN lang = 'en' THEN 20 WHEN lang = 'zh' THEN 80
+         |         ELSE 50 END AS rate
+         |  FROM b)
+         |SELECT lang, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_sampled,
+         |  min(rate) AS rate_pct,
+         |  min(CASE WHEN bucket < rate THEN doc_id END) AS first_kept,
+         |  round(CAST(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END)
+         |    AS DOUBLE) * 100.0 / count(*), 6) AS realized_pct
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    // Single-phase rank — equivalent to the engine's two-phase selection
+    // (the per-lang top-N is contained in the union of per-salt top-Ns).
+    "q_rebalance" -> {
+      import graft.engine.OracleHash._
+      s"""WITH ${splitmixStages("documents", "doc_id, lang, n_chars",
+            "(doc_id*977+3)::UBIGINT")},
+         |h AS (SELECT doc_id, lang, n_chars,
+         |    (xor(z3, z3 >> 31) >> 8) AS hk FROM p3_),
+         |rk AS (SELECT doc_id, lang, n_chars, row_number() OVER (
+         |    PARTITION BY lang ORDER BY hk, doc_id) AS rn FROM h),
+         |k AS (SELECT * FROM rk WHERE rn <= 60),
+         |tot AS (SELECT lang, count(*) AS n_before FROM documents
+         |  GROUP BY lang),
+         |ka AS (SELECT lang, count(*) AS n_after,
+         |    CAST(sum(n_chars) AS BIGINT) AS sum_chars_kept
+         |  FROM k GROUP BY lang)
+         |SELECT tot.lang, n_before, n_after, sum_chars_kept
+         |FROM tot JOIN ka USING (lang) ORDER BY lang""".stripMargin
+    },
+
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, lang, doc_id % 8 AS shard,
+        |    len(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT doc_id, lang, shard, tok,
+        |    sum(tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT lang, shard,
+        |  CAST(floor((cum - tok) / 2048.0) AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS sum_tokens
+        |FROM c GROUP BY lang, shard, bin
+        |ORDER BY lang, shard, bin""".stripMargin,
+
+    "q_anonymize" ->
+      """SELECT sha256(concat('pepper-1:', c_custkey)) AS pseudo_id,
+        |  regexp_replace(c_name, '[0-9]+', '[ID]', 'g') AS name_redacted,
+        |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) * 1000
+        |    AS acctbal_bucket,
+        |  c_mktsegment
+        |FROM customer ORDER BY pseudo_id""".stripMargin
+  )
+}

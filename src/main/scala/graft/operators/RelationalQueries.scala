@@ -344,6 +344,26 @@ object RelationalQueries extends QueryPack {
       val a = o.filter(col("o_totalprice") > 150000).select(col("o_custkey"))
       val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
       a.except(b).orderBy(col("o_custkey"))
+    }),
+
+    // -- unpivot / melt (wide → long reshape; inverse of pivot) ------------
+    // Expand is a narrow operator (each row emits one row per value
+    // column, no shuffle); min/max are order-independent so the doubles
+    // need no rounding discipline.
+    "q_unpivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 6).as("min_value"),
+          round(max(col("value")), 6).as("max_value"))
+        .orderBy(col("metric"))
     })
   )
 
@@ -540,6 +560,17 @@ object RelationalQueries extends QueryPack {
       """SELECT o_custkey FROM orders WHERE o_totalprice > 150000
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-        |ORDER BY o_custkey""".stripMargin
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT metric, count(*) AS n, round(min(value), 6) AS min_value,
+        |  round(max(value), 6) AS max_value
+        |FROM u GROUP BY metric ORDER BY metric""".stripMargin
   )
 }

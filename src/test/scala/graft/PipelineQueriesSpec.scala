@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextDedup
+import graft.engine.Tables
+import graft.operators.PipelineQueries
+
+/** Invariants for the training-data curation operators; exact values are
+  * pinned by the DuckDB oracle gate, these pin the semantic claims the
+  * oracles can't express (cluster transitivity, two-phase-rank
+  * equivalence, determinism).
+  */
+class PipelineQueriesSpec extends AnyFunSuite {
+  import SparkFixture.{spark, sfDir}
+
+  private def run(name: String) =
+    PipelineQueries.queries(name)(spark, sfDir)
+
+  test("q_dup_clusters: every mined pair lands in one cluster, labeled by its min member") {
+    val clusters = run("q_dup_clusters").collect()
+    val members = clusters.map(r =>
+      r.getAs[Long]("cluster_id") ->
+        r.getAs[String]("members").split(",").map(_.toLong).toSet).toMap
+    // cluster_id is the min member and members are disjoint
+    members.foreach { case (cid, ms) =>
+      assert(ms.min == cid, s"cluster $cid not labeled by min member")
+      assert(ms.size >= 2, s"cluster $cid has no duplicate partner")
+    }
+    val all = members.values.flatten.toSeq
+    assert(all.distinct.size == all.size, "clusters overlap")
+    // transitivity: both endpoints of every edge share a cluster
+    val pairs = TextDedup.exactJaccardPairs(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+        0.7)
+      .select(col("d1"), col("d2")).collect()
+    val owner = members.flatMap { case (cid, ms) => ms.map(_ -> cid) }
+    pairs.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(owner(a) == owner(b), s"pair ($a,$b) split across clusters")
+    }
+  }
+
+  test("q_decontaminate: flags exactly the docs sharing a shingle with the benchmark set") {
+    val flagged = run("q_decontaminate").collect()
+      .filter(_.getAs[Boolean]("contaminated"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextDedup.wordShingles(col("text")).as("t"))
+    val bench = sh.filter(pmod(col("doc_id"), lit(40)) === 0)
+      .select(explode(col("t")).as("h")).collect().map(_.getLong(0)).toSet
+    val expected = sh.filter(pmod(col("doc_id"), lit(40)) =!= 0)
+      .collect()
+      .filter(_.getAs[Seq[Long]]("t").exists(bench.contains))
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(flagged == expected)
+  }
+
+  test("q_sample_stratified: deterministic across reruns and bounded by the stratum rate") {
+    val a = run("q_sample_stratified").collect().map(_.toString).sorted
+    val b = run("q_sample_stratified").collect().map(_.toString).sorted
+    assert(a.sameElements(b), "sampling not deterministic")
+    run("q_sample_stratified").collect().foreach { r =>
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_total"))
+    }
+  }
+
+  test("q_rebalance: two-phase selection equals a single per-language rank") {
+    run("q_rebalance").collect().foreach { r =>
+      val (before, after) = (r.getAs[Long]("n_before"), r.getAs[Long]("n_after"))
+      assert(after == math.min(before, 60L),
+        s"lang ${r.getString(0)}: kept $after of $before (cap 60)")
+    }
+  }
+
+  test("q_pack_sequences: bins partition the corpus and are contiguous per shard") {
+    val rows = run("q_pack_sequences").collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables.documents(spark, sfDir).count())
+    rows.groupBy(r => (r.getString(0), r.getAs[Long]("shard")))
+      .foreach { case (shard, rs) =>
+        val bins = rs.map(_.getAs[Long]("bin")).sorted
+        assert(bins.head == 0L, s"$shard does not start at bin 0")
+        assert(bins.sameElements(bins.head to bins.last),
+          s"$shard has gaps in bins")
+      }
+  }
+
+  test("q_anonymize: no digits survive redaction and pseudonyms stay unique") {
+    val rows = run("q_anonymize").collect()
+    assert(rows.forall(!_.getAs[String]("name_redacted").exists(_.isDigit)))
+    val ids = rows.map(_.getAs[String]("pseudo_id"))
+    assert(ids.distinct.length == ids.length)
+  }
+}
