@@ -172,6 +172,24 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("lang"), col("shard"), col("bin"))
     }),
 
+    // -- HEAVY HITTERS: corpus-wide frequent tokens ------------------------
+    // Exact top-k tokens: explode → two-phase hash aggregate (map-side
+    // partial combine collapses each partition to its distinct tokens, so
+    // the shuffle carries vocabulary, not corpus) → TakeOrderedAndProject.
+    // The plan holds at 100 TB because vocabulary size, not corpus size,
+    // bounds the shuffle; a count-min sketch only becomes necessary when
+    // even the vocabulary won't shuffle. (count desc, token) is a total
+    // order, so the k-boundary is deterministic.
+    "q_heavy_hitters" -> ((s, d) => {
+      Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    }),
+
     // -- ANONYMIZATION: pseudonymize keys, redact IDs, generalize values ---
     // The release-prep triple: stable keyed pseudonym (salted sha2 — same
     // input, same pseudonym, so joins still work downstream), regex
@@ -284,6 +302,12 @@ object PipelineQueries extends QueryPack {
         |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS sum_tokens
         |FROM c GROUP BY lang, shard, bin
         |ORDER BY lang, shard, bin""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |      FROM documents) t
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
 
     "q_anonymize" ->
       """SELECT sha256(concat('pepper-1:', c_custkey)) AS pseudo_id,

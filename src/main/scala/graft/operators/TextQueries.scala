@@ -96,6 +96,9 @@ object TextQueries extends QueryPack {
     // -- document fingerprint: md5 + min-shingle rolling fingerprint -------
     "q_fingerprint" -> ((s, d) => {
       Tables.documents(s, d)
+        // the md5-per-shingle transform is interpreted and CPU-heavy;
+        // explicit partition count so AQE can't fold it onto one core
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .withColumn("toks", split(norm(col("text")), " "))
         .select(
           col("doc_id"),
@@ -132,15 +135,24 @@ object TextQueries extends QueryPack {
     // -- within-document repetition (Gopher-style quality signal) ----------
     // Duplicate word-trigram fraction: high values flag boilerplate /
     // degenerate generations. Narrow per-doc map — scales trivially.
+    // The distinct count runs on the native shingle extractor rather than
+    // an interpreted transform/slice/concat pipeline (~34µs per trigram
+    // measured — 7.8s for the corpus vs 0.2s native), and the repartition
+    // pins an explicit partition count: a column-only repartition is a
+    // coalescible shuffle, and AQE folds these tiny-byte/heavy-CPU
+    // partitions back into one (the text is ~1 MB; the work is not).
     "q_repetition_ratio" -> ((s, d) => {
       val toks = split(norm(col("text")), " ")
-      val tris = transform(
-        sequence(lit(0), greatest(size(toks) - 3, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(3))))
+      val nTris = (greatest(size(toks) - 3, lit(0)) + 1).cast("bigint")
+      // distinct word-trigrams == distinct 3-shingle hashes (native clamps
+      // trailing partial shingles exactly like slice(toks, i+1, 3) does)
+      val nDistinct = size(org.apache.spark.sql.graft.NativeExpressions
+        .shingleHashes(encode(norm(col("text")), "UTF-8"), lit(3)))
       Tables.documents(s, d)
-        .select(col("doc_id"), size(tris).cast("bigint").as("n_tris"),
-          round(lit(1.0) - size(array_distinct(tris)).cast("double") /
-            size(tris), 6).as("rep_ratio"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), nTris.as("n_tris"),
+          round(lit(1.0) - nDistinct.cast("double") / nTris, 6)
+            .as("rep_ratio"))
         .withColumn("repetitive", col("rep_ratio") > 0.2)
         .orderBy(col("doc_id"))
     }),
@@ -153,6 +165,8 @@ object TextQueries extends QueryPack {
         "on", "for")
       val toks = split(norm(col("text")), " ")
       Tables.documents(s, d)
+        // explicit partition count: see q_repetition_ratio's AQE note
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), size(toks).cast("bigint").as("n_tokens"),
           size(filter(toks, t => t.isInCollection(stop))).cast("bigint")
             .as("n_stop"))

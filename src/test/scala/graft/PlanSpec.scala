@@ -99,6 +99,21 @@ class PlanSpec extends AnyFunSuite {
       "bucketed join still shuffled:\n" + p)
   }
 
+  test("q_decontaminate semi-joins against a broadcast eval set") {
+    val p = plan("q_decontaminate")
+    // the 100 TB side must stream through a broadcast semi-join — an
+    // exchange-both-sides plan would shuffle the whole corpus on shingle
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
+  test("q_rebalance keeps both window phases keyed (no cartesian, no NLJ)") {
+    val p = plan("q_rebalance")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // two Window operators: the salted phase and the residual phase
+    assert("Window \\[".r.findAllIn(p).size >= 2, p)
+  }
+
   test("analyzed catalog tables drive CBO decisions with AQE off") {
     // registerAnalyzed = catalog tables + ANALYZE TABLE + cbo.enabled:
     // the optimizer must (a) know exact row counts and (b) pick a
