@@ -68,6 +68,35 @@ object EventQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // -- resample + forward fill: regularize a sparse series ---------------
+    // Time-series regularization: hourly grid per series over the full
+    // corpus range (bounds arrive as a broadcast 1-row frame — no driver
+    // collect), left-joined against sparse observations (value > 90 keeps
+    // ~10% of events, so most grid cells are gaps) and gap-filled with
+    // last-observation-carried-forward. Fill is inherently sequential per
+    // series, so the series key carries the parallelism — 5 types here,
+    // (metric × entity) in a real deployment. Hours stay integral epoch
+    // seconds: interval arithmetic never touches doubles.
+    "q_resample_ffill" -> ((s, d) => {
+      val e = Tables.eventsWithTime(s, d)
+        .withColumn("hour_s", expr("(ts_us div 3600000000) * 3600"))
+      val sparse = e.filter(col("value") > 90)
+        .groupBy(col("event_type"), col("hour_s"))
+        .agg(count(lit(1)).as("n_obs"), round(avg(col("value")), 6).as("v"))
+      val bounds = e.agg(min(col("hour_s")).as("lo"), max(col("hour_s")).as("hi"))
+      val grid = e.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hour_s"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour_s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(sparse, Seq("event_type", "hour_s"), "left")
+        .select(col("event_type"), col("hour_s"),
+          coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+          last(col("v"), ignoreNulls = true).over(w).as("v_filled"))
+        .orderBy(col("event_type"), col("hour_s"))
+    }),
+
     // -- keyed dedup: first event per (user_id, event_type) ----------------
     "q_dedup_keyed" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"), col("event_type"))
@@ -135,6 +164,26 @@ object EventQueries extends QueryPack {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_id, user_id, us AS ts_us, view_ts, view_value
         |FROM m WHERE is_p = 1 ORDER BY event_id""".stripMargin,
+
+    "q_resample_ffill" ->
+      """WITH e AS (SELECT event_type,
+        |    (epoch_us(ts) // 3600000000) * 3600 AS hour_s, value
+        |  FROM events),
+        |sp AS (SELECT event_type, hour_s, count(*) AS n_obs,
+        |    round(avg(value), 6) AS v
+        |  FROM e WHERE value > 90 GROUP BY 1, 2),
+        |b AS (SELECT min(hour_s) AS lo, max(hour_s) AS hi FROM e),
+        |g AS (SELECT t.event_type, u.hour_s
+        |  FROM (SELECT DISTINCT event_type FROM e) t
+        |  CROSS JOIN (SELECT unnest(generate_series(
+        |    (SELECT lo FROM b), (SELECT hi FROM b), 3600)) AS hour_s) u)
+        |SELECT g.event_type, g.hour_s, coalesce(sp.n_obs, 0) AS n_obs,
+        |  last_value(sp.v IGNORE NULLS) OVER (
+        |    PARTITION BY g.event_type ORDER BY g.hour_s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM g LEFT JOIN sp
+        |  ON g.event_type = sp.event_type AND g.hour_s = sp.hour_s
+        |ORDER BY g.event_type, g.hour_s""".stripMargin,
 
     "q_dedup_keyed" ->
       """SELECT user_id, event_type, event_id, ts_us

@@ -190,6 +190,39 @@ object PipelineQueries extends QueryPack {
         .limit(20)
     }),
 
+    // -- TF-IDF: corpus-weighted term importance, top-3 terms per doc ------
+    // Classic smoothed log-idf (ln((N+1)/(df+1)) + 1). Three shuffles,
+    // each bounded: tf by (doc, token); df by token (vocabulary-sized);
+    // the score join re-shuffles on token. N arrives as a broadcast 1-row
+    // frame, not a driver-side collect. The per-doc rank window keys on
+    // doc_id — high cardinality. Tie-break (score desc, token) is total;
+    // sub-ulp ln() differences between engines cannot flip it because
+    // equal (tf, df) pairs produce bitwise-equal scores per engine.
+    "q_tfidf" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), explode(split(
+          regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+          .as("token"))
+      val tf = toks.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val nd = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val idf = dfq.crossJoin(broadcast(nd))
+        .select(col("token"),
+          (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1.0)
+            .as("idf"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf_raw").desc, col("token"))
+      tf.join(idf, "token")
+        .withColumn("tfidf_raw", col("tf") * col("idf"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("token"),
+          round(col("tfidf_raw"), 6).as("tfidf"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // -- ANONYMIZATION: pseudonymize keys, redact IDs, generalize values ---
     // The release-prep triple: stable keyed pseudonym (salted sha2 — same
     // input, same pseudonym, so joins still work downstream), regex
@@ -302,6 +335,25 @@ object PipelineQueries extends QueryPack {
         |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS sum_tokens
         |FROM c GROUP BY lang, shard, bin
         |ORDER BY lang, shard, bin""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.token,
+        |    tf.tf * (ln((nd.n_docs + 1)::DOUBLE / (dfq.df + 1)) + 1.0)
+        |      AS tfidf_raw
+        |  FROM tf JOIN dfq USING (token) CROSS JOIN nd),
+        |rk AS (SELECT doc_id, token, tfidf_raw, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf_raw DESC, token) AS INT)
+        |      AS rank
+        |  FROM sc)
+        |SELECT doc_id, rank, token, round(tfidf_raw, 6) AS tfidf
+        |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "q_heavy_hitters" ->
       """SELECT token, count(*) AS n
