@@ -41,6 +41,30 @@ class PipelineQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dup_clusters matches an independent union-find over the same edges") {
+    val pairs = TextDedup.exactJaccardPairs(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+        0.7)
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // third, independent implementation: classic path-compressed union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.toSeq.groupBy(find)
+      .map { case (_, vs) => vs.min -> vs.sorted.mkString(",") }
+    val got = run("q_dup_clusters").collect()
+      .map(r => r.getAs[Long]("cluster_id") -> r.getAs[String]("members"))
+      .toMap
+    assert(got == expected)
+  }
+
   test("q_decontaminate: flags exactly the docs sharing a shingle with the benchmark set") {
     val flagged = run("q_decontaminate").collect()
       .filter(_.getAs[Boolean]("contaminated"))

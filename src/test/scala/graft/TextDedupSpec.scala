@@ -49,6 +49,26 @@ class TextDedupSpec extends AnyFunSuite {
     assert(lsh.contains((0L, 1L)))
   }
 
+  test("native 3-shingle distinct count equals the interpreted trigram pipeline") {
+    // q_repetition_ratio's rewrite contract: size(shingleHashes(text, 3))
+    // must agree with the transform/slice/concat trigram formulation,
+    // including the clamped trailing partials and sub-3-word docs
+    import org.apache.spark.sql.functions._
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val toks = split(norm, " ")
+    val tris = transform(
+      sequence(lit(0), greatest(size(toks) - 3, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(3))))
+    val mismatches = graft.engine.Tables.documents(spark, SparkFixture.sfDir)
+      .select(col("doc_id"),
+        size(array_distinct(tris)).as("hof"),
+        size(org.apache.spark.sql.graft.NativeExpressions
+          .shingleHashes(encode(norm, "UTF-8"), lit(3))).as("native"))
+      .filter(col("hof") =!= col("native"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("SimHash: identical docs at hamming 0; self-pairs excluded") {
     val sh = TextDedup.simHashPairs(docs, maxHamming = 3)
       .select($"d1", $"d2", $"hamming").as[(Long, Long, Long)]
