@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{QueryPack, Tables}
 
@@ -119,6 +120,9 @@ object RelationalQueries extends QueryPack {
     }),
 
     // -- exact percentiles -------------------------------------------------
+    // `percentile()` buffers every group value in the aggregate buffer —
+    // fine here, OOM at 100 TB group sizes. q_percentile_dist below is
+    // the spill-safe formulation of the same answer.
     "q_percentile" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
@@ -126,6 +130,45 @@ object RelationalQueries extends QueryPack {
           round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
           round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25_price"),
           round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // -- exact percentiles, spill-safe (rank window + interpolation) -------
+    // Same linearly-interpolated percentiles, but no unbounded aggregate
+    // buffer: melt to (group, metric, value), row_number over a sort-based
+    // window (SortExec spills; `percentile()`'s ArrayBuffer cannot), then
+    // pick the two straddling ranks and interpolate
+    // lower + (higher - lower) * frac. The window partition is
+    // (group × metric); a 100 TB deployment carries parallelism in that
+    // key the same way the packing/resample operators do.
+    "q_percentile_dist" -> ((s, d) => {
+      val vals = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("g"),
+          col("l_quantity").as("qty"), col("l_extendedprice").as("price"))
+        .unpivot(Array(col("g")), Array(col("qty"), col("price")), "m", "v")
+      val n = vals.groupBy(col("g"), col("m")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("g"), col("m")).orderBy(col("v"))
+      val ranked = vals.withColumn("rn", row_number().over(w))
+        .join(broadcast(n), Seq("g", "m"))
+      def pct(metric: String, p: Double, out: String): DataFrame = {
+        val pos = lit(p) * (col("n") - 1)
+        val lo = floor(pos) + 1
+        val frac = pos - floor(pos)
+        ranked.filter(col("m") === metric)
+          .filter(col("rn") === lo || col("rn") === lo + 1)
+          .groupBy(col("g"))
+          .agg(round(
+            max(when(col("rn") === lo, col("v"))) +
+              (coalesce(max(when(col("rn") === lo + 1, col("v"))),
+                max(when(col("rn") === lo, col("v")))) -
+                max(when(col("rn") === lo, col("v")))) * max(frac), 6)
+            .as(out))
+      }
+      pct("qty", 0.5, "p50_qty")
+        .join(pct("price", 0.25, "p25_price"), "g")
+        .join(pct("price", 0.75, "p75_price"), "g")
+        .select(col("g").as("l_returnflag"), col("p50_qty"),
+          col("p25_price"), col("p75_price"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -416,6 +459,14 @@ object RelationalQueries extends QueryPack {
         |ORDER BY o_orderpriority""".stripMargin,
 
     "q_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+        |  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_percentile_dist" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
         |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
