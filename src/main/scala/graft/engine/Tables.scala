@@ -81,7 +81,11 @@ object Tables {
     s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "documents", "embeddings", "events").foreach { n =>
-      s.sql(s"CREATE TABLE IF NOT EXISTS $prefix$n USING parquet " +
+      // DROP first: IF NOT EXISTS would silently keep a previous call's
+      // LOCATION when re-registering against a different corpus dir, and
+      // ANALYZE would then re-bless the stale data
+      s.sql(s"DROP TABLE IF EXISTS $prefix$n")
+      s.sql(s"CREATE TABLE $prefix$n USING parquet " +
         s"LOCATION '$d/$n.parquet'")
       // row count + size for every table; NDV/min/max histograms only for
       // atomic-typed columns (ANALYZE rejects array/map columns — the

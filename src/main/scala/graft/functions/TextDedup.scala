@@ -32,7 +32,13 @@ object TextDedup {
     * inside a single pair's union (~1e-14). */
   private def toks(c: Column): Column =
     org.apache.spark.sql.graft.NativeExpressions
-      .shingleHashes(encode(c, "UTF-8"), lit(5))
+      // normalize BEFORE shingling (lowercase, trim, collapse whitespace):
+      // dedup must treat case/spacing variants as duplicates, and the
+      // DuckDB twin (OracleHash.shingleCtes) shingles normalized text —
+      // hashing raw bytes here would only coincidentally agree on a
+      // pre-normalized corpus
+      .shingleHashes(
+        encode(regexp_replace(lower(trim(c)), "\\s+", " "), "UTF-8"), lit(5))
 
   /** Public accessor for the 5-word shingle hash set — shared with the
     * decontamination / dup-cluster pipeline operators so every shingle
@@ -58,7 +64,8 @@ object TextDedup {
     require(threshold > 0, "threshold must be positive")
     // Repartition before shingling: the corpus is often a single parquet
     // split locally, and the per-doc shingle transform must parallelize.
-    val t = docs.repartition(col("doc_id"))
+    val t = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), toks(col("text")).as("toks"))
       .withColumn("sz", size(col("toks")))
     val ex = t.select(col("doc_id"), col("sz"),
@@ -88,7 +95,8 @@ object TextDedup {
     val rows = numPerms / bands
     // whole signature in one narrow pass per doc (no explode, no
     // numPerms-column min aggregate)
-    val sigs = docs.repartition(col("doc_id"))
+    val sigs = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         org.apache.spark.sql.graft.NativeExpressions
           .minHashSignature(toks(col("text")), lit(numPerms)).as("sig"))
@@ -111,7 +119,8 @@ object TextDedup {
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
     // verify candidates with exact Jaccard → zero false positives
-    val t = docs.repartition(col("doc_id"))
+    val t = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), toks(col("text")).as("toks"))
       .withColumn("sz", size(col("toks")))
     val jaccRaw = col("inter").cast("double") /
@@ -134,7 +143,8 @@ object TextDedup {
     require(maxHamming <= 3, "chunk blocking is lossless only for <= 3")
     // per-doc signature in one narrow pass (no explode, no 64-column
     // conditional aggregate)
-    val sigs = docs.repartition(col("doc_id"))
+    val sigs = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), org.apache.spark.sql.graft.NativeExpressions
         .simHash64(toks(col("text"))).as("sh"))
     // block on 16-bit chunks: hamming<=3 pairs share >=1 exact chunk

@@ -79,7 +79,9 @@ object PipelineQueries extends QueryPack {
     // side. Shingles are the same FNV-1a-64 hashes the dedup family uses.
     "q_decontaminate" -> ((s, d) => {
       val sh = Tables.documents(s, d)
-        .repartition(col("doc_id"))
+        // explicit count: a column-only repartition is AQE-coalescible
+        // (see q_repetition_ratio's note) and shingling is CPU-heavy
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), col("lang"),
           TextDedup.wordShingles(col("text")).as("toks"))
       val bench = sh.filter(pmod(col("doc_id"), lit(40)) === 0)
@@ -182,7 +184,7 @@ object PipelineQueries extends QueryPack {
     // order, so the k-boundary is deterministic.
     "q_heavy_hitters" -> ((s, d) => {
       Tables.documents(s, d)
-        .repartition(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(explode(split(col("text"), " ")).as("token"))
         .groupBy(col("token"))
         .agg(count(lit(1)).as("n"))
@@ -246,12 +248,15 @@ object PipelineQueries extends QueryPack {
     // Spark loop converges to; the pair CTE is q_dedup_jaccard's (string
     // shingles — cardinality-identical to the hashed sets).
     "q_dup_clusters" ->
-      """WITH RECURSIVE t AS (SELECT doc_id,
-        |    list_distinct(list_transform(
-        |      range(0, greatest(len(string_split(text, ' ')) - 4, 1)),
-        |      i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' ')))
-        |      AS toks
+      """WITH RECURSIVE n0 AS (SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS ws
         |  FROM documents),
+        |t AS (SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(ws) - 4, 1)),
+        |      i -> array_to_string(ws[i+1:i+5], ' '))) AS toks
+        |  FROM n0),
         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2
         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
         |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /

@@ -150,25 +150,28 @@ object RelationalQueries extends QueryPack {
       val w = Window.partitionBy(col("g"), col("m")).orderBy(col("v"))
       val ranked = vals.withColumn("rn", row_number().over(w))
         .join(broadcast(n), Seq("g", "m"))
-      def pct(metric: String, p: Double, out: String): DataFrame = {
+      // all three percentiles from ONE pass over ranked: conditional
+      // aggregates pick each request's straddling ranks, the post-select
+      // interpolates lower + (higher - lower) * frac
+      val reqs = Seq(("qty", 0.5, "p50_qty"), ("price", 0.25, "p25_price"),
+        ("price", 0.75, "p75_price"))
+      val aggCols = reqs.flatMap { case (m0, p, out) =>
         val pos = lit(p) * (col("n") - 1)
         val lo = floor(pos) + 1
-        val frac = pos - floor(pos)
-        ranked.filter(col("m") === metric)
-          .filter(col("rn") === lo || col("rn") === lo + 1)
-          .groupBy(col("g"))
-          .agg(round(
-            max(when(col("rn") === lo, col("v"))) +
-              (coalesce(max(when(col("rn") === lo + 1, col("v"))),
-                max(when(col("rn") === lo, col("v")))) -
-                max(when(col("rn") === lo, col("v")))) * max(frac), 6)
-            .as(out))
+        Seq(
+          max(when(col("m") === m0 && col("rn") === lo, col("v")))
+            .as(s"${out}_lo"),
+          max(when(col("m") === m0 && col("rn") === lo + 1, col("v")))
+            .as(s"${out}_hi"),
+          max(when(col("m") === m0, pos - floor(pos))).as(s"${out}_f"))
       }
-      pct("qty", 0.5, "p50_qty")
-        .join(pct("price", 0.25, "p25_price"), "g")
-        .join(pct("price", 0.75, "p75_price"), "g")
-        .select(col("g").as("l_returnflag"), col("p50_qty"),
-          col("p25_price"), col("p75_price"))
+      val outs = reqs.map { case (_, _, out) =>
+        round(col(s"${out}_lo") +
+          (coalesce(col(s"${out}_hi"), col(s"${out}_lo")) -
+            col(s"${out}_lo")) * col(s"${out}_f"), 6).as(out)
+      }
+      ranked.groupBy(col("g")).agg(aggCols.head, aggCols.tail: _*)
+        .select((col("g").as("l_returnflag") +: outs): _*)
         .orderBy(col("l_returnflag"))
     }),
 

@@ -26,10 +26,26 @@ object SourceQueries extends QueryPack {
   /** Scratch dir per (application, sfDir, name); /tmp is the stand-in for
     * the warehouse path a cluster deployment would use. The applicationId
     * segment keeps concurrent JVMs (Bench + Verify on the same corpus)
-    * from racing on the same roundtrip files. */
-  private def scratch(s: SparkSession, d: String, name: String): String =
-    s"/tmp/graft_io/${s.sparkContext.applicationId}/" +
-      s"${d.replaceAll("[^a-zA-Z0-9]", "_")}/$name"
+    * from racing on the same roundtrip files; a shutdown hook deletes the
+    * application's own subtree so repeated rounds don't accumulate
+    * per-appId copies under /tmp (stale dirs from killed JVMs are the
+    * only leak left, same as any temp-dir scheme). */
+  private val cleanupRegistered =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def scratch(s: SparkSession, d: String, name: String): String = {
+    val appRoot = s"/tmp/graft_io/${s.sparkContext.applicationId}"
+    if (cleanupRegistered.compareAndSet(false, true)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def del(f: java.io.File): Unit = {
+          val cs = f.listFiles(); if (cs != null) cs.foreach(del)
+          f.delete(); ()
+        }
+        del(new java.io.File(appRoot))
+      }))
+    }
+    s"$appRoot/${d.replaceAll("[^a-zA-Z0-9]", "_")}/$name"
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- CSV sink + CSV scan (header, explicit schema) ----------------------

@@ -179,8 +179,9 @@ object TextQueries extends QueryPack {
     // -- exact dedup by normalized-text hash -------------------------------
     "q_dedup_exact" -> ((s, d) => {
       Tables.documents(s, d)
-        // parallelize the per-doc sha2 (single local parquet split)
-        .repartition(col("doc_id"))
+        // parallelize the per-doc sha2 (explicit count — AQE-coalescible
+        // otherwise; see q_repetition_ratio's note)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .withColumn("fp", sha2(norm(col("text")), 256))
         .groupBy(col("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
@@ -240,9 +241,10 @@ object TextQueries extends QueryPack {
       // emits each doc's distinct byte-trigram codes as a sorted int
       // array (ASCII corpus ⇒ identical to character trigrams). The
       // repartition restores input parallelism lost to the single local
-      // parquet split (a real 100 TB table has thousands of splits).
+      // parquet split (a real 100 TB table has thousands of splits);
+      // explicit count so AQE cannot coalesce it away.
       val docIds = Tables.documents(s, d)
-        .repartition(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .withColumn("gids", org.apache.spark.sql.graft.NativeExpressions
           .trigramCodes(encode(norm(col("text")), "UTF-8")))
         .withColumn("sz", size(col("gids")))
@@ -440,11 +442,11 @@ object TextQueries extends QueryPack {
            |ORDER BY d1, d2""".stripMargin,
 
       "q_dedup_jaccard" ->
-        """WITH t AS (SELECT doc_id,
+        s"""WITH t AS (SELECT doc_id,
           |    list_distinct(list_transform(
-          |      range(0, greatest(len(string_split(text, ' ')) - 4, 1)),
-          |      i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' ')))
-          |      AS toks
+          |      range(0, greatest(len(string_split($normSql, ' ')) - 4, 1)),
+          |      i -> array_to_string(string_split($normSql, ' ')[i+1:i+5],
+          |        ' '))) AS toks
           |  FROM documents)
           |SELECT a.doc_id AS d1, b.doc_id AS d2,
           |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /

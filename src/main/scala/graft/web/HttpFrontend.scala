@@ -54,6 +54,14 @@ final class HttpFrontend(store: SnapshotStore, mount: Path,
     try {
       if (ex.getRequestMethod != "GET") reply(ex, 405, "")
       else route(ex)
+    } catch {
+      // routing can throw before any status line is written (malformed
+      // percent-encoding in URLDecoder, non-UTF-8 asset bytes in
+      // Files.readString); without this the client sees a dropped
+      // connection instead of a response
+      case scala.util.control.NonFatal(_) =>
+        try reply(ex, 500, "Internal Server Error")
+        catch { case _: Throwable => () } // headers already sent
     } finally ex.close()
   }
 

@@ -346,14 +346,19 @@ object NativeExpressions {
       // validates its own arg the same way)
       require(perms > 0, s"graft_minhash_signature: perms must be > 0, got $perms")
       val n = hs.numElements()
-      val sig = Array.fill(perms)(Long.MaxValue)
+      // UNSIGNED minimum (init = unsigned max = -1L): the DuckDB oracle
+      // takes min over UBIGINT, and a signed min would pick a different
+      // shingle as the permutation's minhash whenever the set mixes
+      // top-bit-set and small values — breaking the bit-identical
+      // signature contract on mid-similarity pairs
+      val sig = Array.fill(perms)(-1L)
       var i = 0
       while (i < n) {
         val h = hs.getLong(i)
         var k = 0
         while (k < perms) {
           val v = mix64(h ^ (0x9e3779b97f4a7c15L * (k + 1)))
-          if (v < sig(k)) sig(k) = v
+          if (java.lang.Long.compareUnsigned(v, sig(k)) < 0) sig(k) = v
           k += 1
         }
         i += 1

@@ -119,6 +119,10 @@ class PlanSpec extends AnyFunSuite {
     // the optimizer must (a) know exact row counts and (b) pick a
     // broadcast join from statistics alone — no hints, no AQE runtime
     // re-planning. This is the q5 shape: fact join dim join dim.
+    // registerAnalyzed flips CBO confs session-wide; capture first so the
+    // shared fixture session is restored for later plan-shape tests
+    val prevCbo = spark.conf.getOption("spark.sql.cbo.enabled")
+    val prevReorder = spark.conf.getOption("spark.sql.cbo.joinReorder.enabled")
     graft.engine.Tables.registerAnalyzed(spark, sfDir)
     val stats = spark.table("g_orders")
       .queryExecution.optimizedPlan.stats
@@ -138,6 +142,14 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("BroadcastHashJoin"),
         "stats did not drive a broadcast join:\n" + p)
       assert(!p.contains("CartesianProduct"), p)
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      def restore(k: String, v: Option[String]): Unit = v match {
+        case Some(x) => spark.conf.set(k, x)
+        case None    => spark.conf.unset(k)
+      }
+      restore("spark.sql.cbo.enabled", prevCbo)
+      restore("spark.sql.cbo.joinReorder.enabled", prevReorder)
+    }
   }
 }
