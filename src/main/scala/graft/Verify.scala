@@ -20,10 +20,33 @@ object Verify {
     val timeoutSec =
       sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "600").toLong
     val pool = java.util.concurrent.Executors.newCachedThreadPool()
+    // Session confs that query functions legitimately mutate (StreamRunner
+    // pins shuffle partitions; q_stream_transform swaps the state-store
+    // provider). Their finally blocks restore them on the normal path, but
+    // a timed-out pool thread may stay parked inside a non-interruptible
+    // Spark call, so re-pin after every query — same guard as Bench.
+    val guardedConfs = Seq(
+      "spark.sql.shuffle.partitions",
+      "spark.sql.streaming.stateStore.providerClass")
+    val confBaseline: Map[String, Option[String]] =
+      guardedConfs.map(k => k -> spark.conf.getOption(k)).toMap
+    def restoreConfs(): Unit = confBaseline.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    def deleteRecursively(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(deleteRecursively)
+      f.delete(); ()
+    }
     // One hung query must not stall the whole correctness dump: hard
     // per-query timeout with job-group cancellation (same protection as
     // Bench); the query is reported failed and the dump continues.
     SparkEntry.queries.foreach { case (name, fn) =>
+      // Delete the previous run's output FIRST: mode("overwrite") only
+      // clears it once the write job starts, so a query that fails in
+      // planning would leave stale rows for the checker to hash as a
+      // phantom PASS.
+      deleteRecursively(new java.io.File(s"$outDir/$name"))
       val task = pool.submit(new Runnable {
         override def run(): Unit = {
           spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
@@ -42,11 +65,15 @@ object Verify {
             try q.stop() catch { case _: Throwable => () }
           }
           task.cancel(true)
+          // a cancelled write may have left partial files — remove them so
+          // the checker sees a missing dir, not a truncated result
+          deleteRecursively(new java.io.File(s"$outDir/$name"))
           System.err.println(s"[verify] $name failed: timeout ${timeoutSec}s")
         case e: Throwable =>
           val cause = Option(e.getCause).getOrElse(e)
+          deleteRecursively(new java.io.File(s"$outDir/$name"))
           System.err.println(s"[verify] $name failed: ${cause.getMessage}")
-      }
+      } finally restoreConfs()
     }
     pool.shutdownNow()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

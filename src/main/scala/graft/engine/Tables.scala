@@ -50,11 +50,15 @@ object Tables {
     * Integer division keeps full precision (ns values exceed 2^53, so any
     * double math on raw ts would silently corrupt timestamps).
     */
-  def eventsWithTime(s: SparkSession, d: String): DataFrame = {
-    events(s, d)
-      .withColumn("ts_us", expr("ts div 1000"))
+  def eventsWithTime(s: SparkSession, d: String): DataFrame =
+    withEventTime(events(s, d))
+
+  /** Adds ts_us/ts_t to any frame with a raw ns `ts` column. Shared by the
+    * batch loader above and StreamRunner.eventsStream so the stream/batch
+    * twin queries can never diverge on time derivation. */
+  def withEventTime(df: DataFrame): DataFrame =
+    df.withColumn("ts_us", expr("ts div 1000"))
       .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
-  }
 
   /** Register all tables as temp views for spark.sql-based queries. */
   def registerAll(s: SparkSession, d: String): Unit = {

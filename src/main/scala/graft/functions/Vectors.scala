@@ -110,14 +110,24 @@ object Vectors {
       .otherwise(lit(-1.0))
 
   /** `bits`-bit random-hyperplane LSH signature of a vector: bit k is the
-    * sign of the projection onto deterministic hyperplane k. */
-  def rhpSignature(v: Column, bits: Int): Column = {
+    * sign of the projection onto deterministic hyperplane k.
+    *
+    * The signs depend only on (plane, dim), so they are precomputed
+    * driver-side (same splitmix64 parity as [[hyperplaneSign]]) and each
+    * projection is one codegen'd native dot product against a constant
+    * array — the previous HOF fold evaluated ~bits×dims interpreted
+    * expressions per row (~1 ms/row at 16×64). The native dot uses the
+    * same left-to-right FP fold, so signatures are bit-unchanged and the
+    * DuckDB oracle still regenerates them exactly. `maxDims` bounds the
+    * sign table; vectors longer than it fail the dot's length check. */
+  def rhpSignature(v: Column, bits: Int, maxDims: Int = 64): Column = {
     val proj = (0 until bits).map { k =>
-      // sum_j v[j] * sign(k, j), via a fold over dimension indices
-      val p = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, j) => x * hyperplaneSign(k, j)),
-        lit(0.0), (acc, x) => acc + x)
+      val signs = Array.tabulate(maxDims) { j =>
+        val h = org.apache.spark.sql.graft.NativeExpressions
+          .splitmix64Long(k.toLong * 4096L + j)
+        if ((h & 1L) == 0L) 1.0 else -1.0
+      }
+      val p = dot(v, slice(typedlit(signs.toSeq), lit(1), size(v)))
       when(p > 0, lit(1L << k)).otherwise(0L)
     }
     proj.reduce(_.bitwiseOR(_))

@@ -38,15 +38,23 @@ object VectorQueries extends QueryPack {
     }),
 
     // -- brute-force cosine top-k for a query set --------------------------
+    // Norms are computed once per vector BEFORE the pair join (sqrt is
+    // correctly rounded, so hoisting cannot change any cosine bit): the
+    // inline cosine() would re-fold both self-dots per pair — 3× the
+    // dominant per-pair cost (the measured win cosinePairs documents).
     "q_sim_topk" -> ((s, d) => {
-      val q = emb(s, d).filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      val c = emb(s, d)
-        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      val base = emb(s, d).withColumn("nrm", Vectors.norm(col("v")))
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qnrm"))
+      val c = base
+        .select(col("vec_id").as("c_id"), col("v").as("cv"),
+          col("nrm").as("cnrm"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos_raw").desc, col("c_id").asc)
       c.join(broadcast(q), col("q_id") =!= col("c_id"))
-        .withColumn("cos_raw", Vectors.cosine(col("qv"), col("cv")))
+        .withColumn("cos_raw",
+          Vectors.dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
         .select(col("q_id"), col("rnk").cast("bigint").as("rnk"), col("c_id"),
@@ -70,16 +78,18 @@ object VectorQueries extends QueryPack {
 
     // -- kNN label agreement: of the 5 nearest, how many share the label --
     "q_knn_label" -> ((s, d) => {
-      val q = emb(s, d).filter(col("vec_id") < 20)
+      val base = emb(s, d).withColumn("nrm", Vectors.norm(col("v")))
+      val q = base.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("label").as("q_label"),
-          col("v").as("qv"))
-      val c = emb(s, d)
+          col("v").as("qv"), col("nrm").as("qnrm"))
+      val c = base
         .select(col("vec_id").as("c_id"), col("label").as("c_label"),
-          col("v").as("cv"))
+          col("v").as("cv"), col("nrm").as("cnrm"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos_raw").desc, col("c_id").asc)
       c.join(broadcast(q), col("q_id") =!= col("c_id"))
-        .withColumn("cos_raw", Vectors.cosine(col("qv"), col("cv")))
+        .withColumn("cos_raw",
+          Vectors.dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
         .groupBy(col("q_id"), col("q_label"))
@@ -142,25 +152,35 @@ object VectorQueries extends QueryPack {
       val sigs = emb(s, d)
         .withColumn("sig", Vectors.rhpSignature(col("v"), 16))
       // block on 8-bit halves of the signature: pairs agreeing on either
-      // half become candidates (multi-probe style recall boost).
-      val chunks = sigs.select(col("vec_id"), col("label"), col("v"),
+      // half become candidates (multi-probe style recall boost). The
+      // bucket rows carry only (vec_id, chunk) — candidate dedup happens
+      // on the id pair, and the 64-double vectors join back AFTER, so the
+      // bucket exchange and the distinct never shuffle ~1 KB of vectors
+      // per candidate.
+      val chunks = sigs.select(col("vec_id"),
           explode(array(
             struct(lit(0).as("c"), expr("sig & 255").as("cv")),
             struct(lit(1).as("c"), expr("(sig >> 8) & 255").as("cv")))).as("ch"))
-        .select(col("vec_id"), col("v"), col("ch.c"), col("ch.cv"))
+        .select(col("vec_id"), col("ch.c"), col("ch.cv"))
       val q = chunks.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("c"),
-          col("cv"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos_raw").desc, col("c_id").asc)
-      chunks.alias("cand")
+        .select(col("vec_id").as("q_id"), col("c"), col("cv"))
+      val cand = chunks.alias("cand")
         .join(broadcast(q),
           col("cand.c") === q("c") && col("cand.cv") === q("cv") &&
             col("cand.vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("qv"), col("cand.vec_id").as("c_id"),
-          col("cand.v").as("cv"))
+        .select(col("q_id"), col("cand.vec_id").as("c_id"))
         .distinct()
-        .withColumn("cos_raw", Vectors.cosine(col("qv"), col("cv")))
+      val n = emb(s, d).withColumn("nrm", Vectors.norm(col("v")))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_raw").desc, col("c_id").asc)
+      cand
+        .join(broadcast(n.select(col("vec_id").as("q_id"),
+          col("v").as("qv"), col("nrm").as("qnrm"))
+          .filter(col("q_id") < 10)), "q_id")
+        .join(n.select(col("vec_id").as("c_id"), col("v").as("cv"),
+          col("nrm").as("cnrm")), "c_id")
+        .withColumn("cos_raw",
+          Vectors.dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
         .select(col("q_id"), col("rnk").cast("bigint").as("rnk"), col("c_id"),

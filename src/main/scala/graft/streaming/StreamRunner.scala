@@ -42,8 +42,7 @@ object StreamRunner {
       // file out of the corpus dir.
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.engine.Tables.withEventTime)
   }
 
   /** Run `stream` to a memory sink until all available data is processed,

@@ -227,9 +227,14 @@ object StreamingQueries extends QueryPack {
         |      FROM events) t
         |GROUP BY win_s ORDER BY win_s""".stripMargin,
 
+    // Grouped by the dedup key so the oracle stays correct if a corpus
+    // regeneration ever emits duplicate event_ids (StreamingSpec pins the
+    // uniqueness precondition and fails loudly first if payloads could
+    // diverge; under that precondition min() over one row is identity).
     "q_stream_dedup" ->
-      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
-        |FROM events ORDER BY event_id""".stripMargin,
+      """SELECT event_id, min(user_id) AS user_id,
+        |  min(event_type) AS event_type, min(epoch_us(ts)) AS ts_us
+        |FROM events GROUP BY event_id ORDER BY event_id""".stripMargin,
 
     "q_stream_update" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_v

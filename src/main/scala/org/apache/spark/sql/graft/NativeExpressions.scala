@@ -393,6 +393,12 @@ object NativeExpressions {
   def splitmix64(x: Column): Column =
     ExpressionUtils.column(SplitMix64(expr(x)))
 
+  /** JVM-side splitmix64 (the same finalizer the SplitMix64 expression
+    * evaluates) — lets callers precompute deterministic constant tables
+    * driver-side (e.g. RHP-LSH hyperplane signs) instead of evaluating
+    * the interpreted expression per row. */
+  def splitmix64Long(x: Long): Long = mix64(x)
+
   def minHashSignature(hashes: Column, perms: Column): Column =
     ExpressionUtils.column(MinHashSignature(expr(hashes), expr(perms)))
 }
