@@ -69,22 +69,39 @@ object Vectors {
     * near-identically, so true near-dups share their top cell a.s.
     * Output: every input column twice (`_1`/`_2`, id_1 < id_2) + cos_raw.
     */
-  def ivfBlockedPairs(points: org.apache.spark.sql.DataFrame,
-                      threshold: Double, nlist: Int, nprobe: Int)
+  /** The `nlist` deterministic centroids of a (id, v, nrm) frame: the
+    * nlist lowest-id vectors (no iterative k-means, so a SQL oracle
+    * replicates the set exactly). Output: (cid, cv, cnrm). */
+  def ivfCentroids(n: org.apache.spark.sql.DataFrame, nlist: Int)
+      : org.apache.spark.sql.DataFrame =
+    n.orderBy(col("id")).limit(nlist)
+      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+
+  /** Assign each (id, v, nrm) row to its `nprobe` nearest centroids
+    * (cosine, tie-break cid asc — the order the oracles replicate).
+    * ONE implementation shared by [[ivfBlockedPairs]] and q_sim_ivf so
+    * the oracle-pinned blocking cannot drift between the two paths.
+    * Output: (id, cid). */
+  def ivfAssign(pts: org.apache.spark.sql.DataFrame,
+                cents: org.apache.spark.sql.DataFrame, nprobe: Int)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = points.withColumn("nrm", norm(col("v")))
-    val cents = n.orderBy(col("id")).limit(nlist)
-      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     val wAssign = Window.partitionBy(col("id"))
       .orderBy(col("csim").desc, col("cid").asc)
-    val asg = n.select(col("id"), col("v"), col("nrm"))
+    pts.select(col("id"), col("v"), col("nrm"))
       .crossJoin(broadcast(cents))
       .withColumn("csim",
         dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") <= nprobe)
       .select(col("id"), col("cid"))
+  }
+
+  def ivfBlockedPairs(points: org.apache.spark.sql.DataFrame,
+                      threshold: Double, nlist: Int, nprobe: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val n = points.withColumn("nrm", norm(col("v")))
+    val asg = ivfAssign(n, ivfCentroids(n, nlist), nprobe)
     // pairs sharing >= 1 probed cell; distinct because a pair can share 2
     val cand = asg.alias("x")
       .join(asg.alias("y"),

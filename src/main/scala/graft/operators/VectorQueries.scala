@@ -109,34 +109,24 @@ object VectorQueries extends QueryPack {
     // O(|Q|·|C|·nprobe/nlist) with no all-pairs step.
     "q_sim_ivf" -> ((s, d) => {
       val nlist = 16; val nprobe = 2; val k = 5
-      val e = emb(s, d).withColumn("nrm", Vectors.norm(col("v")))
-      val cents = e.filter(col("vec_id") < nlist)
-        .select(col("vec_id").as("cid"), col("v").as("cv"),
-          col("nrm").as("cnrm"))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("csim").desc, col("cid").asc)
-      val assign = e.crossJoin(broadcast(cents))
-        .withColumn("csim",
-          Vectors.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
-        .select(col("vec_id").as("c_id"), col("v").as("cv2"),
-          col("nrm").as("cnrm2"), col("cid"))
-      val wProbe = Window.partitionBy(col("q_id"))
-        .orderBy(col("csim").desc, col("cid").asc)
-      val probes = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("nrm").as("qnrm"))
-        .crossJoin(broadcast(cents))
-        .withColumn("csim",
-          Vectors.dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
-        .withColumn("prn", row_number().over(wProbe))
-        .filter(col("prn") <= nprobe)
-        .select(col("q_id"), col("qv"), col("qnrm"), col("cid"))
+      val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
+        .withColumn("nrm", Vectors.norm(col("v")))
+      // centroid set + assignment live in Vectors (ivfCentroids/ivfAssign)
+      // — the identical oracle-pinned blocking ivfBlockedPairs uses, so
+      // the two IVF paths cannot drift
+      val cents = Vectors.ivfCentroids(e, nlist)
+      val assign = Vectors.ivfAssign(e, cents, 1)
+      val probes = Vectors.ivfAssign(e.filter(col("id") < 10), cents, nprobe)
       val wTop = Window.partitionBy(col("q_id"))
         .orderBy(col("cos_raw").desc, col("c_id").asc)
-      probes.join(assign, "cid")
+      probes.select(col("id").as("q_id"), col("cid"))
+        .join(assign.select(col("id").as("c_id"), col("cid")), "cid")
         .filter(col("q_id") =!= col("c_id"))
+        .join(broadcast(e.filter(col("id") < 10)
+          .select(col("id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qnrm"))), "q_id")
+        .join(e.select(col("id").as("c_id"), col("v").as("cv2"),
+          col("nrm").as("cnrm2")), "c_id")
         .withColumn("cos_raw",
           Vectors.dot(col("qv"), col("cv2")) / (col("qnrm") * col("cnrm2")))
         .withColumn("rnk", row_number().over(wTop))
