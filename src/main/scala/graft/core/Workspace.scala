@@ -86,16 +86,27 @@ object Workspace {
     def versionIds(name: String): Seq[String] = {
       val objs = wsRoot(name).resolve("objects")
       if (!Files.isDirectory(objs)) Seq.empty
-      else Files.list(objs).iterator().asScala.map(_.getFileName.toString)
-        .toSeq.sorted
+      else {
+        // Files.list holds an open directory fd until closed — the HTTP
+        // frontend calls this per request, so a leak exhausts the limit
+        val st = Files.list(objs)
+        try st.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+        finally st.close()
+      }
     }
 
-    /** Named ref first, then unique id-prefix — src/http_server.rs:154-165. */
+    /** Named ref first, then exact id, then unique id-prefix —
+      * src/http_server.rs:154-165. Exact match takes precedence so an id
+      * that is a proper prefix of another stored id is still resolvable
+      * (git avoids the case only because OIDs are fixed-length; this
+      * store allows arbitrary-length ids). */
     def resolve(name: String, version: String): Either[QueryError, String] =
       refs(name).get(version) match {
         case Some(id) => Right(id)
         case None =>
-          versionIds(name).filter(_.startsWith(version)) match {
+          val ids = versionIds(name)
+          if (version.nonEmpty && ids.contains(version)) Right(version)
+          else ids.filter(_.startsWith(version)) match {
             case Seq(one) => Right(one)
             case _        => Left(VersionNotFound(version))
           }
@@ -123,14 +134,22 @@ object Workspace {
           val target =
             if (path.value.isEmpty) snap else snap.resolve(path.value)
           if (!Files.exists(target)) Left(PathNotFound(path.value))
-          else if (Files.isRegularFile(target))
-            Right(FileResult(path.value, Files.readString(target)))
-          else {
+          else if (Files.isRegularFile(target)) {
+            // lossy UTF-8 decode (invalid sequences → U+FFFD) instead of
+            // Files.readString, whose strict decoder THROWS on binary
+            // content and would escape the Either error contract
+            val text = new String(Files.readAllBytes(target),
+              java.nio.charset.StandardCharsets.UTF_8)
+            Right(FileResult(path.value, text))
+          } else {
             // recursive walk, root included (src/http_server.rs:255-265),
-            // normalized to workspace-relative sorted paths.
-            val items = Files.walk(target).iterator().asScala
-              .map(p => snap.relativize(p).toString)
-              .toSeq.sorted
+            // normalized to workspace-relative sorted paths; stream closed
+            // even on a mid-iteration failure
+            val st = Files.walk(target)
+            val items =
+              try st.iterator().asScala
+                .map(p => snap.relativize(p).toString).toSeq.sorted
+              finally st.close()
             Right(DirectoryResult(path.value, items))
           }
         }
@@ -142,14 +161,27 @@ object Workspace {
     * (src/template.rs:16-22) as plain string templates.
     */
   object Render {
+    /** HTML-escape interpolated values — Handlebars (the reference's
+      * template engine, src/template.rs) escapes by default, and the
+      * error message echoes the user-supplied workspace name, so raw
+      * interpolation would be reflected XSS through the HTTP frontend. */
+    private def esc(s: String): String = s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&quot;"
+      case '\'' => "&#39;"
+      case c => c.toString
+    }
     def page(title: String, body: String): String =
-      s"<html><head><title>$title</title></head><body>$body</body></html>"
+      s"<html><head><title>${esc(title)}</title></head><body>$body</body></html>"
     def error(message: String): String =
-      page("Error", s"<p class=\"error\">$message</p>")
+      page("Error", s"<p class=\"error\">${esc(message)}</p>")
     def foundFile(name: String, contents: String): String =
-      page(name, s"<pre>$contents</pre>")
+      page(name, s"<pre>${esc(contents)}</pre>")
     def foundDirectory(name: String, items: Seq[String]): String =
-      page(name, items.map(i => s"<li>$i</li>").mkString("<ul>", "", "</ul>"))
+      page(name,
+        items.map(i => s"<li>${esc(i)}</li>").mkString("<ul>", "", "</ul>"))
     def render(r: Either[QueryError, QueryResult]): String = r match {
       case Left(e)                         => error(e.message)
       case Right(FileResult(n, c))         => foundFile(n, c)

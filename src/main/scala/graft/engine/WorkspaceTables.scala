@@ -20,7 +20,10 @@ object WorkspaceTables {
   def csv(spark: SparkSession, store: SnapshotStore, workspace: String,
           version: String, path: String,
           schema: StructType): Either[QueryError, DataFrame] =
-    store.resolve(workspace, version).map { vid =>
+    // existence first, so an unknown workspace reports RepoNotFound (as
+    // SnapshotStore.query does) instead of a misleading VersionNotFound
+    if (!store.workspaceExists(workspace)) Left(RepoNotFound(workspace))
+    else store.resolve(workspace, version).map { vid =>
       val file = store.snapshotDir(workspace, vid)
         .resolve(WorkspacePath(path).value)
       spark.read.option("header", "true").schema(schema).csv(file.toString)

@@ -7,8 +7,12 @@ import graft.engine.{QueryPack, Tables}
 /** Scalar-function surface: string, date/time, math, array (higher-order),
   * JSON, cast/null handling. SURVEY.md §2.2 "Scalar functions".
   *
-  * Everything stays inside whole-stage codegen (`functions._` only, no
-  * UDFs), so these project at full Tungsten speed at any scale.
+  * No UDFs anywhere — `functions._` only. Most of the surface is
+  * whole-stage-codegen'd; the EXCEPTION is the higher-order functions in
+  * q_array_funcs (transform/filter/aggregate), which Spark evaluates
+  * interpreted (~50 µs/call — see PERF.md). That is acceptable in a
+  * once-per-row projection and is exactly why the hot similarity loops
+  * use native expressions instead (NativeExpressions).
   *
   * Cross-engine gotchas handled here (vs the DuckDB oracle):
   *  - Spark `log` is natural log; DuckDB `log` is log10 → oracle uses `ln`.

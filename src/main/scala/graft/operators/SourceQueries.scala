@@ -30,12 +30,14 @@ object SourceQueries extends QueryPack {
     * application's own subtree so repeated rounds don't accumulate
     * per-appId copies under /tmp (stale dirs from killed JVMs are the
     * only leak left, same as any temp-dir scheme). */
+  // keyed by appRoot, not a single flag: one JVM can run several
+  // SparkSessions (different applicationIds) and each needs its own hook
   private val cleanupRegistered =
-    new java.util.concurrent.atomic.AtomicBoolean(false)
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def scratch(s: SparkSession, d: String, name: String): String = {
     val appRoot = s"/tmp/graft_io/${s.sparkContext.applicationId}"
-    if (cleanupRegistered.compareAndSet(false, true)) {
+    if (cleanupRegistered.add(appRoot)) {
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def del(f: java.io.File): Unit = {
           val cs = f.listFiles(); if (cs != null) cs.foreach(del)

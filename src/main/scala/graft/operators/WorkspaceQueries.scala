@@ -21,6 +21,15 @@ object WorkspaceQueries extends QueryPack {
     */
   def fixture(): SnapshotStore = {
     val mount = Files.createTempDirectory("graft_ws")
+    // the fixture tree is per-invocation scratch: delete it on JVM exit
+    // so repeated Verify/Bench rounds don't accumulate /tmp litter
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(del)
+        f.delete(); ()
+      }
+      del(mount.toFile)
+    }))
     val ws = mount.resolve("demo")
     def write(dir: Path, rel: String, contents: String): Unit = {
       val p = dir.resolve(rel)
