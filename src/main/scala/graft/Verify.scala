@@ -47,17 +47,35 @@ object Verify {
       // planning would leave stale rows for the checker to hash as a
       // phantom PASS.
       deleteRecursively(new java.io.File(s"$outDir/$name"))
+      // The task writes to a hidden in-flight dir and publishes (renames)
+      // into place under a lock, only if the main loop hasn't already
+      // reported the query failed. Without this, a thread parked in a
+      // non-interruptible Spark call could finish its write AFTER the
+      // timeout branch deleted the output dir, re-creating output for a
+      // query reported failed — the checker would hash a late result as
+      // a phantom pass.
+      val inflight = s"$outDir/.inflight_$name"
+      deleteRecursively(new java.io.File(inflight))
+      val abandoned = new java.util.concurrent.atomic.AtomicBoolean(false)
       val task = pool.submit(new Runnable {
         override def run(): Unit = {
           spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          finally spark.sparkContext.clearJobGroup()
+          try {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(inflight)
+            abandoned.synchronized {
+              if (abandoned.get) deleteRecursively(new java.io.File(inflight))
+              else Files.move(Paths.get(inflight), Paths.get(s"$outDir/$name"))
+            }
+          } finally spark.sparkContext.clearJobGroup()
         }
       })
       try task.get(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
       catch {
         case _: java.util.concurrent.TimeoutException =>
+          // Mark abandoned FIRST (under the publish lock) so a write that
+          // completes from here on discards itself instead of publishing.
+          abandoned.synchronized { abandoned.set(true) }
           spark.sparkContext.cancelJobGroup(name)
           // streams run under their own job group on their own thread —
           // stop them explicitly or an orphaned stream starves the rest
@@ -65,13 +83,15 @@ object Verify {
             try q.stop() catch { case _: Throwable => () }
           }
           task.cancel(true)
-          // a cancelled write may have left partial files — remove them so
-          // the checker sees a missing dir, not a truncated result
+          // covers a publish that raced between get() timing out and the
+          // abandon mark above: reported-failed must mean no output dir
           deleteRecursively(new java.io.File(s"$outDir/$name"))
           System.err.println(s"[verify] $name failed: timeout ${timeoutSec}s")
         case e: Throwable =>
           val cause = Option(e.getCause).getOrElse(e)
+          abandoned.synchronized { abandoned.set(true) }
           deleteRecursively(new java.io.File(s"$outDir/$name"))
+          deleteRecursively(new java.io.File(inflight))
           System.err.println(s"[verify] $name failed: ${cause.getMessage}")
       } finally restoreConfs()
     }

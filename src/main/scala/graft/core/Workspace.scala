@@ -164,13 +164,16 @@ object Workspace {
     /** HTML-escape interpolated values — Handlebars (the reference's
       * template engine, src/template.rs) escapes by default, and the
       * error message echoes the user-supplied workspace name, so raw
-      * interpolation would be reflected XSS through the HTTP frontend. */
+      * interpolation would be reflected XSS through the HTTP frontend.
+      * Entity choice matches handlebars-rust's `html_escape` exactly
+      * (&amp; &lt; &gt; &quot; &#x27;) so rendered pages are
+      * byte-identical to the reference's. */
     private def esc(s: String): String = s.flatMap {
       case '&' => "&amp;"
       case '<' => "&lt;"
       case '>' => "&gt;"
       case '"' => "&quot;"
-      case '\'' => "&#39;"
+      case '\'' => "&#x27;"
       case c => c.toString
     }
     def page(title: String, body: String): String =

@@ -46,7 +46,10 @@ object OracleHash {
     * the DuckDB twin of `TextDedup.toks`. Compose as
     * s"WITH $shingleCtes, ...". */
   val shingleCtes: String = {
-    val norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    // explicit class (== Java \s incl. VT \x0B): RE2's \s excludes VT,
+    // Java's includes it — spelling the class keeps both engines identical
+    val norm =
+      "regexp_replace(lower(trim(text)), '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g')"
     val shingleHash = fnv1a64("array_to_string(ws[(i+1):(i+5)], ' ')")
     s"""w AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM documents),
        |sh AS (SELECT doc_id,

@@ -37,8 +37,12 @@ object TextDedup {
       // DuckDB twin (OracleHash.shingleCtes) shingles normalized text —
       // hashing raw bytes here would only coincidentally agree on a
       // pre-normalized corpus
+      // explicit whitespace class (== Java's \s): Java \s matches VT
+      // (U+000B) but RE2's \s does not, so a bare \s+ here would diverge
+      // from the DuckDB twin on any corpus containing a VT character
       .shingleHashes(
-        encode(regexp_replace(lower(trim(c)), "\\s+", " "), "UTF-8"), lit(5))
+        encode(regexp_replace(lower(trim(c)), "[ \\t\\n\\f\\r\\x0B]+", " "),
+          "UTF-8"), lit(5))
 
   /** Public accessor for the 5-word shingle hash set — shared with the
     * decontamination / dup-cluster pipeline operators so every shingle

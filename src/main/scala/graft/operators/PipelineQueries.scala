@@ -204,7 +204,9 @@ object PipelineQueries extends QueryPack {
       val toks = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), explode(split(
-          regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+          // explicit class (== Java \s): RE2's \s excludes VT U+000B
+          regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\f\\r\\x0B]+",
+            " "), " "))
           .as("token"))
       val tf = toks.groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("tf"))
@@ -344,7 +346,7 @@ object PipelineQueries extends QueryPack {
     "q_tfidf" ->
       """WITH tok AS (SELECT doc_id,
         |    unnest(string_split(regexp_replace(lower(trim(text)),
-        |      '\s+', ' ', 'g'), ' ')) AS token
+        |      '[ \t\n\f\r\x0B]+', ' ', 'g'), ' ')) AS token
         |  FROM documents),
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
         |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),

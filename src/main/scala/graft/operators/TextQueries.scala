@@ -19,9 +19,11 @@ import graft.functions.TextDedup
   */
 object TextQueries extends QueryPack {
 
-  /** Normalized text: lowercase, trimmed, whitespace collapsed. */
+  /** Normalized text: lowercase, trimmed, whitespace collapsed.
+    * Explicit class (== Java \s incl. VT) so the DuckDB/RE2 twin, whose
+    * \s excludes U+000B, normalizes identically. */
   private def norm(c: Column): Column =
-    regexp_replace(lower(trim(c)), "\\s+", " ")
+    regexp_replace(lower(trim(c)), "[ \\t\\n\\f\\r\\x0B]+", " ")
 
   /** Distinct word set of a document. */
   private def tokens(c: Column): Column = array_distinct(split(c, " "))
@@ -304,7 +306,8 @@ object TextQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = {
-    val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    val normSql =
+      "regexp_replace(lower(trim(text)), '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g')"
     Map(
       "q_text_stats" ->
         """SELECT doc_id, lang,

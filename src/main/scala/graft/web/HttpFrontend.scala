@@ -98,6 +98,16 @@ final class HttpFrontend(store: SnapshotStore, mount: Path,
   }
 
   private def detail(ex: HttpExchange, name: String): Unit = {
+    // The name is used as a raw path component by SnapshotStore
+    // (mount.resolve(name)), so "." / ".." (incl. %2e%2e-encoded, which
+    // getPath decodes) would probe refs/objects one level above the
+    // store root. Apply the same component filter WorkspacePath uses
+    // and answer RepoNotFound without touching the filesystem.
+    if (name == "." || name == "..") {
+      reply(ex, 200, Render.render(Left(Workspace.RepoNotFound(name))),
+        contentType = "text/html")
+      return
+    }
     val params = queryParams(ex)
     val rawVersion = params.getOrElse("version", "latest")
     val rawPath = params.getOrElse("path", "")

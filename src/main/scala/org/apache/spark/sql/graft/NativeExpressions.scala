@@ -309,17 +309,31 @@ object NativeExpressions {
   }
 
   /** Scalar splitmix64 over a long column. Used for the RHP-LSH
-    * hyperplane signs (Vectors.hyperplaneSign) so the signature family is
-    * oracle-replicable. CodegenFallback: evaluated once per (plane, dim)
-    * inside an already-interpreted HOF pipeline. */
+    * hyperplane signs (Vectors.hyperplaneSign) and the deterministic
+    * row-hash paths (q_hash_split / q_sample_stratified / q_rebalance),
+    * where it runs once per corpus row inside otherwise codegen'd
+    * projections — so it codegens the four-line mix inline (plain long
+    * arithmetic) instead of falling back to interpreted eval. */
   case class SplitMix64(child: Expression)
-      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+      extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_splitmix64"
 
     override protected def nullSafeEval(input: Any): Any =
       mix64(input.asInstanceOf[Long])
+
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val z = ctx.freshName("z")
+        s"""
+           |long $z = $c + 0x9e3779b97f4a7c15L;
+           |$z = ($z ^ ($z >>> 30)) * 0xbf58476d1ce4e5b9L;
+           |$z = ($z ^ ($z >>> 27)) * 0x94d049bb133111ebL;
+           |${ev.value} = $z ^ ($z >>> 31);
+         """.stripMargin
+      })
 
     override protected def withNewChildInternal(
         newChild: Expression): Expression = copy(child = newChild)

@@ -35,7 +35,7 @@ class HttpFrontendSpec extends AnyFunSuite with BeforeAndAfterAll {
     assets = Files.createTempDirectory("graft-http-assets")
     Files.writeString(assets.resolve("app.js"), "console.log('hi')")
     front = new HttpFrontend(new SnapshotStore(mount), mount, assets,
-      logs.synchronized { s => logs += s })
+      s => logs.synchronized { logs += s })
     front.start(0)
   }
 
@@ -80,10 +80,11 @@ class HttpFrontendSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("all four error classes render as error pages") {
+    // Apostrophes render HTML-escaped (&#x27;, matching handlebars-rust).
     assert(get("/workspaces/ghost").body()
-      .contains("Could not open workspace 'ghost'"))
+      .contains("Could not open workspace &#x27;ghost&#x27;"))
     assert(get("/workspaces/w?version=zzz").body()
-      .contains("Could not resolve version 'zzz'"))
+      .contains("Could not resolve version &#x27;zzz&#x27;"))
     assert(get("/workspaces/w?version=broken").body()
       .contains("Could not checkout snapshot"))
     assert(get("/workspaces/w?path=ghost.txt").body()

@@ -117,8 +117,10 @@ class WorkspaceSpec extends AnyFunSuite {
   }
 
   test("render covers error / file / directory shapes") {
+    // Handlebars escapes by default; the apostrophe renders as &#x27;
+    // (handlebars-rust html_escape entity — see Render.esc).
     assert(Render.render(Left(RepoNotFound("x")))
-      .contains("Could not open workspace 'x'"))
+      .contains("Could not open workspace &#x27;x&#x27;"))
     assert(Render.render(Right(FileResult("f", "body"))).contains("<pre>body</pre>"))
     assert(Render.render(Right(DirectoryResult("d", Seq("a", "b"))))
       .contains("<li>a</li><li>b</li>"))
