@@ -70,24 +70,49 @@ object Bench {
     // Untimed warmup: JIT + codegen + parquet footer caches, so the first
     // timed queries measure the operator rather than JVM warmup. One
     // representative query per heavy code path (scan/project, hash
-    // aggregate, window sort, date kernels) — a scan-only warmup left the
-    // first aggregate/window/date queries in alphabetical order absorbing
-    // several seconds of JIT (r3: q_approx_distinct 5.9s was mostly
-    // warmup). Guarded: a missing warmup query must not sink the artifact.
+    // aggregate, window sort, date kernels, JSON/regex string kernels,
+    // stateful streaming) — the r5→r6 artifact swung 1.58x on identical
+    // code, concentrated in exactly the paths the old warmup skipped:
+    // JSON/regex (q_json_struct 1.0→7.7s) and streaming state-store init
+    // (q_session_window 2.6→6.1s). Guarded: a missing warmup query must
+    // not sink the artifact.
     Seq("q_scan_project", "q1_agg", "q_approx_distinct", "q_window_rank",
-        "q_date_funcs").foreach { w =>
+        "q_date_funcs", "q_json_struct", "q_fingerprint",
+        "q_stream_tumbling").foreach { w =>
         try timedRun(s"warmup:$w", SparkEntry.queries(w))
         catch { case _: Throwable => () }
       }
+    // Median-of-N (default 3): a single-shot artifact conflates operator
+    // cost with whatever JIT/GC/state-store noise the JVM is in when the
+    // query's turn comes — the median discards the outlier run. Guards to
+    // keep wall clock bounded: a failed/timed-out first attempt is not
+    // retried (the sentinel is the measurement), and a first run slower
+    // than repCeil seconds is reported single-shot (every current query
+    // runs <15s warm; anything slower is already a timeout story, not a
+    // variance story).
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    val repCeil = sys.env.getOrElse("SPARK_GRAFT_BENCH_REP_CEIL", "60").toDouble
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = timedRun(name, fn)
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-24s $dt%8.2f s" +
-        (if (ok) "" else "  [FAILED/TIMEOUT]"))
-      // failures are recorded as negative sentinels so a timeout ceiling
-      // can never masquerade as a measurement in round-over-round diffs
-      name -> (if (ok) dt else -dt)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        val ok = timedRun(name, fn)
+        val dt = (System.nanoTime() - t0) / 1e9
+        // failures are recorded as negative sentinels so a timeout ceiling
+        // can never masquerade as a measurement in round-over-round diffs
+        if (ok) dt else -dt
+      }
+      val first = once()
+      val times =
+        if (first <= 0 || first > repCeil) Seq(first)
+        else first +: (2 to reps).map(_ => once())
+      val good = times.filter(_ > 0).sorted
+      val v =
+        if (good.isEmpty) times.head
+        else if (good.size % 2 == 1) good(good.size / 2)
+        else (good(good.size / 2 - 1) + good(good.size / 2)) / 2.0
+      System.err.println(f"[bench] $name%-24s $v%8.2f s  (${times.map(t => f"$t%.2f").mkString("/")})" +
+        (if (good.isEmpty) "  [FAILED/TIMEOUT]" else ""))
+      name -> v
     }
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
     // comma decimal separator would corrupt the JSON line.

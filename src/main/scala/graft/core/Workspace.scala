@@ -165,15 +165,18 @@ object Workspace {
       * template engine, src/template.rs) escapes by default, and the
       * error message echoes the user-supplied workspace name, so raw
       * interpolation would be reflected XSS through the HTTP frontend.
-      * Entity choice matches handlebars-rust's `html_escape` exactly
-      * (&amp; &lt; &gt; &quot; &#x27;) so rendered pages are
-      * byte-identical to the reference's. */
+      * Entity choice matches handlebars-rust 5.x's `html_escape` exactly
+      * (&amp; &lt; &gt; &quot; &#x27; &#x60; &#x3D; — it also escapes
+      * backtick and equals, against attribute-injection without quotes)
+      * so rendered pages are byte-identical to the reference's. */
     private def esc(s: String): String = s.flatMap {
       case '&' => "&amp;"
       case '<' => "&lt;"
       case '>' => "&gt;"
       case '"' => "&quot;"
       case '\'' => "&#x27;"
+      case '`' => "&#x60;"
+      case '=' => "&#x3D;"
       case c => c.toString
     }
     def page(title: String, body: String): String =

@@ -51,40 +51,89 @@ object TextDedup {
 
   /** Exact all-pairs word-set Jaccard >= threshold. Columns: d1, d2, jacc.
     *
-    * Implemented as an inverted-index join, NOT a cross join: explode
-    * shingles, self-join on the shingle, count shared shingles per pair.
-    * Only pairs with >= 1 common shingle are ever materialized — pairs
-    * with zero intersection have Jaccard 0 and can't pass any positive
-    * threshold, so the result is exactly the all-pairs answer. Cost is
-    * sum over shingles of (docs-per-shingle choose 2): near-linear on
-    * real corpora where 5-word shingles are discriminative, vs O(n²)
-    * for the cross join. The size-ratio prune (implied by J >= t)
-    * discards most candidates before the per-pair aggregate.
+    * Implemented with PREFIX FILTERING (Bayardo et al., "Scaling Up All
+    * Pairs Similarity Search", WWW'07; Xiao et al., PPJoin, WWW'08), not a
+    * bare inverted-index join. Under any global total order on shingles,
+    * a doc of set size `sz` only needs to index its first
+    * `sz - ceil(t*sz) + 1` shingles (its "prefix"): J(x,y) >= t implies
+    * an overlap o >= t*(|x|+|y|-o) >= t*max(|x|,|y|), so if x and y
+    * shared no prefix shingle, all o >= ceil(t*|x|) shared shingles would
+    * have to fit in x's suffix of length ceil(t*|x|) - 1 — contradiction.
+    * Hence joining prefix-against-prefix loses no qualifying pair, and
+    * the result is EXACTLY the all-pairs answer.
+    *
+    * The global order is (document frequency ASC, hash ASC) — the classic
+    * rare-first order. This is what kills the hot-shingle blow-up: a
+    * boilerplate shingle shared by k docs has maximal df, lands at the
+    * very end of the order, and falls outside almost every prefix, so it
+    * never emits its O(k²) candidate pairs. Candidates (few, after the
+    * size-ratio prune implied by J >= t) are verified against the full
+    * sorted hash sets with the codegen'd linear merge
+    * [[org.apache.spark.sql.graft.NativeExpressions.SortedIntersectCountLong]]
+    * — zero false positives, so precision is exact by construction and
+    * recall is exact by the prefix lemma.
+    *
+    * Cost at scale: one df aggregation (map-side combined), one per-doc
+    * window sort keyed by doc_id, a self-join on PREFIX tokens only, and
+    * a per-candidate merge — near-linear on real corpora, no quadratic
+    * stage on any shingle's posting list.
     */
   def exactJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    // Pairs with zero shared shingles are never materialized, so the
-    // inverted-index rewrite equals all-pairs only for positive thresholds
-    // (and the size-ratio prune divides meaningfully only then).
+    // The prefix length formula assumes 0 < t <= 1 (at t=0 every pair
+    // qualifies and no index helps).
     require(threshold > 0, "threshold must be positive")
-    // Repartition before shingling: the corpus is often a single parquet
-    // split locally, and the per-doc shingle transform must parallelize.
-    val t = docs.repartition(
-      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), toks(col("text")).as("toks"))
-      .withColumn("sz", size(col("toks")))
+    val t = tokSets(docs)
     val ex = t.select(col("doc_id"), col("sz"),
       explode(col("toks")).as("tok"))
-    val jaccRaw = col("inter").cast("double") /
-      (col("sz1") + col("sz2") - col("inter"))
-    ex.alias("a")
-      .join(ex.alias("b"),
+    val df = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // per-doc prefix rank under the (df ASC, tok ASC) total order; the
+    // window partitions by doc_id so parallelism is per-document.
+    // ceil(t*sz - 1e-9): float rounding may push an exact integer t*sz
+    // marginally above it — the epsilon can only LENGTHEN the prefix
+    // (more candidates, still exact), never shorten it (missed pairs).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    val prefix = ex.join(df, "tok")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <=
+        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+      .select(col("doc_id"), col("sz"), col("tok"))
+    val cand = prefix.alias("a")
+      .join(prefix.alias("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
       // implied by J >= t: min/max size ratio must reach t — cheap prune
       .filter(least(col("a.sz"), col("b.sz")).cast("double") /
         greatest(col("a.sz"), col("b.sz")) >= threshold)
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.sz").as("sz1"), col("b.sz").as("sz2"))
-      .agg(count(lit(1)).as("inter"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    verifyCandidates(cand, t, threshold)
+  }
+
+  /** (doc_id, toks, sz) with the corpus repartitioned by doc_id first:
+    * the corpus is often a single parquet split locally, and the per-doc
+    * shingle transform must parallelize. */
+  private def tokSets(docs: DataFrame): DataFrame =
+    docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .withColumn("sz", size(col("toks")))
+
+  /** Verify candidate (d1, d2) pairs against the full sorted shingle-hash
+    * sets: intersection via the codegen'd linear merge (the sets are
+    * ascending-sorted longs), then the exact Jaccard threshold. Shared by
+    * the prefix-filter path and the MinHash-LSH path, so both have
+    * precision 1.0 by construction. */
+  private def verifyCandidates(cand: DataFrame, t: DataFrame,
+                               threshold: Double): DataFrame = {
+    val jaccRaw = col("inter").cast("double") /
+      (col("sz1") + col("sz2") - col("inter"))
+    cand
+      .join(t.select(col("doc_id").as("d1"), col("toks").as("t1"),
+        col("sz").as("sz1")), "d1")
+      .join(t.select(col("doc_id").as("d2"), col("toks").as("t2"),
+        col("sz").as("sz2")), "d2")
+      .withColumn("inter", org.apache.spark.sql.graft.NativeExpressions
+        .sortedIntersectCountLong(col("t1"), col("t2")))
       .filter(jaccRaw >= threshold)
       .select(col("d1"), col("d2"), round(jaccRaw, 6).as("jacc"))
   }
@@ -122,21 +171,9 @@ object TextDedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    // verify candidates with exact Jaccard → zero false positives
-    val t = docs.repartition(
-      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), toks(col("text")).as("toks"))
-      .withColumn("sz", size(col("toks")))
-    val jaccRaw = col("inter").cast("double") /
-      (col("sz1") + col("sz2") - col("inter"))
-    cand
-      .join(t.select(col("doc_id").as("d1"), col("toks").as("t1"),
-        col("sz").as("sz1")), "d1")
-      .join(t.select(col("doc_id").as("d2"), col("toks").as("t2"),
-        col("sz").as("sz2")), "d2")
-      .withColumn("inter", size(array_intersect(col("t1"), col("t2"))))
-      .filter(jaccRaw >= threshold)
-      .select(col("d1"), col("d2"), round(jaccRaw, 6).as("jacc"))
+    // verify candidates with exact Jaccard (codegen'd sorted-merge
+    // intersect, not interpreted array_intersect) → zero false positives
+    verifyCandidates(cand, tokSets(docs), threshold)
   }
 
   /** 64-bit SimHash per document over xxhash64(token), candidate pairs with

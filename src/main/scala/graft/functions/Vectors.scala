@@ -97,6 +97,16 @@ object Vectors {
       .select(col("id"), col("cid"))
   }
 
+  /** IVF list count derived from corpus size: ceil(√n) clamped to
+    * [16, 65536]. Cells then hold ~√n vectors, so per-cell quadratic
+    * candidate work stays flat as the corpus grows — a hardcoded nlist
+    * is fine at one SF and a straggler at 100×. Pure IEEE double math
+    * (sqrt and ceil are correctly rounded), so the DuckDB twins derive
+    * the identical value with ceil(sqrt(count(*))) in SQL. */
+  def deriveNlist(n: Long): Int =
+    math.max(16L, math.min(65536L,
+      math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+
   def ivfBlockedPairs(points: org.apache.spark.sql.DataFrame,
                       threshold: Double, nlist: Int, nprobe: Int)
       : org.apache.spark.sql.DataFrame = {

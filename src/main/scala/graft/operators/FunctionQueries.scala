@@ -41,6 +41,23 @@ object FunctionQueries extends QueryPack {
         .orderBy(col("p_partkey"))
     }),
 
+    // -- soundex + schema_of_json (SURVEY §2.2 surface completion) ---------
+    // Neither function exists in DuckDB, so the inputs are literals and
+    // the twin hard-codes the expected outputs: the published US-census
+    // soundex values (Robert/Rupert collapse to R163; Ashcraft's h is
+    // transparent so s,c merge → A261) and Spark's documented DDL schema
+    // string. The VALUES are gated, not just non-null — a soundex or
+    // inference regression flips the hash.
+    "q_phonetic_schema" -> ((s, d) => {
+      import s.implicits._
+      Seq("Robert", "Rupert", "Ashcraft", "Tymczak", "Pfister", "Honeyman")
+        .toDF("name")
+        .select(col("name"), soundex(col("name")).as("sx"),
+          schema_of_json(lit("""{"a":1,"b":[1.5],"c":"x"}"""))
+            .as("json_schema"))
+        .orderBy(col("name"))
+    }),
+
     // -- date/time functions ----------------------------------------------
     "q_date_funcs" -> ((s, d) => {
       Tables.orders(s, d)
@@ -173,6 +190,16 @@ object FunctionQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // hard-coded expected values: DuckDB has neither soundex nor
+    // schema_of_json (see the query comment for the provenance of each)
+    "q_phonetic_schema" ->
+      """SELECT name, sx,
+        |  'STRUCT<a: BIGINT, b: ARRAY<DOUBLE>, c: STRING>' AS json_schema
+        |FROM (VALUES ('Ashcraft','A261'), ('Honeyman','H555'),
+        |  ('Pfister','P236'), ('Robert','R163'), ('Rupert','R163'),
+        |  ('Tymczak','T522')) AS t(name, sx)
+        |ORDER BY name""".stripMargin,
+
     "q_string_funcs" ->
       """SELECT p_partkey,
         |  concat_ws('|', p_brand, p_type) AS brand_type,

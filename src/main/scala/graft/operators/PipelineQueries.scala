@@ -251,7 +251,7 @@ object PipelineQueries extends QueryPack {
     // shingles — cardinality-identical to the hashed sets).
     "q_dup_clusters" ->
       """WITH RECURSIVE n0 AS (SELECT doc_id,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |    string_split(regexp_replace(lower(trim(text)), '[ \t\n\f\r\x0B]+', ' ', 'g'),
         |      ' ') AS ws
         |  FROM documents),
         |t AS (SELECT doc_id,

@@ -119,29 +119,20 @@ object RelationalQueries extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
-    // -- exact percentiles -------------------------------------------------
-    // `percentile()` buffers every group value in the aggregate buffer —
-    // fine here, OOM at 100 TB group sizes. q_percentile_dist below is
-    // the spill-safe formulation of the same answer.
+    // -- exact percentiles (spill-safe: rank window + interpolation) -------
+    // The declared default is the formulation that survives 100 TB group
+    // sizes. Spark's `percentile()` buffers every group value in its
+    // aggregate buffer (an ArrayBuffer that cannot spill — OOM at scale),
+    // so instead: melt to (group, metric, value), row_number over a
+    // sort-based window (SortExec spills to disk), then pick the two
+    // straddling ranks and interpolate lower + (higher - lower) * frac —
+    // the same linear interpolation `percentile()`/quantile_cont define.
+    // The window partition is (group × metric); a 100 TB deployment
+    // carries parallelism in that key the same way the packing/resample
+    // operators do. The buffering `percentile()` formulation survives as
+    // a spec-only cross-check (RelationalOpsSpec "percentile buffering
+    // twin") proving both plans hash-match.
     "q_percentile" -> ((s, d) => {
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
-          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25_price"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75_price"))
-        .orderBy(col("l_returnflag"))
-    }),
-
-    // -- exact percentiles, spill-safe (rank window + interpolation) -------
-    // Same linearly-interpolated percentiles, but no unbounded aggregate
-    // buffer: melt to (group, metric, value), row_number over a sort-based
-    // window (SortExec spills; `percentile()`'s ArrayBuffer cannot), then
-    // pick the two straddling ranks and interpolate
-    // lower + (higher - lower) * frac. The window partition is
-    // (group × metric); a 100 TB deployment carries parallelism in that
-    // key the same way the packing/resample operators do.
-    "q_percentile_dist" -> ((s, d) => {
       val vals = Tables.lineitem(s, d)
         .select(col("l_returnflag").as("g"),
           col("l_quantity").as("qty"), col("l_extendedprice").as("price"))
@@ -462,14 +453,6 @@ object RelationalQueries extends QueryPack {
         |ORDER BY o_orderpriority""".stripMargin,
 
     "q_percentile" ->
-      """SELECT l_returnflag,
-        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
-        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
-        |  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price
-        |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin,
-
-    "q_percentile_dist" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
         |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,

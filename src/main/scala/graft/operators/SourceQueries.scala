@@ -64,6 +64,30 @@ object SourceQueries extends QueryPack {
         .orderBy(col("n_nationkey"))
     }),
 
+    // -- CSV scan with SCHEMA INFERENCE -------------------------------------
+    // The one place inference is exercised (SURVEY §2.2 "CSV scan (header,
+    // schema, inference)"): a real user's first CSV read infers. Inference
+    // costs a full extra pass over the input, so it stays out of every
+    // other scan — this query IS the documentation of that trade-off. The
+    // inferred schema itself is part of the checked result: it's emitted
+    // as a literal column the DuckDB twin hard-codes, so a regression to
+    // all-strings inference fails the hash gate, not just a type warning.
+    "q_csv_infer" -> ((s, d) => {
+      val out = scratch(s, d, "nation_csv_infer")
+      Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      val df = s.read.option("header", "true")
+        .option("inferSchema", "true").csv(out)
+      val inferred = df.schema.fields
+        .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+      df.select(col("n_nationkey").cast("int").as("n_nationkey"),
+        col("n_name"),
+        col("n_regionkey").cast("int").as("n_regionkey"),
+        lit(inferred).as("inferred_schema"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // -- JSON-lines sink + scan (explicit schema, no inference pass) --------
     "q_json_roundtrip" -> ((s, d) => {
       val out = scratch(s, d, "supplier_json")
@@ -164,6 +188,12 @@ object SourceQueries extends QueryPack {
   def oracle: Map[String, String] = Map(
     "q_csv_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_csv_infer" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |  'n_nationkey:int,n_name:string,n_regionkey:int'
+        |    AS inferred_schema
         |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "q_json_roundtrip" ->

@@ -205,8 +205,11 @@ object TextQueries extends QueryPack {
             graft.functions.Vectors.asDouble(col("embedding")).as("v")),
           col("doc_id") === col("vec_id"))
         .select(col("doc_id").as("id"), col("v"), col("fp"))
+      // nlist = ceil(√corpus) (clamped, derived from the embeddings
+      // table the points join against) — the oracle derives the same
       graft.functions.Vectors.ivfBlockedPairs(points, 0.45,
-          nlist = 16, nprobe = 2)
+          nlist = graft.functions.Vectors.deriveNlist(
+            Tables.embeddings(s, d).count()), nprobe = 2)
         .select(col("id_1").as("d1"), col("id_2").as("d2"),
           round(col("cos_raw"), 6).as("cos"),
           (col("fp_1") === col("fp_2")).as("exact_dup"))
@@ -425,8 +428,11 @@ object TextQueries extends QueryPack {
            |de AS (SELECT d.doc_id, sha256($normSql) AS fp, e.vd,
            |    sqrt(list_dot_product(e.vd, e.vd)) AS nrm
            |  FROM documents d JOIN e ON d.doc_id = e.vec_id),
-           |c AS (SELECT doc_id AS cid, vd AS cv, nrm AS cnrm
-           |  FROM de ORDER BY doc_id LIMIT 16),
+           |c AS (SELECT cid, cv, cnrm FROM (
+           |  SELECT doc_id AS cid, vd AS cv, nrm AS cnrm,
+           |    row_number() OVER (ORDER BY doc_id) AS crn FROM de) t
+           |  WHERE crn <= (SELECT greatest(16, least(65536,
+           |    CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM embeddings)),
            |asg AS (SELECT doc_id, cid FROM (
            |  SELECT de.doc_id, c.cid, row_number() OVER (
            |      PARTITION BY de.doc_id
@@ -524,7 +530,7 @@ object TextQueries extends QueryPack {
 
       "q_dedup_ngram" ->
         """WITH n AS (SELECT doc_id,
-          |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+          |    regexp_replace(lower(trim(text)), '[ \t\n\f\r\x0B]+', ' ', 'g') AS nt
           |  FROM documents),
           |g AS (SELECT doc_id,
           |    list_distinct(list_transform(range(0, length(nt) - 2),

@@ -64,13 +64,14 @@ object VectorQueries extends QueryPack {
 
     // -- threshold pair mining, IVF-blocked (no full-corpus cross join) ----
     // Candidates come from shared IVF cells (deterministic centroids =
-    // 16 lowest-id vectors, nprobe 2 — the oracle replicates the same
-    // blocking), each verified with exact cosine. Recall vs the all-pairs
-    // baseline is asserted in VectorSpec.
+    // nlist lowest-id vectors, nlist = ceil(√corpus) so cells stay ~√n
+    // as the corpus grows; nprobe 2 — the oracle replicates the same
+    // blocking including the derived nlist), each verified with exact
+    // cosine. Recall vs the all-pairs baseline is asserted in VectorSpec.
     "q_sim_pairs" -> ((s, d) => {
-      Vectors.ivfBlockedPairs(
-          emb(s, d).select(col("vec_id").as("id"), col("v")),
-          0.4, nlist = 16, nprobe = 2)
+      val pts = emb(s, d).select(col("vec_id").as("id"), col("v"))
+      Vectors.ivfBlockedPairs(pts,
+          0.4, nlist = Vectors.deriveNlist(pts.count()), nprobe = 2)
         .select(col("id_1").as("d1"), col("id_2").as("d2"),
           round(col("cos_raw"), 6).as("cos"))
         .orderBy(col("d1"), col("d2"))
@@ -108,9 +109,12 @@ object VectorQueries extends QueryPack {
     // equi-join on cid — search cost drops from O(|Q|·|C|) to
     // O(|Q|·|C|·nprobe/nlist) with no all-pairs step.
     "q_sim_ivf" -> ((s, d) => {
-      val nlist = 16; val nprobe = 2; val k = 5
+      val nprobe = 2; val k = 5
       val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
         .withColumn("nrm", Vectors.norm(col("v")))
+      // nlist = ceil(√corpus) (clamped): lists stay ~√n deep at any SF —
+      // the oracle twin derives the identical count in SQL
+      val nlist = Vectors.deriveNlist(e.count())
       // centroid set + assignment live in Vectors (ivfCentroids/ivfAssign)
       // — the identical oracle-pinned blocking ivfBlockedPairs uses, so
       // the two IVF paths cannot drift
@@ -209,8 +213,11 @@ object VectorQueries extends QueryPack {
           |  FROM embeddings),
           |n AS (SELECT vec_id, vd,
           |    sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
-          |c AS (SELECT vec_id AS cid, vd AS cv, nrm AS cnrm
-          |  FROM n ORDER BY vec_id LIMIT 16),
+          |c AS (SELECT cid, cv, cnrm FROM (
+          |  SELECT vec_id AS cid, vd AS cv, nrm AS cnrm,
+          |    row_number() OVER (ORDER BY vec_id) AS crn FROM n) t
+          |  WHERE crn <= (SELECT greatest(16, least(65536,
+          |    CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM embeddings)),
           |asg AS (SELECT vec_id, cid FROM (
           |  SELECT n.vec_id, c.cid, row_number() OVER (
           |      PARTITION BY n.vec_id
@@ -232,8 +239,11 @@ object VectorQueries extends QueryPack {
           |  FROM embeddings),
           |n AS (SELECT vec_id, vd,
           |    sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
-          |c AS (SELECT vec_id AS cid, vd AS cv, nrm AS cnrm
-          |  FROM n WHERE vec_id < 16),
+          |c AS (SELECT cid, cv, cnrm FROM (
+          |  SELECT vec_id AS cid, vd AS cv, nrm AS cnrm,
+          |    row_number() OVER (ORDER BY vec_id) AS crn FROM n) t
+          |  WHERE crn <= (SELECT greatest(16, least(65536,
+          |    CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM embeddings)),
           |asg AS (SELECT vec_id, cid FROM (
           |  SELECT n.vec_id, c.cid, row_number() OVER (
           |      PARTITION BY n.vec_id

@@ -83,19 +83,33 @@ final class HttpFrontend(store: SnapshotStore, mount: Path,
     }
   }
 
-  /** Static assets under `assetsRoot`; content-type is hard-coded to
+  /** Static assets under `assetsRoot`, falling back to JAR-EMBEDDED
+    * resources under `resources/web_assets/` — the parity move for the
+    * reference's rust-embed folder (src/web.rs:3-5 compiles
+    * web_assets/build into the binary). Content-type is hard-coded to
     * `text/css` regardless of extension — a faithful port of the
     * reference's "TODO: Handle other file types" quirk
     * (src/web.rs:12-16). Traversal is neutralized with the same
-    * WorkspacePath sanitizer the query path uses. */
+    * WorkspacePath sanitizer the query path uses (the sanitized name
+    * never contains `..`, so the classpath lookup can't escape either). */
   private def serveAsset(ex: HttpExchange, tail: String): Unit = {
     log(s"Requesting asset: $tail")
     val rel = WorkspacePath(tail).value
     val f = assetsRoot.resolve(rel)
     if (rel.nonEmpty && Files.isRegularFile(f))
       reply(ex, 200, Files.readString(f), contentType = "text/css")
-    else reply(ex, 404, "")
+    else embeddedAsset(rel) match {
+      case Some(body) => reply(ex, 200, body, contentType = "text/css")
+      case None       => reply(ex, 404, "")
+    }
   }
+
+  private def embeddedAsset(rel: String): Option[String] =
+    if (rel.isEmpty) None
+    else Option(getClass.getResourceAsStream(s"/web_assets/$rel")).map { in =>
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    }
 
   private def detail(ex: HttpExchange, name: String): Unit = {
     // The name is used as a raw path component by SnapshotStore

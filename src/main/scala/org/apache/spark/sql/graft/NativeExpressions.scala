@@ -146,6 +146,63 @@ object NativeExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** LongType sibling of [[SortedIntersectCount]]: intersection size of two
+    * ASCENDING-sorted (signed order) long arrays via a linear merge. The
+    * shingle-hash sets ([[SortedDistinctShingleHashes]]) are exactly this
+    * shape, so pair verification in TextDedup compiles into the join's
+    * codegen loop instead of interpreted `array_intersect` (~50-70µs/call,
+    * PERF.md §1). Caller guarantees sorted distinct inputs; unsorted input
+    * silently undercounts. */
+  case class SortedIntersectCountLong(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_sorted_intersect_count_long"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val nx = x.numElements()
+      val ny = y.numElements()
+      var i = 0; var j = 0; var c = 0
+      while (i < nx && j < ny) {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv == yv) { c += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+      c
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val ni = ctx.freshName("ni")
+        val nj = ctx.freshName("nj")
+        val c = ctx.freshName("c")
+        val xv = ctx.freshName("xv")
+        val yv = ctx.freshName("yv")
+        s"""
+           |int $i = 0, $j = 0, $c = 0;
+           |int $ni = $a.numElements(), $nj = $b.numElements();
+           |while ($i < $ni && $j < $nj) {
+           |  long $xv = $a.getLong($i);
+           |  long $yv = $b.getLong($j);
+           |  if ($xv == $yv) { $c++; $i++; $j++; }
+           |  else if ($xv < $yv) { $i++; } else { $j++; }
+           |}
+           |${ev.value} = $c;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Distinct byte-trigram codes of a binary column, ascending-sorted, as
     * array<int> (code = b0<<16 | b1<<8 | b2, bytes zero-extended). One
     * tight pass + sort + in-place dedup per row, replacing an interpreted
@@ -393,6 +450,9 @@ object NativeExpressions {
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedIntersectCount(expr(a), expr(b)))
+
+  def sortedIntersectCountLong(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedIntersectCountLong(expr(a), expr(b)))
 
   def trigramCodes(bin: Column): Column =
     ExpressionUtils.column(SortedDistinctTrigramCodes(expr(bin)))

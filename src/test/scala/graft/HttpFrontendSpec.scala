@@ -67,6 +67,18 @@ class HttpFrontendSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get("/web_assets/..%2Fapp.js").body() == "console.log('hi')")
   }
 
+  test("asset route falls back to jar-embedded resources (rust-embed parity)") {
+    // styles.css exists only under resources/web_assets/ on the
+    // classpath, not in the temp assetsRoot — the reference compiles
+    // web_assets/build into the binary (src/web.rs:3-5)
+    val r = get("/web_assets/styles.css")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("Embedded stylesheet"))
+    assert(r.headers().firstValue("Content-Type").get() == "text/css")
+    // a directory copy still wins over the embedded one
+    assert(get("/web_assets/app.js").body() == "console.log('hi')")
+  }
+
   test("detail route renders a file at the default version") {
     val r = get("/workspaces/w?path=t.csv")
     assert(r.statusCode() == 200)

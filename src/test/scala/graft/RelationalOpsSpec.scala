@@ -83,4 +83,21 @@ class RelationalOpsSpec extends AnyFunSuite {
     val c = graft.engine.Tables.customer(spark, sfDir)
     assert(c.orderBy($"c_acctbal").count() == c.count())
   }
+
+  // -- percentile buffering twin -------------------------------------------
+  // The declared q_percentile ships the spill-safe rank-window plan; this
+  // cross-check proves it row-identical to Spark's buffering
+  // `percentile()` aggregate (the formulation that would OOM at 100 TB
+  // group sizes and therefore stays spec-only).
+  test("percentile buffering twin matches the spill-safe default") {
+    val buffering = graft.engine.Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25_price"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75_price"))
+      .orderBy($"l_returnflag")
+    val spillSafe = SparkEntry.queries("q_percentile")(spark, sfDir)
+    assert(buffering.collect().toSeq == spillSafe.collect().toSeq)
+  }
 }

@@ -69,6 +69,30 @@ class TextDedupSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("prefix filter is lossless: equals brute-force all-pairs on the corpus") {
+    // the prefix-filter lemma (see exactJaccardPairs doc) claims NO
+    // qualifying pair is pruned; compare against an O(n²) cross-join
+    // ground truth on the real sf0.001 corpus, not just planted dups
+    import org.apache.spark.sql.functions._
+    val corpus = graft.engine.Tables.documents(spark, SparkFixture.sfDir)
+      .select($"doc_id", $"text")
+    val got = TextDedup.exactJaccardPairs(corpus, 0.3)
+      .select($"d1", $"d2", $"jacc").as[(Long, Long, Double)]
+      .collect().toSet
+    val t = corpus.select($"doc_id",
+      TextDedup.wordShingles($"text").as("toks"))
+    val brute = t.alias("a").crossJoin(t.alias("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+        (size(array_intersect($"a.toks", $"b.toks")).cast("double") /
+          size(array_union($"a.toks", $"b.toks"))).as("raw"))
+      .filter($"raw" >= 0.3)
+      .select($"d1", $"d2", round($"raw", 6).as("jacc"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == brute,
+      s"missing: ${brute -- got}; extra: ${got -- brute}")
+  }
+
   test("SimHash: identical docs at hamming 0; self-pairs excluded") {
     val sh = TextDedup.simHashPairs(docs, maxHamming = 3)
       .select($"d1", $"d2", $"hamming").as[(Long, Long, Long)]

@@ -125,4 +125,11 @@ class WorkspaceSpec extends AnyFunSuite {
     assert(Render.render(Right(DirectoryResult("d", Seq("a", "b"))))
       .contains("<li>a</li><li>b</li>"))
   }
+
+  test("escape matches handlebars-rust on all seven entities") {
+    // handlebars-rust 5.x html_escape also escapes backtick and equals
+    assert(Render.render(Right(FileResult("f", """<a href="x" id='y' data=`z`&>""")))
+      .contains("<pre>&lt;a href&#x3D;&quot;x&quot; id&#x3D;&#x27;y&#x27; " +
+        "data&#x3D;&#x60;z&#x60;&amp;&gt;</pre>"))
+  }
 }
