@@ -70,6 +70,21 @@ class NativeExpressionsSpec extends AnyFunSuite {
     rows.foreach { case (native, builtin) => assert(native == builtin) }
   }
 
+  test("sortedIntersectCountLong == size(array_intersect) on sorted distinct") {
+    // long extremes included: the merge compares signed longs, and the
+    // shingle hashes it serves routinely have the top bit set
+    val listGen = Gen.listOf(Gen.oneOf(
+      Gen.chooseNum(-100L, 100L), Gen.chooseNum(Long.MinValue, Long.MaxValue)))
+    val cases = Gen.listOfN(100, Gen.zip(listGen, listGen)).sample.get
+      .map { case (a, b) => (a.distinct.sorted, b.distinct.sorted) }
+    val df = cases.toDF("a", "b")
+    val rows = df.select(
+        NativeExpressions.sortedIntersectCountLong(col("a"), col("b")),
+        size(array_intersect(col("a"), col("b"))))
+      .as[(Int, Int)].collect()
+    rows.foreach { case (native, builtin) => assert(native == builtin) }
+  }
+
   test("trigramCodes == distinct sorted substring trigrams (ASCII)") {
     val asciiText = Gen.listOf(Gen.frequency(
       8 -> Gen.alphaLowerChar, 2 -> Gen.const(' '))).map(_.mkString)
