@@ -8,6 +8,10 @@ import graft.engine.{QueryPack, Tables}
 case class MediaFeatures(doc_id: Long, n_bytes: Int, avg_byte: Double,
                          byte_entropy: Double)
 
+/** Decoded-image features produced by the REAL (javax.imageio) decoder. */
+case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+                         png_nonempty: Boolean, avg_pixel: Double)
+
 /** Multimodal-column operators: image/audio/video handled as opaque
   * `binary` columns with typed metadata (SURVEY.md §2.2 "Multimodal
   * columns"; the reference stores whole files as opaque payloads —
@@ -108,6 +112,63 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // -- REAL codec decode via mapPartitions (javax.imageio, JDK-native) ----
+    // The container has no external media libraries, but the JDK itself
+    // ships PNG/JPEG codecs (javax.imageio) — so THIS decode step is not
+    // a stub: each task synthesizes a 16×16 8-bit grayscale image whose
+    // pixel i is splitmix64(doc_id*256 + i) & 0xff, encodes it through
+    // the real PNG writer, and decodes the bytes back through the real
+    // PNG reader. PNG is lossless, so the decoded raster equals the
+    // generated pixels (MultimodalSpec pins per-pixel equality) and the
+    // DuckDB oracle recomputes avg_pixel from the same portable
+    // splitmix64 formula WITHOUT any image code — a real-codec path that
+    // is still fully hash-checked. Same iterator-to-iterator
+    // mapPartitions shape as q_mm_decode: partition-local, no shuffle;
+    // a production pipeline swaps the synthesized image for
+    // spark.read.format("binaryFile") bytes and keeps the plumbing.
+    "q_mm_png_decode" -> ((s, d) => {
+      import s.implicits._
+      val side = 16
+      Tables.documents(s, d).select(col("doc_id"))
+        // single-file corpus = one input split; spread the codec work
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          // per-call temp-file caches would dominate 16×16 images
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val img = new java.awt.image.BufferedImage(side, side,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val r = img.getRaster
+            var i = 0
+            while (i < side * side) {
+              val v = (org.apache.spark.sql.graft.NativeExpressions
+                .splitmix64Long(id * 256L + i) & 0xffL).toInt
+              r.setSample(i % side, i / side, 0, v)
+              i += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            val png = bos.toByteArray
+            val dec = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(png))
+            val r2 = dec.getRaster
+            var sum = 0L
+            var j = 0
+            while (j < side * side) {
+              sum += r2.getSample(j % side, j / side, 0)
+              j += 1
+            }
+            ImageFeatures(id, dec.getWidth, dec.getHeight, png.length > 0,
+              sum.toDouble / (side * side))
+          }
+        }
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("png_nonempty"), round(col("avg_pixel"), 6).as("avg_pixel"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- batch decode via mapPartitions (stubbed codec) ---------------------
     // Iterator-to-iterator: the decoder sees a stream of (id, bytes)
     // batches exactly like mapInPandas batches — no partition
@@ -133,6 +194,23 @@ object MultimodalQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // The real-codec PNG roundtrip is lossless, so the decoded raster is
+    // the generated pixels and the oracle needs no image code at all:
+    // it regenerates pixel i of doc d as splitmix64(d*256 + i) & 0xff
+    // via the staged HUGEINT splitmix64 (OracleHash) and averages.
+    "q_mm_png_decode" -> {
+      import graft.engine.OracleHash._
+      s"""WITH px AS (SELECT doc_id,
+         |    CAST(doc_id * 256 + i AS UBIGINT) AS seed
+         |  FROM documents, unnest(range(0, 256)) AS t(i)),
+         |${splitmixStages("px", "doc_id", "seed")},
+         |v AS (SELECT doc_id, xor(z3, z3 >> 31) % 256 AS pv FROM p3_)
+         |SELECT doc_id, 16 AS width, 16 AS height,
+         |  true AS png_nonempty,
+         |  round(sum(pv) / 256.0, 6) AS avg_pixel
+         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
     "q_mm_metadata" ->
       """SELECT doc_id, 'application/octet-stream' AS content_type,
         |  strlen(text) AS n_bytes, source AS origin

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The real-codec (javax.imageio) PNG path behind q_mm_png_decode: PNG is
+  * lossless for 8-bit grayscale, so the decoded raster must equal the
+  * generated splitmix64 pixels PER-PIXEL — a stronger claim than the
+  * avg_pixel the DuckDB oracle hash-checks. If a JDK ever ships a lossy
+  * or colorspace-converting gray PNG path, this fails before the oracle
+  * gate does.
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  private val side = 16
+
+  private def pixels(id: Long): Array[Int] =
+    Array.tabulate(side * side) { i =>
+      (org.apache.spark.sql.graft.NativeExpressions
+        .splitmix64Long(id * 256L + i) & 0xffL).toInt
+    }
+
+  test("PNG encode/decode roundtrip is per-pixel lossless") {
+    javax.imageio.ImageIO.setUseCache(false)
+    for (id <- Seq(0L, 1L, 7L, 12345L)) {
+      val expected = pixels(id)
+      val img = new java.awt.image.BufferedImage(side, side,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      expected.zipWithIndex.foreach { case (v, i) =>
+        r.setSample(i % side, i / side, 0, v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val dec = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      assert(dec.getWidth == side && dec.getHeight == side)
+      val r2 = dec.getRaster
+      val got = Array.tabulate(side * side)(i =>
+        r2.getSample(i % side, i / side, 0))
+      assert(got.toSeq == expected.toSeq)
+    }
+  }
+
+  test("q_mm_png_decode emits one row per document with in-range stats") {
+    import SparkFixture.{spark, sfDir}
+    val out = SparkEntry.queries("q_mm_png_decode")(spark, sfDir).collect()
+    val nDocs = graft.engine.Tables.documents(spark, sfDir).count()
+    assert(out.length == nDocs)
+    assert(out.forall(r => r.getInt(1) == side && r.getInt(2) == side &&
+      r.getBoolean(3) && r.getDouble(4) >= 0.0 && r.getDouble(4) <= 255.0))
+  }
+}
