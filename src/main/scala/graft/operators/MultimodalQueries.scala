@@ -12,6 +12,10 @@ case class MediaFeatures(doc_id: Long, n_bytes: Int, avg_byte: Double,
 case class ImageFeatures(doc_id: Long, width: Int, height: Int,
                          png_nonempty: Boolean, avg_pixel: Double)
 
+/** Decoded-audio features produced by the REAL (javax.sound) decoder. */
+case class AudioFeatures(doc_id: Long, n_samples: Int, sample_rate: Int,
+                         avg_sample: Double)
+
 /** Multimodal-column operators: image/audio/video handled as opaque
   * `binary` columns with typed metadata (SURVEY.md §2.2 "Multimodal
   * columns"; the reference stores whole files as opaque payloads —
@@ -169,6 +173,49 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // -- REAL audio decode via mapPartitions (javax.sound, JDK-native) ------
+    // The audio sibling of q_mm_png_decode: 512 samples of 8-bit unsigned
+    // PCM per document (sample i = splitmix64(doc_id*1024 + i) & 0xff),
+    // written through the real WAV encoder and decoded back through the
+    // real WAV reader. PCM-in-WAV is lossless, so the oracle regenerates
+    // the samples from the portable splitmix64 formula and hash-checks
+    // n_samples / sample_rate / avg_sample without any audio code.
+    "q_mm_wav_decode" -> ((s, d) => {
+      import s.implicits._
+      val n = 512
+      Tables.documents(s, d).select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val pcm = Array.tabulate(n) { i =>
+              (org.apache.spark.sql.graft.NativeExpressions
+                .splitmix64Long(id * 1024L + i) & 0xffL).toByte
+            }
+            val fmt = new javax.sound.sampled.AudioFormat(
+              8000f, 8, 1, false, false) // 8-bit unsigned mono PCM
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(
+              new javax.sound.sampled.AudioInputStream(
+                new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bos.toByteArray))
+            val decoded = in.readAllBytes()
+            var sum = 0L
+            var i = 0
+            while (i < decoded.length) { sum += decoded(i) & 0xff; i += 1 }
+            AudioFeatures(id, decoded.length,
+              in.getFormat.getSampleRate.toInt,
+              sum.toDouble / math.max(decoded.length, 1))
+          }
+        }
+        .toDF()
+        .select(col("doc_id"), col("n_samples"), col("sample_rate"),
+          round(col("avg_sample"), 6).as("avg_sample"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- batch decode via mapPartitions (stubbed codec) ---------------------
     // Iterator-to-iterator: the decoder sees a stream of (id, bytes)
     // batches exactly like mapInPandas batches — no partition
@@ -208,6 +255,18 @@ object MultimodalQueries extends QueryPack {
          |SELECT doc_id, 16 AS width, 16 AS height,
          |  true AS png_nonempty,
          |  round(sum(pv) / 256.0, 6) AS avg_pixel
+         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "q_mm_wav_decode" -> {
+      import graft.engine.OracleHash._
+      s"""WITH px AS (SELECT doc_id,
+         |    CAST(doc_id * 1024 + i AS UBIGINT) AS seed
+         |  FROM documents, unnest(range(0, 512)) AS t(i)),
+         |${splitmixStages("px", "doc_id", "seed")},
+         |v AS (SELECT doc_id, xor(z3, z3 >> 31) % 256 AS pv FROM p3_)
+         |SELECT doc_id, 512 AS n_samples, 8000 AS sample_rate,
+         |  round(sum(pv) / 512.0, 6) AS avg_sample
          |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 

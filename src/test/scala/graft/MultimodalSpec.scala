@@ -41,6 +41,27 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV encode/decode roundtrip is per-sample lossless") {
+    for (id <- Seq(0L, 3L, 999L)) {
+      val n = 512
+      val pcm = Array.tabulate(n) { i =>
+        (org.apache.spark.sql.graft.NativeExpressions
+          .splitmix64Long(id * 1024L + i) & 0xffL).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      assert(in.getFormat.getSampleSizeInBits == 8)
+      assert(in.getFormat.getSampleRate == 8000f)
+      assert(in.readAllBytes().toSeq == pcm.toSeq)
+    }
+  }
+
   test("q_mm_png_decode emits one row per document with in-range stats") {
     import SparkFixture.{spark, sfDir}
     val out = SparkEntry.queries("q_mm_png_decode")(spark, sfDir).collect()
