@@ -35,7 +35,9 @@ object SourceQueries extends QueryPack {
   private val cleanupRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def scratch(s: SparkSession, d: String, name: String): String = {
+  // private[graft]: the streaming foreachBatch sink reuses the same
+  // per-application scratch scheme (and its shutdown-hook cleanup)
+  private[graft] def scratch(s: SparkSession, d: String, name: String): String = {
     val appRoot = s"/tmp/graft_io/${s.sparkContext.applicationId}"
     if (cleanupRegistered.add(appRoot)) {
       Runtime.getRuntime.addShutdownHook(new Thread(() => {

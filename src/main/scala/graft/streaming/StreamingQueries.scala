@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import graft.engine.{QueryPack, Tables}
 
 /** Per-user running state carried by the stateful operator. */
@@ -210,6 +210,41 @@ object StreamingQueries extends QueryPack {
         case Some(p) => s.conf.set(confKey, p)
         case None    => s.conf.unset(confKey)
       }
+    }),
+
+    // -- foreachBatch sink: per-micro-batch batch writes --------------------
+    // THE production sink API: each micro-batch arrives as a plain
+    // DataFrame with its batchId, and the writer gets full batch-API
+    // power (parquet/JDBC/merge). Exactly-once comes from idempotence —
+    // the output path is keyed by batchId, so a retried batch overwrites
+    // its own directory instead of duplicating. The streamed rows are
+    // then read back from the parquet sink and aggregated, so the oracle
+    // checks the data actually LANDED through the sink, not just that
+    // the stream ran. No checkpointLocation: like every bounded run
+    // here, a temp checkpoint makes each invocation reprocess from
+    // scratch (a production job pins a durable checkpoint instead).
+    "q_stream_foreachbatch" -> ((s, d) => {
+      val out = graft.operators.SourceQueries.scratch(s, d, "stream_fb")
+      val src = StreamRunner.eventsStream(s, d)
+        .filter(col("value") > 0)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val conf = s.conf
+      val prev = conf.get("spark.sql.shuffle.partitions")
+      conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = src.writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.write.mode("overwrite").parquet(s"$out/batch_$batchId")
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally conf.set("spark.sql.shuffle.partitions", prev)
+      s.read.parquet(s"$out/batch_*")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -280,6 +315,11 @@ object StreamingQueries extends QueryPack {
 
     "q_stream_transform" ->
       """SELECT user_id, count(*) AS n_events, round(max(value), 2) AS max_v
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_stream_foreachbatch" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM events WHERE value > 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
