@@ -135,6 +135,23 @@ object SourceQueries extends QueryPack {
         .orderBy(col("o_orderkey"))
     }),
 
+    // -- ORC sink + scan: the second columnar format Spark ships ------------
+    // Same roundtrip shape as parquet: write a projection, read it back
+    // with a filter that must push into the ORC reader (predicate
+    // pushdown via ORC's min/max/bloom row-group stats works exactly
+    // like parquet's — at 100 TB the filter skips stripes, not rows).
+    "q_orc_roundtrip" -> ((s, d) => {
+      val out = scratch(s, d, "customer_orc")
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .filter(col("c_acctbal") > 5000.0)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal"), 2).as("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // -- bucketed write + co-located join (zero shuffle on either side) -----
     // Both sides are written bucketed (and bucket-sorted) on the join key
     // with the same bucket count, so the sort-merge join reads co-located
@@ -213,6 +230,11 @@ object SourceQueries extends QueryPack {
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
         |FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_orc_roundtrip" ->
+      """SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal
+        |FROM customer WHERE c_acctbal > 5000.0
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_bucketed_join" ->
       """SELECT c_custkey, c_name, count(*) AS n_orders,

@@ -75,6 +75,12 @@ class PlanSpec extends AnyFunSuite {
       "GreaterThan(o_totalprice"), p)
   }
 
+  test("q_orc_roundtrip pushes its filter into the ORC scan") {
+    val p = plan("q_orc_roundtrip")
+    assert(p.contains("PushedFilters: [IsNotNull(c_acctbal), " +
+      "GreaterThan(c_acctbal"), p)
+  }
+
   test("native dot product stays inside whole-stage codegen in q_sim_pairs") {
     val p = plan("q_sim_pairs")
     assert(p.contains("graft_dot"), p)
