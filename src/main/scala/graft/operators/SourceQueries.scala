@@ -135,6 +135,28 @@ object SourceQueries extends QueryPack {
         .orderBy(col("o_orderkey"))
     }),
 
+    // -- hive-partitioned write + partition-pruned read ---------------------
+    // THE first-order scan optimization on a real lake: data written as
+    // one directory per partition value, so a filter on the partition
+    // column prunes whole directories at PLANNING time — the scan never
+    // lists, opens, or reads the other partitions' files. PlanSpec pins
+    // the filter landing in PartitionFilters (metadata pruning), not
+    // PushedFilters (row-group pruning). The partition column is
+    // low-cardinality by design (5 priorities): at 100 TB you partition
+    // by date/tenant-grade keys and keep file counts per partition sane.
+    "q_partitioned_write" -> ((s, d) => {
+      val out = scratch(s, d, "orders_part")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+      s.read.parquet(out)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // -- ORC sink + scan: the second columnar format Spark ships ------------
     // Same roundtrip shape as parquet: write a projection, read it back
     // with a filter that must push into the ORC reader (predicate
@@ -229,6 +251,12 @@ object SourceQueries extends QueryPack {
     "q_parquet_roundtrip" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
         |FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_partitioned_write" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+        |  o_orderpriority
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_orc_roundtrip" ->

@@ -81,6 +81,14 @@ class PlanSpec extends AnyFunSuite {
       "GreaterThan(c_acctbal"), p)
   }
 
+  test("q_partitioned_write prunes partitions at planning time") {
+    val p = plan("q_partitioned_write")
+    // the partition-column filter must be metadata pruning
+    // (PartitionFilters), not a data filter the scan evaluates per row
+    assert(p.contains("PartitionFilters: [isnotnull(o_orderpriority"), p)
+    assert(p.contains("1-URGENT"), p)
+  }
+
   test("native dot product stays inside whole-stage codegen in q_sim_pairs") {
     val p = plan("q_sim_pairs")
     assert(p.contains("graft_dot"), p)
