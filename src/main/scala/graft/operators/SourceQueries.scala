@@ -157,6 +157,42 @@ object SourceQueries extends QueryPack {
         .orderBy(col("o_orderkey"))
     }),
 
+    // -- dynamic partition pruning: join-driven runtime pruning -------------
+    // The static-pruning sibling above needs the partition value in the
+    // query text; real star joins filter on a DIMENSION attribute. DPP
+    // covers that: the dim side is broadcast for the join anyway, so
+    // Spark re-uses the broadcast results as a runtime IN-filter on the
+    // fact's partition column — whole directories are skipped without
+    // the user ever naming them. At 100 TB this is the difference
+    // between scanning 2 of 365 date partitions and scanning the year.
+    // PlanSpec pins `dynamicpruningexpression` in the fact scan's
+    // PartitionFilters.
+    "q_dpp_join" -> ((s, d) => {
+      import s.implicits._
+      val out = scratch(s, d, "orders_part_dpp")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+      val fact = s.read.parquet(out)
+      // the dim must be a SCANNED relation with a surviving Filter node:
+      // a literal in-memory frame gets constant-folded into a
+      // LocalRelation, which the PartitionPruning rule does not treat as
+      // a selective predicate — so land the dim on the lake (where real
+      // dims live) and read it back
+      val dimPath = scratch(s, d, "prio_dim")
+      Seq(("1-URGENT", "hot"), ("2-HIGH", "hot"),
+        ("3-MEDIUM", "warm"), ("4-NOT SPECIFIED", "cold"), ("5-LOW", "cold"))
+        .toDF("prio", "klass")
+        .write.mode("overwrite").parquet(dimPath)
+      val dim = s.read.parquet(dimPath)
+      fact.join(broadcast(dim.filter(col("klass") === "hot")),
+          fact("o_orderpriority") === col("prio"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // -- ORC sink + scan: the second columnar format Spark ships ------------
     // Same roundtrip shape as parquet: write a projection, read it back
     // with a filter that must push into the ORC reader (predicate
@@ -258,6 +294,12 @@ object SourceQueries extends QueryPack {
         |  o_orderpriority
         |FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_dpp_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_orc_roundtrip" ->
       """SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal

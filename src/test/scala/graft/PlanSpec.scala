@@ -81,6 +81,13 @@ class PlanSpec extends AnyFunSuite {
       "GreaterThan(c_acctbal"), p)
   }
 
+  test("q_dpp_join prunes fact partitions dynamically from the dim filter") {
+    val p = plan("q_dpp_join")
+    // the dim-side filter must reach the partitioned fact scan as a
+    // runtime filter on the partition column, not a per-row data filter
+    assert(p.contains("dynamicpruningexpression"), p)
+  }
+
   test("q_partitioned_write prunes partitions at planning time") {
     val p = plan("q_partitioned_write")
     // the partition-column filter must be metadata pruning
