@@ -48,14 +48,20 @@ class MultimodalSpec extends AnyFunSuite {
         (org.apache.spark.sql.graft.NativeExpressions
           .splitmix64Long(id * 1024L + i) & 0xffL).toByte
       }
+      // the hand-assembled container must be byte-identical to what the
+      // JDK's own WAV writer emits for this format — the contract that
+      // keeps writeWav honest
       val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
       val bos = new java.io.ByteArrayOutputStream()
       javax.sound.sampled.AudioSystem.write(
         new javax.sound.sampled.AudioInputStream(
           new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
         javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      val wav = graft.operators.MultimodalQueries.writeWav(pcm)
+      assert(wav.toSeq == bos.toByteArray.toSeq)
+      // and the real JDK reader must decode it back to the exact samples
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bos.toByteArray))
+        new java.io.ByteArrayInputStream(wav))
       assert(in.getFormat.getSampleSizeInBits == 8)
       assert(in.getFormat.getSampleRate == 8000f)
       assert(in.readAllBytes().toSeq == pcm.toSeq)
