@@ -243,6 +243,54 @@ object SourceQueries extends QueryPack {
         .orderBy(col("c_custkey"))
     }),
 
+    // -- range-partitioned sorted layout (zone-map-friendly writes) ---------
+    // The write-side idiom that makes min/max row-group stats effective:
+    // repartitionByRange clusters each shipdate range into one output
+    // partition and sortWithinPartitions orders rows inside it, so a
+    // date-filtered re-read skips whole row groups on parquet min/max
+    // (at 100 TB: the difference between reading one week's row groups
+    // and sampling every file that interleaves the year). The re-read
+    // filter's pushdown is PlanSpec-pinned.
+    "q_sorted_layout" -> ((s, d) => {
+      val out = scratch(s, d, "lineitem_sorted")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate"),
+          col("l_extendedprice"))
+        .repartitionByRange(8, col("l_shipdate"))
+        .sortWithinPartitions(col("l_shipdate"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .filter(col("l_shipdate") >= lit("1995-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-04-01").cast("timestamp"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy(col("ship_day"))
+    }),
+
+    // -- observed metrics: data-quality counters with NO extra pass ---------
+    // Dataset.observe piggybacks aggregate metrics on the query's own
+    // action: one scan produces both the written output and the quality
+    // counters (row count, bad-row count, mean) — at 100 TB the
+    // alternative is a second full scan per metric batch. The observed
+    // values are returned as the query result so the oracle can check
+    // the metrics themselves.
+    "q_observe_metrics" -> ((s, d) => {
+      import s.implicits._
+      val obs = new org.apache.spark.sql.Observation("ev_quality")
+      val observed = Tables.events(s, d).observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("value") <= 0, 1L).otherwise(0L)).as("n_nonpos"),
+        round(avg(col("value")), 6).as("avg_value"))
+      // the action that both "ships" the data and populates the metrics
+      observed.write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("n_nonpos").asInstanceOf[Long],
+        m("avg_value").asInstanceOf[Double]))
+        .toDF("n_rows", "n_nonpos", "avg_value")
+    }),
+
     // -- in-memory table (literal rows) joined to a scanned dim -------------
     "q_inmem_table" -> ((s, d) => {
       val schema = StructType(Seq(
@@ -311,6 +359,21 @@ object SourceQueries extends QueryPack {
         |  round(sum(o_totalprice), 2) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+
+    "q_sorted_layout" ->
+      """SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+        |  count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-03-01'
+        |  AND l_shipdate < TIMESTAMP '1995-04-01'
+        |GROUP BY 1 ORDER BY ship_day""".stripMargin,
+
+    "q_observe_metrics" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nonpos,
+        |  round(avg(value), 6) AS avg_value
+        |FROM events""".stripMargin,
 
     "q_inmem_table" ->
       """SELECT bloc, count(*) AS n_nations, min(n_name) AS first_nation

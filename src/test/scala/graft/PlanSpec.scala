@@ -88,6 +88,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("dynamicpruningexpression"), p)
   }
 
+  test("q_sorted_layout pushes the date filter into the re-read scan") {
+    val p = plan("q_sorted_layout")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "GreaterThanOrEqual(l_shipdate"), p)
+  }
+
   test("q_partitioned_write prunes partitions at planning time") {
     val p = plan("q_partitioned_write")
     // the partition-column filter must be metadata pruning
