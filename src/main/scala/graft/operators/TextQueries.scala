@@ -216,6 +216,41 @@ object TextQueries extends QueryPack {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // -- bigram-LM perplexity: language-model quality scoring --------------
+    // The classic KenLM-shaped quality filter: score each document's
+    // per-word negative log-likelihood under a bigram MLE model trained
+    // on the corpus itself (one pass builds the counts, one join scores).
+    // P(w2|w1) = n(w1,w2) / n(w1·) — every scored bigram exists in the
+    // counts by construction, so no smoothing is needed for in-corpus
+    // scoring. FP determinism: per-doc log-probs are collected, SORTED,
+    // and folded left-to-right, so Spark and DuckDB sum in the identical
+    // order regardless of partitioning. Scale notes: the count tables
+    // shuffle keyed by bigram/unigram (vocabulary-bounded after the
+    // map-side combine); at 100 TB the string join keys would be
+    // xxhash64'd to longs — kept as strings here for oracle parity.
+    "q_lm_perplexity" -> ((s, d) => {
+      val ws = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), split(norm(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+      val bi = ws.select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws) - 2)," +
+            " i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
+      val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+      bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .withColumn("lp", log(col("n2").cast("double") / col("n1")))
+        .groupBy(col("doc_id"))
+        .agg(collect_list(col("lp")).as("lps"))
+        .withColumn("nll",
+          -expr("aggregate(array_sort(lps), 0D, (a, x) -> a + x)") /
+            size(col("lps")))
+        .select(col("doc_id"), round(col("nll"), 6).as("avg_nll"),
+          round(exp(col("nll")), 6).as("ppl"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- near-dup: exact word-set Jaccard (ground truth for LSH variants) --
     "q_dedup_jaccard" -> ((s, d) => {
       TextDedup.exactJaccardPairs(
@@ -312,6 +347,26 @@ object TextQueries extends QueryPack {
     val normSql =
       "regexp_replace(lower(trim(text)), '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g')"
     Map(
+      // sorted fold = identical FP summation order in both engines
+      "q_lm_perplexity" ->
+        s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws
+           |  FROM documents),
+           |wf AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 2),
+           |b AS (SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2
+           |  FROM wf, unnest(range(0, len(ws) - 1)) AS t(i)),
+           |c2 AS (SELECT w1, w2, count(*) AS n2 FROM b GROUP BY 1, 2),
+           |c1 AS (SELECT w1, count(*) AS n1 FROM b GROUP BY 1),
+           |lp AS (SELECT doc_id, ln(CAST(n2 AS DOUBLE) / n1) AS lp
+           |  FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+           |agg AS (SELECT doc_id, list_sort(list(lp)) AS lps
+           |  FROM lp GROUP BY doc_id),
+           |nll AS (SELECT doc_id,
+           |    -list_reduce(list_prepend(0.0, lps), (a, x) -> a + x)
+           |      / len(lps) AS nll
+           |  FROM agg)
+           |SELECT doc_id, round(nll, 6) AS avg_nll, round(exp(nll), 6) AS ppl
+           |FROM nll ORDER BY doc_id""".stripMargin,
+
       "q_text_stats" ->
         """SELECT doc_id, lang,
           |  length(text) AS n_chars_calc,
