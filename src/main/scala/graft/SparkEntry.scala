@@ -16,6 +16,7 @@ import graft.streaming.StreamingQueries
 object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     RelationalQueries,
+    AnalyticsQueries,
     JoinQueries,
     WindowQueries,
     FunctionQueries,

@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{QueryPack, Tables}
+
+/** Statistical and behavioral analytics over the star schema + events —
+  * second-moment aggregates, event funnels, cohort retention, and
+  * exponential smoothing. SURVEY.md §2.2 "Aggregations" / "Window
+  * functions" extensions a warehouse user expects day-one.
+  *
+  * Scale notes (100 TB):
+  *  - Every query is a keyed groupBy/window on a natural key (returnflag,
+  *    user_id) — partial aggregation is map-side, shuffles carry only
+  *    group state (co-moment tuples, per-user minima), never raw rows.
+  *  - The second-moment aggregates (corr/covar/var/regr) merge
+  *    commutative co-moment sketches, so they parallelize to any
+  *    partition count with one shuffle — the same shape DuckDB/Spark use
+  *    internally; rounding in both engines absorbs merge-order float
+  *    noise (QueryPack contract).
+  *  - The funnel computes per-stage minima with successive keyed
+  *    semi-computations instead of per-user event sorting: three
+  *    hash-aggregates + keyed joins on user_id, each reusing the same
+  *    hash partitioning (AQE coalesces the exchanges), no
+  *    collect_list-style buffering of a user's full history.
+  *  - EWMA uses a FIXED 16-term lag window (Horner form) instead of an
+  *    unbounded recursive state: per-row cost is constant, the window
+  *    frame is bounded, and Spark's WindowExec needs only a 16-row
+  *    buffer per partition — a recursive formulation (a^n blowup or
+  *    mapGroups over full user history) would either overflow doubles
+  *    or buffer whole groups.
+  */
+object AnalyticsQueries extends QueryPack {
+
+  /** EWMA decay: each older event contributes a^k. 16 taps ≈ 0.85^16 =
+    * 7% residual mass — the standard truncated-kernel tradeoff. */
+  private val ewmaAlpha = "0.85"
+  private val ewmaTaps = 16
+
+  /** Horner-form truncated EWMA built IDENTICALLY on both engines (the
+    * Spark Column and the oracle SQL come from the same recursion shape,
+    * so double arithmetic runs in the same order bit-for-bit):
+    * v + a*(lag1 + a*(lag2 + ... + a*lag15)). */
+  private def ewmaColumn(w: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    val a = ewmaAlpha.toDouble
+    val inner = coalesce(lag(col("value"), ewmaTaps - 1).over(w), lit(0.0))
+    val tail = (ewmaTaps - 2 to 1 by -1).foldLeft(inner) { (acc, k) =>
+      coalesce(lag(col("value"), k).over(w), lit(0.0)) + lit(a) * acc
+    }
+    col("value") + lit(a) * tail
+  }
+
+  private def ewmaSql: String = {
+    val inner = s"coalesce(lag(value, ${ewmaTaps - 1}) OVER w, 0)"
+    val tail = (ewmaTaps - 2 to 1 by -1).foldLeft(inner) { (acc, k) =>
+      s"coalesce(lag(value, $k) OVER w, 0) + $ewmaAlpha * ($acc)"
+    }
+    s"value + $ewmaAlpha * ($tail)"
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- second-moment statistics: corr / covariance / variance / OLS ------
+    // One hash aggregate; every statistic merges an (n, Σx, Σy, Σxy, Σx²)
+    // co-moment tuple, so the shuffle carries 5 doubles per group per
+    // partition regardless of data size.
+    "q_stats_moments" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("corr_pq"),
+          round(covar_samp(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("cov_pq"),
+          round(stddev_samp(col("l_discount")), 6).as("sd_disc"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("icept"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // -- ordered event funnel: view → click → purchase ----------------------
+    // Stage k's earliest qualifying timestamp must FOLLOW stage k-1's (a
+    // strict funnel, not three independent minima). Three keyed
+    // hash-aggregates joined on user_id; per-user state is one timestamp
+    // per stage, so no user's history is ever buffered.
+    "q_funnel" -> ((s, d) => {
+      val e = Tables.eventsWithTime(s, d)
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+      val view = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("view_us"))
+      val click = e.filter(col("event_type") === "click")
+        .join(view, "user_id").filter(col("ts_us") > col("view_us"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("click_us"))
+      val buy = e.filter(col("event_type") === "purchase")
+        .join(click, "user_id").filter(col("ts_us") > col("click_us"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("buy_us"))
+      view.join(click, Seq("user_id"), "left")
+        .join(buy, Seq("user_id"), "left")
+        .withColumn("stage",
+          when(col("buy_us").isNotNull, 3)
+            .when(col("click_us").isNotNull, 2).otherwise(1))
+        .orderBy(col("user_id"))
+    }),
+
+    // -- cohort retention: first-seen day × week offset ---------------------
+    // The cohort dimension (per-user first day) is a keyed aggregate
+    // joined back on user_id — at 100 TB both sides shuffle on the same
+    // key once; countDistinct re-shuffles on the (cohort, offset) grid,
+    // whose cardinality is days × weeks, not rows.
+    "q_cohort_retention" -> ((s, d) => {
+      val e = Tables.eventsWithTime(s, d)
+        .select(col("user_id"), col("ts_t"))
+      val first = e.groupBy(col("user_id"))
+        .agg(min(date_trunc("day", col("ts_t"))).as("cohort_ts"))
+      e.join(first, "user_id")
+        .groupBy(
+          date_format(col("cohort_ts"), "yyyy-MM-dd").as("cohort_day"),
+          floor(datediff(date_trunc("day", col("ts_t")), col("cohort_ts"))
+            / 7).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_day"), col("week_offset"))
+    }),
+
+    // -- exponentially weighted moving average (16-tap Horner) --------------
+    // One window sort per user; constant per-row work; bounded frame.
+    // Rounding is explicit floor(x*1e4 + 0.5)/1e4 on BOTH engines:
+    // Spark's round() rounds the double's SHORTEST DECIMAL STRING
+    // (184.0745499999... prints "184.07455" → HALF_UP 184.0746) while
+    // DuckDB rounds the binary value (184.0745) — with identical input
+    // doubles the explicit floor form cannot diverge.
+    "q_ewma" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.eventsWithTime(s, d)
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+        .withColumn("ewma",
+          floor(ewmaColumn(w) * lit(10000.0) + lit(0.5)) / lit(10000.0))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_stats_moments" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+        |  round(covar_samp(l_extendedprice, l_quantity), 4) AS cov_pq,
+        |  round(stddev_samp(l_discount), 6) AS sd_disc,
+        |  round(var_samp(l_quantity), 6) AS var_qty,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS view_us FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS click_us
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.view_us
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS buy_us
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.click_us
+        |  GROUP BY 1)
+        |SELECT v.user_id, v.view_us, c.click_us, p.buy_us,
+        |  CASE WHEN p.buy_us IS NOT NULL THEN 3
+        |       WHEN c.click_us IS NOT NULL THEN 2 ELSE 1 END AS stage
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, min(date_trunc('day', ts)) AS cohort_ts
+        |  FROM events GROUP BY 1)
+        |SELECT strftime(f.cohort_ts, '%Y-%m-%d') AS cohort_day,
+        |  date_diff('day', f.cohort_ts, date_trunc('day', e.ts)) // 7
+        |    AS week_offset,
+        |  count(DISTINCT e.user_id) AS n_active
+        |FROM events e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, week_offset""".stripMargin,
+
+    // floor(x*1e4 + 0.5)/1e4, not round(): see the query comment
+    "q_ewma" ->
+      s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+         |  floor(($ewmaSql) * 10000.0 + 0.5) / 10000.0 AS ewma
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         |ORDER BY user_id, ts_us, event_id""".stripMargin
+  )
+}

@@ -97,6 +97,68 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // -- QUANTIFIED contamination: per-doc eval-overlap fraction ------------
+    // q_decontaminate's boolean flag is the membership test; real
+    // pipelines threshold on the FRACTION of a doc's shingles found in
+    // the eval set (a single shared boilerplate shingle shouldn't nuke a
+    // long doc). Same broadcast eval set; the corpus side explodes its
+    // (distinct) shingles once, left-joins the broadcast, and re-groups
+    // by doc — one shuffle keyed by doc_id, never by shingle. Explicit
+    // floor(x*1e6+0.5)/1e6 rounding: k/2^m ratios hit exact decimal
+    // boundaries where Spark's string-based round() and DuckDB's
+    // binary round() disagree.
+    "q_contamination_score" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), TextDedup.wordShingles(col("text")).as("toks"))
+      val bench = sh.filter(pmod(col("doc_id"), lit(40)) === 0)
+        .select(explode(col("toks")).as("h")).distinct()
+        .withColumn("inb", lit(1))
+      sh.filter(pmod(col("doc_id"), lit(40)) =!= 0)
+        .select(col("doc_id"), explode(col("toks")).as("h"))
+        .join(broadcast(bench), Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"),
+          sum(coalesce(col("inb"), lit(0))).as("n_hit"))
+        .withColumn("overlap",
+          floor(col("n_hit").cast("double") / col("n_sh") * lit(1000000.0)
+            + lit(0.5)) / lit(1000000.0))
+        .select(col("doc_id"), col("n_sh"), col("n_hit"), col("overlap"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- training-mixture reweighting (per-language target shares) ----------
+    // Data-mixing for training runs: given target corpus shares, the
+    // per-language sampling weight is target_share * N / n_lang — the
+    // expected epochs over that slice when drawing the mixed corpus.
+    // One tiny aggregate (5 langs) joined to a literal target table;
+    // at 100 TB the groupBy is the only data-sized step and it carries
+    // map-side combine. The weight also reports capped form (max 4
+    // epochs — the standard repeat-suppression guard).
+    "q_mix_weights" -> ((s, d) => {
+      val targets = s.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row("en", 0.40), org.apache.spark.sql.Row("zh", 0.15),
+        org.apache.spark.sql.Row("es", 0.15), org.apache.spark.sql.Row("de", 0.15),
+        org.apache.spark.sql.Row("fr", 0.15)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("target_share",
+            org.apache.spark.sql.types.DoubleType, nullable = false))))
+      val counts = Tables.documents(s, d)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val total = counts.agg(sum(col("n_docs")).as("n_total"))
+      val raw = col("target_share") * col("n_total") / col("n_docs")
+      counts.crossJoin(broadcast(total))
+        .join(broadcast(targets), "lang")
+        .select(col("lang"), col("n_docs"), col("target_share"),
+          (floor(raw * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+            .as("weight"),
+          (floor(least(raw, lit(4.0)) * lit(1000000.0) + lit(0.5))
+            / lit(1000000.0)).as("weight_capped"))
+        .orderBy(col("lang"))
+    }),
+
     // -- deterministic STRATIFIED SAMPLING ---------------------------------
     // Per-language keep rates (downsample the over-represented language)
     // decided by a splitmix64 bucket of the doc key — reproducible, order-
@@ -287,6 +349,42 @@ object PipelineQueries extends QueryPack {
          |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
          |WHERE d.doc_id % 40 <> 0 ORDER BY d.doc_id""".stripMargin
     },
+
+    // floor(x*1e6+0.5)/1e6 instead of round(): k/2^m overlap ratios land
+    // exactly on decimal boundaries where the engines' round() disagree
+    "q_contamination_score" -> {
+      s"""WITH ${OracleHash.shingleCtes},
+         |bench AS (SELECT DISTINCT unnest(toks) AS h FROM sh
+         |  WHERE doc_id % 40 = 0),
+         |tr AS (SELECT doc_id, unnest(toks) AS h FROM sh
+         |  WHERE doc_id % 40 <> 0),
+         |ov AS (SELECT tr.doc_id, count(*) AS n_sh,
+         |    CAST(sum(CASE WHEN bench.h IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_hit
+         |  FROM tr LEFT JOIN bench USING (h) GROUP BY 1)
+         |SELECT doc_id, n_sh, n_hit,
+         |  floor(CAST(n_hit AS DOUBLE) / n_sh * 1000000.0 + 0.5)
+         |    / 1000000.0 AS overlap
+         |FROM ov ORDER BY doc_id""".stripMargin
+    },
+
+    // CAST(target_share AS DOUBLE): the VALUES literal is DECIMAL in
+    // DuckDB and decimal division would diverge from Spark's double path
+    "q_mix_weights" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents
+        |  GROUP BY 1),
+        |t AS (SELECT lang, n_docs,
+        |    CAST(sum(n_docs) OVER () AS BIGINT) AS n_total FROM c)
+        |SELECT t.lang, t.n_docs, CAST(v.target_share AS DOUBLE)
+        |    AS target_share,
+        |  floor(CAST(v.target_share AS DOUBLE) * n_total / n_docs
+        |    * 1000000.0 + 0.5) / 1000000.0 AS weight,
+        |  floor(least(CAST(v.target_share AS DOUBLE) * n_total / n_docs,
+        |    4.0) * 1000000.0 + 0.5) / 1000000.0 AS weight_capped
+        |FROM t JOIN (VALUES ('en', 0.40), ('zh', 0.15), ('es', 0.15),
+        |  ('de', 0.15), ('fr', 0.15)) AS v(lang, target_share)
+        |  ON v.lang = t.lang
+        |ORDER BY t.lang""".stripMargin,
 
     "q_sample_stratified" -> {
       import graft.engine.OracleHash._

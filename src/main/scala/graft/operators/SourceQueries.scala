@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.engine.{QueryPack, Tables}
@@ -307,8 +307,52 @@ object SourceQueries extends QueryPack {
         .agg(count(lit(1)).as("n_nations"),
           min(col("n_name")).as("first_nation"))
         .orderBy(col("bloc"))
+    }),
+
+    // -- z-order clustered layout: multi-dimensional data skipping ----------
+    // Interleaving the bits of two filter dimensions gives a 1-D sort key
+    // whose ranges are 2-D locality boxes: range-partition + sort on the
+    // z-value and BOTH a partkey-box and a suppkey-box predicate skip most
+    // files/row-groups via parquet min/max stats (a single-column sort
+    // only skips on that one column). ZOrderLayoutSpec pins the clustering
+    // property; this query verifies the z computation itself through the
+    // write→read roundtrip. The Spark bit expression and the oracle SQL
+    // are generated by the same loop, so they cannot drift.
+    "q_zorder_layout" -> ((s, d) => {
+      val out = scratch(s, d, "lineitem_zorder")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          pmod(col("l_partkey"), lit(256L)).as("px"),
+          pmod(col("l_suppkey"), lit(256L)).as("sx"))
+        .withColumn("zval", zValue(col("px"), col("sx")))
+        .repartitionByRange(8, col("zval"))
+        .sortWithinPartitions(col("zval"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        // sx box stays low: the smallest corpus has 10 suppliers, so
+        // sx > 10 never occurs there and a higher box would be empty
+        .filter(col("px").between(32, 95) && col("sx").between(2, 5))
+        .groupBy(col("px"))
+        .agg(count(lit(1)).as("n"), min(col("zval")).as("min_z"),
+          max(col("zval")).as("max_z"))
+        .orderBy(col("px"))
     })
   )
+
+  /** 16-bit Morton code: interleave the low [[zOrderBits]] bits of two
+    * non-negative keys (even positions ← x, odd ← y). The companion
+    * [[zValueSql]] emits the same formula as DuckDB SQL from the same
+    * loop — one source of truth for both engines. */
+  private val zOrderBits = 8
+  private[graft] def zValue(x: Column, y: Column): Column =
+    (0 until zOrderBits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  private def zValueSql(x: String, y: String): String =
+    (0 until zOrderBits).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
 
   def oracle: Map[String, String] = Map(
     "q_csv_roundtrip" ->
@@ -380,6 +424,15 @@ object SourceQueries extends QueryPack {
         |FROM nation JOIN (VALUES (0, 'old-world'), (1, 'new-world'),
         |  (2, 'new-world'), (3, 'old-world'), (4, 'old-world'))
         |  AS b(r_regionkey, bloc) ON b.r_regionkey = nation.n_regionkey
-        |GROUP BY bloc ORDER BY bloc""".stripMargin
+        |GROUP BY bloc ORDER BY bloc""".stripMargin,
+
+    // same generated bit-interleave formula as the Spark side (zValueSql)
+    "q_zorder_layout" ->
+      s"""WITH z AS (SELECT l_partkey % 256 AS px, l_suppkey % 256 AS sx
+         |  FROM lineitem),
+         |zz AS (SELECT px, sx, ${zValueSql("px", "sx")} AS zval FROM z)
+         |SELECT px, count(*) AS n, min(zval) AS min_z, max(zval) AS max_z
+         |FROM zz WHERE px BETWEEN 32 AND 95 AND sx BETWEEN 2 AND 5
+         |GROUP BY 1 ORDER BY px""".stripMargin
   )
 }

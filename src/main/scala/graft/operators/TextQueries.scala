@@ -340,6 +340,40 @@ object TextQueries extends QueryPack {
           Tables.documents(s, d).select(col("doc_id"), col("text")),
           maxHamming = 3)
         .orderBy(col("d1"), col("d2"))
+    }),
+
+    // -- near-dup: edit-distance verify under first-token blocking ---------
+    // The levenshtein verify stage of a small-edit dedup pipeline: block
+    // on the first token (small-edit near-dups rarely change the opening
+    // token; at web scale swap the blocker for minhash candidates and
+    // keep this verify unchanged), prune candidates with the sound
+    // |len(a)-len(b)| <= t*max bound (edit distance >= length gap, O(1)
+    // per pair), then verify survivors with exact levenshtein (the only
+    // O(L²) step, applied post-blocking only). Thresholds compare in
+    // INTEGER arithmetic (lev*10 <= 3*mx) — a 0.3 float literal parses
+    // as decimal in DuckDB but double in Spark, and the two disagree on
+    // exact boundaries (mx divisible by 10).
+    "q_dedup_editdist" -> ((s, d) => {
+      val b = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), col("text"),
+          split(col("text"), " ").getItem(0).as("w"),
+          length(col("text")).as("len"))
+      val l = b.select(col("w"), col("doc_id").as("d1"),
+        col("text").as("t1"), col("len").as("len1"))
+      val r = b.select(col("w"), col("doc_id").as("d2"),
+        col("text").as("t2"), col("len").as("len2"))
+      l.join(r, "w")
+        .filter(col("d1") < col("d2"))
+        .withColumn("mx", greatest(col("len1"), col("len2")))
+        .filter(abs(col("len1") - col("len2")) * 10 <= lit(3) * col("mx"))
+        .withColumn("lev",
+          levenshtein(col("t1"), col("t2")).cast("bigint"))
+        .filter(col("lev") * 10 <= lit(3) * col("mx"))
+        .select(col("d1"), col("d2"), col("lev"),
+          round(lit(1.0) - col("lev").cast("double") / col("mx"), 6)
+            .as("sim"))
+        .orderBy(col("d1"), col("d2"))
     })
   )
 
@@ -597,7 +631,22 @@ object TextQueries extends QueryPack {
           |      (len(a.grams) + len(b.grams)
           |       - len(list_intersect(a.grams, b.grams))), 6) AS jacc
           |  FROM g a JOIN g b ON a.doc_id < b.doc_id) t
-          |WHERE jacc >= 0.8 ORDER BY d1, d2""".stripMargin
+          |WHERE jacc >= 0.8 ORDER BY d1, d2""".stripMargin,
+
+      // integer-arithmetic thresholds (lev*10 <= 3*mx): see the query
+      // comment — a 0.3 literal is decimal here but double in Spark
+      "q_dedup_editdist" ->
+        """WITH b AS (SELECT doc_id, text, split_part(text, ' ', 1) AS w,
+          |    length(text) AS len FROM documents)
+          |SELECT d1, d2, lev, round(1.0 - CAST(lev AS DOUBLE) / mx, 6) AS sim
+          |FROM (
+          |  SELECT a.doc_id AS d1, c.doc_id AS d2,
+          |    CAST(levenshtein(a.text, c.text) AS BIGINT) AS lev,
+          |    greatest(a.len, c.len) AS mx
+          |  FROM b a JOIN b c ON a.w = c.w AND a.doc_id < c.doc_id
+          |  WHERE abs(a.len - c.len) * 10 <= 3 * greatest(a.len, c.len)) t
+          |WHERE lev * 10 <= 3 * mx
+          |ORDER BY d1, d2""".stripMargin
     )
   }
 }
