@@ -83,25 +83,42 @@ object AnalyticsQueries extends QueryPack {
 
     // -- ordered event funnel: view → click → purchase ----------------------
     // Stage k's earliest qualifying timestamp must FOLLOW stage k-1's (a
-    // strict funnel, not three independent minima). Three keyed
-    // hash-aggregates joined on user_id; per-user state is one timestamp
-    // per stage, so no user's history is ever buffered.
+    // strict funnel, not three independent minima). Carry-along shape:
+    // each stage LEFT-joins the next event type onto the accumulated
+    // per-user frame and re-aggregates keyed by (user, earlier stages),
+    // so every stage subplan is referenced exactly ONCE — the naive
+    // "derive three frames, join them at the end" formulation makes
+    // Catalyst plan the view/click aggregates 2-3 times each (a
+    // DataFrame DAG lowers to a plan TREE; shared lineage is recomputed,
+    // and at 100 TB those are redundant full scans). Per-user state is
+    // one timestamp per stage; no user's history is ever buffered.
     "q_funnel" -> ((s, d) => {
       val e = Tables.eventsWithTime(s, d)
         .select(col("user_id"), col("event_type"), col("ts_us"))
-      val view = e.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts_us")).as("view_us"))
-      val click = e.filter(col("event_type") === "click")
-        .join(view, "user_id").filter(col("ts_us") > col("view_us"))
-        .groupBy(col("user_id")).agg(min(col("ts_us")).as("click_us"))
-      val buy = e.filter(col("event_type") === "purchase")
-        .join(click, "user_id").filter(col("ts_us") > col("click_us"))
-        .groupBy(col("user_id")).agg(min(col("ts_us")).as("buy_us"))
-      view.join(click, Seq("user_id"), "left")
-        .join(buy, Seq("user_id"), "left")
+      def stage(t: String, as: String) = e
+        .filter(col("event_type") === t)
+        .select(col("user_id"), col("ts_us").as(as))
+      val view = stage("view", "v_ts")
+        .groupBy(col("user_id")).agg(min(col("v_ts")).as("view_us"))
+      // conditional min, no pre-filter: the left join always keeps every
+      // user (a filter on c_ts would drop users whose clicks all precede
+      // the view), and `when` without otherwise nulls the non-qualifying
+      // rows so min() ignores them
+      val click = view
+        .join(stage("click", "c_ts"), Seq("user_id"), "left")
+        .groupBy(col("user_id"), col("view_us"))
+        .agg(min(when(col("c_ts") > col("view_us"), col("c_ts")))
+          .as("click_us"))
+      click
+        .join(stage("purchase", "b_ts"), Seq("user_id"), "left")
+        .groupBy(col("user_id"), col("view_us"), col("click_us"))
+        .agg(min(when(col("b_ts") > col("click_us"), col("b_ts")))
+          .as("buy_us"))
         .withColumn("stage",
           when(col("buy_us").isNotNull, 3)
             .when(col("click_us").isNotNull, 2).otherwise(1))
+        .select(col("user_id"), col("view_us"), col("click_us"),
+          col("buy_us"), col("stage"))
         .orderBy(col("user_id"))
     }),
 

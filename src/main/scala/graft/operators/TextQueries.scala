@@ -363,16 +363,21 @@ object TextQueries extends QueryPack {
         col("text").as("t1"), col("len").as("len1"))
       val r = b.select(col("w"), col("doc_id").as("d2"),
         col("text").as("t2"), col("len").as("len2"))
+      val mx = greatest(col("len1"), col("len2"))
+      val lev = levenshtein(col("t1"), col("t2")).cast("bigint")
+      // ONE conjunction in cheap-first order: Catalyst folds chained
+      // filters into the join condition, and separate .filter calls got
+      // merged with the d1<d2 tie-break LAST — every mirror pair and
+      // self-pair paid the O(L²) levenshtein before the tie-break.
+      // Writing the conjunction explicitly pins short-circuit order:
+      // tie-break, then the O(1) length prune, and levenshtein only for
+      // the ordered pairs that survive both.
       l.join(r, "w")
-        .filter(col("d1") < col("d2"))
-        .withColumn("mx", greatest(col("len1"), col("len2")))
-        .filter(abs(col("len1") - col("len2")) * 10 <= lit(3) * col("mx"))
-        .withColumn("lev",
-          levenshtein(col("t1"), col("t2")).cast("bigint"))
-        .filter(col("lev") * 10 <= lit(3) * col("mx"))
-        .select(col("d1"), col("d2"), col("lev"),
-          round(lit(1.0) - col("lev").cast("double") / col("mx"), 6)
-            .as("sim"))
+        .filter(col("d1") < col("d2") &&
+          abs(col("len1") - col("len2")) * 10 <= lit(3) * mx &&
+          lev * 10 <= lit(3) * mx)
+        .select(col("d1"), col("d2"), lev.as("lev"),
+          round(lit(1.0) - lev.cast("double") / mx, 6).as("sim"))
         .orderBy(col("d1"), col("d2"))
     })
   )
