@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.NativeExpressions
 import graft.engine.{QueryPack, Tables}
 import graft.functions.TextDedup
 
@@ -364,20 +365,40 @@ object TextQueries extends QueryPack {
       val r = b.select(col("w"), col("doc_id").as("d2"),
         col("text").as("t2"), col("len").as("len2"))
       val mx = greatest(col("len1"), col("len2"))
-      val lev = levenshtein(col("t1"), col("t2")).cast("bigint")
+      // PER-PAIR threshold-bounded levenshtein: the filter only keeps
+      // lev <= floor(3*mx/10), so bounding the banded DP at exactly that
+      // per-pair cutoff is lossless — survivors still get their exact
+      // distance, and -1 (bound exceeded) is precisely the reject set.
+      // `functions.levenshtein` takes only a literal Int threshold; the
+      // NativeExpressions helper passes the threshold as a COLUMN so each
+      // pair gets the narrowest sound band (thr ~0.3*len, not 0.3*maxLen).
+      // 3*mx <= ~6000 is exact in double, so floor() is safe here.
+      val thr = floor((lit(3) * mx).cast("double") / lit(10.0)).cast("int")
+      val lev =
+        NativeExpressions.boundedLevenshtein(col("t1"), col("t2"), thr)
+          .cast("bigint")
       // ONE conjunction in cheap-first order: Catalyst folds chained
       // filters into the join condition, and separate .filter calls got
       // merged with the d1<d2 tie-break LAST — every mirror pair and
       // self-pair paid the O(L²) levenshtein before the tie-break.
       // Writing the conjunction explicitly pins short-circuit order:
-      // tie-break, then the O(1) length prune, and levenshtein only for
-      // the ordered pairs that survive both.
+      // tie-break, then the O(1) length prune, then `lev >= 0` (ONE
+      // banded-DP evaluation deciding most rejects), and the exact
+      // threshold compare only for pairs within the band. The verify
+      // filter is deterministic, so Catalyst pushes it back through the
+      // pair-key repartition into the join condition — the shuffle only
+      // carries final survivors, and the post-shuffle projection serves
+      // `lev` for the output columns without re-running the DP in two
+      // places.
       l.join(r, "w")
         .filter(col("d1") < col("d2") &&
           abs(col("len1") - col("len2")) * 10 <= lit(3) * mx &&
-          lev * 10 <= lit(3) * mx)
-        .select(col("d1"), col("d2"), lev.as("lev"),
-          round(lit(1.0) - lev.cast("double") / mx, 6).as("sim"))
+          lev >= 0 && lev * 10 <= lit(3) * mx)
+        .repartition(s.sparkContext.defaultParallelism,
+          col("d1"), col("d2"))
+        .withColumn("lev", lev)
+        .select(col("d1"), col("d2"), col("lev"),
+          round(lit(1.0) - col("lev").cast("double") / mx, 6).as("sim"))
         .orderBy(col("d1"), col("d2"))
     })
   )

@@ -475,4 +475,15 @@ object NativeExpressions {
 
   def minHashSignature(hashes: Column, perms: Column): Column =
     ExpressionUtils.column(MinHashSignature(expr(hashes), expr(perms)))
+
+  /** Spark's banded `Levenshtein` with a PER-PAIR threshold column.
+    * `functions.levenshtein` only exposes a literal Int threshold, but
+    * the Catalyst expression accepts any int Expression; a per-pair
+    * bound (e.g. the similarity cutoff `floor(3*mx/10)`) keeps the DP
+    * band as narrow as each pair allows. Returns -1 when the distance
+    * provably exceeds the threshold, the exact distance otherwise. */
+  def boundedLevenshtein(l: Column, r: Column, thr: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.Levenshtein(
+        expr(l), expr(r), Some(expr(thr))))
 }

@@ -6,19 +6,23 @@ import org.apache.spark.sql.SparkSession
   *
   *   sbt "Test/runMain graft.PlanDump q_funnel q_dedup_editdist"
   *
-  * No args = every declared query. Second use: `-sf <dir>` overrides the
-  * corpus (default sf0.01 — big enough that AQE/broadcast decisions match
-  * the correctness-gate runs, small enough to plan instantly).
+  * No args = every declared query. `-sf <dir>` overrides the corpus
+  * (default sf0.01 — big enough that AQE/broadcast decisions match the
+  * correctness-gate runs, small enough to plan instantly). `-time` also
+  * EXECUTES each query (noop write, twice — cold then warm) and prints
+  * both wall times.
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val (flags, names) = args.partition(_.startsWith("-"))
-    val sfDir = flags.sliding(2).collectFirst {
+    val sfDir = args.sliding(2).collectFirst {
       case Array("-sf", v) => v
     }.getOrElse("/root/testdata/sf0.01")
+    val time = flags.contains("-time")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -30,8 +34,18 @@ object PlanDump {
       println(s"\n======== $q ========")
       SparkEntry.queries.get(q) match {
         case Some(fn) =>
-          try println(fn(spark, sfDir).queryExecution.executedPlan.toString)
-          catch { case e: Throwable => println(s"PLAN FAILED: $e") }
+          try {
+            println(fn(spark, sfDir).queryExecution.executedPlan.toString)
+            if (time) {
+              def once(): Double = {
+                val t0 = System.nanoTime()
+                fn(spark, sfDir).write.format("noop")
+                  .mode("overwrite").save()
+                (System.nanoTime() - t0) / 1e9
+              }
+              println(f"[time] $q cold ${once()}%.2f s, warm ${once()}%.2f s")
+            }
+          } catch { case e: Throwable => println(s"PLAN FAILED: $e") }
         case None => println("unknown query")
       }
     }
