@@ -156,8 +156,95 @@ object AnalyticsQueries extends QueryPack {
         .withColumn("ewma",
           floor(ewmaColumn(w) * lit(10000.0) + lit(0.5)) / lit(10000.0))
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
+    // -- PageRank over the customer–supplier trade graph --------------------
+    // Iterative graph centrality in FIXED-POINT arithmetic: ranks are
+    // BIGINT multiples of 1e-12, every per-edge contribution is an
+    // integer division, and every aggregation sums integers — exact and
+    // ORDER-INDEPENDENT, so Spark's and DuckDB's nondeterministic merge
+    // orders cannot diverge (a double formulation accumulates ~1e-13 of
+    // order-dependent noise per iteration, which no output rounding can
+    // reliably absorb across 15k nodes × 3 iterations). Scale shape per
+    // iteration: one keyed join (edges ⋈ ranks on src, pre-joined with
+    // degrees) + one keyed partial-agg groupBy(dst) — rank state is one
+    // long per node, edges shuffle on their endpoints, nothing is
+    // collected. [[prIterations]] unrolls the SAME loop into the Spark
+    // DAG and the oracle CTE chain, so the engines cannot drift.
+    "q_pagerank" -> ((s, d) => {
+      val e0 = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.union(e0.select(col("dst").as("src"),
+        col("src").as("dst")))
+      val nodes = Tables.customer(s, d)
+        .select((col("c_custkey") * 2).as("id"))
+        .union(Tables.supplier(s, d)
+          .select((col("s_suppkey") * 2 + 1).as("id")))
+      val nTotal = nodes.agg(count(lit(1)).as("n"))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      var pr = nodes.crossJoin(broadcast(nTotal))
+        .select(col("id"), expr(s"${prScale}L div n").as("pr"), col("n"))
+      for (_ <- 1 to prIters) {
+        val contrib = edges.join(deg, "src")
+          .join(pr.select(col("id").as("src"), col("pr")), "src")
+          .groupBy(col("dst")).agg(sum(expr("pr div outdeg")).as("c"))
+        pr = nodes.crossJoin(broadcast(nTotal))
+          .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+          .select(col("id"),
+            (expr(s"(15 * ${prScale}L) div (100 * n)")
+              + expr("(85 * coalesce(c, 0L)) div 100")).as("pr"),
+            col("n"))
+      }
+      pr.select(col("id"),
+          when(pmod(col("id"), lit(2)) === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          col("pr").as("pr_fp"),
+          (col("pr").cast("double") / lit(prScale.toDouble)).as("pr"))
+        .orderBy(col("id"))
     })
   )
+
+  /** PageRank fixed-point scale (ranks are multiples of 1e-12) and
+    * iteration count — shared by the Spark loop and the oracle CTEs. */
+  private val prScale = 1000000000000L
+  private val prIters = 3
+
+  /** The oracle side of the SAME iteration loop: r0 → c1/r1 → … as a
+    * generated CTE chain (DuckDB `//` is integer division like Spark's
+    * `div`; both truncate, and all operands here are non-negative). */
+  private def pagerankSql: String = {
+    val iters = (1 to prIters).map { i =>
+      s"""c$i AS (SELECT e.dst AS id,
+         |    CAST(sum(r${i - 1}.pr // deg.outdeg) AS BIGINT) AS c
+         |  FROM e JOIN deg ON deg.id = e.src
+         |  JOIN r${i - 1} ON r${i - 1}.id = e.src GROUP BY e.dst),
+         |r$i AS (SELECT nodes.id,
+         |    ((15 * $prScale) // (100 * nn.n))
+         |      + ((85 * coalesce(c$i.c, 0)) // 100) AS pr
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN c$i ON c$i.id = nodes.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src,
+       |    l.l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |e AS (SELECT src, dst FROM e0
+       |  UNION ALL SELECT dst, src FROM e0),
+       |nodes AS (SELECT c_custkey * 2 AS id FROM customer
+       |  UNION ALL SELECT s_suppkey * 2 + 1 AS id FROM supplier),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |deg AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY 1),
+       |r0 AS (SELECT id, $prScale // nn.n AS pr FROM nodes CROSS JOIN nn),
+       |$iters
+       |SELECT id,
+       |  CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END
+       |    AS node_type,
+       |  pr AS pr_fp, CAST(pr AS DOUBLE) / $prScale.0 AS pr
+       |FROM r$prIters ORDER BY id""".stripMargin
+  }
 
   def oracle: Map[String, String] = Map(
     "q_stats_moments" ->
@@ -207,6 +294,9 @@ object AnalyticsQueries extends QueryPack {
          |  floor(($ewmaSql) * 10000.0 + 0.5) / 10000.0 AS ewma
          |FROM events
          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
-         |ORDER BY user_id, ts_us, event_id""".stripMargin
+         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    // integer fixed-point throughout: see the query comment
+    "q_pagerank" -> pagerankSql
   )
 }

@@ -97,6 +97,42 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // -- BLOOM-prefiltered decontamination (two-phase membership) ----------
+    // q_decontaminate broadcasts the EXACT eval shingle set — right while
+    // that set fits in executor memory, impossible when the eval corpus
+    // is itself large. The scale shape: aggregate a compact Bloom sketch
+    // over the eval shingles (Spark's own runtime-filter aggregate; ~1 MB
+    // here, a few hundred MB for 10⁹ items — broadcastable when the key
+    // set is not), prefilter the corpus side with the codegen'd
+    // might_contain (kills ~all clean shingles scan-side), then remove
+    // the Bloom's false positives with an exact SHUFFLE semi-join sized
+    // by the surviving candidates, not the corpus. Final answer is exact
+    // — the sketch only decides who pays for the join.
+    "q_bloom_decontaminate" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          TextDedup.wordShingles(col("text")).as("toks"))
+      val bench = sh.filter(pmod(col("doc_id"), lit(40)) === 0)
+        .select(explode(col("toks")).as("h")).distinct()
+      val bloom = bench.agg(
+        NativeExpressions.bloomFilterAgg(col("h"),
+          numItems = 1000000L, numBits = 8000000L).as("bf"))
+      val corpus = sh.filter(pmod(col("doc_id"), lit(40)) =!= 0)
+      val cand = corpus
+        .select(col("doc_id"), explode(col("toks")).as("h"))
+        .filter(NativeExpressions.bloomMightContain(
+          NativeExpressions.scalarSubquery(bloom), col("h")))
+      val hits = cand
+        .join(bench.hint("shuffle_hash"), Seq("h"), "left_semi")
+        .select(col("doc_id")).distinct()
+      corpus
+        .join(hits.withColumn("hit", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("hit"), lit(false)).as("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- QUANTIFIED contamination: per-doc eval-overlap fraction ------------
     // q_decontaminate's boolean flag is the membership test; real
     // pipelines threshold on the FRACTION of a doc's shingles found in
@@ -338,6 +374,21 @@ object PipelineQueries extends QueryPack {
         |FROM lbl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     "q_decontaminate" -> {
+      s"""WITH ${OracleHash.shingleCtes},
+         |bench AS (SELECT DISTINCT unnest(toks) AS h FROM sh
+         |  WHERE doc_id % 40 = 0),
+         |tr AS (SELECT doc_id, unnest(toks) AS h FROM sh
+         |  WHERE doc_id % 40 <> 0),
+         |hits AS (SELECT DISTINCT tr.doc_id FROM tr JOIN bench USING (h))
+         |SELECT d.doc_id, d.lang,
+         |  (hits.doc_id IS NOT NULL) AS contaminated
+         |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+         |WHERE d.doc_id % 40 <> 0 ORDER BY d.doc_id""".stripMargin
+    },
+
+    // exact oracle: the Bloom stage is a lossless prefilter (false
+    // positives die in the verify join), so the answer IS q_decontaminate
+    "q_bloom_decontaminate" -> {
       s"""WITH ${OracleHash.shingleCtes},
          |bench AS (SELECT DISTINCT unnest(toks) AS h FROM sh
          |  WHERE doc_id % 40 = 0),

@@ -401,6 +401,49 @@ object RelationalQueries extends QueryPack {
           round(min(col("value")), 6).as("min_value"),
           round(max(col("value")), 6).as("max_value"))
         .orderBy(col("metric"))
+    }),
+
+    // -- CDC upsert (MERGE INTO semantics, join-composed) ------------------
+    // Spark lacks MERGE without a table format that supports it; the
+    // engine-level shape is a FULL OUTER join between the base table and
+    // a compacted change batch, resolved row-wise: delete drops, update
+    // rewrites, insert lands, untouched rows pass through. One keyed
+    // shuffle each side; at 100 TB both sides co-partition on the merge
+    // key (bucketed base tables skip their exchange entirely — see
+    // q_bucketed_join). The change batch here is derived
+    // deterministically from orders: disjoint-by-construction U/D ops on
+    // existing keys (one CASE, so a key never carries two ops) plus
+    // inserts on a shifted key range.
+    "q_upsert_merge" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+      val existing = base
+        .withColumn("op",
+          when(pmod(col("o_orderkey"), lit(7)) === 0, lit("U"))
+            .when(pmod(col("o_orderkey"), lit(13)) === 5, lit("D")))
+        .filter(col("op").isNotNull)
+        .select(col("o_orderkey").as("k"), col("op"),
+          col("o_custkey").as("ch_custkey"),
+          col("o_orderstatus").as("ch_status"),
+          (col("o_totalprice") + lit(100.0)).as("ch_price"))
+      val inserts = base
+        .filter(pmod(col("o_orderkey"), lit(17)) === 2)
+        .select((col("o_orderkey") + lit(100000000L)).as("k"),
+          lit("I").as("op"), col("o_custkey").as("ch_custkey"),
+          lit("O").as("ch_status"), col("o_totalprice").as("ch_price"))
+      val changes = existing.union(inserts)
+      base.join(changes, col("o_orderkey") === col("k"), "full_outer")
+        .filter(coalesce(col("op"), lit("")) =!= "D")
+        .select(
+          coalesce(col("o_orderkey"), col("k")).as("okey"),
+          coalesce(col("ch_custkey"), col("o_custkey")).as("custkey"),
+          when(col("op") === "U", col("o_orderstatus"))
+            .otherwise(coalesce(col("ch_status"), col("o_orderstatus")))
+            .as("status"),
+          when(col("op").isin("U", "I"), col("ch_price"))
+            .otherwise(col("o_totalprice")).as("price"))
+        .orderBy(col("okey"))
     })
   )
 
@@ -608,6 +651,32 @@ object RelationalQueries extends QueryPack {
         |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
         |SELECT metric, count(*) AS n, round(min(value), 6) AS min_value,
         |  round(max(value), 6) AS max_value
-        |FROM u GROUP BY metric ORDER BY metric""".stripMargin
+        |FROM u GROUP BY metric ORDER BY metric""".stripMargin,
+
+    // CAST(100.0 AS DOUBLE): the bare literal is DECIMAL in DuckDB and
+    // decimal+double addition would diverge from Spark's double path
+    "q_upsert_merge" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice FROM orders),
+        |ex AS (SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'U'
+        |         WHEN o_orderkey % 13 = 5 THEN 'D' END AS op,
+        |    o_custkey AS ch_custkey, o_orderstatus AS ch_status,
+        |    o_totalprice + CAST(100.0 AS DOUBLE) AS ch_price
+        |  FROM base WHERE o_orderkey % 7 = 0 OR o_orderkey % 13 = 5),
+        |ins AS (SELECT o_orderkey + 100000000 AS k, 'I' AS op,
+        |    o_custkey AS ch_custkey, 'O' AS ch_status,
+        |    o_totalprice AS ch_price
+        |  FROM base WHERE o_orderkey % 17 = 2),
+        |ch AS (SELECT * FROM ex UNION ALL SELECT * FROM ins)
+        |SELECT coalesce(b.o_orderkey, c.k) AS okey,
+        |  coalesce(c.ch_custkey, b.o_custkey) AS custkey,
+        |  CASE WHEN c.op = 'U' THEN b.o_orderstatus
+        |       ELSE coalesce(c.ch_status, b.o_orderstatus) END AS status,
+        |  CASE WHEN c.op IN ('U','I') THEN c.ch_price
+        |       ELSE b.o_totalprice END AS price
+        |FROM base b FULL OUTER JOIN ch c ON b.o_orderkey = c.k
+        |WHERE coalesce(c.op, '') <> 'D'
+        |ORDER BY okey""".stripMargin
   )
 }

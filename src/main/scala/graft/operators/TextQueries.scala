@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.NativeExpressions
 import graft.engine.{QueryPack, Tables}
@@ -343,6 +344,37 @@ object TextQueries extends QueryPack {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // -- sub-document dedup: duplicate CHUNK removal + reassembly ----------
+    // Boilerplate removal dedups below document granularity (headers,
+    // licenses, navigation repeated across pages): split each doc into
+    // 10-token chunks, keep only the corpus-wide FIRST occurrence of
+    // each distinct chunk (min (doc_id, idx) — deterministic, order-free),
+    // and reassemble the survivors in original order. Scale shape: the
+    // first-occurrence decision is ONE window (= shuffle) keyed by chunk
+    // content, reassembly is one groupBy(doc_id) whose state is the doc's
+    // own kept chunks — no corpus-wide structure is ever broadcast or
+    // collected. The combined key doc_id*100000+idx keeps min() a single
+    // long comparison (docs are < 100k chunks long by construction).
+    "q_dedup_lines" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val chunks = transform(
+        sequence(lit(0), ceil(size(toks) / lit(10.0)).cast("int") - 1),
+        i => array_join(slice(toks, i * 10 + 1, lit(10)), " "))
+      val c = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), posexplode(chunks).as(Seq("idx", "chunk")))
+        .withColumn("k", col("doc_id") * 100000 + col("idx"))
+      val w = Window.partitionBy(col("chunk"))
+      c.withColumn("first_k", min(col("k")).over(w))
+        .filter(col("k") === col("first_k"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("idx"), col("chunk")))),
+            x => x.getField("chunk")), " ").as("text_dedup"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- near-dup: edit-distance verify under first-token blocking ---------
     // The levenshtein verify stage of a small-edit dedup pipeline: block
     // on the first token (small-edit near-dups rarely change the opening
@@ -658,6 +690,26 @@ object TextQueries extends QueryPack {
           |       - len(list_intersect(a.grams, b.grams))), 6) AS jacc
           |  FROM g a JOIN g b ON a.doc_id < b.doc_id) t
           |WHERE jacc >= 0.8 ORDER BY d1, d2""".stripMargin,
+
+      // chunking via unnest + generate_subscripts (DuckDB's range()
+      // cannot take lateral parameters); string_agg ORDER BY ord
+      // rebuilds exactly Spark's slice(toks, i*10+1, 10) chunks
+      "q_dedup_lines" ->
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+          |    FROM documents),
+          |x AS (SELECT doc_id, unnest(toks) AS tok,
+          |    generate_subscripts(toks, 1) AS ord FROM t),
+          |c AS (SELECT doc_id, CAST((ord - 1) // 10 AS INT) AS idx,
+          |    string_agg(tok, ' ' ORDER BY ord) AS chunk
+          |  FROM x GROUP BY doc_id, (ord - 1) // 10),
+          |f AS (SELECT *, doc_id * 100000 + idx AS k,
+          |    min(doc_id * 100000 + idx) OVER (
+          |      PARTITION BY chunk) AS first_k
+          |  FROM c)
+          |SELECT doc_id, count(*) AS n_kept,
+          |  string_agg(chunk, ' ' ORDER BY idx) AS text_dedup
+          |FROM f WHERE k = first_k
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       // integer-arithmetic thresholds (lev*10 <= 3*mx): see the query
       // comment — a 0.3 literal is decimal here but double in Spark

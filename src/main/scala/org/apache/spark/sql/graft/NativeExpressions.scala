@@ -476,6 +476,37 @@ object NativeExpressions {
   def minHashSignature(hashes: Column, perms: Column): Column =
     ExpressionUtils.column(MinHashSignature(expr(hashes), expr(perms)))
 
+  /** Spark's runtime-filter Bloom machinery, exposed as Columns. The
+    * planner uses these internally for `InjectRuntimeFilter`; building
+    * them explicitly gives the classic two-phase membership pattern:
+    * aggregate a compact Bloom sketch over the small side (a few MB for
+    * 10⁸ items at 1% FPR — broadcastable when the exact key set is not),
+    * prefilter the big side with the codegen'd `might_contain`, then
+    * remove the false positives with an exact join over the survivors
+    * only. `c` must be a LongType key (hash strings first). */
+  def bloomFilterAgg(c: Column, numItems: Long, numBits: Long): Column =
+    ExpressionUtils.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(expr(c),
+          org.apache.spark.sql.catalyst.expressions.Literal(numItems),
+          org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression())
+
+  def bloomMightContain(bloom: Column, value: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        expr(bloom), expr(value)))
+
+  /** A 1-row/1-column DataFrame as a scalar-subquery expression.
+    * `BloomFilterMightContain` only accepts a constant or scalar
+    * subquery as its sketch argument (it must be fixed at execution
+    * start), so the aggregated sketch plugs in through this — exactly
+    * how `InjectRuntimeFilter` wires its generated filters. */
+  def scalarSubquery(df: org.apache.spark.sql.DataFrame): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        df.queryExecution.analyzed))
+
   /** Spark's banded `Levenshtein` with a PER-PAIR threshold column.
     * `functions.levenshtein` only exposes a literal Int threshold, but
     * the Catalyst expression accepts any int Expression; a per-pair

@@ -116,4 +116,30 @@ class AnalyticsSpec extends AnyFunSuite {
       docs(sample.getAs[Long]("d2")))
     assert(sample.getAs[Long]("lev") == want.toLong)
   }
+
+  test("q_pagerank: ranks form a near-stochastic vector and isolated nodes keep the base rank") {
+    val rows = SparkEntry.queries("q_pagerank")(spark, sfDir).collect()
+    val n = rows.length
+    assert(n == graft.engine.Tables.customer(spark, sfDir).count() +
+      graft.engine.Tables.supplier(spark, sfDir).count())
+    // fixed-point ranks sum to ~1.0 (integer floor-division leaks at
+    // most a few units per node per iteration, never gains)
+    val scale = 1000000000000L
+    val total = rows.map(_.getAs[Long]("pr_fp")).sum
+    assert(total <= scale && total > (scale * 0.98).toLong,
+      s"rank mass $total out of range")
+    // customers with no orders receive exactly the damping base
+    val custWithOrders = graft.engine.Tables.orders(spark, sfDir)
+      .select(col("o_custkey")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    val base = 15L * scale / (100L * n)
+    val isolated = rows.filter(r =>
+      r.getAs[String]("node_type") == "customer" &&
+        !custWithOrders.contains(r.getAs[Long]("id") / 2))
+    isolated.foreach(r => assert(r.getAs[Long]("pr_fp") == base))
+    // suppliers aggregate many customers' mass: every supplier should
+    // outrank the isolated-customer base
+    rows.filter(_.getAs[String]("node_type") == "supplier")
+      .foreach(r => assert(r.getAs[Long]("pr_fp") > base))
+  }
 }

@@ -116,4 +116,16 @@ class PipelineQueriesSpec extends AnyFunSuite {
     val ids = rows.map(_.getAs[String]("pseudo_id"))
     assert(ids.distinct.length == ids.length)
   }
+
+  test("q_bloom_decontaminate: Bloom prefilter + exact verify equals the broadcast-exact answer") {
+    // The sketch only decides who pays for the verify join; the declared
+    // result must be bit-identical to q_decontaminate's exact flags.
+    val bloom = run("q_bloom_decontaminate").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val exact = run("q_decontaminate").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(bloom == exact)
+    assert(bloom.values.exists(identity) && bloom.values.exists(!_),
+      "fixture should contain both contaminated and clean docs")
+  }
 }

@@ -101,4 +101,32 @@ class TextDedupSpec extends AnyFunSuite {
     assert(sh.forall(p => p._1 < p._2))
     assert(sh.forall(_._3 <= 3))
   }
+
+  test("q_dedup_lines: kept chunks are globally unique and an in-order subset of each doc") {
+    import SparkFixture.sfDir
+    val out = SparkEntry.queries("q_dedup_lines")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_kept"),
+        r.getAs[String]("text_dedup")))
+    assert(out.nonEmpty)
+    val originals = graft.engine.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    // every chunk survives at most once across the whole corpus
+    val allKept = out.flatMap { case (_, _, t) =>
+      t.split(" ").grouped(10).map(_.mkString(" "))
+    }
+    assert(allKept.distinct.length == allKept.length)
+    // per doc: the kept text is the original's chunk sequence with
+    // duplicates deleted (order preserved), and n_kept counts them
+    out.foreach { case (id, nKept, t) =>
+      val origChunks = originals(id).split(" ").grouped(10)
+        .map(_.mkString(" ")).toSeq
+      val kept = t.split(" ").grouped(10).map(_.mkString(" ")).toSeq
+      assert(kept.size == nKept)
+      assert(kept.forall(origChunks.contains),
+        s"doc $id kept a chunk it never had")
+      // order preserved: kept appears as a subsequence of origChunks
+      val it = origChunks.iterator
+      assert(kept.forall(c => it.contains(c)), s"doc $id chunk order broken")
+    }
+  }
 }
