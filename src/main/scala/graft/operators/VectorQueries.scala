@@ -180,8 +180,101 @@ object VectorQueries extends QueryPack {
         .select(col("q_id"), col("rnk").cast("bigint").as("rnk"), col("c_id"),
           round(col("cos_raw"), 6).as("cos"))
         .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // -- deterministic distributed k-means (Lloyd's, fixed-point) ----------
+    // Embedding clustering for diversity sampling / topic balancing.
+    // Like q_pagerank, every quantity is BIGINT fixed-point so sums are
+    // order-independent and the oracle can match EXACTLY — a double
+    // formulation would let Spark's and DuckDB's different merge orders
+    // flip a near-tied assignment and cascade. Components are quantized
+    // as floor((x+1)*1e6) — the +1 shift keeps values non-negative so
+    // integer-division truncation equals floor on both engines; squared
+    // distances are shift-invariant. Init = the k lowest vec_ids
+    // (deterministic); [[kmIters]] Lloyd rounds unrolled by the same
+    // loop into the Spark DAG and the oracle CTE chain. Scale shape per
+    // round: centroids broadcast (k·dim longs), assignment is a narrow
+    // map over the streamed corpus with a codegen'd integer L2 kernel,
+    // the update is one posexplode + keyed partial agg on (cid, dim) —
+    // k·dim groups, never corpus-sized. The quantized points are
+    // persisted once (iterative reuse, MEMORY_AND_DISK spills).
+    "q_kmeans" -> ((s, d) => {
+      import org.apache.spark.sql.graft.NativeExpressions
+      val pts = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => floor((x.cast("double") + lit(1.0)) * lit(1000000.0))
+            .cast("long")).as("q"))
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def assign(cent: DataFrame): DataFrame = pts
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("q"),
+          struct(NativeExpressions.squaredDistLong(col("q"), col("cq"))
+            .as("dist"), col("cid")).as("dc"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("dc")).as("m"), first(col("q")).as("q"))
+        .select(col("vec_id"), col("q"),
+          col("m.cid").as("cid"), col("m.dist").as("dist"))
+      var cent = pts.filter(col("vec_id") < kmK)
+        .select(col("vec_id").as("cid"), col("q").as("cq"))
+      for (_ <- 1 to kmIters) {
+        cent = assign(cent)
+          .select(col("cid"), posexplode(col("q")).as(Seq("dim", "v")))
+          .groupBy(col("cid"), col("dim"))
+          .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+          .select(col("cid"), col("dim"), expr("sv div n").as("cv"))
+          .groupBy(col("cid"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("dim"), col("cv")))),
+            x => x.getField("cv")).as("cq"))
+      }
+      assign(cent)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(col("vec_id")).as("sum_ids"),
+          sum(col("dist")).as("inertia_fp"))
+        .orderBy(col("cid"))
     })
   )
+
+  /** k-means parameters shared by the Spark loop and the oracle CTEs. */
+  private val kmK = 8
+  private val kmIters = 3
+
+  /** Oracle side of the SAME Lloyd unrolling, on the unnested (vec, dim,
+    * q) long format. generate_subscripts is 1-based vs posexplode's
+    * 0-based `dim`, but dims are only ever join/sort keys within one
+    * engine, never output. */
+  private def kmeansSql: String = {
+    def distCte(i: Int, prev: String) =
+      s"""d$i AS (SELECT p.vec_id, c.cid,
+         |    CAST(sum((p.q - c.q) * (p.q - c.q)) AS BIGINT) AS dist
+         |  FROM pts p JOIN $prev c USING (dim) GROUP BY 1, 2),
+         |a$i AS (SELECT vec_id, cid, dist FROM (
+         |    SELECT vec_id, cid, dist, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d$i)
+         |  WHERE rn = 1)""".stripMargin
+    val iters = (1 to kmIters).map { i =>
+      s"""${distCte(i, s"c${i - 1}")},
+         |c$i AS (SELECT a.cid, p.dim,
+         |    CAST(CAST(sum(p.q) AS BIGINT) // count(*) AS BIGINT) AS q
+         |  FROM a$i a JOIN pts p USING (vec_id) GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val fin = kmIters + 1
+    s"""WITH pts AS (SELECT vec_id,
+       |    generate_subscripts(embedding, 1) AS dim,
+       |    CAST(floor((CAST(unnest(embedding) AS DOUBLE)
+       |      + CAST(1.0 AS DOUBLE)) * CAST(1000000.0 AS DOUBLE))
+       |      AS BIGINT) AS q
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, dim, q FROM pts WHERE vec_id < $kmK),
+       |$iters,
+       |${distCte(fin, s"c$kmIters")}
+       |SELECT cid, count(*) AS n_points,
+       |  CAST(sum(vec_id) AS BIGINT) AS sum_ids,
+       |  CAST(sum(dist) AS BIGINT) AS inertia_fp
+       |FROM a$fin GROUP BY cid ORDER BY cid""".stripMargin
+  }
 
   def oracle: Map[String, String] = {
     val dotAB = "list_dot_product(a.vd, b.vd)"
@@ -329,7 +422,10 @@ object VectorQueries extends QueryPack {
            |  CAST(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END)
            |    AS BIGINT) AS n_same_label
            |FROM r WHERE rnk <= 5 GROUP BY q_id, q_label
-           |ORDER BY q_id""".stripMargin
+           |ORDER BY q_id""".stripMargin,
+
+      // integer fixed-point Lloyd rounds: see the query comment
+      "q_kmeans" -> kmeansSql
     )
   }
 }

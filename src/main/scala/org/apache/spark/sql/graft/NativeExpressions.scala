@@ -442,6 +442,64 @@ object NativeExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Squared L2 distance between two array<long> columns (fixed-point
+    * vector math): Σ(aᵢ-bᵢ)². Integer arithmetic end-to-end, so the
+    * result is exact and engine-portable — the distance kernel of the
+    * deterministic k-means. Unequal lengths → null (like zip_with). */
+  case class SquaredDistLong(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_sqdist_long"
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val a = left.eval(input)
+      if (a == null) return null
+      val b = right.eval(input)
+      if (b == null) return null
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (y.numElements() != n) return null
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        val d = x.getLong(i) - y.getLong(i)
+        s += d * d
+        i += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        val dv = ctx.freshName("dv")
+        s"""
+           |int $n = $a.numElements();
+           |if ($b.numElements() != $n) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  long $s = 0L;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    long $dv = $a.getLong($i) - $b.getLong($i);
+           |    $s += $dv * $dv;
+           |  }
+           |  ${ev.value} = $s;
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   private def expr(c: Column) = ExpressionUtils.expression(c)
 
   /** Column API for the native expressions. */
@@ -453,6 +511,9 @@ object NativeExpressions {
 
   def sortedIntersectCountLong(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedIntersectCountLong(expr(a), expr(b)))
+
+  def squaredDistLong(a: Column, b: Column): Column =
+    ExpressionUtils.column(SquaredDistLong(expr(a), expr(b)))
 
   def trigramCodes(bin: Column): Column =
     ExpressionUtils.column(SortedDistinctTrigramCodes(expr(bin)))

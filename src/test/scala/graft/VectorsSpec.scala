@@ -73,4 +73,22 @@ class VectorsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     sigs.foreach { case (id, s1, _) => assert(again(id) == s1) }
   }
+
+  test("q_kmeans: clusters partition the corpus and the run is deterministic") {
+    val run1 = SparkEntry.queries("q_kmeans")(spark, SparkFixture.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val nVecs = spark.read
+      .parquet(s"${SparkFixture.sfDir}/embeddings.parquet").count()
+    assert(run1.map(_._2).sum == nVecs, "clusters must partition the corpus")
+    assert(run1.size <= 8 && run1.size >= 2)
+    // sum of vec_ids across clusters = sum over the whole corpus
+    assert(run1.map(_._3).sum == nVecs * (nVecs - 1) / 2)
+    assert(run1.forall(_._4 >= 0L), "inertia is a sum of squares")
+    // fixed-point arithmetic -> bit-identical on rerun
+    val run2 = SparkEntry.queries("q_kmeans")(spark, SparkFixture.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(run1 == run2)
+  }
 }
