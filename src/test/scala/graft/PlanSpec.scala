@@ -179,4 +179,37 @@ class PlanSpec extends AnyFunSuite {
       restore("spark.sql.cbo.joinReorder.enabled", prevReorder)
     }
   }
+
+  test("q_bloom_decontaminate prefilters with might_contain before the exact join") {
+    val p = plan("q_bloom_decontaminate")
+    assert(p.contains("might_contain"), "bloom prefilter missing:\n" + p)
+    assert(p.contains("bloom_filter_agg"), "sketch aggregate missing:\n" + p)
+    // the exact verify is the non-broadcast shuffle join over survivors
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      "exact verify join is not shuffle-shaped:\n" + p)
+    // might_contain must sit BELOW the exact semi-join (prefilter, not
+    // post-filter): the filter line appears before the join's stream side
+    val idx = p.indexOf("might_contain")
+    val joinIdx = math.max(p.indexOf("ShuffledHashJoin"),
+      p.indexOf("SortMergeJoin"))
+    assert(idx > joinIdx, "prefilter not below the verify join:\n" + p)
+  }
+
+  test("q_kmeans keeps the integer L2 kernel in codegen and broadcasts centroids") {
+    val p = plan("q_kmeans")
+    assert(p.contains("graft_sqdist_long"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      "centroids are not broadcast:\n" + p)
+    // the update aggregates on (cid, dim) — never a corpus-wide exchange
+    // of raw vectors back to one partition
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_pagerank reuses the persisted adjacency across iterations") {
+    val p = plan("q_pagerank")
+    assert(p.contains("InMemoryTableScan"),
+      "adjacency not served from the persisted relation:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
