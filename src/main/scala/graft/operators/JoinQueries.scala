@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import graft.engine.{QueryPack, Tables}
 
 /** Join surface: inner equi (SMJ/SHJ), broadcast, outer, semi/anti,
@@ -181,8 +182,47 @@ object JoinQueries extends QueryPack {
       s1.join(s2, col("nk") === col("nk2") && col("k1") < col("k2"))
         .select(col("nk").as("s_nationkey"), col("k1"), col("k2"))
         .orderBy(col("s_nationkey"), col("k1"), col("k2"))
+    }),
+
+    // -- SALTED join for skewed keys ---------------------------------------
+    // l_returnflag has 3 values over the whole fact table — a plain
+    // shuffle join sends each value's ~2M rows/partition-at-sf0.1
+    // (billions at 100 TB) to ONE reducer each: 3 working tasks, the
+    // rest idle, the job bounded by the hottest key. The salt pattern:
+    // REPLICATE the (small-but-not-broadcastable) build side once per
+    // salt bucket, give each probe row a deterministic salt from its
+    // unique key, and join on (key, salt) — the hot key's rows now
+    // spread over [[skewSalts]] reducers. Results are provably
+    // identical: every probe row still meets exactly one copy of its
+    // build row. shuffle_hash hint pins the demonstration to the
+    // shuffle path (with a truly tiny dim you would broadcast instead
+    // — see q_broadcast_join; salting is for the middle regime where
+    // the build side exceeds the broadcast threshold but keys skew).
+    "q_skew_join" -> ((s, d) => {
+      val flagDim = s.createDataFrame(java.util.Arrays.asList(
+        Row("A", "returned"), Row("N", "active"), Row("R", "refunded")),
+        StructType(Seq(StructField("flag", StringType, nullable = false),
+          StructField("flag_desc", StringType, nullable = false))))
+      val salted = flagDim.withColumn("salt",
+        explode(sequence(lit(0), lit(skewSalts - 1))))
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+          col("l_extendedprice"), col("l_discount"),
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
+            lit(skewSalts)).cast("int").as("salt"))
+      fact.join(salted.hint("shuffle_hash"), Seq("flag", "salt"))
+        .groupBy(col("flag"), col("flag_desc"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+            2).as("revenue"))
+        .orderBy(col("flag"))
     })
   )
+
+  /** Salt fan-out for q_skew_join — one hot key spreads over this many
+    * reducers. 16 at local[32]; at 1000 executors you size it to the
+    * hot key's row count / target partition size. */
+  private val skewSalts = 16
 
   def oracle: Map[String, String] = Map(
     "q3_join" ->
@@ -282,6 +322,15 @@ object JoinQueries extends QueryPack {
         |FROM supplier s1 JOIN supplier s2
         |  ON s1.s_nationkey = s2.s_nationkey
         | AND s1.s_suppkey < s2.s_suppkey
-        |ORDER BY s1.s_nationkey, k1, k2""".stripMargin
+        |ORDER BY s1.s_nationkey, k1, k2""".stripMargin,
+
+    // salting is invisible to the result: the oracle is the PLAIN join
+    "q_skew_join" ->
+      """SELECT l_returnflag AS flag, v.flag_desc, count(*) AS n,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN (VALUES ('A', 'returned'), ('N', 'active'),
+        |  ('R', 'refunded')) AS v(flag, flag_desc)
+        |  ON v.flag = lineitem.l_returnflag
+        |GROUP BY 1, 2 ORDER BY flag""".stripMargin
   )
 }

@@ -309,6 +309,36 @@ object SourceQueries extends QueryPack {
         .orderBy(col("bloc"))
     }),
 
+    // -- small-file compaction (table maintenance) -------------------------
+    // Streaming ingest and per-partition writers leave thousands of tiny
+    // files; every scan then pays a task + open + footer-read per file,
+    // and the NameNode/listing pays the metadata. Compaction = read the
+    // fragmented table, repartition to the target file count (round-
+    // robin, so sizes balance), rewrite. Here 64 shards → 4 files;
+    // content equality is the oracle, the file counts are pinned in
+    // SourcesSpec. At 100 TB you compact per table-partition and size
+    // the target by bytes (repartition(n) per partition dir), not a
+    // global constant.
+    "q_compact" -> ((s, d) => {
+      val fragged = scratch(s, d, "lineitem_fragmented")
+      val compacted = scratch(s, d, "lineitem_compacted")
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+      li.repartition(64).write.mode("overwrite").parquet(fragged)
+      s.read.parquet(fragged)
+        .repartition(4)
+        .write.mode("overwrite").parquet(compacted)
+      s.read.parquet(compacted)
+        .withColumn("fn", input_file_name())
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("fn")).as("n_files"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          sum(col("l_orderkey") * 31 + col("l_linenumber"))
+            .as("key_checksum"))
+    }),
+
     // -- z-order clustered layout: multi-dimensional data skipping ----------
     // Interleaving the bits of two filter dimensions gives a 1-D sort key
     // whose ranges are 2-D locality boxes: range-partition + sort on the
@@ -425,6 +455,17 @@ object SourceQueries extends QueryPack {
         |  (2, 'new-world'), (3, 'old-world'), (4, 'old-world'))
         |  AS b(r_regionkey, bloc) ON b.r_regionkey = nation.n_regionkey
         |GROUP BY bloc ORDER BY bloc""".stripMargin,
+
+    // n_files = 4 is the compaction contract (explicit repartition(4)
+    // is exempt from AQE coalescing); content columns prove the rewrite
+    // is lossless
+    "q_compact" ->
+      """SELECT count(*) AS n_rows, CAST(4 AS BIGINT) AS n_files,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  CAST(sum(l_orderkey * 31 + l_linenumber) AS BIGINT)
+        |    AS key_checksum
+        |FROM lineitem""".stripMargin,
 
     // same generated bit-interleave formula as the Spark side (zValueSql)
     "q_zorder_layout" ->

@@ -180,6 +180,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_skew_join joins on (key, salt) through the shuffle path") {
+    val p = plan("q_skew_join")
+    assert(p.contains("ShuffledHashJoin"),
+      "salting demo must take the shuffle path:\n" + p)
+    // both join key columns present: the salt is part of the exchange,
+    // so a hot flag's rows spread over many reducers
+    val joinLine = p.linesIterator
+      .find(_.contains("ShuffledHashJoin")).get
+    assert(joinLine.contains("flag") && joinLine.contains("salt"),
+      "salt is not a join key: " + joinLine)
+  }
+
   test("q_bloom_decontaminate prefilters with might_contain before the exact join") {
     val p = plan("q_bloom_decontaminate")
     assert(p.contains("might_contain"), "bloom prefilter missing:\n" + p)

@@ -69,4 +69,18 @@ class SourcesSpec extends AnyFunSuite {
       .schema("a STRING, b STRING").csv(out)
     assert(df.schema.map(_.dataType.simpleString) == Seq("string", "string"))
   }
+
+  test("q_compact collapses the fragmented table to 4 files on disk") {
+    import SparkFixture.sfDir
+    val row = SparkEntry.queries("q_compact")(spark, sfDir).collect().head
+    assert(row.getAs[Long]("n_files") == 4L)
+    // the fragmented input really was fragmented, and both layouts exist
+    def parquetFiles(name: String): Int = {
+      val dir = new java.io.File(
+        graft.operators.SourceQueries.scratch(spark, sfDir, name))
+      dir.listFiles((_, f) => f.endsWith(".parquet")).length
+    }
+    assert(parquetFiles("lineitem_fragmented") == 64)
+    assert(parquetFiles("lineitem_compacted") == 4)
+  }
 }
