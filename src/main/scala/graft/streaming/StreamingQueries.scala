@@ -160,6 +160,55 @@ object StreamingQueries extends QueryPack {
         .orderBy(col("click_id"), col("view_id"))
     }),
 
+    // -- stream-stream LEFT OUTER interval join ----------------------------
+    // Outer rows (clicks with no view in their 30-minute window) can
+    // only EMIT once the watermark passes the end of their match window
+    // -- until then a matching view could still arrive, so the row sits
+    // in join state. A bounded replay's FINAL watermark is
+    // max(event_time) - delay, so clicks whose windows extend past it
+    // are (correctly!) withheld at termination: they are not yet
+    // decidable. Streaming results are only COMPLETE UP TO THE
+    // WATERMARK; the declared query therefore restricts the left side
+    // to clicks whose windows provably close before the final watermark
+    // -- a deterministic predicate both engines apply identically (the
+    // 60 s margin keeps the gate independent of Spark's internal
+    // eviction-boundary strictness). The batch oracle is the plain
+    // LEFT JOIN under the same bound.
+    "q_stream_outer_join" -> ((s, d) => {
+      // final-watermark bound: max event time - join window (30 min) -
+      // watermark delay (10 min) - 60 s margin. One driver-side scalar
+      // over a stats-backed column (max(ts) is parquet footer metadata).
+      val maxUs = s.read.parquet(s"$d/events.parquet")
+        .agg(max(expr("ts div 1000"))).head.getLong(0)
+      val bound = maxUs - 1800000000L - 600000000L - 60000000L
+      val clicks = StreamRunner.eventsStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+          col("ts_t").as("click_t"), col("ts_us").as("click_us"))
+        .withWatermark("click_t", "10 minutes")
+        // the completeness bound must sit ABOVE the watermark node and
+        // reference the watermark COLUMN: Catalyst refuses to push
+        // predicates on the watermark attribute through
+        // EventTimeWatermark, so the watermark still derives from ALL
+        // clicks — filtering before the watermark would shrink it to
+        // (last surviving click − delay) and strand the tail's state
+        .filter(col("click_t") <= timestamp_micros(lit(bound)))
+      val views = StreamRunner.eventsStream(s, d)
+        .filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("vu"),
+          col("ts_t").as("view_t"), col("ts_us").as("view_us"))
+        .withWatermark("view_t", "10 minutes")
+      val joined = clicks.join(views,
+          col("cu") === col("vu") &&
+            col("view_t") >= col("click_t") &&
+            col("view_t") <= col("click_t") + expr("INTERVAL 30 MINUTES"),
+          "left_outer")
+        .select(col("click_id"), col("view_id"), col("cu").as("user_id"),
+          col("click_us"), col("view_us"))
+      StreamRunner.runToTable(s, joined, "g_stream_outer_join", "append")
+        .orderBy(col("click_id"), coalesce(col("view_id"), lit(-1L)))
+    }),
+
     // -- stateful per-key processing (flatMapGroupsWithState) ---------------
     // One emission per key per micro-batch; the single-file source gives
     // exactly one batch under AvailableNow (see StreamRunner), so the
@@ -308,6 +357,21 @@ object StreamingQueries extends QueryPack {
         |  AND epoch_us(b.ts) >= epoch_us(a.ts)
         |  AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000
         |ORDER BY click_id, view_id""".stripMargin,
+
+    // same watermark-completeness bound as the stream side (results are
+    // complete only up to max(ts) - window - delay - margin); nullable
+    // view_id sorts via coalesce (engines disagree on NULL ordering)
+    "q_stream_outer_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS view_id, a.user_id,
+        |  epoch_us(a.ts) AS click_us, epoch_us(b.ts) AS view_us
+        |FROM events a LEFT JOIN events b ON a.user_id = b.user_id
+        |  AND b.event_type = 'view'
+        |  AND epoch_us(b.ts) >= epoch_us(a.ts)
+        |  AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000
+        |WHERE a.event_type = 'click'
+        |  AND epoch_us(a.ts) <= (SELECT max(epoch_us(ts)) FROM events)
+        |    - 1800000000 - 600000000 - 60000000
+        |ORDER BY click_id, coalesce(view_id, -1)""".stripMargin,
 
     "q_stream_stateful" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_v
