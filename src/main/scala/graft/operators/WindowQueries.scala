@@ -104,6 +104,24 @@ object WindowQueries extends QueryPack {
         .select(col("p_brand"), col("rn").cast("bigint").as("rn"),
           col("p_partkey"), col("p_retailprice"))
         .orderBy(col("p_brand"), col("rn"))
+    }),
+
+    // -- distribution-rank window functions --------------------------------
+    // percent_rank/cume_dist/nth_value over a deterministic total order
+    // (price ties broken by key). The ratios are single double divisions
+    // of identical integers on both engines, but (rank-1)/(n-1) can land
+    // on exact decimal boundaries -- floor(x*1e6+0.5)/1e6, not round().
+    "q_window_dist" -> ((s, d) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").asc, col("p_partkey").asc)
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+      Tables.part(s, d)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          r6(percent_rank().over(w)).as("pct_rank"),
+          r6(cume_dist().over(w)).as("cdist"),
+          nth_value(col("p_partkey"), 2).over(w).as("second_key"))
+        .orderBy(col("p_brand"), col("p_partkey"))
     })
   )
 
@@ -166,6 +184,22 @@ object WindowQueries extends QueryPack {
         |  row_number() OVER (PARTITION BY p_brand
         |    ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
         |  FROM part) t
-        |WHERE rn <= 2 ORDER BY p_brand, rn""".stripMargin
+        |WHERE rn <= 2 ORDER BY p_brand, rn""".stripMargin,
+
+    // floor-rounding, not round(): see the query comment
+    "q_window_dist" ->
+      """SELECT p_brand, p_partkey, p_retailprice,
+        |  floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0
+        |    AS pct_rank,
+        |  floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0
+        |    AS cdist,
+        |  nth_value(p_partkey, 2) OVER (PARTITION BY p_brand
+        |    ORDER BY p_retailprice ASC, p_partkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS second_key
+        |FROM part
+        |WINDOW w AS (PARTITION BY p_brand
+        |  ORDER BY p_retailprice ASC, p_partkey ASC)
+        |ORDER BY p_brand, p_partkey""".stripMargin
   )
 }
