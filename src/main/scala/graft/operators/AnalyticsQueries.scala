@@ -158,6 +158,56 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     }),
 
+    // -- SCD Type 2: intervalize a change stream ---------------------------
+    // The warehouse dimension-versioning shape: from a per-key event
+    // stream, build effective-dated rows (key, state, valid_from,
+    // valid_to, is_current) — one row per CHANGE, closed by the next
+    // change's timestamp. Two windows over the same (user, time) sort:
+    // lag() marks change points, lead() closes the interval — the
+    // change-point filter preserves sort order, so the second Window
+    // reuses the first's exchange AND sort (plan: one shuffle, one
+    // sort, two WindowExecs stacked on it). At 100 TB state never
+    // accumulates: each row's fate depends only on its sort neighbors.
+    "q_scd2" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val marked = Tables.eventsWithTime(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+      val w2 = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      marked
+        .withColumn("valid_to", lead(col("ts_us"), 1).over(w2))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts_us").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy(col("user_id"), col("valid_from"))
+    }),
+
+    // -- equi-depth histogram per group (ntile bucketing) ------------------
+    // Distribution profiling: 10 equal-population buckets of order value
+    // WITHIN each priority class — the window partitions on the group
+    // key, so the sort parallelizes and spills per group (a global
+    // unpartitioned ntile would single-partition the corpus; for a
+    // whole-table profile at 100 TB use approx_percentile boundaries +
+    // range bucketing instead — see q_approx_percentile). Output is
+    // groups × 10 rows regardless of input size.
+    "q_histogram" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("bucket", ntile(10).over(w).cast("bigint"))
+        .groupBy(col("o_orderpriority"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"),
+          round(avg(col("o_totalprice")), 4).as("mean"))
+        .orderBy(col("o_orderpriority"), col("bucket"))
+    }),
+
     // -- PageRank over the customer–supplier trade graph --------------------
     // Iterative graph centrality in FIXED-POINT arithmetic: ranks are
     // BIGINT multiples of 1e-12, every per-edge contribution is an
@@ -306,6 +356,32 @@ object AnalyticsQueries extends QueryPack {
          |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     // integer fixed-point throughout: see the query comment
-    "q_pagerank" -> pagerankSql
+    "q_pagerank" -> pagerankSql,
+
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events),
+        |m AS (SELECT user_id, event_id, ts_us, event_type FROM e
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type AS state, ts_us AS valid_from,
+        |  lead(ts_us) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS valid_to,
+        |  (lead(ts_us) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) IS NULL) AS is_current
+        |FROM m ORDER BY user_id, valid_from""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT o_orderpriority, bucket, count(*) AS n,
+        |  round(min(o_totalprice), 2) AS lo,
+        |  round(max(o_totalprice), 2) AS hi,
+        |  round(avg(o_totalprice), 4) AS mean
+        |FROM (SELECT o_orderpriority, o_totalprice,
+        |    CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket
+        |  FROM orders) t
+        |GROUP BY 1, 2 ORDER BY o_orderpriority, bucket""".stripMargin
   )
 }
