@@ -76,6 +76,24 @@ object FunctionQueries extends QueryPack {
     }),
 
     // -- math functions ----------------------------------------------------
+    // -- bitwise scalar + aggregate functions ------------------------------
+    // bit_count / shifts per row; bit_and / bit_or / bit_xor as grouped
+    // aggregates (commutative+associative → map-side combine like any
+    // hash agg). xor-aggregation is the classic set-reconciliation /
+    // checksum primitive.
+    "q_bitwise" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          expr("bit_and(l_orderkey)").as("key_and"),
+          expr("bit_or(l_orderkey)").as("key_or"),
+          expr("bit_xor(l_orderkey * 31 + l_linenumber)").as("key_xor"),
+          sum(bit_count(col("l_orderkey"))).as("popcount_sum"),
+          max(expr("shiftleft(l_orderkey, 2)")).as("max_shl"),
+          min(expr("shiftright(l_orderkey, 1)")).as("min_shr"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q_math_funcs" -> ((s, d) => {
       Tables.lineitem(s, d)
         .filter(col("l_linenumber") === 1)
@@ -223,6 +241,19 @@ object FunctionQueries extends QueryPack {
         |           CAST(o_orderdate AS DATE)) AS days_since_epoch0,
         |  strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // DuckDB's bit_count takes BIT/TINYINT-ish types for ints it works on
+    // BIGINT directly; shifts use the same <<//>> operators
+    "q_bitwise" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(bit_and(l_orderkey) AS BIGINT) AS key_and,
+        |  CAST(bit_or(l_orderkey) AS BIGINT) AS key_or,
+        |  CAST(bit_xor(l_orderkey * 31 + l_linenumber) AS BIGINT)
+        |    AS key_xor,
+        |  CAST(sum(bit_count(l_orderkey)) AS BIGINT) AS popcount_sum,
+        |  CAST(max(l_orderkey << 2) AS BIGINT) AS max_shl,
+        |  CAST(min(l_orderkey >> 1) AS BIGINT) AS min_shr
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     "q_math_funcs" ->
       """SELECT l_orderkey,

@@ -209,6 +209,34 @@ object StreamingQueries extends QueryPack {
         .orderBy(col("click_id"), coalesce(col("view_id"), lit(-1L)))
     }),
 
+    // -- state store reader: inspect a checkpoint's state as a DataFrame ----
+    // The streaming-ops surface: after a stateful query runs, its state
+    // store is a queryable table (Spark 4's "statestore" data source) —
+    // how production debugs hot keys, audits state size, and bootstraps
+    // state migrations without replaying the stream. Here: run a
+    // watermarked per-type count against a DURABLE checkpoint, then read
+    // the aggregation state back and project key + count. The state's
+    // content equals the batch aggregate, which is the oracle.
+    "q_state_reader" -> ((s, d) => {
+      val ckpt = graft.operators.SourceQueries.scratch(s, d,
+        "state_reader_ckpt")
+      val agg = StreamRunner.eventsStream(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_raw"))
+      val q = agg.writeStream
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.format("statestore").load(ckpt)
+        .select(col("key.event_type").as("event_type"),
+          col("value.count").as("n"),
+          round(col("value.sum"), 2).as("sum_v"))
+        .orderBy(col("event_type"))
+    }),
+
     // -- stateful per-key processing (flatMapGroupsWithState) ---------------
     // One emission per key per micro-batch; the single-file source gives
     // exactly one batch under AvailableNow (see StreamRunner), so the
@@ -357,6 +385,12 @@ object StreamingQueries extends QueryPack {
         |  AND epoch_us(b.ts) >= epoch_us(a.ts)
         |  AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000
         |ORDER BY click_id, view_id""".stripMargin,
+
+    // the state store's content IS the aggregation result, so the
+    // oracle is the plain batch aggregate
+    "q_state_reader" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // same watermark-completeness bound as the stream side (results are
     // complete only up to max(ts) - window - delay - margin); nullable
