@@ -142,4 +142,44 @@ class AnalyticsSpec extends AnyFunSuite {
     rows.filter(_.getAs[String]("node_type") == "supplier")
       .foreach(r => assert(r.getAs[Long]("pr_fp") > base))
   }
+
+  test("q_scd2: intervals tile each user's timeline with no no-op changes") {
+    val rows = SparkEntry.queries("q_scd2")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) Long.MaxValue else r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, ivs) =>
+      val sorted = ivs.sortBy(_._3)
+      // exactly one open (current) interval per user, and it's the last
+      assert(sorted.count(_._5) == 1, s"user $u: open intervals != 1")
+      assert(sorted.last._5, s"user $u: current interval is not last")
+      // intervals chain: each valid_to equals the next valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 == b._3, s"user $u: gap/overlap at ${a._4}")
+          // consecutive intervals always change state (no no-op rows)
+          assert(a._2 != b._2, s"user $u: adjacent equal states")
+        case _ =>
+      }
+    }
+  }
+
+  test("q_upsert_merge: deletes vanish, updates reprice, inserts land, rest untouched") {
+    val base = graft.engine.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val out = SparkEntry.queries("q_upsert_merge")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    base.keys.foreach { k =>
+      if (k % 7 == 0) assert(out(k) == base(k) + 100.0, s"update missed $k")
+      else if (k % 13 == 5) assert(!out.contains(k), s"delete kept $k")
+      else assert(out(k) == base(k), s"pass-through row $k changed")
+      if (k % 17 == 2) assert(out(k + 100000000L) == base(k),
+        s"insert missing for $k")
+    }
+    // no rows besides base survivors + inserts
+    assert(out.size == base.count(k => k._1 % 13 != 5 || k._1 % 7 == 0) +
+      base.keys.count(_ % 17 == 2))
+  }
 }
