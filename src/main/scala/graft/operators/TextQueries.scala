@@ -318,10 +318,18 @@ object TextQueries extends QueryPack {
             // exact size prune (banding is only the blocking structure)
             least(col("sza"), col("szb")).cast("double") /
               greatest(col("sza"), col("szb")) >= thr)
+        // THRESHOLD-BOUNDED intersect: jacc >= 0.8 ⟺ inter >= ceil(4s/9)
+        // (s = sza+szb, exact integer arithmetic), so the merge walk can
+        // abort the moment count + min(remaining) drops below that bound
+        // — dissimilar pairs (the vast majority of candidates) pay ~1/9
+        // of the walk instead of all of it. -1 (bound missed) is exactly
+        // the reject set; survivors carry their exact count.
+        .withColumn("need",
+          expr("cast((4 * (sza + szb) + 8) div 9 as int)"))
         .withColumn("inter",
-          org.apache.spark.sql.graft.NativeExpressions.sortedIntersectCount(
-            col("ga"), col("gb")))
-        .filter(jaccRaw >= thr)
+          org.apache.spark.sql.graft.NativeExpressions
+            .sortedIntersectCountBounded(col("ga"), col("gb"), col("need")))
+        .filter(col("inter") >= 0)
         .select(least(col("ida"), col("idb")).as("d1"),
           greatest(col("ida"), col("idb")).as("d2"),
           round(jaccRaw, 6).as("jacc"))

@@ -442,6 +442,70 @@ object NativeExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** [[SortedIntersectCount]] with a PER-PAIR abort threshold: returns
+    * the exact intersection size when it reaches `need`, and -1 as soon
+    * as the remaining elements provably cannot (upper bound = count so
+    * far + min(remaining on each side)). For a Jaccard cutoff t the
+    * caller passes need = ceil(t/(1+t)·(|a|+|b|)); pairs below the
+    * cutoff abort after ~(1-t)/(1+t) of the walk instead of paying the
+    * full merge — the dominant case in a dedup candidate stage. */
+  case class SortedIntersectCountBounded(first: Expression,
+      second: Expression, third: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+      with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(IntegerType), ArrayType(IntegerType), IntegerType)
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_sorted_intersect_bounded"
+
+    override protected def nullSafeEval(a: Any, b: Any, n: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val need = n.asInstanceOf[Int]
+      val nx = x.numElements()
+      val ny = y.numElements()
+      var i = 0; var j = 0; var c = 0
+      while (i < nx && j < ny) {
+        if (c + math.min(nx - i, ny - j) < need) return -1
+        val xv = x.getInt(i); val yv = y.getInt(j)
+        if (xv == yv) { c += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+      if (c < need) -1 else c
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b, n) => {
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val ni = ctx.freshName("ni")
+        val nj = ctx.freshName("nj")
+        val c = ctx.freshName("c")
+        val xv = ctx.freshName("xv")
+        val yv = ctx.freshName("yv")
+        val rem = ctx.freshName("rem")
+        s"""
+           |int $i = 0, $j = 0, $c = 0;
+           |int $ni = $a.numElements(), $nj = $b.numElements();
+           |while ($i < $ni && $j < $nj) {
+           |  int $rem = ($ni - $i < $nj - $j) ? ($ni - $i) : ($nj - $j);
+           |  if ($c + $rem < $n) { $c = -1; break; }
+           |  int $xv = $a.getInt($i);
+           |  int $yv = $b.getInt($j);
+           |  if ($xv == $yv) { $c++; $i++; $j++; }
+           |  else if ($xv < $yv) { $i++; } else { $j++; }
+           |}
+           |${ev.value} = ($c >= 0 && $c < $n) ? -1 : $c;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(newFirst: Expression,
+        newSecond: Expression, newThird: Expression): Expression =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
   /** Squared L2 distance between two array<long> columns (fixed-point
     * vector math): Σ(aᵢ-bᵢ)². Integer arithmetic end-to-end, so the
     * result is exact and engine-portable — the distance kernel of the
@@ -514,6 +578,11 @@ object NativeExpressions {
 
   def squaredDistLong(a: Column, b: Column): Column =
     ExpressionUtils.column(SquaredDistLong(expr(a), expr(b)))
+
+  def sortedIntersectCountBounded(a: Column, b: Column,
+      need: Column): Column =
+    ExpressionUtils.column(
+      SortedIntersectCountBounded(expr(a), expr(b), expr(need)))
 
   def trigramCodes(bin: Column): Column =
     ExpressionUtils.column(SortedDistinctTrigramCodes(expr(bin)))

@@ -70,6 +70,23 @@ class NativeExpressionsSpec extends AnyFunSuite {
     rows.foreach { case (native, builtin) => assert(native == builtin) }
   }
 
+  test("sortedIntersectCountBounded == exact count gated on the threshold") {
+    val listGen = Gen.listOf(Gen.chooseNum(-100, 100))
+    val cases = Gen.listOfN(200,
+        Gen.zip(listGen, listGen, Gen.chooseNum(0, 40))).sample.get
+      .map { case (a, b, n) => (a.distinct.sorted, b.distinct.sorted, n) }
+    val df = cases.toDF("a", "b", "need")
+    val rows = df.select(
+        NativeExpressions.sortedIntersectCountBounded(
+          col("a"), col("b"), col("need")),
+        size(array_intersect(col("a"), col("b"))), col("need"))
+      .as[(Int, Int, Int)].collect()
+    rows.foreach { case (bounded, exact, need) =>
+      assert(bounded == (if (exact >= need) exact else -1),
+        s"need=$need exact=$exact bounded=$bounded")
+    }
+  }
+
   test("sortedIntersectCountLong == size(array_intersect) on sorted distinct") {
     // long extremes included: the merge compares signed longs, and the
     // shingle hashes it serves routinely have the top bit set
