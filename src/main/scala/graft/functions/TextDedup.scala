@@ -127,13 +127,21 @@ object TextDedup {
                                threshold: Double): DataFrame = {
     val jaccRaw = col("inter").cast("double") /
       (col("sz1") + col("sz2") - col("inter"))
+    // per-pair abort threshold for the merge walk: J >= t implies
+    // inter >= t*(sz1+sz2)/(1+t); the 1e-9 slack under-approximates the
+    // ceiling so float rounding can only ADMIT a borderline pair (the
+    // exact jaccRaw filter below re-decides it), never reject one.
+    // Rows aborted at -1 fail jaccRaw (negative), so the final filter
+    // is the single source of truth either way.
+    val need = ceil(lit(threshold) * (col("sz1") + col("sz2"))
+      / lit(1.0 + threshold) - lit(1e-9)).cast("int")
     cand
       .join(t.select(col("doc_id").as("d1"), col("toks").as("t1"),
         col("sz").as("sz1")), "d1")
       .join(t.select(col("doc_id").as("d2"), col("toks").as("t2"),
         col("sz").as("sz2")), "d2")
       .withColumn("inter", org.apache.spark.sql.graft.NativeExpressions
-        .sortedIntersectCountLong(col("t1"), col("t2")))
+        .sortedIntersectCountLongBounded(col("t1"), col("t2"), need))
       .filter(jaccRaw >= threshold)
       .select(col("d1"), col("d2"), round(jaccRaw, 6).as("jacc"))
   }

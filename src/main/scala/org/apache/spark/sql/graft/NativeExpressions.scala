@@ -506,6 +506,66 @@ object NativeExpressions {
       copy(first = newFirst, second = newSecond, third = newThird)
   }
 
+  /** Long-array sibling of [[SortedIntersectCountBounded]] (the shingle
+    * hash sets are sorted longs). Same contract: exact count when it
+    * reaches `need`, -1 the moment the upper bound drops below it. */
+  case class SortedIntersectCountLongBounded(first: Expression,
+      second: Expression, third: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+      with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(LongType), ArrayType(LongType), IntegerType)
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_sorted_intersect_long_bounded"
+
+    override protected def nullSafeEval(a: Any, b: Any, n: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val need = n.asInstanceOf[Int]
+      val nx = x.numElements()
+      val ny = y.numElements()
+      var i = 0; var j = 0; var c = 0
+      while (i < nx && j < ny) {
+        if (c + math.min(nx - i, ny - j) < need) return -1
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv == yv) { c += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+      if (c < need) -1 else c
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b, n) => {
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val ni = ctx.freshName("ni")
+        val nj = ctx.freshName("nj")
+        val c = ctx.freshName("c")
+        val xv = ctx.freshName("xv")
+        val yv = ctx.freshName("yv")
+        val rem = ctx.freshName("rem")
+        s"""
+           |int $i = 0, $j = 0, $c = 0;
+           |int $ni = $a.numElements(), $nj = $b.numElements();
+           |while ($i < $ni && $j < $nj) {
+           |  int $rem = ($ni - $i < $nj - $j) ? ($ni - $i) : ($nj - $j);
+           |  if ($c + $rem < $n) { $c = -1; break; }
+           |  long $xv = $a.getLong($i);
+           |  long $yv = $b.getLong($j);
+           |  if ($xv == $yv) { $c++; $i++; $j++; }
+           |  else if ($xv < $yv) { $i++; } else { $j++; }
+           |}
+           |${ev.value} = ($c >= 0 && $c < $n) ? -1 : $c;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(newFirst: Expression,
+        newSecond: Expression, newThird: Expression): Expression =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
   /** Squared L2 distance between two array<long> columns (fixed-point
     * vector math): Σ(aᵢ-bᵢ)². Integer arithmetic end-to-end, so the
     * result is exact and engine-portable — the distance kernel of the
@@ -583,6 +643,11 @@ object NativeExpressions {
       need: Column): Column =
     ExpressionUtils.column(
       SortedIntersectCountBounded(expr(a), expr(b), expr(need)))
+
+  def sortedIntersectCountLongBounded(a: Column, b: Column,
+      need: Column): Column =
+    ExpressionUtils.column(
+      SortedIntersectCountLongBounded(expr(a), expr(b), expr(need)))
 
   def trigramCodes(bin: Column): Column =
     ExpressionUtils.column(SortedDistinctTrigramCodes(expr(bin)))

@@ -87,6 +87,24 @@ class NativeExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("sortedIntersectCountLongBounded == exact count gated on the threshold") {
+    val listGen = Gen.listOf(Gen.oneOf(
+      Gen.chooseNum(-100L, 100L), Gen.chooseNum(Long.MinValue, Long.MaxValue)))
+    val cases = Gen.listOfN(200,
+        Gen.zip(listGen, listGen, Gen.chooseNum(0, 40))).sample.get
+      .map { case (a, b, n) => (a.distinct.sorted, b.distinct.sorted, n) }
+    val df = cases.toDF("a", "b", "need")
+    val rows = df.select(
+        NativeExpressions.sortedIntersectCountLongBounded(
+          col("a"), col("b"), col("need")),
+        size(array_intersect(col("a"), col("b"))), col("need"))
+      .as[(Int, Int, Int)].collect()
+    rows.foreach { case (bounded, exact, need) =>
+      assert(bounded == (if (exact >= need) exact else -1),
+        s"need=$need exact=$exact bounded=$bounded")
+    }
+  }
+
   test("sortedIntersectCountLong == size(array_intersect) on sorted distinct") {
     // long extremes included: the merge compares signed longs, and the
     // shingle hashes it serves routinely have the top bit set
