@@ -78,7 +78,11 @@ object Bench {
     // not sink the artifact.
     Seq("q_scan_project", "q1_agg", "q_approx_distinct", "q_window_rank",
         "q_date_funcs", "q_json_struct", "q_fingerprint",
-        "q_stream_tumbling").foreach { w =>
+        "q_stream_tumbling",
+        // JDK codec SPI init (AudioSystem/ImageIO provider discovery)
+        // is its own warm-up class — without it the first media query
+        // pays provider scanning and its median doubles
+        "q_mm_wav_decode", "q_mm_png_decode").foreach { w =>
         try timedRun(s"warmup:$w", SparkEntry.queries(w))
         catch { case _: Throwable => () }
       }
