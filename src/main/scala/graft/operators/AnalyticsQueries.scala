@@ -184,7 +184,11 @@ object AnalyticsQueries extends QueryPack {
         .select(col("user_id"), col("event_type").as("state"),
           col("ts_us").as("valid_from"), col("valid_to"),
           col("valid_to").isNull.as("is_current"))
-        .orderBy(col("user_id"), col("valid_from"))
+        // two change points can share a timestamp (valid_from ties);
+        // valid_to is unique within the chain — coalesce keeps the open
+        // interval last on both engines (they disagree on NULL ordering)
+        .orderBy(col("user_id"), col("valid_from"),
+          coalesce(col("valid_to"), lit(Long.MaxValue)))
     }),
 
     // -- equi-depth histogram per group (ntile bucketing) ------------------
@@ -258,6 +262,12 @@ object AnalyticsQueries extends QueryPack {
               + expr("(85 * coalesce(c, 0L)) div 100")).as("pr"),
             col("n"))
       }
+      // The cached adjacency is deliberately NOT unpersisted here: the
+      // returned frame is lazy (consumers run it later), so an eager
+      // release would force a localCheckpoint that truncates the plan
+      // (hiding the InMemoryTableScan PlanSpec pins). MEMORY_AND_DISK
+      // entries are LRU-evictable, so an idle cache degrades gracefully;
+      // a long-lived session can call spark.catalog.clearCache().
       pr.select(col("id"),
           when(pmod(col("id"), lit(2)) === 0, lit("customer"))
             .otherwise(lit("supplier")).as("node_type"),
@@ -371,7 +381,8 @@ object AnalyticsQueries extends QueryPack {
         |    ORDER BY ts_us, event_id) AS valid_to,
         |  (lead(ts_us) OVER (PARTITION BY user_id
         |    ORDER BY ts_us, event_id) IS NULL) AS is_current
-        |FROM m ORDER BY user_id, valid_from""".stripMargin,
+        |FROM m ORDER BY user_id, valid_from,
+        |  coalesce(valid_to, 9223372036854775807)""".stripMargin,
 
     "q_histogram" ->
       """SELECT o_orderpriority, bucket, count(*) AS n,

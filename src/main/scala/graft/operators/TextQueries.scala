@@ -318,18 +318,24 @@ object TextQueries extends QueryPack {
             // exact size prune (banding is only the blocking structure)
             least(col("sza"), col("szb")).cast("double") /
               greatest(col("sza"), col("szb")) >= thr)
-        // THRESHOLD-BOUNDED intersect: jacc >= 0.8 ⟺ inter >= ceil(4s/9)
-        // (s = sza+szb, exact integer arithmetic), so the merge walk can
-        // abort the moment count + min(remaining) drops below that bound
-        // — dissimilar pairs (the vast majority of candidates) pay ~1/9
-        // of the walk instead of all of it. -1 (bound missed) is exactly
-        // the reject set; survivors carry their exact count.
+        // THRESHOLD-BOUNDED intersect: jacc >= thr ⟺ inter >=
+        // ceil(thr·s/(1+thr)) (s = sza+szb), so the merge walk can abort
+        // the moment count + min(remaining) drops below that bound —
+        // dissimilar pairs (the vast majority of candidates) pay
+        // ~(1-thr)/(1+thr) of the walk instead of all of it. The 1e-9
+        // ceiling slack under-approximates the bound (derived from thr,
+        // not hardcoded alongside it), so float rounding can only ADMIT
+        // a borderline pair; the exact jaccRaw filter below stays the
+        // single source of truth for the reject set.
         .withColumn("need",
-          expr("cast((4 * (sza + szb) + 8) div 9 as int)"))
+          ceil(lit(thr) * (col("sza") + col("szb")) / lit(1.0 + thr)
+            - lit(1e-9)).cast("int"))
         .withColumn("inter",
           org.apache.spark.sql.graft.NativeExpressions
             .sortedIntersectCountBounded(col("ga"), col("gb"), col("need")))
-        .filter(col("inter") >= 0)
+        // integer short-circuit first (aborted pairs skip the division),
+        // exact float compare second (decides borderline admissions)
+        .filter(col("inter") >= 0 && jaccRaw >= thr)
         .select(least(col("ida"), col("idb")).as("d1"),
           greatest(col("ida"), col("idb")).as("d2"),
           round(jaccRaw, 6).as("jacc"))
@@ -424,21 +430,18 @@ object TextQueries extends QueryPack {
       // Writing the conjunction explicitly pins short-circuit order:
       // tie-break, then the O(1) length prune, then `lev >= 0` (ONE
       // banded-DP evaluation deciding most rejects), and the exact
-      // threshold compare only for pairs within the band. The verify
-      // filter is deterministic, so Catalyst pushes it back through the
-      // pair-key repartition into the join condition — the shuffle only
-      // carries final survivors, and the post-shuffle projection serves
-      // `lev` for the output columns without re-running the DP in two
-      // places.
+      // threshold compare only for pairs within the band. Survivors
+      // project (lev, sim) BEFORE the pair-key repartition so the
+      // exchange carries four scalars per pair, not the full texts, and
+      // the DP never re-runs above the shuffle.
       l.join(r, "w")
         .filter(col("d1") < col("d2") &&
           abs(col("len1") - col("len2")) * 10 <= lit(3) * mx &&
           lev >= 0 && lev * 10 <= lit(3) * mx)
+        .select(col("d1"), col("d2"), lev.as("lev"),
+          round(lit(1.0) - lev.cast("double") / mx, 6).as("sim"))
         .repartition(s.sparkContext.defaultParallelism,
           col("d1"), col("d2"))
-        .withColumn("lev", lev)
-        .select(col("d1"), col("d2"), col("lev"),
-          round(lit(1.0) - col("lev").cast("double") / mx, 6).as("sim"))
         .orderBy(col("d1"), col("d2"))
     })
   )

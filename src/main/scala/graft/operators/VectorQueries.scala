@@ -228,6 +228,8 @@ object VectorQueries extends QueryPack {
             array_sort(collect_list(struct(col("dim"), col("cv")))),
             x => x.getField("cv")).as("cq"))
       }
+      // like q_pagerank's adjacency, the quantized points stay cached
+      // (lazy consumer; LRU-evictable; clearCache() for long sessions)
       assign(cent)
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n_points"),

@@ -175,11 +175,18 @@ object StreamingQueries extends QueryPack {
     // eviction-boundary strictness). The batch oracle is the plain
     // LEFT JOIN under the same bound.
     "q_stream_outer_join" -> ((s, d) => {
-      // final-watermark bound: max event time - join window (30 min) -
-      // watermark delay (10 min) - 60 s margin. One driver-side scalar
-      // over a stats-backed column (max(ts) is parquet footer metadata).
+      // final-watermark bound: the run's final watermark is
+      // min(max click ts, max view ts) - delay (each side's watermark
+      // derives from ITS filtered stream, and the join uses the min) —
+      // NOT the global max(ts), which a later event of another type
+      // would inflate past what the watermark ever reaches. Minus the
+      // join window (30 min) and a 60 s strictness margin. One
+      // driver-side scalar over stats-backed columns.
       val maxUs = s.read.parquet(s"$d/events.parquet")
-        .agg(max(expr("ts div 1000"))).head.getLong(0)
+        .agg(least(
+          max(when(col("event_type") === "click", expr("ts div 1000"))),
+          max(when(col("event_type") === "view", expr("ts div 1000")))))
+        .head.getLong(0)
       val bound = maxUs - 1800000000L - 600000000L - 60000000L
       val clicks = StreamRunner.eventsStream(s, d)
         .filter(col("event_type") === "click")
@@ -403,7 +410,11 @@ object StreamingQueries extends QueryPack {
         |  AND epoch_us(b.ts) >= epoch_us(a.ts)
         |  AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000
         |WHERE a.event_type = 'click'
-        |  AND epoch_us(a.ts) <= (SELECT max(epoch_us(ts)) FROM events)
+        |  AND epoch_us(a.ts) <= (SELECT least(
+        |      max(CASE WHEN event_type = 'click'
+        |          THEN epoch_us(ts) END),
+        |      max(CASE WHEN event_type = 'view'
+        |          THEN epoch_us(ts) END)) FROM events)
         |    - 1800000000 - 600000000 - 60000000
         |ORDER BY click_id, coalesce(view_id, -1)""".stripMargin,
 

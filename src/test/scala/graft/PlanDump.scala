@@ -14,11 +14,14 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val (flags, names) = args.partition(_.startsWith("-"))
     val sfDir = args.sliding(2).collectFirst {
       case Array("-sf", v) => v
     }.getOrElse("/root/testdata/sf0.01")
-    val time = flags.contains("-time")
+    // drop flags AND the -sf value from the query-name list
+    val names = args.zipWithIndex.filterNot { case (a, i) =>
+      a.startsWith("-") || (i > 0 && args(i - 1) == "-sf")
+    }.map(_._1)
+    val time = args.contains("-time")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
