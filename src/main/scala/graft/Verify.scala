@@ -41,7 +41,17 @@ object Verify {
     // One hung query must not stall the whole correctness dump: hard
     // per-query timeout with job-group cancellation (same protection as
     // Bench); the query is reported failed and the dump continues.
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev-loop filter: SPARK_GRAFT_QUERIES=q_a,q_b runs (and declares
+    // oracles for) just those queries, so tools/check_oracle.py can gate a
+    // subset without flagging the rest as missing. Unset = full dump (the
+    // driver's mode).
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None        => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       // Delete the previous run's output FIRST: mode("overwrite") only
       // clears it once the write job starts, so a query that fails in
       // planning would leave stale rows for the checker to hash as a
@@ -108,7 +118,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val oracles = only match {
+      case Some(names) => SparkEntry.oracleSql.filter(kv => names(kv._1))
+      case None        => SparkEntry.oracleSql
+    }
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.NativeExpressions
 import graft.engine.{OracleHash, QueryPack, Tables}
-import graft.functions.TextDedup
+import graft.functions.{ConnectedComponents, TextDedup}
 
 /** Training-data curation operators a 100 TB corpus pipeline runs between
   * raw ingest and tokenization (SURVEY.md §2.2 "LLM-data-pipeline
@@ -24,47 +24,18 @@ object PipelineQueries extends QueryPack {
     // -- near-dup CLUSTERS: connected components over the pair graph ------
     // Pair mining (q_dedup_*) yields edges; dedup pipelines need the
     // transitive closure — one canonical doc per duplicate GROUP, not per
-    // pair. Min-label propagation: every vertex starts as its own label
-    // and repeatedly takes the min label over its neighborhood, converging
-    // in graph-diameter rounds (dup clusters are shallow in practice; the
-    // iteration cap is asserted, not silently truncated). Each round is a
-    // keyed join + partial-aggregated groupBy — fully distributed; the
-    // only driver-side value is the scalar convergence count. At larger
-    // diameters the same loop carries the large-star/small-star O(log n)
-    // variant; the per-round dataflow is identical.
+    // pair. Large-star/small-star CC (ConnectedComponents.scala):
+    // O(log n) rounds regardless of graph diameter, so a chain-shaped dup
+    // graph (templated spam, diameter Θ(n)) costs ~log₂(n) keyed
+    // aggregations instead of blowing an O(diameter) propagation cap.
+    // Min-label propagation survives in ConnectedComponents as the
+    // independent spec cross-check.
     "q_dup_clusters" -> ((s, d) => {
       val pairs = TextDedup.exactJaccardPairs(
           Tables.documents(s, d).select(col("doc_id"), col("text")), 0.7)
         .select(col("d1"), col("d2"))
-      val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-        .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-        .persist()
-      var labels = edges.select(col("src").as("v"), col("src").as("lbl"))
-        .distinct()
-      var prev: DataFrame = null
-      var changed = 1L
-      var iters = 0
-      while (changed > 0 && iters < 30) {
-        val nbrMin = edges.join(labels, col("src") === col("v"))
-          .groupBy(col("dst")).agg(min(col("lbl")).as("nl"))
-        val stepped = labels.join(nbrMin, col("v") === col("dst"), "left")
-          .select(col("v"), col("lbl"),
-            least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("nxt"))
-          .persist()
-        changed = stepped.filter(col("nxt") =!= col("lbl")).count()
-        if (prev != null) prev.unpersist()
-        prev = stepped
-        labels = stepped.select(col("v"), col("nxt").as("lbl"))
-        iters += 1
-      }
-      require(changed == 0,
-        s"dup-graph did not converge in $iters rounds (diameter > cap)")
-      // localCheckpoint truncates the k-round join lineage so the persisted
-      // loop frames can be dropped before the result is consumed
-      val fin = labels.localCheckpoint(true)
-      if (prev != null) prev.unpersist()
-      edges.unpersist()
-      fin.groupBy(col("lbl").as("cluster_id"))
+      ConnectedComponents.largeSmallStar(pairs)
+        .groupBy(col("lbl").as("cluster_id"))
         .agg(count(lit(1)).as("n_members"),
           array_join(sort_array(collect_list(col("v"))), ",").as("members"))
         .orderBy(col("cluster_id"))
