@@ -185,10 +185,13 @@ object AnalyticsQueries extends QueryPack {
           col("ts_us").as("valid_from"), col("valid_to"),
           col("valid_to").isNull.as("is_current"))
         // two change points can share a timestamp (valid_from ties);
-        // valid_to is unique within the chain — coalesce keeps the open
-        // interval last on both engines (they disagree on NULL ordering)
+        // coalesce keeps the open interval last on both engines (they
+        // disagree on NULL ordering), and state breaks the residual tie
+        // when 3+ change points share one (user_id, ts_us) — otherwise
+        // two rows with identical (valid_from, valid_to) sort keys but
+        // different states order engine-dependently
         .orderBy(col("user_id"), col("valid_from"),
-          coalesce(col("valid_to"), lit(Long.MaxValue)))
+          coalesce(col("valid_to"), lit(Long.MaxValue)), col("state"))
     }),
 
     // -- equi-depth histogram per group (ntile bucketing) ------------------
@@ -382,7 +385,7 @@ object AnalyticsQueries extends QueryPack {
         |  (lead(ts_us) OVER (PARTITION BY user_id
         |    ORDER BY ts_us, event_id) IS NULL) AS is_current
         |FROM m ORDER BY user_id, valid_from,
-        |  coalesce(valid_to, 9223372036854775807)""".stripMargin,
+        |  coalesce(valid_to, 9223372036854775807), state""".stripMargin,
 
     "q_histogram" ->
       """SELECT o_orderpriority, bucket, count(*) AS n,

@@ -438,9 +438,10 @@ object RelationalQueries extends QueryPack {
         .select(
           coalesce(col("o_orderkey"), col("k")).as("okey"),
           coalesce(col("ch_custkey"), col("o_custkey")).as("custkey"),
-          when(col("op") === "U", col("o_orderstatus"))
-            .otherwise(coalesce(col("ch_status"), col("o_orderstatus")))
-            .as("status"),
+          // updates apply ALL change columns — ch_status, not the base's
+          // status (value-identical on this fixture, but the MERGE
+          // semantics must not mislead)
+          coalesce(col("ch_status"), col("o_orderstatus")).as("status"),
           when(col("op").isin("U", "I"), col("ch_price"))
             .otherwise(col("o_totalprice")).as("price"))
         .orderBy(col("okey"))
@@ -671,8 +672,7 @@ object RelationalQueries extends QueryPack {
         |ch AS (SELECT * FROM ex UNION ALL SELECT * FROM ins)
         |SELECT coalesce(b.o_orderkey, c.k) AS okey,
         |  coalesce(c.ch_custkey, b.o_custkey) AS custkey,
-        |  CASE WHEN c.op = 'U' THEN b.o_orderstatus
-        |       ELSE coalesce(c.ch_status, b.o_orderstatus) END AS status,
+        |  coalesce(c.ch_status, b.o_orderstatus) AS status,
         |  CASE WHEN c.op IN ('U','I') THEN c.ch_price
         |       ELSE b.o_totalprice END AS price
         |FROM base b FULL OUTER JOIN ch c ON b.o_orderkey = c.k

@@ -201,9 +201,12 @@ object VectorQueries extends QueryPack {
     "q_kmeans" -> ((s, d) => {
       import org.apache.spark.sql.graft.NativeExpressions
       val pts = Tables.embeddings(s, d)
+        // clamp at -1: the fixture keeps components in [-1,1] but the
+        // range isn't pinned, and a value < -1 makes q negative, where
+        // Spark's truncating `div` diverges from DuckDB's flooring `//`
         .select(col("vec_id"), transform(col("embedding"),
-          x => floor((x.cast("double") + lit(1.0)) * lit(1000000.0))
-            .cast("long")).as("q"))
+          x => floor((greatest(x.cast("double"), lit(-1.0)) + lit(1.0)) *
+            lit(1000000.0)).cast("long")).as("q"))
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def assign(cent: DataFrame): DataFrame = pts
@@ -265,7 +268,8 @@ object VectorQueries extends QueryPack {
     val fin = kmIters + 1
     s"""WITH pts AS (SELECT vec_id,
        |    generate_subscripts(embedding, 1) AS dim,
-       |    CAST(floor((CAST(unnest(embedding) AS DOUBLE)
+       |    CAST(floor((greatest(CAST(unnest(embedding) AS DOUBLE),
+       |      CAST(-1.0 AS DOUBLE))
        |      + CAST(1.0 AS DOUBLE)) * CAST(1000000.0 AS DOUBLE))
        |      AS BIGINT) AS q
        |  FROM embeddings),

@@ -49,7 +49,25 @@ object StreamRunner {
     * then return the sink contents as a batch DataFrame.
     */
   def runToTable(spark: SparkSession, stream: DataFrame, name: String,
-                 mode: String): DataFrame = {
+                 mode: String): DataFrame =
+    runToTableWithWatermark(spark, stream, name, mode)._1
+
+  /** [[runToTable]] plus the run's FINAL event-time watermark in epoch
+    * micros (None when the query has no watermark or saw no data).
+    *
+    * This is the stream's own completeness certificate: results are
+    * complete up to the watermark, so a query that must declare a
+    * deterministic watermark-complete subset (q_stream_outer_join) reads
+    * the bound from the progress metadata the run already produced — no
+    * extra pre-pass over the source. Spark tracks event-time stats in
+    * MILLISECONDS (EventTimeWatermarkExec divides the micros timestamp
+    * by 1000), so the returned value is always ms-aligned; an oracle
+    * reproducing it must floor its max-timestamps to ms before
+    * subtracting the delay.
+    */
+  def runToTableWithWatermark(
+      spark: SparkSession, stream: DataFrame, name: String,
+      mode: String): (DataFrame, Option[Long]) = {
     // Stateful operators allocate one state-store instance per shuffle
     // partition and pay a commit per partition per micro-batch; at the
     // test corpus size that fixed cost dominates, so pin a small state
@@ -59,7 +77,7 @@ object StreamRunner {
     val conf = spark.conf
     val prev = conf.get("spark.sql.shuffle.partitions")
     conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    val wm = try {
       val q = stream.writeStream
         .format("memory")
         .queryName(name)
@@ -67,7 +85,19 @@ object StreamRunner {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // max over all progress events: the final no-data batch carries the
+      // fully-advanced watermark, but scanning recentProgress is robust
+      // to which entry is last
+      q.recentProgress.toSeq
+        .flatMap(p => Option(p.eventTime).flatMap(e =>
+          Option(e.get("watermark"))))
+        .map { s =>
+          val i = java.time.Instant.parse(s)
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+        }
+        .reduceOption(_ max _)
+        .filter(_ > 0L)
     } finally conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(name)
+    (spark.table(name), wm)
   }
 }

@@ -175,31 +175,24 @@ object StreamingQueries extends QueryPack {
     // eviction-boundary strictness). The batch oracle is the plain
     // LEFT JOIN under the same bound.
     "q_stream_outer_join" -> ((s, d) => {
-      // final-watermark bound: the run's final watermark is
-      // min(max click ts, max view ts) - delay (each side's watermark
-      // derives from ITS filtered stream, and the join uses the min) —
-      // NOT the global max(ts), which a later event of another type
-      // would inflate past what the watermark ever reaches. Minus the
-      // join window (30 min) and a 60 s strictness margin. One
-      // driver-side scalar over stats-backed columns.
-      val maxUs = s.read.parquet(s"$d/events.parquet")
-        .agg(least(
-          max(when(col("event_type") === "click", expr("ts div 1000"))),
-          max(when(col("event_type") === "view", expr("ts div 1000")))))
-        .head.getLong(0)
-      val bound = maxUs - 1800000000L - 600000000L - 60000000L
+      // The completeness bound comes from the run's OWN final watermark
+      // (progress metadata, zero extra source reads — at 100 TB a
+      // pre-pass over the stream's history is a full extra scan).
+      // Mechanics: run the unrestricted left-outer join; Spark withholds
+      // undecided outer rows (a matching view could still arrive) but
+      // emits matched rows immediately, so the sink holds every click
+      // decided by the final watermark plus early matches beyond it.
+      // Post-filtering clicks to (watermark - join window - 60 s margin)
+      // keeps exactly the watermark-complete subset — deterministic, and
+      // the batch oracle applies the same bound (floored to ms first:
+      // Spark tracks event-time stats in ms). The global watermark is
+      // min(max click ts, max view ts) - delay, each side derived from
+      // ITS OWN filtered stream.
       val clicks = StreamRunner.eventsStream(s, d)
         .filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id").as("cu"),
           col("ts_t").as("click_t"), col("ts_us").as("click_us"))
         .withWatermark("click_t", "10 minutes")
-        // the completeness bound must sit ABOVE the watermark node and
-        // reference the watermark COLUMN: Catalyst refuses to push
-        // predicates on the watermark attribute through
-        // EventTimeWatermark, so the watermark still derives from ALL
-        // clicks — filtering before the watermark would shrink it to
-        // (last surviving click − delay) and strand the tail's state
-        .filter(col("click_t") <= timestamp_micros(lit(bound)))
       val views = StreamRunner.eventsStream(s, d)
         .filter(col("event_type") === "view")
         .select(col("event_id").as("view_id"), col("user_id").as("vu"),
@@ -212,7 +205,12 @@ object StreamingQueries extends QueryPack {
           "left_outer")
         .select(col("click_id"), col("view_id"), col("cu").as("user_id"),
           col("click_us"), col("view_us"))
-      StreamRunner.runToTable(s, joined, "g_stream_outer_join", "append")
+      val (table, wm) = StreamRunner.runToTableWithWatermark(
+        s, joined, "g_stream_outer_join", "append")
+      // no watermark (empty side) -> nothing is decidable -> empty result
+      val bound = wm.map(_ - 1800000000L - 60000000L)
+        .getOrElse(Long.MinValue)
+      table.filter(col("click_us") <= lit(bound))
         .orderBy(col("click_id"), coalesce(col("view_id"), lit(-1L)))
     }),
 
@@ -412,10 +410,10 @@ object StreamingQueries extends QueryPack {
         |WHERE a.event_type = 'click'
         |  AND epoch_us(a.ts) <= (SELECT least(
         |      max(CASE WHEN event_type = 'click'
-        |          THEN epoch_us(ts) END),
+        |          THEN epoch_us(ts) // 1000 END),
         |      max(CASE WHEN event_type = 'view'
-        |          THEN epoch_us(ts) END)) FROM events)
-        |    - 1800000000 - 600000000 - 60000000
+        |          THEN epoch_us(ts) // 1000 END)) FROM events)
+        |    * 1000 - 600000000 - 1800000000 - 60000000
         |ORDER BY click_id, coalesce(view_id, -1)""".stripMargin,
 
     "q_stream_stateful" ->

@@ -73,4 +73,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(st.isStreaming)
     assert(Seq("ts_us", "ts_t").forall(st.columns.contains))
   }
+
+  test("final watermark from progress metadata equals min-side max(ts,ms) - delay") {
+    // q_stream_outer_join derives its completeness bound from the run's
+    // own lastProgress watermark — pin that the metadata value is exactly
+    // the formula the DuckDB oracle computes from the data (ms-floored
+    // per-side max, min across sides, minus the 10 min delay), so the
+    // bound needs no extra pre-pass scan of events.parquet.
+    val clicks = StreamRunner.eventsStream(spark, sfDir)
+      .filter($"event_type" === "click")
+      .select($"user_id", $"ts_t".as("click_t"))
+      .withWatermark("click_t", "10 minutes")
+    val views = StreamRunner.eventsStream(spark, sfDir)
+      .filter($"event_type" === "view")
+      .select($"user_id".as("vu"), $"ts_t".as("view_t"))
+      .withWatermark("view_t", "10 minutes")
+    val joined = clicks.join(views,
+      $"user_id" === $"vu" && $"view_t" >= $"click_t" &&
+        $"view_t" <= $"click_t" + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+    val (_, wm) = StreamRunner.runToTableWithWatermark(
+      spark, joined, "g_wm_probe", "append")
+    val expected = graft.engine.Tables.events(spark, sfDir)
+      .agg(least(
+        max(when($"event_type" === "click", expr("(ts div 1000) div 1000"))),
+        max(when($"event_type" === "view", expr("(ts div 1000) div 1000")))))
+      .as[Long].collect().head * 1000L - 600000000L
+    assert(wm.contains(expected),
+      s"watermark $wm != data-derived $expected")
+  }
 }
