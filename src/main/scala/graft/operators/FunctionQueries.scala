@@ -7,8 +7,10 @@ import graft.engine.{QueryPack, Tables}
 /** Scalar-function surface: string, date/time, math, array (higher-order),
   * JSON, cast/null handling. SURVEY.md §2.2 "Scalar functions".
   *
-  * No UDFs anywhere — `functions._` only. Most of the surface is
-  * whole-stage-codegen'd; the EXCEPTION is the higher-order functions in
+  * `functions._` everywhere except q_udf_scalar, which exists to cover
+  * the vanilla `udf()` registration path (SURVEY §2.2 UDF row, first
+  * branch). Most of the surface is whole-stage-codegen'd; the EXCEPTIONS
+  * are that udf (boxed, codegen fence) and the higher-order functions in
   * q_array_funcs (transform/filter/aggregate), which Spark evaluates
   * interpreted (~50 µs/call — see PERF.md). That is acceptable in a
   * once-per-row projection and is exactly why the hot similarity loops
@@ -39,6 +41,30 @@ object FunctionQueries extends QueryPack {
           size(split(col("p_name"), " ")).cast("bigint").as("n_words"),
           levenshtein(col("p_brand"), col("p_type")).cast("bigint").as("lev"))
         .orderBy(col("p_partkey"))
+    }),
+
+    // -- vanilla scalar UDF (SURVEY §2.2 UDF row, first branch) ------------
+    // The extension path a user reaches for FIRST: a plain Scala udf(),
+    // used both through the Column API and (via spark.udf.register)
+    // from SQL text. Fine for business logic off the hot path; it boxes
+    // every input and fences whole-stage codegen, which is why the
+    // per-pair similarity kernels are custom codegen'd Catalyst
+    // expressions instead (NativeExpressions.scala). Both call paths
+    // are emitted as columns so the oracle hash pins their equivalence
+    // to the built-in CASE expression.
+    "q_udf_scalar" -> ((s, d) => {
+      val tier = udf((bal: Double, seg: String) =>
+        if (bal < 0.0) "debit"
+        else if (bal >= 5000.0 && seg == "BUILDING") "prime"
+        else if (bal >= 5000.0) "high"
+        else "standard")
+      s.udf.register("g_acct_tier", tier)
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          tier(col("c_acctbal"), col("c_mktsegment")).as("tier_api"),
+          call_udf("g_acct_tier", col("c_acctbal"), col("c_mktsegment"))
+            .as("tier_sql"))
+        .orderBy(col("c_custkey"))
     }),
 
     // -- soundex + schema_of_json (SURVEY §2.2 surface completion) ---------
@@ -208,6 +234,22 @@ object FunctionQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // the CASE twin of the Scala closure — both udf call paths must
+    // equal the declarative expression
+    "q_udf_scalar" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'debit'
+        |       WHEN c_acctbal >= 5000 AND c_mktsegment = 'BUILDING'
+        |         THEN 'prime'
+        |       WHEN c_acctbal >= 5000 THEN 'high'
+        |       ELSE 'standard' END AS tier_api,
+        |  CASE WHEN c_acctbal < 0 THEN 'debit'
+        |       WHEN c_acctbal >= 5000 AND c_mktsegment = 'BUILDING'
+        |         THEN 'prime'
+        |       WHEN c_acctbal >= 5000 THEN 'high'
+        |       ELSE 'standard' END AS tier_sql
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
     // hard-coded expected values: DuckDB has neither soundex nor
     // schema_of_json (see the query comment for the provenance of each)
     "q_phonetic_schema" ->
