@@ -96,6 +96,21 @@ object Bench {
     // variance story).
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val repCeil = sys.env.getOrElse("SPARK_GRAFT_BENCH_REP_CEIL", "60").toDouble
+    // Environment capture: the r6 and r7 rounds each burned a cycle on
+    // cross-run swings (87.1 s vs 105.2 s on identical code) that were
+    // box-load artifacts, unattributable because the artifact recorded
+    // only medians. Record the OS load average around the run plus the
+    // raw per-query triples so the NEXT "regression" is checkable
+    // against the conditions it ran under (see PERF.md "Noise policy").
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val startedAt = java.time.Instant.now().toString
+    val loadStart = osBean.getSystemLoadAverage
+    // JVM age when timing began: distinguishes a fresh-process run (page
+    // cache cold, JIT starting from the warmup block) from a re-run
+    // inside a warm sbt session
+    val jvmUptimeMs =
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime
+    val triples = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -109,6 +124,7 @@ object Bench {
       val times =
         if (first <= 0 || first > repCeil) Seq(first)
         else first +: (2 to reps).map(_ => once())
+      triples(name) = times
       val good = times.filter(_ > 0).sorted
       val v =
         if (good.isEmpty) times.head
@@ -118,6 +134,7 @@ object Bench {
         (if (good.isEmpty) "  [FAILED/TIMEOUT]" else ""))
       name -> v
     }
+    val loadEnd = osBean.getSystemLoadAverage
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
     // comma decimal separator would corrupt the JSON line.
     def d3(v: Double): String =
@@ -149,9 +166,27 @@ object Bench {
     // "mat" records the materialization mode so round-over-round totals
     // are only compared within the same methodology (r2 used count(),
     // which let Catalyst prune top-level sorts; r3+ use a noop write)
+    // "samples" = the raw per-query timings behind each median; "env" =
+    // the run conditions. Together they make the artifact self-evidencing:
+    // a cross-round delta can be judged against rep spread and box load
+    // instead of re-litigating the engine.
+    val samples = triples.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(d3).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val env = Seq(
+      "\"started_utc\":\"" + startedAt + "\"",
+      "\"java\":\"" + sys.props.getOrElse("java.version", "?") + "\"",
+      "\"spark\":\"" + spark.version + "\"",
+      "\"master_cpus\":\"" + cpus + "\"",
+      "\"available_procs\":" + Runtime.getRuntime.availableProcessors,
+      "\"load_avg_start\":" + d3(loadStart),
+      "\"load_avg_end\":" + d3(loadEnd),
+      "\"reps\":" + reps,
+      "\"jvm_uptime_ms_at_start\":" + jvmUptimeMs
+    ).mkString("{", ",", "}")
     val fullJson = results.sortBy(_._1).map(ent).mkString(
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"mat":"noop","queries":{""",
-      ",", s"""},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"mat":"noop","env":$env,"queries":{""",
+      ",", s"""},"samples":$samples,"sf":"$sfDir"}""")
     // anchor BENCH_DETAIL.json at the repo root (PWD may differ under the
     // driver's launcher) and make write failures visible
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo") +

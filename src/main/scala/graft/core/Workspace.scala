@@ -74,6 +74,10 @@ object Workspace {
     */
   final class SnapshotStore(mount: Path) {
 
+    /** Store root — the `spark.sql.catalog.<name>.root` value that lets
+      * the SQL catalog (WorkspaceCatalog) mount this same store. */
+    def mountPath: Path = mount
+
     private def wsRoot(name: String): Path = mount.resolve(name)
 
     def refs(name: String): Map[String, String] = {

@@ -97,6 +97,30 @@ object WorkspaceQueries extends QueryPack {
       at("stable").unionByName(at("latest"))
         .select(col("version"), col("k"), col("v"))
         .orderBy(col("version"), col("k"))
+    }),
+
+    // SQL time travel through the DSv2 catalog (WorkspaceCatalog): the
+    // same store, reached with Spark's NATIVE `VERSION AS OF` grammar —
+    // named ref ('stable'), id prefix ('aaaa', reference resolution
+    // order), and the unqualified read defaulting to the latest ref.
+    // Strings cast in SQL (the catalog serves header-derived STRING
+    // columns, matching the bytes the reference serves verbatim).
+    "q_workspace_sql" -> ((s, _) => {
+      val store = fixture()
+      s.conf.set("spark.sql.catalog.ws",
+        classOf[graft.sources.WorkspaceCatalog].getName)
+      s.conf.set("spark.sql.catalog.ws.root", store.mountPath.toString)
+      s.sql(
+        """SELECT 'default_latest' AS pin, CAST(k AS INT) AS k,
+          |       CAST(v AS INT) AS v
+          |FROM ws.demo.`data.csv`
+          |UNION ALL
+          |SELECT 'ref_stable', CAST(k AS INT), CAST(v AS INT)
+          |FROM ws.demo.`data.csv` VERSION AS OF 'stable'
+          |UNION ALL
+          |SELECT 'id_prefix_aaaa', CAST(k AS INT), CAST(v AS INT)
+          |FROM ws.demo.`data.csv` VERSION AS OF 'aaaa'
+          |ORDER BY pin, k""".stripMargin)
     })
   )
 
@@ -130,6 +154,18 @@ object WorkspaceQueries extends QueryPack {
         |  ('latest', 1, 10), ('latest', 2, 20), ('latest', 3, 30),
         |  ('stable', 1, 10), ('stable', 2, 20)
         |) AS t(version, k, v)
-        |ORDER BY version, k""".stripMargin
+        |ORDER BY version, k""".stripMargin,
+
+    // v1 = {1:10, 2:20}; v2 adds 3:30; latest->v2, stable->v1, and the
+    // id prefix 'aaaa' resolves to v1 (fixture ids aaaa1111c0ffee /
+    // bbbb2222c0ffee)
+    "q_workspace_sql" ->
+      """SELECT * FROM (VALUES
+        |  ('default_latest', 1, 10), ('default_latest', 2, 20),
+        |  ('default_latest', 3, 30),
+        |  ('id_prefix_aaaa', 1, 10), ('id_prefix_aaaa', 2, 20),
+        |  ('ref_stable', 1, 10), ('ref_stable', 2, 20)
+        |) AS t(pin, k, v)
+        |ORDER BY pin, k""".stripMargin
   )
 }

@@ -132,4 +132,54 @@ class WorkspaceSpec extends AnyFunSuite {
       .contains("<pre>&lt;a href&#x3D;&quot;x&quot; id&#x3D;&#x27;y&#x27; " +
         "data&#x3D;&#x60;z&#x60;&amp;&gt;</pre>"))
   }
+
+  // ---- SQL catalog (WorkspaceCatalog: native VERSION AS OF) -------------
+
+  private def sqlFixture(): Unit = {
+    val spark = SparkFixture.spark
+    val store = graft.operators.WorkspaceQueries.fixture()
+    spark.conf.set("spark.sql.catalog.ws",
+      classOf[graft.sources.WorkspaceCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ws.root", store.mountPath.toString)
+  }
+
+  test("SQL VERSION AS OF resolves refs and id prefixes like the HTTP route") {
+    sqlFixture()
+    val spark = SparkFixture.spark
+    def ks(sql: String): Seq[String] =
+      spark.sql(sql).collect().map(_.getString(0)).sorted.toSeq
+    assert(ks("SELECT k FROM ws.demo.`data.csv`") == Seq("1", "2", "3"))
+    assert(ks("SELECT k FROM ws.demo.`data.csv` VERSION AS OF 'stable'")
+      == Seq("1", "2"))
+    assert(ks("SELECT k FROM ws.demo.`data.csv` VERSION AS OF 'bbbb'")
+      == Seq("1", "2", "3"))
+    assert(ks(
+      "SELECT k FROM ws.demo.`data.csv` VERSION AS OF 'aaaa1111c0ffee'")
+      == Seq("1", "2"))
+  }
+
+  test("SQL catalog: unknown version/workspace/table fail analysis; writes refused") {
+    sqlFixture()
+    val spark = SparkFixture.spark
+    def fails(sql: String): Unit =
+      assertThrows[org.apache.spark.sql.AnalysisException](
+        spark.sql(sql).collect())
+    fails("SELECT k FROM ws.demo.`data.csv` VERSION AS OF 'zzz'")
+    fails("SELECT k FROM ws.nope.`data.csv`")
+    fails("SELECT k FROM ws.demo.`missing.txt`")
+    fails("INSERT INTO ws.demo.`data.csv` VALUES ('9','90')")
+  }
+
+  test("SQL catalog path goes through WorkspacePath sanitization") {
+    sqlFixture()
+    val spark = SparkFixture.spark
+    // `../docs/./readme.txt` rewrites to docs/readme.txt (A3) — a text
+    // file: single column from header line, one data row (version two)
+    val rows = spark.sql(
+      "SELECT * FROM ws.demo.`../docs/./readme.txt`").collect()
+    assert(rows.isEmpty) // header-only: the file has one line, no data rows
+    val cols = spark.sql(
+      "SELECT * FROM ws.demo.`../docs/./readme.txt`").columns
+    assert(cols.toSeq == Seq("version two readme"))
+  }
 }

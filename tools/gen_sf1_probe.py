@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Dev-only harness (NOT part of the engine): synthesize a 10x "sf1"
+documents/embeddings corpus from the driver's sf0.1 tables, for the
+one-off dedup/ANN scale probe recorded in PERF.md.
+
+Construction keeps the ground truth linear in the scale factor so the
+probe tests the ENGINE's asymptotics, not an artifact of the generator:
+
+- documents: 10 shards; shard 0 is sf0.1 verbatim, shard k prefixes
+  every whitespace token with "s<k>" and offsets doc_id by k*100000.
+  Within-shard duplicate structure is therefore IDENTICAL to sf0.1
+  (token prefixing is a bijection on vocabularies), and cross-shard
+  vocabularies are disjoint, so total dup pairs = 10x sf0.1 — the
+  near-linear target a real 10x corpus growth approximates.
+- embeddings: 10 shards; shard k rotates the dimension order by k
+  (norm-preserving, direction-scrambling), so within-shard cosine
+  structure is identical and cross-shard vectors are uncorrelated.
+
+Usage: python3 tools/gen_sf1_probe.py [src_sf_dir] [out_dir]
+"""
+import sys
+
+import pandas as pd
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+SHARDS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+
+def main():
+    import os
+    os.makedirs(OUT, exist_ok=True)
+
+    docs = pd.read_parquet(f"{SRC}/documents.parquet")
+    out = []
+    for k in range(SHARDS):
+        d = docs.copy()
+        d["doc_id"] = d["doc_id"] + k * 100000
+        if k > 0:
+            pre = f"s{k}"
+            d["text"] = d["text"].map(
+                lambda t: " ".join(pre + w for w in t.split(" ")))
+            d["n_chars"] = d["text"].str.len()
+        out.append(d)
+    alld = pd.concat(out, ignore_index=True)
+    alld.to_parquet(f"{OUT}/documents.parquet", index=False)
+    print(f"documents: {len(alld)} rows -> {OUT}/documents.parquet")
+
+    emb = pd.read_parquet(f"{SRC}/embeddings.parquet")
+    out = []
+    for k in range(SHARDS):
+        e = emb.copy()
+        e["vec_id"] = e["vec_id"] + k * 100000
+        if k > 0:
+            e["embedding"] = e["embedding"].map(
+                lambda v: list(v[k:]) + list(v[:k]))
+        out.append(e)
+    alle = pd.concat(out, ignore_index=True)
+    # preserve the source's FLOAT[] element type: a plain to_parquet would
+    # widen the python lists to double and change the scan/codegen shape
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    t = pa.table({
+        "vec_id": pa.array(alle["vec_id"], type=pa.int64()),
+        "embedding": pa.array(
+            [list(map(float, v)) for v in alle["embedding"]],
+            type=pa.list_(pa.float32())),
+        "label": pa.array(alle["label"], type=pa.int32()),
+    })
+    pq.write_table(t, f"{OUT}/embeddings.parquet")
+    print(f"embeddings: {len(alle)} rows -> {OUT}/embeddings.parquet")
+
+
+if __name__ == "__main__":
+    main()
