@@ -97,15 +97,20 @@ object Vectors {
       .select(col("id"), col("cid"))
   }
 
-  /** IVF list count derived from corpus size: ceil(√n) clamped to
-    * [16, 65536]. Cells then hold ~√n vectors, so per-cell quadratic
-    * candidate work stays flat as the corpus grows — a hardcoded nlist
-    * is fine at one SF and a straggler at 100×. Pure IEEE double math
-    * (sqrt and ceil are correctly rounded), so the DuckDB twins derive
-    * the identical value with ceil(sqrt(count(*))) in SQL. */
+  /** IVF list count derived from corpus size: ceil(n/64) clamped to
+    * [16, 65536] — cells hold a BOUNDED ~64 vectors, so in-cell
+    * quadratic candidate work is ~32·n pairs, linear in the corpus.
+    *
+    * The previous ceil(√n) derivation made cells themselves √n-sized:
+    * total candidates n^1.5, measured as 38× runtime at 10× corpus in
+    * the sf1 probe (PERF.md "sf1 scale probe") — exactly the 10^1.5
+    * prediction. A fixed cell target trades a little recall headroom
+    * (denser centroid grid, same nprobe=2 boundary coverage) for the
+    * linear scan path; VectorsSpec's precision/recall gates still hold.
+    * Integer arithmetic only, so the DuckDB twins derive the identical
+    * value with (count(*) + 63) // 64 in SQL. */
   def deriveNlist(n: Long): Int =
-    math.max(16L, math.min(65536L,
-      math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+    math.max(16L, math.min(65536L, (n + 63L) / 64L)).toInt
 
   def ivfBlockedPairs(points: org.apache.spark.sql.DataFrame,
                       threshold: Double, nlist: Int, nprobe: Int)

@@ -41,6 +41,32 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("cluster_id"))
     }),
 
+    // -- dedup SURVIVORSHIP: pick the canonical doc, cull the rest ---------
+    // The step after clustering: per duplicate cluster keep exactly one
+    // document (longest text wins, ties to the lowest doc_id — "longest"
+    // because near-dup clusters usually contain truncated variants) and
+    // emit a keep/cull verdict per doc. Scale shape: the cluster labels
+    // join and the ranking window carry only (doc_id, n_chars, cluster)
+    // — the text column never enters the shuffle; singletons pass
+    // through with themselves as cluster and keep=true.
+    "q_dedup_keep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = TextDedup.exactJaccardPairs(
+          docs.select(col("doc_id"), col("text")), 0.7)
+        .select(col("d1"), col("d2"))
+      val labels = ConnectedComponents.largeSmallStar(pairs)
+      val slim = docs.select(col("doc_id"), col("n_chars"))
+        .join(labels, col("doc_id") === col("v"), "left")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      slim.withColumn("rk", row_number().over(w))
+        .select(col("doc_id"), col("cluster_id"),
+          (col("rk") === 1).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- benchmark DECONTAMINATION: shingle-overlap flagging ---------------
     // Training docs sharing any 5-word shingle with the held-out set
     // (deterministic stand-in: doc_id % 40 == 0) are flagged. The eval
@@ -314,35 +340,50 @@ object PipelineQueries extends QueryPack {
     })
   )
 
+  // Shared oracle CTE: recursive min-reachable-label fixpoint over the
+  // exact-Jaccard pair graph — the same labels the Spark-side
+  // large/small-star CC converges to; the pair CTE is q_dedup_jaccard's
+  // (string shingles — cardinality-identical to the hashed sets).
+  private val dupLabelCtes: String =
+    """n0 AS (SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '[ \t\n\f\r\x0B]+', ' ', 'g'),
+      |      ' ') AS ws
+      |  FROM documents),
+      |t AS (SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(0, greatest(len(ws) - 4, 1)),
+      |      i -> array_to_string(ws[i+1:i+5], ' '))) AS toks
+      |  FROM n0),
+      |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |    (len(a.toks) + len(b.toks)
+      |     - len(list_intersect(a.toks, b.toks))) >= 0.7),
+      |e AS (SELECT d1 AS src, d2 AS dst FROM p
+      |  UNION ALL SELECT d2, d1 FROM p),
+      |reach(v, r) AS (
+      |  SELECT DISTINCT src, src FROM e
+      |  UNION
+      |  SELECT e.dst, reach.r FROM reach JOIN e ON reach.v = e.src),
+      |lbl AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v)""".stripMargin
+
   def oracle: Map[String, String] = Map(
-    // Recursive CTE computes the same min-reachable-label fixpoint the
-    // Spark loop converges to; the pair CTE is q_dedup_jaccard's (string
-    // shingles — cardinality-identical to the hashed sets).
     "q_dup_clusters" ->
-      """WITH RECURSIVE n0 AS (SELECT doc_id,
-        |    string_split(regexp_replace(lower(trim(text)), '[ \t\n\f\r\x0B]+', ' ', 'g'),
-        |      ' ') AS ws
-        |  FROM documents),
-        |t AS (SELECT doc_id,
-        |    list_distinct(list_transform(
-        |      range(0, greatest(len(ws) - 4, 1)),
-        |      i -> array_to_string(ws[i+1:i+5], ' '))) AS toks
-        |  FROM n0),
-        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-        |    (len(a.toks) + len(b.toks)
-        |     - len(list_intersect(a.toks, b.toks))) >= 0.7),
-        |e AS (SELECT d1 AS src, d2 AS dst FROM p
-        |  UNION ALL SELECT d2, d1 FROM p),
-        |reach(v, r) AS (
-        |  SELECT DISTINCT src, src FROM e
-        |  UNION
-        |  SELECT e.dst, reach.r FROM reach JOIN e ON reach.v = e.src),
-        |lbl AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v)
+      s"""WITH RECURSIVE $dupLabelCtes
         |SELECT cluster_id, count(*) AS n_members,
         |  array_to_string(list(v ORDER BY v), ',') AS members
         |FROM lbl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    "q_dedup_keep" ->
+      s"""WITH RECURSIVE $dupLabelCtes,
+        |c AS (SELECT d.doc_id, d.n_chars,
+        |    coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.v),
+        |r AS (SELECT doc_id, cluster_id, row_number() OVER (
+        |    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM c)
+        |SELECT doc_id, cluster_id, (rk = 1) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_decontaminate" -> {
       s"""WITH ${OracleHash.shingleCtes},

@@ -207,7 +207,7 @@ object TextQueries extends QueryPack {
             graft.functions.Vectors.asDouble(col("embedding")).as("v")),
           col("doc_id") === col("vec_id"))
         .select(col("doc_id").as("id"), col("v"), col("fp"))
-      // nlist = ceil(√corpus) (clamped, derived from the embeddings
+      // nlist = ceil(corpus/64) (clamped, derived from the embeddings
       // table the points join against) — the oracle derives the same
       graft.functions.Vectors.ivfBlockedPairs(points, 0.45,
           nlist = graft.functions.Vectors.deriveNlist(
@@ -590,7 +590,7 @@ object TextQueries extends QueryPack {
            |  SELECT doc_id AS cid, vd AS cv, nrm AS cnrm,
            |    row_number() OVER (ORDER BY doc_id) AS crn FROM de) t
            |  WHERE crn <= (SELECT greatest(16, least(65536,
-           |    CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM embeddings)),
+           |    (count(*) + 63) // 64)) FROM embeddings)),
            |asg AS (SELECT doc_id, cid FROM (
            |  SELECT de.doc_id, c.cid, row_number() OVER (
            |      PARTITION BY de.doc_id

@@ -64,10 +64,12 @@ object VectorQueries extends QueryPack {
 
     // -- threshold pair mining, IVF-blocked (no full-corpus cross join) ----
     // Candidates come from shared IVF cells (deterministic centroids =
-    // nlist lowest-id vectors, nlist = ceil(√corpus) so cells stay ~√n
-    // as the corpus grows; nprobe 2 — the oracle replicates the same
-    // blocking including the derived nlist), each verified with exact
-    // cosine. Recall vs the all-pairs baseline is asserted in VectorSpec.
+    // nlist lowest-id vectors, nlist = ceil(corpus/64) so cells hold a
+    // BOUNDED ~64 vectors and candidate volume stays linear — see
+    // Vectors.deriveNlist for the sf1-probe evidence; nprobe 2 — the
+    // oracle replicates the same blocking including the derived nlist),
+    // each verified with exact cosine. Recall vs the all-pairs baseline
+    // is asserted in VectorSpec.
     "q_sim_pairs" -> ((s, d) => {
       val pts = emb(s, d).select(col("vec_id").as("id"), col("v"))
       Vectors.ivfBlockedPairs(pts,
@@ -112,8 +114,8 @@ object VectorQueries extends QueryPack {
       val nprobe = 2; val k = 5
       val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
         .withColumn("nrm", Vectors.norm(col("v")))
-      // nlist = ceil(√corpus) (clamped): lists stay ~√n deep at any SF —
-      // the oracle twin derives the identical count in SQL
+      // nlist = ceil(corpus/64) (clamped): lists stay ~64 deep at any SF
+      // — the oracle twin derives the identical count in SQL
       val nlist = Vectors.deriveNlist(e.count())
       // centroid set + assignment live in Vectors (ivfCentroids/ivfAssign)
       // — the identical oracle-pinned blocking ivfBlockedPairs uses, so
@@ -316,7 +318,7 @@ object VectorQueries extends QueryPack {
           |  SELECT vec_id AS cid, vd AS cv, nrm AS cnrm,
           |    row_number() OVER (ORDER BY vec_id) AS crn FROM n) t
           |  WHERE crn <= (SELECT greatest(16, least(65536,
-          |    CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM embeddings)),
+          |    (count(*) + 63) // 64)) FROM embeddings)),
           |asg AS (SELECT vec_id, cid FROM (
           |  SELECT n.vec_id, c.cid, row_number() OVER (
           |      PARTITION BY n.vec_id
@@ -342,7 +344,7 @@ object VectorQueries extends QueryPack {
           |  SELECT vec_id AS cid, vd AS cv, nrm AS cnrm,
           |    row_number() OVER (ORDER BY vec_id) AS crn FROM n) t
           |  WHERE crn <= (SELECT greatest(16, least(65536,
-          |    CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM embeddings)),
+          |    (count(*) + 63) // 64)) FROM embeddings)),
           |asg AS (SELECT vec_id, cid FROM (
           |  SELECT n.vec_id, c.cid, row_number() OVER (
           |      PARTITION BY n.vec_id

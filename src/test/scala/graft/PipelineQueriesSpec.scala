@@ -65,6 +65,35 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q_dedup_keep: one survivor per cluster, the longest (ties to min id)") {
+    val rows = run("q_dedup_keep").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Boolean]("keep")))
+    // every doc verdicted exactly once
+    val total = graft.engine.Tables.documents(spark, sfDir).count()
+    assert(rows.length == total)
+    // exactly one keeper per cluster
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cid, ms) =>
+      assert(ms.count(_._3) == 1, s"cluster $cid keeps ${ms.count(_._3)}")
+    }
+    // the keeper is the longest member (ties to min doc_id)
+    val chars = graft.engine.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byCluster.filter(_._2.length > 1).foreach { case (cid, ms) =>
+      val kept = ms.find(_._3).get._1
+      val best = ms.map(_._1).minBy(id => (-chars(id), id))
+      assert(kept == best, s"cluster $cid kept $kept, expected $best")
+    }
+    // culled set is consistent with q_dup_clusters membership
+    val clustered = run("q_dup_clusters").collect()
+      .flatMap(_.getAs[String]("members").split(",").map(_.toLong)).toSet
+    rows.filterNot(_._3).foreach { case (id, _, _) =>
+      assert(clustered.contains(id), s"culled $id not in any dup cluster")
+    }
+  }
+
   test("q_decontaminate: flags exactly the docs sharing a shingle with the benchmark set") {
     val flagged = run("q_decontaminate").collect()
       .filter(_.getAs[Boolean]("contaminated"))

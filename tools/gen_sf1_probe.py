@@ -6,12 +6,16 @@ one-off dedup/ANN scale probe recorded in PERF.md.
 Construction keeps the ground truth linear in the scale factor so the
 probe tests the ENGINE's asymptotics, not an artifact of the generator:
 
-- documents: 10 shards; shard 0 is sf0.1 verbatim, shard k prefixes
-  every whitespace token with "s<k>" and offsets doc_id by k*100000.
-  Within-shard duplicate structure is therefore IDENTICAL to sf0.1
-  (token prefixing is a bijection on vocabularies), and cross-shard
-  vocabularies are disjoint, so total dup pairs = 10x sf0.1 — the
-  near-linear target a real 10x corpus growth approximates.
+- documents: 10 shards; shard 0 is sf0.1 verbatim, shard k applies a
+  letter-rotation cipher (a..z rotated by k, case-preserved) and
+  offsets doc_id by k*100000. Rotation is a LENGTH-PRESERVING bijection
+  on the alphabet, so within-shard duplicate structure (word-shingle
+  Jaccard, char n-gram Jaccard, edit distance, text lengths — hence
+  banded-DP cost) is IDENTICAL to sf0.1, while cross-shard vocabularies
+  are disjoint: total dup pairs = 10x sf0.1, the near-linear target a
+  real 10x corpus growth approximates. (An earlier token-PREFIX variant
+  inflated text lengths ~30%, which quadratically inflated per-pair
+  edit-distance cost and made the probe overstate editdist scaling.)
 - embeddings: 10 shards; shard k rotates the dimension order by k
   (norm-preserving, direction-scrambling), so within-shard cosine
   structure is identical and cross-shard vectors are uncorrelated.
@@ -32,15 +36,22 @@ def main():
     os.makedirs(OUT, exist_ok=True)
 
     docs = pd.read_parquet(f"{SRC}/documents.parquet")
+
+    def rot(text, k):
+        def ch(c):
+            if "a" <= c <= "z":
+                return chr((ord(c) - 97 + k) % 26 + 97)
+            if "A" <= c <= "Z":
+                return chr((ord(c) - 65 + k) % 26 + 65)
+            return c
+        return "".join(ch(c) for c in text)
+
     out = []
     for k in range(SHARDS):
         d = docs.copy()
         d["doc_id"] = d["doc_id"] + k * 100000
         if k > 0:
-            pre = f"s{k}"
-            d["text"] = d["text"].map(
-                lambda t: " ".join(pre + w for w in t.split(" ")))
-            d["n_chars"] = d["text"].str.len()
+            d["text"] = d["text"].map(lambda t, k=k: rot(t, k))
         out.append(d)
     alld = pd.concat(out, ignore_index=True)
     alld.to_parquet(f"{OUT}/documents.parquet", index=False)
