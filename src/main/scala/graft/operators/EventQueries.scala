@@ -51,6 +51,38 @@ object EventQueries extends QueryPack {
         .orderBy(col("user_id"), col("session_start_us"))
     }),
 
+    // -- sessionization: assign explicit session ids by inactivity gap -----
+    // The imperative sibling of session_window(): number each user's
+    // sessions (new session when >30 min since the previous event) and
+    // emit per-session stats. The lag() marker and the running sum()
+    // share one (user, time) sort — the plan is one shuffle, one sort,
+    // two WindowExecs stacked (same reuse as q_scd2). At 100 TB a
+    // user's history is the unit of work: no cross-user state, and the
+    // running sum is frame-bounded per user. session_window() is the
+    // declarative twin (q_session_window); this form is what pipelines
+    // use when downstream joins need a stable session KEY.
+    "q_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.eventsWithTime(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        // >= mirrors session_window's boundary (a gap of exactly 30 min
+        // starts a new session), so the two forms count sessions alike
+        .withColumn("is_new",
+          when(col("prev_us").isNull ||
+            col("ts_us") - col("prev_us") >= lit(1800000000L), 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum(col("is_new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"))
+        .withColumn("duration_us", col("end_us") - col("start_us"))
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
+
     // -- as-of join: each purchase matched to the latest prior view --------
     "q_asof_join" -> ((s, d) => {
       val e = Tables.eventsWithTime(s, d)
@@ -111,6 +143,29 @@ object EventQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER
+        |        (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |        IS NULL THEN 1
+        |      WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |        (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |        >= 1800000000 THEN 1
+        |      ELSE 0 END AS is_new
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_seq
+        |  FROM e)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  count(*) AS n_events, min(us) AS start_us, max(us) AS end_us,
+        |  max(us) - min(us) AS duration_us
+        |FROM sess GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+
     "q_tumbling_window" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_s, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_v

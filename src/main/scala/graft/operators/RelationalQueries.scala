@@ -241,6 +241,25 @@ object RelationalQueries extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // -- mode + median aggregates ------------------------------------------
+    // Inverse-distribution surface: most-frequent value and interpolated
+    // median per group. mode() breaks ties arbitrarily on BOTH engines,
+    // so the fixture precondition (strictly unique top count per group)
+    // is pinned in RelationalOpsSpec; the floor(x*100+0.5)/100 rounding
+    // is the cross-engine-safe form (see PERF.md round() note). Both are
+    // single hash aggregates — median buffers per group, so a 100 TB
+    // whole-table profile belongs to q_approx_percentile /
+    // q_percentile_dist instead (same note as q_percentile).
+    "q_mode_median" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(mode(col("o_orderstatus")).as("status_mode"),
+          (floor(median(col("o_totalprice")) * lit(100) + lit(0.5)) /
+            lit(100)).as("price_median"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // -- collect_set (sorted + joined to a string: the driver's pandas
     // canonicalizer can't hash raw array cells, so emit a scalar) ----------
     "q_collect" -> ((s, d) => {
@@ -551,6 +570,13 @@ object RelationalQueries extends QueryPack {
         |  round(avg(l_quantity) FILTER (WHERE l_quantity > 25), 6) AS avg_big_qty
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_mode_median" ->
+      """SELECT o_orderpriority, mode(o_orderstatus) AS status_mode,
+        |  floor(median(o_totalprice) * 100 + 0.5) / 100 AS price_median,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_collect" ->
       """SELECT c_nationkey,

@@ -89,6 +89,21 @@ class RelationalOpsSpec extends AnyFunSuite {
   // cross-check proves it row-identical to Spark's buffering
   // `percentile()` aggregate (the formulation that would OOM at 100 TB
   // group sizes and therefore stays spec-only).
+  test("q_mode_median oracle precondition: mode is unique per group") {
+    // mode() breaks ties arbitrarily on both engines, so the hash gate
+    // is only deterministic while every group's top status count is
+    // strictly ahead of the runner-up — pin that fixture property.
+    val counts = graft.engine.Tables.orders(spark, sfDir)
+      .groupBy($"o_orderpriority", $"o_orderstatus").count()
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(2)).sortBy(-_).toSeq).toMap
+    counts.foreach { case (grp, cs) =>
+      assert(cs.length < 2 || cs(0) > cs(1),
+        s"group $grp has tied mode counts $cs — q_mode_median hash unstable")
+    }
+  }
+
   test("percentile buffering twin matches the spill-safe default") {
     val buffering = graft.engine.Tables.lineitem(spark, sfDir)
       .groupBy($"l_returnflag")
