@@ -95,14 +95,20 @@ object ConnectedComponents {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+    var eCount = e.count()
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
-      converged =
-        next.join(e, Seq("u", "v"), "left_anti").isEmpty &&
-        e.join(next, Seq("u", "v"), "left_anti").isEmpty
+      val nextCount = next.count()
+      // set equality via |next| == |e| plus next ⊆ e: both sides are
+      // distinct, so equal cardinality + one-sided containment suffices
+      // — counts over the checkpointed blocks are a cached scan, so this
+      // replaces one anti-join shuffle per round
+      converged = nextCount == eCount &&
+        next.join(e, Seq("u", "v"), "left_anti").isEmpty
       e = next
+      eCount = nextCount
       rounds += 1
     }
     require(converged,

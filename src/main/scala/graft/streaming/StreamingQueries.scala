@@ -214,6 +214,49 @@ object StreamingQueries extends QueryPack {
         .orderBy(col("click_id"), coalesce(col("view_id"), lit(-1L)))
     }),
 
+    // -- stream-stream FULL OUTER interval join ----------------------------
+    // Completes the streaming join family: unmatched rows of BOTH sides
+    // survive. Decidability is asymmetric — a click's outer row needs
+    // the watermark past its whole 30-min match window (no view can
+    // still arrive), while a view's needs only the watermark past the
+    // view itself (matching clicks satisfy click_t <= view_t, so a
+    // future click for it would already be late). The declared subset
+    // applies each side's bound, both derived from the run's own final
+    // watermark (same zero-extra-scan mechanics as q_stream_outer_join);
+    // the oracle applies the identical predicate OVER the full join —
+    // not to the join inputs, which would resurrect view-null rows for
+    // views whose only match was an out-of-bound click.
+    "q_stream_full_outer" -> ((s, d) => {
+      val clicks = StreamRunner.eventsStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+          col("ts_t").as("click_t"), col("ts_us").as("click_us"))
+        .withWatermark("click_t", "10 minutes")
+      val views = StreamRunner.eventsStream(s, d)
+        .filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("vu"),
+          col("ts_t").as("view_t"), col("ts_us").as("view_us"))
+        .withWatermark("view_t", "10 minutes")
+      val joined = clicks.join(views,
+          col("cu") === col("vu") &&
+            col("view_t") >= col("click_t") &&
+            col("view_t") <= col("click_t") + expr("INTERVAL 30 MINUTES"),
+          "full_outer")
+        .select(col("click_id"), col("view_id"),
+          coalesce(col("cu"), col("vu")).as("user_id"),
+          col("click_us"), col("view_us"))
+      val (table, wm) = StreamRunner.runToTableWithWatermark(
+        s, joined, "g_stream_full_outer", "append")
+      val boundC = wm.map(_ - 1800000000L - 60000000L)
+        .getOrElse(Long.MinValue)
+      val boundV = wm.map(_ - 60000000L).getOrElse(Long.MinValue)
+      table.filter(
+          (col("click_id").isNotNull && col("click_us") <= lit(boundC)) ||
+          (col("click_id").isNull && col("view_us") <= lit(boundV)))
+        .orderBy(coalesce(col("click_id"), lit(-1L)),
+          coalesce(col("view_id"), lit(-1L)))
+    }),
+
     // -- state store reader: inspect a checkpoint's state as a DataFrame ----
     // The streaming-ops surface: after a stateful query runs, its state
     // store is a queryable table (Spark 4's "statestore" data source) —
@@ -415,6 +458,33 @@ object StreamingQueries extends QueryPack {
         |          THEN epoch_us(ts) // 1000 END)) FROM events)
         |    * 1000 - 600000000 - 1800000000 - 60000000
         |ORDER BY click_id, coalesce(view_id, -1)""".stripMargin,
+
+    // the bound predicate applies OVER the full join (see query comment);
+    // wm = min-side ms-floored max ts minus the 10 min delay
+    "q_stream_full_outer" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id AS cu,
+        |    epoch_us(ts) AS click_us FROM events
+        |  WHERE event_type = 'click'),
+        |v AS (SELECT event_id AS view_id, user_id AS vu,
+        |    epoch_us(ts) AS view_us FROM events
+        |  WHERE event_type = 'view'),
+        |wm AS (SELECT (SELECT least(
+        |      max(CASE WHEN event_type = 'click'
+        |          THEN epoch_us(ts) // 1000 END),
+        |      max(CASE WHEN event_type = 'view'
+        |          THEN epoch_us(ts) // 1000 END)) FROM events)
+        |    * 1000 - 600000000 AS w),
+        |j AS (SELECT click_id, view_id, coalesce(cu, vu) AS user_id,
+        |    click_us, view_us
+        |  FROM c FULL JOIN v ON cu = vu
+        |    AND view_us >= click_us
+        |    AND view_us <= click_us + 1800000000)
+        |SELECT click_id, view_id, user_id, click_us, view_us
+        |FROM j, wm
+        |WHERE (click_id IS NOT NULL
+        |       AND click_us <= w - 1800000000 - 60000000)
+        |   OR (click_id IS NULL AND view_us <= w - 60000000)
+        |ORDER BY coalesce(click_id, -1), coalesce(view_id, -1)""".stripMargin,
 
     "q_stream_stateful" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_v
