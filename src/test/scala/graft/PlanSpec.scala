@@ -224,4 +224,21 @@ class PlanSpec extends AnyFunSuite {
       "adjacency not served from the persisted relation:\n" + p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_sessionize stacks both windows on one shuffle and one sort") {
+    // the lag marker and the running session sum share the identical
+    // (user_id / ts, event_id) window spec, so the plan must contain
+    // exactly one hash exchange (the final orderBy adds a range one) and
+    // exactly one sort below the windows — a second sort or hash
+    // exchange means the stacking reuse regressed and a 100 TB events
+    // table pays the shuffle twice
+    // AQE's toString appends the pre-adaptive "Initial Plan" — count
+    // nodes only in the final section or every exchange doubles
+    val p = plan("q_sessionize").split("== Initial Plan ==")(0)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n" + p)
+    assert("Window \\[".r.findAllIn(p).size == 2, "expected 2 windows:\n" + p)
+    val sorts = "\\bSort \\[".r.findAllIn(p).size
+    assert(sorts <= 2, s"windows re-sorting (got $sorts sorts):\n" + p)
+  }
 }
