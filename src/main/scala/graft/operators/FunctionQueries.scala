@@ -67,6 +67,30 @@ object FunctionQueries extends QueryPack {
         .orderBy(col("c_custkey"))
     }),
 
+    // -- URL parsing (crawl-corpus curation surface) -----------------------
+    // parse_url is how a 100 TB web corpus derives its per-domain keys
+    // (dedup by host, robots filtering, domain mixing). DuckDB has no
+    // parse_url, so — q_phonetic_schema pattern — the inputs are
+    // literals and the twin hard-codes the expected components
+    // (java.net.URI semantics: HOST strips port and userinfo, QUERY's
+    // third argument extracts one parameter).
+    "q_url_funcs" -> ((s, d) => {
+      import s.implicits._
+      Seq(
+        "https://data.example.com:8443/corpus/shard-01/part.parquet?fmt=parquet&rev=7#meta",
+        "http://user:pw@mirror.example.net/data?rev=12&x=1",
+        "ftp://files.example.org/dir/file.txt")
+        .toDF("url")
+        .select(col("url"),
+          parse_url(col("url"), lit("PROTOCOL")).as("proto"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY")).as("query"),
+          parse_url(col("url"), lit("REF")).as("anchor"),
+          parse_url(col("url"), lit("QUERY"), lit("rev")).as("rev"))
+        .orderBy(col("url"))
+    }),
+
     // -- soundex + schema_of_json (SURVEY §2.2 surface completion) ---------
     // Neither function exists in DuckDB, so the inputs are literals and
     // the twin hard-codes the expected outputs: the published US-census
@@ -249,6 +273,20 @@ object FunctionQueries extends QueryPack {
         |       WHEN c_acctbal >= 5000 THEN 'high'
         |       ELSE 'standard' END AS tier_sql
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // hard-coded expected components (DuckDB has no parse_url); NULLs
+    // where the URL lacks the part
+    "q_url_funcs" ->
+      """SELECT * FROM (VALUES
+        |  ('ftp://files.example.org/dir/file.txt', 'ftp',
+        |   'files.example.org', '/dir/file.txt', NULL, NULL, NULL),
+        |  ('http://user:pw@mirror.example.net/data?rev=12&x=1', 'http',
+        |   'mirror.example.net', '/data', 'rev=12&x=1', NULL, '12'),
+        |  ('https://data.example.com:8443/corpus/shard-01/part.parquet?fmt=parquet&rev=7#meta',
+        |   'https', 'data.example.com', '/corpus/shard-01/part.parquet',
+        |   'fmt=parquet&rev=7', 'meta', '7')
+        |) AS t(url, proto, host, path, query, anchor, rev)
+        |ORDER BY url""".stripMargin,
 
     // hard-coded expected values: DuckDB has neither soundex nor
     // schema_of_json (see the query comment for the provenance of each)

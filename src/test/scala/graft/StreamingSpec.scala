@@ -74,6 +74,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(Seq("ts_us", "ts_t").forall(st.columns.contains))
   }
 
+  test("full-outer join restricted to matched-or-null clicks equals the left-outer query") {
+    // the two declared subsets use the same click bound, so the full
+    // outer's click-side rows must be EXACTLY the left-outer result —
+    // pins that the extra view-null rows never perturb the click side
+    val fo = SparkEntry.queries("q_stream_full_outer")(spark, sfDir)
+      .filter($"click_id".isNotNull)
+      .select($"click_id", $"view_id", $"user_id", $"click_us", $"view_us")
+    val lo = SparkEntry.queries("q_stream_outer_join")(spark, sfDir)
+      .select($"click_id", $"view_id", $"user_id", $"click_us", $"view_us")
+    assert(fo.exceptAll(lo).isEmpty && lo.exceptAll(fo).isEmpty)
+  }
+
   test("final watermark from progress metadata equals min-side max(ts,ms) - delay") {
     // q_stream_outer_join derives its completeness bound from the run's
     // own lastProgress watermark — pin that the metadata value is exactly
