@@ -67,6 +67,65 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // -- the CURATION PIPELINE, end to end ---------------------------------
+    // The composition a training-data run actually executes, as ONE
+    // dataflow: quality gate (uniqueness + length score), near-dup
+    // survivorship (CC labels over the full corpus → longest-doc
+    // keeper), and benchmark decontamination (shingle semi-join) — one
+    // verdict row per training doc with per-stage booleans and the
+    // final `kept` flag. Stage outputs join on doc_id, so Catalyst
+    // co-plans the stages against one scan where it can; the expensive
+    // stages keep their individual scale shapes (prefix-filtered pair
+    // join, O(log n) CC, broadcast eval set). Per-stage twins:
+    // q_quality_score / q_dedup_keep / q_decontaminate.
+    "q_curate_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      // dedup survivorship over the FULL corpus (dedup precedes
+      // decontamination, and eval docs participate in clustering)
+      val pairs = TextDedup.exactJaccardPairs(
+          docs.select(col("doc_id"), col("text")), 0.7)
+        .select(col("d1"), col("d2"))
+      val labels = ConnectedComponents.largeSmallStar(pairs)
+      val wk = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val kept = docs.select(col("doc_id"), col("n_chars"))
+        .join(labels, col("doc_id") === col("v"), "left")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+        .withColumn("rk", row_number().over(wk))
+        .select(col("doc_id"), (col("rk") === 1).as("dedup_keep"))
+      val qual = docs
+        .withColumn("n_tok", size(split(col("text"), " ")))
+        .withColumn("uniq_ratio",
+          size(array_distinct(split(col("text"), " "))).cast("double") /
+            col("n_tok"))
+        .withColumn("len_score",
+          least(col("n_tok").cast("double") / 50.0, lit(1.0)))
+        .select(col("doc_id"),
+          (round((col("uniq_ratio") + col("len_score")) / 2.0, 6) > 0.5)
+            .as("quality_pass"))
+      val sh = docs
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), TextDedup.wordShingles(col("text")).as("toks"))
+      val bench = sh.filter(pmod(col("doc_id"), lit(40)) === 0)
+        .select(explode(col("toks")).as("h")).distinct()
+      val hits = sh.filter(pmod(col("doc_id"), lit(40)) =!= 0)
+        .select(col("doc_id"), explode(col("toks")).as("h"))
+        .join(broadcast(bench), Seq("h"), "left_semi")
+        .select(col("doc_id")).distinct()
+      docs.filter(pmod(col("doc_id"), lit(40)) =!= 0)
+        .select(col("doc_id"), col("lang"))
+        .join(qual, "doc_id")
+        .join(kept, "doc_id")
+        .join(hits.withColumn("hit", lit(true)), Seq("doc_id"), "left")
+        .withColumn("contaminated", coalesce(col("hit"), lit(false)))
+        .select(col("doc_id"), col("lang"), col("quality_pass"),
+          col("dedup_keep"), col("contaminated"),
+          (col("quality_pass") && col("dedup_keep") &&
+            !col("contaminated")).as("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- benchmark DECONTAMINATION: shingle-overlap flagging ---------------
     // Training docs sharing any 5-word shingle with the held-out set
     // (deterministic stand-in: doc_id % 40 == 0) are flagged. The eval
@@ -373,6 +432,42 @@ object PipelineQueries extends QueryPack {
         |SELECT cluster_id, count(*) AS n_members,
         |  array_to_string(list(v ORDER BY v), ',') AS members
         |FROM lbl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    // stage twins composed: dup labels (recursive CTE), shingle hashes
+    // (OracleHash.shingleCtes), and the q_quality_score formula
+    "q_curate_pipeline" ->
+      s"""WITH RECURSIVE $dupLabelCtes,
+        |${OracleHash.shingleCtes},
+        |bench AS (SELECT DISTINCT unnest(toks) AS h FROM sh
+        |  WHERE doc_id % 40 = 0),
+        |tr AS (SELECT doc_id, unnest(toks) AS h FROM sh
+        |  WHERE doc_id % 40 <> 0),
+        |hits AS (SELECT DISTINCT tr.doc_id FROM tr JOIN bench USING (h)),
+        |c AS (SELECT d.doc_id, d.n_chars,
+        |    coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.v),
+        |k AS (SELECT doc_id, (row_number() OVER (
+        |    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) = 1)
+        |      AS dedup_keep
+        |  FROM c),
+        |q AS (SELECT doc_id,
+        |    (round((uniq_ratio + len_score) / 2.0, 6) > 0.5)
+        |      AS quality_pass
+        |  FROM (SELECT doc_id,
+        |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |        / len(string_split(text, ' ')) AS uniq_ratio,
+        |      least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0,
+        |        1.0) AS len_score
+        |    FROM documents) t)
+        |SELECT d.doc_id, d.lang, q.quality_pass, k.dedup_keep,
+        |  (hits.doc_id IS NOT NULL) AS contaminated,
+        |  (q.quality_pass AND k.dedup_keep AND hits.doc_id IS NULL)
+        |    AS kept
+        |FROM documents d
+        |JOIN q USING (doc_id) JOIN k USING (doc_id)
+        |LEFT JOIN hits ON d.doc_id = hits.doc_id
+        |WHERE d.doc_id % 40 <> 0
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_dedup_keep" ->
       s"""WITH RECURSIVE $dupLabelCtes,

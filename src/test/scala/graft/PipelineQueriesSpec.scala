@@ -94,6 +94,31 @@ class PipelineQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_curate_pipeline stages agree with the standalone queries") {
+    val pipe = run("q_curate_pipeline").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("quality_pass"), r.getAs[Boolean]("dedup_keep"),
+          r.getAs[Boolean]("contaminated"), r.getAs[Boolean]("kept")))
+      .toMap
+    // q_quality_score lives in TextQueries — go through the full map
+    val qualityPassed = SparkEntry.queries("q_quality_score")(spark, sfDir)
+      .collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val dedupKeep = run("q_dedup_keep").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    val contaminated = run("q_decontaminate").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("contaminated")).toMap
+    pipe.foreach { case (id, (q, k, c, kept)) =>
+      assert(q == qualityPassed.contains(id), s"quality drift doc $id")
+      assert(k == dedupKeep(id), s"dedup drift doc $id")
+      assert(c == contaminated(id), s"contamination drift doc $id")
+      assert(kept == (q && k && !c), s"kept flag inconsistent doc $id")
+    }
+    // pipeline domain = the training side only
+    assert(pipe.keySet == contaminated.keySet)
+  }
+
   test("q_decontaminate: flags exactly the docs sharing a shingle with the benchmark set") {
     val flagged = run("q_decontaminate").collect()
       .filter(_.getAs[Boolean]("contaminated"))
