@@ -353,6 +353,31 @@ object RelationalQueries extends QueryPack {
           |ORDER BY c.c_custkey""".stripMargin)
     }),
 
+    // -- SQL entry point: WITH RECURSIVE (Spark 4 UnionLoop) ---------------
+    // Hierarchy flattening — the canonical recursive-CTE warehouse query
+    // (org charts, BOM explosions, folder trees). The hierarchy is the
+    // implicit binary heap over c_custkey (parent = id DIV 2, root 1), so
+    // depth grows as log2(n): ~11 levels at sf0.01, ~100 levels would need
+    // a 2^100-row table — the default cteRecursionLevelLimit of 100 is
+    // structurally unreachable. Each UnionLoop iteration is one hash join
+    // of the (shrinking) frontier against customer: at cluster scale every
+    // level is a keyed shuffle join, never a driver-side loop, and the
+    // frontier is the only state carried between levels.
+    "q_recursive_cte" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        """WITH RECURSIVE tree(id, depth) AS (
+          |  SELECT CAST(1 AS BIGINT) AS id, 0 AS depth
+          |  UNION ALL
+          |  SELECT c.c_custkey, t.depth + 1
+          |  FROM customer c JOIN tree t ON c.c_custkey DIV 2 = t.id
+          |  WHERE c.c_custkey > 1
+          |)
+          |SELECT depth, count(*) AS n_nodes, min(id) AS min_id,
+          |  max(id) AS max_id, CAST(sum(id) AS BIGINT) AS sum_id
+          |FROM tree GROUP BY depth ORDER BY depth""".stripMargin)
+    }),
+
     // -- pivot (explicit value list so no extra distinct-scan job) ---------
     "q_pivot" -> ((s, d) => {
       Tables.orders(s, d)
@@ -627,6 +652,20 @@ object RelationalQueries extends QueryPack {
         |  AND c.c_nationkey IN (SELECT n_nationkey FROM nation
         |                        WHERE n_regionkey < 3)
         |ORDER BY c.c_custkey""".stripMargin,
+
+    // DuckDB spells integer division `//` where Spark spells `DIV`;
+    // identical recursion otherwise. CAST(sum) — HUGEINT widening.
+    "q_recursive_cte" ->
+      """WITH RECURSIVE tree(id, depth) AS (
+        |  SELECT CAST(1 AS BIGINT) AS id, 0 AS depth
+        |  UNION ALL
+        |  SELECT c.c_custkey, t.depth + 1
+        |  FROM customer c JOIN tree t ON c.c_custkey // 2 = t.id
+        |  WHERE c.c_custkey > 1
+        |)
+        |SELECT depth, count(*) AS n_nodes, min(id) AS min_id,
+        |  max(id) AS max_id, CAST(sum(id) AS BIGINT) AS sum_id
+        |FROM tree GROUP BY depth ORDER BY depth""".stripMargin,
 
     "q_pivot" ->
       """SELECT o_orderpriority,

@@ -339,6 +339,33 @@ object SourceQueries extends QueryPack {
             .as("key_checksum"))
     }),
 
+    // -- schema evolution: mergeSchema over heterogeneous parquet epochs ----
+    // A lake table's schema grows over time; old files simply lack the new
+    // columns. Epoch 1 writes (orderkey, totalprice), epoch 2 appends the
+    // same table WITH o_orderpriority; mergeSchema=true reads both epochs
+    // as one relation, NULL-filling the missing column — the aggregate
+    // keyed on the evolved column then groups every epoch-1 row under
+    // NULL. mergeSchema costs a footer read per file at planning time
+    // (why it's opt-in, not the default): at 100 TB you pay it once and
+    // persist the merged schema in the catalog, and the scan itself stays
+    // one pass — pushdown/pruning behave identically on both epochs.
+    "q_schema_merge" -> ((s, d) => {
+      val out = scratch(s, d, "orders_evolved")
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(out)
+      o.filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.mode("append").parquet(out)
+      s.read.option("mergeSchema", "true").parquet(out)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("o_orderpriority").asc_nulls_first)
+    }),
+
     // -- z-order clustered layout: multi-dimensional data skipping ----------
     // Interleaving the bits of two filter dimensions gives a 1-D sort key
     // whose ranges are 2-D locality boxes: range-partition + sort on the
@@ -466,6 +493,15 @@ object SourceQueries extends QueryPack {
         |  CAST(sum(l_orderkey * 31 + l_linenumber) AS BIGINT)
         |    AS key_checksum
         |FROM lineitem""".stripMargin,
+
+    // epoch-1 rows (status F, written before the column existed) group
+    // under NULL priority; NULLS FIRST matches Spark's asc_nulls_first
+    "q_schema_merge" ->
+      """SELECT CASE WHEN o_orderstatus = 'O' THEN o_orderpriority END
+        |    AS o_orderpriority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders WHERE o_orderstatus IN ('F', 'O')
+        |GROUP BY 1 ORDER BY o_orderpriority NULLS FIRST""".stripMargin,
 
     // same generated bit-interleave formula as the Spark side (zValueSql)
     "q_zorder_layout" ->

@@ -101,6 +101,50 @@ object VectorQueries extends QueryPack {
         .orderBy(col("q_id"))
     }),
 
+    // -- triangle counting over the symmetrized kNN graph ------------------
+    // Local clustering structure of the embedding corpus: build each
+    // vector's top-3 cosine neighbors, symmetrize to an undirected edge
+    // set (u < v), and count per-vector triangle participation — the
+    // vertex-local clustering signal used to find tight near-dup
+    // communities that pair mining alone understates. The kNN build here
+    // is the exact brute-force baseline (oracle-matchable bit-for-bit);
+    // at 100 TB the candidate generator swaps for the IVF/LSH bucketers
+    // (q_sim_ivf / q_sim_lsh) unchanged downstream. The triangle phase is
+    // the part that scales as written: the kNN graph has ≤ 2k·n directed
+    // edges, every join below is a keyed equi-join on vertex ids (wedge
+    // volume bounded by Σ deg², deg ≈ k + in-links), and the per-vertex
+    // count is one hash agg — no wedge ever materializes against the
+    // full corpus.
+    "q_knn_triangles" -> ((s, d) => {
+      val base = emb(s, d).withColumn("nrm", Vectors.norm(col("v")))
+      val a = base.select(col("vec_id").as("a_id"), col("v").as("av"),
+        col("nrm").as("anrm"))
+      val b = base.select(col("vec_id").as("b_id"), col("v").as("bv"),
+        col("nrm").as("bnrm"))
+      val w = Window.partitionBy(col("a_id"))
+        .orderBy(col("cos_raw").desc, col("b_id").asc)
+      val edges = a.join(broadcast(b), col("a_id") =!= col("b_id"))
+        .withColumn("cos_raw",
+          Vectors.dot(col("av"), col("bv")) / (col("anrm") * col("bnrm")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(least(col("a_id"), col("b_id")).as("u"),
+          greatest(col("a_id"), col("b_id")).as("vx"))
+        .distinct()
+      // u < vx by construction: each triangle x<y<z is found exactly once
+      // as edges (x,y), (y,z), (x,z).
+      val e1 = edges.select(col("u").as("x"), col("vx").as("y"))
+      val e2 = edges.select(col("u").as("y"), col("vx").as("z"))
+      val e3 = edges.select(col("u").as("x"), col("vx").as("z"))
+      val tri = e1.join(e2, "y").join(e3, Seq("x", "z"))
+      tri.select(col("x").as("vec_id"))
+        .union(tri.select(col("y")))
+        .union(tri.select(col("z")))
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("vec_id"))
+    }),
+
     // -- IVF ANN: centroid-partitioned approximate top-k -------------------
     // Inverted-file index: corpus vectors are assigned to their nearest
     // centroid (deterministic centroid set = first `nlist` vectors, no
@@ -431,6 +475,26 @@ object VectorQueries extends QueryPack {
            |    AS BIGINT) AS n_same_label
            |FROM r WHERE rnk <= 5 GROUP BY q_id, q_label
            |ORDER BY q_id""".stripMargin,
+
+      "q_knn_triangles" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+           |  FROM embeddings),
+           |s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           |    $dotAB / (sqrt(list_dot_product(a.vd, a.vd)) *
+           |              sqrt(list_dot_product(b.vd, b.vd))) AS cos_raw
+           |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+           |k AS (SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
+           |    ORDER BY cos_raw DESC, b_id ASC) AS rnk FROM s),
+           |ed AS (SELECT DISTINCT least(a_id, b_id) AS u,
+           |    greatest(a_id, b_id) AS vx FROM k WHERE rnk <= 3),
+           |tri AS (SELECT e1.u AS x, e1.vx AS y, e2.vx AS z
+           |  FROM ed e1 JOIN ed e2 ON e2.u = e1.vx
+           |  JOIN ed e3 ON e3.u = e1.u AND e3.vx = e2.vx)
+           |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_triangles
+           |FROM (SELECT x AS vec_id FROM tri
+           |      UNION ALL SELECT y FROM tri
+           |      UNION ALL SELECT z FROM tri) t
+           |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
       // integer fixed-point Lloyd rounds: see the query comment
       "q_kmeans" -> kmeansSql

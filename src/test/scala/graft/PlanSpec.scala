@@ -241,4 +241,22 @@ class PlanSpec extends AnyFunSuite {
     val sorts = "\\bSort \\[".r.findAllIn(p).size
     assert(sorts <= 2, s"windows re-sorting (got $sorts sorts):\n" + p)
   }
+
+  test("q_recursive_cte executes through UnionLoop (native recursion)") {
+    // WITH RECURSIVE must lower to Spark 4's UnionLoopExec — an iterative
+    // frontier join scheduled by the engine — not to an unrolled or
+    // driver-materialized shape; the frontier join stays keyed
+    val p = plan("q_recursive_cte")
+    assert(p.contains("UnionLoop"), "recursion not via UnionLoopExec:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_knn_triangles keeps the triangle phase keyed") {
+    // the kNN build is the documented brute-force baseline (broadcast
+    // NLJ); the triangle joins themselves must be equi-joins on vertex
+    // ids — a cartesian wedge join would be quadratic in edges at scale
+    val p = plan("q_knn_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin"), "triangle joins not hash-keyed:\n" + p)
+  }
 }
