@@ -30,24 +30,33 @@ object TextDedup {
     * join/intersection compares longs. Set cardinalities — and therefore
     * every Jaccard value — are unchanged barring a 64-bit collision
     * inside a single pair's union (~1e-14). */
+  // normalize BEFORE shingling (lowercase, trim, collapse whitespace):
+  // dedup must treat case/spacing variants as duplicates, and the
+  // DuckDB twin (OracleHash.shingleCtes) shingles normalized text —
+  // hashing raw bytes here would only coincidentally agree on a
+  // pre-normalized corpus
+  // explicit whitespace class (== Java's \s): Java \s matches VT
+  // (U+000B) but RE2's \s does not, so a bare \s+ here would diverge
+  // from the DuckDB twin on any corpus containing a VT character
+  private def normBytes(c: Column): Column =
+    encode(regexp_replace(lower(trim(c)), "[ \\t\\n\\f\\r\\x0B]+", " "),
+      "UTF-8")
+
   private def toks(c: Column): Column =
     org.apache.spark.sql.graft.NativeExpressions
-      // normalize BEFORE shingling (lowercase, trim, collapse whitespace):
-      // dedup must treat case/spacing variants as duplicates, and the
-      // DuckDB twin (OracleHash.shingleCtes) shingles normalized text —
-      // hashing raw bytes here would only coincidentally agree on a
-      // pre-normalized corpus
-      // explicit whitespace class (== Java's \s): Java \s matches VT
-      // (U+000B) but RE2's \s does not, so a bare \s+ here would diverge
-      // from the DuckDB twin on any corpus containing a VT character
-      .shingleHashes(
-        encode(regexp_replace(lower(trim(c)), "[ \\t\\n\\f\\r\\x0B]+", " "),
-          "UTF-8"), lit(5))
+      .shingleHashes(normBytes(c), lit(5))
 
   /** Public accessor for the 5-word shingle hash set — shared with the
     * decontamination / dup-cluster pipeline operators so every shingle
     * consumer agrees on one representation. */
   def wordShingles(c: Column): Column = toks(c)
+
+  /** Positional 5-word shingle hashes (text order, duplicates kept) —
+    * same normalization and FNV-1a-64 bytes as `wordShingles`, for
+    * span-level statistics where window multiplicity matters. */
+  def wordShinglesSeq(c: Column): Column =
+    org.apache.spark.sql.graft.NativeExpressions
+      .shingleHashesPos(normBytes(c), lit(5))
 
   /** Exact all-pairs word-set Jaccard >= threshold. Columns: d1, d2, jacc.
     *

@@ -215,6 +215,62 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("o_orderpriority"), col("bucket"))
     }),
 
+    // -- declarative data-quality validation (Deequ-shaped rule suite) -----
+    // The warehouse QA gate a pipeline runs before publishing a table:
+    // null-ness, key uniqueness, value domain, range, and referential
+    // integrity, each reported as (rule, n_rows, n_violations, passed).
+    // All aggregate rules for a table fold into ONE pass (a single hash
+    // agg computes every violation counter side by side — adding a rule
+    // adds a column, not a scan); the FK rules ride the same pass via a
+    // left join ahead of the aggregate. stack() unpivots the one-row
+    // aggregate into the per-rule report. At 100 TB the FK joins are the
+    // only shuffles (key-on-key), and a fact⋈fact FK check (lineitem →
+    // orders) shuffles both sides once — exactly the minimum the
+    // constraint requires; AQE picks broadcast when the parent side is
+    // dimension-sized.
+    "q_validate" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val c = Tables.customer(s, d).select(col("c_custkey"))
+      val oj = o.join(c, col("o_custkey") === col("c_custkey"), "left")
+      val oa = oj.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v_null"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_uniq"),
+        sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L)
+          .otherwise(0L)).as("v_dom"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v_pos"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("v_fk"))
+      val ok = o.select(col("o_orderkey").as("ok_key")).distinct()
+      val lj = li.join(ok, col("l_orderkey") === col("ok_key"), "left")
+      val la = lj.agg(
+        count(lit(1)).as("n"),
+        sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L))
+          .as("v_qty"),
+        (count(lit(1)) -
+          countDistinct(col("l_orderkey"), col("l_linenumber"))).as("v_pk"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("v_ship"),
+        sum(when(col("ok_key").isNull, 1L).otherwise(0L)).as("v_fk"))
+      val oRules = oa.selectExpr(
+        """stack(5,
+          |  'orders.o_custkey_not_null',      n, v_null,
+          |  'orders.o_orderkey_unique',       n, v_uniq,
+          |  'orders.o_orderstatus_domain',    n, v_dom,
+          |  'orders.o_totalprice_positive',   n, v_pos,
+          |  'orders.o_custkey_fk_customer',   n, v_fk
+          |) AS (rule, n_rows, n_violations)""".stripMargin)
+      val lRules = la.selectExpr(
+        """stack(4,
+          |  'lineitem.l_quantity_range',      n, v_qty,
+          |  'lineitem.pk_unique',             n, v_pk,
+          |  'lineitem.l_shipdate_not_null',   n, v_ship,
+          |  'lineitem.l_orderkey_fk_orders',  n, v_fk
+          |) AS (rule, n_rows, n_violations)""".stripMargin)
+      oRules.union(lRules)
+        .withColumn("passed", col("n_violations") === 0)
+        .orderBy(col("rule"))
+    }),
+
     // -- PageRank over the customer–supplier trade graph --------------------
     // Iterative graph centrality in FIXED-POINT arithmetic: ranks are
     // BIGINT multiples of 1e-12, every per-edge contribution is an
@@ -386,6 +442,49 @@ object AnalyticsQueries extends QueryPack {
         |    ORDER BY ts_us, event_id) IS NULL) AS is_current
         |FROM m ORDER BY user_id, valid_from,
         |  coalesce(valid_to, 9223372036854775807), state""".stripMargin,
+
+    // CASE-sum violation counters CAST from HUGEINT; tuple-DISTINCT for
+    // the composite pk (pk columns are non-null, so Spark's
+    // null-dropping countDistinct agrees)
+    "q_validate" ->
+      """WITH oj AS (SELECT o.*, c.c_custkey AS cfk FROM orders o
+        |    LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+        |oa AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_null,
+        |    count(*) - count(DISTINCT o_orderkey) AS v_uniq,
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_dom,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_pos,
+        |    CAST(sum(CASE WHEN cfk IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_fk
+        |  FROM oj),
+        |lj AS (SELECT l.*, ok.o_orderkey AS ofk FROM lineitem l
+        |    LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) ok
+        |      ON l.l_orderkey = ok.o_orderkey),
+        |la AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+        |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS v_pk,
+        |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_ship,
+        |    CAST(sum(CASE WHEN ofk IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_fk
+        |  FROM lj)
+        |SELECT rule, n_rows, n_violations,
+        |  (n_violations = 0) AS passed FROM (
+        |  SELECT 'orders.o_custkey_not_null' AS rule, n AS n_rows,
+        |      v_null AS n_violations FROM oa
+        |  UNION ALL SELECT 'orders.o_orderkey_unique', n, v_uniq FROM oa
+        |  UNION ALL SELECT 'orders.o_orderstatus_domain', n, v_dom FROM oa
+        |  UNION ALL SELECT 'orders.o_totalprice_positive', n, v_pos FROM oa
+        |  UNION ALL SELECT 'orders.o_custkey_fk_customer', n, v_fk FROM oa
+        |  UNION ALL SELECT 'lineitem.l_quantity_range', n, v_qty FROM la
+        |  UNION ALL SELECT 'lineitem.pk_unique', n, v_pk FROM la
+        |  UNION ALL SELECT 'lineitem.l_shipdate_not_null', n, v_ship FROM la
+        |  UNION ALL SELECT 'lineitem.l_orderkey_fk_orders', n, v_fk FROM la
+        |) r ORDER BY rule""".stripMargin,
 
     "q_histogram" ->
       """SELECT o_orderpriority, bucket, count(*) AS n,

@@ -192,6 +192,46 @@ object TextQueries extends QueryPack {
         .orderBy(col("keep_id"))
     }),
 
+    // -- inter-document duplicated-SPAN fraction ---------------------------
+    // Span-level (sub-document) duplication signal per Lee et al.,
+    // "Deduplicating Training Data Makes Language Models Better": a
+    // boilerplate paragraph shared by otherwise-distinct pages never
+    // crosses a whole-doc Jaccard threshold, but every one of its 5-word
+    // windows recurs corpus-wide. For each doc: the fraction of its
+    // shingle POSITIONS whose hash occurs in >= 2 distinct documents
+    // (inter-doc only — a phrase repeated within one doc is
+    // q_repetition_ratio's signal, not this one). Positional hashes come
+    // from the same FNV-1a-64 kernel as the dedup family
+    // (PositionalShingleHashes — order kept, duplicates kept).
+    // Scale shape: shingling is a narrow map; the recurring-shingle set
+    // is one (doc_id, h)-distinct + count shuffle keyed on h (the exact
+    // shape of exact dedup, bounded by corpus shingle volume); the
+    // per-doc count is a left-semi join + hash agg keyed on doc_id. A
+    // hot boilerplate shingle is ONE row in the recurring set — the
+    // semi-join fans it out only to the docs that contain it.
+    "q_dup_spans" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), TextDedup.wordShinglesSeq(col("text")).as("hs"))
+      val pos = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+      val recurring = pos.distinct()
+        .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select(col("h"))
+      val per = pos.join(recurring, Seq("h"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
+      sh.select(col("doc_id"), size(col("hs")).cast("bigint").as("n_spans"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+        // floor-trick rounding: a derived ratio k/n can sit on a decimal
+        // boundary where Spark's shortest-string round and DuckDB's
+        // binary round disagree (QueryPack contract)
+        .withColumn("dup_frac",
+          floor(col("n_dup_spans") * lit(1e6) / col("n_spans") + lit(0.5))
+            / lit(1e6))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- near-dup: embedding-cosine over documents -------------------------
     // Joins each document to its embedding (doc_id == vec_id in this
     // corpus) and mines cosine-near pairs, flagging whether the pair is
@@ -579,6 +619,32 @@ object TextQueries extends QueryPack {
         s"""SELECT sha256($normSql) AS fp, min(doc_id) AS keep_id,
            |  count(*) AS n_copies
            |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+      // positional shingles (duplicates kept, unlike shingleCtes' set
+      // form); same normalization + FNV-1a-64 as the Spark kernel
+      "q_dup_spans" -> {
+        import graft.engine.OracleHash._
+        val h = fnv1a64("array_to_string(ws[(i+1):(i+5)], ' ')")
+        s"""WITH w AS (SELECT doc_id,
+           |    string_split($normSql, ' ') AS ws FROM documents),
+           |ps AS (SELECT doc_id, unnest(list_transform(
+           |    range(0, greatest(len(ws) - 4, 1)), i -> $h)) AS h
+           |  FROM w),
+           |recurring AS (SELECT h FROM
+           |    (SELECT h, count(*) AS nd FROM
+           |      (SELECT DISTINCT doc_id, h FROM ps) dd GROUP BY h) c
+           |  WHERE nd >= 2),
+           |per AS (SELECT doc_id, count(*) AS n_dup_spans
+           |  FROM ps JOIN recurring USING (h) GROUP BY doc_id),
+           |tot AS (SELECT doc_id,
+           |    CAST(greatest(len(ws) - 4, 1) AS BIGINT) AS n_spans FROM w)
+           |SELECT t.doc_id, t.n_spans,
+           |  CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           |  floor(coalesce(p.n_dup_spans, 0) * 1000000.0 / t.n_spans
+           |      + 0.5) / 1000000.0 AS dup_frac
+           |FROM tot t LEFT JOIN per p USING (doc_id)
+           |ORDER BY t.doc_id""".stripMargin
+      },
 
       "q_dedup_embed" ->
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd

@@ -264,45 +264,12 @@ object NativeExpressions {
     override def prettyName: String = "graft_shingle_hashes"
 
     override protected def nullSafeEval(bin: Any, n: Any): Any = {
-      val bytes = bin.asInstanceOf[Array[Byte]]
-      val nWords = n.asInstanceOf[Int]
-      if (nWords <= 0)
-        throw new IllegalArgumentException(
-          s"graft_shingle_hashes: nWords must be positive, got $nWords")
-      // word k spans [starts(k), ends(k))
-      var words = 1
-      var i = 0
-      while (i < bytes.length) { if (bytes(i) == ' ') words += 1; i += 1 }
-      val starts = new Array[Int](words)
-      val ends = new Array[Int](words)
-      var w = 0
-      starts(0) = 0
-      i = 0
-      while (i < bytes.length) {
-        if (bytes(i) == ' ') { ends(w) = i; w += 1; starts(w) = i + 1 }
-        i += 1
-      }
-      ends(w) = bytes.length
-      val nWin = math.max(words - nWords, 0) + 1
-      val hashes = new Array[Long](nWin)
-      var k = 0
-      while (k < nWin) {
-        val from = starts(k)
-        val to = ends(math.min(k + nWords - 1, words - 1))
-        var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
-        var j = from
-        while (j < to) {
-          h ^= (bytes(j) & 0xffL)
-          h *= 0x100000001b3L
-          j += 1
-        }
-        hashes(k) = h
-        k += 1
-      }
+      val hashes = shingleHashArray(bin.asInstanceOf[Array[Byte]],
+        n.asInstanceOf[Int], prettyName)
       java.util.Arrays.sort(hashes)
       var out = 1
-      k = 1
-      while (k < nWin) {
+      var k = 1
+      while (k < hashes.length) {
         if (hashes(k) != hashes(out - 1)) { hashes(out) = hashes(k); out += 1 }
         k += 1
       }
@@ -312,6 +279,69 @@ object NativeExpressions {
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
+  }
+
+  /** Positional variant of the shingle hasher: hashes in TEXT ORDER with
+    * duplicates kept — one element per shingle window — for span-level
+    * consumers (duplicated-span statistics) where position multiplicity
+    * is the signal the sorted-set form erases. Same bytes, same FNV-1a-64,
+    * so a shingle hashes identically through both forms. */
+  case class PositionalShingleHashes(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(BinaryType, IntegerType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_shingle_hashes_pos"
+
+    override protected def nullSafeEval(bin: Any, n: Any): Any =
+      new GenericArrayData(shingleHashArray(bin.asInstanceOf[Array[Byte]],
+        n.asInstanceOf[Int], prettyName))
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Shared shingle-hash kernel: FNV-1a-64 of each nWords-word window's
+    * byte range, one hash per window in text order. Fewer than nWords
+    * words → one window spanning the whole text (`sequence` + `slice` +
+    * `concat_ws` semantics — see SortedDistinctShingleHashes doc). */
+  private def shingleHashArray(bytes: Array[Byte], nWords: Int,
+      caller: String): Array[Long] = {
+    if (nWords <= 0)
+      throw new IllegalArgumentException(
+        s"$caller: nWords must be positive, got $nWords")
+    // word k spans [starts(k), ends(k))
+    var words = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') words += 1; i += 1 }
+    val starts = new Array[Int](words)
+    val ends = new Array[Int](words)
+    var w = 0
+    starts(0) = 0
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { ends(w) = i; w += 1; starts(w) = i + 1 }
+      i += 1
+    }
+    ends(w) = bytes.length
+    val nWin = math.max(words - nWords, 0) + 1
+    val hashes = new Array[Long](nWin)
+    var k = 0
+    while (k < nWin) {
+      val from = starts(k)
+      val to = ends(math.min(k + nWords - 1, words - 1))
+      var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
+      var j = from
+      while (j < to) {
+        h ^= (bytes(j) & 0xffL)
+        h *= 0x100000001b3L
+        j += 1
+      }
+      hashes(k) = h
+      k += 1
+    }
+    hashes
   }
 
   /** 64-bit SimHash of a document's shingle-hash set (array<long>): per
@@ -655,6 +685,10 @@ object NativeExpressions {
   def shingleHashes(bin: Column, nWords: Column): Column =
     ExpressionUtils.column(
       SortedDistinctShingleHashes(expr(bin), expr(nWords)))
+
+  def shingleHashesPos(bin: Column, nWords: Column): Column =
+    ExpressionUtils.column(
+      PositionalShingleHashes(expr(bin), expr(nWords)))
 
   def simHash64(hashes: Column): Column =
     ExpressionUtils.column(SimHash64(expr(hashes)))
