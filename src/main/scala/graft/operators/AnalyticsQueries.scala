@@ -271,6 +271,32 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("rule"))
     }),
 
+    // -- per-column table profiling (ANALYZE-style) ------------------------
+    // The stats a catalog collects before CBO can reason about a table:
+    // per column, null count and exact distinct count, in ONE aggregate
+    // pass over the table (Catalyst expands the multi-countDistinct into
+    // one Expand + two-phase agg — still a single scan). At 100 TB the
+    // exact distinct counts become approx_count_distinct (HLL merge, no
+    // expand) — same query shape, see q_approx_distinct; the profile
+    // output is O(#columns) rows regardless of input size.
+    "q_profile" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val aggs = count(lit(1)).as("n") +: cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nul_$c"),
+          countDistinct(col(c)).as(s"dis_$c"))
+      }
+      val stackArgs = cols
+        .map(c => s"'$c', nul_$c, dis_$c").mkString(",\n          ")
+      o.agg(aggs.head, aggs.tail: _*)
+        .selectExpr("n", s"""stack(${cols.size},
+          $stackArgs) AS (column_name, n_nulls, n_distinct)""")
+        .select(col("column_name"), col("n").as("n_rows"), col("n_nulls"),
+          col("n_distinct"))
+        .orderBy(col("column_name"))
+    }),
+
     // -- PageRank over the customer–supplier trade graph --------------------
     // Iterative graph centrality in FIXED-POINT arithmetic: ranks are
     // BIGINT multiples of 1e-12, every per-edge contribution is an
@@ -442,6 +468,17 @@ object AnalyticsQueries extends QueryPack {
         |    ORDER BY ts_us, event_id) IS NULL) AS is_current
         |FROM m ORDER BY user_id, valid_from,
         |  coalesce(valid_to, 9223372036854775807), state""".stripMargin,
+
+    "q_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val branches = cols.map { c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |    count(*) - count($c) AS n_nulls,
+           |    count(DISTINCT $c) AS n_distinct FROM orders""".stripMargin
+      }
+      branches.mkString("", "\n  UNION ALL ", "\n  ORDER BY column_name")
+    },
 
     // CASE-sum violation counters CAST from HUGEINT; tuple-DISTINCT for
     // the composite pk (pk columns are non-null, so Spark's

@@ -40,6 +40,35 @@ object EventQueries extends QueryPack {
         .orderBy(col("win_s"))
     }),
 
+    // -- volume anomaly detection (per-type hourly-count z-score) ----------
+    // The ops-monitoring staple: flag hours whose event volume deviates
+    // > 3σ from that event type's own mean. The 3σ predicate is evaluated
+    // ENTIRELY in BIGINT arithmetic — with S=Σn, Q=Σn², c=#windows,
+    // z² > 9 ⟺ (n·c − S)² > 9·(c·Q − S²) — so there is no
+    // stddev_samp whose Welford-vs-textbook merge order could diverge
+    // between engines, and no float compare at the decision boundary
+    // (magnitudes ~1e10, far inside BIGINT). Scale shape: the hourly
+    // rollup is the only data-sized shuffle; the per-type moment table is
+    // (#types) rows and broadcasts back onto the windows.
+    "q_anomaly" -> ((s, d) => {
+      val hw = Tables.eventsWithTime(s, d)
+        .groupBy(window(col("ts_t"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("w.start")).as("hour_s"),
+          col("event_type"), col("n"))
+      val stats = hw.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("c"), sum(col("n")).as("s"),
+          sum(col("n") * col("n")).as("q"))
+      val dev = col("n") * col("c") - col("s")
+      hw.join(broadcast(stats), "event_type")
+        .select(col("event_type"), col("hour_s"), col("n"),
+          (floor(col("s") * lit(1e6) / col("c") + lit(0.5)) / lit(1e6))
+            .as("mean_n"),
+          (dev * dev > lit(9L) * (col("c") * col("q") - col("s") * col("s")))
+            .as("is_anomaly"))
+        .orderBy(col("event_type"), col("hour_s"))
+    }),
+
     // -- session window (30-minute inactivity gap) per user ----------------
     "q_session_window" -> ((s, d) => {
       Tables.eventsWithTime(s, d)
@@ -178,6 +207,23 @@ object EventQueries extends QueryPack {
         |        AS win_s, value
         |      FROM events) t
         |GROUP BY win_s ORDER BY win_s""".stripMargin,
+
+    // integer 3σ predicate (see the Spark comment); sums CAST from
+    // HUGEINT so the BIGINT arithmetic matches Spark's
+    "q_anomaly" ->
+      """WITH hw AS (SELECT event_type,
+        |    (epoch_us(ts) // 3600000000) * 3600 AS hour_s,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*) AS c,
+        |    CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS q
+        |  FROM hw GROUP BY event_type)
+        |SELECT hw.event_type, hw.hour_s, hw.n,
+        |  floor(st.s * 1000000.0 / st.c + 0.5) / 1000000.0 AS mean_n,
+        |  ((hw.n * st.c - st.s) * (hw.n * st.c - st.s)
+        |    > 9 * (st.c * st.q - st.s * st.s)) AS is_anomaly
+        |FROM hw JOIN st USING (event_type)
+        |ORDER BY hw.event_type, hw.hour_s""".stripMargin,
 
     "q_session_window" ->
       """WITH e AS (
