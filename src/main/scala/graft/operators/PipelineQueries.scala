@@ -381,6 +381,75 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // -- BM25: probabilistic relevance ranking (Robertson/Spärck Jones) ----
+    // The retrieval twin of q_tfidf: score every document against a fixed
+    // query-term set with Okapi BM25 (k1=1.2, b=0.75) and keep the top 20.
+    // Same bounded shuffles as tfidf (tf keyed by doc, df vocabulary-
+    // sized, corpus stats broadcast as 1-row frames). FP determinism:
+    // each per-term score is quantized to BIGINT micro-units BEFORE the
+    // per-doc sum, so the only cross-partition aggregation is integer —
+    // no double-summation merge order, and the top-20 boundary compares
+    // integers. The final sort is orderBy(...).limit(20) →
+    // TakeOrderedAndProject, so at 100 TB only per-partition top-20s
+    // reach the driver-side heap, never the scored corpus.
+    "q_bm25" -> ((s, d) => {
+      val terms = Seq("join", "merge", "customer")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(
+          regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\f\\r\\x0B]+",
+            " "), " ").as("ws"))
+        .withColumn("dl", size(col("ws")).cast("long"))
+      val stats = docs
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("ws")).as("token"))
+        .filter(col("token").isin(terms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(dfq), "token")
+        .crossJoin(broadcast(stats))
+        // idf = ln(1 + (N - df + .5)/(df + .5)); parenthesization mirrors
+        // the oracle token-for-token so the doubles match bitwise
+        .withColumn("idf", log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+        .withColumn("s_u", floor(
+          col("idf") * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(0.3) + lit(0.9) * col("dl") / col("avgdl")) *
+            lit(1e6) + lit(0.5)))
+      val agg = scored.groupBy(col("doc_id"))
+        .agg(sum(col("s_u")).as("score_u"), count(lit(1)).as("n_terms"))
+      val top = agg.orderBy(col("score_u").desc, col("doc_id")).limit(20)
+      top
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score_u").desc, col("doc_id"))).cast("long"))
+        .select(col("rank"), col("doc_id"), col("n_terms"),
+          (col("score_u") / lit(1e6)).as("bm25"))
+        .orderBy(col("rank"))
+    }),
+
+    // -- DOC CHUNKING: overlapping token windows for context packing -------
+    // The RAG/pretraining slicer: each document's token sequence is cut
+    // into windows of 32 tokens at stride 24 (8-token overlap), each
+    // chunk fingerprinted with md5 for downstream chunk-level dedup.
+    // Pure narrow ops — tokenize, sequence-explode, slice — no shuffle at
+    // all until the output sort, so the operator is embarrassingly
+    // parallel at any corpus size; chunk count per doc is ⌈(n−1)/24⌉+1,
+    // linear in the input.
+    "q_doc_chunk" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(
+          regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\f\\r\\x0B]+",
+            " "), " ").as("ws"))
+        .withColumn("i", explode(expr("sequence(0, (size(ws) - 1) div 24)")))
+        .withColumn("chunk", expr("slice(ws, i * 24 + 1, 32)"))
+        .select(col("doc_id"), col("i").cast("long").as("chunk_idx"),
+          size(col("chunk")).cast("long").as("n_tok"),
+          md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // -- ANONYMIZATION: pseudonymize keys, redact IDs, generalize values ---
     // The release-prep triple: stable keyed pseudonym (salted sha2 — same
     // input, same pseudonym, so joins still work downstream), regex
@@ -617,6 +686,49 @@ object PipelineQueries extends QueryPack {
         |  FROM sc)
         |SELECT doc_id, rank, token, round(tfidf_raw, 6) AS tfidf
         |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // e-notation literals (0.5e0 …) force DOUBLE parsing (bare 0.5 is
+    // DECIMAL in DuckDB, which would change the division); per-term
+    // micro-unit quantization before the per-doc sum keeps the only
+    // cross-row aggregation in integers (see the Spark comment)
+    "q_bm25" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)),
+        |      '[ \t\n\f\r\x0B]+', ' ', 'g'), ' ') AS ws FROM documents),
+        |d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM w),
+        |st AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+        |tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM (
+        |    SELECT doc_id, dl, unnest(ws) AS token FROM d) t
+        |  WHERE token IN ('join', 'merge', 'customer') GROUP BY 1, 2, 3),
+        |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, CAST(floor(
+        |    ln(1.0e0 + (st.n_docs - dfq.df + 0.5e0) / (dfq.df + 0.5e0))
+        |      * (tf.tf * 2.2e0)
+        |      / (tf.tf + 0.3e0 + 0.9e0 * tf.dl
+        |         / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))
+        |      * 1e6 + 0.5e0) AS BIGINT) AS s_u
+        |  FROM tf JOIN dfq USING (token) CROSS JOIN st),
+        |ag AS (SELECT doc_id, CAST(sum(s_u) AS BIGINT) AS score_u,
+        |    count(*) AS n_terms FROM sc GROUP BY 1),
+        |rk AS (SELECT doc_id, score_u, n_terms, row_number() OVER (
+        |    ORDER BY score_u DESC, doc_id) AS rank FROM ag)
+        |SELECT rank, doc_id, n_terms, score_u / 1e6 AS bm25
+        |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "q_doc_chunk" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)),
+        |      '[ \t\n\f\r\x0B]+', ' ', 'g'), ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, ws,
+        |    unnest(generate_series(0, (len(ws) - 1) // 24)) AS chunk_idx
+        |  FROM w)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(len(list_slice(ws, chunk_idx * 24 + 1,
+        |    least(chunk_idx * 24 + 32, len(ws)))) AS BIGINT) AS n_tok,
+        |  md5(array_to_string(list_slice(ws, chunk_idx * 24 + 1,
+        |    least(chunk_idx * 24 + 32, len(ws))), ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_heavy_hitters" ->
       """SELECT token, count(*) AS n
