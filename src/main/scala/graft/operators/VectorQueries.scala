@@ -244,6 +244,58 @@ object VectorQueries extends QueryPack {
     // the update is one posexplode + keyed partial agg on (cid, dim) —
     // k·dim groups, never corpus-sized. The quantized points are
     // persisted once (iterative reuse, MEMORY_AND_DISK spills).
+    // -- SemDeDup: semantic dedup via cluster-then-prune (Abbas et al.
+    // 2023, arXiv:2303.09540) -----------------------------------------
+    // The embedding-space dedup that catches paraphrases exact/minhash
+    // dedup misses: partition the corpus into bounded clusters (the
+    // deterministic lowest-id centroids shared with q_sim_ivf/
+    // q_dedup_embed, nprobe=1 so every vector lands in exactly one
+    // cell), mine near-dup pairs ONLY within a cluster (cos >= 0.45),
+    // and inside each duplicate relation keep the member LEAST similar
+    // to its centroid (the paper's rule — survivors spread the cluster)
+    // with vec_id as the deterministic tiebreak. Scale shape: centroid
+    // table broadcasts, assignment is a narrow streamed map, the pair
+    // join shuffles once on cid with ~64-vector cells (deriveNlist), so
+    // in-cell quadratic work stays linear in the corpus. FP parity: the
+    // same left-to-right dot-product fold as every vector query;
+    // centroid_sim is surfaced via floor-quantization, not round()
+    // (negative values sit outside the round() precedent).
+    "q_semdedup" -> ((s, d) => {
+      val pts = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"),
+          Vectors.asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", Vectors.norm(col("v")))
+      val nlist = Vectors.deriveNlist(Tables.embeddings(s, d).count())
+      val wA = Window.partitionBy(col("id"))
+        .orderBy(col("csim").desc, col("cid").asc)
+      val asg = pts.crossJoin(broadcast(Vectors.ivfCentroids(pts, nlist)))
+        .withColumn("csim",
+          Vectors.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+        .withColumn("arn", row_number().over(wA))
+        .filter(col("arn") === 1)
+        .select(col("id"), col("v"), col("nrm"), col("cid"), col("csim"))
+      val pairs = asg.alias("x")
+        .join(asg.alias("y"),
+          col("x.cid") === col("y.cid") && col("x.id") < col("y.id"))
+        .filter(Vectors.dot(col("x.v"), col("y.v")) /
+          (col("x.nrm") * col("y.nrm")) >= lit(0.45))
+        .select(col("x.id").as("a"), col("x.csim").as("ca"),
+          col("y.id").as("b"), col("y.csim").as("cb"))
+      val sym = pairs.union(pairs.select(col("b"), col("cb"),
+        col("a"), col("ca")))
+      val dropped = sym
+        .filter(col("cb") < col("ca") ||
+          (col("cb") === col("ca") && col("b") < col("a")))
+        .select(col("a").as("id")).distinct()
+        .withColumn("is_dropped", lit(true))
+      asg.join(dropped, Seq("id"), "left")
+        .select(col("id").as("vec_id"), col("cid").as("cluster_id"),
+          (floor(col("csim") * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("centroid_sim"),
+          coalesce(col("is_dropped"), lit(false)).as("dropped"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q_kmeans" -> ((s, d) => {
       import org.apache.spark.sql.graft.NativeExpressions
       val pts = Tables.embeddings(s, d)
@@ -495,6 +547,36 @@ object VectorQueries extends QueryPack {
            |      UNION ALL SELECT y FROM tri
            |      UNION ALL SELECT z FROM tri) t
            |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+      // same centroid/assignment CTEs as q_dedup_embed's oracle but
+      // nprobe=1; the dropped set replays the keep-least-central rule
+      "q_semdedup" ->
+        """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          |  FROM embeddings),
+          |p AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+          |c AS (SELECT id AS cid, v AS cv, nrm AS cnrm FROM (
+          |    SELECT id, v, nrm, row_number() OVER (ORDER BY id) AS crn
+          |    FROM p) t
+          |  WHERE crn <= (SELECT greatest(16, least(65536,
+          |    (count(*) + 63) // 64)) FROM embeddings)),
+          |asg AS (SELECT id, v, nrm, cid, csim FROM (
+          |    SELECT p.id, p.v, p.nrm, c.cid,
+          |      list_dot_product(p.v, c.cv) / (p.nrm * c.cnrm) AS csim,
+          |      row_number() OVER (PARTITION BY p.id
+          |        ORDER BY list_dot_product(p.v, c.cv) / (p.nrm * c.cnrm)
+          |          DESC, c.cid ASC) AS arn
+          |    FROM p CROSS JOIN c) t WHERE arn = 1),
+          |pr AS (SELECT x.id AS a, x.csim AS ca, y.id AS b, y.csim AS cb
+          |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.id < y.id
+          |  WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.45e0),
+          |sym AS (SELECT a, ca, b, cb FROM pr
+          |  UNION ALL SELECT b, cb, a, ca FROM pr),
+          |dr AS (SELECT DISTINCT a AS id FROM sym
+          |  WHERE cb < ca OR (cb = ca AND b < a))
+          |SELECT asg.id AS vec_id, asg.cid AS cluster_id,
+          |  floor(asg.csim * 1e6 + 0.5e0) / 1e6 AS centroid_sim,
+          |  (dr.id IS NOT NULL) AS dropped
+          |FROM asg LEFT JOIN dr USING (id) ORDER BY vec_id""".stripMargin,
 
       // integer fixed-point Lloyd rounds: see the query comment
       "q_kmeans" -> kmeansSql
