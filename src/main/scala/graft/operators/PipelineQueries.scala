@@ -381,6 +381,62 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // -- COUNT-MIN SKETCH: sublinear frequency estimation ------------------
+    // The sketch q_heavy_hitters' comment promises for when even the key
+    // universe won't shuffle: a 4×256 CMS over the event stream's
+    // user_id. Build = one Expand (4 hash rows/event) + keyed count with
+    // map-side combine, so the shuffle carries AT MOST d·w = 1024 cells
+    // per map task regardless of corpus size — that bounded-state
+    // guarantee is the whole point of the operator. Estimate = min over
+    // the 4 probed cells; CMS can only OVERcount (est >= exact), which
+    // the `overcount` column exposes against the exact per-key counts
+    // (feasible at sf0.01; at 100 TB the exact side is the thing you
+    // can't afford — you'd ship only the sketch). Hashing is
+    // splitmix64(user_id·4 + j) — seeds stay far below long overflow
+    // (ANSI mode throws on wrap), and the oracle regenerates identical
+    // buckets via OracleHash.splitmixStages.
+    "q_cms_sketch" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"))
+      val hb = ev
+        .select(col("user_id"), explode(expr("sequence(0L, 3L)")).as("j"))
+        .withColumn("bucket", pmod(NativeExpressions.splitmix64(
+          col("user_id") * lit(4L) + col("j")), lit(256L)))
+      val sketch = hb.groupBy(col("j"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact"))
+      val est = hb.distinct()
+        .join(broadcast(sketch), Seq("j", "bucket"))
+        .groupBy(col("user_id")).agg(min(col("c")).as("cms_est"))
+      exact.join(est, "user_id")
+        .orderBy(col("cms_est").desc, col("user_id")).limit(20)
+        .select(col("user_id"), col("exact"), col("cms_est"),
+          (col("cms_est") - col("exact")).as("overcount"))
+        .orderBy(col("cms_est").desc, col("user_id"))
+    }),
+
+    // -- INVERTED INDEX: token -> posting-list construction ----------------
+    // The IR backbone: per distinct (token, doc) pair, document frequency
+    // and the head of the doc_id-sorted posting list. The per-token sort
+    // is inherent to posting-list layout; stopword-sized tokens skew the
+    // window partitions exactly like q_rebalance's low-cardinality cliff,
+    // and the same two-phase salted top-N is the 100 TB form (each salt
+    // shard keeps its local first-5, the union's first-5 is the global
+    // one). df rides the same window, so one shuffle total.
+    "q_inverted_index" -> ((s, d) => {
+      val dt = Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(split(
+          regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\f\\r\\x0B]+",
+            " "), " "))).as("token"))
+      val w = Window.partitionBy(col("token")).orderBy(col("doc_id"))
+      dt.withColumn("rn", row_number().over(w))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
+        .filter(col("rn") <= 5)
+        .groupBy(col("token"), col("df"))
+        .agg(array_join(sort_array(collect_list(col("doc_id"))), ",")
+          .as("postings_head"))
+        .orderBy(col("token"))
+    }),
+
     // -- BM25: probabilistic relevance ranking (Robertson/Spärck Jones) ----
     // The retrieval twin of q_tfidf: score every document against a fixed
     // query-term set with Okapi BM25 (k1=1.2, b=0.75) and keep the top 20.
@@ -686,6 +742,37 @@ object PipelineQueries extends QueryPack {
         |  FROM sc)
         |SELECT doc_id, rank, token, round(tfidf_raw, 6) AS tfidf
         |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // splitmix64 buckets regenerated via the staged UBIGINT emulation;
+    // % 256 on UBIGINT == the engine's pmod on the signed long (low byte)
+    "q_cms_sketch" -> {
+      import graft.engine.OracleHash._
+      s"""WITH ej AS (SELECT user_id,
+         |    unnest(generate_series(0, 3)) AS j FROM events),
+         |${splitmixStages("ej", "user_id, j", "(user_id*4+j)::UBIGINT")},
+         |hb AS (SELECT user_id, j,
+         |    CAST(xor(z3, z3 >> 31) % 256::UBIGINT AS BIGINT) AS bucket
+         |  FROM p3_),
+         |sk AS (SELECT j, bucket, count(*) AS c FROM hb GROUP BY 1, 2),
+         |ex AS (SELECT user_id, count(*) AS exact FROM events GROUP BY 1),
+         |pb AS (SELECT DISTINCT user_id, j, bucket FROM hb),
+         |est AS (SELECT pb.user_id, CAST(min(sk.c) AS BIGINT) AS cms_est
+         |  FROM pb JOIN sk USING (j, bucket) GROUP BY 1)
+         |SELECT ex.user_id, ex.exact, est.cms_est,
+         |  est.cms_est - ex.exact AS overcount
+         |FROM ex JOIN est USING (user_id)
+         |ORDER BY est.cms_est DESC, ex.user_id LIMIT 20""".stripMargin
+    },
+
+    "q_inverted_index" ->
+      """WITH tok AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split(regexp_replace(lower(trim(text)),
+        |      '[ \t\n\f\r\x0B]+', ' ', 'g'), ' ')) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS df,
+        |  array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 5),
+        |    ',') AS postings_head
+        |FROM tok GROUP BY token ORDER BY token""".stripMargin,
 
     // e-notation literals (0.5e0 …) force DOUBLE parsing (bare 0.5 is
     // DECIMAL in DuckDB, which would change the division); per-term
