@@ -489,6 +489,47 @@ object RelationalQueries extends QueryPack {
           when(col("op").isin("U", "I"), col("ch_price"))
             .otherwise(col("o_totalprice")).as("price"))
         .orderBy(col("okey"))
+    }),
+
+    // -- incremental aggregate maintenance (materialized-view refresh) -----
+    // The IVM shape that makes 100 TB rollups affordable: a maintained
+    // per-status aggregate absorbs a CDC batch by MERGING partial
+    // aggregates — base state + signed delta contributions (+1 for
+    // insert, −1 for delete) — instead of rescanning history. Here the
+    // "stored MV state" is derived from the base partition of orders
+    // (keys with k%10∉{0,1}) and the delta batch carries inserts
+    // (k%10=0) and deletes (k%10=1); at scale the base agg is O(groups)
+    // rows read from the MV store and only the delta is scanned. Sums
+    // are maintained in cent-quantized BIGINT — an MV refreshed by
+    // increments must use order-independent arithmetic or repeated
+    // refreshes drift; the oracle recomputes the post-batch state from
+    // scratch, pinning increment==recompute.
+    "q_incremental_agg" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+            .cast("long").as("cents"))
+        .withColumn("m", pmod(col("o_orderkey"), lit(10)))
+      // the stored MV state (pre-batch): everything but this batch's
+      // inserts — at scale this is O(groups) rows READ, never recomputed
+      val baseAgg = o.filter(col("m") =!= 0)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("bn"), sum(col("cents")).as("bs"))
+      // the CDC batch: inserts (m=0) count +1, deletes (m=1) count −1;
+      // only this slice is scanned during the refresh
+      val deltaAgg = o.filter(col("m") <= 1)
+        .withColumn("sgn", when(col("m") === 0, lit(1L)).otherwise(lit(-1L)))
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("sgn")).as("dn"),
+          sum(col("sgn") * col("cents")).as("ds"))
+      baseAgg.join(deltaAgg, Seq("o_orderstatus"), "full_outer")
+        .select(col("o_orderstatus"),
+          (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_orders"),
+          (coalesce(col("bs"), lit(0L)) + coalesce(col("ds"), lit(0L)))
+            .as("sum_cents"))
+        .filter(col("n_orders") > 0)
+        .orderBy(col("o_orderstatus"))
     })
   )
 
@@ -742,6 +783,16 @@ object RelationalQueries extends QueryPack {
         |       ELSE b.o_totalprice END AS price
         |FROM base b FULL OUTER JOIN ch c ON b.o_orderkey = c.k
         |WHERE coalesce(c.op, '') <> 'D'
-        |ORDER BY okey""".stripMargin
+        |ORDER BY okey""".stripMargin,
+
+    // the oracle recomputes the post-batch state from scratch — final
+    // rows = (m<>0 base) + (m=0 inserts) − (m=1 deletes) = keys % 10 <> 1
+    // — pinning increment == recompute
+    "q_incremental_agg" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders WHERE o_orderkey % 10 <> 1
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

@@ -259,4 +259,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("HashJoin"), "triangle joins not hash-keyed:\n" + p)
   }
+
+  test("q_bm25 fuses the top-20 into TakeOrderedAndProject") {
+    // the scored corpus must never be globally sorted — only
+    // per-partition top-20 heaps reach the driver
+    val p = plan("q_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_cms_sketch broadcasts the 1024-cell sketch") {
+    // the probe side joins against the sketch without shuffling itself;
+    // a shuffled join here would move the key universe the sketch
+    // exists to avoid shuffling
+    val p = plan("q_cms_sketch")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_semdedup keeps the in-cluster pair join keyed on cid") {
+    // centroid assignment is an intended broadcast NLJ (nlist-row
+    // centroid table); the pair mining itself must be an equi-join on
+    // the cell id or the operator degenerates to all-pairs
+    val p = plan("q_semdedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "pair join not keyed:\n" + p)
+  }
+
+  test("q_doc_chunk stays shuffle-free up to the output sort") {
+    // tokenize → sequence-explode → slice are all narrow; the only
+    // exchange allowed is the final orderBy's range partitioning
+    val p = plan("q_doc_chunk").split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange hashpartitioning"),
+      "chunking introduced a hash shuffle:\n" + p)
+  }
 }
