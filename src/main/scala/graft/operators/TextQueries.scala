@@ -66,6 +66,67 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // -- Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 §A1.1) ----
+    // The repetition-independent subset of the canonical pretraining
+    // filter, evaluated ENTIRELY in integer/boolean arithmetic — every
+    // ratio bound is cross-multiplied (mean word length in [3,10] ⟺
+    // 3n ≤ Σlen ≤ 10n; ≥80% alphabetic words ⟺ 5·n_alpha ≥ 4·n_words) —
+    // so no engine can disagree at a rule boundary. One narrow map over
+    // the corpus (HOF sums inside codegen), no shuffle before the output
+    // sort: the filter costs one streamed pass at any scale.
+    "q_gopher_rules" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("ws", split(norm(col("text")), " "))
+        .withColumn("n_words", size(col("ws")).cast("long"))
+        .withColumn("sum_len",
+          expr("aggregate(ws, 0L, (a, w) -> a + length(w))"))
+        .withColumn("n_alpha",
+          expr("size(filter(ws, w -> w rlike '[a-z]'))").cast("long"))
+        .withColumn("n_stop_kinds", size(array_intersect(
+          array_distinct(col("ws")),
+          array(lit("the"), lit("a"), lit("of"), lit("and"), lit("to"))))
+          .cast("long"))
+        .withColumn("rule_word_count",
+          col("n_words") >= 50 && col("n_words") <= 100000)
+        .withColumn("rule_mean_len",
+          lit(3L) * col("n_words") <= col("sum_len") &&
+            col("sum_len") <= lit(10L) * col("n_words"))
+        .withColumn("rule_alpha",
+          lit(5L) * col("n_alpha") >= lit(4L) * col("n_words"))
+        .withColumn("rule_stopwords", col("n_stop_kinds") >= 2)
+        .select(col("doc_id"), col("n_words"),
+          col("rule_word_count"), col("rule_mean_len"),
+          col("rule_alpha"), col("rule_stopwords"),
+          (col("rule_word_count") && col("rule_mean_len") &&
+            col("rule_alpha") && col("rule_stopwords")).as("gopher_pass"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- token-distribution Shannon entropy (quality signal) ---------------
+    // ent = ln(n) − (Σ c·ln c)/n over the doc's token histogram — low
+    // entropy flags repetitive/templated text. FP determinism: the
+    // c·ln c terms are collected, SORTED, and folded left-to-right (the
+    // q_lm_perplexity discipline), so both engines sum in the identical
+    // order; the surfaced value is floor-quantized. The histogram is the
+    // only shuffle, keyed by (doc, token) with map-side combine.
+    "q_entropy" -> ((s, d) => {
+      val tc = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), explode(split(norm(col("text")), " "))
+          .as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("c"))
+      tc.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"),
+          array_sort(collect_list(col("c").cast("double") *
+            log(col("c").cast("double")))).as("terms"))
+        .withColumn("s", expr("aggregate(terms, 0D, (a, x) -> a + x)"))
+        .select(col("doc_id"), col("n").as("n_tokens"), col("n_distinct"),
+          (floor((log(col("n")) - col("s") / col("n")) * lit(1e6) +
+            lit(0.5)) / lit(1e6)).as("entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- token counting: whitespace + BPE-ish regex ------------------------
     "q_token_count" -> ((s, d) => {
       Tables.documents(s, d)
@@ -521,6 +582,49 @@ object TextQueries extends QueryPack {
           |  round(CAST(length(text) - (len(string_split(text, ' ')) - 1)
           |    AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_word_len
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // every ratio bound cross-multiplied into integers (see the query)
+      "q_gopher_rules" ->
+        s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws
+           |  FROM documents),
+           |f AS (SELECT doc_id,
+           |    CAST(len(ws) AS BIGINT) AS n_words,
+           |    CAST(list_sum(list_transform(ws, w -> length(w)))
+           |      AS BIGINT) AS sum_len,
+           |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+           |      AS BIGINT) AS n_alpha,
+           |    CAST(len(list_intersect(list_distinct(ws),
+           |      ['the', 'a', 'of', 'and', 'to'])) AS BIGINT)
+           |      AS n_stop_kinds
+           |  FROM w)
+           |SELECT doc_id, n_words,
+           |  (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
+           |  (3 * n_words <= sum_len AND sum_len <= 10 * n_words)
+           |    AS rule_mean_len,
+           |  (5 * n_alpha >= 4 * n_words) AS rule_alpha,
+           |  (n_stop_kinds >= 2) AS rule_stopwords,
+           |  ((n_words >= 50 AND n_words <= 100000)
+           |    AND (3 * n_words <= sum_len AND sum_len <= 10 * n_words)
+           |    AND (5 * n_alpha >= 4 * n_words)
+           |    AND n_stop_kinds >= 2) AS gopher_pass
+           |FROM f ORDER BY doc_id""".stripMargin,
+
+      // sorted fold = identical FP summation order (lm_perplexity idiom)
+      "q_entropy" ->
+        s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws
+           |  FROM documents),
+           |tc AS (SELECT doc_id, token, count(*) AS c FROM (
+           |    SELECT doc_id, unnest(ws) AS token FROM w) t GROUP BY 1, 2),
+           |ag AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+           |    count(*) AS n_distinct,
+           |    list_sort(list(CAST(c AS DOUBLE) * ln(c))) AS terms
+           |  FROM tc GROUP BY doc_id),
+           |sm AS (SELECT doc_id, n, n_distinct,
+           |    list_reduce(list_prepend(0.0, terms), (a, x) -> a + x) AS s
+           |  FROM ag)
+           |SELECT doc_id, n AS n_tokens, n_distinct,
+           |  floor((ln(n) - s / n) * 1e6 + 0.5e0) / 1e6 AS entropy
+           |FROM sm ORDER BY doc_id""".stripMargin,
 
       "q_quality_score" ->
         """SELECT doc_id, round((uniq_ratio + len_score) / 2.0, 6) AS score,
