@@ -296,6 +296,45 @@ object VectorQueries extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // -- product quantization: PQ codes for IVF-PQ-style ANN ---------------
+    // The compression half of a 100 TB vector index (Jégou et al. 2011):
+    // each 64-dim vector splits into 8 subspaces of 8 dims, each
+    // sub-vector snaps to its nearest of 4 sub-centroids, and the vector
+    // is stored as an 8×2-bit code (one BIGINT) + the quantization
+    // error. 16 bits/vector vs 64×4 bytes — the reason a trillion-vector
+    // index fits a cluster's RAM. Determinism: the same fixed-point
+    // integer quantization as q_kmeans (clamp, shift, 1e6 scale), so
+    // distances and argmins are exact integer comparisons in both
+    // engines; sub-centroids are the lowest-4-id vectors' sub-slices (no
+    // iterative training — same trick as ivfCentroids). Scale shape: the
+    // 32-row codebook broadcasts; assignment is one narrow streamed map
+    // (Expand ×8) + a (vec,s)-keyed argmin agg — never corpus² work.
+    "q_pq_codes" -> ((s, d) => {
+      import org.apache.spark.sql.graft.NativeExpressions
+      val pts = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => floor((greatest(x.cast("double"), lit(-1.0)) + lit(1.0)) *
+            lit(1000000.0)).cast("long")).as("q"))
+      val subs = pts
+        .withColumn("s", explode(expr("sequence(0, 7)")))
+        .withColumn("sub", expr("slice(q, s * 8 + 1, 8)"))
+        .select(col("vec_id"), col("s"), col("sub"))
+      val cents = subs.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("c"), col("s"), col("sub").as("csub"))
+      subs.join(broadcast(cents), "s")
+        .select(col("vec_id"), col("s"),
+          struct(NativeExpressions.squaredDistLong(col("sub"), col("csub"))
+            .as("dist"), col("c")).as("dc"))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min(col("dc")).as("m"))
+        .groupBy(col("vec_id"))
+        .agg(
+          sum(expr("m.c * shiftleft(cast(1 as bigint), cast(s * 2 as int))"))
+            .as("pq_code"),
+          sum(col("m.dist")).as("recon_err"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q_kmeans" -> ((s, d) => {
       import org.apache.spark.sql.graft.NativeExpressions
       val pts = Tables.embeddings(s, d)
@@ -577,6 +616,35 @@ object VectorQueries extends QueryPack {
           |  floor(asg.csim * 1e6 + 0.5e0) / 1e6 AS centroid_sim,
           |  (dr.id IS NOT NULL) AS dropped
           |FROM asg LEFT JOIN dr USING (id) ORDER BY vec_id""".stripMargin,
+
+      // the same fixed-point quantization as kmeansSql, list-formed;
+      // integer distances make every argmin an exact comparison
+      "q_pq_codes" ->
+        """WITH p AS (SELECT vec_id,
+          |    list_transform(CAST(embedding AS DOUBLE[]),
+          |      x -> CAST(floor((greatest(x, CAST(-1.0 AS DOUBLE))
+          |        + CAST(1.0 AS DOUBLE)) * CAST(1000000.0 AS DOUBLE))
+          |        AS BIGINT)) AS q
+          |  FROM embeddings),
+          |sb AS (SELECT vec_id, s, list_slice(q, s * 8 + 1, s * 8 + 8)
+          |    AS sub
+          |  FROM p, unnest(generate_series(0, 7)) AS t(s)),
+          |ce AS (SELECT vec_id AS c, s, sub AS csub FROM sb
+          |  WHERE vec_id < 4),
+          |di AS (SELECT sb.vec_id, sb.s, ce.c,
+          |    CAST(list_sum(list_transform(range(1, 9),
+          |      i -> (sb.sub[i] - ce.csub[i]) * (sb.sub[i] - ce.csub[i])))
+          |      AS BIGINT) AS dist
+          |  FROM sb JOIN ce USING (s)),
+          |mn AS (SELECT vec_id, s, c, dist FROM (
+          |    SELECT vec_id, s, c, dist, row_number() OVER (
+          |      PARTITION BY vec_id, s ORDER BY dist, c) AS rn FROM di) t
+          |  WHERE rn = 1)
+          |SELECT vec_id,
+          |  CAST(sum(c * (CAST(1 AS BIGINT) << CAST(s * 2 AS INT)))
+          |    AS BIGINT) AS pq_code,
+          |  CAST(sum(dist) AS BIGINT) AS recon_err
+          |FROM mn GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
       // integer fixed-point Lloyd rounds: see the query comment
       "q_kmeans" -> kmeansSql
