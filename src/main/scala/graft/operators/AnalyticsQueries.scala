@@ -359,6 +359,44 @@ object AnalyticsQueries extends QueryPack {
           col("pr").as("pr_fp"),
           (col("pr").cast("double") / lit(prScale.toDouble)).as("pr"))
         .orderBy(col("id"))
+    }),
+
+    // -- bounded multi-source BFS (k-hop shortest path) --------------------
+    // The remaining graph primitive next to PageRank/CC/triangles:
+    // hop distance from a seed set (every 50th customer) over the same
+    // undirected trade graph, relaxed for a FIXED bfsHops rounds — the
+    // "within k hops" query a fraud/affinity pipeline runs, and bounding
+    // the rounds is what makes the cost predictable at 100 TB (unbounded
+    // BFS is q_dup_clusters' large-star territory). Per round: one
+    // edge⋈frontier hash join + per-node min — all integer, so the
+    // result is merge-order-independent. The static edge list persists
+    // across rounds (pagerank's lesson); distances stay a DataFrame, so
+    // round r's shuffle is bounded by |reached| ≤ |V|, never |E|·r.
+    "q_graph_bfs" -> ((s, d) => {
+      val e0 = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.union(e0.select(col("dst").as("src"),
+          col("src").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var dist = Tables.customer(s, d)
+        .filter(pmod(col("c_custkey"), lit(50)) === 0)
+        .select((col("c_custkey") * 2).as("id"), lit(0L).as("dist"))
+      for (_ <- 1 to bfsHops) {
+        val relaxed = edges
+          .join(dist.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"), (col("dist") + lit(1L)).as("dist"))
+        dist = dist.union(relaxed)
+          .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+      }
+      dist.select(col("id"),
+          when(pmod(col("id"), lit(2)) === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          col("dist"))
+        .orderBy(col("id"))
     })
   )
 
@@ -366,6 +404,35 @@ object AnalyticsQueries extends QueryPack {
     * iteration count — shared by the Spark loop and the oracle CTEs. */
   private val prScale = 1000000000000L
   private val prIters = 3
+
+  /** BFS hop bound — shared by the Spark loop and the oracle CTEs. */
+  private val bfsHops = 3
+
+  /** Oracle side of the SAME bounded relaxation: each round unions the
+    * previous distance table with every edge-relaxed candidate and keeps
+    * the per-node min — pure integer arithmetic. */
+  private def bfsSql: String = {
+    val rounds = (1 to bfsHops).map { i =>
+      s"""d$i AS (SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM (
+         |    SELECT id, dist FROM d${i - 1}
+         |    UNION ALL SELECT e.dst AS id, d${i - 1}.dist + 1 AS dist
+         |    FROM e JOIN d${i - 1} ON e.src = d${i - 1}.id) t
+         |  GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src,
+       |    l.l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |e AS (SELECT src, dst FROM e0
+       |  UNION ALL SELECT dst, src FROM e0),
+       |d0 AS (SELECT c_custkey * 2 AS id, CAST(0 AS BIGINT) AS dist
+       |  FROM customer WHERE c_custkey % 50 = 0),
+       |$rounds
+       |SELECT id,
+       |  CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END
+       |    AS node_type,
+       |  dist
+       |FROM d$bfsHops ORDER BY id""".stripMargin
+  }
 
   /** The oracle side of the SAME iteration loop: r0 → c1/r1 → … as a
     * generated CTE chain (DuckDB `//` is integer division like Spark's
@@ -452,6 +519,8 @@ object AnalyticsQueries extends QueryPack {
 
     // integer fixed-point throughout: see the query comment
     "q_pagerank" -> pagerankSql,
+
+    "q_graph_bfs" -> bfsSql,
 
     "q_scd2" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
