@@ -166,6 +166,58 @@ object RelationalQueries extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // -- winsorization: percentile clipping for featurization --------------
+    // The outlier-taming step before a numeric column feeds a model:
+    // clip each group's prices into [p05, p95] (q_percentile's
+    // rank-interpolation machinery — hash-proven to match DuckDB's
+    // quantile_cont) and report clip counts + the clipped sum. The sum
+    // is cent-quantized per row BEFORE aggregation, so the only
+    // cross-partition fold is integer. Two passes by construction
+    // (bounds, then clip) — at 100 TB the bounds pass usually rides an
+    // existing stats collection, or swaps for approx_percentile with
+    // the same downstream shape.
+    "q_winsorize" -> ((s, d) => {
+      val vals = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+      val n = vals.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("g")).orderBy(col("v"))
+      val ranked = vals.withColumn("rn", row_number().over(w))
+        .join(broadcast(n), "g")
+      val reqs = Seq((0.05, "p05"), (0.95, "p95"))
+      val aggCols = reqs.flatMap { case (p, out) =>
+        val pos = lit(p) * (col("n") - 1)
+        val lo = floor(pos) + 1
+        Seq(
+          max(when(col("rn") === lo, col("v"))).as(s"${out}_lo"),
+          max(when(col("rn") === lo + 1, col("v"))).as(s"${out}_hi"),
+          max(pos - floor(pos)).as(s"${out}_f"))
+      }
+      val bounds = ranked.groupBy(col("g")).agg(aggCols.head, aggCols.tail: _*)
+        .select(col("g") +: reqs.map { case (_, out) =>
+          (col(s"${out}_lo") +
+            (coalesce(col(s"${out}_hi"), col(s"${out}_lo")) -
+              col(s"${out}_lo")) * col(s"${out}_f")).as(out)
+        }: _*)
+      val clip = greatest(col("p05"), least(col("p95"), col("v")))
+      vals.join(broadcast(bounds), "g")
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("v") < col("p05"), 1L).otherwise(0L))
+            .as("n_clip_low"),
+          sum(when(col("v") > col("p95"), 1L).otherwise(0L))
+            .as("n_clip_high"),
+          (floor(max(col("p05")) * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("p05"),
+          (floor(max(col("p95")) * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("p95"),
+          sum(floor(clip * lit(100.0) + lit(0.5)).cast("long"))
+            .as("sum_clipped_cents"))
+        .select(col("g").as("l_returnflag"), col("n"), col("n_clip_low"),
+          col("n_clip_high"), col("p05"), col("p95"),
+          col("sum_clipped_cents"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // -- approx percentile (t-digest-ish sketch) — no oracle ---------------
     // Same pattern: exact median + a flag that the sketch median lands
     // within 2% relative error. floor(x*100+0.5)/100 rounding (see
@@ -588,6 +640,28 @@ object RelationalQueries extends QueryPack {
         |  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // quantile_cont interpolation == the engine's rank-window form (the
+    // q_percentile precedent); clip values cent-quantized before the sum
+    "q_winsorize" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+        |    quantile_cont(l_extendedprice, 0.05) AS p05,
+        |    quantile_cont(l_extendedprice, 0.95) AS p95
+        |  FROM lineitem GROUP BY 1)
+        |SELECT v.g AS l_returnflag, count(*) AS n,
+        |  CAST(sum(CASE WHEN v.v < b.p05 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_low,
+        |  CAST(sum(CASE WHEN v.v > b.p95 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_high,
+        |  floor(min(b.p05) * 1e6 + 0.5e0) / 1e6 AS p05,
+        |  floor(min(b.p95) * 1e6 + 0.5e0) / 1e6 AS p95,
+        |  CAST(sum(CAST(floor(greatest(b.p05, least(b.p95, v.v))
+        |    * 100.0e0 + 0.5e0) AS BIGINT)) AS BIGINT)
+        |    AS sum_clipped_cents
+        |FROM (SELECT l_returnflag AS g, l_extendedprice AS v
+        |      FROM lineitem) v
+        |JOIN b USING (g)
+        |GROUP BY v.g ORDER BY v.g""".stripMargin,
 
     "q_approx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
