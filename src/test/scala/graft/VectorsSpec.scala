@@ -74,6 +74,42 @@ class VectorsSpec extends AnyFunSuite {
     sigs.foreach { case (id, s1, _) => assert(again(id) == s1) }
   }
 
+  test("q_semdedup: precision 1.0 — every dropped vec has a true near-dup") {
+    // SemDeDup's blocking may MISS pairs (clusters are nprobe=1), but a
+    // vec it drops must genuinely near-duplicate another vec: validate
+    // the dropped set against the exact all-pairs miner
+    val out = SparkEntry.queries("q_semdedup")(spark, SparkFixture.sfDir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3)))
+    val droppedIds = out.filter(_._2).map(_._1).toSet
+    assert(droppedIds.nonEmpty, "fixture should contain semantic dups")
+    val pts = spark.read
+      .parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+      .select(col("vec_id").as("id"),
+        Vectors.asDouble(col("embedding")).as("v"))
+    val truePairs = Vectors.cosinePairs(pts, 0.45)
+      .select(col("id_1"), col("id_2")).as[(Long, Long)].collect()
+    val inPair = truePairs.flatMap(p => Seq(p._1, p._2)).toSet
+    droppedIds.foreach(id =>
+      assert(inPair.contains(id), s"dropped $id has no cos>=0.45 partner"))
+  }
+
+  test("q_pq_codes: codebook vectors reconstruct exactly as themselves") {
+    val out = SparkEntry.queries("q_pq_codes")(spark, SparkFixture.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // codes are 8 base-4 digits: [0, 4^8)
+    out.foreach { case (id, code, err) =>
+      assert(code >= 0L && code < 65536L, s"code out of range for $id")
+      assert(err >= 0L, s"negative recon error for $id")
+    }
+    // the 4 codebook source vectors must snap to their own sub-centroids
+    // with zero error; their code is vec_id repeated in every subspace:
+    // sum(vec_id * 4^s) = vec_id * (4^8 - 1) / 3 = vec_id * 21845
+    out.filter(_._1 < 4).foreach { case (id, code, err) =>
+      assert(err == 0L, s"codebook vec $id has nonzero recon error")
+      assert(code == id * 21845L, s"codebook vec $id code mismatch")
+    }
+  }
+
   test("q_kmeans: clusters partition the corpus and the run is deterministic") {
     val run1 = SparkEntry.queries("q_kmeans")(spark, SparkFixture.sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
