@@ -361,6 +361,28 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("id"))
     }),
 
+    // -- frequent itemsets: co-purchased part pairs (market basket) --------
+    // The association-mining staple (Apriori's 2-itemset round): count
+    // orders in which two parts co-occur, top-20 by support. The pair
+    // expansion self-joins baskets keyed on the ORDER key, so per-key
+    // work is quadratic only in basket size (TPC-H baskets ≤ 7 lines) —
+    // linear in the corpus; the pair-count shuffle is bounded by the
+    // co-occurring vocabulary², which a support threshold prunes in the
+    // full iterated Apriori. (support desc, p1, p2) is a total order, so
+    // the top-20 boundary is deterministic.
+    "q_freq_itemsets" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      li.alias("a")
+        .join(li.alias("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).as("support"))
+        .orderBy(col("support").desc, col("p1"), col("p2"))
+        .limit(20)
+    }),
+
     // -- bounded multi-source BFS (k-hop shortest path) --------------------
     // The remaining graph primitive next to PageRank/CC/triangles:
     // hop distance from a seed set (every 50th customer) over the same
@@ -521,6 +543,13 @@ object AnalyticsQueries extends QueryPack {
     "q_pagerank" -> pagerankSql,
 
     "q_graph_bfs" -> bfsSql,
+
+    "q_freq_itemsets" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem)
+        |SELECT a.pk AS p1, b.pk AS p2, count(*) AS support
+        |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |GROUP BY 1, 2 ORDER BY support DESC, p1, p2 LIMIT 20""".stripMargin,
 
     "q_scd2" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
