@@ -158,6 +158,34 @@ object EventQueries extends QueryPack {
         .orderBy(col("event_type"), col("hour_s"))
     }),
 
+    // -- time-weighted average (TWAP) over irregular samples ---------------
+    // The irregular-series mean where each observation holds until the
+    // next one — the finance/metering twin of q_resample_ffill's LOCF.
+    // Entirely integer: values quantize to milli-units (≤4.9e5) and each
+    // user's Σ vq·dt_us is bounded by max_vq · total_span (~1.3e18),
+    // inside BIGINT, so the weighted mean is an exact integer division
+    // in both engines. One user-keyed window + one agg; the series key
+    // carries the parallelism at scale.
+    "q_time_weighted" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.eventsWithTime(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+            .as("vq"))
+        .withColumn("dt", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+        .filter(col("dt").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dt")).as("dur_us"),
+          sum(col("vq") * col("dt")).as("wsum"))
+        .filter(col("dur_us") > 0)
+        .select(col("user_id"), col("n_intervals"), col("dur_us"),
+          expr("wsum div dur_us").as("twap_mu"),
+          (expr("wsum div dur_us") / lit(1000.0)).as("twap"))
+        .orderBy(col("user_id"))
+    }),
+
     // -- keyed dedup: first event per (user_id, event_type) ----------------
     "q_dedup_keyed" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"), col("event_type"))
@@ -265,6 +293,25 @@ object EventQueries extends QueryPack {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_id, user_id, us AS ts_us, view_ts, view_value
         |FROM m WHERE is_p = 1 ORDER BY event_id""".stripMargin,
+
+    // integer TWAP: milli-unit quantization + exact integer division
+    // (// == Spark div on non-negatives)
+    "q_time_weighted" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(floor(value * 1000.0e0 + 0.5e0) AS BIGINT) AS vq
+        |  FROM events),
+        |d AS (SELECT user_id, vq,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      - us AS dt
+        |  FROM e),
+        |a AS (SELECT user_id, count(*) AS n_intervals,
+        |    CAST(sum(dt) AS BIGINT) AS dur_us,
+        |    CAST(sum(vq * dt) AS BIGINT) AS wsum
+        |  FROM d WHERE dt IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_intervals, dur_us,
+        |  wsum // dur_us AS twap_mu,
+        |  (wsum // dur_us) / 1000.0e0 AS twap
+        |FROM a WHERE dur_us > 0 ORDER BY user_id""".stripMargin,
 
     "q_resample_ffill" ->
       """WITH e AS (SELECT event_type,

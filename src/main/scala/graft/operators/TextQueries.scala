@@ -158,6 +158,45 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // -- classifier evaluation: per-class precision/recall/F1 --------------
+    // The model-eval pass every labeling pipeline runs at corpus scale:
+    // score q_lang_id's heuristic against the ground-truth lang column
+    // as a per-class confusion summary. Three label-keyed aggregates
+    // (classes, not corpus, sized) merged by full-outer join; every
+    // metric is an INTEGER ratio in micro-units (floor division — both
+    // engines truncate non-negatives identically), so no FP anywhere.
+    // Per-class F1 = 2·tp/(n_true + n_pred) needs no P/R intermediates.
+    "q_eval_metrics" -> ((s, d) => {
+      val scored = Tables.documents(s, d)
+        .withColumn("vr", round(
+          regexp_count(col("text"), lit("[aeiou]")).cast("double") /
+            length(col("text")), 6))
+        .withColumn("guess",
+          when(regexp_count(col("text"), lit("[\\u4e00-\\u9fff]")) > 0, "zh")
+            .when(col("vr") >= 0.32, "en")
+            .when(col("vr") >= 0.28, "es")
+            .otherwise("other"))
+        .select(col("lang"), col("guess"))
+      val t = scored.groupBy(col("lang").as("label"))
+        .agg(count(lit(1)).as("n_true"))
+      val p = scored.groupBy(col("guess").as("label"))
+        .agg(count(lit(1)).as("n_pred"))
+      val tp = scored.filter(col("lang") === col("guess"))
+        .groupBy(col("lang").as("label")).agg(count(lit(1)).as("tp"))
+      t.join(p, Seq("label"), "full_outer")
+        .join(tp, Seq("label"), "left_outer")
+        .select(col("label"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("tp"), lit(0L)).as("tp"))
+        .withColumn("precision_u",
+          when(col("n_pred") > 0, expr("(tp * 1000000) div n_pred")))
+        .withColumn("recall_u",
+          when(col("n_true") > 0, expr("(tp * 1000000) div n_true")))
+        .withColumn("f1_u", expr("(2 * tp * 1000000) div (n_true + n_pred)"))
+        .orderBy(col("label"))
+    }),
+
     // -- document fingerprint: md5 + min-shingle rolling fingerprint -------
     "q_fingerprint" -> ((s, d) => {
       Tables.documents(s, d)
@@ -664,6 +703,42 @@ object TextQueries extends QueryPack {
           |    len(regexp_extract_all(text, '[一-鿿]')) > 0 AS has_cjk
           |  FROM documents) t
           |ORDER BY doc_id""".stripMargin,
+
+      // identical scored subquery as q_lang_id; metrics are integer
+      // floor-division micro-units (// == Spark div on non-negatives)
+      "q_eval_metrics" ->
+        """WITH s AS (SELECT lang,
+          |    CASE WHEN has_cjk THEN 'zh'
+          |         WHEN vr >= 0.32 THEN 'en'
+          |         WHEN vr >= 0.28 THEN 'es'
+          |         ELSE 'other' END AS guess
+          |  FROM (SELECT lang,
+          |      round(CAST(len(regexp_extract_all(text, '[aeiou]'))
+          |        AS DOUBLE) / length(text), 6) AS vr,
+          |      len(regexp_extract_all(text, '[一-鿿]')) > 0 AS has_cjk
+          |    FROM documents) t),
+          |tr AS (SELECT lang AS label, count(*) AS n_true FROM s
+          |  GROUP BY 1),
+          |pr AS (SELECT guess AS label, count(*) AS n_pred FROM s
+          |  GROUP BY 1),
+          |tp AS (SELECT lang AS label, count(*) AS tp FROM s
+          |  WHERE lang = guess GROUP BY 1)
+          |SELECT label,
+          |  coalesce(tr.n_true, 0) AS n_true,
+          |  coalesce(pr.n_pred, 0) AS n_pred,
+          |  coalesce(tp.tp, 0) AS tp,
+          |  CASE WHEN coalesce(pr.n_pred, 0) > 0 THEN
+          |    CAST((coalesce(tp.tp, 0) * 1000000) // pr.n_pred AS BIGINT)
+          |  END AS precision_u,
+          |  CASE WHEN coalesce(tr.n_true, 0) > 0 THEN
+          |    CAST((coalesce(tp.tp, 0) * 1000000) // tr.n_true AS BIGINT)
+          |  END AS recall_u,
+          |  CAST((2 * coalesce(tp.tp, 0) * 1000000)
+          |    // (coalesce(tr.n_true, 0) + coalesce(pr.n_pred, 0))
+          |    AS BIGINT) AS f1_u
+          |FROM tr FULL OUTER JOIN pr USING (label)
+          |LEFT JOIN tp USING (label)
+          |ORDER BY label""".stripMargin,
 
       "q_fingerprint" ->
         s"""SELECT doc_id, md5($normSql) AS doc_md5,
