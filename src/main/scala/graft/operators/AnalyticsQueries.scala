@@ -361,6 +361,83 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("id"))
     }),
 
+    // -- A/B test: Welch z-statistic between deterministic arms ------------
+    // The experimentation readout: split users into arms by user_id
+    // parity, compare mean event value per event_type. Determinism
+    // discipline: per-arm moment sums (n, S=Σvq, Q=Σvq²) are EXACT
+    // integers over milli-quantized values — merge-order-free — and the
+    // z formula is then evaluated once per group in doubles whose
+    // expression shape is mirrored token-for-token in the oracle, so
+    // the 1.96 significance boundary cannot flip between engines. S ≤
+    // 4.9e10 < 2^53 converts to double exactly. One vocabulary-sized
+    // shuffle (type × arm); everything after is O(groups).
+    "q_ab_test" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_type"),
+          pmod(col("user_id"), lit(2)).as("arm"),
+          floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+            .as("vq"))
+      val m = e.groupBy(col("event_type"), col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("vq")).as("s"),
+          sum(col("vq") * col("vq")).as("q"))
+      def side(a: Int, suf: String) = m.filter(col("arm") === a)
+        .select(col("event_type"), col("n").as(s"n$suf"),
+          col("s").as(s"s$suf"), col("q").as(s"q$suf"))
+      // var_samp from exact sums: (Q − S·S/n) / (n−1), all in doubles
+      def va(suf: String) =
+        (col(s"q$suf").cast("double") -
+          col(s"s$suf").cast("double") * col(s"s$suf") / col(s"n$suf")) /
+          (col(s"n$suf") - 1)
+      def mean(suf: String) =
+        col(s"s$suf").cast("double") / col(s"n$suf") / lit(1000.0)
+      side(0, "_a").join(side(1, "_b"), "event_type")
+        .withColumn("z",
+          (mean("_a") - mean("_b")) /
+            sqrt((va("_a") / col("n_a") + va("_b") / col("n_b")) /
+              lit(1000000.0)))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          (floor(mean("_a") * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("mean_a"),
+          (floor(mean("_b") * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("mean_b"),
+          (floor(col("z") * lit(1e6) + lit(0.5)) / lit(1e6)).as("z"),
+          (col("z") * col("z") > lit(3.8416)).as("significant_95"))
+        .orderBy(col("event_type"))
+    }),
+
+    // -- RFM customer segmentation -----------------------------------------
+    // The classic marketing cut: quartile scores for Recency (latest
+    // order), Frequency (order count), Monetary (cent-quantized spend),
+    // each via ntile(4) under a TOTAL order (metric, custkey) so the
+    // quartile boundaries are deterministic in both engines. Global
+    // ntile = one full sort at 100 TB — the scale swap is percentile
+    // BOUNDARIES (q_percentile machinery) broadcast back as a bucket
+    // join, same downstream schema; pinned here as the exact form.
+    "q_rfm" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("frequency"),
+          sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+            .cast("long")).as("monetary_cents"))
+      base
+        .withColumn("r_score", ntile(4).over(
+          Window.orderBy(col("last_order").desc, col("o_custkey"))))
+        .withColumn("f_score", ntile(4).over(
+          Window.orderBy(col("frequency").desc, col("o_custkey"))))
+        .withColumn("m_score", ntile(4).over(
+          Window.orderBy(col("monetary_cents").desc, col("o_custkey"))))
+        .select(col("o_custkey"), col("last_order"), col("frequency"),
+          col("monetary_cents"),
+          col("r_score").cast("long").as("r_score"),
+          col("f_score").cast("long").as("f_score"),
+          col("m_score").cast("long").as("m_score"),
+          concat(col("r_score").cast("string"),
+            col("f_score").cast("string"), col("m_score").cast("string"))
+            .as("segment"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // -- frequent itemsets: co-purchased part pairs (market basket) --------
     // The association-mining staple (Apriori's 2-itemset round): count
     // orders in which two parts co-occur, top-20 by support. The pair
@@ -543,6 +620,59 @@ object AnalyticsQueries extends QueryPack {
     "q_pagerank" -> pagerankSql,
 
     "q_graph_bfs" -> bfsSql,
+
+    // exact integer moment sums; the double z formula mirrors the
+    // engine's expression shape token-for-token (see the query comment)
+    "q_ab_test" ->
+      """WITH e AS (SELECT event_type, user_id % 2 AS arm,
+        |    CAST(floor(value * 1000.0e0 + 0.5e0) AS BIGINT) AS vq
+        |  FROM events),
+        |m AS (SELECT event_type, arm, count(*) AS n,
+        |    CAST(sum(vq) AS BIGINT) AS s,
+        |    CAST(sum(vq * vq) AS BIGINT) AS q
+        |  FROM e GROUP BY 1, 2),
+        |j AS (SELECT a.event_type,
+        |    a.n AS n_a, a.s AS s_a, a.q AS q_a,
+        |    b.n AS n_b, b.s AS s_b, b.q AS q_b
+        |  FROM m a JOIN m b ON a.event_type = b.event_type
+        |  WHERE a.arm = 0 AND b.arm = 1),
+        |z AS (SELECT event_type, n_a, n_b,
+        |    CAST(s_a AS DOUBLE) / n_a / 1000.0e0 AS mean_a,
+        |    CAST(s_b AS DOUBLE) / n_b / 1000.0e0 AS mean_b,
+        |    (CAST(s_a AS DOUBLE) / n_a / 1000.0e0
+        |      - CAST(s_b AS DOUBLE) / n_b / 1000.0e0)
+        |    / sqrt((((CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a)
+        |        / (n_a - 1)) / n_a
+        |      + ((CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b)
+        |        / (n_b - 1)) / n_b) / 1000000.0e0) AS z
+        |  FROM j)
+        |SELECT event_type, n_a, n_b,
+        |  floor(mean_a * 1e6 + 0.5e0) / 1e6 AS mean_a,
+        |  floor(mean_b * 1e6 + 0.5e0) / 1e6 AS mean_b,
+        |  floor(z * 1e6 + 0.5e0) / 1e6 AS z,
+        |  (z * z > 3.8416e0) AS significant_95
+        |FROM z ORDER BY event_type""".stripMargin,
+
+    "q_rfm" ->
+      """WITH base AS (SELECT o_custkey,
+        |    max(o_orderdate) AS last_order,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(floor(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT))
+        |      AS BIGINT) AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |sc AS (SELECT o_custkey, last_order, frequency, monetary_cents,
+        |    ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+        |    ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+        |    ntile(4) OVER (ORDER BY monetary_cents DESC, o_custkey)
+        |      AS m_score
+        |  FROM base)
+        |SELECT o_custkey, last_order, frequency, monetary_cents,
+        |  CAST(r_score AS BIGINT) AS r_score,
+        |  CAST(f_score AS BIGINT) AS f_score,
+        |  CAST(m_score AS BIGINT) AS m_score,
+        |  r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR
+        |    AS segment
+        |FROM sc ORDER BY o_custkey""".stripMargin,
 
     "q_freq_itemsets" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
