@@ -506,6 +506,38 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // -- DIFFERENTIAL PRIVACY: Laplace-noised count release ----------------
+    // The other half of release prep next to q_anonymize: per-group
+    // counts published under ε=0.5 Laplace noise (sensitivity 1, scale
+    // b=2). "Random" follows the repo's determinism policy — the noise
+    // is a pure function of splitmix64 over the group's stable numeric
+    // key (the priority's leading digit), so releases are reproducible
+    // and the oracle regenerates them exactly: u ∈ (0,1) from the hash's
+    // top 53 bits, noise = −b·sign(u−½)·ln(1−2|u−½|) with every double
+    // op mirrored token-for-token. Aggregation is one vocabulary-sized
+    // groupBy; the noise math is O(groups). (A production DP deployment
+    // rotates the seed per release — the dataflow is identical.)
+    "q_dp_count" -> ((s, d) => {
+      val n = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val h = NativeExpressions.splitmix64(
+        substring(col("o_orderpriority"), 1, 1).cast("long") * lit(7919L) +
+          lit(13L))
+      val u = (shiftrightunsigned(h, 11).cast("double") + lit(0.5)) /
+        lit(9007199254740992.0)
+      val dv = u - lit(0.5)
+      val sgn = when(dv < 0, lit(-1.0)).otherwise(lit(1.0))
+      val mag = log(lit(1.0) - lit(2.0) * abs(dv))
+      n.select(col("o_orderpriority"),
+          (col("n").cast("double") + lit(-2.0) * sgn * mag)
+            .as("noisy_raw"))
+        .select(col("o_orderpriority"),
+          (floor(col("noisy_raw") * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("noisy_count"),
+          lit(0.5).as("epsilon"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // -- ANONYMIZATION: pseudonymize keys, redact IDs, generalize values ---
     // The release-prep triple: stable keyed pseudonym (salted sha2 — same
     // input, same pseudonym, so joins still work downstream), regex
@@ -822,6 +854,28 @@ object PipelineQueries extends QueryPack {
         |FROM (SELECT unnest(string_split(text, ' ')) AS token
         |      FROM documents) t
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    // splitmix64 noise seed regenerated via the staged UBIGINT emulation;
+    // every double op in the Laplace transform mirrors the engine
+    "q_dp_count" -> {
+      import graft.engine.OracleHash._
+      s"""WITH g AS (SELECT o_orderpriority, count(*) AS n FROM orders
+         |  GROUP BY 1),
+         |${splitmixStages("g", "o_orderpriority, n",
+            "(CAST(substring(o_orderpriority, 1, 1) AS BIGINT)" +
+              " * 7919 + 13)::UBIGINT")},
+         |nz AS (SELECT o_orderpriority, n,
+         |    (CAST(xor(z3, z3 >> 31) >> 11 AS DOUBLE) + 0.5e0)
+         |      / 9007199254740992.0e0 - 0.5e0 AS dv
+         |  FROM p3_)
+         |SELECT o_orderpriority,
+         |  floor((CAST(n AS DOUBLE) + -2.0e0
+         |    * (CASE WHEN dv < 0 THEN -1.0e0 ELSE 1.0e0 END)
+         |    * ln(1.0e0 - 2.0e0 * abs(dv))) * 1e6 + 0.5e0) / 1e6
+         |    AS noisy_count,
+         |  0.5e0 AS epsilon
+         |FROM nz ORDER BY o_orderpriority""".stripMargin
+    },
 
     "q_anonymize" ->
       """SELECT sha256(concat('pepper-1:', c_custkey)) AS pseudo_id,
