@@ -377,12 +377,17 @@ object AnalyticsQueries extends QueryPack {
           pmod(col("user_id"), lit(2)).as("arm"),
           floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
             .as("vq"))
-      val m = e.groupBy(col("event_type"), col("arm"))
-        .agg(count(lit(1)).as("n"), sum(col("vq")).as("s"),
-          sum(col("vq") * col("vq")).as("q"))
-      def side(a: Int, suf: String) = m.filter(col("arm") === a)
-        .select(col("event_type"), col("n").as(s"n$suf"),
-          col("s").as(s"s$suf"), col("q").as(s"q$suf"))
+      // ONE scan, ONE shuffle: both arms' moment sums ride the same
+      // conditional aggregate (a per-arm groupBy + self-join would scan
+      // and shuffle the event stream twice)
+      def arm(a: Int, expr0: Column) = when(col("arm") === a, expr0)
+      val m = e.groupBy(col("event_type")).agg(
+        count(arm(0, lit(1))).as("n_a"),
+        sum(arm(0, col("vq"))).as("s_a"),
+        sum(arm(0, col("vq") * col("vq"))).as("q_a"),
+        count(arm(1, lit(1))).as("n_b"),
+        sum(arm(1, col("vq"))).as("s_b"),
+        sum(arm(1, col("vq") * col("vq"))).as("q_b"))
       // var_samp from exact sums: (Q − S·S/n) / (n−1), all in doubles
       def va(suf: String) =
         (col(s"q$suf").cast("double") -
@@ -390,8 +395,7 @@ object AnalyticsQueries extends QueryPack {
           (col(s"n$suf") - 1)
       def mean(suf: String) =
         col(s"s$suf").cast("double") / col(s"n$suf") / lit(1000.0)
-      side(0, "_a").join(side(1, "_b"), "event_type")
-        .withColumn("z",
+      m.withColumn("z",
           (mean("_a") - mean("_b")) /
             sqrt((va("_a") / col("n_a") + va("_b") / col("n_b")) /
               lit(1000000.0)))
