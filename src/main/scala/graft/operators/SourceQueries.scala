@@ -121,6 +121,38 @@ object SourceQueries extends QueryPack {
         .orderBy(col("key"))
     }),
 
+    // -- binaryFile source: raw-file ingest for multimodal corpora ---------
+    // The front door of an image/audio pipeline: a directory of opaque
+    // files scanned as (path, length, content) rows with NO decode —
+    // Spark's `binaryFile` format. The fixture stage writes one .bin per
+    // document from the executors (distributed side-effect IO, the same
+    // scaffolding class as q_compact); the OPERATOR under test is the
+    // scan: filename-keyed identity (doc_id parsed from the path),
+    // length from file metadata, content integrity via md5. At 100 TB
+    // this is a listing-parallel narrow scan; small-file pressure is
+    // q_compact's territory.
+    "q_binary_source" -> ((s, d) => {
+      val out = scratch(s, d, "bin_docs")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      Tables.documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+        .foreachPartition { (rows: java.util.Iterator[
+            org.apache.spark.sql.Row]) =>
+          rows.forEachRemaining { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(out, s"${r.getLong(0)}.bin"),
+              r.getString(1).getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      s.read.format("binaryFile").load(out)
+        .select(
+          regexp_extract(col("path"), "(\\d+)\\.bin", 1).cast("long")
+            .as("doc_id"),
+          col("length"), md5(col("content")).as("content_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- parquet sink + scan: pushdown survives the roundtrip ---------------
     "q_parquet_roundtrip" -> ((s, d) => {
       val out = scratch(s, d, "orders_pq")
@@ -426,6 +458,12 @@ object SourceQueries extends QueryPack {
       """SELECT s_suppkey, s_name, s_nationkey,
         |  round(s_acctbal, 2) AS s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    // ASCII corpus: char length == octet length, md5(text) == md5(bytes)
+    "q_binary_source" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS length,
+        |  md5(text) AS content_md5
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
 
     "q_text_scan" ->
       """SELECT concat(r_regionkey, '|', r_name) AS value,
