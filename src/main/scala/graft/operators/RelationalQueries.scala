@@ -405,6 +405,24 @@ object RelationalQueries extends QueryPack {
           |ORDER BY c.c_custkey""".stripMargin)
     }),
 
+    // -- SQL entry point: LATERAL correlated subquery ----------------------
+    // The per-row-subquery surface (top-2 customers per nation by
+    // balance): Catalyst decorrelates the LATERAL LIMIT into a keyed
+    // window under the hood — the same plan q_topk_per_group declares
+    // directly — so the SQL sugar costs nothing at scale. Tie-break
+    // (acctbal desc, custkey) makes the per-nation boundary total.
+    "q_lateral" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT n.n_name, t.c_custkey,
+          |  floor(t.c_acctbal * 100 + 0.5) / 100 AS bal
+          |FROM nation n, LATERAL (
+          |  SELECT c_custkey, c_acctbal FROM customer c
+          |  WHERE c.c_nationkey = n.n_nationkey
+          |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+          |ORDER BY n.n_name, bal DESC, t.c_custkey""".stripMargin)
+    }),
+
     // -- SQL entry point: WITH RECURSIVE (Spark 4 UnionLoop) ---------------
     // Hierarchy flattening — the canonical recursive-CTE warehouse query
     // (org charts, BOM explosions, folder trees). The hierarchy is the
@@ -753,6 +771,15 @@ object RelationalQueries extends QueryPack {
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
         |LIMIT 25""".stripMargin,
+
+    "q_lateral" ->
+      """SELECT n.n_name, t.c_custkey,
+        |  floor(t.c_acctbal * 100 + 0.5) / 100 AS bal
+        |FROM nation n, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, bal DESC, t.c_custkey""".stripMargin,
 
     "q_sql_subquery" ->
       """WITH open_custs AS (
