@@ -452,13 +452,19 @@ object AnalyticsQueries extends QueryPack {
     // full iterated Apriori. (support desc, p1, p2) is a total order, so
     // the top-20 boundary is deterministic.
     "q_freq_itemsets" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      li.alias("a")
-        .join(li.alias("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      // collect each basket once (collect_set dedups in the agg buffer —
+      // no separate distinct shuffle) and expand pairs INSIDE the array:
+      // one basket-keyed shuffle + one pair-keyed shuffle, vs the
+      // textbook self-join's three exchanges over the line-item stream
+      val baskets = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      baskets
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), " +
+            "y -> struct(x AS p1, y AS p2))))")).as("pr"))
+        .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
         .agg(count(lit(1)).as("support"))
         .orderBy(col("support").desc, col("p1"), col("p2"))
         .limit(20)

@@ -287,6 +287,15 @@ class PlanSpec extends AnyFunSuite {
       "pair join not keyed:\n" + p)
   }
 
+  test("q_ab_test computes both arms in one scan and one shuffle") {
+    // the conditional aggregate must not degenerate back into a per-arm
+    // groupBy + self-join (two scans + three exchanges of the stream)
+    val p = plan("q_ab_test").split("== Initial Plan ==")(0)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n" + p)
+    assert(!p.contains("Join"), "arms joined instead of conditionally aggregated:\n" + p)
+  }
+
   test("q_doc_chunk stays shuffle-free up to the output sort") {
     // tokenize → sequence-explode → slice are all narrow; the only
     // exchange allowed is the final orderBy's range partitioning
