@@ -66,6 +66,35 @@ object SourceQueries extends QueryPack {
         .orderBy(col("n_nationkey"))
     }),
 
+    // -- CSV PERMISSIVE parse: malformed-ingest resilience ------------------
+    // Real feeds carry broken lines; the ingest contract is "never drop
+    // silently, never fail the job": PERMISSIVE mode parses what it can
+    // and lands the raw text of each malformed line in the corrupt-record
+    // column for quarantine. The fixture injects the malformation
+    // deterministically (every key ≡ 0 mod 7 writes a junk line), so the
+    // DuckDB twin reconstructs the expected parse outcome exactly.
+    // FAILFAST/DROPMALFORMED are the same reader one option away.
+    "q_csv_permissive" -> ((s, d) => {
+      val out = scratch(s, d, "nation_malformed")
+      Tables.nation(s, d)
+        .select(when(pmod(col("n_nationkey"), lit(7)) === 0,
+            concat(lit("badline-"), col("n_nationkey")))
+          .otherwise(concat_ws("|", col("n_nationkey"), col("n_name")))
+          .as("value"))
+        .write.mode("overwrite").text(out)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("_bad", StringType)))
+      s.read.option("sep", "|").option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .schema(schema).csv(out)
+        .select(col("n_nationkey"), col("n_name"),
+          col("_bad").as("bad_line"),
+          col("_bad").isNotNull.as("quarantined"))
+        .orderBy(coalesce(col("bad_line"), col("n_name")))
+    }),
+
     // -- CSV scan with SCHEMA INFERENCE -------------------------------------
     // The one place inference is exercised (SURVEY §2.2 "CSV scan (header,
     // schema, inference)"): a real user's first CSV read infers. Inference
@@ -458,6 +487,19 @@ object SourceQueries extends QueryPack {
       """SELECT s_suppkey, s_name, s_nationkey,
         |  round(s_acctbal, 2) AS s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    // the oracle reconstructs the deterministic malformation outcome:
+    // junk lines parse to (NULL, NULL, raw) under PERMISSIVE
+    "q_csv_permissive" ->
+      """SELECT
+        |  CASE WHEN n_nationkey % 7 = 0 THEN NULL
+        |       ELSE n_nationkey END AS n_nationkey,
+        |  CASE WHEN n_nationkey % 7 = 0 THEN NULL ELSE n_name END
+        |    AS n_name,
+        |  CASE WHEN n_nationkey % 7 = 0 THEN 'badline-' || n_nationkey
+        |       ELSE NULL END AS bad_line,
+        |  (n_nationkey % 7 = 0) AS quarantined
+        |FROM nation ORDER BY coalesce(bad_line, n_name)""".stripMargin,
 
     // ASCII corpus: char length == octet length, md5(text) == md5(bytes)
     "q_binary_source" ->
