@@ -271,6 +271,31 @@ object SourceQueries extends QueryPack {
         .orderBy(col("c_custkey"))
     }),
 
+    // -- XML sink + scan (Spark 4 native XML data source) -------------------
+    // Third-party feeds still arrive as XML; Spark 4 ships the (former
+    // spark-xml) reader/writer in core. Same roundtrip discipline as
+    // CSV/JSON: explicit schema on the read (XML inference is a full
+    // extra pass over the input at scale), element-per-column layout via
+    // rowTag. XML is a row-wise text format — no columnar pushdown —
+    // so the projection/filter run post-scan; at 100 TB XML is an
+    // ingest-once format that lands in parquet (q_parquet_roundtrip),
+    // never a query-time storage layout.
+    "q_xml_roundtrip" -> ((s, d) => {
+      val out = scratch(s, d, "supplier_xml")
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+        .write.mode("overwrite").option("rowTag", "supplier")
+        .format("xml").save(out)
+      val schema = StructType(Seq(
+        StructField("s_suppkey", LongType),
+        StructField("s_name", StringType),
+        StructField("s_nationkey", IntegerType)))
+      s.read.option("rowTag", "supplier").schema(schema)
+        .format("xml").load(out)
+        .filter(col("s_suppkey") % 2 === 0)
+        .orderBy(col("s_suppkey"))
+    }),
+
     // -- bucketed write + co-located join (zero shuffle on either side) -----
     // Both sides are written bucketed (and bucket-sorted) on the join key
     // with the same bucket count, so the sort-merge join reads co-located
@@ -534,6 +559,11 @@ object SourceQueries extends QueryPack {
       """SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal
         |FROM customer WHERE c_acctbal > 5000.0
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_xml_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey
+        |FROM supplier WHERE s_suppkey % 2 = 0
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q_bucketed_join" ->
       """SELECT c_custkey, c_name, count(*) AS n_orders,
