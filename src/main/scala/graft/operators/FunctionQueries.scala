@@ -213,6 +213,40 @@ object FunctionQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // -- VARIANT (Spark 4 semi-structured type) -----------------------------
+    // The open-schema ingestion path: heterogeneous JSON is parsed ONCE
+    // into the binary VARIANT encoding, then fields are extracted with
+    // typed paths — at scale this beats per-field get_json_object (one
+    // parse per row instead of one per extraction) and the encoding is
+    // columnar-shreddable in parquet. The doc is built per-row so it has
+    // nested objects, an array, and a JSON null to exercise the type
+    // surface; DuckDB has no VARIANT, so the oracle recomputes every
+    // extracted scalar from the base columns (the values, not the
+    // encoding, are the contract).
+    "q_variant_funcs" -> ((s, d) => {
+      val doc = concat(
+        lit("{\"id\":"), col("event_id"),
+        lit(",\"ty\":\""), col("event_type"), lit("\""),
+        lit(",\"m\":{\"k\":"), get_json_object(col("props"), "$.k"),
+        lit(",\"ok\":true,\"nul\":null}"),
+        lit(",\"arr\":["), col("user_id"), lit(","),
+        (col("event_id") + col("user_id")), lit("]}"))
+      Tables.events(s, d)
+        .withColumn("v", parse_json(doc))
+        .select(
+          col("event_id"),
+          variant_get(col("v"), "$.ty", "string").as("ty"),
+          variant_get(col("v"), "$.m.k", "int").as("k"),
+          variant_get(col("v"), "$.m.ok", "boolean").as("ok"),
+          variant_get(col("v"), "$.arr[1]", "bigint").as("arr1"),
+          try_variant_get(col("v"), "$.missing", "int").as("missing"),
+          is_variant_null(variant_get(col("v"), "$.m.nul", "variant"))
+            .as("is_nul"),
+          schema_of_variant(col("v")).as("v_schema"))
+        .filter(col("k") > 90)
+        .orderBy(col("event_id"))
+    }),
+
     // -- map functions ------------------------------------------------------
     // The map itself can't be hash-compared across engines (Spark maps are
     // unordered), so every output column is a scalar/array DERIVED from the
@@ -377,6 +411,18 @@ object FunctionQueries extends QueryPack {
         |  CAST(props->>'$.k' AS INT) AS k_tuple,
         |  concat('{"k":', CAST(props->>'$.k' AS INT), '}') AS json_out
         |FROM events WHERE CAST(props->>'$.k' AS INT) > 80
+        |ORDER BY event_id""".stripMargin,
+
+    "q_variant_funcs" ->
+      """SELECT event_id,
+        |  event_type AS ty,
+        |  CAST(props->>'$.k' AS INT) AS k,
+        |  true AS ok,
+        |  event_id + user_id AS arr1,
+        |  CAST(NULL AS INT) AS missing,
+        |  true AS is_nul,
+        |  'OBJECT<arr: ARRAY<BIGINT>, id: BIGINT, m: OBJECT<k: BIGINT, nul: VOID, ok: BOOLEAN>, ty: STRING>' AS v_schema
+        |FROM events WHERE CAST(props->>'$.k' AS INT) > 90
         |ORDER BY event_id""".stripMargin,
 
     "q_map_funcs" ->
