@@ -213,6 +213,32 @@ object FunctionQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // -- collations (Spark 4 collated string comparison) --------------------
+    // Case-insensitive semantics IN the type system: comparisons, grouping
+    // and DISTINCT under UTF8_LCASE need no lower() wrapping, and unlike
+    // an expression-level normalize the collation survives into hash
+    // partitioning (shuffle keys agree with compare semantics — the thing
+    // a lower()-wrapped groupBy loses when a later join compares raw).
+    // The corpus is mono-case, so mixed-case copies are derived
+    // deterministically first (initcap on even keys). Every output is a
+    // count/boolean — representative-value ambiguity under collation ties
+    // (which variant "wins") never reaches the hash.
+    "q_collation" -> ((s, d) => {
+      Tables.customer(s, d)
+        .withColumn("seg_mixed",
+          when(pmod(col("c_custkey"), lit(2)) === 0,
+            initcap(lower(col("c_mktsegment"))))
+            .otherwise(col("c_mktsegment")))
+        .groupBy(col("c_nationkey"))
+        .agg(
+          countDistinct(col("seg_mixed")).as("n_binary"),
+          countDistinct(collate(col("seg_mixed"), "UTF8_LCASE"))
+            .as("n_lcase"),
+          sum(when(collate(col("seg_mixed"), "UTF8_LCASE") === "building", 1L)
+            .otherwise(0L)).as("n_building"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // -- VARIANT (Spark 4 semi-structured type) -----------------------------
     // The open-schema ingestion path: heterogeneous JSON is parsed ONCE
     // into the binary VARIANT encoding, then fields are extracted with
@@ -412,6 +438,20 @@ object FunctionQueries extends QueryPack {
         |  concat('{"k":', CAST(props->>'$.k' AS INT), '}') AS json_out
         |FROM events WHERE CAST(props->>'$.k' AS INT) > 80
         |ORDER BY event_id""".stripMargin,
+
+    "q_collation" ->
+      """SELECT c_nationkey,
+        |  count(DISTINCT seg_mixed) AS n_binary,
+        |  count(DISTINCT lower(seg_mixed)) AS n_lcase,
+        |  CAST(sum(CASE WHEN lower(seg_mixed) = 'building'
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_building
+        |FROM (SELECT c_nationkey,
+        |        CASE WHEN c_custkey % 2 = 0
+        |          THEN concat(upper(substr(lower(c_mktsegment), 1, 1)),
+        |                      substr(lower(c_mktsegment), 2))
+        |          ELSE c_mktsegment END AS seg_mixed
+        |      FROM customer) t
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q_variant_funcs" ->
       """SELECT event_id,

@@ -448,6 +448,84 @@ object RelationalQueries extends QueryPack {
           |FROM tree GROUP BY depth ORDER BY depth""".stripMargin)
     }),
 
+    // -- SQL entry point: pipe syntax (Spark 4 `|>` operators) -------------
+    // The linear query form: each |> stage consumes the previous table.
+    // Pure parser sugar — Catalyst lowers it to the identical
+    // filter→project→aggregate→sort plan as the ANSI form the oracle
+    // runs, so the surface costs nothing at scale.
+    "q_pipe_syntax" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        """FROM lineitem
+          ||> WHERE l_quantity > 10
+          ||> EXTEND l_extendedprice * (1.0e0 - l_discount) AS net
+          ||> AGGREGATE count(*) AS n,
+          |     CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+          |     round(sum(net), 2) AS net_rev
+          |   GROUP BY l_returnflag, l_linestatus
+          ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    }),
+
+    // -- SQL entry point: SQL-defined scalar UDF (CREATE FUNCTION) ---------
+    // The declarative extension path: the body is a SQL expression, so
+    // unlike a JVM udf() it inlines into the plan (no codegen fence, no
+    // boxing) and pushes/folds like any built-in — the right first stop
+    // before NativeExpressions for logic expressible in SQL.
+    "q_sql_udf" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION graft_net(
+          |  price DOUBLE, disc DOUBLE, tax DOUBLE)
+          |RETURNS DOUBLE
+          |RETURN price * (1.0e0 - disc) * (1.0e0 + tax)""".stripMargin)
+      s.sql(
+        """SELECT l_returnflag,
+          |  round(sum(graft_net(l_extendedprice, l_discount, l_tax)), 2)
+          |    AS net_rev,
+          |  count(*) AS n
+          |FROM lineitem GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    // -- SQL entry point: session variables (DECLARE / SET VAR) ------------
+    // Parameterized-query surface: the threshold is computed ONCE into a
+    // session variable (scalar subquery at SET time), then referenced as
+    // a constant — the main query plans with a literal instead of a
+    // rewritten correlated subquery, so the scan prunes on a simple
+    // comparison at scale.
+    "q_sql_variables" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("DECLARE OR REPLACE VARIABLE graft_min_bal DOUBLE DEFAULT 0.0")
+      s.sql(
+        """SET VAR graft_min_bal =
+          |  (SELECT avg(c_acctbal) FROM customer)""".stripMargin)
+      s.sql(
+        """SELECT c_mktsegment, count(*) AS n_above,
+          |  floor(min(c_acctbal) * 100 + 0.5) / 100 AS min_bal
+          |FROM customer WHERE c_acctbal > graft_min_bal
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    }),
+
+    // -- transpose (Spark 4 Dataset.transpose) -----------------------------
+    // Metrics-as-rows report shape: a 5-row aggregate flips so segments
+    // become columns. transpose() collects the index column's values to
+    // name the output columns, so it is strictly a small-frame finisher
+    // (post-aggregate), never a scale-path operator — the heavy lifting
+    // (the groupBy) has already reduced 100 TB to one row per segment.
+    // All value columns are pre-cast to double: transpose requires a
+    // least common type, and doing it explicitly keeps the oracle twin
+    // trivial. sums are floor-quantized BEFORE the flip (2-decimal cents).
+    "q_transpose" -> ((s, d) => {
+      Tables.customer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).cast("double").as("n_cust"),
+          (floor(sum(col("c_acctbal")) * 100 + 0.5) / 100).as("sum_bal"),
+          max(col("c_acctbal")).as("max_bal"))
+        .transpose(col("c_mktsegment"))
+        .orderBy(col("key"))
+    }),
+
     // -- pivot (explicit value list so no extra distinct-scan job) ---------
     "q_pivot" -> ((s, d) => {
       Tables.orders(s, d)
@@ -808,6 +886,62 @@ object RelationalQueries extends QueryPack {
         |SELECT depth, count(*) AS n_nodes, min(id) AS min_id,
         |  max(id) AS max_id, CAST(sum(id) AS BIGINT) AS sum_id
         |FROM tree GROUP BY depth ORDER BY depth""".stripMargin,
+
+    // the oracle rebuilds the flipped table with conditional aggregates;
+    // row order pinned by key on both sides
+    "q_transpose" ->
+      """WITH a AS (SELECT c_mktsegment AS seg,
+        |    CAST(count(*) AS DOUBLE) AS n_cust,
+        |    floor(sum(c_acctbal) * 100 + 0.5) / 100 AS sum_bal,
+        |    max(c_acctbal) AS max_bal
+        |  FROM customer GROUP BY c_mktsegment)
+        |SELECT 'n_cust' AS key,
+        |  max(CASE WHEN seg = 'AUTOMOBILE' THEN n_cust END) AS "AUTOMOBILE",
+        |  max(CASE WHEN seg = 'BUILDING' THEN n_cust END) AS "BUILDING",
+        |  max(CASE WHEN seg = 'FURNITURE' THEN n_cust END) AS "FURNITURE",
+        |  max(CASE WHEN seg = 'HOUSEHOLD' THEN n_cust END) AS "HOUSEHOLD",
+        |  max(CASE WHEN seg = 'MACHINERY' THEN n_cust END) AS "MACHINERY"
+        |FROM a
+        |UNION ALL
+        |SELECT 'sum_bal' AS key,
+        |  max(CASE WHEN seg = 'AUTOMOBILE' THEN sum_bal END),
+        |  max(CASE WHEN seg = 'BUILDING' THEN sum_bal END),
+        |  max(CASE WHEN seg = 'FURNITURE' THEN sum_bal END),
+        |  max(CASE WHEN seg = 'HOUSEHOLD' THEN sum_bal END),
+        |  max(CASE WHEN seg = 'MACHINERY' THEN sum_bal END)
+        |FROM a
+        |UNION ALL
+        |SELECT 'max_bal' AS key,
+        |  max(CASE WHEN seg = 'AUTOMOBILE' THEN max_bal END),
+        |  max(CASE WHEN seg = 'BUILDING' THEN max_bal END),
+        |  max(CASE WHEN seg = 'FURNITURE' THEN max_bal END),
+        |  max(CASE WHEN seg = 'HOUSEHOLD' THEN max_bal END),
+        |  max(CASE WHEN seg = 'MACHINERY' THEN max_bal END)
+        |FROM a
+        |ORDER BY key""".stripMargin,
+
+    "q_pipe_syntax" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  round(sum(l_extendedprice * (1.0e0 - l_discount)), 2) AS net_rev
+        |FROM lineitem WHERE l_quantity > 10
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_sql_udf" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_extendedprice * (1.0e0 - l_discount)
+        |            * (1.0e0 + l_tax)), 2) AS net_rev,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_sql_variables" ->
+      """SELECT c_mktsegment, count(*) AS n_above,
+        |  floor(min(c_acctbal) * 100 + 0.5) / 100 AS min_bal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_pivot" ->
       """SELECT o_orderpriority,

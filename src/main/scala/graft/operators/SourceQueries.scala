@@ -182,6 +182,25 @@ object SourceQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // -- hidden file-metadata columns (_metadata) ---------------------------
+    // Row-level lineage for free: every file-based scan exposes
+    // _metadata.{file_name,row_index,...} computed from the reader state —
+    // no shuffle, no join, no extra I/O. This is how a 100 TB pipeline
+    // stamps provenance (which file, which row) onto derived datasets so
+    // bad upstream shards can be traced and surgically reprocessed later.
+    // The oracle knows the fixture layout (single file, rows in s_suppkey
+    // order — asserted against DuckDB's file_row_number at build time) and
+    // re-derives both columns relationally.
+    "q_metadata_cols" -> ((s, d) => {
+      s.read.parquet(s"$d/supplier.parquet")
+        .select(
+          col("s_suppkey"),
+          col("_metadata.file_name").as("file_name"),
+          col("_metadata.row_index").as("row_idx"))
+        .filter(col("s_suppkey") % 3 === 0)
+        .orderBy(col("s_suppkey"))
+    }),
+
     // -- parquet sink + scan: pushdown survives the roundtrip ---------------
     "q_parquet_roundtrip" -> ((s, d) => {
       val out = scratch(s, d, "orders_pq")
@@ -537,6 +556,12 @@ object SourceQueries extends QueryPack {
         |  length(concat(r_regionkey, '|', r_name)) AS line_len,
         |  r_regionkey AS key
         |FROM region ORDER BY key""".stripMargin,
+
+    "q_metadata_cols" ->
+      """SELECT s_suppkey, 'supplier.parquet' AS file_name,
+        |  s_suppkey AS row_idx
+        |FROM supplier WHERE s_suppkey % 3 = 0
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q_parquet_roundtrip" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice

@@ -49,6 +49,43 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // -- HTML boilerplate extraction ----------------------------------------
+    // Web-corpus cleaning: raw crawl pages carry chrome (nav, footer,
+    // script) around the payload. The fixture stage wraps each document
+    // in a deterministic page; the OPERATOR is the extraction — drop
+    // non-content elements, take <title> and the tag-stripped body text,
+    // and emit a structural integrity bit (extracted == original). One
+    // narrow codegen'd projection per row, no shuffle before the output
+    // sort: a streamed pass at any corpus size. Regexes avoid \s (Java
+    // includes VT where RE2/DuckDB does not) and backreferences (RE2
+    // has none) so both engines run the same automaton.
+    "q_html_extract" -> ((s, d) => {
+      val page = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit(" ["), col("source"), lit("]</title><script>var x=1;</script>"),
+        lit("</head><body><nav>home | about | index</nav><p>"),
+        col("text"),
+        lit("</p><footer>(c) corpus</footer></body></html>"))
+      Tables.documents(s, d)
+        .withColumn("page", page)
+        .withColumn("title",
+          regexp_extract(col("page"), "<title>([^<]*)</title>", 1))
+        .withColumn("deboiler",
+          regexp_replace(regexp_replace(col("page"),
+            "<(nav|footer|script)>[^<]*</(nav|footer|script)>", ""),
+            "<[^>]*>", " "))
+        .withColumn("body_text",
+          regexp_replace(trim(col("deboiler")), "[ ]{2,}", " "))
+        .select(
+          col("doc_id"),
+          col("title"),
+          length(col("page")).cast("bigint").as("page_len"),
+          length(col("body_text")).cast("bigint").as("extracted_len"),
+          (col("body_text") ===
+            concat(col("title"), lit(" "), col("text"))).as("intact"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- quality score: composite, filterable --------------------------------
     "q_quality_score" -> ((s, d) => {
       Tables.documents(s, d)
@@ -609,6 +646,28 @@ object TextQueries extends QueryPack {
            |  FROM agg)
            |SELECT doc_id, round(nll, 6) AS avg_nll, round(exp(nll), 6) AS ppl
            |FROM nll ORDER BY doc_id""".stripMargin,
+
+      // same two-stage strip + collapse; DuckDB needs the 'g' flag where
+      // Spark's regexp_replace is global by default
+      "q_html_extract" ->
+        """WITH p AS (SELECT doc_id, source, text,
+          |    concat('<html><head><title>Doc ', doc_id, ' [', source,
+          |      ']</title><script>var x=1;</script></head><body>',
+          |      '<nav>home | about | index</nav><p>', text,
+          |      '</p><footer>(c) corpus</footer></body></html>') AS page
+          |  FROM documents),
+          |b AS (SELECT doc_id, source, text, page,
+          |    regexp_replace(trim(regexp_replace(regexp_replace(page,
+          |      '<(nav|footer|script)>[^<]*</(nav|footer|script)>', '', 'g'),
+          |      '<[^>]*>', ' ', 'g')), '[ ]{2,}', ' ', 'g') AS body_text
+          |  FROM p)
+          |SELECT doc_id,
+          |  concat('Doc ', doc_id, ' [', source, ']') AS title,
+          |  CAST(length(page) AS BIGINT) AS page_len,
+          |  CAST(length(body_text) AS BIGINT) AS extracted_len,
+          |  (body_text = concat('Doc ', doc_id, ' [', source, '] ', text))
+          |    AS intact
+          |FROM b ORDER BY doc_id""".stripMargin,
 
       "q_text_stats" ->
         """SELECT doc_id, lang,

@@ -133,6 +133,32 @@ object StreamingQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // -- stream-static LEFT ANTI join (dedup against history) ---------------
+    // The incremental-ingest decontamination shape: new events stream in
+    // and rows whose user already exists in a static historical corpus
+    // are dropped BEFORE any downstream aggregation. The static side
+    // broadcasts per micro-batch (a frozen blocklist/seen-set at 100 TB
+    // would be a bucketed table or bloom sketch — q_bloom_decontaminate
+    // is the batch twin of that refinement); anti join is stateless per
+    // batch, so no watermark is needed on the join itself.
+    "q_stream_anti_join" -> ((s, d) => {
+      val seen = broadcast(Tables.customer(s, d)
+        .filter(pmod(col("c_custkey"), lit(10)) === 0)
+        .select(col("c_custkey")))
+      val fresh = StreamRunner.eventsStream(s, d)
+        .join(seen, col("user_id") === col("c_custkey"), "left_anti")
+        .groupBy(col("event_type"))
+        // exact count(distinct) is unsupported over a stream (it cannot
+        // be maintained incrementally per-key); the distinct-user shape
+        // lives in q_stream_dedup — here the survivor stats are
+        // incrementally mergeable aggregates
+        .agg(count(lit(1)).as("n_fresh"),
+          min(col("user_id")).as("min_user"),
+          max(col("user_id")).as("max_user"))
+      StreamRunner.runToTable(s, fresh, "g_stream_anti_join", "complete")
+        .orderBy(col("event_type"))
+    }),
+
     // -- stream-stream inner join with event-time interval ------------------
     // Both sides watermarked and the join carries a time-range predicate,
     // so each side's buffered state is bounded (rows age out once the
@@ -424,6 +450,15 @@ object StreamingQueries extends QueryPack {
       """SELECT event_id, user_id, c_mktsegment, value
         |FROM events JOIN customer ON user_id = c_custkey
         |ORDER BY event_id""".stripMargin,
+
+    "q_stream_anti_join" ->
+      """SELECT event_type, count(*) AS n_fresh,
+        |  min(user_id) AS min_user, max(user_id) AS max_user
+        |FROM events e
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                  WHERE c.c_custkey % 10 = 0
+        |                    AND c.c_custkey = e.user_id)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_stream_stream_join" ->
       """SELECT a.event_id AS click_id, b.event_id AS view_id, a.user_id,
