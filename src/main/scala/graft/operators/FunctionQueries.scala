@@ -213,6 +213,54 @@ object FunctionQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // -- ANSI-safe arithmetic (try_add / try_subtract / try_multiply /
+    // try_divide) -----------------------------------------------------------
+    // Spark 4 runs ANSI mode: raw overflow/÷0 THROWS, killing a 100 TB job
+    // at the one poisoned row. The try_* family returns NULL instead —
+    // per-row damage containment, the dirty-data posture a pipeline wants.
+    // Operand constants are chosen so the overflow boundary is exact
+    // integer arithmetic (null iff key > threshold); DuckDB has no try_*,
+    // so the oracle guards the same expressions with the derived CASE
+    // thresholds — which also PINS that the null set is exactly the
+    // overflow set, not a row more or less.
+    "q_try_arith" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 3000)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          try_add(col("l_orderkey"), lit(Long.MaxValue - 1000L))
+            .as("add_ovf"),
+          try_subtract(lit(Long.MinValue + 500L), col("l_orderkey"))
+            .as("sub_ovf"),
+          try_multiply(col("l_partkey") + 1L, lit(Long.MaxValue / 100L))
+            .as("mul_ovf"),
+          (floor(try_divide(col("l_extendedprice"),
+            (col("l_linenumber") - 1).cast("double")) * 1e6 + 0.5) / 1e6)
+            .as("div_safe"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // -- timezone conversion (convert_timezone) -----------------------------
+    // Event-time localization: storage stays UTC (the only sane cluster
+    // invariant); wall-clock rendering happens at the edge. Both engines
+    // resolve the same IANA zone database; January fixture dates sit on
+    // stable offsets (EST −5, JST +9) on any tzdata vintage.
+    "q_timezone" -> ((s, d) => {
+      Tables.eventsWithTime(s, d)
+        .filter(col("event_id") < 500)
+        .select(
+          col("event_id"),
+          date_format(col("ts_t"), "yyyy-MM-dd HH:mm:ss").as("utc_str"),
+          date_format(convert_timezone(lit("UTC"),
+            lit("America/New_York"), col("ts_t")),
+            "yyyy-MM-dd HH:mm:ss").as("nyc_str"),
+          date_format(convert_timezone(lit("UTC"), lit("Asia/Tokyo"),
+            col("ts_t")), "yyyy-MM-dd HH:mm:ss").as("tokyo_str"),
+          hour(convert_timezone(lit("UTC"), lit("Asia/Tokyo"), col("ts_t")))
+            .cast("bigint").as("tokyo_hour"))
+        .orderBy(col("event_id"))
+    }),
+
     // -- collations (Spark 4 collated string comparison) --------------------
     // Case-insensitive semantics IN the type system: comparisons, grouping
     // and DISTINCT under UTF8_LCASE need no lower() wrapping, and unlike
@@ -437,6 +485,35 @@ object FunctionQueries extends QueryPack {
         |  CAST(props->>'$.k' AS INT) AS k_tuple,
         |  concat('{"k":', CAST(props->>'$.k' AS INT), '}') AS json_out
         |FROM events WHERE CAST(props->>'$.k' AS INT) > 80
+        |ORDER BY event_id""".stripMargin,
+
+    // the CASE guards derive the exact overflow boundary (no try_* in
+    // DuckDB) — pinning that Spark's null set IS the overflow set
+    "q_try_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_orderkey > 1000 THEN NULL
+        |       ELSE l_orderkey + 9223372036854774807 END AS add_ovf,
+        |  CASE WHEN l_orderkey > 500 THEN NULL
+        |       ELSE (-9223372036854775308) - l_orderkey END AS sub_ovf,
+        |  CASE WHEN l_partkey + 1 > 100 THEN NULL
+        |       ELSE (l_partkey + 1) * 92233720368547758 END AS mul_ovf,
+        |  CASE WHEN l_linenumber = 1 THEN NULL
+        |       ELSE floor(l_extendedprice
+        |              / CAST(l_linenumber - 1 AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |  END AS div_safe
+        |FROM lineitem WHERE l_orderkey < 3000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_timezone" ->
+      """SELECT event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS utc_str,
+        |  strftime(timezone('America/New_York', ts AT TIME ZONE 'UTC'),
+        |    '%Y-%m-%d %H:%M:%S') AS nyc_str,
+        |  strftime(timezone('Asia/Tokyo', ts AT TIME ZONE 'UTC'),
+        |    '%Y-%m-%d %H:%M:%S') AS tokyo_str,
+        |  CAST(hour(timezone('Asia/Tokyo', ts AT TIME ZONE 'UTC'))
+        |    AS BIGINT) AS tokyo_hour
+        |FROM events WHERE event_id < 500
         |ORDER BY event_id""".stripMargin,
 
     "q_collation" ->

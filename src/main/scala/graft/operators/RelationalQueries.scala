@@ -506,6 +506,38 @@ object RelationalQueries extends QueryPack {
           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     }),
 
+    // -- listagg / string aggregation (Spark 4 WITHIN GROUP) ---------------
+    // Ordered string concatenation per group — the report/export shape.
+    // WITHIN GROUP (ORDER BY) makes the result deterministic across
+    // partition merge orders (unordered listagg would hash-diverge run to
+    // run); DISTINCT dedups before concatenation. Group state is the
+    // sorted value list, so this is for bounded groups (segments,
+    // categories) — unbounded-group concatenation belongs in collect_list
+    // + explicit truncation, not here.
+    "q_listagg" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT c_nationkey,
+          |  listagg(DISTINCT c_mktsegment, ',')
+          |    WITHIN GROUP (ORDER BY c_mktsegment) AS segs,
+          |  listagg(CAST(c_custkey AS STRING), ',')
+          |    WITHIN GROUP (ORDER BY c_acctbal DESC, c_custkey) AS top_keys
+          |FROM (SELECT * FROM customer WHERE c_acctbal > 9900)
+          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+    }),
+
+    // -- contingency table (DataFrameStatFunctions.crosstab) ---------------
+    // Pairwise frequency matrix of two low-cardinality columns — the data
+    // audit the mixture planner runs before choosing per-(lang, source)
+    // sampling rates. Spark computes it as one count aggregate pivoted
+    // into lang rows × source columns, so the shuffle carries at most
+    // |langs|·|sources| cells regardless of corpus size.
+    "q_crosstab" -> ((s, d) => {
+      Tables.documents(s, d)
+        .stat.crosstab("lang", "source")
+        .orderBy(col("lang_source"))
+    }),
+
     // -- transpose (Spark 4 Dataset.transpose) -----------------------------
     // Metrics-as-rows report shape: a 5-row aggregate flips so segments
     // become columns. transpose() collects the index column's values to
@@ -681,7 +713,28 @@ object RelationalQueries extends QueryPack {
     })
   )
 
-  def oracle: Map[String, String] = Map(
+  def oracle: Map[String, String] = {
+    // q_crosstab's 20 source columns, generated by the same loop shape the
+    // conditional-aggregate equivalence describes
+    val crosstabCols = (0 until 20)
+      .map(i => s"""  CAST(sum(CASE WHEN source = 'src$i' THEN 1 ELSE 0 END)
+                   |    AS BIGINT) AS "src$i"""".stripMargin)
+      .mkString(",\n")
+    Map(
+    "q_crosstab" ->
+      s"""SELECT lang AS lang_source,
+         |$crosstabCols
+         |FROM documents GROUP BY lang ORDER BY lang_source""".stripMargin,
+
+    "q_listagg" ->
+      """SELECT c_nationkey,
+        |  string_agg(DISTINCT c_mktsegment, ','
+        |    ORDER BY c_mktsegment) AS segs,
+        |  string_agg(CAST(c_custkey AS VARCHAR), ','
+        |    ORDER BY c_acctbal DESC, c_custkey) AS top_keys
+        |FROM customer WHERE c_acctbal > 9900
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber,
         |       floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) / 100
@@ -1030,4 +1083,5 @@ object RelationalQueries extends QueryPack {
         |FROM orders WHERE o_orderkey % 10 <> 1
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
+  }
 }

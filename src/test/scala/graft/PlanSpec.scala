@@ -207,6 +207,53 @@ class PlanSpec extends AnyFunSuite {
     assert(idx > joinIdx, "prefilter not below the verify join:\n" + p)
   }
 
+  test("optimizer injects a runtime bloom filter into a selective shuffle join") {
+    // The engine-level scale feature behind q_bloom_decontaminate's
+    // hand-built sketch: when a shuffle join's build side carries a
+    // selective filter, InjectRuntimeFilter plants a bloom-filter
+    // semi-filter on the probe side so the fact scan drops non-joining
+    // rows BEFORE the exchange. Size thresholds (10 MB creation / 10 GB
+    // probe-scan defaults) are sized for clusters, so they are lowered
+    // to fire at fixture scale; broadcast is disabled because a BHJ
+    // already prunes at the join and gets no runtime filter.
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // creation threshold is a MAX (build side must be smaller);
+      // probe-scan threshold is a MIN (scan must be larger)
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "100MB")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter" +
+        ".applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val part = graft.engine.Tables.part(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("p_size") === 1)
+      val li = graft.engine.Tables.lineitem(spark, sfDir)
+      val df = li.join(part,
+        org.apache.spark.sql.functions.col("l_partkey") ===
+          org.apache.spark.sql.functions.col("p_partkey"))
+        .groupBy("p_brand")
+        .count()
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("bloom_filter_might_contain") ||
+        p.contains("might_contain"),
+        "no runtime bloom filter on the probe side:\n" + p)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("q_kmeans keeps the integer L2 kernel in codegen and broadcasts centroids") {
     val p = plan("q_kmeans")
     assert(p.contains("graft_sqdist_long"), p)
