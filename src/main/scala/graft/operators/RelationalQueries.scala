@@ -506,6 +506,32 @@ object RelationalQueries extends QueryPack {
           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     }),
 
+    // -- mergeable HLL sketches (Datasketches hll_sketch_agg / union) ------
+    // THE re-aggregation pattern at 100 TB: persist a small sketch per
+    // fine-grained cell (day × segment), answer coarser distinct-count
+    // rollups by UNIONING sketches — no rescan of history, and sketch
+    // union is exact w.r.t. the sketch state (unlike raw distinct counts,
+    // which cannot be merged). The fine→coarse union here collapses
+    // l_linestatus; the estimate surfaces only as a bounded boolean next
+    // to the exact count (same discipline as q_approx_distinct), so the
+    // oracle pins the bound while the sketch math stays engine-local.
+    "q_hll_merge" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val fine = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+      val merged = fine.groupBy(col("l_returnflag"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+          count(lit(1)).as("n_fine_cells"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      exact.join(merged, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_parts"),
+          col("n_fine_cells"),
+          (abs(col("est") - col("exact_parts")).cast("double") /
+            col("exact_parts") < 0.05).as("merged_within_5pct"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // -- listagg / string aggregation (Spark 4 WITHIN GROUP) ---------------
     // Ordered string concatenation per group — the report/export shape.
     // WITHIN GROUP (ORDER BY) makes the result deterministic across
@@ -725,6 +751,14 @@ object RelationalQueries extends QueryPack {
       s"""SELECT lang AS lang_source,
          |$crosstabCols
          |FROM documents GROUP BY lang ORDER BY lang_source""".stripMargin,
+
+    "q_hll_merge" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_linestatus) AS n_fine_cells,
+        |  true AS merged_within_5pct
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_listagg" ->
       """SELECT c_nationkey,

@@ -89,6 +89,26 @@ class RelationalOpsSpec extends AnyFunSuite {
   // cross-check proves it row-identical to Spark's buffering
   // `percentile()` aggregate (the formulation that would OOM at 100 TB
   // group sizes and therefore stays spec-only).
+  test("hll sketch union of partials equals the single-pass sketch") {
+    // the mergeability property q_hll_merge relies on: sketch state is
+    // deterministic in the input SET, so unioning per-cell partials must
+    // give the identical estimate as one sketch over all rows — this is
+    // what makes persisted fine-grained sketches re-aggregatable to any
+    // coarser rollup without rescanning history
+    val li = graft.engine.Tables.lineitem(spark, sfDir)
+    val viaUnion = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+      .groupBy(col("l_returnflag"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .orderBy(col("l_returnflag"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val onePass = li.groupBy(col("l_returnflag"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("est"))
+      .orderBy(col("l_returnflag"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(viaUnion.toSeq == onePass.toSeq)
+  }
+
   test("q_mode_median oracle precondition: mode is unique per group") {
     // mode() breaks ties arbitrarily on both engines, so the hash gate
     // is only deterministic while every group's top status count is
