@@ -49,6 +49,30 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // -- BPE merge-candidate scoring (tokenizer induction, one round) -------
+    // The adjacent-symbol-pair count that drives every byte-pair-encoding
+    // merge decision. The scalable formulation: corpus → word histogram
+    // FIRST (vocabulary-bounded shuffle, exactly the wordcount shape),
+    // then char pairs expand over DISTINCT words only, weighted by their
+    // counts — pair work scales with |vocab| · word_len, not corpus
+    // tokens, which is why BPE trainers run on frequency tables, not raw
+    // text. Exact integer counts end to end; total (count desc, pair)
+    // order makes the top-20 boundary deterministic.
+    "q_bpe_pairs" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(split(norm(col("text")), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      words
+        .select(col("w"), col("n"),
+          explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+        .select(substring(col("w"), col("i"), lit(2)).as("pair"), col("n"))
+        .groupBy(col("pair"))
+        .agg(sum(col("n")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("pair"))
+        .limit(20)
+    }),
+
     // -- HTML boilerplate extraction ----------------------------------------
     // Web-corpus cleaning: raw crawl pages carry chrome (nav, footer,
     // script) around the payload. The fixture stage wraps each document
@@ -646,6 +670,19 @@ object TextQueries extends QueryPack {
            |  FROM agg)
            |SELECT doc_id, round(nll, 6) AS avg_nll, round(exp(nll), 6) AS ppl
            |FROM nll ORDER BY doc_id""".stripMargin,
+
+      // identical histogram-then-expand staging; range() excludes its
+      // stop bound so i covers positions 1..len-1, same as sequence()
+      "q_bpe_pairs" ->
+        s"""WITH nw AS (SELECT $normSql AS t FROM documents),
+           |w AS (SELECT unnest(string_split(t, ' ')) AS w FROM nw),
+           |wc AS (SELECT w, count(*) AS n FROM w
+           |  WHERE length(w) >= 2 GROUP BY w),
+           |p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, n
+           |  FROM wc, unnest(range(1, length(w))) AS t(i))
+           |SELECT pair, CAST(sum(n) AS BIGINT) AS pair_count
+           |FROM p GROUP BY pair
+           |ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin,
 
       // same two-stage strip + collapse; DuckDB needs the 'g' flag where
       // Spark's regexp_replace is global by default
