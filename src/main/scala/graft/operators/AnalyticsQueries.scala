@@ -122,6 +122,31 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // -- first/last-touch attribution ---------------------------------------
+    // Which touchpoint gets credit for a conversion: per purchase, the
+    // FIRST and the MOST RECENT preceding non-purchase event of the same
+    // user. Both are one window pass over (user_id, time) — running
+    // min-ignoreNulls for first touch, last-ignoreNulls for last touch —
+    // the same one-shuffle union trick as the as-of join: no self-join,
+    // no per-purchase range scan. Ties at equal ts_us are broken by
+    // event_id in the frame order, making credit assignment total.
+    "q_attribution" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.eventsWithTime(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts_us"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type") =!= "purchase", col("event_type"))
+      e.withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+        .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("first_touch"), col("last_touch"))
+        .orderBy(col("event_id"))
+    }),
+
     // -- cohort retention: first-seen day × week offset ---------------------
     // The cohort dimension (per-user first day) is a keyed aggregate
     // joined back on user_id — at 100 TB both sides shuffle on the same
@@ -606,6 +631,23 @@ object AnalyticsQueries extends QueryPack {
         |       WHEN c.click_us IS NOT NULL THEN 2 ELSE 1 END AS stage
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    "q_attribution" ->
+      """WITH t AS (SELECT event_id, user_id, event_type,
+        |  first_value(CASE WHEN event_type <> 'purchase'
+        |      THEN event_type END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS first_touch,
+        |  last_value(CASE WHEN event_type <> 'purchase'
+        |      THEN event_type END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS last_touch
+        |  FROM events)
+        |SELECT event_id, user_id, first_touch, last_touch
+        |FROM t WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
 
     "q_cohort_retention" ->
       """WITH f AS (
