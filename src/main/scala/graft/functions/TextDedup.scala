@@ -58,6 +58,14 @@ object TextDedup {
     org.apache.spark.sql.graft.NativeExpressions
       .shingleHashesPos(normBytes(c), lit(5))
 
+  /** Distinct unigram (single-word) hashes — same normalization and
+    * FNV-1a-64 bytes as `wordShingles` with a 1-word window, for
+    * bag-of-words feature hashing (quality classifiers, vocabulary
+    * statistics) where the set of words, not word windows, is the unit. */
+  def wordUnigrams(c: Column): Column =
+    org.apache.spark.sql.graft.NativeExpressions
+      .shingleHashes(normBytes(c), lit(1))
+
   /** Exact all-pairs word-set Jaccard >= threshold. Columns: d1, d2, jacc.
     *
     * Implemented with PREFIX FILTERING (Bayardo et al., "Scaling Up All

@@ -278,6 +278,39 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // -- quality-WEIGHTED sampling: per-ROW acceptance probability ---------
+    // The per-row generalization of q_sample_stratified's per-group
+    // rates (importance sampling, as in DCLM/FineWeb-style curation):
+    // each doc's keep probability is proportional to a quality signal —
+    // here its length, capped — so higher-value docs survive at higher
+    // rates. Acceptance is splitmix64-deterministic (its own seed
+    // stream, decorrelated from stratified sampling and hash-split), the
+    // per-row threshold is pure integer arithmetic (`n_chars div 10`
+    // capped at 100%), and the operator is one narrow map + one hash
+    // agg: no shuffle of kept rows, the same cost shape at 100 TB.
+    "q_sample_weighted" -> ((s, d) => {
+      val bucket = pmod(shiftrightunsigned(
+        NativeExpressions.splitmix64(col("doc_id") * 251 + 11), 8), lit(100))
+      Tables.documents(s, d)
+        .withColumn("thr_pct", expr("least(n_chars, 1000) div 10"))
+        .withColumn("bucket", bucket)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("bucket") < col("thr_pct"), 1).otherwise(0))
+            .as("n_kept"),
+          sum(col("thr_pct")).as("sum_thr_pct"),
+          min(when(col("bucket") < col("thr_pct"), col("doc_id")))
+            .as("first_kept"))
+        .withColumn("realized_pct",
+          floor(col("n_kept").cast("double") * lit(100.0) / col("n_total")
+            * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+        .withColumn("expected_pct",
+          floor(col("sum_thr_pct").cast("double") / col("n_total")
+            * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+        .orderBy(col("source"))
+    }),
+
     // -- language REBALANCING: cap each stratum at N docs by hash order ----
     // Exact per-group top-N via two-phase selection: phase 1 takes the
     // per-(lang, salt) top-N over 32 salts — a high-cardinality window, so
@@ -721,6 +754,32 @@ object PipelineQueries extends QueryPack {
          |  round(CAST(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END)
          |    AS DOUBLE) * 100.0 / count(*), 6) AS realized_pct
          |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    // integer per-row threshold (`// 10` == Spark's `div` on positives),
+    // bucket in unsigned arithmetic; ratio outputs floor-quantized with
+    // the mirrored double op order
+    "q_sample_weighted" -> {
+      import graft.engine.OracleHash._
+      s"""WITH ${splitmixStages("documents", "doc_id, source, n_chars",
+            "(doc_id*251+11)::UBIGINT")},
+         |b AS (SELECT doc_id, source,
+         |    least(n_chars, 1000) // 10 AS thr_pct,
+         |    CAST((xor(z3, z3 >> 31) >> 8) % 100::UBIGINT AS BIGINT)
+         |      AS bucket
+         |  FROM p3_),
+         |g AS (SELECT source, count(*) AS n_total,
+         |    CAST(sum(CASE WHEN bucket < thr_pct THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_kept,
+         |    CAST(sum(thr_pct) AS BIGINT) AS sum_thr_pct,
+         |    min(CASE WHEN bucket < thr_pct THEN doc_id END) AS first_kept
+         |  FROM b GROUP BY 1)
+         |SELECT source, n_total, n_kept, sum_thr_pct, first_kept,
+         |  floor(CAST(n_kept AS DOUBLE) * 100.0 / n_total * 1e6 + 0.5e0)
+         |    / 1e6 AS realized_pct,
+         |  floor(CAST(sum_thr_pct AS DOUBLE) / n_total * 1e6 + 0.5e0)
+         |    / 1e6 AS expected_pct
+         |FROM g ORDER BY source""".stripMargin
     },
 
     // Single-phase rank — equivalent to the engine's two-phase selection

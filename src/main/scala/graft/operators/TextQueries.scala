@@ -127,6 +127,34 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // -- model-based QUALITY CLASSIFIER (hashed linear scorer) -------------
+    // The model-based counterpart of q_quality_score's heuristics: a
+    // fastText-style linear classifier over hashed bag-of-words features
+    // (Joulin et al. 2016, arXiv:1607.01759) — each distinct word hashes
+    // into one of 64 feature buckets and the doc's score is the sum of the
+    // buckets' weights. The weight table here is a fixed deterministic
+    // function (bucket % 13 − 6) standing in for trained parameters: the
+    // inference mechanics (hash → bucket → weight lookup → sum) are
+    // exactly what a shipped model runs, and integer weights keep the
+    // DuckDB oracle exact. Cost is O(total tokens): one codegen'd
+    // unigram-hash pass, an explode, and a per-doc hash agg — at 100 TB a
+    // real (arbitrarily large) weight table joins broadcast on bucket id,
+    // leaving the same single-shuffle shape.
+    "q_quality_classifier" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(TextDedup.wordUnigrams(col("text"))).as("h"))
+        .withColumn("bkt", pmod(shiftrightunsigned(col("h"), 8), lit(64)))
+        .withColumn("w", pmod(col("bkt"), lit(13)) - lit(6))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score"))
+        .withColumn("score_norm",
+          floor(col("score").cast("double") * lit(1000000.0) /
+            col("n_feats") + lit(0.5)) / lit(1000000.0))
+        .withColumn("keep", col("score") > 0)
+        .orderBy(col("doc_id"))
+    }),
+
     // -- Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 §A1.1) ----
     // The repetition-independent subset of the canonical pretraining
     // filter, evaluated ENTIRELY in integer/boolean arithmetic — every
@@ -773,6 +801,30 @@ object TextQueries extends QueryPack {
           |  FROM documents) t
           |WHERE round((uniq_ratio + len_score) / 2.0, 6) > 0.5
           |ORDER BY doc_id""".stripMargin,
+
+      // distinct unigram FNV-1a-64 (OracleHash.fnv1a64 nested in the
+      // word lambda) → bucket in unsigned arithmetic → integer weights;
+      // score_norm floor-quantized with e-notation literals so every
+      // double op runs in DOUBLE on both engines
+      "q_quality_classifier" -> {
+        s"""WITH w_ AS (SELECT doc_id, lang, string_split(
+           |    regexp_replace(lower(trim(text)), '[ \\t\\n\\f\\r\\x0B]+',
+           |      ' ', 'g'), ' ') AS ws FROM documents),
+           |u AS (SELECT doc_id, lang, list_distinct(list_transform(ws,
+           |    tk -> ${graft.engine.OracleHash.fnv1a64("tk")})) AS toks
+           |  FROM w_),
+           |f AS (SELECT doc_id, lang, unnest(toks) AS h FROM u),
+           |b AS (SELECT doc_id, lang,
+           |    CAST((h >> 8) % 64::UBIGINT AS BIGINT) AS bkt FROM f),
+           |sc AS (SELECT doc_id, lang, count(*) AS n_feats,
+           |    CAST(sum(bkt % 13 - 6) AS BIGINT) AS score
+           |  FROM b GROUP BY 1, 2)
+           |SELECT doc_id, lang, n_feats, score,
+           |  floor(CAST(score AS DOUBLE) * 1e6 / n_feats + 0.5e0) / 1e6
+           |    AS score_norm,
+           |  score > 0 AS keep
+           |FROM sc ORDER BY doc_id""".stripMargin
+      },
 
       "q_token_count" ->
         """SELECT lang, count(*) AS n_docs,
