@@ -45,6 +45,12 @@ object Verify {
     // oracles for) just those queries, so tools/check_oracle.py can gate a
     // subset without flagging the rest as missing. Unset = full dump (the
     // driver's mode).
+    // Failure manifest: a query that throws or times out loses its output
+    // dir and silently drops out of the driver's CORRECTNESS artifact — a
+    // shrinking query set would read as all-green. Record every failure
+    // here and persist VERIFY_FAILURES.json (empty object on a healthy
+    // run) so regressions are always visible.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
@@ -96,13 +102,17 @@ object Verify {
           // covers a publish that raced between get() timing out and the
           // abandon mark above: reported-failed must mean no output dir
           deleteRecursively(new java.io.File(s"$outDir/$name"))
+          failures(name) = s"timeout ${timeoutSec}s"
           System.err.println(s"[verify] $name failed: timeout ${timeoutSec}s")
         case e: Throwable =>
           val cause = Option(e.getCause).getOrElse(e)
           abandoned.synchronized { abandoned.set(true) }
           deleteRecursively(new java.io.File(s"$outDir/$name"))
           deleteRecursively(new java.io.File(inflight))
-          System.err.println(s"[verify] $name failed: ${cause.getMessage}")
+          val msg = s"${cause.getClass.getSimpleName}: " +
+            String.valueOf(cause.getMessage).take(500)
+          failures(name) = msg
+          System.err.println(s"[verify] $name failed: $msg")
       } finally restoreConfs()
     }
     pool.shutdownNow()
@@ -125,6 +135,17 @@ object Verify {
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/VERIFY_FAILURES.json"), failJson)
+    // Also drop a copy at the repo root (if we're running from it) so the
+    // judge/builder see failures without digging into the verify out dir.
+    try Files.writeString(Paths.get("VERIFY_FAILURES.json"), failJson)
+    catch { case _: Throwable => () }
+    if (failures.nonEmpty)
+      System.err.println(
+        s"[verify] ${failures.size}/${selected.size} queries FAILED — " +
+        "see VERIFY_FAILURES.json")
     spark.stop()
   }
 }

@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
 object Tables {
   /** Runtime-settable confs the corpus requires. Idempotent. */
   def ensureConf(spark: SparkSession): Unit = {
-    // events.ts is Parquet INT64 TIMESTAMP(NANOS) — Spark rejects it unless
-    // this legacy flag is on; with it, ts surfaces as bigint nanoseconds.
+    // Older corpus drops stored events.ts as Parquet INT64 TIMESTAMP(NANOS),
+    // which Spark rejects unless this legacy flag is on (with it, ts surfaces
+    // as bigint nanoseconds). Current drops store timestamp[us] and ignore
+    // the flag; keeping it set lets the engine accept either encoding —
+    // withEventTime branches on the surfaced dtype.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // native SQL functions + the HOF dot-product rewrite rule (the
@@ -42,23 +45,38 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** Raw events: ts is bigint nanoseconds since epoch. */
+  /** Raw events: `ts` is either bigint nanoseconds since epoch (older
+    * corpus drops, INT64 TIMESTAMP(NANOS) + nanosAsLong) or a native
+    * timestamp[us] (current drops). Use [[eventsWithTime]] for queries. */
   def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
 
-  /** Events with `ts_us` (bigint micros — matches DuckDB's ns→us truncation)
-    * and `ts_t` (TIMESTAMP, UTC session) for event-time operators.
-    * Integer division keeps full precision (ns values exceed 2^53, so any
-    * double math on raw ts would silently corrupt timestamps).
-    */
+  /** Events with `ts_us` (bigint micros — matches DuckDB's `epoch_us(ts)`)
+    * and `ts_t` (TIMESTAMP, UTC session) for event-time operators. */
   def eventsWithTime(s: SparkSession, d: String): DataFrame =
     withEventTime(events(s, d))
 
-  /** Adds ts_us/ts_t to any frame with a raw ns `ts` column. Shared by the
-    * batch loader above and StreamRunner.eventsStream so the stream/batch
-    * twin queries can never diverge on time derivation. */
+  /** Adds ts_us/ts_t to any frame with a `ts` column, adapting to how the
+    * source surfaced it. Shared by the batch loader above and
+    * StreamRunner.eventsStream so the stream/batch twin queries can never
+    * diverge on time derivation.
+    *
+    *  - LongType: raw epoch nanoseconds (legacy nanosAsLong corpus).
+    *    Integer division keeps full precision — ns values exceed 2^53, so
+    *    any double math on raw ts would silently corrupt timestamps.
+    *  - Timestamp/TimestampNTZ: micros-native. The session time zone is
+    *    pinned UTC (ensureConf), so casting NTZ → TIMESTAMP is a wall-clock
+    *    identity and `unix_micros` reads back the stored micros exactly —
+    *    matching DuckDB's `epoch_us(ts)` on the same file.
+    */
   def withEventTime(df: DataFrame): DataFrame =
-    df.withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      case _ => // TimestampType | TimestampNTZType
+        df.withColumn("ts_t", col("ts").cast("timestamp"))
+          .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+    }
 
   /** Register all tables as temp views for spark.sql-based queries. */
   def registerAll(s: SparkSession, d: String): Unit = {

@@ -106,24 +106,39 @@ object VectorQueries extends QueryPack {
     // vector's top-3 cosine neighbors, symmetrize to an undirected edge
     // set (u < v), and count per-vector triangle participation — the
     // vertex-local clustering signal used to find tight near-dup
-    // communities that pair mining alone understates. The kNN build here
-    // is the exact brute-force baseline (oracle-matchable bit-for-bit);
-    // at 100 TB the candidate generator swaps for the IVF/LSH bucketers
-    // (q_sim_ivf / q_sim_lsh) unchanged downstream. The triangle phase is
-    // the part that scales as written: the kNN graph has ≤ 2k·n directed
-    // edges, every join below is a keyed equi-join on vertex ids (wedge
-    // volume bounded by Σ deg², deg ≈ k + in-links), and the per-vertex
-    // count is one hash agg — no wedge ever materializes against the
-    // full corpus.
+    // communities that pair mining alone understates. The kNN build is
+    // IVF-blocked (r8 punch-list #5 — the previous brute-force build was
+    // a broadcast NLJ of embeddings × embeddings, O(n²) and the plan's
+    // bottleneck): every vector is assigned to its 2 nearest of the
+    // deterministic lowest-id centroids (the exact blocking q_sim_pairs /
+    // q_sim_ivf pin against their oracles), candidates are pairs sharing
+    // a probed cell (~2·64·n, linear), and each candidate is re-ranked
+    // with the exact cosine. VectorsSpec pins that the blocked kNN graph
+    // and triangle counts are IDENTICAL to brute force on the corpus.
+    // The triangle phase scales as written: the kNN graph has ≤ 2k·n
+    // directed edges, every join below is a keyed equi-join on vertex
+    // ids (wedge volume bounded by Σ deg², deg ≈ k + in-links), and the
+    // per-vertex count is one hash agg — no wedge ever materializes
+    // against the full corpus.
     "q_knn_triangles" -> ((s, d) => {
-      val base = emb(s, d).withColumn("nrm", Vectors.norm(col("v")))
-      val a = base.select(col("vec_id").as("a_id"), col("v").as("av"),
-        col("nrm").as("anrm"))
-      val b = base.select(col("vec_id").as("b_id"), col("v").as("bv"),
-        col("nrm").as("bnrm"))
+      val pts = emb(s, d).select(col("vec_id").as("id"), col("v"))
+        .withColumn("nrm", Vectors.norm(col("v")))
+      val nlist = Vectors.deriveNlist(pts.count())
+      val asg = Vectors.ivfAssign(pts, Vectors.ivfCentroids(pts, nlist), 2)
+      // directed candidates: b is a candidate neighbor of a iff they
+      // share >= 1 probed cell (distinct: a pair can share both)
+      val cand = asg.alias("x")
+        .join(asg.alias("y"),
+          col("x.cid") === col("y.cid") && col("x.id") =!= col("y.id"))
+        .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+        .distinct()
       val w = Window.partitionBy(col("a_id"))
         .orderBy(col("cos_raw").desc, col("b_id").asc)
-      val edges = a.join(broadcast(b), col("a_id") =!= col("b_id"))
+      val edges = cand
+        .join(pts.select(col("id").as("a_id"), col("v").as("av"),
+          col("nrm").as("anrm")), "a_id")
+        .join(pts.select(col("id").as("b_id"), col("v").as("bv"),
+          col("nrm").as("bnrm")), "b_id")
         .withColumn("cos_raw",
           Vectors.dot(col("av"), col("bv")) / (col("anrm") * col("bnrm")))
         .withColumn("rnk", row_number().over(w))
@@ -253,22 +268,59 @@ object VectorQueries extends QueryPack {
     // cell), mine near-dup pairs ONLY within a cluster (cos >= 0.45),
     // and inside each duplicate relation keep the member LEAST similar
     // to its centroid (the paper's rule — survivors spread the cluster)
-    // with vec_id as the deterministic tiebreak. Scale shape: centroid
-    // table broadcasts, assignment is a narrow streamed map, the pair
-    // join shuffles once on cid with ~64-vector cells (deriveNlist), so
-    // in-cell quadratic work stays linear in the corpus. FP parity: the
-    // same left-to-right dot-product fold as every vector query;
-    // centroid_sim is surfaced via floor-quantization, not round()
-    // (negative values sit outside the round() precedent).
+    // with vec_id as the deterministic tiebreak.
+    //
+    // Assignment is a TWO-LEVEL coarse quantizer (r8 punch-list #6 — a
+    // flat scan of all nlist centroids is O(n·nlist) = O(n²/64)
+    // asymptotically): the ceil(√nlist) lowest-id vectors form level-1
+    // cells; each fine centroid belongs to its nearest level-1 cell;
+    // a point finds its nearest level-1 cell (√nlist dots) and then
+    // argmins only over that cell's fine centroids (~√nlist on average)
+    // — O(√nlist) per point instead of O(nlist), and deriveNlist's
+    // 65536 cap bounds per-point work at 2·256 dots ever. Every level-1
+    // cell is nonempty (a level-1 centroid is its own nearest fine
+    // centroid). Deterministic throughout (lowest-id centroid sets,
+    // csim-desc/cid-asc tie-breaks), so the DuckDB twin replicates the
+    // exact assignment. Scale shape: both centroid tables broadcast,
+    // assignment is two narrow streamed maps, the pair join shuffles
+    // once on cid with ~64-vector cells, so in-cell quadratic work
+    // stays linear in the corpus. FP parity: the same left-to-right
+    // dot-product fold as every vector query; centroid_sim is surfaced
+    // via floor-quantization, not round() (negative values sit outside
+    // the round() precedent).
     "q_semdedup" -> ((s, d) => {
       val pts = Tables.embeddings(s, d)
         .select(col("vec_id").as("id"),
           Vectors.asDouble(col("embedding")).as("v"))
         .withColumn("nrm", Vectors.norm(col("v")))
       val nlist = Vectors.deriveNlist(Tables.embeddings(s, d).count())
+      val m1 = math.ceil(math.sqrt(nlist.toDouble)).toInt
+      val fineC = Vectors.ivfCentroids(pts, nlist)
+      val l1C = Vectors.ivfCentroids(pts, m1)
+        .select(col("cid").as("l1"), col("cv").as("l1v"),
+          col("cnrm").as("l1nrm"))
+      // fine centroid -> its nearest level-1 cell (nlist·m1 dots, tiny)
+      val wF = Window.partitionBy(col("cid"))
+        .orderBy(col("l1sim").desc, col("l1").asc)
+      val fineWithL1 = fineC.crossJoin(broadcast(l1C))
+        .withColumn("l1sim",
+          Vectors.dot(col("cv"), col("l1v")) / (col("cnrm") * col("l1nrm")))
+        .withColumn("frn", row_number().over(wF))
+        .filter(col("frn") === 1)
+        .select(col("l1"), col("cid"), col("cv"), col("cnrm"))
+      // point -> nearest level-1 cell (m1 dots per point)
+      val wL1 = Window.partitionBy(col("id"))
+        .orderBy(col("l1sim").desc, col("l1").asc)
+      val ptsL1 = pts.crossJoin(broadcast(l1C))
+        .withColumn("l1sim",
+          Vectors.dot(col("v"), col("l1v")) / (col("nrm") * col("l1nrm")))
+        .withColumn("prn", row_number().over(wL1))
+        .filter(col("prn") === 1)
+        .select(col("id"), col("v"), col("nrm"), col("l1"))
+      // point -> nearest fine centroid WITHIN its level-1 cell
       val wA = Window.partitionBy(col("id"))
         .orderBy(col("csim").desc, col("cid").asc)
-      val asg = pts.crossJoin(broadcast(Vectors.ivfCentroids(pts, nlist)))
+      val asg = ptsL1.join(broadcast(fineWithL1), "l1")
         .withColumn("csim",
           Vectors.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
         .withColumn("arn", row_number().over(wA))
@@ -567,13 +619,32 @@ object VectorQueries extends QueryPack {
            |FROM r WHERE rnk <= 5 GROUP BY q_id, q_label
            |ORDER BY q_id""".stripMargin,
 
+      // same deterministic IVF blocking as the Spark plan (and the
+      // q_sim_pairs oracle): candidates = directed pairs sharing one of
+      // each side's 2 probed cells, then exact cosine re-rank to top-3
       "q_knn_triangles" ->
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
            |  FROM embeddings),
-           |s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-           |    $dotAB / (sqrt(list_dot_product(a.vd, a.vd)) *
-           |              sqrt(list_dot_product(b.vd, b.vd))) AS cos_raw
-           |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+           |n AS (SELECT vec_id, vd,
+           |    sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
+           |c AS (SELECT cid, cv, cnrm FROM (
+           |  SELECT vec_id AS cid, vd AS cv, nrm AS cnrm,
+           |    row_number() OVER (ORDER BY vec_id) AS crn FROM n) t
+           |  WHERE crn <= (SELECT greatest(16, least(65536,
+           |    (count(*) + 63) // 64)) FROM embeddings)),
+           |asg AS (SELECT vec_id, cid FROM (
+           |  SELECT n.vec_id, c.cid, row_number() OVER (
+           |      PARTITION BY n.vec_id
+           |      ORDER BY list_dot_product(n.vd, c.cv) / (n.nrm * c.cnrm)
+           |        DESC, c.cid ASC) AS arn
+           |  FROM n CROSS JOIN c) t WHERE arn <= 2),
+           |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+           |  FROM asg x JOIN asg y
+           |  ON x.cid = y.cid AND x.vec_id <> y.vec_id),
+           |s AS (SELECT cand.a_id, cand.b_id,
+           |    list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm) AS cos_raw
+           |  FROM cand JOIN n a ON a.vec_id = cand.a_id
+           |    JOIN n b ON b.vec_id = cand.b_id),
            |k AS (SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
            |    ORDER BY cos_raw DESC, b_id ASC) AS rnk FROM s),
            |ed AS (SELECT DISTINCT least(a_id, b_id) AS u,
@@ -587,8 +658,11 @@ object VectorQueries extends QueryPack {
            |      UNION ALL SELECT z FROM tri) t
            |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
-      // same centroid/assignment CTEs as q_dedup_embed's oracle but
-      // nprobe=1; the dropped set replays the keep-least-central rule
+      // same centroid CTEs as q_dedup_embed's oracle, but assignment
+      // replays the Spark plan's TWO-LEVEL quantizer: fine centroids and
+      // points each snap to their nearest of ceil(√nlist) level-1 cells,
+      // then a point argmins only over its cell's fine centroids; the
+      // dropped set replays the keep-least-central rule
       "q_semdedup" ->
         """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
           |  FROM embeddings),
@@ -598,13 +672,30 @@ object VectorQueries extends QueryPack {
           |    FROM p) t
           |  WHERE crn <= (SELECT greatest(16, least(65536,
           |    (count(*) + 63) // 64)) FROM embeddings)),
-          |asg AS (SELECT id, v, nrm, cid, csim FROM (
-          |    SELECT p.id, p.v, p.nrm, c.cid,
-          |      list_dot_product(p.v, c.cv) / (p.nrm * c.cnrm) AS csim,
+          |l1 AS (SELECT id AS l1, v AS l1v, nrm AS l1nrm FROM (
+          |    SELECT id, v, nrm, row_number() OVER (ORDER BY id) AS crn
+          |    FROM p) t
+          |  WHERE crn <= (SELECT CAST(ceil(sqrt(greatest(16, least(65536,
+          |    (count(*) + 63) // 64)))) AS BIGINT) FROM embeddings)),
+          |fl1 AS (SELECT l1, cid, cv, cnrm FROM (
+          |    SELECT l.l1, c.cid, c.cv, c.cnrm,
+          |      row_number() OVER (PARTITION BY c.cid
+          |        ORDER BY list_dot_product(c.cv, l.l1v) / (c.cnrm * l.l1nrm)
+          |          DESC, l.l1 ASC) AS frn
+          |    FROM c CROSS JOIN l1 l) t WHERE frn = 1),
+          |pl1 AS (SELECT id, v, nrm, l1 FROM (
+          |    SELECT p.id, p.v, p.nrm, l.l1,
           |      row_number() OVER (PARTITION BY p.id
-          |        ORDER BY list_dot_product(p.v, c.cv) / (p.nrm * c.cnrm)
-          |          DESC, c.cid ASC) AS arn
-          |    FROM p CROSS JOIN c) t WHERE arn = 1),
+          |        ORDER BY list_dot_product(p.v, l.l1v) / (p.nrm * l.l1nrm)
+          |          DESC, l.l1 ASC) AS prn
+          |    FROM p CROSS JOIN l1 l) t WHERE prn = 1),
+          |asg AS (SELECT id, v, nrm, cid, csim FROM (
+          |    SELECT p.id, p.v, p.nrm, f.cid,
+          |      list_dot_product(p.v, f.cv) / (p.nrm * f.cnrm) AS csim,
+          |      row_number() OVER (PARTITION BY p.id
+          |        ORDER BY list_dot_product(p.v, f.cv) / (p.nrm * f.cnrm)
+          |          DESC, f.cid ASC) AS arn
+          |    FROM pl1 p JOIN fl1 f USING (l1)) t WHERE arn = 1),
           |pr AS (SELECT x.id AS a, x.csim AS ca, y.id AS b, y.csim AS cb
           |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.id < y.id
           |  WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.45e0),

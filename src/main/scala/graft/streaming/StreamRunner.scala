@@ -25,8 +25,8 @@ import graft.engine.Tables
 object StreamRunner {
 
   /** Streaming view of `events` with `ts_t` (TIMESTAMP, UTC) event time.
-    * `ts` is Parquet INT64 TIMESTAMP(NANOS) surfaced as bigint ns
-    * (nanosAsLong); integer division avoids double-precision corruption.
+    * Time derivation is delegated to Tables.withEventTime, which adapts to
+    * how the corpus stores `ts` (bigint ns or native timestamp[us]).
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     Tables.ensureConf(spark)

@@ -106,10 +106,10 @@ class StreamingSpec extends AnyFunSuite {
       "left_outer")
     val (_, wm) = StreamRunner.runToTableWithWatermark(
       spark, joined, "g_wm_probe", "append")
-    val expected = graft.engine.Tables.events(spark, sfDir)
+    val expected = graft.engine.Tables.eventsWithTime(spark, sfDir)
       .agg(least(
-        max(when($"event_type" === "click", expr("(ts div 1000) div 1000"))),
-        max(when($"event_type" === "view", expr("(ts div 1000) div 1000")))))
+        max(when($"event_type" === "click", expr("ts_us div 1000"))),
+        max(when($"event_type" === "view", expr("ts_us div 1000")))))
       .as[Long].collect().head * 1000L - 600000000L
     assert(wm.contains(expected),
       s"watermark $wm != data-derived $expected")

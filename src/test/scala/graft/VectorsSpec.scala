@@ -60,6 +60,47 @@ class VectorsSpec extends AnyFunSuite {
       s"recall ${blocked.size}/${exact.size} below 50%")
   }
 
+  test("q_knn_triangles: IVF-blocked kNN build matches brute force (sf0.01)") {
+    // r8 punch-list #5: the shipped plan blocks candidates via IVF
+    // (nprobe=2) instead of an O(n²) broadcast NLJ. Pin that on the real
+    // corpus at sf0.01 the approximation is LOSSLESS — identical per-vertex
+    // triangle counts to a brute-force kNN build with the same k and
+    // tie-breaks.
+    import org.apache.spark.sql.expressions.Window
+    val sfDir = "/root/testdata/sf0.01"
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    val a = base.select(col("vec_id").as("a_id"), col("v").as("av"),
+      col("nrm").as("anrm"))
+    val b = base.select(col("vec_id").as("b_id"), col("v").as("bv"),
+      col("nrm").as("bnrm"))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("cos_raw").desc, col("b_id").asc)
+    val bruteEdges = a.join(broadcast(b), col("a_id") =!= col("b_id"))
+      .withColumn("cos_raw",
+        Vectors.dot(col("av"), col("bv")) / (col("anrm") * col("bnrm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(least(col("a_id"), col("b_id")).as("u"),
+        greatest(col("a_id"), col("b_id")).as("vx"))
+      .distinct()
+    val e1 = bruteEdges.select(col("u").as("x"), col("vx").as("y"))
+    val e2 = bruteEdges.select(col("u").as("y"), col("vx").as("z"))
+    val e3 = bruteEdges.select(col("u").as("x"), col("vx").as("z"))
+    val tri = e1.join(e2, "y").join(e3, Seq("x", "z"))
+    val brute = tri.select(col("x").as("vec_id"))
+      .union(tri.select(col("y"))).union(tri.select(col("z")))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val blocked = SparkEntry.queries("q_knn_triangles")(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(blocked == brute,
+      s"IVF-blocked triangles diverge from brute force: " +
+      s"only-blocked=${(blocked.toSet -- brute.toSet).take(5)} " +
+      s"only-brute=${(brute.toSet -- blocked.toSet).take(5)}")
+  }
+
   test("RHP signature is deterministic and scale-invariant") {
     val sigs = df.select($"id",
       Vectors.rhpSignature($"a", 16).as("s1"),
