@@ -106,42 +106,58 @@ object VectorQueries extends QueryPack {
     // vector's top-3 cosine neighbors, symmetrize to an undirected edge
     // set (u < v), and count per-vector triangle participation — the
     // vertex-local clustering signal used to find tight near-dup
-    // communities that pair mining alone understates. The kNN build is
-    // IVF-blocked (r8 punch-list #5 — the previous brute-force build was
-    // a broadcast NLJ of embeddings × embeddings, O(n²) and the plan's
-    // bottleneck): every vector is assigned to its 2 nearest of the
-    // deterministic lowest-id centroids (the exact blocking q_sim_pairs /
-    // q_sim_ivf pin against their oracles), candidates are pairs sharing
-    // a probed cell (~2·64·n, linear), and each candidate is re-ranked
-    // with the exact cosine. VectorsSpec pins that the blocked kNN graph
-    // and triangle counts are IDENTICAL to brute force on the corpus.
-    // The triangle phase scales as written: the kNN graph has ≤ 2k·n
-    // directed edges, every join below is a keyed equi-join on vertex
-    // ids (wedge volume bounded by Σ deg², deg ≈ k + in-links), and the
-    // per-vertex count is one hash agg — no wedge ever materializes
-    // against the full corpus.
+    // communities that pair mining alone understates. EXACT kNN is the
+    // pinned semantics (the oracle is brute force), and exact kNN is
+    // inherently all-pairs on an unstructured corpus — an IVF/LSH
+    // candidate generator was tried (r8 punch-list #5) and measured: on
+    // this near-uniform corpus a missed true neighbor doesn't just drop
+    // an edge, it PROMOTES a lower-cosine candidate into the top-3, so
+    // blocked triangle counts diverge from brute force. What the r8
+    // audit actually flagged — the broadcast NLJ of embeddings ×
+    // embeddings feeding one corpus-wide window sort — is fixed
+    // structurally instead: b-vectors are blocked into 256-id ranges,
+    // the a-side replicates per block through a SHUFFLED equi-join on
+    // blk (no broadcast of the corpus, no NLJ node), and top-3 is
+    // two-stage — a per-(a_id, blk) partial top-3 that runs WITHOUT any
+    // extra exchange (the join output is already clustered by blk, which
+    // satisfies the window's (a_id, blk) distribution), then a global
+    // top-3 over the ~3·n/256-per-vertex survivors. The n² dot products
+    // remain (that IS exact kNN — the approximate 100 TB paths are
+    // q_sim_ivf / q_sim_lsh), but no task holds more than one 256-vector
+    // block against a stream of a-rows, the giant window sort is gone,
+    // and parallelism is n/256 tasks instead of the broadcast's
+    // input-split count. The triangle phase scales as written: the kNN
+    // graph has ≤ 2k·n directed edges, every join below is a keyed
+    // equi-join on vertex ids (wedge volume bounded by Σ deg²), and the
+    // per-vertex count is one hash agg.
     "q_knn_triangles" -> ((s, d) => {
+      val blkSz = 256
       val pts = emb(s, d).select(col("vec_id").as("id"), col("v"))
         .withColumn("nrm", Vectors.norm(col("v")))
-      val nlist = Vectors.deriveNlist(pts.count())
-      val asg = Vectors.ivfAssign(pts, Vectors.ivfCentroids(pts, nlist), 2)
-      // directed candidates: b is a candidate neighbor of a iff they
-      // share >= 1 probed cell (distinct: a pair can share both)
-      val cand = asg.alias("x")
-        .join(asg.alias("y"),
-          col("x.cid") === col("y.cid") && col("x.id") =!= col("y.id"))
-        .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
-        .distinct()
-      val w = Window.partitionBy(col("a_id"))
+      val maxId = pts.agg(max(col("id"))).head().getLong(0)
+      val nBlocks = (maxId / blkSz + 1).toInt
+      val bBlk = pts
+        .select(col("id").as("b_id"), col("v").as("bv"),
+          col("nrm").as("bnrm"))
+        .withColumn("blk", expr(s"cast(b_id div $blkSz as int)"))
+      val aRep = pts
+        .select(col("id").as("a_id"), col("v").as("av"),
+          col("nrm").as("anrm"))
+        .withColumn("blk", explode(sequence(lit(0), lit(nBlocks - 1))))
+      val wPart = Window.partitionBy(col("a_id"), col("blk"))
         .orderBy(col("cos_raw").desc, col("b_id").asc)
-      val edges = cand
-        .join(pts.select(col("id").as("a_id"), col("v").as("av"),
-          col("nrm").as("anrm")), "a_id")
-        .join(pts.select(col("id").as("b_id"), col("v").as("bv"),
-          col("nrm").as("bnrm")), "b_id")
-        .withColumn("cos_raw",
-          Vectors.dot(col("av"), col("bv")) / (col("anrm") * col("bnrm")))
-        .withColumn("rnk", row_number().over(w))
+      val wTop = Window.partitionBy(col("a_id"))
+        .orderBy(col("cos_raw").desc, col("b_id").asc)
+      val partial = aRep
+        .join(bBlk.hint("shuffle_hash"), "blk")
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("blk"), col("a_id"), col("b_id"),
+          (Vectors.dot(col("av"), col("bv")) /
+            (col("anrm") * col("bnrm"))).as("cos_raw"))
+        .withColumn("prnk", row_number().over(wPart))
+        .filter(col("prnk") <= 3)
+      val edges = partial
+        .withColumn("rnk", row_number().over(wTop))
         .filter(col("rnk") <= 3)
         .select(least(col("a_id"), col("b_id")).as("u"),
           greatest(col("a_id"), col("b_id")).as("vx"))
@@ -619,32 +635,13 @@ object VectorQueries extends QueryPack {
            |FROM r WHERE rnk <= 5 GROUP BY q_id, q_label
            |ORDER BY q_id""".stripMargin,
 
-      // same deterministic IVF blocking as the Spark plan (and the
-      // q_sim_pairs oracle): candidates = directed pairs sharing one of
-      // each side's 2 probed cells, then exact cosine re-rank to top-3
       "q_knn_triangles" ->
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
            |  FROM embeddings),
-           |n AS (SELECT vec_id, vd,
-           |    sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
-           |c AS (SELECT cid, cv, cnrm FROM (
-           |  SELECT vec_id AS cid, vd AS cv, nrm AS cnrm,
-           |    row_number() OVER (ORDER BY vec_id) AS crn FROM n) t
-           |  WHERE crn <= (SELECT greatest(16, least(65536,
-           |    (count(*) + 63) // 64)) FROM embeddings)),
-           |asg AS (SELECT vec_id, cid FROM (
-           |  SELECT n.vec_id, c.cid, row_number() OVER (
-           |      PARTITION BY n.vec_id
-           |      ORDER BY list_dot_product(n.vd, c.cv) / (n.nrm * c.cnrm)
-           |        DESC, c.cid ASC) AS arn
-           |  FROM n CROSS JOIN c) t WHERE arn <= 2),
-           |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
-           |  FROM asg x JOIN asg y
-           |  ON x.cid = y.cid AND x.vec_id <> y.vec_id),
-           |s AS (SELECT cand.a_id, cand.b_id,
-           |    list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm) AS cos_raw
-           |  FROM cand JOIN n a ON a.vec_id = cand.a_id
-           |    JOIN n b ON b.vec_id = cand.b_id),
+           |s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           |    $dotAB / (sqrt(list_dot_product(a.vd, a.vd)) *
+           |              sqrt(list_dot_product(b.vd, b.vd))) AS cos_raw
+           |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
            |k AS (SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
            |    ORDER BY cos_raw DESC, b_id ASC) AS rnk FROM s),
            |ed AS (SELECT DISTINCT least(a_id, b_id) AS u,
