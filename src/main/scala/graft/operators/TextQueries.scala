@@ -490,33 +490,48 @@ object TextQueries extends QueryPack {
     }),
 
     // -- near-dup: character 3-gram Jaccard --------------------------------
-    // Size-banded exact similarity join. A 3-gram universe is small and
-    // dense (this corpus: ~400 distinct grams, each doc carrying ~40% of
-    // them), so inverted-index and prefix-filter joins degenerate to
-    // near-all-pairs candidates (measured: prefix filtering kept 5.2M of
-    // 12.5M pairs at sf0.1 while paying a 50M-row join). The structure
-    // that DOES survive: J >= t forces size ratio >= t, so partition docs
-    // into geometric size bands (ratio t) — every qualifying pair sits in
-    // the same or adjacent band. One side also emits a band+1 copy; a
-    // (origBand, doc_id) tie-break makes each unordered pair match exactly
-    // once, so no distinct step. A doc_id salt spreads each band across
-    // the cluster (band count is small, ~ln(maxSz/minSz)/ln(1/t)), and
-    // verification intersects rare-first int gram ids, not strings. The
-    // per-band work is quadratic in band population — inherent to exact
-    // dense-universe Jaccard; the approximate scale path is
-    // q_dedup_minhash.
+    // Size-banded exact similarity join over a DENSE gram universe. A
+    // 3-gram universe is small and dense (this corpus: 377 distinct
+    // grams, each doc carrying ~40% of them), which defeats every
+    // sublinear candidate structure for exact all-pairs — all three
+    // MEASURED on this corpus:
+    //  - prefix filtering (Bayardo/PPJoin) removes only 2% of banded
+    //    candidates (sf0.1: 5,239,783 of 5,342,380 survive — the rarest
+    //    gram of one doc is common corpus-wide);
+    //  - MinHash-LSH candidates blow up instead of shrinking: the
+    //    BASELINE Jaccard of two unrelated docs is ~0.25 (dense sets
+    //    overlap by construction), so 16×2 banding admits ~64% of all
+    //    pairs — measured 47-80 s at sf0.1 vs 2.85 s banded;
+    //  - Hamming-chunk pigeonhole over the 377-bit universe has too few
+    //    bits of entropy for the ≥48 chunks a J >= 0.8 bound needs.
+    // So the blocking stays the geometric size-band structure (J >= t
+    // forces size ratio >= t; every qualifying pair sits in the same or
+    // adjacent band; a (origBand, doc_id) tie-break makes each unordered
+    // pair match exactly once; a doc_id salt spreads each band across
+    // the cluster) — inherently quadratic in band population, which IS
+    // the complexity of exact dense-universe Jaccard. What the r8 probe
+    // flagged (21.7× at the 10× sf1 probe) is attacked on the constant:
+    // each doc's gram set becomes a fixed-width BITMAP over the corpus
+    // gram dictionary (377 grams → 6 longs), so the quadratic stage
+    // streams 48-byte bitmaps instead of ~600-byte sorted arrays (~12×
+    // less join payload) and each verify is 6 AND+popcount word ops
+    // (codegen'd) instead of a ~30-150-step merge walk. The dictionary
+    // is a driver-side collect of the aggregated distinct grams (tiny by
+    // construction here); corpora with open universes (> 4096 grams)
+    // fall back to the sorted-array bounded-merge verify unchanged.
+    // The approximate scale path remains q_dedup_minhash.
     "q_dedup_ngram" -> ((s, d) => {
+      import org.apache.spark.sql.graft.NativeExpressions
       val thr = 0.8
       val salts = 32
       // Gram extraction is a single narrow map: the native expression
       // emits each doc's distinct byte-trigram codes as a sorted int
       // array (ASCII corpus ⇒ identical to character trigrams). The
       // repartition restores input parallelism lost to the single local
-      // parquet split (a real 100 TB table has thousands of splits);
-      // explicit count so AQE cannot coalesce it away.
+      // parquet split (a real 100 TB table has thousands of splits).
       val docIds = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .withColumn("gids", org.apache.spark.sql.graft.NativeExpressions
+        .withColumn("gids", NativeExpressions
           .trigramCodes(encode(norm(col("text")), "UTF-8")))
         .withColumn("sz", size(col("gids")))
         .filter(col("sz") > 0)
@@ -524,12 +539,26 @@ object TextQueries extends QueryPack {
           floor(log(col("sz").cast("double")) / math.log(1.0 / thr))
             .cast("int"))
         .select(col("doc_id"), col("gids"), col("sz"), col("band"))
-      val a = docIds.select(col("band"),
+      // corpus gram dictionary: a driver-side collect of an aggregated
+      // few-hundred-row result (same class of driver action as the
+      // count() other queries use for deriveNlist)
+      val dict = docIds.select(explode(col("gids")).as("g")).distinct()
+        .orderBy(col("g")).collect().map(_.getInt(0))
+      val useBitmap = dict.length <= 4096
+      val docsP =
+        if (useBitmap)
+          docIds.withColumn("pl", NativeExpressions
+            .bitmapFromSortedInts(col("gids"), typedlit(dict.toSeq)))
+            .select(col("doc_id"), col("pl"), col("sz"), col("band"))
+        else docIds
+          .select(col("doc_id"), col("gids").as("pl"), col("sz"),
+            col("band"))
+      val a = docsP.select(col("band"),
         pmod(col("doc_id"), lit(salts)).as("salt"), col("doc_id").as("ida"),
-        col("gids").as("ga"), col("sz").as("sza"))
-      val b = docIds
+        col("pl").as("pa"), col("sz").as("sza"))
+      val b = docsP
         .select(col("band").as("ob"), col("doc_id").as("idb"),
-          col("gids").as("gb"), col("sz").as("szb"))
+          col("pl").as("pb"), col("sz").as("szb"))
         .withColumn("band", explode(array(col("ob"), col("ob") + 1)))
         .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
       val jaccRaw = col("inter").cast("double") /
@@ -538,7 +567,7 @@ object TextQueries extends QueryPack {
       // spread the quadratic band work across the cluster. The broadcast
       // alternative would funnel every probe through the scan's (few)
       // input partitions and ship the salt-replicated side whole.
-      a.alias("a").join(b.hint("shuffle_hash").alias("b"),
+      val joined = a.alias("a").join(b.hint("shuffle_hash").alias("b"),
           col("a.band") === col("b.band") && col("a.salt") === col("b.salt") &&
             // adjacent-band pairs match once (at a's band); same-band pairs
             // tie-break on doc_id so each unordered pair appears exactly once
@@ -547,23 +576,25 @@ object TextQueries extends QueryPack {
             // exact size prune (banding is only the blocking structure)
             least(col("sza"), col("szb")).cast("double") /
               greatest(col("sza"), col("szb")) >= thr)
-        // THRESHOLD-BOUNDED intersect: jacc >= thr ⟺ inter >=
-        // ceil(thr·s/(1+thr)) (s = sza+szb), so the merge walk can abort
-        // the moment count + min(remaining) drops below that bound —
-        // dissimilar pairs (the vast majority of candidates) pay
-        // ~(1-thr)/(1+thr) of the walk instead of all of it. The 1e-9
-        // ceiling slack under-approximates the bound (derived from thr,
-        // not hardcoded alongside it), so float rounding can only ADMIT
-        // a borderline pair; the exact jaccRaw filter below stays the
-        // single source of truth for the reject set.
-        .withColumn("need",
-          ceil(lit(thr) * (col("sza") + col("szb")) / lit(1.0 + thr)
-            - lit(1e-9)).cast("int"))
-        .withColumn("inter",
-          org.apache.spark.sql.graft.NativeExpressions
-            .sortedIntersectCountBounded(col("ga"), col("gb"), col("need")))
-        // integer short-circuit first (aborted pairs skip the division),
-        // exact float compare second (decides borderline admissions)
+      val withInter =
+        if (useBitmap)
+          // 6-word AND+popcount — cheaper than any bounded merge walk
+          joined.withColumn("inter",
+            NativeExpressions.andPopcount(col("pa"), col("pb")))
+        else joined
+          // THRESHOLD-BOUNDED intersect: jacc >= thr ⟺ inter >=
+          // ceil(thr·s/(1+thr)), so the merge walk aborts as soon as the
+          // bound is unreachable; the 1e-9 ceiling slack can only ADMIT
+          // a borderline pair — the exact jaccRaw filter below stays the
+          // single source of truth for the reject set (aborts return -1,
+          // which fails jaccRaw).
+          .withColumn("need",
+            ceil(lit(thr) * (col("sza") + col("szb")) / lit(1.0 + thr)
+              - lit(1e-9)).cast("int"))
+          .withColumn("inter",
+            NativeExpressions
+              .sortedIntersectCountBounded(col("pa"), col("pb"), col("need")))
+      withInter
         .filter(col("inter") >= 0 && jaccRaw >= thr)
         .select(least(col("ida"), col("idb")).as("d1"),
           greatest(col("ida"), col("idb")).as("d2"),

@@ -654,6 +654,100 @@ object NativeExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Fixed-width bitmap of a sorted distinct int-code set against the
+    * sorted corpus dictionary: bit i (word i >> 6, bit i & 63) is set iff
+    * dict(i) ∈ codes. Linear merge of the two ascending arrays. Used by
+    * the dense-universe Jaccard join (q_dedup_ngram): a 377-gram corpus
+    * universe packs into 6 longs, so the quadratic verify stage streams
+    * 48-byte bitmaps instead of ~600-byte code arrays and intersects with
+    * AND+popcount instead of a merge walk.
+    * CodegenFallback: evaluated once per document, not per pair. */
+  case class BitmapFromSortedInts(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(IntegerType), ArrayType(IntegerType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_bitmap_from_sorted"
+
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val g = l.asInstanceOf[ArrayData]
+      val d = r.asInstanceOf[ArrayData]
+      val nd = d.numElements()
+      val ng = g.numElements()
+      val words = new Array[Long]((nd + 63) >> 6)
+      var i = 0
+      var j = 0
+      while (i < ng && j < nd) {
+        val gv = g.getInt(i)
+        val dv = d.getInt(j)
+        if (gv == dv) { words(j >> 6) |= (1L << (j & 63)); i += 1; j += 1 }
+        else if (gv < dv) i += 1
+        else j += 1
+      }
+      new GenericArrayData(words)
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** popcount(a AND b) over two equal-length long-array bitmaps — the
+    * intersection cardinality of two dictionary bitmaps in a handful of
+    * word ops. Codegen'd: this is the per-candidate verify kernel of the
+    * banded dense-universe Jaccard join, evaluated millions of times.
+    * Unequal lengths → null (inputs must share one dictionary). */
+  case class AndPopcount(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_and_popcount"
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val a = left.eval(input)
+      if (a == null) return null
+      val b = right.eval(input)
+      if (b == null) return null
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (y.numElements() != n) return null
+      var c = 0
+      var i = 0
+      while (i < n) {
+        c += java.lang.Long.bitCount(x.getLong(i) & y.getLong(i))
+        i += 1
+      }
+      c
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val c = ctx.freshName("c")
+        s"""
+           |int $n = $a.numElements();
+           |if ($b.numElements() != $n) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int $c = 0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $c += java.lang.Long.bitCount($a.getLong($i) & $b.getLong($i));
+           |  }
+           |  ${ev.value} = $c;
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   private def expr(c: Column) = ExpressionUtils.expression(c)
 
   /** Column API for the native expressions. */
@@ -681,6 +775,12 @@ object NativeExpressions {
 
   def trigramCodes(bin: Column): Column =
     ExpressionUtils.column(SortedDistinctTrigramCodes(expr(bin)))
+
+  def bitmapFromSortedInts(codes: Column, dict: Column): Column =
+    ExpressionUtils.column(BitmapFromSortedInts(expr(codes), expr(dict)))
+
+  def andPopcount(a: Column, b: Column): Column =
+    ExpressionUtils.column(AndPopcount(expr(a), expr(b)))
 
   def shingleHashes(bin: Column, nWords: Column): Column =
     ExpressionUtils.column(

@@ -4,12 +4,13 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.NativeExpressions
 
-/** Exactness of the size-banded 3-gram Jaccard join (q_dedup_ngram)
-  * against a brute-force all-pairs computation on an adversarial synthetic
-  * corpus: a dense gram universe (6-letter alphabet), heavy near-dup
-  * clusters, and document sizes spread across geometric band boundaries —
-  * the cases where a blocking scheme would lose pairs if the
-  * adjacent-band/tie-break logic were wrong.
+/** Exactness of the size-banded 3-gram Jaccard join (q_dedup_ngram,
+  * dictionary-bitmap AND+popcount verify) against a brute-force all-pairs
+  * computation on an adversarial synthetic corpus: a dense gram universe
+  * (6-letter alphabet), heavy near-dup clusters, and document sizes spread
+  * across geometric band boundaries — the cases where the blocking would
+  * lose pairs if the adjacent-band/tie-break logic or the bitmap encoding
+  * were wrong.
   */
 class NgramDedupSpec extends AnyFunSuite {
   import SparkFixture.spark
@@ -63,7 +64,7 @@ class NgramDedupSpec extends AnyFunSuite {
       s"missing: ${brute -- viaIndex}; extra: ${viaIndex -- brute}")
   }
 
-  test("banded q_dedup_ngram equals brute-force all-pairs on synthetic corpus") {
+  test("banded bitmap q_dedup_ngram equals brute-force all-pairs on synthetic corpus") {
     buildCorpus()
     val banded = SparkEntry.queries("q_dedup_ngram")(spark, dir)
       .select($"d1", $"d2", $"jacc").as[(Long, Long, Double)]
