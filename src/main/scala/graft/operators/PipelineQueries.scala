@@ -251,6 +251,90 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // -- DSIR: hashed n-gram importance weights (Xie et al. 2023,
+    // arXiv:2302.03169) ---------------------------------------------------
+    // Data Selection via Importance Resampling: score every raw doc by
+    // how much its hashed unigram features look drawn from a TARGET
+    // distribution (here the curated 'src0' slice — in production, the
+    // high-quality reference corpus) rather than the raw corpus.
+    // log w(x) = Σ_f log p̂_target(bucket(f)) / p̂_raw(bucket(f)) over the
+    // doc's distinct unigram features, with add-one smoothing over
+    // B = 4096 hash buckets. Training-data use: resample the raw corpus
+    // proportionally to w to shift its distribution toward the target
+    // without a learned classifier. Scale shape: the bucket tables are
+    // B rows (broadcast), feature extraction is the same FNV unigram
+    // pass the quality classifier uses, and everything else is keyed
+    // aggs — one shuffle on (doc, bucket), one on doc. FP determinism:
+    // per-bucket log-ratios are logs of exact-integer ratios; the
+    // per-doc Σ uses the sorted-fold discipline (q_lm_perplexity), and
+    // the possibly-negative weight is floor-quantized, not round()ed.
+    // Bucketing parity: FNV hashes are signed longs in Spark and
+    // UBIGINT in DuckDB, but 4096 divides 2^64, so pmod(h, 4096) ==
+    // (h + 2^64) % 4096 — the two engines agree bit-for-bit.
+    "q_dsir" -> ((s, d) => {
+      val nBuckets = 4096
+      val feats = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          explode(TextDedup.wordUnigrams(col("text"))).as("h"))
+        .withColumn("b", pmod(col("h"), lit(nBuckets.toLong)))
+      val rawC = feats.groupBy(col("b")).agg(count(lit(1)).as("rc"))
+      val tgtC = feats.filter(col("source") === "src0")
+        .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+      // dense bucket table: every bucket 0..B-1 with smoothed counts
+      val buckets = s.range(nBuckets).select(col("id").as("b"))
+        .join(rawC, Seq("b"), "left").join(tgtC, Seq("b"), "left")
+        .select(col("b"), coalesce(col("rc"), lit(0L)).as("rc"),
+          coalesce(col("tc"), lit(0L)).as("tc"))
+      val totals = buckets.agg(sum(col("rc")).as("rt"), sum(col("tc")).as("tt"))
+      val lr = buckets.crossJoin(broadcast(totals))
+        .select(col("b"), log(((col("tc") + 1) * (col("rt") + nBuckets))
+          .cast("double") /
+          ((col("rc") + 1) * (col("tt") + nBuckets)).cast("double"))
+          .as("lr"))
+      feats.join(broadcast(lr), "b")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feats"),
+          array_sort(collect_list(col("lr"))).as("lrs"))
+        .withColumn("w", expr("aggregate(lrs, 0D, (a, x) -> a + x)"))
+        .select(col("doc_id"), col("n_feats"),
+          (floor(col("w") * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("log_weight"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- temperature-scaled source mixing ----------------------------------
+    // The multilingual/multi-source mixing rule (p_s^τ renormalized,
+    // τ = 0.7): up-samples under-represented sources and flattens the
+    // head without inverting the order — the standard alternative to
+    // q_mix_weights' explicit target shares when no curated share table
+    // exists. Output per source: raw share, tempered weight, and the
+    // sampling multiplier (weight/share) a sampler applies. Scale shape:
+    // one count agg; the Σ p^τ denominator folds the per-source terms in
+    // sorted order (deterministic FP) inside a 20-row broadcast. p^τ is
+    // spelled exp(τ·ln n) in BOTH engines so neither side's pow()
+    // implementation enters the comparison.
+    "q_source_temp_mix" -> ((s, d) => {
+      val tau = 0.7
+      val counts = Tables.documents(s, d)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("term", exp(lit(tau) * log(col("n_docs").cast("double"))))
+      val denom = counts
+        .agg(sum(col("n_docs")).as("n_total"),
+          array_sort(collect_list(col("term"))).as("terms"))
+        .withColumn("z", expr("aggregate(terms, 0D, (a, x) -> a + x)"))
+        .select(col("n_total"), col("z"))
+      counts.crossJoin(broadcast(denom))
+        .select(col("source"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("n_total"), 6)
+            .as("share"),
+          round(col("term") / col("z"), 6).as("weight"),
+          round(col("term") / col("z") /
+            (col("n_docs").cast("double") / col("n_total")), 6)
+            .as("multiplier"))
+        .orderBy(col("source"))
+    }),
+
     // -- deterministic STRATIFIED SAMPLING ---------------------------------
     // Per-language keep rates (downsample the over-represented language)
     // decided by a splitmix64 bucket of the doc key — reproducible, order-
@@ -733,6 +817,59 @@ object PipelineQueries extends QueryPack {
         |  ('de', 0.15), ('fr', 0.15)) AS v(lang, target_share)
         |  ON v.lang = t.lang
         |ORDER BY t.lang""".stripMargin,
+
+    // distinct unigram FNV-1a-64 (same lambda nesting as
+    // q_quality_classifier); bucket mod 4096 agrees between signed and
+    // unsigned arithmetic because 4096 divides 2^64; the per-doc Σ of
+    // log-ratios replays Spark's sorted fold; log_weight is
+    // floor-quantized (it can be negative — round() differs on negatives)
+    "q_dsir" ->
+      s"""WITH w_ AS (SELECT doc_id, source, string_split(
+         |    regexp_replace(lower(trim(text)), '[ \\t\\n\\f\\r\\x0B]+',
+         |      ' ', 'g'), ' ') AS ws FROM documents),
+         |u AS (SELECT doc_id, source, list_distinct(list_transform(ws,
+         |    tk -> ${graft.engine.OracleHash.fnv1a64("tk")})) AS toks
+         |  FROM w_),
+         |f AS (SELECT doc_id, source,
+         |    CAST(h % 4096::UBIGINT AS BIGINT) AS b
+         |  FROM (SELECT doc_id, source, unnest(toks) AS h FROM u) t),
+         |bk AS (SELECT unnest(range(0, 4096)) AS b),
+         |rawc AS (SELECT b, count(*) AS rc FROM f GROUP BY b),
+         |tgtc AS (SELECT b, count(*) AS tc FROM f
+         |  WHERE source = 'src0' GROUP BY b),
+         |dense AS (SELECT bk.b, coalesce(rawc.rc, 0) AS rc,
+         |    coalesce(tgtc.tc, 0) AS tc
+         |  FROM bk LEFT JOIN rawc USING (b) LEFT JOIN tgtc USING (b)),
+         |tot AS (SELECT CAST(sum(rc) AS BIGINT) AS rt,
+         |    CAST(sum(tc) AS BIGINT) AS tt FROM dense),
+         |lr AS (SELECT b, ln(CAST((tc + 1) * (rt + 4096) AS DOUBLE) /
+         |    CAST((rc + 1) * (tt + 4096) AS DOUBLE)) AS lr
+         |  FROM dense CROSS JOIN tot),
+         |agg AS (SELECT f.doc_id, count(*) AS n_feats,
+         |    list_sort(list(lr.lr)) AS lrs
+         |  FROM f JOIN lr USING (b) GROUP BY f.doc_id)
+         |SELECT doc_id, n_feats,
+         |  floor(list_reduce(list_prepend(0.0, lrs), (a, x) -> a + x)
+         |    * 1e6 + 0.5e0) / 1e6 AS log_weight
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // p^τ spelled exp(τ·ln n) on both sides; the Σ p^τ denominator is a
+    // sorted fold so neither engine's aggregation order matters
+    "q_source_temp_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents
+        |  GROUP BY 1),
+        |t AS (SELECT source, n_docs,
+        |    exp(0.7e0 * ln(CAST(n_docs AS DOUBLE))) AS term FROM c),
+        |d_ AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+        |    list_reduce(list_prepend(0.0, list_sort(list(term))),
+        |      (a, x) -> a + x) AS z
+        |  FROM t)
+        |SELECT source, n_docs,
+        |  round(CAST(n_docs AS DOUBLE) / n_total, 6) AS share,
+        |  round(term / z, 6) AS weight,
+        |  round(term / z / (CAST(n_docs AS DOUBLE) / n_total), 6)
+        |    AS multiplier
+        |FROM t CROSS JOIN d_ ORDER BY source""".stripMargin,
 
     "q_sample_stratified" -> {
       import graft.engine.OracleHash._

@@ -482,6 +482,38 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // -- per-doc novelty: fraction of shingles FIRST seen in this doc ------
+    // The corpus-level originality signal dedup thresholds miss: a doc
+    // can evade near-dup pair mining while still being assembled from
+    // content that exists elsewhere (quote farms, templated spam,
+    // boilerplate mashups). Novelty = share of the doc's distinct 5-word
+    // shingles whose corpus-wide FIRST occurrence (min doc_id —
+    // deterministic, order-free) is this doc. Training-data use: rank
+    // docs by novelty to prioritize genuinely new content and demote
+    // recombinations when packing a token budget. Scale shape: one
+    // shuffle keyed by shingle hash for the first-occurrence agg
+    // (map-side combined), one keyed join back, one per-doc agg — all
+    // linear; shingle hashes are the SAME FNV-1a-64 family every dedup
+    // operator uses (TextDedup.wordShingles), so the oracle regenerates
+    // them bit-identically via OracleHash.shingleCtes.
+    "q_novelty" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"),
+          graft.functions.TextDedup.wordShingles(col("text")).as("toks"))
+      val ex = t.select(col("doc_id"), explode(col("toks")).as("tok"))
+      val first = ex.groupBy(col("tok"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      ex.join(first, "tok")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast("double") / col("n_shingles"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- near-dup: exact word-set Jaccard (ground truth for LSH variants) --
     "q_dedup_jaccard" -> ((s, d) => {
       TextDedup.exactJaccardPairs(
@@ -710,6 +742,19 @@ object TextQueries extends QueryPack {
     val normSql =
       "regexp_replace(lower(trim(text)), '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g')"
     Map(
+      // same FNV shingle family as the dedup twins (OracleHash.shingleCtes)
+      "q_novelty" ->
+        s"""WITH ${graft.engine.OracleHash.shingleCtes},
+           |ex AS (SELECT doc_id, unnest(toks) AS tok FROM sh),
+           |f AS (SELECT tok, min(doc_id) AS first_doc FROM ex GROUP BY tok)
+           |SELECT e.doc_id, count(*) AS n_shingles,
+           |  CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_novel,
+           |  round(CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0
+           |    END) AS DOUBLE) / count(*), 6) AS novelty
+           |FROM ex e JOIN f USING (tok)
+           |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
+
       // sorted fold = identical FP summation order in both engines
       "q_lm_perplexity" ->
         s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws

@@ -171,6 +171,92 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(ids.distinct.length == ids.length)
   }
 
+  test("q_novelty: first doc is fully novel and novel counts partition the shingle universe") {
+    val rows = SparkEntry.queries("q_novelty")(spark, sfDir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // novelty is a fraction and the lowest doc_id can only contain
+    // first-occurrence shingles
+    rows.foreach { case (id, n, novel, frac) =>
+      assert(novel >= 0 && novel <= n, s"doc $id novel count out of range")
+      assert(frac >= 0.0 && frac <= 1.0, s"doc $id novelty out of [0,1]")
+    }
+    val firstDoc = rows.minBy(_._1)
+    assert(firstDoc._3 == firstDoc._2 && firstDoc._4 == 1.0,
+      "lowest doc_id must be 100% novel")
+    // every distinct shingle is novel in exactly one doc: sum of novel
+    // counts == corpus-wide distinct shingle count
+    val distinctShingles = Tables.documents(spark, sfDir)
+      .select(explode(TextDedup.wordShingles(col("text"))).as("t"))
+      .distinct().count()
+    assert(rows.map(_._3).sum == distinctShingles,
+      "novel counts must partition the distinct-shingle universe")
+  }
+
+  test("q_dsir: target-like docs outscore off-target docs on a separable corpus") {
+    // The driver corpus's sources are slices of ONE distribution (no DSIR
+    // signal by construction), so the estimator's discriminative property
+    // is pinned on a corpus where it must hold: src0 (the target) writes
+    // from vocabulary A, other sources from vocabulary B, and a few raw
+    // docs also use vocabulary A. DSIR must rank every A-doc above every
+    // B-doc.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir").toString
+    val vocabA = Seq("alpine", "butter", "cobalt", "dune", "ember", "fjord")
+    val vocabB = Seq("gravel", "hollow", "iris", "jasper", "kiln", "lumen")
+    def doc(v: Seq[String], seed: Int): String =
+      (0 until 30).map(i => v((i * 7 + seed) % v.length)).mkString(" ")
+    val rows = (0 until 10).map(i => (i.toLong, doc(vocabA, i), "src0")) ++
+      (10 until 40).map(i => (i.toLong, doc(vocabB, i), s"src${1 + i % 3}")) ++
+      (40 until 45).map(i => (i.toLong, doc(vocabA, i), s"src${1 + i % 3}"))
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "source").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_dsir")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val aDocs = (0 until 10).map(_.toLong).toSet ++
+      (40 until 45).map(_.toLong).toSet
+    val minA = out.filter(r => aDocs.contains(r._1)).map(_._2).min
+    val maxB = out.filterNot(r => aDocs.contains(r._1)).map(_._2).max
+    assert(minA > maxB,
+      s"every target-vocabulary doc (min $minA) must outscore every " +
+      s"off-target doc (max $maxB)")
+    // deterministic on the real corpus too
+    val r1 = SparkEntry.queries("q_dsir")(spark, sfDir).collect().toSeq
+    val r2 = SparkEntry.queries("q_dsir")(spark, sfDir).collect().toSeq
+    assert(r1 == r2, "importance weights must be deterministic")
+  }
+
+  test("q_source_temp_mix: closed-form weights on a known-counts corpus") {
+    // sources with 2 / 8 / 32 docs: term_s = n_s^0.7, weight_s = term/Σ,
+    // multiplier_s = weight/share — checked against the closed form, plus
+    // the flattening property w_max/w_min = (n_max/n_min)^0.7
+    val dir = java.nio.file.Files.createTempDirectory("graft_mix").toString
+    val rows = (0 until 2).map(i => (i.toLong, s"t $i", "small")) ++
+      (2 until 10).map(i => (i.toLong, s"t $i", "mid")) ++
+      (10 until 42).map(i => (i.toLong, s"t $i", "big"))
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "source").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_source_temp_mix")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val ns = Map("small" -> 2.0, "mid" -> 8.0, "big" -> 32.0)
+    val z = ns.values.map(n => math.pow(n, 0.7)).sum
+    val total = ns.values.sum
+    ns.foreach { case (s, n) =>
+      val (gotN, share, w, mult) = out(s)
+      assert(gotN == n.toLong)
+      assert(math.abs(share - n / total) < 1e-6, s"$s share")
+      assert(math.abs(w - math.pow(n, 0.7) / z) < 1e-6, s"$s weight")
+      assert(math.abs(mult - (math.pow(n, 0.7) / z) / (n / total)) < 1e-6,
+        s"$s multiplier")
+    }
+    // flattening: tempered ratio = raw ratio^0.7 < raw ratio; small is
+    // up-sampled, big down-sampled
+    assert(out("big")._3 / out("small")._3 < 32.0 / 2.0)
+    assert(out("small")._4 > 1.0 && out("big")._4 < 1.0)
+  }
+
   test("q_bloom_decontaminate: Bloom prefilter + exact verify equals the broadcast-exact answer") {
     // The sketch only decides who pays for the verify join; the declared
     // result must be bit-identical to q_decontaminate's exact flags.
