@@ -335,6 +335,63 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("source"))
     }),
 
+    // -- token-budget selection: best docs first until the budget is hit --
+    // The "data budget" decision every training run makes: order the
+    // corpus by quality (q_quality_score's heuristic, quantized to 6
+    // decimals so the sort key is engine-portable; doc_id tiebreak) and
+    // keep the prefix whose cumulative token count fits the budget.
+    // The cumulative sum is a DISTRIBUTED PREFIX SUM, not a global
+    // single-partition window: repartitionByRange on the sort key, one
+    // per-partition token total (P rows to the driver — P values, not
+    // data), exclusive partition offsets joined back broadcast, and a
+    // per-partition running-sum window (keyed by partition id, so the
+    // sort is partition-local). The result is invariant to P and to
+    // where the sampled range boundaries land, because offset + local
+    // prefix IS the global prefix under the total order. At 1000
+    // executors this is the only formulation that doesn't funnel the
+    // corpus through one task.
+    "q_token_budget" -> ((s, d) => {
+      val budget = 20000L
+      val scored = Tables.documents(s, d)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .withColumn("uniq_ratio",
+          size(array_distinct(split(col("text"), " "))).cast("double") /
+            col("n_tok"))
+        .withColumn("len_score",
+          least(col("n_tok").cast("double") / 50.0, lit(1.0)))
+        .withColumn("score",
+          round((col("uniq_ratio") + col("len_score")) / 2.0, 6))
+        .select(col("doc_id"), col("n_tok"), col("score"))
+      val p = s.sparkContext.defaultParallelism
+      val ranged = scored
+        .repartitionByRange(p, col("score").desc, col("doc_id").asc)
+        .withColumn("pid", spark_partition_id())
+      // P partition totals; exclusive prefix computed driver-side over
+      // P longs (not a data collect)
+      val totals = ranged.groupBy(col("pid"))
+        .agg(sum(col("n_tok")).as("pt"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val offsets = (0 until p).scanLeft(0L) {
+        case (acc, pid) => acc + totals.getOrElse(pid, 0L)
+      }.take(p)
+      val offDf = s.createDataFrame(
+        java.util.Arrays.asList(offsets.zipWithIndex.map {
+          case (off, pid) => org.apache.spark.sql.Row(pid, off) }: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("pid",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("off",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      val w = Window.partitionBy(col("pid"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ranged.join(broadcast(offDf), "pid")
+        .withColumn("cum_tokens", col("off") + sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("n_tok").as("n_tokens"), col("score"),
+          col("cum_tokens"), (col("cum_tokens") <= budget).as("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- deterministic STRATIFIED SAMPLING ---------------------------------
     // Per-language keep rates (downsample the over-represented language)
     // decided by a splitmix64 bucket of the doc key — reproducible, order-
@@ -852,6 +909,26 @@ object PipelineQueries extends QueryPack {
          |  floor(list_reduce(list_prepend(0.0, lrs), (a, x) -> a + x)
          |    * 1e6 + 0.5e0) / 1e6 AS log_weight
          |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // the same quality formula as the q_quality_score twin; the global
+    // cumulative sum is one SQL window here — the Spark side's
+    // distributed prefix-sum must equal it exactly (integer tokens,
+    // quantized sort key, doc_id tiebreak)
+    "q_token_budget" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    round((CAST(len(list_distinct(string_split(text, ' ')))
+        |        AS DOUBLE) / len(string_split(text, ' '))
+        |      + least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0,
+        |        1.0)) / 2.0, 6) AS score
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens, score,
+        |    CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens FROM t)
+        |SELECT doc_id, n_tokens, score, cum_tokens,
+        |  cum_tokens <= 20000 AS kept
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // p^τ spelled exp(τ·ln n) on both sides; the Σ p^τ denominator is a
     // sorted fold so neither engine's aggregation order matters

@@ -217,6 +217,44 @@ object VectorQueries extends QueryPack {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    // -- hard-negative mining for contrastive training ---------------------
+    // The batch that embedding-model training actually needs: per query,
+    // the candidates that are CLOSE but not nearest — similar enough to
+    // be informative negatives, far enough to (probably) not be
+    // positives. Standard recipe (e.g. DPR, Karpukhin et al. 2020):
+    // rank by cosine, skip the top-5 (likely positives), take ranks
+    // 6-15. Reuses the exact IVF machinery of q_sim_ivf — same
+    // deterministic centroids, nprobe=2, same candidate join shape
+    // (broadcast centroid table, cid equi-join, no all-pairs step) —
+    // only the rank window differs, so the oracle twin differs from
+    // q_sim_ivf's by one predicate.
+    "q_hard_negatives" -> ((s, d) => {
+      val nprobe = 2
+      val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
+        .withColumn("nrm", Vectors.norm(col("v")))
+      val nlist = Vectors.deriveNlist(e.count())
+      val cents = Vectors.ivfCentroids(e, nlist)
+      val assign = Vectors.ivfAssign(e, cents, 1)
+      val probes = Vectors.ivfAssign(e.filter(col("id") < 10), cents, nprobe)
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_raw").desc, col("c_id").asc)
+      probes.select(col("id").as("q_id"), col("cid"))
+        .join(assign.select(col("id").as("c_id"), col("cid")), "cid")
+        .filter(col("q_id") =!= col("c_id"))
+        .join(broadcast(e.filter(col("id") < 10)
+          .select(col("id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qnrm"))), "q_id")
+        .join(e.select(col("id").as("c_id"), col("v").as("cv2"),
+          col("nrm").as("cnrm2")), "c_id")
+        .withColumn("cos_raw",
+          Vectors.dot(col("qv"), col("cv2")) / (col("qnrm") * col("cnrm2")))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") >= 6 && col("rnk") <= 15)
+        .select(col("q_id"), col("rnk").cast("bigint").as("rnk"), col("c_id"),
+          round(col("cos_raw"), 6).as("cos"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     // -- LSH-bucketed ANN (scale path; recall checked in VectorSpec,
     //    signatures + output hash-checked against the DuckDB twin) --------
     "q_sim_lsh" -> ((s, d) => {
@@ -571,6 +609,42 @@ object VectorQueries extends QueryPack {
           |      PARTITION BY q_id ORDER BY cos_raw DESC, c_id ASC) AS rnk
           |  FROM cand) t
           |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+      // q_sim_ivf's twin with the rank predicate flipped to the 6..15
+      // hard-negative window
+      "q_hard_negatives" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+          |  FROM embeddings),
+          |n AS (SELECT vec_id, vd,
+          |    sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
+          |c AS (SELECT cid, cv, cnrm FROM (
+          |  SELECT vec_id AS cid, vd AS cv, nrm AS cnrm,
+          |    row_number() OVER (ORDER BY vec_id) AS crn FROM n) t
+          |  WHERE crn <= (SELECT greatest(16, least(65536,
+          |    (count(*) + 63) // 64)) FROM embeddings)),
+          |asg AS (SELECT vec_id, cid FROM (
+          |  SELECT n.vec_id, c.cid, row_number() OVER (
+          |      PARTITION BY n.vec_id
+          |      ORDER BY list_dot_product(n.vd, c.cv) / (n.nrm * c.cnrm)
+          |        DESC, c.cid ASC) AS arn
+          |  FROM n CROSS JOIN c) t WHERE arn = 1),
+          |probes AS (SELECT q_id, cid FROM (
+          |  SELECT n.vec_id AS q_id, c.cid, row_number() OVER (
+          |      PARTITION BY n.vec_id
+          |      ORDER BY list_dot_product(n.vd, c.cv) / (n.nrm * c.cnrm)
+          |        DESC, c.cid ASC) AS prn
+          |  FROM n CROSS JOIN c WHERE n.vec_id < 10) t WHERE prn <= 2),
+          |cand AS (SELECT p.q_id, a.vec_id AS c_id,
+          |    list_dot_product(qn.vd, cn.vd) / (qn.nrm * cn.nrm) AS cos_raw
+          |  FROM probes p JOIN asg a ON p.cid = a.cid
+          |  JOIN n qn ON qn.vec_id = p.q_id
+          |  JOIN n cn ON cn.vec_id = a.vec_id
+          |  WHERE a.vec_id <> p.q_id)
+          |SELECT q_id, rnk, c_id, round(cos_raw, 6) AS cos FROM (
+          |  SELECT q_id, c_id, cos_raw, row_number() OVER (
+          |      PARTITION BY q_id ORDER BY cos_raw DESC, c_id ASC) AS rnk
+          |  FROM cand) t
+          |WHERE rnk BETWEEN 6 AND 15 ORDER BY q_id, rnk""".stripMargin,
 
       // RHP-LSH: regenerate the splitmix64 hyperplane signs (they depend
       // only on (plane, dim)), rebuild each 16-bit signature via

@@ -257,6 +257,36 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(out("small")._4 > 1.0 && out("big")._4 < 1.0)
   }
 
+  test("q_token_budget: distributed prefix sum equals the single-window global scan") {
+    // The operator computes the cumulative token count via
+    // repartitionByRange + per-partition offsets; the test recomputes it
+    // with one global window (fine at test scale) — they must agree
+    // bit-for-bit, which is exactly the claim that offset + local prefix
+    // is the global prefix under the total order.
+    val out = SparkEntry.queries("q_token_budget")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getBoolean(4)))
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("uniq_ratio",
+        size(array_distinct(split(col("text"), " "))).cast("double") /
+          col("n_tok"))
+      .withColumn("len_score",
+        least(col("n_tok").cast("double") / 50.0, lit(1.0)))
+      .withColumn("score",
+        round((col("uniq_ratio") + col("len_score")) / 2.0, 6))
+      .select(col("doc_id"), col("n_tok"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = docs.sortBy(r => (-r._3, r._1))
+      .scanLeft((0L, 0L, 0.0, 0L)) { case ((_, _, _, cum), (id, n, s)) =>
+        (id, n, s, cum + n) }.drop(1)
+      .map { case (id, n, s, cum) => (id, n, s, cum, cum <= 20000L) }
+      .sortBy(_._1)
+    assert(out.toSeq == expected.toSeq)
+    // the budget actually cuts: both kept and culled docs exist
+    assert(out.exists(_._5) && out.exists(!_._5))
+  }
+
   test("q_bloom_decontaminate: Bloom prefilter + exact verify equals the broadcast-exact answer") {
     // The sketch only decides who pays for the verify join; the declared
     // result must be bit-identical to q_decontaminate's exact flags.

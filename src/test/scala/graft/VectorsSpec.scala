@@ -101,6 +101,26 @@ class VectorsSpec extends AnyFunSuite {
       s"only-brute=${(brute.toSet -- blocked.toSet).take(5)}")
   }
 
+  test("q_hard_negatives extends q_sim_ivf's ranking: disjoint from and below the top-5") {
+    val top = SparkEntry.queries("q_sim_ivf")(spark, SparkFixture.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val hard = SparkEntry.queries("q_hard_negatives")(spark, SparkFixture.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(hard.nonEmpty)
+    hard.foreach { case (_, rnk, _, _) => assert(rnk >= 6 && rnk <= 15) }
+    val topPairs = top.map(t => (t._1, t._2)).toSet
+    hard.foreach { case (q, _, c, _) =>
+      assert(!topPairs.contains((q, c)),
+        s"hard negative ($q,$c) collides with a top-5 neighbor") }
+    // same candidate pool, same ordering: a hard negative's cosine can
+    // never exceed the query's weakest top-5 cosine
+    val minTop = top.groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    hard.foreach { case (q, _, c, cos) =>
+      assert(cos <= minTop(q) + 1e-9,
+        s"hard negative ($q,$c) cos $cos above top-5 floor ${minTop(q)}") }
+  }
+
   test("RHP signature is deterministic and scale-invariant") {
     val sigs = df.select($"id",
       Vectors.rhpSignature($"a", 16).as("s1"),
