@@ -163,6 +163,52 @@ object TextDedup {
       .select(col("d1"), col("d2"), round(jaccRaw, 6).as("jacc"))
   }
 
+  /** Asymmetric containment mining: ordered pairs (a, b), a ≠ b, with
+    * |A ∩ B| >= t·|A| — the doc-inside-doc relation (quotes, excerpts,
+    * wrapped reposts) that SYMMETRIC Jaccard dedup structurally misses:
+    * a short doc embedded in a much longer one has tiny J no matter how
+    * completely it is contained, and size banding explicitly excludes
+    * the pair. Prefix filtering stays valid one-sided: an overlap
+    * o >= ceil(t·|A|) cannot fit inside A's suffix of length
+    * ceil(t·|A|) - 1, so A's (df ASC, tok ASC) rare-first prefix of
+    * length |A| - ceil(t·|A|) + 1 must share a token with B — joining
+    * A-prefixes against B's FULL posting lists loses no qualifying
+    * pair. Rare-first keeps boilerplate shingles out of prefixes, so
+    * B-side hot posting lists only meet the few docs whose prefix
+    * carries the hot shingle. Verification is the bounded sorted-merge
+    * with need = ceil(t·|A|); precision exact by construction.
+    * Columns: d_in (the contained doc), d_of, containment.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val t = tokSets(docs)
+    val ex = t.select(col("doc_id"), col("sz"), explode(col("toks")).as("tok"))
+    val df = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    val prefix = ex.join(df, "tok")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <=
+        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+      .select(col("doc_id").as("d_in"), col("tok"))
+    val cand = prefix
+      .join(ex.select(col("doc_id").as("d_of"), col("tok")), "tok")
+      .filter(col("d_in") =!= col("d_of"))
+      .select(col("d_in"), col("d_of"))
+      .distinct()
+    val contRaw = col("inter").cast("double") / col("sz1")
+    cand
+      .join(t.select(col("doc_id").as("d_in"), col("toks").as("t1"),
+        col("sz").as("sz1")), "d_in")
+      .join(t.select(col("doc_id").as("d_of"), col("toks").as("t2")), "d_of")
+      .withColumn("need",
+        ceil(lit(threshold) * col("sz1") - lit(1e-9)).cast("int"))
+      .withColumn("inter", org.apache.spark.sql.graft.NativeExpressions
+        .sortedIntersectCountLongBounded(col("t1"), col("t2"), col("need")))
+      .filter(col("inter") >= 0 && contRaw >= threshold)
+      .select(col("d_in"), col("d_of"), round(contRaw, 6).as("containment"))
+  }
+
   /** MinHash signatures (`numPerms` murmur3 permutations) + LSH banding,
     * then exact-Jaccard verification of candidates (precision 1.0).
     * Columns: d1, d2, jacc.

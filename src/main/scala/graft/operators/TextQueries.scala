@@ -634,6 +634,18 @@ object TextQueries extends QueryPack {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // -- containment: doc-inside-doc detection (asymmetric overlap) --------
+    // |A∩B| >= 0.8·|A| over 5-word shingles — catches quotes/excerpts/
+    // wrapped reposts whose symmetric Jaccard is tiny because the sizes
+    // differ (size-banded and J-thresholded dedup both structurally miss
+    // the relation). One-sided prefix filter, exact bounded verify — see
+    // TextDedup.containmentPairs.
+    "q_dedup_contain" -> ((s, d) => {
+      TextDedup.containmentPairs(
+          Tables.documents(s, d).select(col("doc_id"), col("text")), 0.8)
+        .orderBy(col("d_in"), col("d_of"))
+    }),
+
     // -- near-dup: MinHash + LSH banding (FNV/splitmix64 — oracle-hashed) --
     "q_dedup_minhash" -> ((s, d) => {
       TextDedup.minHashLshPairs(
@@ -1093,6 +1105,24 @@ object TextQueries extends QueryPack {
           |    (len(a.toks) + len(b.toks)
           |     - len(list_intersect(a.toks, b.toks))) >= 0.7
           |ORDER BY d1, d2""".stripMargin,
+
+      // exact all-ORDERED-pairs containment (a ≠ b, |A∩B| >= 0.8|A|) —
+      // string shingles stand in for the FNV hashes (same cardinalities,
+      // the q_dedup_jaccard precedent)
+      "q_dedup_contain" ->
+        s"""WITH t AS (SELECT doc_id,
+          |    list_distinct(list_transform(
+          |      range(0, greatest(len(string_split($normSql, ' ')) - 4, 1)),
+          |      i -> array_to_string(string_split($normSql, ' ')[i+1:i+5],
+          |        ' '))) AS toks
+          |  FROM documents)
+          |SELECT a.doc_id AS d_in, b.doc_id AS d_of,
+          |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+          |    len(a.toks), 6) AS containment
+          |FROM t a JOIN t b ON a.doc_id <> b.doc_id
+          |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+          |    len(a.toks) >= 0.8
+          |ORDER BY d_in, d_of""".stripMargin,
 
       // MinHash: regenerate the FNV-1a shingle hashes and splitmix64
       // signature family in SQL (graft.engine.OracleHash), band on raw

@@ -93,6 +93,47 @@ class TextDedupSpec extends AnyFunSuite {
       s"missing: ${brute -- got}; extra: ${got -- brute}")
   }
 
+  test("containment: planted quote found, one-sided prefix filter lossless on the corpus") {
+    import org.apache.spark.sql.functions._
+    // planted: doc 11 is a verbatim 20-word excerpt of doc 10 — its
+    // symmetric Jaccard vs the 60-word source is far below any dedup
+    // threshold, but containment(11 in 10) must be ~1
+    val words = (0 until 60).map(i => s"w$i")
+    val quote = docs.sparkSession.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(10L, words.mkString(" ")),
+      org.apache.spark.sql.Row(11L, words.slice(20, 40).mkString(" ")),
+      org.apache.spark.sql.Row(12L, (0 until 30).map(i => s"z$i").mkString(" "))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    val planted = TextDedup.containmentPairs(quote, 0.8)
+      .select($"d_in", $"d_of", $"containment")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(planted.exists(p => p._1 == 11L && p._2 == 10L && p._3 == 1.0),
+      s"planted quote not found: $planted")
+    assert(!planted.exists(p => p._1 == 12L || p._2 == 12L))
+    assert(!planted.exists(p => p._1 == 10L && p._2 == 11L),
+      "the 60-word source cannot be contained in its 20-word excerpt")
+    // losslessness on the real corpus: equals brute-force ordered pairs
+    val corpus = graft.engine.Tables.documents(spark, SparkFixture.sfDir)
+      .select($"doc_id", $"text")
+    val got = TextDedup.containmentPairs(corpus, 0.8)
+      .select($"d_in", $"d_of", $"containment")
+      .as[(Long, Long, Double)].collect().toSet
+    val t = corpus.select($"doc_id", TextDedup.wordShingles($"text").as("toks"))
+    val brute = t.alias("a").crossJoin(t.alias("b"))
+      .filter($"a.doc_id" =!= $"b.doc_id")
+      .select($"a.doc_id".as("d_in"), $"b.doc_id".as("d_of"),
+        (size(array_intersect($"a.toks", $"b.toks")).cast("double") /
+          size($"a.toks")).as("raw"))
+      .filter($"raw" >= 0.8)
+      .select($"d_in", $"d_of", round($"raw", 6).as("containment"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == brute, s"missing: ${brute -- got}; extra: ${got -- brute}")
+  }
+
   test("SimHash: identical docs at hamming 0; self-pairs excluded") {
     val sh = TextDedup.simHashPairs(docs, maxHamming = 3)
       .select($"d1", $"d2", $"hamming").as[(Long, Long, Long)]
