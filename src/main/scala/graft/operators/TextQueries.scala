@@ -634,6 +634,38 @@ object TextQueries extends QueryPack {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // -- MLM masking: deterministic 15% token corruption --------------------
+    // Masked-language-model training-pair generation (BERT-style iid
+    // masking): token (doc, pos) is masked iff its splitmix64 bucket
+    // < 15 — a pure function of position, so the corpus maps to the
+    // same (input, target) pairs on every run, engine, and partitioning
+    // (the reproducibility a training pipeline needs to resume/shard
+    // deterministically; same discipline as q_sample_stratified, its
+    // own seed stream). Scale shape: one narrow posexplode pass + one
+    // per-doc agg whose state is the doc's own tokens; reassembly is
+    // the array_sort(struct(pos,…)) trick q_dedup_lines uses — no
+    // window, no corpus-wide structure.
+    "q_mlm_mask" -> ((s, d) => {
+      import org.apache.spark.sql.graft.NativeExpressions
+      val toks = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"),
+          posexplode(split(norm(col("text")), " ")).as(Seq("pos", "tok")))
+      toks
+        .withColumn("r", pmod(shiftrightunsigned(
+          NativeExpressions.splitmix64(
+            col("doc_id") * lit(1000000L) + col("pos")), 8), lit(100)))
+        .withColumn("tok2",
+          when(col("r") < 15, lit("[MASK]")).otherwise(col("tok")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("r") < 15, 1L).otherwise(0L)).as("n_masked"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("tok2")))),
+            x => x.getField("tok2")), " ").as("text_masked"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- containment: doc-inside-doc detection (asymmetric overlap) --------
     // |A∩B| >= 0.8·|A| over 5-word shingles — catches quotes/excerpts/
     // wrapped reposts whose symmetric Jaccard is tiny because the sizes
@@ -1105,6 +1137,28 @@ object TextQueries extends QueryPack {
           |    (len(a.toks) + len(b.toks)
           |     - len(list_intersect(a.toks, b.toks))) >= 0.7
           |ORDER BY d1, d2""".stripMargin,
+
+      // splitmix64 replayed over (doc_id·10⁶ + pos); string_agg ORDER BY
+      // pos rebuilds Spark's array_sort reassembly
+      "q_mlm_mask" -> {
+        import graft.engine.OracleHash._
+        s"""WITH x AS (SELECT doc_id,
+           |    unnest(string_split($normSql, ' ')) AS tok,
+           |    generate_subscripts(string_split($normSql, ' '), 1) - 1
+           |      AS pos
+           |  FROM documents),
+           |${splitmixStages("x", "doc_id, tok, pos",
+              "(doc_id*1000000 + pos)::UBIGINT")},
+           |m AS (SELECT doc_id, pos, tok,
+           |    CAST((xor(z3, z3 >> 31) >> 8) % 100::UBIGINT AS BIGINT) AS r
+           |  FROM p3_)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |  CAST(sum(CASE WHEN r < 15 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_masked,
+           |  string_agg(CASE WHEN r < 15 THEN '[MASK]' ELSE tok END,
+           |    ' ' ORDER BY pos) AS text_masked
+           |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
 
       // exact all-ORDERED-pairs containment (a ≠ b, |A∩B| >= 0.8|A|) —
       // string shingles stand in for the FNV hashes (same cardinalities,

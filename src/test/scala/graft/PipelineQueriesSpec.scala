@@ -287,6 +287,32 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(out.exists(_._5) && out.exists(!_._5))
   }
 
+  test("q_mlm_mask: deterministic, rate-sane, and invertible outside masks") {
+    val out = SparkEntry.queries("q_mlm_mask")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val again = SparkEntry.queries("q_mlm_mask")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == again.toSeq, "masking must be deterministic")
+    // corpus-wide mask rate near the nominal 15%
+    val rate = out.map(_._3).sum.toDouble / out.map(_._2).sum
+    assert(rate > 0.10 && rate < 0.20, s"mask rate $rate far from 0.15")
+    // outside masked positions the text is unchanged, token count is
+    // preserved, and n_masked counts exactly the [MASK] tokens
+    val orig = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        split(regexp_replace(lower(trim(col("text"))),
+          "[ \\t\\n\\f\\r\\x0B]+", " "), " ").as("ws"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    out.foreach { case (id, n, masked, text) =>
+      val got = text.split(" ", -1)
+      val ws = orig(id)
+      assert(got.length == n && n == ws.length, s"doc $id token count drift")
+      assert(got.count(_ == "[MASK]") == masked, s"doc $id mask count drift")
+      got.zip(ws).foreach { case (g, w) =>
+        assert(g == "[MASK]" || g == w, s"doc $id altered unmasked token") }
+    }
+  }
+
   test("q_bloom_decontaminate: Bloom prefilter + exact verify equals the broadcast-exact answer") {
     // The sketch only decides who pays for the verify join; the declared
     // result must be bit-identical to q_decontaminate's exact flags.
