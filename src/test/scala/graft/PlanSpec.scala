@@ -52,7 +52,11 @@ class PlanSpec extends AnyFunSuite {
     // per plan costs minutes; these are the join-shaped queries)
     val mustBeKeyed = Seq("q3_join", "q_left_outer", "q_right_outer",
       "q_full_outer", "q_semi_join", "q_anti_join", "q_self_join",
-      "q_dedup_ngram", "q_dedup_jaccard", "q_dedup_minhash")
+      "q_dedup_ngram", "q_dedup_jaccard", "q_dedup_minhash",
+      // q_dsir / q_hard_negatives are excluded: their only cross joins
+      // are the accepted broadcast-scalar/centroid pattern (1-row totals,
+      // nlist-row centroid table)
+      "q_dedup_contain", "q_novelty")
     assert(mustBeKeyed.forall(q => !allPairs.contains(q)),
       "a query is listed as both keyed and all-pairs")
     for (q <- mustBeKeyed) {
@@ -67,6 +71,19 @@ class PlanSpec extends AnyFunSuite {
   test("q_dedup_ngram joins hashed on its banded blocking keys") {
     val p = plan("q_dedup_ngram")
     assert(p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q_token_budget computes its prefix sum range-partitioned, not in one task") {
+    val p = plan("q_token_budget")
+    // the cumulative sum must ride the repartitionByRange exchange with a
+    // pid-keyed window — a global ORDER BY window would show an empty
+    // partition spec (single-partition execution at any scale)
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.contains("windowspecdefinition(" + "sort"),
+      "window must be partitioned by pid")
+    val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.forall(_.contains("pid")),
+      s"un-keyed window in plan:\n${windowLines.mkString("\n")}")
   }
 
   test("q_parquet_roundtrip pushes its filter into the re-read scan") {
