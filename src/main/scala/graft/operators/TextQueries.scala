@@ -666,6 +666,52 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // -- T5 span corruption: sentinel-masked (input, target) pairs ---------
+    // The seq2seq counterpart of q_mlm_mask (Raffel et al. 2020): masked
+    // tokens are deterministic per (doc, pos) — its own splitmix seed
+    // stream — and CONTIGUOUS masked runs collapse to one numbered
+    // sentinel in the input, with the dropped tokens (prefixed by their
+    // sentinel) forming the target. Span structure needs order: one
+    // per-doc window (lag to find span starts, running sum to number
+    // them) — keyed by doc_id, so the shuffle is one doc-keyed exchange
+    // and no corpus-wide sort exists. Reassembly is the same
+    // array_sort(struct(pos,…)) discipline as q_mlm_mask; collect_list
+    // drops the null entries the CASE arms produce, which is what
+    // filters each side's tokens without a second pass.
+    "q_t5_spans" -> ((s, d) => {
+      import org.apache.spark.sql.graft.NativeExpressions
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"),
+          posexplode(split(norm(col("text")), " ")).as(Seq("pos", "tok")))
+        .withColumn("m", pmod(shiftrightunsigned(
+          NativeExpressions.splitmix64(
+            (col("doc_id") * lit(1000000L) + col("pos")) * 31 + 17), 8),
+          lit(100)) < 15)
+        .withColumn("st", col("m") && !lag(col("m"), 1, false).over(w))
+        .withColumn("sid",
+          sum(when(col("st"), 1).otherwise(0)).over(wRun))
+        .withColumn("sentinel",
+          concat(lit("<extra_id_"), (col("sid") - 1).cast("string"),
+            lit(">")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("st"), 1L).otherwise(0L)).as("n_spans"),
+          array_join(transform(array_sort(collect_list(
+            when(!col("m"), struct(col("pos"), col("tok").as("e")))
+              .when(col("st"),
+                struct(col("pos"), col("sentinel").as("e"))))),
+            x => x.getField("e")), " ").as("input_text"),
+          array_join(transform(array_sort(collect_list(
+            when(col("st"), struct(col("pos"),
+              concat(col("sentinel"), lit(" "), col("tok")).as("e")))
+              .when(col("m"), struct(col("pos"), col("tok").as("e"))))),
+            x => x.getField("e")), " ").as("target_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- containment: doc-inside-doc detection (asymmetric overlap) --------
     // |A∩B| >= 0.8·|A| over 5-word shingles — catches quotes/excerpts/
     // wrapped reposts whose symmetric Jaccard is tiny because the sizes
@@ -1158,6 +1204,45 @@ object TextQueries extends QueryPack {
            |  string_agg(CASE WHEN r < 15 THEN '[MASK]' ELSE tok END,
            |    ' ' ORDER BY pos) AS text_masked
            |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+
+      // same splitmix replay as q_mlm_mask on a decorrelated seed; span
+      // starts and numbering via the identical per-doc window; FILTERed
+      // string_agg ORDER BY pos mirrors the null-skipping collect_list
+      "q_t5_spans" -> {
+        import graft.engine.OracleHash._
+        s"""WITH x AS (SELECT doc_id,
+           |    unnest(string_split($normSql, ' ')) AS tok,
+           |    generate_subscripts(string_split($normSql, ' '), 1) - 1
+           |      AS pos
+           |  FROM documents),
+           |${splitmixStages("x", "doc_id, tok, pos",
+              "((doc_id*1000000 + pos)*31 + 17)::UBIGINT")},
+           |mk AS (SELECT doc_id, pos, tok,
+           |    CAST((xor(z3, z3 >> 31) >> 8) % 100::UBIGINT AS BIGINT) < 15
+           |      AS m
+           |  FROM p3_),
+           |sp AS (SELECT doc_id, pos, tok, m,
+           |    m AND NOT coalesce(lag(m) OVER (
+           |      PARTITION BY doc_id ORDER BY pos), false) AS st
+           |  FROM mk),
+           |sid AS (SELECT doc_id, pos, tok, m, st,
+           |    sum(CASE WHEN st THEN 1 ELSE 0 END) OVER (
+           |      PARTITION BY doc_id ORDER BY pos
+           |      ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM sp)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |  CAST(sum(CASE WHEN st THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_spans,
+           |  coalesce(string_agg(CASE WHEN NOT m THEN tok
+           |      WHEN st THEN '<extra_id_' || (sid - 1) || '>' END,
+           |    ' ' ORDER BY pos) FILTER (WHERE NOT m OR st), '')
+           |    AS input_text,
+           |  coalesce(string_agg(CASE WHEN st
+           |      THEN '<extra_id_' || (sid - 1) || '> ' || tok
+           |      ELSE tok END, ' ' ORDER BY pos) FILTER (WHERE m), '')
+           |    AS target_text
+           |FROM sid GROUP BY doc_id ORDER BY doc_id""".stripMargin
       },
 
       // exact all-ORDERED-pairs containment (a ≠ b, |A∩B| >= 0.8|A|) —

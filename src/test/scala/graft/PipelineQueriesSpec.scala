@@ -313,6 +313,39 @@ class PipelineQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_t5_spans: splicing each target span back into the input reproduces the original") {
+    val out = SparkEntry.queries("q_t5_spans")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getString(4)))
+    val orig = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        regexp_replace(lower(trim(col("text"))),
+          "[ \\t\\n\\f\\r\\x0B]+", " ").as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sentinel = "<extra_id_(\\d+)>".r
+    assert(out.exists(_._3 > 0), "corpus should produce at least one span")
+    out.foreach { case (id, nTok, nSpans, input, target) =>
+      // parse the target into span_id -> tokens
+      val spans = scala.collection.mutable.Map.empty[Int, Vector[String]]
+      var cur = -1
+      target.split(" ").filter(_.nonEmpty).foreach {
+        case sentinel(k) => cur = k.toInt; spans(cur) = Vector.empty
+        case tok => assert(cur >= 0, s"doc $id target starts without sentinel")
+                    spans(cur) = spans(cur) :+ tok
+      }
+      assert(spans.size == nSpans, s"doc $id span count drift")
+      assert(spans.keySet == (0 until nSpans.toInt).toSet,
+        s"doc $id sentinels not consecutive from 0")
+      // splice spans back into the input
+      val rebuilt = input.split(" ").filter(_.nonEmpty).flatMap {
+        case sentinel(k) => spans(k.toInt)
+        case tok => Vector(tok)
+      }.mkString(" ")
+      assert(rebuilt == orig(id), s"doc $id reconstruction drift")
+      assert(rebuilt.split(" ").length == nTok)
+    }
+  }
+
   test("q_bloom_decontaminate: Bloom prefilter + exact verify equals the broadcast-exact answer") {
     // The sketch only decides who pays for the verify join; the declared
     // result must be bit-identical to q_decontaminate's exact flags.
