@@ -58,6 +58,53 @@ object OracleHash {
        |  FROM w)""".stripMargin
   }
 
+  /** Scalar subquery for the derived IVF list count (the SQL twin of
+    * Vectors.deriveNlist over the embeddings table). */
+  val nlistSql: String =
+    "(SELECT greatest(16, least(65536, (count(*) + 63) // 64))" +
+      " FROM embeddings)"
+
+  /** CTE fragment for the TWO-LEVEL IVF index (the SQL twin of
+    * Vectors.ivfIndex2): fine centroids `c2_`, level-1 cells `l1_`, and
+    * the fine→level-1 map `fl1_`, all derived from CTE `src` with
+    * columns (`id`, vd, nrm). Compose with [[ivf2AssignCte]]. */
+  def ivf2IndexCtes(src: String, id: String): String =
+    s"""c2_ AS (SELECT $id AS cid, vd AS cv, nrm AS cnrm FROM (
+       |    SELECT $id, vd, nrm, row_number() OVER (ORDER BY $id) AS crn
+       |    FROM $src) t
+       |  WHERE crn <= $nlistSql),
+       |l1_ AS (SELECT $id AS l1, vd AS l1v, nrm AS l1nrm FROM (
+       |    SELECT $id, vd, nrm, row_number() OVER (ORDER BY $id) AS crn
+       |    FROM $src) t
+       |  WHERE crn <= CAST(ceil(sqrt($nlistSql)) AS BIGINT)),
+       |fl1_ AS (SELECT l1, cid, cv, cnrm FROM (
+       |    SELECT l.l1, c.cid, c.cv, c.cnrm,
+       |      row_number() OVER (PARTITION BY c.cid
+       |        ORDER BY list_dot_product(c.cv, l.l1v) / (c.cnrm * l.l1nrm)
+       |          DESC, l.l1 ASC) AS frn
+       |    FROM c2_ c CROSS JOIN l1_ l) t WHERE frn = 1)""".stripMargin
+
+  /** CTE pair assigning the rows of `src` (optionally filtered by
+    * `pred`, e.g. " WHERE p.vec_id < 10") through the two-level index:
+    * nearest level-1 cell first, then the top-`nprobe` fine centroids
+    * WITHIN that cell — the SQL twin of Vectors.ivfAssign2. Emits
+    * `pl1$name` and `$name` ($id, cid). */
+  def ivf2AssignCte(name: String, src: String, id: String, pred: String,
+                    nprobe: Int): String =
+    s"""pl1$name AS (SELECT $id, vd, nrm, l1 FROM (
+       |    SELECT p.$id, p.vd, p.nrm, l.l1,
+       |      row_number() OVER (PARTITION BY p.$id
+       |        ORDER BY list_dot_product(p.vd, l.l1v) / (p.nrm * l.l1nrm)
+       |          DESC, l.l1 ASC) AS prn
+       |    FROM $src p CROSS JOIN l1_ l$pred) t WHERE prn = 1),
+       |$name AS (SELECT $id, cid FROM (
+       |    SELECT p.$id, f.cid,
+       |      row_number() OVER (PARTITION BY p.$id
+       |        ORDER BY list_dot_product(p.vd, f.cv) / (p.nrm * f.cnrm)
+       |          DESC, f.cid ASC) AS arn
+       |    FROM pl1$name p JOIN fl1_ f USING (l1)) t
+       |  WHERE arn <= $nprobe)""".stripMargin
+
   /** CTE fragment staging splitmix64 of a seed expression available in
     * CTE `from` (with columns `keep`); emits CTEs `p1_, p2_, p3_` and the
     * final value is `xor(z3, z3 >> 31)` computed by the caller from p3_.

@@ -97,6 +97,70 @@ object Vectors {
       .select(col("id"), col("cid"))
   }
 
+  /** TWO-LEVEL coarse-quantized assignment — the scale replacement for
+    * the flat [[ivfAssign]] scan. A flat scan costs O(nlist) dots per
+    * point, and with nlist = n/64 (bounded cells) that is O(n²/64)
+    * asymptotically — the r8 audit flagged it on q_semdedup and the r9
+    * probe measured the fix at 9.4× → 1.9× per 10× corpus. Structure:
+    * the ceil(√nlist) lowest-id vectors form level-1 cells; each fine
+    * centroid belongs to its nearest level-1 cell; a point finds its
+    * nearest level-1 cell (√nlist dots) and argmins over that cell's
+    * fine centroids (~√nlist on average) — O(√nlist) per point, and
+    * deriveNlist's 65536 cap bounds per-point work at 2·256 dots ever.
+    * Every level-1 cell is nonempty (a level-1 centroid is its own
+    * nearest fine centroid). `nprobe` > 1 takes the top-nprobe fine
+    * centroids WITHIN the point's level-1 cell (the cross-cell
+    * runner-up is sacrificed — that is the approximation the oracles
+    * replicate). Deterministic throughout: lowest-id centroid sets,
+    * csim-desc/cid-asc tie-breaks, same left-to-right FP dot fold.
+    * Output: (id, cid). */
+  /** The two-level index: level-1 cells plus the fine-centroid→cell map,
+    * both derived from the CORPUS (so probing a query subset still
+    * searches the corpus's cells). Both tables broadcast downstream. */
+  case class Ivf2Index(l1C: org.apache.spark.sql.DataFrame,
+                       fineWithL1: org.apache.spark.sql.DataFrame)
+
+  def ivfIndex2(corpus: org.apache.spark.sql.DataFrame, nlist: Int)
+      : Ivf2Index = {
+    import org.apache.spark.sql.expressions.Window
+    val m1 = math.ceil(math.sqrt(nlist.toDouble)).toInt
+    val fineC = ivfCentroids(corpus, nlist)
+    val l1C = ivfCentroids(corpus, m1)
+      .select(col("cid").as("l1"), col("cv").as("l1v"),
+        col("cnrm").as("l1nrm"))
+    val wF = Window.partitionBy(col("cid"))
+      .orderBy(col("l1sim").desc, col("l1").asc)
+    val fineWithL1 = fineC.crossJoin(broadcast(l1C))
+      .withColumn("l1sim",
+        dot(col("cv"), col("l1v")) / (col("cnrm") * col("l1nrm")))
+      .withColumn("frn", row_number().over(wF))
+      .filter(col("frn") === 1)
+      .select(col("l1"), col("cid"), col("cv"), col("cnrm"))
+    Ivf2Index(l1C, fineWithL1)
+  }
+
+  def ivfAssign2(pts: org.apache.spark.sql.DataFrame, idx: Ivf2Index,
+                 nprobe: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wL1 = Window.partitionBy(col("id"))
+      .orderBy(col("l1sim").desc, col("l1").asc)
+    val ptsL1 = pts.select(col("id"), col("v"), col("nrm"))
+      .crossJoin(broadcast(idx.l1C))
+      .withColumn("l1sim",
+        dot(col("v"), col("l1v")) / (col("nrm") * col("l1nrm")))
+      .withColumn("prn", row_number().over(wL1))
+      .filter(col("prn") === 1)
+      .select(col("id"), col("v"), col("nrm"), col("l1"))
+    val wA = Window.partitionBy(col("id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    ptsL1.join(broadcast(idx.fineWithL1), "l1")
+      .withColumn("csim",
+        dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("arn", row_number().over(wA))
+      .filter(col("arn") <= nprobe)
+      .select(col("id"), col("cid"))
+  }
+
   /** IVF list count derived from corpus size: ceil(n/64) clamped to
     * [16, 65536] — cells hold a BOUNDED ~64 vectors, so in-cell
     * quadratic candidate work is ~32·n pairs, linear in the corpus.
@@ -116,7 +180,8 @@ object Vectors {
                       threshold: Double, nlist: Int, nprobe: Int)
       : org.apache.spark.sql.DataFrame = {
     val n = points.withColumn("nrm", norm(col("v")))
-    val asg = ivfAssign(n, ivfCentroids(n, nlist), nprobe)
+    // two-level assignment (r9): O(√nlist) dots per point, not O(nlist)
+    val asg = ivfAssign2(n, ivfIndex2(n, nlist), nprobe)
     // pairs sharing >= 1 probed cell; distinct because a pair can share 2
     val cand = asg.alias("x")
       .join(asg.alias("y"),

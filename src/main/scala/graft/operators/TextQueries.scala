@@ -1139,23 +1139,17 @@ object TextQueries extends QueryPack {
            |ORDER BY t.doc_id""".stripMargin
       },
 
-      "q_dedup_embed" ->
+      // two-level IVF blocking (r9, OracleHash.ivf2*Ctes) over the
+      // documents-joined point set
+      "q_dedup_embed" -> {
+        import graft.engine.OracleHash.{ivf2IndexCtes, ivf2AssignCte}
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
            |  FROM embeddings),
            |de AS (SELECT d.doc_id, sha256($normSql) AS fp, e.vd,
            |    sqrt(list_dot_product(e.vd, e.vd)) AS nrm
            |  FROM documents d JOIN e ON d.doc_id = e.vec_id),
-           |c AS (SELECT cid, cv, cnrm FROM (
-           |  SELECT doc_id AS cid, vd AS cv, nrm AS cnrm,
-           |    row_number() OVER (ORDER BY doc_id) AS crn FROM de) t
-           |  WHERE crn <= (SELECT greatest(16, least(65536,
-           |    (count(*) + 63) // 64)) FROM embeddings)),
-           |asg AS (SELECT doc_id, cid FROM (
-           |  SELECT de.doc_id, c.cid, row_number() OVER (
-           |      PARTITION BY de.doc_id
-           |      ORDER BY list_dot_product(de.vd, c.cv) / (de.nrm * c.cnrm)
-           |        DESC, c.cid ASC) AS arn
-           |  FROM de CROSS JOIN c) t WHERE arn <= 2),
+           |${ivf2IndexCtes("de", "doc_id")},
+           |${ivf2AssignCte("asg", "de", "doc_id", "", 2)},
            |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
            |  FROM asg x JOIN asg y
            |  ON x.cid = y.cid AND x.doc_id < y.doc_id)
@@ -1165,7 +1159,8 @@ object TextQueries extends QueryPack {
            |FROM cand JOIN de a ON a.doc_id = cand.d1
            |  JOIN de b ON b.doc_id = cand.d2
            |WHERE list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm) >= 0.45
-           |ORDER BY d1, d2""".stripMargin,
+           |ORDER BY d1, d2""".stripMargin
+      },
 
       "q_dedup_jaccard" ->
         s"""WITH t AS (SELECT doc_id,

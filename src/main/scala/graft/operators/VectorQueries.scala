@@ -192,12 +192,13 @@ object VectorQueries extends QueryPack {
       // nlist = ceil(corpus/64) (clamped): lists stay ~64 deep at any SF
       // — the oracle twin derives the identical count in SQL
       val nlist = Vectors.deriveNlist(e.count())
-      // centroid set + assignment live in Vectors (ivfCentroids/ivfAssign)
-      // — the identical oracle-pinned blocking ivfBlockedPairs uses, so
-      // the two IVF paths cannot drift
-      val cents = Vectors.ivfCentroids(e, nlist)
-      val assign = Vectors.ivfAssign(e, cents, 1)
-      val probes = Vectors.ivfAssign(e.filter(col("id") < 10), cents, nprobe)
+      // TWO-LEVEL assignment (r9): the corpus-side flat scan was
+      // O(n·nlist) = O(n²/64); the shared index/probe split lives in
+      // Vectors (ivfIndex2/ivfAssign2) — the identical oracle-pinned
+      // blocking ivfBlockedPairs uses, so the IVF paths cannot drift
+      val idx = Vectors.ivfIndex2(e, nlist)
+      val assign = Vectors.ivfAssign2(e, idx, 1)
+      val probes = Vectors.ivfAssign2(e.filter(col("id") < 10), idx, nprobe)
       val wTop = Window.partitionBy(col("q_id"))
         .orderBy(col("cos_raw").desc, col("c_id").asc)
       probes.select(col("id").as("q_id"), col("cid"))
@@ -233,9 +234,9 @@ object VectorQueries extends QueryPack {
       val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
         .withColumn("nrm", Vectors.norm(col("v")))
       val nlist = Vectors.deriveNlist(e.count())
-      val cents = Vectors.ivfCentroids(e, nlist)
-      val assign = Vectors.ivfAssign(e, cents, 1)
-      val probes = Vectors.ivfAssign(e.filter(col("id") < 10), cents, nprobe)
+      val idx = Vectors.ivfIndex2(e, nlist)
+      val assign = Vectors.ivfAssign2(e, idx, 1)
+      val probes = Vectors.ivfAssign2(e.filter(col("id") < 10), idx, nprobe)
       val wTop = Window.partitionBy(col("q_id"))
         .orderBy(col("cos_raw").desc, col("c_id").asc)
       probes.select(col("id").as("q_id"), col("cid"))
@@ -550,101 +551,76 @@ object VectorQueries extends QueryPack {
            |SELECT q_id, rnk, c_id, round(cos_raw, 6) AS cos
            |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
 
-      "q_sim_pairs" ->
-        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
-          |  FROM embeddings),
-          |n AS (SELECT vec_id, vd,
-          |    sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
-          |c AS (SELECT cid, cv, cnrm FROM (
-          |  SELECT vec_id AS cid, vd AS cv, nrm AS cnrm,
-          |    row_number() OVER (ORDER BY vec_id) AS crn FROM n) t
-          |  WHERE crn <= (SELECT greatest(16, least(65536,
-          |    (count(*) + 63) // 64)) FROM embeddings)),
-          |asg AS (SELECT vec_id, cid FROM (
-          |  SELECT n.vec_id, c.cid, row_number() OVER (
-          |      PARTITION BY n.vec_id
-          |      ORDER BY list_dot_product(n.vd, c.cv) / (n.nrm * c.cnrm)
-          |        DESC, c.cid ASC) AS arn
-          |  FROM n CROSS JOIN c) t WHERE arn <= 2),
-          |cand AS (SELECT DISTINCT x.vec_id AS d1, y.vec_id AS d2
-          |  FROM asg x JOIN asg y
-          |  ON x.cid = y.cid AND x.vec_id < y.vec_id)
-          |SELECT cand.d1, cand.d2,
-          |  round(list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm), 6) AS cos
-          |FROM cand JOIN n a ON a.vec_id = cand.d1
-          |  JOIN n b ON b.vec_id = cand.d2
-          |WHERE list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm) >= 0.4
-          |ORDER BY d1, d2""".stripMargin,
+      // two-level IVF blocking (r9, OracleHash.ivf2*Ctes — the SQL twin
+      // of Vectors.ivfIndex2/ivfAssign2)
+      "q_sim_pairs" -> {
+        import graft.engine.OracleHash._
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+           |  FROM embeddings),
+           |n AS (SELECT vec_id, vd,
+           |    sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
+           |${ivf2IndexCtes("n", "vec_id")},
+           |${ivf2AssignCte("asg", "n", "vec_id", "", 2)},
+           |cand AS (SELECT DISTINCT x.vec_id AS d1, y.vec_id AS d2
+           |  FROM asg x JOIN asg y
+           |  ON x.cid = y.cid AND x.vec_id < y.vec_id)
+           |SELECT cand.d1, cand.d2,
+           |  round(list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm), 6) AS cos
+           |FROM cand JOIN n a ON a.vec_id = cand.d1
+           |  JOIN n b ON b.vec_id = cand.d2
+           |WHERE list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm) >= 0.4
+           |ORDER BY d1, d2""".stripMargin
+      },
 
-      "q_sim_ivf" ->
-        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
-          |  FROM embeddings),
-          |n AS (SELECT vec_id, vd,
-          |    sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
-          |c AS (SELECT cid, cv, cnrm FROM (
-          |  SELECT vec_id AS cid, vd AS cv, nrm AS cnrm,
-          |    row_number() OVER (ORDER BY vec_id) AS crn FROM n) t
-          |  WHERE crn <= (SELECT greatest(16, least(65536,
-          |    (count(*) + 63) // 64)) FROM embeddings)),
-          |asg AS (SELECT vec_id, cid FROM (
-          |  SELECT n.vec_id, c.cid, row_number() OVER (
-          |      PARTITION BY n.vec_id
-          |      ORDER BY list_dot_product(n.vd, c.cv) / (n.nrm * c.cnrm)
-          |        DESC, c.cid ASC) AS arn
-          |  FROM n CROSS JOIN c) t WHERE arn = 1),
-          |probes AS (SELECT q_id, cid FROM (
-          |  SELECT n.vec_id AS q_id, c.cid, row_number() OVER (
-          |      PARTITION BY n.vec_id
-          |      ORDER BY list_dot_product(n.vd, c.cv) / (n.nrm * c.cnrm)
-          |        DESC, c.cid ASC) AS prn
-          |  FROM n CROSS JOIN c WHERE n.vec_id < 10) t WHERE prn <= 2),
-          |cand AS (SELECT p.q_id, a.vec_id AS c_id,
-          |    list_dot_product(qn.vd, cn.vd) / (qn.nrm * cn.nrm) AS cos_raw
-          |  FROM probes p JOIN asg a ON p.cid = a.cid
-          |  JOIN n qn ON qn.vec_id = p.q_id
-          |  JOIN n cn ON cn.vec_id = a.vec_id
-          |  WHERE a.vec_id <> p.q_id)
-          |SELECT q_id, rnk, c_id, round(cos_raw, 6) AS cos FROM (
-          |  SELECT q_id, c_id, cos_raw, row_number() OVER (
-          |      PARTITION BY q_id ORDER BY cos_raw DESC, c_id ASC) AS rnk
-          |  FROM cand) t
-          |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+      // two-level IVF index + probes (r9): corpus assigned at nprobe 1,
+      // the 10 query vectors probe their cell's top-2 fine centroids
+      "q_sim_ivf" -> {
+        import graft.engine.OracleHash._
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+           |  FROM embeddings),
+           |n AS (SELECT vec_id, vd,
+           |    sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
+           |${ivf2IndexCtes("n", "vec_id")},
+           |${ivf2AssignCte("asg", "n", "vec_id", "", 1)},
+           |${ivf2AssignCte("probes", "n", "vec_id",
+              " WHERE p.vec_id < 10", 2)},
+           |cand AS (SELECT p.vec_id AS q_id, a.vec_id AS c_id,
+           |    list_dot_product(qn.vd, cn.vd) / (qn.nrm * cn.nrm) AS cos_raw
+           |  FROM probes p JOIN asg a ON p.cid = a.cid
+           |  JOIN n qn ON qn.vec_id = p.vec_id
+           |  JOIN n cn ON cn.vec_id = a.vec_id
+           |  WHERE a.vec_id <> p.vec_id)
+           |SELECT q_id, rnk, c_id, round(cos_raw, 6) AS cos FROM (
+           |  SELECT q_id, c_id, cos_raw, row_number() OVER (
+           |      PARTITION BY q_id ORDER BY cos_raw DESC, c_id ASC) AS rnk
+           |  FROM cand) t
+           |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+      },
 
       // q_sim_ivf's twin with the rank predicate flipped to the 6..15
-      // hard-negative window
-      "q_hard_negatives" ->
-        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
-          |  FROM embeddings),
-          |n AS (SELECT vec_id, vd,
-          |    sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
-          |c AS (SELECT cid, cv, cnrm FROM (
-          |  SELECT vec_id AS cid, vd AS cv, nrm AS cnrm,
-          |    row_number() OVER (ORDER BY vec_id) AS crn FROM n) t
-          |  WHERE crn <= (SELECT greatest(16, least(65536,
-          |    (count(*) + 63) // 64)) FROM embeddings)),
-          |asg AS (SELECT vec_id, cid FROM (
-          |  SELECT n.vec_id, c.cid, row_number() OVER (
-          |      PARTITION BY n.vec_id
-          |      ORDER BY list_dot_product(n.vd, c.cv) / (n.nrm * c.cnrm)
-          |        DESC, c.cid ASC) AS arn
-          |  FROM n CROSS JOIN c) t WHERE arn = 1),
-          |probes AS (SELECT q_id, cid FROM (
-          |  SELECT n.vec_id AS q_id, c.cid, row_number() OVER (
-          |      PARTITION BY n.vec_id
-          |      ORDER BY list_dot_product(n.vd, c.cv) / (n.nrm * c.cnrm)
-          |        DESC, c.cid ASC) AS prn
-          |  FROM n CROSS JOIN c WHERE n.vec_id < 10) t WHERE prn <= 2),
-          |cand AS (SELECT p.q_id, a.vec_id AS c_id,
-          |    list_dot_product(qn.vd, cn.vd) / (qn.nrm * cn.nrm) AS cos_raw
-          |  FROM probes p JOIN asg a ON p.cid = a.cid
-          |  JOIN n qn ON qn.vec_id = p.q_id
-          |  JOIN n cn ON cn.vec_id = a.vec_id
-          |  WHERE a.vec_id <> p.q_id)
-          |SELECT q_id, rnk, c_id, round(cos_raw, 6) AS cos FROM (
-          |  SELECT q_id, c_id, cos_raw, row_number() OVER (
-          |      PARTITION BY q_id ORDER BY cos_raw DESC, c_id ASC) AS rnk
-          |  FROM cand) t
-          |WHERE rnk BETWEEN 6 AND 15 ORDER BY q_id, rnk""".stripMargin,
+      // hard-negative window (same two-level index/probe CTEs)
+      "q_hard_negatives" -> {
+        import graft.engine.OracleHash._
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+           |  FROM embeddings),
+           |n AS (SELECT vec_id, vd,
+           |    sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
+           |${ivf2IndexCtes("n", "vec_id")},
+           |${ivf2AssignCte("asg", "n", "vec_id", "", 1)},
+           |${ivf2AssignCte("probes", "n", "vec_id",
+              " WHERE p.vec_id < 10", 2)},
+           |cand AS (SELECT p.vec_id AS q_id, a.vec_id AS c_id,
+           |    list_dot_product(qn.vd, cn.vd) / (qn.nrm * cn.nrm) AS cos_raw
+           |  FROM probes p JOIN asg a ON p.cid = a.cid
+           |  JOIN n qn ON qn.vec_id = p.vec_id
+           |  JOIN n cn ON cn.vec_id = a.vec_id
+           |  WHERE a.vec_id <> p.vec_id)
+           |SELECT q_id, rnk, c_id, round(cos_raw, 6) AS cos FROM (
+           |  SELECT q_id, c_id, cos_raw, row_number() OVER (
+           |      PARTITION BY q_id ORDER BY cos_raw DESC, c_id ASC) AS rnk
+           |  FROM cand) t
+           |WHERE rnk BETWEEN 6 AND 15 ORDER BY q_id, rnk""".stripMargin
+      },
 
       // RHP-LSH: regenerate the splitmix64 hyperplane signs (they depend
       // only on (plane, dim)), rebuild each 16-bit signature via
