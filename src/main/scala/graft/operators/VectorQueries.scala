@@ -24,6 +24,41 @@ object VectorQueries extends QueryPack {
       .select(col("vec_id"), col("label"),
         Vectors.asDouble(col("embedding")).as("v"))
 
+  /** The shared IVF ANN ranking: queries (vec_id < 10) probe the
+    * two-level index (Vectors.ivfIndex2/ivfAssign2 — corpus assigned at
+    * nprobe 1, queries probe their cell's top-2 fine centroids), and
+    * every candidate is re-ranked with the exact cosine. Consumers slice
+    * the rank window: q_sim_ivf takes 1-5, q_hard_negatives 6-15,
+    * q_ann_recall compares 1-5 against brute force. Scale notes: both
+    * index tables broadcast, corpus assignment is O(√nlist) dots per
+    * point, and the candidate join is an equi-join on cid — no all-pairs
+    * step. Output: (q_id, c_id, cos_raw, rnk). */
+  private def ivfRanked(s: SparkSession, d: String): DataFrame = {
+    val nprobe = 2
+    val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    // nlist = ceil(corpus/64) (clamped): lists stay ~64 deep at any SF
+    // — the oracle twins derive the identical count in SQL
+    val nlist = Vectors.deriveNlist(e.count())
+    val idx = Vectors.ivfIndex2(e, nlist)
+    val assign = Vectors.ivfAssign2(e, idx, 1)
+    val probes = Vectors.ivfAssign2(e.filter(col("id") < 10), idx, nprobe)
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_raw").desc, col("c_id").asc)
+    probes.select(col("id").as("q_id"), col("cid"))
+      .join(assign.select(col("id").as("c_id"), col("cid")), "cid")
+      .filter(col("q_id") =!= col("c_id"))
+      .join(broadcast(e.filter(col("id") < 10)
+        .select(col("id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qnrm"))), "q_id")
+      .join(e.select(col("id").as("c_id"), col("v").as("cv2"),
+        col("nrm").as("cnrm2")), "c_id")
+      .withColumn("cos_raw",
+        Vectors.dot(col("qv"), col("cv2")) / (col("qnrm") * col("cnrm2")))
+      .withColumn("rnk", row_number().over(wTop))
+      .select(col("q_id"), col("c_id"), col("cos_raw"), col("rnk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- per-label embedding statistics ------------------------------------
     "q_embed_stats" -> ((s, d) => {
@@ -186,36 +221,47 @@ object VectorQueries extends QueryPack {
     // equi-join on cid — search cost drops from O(|Q|·|C|) to
     // O(|Q|·|C|·nprobe/nlist) with no all-pairs step.
     "q_sim_ivf" -> ((s, d) => {
-      val nprobe = 2; val k = 5
-      val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
-        .withColumn("nrm", Vectors.norm(col("v")))
-      // nlist = ceil(corpus/64) (clamped): lists stay ~64 deep at any SF
-      // — the oracle twin derives the identical count in SQL
-      val nlist = Vectors.deriveNlist(e.count())
-      // TWO-LEVEL assignment (r9): the corpus-side flat scan was
-      // O(n·nlist) = O(n²/64); the shared index/probe split lives in
-      // Vectors (ivfIndex2/ivfAssign2) — the identical oracle-pinned
-      // blocking ivfBlockedPairs uses, so the IVF paths cannot drift
-      val idx = Vectors.ivfIndex2(e, nlist)
-      val assign = Vectors.ivfAssign2(e, idx, 1)
-      val probes = Vectors.ivfAssign2(e.filter(col("id") < 10), idx, nprobe)
-      val wTop = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos_raw").desc, col("c_id").asc)
-      probes.select(col("id").as("q_id"), col("cid"))
-        .join(assign.select(col("id").as("c_id"), col("cid")), "cid")
-        .filter(col("q_id") =!= col("c_id"))
-        .join(broadcast(e.filter(col("id") < 10)
-          .select(col("id").as("q_id"), col("v").as("qv"),
-            col("nrm").as("qnrm"))), "q_id")
-        .join(e.select(col("id").as("c_id"), col("v").as("cv2"),
-          col("nrm").as("cnrm2")), "c_id")
-        .withColumn("cos_raw",
-          Vectors.dot(col("qv"), col("cv2")) / (col("qnrm") * col("cnrm2")))
-        .withColumn("rnk", row_number().over(wTop))
-        .filter(col("rnk") <= k)
+      ivfRanked(s, d)
+        .filter(col("rnk") <= 5)
         .select(col("q_id"), col("rnk").cast("bigint").as("rnk"), col("c_id"),
           round(col("cos_raw"), 6).as("cos"))
         .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // -- ANN index health: recall@5 of the IVF index vs exact ---------------
+    // The monitoring every production ANN deployment runs: for a probe
+    // set of queries, how many of the TRUE top-5 neighbors does the
+    // index return? Exact side is the broadcast-query brute force (10
+    // queries × corpus — linear, the q_sim_topk shape); index side is
+    // the same two-level IVF ranking q_sim_ivf serves. Emitting this as
+    // a first-class operator means the recall/latency trade of the
+    // index parameters (nlist, nprobe, two-level cells) is measured by
+    // the pipeline itself, continuously — not asserted once in a spec.
+    "q_ann_recall" -> ((s, d) => {
+      val base = emb(s, d).withColumn("nrm", Vectors.norm(col("v")))
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qnrm"))
+      val c = base.select(col("vec_id").as("c_id"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_raw").desc, col("c_id").asc)
+      val exact = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+        .withColumn("cos_raw",
+          Vectors.dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("c_id"))
+      val approx = ivfRanked(s, d).filter(col("rnk") <= 5)
+        .select(col("q_id"), col("c_id"))
+      val hits = exact.join(approx, Seq("q_id", "c_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      exact.select(col("q_id")).distinct()
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)) / 5.0, 6).as("recall5"))
+        .orderBy(col("q_id"))
     }),
 
     // -- hard-negative mining for contrastive training ---------------------
@@ -230,26 +276,7 @@ object VectorQueries extends QueryPack {
     // only the rank window differs, so the oracle twin differs from
     // q_sim_ivf's by one predicate.
     "q_hard_negatives" -> ((s, d) => {
-      val nprobe = 2
-      val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
-        .withColumn("nrm", Vectors.norm(col("v")))
-      val nlist = Vectors.deriveNlist(e.count())
-      val idx = Vectors.ivfIndex2(e, nlist)
-      val assign = Vectors.ivfAssign2(e, idx, 1)
-      val probes = Vectors.ivfAssign2(e.filter(col("id") < 10), idx, nprobe)
-      val wTop = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos_raw").desc, col("c_id").asc)
-      probes.select(col("id").as("q_id"), col("cid"))
-        .join(assign.select(col("id").as("c_id"), col("cid")), "cid")
-        .filter(col("q_id") =!= col("c_id"))
-        .join(broadcast(e.filter(col("id") < 10)
-          .select(col("id").as("q_id"), col("v").as("qv"),
-            col("nrm").as("qnrm"))), "q_id")
-        .join(e.select(col("id").as("c_id"), col("v").as("cv2"),
-          col("nrm").as("cnrm2")), "c_id")
-        .withColumn("cos_raw",
-          Vectors.dot(col("qv"), col("cv2")) / (col("qnrm") * col("cnrm2")))
-        .withColumn("rnk", row_number().over(wTop))
+      ivfRanked(s, d)
         .filter(col("rnk") >= 6 && col("rnk") <= 15)
         .select(col("q_id"), col("rnk").cast("bigint").as("rnk"), col("c_id"),
           round(col("cos_raw"), 6).as("cos"))
@@ -595,6 +622,45 @@ object VectorQueries extends QueryPack {
            |      PARTITION BY q_id ORDER BY cos_raw DESC, c_id ASC) AS rnk
            |  FROM cand) t
            |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+      },
+
+      // exact top-5 (q_sim_topk's shape) intersected with the IVF top-5
+      // (q_sim_ivf's two-level CTEs) — per-query hit counts
+      "q_ann_recall" -> {
+        import graft.engine.OracleHash._
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+           |  FROM embeddings),
+           |n AS (SELECT vec_id, vd,
+           |    sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
+           |ex AS (SELECT q_id, c_id FROM (
+           |  SELECT a.vec_id AS q_id, b.vec_id AS c_id, row_number() OVER (
+           |      PARTITION BY a.vec_id
+           |      ORDER BY list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm)
+           |        DESC, b.vec_id ASC) AS rnk
+           |  FROM n a JOIN n b
+           |    ON a.vec_id < 10 AND a.vec_id <> b.vec_id) t
+           |  WHERE rnk <= 5),
+           |${ivf2IndexCtes("n", "vec_id")},
+           |${ivf2AssignCte("asg", "n", "vec_id", "", 1)},
+           |${ivf2AssignCte("probes", "n", "vec_id",
+              " WHERE p.vec_id < 10", 2)},
+           |iv AS (SELECT q_id, c_id FROM (
+           |  SELECT c.q_id, c.c_id, row_number() OVER (PARTITION BY c.q_id
+           |      ORDER BY c.cos_raw DESC, c.c_id ASC) AS rnk
+           |  FROM (SELECT p.vec_id AS q_id, a.vec_id AS c_id,
+           |      list_dot_product(qn.vd, cn.vd) / (qn.nrm * cn.nrm)
+           |        AS cos_raw
+           |    FROM probes p JOIN asg a ON p.cid = a.cid
+           |    JOIN n qn ON qn.vec_id = p.vec_id
+           |    JOIN n cn ON cn.vec_id = a.vec_id
+           |    WHERE a.vec_id <> p.vec_id) c) t
+           |  WHERE rnk <= 5),
+           |h AS (SELECT ex.q_id, count(*) AS n_hits
+           |  FROM ex JOIN iv USING (q_id, c_id) GROUP BY ex.q_id)
+           |SELECT q.q_id, coalesce(h.n_hits, 0) AS n_hits,
+           |  round(coalesce(h.n_hits, 0) / 5.0, 6) AS recall5
+           |FROM (SELECT DISTINCT q_id FROM ex) q LEFT JOIN h USING (q_id)
+           |ORDER BY q_id""".stripMargin
       },
 
       // q_sim_ivf's twin with the rank predicate flipped to the 6..15

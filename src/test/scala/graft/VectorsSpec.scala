@@ -121,6 +121,43 @@ class VectorsSpec extends AnyFunSuite {
         s"hard negative ($q,$c) cos $cos above top-5 floor ${minTop(q)}") }
   }
 
+  test("q_ann_recall agrees with an independent exact-vs-ivf set comparison") {
+    val rows = SparkEntry.queries("q_ann_recall")(spark, SparkFixture.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 10 && rows.map(_._1).toSet == (0L until 10L).toSet)
+    rows.foreach { case (q, h, r) =>
+      assert(h >= 0 && h <= 5, s"query $q hits $h out of range")
+      assert(math.abs(r - h / 5.0) < 1e-9, s"query $q recall != hits/5")
+    }
+    // independent recomputation from the two declared rankings
+    val ivf = SparkEntry.queries("q_sim_ivf")(spark, SparkFixture.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    import org.apache.spark.sql.expressions.Window
+    val base = spark.read
+      .parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+      .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    val q = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_raw").desc, col("c_id").asc)
+    val exact = base.select(col("vec_id").as("c_id"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+      .join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("cos_raw",
+        Vectors.dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("c_id"))
+      .as[(Long, Long)].collect()
+    val expected = exact.groupBy(_._1).view
+      .mapValues(_.count(p => ivf.contains(p))).toMap
+    rows.foreach { case (qid, h, _) =>
+      assert(h == expected.getOrElse(qid, 0),
+        s"query $qid hits $h != independent ${expected.getOrElse(qid, 0)}") }
+  }
+
   test("RHP signature is deterministic and scale-invariant") {
     val sigs = df.select($"id",
       Vectors.rhpSignature($"a", 16).as("s1"),
