@@ -430,6 +430,43 @@ object VectorQueries extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // -- per-dimension standardization (z-score) of the embedding corpus --
+    // The preprocessing step before clustering/ANN when dimensions have
+    // uneven scales: each component becomes (x - μ_dim)/σ_dim. FP
+    // determinism without a prescribed aggregation order: components are
+    // quantized to integers first (the q_kmeans fixed-point discipline),
+    // so the per-dim moment sums are EXACT integers regardless of
+    // partitioning, and μ/σ derive from them with a fixed expression
+    // shape both engines evaluate identically; outputs are
+    // floor-quantized (z-scores go negative — round() is out per the
+    // q_semdedup precedent). Scale shape: one narrow posexplode pass,
+    // one 64-group agg, stats broadcast back, one per-vec agg. The s2
+    // sums stay under 2^63 to ~10⁸ vectors at this quantization; beyond
+    // that the moment agg splits into two levels (sum of per-partition
+    // sums in DECIMAL).
+    "q_embed_standardize" -> ((s, d) => {
+      val p = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(transform(col("embedding"),
+          x => floor((greatest(x.cast("double"), lit(-1.0)) + lit(1.0)) *
+            lit(1000000.0)).cast("long"))).as(Seq("dim", "q")))
+      val st = p.groupBy(col("dim")).agg(count(lit(1)).as("n"),
+        sum(col("q")).as("s1"), sum(col("q") * col("q")).as("s2"))
+      val z = st.select(col("dim"),
+        (col("s1").cast("double") / col("n")).as("mu"),
+        sqrt((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") / col("n")) /
+          col("n") + lit(1e-12)).as("sd"))
+      p.join(broadcast(z), "dim")
+        .withColumn("zq",
+          floor((col("q") - col("mu")) / col("sd") * lit(1e6) + lit(0.5))
+            / lit(1e6))
+        .groupBy(col("vec_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("zq")))),
+          x => x.getField("zq")).as("zvec"))
+        .orderBy(col("vec_id"))
+    }),
+
     // -- product quantization: PQ codes for IVF-PQ-style ANN ---------------
     // The compression half of a 100 TB vector index (Jégou et al. 2011):
     // each 64-dim vector splits into 8 subspaces of 8 dims, each
@@ -820,6 +857,28 @@ object VectorQueries extends QueryPack {
           |  floor(asg.csim * 1e6 + 0.5e0) / 1e6 AS centroid_sim,
           |  (dr.id IS NOT NULL) AS dropped
           |FROM asg LEFT JOIN dr USING (id) ORDER BY vec_id""".stripMargin,
+
+      // exact integer moments per dim, identical μ/σ expression shape,
+      // floor-quantized z-scores (negative values — no round())
+      "q_embed_standardize" ->
+        """WITH p AS (SELECT vec_id,
+          |    generate_subscripts(embedding, 1) - 1 AS dim,
+          |    CAST(floor((greatest(CAST(unnest(embedding) AS DOUBLE),
+          |      CAST(-1.0 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+          |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS q
+          |  FROM embeddings),
+          |st AS (SELECT dim, count(*) AS n, CAST(sum(q) AS BIGINT) AS s1,
+          |    CAST(sum(q * q) AS BIGINT) AS s2 FROM p GROUP BY dim),
+          |z AS (SELECT dim, CAST(s1 AS DOUBLE) / n AS mu,
+          |    sqrt((CAST(s2 AS DOUBLE)
+          |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n
+          |      + 1e-12) AS sd
+          |  FROM st)
+          |SELECT p.vec_id,
+          |  list(floor((p.q - z.mu) / z.sd * 1e6 + 0.5e0) / 1e6
+          |    ORDER BY p.dim) AS zvec
+          |FROM p JOIN z USING (dim)
+          |GROUP BY p.vec_id ORDER BY p.vec_id""".stripMargin,
 
       // the same fixed-point quantization as kmeansSql, list-formed;
       // integer distances make every argmin an exact comparison

@@ -121,6 +121,23 @@ class VectorsSpec extends AnyFunSuite {
         s"hard negative ($q,$c) cos $cos above top-5 floor ${minTop(q)}") }
   }
 
+  test("q_embed_standardize: every output dimension has mean ~0 and std ~1") {
+    val rows = SparkEntry.queries("q_embed_standardize")(
+        spark, SparkFixture.sfDir)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(rows.nonEmpty)
+    val dims = rows.head._2.length
+    assert(rows.forall(_._2.length == dims), "ragged output vectors")
+    (0 until dims).foreach { j =>
+      val col = rows.map(_._2(j))
+      val mean = col.sum / col.length
+      val sd = math.sqrt(col.map(x => (x - mean) * (x - mean)).sum /
+        col.length)
+      assert(math.abs(mean) < 1e-3, s"dim $j mean $mean not ~0")
+      assert(math.abs(sd - 1.0) < 1e-2, s"dim $j std $sd not ~1")
+    }
+  }
+
   test("q_ann_recall agrees with an independent exact-vs-ivf set comparison") {
     val rows = SparkEntry.queries("q_ann_recall")(spark, SparkFixture.sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
