@@ -724,6 +724,42 @@ object TextQueries extends QueryPack {
         .orderBy(col("d_in"), col("d_of"))
     }),
 
+    // -- containment survivorship: cull docs swallowed by larger ones ------
+    // The action on q_dedup_contain's pairs: a doc is culled iff ≥ 0.8
+    // of its shingles appear in a STRICTLY larger doc (or an equal-size
+    // doc with lower doc_id — the exact-duplicate tiebreak), keeping the
+    // most complete copy of every piece of content. Each culled doc
+    // carries a deterministic witness (highest containment, tie → lowest
+    // container id). Scale shape: the pair mining is the one-sided
+    // prefix filter (linear-ish, see containmentPairs); the verdict join
+    // and witness window are keyed by doc id.
+    "q_contain_keep" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val sz = docs
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"),
+          size(TextDedup.wordShingles(col("text"))).as("sz"))
+      val culls = TextDedup.containmentPairs(docs, 0.8)
+        .join(sz.select(col("doc_id").as("d_in"), col("sz").as("sz_in")),
+          "d_in")
+        .join(sz.select(col("doc_id").as("d_of"), col("sz").as("sz_of")),
+          "d_of")
+        .filter(col("sz_of") > col("sz_in") ||
+          (col("sz_of") === col("sz_in") && col("d_of") < col("d_in")))
+      val w = Window.partitionBy(col("d_in"))
+        .orderBy(col("containment").desc, col("d_of").asc)
+      val witness = culls.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("d_in").as("doc_id"), col("d_of").as("contained_in"),
+          col("containment"))
+      sz.select(col("doc_id"), col("sz").cast("bigint").as("n_shingles"))
+        .join(witness, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          col("contained_in").isNull.as("kept"),
+          col("contained_in"), col("containment"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- near-dup: MinHash + LSH banding (FNV/splitmix64 — oracle-hashed) --
     "q_dedup_minhash" -> ((s, d) => {
       TextDedup.minHashLshPairs(
@@ -1239,6 +1275,33 @@ object TextQueries extends QueryPack {
            |    AS target_text
            |FROM sid GROUP BY doc_id ORDER BY doc_id""".stripMargin
       },
+
+      // the contain pair set + size/tiebreak cull rule + witness ranking
+      "q_contain_keep" ->
+        s"""WITH t AS (SELECT doc_id,
+          |    list_distinct(list_transform(
+          |      range(0, greatest(len(string_split($normSql, ' ')) - 4, 1)),
+          |      i -> array_to_string(string_split($normSql, ' ')[i+1:i+5],
+          |        ' '))) AS toks
+          |  FROM documents),
+          |pr AS (SELECT a.doc_id AS d_in, b.doc_id AS d_of,
+          |    round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+          |      len(a.toks), 6) AS containment,
+          |    len(a.toks) AS sz_in, len(b.toks) AS sz_of
+          |  FROM t a JOIN t b ON a.doc_id <> b.doc_id
+          |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+          |      len(a.toks) >= 0.8
+          |    AND (len(b.toks) > len(a.toks) OR
+          |      (len(b.toks) = len(a.toks) AND b.doc_id < a.doc_id))),
+          |w AS (SELECT d_in AS doc_id, d_of AS contained_in, containment
+          |  FROM (SELECT d_in, d_of, containment, row_number() OVER (
+          |      PARTITION BY d_in
+          |      ORDER BY containment DESC, d_of ASC) AS rk FROM pr) x
+          |  WHERE rk = 1)
+          |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_shingles,
+          |  w.contained_in IS NULL AS kept, w.contained_in, w.containment
+          |FROM t LEFT JOIN w USING (doc_id)
+          |ORDER BY t.doc_id""".stripMargin,
 
       // exact all-ORDERED-pairs containment (a ≠ b, |A∩B| >= 0.8|A|) —
       // string shingles stand in for the FNV hashes (same cardinalities,

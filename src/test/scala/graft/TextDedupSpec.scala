@@ -134,6 +134,29 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == brute, s"missing: ${brute -- got}; extra: ${got -- brute}")
   }
 
+  test("q_contain_keep verdicts are consistent with the q_dedup_contain pair set") {
+    import SparkFixture.sfDir
+    val verdicts = SparkEntry.queries("q_contain_keep")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val total = graft.engine.Tables.documents(spark, sfDir).count()
+    assert(verdicts.length == total, "every doc needs a verdict")
+    val pairs = SparkEntry.queries("q_dedup_contain")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sz = verdicts.map(v => v._1 -> v._2).toMap
+    // culled ⟺ some strictly-larger (or equal-size lower-id) container
+    // exists in the mined pair set, and the witness is one of them
+    verdicts.foreach { case (id, _, kept, witness) =>
+      val containers = pairs.filter(_._1 == id).map(_._2)
+        .filter(c => sz(c) > sz(id) || (sz(c) == sz(id) && c < id))
+      assert(kept == containers.isEmpty, s"doc $id verdict inconsistent")
+      witness.foreach(w => assert(containers.contains(w),
+        s"doc $id witness $w not a valid container"))
+    }
+    assert(verdicts.exists(!_._3) && verdicts.exists(_._3),
+      "fixture should contain both culled and kept docs")
+  }
+
   test("SimHash: identical docs at hamming 0; self-pairs excluded") {
     val sh = TextDedup.simHashPairs(docs, maxHamming = 3)
       .select($"d1", $"d2", $"hamming").as[(Long, Long, Long)]
