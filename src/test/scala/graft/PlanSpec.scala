@@ -56,7 +56,7 @@ class PlanSpec extends AnyFunSuite {
       // q_dsir / q_hard_negatives are excluded: their only cross joins
       // are the accepted broadcast-scalar/centroid pattern (1-row totals,
       // nlist-row centroid table)
-      "q_dedup_contain", "q_novelty")
+      "q_dedup_contain", "q_contain_keep", "q_novelty")
     assert(mustBeKeyed.forall(q => !allPairs.contains(q)),
       "a query is listed as both keyed and all-pairs")
     for (q <- mustBeKeyed) {
