@@ -1,0 +1,92 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed order-statistics helpers: global prefix sums / ranks under
+  * a total order WITHOUT a single-partition window.
+  *
+  * The naive distributed formulation — repartitionByRange, then count
+  * per physical partition in one job and window per partition in a
+  * second — is subtly WRONG at scale: RangePartitioner samples its
+  * boundaries with a seed derived from the RDD id, which differs between
+  * the two jobs, so once real sampling engages (> ~20·p rows) the jobs
+  * can disagree about which partition a row belongs to and the stitched
+  * offsets corrupt the prefix (caught by the q_histogram_eqdepth oracle
+  * at sf0.01; the pattern's first user q_token_budget escaped only
+  * because the oracle corpus is small enough that the sampler degrades
+  * to a full scan).
+  *
+  * This helper never depends on physical partitioning: range boundaries
+  * come from ONE seeded sample (deterministic for a fixed input), the
+  * range id `pid` is a pure COLUMN of the row (count of boundaries
+  * ordered strictly before it), and both the offset aggregation and the
+  * running-sum window key on that column. Boundary quality affects only
+  * balance, never correctness: a degenerate sample just means fewer,
+  * fatter ranges (worst case one — the tiny-input case, where a single
+  * partition is appropriate anyway).
+  */
+object Dist {
+
+  /** Adds `cum` — the inclusive global prefix sum of `weightCol` under
+    * the total order (valueCol asc/desc, idCol asc) — to `df`. Shapes:
+    * one seeded-sample collect (~20·p rows), one p-group aggregation
+    * (p longs to the driver), a broadcast offset join, and a pid-keyed
+    * running-sum window. `valueCol` must be DoubleType and `idCol`
+    * LongType; `weightCol` LongType. */
+  def globalPrefixSum(df: DataFrame, valueCol: String, asc: Boolean,
+                      idCol: String, weightCol: String,
+                      p: Int): DataFrame = {
+    val spark = df.sparkSession
+    val n = df.count()
+    val frac = if (n <= 0) 1.0 else math.min(1.0, (20.0 * p) / n)
+    val sampled = df.select(col(valueCol), col(idCol))
+      .sample(withReplacement = false, frac, seed = 42L)
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    val ord: Ordering[(Double, Long)] =
+      if (asc) Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+      else Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse,
+        Ordering.Long)
+    val sorted = sampled.sorted(ord)
+    // up to p-1 boundaries at even sample strides; dedup keeps the pid
+    // function strictly monotone over ranges
+    val stride = math.max(1, sorted.length / p)
+    val boundaries = sorted.indices
+      .collect { case i if i > 0 && i % stride == 0 => sorted(i) }
+      .distinct.take(p - 1)
+    // pid = number of boundaries strictly before the row in the order
+    val pidCol = boundaries.foldLeft(lit(0)) { case (acc, (bv, bk)) =>
+      val after =
+        if (asc) col(valueCol) > bv ||
+          (col(valueCol) === bv && col(idCol) > bk)
+        else col(valueCol) < bv ||
+          (col(valueCol) === bv && col(idCol) > bk)
+      acc + when(after, 1).otherwise(0)
+    }
+    val withPid = df.withColumn("pid", pidCol)
+    val totals = withPid.groupBy(col("pid"))
+      .agg(sum(col(weightCol)).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nRanges = boundaries.length + 1
+    val offsets = (0 until nRanges).scanLeft(0L) {
+      case (acc, pid) => acc + totals.getOrElse(pid, 0L)
+    }.take(nRanges)
+    val offDf = spark.createDataFrame(
+      java.util.Arrays.asList(offsets.zipWithIndex.map {
+        case (off, pid) => org.apache.spark.sql.Row(pid, off) }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("off",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val sortCols =
+      if (asc) Seq(col(valueCol).asc, col(idCol).asc)
+      else Seq(col(valueCol).desc, col(idCol).asc)
+    val w = Window.partitionBy(col("pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withPid.join(broadcast(offDf), "pid")
+      .withColumn("cum", col("off") + sum(col(weightCol)).over(w))
+      .drop("pid", "off")
+  }
+}

@@ -240,6 +240,32 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("o_orderpriority"), col("bucket"))
     }),
 
+    // -- WHOLE-TABLE equi-depth histogram without a global window ----------
+    // The profile q_histogram's comment punts on: exact quantile buckets
+    // over the entire table. A global ntile/row_number window would
+    // single-partition the corpus at any scale; instead the global rank
+    // comes from Dist.globalPrefixSum (weight 1 ⇒ rank): seeded-sample
+    // boundaries, pid as a pure column, keyed offsets + running sum —
+    // deterministic and invariant to physical partitioning (see Dist for
+    // why the naive two-job repartitionByRange stitch is wrong).
+    // bucket = ((rank-1)·B) div n is pure integer arithmetic, so the
+    // oracle's single-window formulation matches bit-for-bit.
+    "q_histogram_eqdepth" -> ((s, d) => {
+      val b = 8
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("one", lit(1L))
+      val n = o.count()
+      graft.engine.Dist.globalPrefixSum(o, "o_totalprice", asc = true,
+          "o_orderkey", "one", s.sparkContext.defaultParallelism)
+        .withColumn("bucket", expr(s"((cum - 1) * $b) div $n"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"))
+        .orderBy(col("bucket"))
+    }),
+
     // -- declarative data-quality validation (Deequ-shaped rule suite) -----
     // The warehouse QA gate a pipeline runs before publishing a table:
     // null-ness, key uniqueness, value domain, range, and referential
@@ -812,6 +838,18 @@ object AnalyticsQueries extends QueryPack {
         |    CAST(ntile(10) OVER (PARTITION BY o_orderpriority
         |      ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket
         |  FROM orders) t
-        |GROUP BY 1, 2 ORDER BY o_orderpriority, bucket""".stripMargin
+        |GROUP BY 1, 2 ORDER BY o_orderpriority, bucket""".stripMargin,
+
+    // one global window here is fine for the ORACLE (DuckDB, test scale);
+    // the Spark side must reproduce the identical ranks distributed
+    "q_histogram_eqdepth" ->
+      """WITH r AS (SELECT o_totalprice,
+        |    row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM orders)
+        |SELECT ((rn - 1) * 8) // n AS bucket, count(*) AS n_rows,
+        |  round(min(o_totalprice), 2) AS lo,
+        |  round(max(o_totalprice), 2) AS hi
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

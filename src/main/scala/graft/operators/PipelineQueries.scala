@@ -340,16 +340,13 @@ object PipelineQueries extends QueryPack {
     // corpus by quality (q_quality_score's heuristic, quantized to 6
     // decimals so the sort key is engine-portable; doc_id tiebreak) and
     // keep the prefix whose cumulative token count fits the budget.
-    // The cumulative sum is a DISTRIBUTED PREFIX SUM, not a global
-    // single-partition window: repartitionByRange on the sort key, one
-    // per-partition token total (P rows to the driver — P values, not
-    // data), exclusive partition offsets joined back broadcast, and a
-    // per-partition running-sum window (keyed by partition id, so the
-    // sort is partition-local). The result is invariant to P and to
-    // where the sampled range boundaries land, because offset + local
-    // prefix IS the global prefix under the total order. At 1000
-    // executors this is the only formulation that doesn't funnel the
-    // corpus through one task.
+    // The cumulative count is a DISTRIBUTED PREFIX SUM
+    // (Dist.globalPrefixSum): seeded-sample boundaries, pid as a pure
+    // column of the row, keyed offsets + running-sum window — the
+    // formulation that neither funnels the corpus through one task nor
+    // depends on physical partitioning (the earlier two-job
+    // repartitionByRange stitch was subtly nondeterministic at scale;
+    // see Dist's scaladoc).
     "q_token_budget" -> ((s, d) => {
       val budget = 20000L
       val scored = Tables.documents(s, d)
@@ -362,33 +359,11 @@ object PipelineQueries extends QueryPack {
         .withColumn("score",
           round((col("uniq_ratio") + col("len_score")) / 2.0, 6))
         .select(col("doc_id"), col("n_tok"), col("score"))
-      val p = s.sparkContext.defaultParallelism
-      val ranged = scored
-        .repartitionByRange(p, col("score").desc, col("doc_id").asc)
-        .withColumn("pid", spark_partition_id())
-      // P partition totals; exclusive prefix computed driver-side over
-      // P longs (not a data collect)
-      val totals = ranged.groupBy(col("pid"))
-        .agg(sum(col("n_tok")).as("pt"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val offsets = (0 until p).scanLeft(0L) {
-        case (acc, pid) => acc + totals.getOrElse(pid, 0L)
-      }.take(p)
-      val offDf = s.createDataFrame(
-        java.util.Arrays.asList(offsets.zipWithIndex.map {
-          case (off, pid) => org.apache.spark.sql.Row(pid, off) }: _*),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("pid",
-            org.apache.spark.sql.types.IntegerType, nullable = false),
-          org.apache.spark.sql.types.StructField("off",
-            org.apache.spark.sql.types.LongType, nullable = false))))
-      val w = Window.partitionBy(col("pid"))
-        .orderBy(col("score").desc, col("doc_id").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ranged.join(broadcast(offDf), "pid")
-        .withColumn("cum_tokens", col("off") + sum(col("n_tok")).over(w))
+      graft.engine.Dist.globalPrefixSum(scored, "score", asc = false,
+          "doc_id", "n_tok", s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("n_tok").as("n_tokens"), col("score"),
-          col("cum_tokens"), (col("cum_tokens") <= budget).as("kept"))
+          col("cum").as("cum_tokens"),
+          (col("cum") <= budget).as("kept"))
         .orderBy(col("doc_id"))
     }),
 

@@ -73,15 +73,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin"), p)
   }
 
-  test("q_token_budget computes its prefix sum range-partitioned, not in one task") {
+  test("q_token_budget computes its prefix sum pid-keyed, not in one task") {
+    // the cumulative sum must ride Dist.globalPrefixSum's pid-keyed
+    // window — a global ORDER BY window would show an empty partition
+    // spec (single-partition execution at any scale)
     val p = plan("q_token_budget")
-    // the cumulative sum must ride the repartitionByRange exchange with a
-    // pid-keyed window — a global ORDER BY window would show an empty
-    // partition spec (single-partition execution at any scale)
-    assert(p.contains("rangepartitioning"), p)
-    assert(!p.contains("windowspecdefinition(" + "sort"),
-      "window must be partitioned by pid")
-    val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    val windowLines = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.nonEmpty, "expected a running-sum window")
     assert(windowLines.forall(_.contains("pid")),
       s"un-keyed window in plan:\n${windowLines.mkString("\n")}")
   }
