@@ -440,10 +440,14 @@ object VectorQueries extends QueryPack {
     // shape both engines evaluate identically; outputs are
     // floor-quantized (z-scores go negative — round() is out per the
     // q_semdedup precedent). Scale shape: one narrow posexplode pass,
-    // one 64-group agg, stats broadcast back, one per-vec agg. The s2
-    // sums stay under 2^63 to ~10⁸ vectors at this quantization; beyond
-    // that the moment agg splits into two levels (sum of per-partition
-    // sums in DECIMAL).
+    // one 64-group agg, stats broadcast back. The s2 sums stay under
+    // 2^63 to ~10⁸ vectors at this quantization; beyond that the moment
+    // agg splits into two levels (sum of per-partition sums in DECIMAL).
+    // Output is the exploded (vec_id, dim, z) long form, not a
+    // re-assembled array column: downstream relational consumers (and
+    // the comparison harness) want scalar columns, and the long form is
+    // the cheaper plan anyway — the collect_list re-assembly agg is pure
+    // overhead when the next consumer explodes again.
     "q_embed_standardize" -> ((s, d) => {
       val p = Tables.embeddings(s, d)
         .select(col("vec_id"), posexplode(transform(col("embedding"),
@@ -457,14 +461,10 @@ object VectorQueries extends QueryPack {
           col("s1").cast("double") * col("s1").cast("double") / col("n")) /
           col("n") + lit(1e-12)).as("sd"))
       p.join(broadcast(z), "dim")
-        .withColumn("zq",
-          floor((col("q") - col("mu")) / col("sd") * lit(1e6) + lit(0.5))
-            / lit(1e6))
-        .groupBy(col("vec_id"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("dim"), col("zq")))),
-          x => x.getField("zq")).as("zvec"))
-        .orderBy(col("vec_id"))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          (floor((col("q") - col("mu")) / col("sd") * lit(1e6) + lit(0.5))
+            / lit(1e6)).as("z"))
+        .orderBy(col("vec_id"), col("dim"))
     }),
 
     // -- product quantization: PQ codes for IVF-PQ-style ANN ---------------
@@ -859,7 +859,8 @@ object VectorQueries extends QueryPack {
           |FROM asg LEFT JOIN dr USING (id) ORDER BY vec_id""".stripMargin,
 
       // exact integer moments per dim, identical μ/σ expression shape,
-      // floor-quantized z-scores (negative values — no round())
+      // floor-quantized z-scores (negative values — no round());
+      // exploded (vec_id, dim, z) long form mirrors the Spark side
       "q_embed_standardize" ->
         """WITH p AS (SELECT vec_id,
           |    generate_subscripts(embedding, 1) - 1 AS dim,
@@ -874,11 +875,10 @@ object VectorQueries extends QueryPack {
           |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n
           |      + 1e-12) AS sd
           |  FROM st)
-          |SELECT p.vec_id,
-          |  list(floor((p.q - z.mu) / z.sd * 1e6 + 0.5e0) / 1e6
-          |    ORDER BY p.dim) AS zvec
+          |SELECT p.vec_id, p.dim,
+          |  floor((p.q - z.mu) / z.sd * 1e6 + 0.5e0) / 1e6 AS z
           |FROM p JOIN z USING (dim)
-          |GROUP BY p.vec_id ORDER BY p.vec_id""".stripMargin,
+          |ORDER BY p.vec_id, p.dim""".stripMargin,
 
       // the same fixed-point quantization as kmeansSql, list-formed;
       // integer distances make every argmin an exact comparison

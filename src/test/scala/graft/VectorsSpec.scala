@@ -122,14 +122,18 @@ class VectorsSpec extends AnyFunSuite {
   }
 
   test("q_embed_standardize: every output dimension has mean ~0 and std ~1") {
+    // long-form output: one (vec_id, dim, z) row per vector component
     val rows = SparkEntry.queries("q_embed_standardize")(
         spark, SparkFixture.sfDir)
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(rows.nonEmpty)
-    val dims = rows.head._2.length
-    assert(rows.forall(_._2.length == dims), "ragged output vectors")
-    (0 until dims).foreach { j =>
-      val col = rows.map(_._2(j))
+    val nVec = rows.map(_._1).distinct.length
+    val byDim = rows.groupBy(_._2)
+    // rectangular: every dim covers every vector exactly once
+    byDim.foreach { case (j, g) =>
+      assert(g.length == nVec, s"dim $j has ${g.length} rows, want $nVec") }
+    byDim.foreach { case (j, g) =>
+      val col = g.map(_._3)
       val mean = col.sum / col.length
       val sd = math.sqrt(col.map(x => (x - mean) * (x - mean)).sum /
         col.length)
