@@ -67,6 +67,28 @@ object FunctionQueries extends QueryPack {
         .orderBy(col("c_custkey"))
     }),
 
+    // -- hand-written UDTF (SURVEY §2.2 UDTF row, dedicated exemplar) ------
+    // The table-generating counterpart of q_udaf_geomean: a custom
+    // Catalyst `Generator` (NativeExpressions.SentenceSplit) splitting
+    // each document into (pos, sentence) rows, invoked through the SQL
+    // registration path (LATERAL VIEW + graft_sentences from
+    // GraftFunctions) so the query pins both the generator semantics and
+    // the FunctionRegistry wiring. `explode`-composition covers this
+    // surface elsewhere; this row exists to exercise the real Generator
+    // SPI — elementSchema, per-row streaming emit, GenerateExec. The
+    // synthetic corpus has no sentence punctuation, so boundaries are
+    // injected first (' the ' → '. ') — a deterministic preprocessing
+    // both engines share — giving 1-8 sentences per document.
+    "q_udtf_gen" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("g_udtf_docs")
+      s.sql("""SELECT doc_id, t.pos, t.sentence
+              |FROM (SELECT doc_id,
+              |        regexp_replace(text, ' the ', '. ') AS text
+              |      FROM g_udtf_docs) p
+              |LATERAL VIEW graft_sentences(text) t AS pos, sentence
+              |ORDER BY doc_id, pos""".stripMargin)
+    }),
+
     // -- URL parsing (crawl-corpus curation surface) -----------------------
     // parse_url is how a 100 TB web corpus derives its per-domain keys
     // (dedup by host, robots filtering, domain mixing). DuckDB has no
@@ -381,6 +403,22 @@ object FunctionQueries extends QueryPack {
         |       WHEN c_acctbal >= 5000 THEN 'high'
         |       ELSE 'standard' END AS tier_sql
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // the regex twin of the SentenceSplit char scan: split on
+    // punct-run + whitespace-run, drop empty segments, number the kept
+    // ones 0-based (list_filter BEFORE generate_subscripts — the
+    // generator numbers kept segments only)
+    "q_udtf_gen" ->
+      """WITH s AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(
+        |        regexp_replace(text, ' the ', '. ', 'g'),
+        |        '[.!?]+[ \t\n\r]+'),
+        |      x -> x <> '') AS ss
+        |  FROM documents)
+        |SELECT doc_id, CAST(generate_subscripts(ss, 1) - 1 AS BIGINT)
+        |    AS pos,
+        |  unnest(ss) AS sentence
+        |FROM s ORDER BY doc_id, pos""".stripMargin,
 
     // hard-coded expected components (DuckDB has no parse_url); NULLs
     // where the URL lacks the part

@@ -64,6 +64,12 @@ object GraftFunctions {
       args => {
         require(args.length == 1, s"expected 1 argument, got ${args.length}")
         NativeExpressions.SplitMix64(args.head)
+      }),
+    (FunctionIdentifier("graft_sentences"),
+      info("graft_sentences", "_FUNC_(text) - UDTF: one (pos, sentence) row per sentence"),
+      args => {
+        require(args.length == 1, s"expected 1 argument, got ${args.length}")
+        NativeExpressions.SentenceSplit(args.head)
       })
   )
 

@@ -3,10 +3,11 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, Generator, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions (with `doGenCode`) for per-pair hot loops.
   *
@@ -748,11 +749,85 @@ object NativeExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Hand-written table-generating expression (UDTF): splits a document
+    * into sentences, emitting one (pos, sentence) row per sentence —
+    * SURVEY.md §2.2's UDTF row as a real Catalyst `Generator`, not an
+    * `explode` composition. A delimiter is a run of sentence punctuation
+    * (`.` `!` `?`) followed by a run of whitespace (space/tab/LF/CR); the
+    * delimiter is consumed, empty segments are dropped, and `pos` numbers
+    * the KEPT segments 0-based. This is exactly
+    * `regexp_split_to_array(text, '[.!?]+[ \t\n\r]+')` + drop-empties in
+    * the oracle, but as a single-pass char scan with no regex engine and
+    * no intermediate array value — the generator streams rows straight
+    * into `GenerateExec`'s row buffer. Scale shape: per-row narrow work,
+    * parallelism follows the scan; null text emits no rows (matches
+    * `unnest(NULL)`).
+    */
+  case class SentenceSplit(child: Expression)
+      extends UnaryExpression with Generator with CodegenFallback
+      with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def prettyName: String = "graft_sentences"
+    override def elementSchema: StructType = StructType(Seq(
+      StructField("pos", LongType, nullable = false),
+      StructField("sentence", StringType, nullable = false)))
+
+    private def isPunct(c: Char): Boolean = c == '.' || c == '!' || c == '?'
+    private def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\r'
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+        : IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+      val t = child.eval(input)
+      if (t == null) return Nil
+      val s = t.asInstanceOf[UTF8String].toString
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.catalyst.InternalRow]
+      var pos = 0L
+      var segStart = 0
+      var i = 0
+      val n = s.length
+      def emit(end: Int): Unit = if (end > segStart) {
+        out += org.apache.spark.sql.catalyst.InternalRow(
+          pos, UTF8String.fromString(s.substring(segStart, end)))
+        pos += 1L
+      }
+      while (i < n) {
+        if (isPunct(s.charAt(i))) {
+          var j = i + 1
+          while (j < n && isPunct(s.charAt(j))) j += 1
+          if (j < n && isWs(s.charAt(j))) {
+            // delimiter: punct run + ws run; close the segment before it
+            emit(i)
+            var k = j + 1
+            while (k < n && isWs(s.charAt(k))) k += 1
+            segStart = k
+            i = k
+          } else {
+            // punct run not followed by ws — no match can start inside
+            // the run either (same next char), so skip the whole run
+            i = j
+          }
+        } else {
+          i += 1
+        }
+      }
+      emit(n)
+      out
+    }
+
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(child = newChild)
+  }
+
   private def expr(c: Column) = ExpressionUtils.expression(c)
 
   /** Column API for the native expressions. */
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProductDouble(expr(a), expr(b)))
+
+  def sentences(text: Column): Column =
+    ExpressionUtils.column(SentenceSplit(expr(text)))
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedIntersectCount(expr(a), expr(b)))

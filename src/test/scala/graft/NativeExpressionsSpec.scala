@@ -142,6 +142,60 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(out.forall(_.isEmpty))
   }
 
+  test("SentenceSplit generator: delimiter, numbering, and edge semantics") {
+    val cases = Seq(
+      // plain sentences: delimiter consumed, pos numbers kept segments
+      "One. Two! Three? Four" ->
+        Seq((0L, "One"), (1L, "Two"), (2L, "Three"), (3L, "Four")),
+      // punct run collapses to one delimiter; trailing punct w/o ws kept
+      "Wait... really?! Yes." ->
+        Seq((0L, "Wait"), (1L, "really"), (2L, "Yes.")),
+      // punct not followed by whitespace does not split (a.b, $3.50)
+      "Pay $3.50 now. Version a.b ships" ->
+        Seq((0L, "Pay $3.50 now"), (1L, "Version a.b ships")),
+      // leading delimiter yields an empty first segment — dropped,
+      // numbering starts at the first kept segment
+      ". Lead gone. Tail" -> Seq((0L, "Lead gone"), (1L, "Tail")),
+      // back-to-back delimiters produce an empty mid segment — dropped
+      "A. ! B" -> Seq((0L, "A"), (1L, "B")),
+      // CRLF and tabs count as whitespace
+      "Line one.\r\n\tLine two" -> Seq((0L, "Line one"), (1L, "Line two")),
+      // no delimiter at all: one segment, pos 0
+      "no punctuation here" -> Seq((0L, "no punctuation here")),
+      // empty text: no rows
+      "" -> Seq.empty)
+    cases.foreach { case (text, expected) =>
+      val got = Seq(text).toDF("t")
+        .select(NativeExpressions.sentences(col("t"))
+          .as(Seq("pos", "sentence")))
+        .as[(Long, String)].collect().toSeq
+      assert(got == expected, s"input: '$text'")
+    }
+    // null text emits no rows (matches unnest(NULL) in the oracle)
+    val nullGot = Seq[Option[String]](None).toDF("t")
+      .select(NativeExpressions.sentences(col("t"))
+        .as(Seq("pos", "sentence"))).collect()
+    assert(nullGot.isEmpty)
+  }
+
+  test("graft_sentences SQL registration: LATERAL VIEW path matches Column API") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val df = Seq((1L, "Alpha. Beta! Gamma"), (2L, "Solo")).toDF("id", "t")
+    df.createOrReplaceTempView("ne_sent_docs")
+    val sql = spark.sql(
+      """SELECT id, s.pos, s.sentence FROM ne_sent_docs
+        |LATERAL VIEW graft_sentences(t) s AS pos, sentence
+        |ORDER BY id, pos""".stripMargin)
+      .as[(Long, Long, String)].collect().toSeq
+    val api = df.select(col("id"), NativeExpressions.sentences(col("t"))
+        .as(Seq("pos", "sentence")))
+      .orderBy(col("id"), col("pos"))
+      .as[(Long, Long, String)].collect().toSeq
+    assert(sql == api)
+    assert(sql == Seq((1L, 0L, "Alpha"), (1L, 1L, "Beta"),
+      (1L, 2L, "Gamma"), (2L, 0L, "Solo")))
+  }
+
   test("minHashSignature rejects non-positive perms with a clear message") {
     val df = Seq("a b c d e f g").toDF("t")
     val bad = df.select(NativeExpressions.minHashSignature(
