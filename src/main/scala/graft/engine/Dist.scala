@@ -34,14 +34,35 @@ object Dist {
     * one seeded-sample collect (~20·p rows), one p-group aggregation
     * (p longs to the driver), a broadcast offset join, and a pid-keyed
     * running-sum window. `valueCol` must be DoubleType and `idCol`
-    * LongType; `weightCol` LongType. */
+    * LongType; `weightCol` LongType (checked — cast upstream; an
+    * implicit decimal→double cast here would silently change the total
+    * order ties break on).
+    *
+    * The driver-side passes (count, boundary sample, per-range totals)
+    * run over a persisted 3-column projection, so the caller's upstream
+    * pipeline — often a full scoring query — is computed once for all
+    * three, plus once more in the returned plan (the projection is
+    * unpersisted before return; pinning the caller's frame past our
+    * lifetime is not this helper's call to make). */
   def globalPrefixSum(df: DataFrame, valueCol: String, asc: Boolean,
                       idCol: String, weightCol: String,
                       p: Int): DataFrame = {
+    def dt(c: String) = df.schema(c).dataType
+    require(dt(valueCol) == org.apache.spark.sql.types.DoubleType,
+      s"globalPrefixSum: $valueCol is ${dt(valueCol)}, need DOUBLE — " +
+      "cast explicitly upstream (ordering semantics must be the caller's)")
+    require(dt(idCol) == org.apache.spark.sql.types.LongType,
+      s"globalPrefixSum: $idCol is ${dt(idCol)}, need BIGINT — " +
+      "cast explicitly upstream")
+    require(dt(weightCol) == org.apache.spark.sql.types.LongType,
+      s"globalPrefixSum: $weightCol is ${dt(weightCol)}, need BIGINT — " +
+      "cast explicitly upstream")
     val spark = df.sparkSession
-    val n = df.count()
+    val passes = df.select(col(valueCol), col(idCol), col(weightCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = passes.count()
     val frac = if (n <= 0) 1.0 else math.min(1.0, (20.0 * p) / n)
-    val sampled = df.select(col(valueCol), col(idCol))
+    val sampled = passes.select(col(valueCol), col(idCol))
       .sample(withReplacement = false, frac, seed = 42L)
       .collect().map(r => (r.getDouble(0), r.getLong(1)))
     val ord: Ordering[(Double, Long)] =
@@ -65,9 +86,10 @@ object Dist {
       acc + when(after, 1).otherwise(0)
     }
     val withPid = df.withColumn("pid", pidCol)
-    val totals = withPid.groupBy(col("pid"))
+    val totals = passes.withColumn("pid", pidCol).groupBy(col("pid"))
       .agg(sum(col(weightCol)).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    passes.unpersist(blocking = false)
     val nRanges = boundaries.length + 1
     val offsets = (0 until nRanges).scanLeft(0L) {
       case (acc, pid) => acc + totals.getOrElse(pid, 0L)

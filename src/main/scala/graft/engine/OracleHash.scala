@@ -88,17 +88,20 @@ object OracleHash {
     * `pred`, e.g. " WHERE p.vec_id < 10") through the two-level index:
     * nearest level-1 cell first, then the top-`nprobe` fine centroids
     * WITHIN that cell — the SQL twin of Vectors.ivfAssign2. Emits
-    * `pl1$name` and `$name` ($id, cid). */
+    * `pl1$name` and `$name` ($id, cid$extraCols); pass e.g.
+    * `", vd, nrm, csim"` as `extraCols` to keep the point payload and
+    * centroid similarity (the twin of Vectors.ivfAssign2Sim). */
   def ivf2AssignCte(name: String, src: String, id: String, pred: String,
-                    nprobe: Int): String =
+                    nprobe: Int, extraCols: String = ""): String =
     s"""pl1$name AS (SELECT $id, vd, nrm, l1 FROM (
        |    SELECT p.$id, p.vd, p.nrm, l.l1,
        |      row_number() OVER (PARTITION BY p.$id
        |        ORDER BY list_dot_product(p.vd, l.l1v) / (p.nrm * l.l1nrm)
        |          DESC, l.l1 ASC) AS prn
        |    FROM $src p CROSS JOIN l1_ l$pred) t WHERE prn = 1),
-       |$name AS (SELECT $id, cid FROM (
-       |    SELECT p.$id, f.cid,
+       |$name AS (SELECT $id, cid$extraCols FROM (
+       |    SELECT p.$id, p.vd, p.nrm, f.cid,
+       |      list_dot_product(p.vd, f.cv) / (p.nrm * f.cnrm) AS csim,
        |      row_number() OVER (PARTITION BY p.$id
        |        ORDER BY list_dot_product(p.vd, f.cv) / (p.nrm * f.cnrm)
        |          DESC, f.cid ASC) AS arn

@@ -140,7 +140,17 @@ object Vectors {
   }
 
   def ivfAssign2(pts: org.apache.spark.sql.DataFrame, idx: Ivf2Index,
-                 nprobe: Int): org.apache.spark.sql.DataFrame = {
+                 nprobe: Int): org.apache.spark.sql.DataFrame =
+    ivfAssign2Sim(pts, idx, nprobe).select(col("id"), col("cid"))
+
+  /** As [[ivfAssign2]] but keeps the point payload and the fine-centroid
+    * similarity — output (id, v, nrm, cid, csim) — for consumers whose
+    * keep rule needs the centroid distance (q_semdedup's
+    * keep-least-central) or that verify pairs right after assignment.
+    * ONE implementation (ivfAssign2 is a projection of this) so the
+    * oracle-pinned two-level blocking cannot drift between callers. */
+  def ivfAssign2Sim(pts: org.apache.spark.sql.DataFrame, idx: Ivf2Index,
+                    nprobe: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wL1 = Window.partitionBy(col("id"))
       .orderBy(col("l1sim").desc, col("l1").asc)
@@ -158,7 +168,7 @@ object Vectors {
         dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
       .withColumn("arn", row_number().over(wA))
       .filter(col("arn") <= nprobe)
-      .select(col("id"), col("cid"))
+      .select(col("id"), col("v"), col("nrm"), col("cid"), col("csim"))
   }
 
   /** IVF list count derived from corpus size: ceil(n/64) clamped to

@@ -571,12 +571,16 @@ object TextQueries extends QueryPack {
           floor(log(col("sz").cast("double")) / math.log(1.0 / thr))
             .cast("int"))
         .select(col("doc_id"), col("gids"), col("sz"), col("band"))
-      // corpus gram dictionary: a driver-side collect of an aggregated
-      // few-hundred-row result (same class of driver action as the
-      // count() other queries use for deriveNlist)
-      val dict = docIds.select(explode(col("gids")).as("g")).distinct()
-        .orderBy(col("g")).collect().map(_.getInt(0))
-      val useBitmap = dict.length <= 4096
+      // corpus gram dictionary — but probe cardinality BEFORE collecting:
+      // limit(4097) bounds the driver transfer regardless of the gram
+      // universe, so an open-universe corpus (the case the array
+      // fallback below exists for) can never OOM the driver here. When
+      // the probe comes back complete (≤ 4096 rows) it IS the whole
+      // dictionary — sort it locally, no second job.
+      val dictDf = docIds.select(explode(col("gids")).as("g")).distinct()
+      val probe = dictDf.limit(4097).collect().map(_.getInt(0))
+      val useBitmap = probe.length <= 4096
+      val dict = if (useBitmap) probe.sorted else Array.emptyIntArray
       val docsP =
         if (useBitmap)
           docIds.withColumn("pl", NativeExpressions

@@ -169,7 +169,23 @@ object VectorQueries extends QueryPack {
       val blkSz = 256
       val pts = emb(s, d).select(col("vec_id").as("id"), col("v"))
         .withColumn("nrm", Vectors.norm(col("v")))
-      val maxId = pts.agg(max(col("id"))).head().getLong(0)
+      // max(id) is NULL on an empty corpus — surface the empty result
+      // instead of an NPE. Block count derives from max(id), so density
+      // matters: the fixture's vec_ids are a dense 0..n-1 range (pinned
+      // by CorpusSchemaCanarySpec's long type + generator contract); a
+      // genuinely sparse id space should be zipped dense upstream or the
+      // a-side replicates across empty blocks.
+      val maxIdRow = pts.agg(max(col("id"))).head()
+      if (maxIdRow.isNullAt(0)) {
+        s.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("vec_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n_triangles",
+              org.apache.spark.sql.types.LongType))))
+      } else {
+      val maxId = maxIdRow.getLong(0)
       val nBlocks = (maxId / blkSz + 1).toInt
       val bBlk = pts
         .select(col("id").as("b_id"), col("v").as("bv"),
@@ -209,6 +225,7 @@ object VectorQueries extends QueryPack {
         .groupBy(col("vec_id"))
         .agg(count(lit(1)).as("n_triangles"))
         .orderBy(col("vec_id"))
+      }
     }),
 
     // -- IVF ANN: centroid-partitioned approximate top-k -------------------
@@ -376,38 +393,12 @@ object VectorQueries extends QueryPack {
           Vectors.asDouble(col("embedding")).as("v"))
         .withColumn("nrm", Vectors.norm(col("v")))
       val nlist = Vectors.deriveNlist(Tables.embeddings(s, d).count())
-      val m1 = math.ceil(math.sqrt(nlist.toDouble)).toInt
-      val fineC = Vectors.ivfCentroids(pts, nlist)
-      val l1C = Vectors.ivfCentroids(pts, m1)
-        .select(col("cid").as("l1"), col("cv").as("l1v"),
-          col("cnrm").as("l1nrm"))
-      // fine centroid -> its nearest level-1 cell (nlist·m1 dots, tiny)
-      val wF = Window.partitionBy(col("cid"))
-        .orderBy(col("l1sim").desc, col("l1").asc)
-      val fineWithL1 = fineC.crossJoin(broadcast(l1C))
-        .withColumn("l1sim",
-          Vectors.dot(col("cv"), col("l1v")) / (col("cnrm") * col("l1nrm")))
-        .withColumn("frn", row_number().over(wF))
-        .filter(col("frn") === 1)
-        .select(col("l1"), col("cid"), col("cv"), col("cnrm"))
-      // point -> nearest level-1 cell (m1 dots per point)
-      val wL1 = Window.partitionBy(col("id"))
-        .orderBy(col("l1sim").desc, col("l1").asc)
-      val ptsL1 = pts.crossJoin(broadcast(l1C))
-        .withColumn("l1sim",
-          Vectors.dot(col("v"), col("l1v")) / (col("nrm") * col("l1nrm")))
-        .withColumn("prn", row_number().over(wL1))
-        .filter(col("prn") === 1)
-        .select(col("id"), col("v"), col("nrm"), col("l1"))
-      // point -> nearest fine centroid WITHIN its level-1 cell
-      val wA = Window.partitionBy(col("id"))
-        .orderBy(col("csim").desc, col("cid").asc)
-      val asg = ptsL1.join(broadcast(fineWithL1), "l1")
-        .withColumn("csim",
-          Vectors.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-        .withColumn("arn", row_number().over(wA))
-        .filter(col("arn") === 1)
-        .select(col("id"), col("v"), col("nrm"), col("cid"), col("csim"))
+      // the shared two-level quantizer (Vectors.ivfIndex2/ivfAssign2Sim)
+      // — one implementation with q_sim_ivf/q_dedup_embed so the
+      // oracle-pinned blocking cannot drift; the Sim variant keeps
+      // (v, nrm, csim) for the in-cell pair verify and the
+      // keep-least-central rule below
+      val asg = Vectors.ivfAssign2Sim(pts, Vectors.ivfIndex2(pts, nlist), 1)
       val pairs = asg.alias("x")
         .join(asg.alias("y"),
           col("x.cid") === col("y.cid") && col("x.id") < col("y.id"))
@@ -808,55 +799,31 @@ object VectorQueries extends QueryPack {
            |      UNION ALL SELECT z FROM tri) t
            |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
-      // same centroid CTEs as q_dedup_embed's oracle, but assignment
-      // replays the Spark plan's TWO-LEVEL quantizer: fine centroids and
-      // points each snap to their nearest of ceil(√nlist) level-1 cells,
-      // then a point argmins only over its cell's fine centroids; the
-      // dropped set replays the keep-least-central rule
-      "q_semdedup" ->
-        """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
-          |  FROM embeddings),
-          |p AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-          |c AS (SELECT id AS cid, v AS cv, nrm AS cnrm FROM (
-          |    SELECT id, v, nrm, row_number() OVER (ORDER BY id) AS crn
-          |    FROM p) t
-          |  WHERE crn <= (SELECT greatest(16, least(65536,
-          |    (count(*) + 63) // 64)) FROM embeddings)),
-          |l1 AS (SELECT id AS l1, v AS l1v, nrm AS l1nrm FROM (
-          |    SELECT id, v, nrm, row_number() OVER (ORDER BY id) AS crn
-          |    FROM p) t
-          |  WHERE crn <= (SELECT CAST(ceil(sqrt(greatest(16, least(65536,
-          |    (count(*) + 63) // 64)))) AS BIGINT) FROM embeddings)),
-          |fl1 AS (SELECT l1, cid, cv, cnrm FROM (
-          |    SELECT l.l1, c.cid, c.cv, c.cnrm,
-          |      row_number() OVER (PARTITION BY c.cid
-          |        ORDER BY list_dot_product(c.cv, l.l1v) / (c.cnrm * l.l1nrm)
-          |          DESC, l.l1 ASC) AS frn
-          |    FROM c CROSS JOIN l1 l) t WHERE frn = 1),
-          |pl1 AS (SELECT id, v, nrm, l1 FROM (
-          |    SELECT p.id, p.v, p.nrm, l.l1,
-          |      row_number() OVER (PARTITION BY p.id
-          |        ORDER BY list_dot_product(p.v, l.l1v) / (p.nrm * l.l1nrm)
-          |          DESC, l.l1 ASC) AS prn
-          |    FROM p CROSS JOIN l1 l) t WHERE prn = 1),
-          |asg AS (SELECT id, v, nrm, cid, csim FROM (
-          |    SELECT p.id, p.v, p.nrm, f.cid,
-          |      list_dot_product(p.v, f.cv) / (p.nrm * f.cnrm) AS csim,
-          |      row_number() OVER (PARTITION BY p.id
-          |        ORDER BY list_dot_product(p.v, f.cv) / (p.nrm * f.cnrm)
-          |          DESC, f.cid ASC) AS arn
-          |    FROM pl1 p JOIN fl1 f USING (l1)) t WHERE arn = 1),
-          |pr AS (SELECT x.id AS a, x.csim AS ca, y.id AS b, y.csim AS cb
-          |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.id < y.id
-          |  WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.45e0),
-          |sym AS (SELECT a, ca, b, cb FROM pr
-          |  UNION ALL SELECT b, cb, a, ca FROM pr),
-          |dr AS (SELECT DISTINCT a AS id FROM sym
-          |  WHERE cb < ca OR (cb = ca AND b < a))
-          |SELECT asg.id AS vec_id, asg.cid AS cluster_id,
-          |  floor(asg.csim * 1e6 + 0.5e0) / 1e6 AS centroid_sim,
-          |  (dr.id IS NOT NULL) AS dropped
-          |FROM asg LEFT JOIN dr USING (id) ORDER BY vec_id""".stripMargin,
+      // the shared two-level CTE helpers (OracleHash.ivf2*Ctes — one
+      // oracle-pinned text with q_sim_ivf/q_dedup_embed, so the blocking
+      // cannot drift); the Sim-variant extraCols keep (vd, nrm, csim)
+      // for the in-cell pair verify and the keep-least-central rule
+      "q_semdedup" -> {
+        import graft.engine.OracleHash.{ivf2IndexCtes, ivf2AssignCte}
+        s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vd
+           |  FROM embeddings),
+           |p AS (SELECT id, vd, sqrt(list_dot_product(vd, vd)) AS nrm
+           |  FROM e),
+           |${ivf2IndexCtes("p", "id")},
+           |${ivf2AssignCte("asg", "p", "id", "", 1, ", vd, nrm, csim")},
+           |pr AS (SELECT x.id AS a, x.csim AS ca, y.id AS b, y.csim AS cb
+           |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.id < y.id
+           |  WHERE list_dot_product(x.vd, y.vd) / (x.nrm * y.nrm)
+           |    >= 0.45e0),
+           |sym AS (SELECT a, ca, b, cb FROM pr
+           |  UNION ALL SELECT b, cb, a, ca FROM pr),
+           |dr AS (SELECT DISTINCT a AS id FROM sym
+           |  WHERE cb < ca OR (cb = ca AND b < a))
+           |SELECT asg.id AS vec_id, asg.cid AS cluster_id,
+           |  floor(asg.csim * 1e6 + 0.5e0) / 1e6 AS centroid_sim,
+           |  (dr.id IS NOT NULL) AS dropped
+           |FROM asg LEFT JOIN dr USING (id) ORDER BY vec_id""".stripMargin
+      },
 
       // exact integer moments per dim, identical μ/σ expression shape,
       // floor-quantized z-scores (negative values — no round());
