@@ -197,5 +197,61 @@ object Workspace {
       case Right(FileResult(n, c))         => foundFile(n, c)
       case Right(DirectoryResult(n, it))   => foundDirectory(n, it)
     }
+
+    /** The sixth template — the chart surface the reference DECLARES
+      * ("Quickly creating charts and PDFs from CSV files",
+      * reference/README.md:5-7) but never implements (no chart crate in
+      * its Cargo.lock, no chart code anywhere): a deterministic
+      * inline-SVG horizontal bar chart over (label, value) rows. All
+      * layout constants are fixed and widths floor to whole pixels, so
+      * rendered pages are byte-stable across runs and platforms; labels
+      * escape through the same handlebars entity set as every other
+      * template. Negative values render as zero-width bars (the value
+      * text still shows the number). */
+    def barChart(name: String, rows: Seq[(String, Double)]): String = {
+      val barH = 18; val gap = 6; val labelW = 160; val chartW = 456
+      val maxV = (0.0 +: rows.map(_._2)).max
+      val svgH = rows.length * (barH + gap) + gap
+      val bars = rows.zipWithIndex.map { case ((label, v), i) =>
+        val y = gap + i * (barH + gap)
+        val w =
+          if (maxV > 0 && v > 0) math.floor(chartW * v / maxV).toInt else 0
+        s"""<text x="${labelW - 8}" y="${y + 13}" text-anchor="end">""" +
+          esc(label) + "</text>" +
+          s"""<rect x="$labelW" y="$y" width="$w" height="$barH"/>""" +
+          s"""<text x="${labelW + w + 4}" y="${y + 13}">${num(v)}</text>"""
+      }.mkString
+      page(name,
+        s"""<svg xmlns="http://www.w3.org/2000/svg" width="640" """ +
+          s"""height="$svgH" class="bar-chart">$bars</svg>""")
+    }
+
+    /** Integers print bare, everything else at two decimals (fixed
+      * ROOT locale — a comma decimal separator would vary the page by
+      * platform). */
+    private def num(v: Double): String =
+      if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
+      else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
+    /** Chart a CSV file's contents: each `label,value` line becomes a
+      * bar (value = last comma-field, so labels may contain commas);
+      * unparsable lines — headers included — are skipped rather than
+      * failing the page, mirroring how the file template shows any
+      * bytes it is handed. Bounded at 50 bars so a million-line CSV
+      * renders a bounded page. A CSV with no numeric rows is an error
+      * page (same channel as the four query errors). */
+    def chartFromCsv(name: String, csv: String): String = {
+      val rows = csv.split("\n", -1).toSeq
+        .map(_.stripSuffix("\r"))
+        .flatMap { line =>
+          val cut = line.lastIndexOf(',')
+          if (cut < 0) None
+          else scala.util.Try(line.substring(cut + 1).trim.toDouble)
+            .toOption.map(v => (line.substring(0, cut), v))
+        }
+        .take(50)
+      if (rows.isEmpty) error(s"No chartable rows in '$name'")
+      else barChart(name, rows)
+    }
   }
 }

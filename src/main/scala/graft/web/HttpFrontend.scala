@@ -134,9 +134,16 @@ final class HttpFrontend(store: SnapshotStore, mount: Path,
       log(s"Version: $rawVersion -> Commit: $id")
       log(provenance(name, rawVersion, rawPath, id))
     }
-    reply(ex, 200,
-      Render.render(store.query(name, rawVersion, rawPath)),
-      contentType = "text/html")
+    // `render=chart` upgrades a CSV file hit to the bar-chart template
+    // (the README-declared chart surface); directories and errors fall
+    // through to the standard templates unchanged.
+    val result = store.query(name, rawVersion, rawPath)
+    val body = (params.get("render"), result) match {
+      case (Some("chart"), Right(Workspace.FileResult(n, c))) =>
+        Render.chartFromCsv(n, c)
+      case _ => Render.render(result)
+    }
+    reply(ex, 200, body, contentType = "text/html")
   }
 
   /** The reference's provenance block — src/http_server.rs:206-236. */

@@ -91,6 +91,24 @@ class HttpFrontendSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(body.contains("<li>sub/n.txt</li>"))
   }
 
+  test("render=chart upgrades a CSV file hit to the bar-chart template") {
+    val r = get("/workspaces/w?path=t.csv&render=chart")
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").get() == "text/html")
+    // t.csv is "a,b\n1,2\n": the header row isn't numeric, the data row
+    // charts label "1" value 2 at full width
+    assert(r.body().contains("<svg "))
+    assert(r.body().contains("""<rect x="160" y="6" width="456" height="18"/>"""))
+    assert(r.body().contains(">2</text>"))
+    // non-chart requests for the same file still render the file template
+    assert(get("/workspaces/w?path=t.csv").body().contains("<pre>"))
+    // directories ignore the flag and render the listing template
+    assert(get("/workspaces/w?render=chart").body().contains("<li>t.csv</li>"))
+    // errors keep their template too
+    assert(get("/workspaces/w?path=ghost.txt&render=chart").body()
+      .contains("does not exist in this version"))
+  }
+
   test("all four error classes render as error pages") {
     // Apostrophes render HTML-escaped (&#x27;, matching handlebars-rust).
     assert(get("/workspaces/ghost").body()

@@ -126,6 +126,46 @@ class WorkspaceSpec extends AnyFunSuite {
       .contains("<li>a</li><li>b</li>"))
   }
 
+  test("bar-chart template: deterministic SVG layout, scaling, escaping") {
+    val page = Render.barChart("sales.csv",
+      Seq(("alpha", 100.0), ("<b>&beta</b>", 50.0), ("gamma", 0.0)))
+    // widths scale off the max value: 456 full, 228 half, 0 at zero
+    assert(page.contains("""<rect x="160" y="6" width="456" height="18"/>"""))
+    assert(page.contains("""<rect x="160" y="30" width="228" height="18"/>"""))
+    assert(page.contains("""<rect x="160" y="54" width="0" height="18"/>"""))
+    // labels pass through the same handlebars entity set as every
+    // other template
+    assert(page.contains("&lt;b&gt;&amp;beta&lt;/b&gt;"))
+    assert(!page.contains("<b>&beta</b>"))
+    // integer values print bare, fractional at two ROOT-locale decimals
+    assert(page.contains(">100</text>"))
+    assert(Render.barChart("f", Seq(("x", 1.5))).contains(">1.50</text>"))
+    // negative values: zero-width bar, value still shown
+    val neg = Render.barChart("f", Seq(("a", 4.0), ("b", -2.0)))
+    assert(neg.contains("""<rect x="160" y="30" width="0" height="18"/>"""))
+    assert(neg.contains(">-2</text>"))
+    // byte-stable: same input, same page
+    assert(page == Render.barChart("sales.csv",
+      Seq(("alpha", 100.0), ("<b>&beta</b>", 50.0), ("gamma", 0.0))))
+  }
+
+  test("chartFromCsv: header skipped, comma labels, CRLF, 50-bar bound, empty error") {
+    val p = Render.chartFromCsv("m.csv",
+      "metric,count\r\nrows, loaded,120\nerrors,3\n")
+    // header line has a non-numeric last field -> skipped, not charted
+    assert(!p.contains(">count</text>"))
+    // label keeps its embedded comma (value = last comma-field)
+    assert(p.contains("rows, loaded</text>"))
+    assert(p.contains(">120</text>") && p.contains(">3</text>"))
+    // bounded page: 1000 input lines, 50 bars
+    val big = (1 to 1000).map(i => s"k$i,$i").mkString("\n")
+    val bars = "<rect ".r.findAllIn(Render.chartFromCsv("b", big)).size
+    assert(bars == 50)
+    // nothing numeric -> the standard error template
+    assert(Render.chartFromCsv("x.txt", "just prose\nno numbers")
+      .contains("No chartable rows in &#x27;x.txt&#x27;"))
+  }
+
   test("escape matches handlebars-rust on all seven entities") {
     // handlebars-rust 5.x html_escape also escapes backtick and equals
     assert(Render.render(Right(FileResult("f", """<a href="x" id='y' data=`z`&>""")))
