@@ -81,6 +81,32 @@ def main():
     pq.write_table(t, f"{OUT}/embeddings.parquet")
     print(f"embeddings: {len(alle)} rows -> {OUT}/embeddings.parquet")
 
+    # TPC-H graph tables (r10, for the q_graph_bfs probe): shard k adds
+    # a disjoint key offset to every join/graph key, so the bipartite
+    # customer–supplier graph becomes 10 DISJOINT copies — frontier
+    # sizes, edge counts, and relaxation work are exactly 10x sf0.1 by
+    # construction (the linear ground truth the doc/embedding shards
+    # give the dedup probes). Non-key columns are copied verbatim.
+    import os.path
+    if os.path.exists(f"{SRC}/orders.parquet"):
+        koff = 10_000_000
+        specs = [
+            ("orders", ["o_orderkey", "o_custkey"]),
+            ("lineitem", ["l_orderkey", "l_suppkey"]),
+            ("customer", ["c_custkey"]),
+        ]
+        for tname, keys in specs:
+            src = pd.read_parquet(f"{SRC}/{tname}.parquet")
+            shards = []
+            for k in range(SHARDS):
+                s = src.copy()
+                for c in keys:
+                    s[c] = s[c] + k * koff
+                shards.append(s)
+            allt = pd.concat(shards, ignore_index=True)
+            allt.to_parquet(f"{OUT}/{tname}.parquet", index=False)
+            print(f"{tname}: {len(allt)} rows -> {OUT}/{tname}.parquet")
+
 
 if __name__ == "__main__":
     main()
