@@ -11,7 +11,8 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   *
   *  - `GraftFunctions.register` exposes the native expressions to SQL
   *    (`graft_dot`, `graft_sorted_intersect_count`, `graft_trigram_codes`,
-  *    `graft_shingle_hashes`) on a live session;
+  *    `graft_shingle_hashes`, `graft_splitmix64`, and the
+  *    `graft_sentences` generator for `LATERAL VIEW`) on a live session;
   *  - `NativeDotProductRewrite` is a `Rule[LogicalPlan]` that rewrites the
   *    interpreted higher-order formulation
   *    `aggregate(zip_with(a, b, (x, y) -> x * y), 0.0d, (acc, v) -> acc + v)`
