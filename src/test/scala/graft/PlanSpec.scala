@@ -84,6 +84,14 @@ class PlanSpec extends AnyFunSuite {
       s"un-keyed window in plan:\n${windowLines.mkString("\n")}")
   }
 
+  test("q_udtf_gen runs the custom generator through GenerateExec") {
+    val p = plan("q_udtf_gen")
+    // the hand-written Generator plans as a real Generate node (the
+    // UDTF SPI), not an explode over a materialized array value
+    assert(p.contains("Generate graft_sentences"), p)
+    assert(!p.toLowerCase.contains("explode"), p)
+  }
+
   test("q_parquet_roundtrip pushes its filter into the re-read scan") {
     val p = plan("q_parquet_roundtrip")
     assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), " +
