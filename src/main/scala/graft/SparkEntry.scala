@@ -17,6 +17,7 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     RelationalQueries,
     AnalyticsQueries,
+    DriftQueries,
     JoinQueries,
     WindowQueries,
     FunctionQueries,

@@ -46,16 +46,37 @@ object Dist {
     * lifetime is not this helper's call to make). */
   def globalPrefixSum(df: DataFrame, valueCol: String, asc: Boolean,
                       idCol: String, weightCol: String,
-                      p: Int): DataFrame = {
+                      p: Int): DataFrame =
+    globalPrefixAgg(df, valueCol, asc, idCol, weightCol, p, isSum = true,
+      outCol = "cum")
+
+  /** Adds `cummin` — the global prefix MIN of `aggCol` under the total
+    * order (valueCol asc/desc, idCol asc) — to `df`. The dominance
+    * primitive behind q_skyline: "best aggCol among all rows ordered
+    * (strictly, when `inclusive = false`) before me". Identical shapes
+    * and determinism story as [[globalPrefixSum]] (min is associative,
+    * so stitching per-range minima with driver-side exclusive offsets is
+    * exact); an exclusive prefix with no predecessor yields the identity
+    * Long.MaxValue. */
+  def globalPrefixMin(df: DataFrame, valueCol: String, asc: Boolean,
+                      idCol: String, aggCol: String,
+                      p: Int, inclusive: Boolean = true): DataFrame =
+    globalPrefixAgg(df, valueCol, asc, idCol, aggCol, p, isSum = false,
+      outCol = "cummin", inclusive = inclusive)
+
+  private def globalPrefixAgg(df: DataFrame, valueCol: String, asc: Boolean,
+                              idCol: String, weightCol: String, p: Int,
+                              isSum: Boolean, outCol: String,
+                              inclusive: Boolean = true): DataFrame = {
     def dt(c: String) = df.schema(c).dataType
     require(dt(valueCol) == org.apache.spark.sql.types.DoubleType,
-      s"globalPrefixSum: $valueCol is ${dt(valueCol)}, need DOUBLE — " +
+      s"globalPrefixAgg: $valueCol is ${dt(valueCol)}, need DOUBLE — " +
       "cast explicitly upstream (ordering semantics must be the caller's)")
     require(dt(idCol) == org.apache.spark.sql.types.LongType,
-      s"globalPrefixSum: $idCol is ${dt(idCol)}, need BIGINT — " +
+      s"globalPrefixAgg: $idCol is ${dt(idCol)}, need BIGINT — " +
       "cast explicitly upstream")
     require(dt(weightCol) == org.apache.spark.sql.types.LongType,
-      s"globalPrefixSum: $weightCol is ${dt(weightCol)}, need BIGINT — " +
+      s"globalPrefixAgg: $weightCol is ${dt(weightCol)}, need BIGINT — " +
       "cast explicitly upstream")
     val spark = df.sparkSession
     val passes = df.select(col(valueCol), col(idCol), col(weightCol))
@@ -87,12 +108,17 @@ object Dist {
     }
     val withPid = df.withColumn("pid", pidCol)
     val totals = passes.withColumn("pid", pidCol).groupBy(col("pid"))
-      .agg(sum(col(weightCol)).as("t"))
+      .agg((if (isSum) sum(col(weightCol)) else min(col(weightCol))).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     passes.unpersist(blocking = false)
     val nRanges = boundaries.length + 1
-    val offsets = (0 until nRanges).scanLeft(0L) {
-      case (acc, pid) => acc + totals.getOrElse(pid, 0L)
+    // exclusive per-range offsets under the op's identity (0 for sum,
+    // Long.MaxValue for min) — range 0's offset is the identity element
+    val identity0 = if (isSum) 0L else Long.MaxValue
+    val offsets = (0 until nRanges).scanLeft(identity0) {
+      case (acc, pid) =>
+        val t = totals.getOrElse(pid, identity0)
+        if (isSum) acc + t else math.min(acc, t)
     }.take(nRanges)
     val offDf = spark.createDataFrame(
       java.util.Arrays.asList(offsets.zipWithIndex.map {
@@ -106,9 +132,18 @@ object Dist {
       if (asc) Seq(col(valueCol).asc, col(idCol).asc)
       else Seq(col(valueCol).desc, col(idCol).asc)
     val w = Window.partitionBy(col("pid")).orderBy(sortCols: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .rowsBetween(Window.unboundedPreceding,
+        if (inclusive) Window.currentRow else -1)
+    // an exclusive frame is empty on each range's first row — coalesce
+    // the window result to the op identity so the offset alone carries it
+    val winAgg =
+      if (isSum) coalesce(sum(col(weightCol)).over(w), lit(0L))
+      else coalesce(min(col(weightCol)).over(w), lit(Long.MaxValue))
+    val combined =
+      if (isSum) col("off") + winAgg
+      else least(col("off"), winAgg)
     withPid.join(broadcast(offDf), "pid")
-      .withColumn("cum", col("off") + sum(col(weightCol)).over(w))
+      .withColumn(outCol, combined)
       .drop("pid", "off")
   }
 }

@@ -266,6 +266,42 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("bucket"))
     }),
 
+    // -- Pareto-frontier (skyline) selection -------------------------------
+    // The multi-objective data-selection primitive: keep exactly the
+    // non-dominated points of (total value MAXIMIZED, error count
+    // MINIMIZED) per user — u survives iff no v has (x_v > x_u, y_v <=
+    // y_u) or (x_v >= x_u, y_v < y_u). The naive formulation is an
+    // all-pairs anti-join (the oracle's NOT EXISTS — quadratic); the
+    // distributed plan collapses dominance to two order statistics:
+    //   m1(x)  = min y among strictly greater x  (exclusive prefix-min
+    //            over x desc — Dist.globalPrefixMin, never a
+    //            single-partition window)
+    //   gmin(x) = min y within the same x        (a keyed group-by)
+    // dominated ⟺ m1 <= y ∨ gmin < y. Both sides are exact integers
+    // (milli-quantized values), so the frontier is float-free.
+    "q_skyline" -> ((s, d) => {
+      val a = Tables.eventsWithTime(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(floor(col("value") * lit(1000.0) + lit(0.5)).cast("long"))
+            .as("xq"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("y"))
+      val g = a.groupBy(col("xq")).agg(min(col("y")).as("gmin"))
+        .withColumn("xqd", col("xq").cast("double"))
+      val gm = graft.engine.Dist.globalPrefixMin(g, "xqd", asc = false,
+          idCol = "xq", aggCol = "gmin",
+          p = s.sparkContext.defaultParallelism, inclusive = false)
+        .withColumnRenamed("cummin", "m1")
+        .drop("xqd")
+      a.join(gm, Seq("xq"))
+        .filter(!(col("m1") <= col("y") || col("gmin") < col("y")))
+        .select(col("user_id"),
+          (col("xq").cast("double") / lit(1000.0)).as("total_value"),
+          col("y").as("n_errors"))
+        .orderBy(col("user_id"))
+    }),
+
     // -- declarative data-quality validation (Deequ-shaped rule suite) -----
     // The warehouse QA gate a pipeline runs before publishing a table:
     // null-ness, key uniqueness, value domain, range, and referential
@@ -628,6 +664,23 @@ object AnalyticsQueries extends QueryPack {
   }
 
   def oracle: Map[String, String] = Map(
+    // the quadratic NOT EXISTS dominance check — semantics twin of the
+    // engine's order-statistic formulation (see the query comment for the
+    // m1/gmin ⟺ dominance proof); exact integers on both sides
+    "q_skyline" ->
+      """WITH a AS (SELECT user_id,
+        |    sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)) AS xq,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY user_id)
+        |SELECT u.user_id,
+        |  CAST(u.xq AS DOUBLE) / 1000.0 AS total_value,
+        |  CAST(u.y AS BIGINT) AS n_errors
+        |FROM a u
+        |WHERE NOT EXISTS (SELECT 1 FROM a v
+        |  WHERE (v.xq > u.xq AND v.y <= u.y)
+        |     OR (v.xq >= u.xq AND v.y < u.y))
+        |ORDER BY u.user_id""".stripMargin,
+
     "q_stats_moments" ->
       """SELECT l_returnflag,
         |  round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,

@@ -1,0 +1,255 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Dist, QueryPack, Tables}
+
+/** Distribution-drift monitoring for training-data pipelines (SURVEY.md
+  * §2.4 "LLM-data-pipeline operators" — observability family): the checks
+  * a 100 TB ingest runs every batch to catch a source silently changing
+  * under the pipeline — a crawler pulling from a new mix of sites, a
+  * metric whose unit shifted, a label distribution that no longer matches
+  * the reference corpus.
+  *
+  *  - q_drift_ks    — exact two-sample Kolmogorov–Smirnov statistic
+  *                    between an early and a late event cohort, computed
+  *                    entirely in integer arithmetic (the max |ΔCDF| is
+  *                    found on cross-multiplied integer counts, so the
+  *                    argmax never depends on float rounding).
+  *  - q_drift_psi   — Population Stability Index over deciles of the
+  *                    reference cohort (order-statistic bin edges, exact
+  *                    ceil-threshold contract), Laplace-smoothed so empty
+  *                    bins stay finite.
+  *  - q_chi2_select — per-language chi-square association against the
+  *                    source mix (the classic feature-selection statistic
+  *                    over a lang × source contingency table).
+  *
+  * Scale notes (100 TB): every path reduces to keyed aggregations over
+  * bounded-cardinality frames. The KS/PSI cumulative counts ride
+  * [[Dist.globalPrefixSum]] (seeded-sample ranges, pid-keyed windows —
+  * never a single-partition window); the chi-square contingency table is
+  * |langs| × |sources| rows. Driver-side state is bounded by construction:
+  * 9 decile edges, never data-sized.
+  */
+object DriftQueries extends QueryPack {
+
+  /** (vq, us) — milli-quantized value (exact integer, same idiom as
+    * q_time_weighted) + epoch micros, with the corpus midpoint timestamp
+    * `mid` attached via a broadcast one-row bounds frame. Cohort A
+    * ("reference"/"early") is us < mid; cohort B is the rest. */
+  private def quantizedEvents(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.eventsWithTime(s, d)
+      .select(
+        floor(col("value") * lit(1000.0) + lit(0.5)).cast("long").as("vq"),
+        col("ts_us").as("us"))
+    val bounds = e.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      .select(expr("(lo + hi) div 2").as("mid"))
+    e.crossJoin(broadcast(bounds))
+  }
+
+  /** Per-distinct-value cohort counts with inclusive cumulative counts
+    * for both cohorts under vq asc — two [[Dist.globalPrefixSum]] passes
+    * over the (bounded: one row per distinct milli-value) grouped frame.
+    * Columns: vq, na, nb, cum_a, cum_b. */
+  private def cohortCdf(s: SparkSession, d: String): DataFrame = {
+    val grouped = quantizedEvents(s, d)
+      .groupBy(col("vq"))
+      .agg(
+        sum(when(col("us") < col("mid"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("us") >= col("mid"), 1L).otherwise(0L)).as("nb"))
+      .withColumn("vqd", col("vq").cast("double"))
+    val withA = Dist.globalPrefixSum(grouped, "vqd", asc = true,
+        idCol = "vq", weightCol = "na", p = 32)
+      .withColumnRenamed("cum", "cum_a")
+    Dist.globalPrefixSum(withA, "vqd", asc = true,
+        idCol = "vq", weightCol = "nb", p = 32)
+      .withColumnRenamed("cum", "cum_b")
+      .drop("vqd")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- two-sample Kolmogorov–Smirnov drift test --------------------------
+    // D = max over observed values of |F_a(v) - F_b(v)|. Multiplying
+    // through by Na·Nb keeps the argmax in exact integers:
+    // d_num = |cum_a·Nb - cum_b·Na|, and only the final reported
+    // statistic divides (a single deterministic double division).
+    // Ties on d_num break to the smallest value — a total order, so the
+    // reported location is unique. One TakeOrdered(1) — no driver state.
+    "q_drift_ks" -> ((s, d) => {
+      val cdf = cohortCdf(s, d)
+      val tot = cdf.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+      cdf.crossJoin(broadcast(tot))
+        .withColumn("d_num",
+          abs(col("cum_a") * col("tb") - col("cum_b") * col("ta")))
+        .orderBy(col("d_num").desc, col("vq").asc)
+        .limit(1)
+        .select(
+          col("ta").as("n_a"), col("tb").as("n_b"),
+          round(col("d_num").cast("double") /
+            (col("ta") * col("tb")).cast("double"), 6).as("ks"),
+          (col("vq").cast("double") / lit(1000.0)).as("ks_at"))
+    }),
+
+    // -- Population Stability Index over reference deciles -----------------
+    // Bin edges are ORDER STATISTICS of the reference (early) cohort:
+    // edge_i = min vq with cum_a >= ceil(i·Na/10), i = 1..9 — an exact
+    // integer contract (no interpolation, so no float quantile ambiguity
+    // between engines). Both cohorts are then binned by "number of edges
+    // <= vq" and compared with Laplace-smoothed proportions
+    // p = (n + 0.5)/(N + 5), keeping empty bins finite. The 9 collected
+    // edges are bounded by construction (never data-sized driver state).
+    "q_drift_psi" -> ((s, d) => {
+      val spark = s
+      val cdf = cohortCdf(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val Array(naTot, nbTot) = cdf
+          .agg(sum(col("na")), sum(col("nb"))).head()
+          .toSeq.map(x => x.asInstanceOf[Long]).toArray
+        // all 9 edges in ONE job: cross the (bounded) cdf frame with the
+        // decile index, keep rows past each ceil threshold, min per i
+        val thresholds = (1 to 9).map(i => (i, (i * naTot + 9) / 10))
+        val thrDf = spark.createDataFrame(thresholds).toDF("i", "thr")
+        val edges: Array[Long] = cdf.crossJoin(broadcast(thrDf))
+          .filter(col("cum_a") >= col("thr"))
+          .groupBy(col("i")).agg(min(col("vq")).as("edge"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1))
+          .sortBy(_._1).map(_._2)
+        val binCol: Column = edges.foldLeft(lit(0)) {
+          case (acc, e) => acc + when(col("vq") >= e, 1).otherwise(0)
+        }
+        val binned = cdf.withColumn("bin", binCol)
+          .groupBy(col("bin"))
+          .agg(sum(col("na")).as("n_ref"), sum(col("nb")).as("n_cur"))
+        val grid = spark.range(0, 10).select(col("id").cast("int").as("bin"))
+        grid.join(binned, Seq("bin"), "left")
+          .select(col("bin"),
+            coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+            coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+          .withColumn("pr",
+            (col("n_ref").cast("double") + lit(0.5)) / lit(naTot + 5.0))
+          .withColumn("pc",
+            (col("n_cur").cast("double") + lit(0.5)) / lit(nbTot + 5.0))
+          .select(col("bin").cast("bigint").as("bin"),
+            col("n_ref"), col("n_cur"),
+            round((col("pc") - col("pr")) * log(col("pc") / col("pr")), 6)
+              .as("psi_term"))
+          .orderBy(col("bin"))
+      } finally cdf.unpersist(blocking = false)
+    }),
+
+    // -- chi-square feature association (lang vs source mix) ---------------
+    // For each language: the chi-square statistic of the 2 × |sources|
+    // table (docs in that language vs all others, across sources).
+    // O is exact integer; E = rowTot·colTot/N enters as one rational
+    // double. Zero cells are kept by building the full lang × source
+    // grid from the (tiny) distinct frames. dof = |sources| - 1.
+    "q_chi2_select" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ct = docs.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("o"))
+      val rowTot = docs.groupBy(col("lang")).agg(count(lit(1)).as("rt"))
+      val colTot = docs.groupBy(col("source")).agg(count(lit(1)).as("st"))
+      val nTot = docs.agg(count(lit(1)).as("n"))
+      val grid = rowTot.crossJoin(broadcast(colTot))
+        .join(ct, Seq("lang", "source"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+        .crossJoin(broadcast(nTot))
+      val sCount = colTot.count()
+      grid
+        .withColumn("e_in",
+          col("rt").cast("double") * col("st") / col("n"))
+        .withColumn("e_out",
+          (col("n") - col("rt")).cast("double") * col("st") / col("n"))
+        .withColumn("term",
+          pow(col("o") - col("e_in"), 2) / col("e_in") +
+          pow((col("st") - col("o")) - col("e_out"), 2) / col("e_out"))
+        .groupBy(col("lang"))
+        .agg(max(col("rt")).as("n_docs"),
+          round(sum(col("term")), 6).as("chi2"))
+        .withColumn("dof", lit(sCount - 1))
+        .select(col("lang"), col("n_docs"), col("chi2"), col("dof"))
+        .orderBy(col("lang"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_drift_ks" ->
+      """WITH e AS (SELECT
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq,
+        |    epoch_us(ts) AS us FROM events),
+        |b AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+        |g AS (SELECT vq,
+        |    sum(CASE WHEN us < mid THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN us >= mid THEN 1 ELSE 0 END) AS nb
+        |  FROM e CROSS JOIN b GROUP BY vq),
+        |c AS (SELECT vq, na, nb,
+        |    sum(na) OVER (ORDER BY vq) AS cum_a,
+        |    sum(nb) OVER (ORDER BY vq) AS cum_b,
+        |    sum(na) OVER () AS ta, sum(nb) OVER () AS tb
+        |  FROM g),
+        |d AS (SELECT vq, ta, tb,
+        |    abs(cum_a * tb - cum_b * ta) AS d_num
+        |  FROM c)
+        |SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+        |  round(CAST(d_num AS DOUBLE) / (CAST(ta AS DOUBLE) * tb), 6)
+        |    AS ks,
+        |  CAST(vq AS DOUBLE) / 1000.0 AS ks_at
+        |FROM d ORDER BY d_num DESC, vq ASC LIMIT 1""".stripMargin,
+
+    "q_drift_psi" ->
+      """WITH e AS (SELECT
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq,
+        |    epoch_us(ts) AS us FROM events),
+        |b AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+        |g AS (SELECT vq,
+        |    sum(CASE WHEN us < mid THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN us >= mid THEN 1 ELSE 0 END) AS nb
+        |  FROM e CROSS JOIN b GROUP BY vq),
+        |c AS (SELECT vq, na, nb,
+        |    sum(na) OVER (ORDER BY vq) AS cum_a FROM g),
+        |t AS (SELECT sum(na) AS nat, sum(nb) AS nbt FROM g),
+        |edges AS (SELECT i, min(vq) AS edge
+        |  FROM c CROSS JOIN (SELECT unnest(range(1, 10)) AS i)
+        |  CROSS JOIN t
+        |  WHERE cum_a >= (i * nat + 9) // 10 GROUP BY i),
+        |binned AS (SELECT g.vq, g.na, g.nb,
+        |    (SELECT count(*) FROM edges WHERE edge <= g.vq) AS bin
+        |  FROM g),
+        |agg AS (SELECT bin, sum(na) AS n_ref, sum(nb) AS n_cur
+        |  FROM binned GROUP BY bin),
+        |grid AS (SELECT unnest(range(0, 10)) AS bin)
+        |SELECT CAST(grid.bin AS BIGINT) AS bin,
+        |  CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+        |  CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur,
+        |  round(
+        |    ((coalesce(n_cur, 0) + 0.5) / (nbt + 5.0)
+        |      - (coalesce(n_ref, 0) + 0.5) / (nat + 5.0))
+        |    * ln(((coalesce(n_cur, 0) + 0.5) / (nbt + 5.0))
+        |        / ((coalesce(n_ref, 0) + 0.5) / (nat + 5.0))), 6)
+        |    AS psi_term
+        |FROM grid LEFT JOIN agg ON agg.bin = grid.bin CROSS JOIN t
+        |ORDER BY grid.bin""".stripMargin,
+
+    "q_chi2_select" ->
+      """WITH ct AS (SELECT lang, source, count(*) AS o
+        |  FROM documents GROUP BY lang, source),
+        |rt AS (SELECT lang, count(*) AS rt FROM documents GROUP BY lang),
+        |st AS (SELECT source, count(*) AS st FROM documents
+        |  GROUP BY source),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |grid AS (SELECT rt.lang, st.source, rt.rt, st.st,
+        |    coalesce(ct.o, 0) AS o, n.n
+        |  FROM rt CROSS JOIN st CROSS JOIN n
+        |  LEFT JOIN ct ON ct.lang = rt.lang AND ct.source = st.source),
+        |terms AS (SELECT lang, rt, st, n, o,
+        |    CAST(rt AS DOUBLE) * st / n AS e_in,
+        |    CAST(n - rt AS DOUBLE) * st / n AS e_out
+        |  FROM grid)
+        |SELECT lang, CAST(max(rt) AS BIGINT) AS n_docs,
+        |  round(sum(pow(o - e_in, 2) / e_in
+        |    + pow((st - o) - e_out, 2) / e_out), 6) AS chi2,
+        |  (SELECT count(*) - 1 FROM st) AS dof
+        |FROM terms GROUP BY lang ORDER BY lang""".stripMargin
+  )
+}

@@ -158,6 +158,51 @@ object EventQueries extends QueryPack {
         .orderBy(col("event_type"), col("hour_s"))
     }),
 
+    // -- linear gap interpolation over the resampled grid ------------------
+    // The numeric twin of q_resample_ffill's LOCF: interior gaps are
+    // bridged linearly between the bracketing observations,
+    //   v = v_prev + (v_next - v_prev) · (t - t_prev)/(t_next - t_prev),
+    // edge gaps fall back to the nearest observation (ffill/bfill). Four
+    // ignore-nulls window reads over the same series key — one shuffle,
+    // fully codegen'd; hours stay integral so the interpolation weight is
+    // one deterministic integer-to-double division. v_prev/v_next are
+    // already 6dp-rounded grid averages, and the result re-rounds to 6dp,
+    // so both engines evaluate the identical double expression.
+    "q_interp_linear" -> ((s, d) => {
+      val e = Tables.eventsWithTime(s, d)
+        .withColumn("hour_s", expr("(ts_us div 3600000000) * 3600"))
+      val sparse = e.filter(col("value") > 90)
+        .groupBy(col("event_type"), col("hour_s"))
+        .agg(count(lit(1)).as("n_obs"), round(avg(col("value")), 6).as("v"))
+      val bounds = e.agg(min(col("hour_s")).as("lo"),
+        max(col("hour_s")).as("hi"))
+      val grid = e.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hour_s"))
+      val wB = Window.partitionBy(col("event_type")).orderBy(col("hour_s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = Window.partitionBy(col("event_type")).orderBy(col("hour_s"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obsHour = when(col("v").isNotNull, col("hour_s"))
+      grid.join(sparse, Seq("event_type", "hour_s"), "left")
+        .withColumn("vp", last(col("v"), ignoreNulls = true).over(wB))
+        .withColumn("tp", last(obsHour, ignoreNulls = true).over(wB))
+        .withColumn("vn", first(col("v"), ignoreNulls = true).over(wF))
+        .withColumn("tn", first(obsHour, ignoreNulls = true).over(wF))
+        .select(col("event_type"), col("hour_s"),
+          coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+          round(
+            when(col("v").isNotNull, col("v"))
+              .when(col("vp").isNotNull && col("vn").isNotNull,
+                col("vp") + (col("vn") - col("vp")) *
+                  (col("hour_s") - col("tp")).cast("double") /
+                  (col("tn") - col("tp")).cast("double"))
+              .when(col("vp").isNotNull, col("vp"))
+              .otherwise(col("vn")), 6).as("v_lin"))
+        .orderBy(col("event_type"), col("hour_s"))
+    }),
+
     // -- time-weighted average (TWAP) over irregular samples ---------------
     // The irregular-series mean where each observation holds until the
     // next one — the finance/metering twin of q_resample_ffill's LOCF.
@@ -312,6 +357,46 @@ object EventQueries extends QueryPack {
         |  wsum // dur_us AS twap_mu,
         |  (wsum // dur_us) / 1000.0e0 AS twap
         |FROM a WHERE dur_us > 0 ORDER BY user_id""".stripMargin,
+
+    "q_interp_linear" ->
+      """WITH e AS (SELECT event_type,
+        |    (epoch_us(ts) // 3600000000) * 3600 AS hour_s, value
+        |  FROM events),
+        |sp AS (SELECT event_type, hour_s, count(*) AS n_obs,
+        |    round(avg(value), 6) AS v
+        |  FROM e WHERE value > 90 GROUP BY 1, 2),
+        |b AS (SELECT min(hour_s) AS lo, max(hour_s) AS hi FROM e),
+        |g AS (SELECT t.event_type, u.hour_s
+        |  FROM (SELECT DISTINCT event_type FROM e) t
+        |  CROSS JOIN (SELECT unnest(generate_series(
+        |    (SELECT lo FROM b), (SELECT hi FROM b), 3600)) AS hour_s) u),
+        |j AS (SELECT g.event_type, g.hour_s,
+        |    coalesce(sp.n_obs, 0) AS n_obs, sp.v,
+        |    last_value(sp.v IGNORE NULLS) OVER (
+        |      PARTITION BY g.event_type ORDER BY g.hour_s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+        |    last_value(CASE WHEN sp.v IS NOT NULL THEN g.hour_s END
+        |      IGNORE NULLS) OVER (
+        |      PARTITION BY g.event_type ORDER BY g.hour_s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        |    first_value(sp.v IGNORE NULLS) OVER (
+        |      PARTITION BY g.event_type ORDER BY g.hour_s
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+        |    first_value(CASE WHEN sp.v IS NOT NULL THEN g.hour_s END
+        |      IGNORE NULLS) OVER (
+        |      PARTITION BY g.event_type ORDER BY g.hour_s
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tn
+        |  FROM g LEFT JOIN sp
+        |    ON g.event_type = sp.event_type AND g.hour_s = sp.hour_s)
+        |SELECT event_type, hour_s, n_obs,
+        |  round(CASE
+        |    WHEN v IS NOT NULL THEN v
+        |    WHEN vp IS NOT NULL AND vn IS NOT NULL THEN
+        |      vp + (vn - vp) * CAST(hour_s - tp AS DOUBLE)
+        |           / CAST(tn - tp AS DOUBLE)
+        |    WHEN vp IS NOT NULL THEN vp
+        |    ELSE vn END, 6) AS v_lin
+        |FROM j ORDER BY event_type, hour_s""".stripMargin,
 
     "q_resample_ffill" ->
       """WITH e AS (SELECT event_type,

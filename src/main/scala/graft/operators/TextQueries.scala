@@ -521,6 +521,30 @@ object TextQueries extends QueryPack {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // -- incremental dedup: a new batch against the indexed corpus ---------
+    // The steady-state production dedup shape: the corpus (first 80% of
+    // doc ids — cutoff = floor(0.8·(max_id+1)), scale-relative by
+    // construction) is INDEXED but never re-paired against itself; only
+    // the increment (the "daily batch") generates candidates, against
+    // both the corpus and its own earlier members (first-writer-wins
+    // inside the batch). See TextDedup.incrementalJaccardPairs for the
+    // one-sided prefix-filter argument. Per increment doc: how many
+    // earlier near-dups exist, and the keep/drop verdict.
+    "q_dedup_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val cutoff = ((maxId + 1L) * 8L) / 10L
+      val pairs = TextDedup.incrementalJaccardPairs(docs, 0.7, cutoff)
+      val matches = pairs.groupBy(col("d2").as("doc_id"))
+        .agg(count(lit(1)).as("n_matches"))
+      docs.filter(col("doc_id") >= cutoff).select(col("doc_id"))
+        .join(matches, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          (coalesce(col("n_matches"), lit(0L)) > 0).as("is_dup"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- near-dup: character 3-gram Jaccard --------------------------------
     // Size-banded exact similarity join over a DENSE gram universe. A
     // 3-gram universe is small and dense (this corpus: 377 distinct
@@ -1218,6 +1242,34 @@ object TextQueries extends QueryPack {
           |    (len(a.toks) + len(b.toks)
           |     - len(list_intersect(a.toks, b.toks))) >= 0.7
           |ORDER BY d1, d2""".stripMargin,
+
+      // the naive quadratic twin restricted to increment-involving
+      // orientations — same word-shingle sets as q_dedup_jaccard; the
+      // cutoff replays the engine's floor(0.8·(max_id+1)) contract
+      "q_dedup_incr" ->
+        s"""WITH t AS (SELECT doc_id,
+          |    list_distinct(list_transform(
+          |      range(0, greatest(len(string_split($normSql, ' ')) - 4, 1)),
+          |      i -> array_to_string(string_split($normSql, ' ')[i+1:i+5],
+          |        ' '))) AS toks
+          |  FROM documents),
+          |co AS (SELECT ((max(doc_id) + 1) * 8) // 10 AS cutoff
+          |  FROM documents),
+          |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+          |  FROM t a JOIN t b ON a.doc_id <> b.doc_id CROSS JOIN co
+          |  WHERE b.doc_id >= cutoff
+          |    AND (a.doc_id < cutoff OR a.doc_id < b.doc_id)
+          |    AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+          |      (len(a.toks) + len(b.toks)
+          |       - len(list_intersect(a.toks, b.toks))) >= 0.7),
+          |m AS (SELECT d2 AS doc_id, count(*) AS n_matches
+          |  FROM pr GROUP BY d2)
+          |SELECT d.doc_id,
+          |  CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches,
+          |  coalesce(m.n_matches, 0) > 0 AS is_dup
+          |FROM documents d CROSS JOIN co LEFT JOIN m USING (doc_id)
+          |WHERE d.doc_id >= cutoff
+          |ORDER BY d.doc_id""".stripMargin,
 
       // splitmix64 replayed over (doc_id·10⁶ + pos); string_agg ORDER BY
       // pos rebuilds Spark's array_sort reassembly

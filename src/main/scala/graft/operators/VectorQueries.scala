@@ -458,6 +458,100 @@ object VectorQueries extends QueryPack {
         .orderBy(col("vec_id"), col("dim"))
     }),
 
+    // -- per-dimension symmetric int8 scalar quantization ------------------
+    // The OTHER compression scheme a 100 TB vector store runs (alongside
+    // q_pq_codes' product quantization): each dim maps to
+    // round(x/scale·127) with scale = per-dim max |x| — the int8 format
+    // SIMD distance kernels consume. Reconstruction error is quantized
+    // to exact integers per dim (×1e12, floor+0.5) so the per-vector sum
+    // is order-free; q² norms are exact integers by construction. Scale
+    // shape: one narrow posexplode pass, a 64-row scale agg broadcast
+    // back, one vec-keyed agg — never corpus² work.
+    "q_quantize_int8" -> ((s, d) => {
+      val p = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(Vectors.asDouble(col("embedding")))
+            .as(Seq("dim", "x")))
+      val st = p.groupBy(col("dim"))
+        .agg(greatest(max(abs(col("x"))), lit(1e-12)).as("scale"))
+      p.join(broadcast(st), "dim")
+        .withColumn("qv",
+          floor(col("x") / col("scale") * lit(127.0) + lit(0.5))
+            .cast("long"))
+        .withColumn("e", col("x") - col("qv") * col("scale") / lit(127.0))
+        .withColumn("errq",
+          floor(col("e") * col("e") * lit(1e12) + lit(0.5)).cast("long"))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("qv") * col("qv")).as("qnorm2"),
+          sum(col("errq")).as("err_fp"))
+        .select(col("vec_id"), col("qnorm2"), col("err_fp"),
+          (col("err_fp").cast("double") / lit(1e12)).as("recon_err"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // -- maximal-marginal-relevance re-ranking (RAG diversification) -------
+    // The retrieval-side consumer of the similarity index: from the
+    // top-20 cosine candidates for a query vector, greedily select k=5
+    // with MMR(c) = λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) — each pick
+    // penalizes redundancy against what is already selected, trading
+    // raw relevance for coverage. The candidate stage is the distributed
+    // part (broadcast query, streamed corpus, TakeOrdered 20); the
+    // greedy loop is k bounded driver rounds over the 20-row cached
+    // candidate frame, holding only (id, rel, mmr) scalars on the driver
+    // — selected VECTORS never leave the cluster (the selected frame is
+    // re-derived from the candidate frame by id and broadcast). Ties
+    // break (mmr desc, c_id asc) — a total order, replayed by the
+    // oracle's unrolled 5-step greedy CTE chain.
+    "q_mmr_rerank" -> ((s, d) => {
+      val lam = 0.7
+      val mu = 0.3 // written literally: 1.0 - 0.7 != 0.3 in doubles
+      val base = emb(s, d).withColumn("nrm", Vectors.norm(col("v")))
+      val q = base.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qnrm"))
+      val cand = base.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("rel",
+          Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+        .orderBy(col("rel").desc, col("vec_id").asc).limit(20)
+        .select(col("vec_id").as("c_id"), col("v"), col("nrm"), col("rel"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        var picks = Vector.empty[(Long, Double, Double)]
+        for (_ <- 1 to 5) {
+          val selIds = picks.map(_._1)
+          val scored =
+            if (selIds.isEmpty)
+              cand.withColumn("mmr",
+                lit(lam) * col("rel") - lit(mu) * lit(0.0))
+            else {
+              val sel = cand.filter(col("c_id").isin(selIds: _*))
+                .select(col("c_id").as("s_id"), col("v").as("sv"),
+                  col("nrm").as("snrm"))
+              cand.filter(!col("c_id").isin(selIds: _*))
+                .crossJoin(broadcast(sel))
+                .withColumn("sim", Vectors.dot(col("v"), col("sv")) /
+                  (col("nrm") * col("snrm")))
+                .groupBy(col("c_id"), col("rel"))
+                .agg(max(col("sim")).as("mx"))
+                .withColumn("mmr",
+                  lit(lam) * col("rel") - lit(mu) * col("mx"))
+            }
+          val row = scored.orderBy(col("mmr").desc, col("c_id").asc)
+            .limit(1).select(col("c_id"), col("rel"), col("mmr")).head()
+          picks = picks :+ ((row.getLong(0), row.getDouble(1),
+            row.getDouble(2)))
+        }
+        import s.implicits._
+        picks.zipWithIndex.map { case ((id, rel, mmr), i) =>
+          (i + 1L, id, rel, mmr)
+        }.toDF("rnk", "c_id", "rel_raw", "mmr_raw")
+          .select(col("rnk"), col("c_id"),
+            round(col("rel_raw"), 6).as("rel"),
+            round(col("mmr_raw"), 6).as("mmr"))
+          .orderBy(col("rnk"))
+      } finally cand.unpersist(blocking = false)
+    }),
+
     // -- product quantization: PQ codes for IVF-PQ-style ANN ---------------
     // The compression half of a 100 TB vector index (Jégou et al. 2011):
     // each 64-dim vector splits into 8 subspaces of 8 dims, each
@@ -579,6 +673,42 @@ object VectorQueries extends QueryPack {
        |  CAST(sum(vec_id) AS BIGINT) AS sum_ids,
        |  CAST(sum(dist) AS BIGINT) AS inertia_fp
        |FROM a$fin GROUP BY cid ORDER BY cid""".stripMargin
+  }
+
+  /** Unrolled 5-step greedy MMR CTE chain — the relational twin of the
+    * q_mmr_rerank driver loop. Each step scores the not-yet-selected
+    * candidates against the selection so far (correlated max-sim
+    * subquery), takes the (mmr desc, c_id asc) argmax, and appends it. */
+  private def mmrSql: String = {
+    val steps = (2 to 5).map { k =>
+      s"""p$k AS (SELECT c.c_id, c.vd, c.nrm, c.rel,
+         |    0.7 * c.rel - 0.3 * (SELECT max(
+         |      list_dot_product(c.vd, s.vd) / (c.nrm * s.nrm))
+         |      FROM sel${k - 1} s) AS mmr
+         |  FROM cand c WHERE c.c_id NOT IN (SELECT c_id FROM sel${k - 1})
+         |  ORDER BY mmr DESC, c_id ASC LIMIT 1),
+         |sel$k AS (SELECT * FROM sel${k - 1} UNION ALL
+         |  SELECT * FROM p$k)""".stripMargin
+    }.mkString(",\n")
+    val picks = (1 to 5).map(k =>
+      s"SELECT $k AS rnk, c_id, rel, mmr FROM p$k").mkString(
+      "\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, vd, sqrt(list_dot_product(vd, vd)) AS nrm
+       |  FROM e),
+       |q AS (SELECT vd, nrm FROM n WHERE vec_id = 0),
+       |cand AS (SELECT n.vec_id AS c_id, n.vd, n.nrm,
+       |    list_dot_product(q.vd, n.vd) / (q.nrm * n.nrm) AS rel
+       |  FROM n CROSS JOIN q WHERE n.vec_id <> 0
+       |  ORDER BY rel DESC, c_id ASC LIMIT 20),
+       |p1 AS (SELECT c_id, vd, nrm, rel, 0.7 * rel - 0.3 * 0.0 AS mmr
+       |  FROM cand ORDER BY mmr DESC, c_id ASC LIMIT 1),
+       |sel1 AS (SELECT * FROM p1),
+       |$steps
+       |SELECT CAST(rnk AS BIGINT) AS rnk, c_id,
+       |  round(rel, 6) AS rel, round(mmr, 6) AS mmr
+       |FROM ($picks) t ORDER BY rnk""".stripMargin
   }
 
   def oracle: Map[String, String] = {
@@ -824,6 +954,30 @@ object VectorQueries extends QueryPack {
            |  (dr.id IS NOT NULL) AS dropped
            |FROM asg LEFT JOIN dr USING (id) ORDER BY vec_id""".stripMargin
       },
+
+      // per-dim scale, identical left-to-right FP expression shapes;
+      // per-dim error quantized to exact integers before the sum so the
+      // per-vector total is order-free in both engines
+      "q_quantize_int8" ->
+        """WITH p AS (SELECT vec_id,
+          |    generate_subscripts(embedding, 1) - 1 AS dim,
+          |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+          |st AS (SELECT dim, greatest(max(abs(x)), 1e-12) AS scale
+          |  FROM p GROUP BY dim),
+          |qn AS (SELECT p.vec_id,
+          |    CAST(floor(p.x / st.scale * 127.0 + 0.5) AS BIGINT) AS qv,
+          |    p.x, st.scale
+          |  FROM p JOIN st USING (dim)),
+          |er AS (SELECT vec_id, qv,
+          |    CAST(floor((x - qv * scale / 127.0) * (x - qv * scale / 127.0)
+          |      * 1e12 + 0.5) AS BIGINT) AS errq
+          |  FROM qn)
+          |SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS qnorm2,
+          |  CAST(sum(errq) AS BIGINT) AS err_fp,
+          |  CAST(sum(errq) AS DOUBLE) / 1e12 AS recon_err
+          |FROM er GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+      "q_mmr_rerank" -> mmrSql,
 
       // exact integer moments per dim, identical μ/σ expression shape,
       // floor-quantized z-scores (negative values — no round());

@@ -1,0 +1,265 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{Dist, Tables}
+
+/** Round-10 operators: drift monitoring (KS / PSI / chi-square), skyline
+  * selection, linear interpolation, incremental dedup, int8 quantization
+  * and MMR re-ranking — each cross-checked against an independent
+  * driver-side brute-force recomputation on the sf0.001 corpus (the
+  * DuckDB hash gate is the second, engine-external check).
+  */
+class DriftAndSelectionSpec extends AnyFunSuite {
+  import SparkFixture.{spark, sfDir}
+
+  private def events: Array[(Long, Long, String, Double)] =
+    Tables.eventsWithTime(spark, sfDir)
+      .select(col("ts_us"), col("user_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+
+  private def vq(v: Double): Long = math.floor(v * 1000.0 + 0.5).toLong
+
+  test("Dist.globalPrefixMin matches a driver-side sorted scan (incl + excl)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 500).map { i =>
+      (rnd.nextInt(40).toDouble, i.toLong, rnd.nextInt(1000).toLong)
+    }
+    val df = spark.createDataFrame(rows).toDF("v", "id", "a")
+    for (asc <- Seq(true, false); inclusive <- Seq(true, false)) {
+      val got = Dist.globalPrefixMin(df, "v", asc, "id", "a", p = 7,
+          inclusive = inclusive)
+        .select(col("id"), col("cummin")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ord = rows.sortBy(r => (if (asc) r._1 else -r._1, r._2))
+      val mins = ord.scanLeft(Long.MaxValue) {
+        case (acc, (_, _, a)) => math.min(acc, a)
+      }
+      val expect = ord.zipWithIndex.map { case ((_, id, _), i) =>
+        id -> (if (inclusive) mins(i + 1) else mins(i))
+      }.toMap
+      assert(got == expect, s"asc=$asc inclusive=$inclusive")
+    }
+  }
+
+  test("q_drift_ks equals the brute-force two-sample KS on quantized values") {
+    val e = events
+    val mid = {
+      val us = e.map(_._1); (us.min + us.max) / 2
+    }
+    val a = e.filter(_._1 < mid).map(x => vq(x._4))
+    val b = e.filter(_._1 >= mid).map(x => vq(x._4))
+    val values = (a ++ b).distinct.sorted
+    val best = values.map { v =>
+      val ca = a.count(_ <= v).toLong
+      val cb = b.count(_ <= v).toLong
+      (math.abs(ca * b.length.toLong - cb * a.length.toLong), v)
+    }.minBy { case (d, v) => (-d, v) }
+    val row = SparkEntry.queries("q_drift_ks")(spark, sfDir).head()
+    assert(row.getLong(0) == a.length.toLong)
+    assert(row.getLong(1) == b.length.toLong)
+    val expKs = math.floor(best._1.toDouble /
+      (a.length.toLong * b.length.toLong) * 1e6 + 0.5) / 1e6
+    assert(math.abs(row.getDouble(2) - expKs) < 1e-9)
+    assert(row.getDouble(3) == best._2.toDouble / 1000.0)
+  }
+
+  test("q_drift_psi: decile edges are reference order statistics; totals add up") {
+    val out = SparkEntry.queries("q_drift_psi")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == (0L to 9L))
+    val e = events
+    val mid = { val us = e.map(_._1); (us.min + us.max) / 2 }
+    val ref = e.filter(_._1 < mid).map(x => vq(x._4)).sorted
+    val cur = e.filter(_._1 >= mid).map(x => vq(x._4))
+    assert(out.map(_._2).sum == ref.length.toLong, "ref total")
+    assert(out.map(_._3).sum == cur.length.toLong, "cur total")
+    // replay the exact ceil-threshold edge contract and the bin counts
+    val edges = (1 to 9).map { i =>
+      val thr = ((i.toLong * ref.length + 9) / 10).toInt
+      ref(thr - 1) // cum >= thr first holds at the thr-th order statistic
+    }
+    def bin(v: Long): Int = edges.count(_ <= v)
+    val refBins = ref.groupBy(bin).map { case (k, v) => (k, v.length.toLong) }
+    val curBins = cur.groupBy(bin).map { case (k, v) => (k, v.length.toLong) }
+    out.foreach { case (b, nr, nc, psi) =>
+      assert(nr == refBins.getOrElse(b.toInt, 0L), s"bin $b ref")
+      assert(nc == curBins.getOrElse(b.toInt, 0L), s"bin $b cur")
+      assert(!psi.isNaN && !psi.isInfinite, s"bin $b psi finite")
+    }
+  }
+
+  test("q_chi2_select equals the brute-force contingency statistic") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("source")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = docs.length.toDouble
+    val langs = docs.map(_._1).distinct.sorted
+    val sources = docs.map(_._2).distinct
+    val out = SparkEntry.queries("q_chi2_select")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq == langs.toSeq)
+    out.foreach { case (lang, nd, chi2, dof) =>
+      val rt = docs.count(_._1 == lang).toDouble
+      assert(nd == rt.toLong)
+      assert(dof == sources.length - 1L)
+      val exp = sources.map { src =>
+        val st = docs.count(_._2 == src).toDouble
+        val o = docs.count(x => x._1 == lang && x._2 == src).toDouble
+        val eIn = rt * st / n
+        val eOut = (n - rt) * st / n
+        math.pow(o - eIn, 2) / eIn + math.pow((st - o) - eOut, 2) / eOut
+      }.sum
+      assert(math.abs(chi2 - exp) < 1e-4, s"$lang: $chi2 vs $exp")
+    }
+  }
+
+  test("q_skyline is exactly the non-dominated set") {
+    val agg = events.groupBy(_._2).map { case (u, rs) =>
+      (u, rs.map(x => vq(x._4)).sum,
+        rs.count(_._3 == "error").toLong)
+    }.toArray
+    val expect = agg.filter { case (_, x, y) =>
+      !agg.exists { case (_, x2, y2) =>
+        (x2 > x && y2 <= y) || (x2 >= x && y2 < y)
+      }
+    }.map { case (u, x, y) => (u, x.toDouble / 1000.0, y) }
+      .sortBy(_._1)
+    val got = SparkEntry.queries("q_skyline")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.toSeq == expect.toSeq)
+    assert(got.nonEmpty, "frontier should not be empty")
+  }
+
+  test("q_interp_linear bridges interior gaps linearly and matches LOCF at edges") {
+    val out = SparkEntry.queries("q_interp_linear")(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))))
+    val byType = out.groupBy(_._1._1)
+    // recompute per series from the raw events
+    val e = events.map { case (us, _, t, v) => (t, (us / 3600000000L) * 3600, v) }
+    val lo = e.map(_._2).min
+    val hi = e.map(_._2).max
+    byType.foreach { case (tpe, rows) =>
+      val obs = e.filter(x => x._1 == tpe && x._3 > 90)
+        .groupBy(_._2).map { case (h, xs) =>
+          val avg = xs.map(_._3).sum / xs.length
+          h -> math.floor(avg * 1e6 + 0.5) / 1e6
+        }
+      val sorted = rows.sortBy(_._1._2)
+      assert(sorted.head._1._2 == lo && sorted.last._1._2 == hi)
+      sorted.foreach { case ((_, h), (nObs, vLin)) =>
+        if (obs.contains(h)) {
+          assert(nObs > 0 && math.abs(vLin.get - obs(h)) < 2e-6,
+            s"$tpe@$h observed cell")
+        } else {
+          assert(nObs == 0L)
+          val prev = obs.keys.filter(_ < h)
+          val next = obs.keys.filter(_ > h)
+          (prev.nonEmpty, next.nonEmpty) match {
+            case (true, true) =>
+              val tp = prev.max; val tn = next.min
+              val exp = obs(tp) + (obs(tn) - obs(tp)) *
+                (h - tp).toDouble / (tn - tp).toDouble
+              assert(math.abs(vLin.get - exp) < 2e-6, s"$tpe@$h interp")
+            case (true, false) =>
+              assert(math.abs(vLin.get - obs(prev.max)) < 2e-6)
+            case (false, true) =>
+              assert(math.abs(vLin.get - obs(next.min)) < 2e-6)
+            case _             => fail(s"series $tpe has no observations")
+          }
+        }
+      }
+    }
+  }
+
+  test("q_dedup_incr flags exactly the increment docs with an earlier near-dup") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shingles(t: String): Set[String] = {
+      val toks = t.trim.toLowerCase
+        .split("[ \t\n\f\r]+").filter(_.nonEmpty)
+      val n = math.max(toks.length - 4, 1)
+      (0 until n).map(i => toks.slice(i, i + 5).mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, t) => (id, shingles(t)) }
+    val cutoff = (docs.map(_._1).max + 1) * 8 / 10
+    def jacc(a: Set[String], b: Set[String]): Double = {
+      val i = (a & b).size; i.toDouble / (a.size + b.size - i)
+    }
+    val expect = sets.filter(_._1 >= cutoff).map { case (id, s) =>
+      val m = sets.count { case (id2, s2) =>
+        id2 != id && (id2 < cutoff || id2 < id) && jacc(s2, s) >= 0.7
+      }
+      (id, m.toLong, m > 0)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_dedup_incr")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq == expect.toSeq)
+    assert(got.forall(_._1 >= cutoff), "only increment docs reported")
+  }
+
+  test("q_quantize_int8 matches the brute-force per-dim quantizer") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val dims = emb.head._2.length
+    val scale = (0 until dims).map { j =>
+      math.max(emb.map(x => math.abs(x._2(j))).max, 1e-12)
+    }
+    val expect = emb.map { case (id, v) =>
+      var qn = 0L; var ef = 0L
+      for (j <- 0 until dims) {
+        val q = math.floor(v(j) / scale(j) * 127.0 + 0.5).toLong
+        val e = v(j) - q * scale(j) / 127.0
+        qn += q * q
+        ef += math.floor(e * e * 1e12 + 0.5).toLong
+        assert(q >= -127 && q <= 127, s"q out of int8 range: $q")
+      }
+      (id, qn, ef)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_quantize_int8")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expect.toSeq)
+  }
+
+  test("q_mmr_rerank replays the greedy MMR selection") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val nrm = emb.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val vec = emb.toMap
+    val q = vec(0L)
+    val cand = emb.filter(_._1 != 0L)
+      .map { case (id, v) => (id, dot(q, v) / (nrm(0L) * nrm(id))) }
+      .sortBy { case (id, rel) => (-rel, id) }.take(20)
+    var sel = Vector.empty[(Long, Double, Double)]
+    for (_ <- 1 to 5) {
+      val pick = cand.filter(c => !sel.exists(_._1 == c._1)).map {
+        case (id, rel) =>
+          val mx = if (sel.isEmpty) 0.0
+            else sel.map(s =>
+              dot(vec(id), vec(s._1)) / (nrm(id) * nrm(s._1))).max
+          (id, rel, 0.7 * rel - 0.3 * mx)
+      }.minBy { case (id, _, mmr) => (-mmr, id) }
+      sel = sel :+ pick
+    }
+    val got = SparkEntry.queries("q_mmr_rerank")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == (1L to 5L))
+    assert(got.map(_._2).toSeq == sel.map(_._1))
+    got.zip(sel).foreach { case ((_, _, rel, mmr), (_, eRel, eMmr)) =>
+      assert(math.abs(rel - eRel) < 1e-6 && math.abs(mmr - eMmr) < 1e-6)
+    }
+    // diversification actually engages: picks are not simply top-5 by rel
+    assert(got.map(_._2).toSet.size == 5)
+  }
+}

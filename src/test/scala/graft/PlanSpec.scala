@@ -56,7 +56,7 @@ class PlanSpec extends AnyFunSuite {
       // q_dsir / q_hard_negatives are excluded: their only cross joins
       // are the accepted broadcast-scalar/centroid pattern (1-row totals,
       // nlist-row centroid table)
-      "q_dedup_contain", "q_contain_keep", "q_novelty")
+      "q_dedup_contain", "q_contain_keep", "q_novelty", "q_dedup_incr")
     assert(mustBeKeyed.forall(q => !allPairs.contains(q)),
       "a query is listed as both keyed and all-pairs")
     for (q <- mustBeKeyed) {
@@ -82,6 +82,20 @@ class PlanSpec extends AnyFunSuite {
     assert(windowLines.nonEmpty, "expected a running-sum window")
     assert(windowLines.forall(_.contains("pid")),
       s"un-keyed window in plan:\n${windowLines.mkString("\n")}")
+  }
+
+  test("q_skyline and q_drift_ks keep their global order statistics pid-keyed") {
+    // both ride Dist.globalPrefixAgg — the running min/sum must execute
+    // as pid-partitioned windows, never a single-partition global window
+    // (the per-doc rank windows elsewhere in a plan are keyed too, so
+    // simply assert NO window in either plan is partition-free)
+    for (q <- Seq("q_skyline", "q_drift_ks")) {
+      val p = plan(q)
+      val windowLines = p.linesIterator.filter(_.contains("Window ")).toSeq
+      assert(windowLines.nonEmpty, s"$q: expected a prefix-agg window")
+      assert(windowLines.forall(_.contains("pid")),
+        s"$q: un-keyed window in plan:\n${windowLines.mkString("\n")}")
+    }
   }
 
   test("q_udtf_gen runs the custom generator through GenerateExec") {
