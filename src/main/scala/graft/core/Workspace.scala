@@ -253,5 +253,75 @@ object Workspace {
       if (rows.isEmpty) error(s"No chartable rows in '$name'")
       else barChart(name, rows)
     }
+
+    /** The seventh template — the PDF surface the reference DECLARES
+      * alongside charts ("Quickly creating charts and PDFs from CSV
+      * files", reference/README.md:5-7) and likewise never implements
+      * (no PDF crate in its Cargo.lock): a minimal self-contained
+      * PDF 1.4 document listing the CSV's (label, value) rows as a
+      * Helvetica text table. Every byte is deterministic — fixed object
+      * layout, computed xref offsets, ROOT-locale numbers — so the same
+      * CSV always yields the identical file. Rows parse exactly like
+      * chartFromCsv (value = last comma-field, unparsable lines
+      * skipped, bounded at 50); a CSV with no numeric rows yields the
+      * standard HTML error page instead (same channel as the chart
+      * route). Strings escape the PDF delimiters and fold non-ASCII to
+      * '?' (the base-14 Helvetica has no reliable encoding for them
+      * without embedding a font program).
+      */
+    def pdfFromCsv(name: String, csv: String): Option[Array[Byte]] = {
+      val rows = csv.split("\n", -1).toSeq
+        .map(_.stripSuffix("\r"))
+        .flatMap { line =>
+          val cut = line.lastIndexOf(',')
+          if (cut < 0) None
+          else scala.util.Try(line.substring(cut + 1).trim.toDouble)
+            .toOption.map(v => (line.substring(0, cut), v))
+        }
+        .take(50)
+      if (rows.isEmpty) None else Some(pdfTable(name, rows))
+    }
+
+    private def pdfEsc(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '(' => "\\("
+      case ')' => "\\)"
+      case c if c >= 0x20 && c < 0x7f => c.toString
+      case _ => "?"
+    }
+
+    private def pdfTable(name: String,
+                         rows: Seq[(String, Double)]): Array[Byte] = {
+      val lines =
+        s"BT /F1 14 Tf 72 720 Td (${pdfEsc(name)}) Tj ET" +:
+          rows.zipWithIndex.map { case ((label, v), i) =>
+            val y = 694 - i * 16
+            s"BT /F1 10 Tf 72 $y Td (${pdfEsc(label)}) Tj ET " +
+              s"BT /F1 10 Tf 420 $y Td (${pdfEsc(num(v))}) Tj ET"
+          }
+      val content = lines.mkString("\n")
+      val objs = Seq(
+        "<< /Type /Catalog /Pages 2 0 R >>",
+        "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+          "/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>",
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        s"<< /Length ${content.length} >>\nstream\n$content\nendstream")
+      val sb = new StringBuilder("%PDF-1.4\n")
+      val offsets = objs.zipWithIndex.map { case (body, i) =>
+        val off = sb.length
+        sb.append(s"${i + 1} 0 obj\n$body\nendobj\n")
+        off
+      }
+      val xrefOff = sb.length
+      sb.append(s"xref\n0 ${objs.length + 1}\n")
+      sb.append("0000000000 65535 f \n")
+      offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+      sb.append(s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\n")
+      sb.append(s"startxref\n$xrefOff\n%%EOF\n")
+      // ASCII-only by construction (pdfEsc folds non-ASCII), so
+      // String#length == byte offset and ISO-8859-1 is an identity
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
   }
 }

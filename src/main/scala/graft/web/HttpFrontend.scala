@@ -138,12 +138,26 @@ final class HttpFrontend(store: SnapshotStore, mount: Path,
     // (the README-declared chart surface); directories and errors fall
     // through to the standard templates unchanged.
     val result = store.query(name, rawVersion, rawPath)
-    val body = (params.get("render"), result) match {
-      case (Some("chart"), Right(Workspace.FileResult(n, c))) =>
-        Render.chartFromCsv(n, c)
-      case _ => Render.render(result)
+    // `render=pdf` is the second README-declared export surface: a CSV
+    // file hit streams back as application/pdf; a CSV with no numeric
+    // rows degrades to the HTML error page (same channel as the chart)
+    (params.get("render"), result) match {
+      case (Some("pdf"), Right(Workspace.FileResult(n, c))) =>
+        Render.pdfFromCsv(n, c) match {
+          case Some(bytes) =>
+            replyBytes(ex, 200, bytes, contentType = "application/pdf")
+          case None =>
+            reply(ex, 200, Render.error(s"No chartable rows in '$n'"),
+              contentType = "text/html")
+        }
+      case (render, _) =>
+        val body = (render, result) match {
+          case (Some("chart"), Right(Workspace.FileResult(n, c))) =>
+            Render.chartFromCsv(n, c)
+          case _ => Render.render(result)
+        }
+        reply(ex, 200, body, contentType = "text/html")
     }
-    reply(ex, 200, body, contentType = "text/html")
   }
 
   /** The reference's provenance block — src/http_server.rs:206-236. */
@@ -183,8 +197,11 @@ final class HttpFrontend(store: SnapshotStore, mount: Path,
   }
 
   private def reply(ex: HttpExchange, status: Int, body: String,
-                    contentType: String = "text/plain"): Unit = {
-    val bytes = body.getBytes(StandardCharsets.UTF_8)
+                    contentType: String = "text/plain"): Unit =
+    replyBytes(ex, status, body.getBytes(StandardCharsets.UTF_8), contentType)
+
+  private def replyBytes(ex: HttpExchange, status: Int, bytes: Array[Byte],
+                         contentType: String): Unit = {
     ex.getResponseHeaders.set("Content-Type", contentType)
     // JDK contract: -1 means an empty body
     ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)

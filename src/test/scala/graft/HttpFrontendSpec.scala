@@ -109,6 +109,51 @@ class HttpFrontendSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains("does not exist in this version"))
   }
 
+  test("render=pdf serves a structurally valid deterministic PDF") {
+    val req = HttpRequest.newBuilder(URI.create(
+      s"http://127.0.0.1:${front.port}/workspaces/w?path=t.csv&render=pdf"))
+      .GET().build()
+    val r = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").get() == "application/pdf")
+    val bytes = r.body()
+    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(s.startsWith("%PDF-1.4\n"))
+    assert(s.endsWith("%%EOF\n"))
+    // the table carries the title and the parsed data row (1 -> 2);
+    // the non-numeric header row is skipped like the chart route
+    assert(s.contains("(t.csv) Tj"))
+    assert(s.contains("(1) Tj") && s.contains("(2) Tj"))
+    // xref integrity: every offset must point at its "<i> 0 obj" header
+    val xref = s.indexOf("\nxref\n")
+    val entries = s.substring(xref).linesIterator
+      .filter(_.endsWith(" n ")).map(_.take(10).toInt).toSeq
+    assert(entries.length == 5)
+    entries.zipWithIndex.foreach { case (off, i) =>
+      assert(s.startsWith(s"${i + 1} 0 obj\n", off),
+        s"xref entry ${i + 1} points at: " + s.substring(off, off + 12))
+    }
+    // the declared stream /Length matches the actual stream bytes
+    val len = "/Length (\\d+)".r.findFirstMatchIn(s).get.group(1).toInt
+    val body = s.substring(s.indexOf("stream\n") + 7, s.indexOf("\nendstream"))
+    assert(body.length == len)
+    // startxref points at the xref table
+    val sx = s.substring(s.indexOf("startxref\n") + 10).trim
+      .stripSuffix("%%EOF").trim.toInt
+    assert(s.startsWith("xref\n", sx))
+    // byte-determinism: a second fetch is identical
+    val again = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+    assert(java.util.Arrays.equals(bytes, again.body()))
+    // a CSV with no numeric rows degrades to the HTML error page
+    assert(get("/workspaces/w?path=sub/n.txt&render=pdf").body()
+      .contains("No chartable rows"))
+    // PDF delimiters in labels escape: craft via Render directly
+    val esc = graft.core.Workspace.Render
+      .pdfFromCsv("x", "a(b)c\\d,7\n").get
+    val es = new String(esc, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(es.contains("(a\\(b\\)c\\\\d) Tj"))
+  }
+
   test("all four error classes render as error pages") {
     // Apostrophes render HTML-escaped (&#x27;, matching handlebars-rust).
     assert(get("/workspaces/ghost").body()
