@@ -81,6 +81,26 @@ def main():
     pq.write_table(t, f"{OUT}/embeddings.parquet")
     print(f"embeddings: {len(alle)} rows -> {OUT}/embeddings.parquet")
 
+    # events (r10, for the drift/skyline/interp probes): shard k offsets
+    # event_id and user_id (disjoint users => per-user aggregates are 10
+    # disjoint copies, so skyline/TWAP group work is exactly 10x) while
+    # ts / value / event_type copy verbatim => the cohort split point,
+    # the distinct-value CDF frame, and the resample grid are IDENTICAL
+    # to sf0.1 — the probe then isolates the scan/aggregate stages,
+    # which are the only parts that should grow.
+    import os as _os
+    if _os.path.exists(f"{SRC}/events.parquet"):
+        ev = pd.read_parquet(f"{SRC}/events.parquet")
+        shards = []
+        for k in range(SHARDS):
+            e = ev.copy()
+            e["event_id"] = e["event_id"] + k * 10_000_000
+            e["user_id"] = e["user_id"] + k * 1_000_000
+            shards.append(e)
+        alle2 = pd.concat(shards, ignore_index=True)
+        alle2.to_parquet(f"{OUT}/events.parquet", index=False)
+        print(f"events: {len(alle2)} rows -> {OUT}/events.parquet")
+
     # TPC-H graph tables (r10, for the q_graph_bfs probe): shard k adds
     # a disjoint key offset to every join/graph key, so the bipartite
     # customer–supplier graph becomes 10 DISJOINT copies — frontier
