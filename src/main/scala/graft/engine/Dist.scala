@@ -47,8 +47,19 @@ object Dist {
   def globalPrefixSum(df: DataFrame, valueCol: String, asc: Boolean,
                       idCol: String, weightCol: String,
                       p: Int): DataFrame =
-    globalPrefixAgg(df, valueCol, asc, idCol, weightCol, p, isSum = true,
-      outCol = "cum")
+    globalPrefixAgg(df, valueCol, asc, idCol, Seq(weightCol), p,
+      isSum = true, outCols = Seq("cum"))
+
+  /** [[globalPrefixSum]] for SEVERAL weight columns under ONE total
+    * order in ONE pass: `outCols(j)` carries the prefix sum of
+    * `weightCols(j)`. The sample, the per-range totals aggregation, and
+    * the running-sum window are all shared, so a two-cohort CDF
+    * (q_drift_ks / q_drift_psi) pays one set of jobs instead of two. */
+  def globalPrefixSums(df: DataFrame, valueCol: String, asc: Boolean,
+                       idCol: String, weightCols: Seq[String],
+                       outCols: Seq[String], p: Int): DataFrame =
+    globalPrefixAgg(df, valueCol, asc, idCol, weightCols, p,
+      isSum = true, outCols = outCols)
 
   /** Adds `cummin` — the global prefix MIN of `aggCol` under the total
     * order (valueCol asc/desc, idCol asc) — to `df`. The dominance
@@ -61,13 +72,15 @@ object Dist {
   def globalPrefixMin(df: DataFrame, valueCol: String, asc: Boolean,
                       idCol: String, aggCol: String,
                       p: Int, inclusive: Boolean = true): DataFrame =
-    globalPrefixAgg(df, valueCol, asc, idCol, aggCol, p, isSum = false,
-      outCol = "cummin", inclusive = inclusive)
+    globalPrefixAgg(df, valueCol, asc, idCol, Seq(aggCol), p,
+      isSum = false, outCols = Seq("cummin"), inclusive = inclusive)
 
   private def globalPrefixAgg(df: DataFrame, valueCol: String, asc: Boolean,
-                              idCol: String, weightCol: String, p: Int,
-                              isSum: Boolean, outCol: String,
+                              idCol: String, weightCols: Seq[String], p: Int,
+                              isSum: Boolean, outCols: Seq[String],
                               inclusive: Boolean = true): DataFrame = {
+    require(weightCols.nonEmpty && weightCols.length == outCols.length,
+      "globalPrefixAgg: weightCols and outCols must pair up")
     def dt(c: String) = df.schema(c).dataType
     require(dt(valueCol) == org.apache.spark.sql.types.DoubleType,
       s"globalPrefixAgg: $valueCol is ${dt(valueCol)}, need DOUBLE — " +
@@ -75,11 +88,14 @@ object Dist {
     require(dt(idCol) == org.apache.spark.sql.types.LongType,
       s"globalPrefixAgg: $idCol is ${dt(idCol)}, need BIGINT — " +
       "cast explicitly upstream")
-    require(dt(weightCol) == org.apache.spark.sql.types.LongType,
-      s"globalPrefixAgg: $weightCol is ${dt(weightCol)}, need BIGINT — " +
-      "cast explicitly upstream")
+    weightCols.foreach { w =>
+      require(dt(w) == org.apache.spark.sql.types.LongType,
+        s"globalPrefixAgg: $w is ${dt(w)}, need BIGINT — " +
+        "cast explicitly upstream")
+    }
     val spark = df.sparkSession
-    val passes = df.select(col(valueCol), col(idCol), col(weightCol))
+    val passes = df
+      .select((valueCol +: idCol +: weightCols).map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = passes.count()
     val frac = if (n <= 0) 1.0 else math.min(1.0, (20.0 * p) / n)
@@ -107,26 +123,36 @@ object Dist {
       acc + when(after, 1).otherwise(0)
     }
     val withPid = df.withColumn("pid", pidCol)
+    val totalAggs = weightCols.map(w =>
+      (if (isSum) sum(col(w)) else min(col(w))).as(s"t_$w"))
     val totals = passes.withColumn("pid", pidCol).groupBy(col("pid"))
-      .agg((if (isSum) sum(col(weightCol)) else min(col(weightCol))).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .agg(totalAggs.head, totalAggs.tail: _*)
+      .collect()
+      .map(r => r.getInt(0) ->
+        weightCols.indices.map(j => r.getLong(j + 1)).toArray)
+      .toMap
     passes.unpersist(blocking = false)
     val nRanges = boundaries.length + 1
     // exclusive per-range offsets under the op's identity (0 for sum,
     // Long.MaxValue for min) — range 0's offset is the identity element
     val identity0 = if (isSum) 0L else Long.MaxValue
-    val offsets = (0 until nRanges).scanLeft(identity0) {
+    val offsets: Seq[Array[Long]] = (0 until nRanges).scanLeft(
+      Array.fill(weightCols.length)(identity0)) {
       case (acc, pid) =>
-        val t = totals.getOrElse(pid, identity0)
-        if (isSum) acc + t else math.min(acc, t)
+        val t = totals.getOrElse(pid,
+          Array.fill(weightCols.length)(identity0))
+        acc.zip(t).map { case (a, b) =>
+          if (isSum) a + b else math.min(a, b) }
     }.take(nRanges)
+    val offNames = weightCols.indices.map(j => s"__goff_$j")
     val offDf = spark.createDataFrame(
       java.util.Arrays.asList(offsets.zipWithIndex.map {
-        case (off, pid) => org.apache.spark.sql.Row(pid, off) }: _*),
-      org.apache.spark.sql.types.StructType(Seq(
+        case (offs, pid) =>
+          org.apache.spark.sql.Row.fromSeq(pid +: offs.toSeq) }: _*),
+      org.apache.spark.sql.types.StructType(
         org.apache.spark.sql.types.StructField("pid",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("off",
+          org.apache.spark.sql.types.IntegerType, nullable = false) +:
+        offNames.map(o => org.apache.spark.sql.types.StructField(o,
           org.apache.spark.sql.types.LongType, nullable = false))))
     val sortCols =
       if (asc) Seq(col(valueCol).asc, col(idCol).asc)
@@ -136,14 +162,16 @@ object Dist {
         if (inclusive) Window.currentRow else -1)
     // an exclusive frame is empty on each range's first row — coalesce
     // the window result to the op identity so the offset alone carries it
-    val winAgg =
-      if (isSum) coalesce(sum(col(weightCol)).over(w), lit(0L))
-      else coalesce(min(col(weightCol)).over(w), lit(Long.MaxValue))
-    val combined =
-      if (isSum) col("off") + winAgg
-      else least(col("off"), winAgg)
-    withPid.join(broadcast(offDf), "pid")
-      .withColumn(outCol, combined)
-      .drop("pid", "off")
+    val joined = withPid.join(broadcast(offDf), "pid")
+    val withOut = weightCols.indices.foldLeft(joined) { case (acc, j) =>
+      val winAgg =
+        if (isSum) coalesce(sum(col(weightCols(j))).over(w), lit(0L))
+        else coalesce(min(col(weightCols(j))).over(w), lit(Long.MaxValue))
+      val combined =
+        if (isSum) col(offNames(j)) + winAgg
+        else least(col(offNames(j)), winAgg)
+      acc.withColumn(outCols(j), combined)
+    }
+    withOut.drop("pid" +: offNames: _*)
   }
 }

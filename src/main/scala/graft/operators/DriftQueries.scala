@@ -48,24 +48,44 @@ object DriftQueries extends QueryPack {
   }
 
   /** Per-distinct-value cohort counts with inclusive cumulative counts
-    * for both cohorts under vq asc — two [[Dist.globalPrefixSum]] passes
-    * over the (bounded: one row per distinct milli-value) grouped frame.
+    * for both cohorts under vq asc — ONE [[Dist.globalPrefixSums]] pass
+    * over the (bounded: one row per distinct milli-value) grouped frame,
+    * both cohorts sharing the sample/totals/window jobs.
     * Columns: vq, na, nb, cum_a, cum_b. */
-  private def cohortCdf(s: SparkSession, d: String): DataFrame = {
+  private[graft] def cohortCdf(s: SparkSession, d: String): DataFrame = {
     val grouped = quantizedEvents(s, d)
       .groupBy(col("vq"))
       .agg(
         sum(when(col("us") < col("mid"), 1L).otherwise(0L)).as("na"),
         sum(when(col("us") >= col("mid"), 1L).otherwise(0L)).as("nb"))
       .withColumn("vqd", col("vq").cast("double"))
-    val withA = Dist.globalPrefixSum(grouped, "vqd", asc = true,
-        idCol = "vq", weightCol = "na", p = 32)
-      .withColumnRenamed("cum", "cum_a")
-    Dist.globalPrefixSum(withA, "vqd", asc = true,
-        idCol = "vq", weightCol = "nb", p = 32)
-      .withColumnRenamed("cum", "cum_b")
+    Dist.globalPrefixSums(grouped, "vqd", asc = true, idCol = "vq",
+        weightCols = Seq("na", "nb"), outCols = Seq("cum_a", "cum_b"),
+        p = 32)
       .drop("vqd")
   }
+
+  /** The 9 reference-decile edges of a cohortCdf frame: edge_i = min vq
+    * with cum_a >= ceil(i·Na/10) — all 9 found in ONE job (cross the
+    * bounded cdf frame with the decile index, min per i). Shared by
+    * q_drift_psi and the streaming PSI twin so the edge contract cannot
+    * drift between them. Driver state: 9 longs, bounded by construction. */
+  private[graft] def decileEdges(cdf: DataFrame, naTot: Long): Array[Long] = {
+    val spark = cdf.sparkSession
+    val thresholds = (1 to 9).map(i => (i, (i * naTot + 9) / 10))
+    val thrDf = spark.createDataFrame(thresholds).toDF("i", "thr")
+    cdf.crossJoin(broadcast(thrDf))
+      .filter(col("cum_a") >= col("thr"))
+      .groupBy(col("i")).agg(min(col("vq")).as("edge"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1).map(_._2)
+  }
+
+  /** The "count of edges <= vq" decile-bin column over `vqCol`. */
+  private[graft] def binColumn(edges: Array[Long], vqCol: Column): Column =
+    edges.foldLeft(lit(0)) {
+      case (acc, e) => acc + when(vqCol >= e, 1).otherwise(0)
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- two-sample Kolmogorov–Smirnov drift test --------------------------
@@ -75,19 +95,32 @@ object DriftQueries extends QueryPack {
     // statistic divides (a single deterministic double division).
     // Ties on d_num break to the smallest value — a total order, so the
     // reported location is unique. One TakeOrdered(1) — no driver state.
+    // The CDF frame is persisted for the two bounded actions (totals,
+    // TakeOrdered(1)) and the single result row is assembled locally —
+    // the whole statistic reduces to four scalars, and re-deriving the
+    // upstream scan per action would triple the query's cost. The final
+    // division/rounding still evaluates through Spark expressions on the
+    // local frame, so the FP shapes the oracle replays are unchanged.
     "q_drift_ks" -> ((s, d) => {
       val cdf = cohortCdf(s, d)
-      val tot = cdf.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
-      cdf.crossJoin(broadcast(tot))
-        .withColumn("d_num",
-          abs(col("cum_a") * col("tb") - col("cum_b") * col("ta")))
-        .orderBy(col("d_num").desc, col("vq").asc)
-        .limit(1)
-        .select(
-          col("ta").as("n_a"), col("tb").as("n_b"),
-          round(col("d_num").cast("double") /
-            (col("ta") * col("tb")).cast("double"), 6).as("ks"),
-          (col("vq").cast("double") / lit(1000.0)).as("ks_at"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val Array(ta, tb) = cdf
+          .agg(sum(col("na")), sum(col("nb"))).head()
+          .toSeq.map(x => x.asInstanceOf[Long]).toArray
+        val best = cdf
+          .withColumn("d_num",
+            abs(col("cum_a") * lit(tb) - col("cum_b") * lit(ta)))
+          .orderBy(col("d_num").desc, col("vq").asc)
+          .limit(1).select(col("d_num"), col("vq")).head()
+        import s.implicits._
+        Seq((ta, tb, best.getLong(0), best.getLong(1)))
+          .toDF("ta", "tb", "d_num", "vq")
+          .select(col("ta").as("n_a"), col("tb").as("n_b"),
+            round(col("d_num").cast("double") /
+              (col("ta") * col("tb")).cast("double"), 6).as("ks"),
+            (col("vq").cast("double") / lit(1000.0)).as("ks_at"))
+      } finally cdf.unpersist(blocking = false)
     }),
 
     // -- Population Stability Index over reference deciles -----------------
@@ -106,32 +139,26 @@ object DriftQueries extends QueryPack {
         val Array(naTot, nbTot) = cdf
           .agg(sum(col("na")), sum(col("nb"))).head()
           .toSeq.map(x => x.asInstanceOf[Long]).toArray
-        // all 9 edges in ONE job: cross the (bounded) cdf frame with the
-        // decile index, keep rows past each ceil threshold, min per i
-        val thresholds = (1 to 9).map(i => (i, (i * naTot + 9) / 10))
-        val thrDf = spark.createDataFrame(thresholds).toDF("i", "thr")
-        val edges: Array[Long] = cdf.crossJoin(broadcast(thrDf))
-          .filter(col("cum_a") >= col("thr"))
-          .groupBy(col("i")).agg(min(col("vq")).as("edge"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1))
-          .sortBy(_._1).map(_._2)
-        val binCol: Column = edges.foldLeft(lit(0)) {
-          case (acc, e) => acc + when(col("vq") >= e, 1).otherwise(0)
-        }
-        val binned = cdf.withColumn("bin", binCol)
+        val edges = decileEdges(cdf, naTot)
+        // the binned aggregate is 10 rows by construction — collect it,
+        // zero-fill the grid locally, and evaluate the (identical) PSI
+        // expressions over the local frame: one cached action instead of
+        // a full upstream recompute for the returned plan
+        val binned = cdf.withColumn("bin", binColumn(edges, col("vq")))
           .groupBy(col("bin"))
           .agg(sum(col("na")).as("n_ref"), sum(col("nb")).as("n_cur"))
-        val grid = spark.range(0, 10).select(col("id").cast("int").as("bin"))
-        grid.join(binned, Seq("bin"), "left")
-          .select(col("bin"),
-            coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-            coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+          .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+        import spark.implicits._
+        (0 until 10).map { b =>
+          val (nr, nc) = binned.getOrElse(b, (0L, 0L))
+          (b.toLong, nr, nc)
+        }.toDF("bin", "n_ref", "n_cur")
           .withColumn("pr",
             (col("n_ref").cast("double") + lit(0.5)) / lit(naTot + 5.0))
           .withColumn("pc",
             (col("n_cur").cast("double") + lit(0.5)) / lit(nbTot + 5.0))
-          .select(col("bin").cast("bigint").as("bin"),
-            col("n_ref"), col("n_cur"),
+          .select(col("bin"), col("n_ref"), col("n_cur"),
             round((col("pc") - col("pr")) * log(col("pc") / col("pr")), 6)
               .as("psi_term"))
           .orderBy(col("bin"))

@@ -231,6 +231,28 @@ object EventQueries extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // -- Markov transition matrix over user event sequences ----------------
+    // The journey-analytics generalization of q_funnel: P(next event
+    // type | current) estimated from every consecutive pair in each
+    // user's time-ordered sequence. One user-keyed lead window (the
+    // series key carries parallelism), one (from, to) aggregation, one
+    // keyed normalization window — counts are exact integers, the
+    // probability is a single rounded division.
+    "q_transition_matrix" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.eventsWithTime(s, d)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("from_type")))
+            .cast("double"), 6))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     // -- keyed dedup: first event per (user_id, event_type) ----------------
     "q_dedup_keyed" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"), col("event_type"))
@@ -357,6 +379,20 @@ object EventQueries extends QueryPack {
         |  wsum // dur_us AS twap_mu,
         |  (wsum // dur_us) / 1000.0e0 AS twap
         |FROM a WHERE dur_us > 0 ORDER BY user_id""".stripMargin,
+
+    "q_transition_matrix" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+        |    event_id FROM events),
+        |nx AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id) AS to_type
+        |  FROM e),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM nx
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n AS DOUBLE) /
+        |    CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
 
     "q_interp_linear" ->
       """WITH e AS (SELECT event_type,

@@ -16,6 +16,10 @@ case class ImageFeatures(doc_id: Long, width: Int, height: Int,
 case class AudioFeatures(doc_id: Long, n_samples: Int, sample_rate: Int,
                          avg_sample: Double)
 
+/** Per-frame audio features (energy / zero-crossings / peak). */
+case class AudioFrame(doc_id: Long, frame_id: Long, energy: Long,
+                      zcr: Long, peak: Long)
+
 /** Multimodal-column operators: image/audio/video handled as opaque
   * `binary` columns with typed metadata (SURVEY.md §2.2 "Multimodal
   * columns"; the reference stores whole files as opaque payloads —
@@ -241,6 +245,56 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // -- frame-level audio feature extraction -------------------------------
+    // The feature-extraction step a speech/audio training pipeline runs
+    // after decode: the 512-sample clip frames into 8 windows of 64 and
+    // each frame reports signal ENERGY (Σ(s-128)²), ZERO-CROSSING count
+    // (consecutive centered samples with strictly opposite signs), and
+    // PEAK amplitude — the classic VAD/segmentation trio. All three are
+    // exact integers over the decoded 8-bit PCM, so the oracle
+    // regenerates the same samples from the splitmix64 formula and
+    // replays the arithmetic without audio code. Same real JDK decode
+    // path and narrow per-partition shape as q_mm_wav_decode; framing
+    // multiplies rows ×8 but stays partition-local.
+    "q_mm_audio_frames" -> ((s, d) => {
+      import s.implicits._
+      val n = 512
+      val fl = 64
+      Tables.documents(s, d).select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          it.flatMap { id =>
+            val pcm = Array.tabulate(n) { i =>
+              (org.apache.spark.sql.graft.NativeExpressions
+                .splitmix64Long(id * 1024L + i) & 0xffL).toByte
+            }
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(writeWav(pcm)))
+            val decoded = in.readAllBytes()
+            (0 until n / fl).map { f =>
+              var energy = 0L
+              var zcr = 0L
+              var peak = 0L
+              var j = 0
+              while (j < fl) {
+                val sv = (decoded(f * fl + j) & 0xff) - 128
+                energy += sv.toLong * sv
+                if (math.abs(sv) > peak) peak = math.abs(sv).toLong
+                if (j < fl - 1) {
+                  val sv2 = (decoded(f * fl + j + 1) & 0xff) - 128
+                  if (sv * sv2 < 0) zcr += 1
+                }
+                j += 1
+              }
+              AudioFrame(id, f.toLong, energy, zcr, peak)
+            }
+          }
+        }
+        .toDF()
+        .orderBy(col("doc_id"), col("frame_id"))
+    }),
+
     // -- batch decode via mapPartitions (stubbed codec) ---------------------
     // Iterator-to-iterator: the decoder sees a stream of (id, bytes)
     // batches exactly like mapInPandas batches — no partition
@@ -293,6 +347,33 @@ object MultimodalQueries extends QueryPack {
          |SELECT doc_id, 512 AS n_samples, 8000 AS sample_rate,
          |  round(sum(pv) / 512.0, 6) AS avg_sample
          |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // zero-crossing uses strict sign opposition (sv·sv2 < 0), so a
+    // centered sample of exactly 0 never counts — pinned here and in the
+    // Spark loop identically
+    "q_mm_audio_frames" -> {
+      import graft.engine.OracleHash._
+      s"""WITH px AS (SELECT doc_id, i,
+         |    CAST(doc_id * 1024 + i AS UBIGINT) AS seed
+         |  FROM documents, unnest(range(0, 512)) AS t(i)),
+         |${splitmixStages("px", "doc_id, i", "seed")},
+         |v AS (SELECT doc_id, i,
+         |    CAST(xor(z3, z3 >> 31) % 256 AS BIGINT) - 128 AS sv
+         |  FROM p3_),
+         |f AS (SELECT doc_id, i // 64 AS frame_id, i % 64 AS j, sv
+         |  FROM v),
+         |nx AS (SELECT doc_id, frame_id, j, sv,
+         |    lead(sv) OVER (PARTITION BY doc_id, frame_id ORDER BY j)
+         |      AS sv2
+         |  FROM f)
+         |SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+         |  CAST(sum(sv * sv) AS BIGINT) AS energy,
+         |  CAST(sum(CASE WHEN sv2 IS NOT NULL AND sv * sv2 < 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS zcr,
+         |  CAST(max(abs(sv)) AS BIGINT) AS peak
+         |FROM nx GROUP BY doc_id, frame_id
+         |ORDER BY doc_id, frame_id""".stripMargin
     },
 
     "q_mm_metadata" ->

@@ -394,6 +394,30 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // -- consistent hash-ordered sampling: smallest-k per stratum ----------
+    // The reproducible-subset primitive (bottom-k / consistent sampling):
+    // each doc's sample key is splitmix64 of its id (a fresh seed
+    // derivation, decorrelated from q_hash_split / q_sample_stratified),
+    // and each language keeps its 5 smallest keys. Unlike rate-based
+    // sampling the result is a FIXED-SIZE panel per stratum that is
+    // stable under corpus growth: a doc only leaves the panel when a
+    // smaller-keyed doc arrives — exactly the property monitoring panels
+    // and eval subsets need. The sign bit is masked so both engines
+    // order the same non-negative key space. Keyed window, no shuffle
+    // beyond the stratum partition.
+    "q_sample_consistent" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("sample_key"), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("sample_key",
+          NativeExpressions.splitmix64(col("doc_id") * lit(389L) + lit(17L))
+            .bitwiseAND(lit(Long.MaxValue)))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter(col("rn") <= 5)
+        .select(col("lang"), col("rn"), col("doc_id"), col("sample_key"))
+        .orderBy(col("lang"), col("rn"))
+    }),
+
     // -- quality-WEIGHTED sampling: per-ROW acceptance probability ---------
     // The per-row generalization of q_sample_stratified's per-group
     // rates (importance sampling, as in DCLM/FineWeb-style curation):
@@ -922,6 +946,21 @@ object PipelineQueries extends QueryPack {
         |  round(term / z / (CAST(n_docs AS DOUBLE) / n_total), 6)
         |    AS multiplier
         |FROM t CROSS JOIN d_ ORDER BY source""".stripMargin,
+
+    "q_sample_consistent" -> {
+      import graft.engine.OracleHash._
+      s"""WITH ${splitmixStages("documents", "doc_id, lang",
+            "(doc_id*389+17)::UBIGINT")},
+         |k AS (SELECT doc_id, lang,
+         |    CAST(xor(z3, z3 >> 31) & 9223372036854775807::UBIGINT
+         |      AS BIGINT) AS sample_key
+         |  FROM p3_),
+         |r AS (SELECT lang, doc_id, sample_key, row_number() OVER (
+         |    PARTITION BY lang ORDER BY sample_key, doc_id) AS rn
+         |  FROM k)
+         |SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id, sample_key
+         |FROM r WHERE rn <= 5 ORDER BY lang, rn""".stripMargin
+    },
 
     "q_sample_stratified" -> {
       import graft.engine.OracleHash._

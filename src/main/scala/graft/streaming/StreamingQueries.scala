@@ -133,6 +133,60 @@ object StreamingQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // -- streaming drift monitor: windowed PSI vs a static reference --------
+    // The continuous-query twin of q_drift_psi: reference decile edges
+    // come from a BATCH pass over the early cohort (a frozen baseline in
+    // production — recomputed offline, broadcast to the stream), the
+    // stream bins each event with the shared DriftQueries.binColumn fold
+    // (no join, a 9-branch codegen'd expression) and counts per
+    // (6h tumbling window, bin). PSI normalization happens post-sink on
+    // the bounded (windows × 10) result — the stream maintains only
+    // mergeable counts, which is what keeps the state store small at
+    // any input rate. Driver state: 9 edge longs + 10 reference counts.
+    "q_stream_drift" -> ((s, d) => {
+      import graft.operators.DriftQueries
+      val cdf = DriftQueries.cohortCdf(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (edges, naTot, refCounts) =
+        try {
+          val naTot = cdf.agg(sum(col("na"))).head().getLong(0)
+          val edges = DriftQueries.decileEdges(cdf, naTot)
+          val counts = cdf
+            .withColumn("bin", DriftQueries.binColumn(edges, col("vq")))
+            .groupBy(col("bin")).agg(sum(col("na")).as("n_ref"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          (edges, naTot, (0 until 10).map(b => (b, counts.getOrElse(b, 0L))))
+        } finally cdf.unpersist(blocking = false)
+      val refBins = s.createDataFrame(refCounts).toDF("bin", "n_ref")
+      val vq = floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+      val agg = StreamRunner.eventsStream(s, d)
+        .withWatermark("ts_t", "10 minutes")
+        .withColumn("bin", DriftQueries.binColumn(edges, vq))
+        .groupBy(window(col("ts_t"), "6 hours").as("w"), col("bin"))
+        .agg(count(lit(1)).as("n_cur"))
+      val sink = StreamRunner.runToTable(s, agg, "g_stream_drift", "complete")
+        .select(unix_timestamp(col("w.start")).as("win_s"), col("bin"),
+          col("n_cur"))
+      val grid = sink.select(col("win_s")).distinct()
+        .crossJoin(broadcast(
+          s.range(0, 10).select(col("id").cast("int").as("bin"))))
+      val tot = sink.groupBy(col("win_s")).agg(sum(col("n_cur")).as("nw"))
+      grid.join(sink, Seq("win_s", "bin"), "left")
+        .join(broadcast(refBins), Seq("bin"))
+        .join(broadcast(tot), Seq("win_s"))
+        .withColumn("n_cur", coalesce(col("n_cur"), lit(0L)))
+        .withColumn("pr",
+          (col("n_ref").cast("double") + lit(0.5)) / lit(naTot + 5.0))
+        .withColumn("pc",
+          (col("n_cur").cast("double") + lit(0.5)) /
+            (col("nw").cast("double") + lit(5.0)))
+        .select(col("win_s"), col("bin").cast("bigint").as("bin"),
+          col("n_cur"),
+          round((col("pc") - col("pr")) * log(col("pc") / col("pr")), 6)
+            .as("psi_term"))
+        .orderBy(col("win_s"), col("bin"))
+    }),
+
     // -- stream-static LEFT ANTI join (dedup against history) ---------------
     // The incremental-ingest decontamination shape: new events stream in
     // and rows whose user already exists in a static historical corpus
@@ -400,6 +454,47 @@ object StreamingQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // batch replay of the full pipeline: reference deciles (q_drift_psi's
+    // ceil-threshold contract), epoch-aligned 6h windows, per-(win, bin)
+    // counts with zero cells kept, Laplace-smoothed PSI terms
+    "q_stream_drift" ->
+      """WITH e AS (SELECT
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq,
+        |    epoch_us(ts) AS us FROM events),
+        |b AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+        |g AS (SELECT vq,
+        |    sum(CASE WHEN us < mid THEN 1 ELSE 0 END) AS na
+        |  FROM e CROSS JOIN b GROUP BY vq),
+        |c AS (SELECT vq, na, sum(na) OVER (ORDER BY vq) AS cum_a FROM g),
+        |t AS (SELECT sum(na) AS nat FROM g),
+        |edges AS (SELECT i, min(vq) AS edge
+        |  FROM c CROSS JOIN (SELECT unnest(range(1, 10)) AS i)
+        |  CROSS JOIN t
+        |  WHERE cum_a >= (i * nat + 9) // 10 GROUP BY i),
+        |eb AS (SELECT e.vq, e.us,
+        |    (SELECT count(*) FROM edges WHERE edge <= e.vq) AS bin
+        |  FROM e),
+        |rb AS (SELECT bin, count(*) AS n_ref FROM eb CROSS JOIN b
+        |  WHERE us < mid GROUP BY bin),
+        |wn AS (SELECT (us // 21600000000) * 21600 AS win_s, bin FROM eb),
+        |cnt AS (SELECT win_s, bin, count(*) AS n_cur FROM wn
+        |  GROUP BY 1, 2),
+        |wins AS (SELECT DISTINCT win_s FROM wn),
+        |grid AS (SELECT wins.win_s, gb.bin
+        |  FROM wins CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) gb),
+        |tw AS (SELECT win_s, sum(n_cur) AS nw FROM cnt GROUP BY win_s),
+        |j AS (SELECT grid.win_s, grid.bin,
+        |    coalesce(cnt.n_cur, 0) AS n_cur,
+        |    coalesce(rb.n_ref, 0) AS n_ref, tw.nw, t.nat
+        |  FROM grid LEFT JOIN cnt USING (win_s, bin)
+        |  LEFT JOIN rb USING (bin) JOIN tw USING (win_s) CROSS JOIN t)
+        |SELECT win_s, CAST(bin AS BIGINT) AS bin,
+        |  CAST(n_cur AS BIGINT) AS n_cur,
+        |  round(((n_cur + 0.5) / (nw + 5.0) - (n_ref + 0.5) / (nat + 5.0))
+        |    * ln(((n_cur + 0.5) / (nw + 5.0))
+        |        / ((n_ref + 0.5) / (nat + 5.0))), 6) AS psi_term
+        |FROM j ORDER BY win_s, bin""".stripMargin,
+
     "q_stream_tumbling" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_s, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_v

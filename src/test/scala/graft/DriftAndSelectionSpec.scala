@@ -90,6 +90,40 @@ class DriftAndSelectionSpec extends AnyFunSuite {
     }
   }
 
+  test("q_transition_matrix equals the brute-force pair counts and rows normalize") {
+    // the engine orders by (ts_us, event_id); event_id is not in the
+    // tuple, but per-user timestamps are unique at sf0.001 (asserted),
+    // so ts alone is a total order here
+    events.groupBy(_._2).foreach { case (u, rs) =>
+      assert(rs.map(_._1).distinct.length == rs.length,
+        s"user $u has duplicate timestamps; spec ordering assumption broken")
+    }
+    val pairs = events.groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+      val ordered = rs.sortBy(_._1).map(_._3)
+      ordered.zip(ordered.drop(1))
+    }
+    val counts = pairs.groupBy(identity).map { case ((f, t), xs) =>
+      (f, t) -> xs.length.toLong
+    }
+    val fromTot = counts.groupBy(_._1._1).map { case (f, m) =>
+      f -> m.values.sum
+    }
+    val got = SparkEntry.queries("q_transition_matrix")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.map(x => (x._1, x._2)).toSet == counts.keySet)
+    got.foreach { case (f, t, n, p) =>
+      assert(n == counts((f, t)))
+      val exp = n.toDouble / fromTot(f)
+      assert(math.abs(p - exp) < 1e-6, s"($f->$t)")
+    }
+    // each from-row's probabilities sum to ~1
+    got.groupBy(_._1).foreach { case (f, rows) =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4, s"row $f")
+    }
+  }
+
   test("q_chi2_select equals the brute-force contingency statistic") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("lang"), col("source")).collect()

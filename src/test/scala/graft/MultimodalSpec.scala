@@ -68,6 +68,32 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("q_mm_audio_frames replays the splitmix PCM feature arithmetic") {
+    import SparkFixture.{spark, sfDir}
+    import org.apache.spark.sql.graft.NativeExpressions
+    val out = SparkEntry.queries("q_mm_audio_frames")(spark, sfDir)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val nDocs = graft.engine.Tables.documents(spark, sfDir).count()
+    assert(out.size == nDocs * 8, "8 frames per document")
+    // brute-force replay for a handful of docs
+    out.keys.map(_._1).toSeq.distinct.sorted.take(5).foreach { id =>
+      val sv = Array.tabulate(512) { i =>
+        ((NativeExpressions.splitmix64Long(id * 1024L + i) & 0xffL)
+          - 128L).toInt
+      }
+      (0 until 8).foreach { f =>
+        val fr = sv.slice(f * 64, f * 64 + 64)
+        val energy = fr.map(s => s.toLong * s).sum
+        val zcr = fr.zip(fr.drop(1)).count { case (a, b) => a * b < 0 }
+        val peak = fr.map(math.abs).max
+        assert(out((id, f.toLong)) == ((energy, zcr.toLong, peak.toLong)),
+          s"doc $id frame $f")
+      }
+    }
+  }
+
   test("q_mm_png_decode emits one row per document with in-range stats") {
     import SparkFixture.{spark, sfDir}
     val out = SparkEntry.queries("q_mm_png_decode")(spark, sfDir).collect()

@@ -134,6 +134,40 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(flagged == expected)
   }
 
+  test("q_sample_consistent: exactly the 5 smallest masked splitmix keys per stratum") {
+    import org.apache.spark.sql.graft.NativeExpressions
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.map { case (id, lang) =>
+      (lang, NativeExpressions.splitmix64Long(id * 389L + 17L)
+        & Long.MaxValue, id)
+    }.groupBy(_._1).toSeq.flatMap { case (lang, xs) =>
+      xs.sortBy(x => (x._2, x._3)).take(5).zipWithIndex.map {
+        case ((_, key, id), i) => (lang, i + 1L, id, key)
+      }
+    }.sortBy(x => (x._1, x._2))
+    val got = SparkEntry.queries("q_sample_consistent")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expect)
+    // bottom-k stability: the panel is invariant to dropping any doc NOT
+    // in it (consistent-sampling property) — simulate by re-ranking a
+    // corpus without the largest-keyed docs
+    val kept = got.map(_._3).toSet
+    val shrunk = docs.filter { case (id, lang) =>
+      kept.contains(id) ||
+        NativeExpressions.splitmix64Long(id * 389L + 17L) % 2 == 0
+    }
+    val replay = shrunk.map { case (id, lang) =>
+      (lang, NativeExpressions.splitmix64Long(id * 389L + 17L)
+        & Long.MaxValue, id)
+    }.groupBy(_._1).toSeq.flatMap { case (lang, xs) =>
+      xs.sortBy(x => (x._2, x._3)).take(5).map(_._3)
+    }.toSet
+    assert(kept.subsetOf(replay), "panel must survive corpus shrinkage")
+  }
+
   test("q_sample_stratified: deterministic across reruns and bounded by the stratum rate") {
     val a = run("q_sample_stratified").collect().map(_.toString).sorted
     val b = run("q_sample_stratified").collect().map(_.toString).sorted

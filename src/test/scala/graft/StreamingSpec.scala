@@ -58,6 +58,33 @@ class StreamingSpec extends AnyFunSuite {
       batch.exceptAll(streamed).isEmpty)
   }
 
+  test("q_stream_drift counts match a driver-side batch replay") {
+    val out = SparkEntry.queries("q_stream_drift")(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3))))
+    val e = graft.engine.Tables.eventsWithTime(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("ts_us"),
+        org.apache.spark.sql.functions.col("value"))
+      .collect().map(r => (r.getLong(0),
+        math.floor(r.getDouble(1) * 1000.0 + 0.5).toLong))
+    val mid = (e.map(_._1).min + e.map(_._1).max) / 2
+    val ref = e.filter(_._1 < mid).map(_._2).sorted
+    val edges = (1 to 9).map { i =>
+      ref(((i.toLong * ref.length + 9) / 10).toInt - 1)
+    }
+    def bin(v: Long): Long = edges.count(_ <= v).toLong
+    val counts = e.groupBy(x => ((x._1 / 21600000000L) * 21600, bin(x._2)))
+      .map { case (k, xs) => k -> xs.length.toLong }
+    val wins = e.map(x => (x._1 / 21600000000L) * 21600).distinct
+    assert(out.length == wins.length * 10, "full windows x bins grid")
+    out.foreach { case ((w, b), (n, psi)) =>
+      assert(n == counts.getOrElse((w, b), 0L), s"window $w bin $b")
+      assert(!psi.isNaN && !psi.isInfinite)
+    }
+    // per-window totals account for every event
+    assert(out.map(_._2._1).sum == e.length.toLong)
+  }
+
   test("q_stream_dedup oracle precondition: event_id is unique") {
     // dropDuplicatesWithinWatermark keeps an arbitrary row per event_id,
     // so the plain SELECT-FROM-events oracle is only deterministic when
