@@ -231,6 +231,33 @@ object EventQueries extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // -- gaps-and-islands: consecutive-active-day streaks per user ---------
+    // The classic SQL islands idiom, fully keyed: within each user's
+    // DISTINCT activity days, day - row_number() is constant exactly on
+    // a consecutive run, so one user-keyed window + one (user, grp)
+    // aggregation finds every streak; the longest-streak argmax rides a
+    // lexicographic struct max (length desc, then earliest start) — no
+    // second window. Retention/engagement pipelines run this shape at
+    // billions of users; the user key carries all parallelism.
+    "q_gaps_islands" -> ((s, d) => {
+      val days = Tables.eventsWithTime(s, d)
+        .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val islands = days
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"), min(col("day")).as("start"))
+      islands.groupBy(col("user_id"))
+        .agg(sum(col("len")).as("n_active_days"),
+          count(lit(1)).as("n_streaks"),
+          max(struct(col("len"), (-col("start")).as("nstart"))).as("m"))
+        .select(col("user_id"), col("n_active_days"), col("n_streaks"),
+          col("m.len").as("longest_days"),
+          (-col("m.nstart")).as("longest_start_day"))
+        .orderBy(col("user_id"))
+    }),
+
     // -- Markov transition matrix over user event sequences ----------------
     // The journey-analytics generalization of q_funnel: P(next event
     // type | current) estimated from every consecutive pair in each
@@ -379,6 +406,29 @@ object EventQueries extends QueryPack {
         |  wsum // dur_us AS twap_mu,
         |  (wsum // dur_us) / 1000.0e0 AS twap
         |FROM a WHERE dur_us > 0 ORDER BY user_id""".stripMargin,
+
+    "q_gaps_islands" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |i AS (SELECT user_id, day,
+        |    day - row_number() OVER (
+        |      PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM d),
+        |st AS (SELECT user_id, grp, count(*) AS len, min(day) AS start
+        |  FROM i GROUP BY user_id, grp),
+        |r AS (SELECT user_id, len, start, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY len DESC, start ASC) AS rk
+        |  FROM st),
+        |agg AS (SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |    count(*) AS n_streaks
+        |  FROM st GROUP BY user_id),
+        |top AS (SELECT user_id, CAST(len AS BIGINT) AS longest_days,
+        |    start AS longest_start_day
+        |  FROM r WHERE rk = 1)
+        |SELECT agg.user_id, n_active_days, n_streaks, longest_days,
+        |  longest_start_day
+        |FROM agg JOIN top USING (user_id)
+        |ORDER BY agg.user_id""".stripMargin,
 
     "q_transition_matrix" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,

@@ -198,6 +198,33 @@ object JoinQueries extends QueryPack {
     // shuffle path (with a truly tiny dim you would broadcast instead
     // — see q_broadcast_join; salting is for the middle regime where
     // the build side exceeds the broadcast threshold but keys skew).
+    // -- runtime bloom-filter join pruning ---------------------------------
+    // The shuffle-reduction feature a selective fact⋈fact join needs at
+    // 100 TB: when one side carries a selective predicate, Catalyst
+    // (spark.sql.optimizer.runtime.bloomFilter.enabled) builds a bloom
+    // filter over the filtered side's join keys and applies it to the
+    // OTHER side's scan as might_contain — rows that cannot match are
+    // dropped BEFORE the shuffle, which is where the win lives (the
+    // shuffle is the cost, not the join). The merge hint pins the
+    // shuffle path (a broadcast join needs no bloom). At test scale the
+    // application side sits under the 10 GB
+    // applicationSideScanSizeThreshold, so injection is asserted in
+    // PlanSpec with production thresholds; semantics are threshold-
+    // independent, which is what the oracle checks.
+    "q_bloom_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .hint("merge")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q_skew_join" -> ((s, d) => {
       val flagDim = s.createDataFrame(java.util.Arrays.asList(
         Row("A", "returned"), Row("N", "active"), Row("R", "refunded")),
@@ -225,6 +252,13 @@ object JoinQueries extends QueryPack {
   private val skewSalts = 16
 
   def oracle: Map[String, String] = Map(
+    "q_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q3_join" ->
       """SELECT l_orderkey, o_orderdate,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

@@ -17,6 +17,10 @@ import graft.functions.Vectors
   * stream the corpus — a 100 TB corpus never shuffles. The LSH path
   * bucket-joins on signatures, turning O(|Q|·|C|) into O(candidates).
   */
+/** Partition-local Gram accumulator: upper-triangle product sums,
+  * per-dim sums, and the row count (q_embed_gram). */
+case class GramPartial(acc: Array[Long], sums: Array[Long], n: Long)
+
 object VectorQueries extends QueryPack {
 
   private def emb(s: SparkSession, d: String): DataFrame =
@@ -456,6 +460,77 @@ object VectorQueries extends QueryPack {
           (floor((col("q") - col("mu")) / col("sd") * lit(1e6) + lit(0.5))
             / lit(1e6)).as("z"))
         .orderBy(col("vec_id"), col("dim"))
+    }),
+
+    // -- Gram / covariance matrix via partition-local dense accumulation --
+    // The input to PCA/whitening/OOD-scoring over an embedding corpus:
+    // all 64×65/2 upper-triangle second moments in ONE narrow pass.
+    // This is the pattern an exploded formulation cannot survive at
+    // scale (n·d² rows through a shuffle); instead each partition folds
+    // its rows into a dense 2080-cell long array (exact integers on the
+    // fixed-point quantization q_pq_codes/q_kmeans already use) and only
+    // the p bounded partials travel to the driver — the d²-dot-products
+    // analog of a map-side combine. Long partials are exact to ~2.3M
+    // vectors per partition (4e12 max per product); beyond that the
+    // accumulator widens to two-level sums. Covariance derives from the
+    // exact sums with one fixed double expression; output is the
+    // bounded 2080-row triangle.
+    "q_embed_gram" -> ((s, d) => {
+      import s.implicits._
+      val dims = 64
+      val pts = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(Vectors.asDouble(col("embedding")),
+          x => floor((greatest(x, lit(-1.0)) + lit(1.0)) *
+            lit(1000000.0)).cast("long")).as("q"))
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("q")).as[Seq[Long]]
+      val partials = pts.mapPartitions { it =>
+        val acc = new Array[Long](dims * (dims + 1) / 2)
+        val sums = new Array[Long](dims)
+        var n = 0L
+        it.foreach { q =>
+          val a = q.toArray
+          var i = 0
+          var idx = 0
+          while (i < dims) {
+            sums(i) += a(i)
+            var j = i
+            while (j < dims) { acc(idx) += a(i) * a(j); idx += 1; j += 1 }
+            i += 1
+          }
+          n += 1
+        }
+        Iterator.single(GramPartial(acc, sums, n))
+      }.collect()
+      val accT = new Array[Long](dims * (dims + 1) / 2)
+      val sumsT = new Array[Long](dims)
+      var nT = 0L
+      partials.foreach { p =>
+        var k = 0
+        while (k < accT.length) { accT(k) += p.acc(k); k += 1 }
+        var i = 0
+        while (i < dims) { sumsT(i) += p.sums(i); i += 1 }
+        nT += p.n
+      }
+      val rows = {
+        var k = -1
+        for { i <- 0 until dims; j <- i until dims } yield {
+          k += 1
+          (i.toLong, j.toLong, accT(k), sumsT(i), sumsT(j))
+        }
+      }
+      // cov reports in ORIGINAL embedding units (the 1e6 fixed-point
+      // scale squares out): at fixed-point magnitude ~1e10 a double's
+      // ulp exceeds 1e-6 and round(·, 6) becomes engine-dependent —
+      // dividing first puts the value at ~1e1 where 6dp is far above
+      // ulp and both engines round identically
+      rows.toDF("i", "j", "s_ij", "si", "sj")
+        .select(col("i"), col("j"), col("s_ij"),
+          round(((col("s_ij").cast("double") -
+            col("si").cast("double") * col("sj").cast("double") /
+              lit(nT.toDouble)) / lit(nT.toDouble)) / lit(1e12), 6)
+            .as("cov"))
+        .orderBy(col("i"), col("j"))
     }),
 
     // -- per-dimension symmetric int8 scalar quantization ------------------
@@ -954,6 +1029,34 @@ object VectorQueries extends QueryPack {
            |  (dr.id IS NOT NULL) AS dropped
            |FROM asg LEFT JOIN dr USING (id) ORDER BY vec_id""".stripMargin
       },
+
+      // the exploded quadratic twin of the partition-local accumulator —
+      // exact integer sums on the shared fixed-point quantization, one
+      // fixed covariance expression
+      "q_embed_gram" ->
+        """WITH p AS (SELECT vec_id,
+          |    list_transform(CAST(embedding AS DOUBLE[]),
+          |      x -> CAST(floor((greatest(x, CAST(-1.0 AS DOUBLE))
+          |        + CAST(1.0 AS DOUBLE)) * CAST(1000000.0 AS DOUBLE))
+          |        AS BIGINT)) AS q
+          |  FROM embeddings),
+          |ij AS (SELECT i.i, j.j FROM (SELECT unnest(range(0, 64)) AS i) i
+          |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j
+          |  WHERE i.i <= j.j),
+          |x AS (SELECT ij.i, ij.j, p.q[ij.i + 1] AS qi, p.q[ij.j + 1] AS qj
+          |  FROM p CROSS JOIN ij),
+          |s AS (SELECT i, j, CAST(sum(qi * qj) AS BIGINT) AS s_ij
+          |  FROM x GROUP BY i, j),
+          |m AS (SELECT i.i AS k, CAST(sum(p.q[i.i + 1]) AS BIGINT) AS sk
+          |  FROM p CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+          |  GROUP BY 1),
+          |n AS (SELECT count(*) AS n FROM p)
+          |SELECT CAST(s.i AS BIGINT) AS i, CAST(s.j AS BIGINT) AS j, s_ij,
+          |  round(((CAST(s_ij AS DOUBLE)
+          |    - CAST(a.sk AS DOUBLE) * CAST(b.sk AS DOUBLE) / n.n) / n.n)
+          |    / 1e12, 6) AS cov
+          |FROM s JOIN m a ON a.k = s.i JOIN m b ON b.k = s.j CROSS JOIN n
+          |ORDER BY i, j""".stripMargin,
 
       // per-dim scale, identical left-to-right FP expression shapes;
       // per-dim error quantized to exact integers before the sum so the

@@ -149,6 +149,50 @@ class DriftAndSelectionSpec extends AnyFunSuite {
     }
   }
 
+  test("q_gaps_islands equals the brute-force streak decomposition") {
+    val byUser = events.groupBy(_._2)
+    val expect = byUser.toSeq.map { case (u, rs) =>
+      val days = rs.map(_._1 / 86400000000L).distinct.sorted
+      val streaks = days.foldLeft(List.empty[List[Long]]) {
+        case (acc, d) => acc match {
+          case (h @ (last :: _)) :: t if d == last + 1 => (d :: h) :: t
+          case _ => List(d) :: acc
+        }
+      }.map(s => (s.length.toLong, s.min))
+      val longest = streaks.minBy { case (len, start) => (-len, start) }
+      (u, days.length.toLong, streaks.length.toLong, longest._1, longest._2)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_gaps_islands")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == expect)
+  }
+
+  test("q_embed_gram equals the brute-force quantized moment sums") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getSeq[Double](1).toArray)
+    val dims = 64
+    val q = emb.map(_.map(x =>
+      math.floor((math.max(x, -1.0) + 1.0) * 1000000.0).toLong))
+    val n = q.length.toDouble
+    val sums = (0 until dims).map(i => q.map(_(i)).sum)
+    val got = SparkEntry.queries("q_embed_gram")(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got.size == dims * (dims + 1) / 2)
+    for (i <- 0 until dims; j <- i until dims) {
+      val sij = q.map(v => v(i) * v(j)).sum
+      val cov = ((sij.toDouble - sums(i).toDouble * sums(j) / n) / n) / 1e12
+      val (gs, gc) = got((i.toLong, j.toLong))
+      assert(gs == sij, s"s_ij($i,$j)")
+      assert(math.abs(gc - cov) < 1e-6, s"cov($i,$j): $gc vs $cov")
+    }
+    // the diagonal is a variance — must be non-negative
+    for (i <- 0 until dims)
+      assert(got((i.toLong, i.toLong))._2 >= 0.0, s"var($i)")
+  }
+
   test("q_skyline is exactly the non-dominated set") {
     val agg = events.groupBy(_._2).map { case (u, rs) =>
       (u, rs.map(x => vq(x._4)).sum,

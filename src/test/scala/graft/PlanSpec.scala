@@ -84,18 +84,52 @@ class PlanSpec extends AnyFunSuite {
       s"un-keyed window in plan:\n${windowLines.mkString("\n")}")
   }
 
-  test("q_skyline and q_drift_ks keep their global order statistics pid-keyed") {
-    // both ride Dist.globalPrefixAgg — the running min/sum must execute
-    // as pid-partitioned windows, never a single-partition global window
-    // (the per-doc rank windows elsewhere in a plan are keyed too, so
-    // simply assert NO window in either plan is partition-free)
-    for (q <- Seq("q_skyline", "q_drift_ks")) {
-      val p = plan(q)
-      val windowLines = p.linesIterator.filter(_.contains("Window ")).toSeq
-      assert(windowLines.nonEmpty, s"$q: expected a prefix-agg window")
-      assert(windowLines.forall(_.contains("pid")),
-        s"$q: un-keyed window in plan:\n${windowLines.mkString("\n")}")
+  test("q_bloom_join injects a runtime bloom filter under production thresholds") {
+    // at test scale the application side sits below the 10 GB
+    // applicationSideScanSizeThreshold, so injection is gated off; with
+    // the threshold dropped (what a 100 TB fact side clears naturally)
+    // the selective orders predicate must materialize as a bloom filter
+    // applied to the lineitem side before its shuffle
+    // ALSO disable auto-broadcast: InjectRuntimeFilter skips joins whose
+    // creation side could broadcast by size (a broadcast join needs no
+    // bloom) — at 100 TB neither fact side broadcasts, which is the
+    // production condition being simulated here
+    val key = "spark.sql.optimizer.runtime.bloomFilter." +
+      "applicationSideScanSizeThreshold"
+    val enabledKey = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    val oldEnabled = spark.conf.get(enabledKey)
+    val oldBcast = spark.conf.get(bcastKey)
+    try {
+      spark.conf.set(key, "0")
+      spark.conf.set(enabledKey, "true")
+      spark.conf.set(bcastKey, "-1")
+      val df = SparkEntry.queries("q_bloom_join")(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain") ||
+        p.toLowerCase.contains("bloomfilter"),
+        s"no bloom filter in plan:\n$p")
+    } finally {
+      spark.conf.set(key, old)
+      spark.conf.set(enabledKey, oldEnabled)
+      spark.conf.set(bcastKey, oldBcast)
     }
+  }
+
+  test("q_skyline keeps its dominance prefix-min pid-keyed") {
+    // rides Dist.globalPrefixAgg — the running min must execute as a
+    // pid-partitioned window, never a single-partition global window.
+    // (q_drift_ks/q_drift_psi run the same machinery but assemble their
+    // bounded finals eagerly, so their RETURNED plans are local frames —
+    // the prefix shape there is covered by DriftAndSelectionSpec's
+    // brute-force equality plus this q_skyline plan pin.)
+    val p = plan("q_skyline")
+    val windowLines = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.nonEmpty, "expected a prefix-agg window")
+    assert(windowLines.forall(_.contains("pid")),
+      s"un-keyed window in plan:\n${windowLines.mkString("\n")}")
   }
 
   test("q_udtf_gen runs the custom generator through GenerateExec") {
