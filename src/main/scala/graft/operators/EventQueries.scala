@@ -231,6 +231,26 @@ object EventQueries extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // -- top journey paths: most common 3-step event sequences -------------
+    // The path-mining sibling of q_transition_matrix (pairs → trigrams):
+    // which exact 3-step journeys dominate. Two leads over the same
+    // user-keyed window, one aggregation, exact top-5 under a total
+    // order (count desc, then lexicographic) — plans as
+    // TakeOrderedAndProject, so no global sort materializes.
+    "q_funnel_paths" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.eventsWithTime(s, d)
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .groupBy(col("event_type").as("step1"), col("e2").as("step2"),
+          col("e3").as("step3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+        .limit(5)
+    }),
+
     // -- gaps-and-islands: consecutive-active-day streaks per user ---------
     // The classic SQL islands idiom, fully keyed: within each user's
     // DISTINCT activity days, day - row_number() is constant exactly on
@@ -406,6 +426,20 @@ object EventQueries extends QueryPack {
         |  wsum // dur_us AS twap_mu,
         |  (wsum // dur_us) / 1000.0e0 AS twap
         |FROM a WHERE dur_us > 0 ORDER BY user_id""".stripMargin,
+
+    "q_funnel_paths" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+        |    event_id FROM events),
+        |t AS (SELECT event_type AS step1,
+        |    lead(event_type, 1) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id) AS step2,
+        |    lead(event_type, 2) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id) AS step3
+        |  FROM e)
+        |SELECT step1, step2, step3, count(*) AS n
+        |FROM t WHERE step3 IS NOT NULL
+        |GROUP BY step1, step2, step3
+        |ORDER BY n DESC, step1, step2, step3 LIMIT 5""".stripMargin,
 
     "q_gaps_islands" ->
       """WITH d AS (SELECT DISTINCT user_id,

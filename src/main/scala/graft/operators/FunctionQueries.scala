@@ -89,6 +89,37 @@ object FunctionQueries extends QueryPack {
               |ORDER BY doc_id, pos""".stripMargin)
     }),
 
+    // -- sentence-boundary-aware chunking (RAG prep over the UDTF) ---------
+    // q_doc_chunk slices fixed token windows; retrieval pipelines want
+    // chunks that respect SENTENCE boundaries. Sentences come from the
+    // same custom Generator as q_udtf_gen; a doc-keyed running character
+    // offset assigns each sentence to the chunk its START offset falls
+    // in (concat-and-chunk at a 200-char budget — no sequential reset
+    // state, so the assignment is one keyed window, not a per-doc scan).
+    // Sentences are never split; a long sentence overflows its chunk,
+    // which is the standard greedy contract.
+    "q_sentence_chunks" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("g_chunk_docs")
+      s.sql("""WITH sent AS (
+              |  SELECT doc_id, t.pos, t.sentence,
+              |    length(t.sentence) AS n_chars
+              |  FROM (SELECT doc_id,
+              |          regexp_replace(text, ' the ', '. ') AS text
+              |        FROM g_chunk_docs) p
+              |  LATERAL VIEW graft_sentences(text) t AS pos, sentence),
+              |c AS (
+              |  SELECT doc_id, pos, n_chars,
+              |    sum(n_chars) OVER (PARTITION BY doc_id ORDER BY pos)
+              |      - n_chars AS off
+              |  FROM sent)
+              |SELECT doc_id, CAST(off DIV 200 AS BIGINT) AS chunk_id,
+              |  count(*) AS n_sents,
+              |  CAST(sum(n_chars) AS BIGINT) AS chunk_chars,
+              |  CAST(min(pos) AS BIGINT) AS first_pos
+              |FROM c GROUP BY doc_id, off DIV 200
+              |ORDER BY doc_id, chunk_id""".stripMargin)
+    }),
+
     // -- URL parsing (crawl-corpus curation surface) -----------------------
     // parse_url is how a 100 TB web corpus derives its per-domain keys
     // (dedup by host, robots filtering, domain mixing). DuckDB has no
@@ -403,6 +434,30 @@ object FunctionQueries extends QueryPack {
         |       WHEN c_acctbal >= 5000 THEN 'high'
         |       ELSE 'standard' END AS tier_sql
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // same sentence pipeline as the q_udtf_gen twin + the identical
+    // windowed start-offset chunk assignment
+    "q_sentence_chunks" ->
+      """WITH s AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(
+        |        regexp_replace(text, ' the ', '. ', 'g'),
+        |        '[.!?]+[ \t\n\r]+'),
+        |      x -> x <> '') AS ss
+        |  FROM documents),
+        |sent AS (SELECT doc_id,
+        |    CAST(generate_subscripts(ss, 1) - 1 AS BIGINT) AS pos,
+        |    unnest(ss) AS sentence
+        |  FROM s),
+        |c AS (SELECT doc_id, pos, length(sentence) AS n_chars,
+        |    sum(length(sentence)) OVER (PARTITION BY doc_id ORDER BY pos)
+        |      - length(sentence) AS off
+        |  FROM sent)
+        |SELECT doc_id, CAST(off // 200 AS BIGINT) AS chunk_id,
+        |  count(*) AS n_sents,
+        |  CAST(sum(n_chars) AS BIGINT) AS chunk_chars,
+        |  CAST(min(pos) AS BIGINT) AS first_pos
+        |FROM c GROUP BY doc_id, off // 200
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     // the regex twin of the SentenceSplit char scan: split on
     // punct-run + whitespace-run, drop empty segments, number the kept

@@ -717,6 +717,21 @@ object PipelineQueries extends QueryPack {
     // redaction of embedded identifiers, and numeric generalization
     // (bucketing) of a quasi-identifier. Narrow per-row map — scales
     // trivially; sha2/regexp_replace are codegen'd built-ins.
+    // -- k-anonymity audit over quasi-identifiers --------------------------
+    // The re-identification check a governance gate runs before release:
+    // group by the quasi-identifier tuple (lang, source, length bucket)
+    // and flag every group smaller than k=5 — those rows would need
+    // suppression or generalization. One aggregation; group cardinality
+    // is bounded by the identifier domain product, never the corpus.
+    "q_kanon" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"),
+          expr("n_chars div 100").as("len_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("suppressed", col("n") < 5)
+        .orderBy(col("lang"), col("source"), col("len_bucket"))
+    }),
+
     "q_anonymize" -> ((s, d) => {
       Tables.customer(s, d).select(
         sha2(concat(lit("pepper-1:"), col("c_custkey").cast("string")), 256)
@@ -1163,6 +1178,12 @@ object PipelineQueries extends QueryPack {
          |  0.5e0 AS epsilon
          |FROM nz ORDER BY o_orderpriority""".stripMargin
     },
+
+    "q_kanon" ->
+      """SELECT lang, source, n_chars // 100 AS len_bucket,
+        |  count(*) AS n, count(*) < 5 AS suppressed
+        |FROM documents GROUP BY lang, source, n_chars // 100
+        |ORDER BY lang, source, len_bucket""".stripMargin,
 
     "q_anonymize" ->
       """SELECT sha256(concat('pepper-1:', c_custkey)) AS pseudo_id,

@@ -149,6 +149,61 @@ class DriftAndSelectionSpec extends AnyFunSuite {
     }
   }
 
+  test("q_funnel_paths equals the brute-force trigram path counts") {
+    events.groupBy(_._2).foreach { case (u, rs) =>
+      assert(rs.map(_._1).distinct.length == rs.length,
+        s"user $u has duplicate timestamps; ordering assumption broken")
+    }
+    val tris = events.groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+      val o = rs.sortBy(_._1).map(_._3)
+      o.indices.dropRight(2).map(i => (o(i), o(i + 1), o(i + 2)))
+    }
+    val counts = tris.groupBy(identity).map { case (k, v) =>
+      k -> v.length.toLong }
+    val top5 = counts.toSeq
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(5)
+    val got = SparkEntry.queries("q_funnel_paths")(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        r.getLong(3)))
+    assert(got.toSeq == top5)
+  }
+
+  test("q_kanon flags exactly the quasi-identifier groups under k=5") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2) / 100))
+    val expect = docs.groupBy(identity).map { case (k, v) =>
+      (k._1, k._2, k._3, v.length.toLong, v.length < 5)
+    }.toSeq.sortBy(x => (x._1, x._2, x._3))
+    val got = SparkEntry.queries("q_kanon")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == expect)
+  }
+
+  test("q_sentence_chunks re-chunks the UDTF sentence stream by start offset") {
+    val sents = SparkEntry.queries("q_udtf_gen")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val expect = sents.groupBy(_._1).toSeq.flatMap { case (doc, ss) =>
+      val ordered = ss.sortBy(_._2)
+      var off = 0L
+      ordered.map { case (_, pos, sent) =>
+        val chunk = off / 200
+        off += sent.length
+        (doc, chunk, pos, sent.length.toLong)
+      }.groupBy(x => (x._1, x._2)).toSeq.map { case ((d2, c), xs) =>
+        (d2, c, xs.length.toLong, xs.map(_._4).sum, xs.map(_._3).min)
+      }
+    }.sortBy(x => (x._1, x._2))
+    val got = SparkEntry.queries("q_sentence_chunks")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == expect)
+    // multi-chunk docs exist, so the boundary logic is actually exercised
+    assert(got.map(_._1).distinct.length < got.length)
+  }
+
   test("q_gaps_islands equals the brute-force streak decomposition") {
     val byUser = events.groupBy(_._2)
     val expect = byUser.toSeq.map { case (u, rs) =>
