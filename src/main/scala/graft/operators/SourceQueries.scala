@@ -237,6 +237,44 @@ object SourceQueries extends QueryPack {
         .orderBy(col("o_orderkey"))
     }),
 
+    // -- dynamic partition overwrite: partition-scoped restatement ----------
+    // The daily-restatement write shape: a batch that restates ONE
+    // partition must replace exactly that partition and leave every
+    // other directory untouched — static overwrite mode would truncate
+    // the whole table. partitionOverwriteMode=dynamic scopes the commit
+    // to the partitions present in the batch; the readback aggregates in
+    // exact integer cents, so the result proves both effects at once
+    // (1-URGENT carries the restated 0.9× prices, all other partitions
+    // their originals — a full truncate or a double-write cannot match
+    // the oracle). SourcesSpec additionally pins the file-level claim:
+    // untouched partition files survive byte-identical.
+    "q_dynamic_overwrite" -> ((s, d) => {
+      val out = scratch(s, d, "orders_dynpart")
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+      base.write.mode("overwrite").partitionBy("o_orderpriority")
+        .parquet(out)
+      val restated = base.filter(col("o_orderpriority") === "1-URGENT")
+        .withColumn("o_totalprice", col("o_totalprice") * lit(0.9))
+      val modeKey = "spark.sql.sources.partitionOverwriteMode"
+      val oldMode = s.conf.getOption(modeKey)
+      try {
+        s.conf.set(modeKey, "dynamic")
+        restated.write.mode("overwrite").partitionBy("o_orderpriority")
+          .parquet(out)
+      } finally oldMode match {
+        case Some(v) => s.conf.set(modeKey, v)
+        case None    => s.conf.unset(modeKey)
+      }
+      s.read.parquet(out)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+            .cast("long")).as("sum_cents"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // -- dynamic partition pruning: join-driven runtime pruning -------------
     // The static-pruning sibling above needs the partition value in the
     // query text; real star joins filter on a DIMENSION attribute. DPP
@@ -573,6 +611,15 @@ object SourceQueries extends QueryPack {
         |  o_orderpriority
         |FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_dynamic_overwrite" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN CAST(floor(o_totalprice * 0.9 * 100.0 + 0.5) AS BIGINT)
+        |    ELSE CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) END)
+        |    AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_dpp_join" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
