@@ -18,6 +18,7 @@ object SparkEntry {
     RelationalQueries,
     AnalyticsQueries,
     DriftQueries,
+    StatsQueries,
     JoinQueries,
     WindowQueries,
     FunctionQueries,

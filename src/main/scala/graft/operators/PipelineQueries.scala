@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.NativeExpressions
 import graft.engine.{OracleHash, QueryPack, Tables}
-import graft.functions.{ConnectedComponents, TextDedup}
+import graft.functions.{ConnectedComponents, TextDedup, Vectors}
 
 /** Training-data curation operators a 100 TB corpus pipeline runs between
   * raw ingest and tokenization (SURVEY.md §2.2 "LLM-data-pipeline
@@ -19,6 +19,48 @@ import graft.functions.{ConnectedComponents, TextDedup}
   * oracles exact and what a reproducible training pipeline needs anyway.
   */
 object PipelineQueries extends QueryPack {
+
+  /** Okapi BM25 (k1=1.2, b=0.75) ranking of every document against the
+    * fixed query-term set, top 20 — columns (rank, doc_id, n_terms,
+    * score_u). Shared by q_bm25 and q_rrf_fusion so the lexical ranking
+    * the fusion consumes can never drift from the standalone operator
+    * (the q_sim_ivf/OracleHash.ivf2* factoring precedent). Per-term
+    * scores are micro-quantized BEFORE the per-doc sum (integer-only
+    * cross-partition aggregation); orderBy(...).limit(20) plans as
+    * TakeOrderedAndProject, so only per-partition top-20s reach the
+    * driver heap at any corpus size. */
+  private def bm25Top20(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("join", "merge", "customer")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(
+        regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\f\\r\\x0B]+",
+          " "), " ").as("ws"))
+      .withColumn("dl", size(col("ws")).cast("long"))
+    val stats = docs
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("ws")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfq), "token")
+      .crossJoin(broadcast(stats))
+      // idf = ln(1 + (N - df + .5)/(df + .5)); parenthesization mirrors
+      // the oracle token-for-token so the doubles match bitwise
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("s_u", floor(
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(0.3) + lit(0.9) * col("dl") / col("avgdl")) *
+          lit(1e6) + lit(0.5)))
+    val agg = scored.groupBy(col("doc_id"))
+      .agg(sum(col("s_u")).as("score_u"), count(lit(1)).as("n_terms"))
+    agg.orderBy(col("score_u").desc, col("doc_id")).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_u").desc, col("doc_id"))).cast("long"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- near-dup CLUSTERS: connected components over the pair graph ------
@@ -622,39 +664,48 @@ object PipelineQueries extends QueryPack {
     // TakeOrderedAndProject, so at 100 TB only per-partition top-20s
     // reach the driver-side heap, never the scored corpus.
     "q_bm25" -> ((s, d) => {
-      val terms = Seq("join", "merge", "customer")
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), split(
-          regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\f\\r\\x0B]+",
-            " "), " ").as("ws"))
-        .withColumn("dl", size(col("ws")).cast("long"))
-      val stats = docs
-        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-        .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
-      val tf = docs
-        .select(col("doc_id"), col("dl"), explode(col("ws")).as("token"))
-        .filter(col("token").isin(terms: _*))
-        .groupBy(col("doc_id"), col("dl"), col("token"))
-        .agg(count(lit(1)).as("tf"))
-      val dfq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      val scored = tf.join(broadcast(dfq), "token")
-        .crossJoin(broadcast(stats))
-        // idf = ln(1 + (N - df + .5)/(df + .5)); parenthesization mirrors
-        // the oracle token-for-token so the doubles match bitwise
-        .withColumn("idf", log(lit(1.0) +
-          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-        .withColumn("s_u", floor(
-          col("idf") * (col("tf") * lit(2.2)) /
-            (col("tf") + lit(0.3) + lit(0.9) * col("dl") / col("avgdl")) *
-            lit(1e6) + lit(0.5)))
-      val agg = scored.groupBy(col("doc_id"))
-        .agg(sum(col("s_u")).as("score_u"), count(lit(1)).as("n_terms"))
-      val top = agg.orderBy(col("score_u").desc, col("doc_id")).limit(20)
-      top
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("score_u").desc, col("doc_id"))).cast("long"))
+      bm25Top20(s, d)
         .select(col("rank"), col("doc_id"), col("n_terms"),
           (col("score_u") / lit(1e6)).as("bm25"))
+        .orderBy(col("rank"))
+    }),
+
+    // -- RECIPROCAL RANK FUSION: lexical + semantic retrieval merge --------
+    // The standard hybrid-retrieval combiner (Cormack et al., SIGIR'09):
+    // fuse the BM25 top-20 (bm25Top20, the exact q_bm25 ranking) with the
+    // embedding top-20 (exact cosine against the fixed query vector
+    // vec_id 0; doc_id == vec_id links the corpora) by
+    // RRF(d) = Σ_lists 1/(60 + rank_d). Each reciprocal is micro-
+    // quantized BEFORE the sum — floor(1e6/(60+rank)) — so fusion
+    // arithmetic is pure integers and the top-10 boundary is exact.
+    // Scale shape: both inputs are TakeOrdered top-k frames (bounded), the
+    // outer join and re-rank cost O(k) no matter the corpus size; the
+    // only data-sized work is the two underlying rankings, each already
+    // scale-audited (BM25's integer agg; one broadcast-query cosine pass).
+    "q_rrf_fusion" -> ((s, d) => {
+      val lex = bm25Top20(s, d).select(col("doc_id"), col("rank").as("r_lex"))
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", Vectors.norm(col("v")))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qnrm"))
+      val sem = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .withColumn("cos_raw",
+          Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+        .orderBy(col("cos_raw").desc, col("vec_id")).limit(20)
+        .withColumn("r_sem", row_number().over(
+          Window.orderBy(col("cos_raw").desc, col("vec_id"))).cast("long"))
+        .select(col("vec_id").as("doc_id"), col("r_sem"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_u",
+          coalesce(expr("1000000 div (60 + r_lex)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + r_sem)"), lit(0L)))
+        .orderBy(col("rrf_u").desc, col("doc_id")).limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("rrf_u").desc, col("doc_id"))).cast("long"))
+        .select(col("rank"), col("doc_id"),
+          col("r_lex"), col("r_sem"),
+          (col("rrf_u") / lit(1e6)).as("rrf"))
         .orderBy(col("rank"))
     }),
 
@@ -748,6 +799,32 @@ object PipelineQueries extends QueryPack {
   // exact-Jaccard pair graph — the same labels the Spark-side
   // large/small-star CC converges to; the pair CTE is q_dedup_jaccard's
   // (string shingles — cardinality-identical to the hashed sets).
+  /** The BM25 ranking CTE chain (through `rk`: doc_id, score_u, n_terms,
+    * rank) — the SQL twin of [[bm25Top20]], shared by the q_bm25 and
+    * q_rrf_fusion oracles so the two replays cannot drift. */
+  private val bm25RankCtes: String =
+    """w AS (SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)),
+      |      '[ \t\n\f\r\x0B]+', ' ', 'g'), ' ') AS ws FROM documents),
+      |d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM w),
+      |st AS (SELECT count(*) AS n_docs,
+      |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+      |tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM (
+      |    SELECT doc_id, dl, unnest(ws) AS token FROM d) t
+      |  WHERE token IN ('join', 'merge', 'customer') GROUP BY 1, 2, 3),
+      |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT tf.doc_id, CAST(floor(
+      |    ln(1.0e0 + (st.n_docs - dfq.df + 0.5e0) / (dfq.df + 0.5e0))
+      |      * (tf.tf * 2.2e0)
+      |      / (tf.tf + 0.3e0 + 0.9e0 * tf.dl
+      |         / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))
+      |      * 1e6 + 0.5e0) AS BIGINT) AS s_u
+      |  FROM tf JOIN dfq USING (token) CROSS JOIN st),
+      |ag AS (SELECT doc_id, CAST(sum(s_u) AS BIGINT) AS score_u,
+      |    count(*) AS n_terms FROM sc GROUP BY 1),
+      |rk AS (SELECT doc_id, score_u, n_terms, row_number() OVER (
+      |    ORDER BY score_u DESC, doc_id) AS rank FROM ag)""".stripMargin
+
   private val dupLabelCtes: String =
     """n0 AS (SELECT doc_id,
       |    string_split(regexp_replace(lower(trim(text)), '[ \t\n\f\r\x0B]+', ' ', 'g'),
@@ -1111,31 +1188,40 @@ object PipelineQueries extends QueryPack {
     // e-notation literals (0.5e0 …) force DOUBLE parsing (bare 0.5 is
     // DECIMAL in DuckDB, which would change the division); per-term
     // micro-unit quantization before the per-doc sum keeps the only
-    // cross-row aggregation in integers (see the Spark comment)
+    // cross-row aggregation in integers (see the Spark comment).
+    // The CTE chain is shared with q_rrf_fusion (bm25RankCtes), mirroring
+    // the Spark-side bm25Top20 factoring.
     "q_bm25" ->
-      """WITH w AS (SELECT doc_id,
-        |    string_split(regexp_replace(lower(trim(text)),
-        |      '[ \t\n\f\r\x0B]+', ' ', 'g'), ' ') AS ws FROM documents),
-        |d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM w),
-        |st AS (SELECT count(*) AS n_docs,
-        |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
-        |tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM (
-        |    SELECT doc_id, dl, unnest(ws) AS token FROM d) t
-        |  WHERE token IN ('join', 'merge', 'customer') GROUP BY 1, 2, 3),
-        |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-        |sc AS (SELECT tf.doc_id, CAST(floor(
-        |    ln(1.0e0 + (st.n_docs - dfq.df + 0.5e0) / (dfq.df + 0.5e0))
-        |      * (tf.tf * 2.2e0)
-        |      / (tf.tf + 0.3e0 + 0.9e0 * tf.dl
-        |         / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))
-        |      * 1e6 + 0.5e0) AS BIGINT) AS s_u
-        |  FROM tf JOIN dfq USING (token) CROSS JOIN st),
-        |ag AS (SELECT doc_id, CAST(sum(s_u) AS BIGINT) AS score_u,
-        |    count(*) AS n_terms FROM sc GROUP BY 1),
-        |rk AS (SELECT doc_id, score_u, n_terms, row_number() OVER (
-        |    ORDER BY score_u DESC, doc_id) AS rank FROM ag)
-        |SELECT rank, doc_id, n_terms, score_u / 1e6 AS bm25
-        |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin,
+      s"""WITH $bm25RankCtes
+         |SELECT rank, doc_id, n_terms, score_u / 1e6 AS bm25
+         |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // both rank lists replayed exactly (bm25RankCtes; exact cosine vs
+    // vec 0); reciprocals micro-quantized BEFORE the fusion sum — the
+    // integer `//` mirrors Spark's `div`
+    "q_rrf_fusion" ->
+      s"""WITH $bm25RankCtes,
+         |lex AS (SELECT doc_id, rank AS r_lex FROM rk WHERE rank <= 20),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+         |  FROM embeddings),
+         |qv AS (SELECT vd AS q, sqrt(list_dot_product(vd, vd)) AS qnrm
+         |  FROM e WHERE vec_id = 0),
+         |cs AS (SELECT vec_id,
+         |    list_dot_product(qv.q, e.vd)
+         |      / (qv.qnrm * sqrt(list_dot_product(e.vd, e.vd))) AS cos_raw
+         |  FROM e CROSS JOIN qv WHERE vec_id <> 0),
+         |sem AS (SELECT vec_id AS doc_id, row_number() OVER (
+         |    ORDER BY cos_raw DESC, vec_id) AS r_sem
+         |  FROM cs ORDER BY cos_raw DESC, vec_id LIMIT 20),
+         |fu AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         |    r_lex, r_sem,
+         |    coalesce(1000000 // (60 + r_lex), 0)
+         |      + coalesce(1000000 // (60 + r_sem), 0) AS rrf_u
+         |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id),
+         |fr AS (SELECT doc_id, r_lex, r_sem, rrf_u, row_number() OVER (
+         |    ORDER BY rrf_u DESC, doc_id) AS rank FROM fu)
+         |SELECT rank, doc_id, r_lex, r_sem, rrf_u / 1e6 AS rrf
+         |FROM fr WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
     "q_doc_chunk" ->
       """WITH w AS (SELECT doc_id,

@@ -1,0 +1,345 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.NativeExpressions
+import graft.engine.{OracleHash, QueryPack, Tables}
+import graft.functions.TextDedup
+
+/** Statistical-modeling operators over the event stream and document
+  * corpus (SURVEY.md §2.4 "LLM-data-pipeline operators" — statistics
+  * family): the estimation/uncertainty primitives a 100 TB pipeline runs
+  * on top of its aggregates — trend fits, resampled confidence intervals,
+  * seasonality profiles, and classifier-calibration audits.
+  *
+  *  - q_group_ols     — per-group ordinary-least-squares fit (slope /
+  *                      intercept / R²) of event value against time, from
+  *                      EXACT integer moment sums: one keyed aggregation
+  *                      is the only data-sized step.
+  *  - q_bootstrap_ci  — Poisson(1) bootstrap confidence interval for the
+  *                      per-group mean. The scale-out bootstrap: instead
+  *                      of materializing B resamples, every row draws B
+  *                      deterministic Poisson weights and the statistic
+  *                      folds in one pass — map-side combine bounds the
+  *                      shuffle at groups × B rows regardless of input
+  *                      size.
+  *  - q_seasonal_dow  — day-of-week seasonal decomposition (per-dow
+  *                      seasonal offset vs the global level + residual
+  *                      spread), exact integer moments per cell.
+  *  - q_calibration   — reliability diagram of the hashed linear quality
+  *                      classifier (q_quality_classifier's score through
+  *                      a logistic link) against a length outcome:
+  *                      predicted-probability deciles vs empirical rate.
+  *
+  * Determinism policy (repo-wide): resample weights are pure functions of
+  * splitmix64 over the row key; every cross-row double aggregation is
+  * replaced by exact integer (micro-quantized) sums; final statistics
+  * evaluate through ONE fixed double expression mirrored token-for-token
+  * in the DuckDB oracle.
+  */
+object StatsQueries extends QueryPack {
+
+  /** Inclusive cumulative-Poisson(1) thresholds on the 53-bit uniform
+    * integer hq = splitmix64(seed) >>> 11: the weight is the count of
+    * thresholds ≤ hq, i.e. w = #{k : hq ≥ T_k}, giving P(w = k) =
+    * e⁻¹/k! (truncated at 8 — P(w > 8) ≈ 1e-6 folds into the last
+    * bucket). Integer comparisons only: no float CDF math can disagree
+    * between engines. T_k = floor(cdf_k · 2⁵³ − 0.5) + 1. */
+  private[operators] val poissonThresholds: Seq[Long] = Seq(
+    3313563428353948L, 6627126856707897L, 8283908570884871L,
+    8836169142277195L, 8974234285125277L, 9001847313694893L,
+    9006449485123161L, 9007106938184343L)
+
+  /** Number of bootstrap resamples. Bounded driver/shuffle state is
+    * groups × B rows by construction. */
+  private[operators] val bootstrapReps = 100
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- per-group OLS trend fit ------------------------------------------
+    // Exact integer moments per event_type: x = whole seconds since the
+    // corpus min timestamp (broadcast 1-row bounds frame), y = milli-
+    // quantized value. The five sums (Σx, Σy, Σx², Σxy, Σy²) accumulate
+    // in DECIMAL(38,0) — exact at any row count, matching DuckDB's
+    // HUGEINT widening bit-for-bit — and the closed-form estimates
+    // evaluate in ONE mirrored double expression:
+    //   slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), reported per DAY in value
+    //   units (· 86.4 folds the milli→unit and sec→day factors);
+    //   R² = num²/(den·(nΣy² − (Σy)²)).
+    // One keyed aggregation is the only data-sized step — the classic
+    // "regression as a semigroup" shape that survives any scale.
+    "q_group_ols" -> ((s, d) => {
+      val e = Tables.eventsWithTime(s, d)
+        .select(col("event_type"),
+          col("ts_us").as("us"),
+          floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+            .as("vq"))
+      val bounds = e.agg(min(col("us")).as("us0"))
+      val xy = e.crossJoin(broadcast(bounds))
+        .withColumn("xs", expr("(us - us0) div 1000000"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val m = xy.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("xs"))).as("sx"),
+        sum(dec(col("vq"))).as("sy"),
+        sum(dec(col("xs") * col("xs"))).as("sxx"),
+        sum(dec(col("xs") * col("vq"))).as("sxy"),
+        sum(dec(col("vq") * col("vq"))).as("syy"))
+      val nD = col("n").cast("double")
+      val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+      val num = nD * col("sxy").cast("double") - sxD * syD
+      val den = nD * col("sxx").cast("double") - sxD * sxD
+      val dyy = nD * col("syy").cast("double") - syD * syD
+      m.select(col("event_type"), col("n"),
+          round(num / den * lit(86.4), 6).as("slope_per_day"),
+          round((syD - num / den * sxD) / nD / lit(1000.0), 6)
+            .as("intercept"),
+          round(num * num / (den * dyy), 6).as("r2"))
+        .orderBy(col("event_type"))
+    }),
+
+    // -- Poisson-bootstrap confidence interval ----------------------------
+    // The one-pass bootstrap (the trick that makes resampling feasible on
+    // a cluster): rep r gives row e weight w ~ Poisson(1), derived from
+    // splitmix64(event_id·1000003 + r·7919 + 5) — unique seed per
+    // (row, rep), decorrelated from every other sampler in the repo —
+    // via integer CDF thresholds (see poissonThresholds). Each rep's
+    // mean is Σw·y/Σw on milli-quantized y (exact integer sums; one
+    // double division per rep). The 90% percentile interval takes order
+    // statistics 5 and 95 of the 100 rep means, compared as micro-
+    // quantized integers with the rep index as tiebreak — a total order,
+    // so the reported bounds are unique. Scale shape: the explode
+    // multiplies scan CPU by B, but map-side combine bounds the shuffle
+    // at groups × B rows — nothing data-sized crosses the wire.
+    "q_bootstrap_ci" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+            .as("vq"))
+        .withColumn("rep", explode(expr(
+          s"sequence(0, ${bootstrapReps - 1})")))
+      val hq = shiftrightunsigned(NativeExpressions.splitmix64(
+        col("event_id") * lit(1000003L) + col("rep") * lit(7919L) +
+          lit(5L)), 11)
+      val w = poissonThresholds
+        .map(t => when(hq >= t, 1L).otherwise(0L))
+        .reduce(_ + _)
+      val reps = e.withColumn("w", w)
+        .groupBy(col("event_type"), col("rep"))
+        .agg(sum(col("w") * col("vq")).as("swy"), sum(col("w")).as("sw"))
+        .withColumn("mq", floor(
+          col("swy").cast("double") / col("sw") * lit(1000.0) + lit(0.5))
+          .cast("long"))
+      val rk = Window.partitionBy(col("event_type"))
+        .orderBy(col("mq"), col("rep"))
+      val cis = reps.withColumn("rnk", row_number().over(rk))
+        .filter(col("rnk") === 5 || col("rnk") === 95)
+        .groupBy(col("event_type"))
+        .agg(min(col("mq")).as("lo_u"), max(col("mq")).as("hi_u"))
+      val pt = Tables.events(s, d)
+        .select(col("event_type"),
+          floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+            .as("vq"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("vq")).as("svq"))
+      pt.join(cis, "event_type")
+        .select(col("event_type"), col("n"),
+          round(col("svq").cast("double") / col("n") / lit(1000.0), 6)
+            .as("mean"),
+          (col("lo_u").cast("double") / lit(1000000.0)).as("ci_lo"),
+          (col("hi_u").cast("double") / lit(1000000.0)).as("ci_hi"))
+        .orderBy(col("event_type"))
+    }),
+
+    // -- day-of-week seasonal decomposition -------------------------------
+    // The additive profile: seasonal_d = mean(value | dow d) − global
+    // mean, residual spread = per-dow std of (value − dow mean). Day
+    // index is pure integer arithmetic on epoch micros ((days + 3) % 7,
+    // 0 = Monday) — engine dayofweek() conventions differ, integer
+    // division doesn't. Two bounded aggregations (7-row dow frame ×
+    // broadcast 1-row global) over exact milli-integer moments; the
+    // σ derivation (nΣy² − (Σy)²)/n² under one sqrt, mirrored.
+    "q_seasonal_dow" -> ((s, d) => {
+      val e = Tables.eventsWithTime(s, d)
+        .select(
+          expr("((ts_us div 86400000000) + 3) % 7").as("dow"),
+          floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+            .as("vq"))
+      val byDow = e.groupBy(col("dow")).agg(
+        count(lit(1)).as("n"),
+        sum(col("vq")).as("sy"),
+        sum(col("vq") * col("vq")).as("syy"))
+      val glob = byDow.agg(sum(col("sy")).as("gy"), sum(col("n")).as("gn"))
+      val nD = col("n").cast("double")
+      byDow.crossJoin(broadcast(glob))
+        .select(col("dow"), col("n"),
+          round(col("sy").cast("double") / nD / lit(1000.0), 6)
+            .as("dow_mean"),
+          round((col("sy").cast("double") / nD -
+            col("gy").cast("double") / col("gn").cast("double")) /
+            lit(1000.0), 6).as("seasonal"),
+          round(sqrt((nD * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double")) /
+            (nD * nD)) / lit(1000.0), 6).as("resid_sd"))
+        .orderBy(col("dow"))
+    }),
+
+    // -- classifier calibration audit (reliability diagram) ---------------
+    // q_quality_classifier's integer score through a logistic link
+    // p = 1/(1 + e^(−score/4)) becomes a predicted probability; the
+    // outcome is the n_chars ≥ 300 length gate. Predictions are micro-
+    // quantized BEFORE any aggregation (Σpu is exact), binned into ten
+    // fixed-width probability buckets, and each bucket reports mean
+    // predicted vs empirical rate — the per-bin gap is the ECE summand.
+    // Cost: the classifier's unigram pass + one 10-row aggregation.
+    "q_calibration" -> ((s, d) => {
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          explode(TextDedup.wordUnigrams(col("text"))).as("h"))
+        .withColumn("bkt", pmod(shiftrightunsigned(col("h"), 8), lit(64)))
+        .withColumn("w", pmod(col("bkt"), lit(13)) - lit(6))
+        .groupBy(col("doc_id"), col("n_chars"))
+        .agg(sum(col("w")).as("score"))
+      scored
+        .withColumn("p", lit(1.0) /
+          (lit(1.0) + exp(-col("score").cast("double") / lit(4.0))))
+        .withColumn("pu", floor(col("p") * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+        .withColumn("bin", least(expr("pu div 100000"), lit(9L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("n_chars") >= 300, 1L).otherwise(0L)).as("n_pos"),
+          sum(col("pu")).as("spu"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          round(col("spu").cast("double") / col("n") / lit(1000000.0), 6)
+            .as("mean_pred"),
+          round(col("n_pos").cast("double") / col("n"), 6).as("rate"))
+        .orderBy(col("bin"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    // DECIMAL sums widen exactly like Spark's decimal(38,0) (DuckDB sums
+    // BIGINT into HUGEINT); the closed form mirrors the Spark expression
+    // token-for-token, e-notation literals forcing DOUBLE arithmetic
+    "q_group_ols" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us,
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq
+        |  FROM events),
+        |b AS (SELECT min(us) AS us0 FROM e),
+        |xy AS (SELECT event_type, (us - us0) // 1000000 AS xs, vq
+        |  FROM e CROSS JOIN b),
+        |m AS (SELECT event_type, count(*) AS n,
+        |    sum(xs) AS sx, sum(vq) AS sy,
+        |    sum(xs * xs) AS sxx, sum(xs * vq) AS sxy,
+        |    sum(vq * vq) AS syy
+        |  FROM xy GROUP BY 1),
+        |f AS (SELECT event_type, n,
+        |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+        |    CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd
+        |  FROM m)
+        |SELECT event_type, n,
+        |  round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+        |    * 86.4e0, 6) AS slope_per_day,
+        |  round((syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+        |    * sxd) / nd / 1000.0e0, 6) AS intercept,
+        |  round((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+        |    / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6)
+        |    AS r2
+        |FROM f ORDER BY event_type""".stripMargin,
+
+    // integer Poisson thresholds on the 53-bit hash — no float CDF; the
+    // rep means compare as micro-quantized integers with rep tiebreak
+    "q_bootstrap_ci" -> {
+      val thr = poissonThresholds
+      s"""WITH ev AS (SELECT event_id, event_type,
+         |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq
+         |  FROM events),
+         |er AS (SELECT event_id, event_type, vq, r
+         |  FROM ev CROSS JOIN (SELECT unnest(range(0, $bootstrapReps))
+         |    AS r)),
+         |${OracleHash.splitmixStages("er", "event_type, vq, r",
+            "(event_id*1000003 + r*7919 + 5)::UBIGINT")},
+         |wts AS (SELECT event_type, vq, r,
+         |    CAST((xor(z3, z3 >> 31) >> 11) AS BIGINT) AS hq FROM p3_),
+         |ws AS (SELECT event_type, r, vq,
+         |    ${thr.map(t => s"(CASE WHEN hq >= $t THEN 1 ELSE 0 END)")
+               .mkString(" + ")} AS w
+         |  FROM wts),
+         |reps AS (SELECT event_type, r,
+         |    CAST(sum(w * vq) AS BIGINT) AS swy,
+         |    CAST(sum(w) AS BIGINT) AS sw
+         |  FROM ws GROUP BY 1, 2),
+         |mq AS (SELECT event_type, r, CAST(floor(
+         |    CAST(swy AS DOUBLE) / sw * 1000.0 + 0.5) AS BIGINT) AS mq
+         |  FROM reps),
+         |rk AS (SELECT event_type, mq, row_number() OVER (
+         |    PARTITION BY event_type ORDER BY mq, r) AS rnk FROM mq),
+         |ci AS (SELECT event_type, min(mq) AS lo_u, max(mq) AS hi_u
+         |  FROM rk WHERE rnk IN (5, 95) GROUP BY 1),
+         |pt AS (SELECT event_type, count(*) AS n,
+         |    CAST(sum(vq) AS BIGINT) AS svq FROM ev GROUP BY 1)
+         |SELECT pt.event_type, pt.n,
+         |  round(CAST(svq AS DOUBLE) / n / 1000.0e0, 6) AS mean,
+         |  CAST(lo_u AS DOUBLE) / 1000000.0e0 AS ci_lo,
+         |  CAST(hi_u AS DOUBLE) / 1000000.0e0 AS ci_hi
+         |FROM pt JOIN ci USING (event_type)
+         |ORDER BY event_type""".stripMargin
+    },
+
+    // (days + 3) % 7 with 0 = Monday on both engines; σ under one sqrt
+    // from exact integer moments
+    "q_seasonal_dow" ->
+      """WITH e AS (SELECT
+        |    ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow,
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq
+        |  FROM events),
+        |d AS (SELECT dow, count(*) AS n,
+        |    CAST(sum(vq) AS BIGINT) AS sy,
+        |    CAST(sum(vq * vq) AS BIGINT) AS syy
+        |  FROM e GROUP BY 1),
+        |g AS (SELECT CAST(sum(sy) AS BIGINT) AS gy,
+        |    CAST(sum(n) AS BIGINT) AS gn FROM d)
+        |SELECT dow, n,
+        |  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0e0, 6)
+        |    AS dow_mean,
+        |  round((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - CAST(gy AS DOUBLE) / CAST(gn AS DOUBLE)) / 1000.0e0, 6)
+        |    AS seasonal,
+        |  round(sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / 1000.0e0, 6)
+        |    AS resid_sd
+        |FROM d CROSS JOIN g ORDER BY dow""".stripMargin,
+
+    // same distinct-unigram FNV pipeline as the q_quality_classifier
+    // oracle; logistic link then micro-quantization BEFORE the bin agg
+    "q_calibration" ->
+      s"""WITH w_ AS (SELECT doc_id, n_chars, string_split(
+         |    regexp_replace(lower(trim(text)), '[ \\t\\n\\f\\r\\x0B]+',
+         |      ' ', 'g'), ' ') AS ws FROM documents),
+         |u AS (SELECT doc_id, n_chars, list_distinct(list_transform(ws,
+         |    tk -> ${OracleHash.fnv1a64("tk")})) AS toks
+         |  FROM w_),
+         |f AS (SELECT doc_id, n_chars, unnest(toks) AS h FROM u),
+         |b AS (SELECT doc_id, n_chars,
+         |    CAST((h >> 8) % 64::UBIGINT AS BIGINT) AS bkt FROM f),
+         |sc AS (SELECT doc_id, n_chars,
+         |    CAST(sum(bkt % 13 - 6) AS BIGINT) AS score
+         |  FROM b GROUP BY 1, 2),
+         |pr AS (SELECT doc_id, n_chars, CAST(floor(
+         |    1.0e0 / (1.0e0 + exp(-CAST(score AS DOUBLE) / 4.0e0))
+         |      * 1000000.0e0 + 0.5) AS BIGINT) AS pu
+         |  FROM sc),
+         |bn AS (SELECT least(pu // 100000, 9) AS bin, count(*) AS n,
+         |    CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_pos,
+         |    CAST(sum(pu) AS BIGINT) AS spu
+         |  FROM pr GROUP BY 1)
+         |SELECT bin, n, n_pos,
+         |  round(CAST(spu AS DOUBLE) / n / 1000000.0e0, 6) AS mean_pred,
+         |  round(CAST(n_pos AS DOUBLE) / n, 6) AS rate
+         |FROM bn ORDER BY bin""".stripMargin
+  )
+}
