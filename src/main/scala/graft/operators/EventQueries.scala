@@ -310,6 +310,36 @@ object EventQueries extends QueryPack {
         .select(col("user_id"), col("event_type"), col("event_id"),
           col("ts_us"))
         .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // -- CDC changelog apply: materialize upserts + tombstones -------------
+    // The change-data-capture compaction every lakehouse ingest runs: a
+    // keyed changelog (op ∈ {U(psert), D(elete)}, ordered by commit time
+    // with event_id as the LSN tiebreak) materializes to current state —
+    // latest op wins per key, and a trailing delete tombstones the key
+    // out of the table entirely (the semantics MERGE alone doesn't give
+    // you without the tombstone pass). Here the op derives
+    // deterministically from the event stream ('error' = delete). One
+    // user-keyed window + one aggregation on the SAME key — a single
+    // shuffle; per-key audit counts (n_ops, n_deletes) ride the same agg.
+    "q_cdc_apply" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      Tables.eventsWithTime(s, d)
+        .withColumn("op",
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_ops"),
+          sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deletes"),
+          max(when(col("rn") === 1, col("op"))).as("last_op"),
+          max(when(col("rn") === 1, col("event_id"))).as("last_event_id"),
+          max(when(col("rn") === 1, col("event_type"))).as("last_type"),
+          max(when(col("rn") === 1, col("value"))).as("last_value"))
+        .filter(col("last_op") =!= "D")
+        .select(col("user_id"), col("n_ops"), col("n_deletes"),
+          col("last_event_id"), col("last_type"), col("last_value"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -544,6 +574,26 @@ object EventQueries extends QueryPack {
         |  row_number() OVER (PARTITION BY user_id, event_type
         |    ORDER BY epoch_us(ts) ASC, event_id ASC) AS rn
         |  FROM events) t
-        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    // latest-op-wins per key with trailing-delete tombstoning; raw stored
+    // doubles pass through unrounded (bit-exact in parquet on both sides)
+    "q_cdc_apply" ->
+      """WITH c AS (SELECT user_id, event_id, event_type, value,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events),
+        |g AS (SELECT user_id, count(*) AS n_ops,
+        |    CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_deletes,
+        |    max(CASE WHEN rn = 1 THEN op END) AS last_op,
+        |    max(CASE WHEN rn = 1 THEN event_id END) AS last_event_id,
+        |    max(CASE WHEN rn = 1 THEN event_type END) AS last_type,
+        |    max(CASE WHEN rn = 1 THEN value END) AS last_value
+        |  FROM c GROUP BY 1)
+        |SELECT user_id, n_ops, n_deletes, last_event_id, last_type,
+        |  last_value
+        |FROM g WHERE last_op <> 'D' ORDER BY user_id""".stripMargin
   )
 }

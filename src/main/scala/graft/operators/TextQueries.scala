@@ -482,6 +482,44 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // -- PMI collocation mining: top adjacent-pair associations ------------
+    // The tokenizer/phrase-induction signal (Church & Hanks 1990): for
+    // every adjacent word pair, PMI = ln(n(a,b)·T / (n(a·)·n(·b))) over
+    // the corpus bigram table (T = total bigrams, marginals count bigram
+    // OCCURRENCES). Pairs below 5 occurrences are dropped (the classic
+    // low-count PMI explosion). Integer counts make the single ln the
+    // only FP op — floor-quantized to micros (PMI goes negative; the
+    // q_dsir discipline) so the top-20 boundary compares exactly, with
+    // (w1, w2) as the total-order tiebreak. Scale shape: every shuffle
+    // is vocabulary-bounded (bigram/unigram keyed aggs), the total is a
+    // broadcast 1-row frame, and the final sort is TakeOrdered — the
+    // corpus itself never re-shuffles.
+    "q_pmi" -> ((s, d) => {
+      val ws = Tables.documents(s, d)
+        .select(col("doc_id"), split(norm(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+      val bi = ws.select(explode(expr(
+          "transform(sequence(0, size(ws) - 2)," +
+            " i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c2 = bi.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n2"))
+      val ca = bi.groupBy(col("w1")).agg(count(lit(1)).as("na"))
+      val cb = bi.groupBy(col("w2")).agg(count(lit(1)).as("nb"))
+      val tot = bi.agg(count(lit(1)).as("t"))
+      c2.filter(col("n2") >= 5)
+        .join(ca, "w1").join(cb, "w2")
+        .crossJoin(broadcast(tot))
+        .withColumn("pmi_u", floor(
+          log(col("n2").cast("double") * col("t") /
+            (col("na").cast("double") * col("nb"))) *
+            lit(1000000.0) + lit(0.5)).cast("long"))
+        .orderBy(col("pmi_u").desc, col("w1"), col("w2")).limit(20)
+        .select(col("w1"), col("w2"), col("n2"),
+          (col("pmi_u") / lit(1e6)).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+    }),
+
     // -- per-doc novelty: fraction of shingles FIRST seen in this doc ------
     // The corpus-level originality signal dedup thresholds miss: a doc
     // can evade near-dup pair mining while still being assembled from
@@ -928,6 +966,27 @@ object TextQueries extends QueryPack {
            |  FROM agg)
            |SELECT doc_id, round(nll, 6) AS avg_nll, round(exp(nll), 6) AS ppl
            |FROM nll ORDER BY doc_id""".stripMargin,
+
+      // the same bigram staging as q_lm_perplexity; marginals count
+      // bigram occurrences; the single ln floor-quantizes to micros
+      // (PMI can be negative — the q_dsir discipline)
+      "q_pmi" ->
+        s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws
+           |  FROM documents),
+           |wf AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 2),
+           |b AS (SELECT ws[i+1] AS w1, ws[i+2] AS w2
+           |  FROM wf, unnest(range(0, len(ws) - 1)) AS t(i)),
+           |c2 AS (SELECT w1, w2, count(*) AS n2 FROM b GROUP BY 1, 2),
+           |ca AS (SELECT w1, count(*) AS na FROM b GROUP BY 1),
+           |cb AS (SELECT w2, count(*) AS nb FROM b GROUP BY 1),
+           |tt AS (SELECT count(*) AS t FROM b),
+           |sc AS (SELECT c2.w1, c2.w2, n2, CAST(floor(
+           |    ln(CAST(n2 AS DOUBLE) * t / (CAST(na AS DOUBLE) * nb))
+           |      * 1000000.0 + 0.5) AS BIGINT) AS pmi_u
+           |  FROM c2 JOIN ca USING (w1) JOIN cb USING (w2) CROSS JOIN tt
+           |  WHERE n2 >= 5)
+           |SELECT w1, w2, n2, pmi_u / 1e6 AS pmi
+           |FROM sc ORDER BY pmi_u DESC, w1, w2 LIMIT 20""".stripMargin,
 
       // identical histogram-then-expand staging; range() excludes its
       // stop bound so i covers positions 1..len-1, same as sequence()

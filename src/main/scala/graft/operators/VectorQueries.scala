@@ -63,6 +63,60 @@ object VectorQueries extends QueryPack {
       .select(col("q_id"), col("c_id"), col("cos_raw"), col("rnk"))
   }
 
+  /** Exact integer second-moment sums of the fixed-point-quantized
+    * corpus (q = floor((max(x,−1)+1)·1e6)): upper-triangle product sums
+    * (row-major i ≤ j), per-dim sums, row count. Partition-local dense
+    * long accumulators — only p·(d(d+1)/2 + d) longs reach the driver,
+    * never an n·d² shuffle. Shared by q_embed_gram (covariance output)
+    * and q_pca_power (eigensolver input) so the moment contract cannot
+    * drift between them. */
+  private def gramMoments(s: SparkSession, d: String,
+      dims: Int): (Array[Long], Array[Long], Long) = {
+    import s.implicits._
+    val pts = Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(Vectors.asDouble(col("embedding")),
+        x => floor((greatest(x, lit(-1.0)) + lit(1.0)) *
+          lit(1000000.0)).cast("long")).as("q"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("q")).as[Seq[Long]]
+    val partials = pts.mapPartitions { it =>
+      val acc = new Array[Long](dims * (dims + 1) / 2)
+      val sums = new Array[Long](dims)
+      var n = 0L
+      it.foreach { q =>
+        val a = q.toArray
+        var i = 0
+        var idx = 0
+        while (i < dims) {
+          sums(i) += a(i)
+          var j = i
+          while (j < dims) { acc(idx) += a(i) * a(j); idx += 1; j += 1 }
+          i += 1
+        }
+        n += 1
+      }
+      Iterator.single(GramPartial(acc, sums, n))
+    }.collect()
+    val accT = new Array[Long](dims * (dims + 1) / 2)
+    val sumsT = new Array[Long](dims)
+    var nT = 0L
+    partials.foreach { p =>
+      var k = 0
+      while (k < accT.length) { accT(k) += p.acc(k); k += 1 }
+      var i = 0
+      while (i < dims) { sumsT(i) += p.sums(i); i += 1 }
+      nT += p.n
+    }
+    (accT, sumsT, nT)
+  }
+
+  /** Spark's round(col, 6) semantics on the driver (HALF_UP on the
+    * shortest-decimal BigDecimal), so driver-side math lands on the same
+    * 6dp grid the distributed expressions use. */
+  private def r6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- per-label embedding statistics ------------------------------------
     "q_embed_stats" -> ((s, d) => {
@@ -478,40 +532,7 @@ object VectorQueries extends QueryPack {
     "q_embed_gram" -> ((s, d) => {
       import s.implicits._
       val dims = 64
-      val pts = Tables.embeddings(s, d)
-        .select(col("vec_id"), transform(Vectors.asDouble(col("embedding")),
-          x => floor((greatest(x, lit(-1.0)) + lit(1.0)) *
-            lit(1000000.0)).cast("long")).as("q"))
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-        .select(col("q")).as[Seq[Long]]
-      val partials = pts.mapPartitions { it =>
-        val acc = new Array[Long](dims * (dims + 1) / 2)
-        val sums = new Array[Long](dims)
-        var n = 0L
-        it.foreach { q =>
-          val a = q.toArray
-          var i = 0
-          var idx = 0
-          while (i < dims) {
-            sums(i) += a(i)
-            var j = i
-            while (j < dims) { acc(idx) += a(i) * a(j); idx += 1; j += 1 }
-            i += 1
-          }
-          n += 1
-        }
-        Iterator.single(GramPartial(acc, sums, n))
-      }.collect()
-      val accT = new Array[Long](dims * (dims + 1) / 2)
-      val sumsT = new Array[Long](dims)
-      var nT = 0L
-      partials.foreach { p =>
-        var k = 0
-        while (k < accT.length) { accT(k) += p.acc(k); k += 1 }
-        var i = 0
-        while (i < dims) { sumsT(i) += p.sums(i); i += 1 }
-        nT += p.n
-      }
+      val (accT, sumsT, nT) = gramMoments(s, d, dims)
       val rows = {
         var k = -1
         for { i <- 0 until dims; j <- i until dims } yield {
@@ -531,6 +552,71 @@ object VectorQueries extends QueryPack {
               lit(nT.toDouble)) / lit(nT.toDouble)) / lit(1e12), 6)
             .as("cov"))
         .orderBy(col("i"), col("j"))
+    }),
+
+    // -- top principal component via distributed moments + power iteration -
+    // The PCA/whitening front door: the data-sized work is ONE pass (the
+    // shared gramMoments accumulator — p bounded partials to the driver,
+    // never an n·d² shuffle), and the eigensolver runs driver-local on
+    // the d×d covariance — bounded at d²=4096 doubles by construction,
+    // the correct split at any corpus size. Determinism across engines:
+    // the covariance lands on the 6dp grid q_embed_gram already proves
+    // both engines agree on, and the 30 power-iteration steps are then
+    // IDENTICAL double arithmetic in identical order on both sides —
+    // ascending-j matvec folds (the sorted-fold discipline), value-max
+    // normalization per step (order-free), Rayleigh quotient from
+    // ascending-i folds. Sign is fixed by making the largest-|loading|
+    // component positive (first index wins ties); loadings report unit-
+    // normalized. The oracle replays the same 30 steps as unrolled CTEs
+    // with list_reduce ordered folds.
+    "q_pca_power" -> ((s, d) => {
+      import s.implicits._
+      val dims = 64
+      val (acc, sums, n) = gramMoments(s, d, dims)
+      val nD = n.toDouble
+      val cov = Array.ofDim[Double](dims, dims)
+      var k = -1
+      for (i <- 0 until dims; j <- i until dims) {
+        k += 1
+        val c = r6(((acc(k) - sums(i).toDouble * sums(j) / nD) / nD) / 1e12)
+        cov(i)(j) = c
+        cov(j)(i) = c
+      }
+      def matvec(v: Array[Double]): Array[Double] = {
+        val w = new Array[Double](dims)
+        var i = 0
+        while (i < dims) {
+          var a = 0.0
+          var j = 0
+          while (j < dims) { a += cov(i)(j) * v(j); j += 1 }
+          w(i) = a
+          i += 1
+        }
+        w
+      }
+      var v = Array.fill(dims)(1.0)
+      for (_ <- 0 until 30) {
+        val w = matvec(v)
+        var mx = 0.0
+        var i = 0
+        while (i < dims) {
+          val a = math.abs(w(i)); if (a > mx) mx = a; i += 1
+        }
+        v = w.map(_ / mx)
+      }
+      val w = matvec(v)
+      var num = 0.0
+      var den = 0.0
+      for (i <- 0 until dims) { num += v(i) * w(i); den += v(i) * v(i) }
+      val lambda = num / den
+      var am = 0
+      for (i <- 1 until dims) if (math.abs(v(i)) > math.abs(v(am))) am = i
+      val sgn = if (v(am) < 0) -1.0 else 1.0
+      val nrm = math.sqrt(den)
+      (0 until dims)
+        .map(i => (i.toLong, r6(sgn * v(i) / nrm), r6(lambda)))
+        .toDF("dim", "loading", "eigval")
+        .orderBy(col("dim"))
     }),
 
     // -- per-dimension symmetric int8 scalar quantization ------------------
@@ -718,6 +804,72 @@ object VectorQueries extends QueryPack {
     * q) long format. generate_subscripts is 1-based vs posexplode's
     * 0-based `dim`, but dims are only ever join/sort keys within one
     * engine, never output. */
+  /** The q_pca_power oracle: the q_embed_gram moment CTEs build the full
+    * 6dp-rounded covariance, then the 30 power-iteration steps unroll as
+    * generated CTE pairs (w_t = matvec via list_reduce over an ORDER BY j
+    * list — the sorted-fold discipline; v_t = w_t / max|w_t|), mirroring
+    * the Spark driver loop token-for-token. MATERIALIZED hints pin the
+    * multiply-referenced frames (covf, each v_t, vv) — DuckDB otherwise
+    * inlines the CTE chain and re-evaluates the moment scan per
+    * reference, turning a 2 s query into minutes. */
+  private def pcaPowerSql: String = {
+    val iters = (1 to 30).map { t =>
+      s"""w$t AS (SELECT covf.i AS i, list_reduce(list_prepend(0.0e0,
+         |    list(covf.c * v${t - 1}.v[covf.j + 1] ORDER BY covf.j)),
+         |    (a, x) -> a + x) AS wi
+         |  FROM covf CROSS JOIN v${t - 1} GROUP BY covf.i),
+         |v$t AS MATERIALIZED (SELECT list(wi / mx ORDER BY i) AS v FROM
+         |  (SELECT i, wi, max(abs(wi)) OVER () AS mx FROM w$t) t)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor((greatest(x, CAST(-1.0 AS DOUBLE))
+       |        + CAST(1.0 AS DOUBLE)) * CAST(1000000.0 AS DOUBLE))
+       |        AS BIGINT)) AS q
+       |  FROM embeddings),
+       |ij AS (SELECT i.i, j.j FROM (SELECT unnest(range(0, 64)) AS i) i
+       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j
+       |  WHERE i.i <= j.j),
+       |x AS (SELECT ij.i, ij.j, p.q[ij.i + 1] AS qi, p.q[ij.j + 1] AS qj
+       |  FROM p CROSS JOIN ij),
+       |s AS (SELECT i, j, CAST(sum(qi * qj) AS BIGINT) AS s_ij
+       |  FROM x GROUP BY i, j),
+       |m AS (SELECT i.i AS k, CAST(sum(p.q[i.i + 1]) AS BIGINT) AS sk
+       |  FROM p CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+       |  GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM p),
+       |covt AS (SELECT s.i, s.j,
+       |    round(((CAST(s_ij AS DOUBLE)
+       |      - CAST(a.sk AS DOUBLE) * CAST(b.sk AS DOUBLE) / n.n) / n.n)
+       |      / 1e12, 6) AS c
+       |  FROM s JOIN m a ON a.k = s.i JOIN m b ON b.k = s.j CROSS JOIN n),
+       |covf AS MATERIALIZED (SELECT i, j, c FROM covt
+       |  UNION ALL SELECT j AS i, i AS j, c FROM covt WHERE i <> j),
+       |v0 AS (SELECT list(1.0e0) AS v FROM range(64)),
+       |$iters,
+       |wf AS (SELECT covf.i AS i, list_reduce(list_prepend(0.0e0,
+       |    list(covf.c * v30.v[covf.j + 1] ORDER BY covf.j)),
+       |    (a, x) -> a + x) AS wi
+       |  FROM covf CROSS JOIN v30 GROUP BY covf.i),
+       |vv AS MATERIALIZED (SELECT wf.i, wf.wi, v30.v[wf.i + 1] AS vi
+       |  FROM wf CROSS JOIN v30),
+       |ray AS (SELECT
+       |    list_reduce(list_prepend(0.0e0, list(vi * wi ORDER BY i)),
+       |      (a, x) -> a + x) AS num,
+       |    list_reduce(list_prepend(0.0e0, list(vi * vi ORDER BY i)),
+       |      (a, x) -> a + x) AS den
+       |  FROM vv),
+       |sgn AS (SELECT CASE WHEN vi < 0 THEN -1.0e0 ELSE 1.0e0 END AS s
+       |  FROM (SELECT vi, row_number() OVER (ORDER BY abs(vi) DESC, i)
+       |      AS rn FROM vv) t WHERE rn = 1)
+       |SELECT CAST(vv.i AS BIGINT) AS dim,
+       |  round(sgn.s * vv.vi / sqrt(ray.den), 6) AS loading,
+       |  round(ray.num / ray.den, 6) AS eigval
+       |FROM vv CROSS JOIN ray CROSS JOIN sgn
+       |ORDER BY dim""".stripMargin
+  }
+
   private def kmeansSql: String = {
     def distCte(i: Int, prev: String) =
       s"""d$i AS (SELECT p.vec_id, c.cid,
@@ -1057,6 +1209,9 @@ object VectorQueries extends QueryPack {
           |    / 1e12, 6) AS cov
           |FROM s JOIN m a ON a.k = s.i JOIN m b ON b.k = s.j CROSS JOIN n
           |ORDER BY i, j""".stripMargin,
+
+      // shared moment CTEs + unrolled power iteration (pcaPowerSql)
+      "q_pca_power" -> pcaPowerSql,
 
       // per-dim scale, identical left-to-right FP expression shapes;
       // per-dim error quantized to exact integers before the sum so the

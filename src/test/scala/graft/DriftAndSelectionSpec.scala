@@ -395,4 +395,54 @@ class DriftAndSelectionSpec extends AnyFunSuite {
     // diversification actually engages: picks are not simply top-5 by rel
     assert(got.map(_._2).toSet.size == 5)
   }
+
+  test("q_cdc_apply materializes latest-op-wins state with tombstones") {
+    val log = Tables.eventsWithTime(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val byUser = log.groupBy(_._1)
+    val expect = byUser.flatMap { case (u, rows) =>
+      val last = rows.maxBy(r => (r._3, r._2))
+      if (last._4 == "error") None // trailing delete tombstones the key
+      else Some(u -> (rows.length.toLong,
+        rows.count(_._4 == "error").toLong, last._2, last._4, last._5))
+    }
+    val got = SparkEntry.queries("q_cdc_apply")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getDouble(5))).toMap
+    assert(got == expect)
+    // tombstoning engages: at least one user's latest op is a delete
+    assert(got.keySet != byUser.keySet,
+      "no trailing deletes in the corpus — tombstone path untested")
+  }
+
+  test("q_pmi matches a brute-force collocation scan (incl. quantization)") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("text")).collect().map(_.getString(0))
+    val bigrams = docs.flatMap { t =>
+      val ws = t.trim.toLowerCase
+        .replaceAll("[ \\t\\n\\f\\r\\x0B]+", " ").split(" ", -1)
+      if (ws.length < 2) Nil else ws.sliding(2).map(a => (a(0), a(1))).toSeq
+    }
+    val c2 = bigrams.groupBy(identity).map { case (k, v) => k -> v.length }
+    val ca = bigrams.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val cb = bigrams.groupBy(_._2).map { case (k, v) => k -> v.length }
+    val t = bigrams.length
+    val scored = c2.toSeq.filter(_._2 >= 5).map { case ((a, b), n2) =>
+      val pmiU = math.floor(math.log(n2.toDouble * t /
+        (ca(a).toDouble * cb(b))) * 1e6 + 0.5).toLong
+      (a, b, n2.toLong, pmiU)
+    }.sortBy { case (a, b, _, u) => (-u, a, b) }.take(20)
+      .map { case (a, b, n2, u) => (a, b, n2, u / 1e6) }
+    val got = SparkEntry.queries("q_pmi")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == scored)
+    assert(got.nonEmpty)
+  }
 }

@@ -142,6 +142,37 @@ class VectorsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_pca_power finds the dominant eigenpair of q_embed_gram's covariance") {
+    val rows = SparkEntry.queries("q_pca_power")(spark, SparkFixture.sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == (0L until 64L))
+    val v = rows.sortBy(_._1).map(_._2)
+    val lambda = rows.head._3
+    assert(rows.forall(_._3 == lambda), "eigval must be constant")
+    // unit loading vector, dominant component positive
+    val nrm = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(nrm - 1.0) < 1e-4, s"norm $nrm")
+    val am = v.indices.maxBy(i => math.abs(v(i)))
+    assert(v(am) > 0, "sign convention: largest-|loading| positive")
+    // reconstruct the covariance from q_embed_gram and check the
+    // eigen-residual ||Cv - lambda v|| is small relative to lambda, and
+    // lambda dominates every single-dim variance (Rayleigh lower bound)
+    val gram = SparkEntry.queries("q_embed_gram")(spark, SparkFixture.sfDir)
+      .collect().map(r => ((r.getLong(0).toInt, r.getLong(1).toInt),
+        r.getDouble(3))).toMap
+    def cv(i: Int, j: Int) = gram(if (i <= j) (i, j) else (j, i))
+    val w = (0 until 64).map(i =>
+      (0 until 64).map(j => cv(i, j) * v(j)).sum)
+    val resid = math.sqrt(
+      (0 until 64).map(i => (w(i) - lambda * v(i)) *
+        (w(i) - lambda * v(i))).sum)
+    assert(resid < 0.05 * math.abs(lambda),
+      s"residual $resid vs eigval $lambda — not converged")
+    val maxDiag = (0 until 64).map(i => cv(i, i)).max
+    assert(lambda >= maxDiag - 1e-6,
+      s"top eigenvalue $lambda below max diagonal $maxDiag")
+  }
+
   test("q_ann_recall agrees with an independent exact-vs-ivf set comparison") {
     val rows = SparkEntry.queries("q_ann_recall")(spark, SparkFixture.sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
