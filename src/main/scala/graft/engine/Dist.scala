@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -75,6 +75,96 @@ object Dist {
     globalPrefixAgg(df, valueCol, asc, idCol, Seq(aggCol), p,
       isSum = false, outCols = Seq("cummin"), inclusive = inclusive)
 
+  /** Adds `outCol` — the NEXT row's `leadCol` value under the total order
+    * (valueCol asc, idCol asc); null on the globally last row. The
+    * distributed LEAD(1): same deterministic seeded-sample range
+    * machinery as the prefix helpers (the pid is a pure column, never a
+    * physical partition id), a per-pid window lead, and the cross-range
+    * stitch from the p-row "first row of each range" frame — the last
+    * row of range k coalesces to the first `leadCol` of the next
+    * non-empty range. Exactly equal to a single-partition
+    * `lead(leadCol) OVER (ORDER BY valueCol, idCol)` at any size.
+    * `valueCol` must be DOUBLE, `idCol`/`leadCol` BIGINT. */
+  def globalLead(df: DataFrame, valueCol: String, idCol: String,
+                 leadCol: String, outCol: String, p: Int): DataFrame = {
+    def dt(c: String) = df.schema(c).dataType
+    require(dt(valueCol) == org.apache.spark.sql.types.DoubleType,
+      s"globalLead: $valueCol is ${dt(valueCol)}, need DOUBLE — " +
+      "cast explicitly upstream")
+    require(dt(idCol) == org.apache.spark.sql.types.LongType &&
+      dt(leadCol) == org.apache.spark.sql.types.LongType,
+      s"globalLead: $idCol/$leadCol must be BIGINT — cast upstream")
+    val spark = df.sparkSession
+    val passes = df.select(col(valueCol), col(idCol), col(leadCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = passes.count()
+    val boundaries =
+      sampleBoundaries(passes, valueCol, idCol, asc = true, p, n)
+    val pidCol = pidColumn(boundaries, valueCol, idCol, asc = true)
+    // first row (in order) of each non-empty range → its leadCol value
+    val firsts = passes.withColumn("pid", pidCol)
+      .groupBy(col("pid"))
+      .agg(min_by(col(leadCol), struct(col(valueCol), col(idCol)))
+        .as("fv"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    passes.unpersist(blocking = false)
+    val nRanges = boundaries.length + 1
+    val nextFirst: Seq[(Int, Option[Long])] = (0 until nRanges).map { k =>
+      k -> (k + 1 until nRanges).collectFirst {
+        case j if firsts.contains(j) => firsts(j) }
+    }
+    val nfDf = spark.createDataFrame(
+      java.util.Arrays.asList(nextFirst.map { case (pid, nf) =>
+        org.apache.spark.sql.Row(pid, nf.map(Long.box).orNull) }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__nf",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col(valueCol).asc, col(idCol).asc)
+    df.withColumn("pid", pidCol)
+      .withColumn("__lead_in", lead(col(leadCol), 1).over(w))
+      .join(broadcast(nfDf), "pid")
+      .withColumn(outCol, coalesce(col("__lead_in"), col("__nf")))
+      .drop("pid", "__lead_in", "__nf")
+  }
+
+  /** ONE deterministic seeded sample of (valueCol, idCol), sorted under
+    * the total order, thinned to ≤ p−1 distinct range boundaries. */
+  private def sampleBoundaries(passes: DataFrame, valueCol: String,
+                               idCol: String, asc: Boolean, p: Int,
+                               n: Long): Array[(Double, Long)] = {
+    val frac = if (n <= 0) 1.0 else math.min(1.0, (20.0 * p) / n)
+    val sampled = passes.select(col(valueCol), col(idCol))
+      .sample(withReplacement = false, frac, seed = 42L)
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    val ord: Ordering[(Double, Long)] =
+      if (asc) Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+      else Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse,
+        Ordering.Long)
+    val sorted = sampled.sorted(ord)
+    // up to p-1 boundaries at even sample strides; dedup keeps the pid
+    // function strictly monotone over ranges
+    val stride = math.max(1, sorted.length / p)
+    sorted.indices
+      .collect { case i if i > 0 && i % stride == 0 => sorted(i) }
+      .distinct.take(p - 1).toArray
+  }
+
+  /** pid = number of boundaries strictly before the row in the order —
+    * a pure column of the row, independent of physical partitioning. */
+  private def pidColumn(boundaries: Array[(Double, Long)], valueCol: String,
+                        idCol: String, asc: Boolean): Column =
+    boundaries.foldLeft(lit(0)) { case (acc, (bv, bk)) =>
+      val after =
+        if (asc) col(valueCol) > bv ||
+          (col(valueCol) === bv && col(idCol) > bk)
+        else col(valueCol) < bv ||
+          (col(valueCol) === bv && col(idCol) > bk)
+      acc + when(after, 1).otherwise(0)
+    }
+
   private def globalPrefixAgg(df: DataFrame, valueCol: String, asc: Boolean,
                               idCol: String, weightCols: Seq[String], p: Int,
                               isSum: Boolean, outCols: Seq[String],
@@ -98,30 +188,8 @@ object Dist {
       .select((valueCol +: idCol +: weightCols).map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = passes.count()
-    val frac = if (n <= 0) 1.0 else math.min(1.0, (20.0 * p) / n)
-    val sampled = passes.select(col(valueCol), col(idCol))
-      .sample(withReplacement = false, frac, seed = 42L)
-      .collect().map(r => (r.getDouble(0), r.getLong(1)))
-    val ord: Ordering[(Double, Long)] =
-      if (asc) Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
-      else Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse,
-        Ordering.Long)
-    val sorted = sampled.sorted(ord)
-    // up to p-1 boundaries at even sample strides; dedup keeps the pid
-    // function strictly monotone over ranges
-    val stride = math.max(1, sorted.length / p)
-    val boundaries = sorted.indices
-      .collect { case i if i > 0 && i % stride == 0 => sorted(i) }
-      .distinct.take(p - 1)
-    // pid = number of boundaries strictly before the row in the order
-    val pidCol = boundaries.foldLeft(lit(0)) { case (acc, (bv, bk)) =>
-      val after =
-        if (asc) col(valueCol) > bv ||
-          (col(valueCol) === bv && col(idCol) > bk)
-        else col(valueCol) < bv ||
-          (col(valueCol) === bv && col(idCol) > bk)
-      acc + when(after, 1).otherwise(0)
-    }
+    val boundaries = sampleBoundaries(passes, valueCol, idCol, asc, p, n)
+    val pidCol = pidColumn(boundaries, valueCol, idCol, asc)
     val withPid = df.withColumn("pid", pidCol)
     val totalAggs = weightCols.map(w =>
       (if (isSum) sum(col(w)) else min(col(w))).as(s"t_$w"))

@@ -593,6 +593,36 @@ object AnalyticsQueries extends QueryPack {
             .otherwise(lit("supplier")).as("node_type"),
           col("dist"))
         .orderBy(col("id"))
+    }),
+
+    // -- graph degree distribution (log2-bucket histogram) -----------------
+    // The first audit a graph pipeline runs before committing to a
+    // partitioning strategy: the degree histogram tells you whether the
+    // PageRank/CC/BFS family above needs skew handling (a power-law hub
+    // melts an edge-keyed shuffle). Buckets are floor(log2(degree))
+    // computed EXACTLY as binary-string length − 1 — no FP log at bucket
+    // boundaries (ln(8)/ln(2) is not reliably 3.0 in any engine). Two
+    // keyed aggregations over the undirected edge list; output bounded
+    // by 2·64 buckets by construction.
+    "q_degree_dist" -> ((s, d) => {
+      val e0 = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+        .withColumn("node_type",
+          when(pmod(col("src"), lit(2)) === 0, lit("customer"))
+            .otherwise(lit("supplier")))
+        .withColumn("bucket",
+          (length(expr("bin(degree)")) - 1).cast("long"))
+        .groupBy(col("node_type"), col("bucket"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("degree")).as("min_deg"),
+          max(col("degree")).as("max_deg"))
+        .orderBy(col("node_type"), col("bucket"))
     })
   )
 
@@ -751,6 +781,24 @@ object AnalyticsQueries extends QueryPack {
     "q_pagerank" -> pagerankSql,
 
     "q_graph_bfs" -> bfsSql,
+
+    // bin()-length bucket = exact floor(log2); same undirected edge CTE
+    // as bfsSql
+    "q_degree_dist" ->
+      """WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src,
+        |    l.l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |e AS (SELECT src, dst FROM e0
+        |  UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT src, count(*) AS degree FROM e GROUP BY 1)
+        |SELECT
+        |  CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END
+        |    AS node_type,
+        |  CAST(length(bin(degree)) - 1 AS BIGINT) AS bucket,
+        |  count(*) AS n_nodes,
+        |  CAST(min(degree) AS BIGINT) AS min_deg,
+        |  CAST(max(degree) AS BIGINT) AS max_deg
+        |FROM deg GROUP BY 1, 2 ORDER BY node_type, bucket""".stripMargin,
 
     // exact integer moment sums; the double z formula mirrors the
     // engine's expression shape token-for-token (see the query comment)

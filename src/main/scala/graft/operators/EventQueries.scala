@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.engine.{QueryPack, Tables}
+import graft.engine.{Dist, QueryPack, Tables}
 import graft.plans.AsOfJoin
 
 /** Event-time operators over the `events` table, run in batch mode with the
@@ -340,6 +340,57 @@ object EventQueries extends QueryPack {
         .select(col("user_id"), col("n_ops"), col("n_deletes"),
           col("last_event_id"), col("last_type"), col("last_value"))
         .orderBy(col("user_id"))
+    }),
+
+    // -- interval concurrency profile via distributed sweep line ----------
+    // "How many sessions are active at once, for how long?" — the
+    // interval-overlap question whose naive formulation is an O(n²)
+    // interval×interval self-join. The sweep line is the scale-correct
+    // reformulation: each session contributes a +1 boundary at its start
+    // and a −1 at its end, the concurrency level is the prefix sum of
+    // deltas under the global boundary order, and per-level durations
+    // come from the gap to the next boundary — sort + prefix sum + lead,
+    // all linear. Neither global window runs single-partition:
+    // [[Dist.globalPrefixSum]] carries the level and the new
+    // [[Dist.globalLead]] the segment end. Tie contract: boundary sort
+    // key is us·2 for starts and us·2+1 for ends (starts first at equal
+    // timestamps — a session touching an instant counts at it), session
+    // id tiebreak; us·2+1 stays under 2⁵³ so the DOUBLE sort key is
+    // exact. Sessions are q_sessionize's (30-min gap, >= boundary).
+    "q_concurrency" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val sess = Tables.eventsWithTime(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_us").isNull ||
+            col("ts_us") - col("prev_us") >= lit(1800000000L), 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum(col("is_new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"))
+        .withColumn("sid",
+          col("user_id") * lit(100000L) + col("session_seq"))
+      val b = sess.select(
+          (col("start_us") * 2).cast("double").as("sortv"),
+          (col("sid") * 2).as("bid"), lit(1L).as("delta"),
+          col("start_us").as("us"))
+        .union(sess.select(
+          (col("end_us") * 2 + 1).cast("double").as("sortv"),
+          (col("sid") * 2 + 1).as("bid"), lit(-1L).as("delta"),
+          col("end_us").as("us")))
+      val lev = Dist.globalPrefixSum(b, "sortv", asc = true,
+        idCol = "bid", weightCol = "delta", p = 32)
+      Dist.globalLead(lev, "sortv", "bid", "us", "next_us", p = 32)
+        .filter(col("next_us").isNotNull)
+        .groupBy(col("cum"))
+        .agg(count(lit(1)).as("n_segments"),
+          sum(col("next_us") - col("us")).as("total_us"))
+        .select(col("cum").as("level"), col("n_segments"), col("total_us"))
+        .orderBy(col("level"))
     })
   )
 
@@ -594,6 +645,43 @@ object EventQueries extends QueryPack {
         |  FROM c GROUP BY 1)
         |SELECT user_id, n_ops, n_deletes, last_event_id, last_type,
         |  last_value
-        |FROM g WHERE last_op <> 'D' ORDER BY user_id""".stripMargin
+        |FROM g WHERE last_op <> 'D' ORDER BY user_id""".stripMargin,
+
+    // q_sessionize's session CTE, then the sweep line as ONE window pair
+    // (sum over / lead over the same boundary order) — equal by
+    // construction to the distributed prefix-sum + global-lead plan
+    "q_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER
+        |        (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |        IS NULL THEN 1
+        |      WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |        (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |        >= 1800000000 THEN 1
+        |      ELSE 0 END AS is_new
+        |  FROM events),
+        |sq AS (SELECT user_id, us, event_id,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_seq
+        |  FROM e),
+        |sess AS (SELECT user_id, session_seq,
+        |    min(us) AS start_us, max(us) AS end_us,
+        |    user_id * 100000 + session_seq AS sid
+        |  FROM sq GROUP BY 1, 2),
+        |b AS (SELECT CAST(start_us * 2 AS DOUBLE) AS sortv,
+        |    sid * 2 AS bid, 1 AS delta, start_us AS us FROM sess
+        |  UNION ALL SELECT CAST(end_us * 2 + 1 AS DOUBLE),
+        |    sid * 2 + 1, -1, end_us FROM sess),
+        |c AS (SELECT sortv, bid, us,
+        |    sum(delta) OVER (ORDER BY sortv, bid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lev,
+        |    lead(us) OVER (ORDER BY sortv, bid) AS next_us
+        |  FROM b)
+        |SELECT CAST(lev AS BIGINT) AS level, count(*) AS n_segments,
+        |  CAST(sum(next_us - us) AS BIGINT) AS total_us
+        |FROM c WHERE next_us IS NOT NULL
+        |GROUP BY 1 ORDER BY level""".stripMargin
   )
 }

@@ -552,6 +552,37 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // -- corpus-level source-overlap audit (pairwise shingle Jaccard) ------
+    // The mirror-detection / source-dedup question ABOVE the document
+    // level: how much content do two ingest sources share? (A crawl that
+    // picked up a mirror shows up here long before per-doc dedup melts
+    // it away.) Jaccard over each source's DISTINCT 5-word shingle set —
+    // the same FNV family every dedup operator uses. Scale shape: the
+    // (source, shingle) distinct is one shuffle; the pair expansion
+    // self-joins on shingle where each group holds ≤ |sources| rows
+    // AFTER the distinct — a hot boilerplate shingle is |sources| rows,
+    // never a hot-key blowup — so candidate volume is linear in distinct
+    // (shingle, source) pairs with a |sources|² cap per shingle.
+    "q_source_overlap" -> ((s, d) => {
+      val ss = Tables.documents(s, d)
+        .select(col("source"),
+          explode(TextDedup.wordShingles(col("text"))).as("tok"))
+        .distinct()
+      val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+      ss.join(ss.select(col("source").as("s2"), col("tok")), "tok")
+        .filter(col("source") < col("s2"))
+        .groupBy(col("source").as("s1"), col("s2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes).withColumnRenamed("source", "s1")
+          .withColumnRenamed("sz", "n_a"), "s1")
+        .join(broadcast(sizes).withColumnRenamed("source", "s2")
+          .withColumnRenamed("sz", "n_b"), "s2")
+        .select(col("s1"), col("s2"), col("n_a"), col("n_b"), col("inter"),
+          round(col("inter").cast("double") /
+            (col("n_a") + col("n_b") - col("inter")), 6).as("jaccard"))
+        .orderBy(col("s1"), col("s2"))
+    }),
+
     // -- near-dup: exact word-set Jaccard (ground truth for LSH variants) --
     "q_dedup_jaccard" -> ((s, d) => {
       TextDedup.exactJaccardPairs(
@@ -946,6 +977,26 @@ object TextQueries extends QueryPack {
            |    END) AS DOUBLE) / count(*), 6) AS novelty
            |FROM ex e JOIN f USING (tok)
            |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
+
+      // same FNV shingle CTEs; the (source, shingle) distinct caps every
+      // shingle group at |sources| rows before the pair join
+      "q_source_overlap" ->
+        s"""WITH ${graft.engine.OracleHash.shingleCtes},
+           |ex AS (SELECT doc_id, unnest(toks) AS tok FROM sh),
+           |ss AS (SELECT DISTINCT d.source, e.tok
+           |  FROM ex e JOIN documents d USING (doc_id)),
+           |sz AS (SELECT source, count(*) AS sz FROM ss GROUP BY 1),
+           |pr AS (SELECT a.source AS s1, b.source AS s2,
+           |    count(*) AS inter
+           |  FROM ss a JOIN ss b ON a.tok = b.tok
+           |  WHERE a.source < b.source GROUP BY 1, 2)
+           |SELECT s1, s2, za.sz AS n_a, zb.sz AS n_b,
+           |  CAST(inter AS BIGINT) AS inter,
+           |  round(CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter), 6)
+           |    AS jaccard
+           |FROM pr JOIN sz za ON za.source = pr.s1
+           |  JOIN sz zb ON zb.source = pr.s2
+           |ORDER BY s1, s2""".stripMargin,
 
       // sorted fold = identical FP summation order in both engines
       "q_lm_perplexity" ->

@@ -396,6 +396,93 @@ class DriftAndSelectionSpec extends AnyFunSuite {
     assert(got.map(_._2).toSet.size == 5)
   }
 
+  test("Dist.globalLead matches a driver-side sorted lead") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 500).map { i =>
+      (rnd.nextInt(40).toDouble, i.toLong, rnd.nextInt(1000).toLong)
+    }
+    val df = spark.createDataFrame(rows).toDF("v", "id", "x")
+    val got = Dist.globalLead(df, "v", "id", "x", "nx", p = 7)
+      .select(col("id"), col("nx")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val ord = rows.sortBy(r => (r._1, r._2))
+    val expect = ord.zipWithIndex.map { case ((_, id, _), i) =>
+      id -> (if (i + 1 < ord.length) Some(ord(i + 1)._3) else None)
+    }.toMap
+    assert(got == expect)
+  }
+
+  test("q_concurrency: integral identity and span conservation hold") {
+    val rows = SparkEntry.queries("q_concurrency")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.exists(_._1 >= 1))
+    // rebuild sessions driver-side from the same 30-min-gap contract
+    val evs = Tables.eventsWithTime(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sessions = evs.groupBy(_._1).values.flatMap { g =>
+      val ord = g.sortBy(r => (r._2, r._3)).map(_._2)
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var start = ord.head; var prev = ord.head
+      ord.tail.foreach { us =>
+        if (us - prev >= 1800000000L) { bounds += ((start, prev)); start = us }
+        prev = us
+      }
+      bounds += ((start, prev))
+      bounds
+    }.toSeq
+    // ∫ concurrency dt == Σ session durations (the sweep-line invariant)
+    val lhs = rows.map { case (lvl, _, tot) => lvl * tot }.sum
+    val rhs = sessions.map { case (a, b) => b - a }.sum
+    assert(lhs == rhs, s"integral $lhs != total session time $rhs")
+    // Σ total_us across ALL levels == the swept span
+    val span = sessions.map(_._2).max - sessions.map(_._1).min
+    assert(rows.map(_._3).sum == span,
+      s"segment durations ${rows.map(_._3).sum} != span $span")
+  }
+
+  test("q_degree_dist matches a brute-force degree histogram") {
+    val got = SparkEntry.queries("q_degree_dist")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ok = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = li.flatMap { case (o, sk) =>
+      ok.get(o).map(ck => (ck * 2, sk * 2 + 1)) }.distinct
+    val deg = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (n, es) => n -> es.length.toLong }
+    val expect = deg.groupBy { case (n, d) =>
+      (if (n % 2 == 0) "customer" else "supplier",
+        (63 - java.lang.Long.numberOfLeadingZeros(d)).toLong)
+    }.map { case (k, g) =>
+      k -> (g.size.toLong, g.values.min, g.values.max) }
+    assert(got == expect)
+  }
+
+  test("q_source_overlap matches brute-force per-source shingle Jaccard") {
+    val ss = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        graft.functions.TextDedup.wordShingles(col("text")).as("toks"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSet)
+      .groupBy(_._1).map { case (s, g) =>
+        s -> g.map(_._2).reduce(_ union _) }
+    val expect = (for {
+      a <- ss.keys; b <- ss.keys if a < b
+      inter = (ss(a) intersect ss(b)).size if inter > 0
+    } yield (a, b) -> (ss(a).size.toLong, ss(b).size.toLong,
+      inter.toLong)).toMap
+    val got = SparkEntry.queries("q_source_overlap")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expect)
+  }
+
   test("q_cdc_apply materializes latest-op-wins state with tombstones") {
     val log = Tables.eventsWithTime(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("ts_us"),
