@@ -184,6 +184,55 @@ object StatsQueries extends QueryPack {
         .orderBy(col("dow"))
     }),
 
+    // -- robust outlier detection (median / MAD) --------------------------
+    // The outlier gate that survives what z-scores don't: mean/σ are
+    // themselves dragged by the outliers they're meant to catch, while
+    // median and MAD (median absolute deviation) have a 50% breakdown
+    // point. Per event_type: exact LOWER median of the milli-quantized
+    // value (rank ⌈n/2⌉ under the (vq, event_id) total order — an
+    // integer contract, no interpolation ambiguity), MAD on the same
+    // contract over |vq − med|, and the flagged count at the classic
+    // |x − med| > 3·MAD cut (pure integer comparison). Scale: two
+    // group-keyed sort windows — group count carries the parallelism;
+    // a few very heavy groups would ride the q_rebalance two-phase
+    // pattern or [[Dist.globalPrefixSum]] per group instead.
+    "q_outlier_mad" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+            .as("vq"))
+      val w1 = Window.partitionBy(col("event_type"))
+        .orderBy(col("vq"), col("event_id"))
+      val wn = Window.partitionBy(col("event_type"))
+      val med = e
+        .withColumn("rn", row_number().over(w1))
+        .withColumn("n", count(lit(1)).over(wn))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("vq").as("med"))
+      val dev = e.join(med, "event_type")
+        .withColumn("adev", abs(col("vq") - col("med")))
+      val w2 = Window.partitionBy(col("event_type"))
+        .orderBy(col("adev"), col("event_id"))
+      val mad = dev
+        .withColumn("rn", row_number().over(w2))
+        .withColumn("n", count(lit(1)).over(wn))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("adev").as("mad"))
+      dev.join(mad, "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("med")).as("med_u"), max(col("mad")).as("mad_u"),
+          sum(when(col("adev") > lit(3L) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .select(col("event_type"), col("n"),
+          (col("med_u").cast("double") / lit(1000.0)).as("median"),
+          (col("mad_u").cast("double") / lit(1000.0)).as("mad"),
+          col("n_outliers"),
+          round(col("n_outliers").cast("double") / col("n"), 6)
+            .as("outlier_pct"))
+        .orderBy(col("event_type"))
+    }),
+
     // -- classifier calibration audit (reliability diagram) ---------------
     // q_quality_classifier's integer score through a logistic link
     // p = 1/(1 + e^(−score/4)) becomes a predicted probability; the
@@ -312,6 +361,39 @@ object StatsQueries extends QueryPack {
         |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / 1000.0e0, 6)
         |    AS resid_sd
         |FROM d CROSS JOIN g ORDER BY dow""".stripMargin,
+
+    // lower-median rank ⌈n/2⌉ under the (vq, event_id) total order on
+    // both engines; the 3·MAD cut is a pure integer comparison
+    "q_outlier_mad" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq
+        |  FROM events),
+        |r1 AS (SELECT event_type, vq,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY vq, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e),
+        |med AS (SELECT event_type, vq AS med FROM r1
+        |  WHERE rn = (n + 1) // 2),
+        |dev AS (SELECT e.event_type, e.event_id, e.vq,
+        |    abs(e.vq - med.med) AS adev, med.med
+        |  FROM e JOIN med USING (event_type)),
+        |r2 AS (SELECT event_type, adev,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY adev, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM dev),
+        |mad AS (SELECT event_type, adev AS mad FROM r2
+        |  WHERE rn = (n + 1) // 2)
+        |SELECT dev.event_type, count(*) AS n,
+        |  CAST(max(dev.med) AS DOUBLE) / 1000.0 AS median,
+        |  CAST(max(mad.mad) AS DOUBLE) / 1000.0 AS mad,
+        |  CAST(sum(CASE WHEN dev.adev > 3 * mad.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  round(CAST(sum(CASE WHEN dev.adev > 3 * mad.mad THEN 1
+        |    ELSE 0 END) AS DOUBLE) / count(*), 6) AS outlier_pct
+        |FROM dev JOIN mad USING (event_type)
+        |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin,
 
     // same distinct-unigram FNV pipeline as the q_quality_classifier
     // oracle; logistic link then micro-quantization BEFORE the bin agg

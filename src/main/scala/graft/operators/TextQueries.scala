@@ -482,6 +482,40 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // -- BPE tokenizer APPLY (fixed merge table, inference path) -----------
+    // The other half of q_bpe_pairs' merge SCORING: run a shipped
+    // tokenizer. Each word becomes its space-joined character sequence
+    // and the 8-entry merge table applies in priority order — each merge
+    // is ONE literal left-to-right non-overlapping replace pass (the
+    // `replace` builtin has identical semantics in both engines; no
+    // regex, no lookaround divergence), and later merges compose over
+    // earlier outputs ("t h"→"th" feeds "th e"→"the"). A production
+    // merge table is larger but applies exactly this way — narrow
+    // per-word map, zero shuffle before the per-doc aggregation; the
+    // output is the per-doc char→token compression the tokenizer buys.
+    "q_bpe_apply" -> ((s, d) => {
+      val merges = Seq("t h" -> "th", "th e" -> "the", "i n" -> "in",
+        "a n" -> "an", "an d" -> "and", "e r" -> "er", "o n" -> "on",
+        "r e" -> "re")
+      val ws = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(norm(col("text")), " "))
+          .as("w"))
+        .filter(length(col("w")) > 0)
+        .withColumn("ct", concat(lit(" "),
+          expr("array_join(split(w, ''), ' ')"), lit(" ")))
+      val merged = merges.foldLeft(col("ct")) { case (acc, (a, b)) =>
+        call_function("replace", acc, lit(s" $a "), lit(s" $b "))
+      }
+      ws.withColumn("m", merged)
+        .withColumn("n_tok", size(split(trim(col("m")), " ")).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(sum(length(col("w"))).cast("long").as("n_char_tokens"),
+          sum(col("n_tok")).as("n_tokens"))
+        .withColumn("compression",
+          round(col("n_tokens").cast("double") / col("n_char_tokens"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- PMI collocation mining: top adjacent-pair associations ------------
     // The tokenizer/phrase-induction signal (Church & Hanks 1990): for
     // every adjacent word pair, PMI = ln(n(a,b)·T / (n(a·)·n(·b))) over
@@ -865,6 +899,36 @@ object TextQueries extends QueryPack {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // -- dedup index health: MinHash-LSH recall vs exact ground truth ------
+    // The q_ann_recall of the dedup family: how many TRUE near-dup pairs
+    // (exact Jaccard ≥ 0.7) does the 16-perm/4-band LSH blocking
+    // surface? Production dedup runs the approximate path at corpus
+    // scale and THIS monitor on a slice — banding recall degrades
+    // silently when shingle distributions drift, and a recall row per
+    // batch is the alarm. Both pair sets are verified-exact (the LSH
+    // miner re-checks candidates), so precision is 1.0 by construction
+    // and the interesting number is recall. Scale shape: the exact side
+    // is the prefix-filtered miner (slice-sized input by design); the
+    // comparison joins two pair sets keyed on (d1, d2).
+    "q_dedup_recall" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val exact = TextDedup.exactJaccardPairs(docs, 0.7)
+        .select(col("d1"), col("d2"))
+      val lsh = TextDedup.minHashLshPairs(docs, numPerms = 16, bands = 4,
+          threshold = 0.7)
+        .select(col("d1"), col("d2"), lit(1L).as("c"))
+      val hits = exact.join(lsh, Seq("d1", "d2"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("c"), lit(0L))).as("n_hit"))
+      val nc = lsh.agg(count(lit(1)).as("n_cand"))
+      hits.crossJoin(nc)
+        .select(col("n_true"), col("n_cand"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_true"), 6)
+            .as("recall"),
+          round(col("n_hit").cast("double") / col("n_cand"), 6)
+            .as("precision"))
+    }),
+
     // -- near-dup: SimHash + chunk blocking (FNV-hashed — oracle-hashed) ---
     "q_dedup_simhash" -> ((s, d) => {
       TextDedup.simHashPairs(
@@ -1017,6 +1081,34 @@ object TextQueries extends QueryPack {
            |  FROM agg)
            |SELECT doc_id, round(nll, 6) AS avg_nll, round(exp(nll), 6) AS ppl
            |FROM nll ORDER BY doc_id""".stripMargin,
+
+      // the same 8-merge table nested literally (replace() is
+      // left-to-right non-overlapping in both engines); char split via
+      // substring enumeration
+      "q_bpe_apply" -> {
+        val merges = Seq("t h" -> "th", "th e" -> "the", "i n" -> "in",
+          "a n" -> "an", "an d" -> "and", "e r" -> "er", "o n" -> "on",
+          "r e" -> "re")
+        val applied = merges.foldLeft("ct") { case (acc, (a, b)) =>
+          s"replace($acc, ' $a ', ' $b ')"
+        }
+        s"""WITH w AS (SELECT doc_id,
+           |    unnest(string_split($normSql, ' ')) AS w FROM documents),
+           |f AS (SELECT doc_id, w,
+           |    ' ' || array_to_string(list_transform(
+           |      range(1, length(w) + 1), i -> substring(w, i, 1)), ' ')
+           |      || ' ' AS ct
+           |  FROM w WHERE length(w) > 0),
+           |m AS (SELECT doc_id, w,
+           |    len(string_split(trim($applied), ' ')) AS n_tok
+           |  FROM f)
+           |SELECT doc_id,
+           |  CAST(sum(length(w)) AS BIGINT) AS n_char_tokens,
+           |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           |  round(CAST(sum(n_tok) AS DOUBLE) / sum(length(w)), 6)
+           |    AS compression
+           |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
 
       // the same bigram staging as q_lm_perplexity; marginals count
       // bigram occurrences; the single ln floor-quantizes to micros
@@ -1518,6 +1610,50 @@ object TextQueries extends QueryPack {
            |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
            |    (a.sz + b.sz - len(list_intersect(a.toks, b.toks))) >= 0.7
            |ORDER BY d1, d2""".stripMargin
+      },
+
+      // exact pairs from the hashed shingle sets (cardinality-identical
+      // to string shingles) + the q_dedup_minhash candidate chain, then
+      // one pair-keyed comparison
+      "q_dedup_recall" -> {
+        import graft.engine.OracleHash._
+        s"""WITH $shingleCtes,
+           |v AS (SELECT doc_id, toks, len(toks) AS sz FROM sh),
+           |exact AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM v a JOIN v b ON a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+           |    (a.sz + b.sz - len(list_intersect(a.toks, b.toks)))
+           |    >= 0.7),
+           |ex AS (SELECT doc_id, unnest(toks) AS h FROM sh),
+           |exk AS (SELECT doc_id, k, h
+           |  FROM ex CROSS JOIN (SELECT unnest(range(0, 16)) AS k)),
+           |${splitmixStages("exk", "doc_id, k",
+              "xor(h, " + u64mul(golden, "(k+1)::UBIGINT") + ")")},
+           |mh AS (SELECT doc_id, k, min(xor(z3, z3 >> 31)) AS m
+           |  FROM p3_ GROUP BY doc_id, k),
+           |sig AS (SELECT doc_id, list(m ORDER BY k) AS sg
+           |  FROM mh GROUP BY doc_id),
+           |bk AS (SELECT doc_id, b, sg[(b*4+1):(b*4+4)] AS key
+           |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+           |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+           |  FROM bk x JOIN bk y
+           |  ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+           |lsh AS (SELECT cand.d1, cand.d2
+           |  FROM cand JOIN v a ON a.doc_id = cand.d1
+           |    JOIN v b ON b.doc_id = cand.d2
+           |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+           |    (a.sz + b.sz - len(list_intersect(a.toks, b.toks)))
+           |    >= 0.7),
+           |h AS (SELECT count(*) AS n_true,
+           |    CAST(sum(CASE WHEN l.d1 IS NOT NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_hit
+           |  FROM exact e LEFT JOIN lsh l
+           |    ON e.d1 = l.d1 AND e.d2 = l.d2),
+           |nc AS (SELECT count(*) AS n_cand FROM lsh)
+           |SELECT n_true, n_cand, n_hit,
+           |  round(CAST(n_hit AS DOUBLE) / n_true, 6) AS recall,
+           |  round(CAST(n_hit AS DOUBLE) / n_cand, 6) AS precision
+           |FROM h CROSS JOIN nc""".stripMargin
       },
 
       // SimHash: same FNV shingle hashes; per-bit majority vote, 16-bit

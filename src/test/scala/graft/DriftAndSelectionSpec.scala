@@ -483,6 +483,46 @@ class DriftAndSelectionSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("q_dedup_recall ties out against the standalone pair miners") {
+    val r = SparkEntry.queries("q_dedup_recall")(spark, sfDir).head()
+    val (nTrue, nCand, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (recall, precision) = (r.getDouble(3), r.getDouble(4))
+    val exact = SparkEntry.queries("q_dedup_jaccard")(spark, sfDir).count()
+    val lsh = SparkEntry.queries("q_dedup_minhash")(spark, sfDir).count()
+    assert(nTrue == exact && nCand == lsh)
+    // the miner verifies candidates exactly → no false positives ever
+    assert(nHit == nCand && precision == 1.0)
+    assert(nHit <= nTrue && recall > 0.0 && recall <= 1.0)
+    assert(math.abs(recall - nHit.toDouble / nTrue) < 1e-5)
+  }
+
+  test("q_bpe_apply replays the merge table word-by-word") {
+    val merges = Seq("t h" -> "th", "th e" -> "the", "i n" -> "in",
+      "a n" -> "an", "an d" -> "and", "e r" -> "er", "o n" -> "on",
+      "r e" -> "re")
+    def applyMerges(w: String): Int = {
+      var s = " " + w.toCharArray.mkString(" ") + " "
+      merges.foreach { case (a, b) => s = s.replace(s" $a ", s" $b ") }
+      s.trim.split(" ").length
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expect = docs.map { case (id, t) =>
+      val ws = t.trim.toLowerCase
+        .replaceAll("[ \\t\\n\\f\\r\\x0B]+", " ").split(" ", -1)
+        .filter(_.nonEmpty)
+      id -> (ws.map(_.length.toLong).sum,
+        ws.map(w => applyMerges(w).toLong).sum)
+    }.toMap
+    val got = SparkEntry.queries("q_bpe_apply")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == expect)
+    // merges actually fire: tokens strictly below chars somewhere
+    assert(got.values.exists { case (c, t) => t < c })
+  }
+
   test("q_cdc_apply materializes latest-op-wins state with tombstones") {
     val log = Tables.eventsWithTime(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("ts_us"),

@@ -118,6 +118,29 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_outlier_mad matches brute-force median/MAD with the 3-MAD cut") {
+    val got = run("q_outlier_mad").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5))).toMap
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), vq(r.getDouble(2))))
+    assert(got.keySet == e.map(_._1).toSet)
+    e.groupBy(_._1).foreach { case (t, rows) =>
+      // lower median under the (vq, event_id) total order
+      val sorted = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      val med = sorted((sorted.length + 1) / 2 - 1)
+      val adevSorted = rows
+        .map(r => (math.abs(r._3 - med), r._2)).sortBy(identity)
+      val mad = adevSorted((adevSorted.length + 1) / 2 - 1)._1
+      val nOut = rows.count(r => math.abs(r._3 - med) > 3 * mad)
+      val (gn, gMed, gMad, gOut, gPct) = got(t)
+      assert(gn == rows.length && gOut == nOut, t)
+      assert(gMed == med / 1000.0 && gMad == mad / 1000.0, t)
+      assert(math.abs(gPct - nOut.toDouble / rows.length) < 1e-5, t)
+    }
+  }
+
   test("q_rrf_fusion agrees with a driver-side fusion of the two rankings") {
     val fused = run("q_rrf_fusion").collect()
     assert(fused.map(_.getLong(0)).toSeq == (1L to fused.length))
