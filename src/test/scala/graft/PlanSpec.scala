@@ -421,4 +421,51 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"),
       "chunking introduced a hash shuffle:\n" + p)
   }
+
+  test("q_concurrency runs every window keyed (sweep line, no global sort task)") {
+    // sessionize windows key on user_id; the prefix-sum and global-lead
+    // windows key on the Dist range pid — an empty partition spec would
+    // mean the sweep line collapsed to one task
+    val p = plan("q_concurrency")
+    val windowLines = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.nonEmpty, "expected sweep-line windows")
+    assert(windowLines.forall(l => l.contains("pid") || l.contains("user_id")),
+      s"un-keyed window in plan:\n${windowLines.mkString("\n")}")
+  }
+
+  test("q_rrf_fusion fuses two TakeOrdered rankings, never a corpus sort") {
+    // both rankings must reach the fusion as TakeOrderedAndProject
+    // top-20 frames; a global Sort of the scored corpus would mean a
+    // ranking escaped its limit
+    val p = plan("q_rrf_fusion")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_bootstrap_ci combines rep weights map-side before the shuffle") {
+    // the B=100 explode must partially aggregate per task (shuffle rows
+    // bounded at groups × reps), and the rank window keys on event_type
+    val p = plan("q_bootstrap_ci")
+    assert(p.contains("HashAggregate"), p)
+    val partials = p.linesIterator
+      .count(l => l.contains("HashAggregate") && l.contains("partial_"))
+    assert(partials >= 1, "no map-side partial aggregation:\n" + p)
+    val windowLines = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.forall(_.contains("event_type")),
+      s"un-keyed window:\n${windowLines.mkString("\n")}")
+  }
+
+  test("q_pca_power reduces to a LocalTableScan (bounded driver output)") {
+    // the data-sized pass happens inside gramMoments; the returned plan
+    // must be the 64-row local frame, never a distributed recompute
+    val p = plan("q_pca_power")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      "PCA output plan re-shuffles:\n" + p)
+  }
+
+  test("q_cdc_apply shares one user_id shuffle between window and agg") {
+    val p = plan("q_cdc_apply").split("== Initial Plan ==")(0)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n" + p)
+  }
 }
