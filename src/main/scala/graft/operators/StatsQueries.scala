@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.NativeExpressions
-import graft.engine.{OracleHash, QueryPack, Tables}
+import graft.engine.{Dist, OracleHash, QueryPack, Tables}
 import graft.functions.TextDedup
 
 /** Statistical-modeling operators over the event stream and document
@@ -184,6 +184,63 @@ object StatsQueries extends QueryPack {
         .orderBy(col("dow"))
     }),
 
+    // -- sequential probability ratio test (Wald SPRT) --------------------
+    // The streaming-decision primitive batch A/B tests lack: walk the
+    // event stream in time order accumulating the Bernoulli
+    // log-likelihood ratio for H1: p = 0.22 vs H0: p = 0.18 on the
+    // purchase indicator, and report the FIRST boundary crossing
+    // (A = ln(0.95/0.05) rejects H0, B = ln(0.05/0.95) accepts) — the
+    // test that lets a pipeline stop collecting the moment the evidence
+    // suffices. LLR_n = k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0)) derives
+    // per row from EXACT prefix integers (k, n ride ONE
+    // [[Dist.globalPrefixSums]] pass under the (ts, event_id) order —
+    // never a single-partition window), with the two ln constants
+    // evaluated from identical literals in both engines and the LLR
+    // micro-quantized before every boundary comparison. No crossing →
+    // 'continue' with the full-sample LLR. TakeOrdered(1) on the
+    // crossing set; driver state is one row.
+    "q_ab_sprt" -> ((s, d) => {
+      val e = Tables.eventsWithTime(s, d)
+        .select(col("event_id"),
+          col("ts_us").cast("double").as("tsd"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("conv"),
+          lit(1L).as("one"))
+      val cum = Dist.globalPrefixSums(e, "tsd", asc = true,
+        idCol = "event_id", weightCols = Seq("conv", "one"),
+        outCols = Seq("k", "n"), p = 32)
+      val c1 = log(lit(0.22) / lit(0.18))
+      val c0 = log(lit(0.78) / lit(0.82))
+      val aU = floor(log(lit(0.95) / lit(0.05)) * lit(1000000.0) +
+        lit(0.5)).cast("long")
+      val bU = floor(log(lit(0.05) / lit(0.95)) * lit(1000000.0) +
+        lit(0.5)).cast("long")
+      val llr = cum.withColumn("llr_u",
+        floor((col("k") * c1 + (col("n") - col("k")) * c0) *
+          lit(1000000.0) + lit(0.5)).cast("long"))
+      val crossed = llr
+        .filter(col("llr_u") >= aU || col("llr_u") <= bU)
+        .orderBy(col("n")).limit(1)
+        .select(col("n").as("first_n"), col("llr_u").as("cross_u"),
+          when(col("llr_u") >= aU, lit("reject_h0"))
+            .otherwise(lit("accept_h0")).as("decision"))
+      // k is nondecreasing under the same order, so max(k) IS k at
+      // n_total and the final LLR re-derives from the two exact totals
+      val tot = llr.agg(max(col("n")).as("n_total"),
+        max(col("k")).as("k_total"))
+      tot
+        .withColumn("final_u",
+          floor((col("k_total") * c1 +
+            (col("n_total") - col("k_total")) * c0) * lit(1000000.0) +
+            lit(0.5)).cast("long"))
+        .join(crossed, lit(true), "left")
+        .select(col("n_total"), col("k_total"),
+          coalesce(col("first_n"), col("n_total")).as("decided_at"),
+          coalesce(col("decision"), lit("continue")).as("decision"),
+          (coalesce(col("cross_u"), col("final_u")) / lit(1e6))
+            .as("llr"))
+    }),
+
     // -- robust outlier detection (median / MAD) --------------------------
     // The outlier gate that survives what z-scores don't: mean/σ are
     // themselves dragged by the outliers they're meant to catch, while
@@ -361,6 +418,46 @@ object StatsQueries extends QueryPack {
         |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / 1000.0e0, 6)
         |    AS resid_sd
         |FROM d CROSS JOIN g ORDER BY dow""".stripMargin,
+
+    // exact prefix integers under one window; ln constants from the
+    // same literals; LLR micro-quantized before every boundary compare
+    "q_ab_sprt" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS us,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        |  FROM events),
+        |c AS (SELECT event_id,
+        |    CAST(sum(conv) OVER (ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS k,
+        |    CAST(count(*) OVER (ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n
+        |  FROM e),
+        |l AS (SELECT k, n, CAST(floor(
+        |    (k * ln(0.22e0 / 0.18e0) + (n - k) * ln(0.78e0 / 0.82e0))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS llr_u
+        |  FROM c),
+        |bnd AS (SELECT
+        |    CAST(floor(ln(0.95e0 / 0.05e0) * 1000000.0 + 0.5) AS BIGINT)
+        |      AS au,
+        |    CAST(floor(ln(0.05e0 / 0.95e0) * 1000000.0 + 0.5) AS BIGINT)
+        |      AS bu),
+        |crossed AS (SELECT n AS first_n, llr_u AS cross_u,
+        |    CASE WHEN llr_u >= au THEN 'reject_h0'
+        |         ELSE 'accept_h0' END AS decision
+        |  FROM l CROSS JOIN bnd
+        |  WHERE llr_u >= au OR llr_u <= bu
+        |  ORDER BY n LIMIT 1),
+        |tot AS (SELECT max(n) AS n_total, max(k) AS k_total FROM l),
+        |fin AS (SELECT n_total, k_total, CAST(floor(
+        |    (k_total * ln(0.22e0 / 0.18e0)
+        |      + (n_total - k_total) * ln(0.78e0 / 0.82e0))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS final_u FROM tot)
+        |SELECT n_total, k_total,
+        |  coalesce(first_n, n_total) AS decided_at,
+        |  coalesce(decision, 'continue') AS decision,
+        |  coalesce(cross_u, final_u) / 1e6 AS llr
+        |FROM fin LEFT JOIN crossed ON true""".stripMargin,
 
     // lower-median rank ⌈n/2⌉ under the (vq, event_id) total order on
     // both engines; the 3·MAD cut is a pure integer comparison

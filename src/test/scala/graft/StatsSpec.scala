@@ -118,6 +118,38 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ab_sprt replays the sequential walk and its first crossing") {
+    val r = run("q_ab_sprt").head()
+    val (nTot, kTot, decidedAt, decision, llr) = (r.getLong(0),
+      r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4))
+    val ordered = Tables.eventsWithTime(spark, sfDir)
+      .select(col("ts_us"), col("event_id"), col("event_type")).collect()
+      .map(rr => (rr.getLong(0), rr.getLong(1), rr.getString(2)))
+      .sortBy(e => (e._1, e._2))
+    assert(nTot == ordered.length)
+    assert(kTot == ordered.count(_._3 == "purchase"))
+    val c1 = math.log(0.22 / 0.18)
+    val c0 = math.log(0.78 / 0.82)
+    val aU = math.floor(math.log(0.95 / 0.05) * 1e6 + 0.5).toLong
+    val bU = math.floor(math.log(0.05 / 0.95) * 1e6 + 0.5).toLong
+    var k = 0L
+    var cross: Option[(Long, Long, String)] = None
+    ordered.zipWithIndex.foreach { case ((_, _, t), i) =>
+      if (t == "purchase") k += 1
+      val n = i + 1L
+      val u = math.floor((k * c1 + (n - k) * c0) * 1e6 + 0.5).toLong
+      if (cross.isEmpty && (u >= aU || u <= bU))
+        cross = Some((n, u, if (u >= aU) "reject_h0" else "accept_h0"))
+    }
+    cross match {
+      case Some((n, u, dec)) =>
+        assert(decidedAt == n && decision == dec)
+        assert(math.abs(llr - u / 1e6) < 1e-9)
+      case None =>
+        assert(decision == "continue" && decidedAt == nTot)
+    }
+  }
+
   test("q_outlier_mad matches brute-force median/MAD with the 3-MAD cut") {
     val got = run("q_outlier_mad").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
