@@ -482,6 +482,74 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // -- TextRank extractive summarization (top sentence per doc) ----------
+    // The representative-sentence picker a curation pipeline uses to
+    // build summaries/previews without a model (Mihalcea & Tarau 2004):
+    // sentences from the custom SentenceSplit Generator (q_udtf_gen's
+    // boundary-injection preprocessing), a doc-LOCAL similarity graph
+    // (edge weight = distinct-word overlap ≥ 1), and 5 weighted-PageRank
+    // rounds in the q_pagerank fixed-point discipline — ranks are
+    // BIGINT multiples of 1e-12 and every update is integer div
+    // arithmetic, so iteration order/engine cannot move a rank by even
+    // one quantum. Scale shape: everything keys on doc_id (a doc's
+    // sentence graph is ≤ ~8 nodes here, bounded by doc length in
+    // general) — the pair join, the degree agg, and all 5 rounds are
+    // doc-keyed shuffles; the static graph persists across rounds
+    // (q_pagerank's lesson).
+    "q_textrank" -> ((s, d) => {
+      val SCALE = 1000000000000L
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_replace(col("text"), " the ", ". ").as("t"))
+        .select(col("doc_id"),
+          NativeExpressions.sentences(col("t")).as(Seq("pos", "sentence")))
+        .select(col("doc_id"), col("pos").cast("long").as("sid"),
+          col("sentence"),
+          array_distinct(split(norm(col("sentence")), " ")).as("ws"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ns = base.groupBy(col("doc_id")).agg(count(lit(1)).as("n_s"))
+      val edges = base.select(col("doc_id"), col("sid").as("i"),
+          col("ws").as("wi"))
+        .join(base.select(col("doc_id"), col("sid").as("j"),
+          col("ws").as("wj")), Seq("doc_id"))
+        .filter(col("i") =!= col("j"))
+        .withColumn("w",
+          size(array_intersect(col("wi"), col("wj"))).cast("long"))
+        .filter(col("w") >= 1)
+        .select(col("doc_id"), col("i"), col("j"), col("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wdeg = edges.groupBy(col("doc_id"), col("i"))
+        .agg(sum(col("w")).as("wdeg"))
+        .withColumnRenamed("i", "j")
+      var r = base.select(col("doc_id"), col("sid")).join(ns, "doc_id")
+        .select(col("doc_id"), col("sid"),
+          expr(s"${SCALE}L div n_s").as("r"))
+      for (_ <- 1 to 5) {
+        val contrib = edges
+          .join(r.select(col("doc_id"), col("sid").as("j"), col("r")),
+            Seq("doc_id", "j"))
+          .join(wdeg, Seq("doc_id", "j"))
+          .groupBy(col("doc_id"), col("i"))
+          .agg(sum(expr("(w * r) div wdeg")).as("c"))
+        r = base.select(col("doc_id"), col("sid")).join(ns, "doc_id")
+          .join(contrib.withColumnRenamed("i", "sid"),
+            Seq("doc_id", "sid"), "left")
+          .select(col("doc_id"), col("sid"),
+            (expr(s"(15 * ${SCALE}L) div (100 * n_s)") +
+              expr("(85 * coalesce(c, 0L)) div 100")).as("r"))
+      }
+      val wr = Window.partitionBy(col("doc_id"))
+        .orderBy(col("r").desc, col("sid"))
+      r.withColumn("rk", row_number().over(wr)).filter(col("rk") === 1)
+        .join(base.select(col("doc_id"), col("sid"), col("sentence")),
+          Seq("doc_id", "sid"))
+        .join(ns, "doc_id")
+        .select(col("doc_id"), col("n_s"), col("sid").as("top_sid"),
+          (col("r").cast("double") / lit(1.0e12)).as("score"),
+          col("sentence"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- BPE tokenizer APPLY (fixed merge table, inference path) -----------
     // The other half of q_bpe_pairs' merge SCORING: run a shipped
     // tokenizer. Each word becomes its space-joined character sequence
@@ -1081,6 +1149,64 @@ object TextQueries extends QueryPack {
            |  FROM agg)
            |SELECT doc_id, round(nll, 6) AS avg_nll, round(exp(nll), 6) AS ppl
            |FROM nll ORDER BY doc_id""".stripMargin,
+
+      // the q_udtf_gen sentence CTE + 5 unrolled integer-PageRank
+      // rounds in the 1e-12 fixed-point discipline (every update is
+      // BIGINT // arithmetic — iteration cannot drift between engines)
+      "q_textrank" -> {
+        val rounds = (1 to 5).map { t =>
+          s"""c$t AS (SELECT e.doc_id, e.i, CAST(sum(
+             |    (e.w * r${t - 1}.r) // wd.wdeg) AS BIGINT) AS c
+             |  FROM e JOIN r${t - 1} ON r${t - 1}.doc_id = e.doc_id
+             |    AND r${t - 1}.sid = e.j
+             |  JOIN wd ON wd.doc_id = e.doc_id AND wd.j = e.j
+             |  GROUP BY 1, 2),
+             |r$t AS (SELECT sent.doc_id, sent.sid,
+             |    (15 * 1000000000000) // (100 * ns.n_s)
+             |      + (85 * coalesce(c$t.c, 0)) // 100 AS r
+             |  FROM sent JOIN ns USING (doc_id)
+             |  LEFT JOIN c$t ON c$t.doc_id = sent.doc_id
+             |    AND c$t.i = sent.sid)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH s0 AS (SELECT doc_id,
+           |    list_filter(regexp_split_to_array(
+           |        regexp_replace(text, ' the ', '. ', 'g'),
+           |        '[.!?]+[ \t\n\r]+'),
+           |      x -> x <> '') AS ss
+           |  FROM documents),
+           |sent AS (SELECT doc_id,
+           |    CAST(generate_subscripts(ss, 1) - 1 AS BIGINT) AS sid,
+           |    unnest(ss) AS sentence
+           |  FROM s0),
+           |tokw AS (SELECT doc_id, sid, sentence,
+           |    list_distinct(string_split(regexp_replace(lower(trim(
+           |      sentence)), '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g'), ' '))
+           |      AS ws
+           |  FROM sent),
+           |e AS (SELECT a.doc_id, a.sid AS i, b.sid AS j,
+           |    CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS w
+           |  FROM tokw a JOIN tokw b ON a.doc_id = b.doc_id
+           |    AND a.sid <> b.sid
+           |  WHERE len(list_intersect(a.ws, b.ws)) >= 1),
+           |wd AS (SELECT doc_id, i AS j, CAST(sum(w) AS BIGINT) AS wdeg
+           |  FROM e GROUP BY 1, 2),
+           |ns AS (SELECT doc_id, count(*) AS n_s FROM sent GROUP BY 1),
+           |r0 AS (SELECT sent.doc_id, sent.sid,
+           |    1000000000000 // ns.n_s AS r
+           |  FROM sent JOIN ns USING (doc_id)),
+           |$rounds,
+           |top AS (SELECT doc_id, sid, r, row_number() OVER (
+           |    PARTITION BY doc_id ORDER BY r DESC, sid) AS rk
+           |  FROM r5)
+           |SELECT top.doc_id, ns.n_s, top.sid AS top_sid,
+           |  CAST(top.r AS DOUBLE) / 1e12 AS score,
+           |  sent.sentence
+           |FROM top JOIN ns USING (doc_id)
+           |  JOIN sent ON sent.doc_id = top.doc_id
+           |    AND sent.sid = top.sid
+           |WHERE top.rk = 1
+           |ORDER BY top.doc_id""".stripMargin
+      },
 
       // the same 8-merge table nested literally (replace() is
       // left-to-right non-overlapping in both engines); char split via

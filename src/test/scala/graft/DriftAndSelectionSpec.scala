@@ -483,6 +483,48 @@ class DriftAndSelectionSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("q_textrank replays the 5 integer-PageRank rounds per doc") {
+    val SCALE = 1000000000000L
+    val sents = SparkEntry.queries("q_udtf_gen")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val got = SparkEntry.queries("q_textrank")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val byDoc = sents.groupBy(_._1)
+    assert(got.keySet == byDoc.keySet)
+    byDoc.foreach { case (doc, ss) =>
+      val ws = ss.map { case (_, sid, t) =>
+        sid -> t.trim.toLowerCase
+          .replaceAll("[ \\t\\n\\f\\r\\x0B]+", " ").split(" ", -1)
+          .distinct.toSet
+      }.toMap
+      val sids = ws.keys.toSeq.sorted
+      val edges = for {
+        i <- sids; j <- sids if i != j
+        w = (ws(i) intersect ws(j)).size.toLong if w >= 1
+      } yield (i, j, w)
+      val wdeg = edges.groupBy(_._1).map { case (k, es) =>
+        k -> es.map(_._3).sum }
+      val nS = sids.length
+      var r = sids.map(sid => sid -> SCALE / nS).toMap
+      for (_ <- 1 to 5) {
+        // edge row (i, j, w): node i receives (w·r_j) div wdeg_j
+        val cMap = sids.map { t =>
+          t -> edges.collect { case (ti, tj, w) if ti == t =>
+            (w * r(tj)) / wdeg(tj) }.sum
+        }.toMap
+        r = sids.map(sid =>
+          sid -> ((15 * SCALE) / (100 * nS) + (85 * cMap(sid)) / 100))
+          .toMap
+      }
+      val top = sids.maxBy(sid => (r(sid), -sid))
+      val (gN, gSid, gScore) = got(doc)
+      assert(gN == nS, s"doc $doc")
+      assert(gSid == top, s"doc $doc top sentence")
+      assert(gScore == r(top).toDouble / 1e12, s"doc $doc score")
+    }
+  }
+
   test("q_dedup_recall ties out against the standalone pair miners") {
     val r = SparkEntry.queries("q_dedup_recall")(spark, sfDir).head()
     val (nTrue, nCand, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
