@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import graft.engine.{QueryPack, Tables}
@@ -243,6 +244,32 @@ object JoinQueries extends QueryPack {
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
             2).as("revenue"))
         .orderBy(col("flag"))
+    }),
+
+    // -- join-key skew audit (the diagnostic BEFORE q_skew_join) -----------
+    // The pre-flight a 100 TB join runs to decide whether it needs
+    // salting/AQE-skew handling at all: the per-key row histogram of the
+    // candidate join key, reduced to the numbers that drive the
+    // decision — key count, max vs mean rows per key (the skew factor),
+    // and the top-5 heavy keys with their corpus share. One map-side-
+    // combined groupBy + a 1-row broadcast stats frame + TakeOrdered(5):
+    // the diagnostic costs one shuffle bounded by key cardinality, never
+    // a second pass over the fact table.
+    "q_skew_audit" -> ((s, d) => {
+      val perKey = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+      val stats = perKey.agg(count(lit(1)).as("n_keys"),
+        sum(col("n")).as("total"), max(col("n")).as("max_n"))
+      perKey.orderBy(col("n").desc, col("l_suppkey")).limit(5)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("l_suppkey"))).cast("long"))
+        .crossJoin(broadcast(stats))
+        .select(col("rank"), col("l_suppkey"), col("n"),
+          round(col("n").cast("double") / col("total"), 6).as("share"),
+          col("n_keys"),
+          round(col("max_n").cast("double") * col("n_keys") /
+            col("total"), 6).as("skew_factor"))
+        .orderBy(col("rank"))
     })
   )
 
@@ -365,6 +392,19 @@ object JoinQueries extends QueryPack {
         |FROM lineitem JOIN (VALUES ('A', 'returned'), ('N', 'active'),
         |  ('R', 'refunded')) AS v(flag, flag_desc)
         |  ON v.flag = lineitem.l_returnflag
-        |GROUP BY 1, 2 ORDER BY flag""".stripMargin
+        |GROUP BY 1, 2 ORDER BY flag""".stripMargin,
+
+    "q_skew_audit" ->
+      """WITH pk AS (SELECT l_suppkey, count(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |st AS (SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS total,
+        |    CAST(max(n) AS BIGINT) AS max_n FROM pk),
+        |top AS (SELECT l_suppkey, n, row_number() OVER (
+        |    ORDER BY n DESC, l_suppkey) AS rank FROM pk)
+        |SELECT rank, l_suppkey, n,
+        |  round(CAST(n AS DOUBLE) / total, 6) AS share,
+        |  n_keys,
+        |  round(CAST(max_n AS DOUBLE) * n_keys / total, 6) AS skew_factor
+        |FROM top CROSS JOIN st WHERE rank <= 5 ORDER BY rank""".stripMargin
   )
 }

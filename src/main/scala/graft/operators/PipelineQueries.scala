@@ -709,6 +709,54 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("rank"))
     }),
 
+    // -- DATASET CARD: the per-source corpus summary -----------------------
+    // The one-page deliverable every curated corpus ships with (Gebru et
+    // al.'s datasheets): per ingest source — document count, token
+    // volume, language mix (count + entropy), mean heuristic quality
+    // (q_quality_score's formula, micro-quantized per doc so the mean is
+    // an exact-integer sum), and the exact-dup rate from normalized-text
+    // fingerprints. Everything is one source-keyed aggregation pass plus
+    // a |sources|×|langs| entropy frame; the entropy sum runs the
+    // sorted-fold discipline so neither engine's aggregation order
+    // matters. Cost at 100 TB: one scan, map-side-combined aggs.
+    "q_dataset_card" -> ((s, d) => {
+      val nrm = regexp_replace(lower(trim(col("text"))),
+        "[ \\t\\n\\f\\r\\x0B]+", " ")
+      val base = Tables.documents(s, d)
+        .withColumn("ws", split(nrm, " "))
+        .withColumn("n_tok", size(col("ws")).cast("long"))
+        .withColumn("su", floor(
+          (size(array_distinct(col("ws"))).cast("double") / col("n_tok") +
+            least(col("n_tok").cast("double") / lit(50.0), lit(1.0))) /
+            lit(2.0) * lit(1000000.0) + lit(0.5)).cast("long"))
+        .withColumn("fp", md5(nrm))
+      val tot = base.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tokens"),
+        sum(col("su")).as("ssu"),
+        countDistinct(col("fp")).as("n_dist"))
+      val perLang = base.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("nl"))
+      val ent = perLang
+        .join(tot.select(col("source"), col("n_docs")), "source")
+        .withColumn("t",
+          -(col("nl").cast("double") / col("n_docs")) *
+            log(col("nl").cast("double") / col("n_docs")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_langs"),
+          expr("aggregate(array_sort(collect_list(t)), 0D, (a, x) -> a + x)")
+            .as("ent_raw"))
+      tot.join(ent, "source")
+        .select(col("source"), col("n_docs"), col("sum_tokens"),
+          col("n_langs"),
+          round(col("ent_raw"), 6).as("lang_entropy"),
+          round(col("ssu").cast("double") / col("n_docs") / lit(1000000.0),
+            6).as("avg_quality"),
+          round(lit(1.0) -
+            col("n_dist").cast("double") / col("n_docs"), 6).as("dup_rate"))
+        .orderBy(col("source"))
+    }),
+
     // -- DOC CHUNKING: overlapping token windows for context packing -------
     // The RAG/pretraining slicer: each document's token sequence is cut
     // into windows of 32 tokens at stride 24 (8-token overlap), each
@@ -1222,6 +1270,43 @@ object PipelineQueries extends QueryPack {
          |    ORDER BY rrf_u DESC, doc_id) AS rank FROM fu)
          |SELECT rank, doc_id, r_lex, r_sem, rrf_u / 1e6 AS rrf
          |FROM fr WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // per-doc quality micro-quantized BEFORE the mean; entropy terms
+    // sorted-fold; md5 over the same normalized text on both engines
+    "q_dataset_card" ->
+      """WITH b AS (SELECT source, lang,
+        |    string_split(regexp_replace(lower(trim(text)),
+        |      '[ \t\n\f\r\x0B]+', ' ', 'g'), ' ') AS ws,
+        |    md5(regexp_replace(lower(trim(text)),
+        |      '[ \t\n\f\r\x0B]+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |pd AS (SELECT source, lang, fp,
+        |    CAST(len(ws) AS BIGINT) AS n_tok,
+        |    CAST(floor((CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+        |      + least(CAST(len(ws) AS DOUBLE) / 50.0e0, 1.0e0)) / 2.0e0
+        |      * 1000000.0 + 0.5) AS BIGINT) AS su
+        |  FROM b),
+        |tot AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |    CAST(sum(su) AS BIGINT) AS ssu,
+        |    count(DISTINCT fp) AS n_dist
+        |  FROM pd GROUP BY 1),
+        |pl AS (SELECT source, lang, count(*) AS nl FROM pd GROUP BY 1, 2),
+        |et AS (SELECT pl.source,
+        |    -(CAST(nl AS DOUBLE) / n_docs)
+        |      * ln(CAST(nl AS DOUBLE) / n_docs) AS t
+        |  FROM pl JOIN tot USING (source)),
+        |ent AS (SELECT source, count(*) AS n_langs,
+        |    list_reduce(list_prepend(0.0, list_sort(list(t))),
+        |      (a, x) -> a + x) AS ent_raw
+        |  FROM et GROUP BY 1)
+        |SELECT tot.source, n_docs, sum_tokens, n_langs,
+        |  round(ent_raw, 6) AS lang_entropy,
+        |  round(CAST(ssu AS DOUBLE) / n_docs / 1000000.0e0, 6)
+        |    AS avg_quality,
+        |  round(1.0e0 - CAST(n_dist AS DOUBLE) / n_docs, 6) AS dup_rate
+        |FROM tot JOIN ent USING (source)
+        |ORDER BY tot.source""".stripMargin,
 
     "q_doc_chunk" ->
       """WITH w AS (SELECT doc_id,

@@ -483,6 +483,40 @@ class DriftAndSelectionSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("q_skew_audit matches a brute-force key histogram") {
+    val keys = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey")).collect().map(_.getLong(0))
+    val hist = keys.groupBy(identity).map { case (k, v) => k -> v.length }
+    val total = keys.length.toDouble
+    val top = hist.toSeq.sortBy { case (k, n) => (-n, k) }.take(5)
+    val got = SparkEntry.queries("q_skew_audit")(spark, sfDir).collect()
+    assert(got.length == math.min(5, hist.size))
+    got.zip(top).zipWithIndex.foreach { case ((r, (k, n)), i) =>
+      assert(r.getLong(0) == i + 1 && r.getLong(1) == k &&
+        r.getLong(2) == n)
+      assert(math.abs(r.getDouble(3) - n / total) < 1e-5)
+      assert(r.getLong(4) == hist.size)
+      val skew = hist.values.max * hist.size / total
+      assert(math.abs(r.getDouble(5) - skew) < 1e-5)
+    }
+  }
+
+  test("q_dataset_card: per-source totals and bounds are coherent") {
+    val rows = SparkEntry.queries("q_dataset_card")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_._2).sum == nDocs)
+    rows.foreach { case (src, n, toks, nLangs, ent, q, dup) =>
+      assert(n > 0 && toks >= n, src)
+      assert(nLangs >= 1)
+      // entropy of an nLangs-way categorical is at most ln(nLangs)
+      assert(ent >= -1e-9 && ent <= math.log(nLangs.toDouble) + 1e-6, src)
+      assert(q >= 0.0 && q <= 1.0, src)
+      assert(dup >= 0.0 && dup < 1.0, src)
+    }
+  }
+
   test("q_textrank replays the 5 integer-PageRank rounds per doc") {
     val SCALE = 1000000000000L
     val sents = SparkEntry.queries("q_udtf_gen")(spark, sfDir)
