@@ -20,6 +20,10 @@ case class AudioFeatures(doc_id: Long, n_samples: Int, sample_rate: Int,
 case class AudioFrame(doc_id: Long, frame_id: Long, energy: Long,
                       zcr: Long, peak: Long)
 
+/** Output of the REAL-codec nearest-neighbor resize path. */
+case class ResizedImage(doc_id: Long, out_w: Int, out_h: Int,
+                        sum_pixels: Long, hex_raster: String)
+
 /** Multimodal-column operators: image/audio/video handled as opaque
   * `binary` columns with typed metadata (SURVEY.md §2.2 "Multimodal
   * columns"; the reference stores whole files as opaque payloads —
@@ -201,6 +205,79 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // -- REAL image resize: decode → NN-downsample → re-encode → decode ----
+    // Upgrades q_mm_resize's payload-truncation stand-in to the real
+    // thing on the q_mm_png_decode codec path: the 16×16 splitmix image
+    // round-trips the real PNG writer/reader, is nearest-neighbor
+    // downsampled 2× (out(x,y) = in(2x, 2y) — the deterministic kernel;
+    // bilinear would re-open FP questions for zero semantic gain here),
+    // and the 8×8 result round-trips the codec AGAIN so the emitted
+    // raster provably survived a real encode/decode. PNG is lossless, so
+    // the oracle regenerates every sampled pixel from the portable
+    // splitmix64 formula and hash-checks the full raster (as a %02x hex
+    // string — byte-portable, no BLOB semantics) plus the exact pixel
+    // sum. Same partition-local mapPartitions shape; no shuffle.
+    "q_mm_resize_real" -> ((s, d) => {
+      import s.implicits._
+      val side = 16
+      val out = 8
+      Tables.documents(s, d).select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val img = new java.awt.image.BufferedImage(side, side,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val r = img.getRaster
+            var i = 0
+            while (i < side * side) {
+              val v = (org.apache.spark.sql.graft.NativeExpressions
+                .splitmix64Long(id * 256L + i) & 0xffL).toInt
+              r.setSample(i % side, i / side, 0, v)
+              i += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            val dec = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bos.toByteArray))
+            val small = new java.awt.image.BufferedImage(out, out,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val sr = small.getRaster
+            val dr = dec.getRaster
+            var y = 0
+            while (y < out) {
+              var x = 0
+              while (x < out) {
+                sr.setSample(x, y, 0, dr.getSample(2 * x, 2 * y, 0))
+                x += 1
+              }
+              y += 1
+            }
+            val bos2 = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(small, "png", bos2)
+            val dec2 = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bos2.toByteArray))
+            val r2 = dec2.getRaster
+            val sb = new StringBuilder(out * out * 2)
+            var sum = 0L
+            var k = 0
+            while (k < out * out) {
+              val v = r2.getSample(k % out, k / out, 0)
+              sum += v
+              sb.append(f"$v%02x")
+              k += 1
+            }
+            ResizedImage(id, dec2.getWidth, dec2.getHeight, sum,
+              sb.toString)
+          }
+        }
+        .toDF()
+        .select(col("doc_id"), col("out_w"), col("out_h"),
+          col("sum_pixels"), md5(col("hex_raster")).as("raster_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- REAL audio decode via mapPartitions (javax.sound, JDK-native) ------
     // The audio sibling of q_mm_png_decode: 512 samples of 8-bit unsigned
     // PCM per document (sample i = splitmix64(doc_id*1024 + i) & 0xff)
@@ -334,6 +411,25 @@ object MultimodalQueries extends QueryPack {
          |SELECT doc_id, 16 AS width, 16 AS height,
          |  true AS png_nonempty,
          |  round(sum(pv) / 256.0, 6) AS avg_pixel
+         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // the sampled source index for out-pixel k (row-major over 8×8) is
+    // (2·(k div 8))·16 + 2·(k mod 8); hex raster joins %02x bytes in
+    // the same row-major order (string_agg ORDER BY k)
+    "q_mm_resize_real" -> {
+      import graft.engine.OracleHash._
+      s"""WITH px AS (SELECT doc_id, k,
+         |    CAST(doc_id * 256 + (2 * (k // 8)) * 16 + 2 * (k % 8)
+         |      AS UBIGINT) AS seed
+         |  FROM documents, unnest(range(0, 64)) AS t(k)),
+         |${splitmixStages("px", "doc_id, k", "seed")},
+         |v AS (SELECT doc_id, k,
+         |    CAST(xor(z3, z3 >> 31) % 256 AS BIGINT) AS pv FROM p3_)
+         |SELECT doc_id, 8 AS out_w, 8 AS out_h,
+         |  CAST(sum(pv) AS BIGINT) AS sum_pixels,
+         |  md5(string_agg(printf('%02x', pv), '' ORDER BY k))
+         |    AS raster_md5
          |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 

@@ -102,4 +102,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.forall(r => r.getInt(1) == side && r.getInt(2) == side &&
       r.getBoolean(3) && r.getDouble(4) >= 0.0 && r.getDouble(4) <= 255.0))
   }
+
+  test("q_mm_resize_real survives two codec round-trips per-pixel") {
+    import SparkFixture.{spark, sfDir}
+    val out = SparkEntry.queries("q_mm_resize_real")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getString(4))).toMap
+    out.foreach { case (id, (w, h, sum, gotMd5)) =>
+      assert(w == 8 && h == 8)
+      // NN-downsample of the splitmix raster: out(k) = in((2·(k/8))·16
+      // + 2·(k%8)) — the exact contract the operator and oracle share
+      val px = pixels(id)
+      val sampled = Array.tabulate(64)(k => px((2 * (k / 8)) * 16 + 2 * (k % 8)))
+      assert(sum == sampled.map(_.toLong).sum, s"doc $id pixel sum")
+      val hex = sampled.map(v => f"$v%02x").mkString
+      val expMd5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(hex.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      assert(gotMd5 == expMd5, s"doc $id raster digest")
+    }
+  }
 }
