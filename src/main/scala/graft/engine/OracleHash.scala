@@ -58,6 +58,28 @@ object OracleHash {
        |  FROM w)""".stripMargin
   }
 
+  /** CTE fragment `w_, u, f, b, sc` — the hashed-linear-classifier
+    * inference chain over `documents` (the SQL twin of
+    * TextDedup.classifierScored): distinct-unigram FNV → bucket →
+    * integer weight → per-`keep` (n_feats, score). Shared by the
+    * q_quality_classifier and q_calibration oracles so the bucket/weight
+    * formula cannot drift between them. */
+  def classifierScoreCtes(keep: String): String = {
+    val norm =
+      "regexp_replace(lower(trim(text)), '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g')"
+    s"""w_ AS (SELECT $keep, string_split($norm, ' ') AS ws
+       |  FROM documents),
+       |u AS (SELECT $keep, list_distinct(list_transform(ws,
+       |    tk -> ${fnv1a64("tk")})) AS toks
+       |  FROM w_),
+       |f AS (SELECT $keep, unnest(toks) AS h FROM u),
+       |b AS (SELECT $keep,
+       |    CAST((h >> 8) % 64::UBIGINT AS BIGINT) AS bkt FROM f),
+       |sc AS (SELECT $keep, count(*) AS n_feats,
+       |    CAST(sum(bkt % 13 - 6) AS BIGINT) AS score
+       |  FROM b GROUP BY $keep)""".stripMargin
+  }
+
   /** Scalar subquery for the derived IVF list count (the SQL twin of
     * Vectors.deriveNlist over the embeddings table). */
   val nlistSql: String =

@@ -51,6 +51,20 @@ object TextDedup {
     * consumer agrees on one representation. */
   def wordShingles(c: Column): Column = toks(c)
 
+  /** The hashed-linear-classifier inference chain (distinct unigram →
+    * FNV hash → 64 feature buckets → integer weight sum), factored so
+    * q_quality_classifier and its calibration audit (q_calibration)
+    * can never drift on the bucket/weight formula — the same
+    * anti-drift rationale as bm25Top20/ivfIndex2. Input must carry a
+    * `text` column; returns one row per distinct `keyCols` tuple with
+    * (n_feats, score). */
+  def classifierScored(df: DataFrame, keyCols: Seq[Column]): DataFrame =
+    df.select(keyCols :+ explode(wordUnigrams(col("text"))).as("h"): _*)
+      .withColumn("bkt", pmod(shiftrightunsigned(col("h"), 8), lit(64)))
+      .withColumn("w", pmod(col("bkt"), lit(13)) - lit(6))
+      .groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score"))
+
   /** Positional 5-word shingle hashes (text order, duplicates kept) —
     * same normalization and FNV-1a-64 bytes as `wordShingles`, for
     * span-level statistics where window multiplicity matters. */

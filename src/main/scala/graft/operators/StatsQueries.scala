@@ -77,24 +77,35 @@ object StatsQueries extends QueryPack {
       val bounds = e.agg(min(col("us")).as("us0"))
       val xy = e.crossJoin(broadcast(bounds))
         .withColumn("xs", expr("(us - us0) div 1000000"))
+      // operands cast to DECIMAL(38,0) BEFORE the per-row products: a
+      // Long vq² would silently wrap for |value| ≳ 3e6 while DuckDB's
+      // HUGEINT raises — the decimal product keeps both engines exact
+      // (and identical) to ~1e19 magnitudes
       val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
       val m = xy.groupBy(col("event_type")).agg(
         count(lit(1)).as("n"),
         sum(dec(col("xs"))).as("sx"),
         sum(dec(col("vq"))).as("sy"),
-        sum(dec(col("xs") * col("xs"))).as("sxx"),
-        sum(dec(col("xs") * col("vq"))).as("sxy"),
-        sum(dec(col("vq") * col("vq"))).as("syy"))
+        sum(dec(col("xs")) * dec(col("xs"))).as("sxx"),
+        sum(dec(col("xs")) * dec(col("vq"))).as("sxy"),
+        sum(dec(col("vq")) * dec(col("vq"))).as("syy"))
       val nD = col("n").cast("double")
       val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
       val num = nD * col("sxy").cast("double") - sxD * syD
       val den = nD * col("sxx").cast("double") - sxD * sxD
       val dyy = nD * col("syy").cast("double") - syD * syD
+      // degenerate groups (single event / constant x or y) have den or
+      // dyy = 0; NULL the estimates EXPLICITLY so both engines agree
+      // (Spark's x/0.0 yields NULL, DuckDB's yields Inf — an unguarded
+      // division would hash-mismatch exactly when a group degenerates)
       m.select(col("event_type"), col("n"),
-          round(num / den * lit(86.4), 6).as("slope_per_day"),
-          round((syD - num / den * sxD) / nD / lit(1000.0), 6)
+          when(den =!= 0.0, round(num / den * lit(86.4), 6))
+            .as("slope_per_day"),
+          when(den =!= 0.0,
+            round((syD - num / den * sxD) / nD / lit(1000.0), 6))
             .as("intercept"),
-          round(num * num / (den * dyy), 6).as("r2"))
+          when(den =!= 0.0 && dyy =!= 0.0,
+            round(num * num / (den * dyy), 6)).as("r2"))
         .orderBy(col("event_type"))
     }),
 
@@ -124,12 +135,18 @@ object StatsQueries extends QueryPack {
       val w = poissonThresholds
         .map(t => when(hq >= t, 1L).otherwise(0L))
         .reduce(_ + _)
+      // an all-zero-weight rep (P ≈ e^(−n) per rep — real for tiny
+      // groups) has no mean; pin it to the Long.MaxValue sentinel so it
+      // sorts LAST deterministically in both engines (Spark's x/0 → NULL
+      // sorts first, DuckDB's → Inf sorts last — an unguarded division
+      // would desynchronize the rank-5/95 selection)
       val reps = e.withColumn("w", w)
         .groupBy(col("event_type"), col("rep"))
         .agg(sum(col("w") * col("vq")).as("swy"), sum(col("w")).as("sw"))
-        .withColumn("mq", floor(
-          col("swy").cast("double") / col("sw") * lit(1000.0) + lit(0.5))
-          .cast("long"))
+        .withColumn("mq", when(col("sw") === 0L, lit(Long.MaxValue))
+          .otherwise(floor(
+            col("swy").cast("double") / col("sw") * lit(1000.0) + lit(0.5))
+            .cast("long")))
       val rk = Window.partitionBy(col("event_type"))
         .orderBy(col("mq"), col("rep"))
       val cis = reps.withColumn("rnk", row_number().over(rk))
@@ -299,13 +316,8 @@ object StatsQueries extends QueryPack {
     // predicted vs empirical rate — the per-bin gap is the ECE summand.
     // Cost: the classifier's unigram pass + one 10-row aggregation.
     "q_calibration" -> ((s, d) => {
-      val scored = Tables.documents(s, d)
-        .select(col("doc_id"), col("n_chars"),
-          explode(TextDedup.wordUnigrams(col("text"))).as("h"))
-        .withColumn("bkt", pmod(shiftrightunsigned(col("h"), 8), lit(64)))
-        .withColumn("w", pmod(col("bkt"), lit(13)) - lit(6))
-        .groupBy(col("doc_id"), col("n_chars"))
-        .agg(sum(col("w")).as("score"))
+      val scored = TextDedup.classifierScored(Tables.documents(s, d),
+        Seq(col("doc_id"), col("n_chars")))
       scored
         .withColumn("p", lit(1.0) /
           (lit(1.0) + exp(-col("score").cast("double") / lit(4.0))))
@@ -337,8 +349,9 @@ object StatsQueries extends QueryPack {
         |  FROM e CROSS JOIN b),
         |m AS (SELECT event_type, count(*) AS n,
         |    sum(xs) AS sx, sum(vq) AS sy,
-        |    sum(xs * xs) AS sxx, sum(xs * vq) AS sxy,
-        |    sum(vq * vq) AS syy
+        |    sum(CAST(xs AS HUGEINT) * xs) AS sxx,
+        |    sum(CAST(xs AS HUGEINT) * vq) AS sxy,
+        |    sum(CAST(vq AS HUGEINT) * vq) AS syy
         |  FROM xy GROUP BY 1),
         |f AS (SELECT event_type, n,
         |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
@@ -346,13 +359,18 @@ object StatsQueries extends QueryPack {
         |    CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd
         |  FROM m)
         |SELECT event_type, n,
-        |  round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
-        |    * 86.4e0, 6) AS slope_per_day,
-        |  round((syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
-        |    * sxd) / nd / 1000.0e0, 6) AS intercept,
-        |  round((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
-        |    / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6)
-        |    AS r2
+        |  CASE WHEN nd * sxxd - sxd * sxd <> 0.0e0 THEN
+        |    round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+        |      * 86.4e0, 6) END AS slope_per_day,
+        |  CASE WHEN nd * sxxd - sxd * sxd <> 0.0e0 THEN
+        |    round((syd - (nd * sxyd - sxd * syd)
+        |      / (nd * sxxd - sxd * sxd) * sxd) / nd / 1000.0e0, 6)
+        |    END AS intercept,
+        |  CASE WHEN nd * sxxd - sxd * sxd <> 0.0e0
+        |      AND nd * syyd - syd * syd <> 0.0e0 THEN
+        |    round((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+        |      / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6)
+        |    END AS r2
         |FROM f ORDER BY event_type""".stripMargin,
 
     // integer Poisson thresholds on the 53-bit hash — no float CDF; the
@@ -377,8 +395,10 @@ object StatsQueries extends QueryPack {
          |    CAST(sum(w * vq) AS BIGINT) AS swy,
          |    CAST(sum(w) AS BIGINT) AS sw
          |  FROM ws GROUP BY 1, 2),
-         |mq AS (SELECT event_type, r, CAST(floor(
-         |    CAST(swy AS DOUBLE) / sw * 1000.0 + 0.5) AS BIGINT) AS mq
+         |mq AS (SELECT event_type, r,
+         |    CASE WHEN sw = 0 THEN 9223372036854775807
+         |    ELSE CAST(floor(CAST(swy AS DOUBLE) / sw * 1000.0 + 0.5)
+         |      AS BIGINT) END AS mq
          |  FROM reps),
          |rk AS (SELECT event_type, mq, row_number() OVER (
          |    PARTITION BY event_type ORDER BY mq, r) AS rnk FROM mq),
@@ -492,21 +512,10 @@ object StatsQueries extends QueryPack {
         |FROM dev JOIN mad USING (event_type)
         |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin,
 
-    // same distinct-unigram FNV pipeline as the q_quality_classifier
-    // oracle; logistic link then micro-quantization BEFORE the bin agg
+    // the shared classifier chain (OracleHash.classifierScoreCtes);
+    // logistic link then micro-quantization BEFORE the bin agg
     "q_calibration" ->
-      s"""WITH w_ AS (SELECT doc_id, n_chars, string_split(
-         |    regexp_replace(lower(trim(text)), '[ \\t\\n\\f\\r\\x0B]+',
-         |      ' ', 'g'), ' ') AS ws FROM documents),
-         |u AS (SELECT doc_id, n_chars, list_distinct(list_transform(ws,
-         |    tk -> ${OracleHash.fnv1a64("tk")})) AS toks
-         |  FROM w_),
-         |f AS (SELECT doc_id, n_chars, unnest(toks) AS h FROM u),
-         |b AS (SELECT doc_id, n_chars,
-         |    CAST((h >> 8) % 64::UBIGINT AS BIGINT) AS bkt FROM f),
-         |sc AS (SELECT doc_id, n_chars,
-         |    CAST(sum(bkt % 13 - 6) AS BIGINT) AS score
-         |  FROM b GROUP BY 1, 2),
+      s"""WITH ${OracleHash.classifierScoreCtes("doc_id, n_chars")},
          |pr AS (SELECT doc_id, n_chars, CAST(floor(
          |    1.0e0 / (1.0e0 + exp(-CAST(score AS DOUBLE) / 4.0e0))
          |      * 1000000.0e0 + 0.5) AS BIGINT) AS pu

@@ -141,13 +141,8 @@ object TextQueries extends QueryPack {
     // real (arbitrarily large) weight table joins broadcast on bucket id,
     // leaving the same single-shuffle shape.
     "q_quality_classifier" -> ((s, d) => {
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          explode(TextDedup.wordUnigrams(col("text"))).as("h"))
-        .withColumn("bkt", pmod(shiftrightunsigned(col("h"), 8), lit(64)))
-        .withColumn("w", pmod(col("bkt"), lit(13)) - lit(6))
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score"))
+      TextDedup.classifierScored(Tables.documents(s, d),
+          Seq(col("doc_id"), col("lang")))
         .withColumn("score_norm",
           floor(col("score").cast("double") * lit(1000000.0) /
             col("n_feats") + lit(0.5)) / lit(1000000.0))
@@ -666,10 +661,16 @@ object TextQueries extends QueryPack {
     // never a hot-key blowup — so candidate volume is linear in distinct
     // (shingle, source) pairs with a |sources|² cap per shingle.
     "q_source_overlap" -> ((s, d) => {
+      // persisted: the shingle+distinct pipeline feeds both self-join
+      // sides AND the size aggregation (different partitioning, so
+      // exchange reuse can't cover it) — the q_textrank/q_graph_bfs
+      // static-frame lesson; left cached for the lazily-run returned
+      // plan per the repo convention
       val ss = Tables.documents(s, d)
         .select(col("source"),
           explode(TextDedup.wordShingles(col("text"))).as("tok"))
         .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("sz"))
       ss.join(ss.select(col("source").as("s2"), col("tok")), "tok")
         .filter(col("source") < col("s2"))
@@ -1360,23 +1361,13 @@ object TextQueries extends QueryPack {
           |WHERE round((uniq_ratio + len_score) / 2.0, 6) > 0.5
           |ORDER BY doc_id""".stripMargin,
 
-      // distinct unigram FNV-1a-64 (OracleHash.fnv1a64 nested in the
-      // word lambda) → bucket in unsigned arithmetic → integer weights;
-      // score_norm floor-quantized with e-notation literals so every
-      // double op runs in DOUBLE on both engines
+      // the shared classifier chain (OracleHash.classifierScoreCtes —
+      // the SQL twin of TextDedup.classifierScored); score_norm
+      // floor-quantized with e-notation literals so every double op
+      // runs in DOUBLE on both engines
       "q_quality_classifier" -> {
-        s"""WITH w_ AS (SELECT doc_id, lang, string_split(
-           |    regexp_replace(lower(trim(text)), '[ \\t\\n\\f\\r\\x0B]+',
-           |      ' ', 'g'), ' ') AS ws FROM documents),
-           |u AS (SELECT doc_id, lang, list_distinct(list_transform(ws,
-           |    tk -> ${graft.engine.OracleHash.fnv1a64("tk")})) AS toks
-           |  FROM w_),
-           |f AS (SELECT doc_id, lang, unnest(toks) AS h FROM u),
-           |b AS (SELECT doc_id, lang,
-           |    CAST((h >> 8) % 64::UBIGINT AS BIGINT) AS bkt FROM f),
-           |sc AS (SELECT doc_id, lang, count(*) AS n_feats,
-           |    CAST(sum(bkt % 13 - 6) AS BIGINT) AS score
-           |  FROM b GROUP BY 1, 2)
+        s"""WITH ${graft.engine.OracleHash.classifierScoreCtes(
+             "doc_id, lang")}
            |SELECT doc_id, lang, n_feats, score,
            |  floor(CAST(score AS DOUBLE) * 1e6 / n_feats + 0.5e0) / 1e6
            |    AS score_norm,
