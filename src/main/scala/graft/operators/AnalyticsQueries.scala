@@ -595,6 +595,46 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("id"))
     }),
 
+    // -- referential-integrity audit (constraint checking) -----------------
+    // The invariants a lakehouse cannot declare-and-enforce the way an
+    // OLTP database does, so it AUDITS them per batch instead: primary-
+    // key uniqueness (rows − distinct keys), foreign-key orphans (keyed
+    // anti-join — the only join here, same cost class as any equi-join),
+    // a value-range rule, and a payload-shape rule. One row per check
+    // with the violation and checked counts — the frame a data-quality
+    // dashboard ingests directly. Each check is a single aggregation
+    // pass; nothing quadratic, nothing driver-sized.
+    "q_integrity_audit" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val ev = Tables.events(s, d)
+      val c1 = orders.agg(
+          (count(lit(1)) - countDistinct(col("o_orderkey")))
+            .as("n_violations"),
+          count(lit(1)).as("n_checked"))
+        .withColumn("check", lit("pk_orders_unique"))
+      val c2 = li
+        .join(orders.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .crossJoin(li.agg(count(lit(1)).as("n_checked")))
+        .withColumn("check", lit("fk_lineitem_orders"))
+      val c3 = ev.agg(
+          sum(when(col("value") < 0, 1L).otherwise(0L)).as("n_violations"),
+          count(lit(1)).as("n_checked"))
+        .withColumn("check", lit("value_nonnegative"))
+      val c4 = ev.agg(
+          sum(when(col("props").isNull || !col("props").like("{%}"), 1L)
+            .otherwise(0L)).as("n_violations"),
+          count(lit(1)).as("n_checked"))
+        .withColumn("check", lit("props_json_shape"))
+      c1.unionByName(c2).unionByName(c3).unionByName(c4)
+        .select(col("check"), col("n_violations").cast("long")
+          .as("n_violations"), col("n_checked"),
+          (col("n_violations") === 0).as("pass"))
+        .orderBy(col("check"))
+    }),
+
     // -- graph degree distribution (log2-bucket histogram) -----------------
     // The first audit a graph pipeline runs before committing to a
     // partitioning strategy: the degree histogram tells you whether the
@@ -781,6 +821,31 @@ object AnalyticsQueries extends QueryPack {
     "q_pagerank" -> pagerankSql,
 
     "q_graph_bfs" -> bfsSql,
+
+    "q_integrity_audit" ->
+      """WITH c1 AS (SELECT 'pk_orders_unique' AS "check",
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |      AS n_violations,
+        |    count(*) AS n_checked FROM orders),
+        |c2 AS (SELECT 'fk_lineitem_orders' AS "check",
+        |    CAST((SELECT count(*) FROM lineitem
+        |      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |      AS BIGINT) AS n_violations,
+        |    count(*) AS n_checked FROM lineitem),
+        |c3 AS (SELECT 'value_nonnegative' AS "check",
+        |    CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violations,
+        |    count(*) AS n_checked FROM events),
+        |c4 AS (SELECT 'props_json_shape' AS "check",
+        |    CAST(sum(CASE WHEN props IS NULL
+        |      OR props NOT LIKE '{%}' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violations,
+        |    count(*) AS n_checked FROM events)
+        |SELECT "check", n_violations, n_checked,
+        |  n_violations = 0 AS pass
+        |FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+        |  UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4) t
+        |ORDER BY "check"""".stripMargin,
 
     // bin()-length bucket = exact floor(log2); same undirected edge CTE
     // as bfsSql

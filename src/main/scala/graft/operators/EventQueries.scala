@@ -312,6 +312,30 @@ object EventQueries extends QueryPack {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // -- forward as-of join: each view matched to the NEXT purchase --------
+    // The mirror of q_asof_join (pandas merge_asof direction='forward'):
+    // time-to-conversion attribution — for every view, the earliest
+    // purchase at-or-after it by the same user, with the latency. Same
+    // single-shuffle union + sorted-window idiom (AsOfJoin.asofForward:
+    // first(ignoreNulls) over the FOLLOWING frame), so the 100 TB cost
+    // is one keyed shuffle — never a range self-join.
+    "q_asof_forward" -> ((s, d) => {
+      val e = Tables.eventsWithTime(s, d)
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts_us").as("p_ts"),
+          col("value").as("p_value"))
+      AsOfJoin.asofForward(views, purchases,
+          leftKey = col("user_id"), rightKey = col("p_user"),
+          leftTs = col("ts_us"), rightTs = col("p_ts"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("p_ts").as("next_purchase_ts"),
+          col("p_value").as("purchase_value"),
+          (col("p_ts") - col("ts_us")).as("latency_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // -- CDC changelog apply: materialize upserts + tombstones -------------
     // The change-data-capture compaction every lakehouse ingest runs: a
     // keyed changelog (op ∈ {U(psert), D(elete)}, ordered by commit time
@@ -633,6 +657,32 @@ object EventQueries extends QueryPack {
         |    ORDER BY epoch_us(ts) ASC, event_id ASC) AS rn
         |  FROM events) t
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    // the forward twin of the q_asof_join replay: views sort BEFORE
+    // purchases at equal us (is_r 0 < 1) and the frame runs CURRENT ROW
+    // → FOLLOWING, so an equal-timestamp purchase is visible (>=)
+    "q_asof_forward" ->
+      """WITH u AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us, 0 AS is_r,
+        |         NULL::DOUBLE AS p_value
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT NULL::BIGINT, user_id, epoch_us(ts) AS us, 1 AS is_r,
+        |         value
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT event_id, user_id, us, is_r,
+        |    first_value(CASE WHEN is_r = 1 THEN us END IGNORE NULLS)
+        |      OVER w AS p_ts,
+        |    first_value(CASE WHEN is_r = 1 THEN p_value END IGNORE NULLS)
+        |      OVER w AS pv
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, is_r
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id, us AS ts_us,
+        |  p_ts AS next_purchase_ts, pv AS purchase_value,
+        |  p_ts - us AS latency_us
+        |FROM m WHERE is_r = 0 ORDER BY event_id""".stripMargin,
 
     // latest-op-wins per key with trailing-delete tombstoning; raw stored
     // doubles pass through unrounded (bit-exact in parquet on both sides)

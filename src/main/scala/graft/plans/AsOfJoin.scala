@@ -57,4 +57,44 @@ object AsOfJoin {
       .filter(col("__is_l") === 1)
       .select(col("__l.*") +: right.columns.map(c => col(s"__m.$c")): _*)
   }
+
+  /** The mirror direction (pandas merge_asof direction='forward'): for
+    * each `left` row, the EARLIEST `right` row with `rightTs >= leftTs`
+    * within the key. Same single-shuffle union + sorted-window shape,
+    * scanned with `first(..., ignoreNulls)` over the FOLLOWING frame; at
+    * equal timestamps the right row sorts before the left row's
+    * following frame starts at the left row itself, so an
+    * equal-timestamp right row IS visible (>= contract, mirroring
+    * backward's <=). */
+  def asofForward(left: DataFrame, right: DataFrame,
+                  leftKey: Column, rightKey: Column,
+                  leftTs: Column, rightTs: Column): DataFrame = {
+    val lStruct = StructType(left.schema.fields)
+    val rStruct = StructType(right.schema.fields)
+    val lCols = left.columns.map(col)
+    val rCols = right.columns.map(col)
+
+    val lTagged = left.select(
+      leftKey.as("__k"), leftTs.cast("long").as("__t"),
+      lit(0).as("__is_l_last"), lit(1).as("__is_l"),
+      struct(lCols: _*).as("__l"),
+      lit(null).cast(rStruct).as("__r"))
+    val rTagged = right.select(
+      rightKey.as("__k"), rightTs.cast("long").as("__t"),
+      lit(1).as("__is_l_last"), lit(0).as("__is_l"),
+      lit(null).cast(lStruct).as("__l"),
+      struct(rCols: _*).as("__r"))
+
+    // left rows sort BEFORE right rows at equal __t (__is_l_last: L=0,
+    // R=1), so the current-row-to-end frame includes same-timestamp
+    // right rows — the >= contract
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__is_l_last").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    lTagged.unionByName(rTagged)
+      .withColumn("__m", first(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__is_l") === 1)
+      .select(col("__l.*") +: right.columns.map(c => col(s"__m.$c")): _*)
+  }
 }

@@ -45,4 +45,29 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.size == 4)
     assert(out.map(r => (r._1, r._2)).distinct.size == 4)
   }
+
+  private lazy val fwd = AsOfJoin.asofForward(
+    left, right,
+    leftKey = col("k"), rightKey = col("rk"),
+    leftTs = col("t"), rightTs = col("rt"))
+    .select($"k", $"t", $"rv").orderBy($"k", $"t")
+    .as[(Long, Long, Option[String])].collect().toSeq
+
+  test("forward: picks the earliest right row with rt >= t per key") {
+    assert(fwd.contains((1L, 10L, Some("r-tie"))))
+  }
+
+  test("forward: equal timestamps match (frame starts at the left row)") {
+    assert(fwd.contains((1L, 20L, Some("r-tie"))))
+  }
+
+  test("forward: no later right row -> null (left-outer)") {
+    assert(fwd.contains((2L, 15L, None)))
+    assert(fwd.contains((3L, 5L, None)))
+  }
+
+  test("forward: every left row survives exactly once") {
+    assert(fwd.size == 4)
+    assert(fwd.map(r => (r._1, r._2)).distinct.size == 4)
+  }
 }
