@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.NativeExpressions
-import graft.engine.{QueryPack, Tables}
+import graft.engine.{Dist, QueryPack, Tables}
 import graft.functions.TextDedup
 
 /** Text-analysis + deduplication operators over `documents`
@@ -577,6 +577,38 @@ object TextQueries extends QueryPack {
         .withColumn("compression",
           round(col("n_tokens").cast("double") / col("n_char_tokens"), 6))
         .orderBy(col("doc_id"))
+    }),
+
+    // -- vocabulary coverage curve (OOV rate by vocab size) ----------------
+    // The tokenizer-design question: how much of the corpus does a
+    // top-K vocabulary cover? For K ∈ {5, 15, 30}: rank tokens by
+    // frequency and report the cumulative covered-token share at rank K.
+    // The ranking is a [[Dist.globalPrefixSums]] pass over the VOCABULARY
+    // frame (count desc, FNV(token) tiebreak — a portable long id both
+    // engines derive identically), carrying (cum tokens, rank) in one
+    // window — at web scale the vocabulary is millions of rows and this
+    // is exactly where a single-partition ORDER BY window dies. Total is
+    // a broadcast 1-row frame; output is ≤3 rows.
+    "q_vocab_coverage" -> ((s, d) => {
+      val vc = Tables.documents(s, d)
+        .select(explode(split(norm(col("text")), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .withColumn("tid",
+          element_at(TextDedup.wordUnigrams(col("token")), 1))
+        .withColumn("nd", col("n").cast("double"))
+        .withColumn("one", lit(1L))
+      val ranked = Dist.globalPrefixSums(vc, "nd", asc = false,
+        idCol = "tid", weightCols = Seq("n", "one"),
+        outCols = Seq("cum_n", "rank"), p = 32)
+      val total = vc.agg(sum(col("n")).as("total_tokens"))
+      ranked.filter(col("rank").isin(5L, 15L, 30L))
+        .crossJoin(broadcast(total))
+        .select(col("rank").as("vocab_size"),
+          col("cum_n").as("covered_tokens"), col("total_tokens"),
+          round(col("cum_n").cast("double") / col("total_tokens"), 6)
+            .as("coverage"))
+        .orderBy(col("vocab_size"))
     }),
 
     // -- PMI collocation mining: top adjacent-pair associations ------------
@@ -1236,6 +1268,33 @@ object TextQueries extends QueryPack {
            |    AS compression
            |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
       },
+
+      // frequency ranking replayed as one window under the identical
+      // (n DESC, signed FNV tid) total order; CAST to BIGINT mirrors
+      // Spark's signed-long tiebreak
+      "q_vocab_coverage" ->
+        s"""WITH t AS (SELECT unnest(string_split($normSql, ' '))
+           |    AS token FROM documents),
+           |vc AS (SELECT token, count(*) AS n FROM t
+           |  WHERE length(token) > 0 GROUP BY 1),
+           |h0 AS (SELECT token, n,
+           |    ${graft.engine.OracleHash.fnv1a64("token")} AS hu FROM vc),
+           |h AS (SELECT token, n,
+           |    CAST(hu::HUGEINT - CASE WHEN hu >=
+           |      9223372036854775808::UBIGINT
+           |      THEN 18446744073709551616::HUGEINT ELSE 0 END AS BIGINT)
+           |      AS tid FROM h0),
+           |r AS (SELECT n, tid,
+           |    CAST(sum(n) OVER (ORDER BY n DESC, tid
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cum_n,
+           |    row_number() OVER (ORDER BY n DESC, tid) AS rank FROM h),
+           |tt AS (SELECT CAST(sum(n) AS BIGINT) AS total_tokens FROM vc)
+           |SELECT rank AS vocab_size, cum_n AS covered_tokens,
+           |  total_tokens,
+           |  round(CAST(cum_n AS DOUBLE) / total_tokens, 6) AS coverage
+           |FROM r CROSS JOIN tt WHERE rank IN (5, 15, 30)
+           |ORDER BY vocab_size""".stripMargin,
 
       // the same bigram staging as q_lm_perplexity; marginals count
       // bigram occurrences; the single ln floor-quantizes to micros
