@@ -99,6 +99,42 @@ object WorkspaceQueries extends QueryPack {
         .orderBy(col("version"), col("k"))
     }),
 
+    // -- version diff: what changed between two pinned snapshots -----------
+    // The relational half of the reference's declared "versioning
+    // control for data transformations" (reference README.md:5-8): the
+    // same version-pinned reads q_workspace_table makes, full-outer
+    // joined on the key to classify every row added / removed / changed
+    // / unchanged between the 'stable' and 'latest' refs — the audit a
+    // data team runs before promoting a ref. Both sides are immutable
+    // snapshots (resolution happens before the scan), so the diff is
+    // deterministic by construction; the join keys on k like any
+    // equi-join at scale.
+    "q_workspace_diff" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      val store = fixture()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.IntegerType)))
+      def at(version: String): DataFrame =
+        graft.engine.WorkspaceTables
+          .csv(s, store, "demo", version, "data.csv", schema)
+          .fold(e => sys.error(e.message), identity)
+      val old = at("stable").select(col("k"), col("v").as("v_stable"))
+      val neu = at("latest").select(col("k").as("k2"),
+        col("v").as("v_latest"))
+      old.join(neu, col("k") === col("k2"), "full_outer")
+        .select(
+          when(col("k").isNull, lit("added"))
+            .when(col("k2").isNull, lit("removed"))
+            .when(col("v_stable") =!= col("v_latest"), lit("changed"))
+            .otherwise(lit("unchanged")).as("change"),
+          coalesce(col("k"), col("k2")).as("k"),
+          col("v_stable"), col("v_latest"))
+        .orderBy(col("k"))
+    }),
+
     // SQL time travel through the DSv2 catalog (WorkspaceCatalog): the
     // same store, reached with Spark's NATIVE `VERSION AS OF` grammar —
     // named ref ('stable'), id prefix ('aaaa', reference resolution
@@ -155,6 +191,16 @@ object WorkspaceQueries extends QueryPack {
         |  ('stable', 1, 10), ('stable', 2, 20)
         |) AS t(version, k, v)
         |ORDER BY version, k""".stripMargin,
+
+    // stable = v1 {1:10, 2:20}; latest = v2 {1:10, 2:20, 3:30} — rows
+    // 1/2 unchanged, 3 added (the fixture's only delta)
+    "q_workspace_diff" ->
+      """SELECT * FROM (VALUES
+        |  ('unchanged', 1, 10, 10),
+        |  ('unchanged', 2, 20, 20),
+        |  ('added', 3, NULL, 30)
+        |) AS t(change, k, v_stable, v_latest)
+        |ORDER BY k""".stripMargin,
 
     // v1 = {1:10, 2:20}; v2 adds 3:30; latest->v2, stable->v1, and the
     // id prefix 'aaaa' resolves to v1 (fixture ids aaaa1111c0ffee /
