@@ -277,19 +277,30 @@ object TextDedup {
   def minHashLshPairs(docs: DataFrame, numPerms: Int, bands: Int,
                       threshold: Double): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
-    val rows = numPerms / bands
-    // whole signature in one narrow pass per doc (no explode, no
-    // numPerms-column min aggregate)
-    val sigs = docs.repartition(
+    verifyCandidates(
+      bandCandidates(minHashSignatures(docs, numPerms), bands,
+        numPerms / bands),
+      tokSets(docs), threshold)
+  }
+
+  /** Whole MinHash signature in one narrow pass per doc (no explode, no
+    * numPerms-column min aggregate). Factored so the banding-parameter
+    * sweep (q_lsh_tuning) can share ONE signature pass across configs. */
+  def minHashSignatures(docs: DataFrame, numPerms: Int): DataFrame =
+    docs.repartition(
       docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         org.apache.spark.sql.graft.NativeExpressions
           .minHashSignature(toks(col("text")), lit(numPerms)).as("sig"))
-    // band j's bucket key is its `rows` consecutive minhashes verbatim —
-    // raw-slice equality is what xxhash64(slice) approximated, and it is
-    // oracle-replicable (the DuckDB twin regenerates the same slices).
-    // At cluster scale the wider key costs rows*8 bytes per bucket row in
-    // the shuffle; hash it back down only if that ever dominates.
+
+  /** LSH candidate pairs for one (bands, rows) slicing of the signature.
+    * Band j's bucket key is its `rows` consecutive minhashes verbatim —
+    * raw-slice equality is what xxhash64(slice) approximated, and it is
+    * oracle-replicable (the DuckDB twin regenerates the same slices).
+    * At cluster scale the wider key costs rows*8 bytes per bucket row in
+    * the shuffle; hash it back down only if that ever dominates. */
+  private def bandCandidates(sigs: DataFrame, bands: Int,
+                             rows: Int): DataFrame = {
     val bandCols = (0 until bands).map { j =>
       struct(lit(j).as("band"),
         slice(col("sig"), j * rows + 1, rows).as("bh"))
@@ -297,15 +308,31 @@ object TextDedup {
     val buckets = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bh"))
-    val cand = buckets.alias("x")
+    buckets.alias("x")
       .join(buckets.alias("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    // verify candidates with exact Jaccard (codegen'd sorted-merge
-    // intersect, not interpreted array_intersect) → zero false positives
-    verifyCandidates(cand, tokSets(docs), threshold)
+  }
+
+  /** Banding-parameter sweep: verified-pair counts for several band
+    * configs over ONE shared signature pass (persisted — the per-config
+    * work is only the bucket join + verify). Columns: bands, rows,
+    * n_found. */
+  def minHashRecallSweep(docs: DataFrame, numPerms: Int,
+                         bandConfigs: Seq[Int],
+                         threshold: Double): DataFrame = {
+    val sigs = minHashSignatures(docs, numPerms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t = tokSets(docs)
+    bandConfigs.map { b =>
+      require(numPerms % b == 0, "bands must divide numPerms")
+      verifyCandidates(bandCandidates(sigs, b, numPerms / b), t, threshold)
+        .agg(count(lit(1)).as("n_found"))
+        .select(lit(b).cast("long").as("bands"),
+          lit(numPerms / b).cast("long").as("rows"), col("n_found"))
+    }.reduce(_ unionByName _)
   }
 
   /** 64-bit SimHash per document over xxhash64(token), candidate pairs with

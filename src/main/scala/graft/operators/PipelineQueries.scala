@@ -810,6 +810,50 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // -- DIFFERENTIAL PRIVACY: clipped-sum release (bounded sensitivity) ---
+    // q_dp_count's other half: releasing a SUM requires bounding each
+    // row's contribution first — values clip to [0, C] (C = 200, in
+    // exact milli-integers) so the sensitivity is C and the Laplace
+    // scale is C/ε. Clipping is the step practitioners forget (an
+    // unclipped sum has unbounded sensitivity and NO ε guarantee), so
+    // the release reports the clipped fraction alongside — the
+    // bias/privacy trade made visible. Noise follows the q_dp_count
+    // determinism policy (splitmix64 of the group's stable key over its
+    // own seed stream, every double op mirrored). One map-side-combined
+    // groupBy; noise math O(groups).
+    "q_dp_sum" -> ((s, d) => {
+      val cMilli = 200000L
+      val g = Tables.events(s, d)
+        .select(col("event_type"),
+          least(greatest(floor(col("value") * lit(1000.0) + lit(0.5))
+            .cast("long"), lit(0L)), lit(cMilli)).as("vc"),
+          when(floor(col("value") * lit(1000.0) + lit(0.5))
+            .cast("long") > cMilli, 1L).otherwise(0L).as("clipped"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("vc")).as("s_milli"),
+          sum(col("clipped")).as("n_clipped"))
+      val h = NativeExpressions.splitmix64(
+        length(col("event_type")).cast("long") * lit(104729L) +
+          ascii(col("event_type")) * lit(31L) + lit(7L))
+      val u = (shiftrightunsigned(h, 11).cast("double") + lit(0.5)) /
+        lit(9007199254740992.0)
+      val dv = u - lit(0.5)
+      val sgn = when(dv < 0, lit(-1.0)).otherwise(lit(1.0))
+      val mag = log(lit(1.0) - lit(2.0) * abs(dv))
+      // scale b = C/ε = 200/0.5 = 400 (value units)
+      g.select(col("event_type"), col("n"),
+          (col("s_milli").cast("double") / lit(1000.0) +
+            lit(-400.0) * sgn * mag).as("noisy_raw"),
+          col("n_clipped"))
+        .select(col("event_type"), col("n"),
+          (floor(col("noisy_raw") * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("noisy_sum"),
+          round(col("n_clipped").cast("double") / col("n"), 6)
+            .as("clipped_frac"),
+          lit(0.5).as("epsilon"), lit(200.0).as("clip_c"))
+        .orderBy(col("event_type"))
+    }),
+
     // -- ANONYMIZATION: pseudonymize keys, redact IDs, generalize values ---
     // The release-prep triple: stable keyed pseudonym (salted sha2 — same
     // input, same pseudonym, so joins still work downstream), regex
@@ -1348,6 +1392,37 @@ object PipelineQueries extends QueryPack {
          |    AS noisy_count,
          |  0.5e0 AS epsilon
          |FROM nz ORDER BY o_orderpriority""".stripMargin
+    },
+
+    // clip in exact milli-integers; seed from (length, first-char) of
+    // the group key — stable and portable; every double op mirrored
+    "q_dp_sum" -> {
+      import graft.engine.OracleHash._
+      s"""WITH e AS (SELECT event_type,
+         |    least(greatest(CAST(floor(value * 1000.0 + 0.5) AS BIGINT),
+         |      0), 200000) AS vc,
+         |    CASE WHEN CAST(floor(value * 1000.0 + 0.5) AS BIGINT)
+         |      > 200000 THEN 1 ELSE 0 END AS clipped
+         |  FROM events),
+         |g AS (SELECT event_type, count(*) AS n,
+         |    CAST(sum(vc) AS BIGINT) AS s_milli,
+         |    CAST(sum(clipped) AS BIGINT) AS n_clipped
+         |  FROM e GROUP BY 1),
+         |${splitmixStages("g", "event_type, n, s_milli, n_clipped",
+            "(CAST(length(event_type) AS BIGINT) * 104729" +
+              " + ord(substring(event_type, 1, 1)) * 31 + 7)::UBIGINT")},
+         |nz AS (SELECT event_type, n, s_milli, n_clipped,
+         |    (CAST(xor(z3, z3 >> 31) >> 11 AS DOUBLE) + 0.5e0)
+         |      / 9007199254740992.0e0 - 0.5e0 AS dv
+         |  FROM p3_)
+         |SELECT event_type, n,
+         |  floor((CAST(s_milli AS DOUBLE) / 1000.0e0 + -400.0e0
+         |    * (CASE WHEN dv < 0 THEN -1.0e0 ELSE 1.0e0 END)
+         |    * ln(1.0e0 - 2.0e0 * abs(dv))) * 1e6 + 0.5e0) / 1e6
+         |    AS noisy_sum,
+         |  round(CAST(n_clipped AS DOUBLE) / n, 6) AS clipped_frac,
+         |  0.5e0 AS epsilon, 200.0e0 AS clip_c
+         |FROM nz ORDER BY event_type""".stripMargin
     },
 
     "q_kanon" ->

@@ -1030,6 +1030,27 @@ object TextQueries extends QueryPack {
             .as("precision"))
     }),
 
+    // -- LSH banding-parameter sweep (the S-curve, measured) ---------------
+    // q_dedup_recall monitors ONE config; this sweeps the (bands, rows)
+    // knob — 2×8 / 4×4 / 8×2 over the SAME 16-perm signatures — and
+    // reports recall per config: the empirical S-curve an index tuner
+    // reads before committing a blocking scheme (more bands = higher
+    // recall = more candidates). One shared signature pass (persisted);
+    // per config only the bucket join + exact verify re-runs, which is
+    // how a production sweep amortizes too.
+    "q_lsh_tuning" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val nTrue = TextDedup.exactJaccardPairs(docs, 0.7)
+        .agg(count(lit(1)).as("n_true"))
+      TextDedup.minHashRecallSweep(docs, numPerms = 16,
+          bandConfigs = Seq(2, 4, 8), threshold = 0.7)
+        .crossJoin(broadcast(nTrue))
+        .select(col("bands"), col("rows"), col("n_true"), col("n_found"),
+          round(col("n_found").cast("double") / col("n_true"), 6)
+            .as("recall"))
+        .orderBy(col("bands"))
+    }),
+
     // -- near-dup: SimHash + chunk blocking (FNV-hashed — oracle-hashed) ---
     "q_dedup_simhash" -> ((s, d) => {
       TextDedup.simHashPairs(
@@ -1830,6 +1851,53 @@ object TextQueries extends QueryPack {
            |  round(CAST(n_hit AS DOUBLE) / n_true, 6) AS recall,
            |  round(CAST(n_hit AS DOUBLE) / n_cand, 6) AS precision
            |FROM h CROSS JOIN nc""".stripMargin
+      },
+
+      // one shared sig CTE, three slicings — band config b slices
+      // sg[(j*R+1):(j*R+R)] with R = 16/b; each candidate set verifies
+      // exactly, then the three counts union
+      "q_lsh_tuning" -> {
+        import graft.engine.OracleHash._
+        val configs = Seq(2, 4, 8)
+        val perConfig = configs.map { b =>
+          val r = 16 / b
+          s"""bk$b AS (SELECT doc_id, b, sg[(b*$r+1):(b*$r+$r)] AS key
+             |  FROM sig CROSS JOIN (SELECT unnest(range(0, $b)) AS b)),
+             |cand$b AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+             |  FROM bk$b x JOIN bk$b y
+             |  ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+             |f$b AS (SELECT $b AS bands, $r AS rows,
+             |    count(*) AS n_found
+             |  FROM cand$b JOIN v a ON a.doc_id = cand$b.d1
+             |    JOIN v bb ON bb.doc_id = cand$b.d2
+             |  WHERE CAST(len(list_intersect(a.toks, bb.toks)) AS DOUBLE)
+             |    / (a.sz + bb.sz - len(list_intersect(a.toks, bb.toks)))
+             |    >= 0.7)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $shingleCtes,
+           |v AS (SELECT doc_id, toks, len(toks) AS sz FROM sh),
+           |tt AS (SELECT count(*) AS n_true
+           |  FROM v a JOIN v b ON a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+           |    (a.sz + b.sz - len(list_intersect(a.toks, b.toks)))
+           |    >= 0.7),
+           |ex AS (SELECT doc_id, unnest(toks) AS h FROM sh),
+           |exk AS (SELECT doc_id, k, h
+           |  FROM ex CROSS JOIN (SELECT unnest(range(0, 16)) AS k)),
+           |${splitmixStages("exk", "doc_id, k",
+              "xor(h, " + u64mul(golden, "(k+1)::UBIGINT") + ")")},
+           |mh AS (SELECT doc_id, k, min(xor(z3, z3 >> 31)) AS m
+           |  FROM p3_ GROUP BY doc_id, k),
+           |sig AS (SELECT doc_id, list(m ORDER BY k) AS sg
+           |  FROM mh GROUP BY doc_id),
+           |$perConfig,
+           |u AS (SELECT * FROM f2 UNION ALL SELECT * FROM f4
+           |  UNION ALL SELECT * FROM f8)
+           |SELECT CAST(bands AS BIGINT) AS bands,
+           |  CAST(rows AS BIGINT) AS rows, n_true,
+           |  CAST(n_found AS BIGINT) AS n_found,
+           |  round(CAST(n_found AS DOUBLE) / n_true, 6) AS recall
+           |FROM u CROSS JOIN tt ORDER BY bands""".stripMargin
       },
 
       // SimHash: same FNV shingle hashes; per-bit majority vote, 16-bit

@@ -559,6 +559,20 @@ class DriftAndSelectionSpec extends AnyFunSuite {
     }
   }
 
+  test("q_lsh_tuning: recall is monotone in bands and ties out at 4x4") {
+    val rows = SparkEntry.queries("q_lsh_tuning")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Seq(2L, 4L, 8L))
+    rows.foreach { case (b, rws, _, _, _) => assert(b * rws == 16) }
+    // more bands = more candidate chances = recall can only grow
+    val recalls = rows.sortBy(_._1).map(_._5)
+    assert(recalls.zip(recalls.tail).forall { case (a, c) => a <= c })
+    // the 4-band row IS q_dedup_minhash's config
+    val mh = SparkEntry.queries("q_dedup_minhash")(spark, sfDir).count()
+    assert(rows.find(_._1 == 4L).get._4 == mh)
+  }
+
   test("q_dedup_recall ties out against the standalone pair miners") {
     val r = SparkEntry.queries("q_dedup_recall")(spark, sfDir).head()
     val (nTrue, nCand, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
