@@ -336,6 +336,41 @@ object EventQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // -- event-time disorder audit (the watermark-design diagnostic) -------
+    // Before choosing a streaming watermark delay you measure how
+    // disordered the source actually is: per user, walk events in
+    // ARRIVAL order (event_id — the ingestion sequence) and compare
+    // event TIME against the previous arrival. The audit reports the
+    // disordered-pair fraction and the worst observed lateness — the
+    // empirical lower bound for `withWatermark`'s delay (every
+    // `q_stream_*` consumer of this corpus inherits that choice). One
+    // user-keyed window + one global aggregation; all integer except the
+    // two final rounded ratios.
+    "q_disorder_audit" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val lagged = Tables.eventsWithTime(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+        .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+        .filter(col("prev_ts").isNotNull)
+        .withColumn("late_us",
+          when(col("prev_ts") > col("ts_us"),
+            col("prev_ts") - col("ts_us")).otherwise(lit(0L)))
+      lagged.agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("late_us") > 0, 1L).otherwise(0L))
+            .as("n_disordered"),
+          max(col("late_us")).as("max_lateness_us"),
+          sum(col("late_us")).as("sum_late_us"))
+        .select(col("n_pairs"), col("n_disordered"),
+          round(col("n_disordered").cast("double") / col("n_pairs"), 6)
+            .as("disorder_pct"),
+          col("max_lateness_us"),
+          when(col("n_disordered") > 0,
+            round(col("sum_late_us").cast("double") /
+              col("n_disordered") / lit(1000000.0), 6))
+            .as("avg_lateness_s"))
+    }),
+
     // -- CDC changelog apply: materialize upserts + tombstones -------------
     // The change-data-capture compaction every lakehouse ingest runs: a
     // keyed changelog (op ∈ {U(psert), D(elete)}, ordered by commit time
@@ -657,6 +692,26 @@ object EventQueries extends QueryPack {
         |    ORDER BY epoch_us(ts) ASC, event_id ASC) AS rn
         |  FROM events) t
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q_disorder_audit" ->
+      """WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY event_id) AS prev_ts
+        |  FROM events),
+        |d AS (SELECT CASE WHEN prev_ts > us THEN prev_ts - us
+        |    ELSE 0 END AS late_us
+        |  FROM l WHERE prev_ts IS NOT NULL)
+        |SELECT count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_disordered,
+        |  round(CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS disorder_pct,
+        |  CAST(max(late_us) AS BIGINT) AS max_lateness_us,
+        |  CASE WHEN sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) > 0
+        |    THEN round(CAST(sum(late_us) AS DOUBLE)
+        |      / sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+        |      / 1000000.0e0, 6) END AS avg_lateness_s
+        |FROM d""".stripMargin,
 
     // the forward twin of the q_asof_join replay: views sort BEFORE
     // purchases at equal us (is_r 0 < 1) and the frame runs CURRENT ROW

@@ -559,6 +559,23 @@ class DriftAndSelectionSpec extends AnyFunSuite {
     }
   }
 
+  test("q_disorder_audit matches a brute-force arrival-order walk") {
+    val r = SparkEntry.queries("q_disorder_audit")(spark, sfDir).head()
+    val evs = Tables.eventsWithTime(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts_us")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val lates = evs.groupBy(_._1).values.flatMap { g =>
+      val ord = g.sortBy(_._2).map(_._3)
+      ord.zip(ord.tail).map { case (p, c) => math.max(0L, p - c) }
+    }.toSeq
+    assert(r.getLong(0) == lates.length)
+    val nDis = lates.count(_ > 0).toLong
+    assert(r.getLong(1) == nDis)
+    assert(r.getLong(3) == (if (lates.isEmpty) 0L else lates.max))
+    if (nDis == 0) assert(r.isNullAt(4), "avg lateness must be NULL " +
+      "when nothing is disordered (both engines)")
+  }
+
   test("q_lsh_tuning: recall is monotone in bands and ties out at 4x4") {
     val rows = SparkEntry.queries("q_lsh_tuning")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
