@@ -595,6 +595,55 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("id"))
     }),
 
+    // -- sample-ratio mismatch guard (the A/B test's A/A test) -------------
+    // The first thing to check about an experiment is the assignment
+    // itself: if the two arms' sizes differ more than chance allows, the
+    // bucketing is broken and every downstream readout (q_ab_test) is
+    // invalid. One-degree chi-square of observed arm counts against the
+    // designed 50/50 split, computed per event_type and overall from
+    // exact integer counts — the (a−b)²/(a+b) form needs no expected-
+    // count division. Flag at the classic 3.84 cut (χ²₁ at α=0.05),
+    // cross-multiplied into integers so the boundary is exact. One
+    // conditional aggregate — single scan, single shuffle.
+    "q_ab_srm" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_type"), pmod(col("user_id"), lit(2)).as("arm"))
+      val g = e.groupBy(col("event_type")).agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+      val diff = col("n_a") - col("n_b")
+      g.select(col("event_type"), col("n_a"), col("n_b"),
+          round(diff.cast("double") * diff / (col("n_a") + col("n_b")), 6)
+            .as("chi2"),
+          // χ² > 3.84 ⟺ 100·(a−b)² > 384·(a+b): integer boundary
+          (lit(100L) * diff * diff >
+            lit(384L) * (col("n_a") + col("n_b"))).as("srm_flag"))
+        .orderBy(col("event_type"))
+    }),
+
+    // -- activity metrics: DAU / WAU / stickiness --------------------------
+    // The product-analytics pulse: distinct active users per calendar
+    // day, the containing ISO-week's distinct actives joined back, and
+    // stickiness = DAU/WAU. Day and week derive from integer epoch-day
+    // arithmetic ((days+3) div 7 makes weeks start Monday — the
+    // q_seasonal_dow convention, engine-portable). Two distinct-count
+    // aggregations keyed by day/week — map-side partial distinct keeps
+    // the shuffle bounded by actives, never events.
+    "q_active_users" -> ((s, d) => {
+      val e = Tables.eventsWithTime(s, d)
+        .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
+        .withColumn("week", expr("(day + 3) div 7"))
+      val dau = e.groupBy(col("day"), col("week"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val wau = e.groupBy(col("week"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, "week")
+        .select(col("day"), col("week"), col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau"), 6)
+            .as("stickiness"))
+        .orderBy(col("day"))
+    }),
+
     // -- referential-integrity audit (constraint checking) -----------------
     // The invariants a lakehouse cannot declare-and-enforce the way an
     // OLTP database does, so it AUDITS them per batch instead: primary-
@@ -821,6 +870,33 @@ object AnalyticsQueries extends QueryPack {
     "q_pagerank" -> pagerankSql,
 
     "q_graph_bfs" -> bfsSql,
+
+    "q_ab_srm" ->
+      """SELECT event_type,
+        |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_b,
+        |  round(CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE -1 END)
+        |      AS DOUBLE)
+        |    * sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE -1 END)
+        |    / count(*), 6) AS chi2,
+        |  100 * sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE -1 END)
+        |    * sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE -1 END)
+        |    > 384 * count(*) AS srm_flag
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_active_users" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id
+        |  FROM events),
+        |ew AS (SELECT day, (day + 3) // 7 AS week, user_id FROM e),
+        |dau AS (SELECT day, week, count(DISTINCT user_id) AS dau
+        |  FROM ew GROUP BY 1, 2),
+        |wau AS (SELECT week, count(DISTINCT user_id) AS wau
+        |  FROM ew GROUP BY 1)
+        |SELECT day, dau.week, dau, wau,
+        |  round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+        |FROM dau JOIN wau USING (week) ORDER BY day""".stripMargin,
 
     "q_integrity_audit" ->
       """WITH c1 AS (SELECT 'pk_orders_unique' AS "check",

@@ -559,6 +559,43 @@ class DriftAndSelectionSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ab_srm matches a brute-force chi-square on arm counts") {
+    val got = SparkEntry.queries("q_ab_srm")(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    val arms = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1) % 2))
+    arms.groupBy(_._1).foreach { case (t, g) =>
+      val a = g.count(_._2 == 0).toLong
+      val b = g.count(_._2 == 1).toLong
+      val (ga, gb, chi2, flag) = got(t)
+      assert(ga == a && gb == b, t)
+      val d = (a - b).toDouble
+      assert(math.abs(chi2 - d * d / (a + b)) < 1e-5, t)
+      assert(flag == (100L * (a - b) * (a - b) > 384L * (a + b)), t)
+    }
+  }
+
+  test("q_active_users: DAU never exceeds its week's WAU; totals hold") {
+    val rows = SparkEntry.queries("q_active_users")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, dau, wau, st) =>
+      assert(dau >= 1 && dau <= wau)
+      assert(math.abs(st - dau.toDouble / wau) < 1e-5)
+    }
+    // brute force one day
+    val evs = Tables.eventsWithTime(spark, sfDir)
+      .select(col("ts_us"), col("user_id")).collect()
+      .map(r => (r.getLong(0) / 86400000000L, r.getLong(1)))
+    val d0 = rows.head._1
+    val expectDau = evs.filter(_._1 == d0).map(_._2).distinct.length
+    assert(rows.head._3 == expectDau)
+  }
+
   test("q_disorder_audit matches a brute-force arrival-order walk") {
     val r = SparkEntry.queries("q_disorder_audit")(spark, sfDir).head()
     val evs = Tables.eventsWithTime(spark, sfDir)
