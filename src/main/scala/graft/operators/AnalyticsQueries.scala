@@ -712,11 +712,154 @@ object AnalyticsQueries extends QueryPack {
           min(col("degree")).as("min_deg"),
           max(col("degree")).as("max_deg"))
         .orderBy(col("node_type"), col("bucket"))
+    }),
+
+    // -- triangle counting (degree-ordered edge orientation) ---------------
+    // The clustering-structure primitive next to degree/BFS/PageRank:
+    // per-node triangle participation over the co-purchase graph
+    // (q_freq_itemsets' basket pairs, support ≥ 2 so density is
+    // data-bounded, not |parts|²). The distributed-triangle trick is the
+    // ORIENTATION: direct every edge from its (degree, id)-smaller
+    // endpoint to the larger, so wedge generation fans out from the LOW
+    // degree side — Σ out-deg² stays near-linear even on power-law
+    // graphs (the node-iterator++ bound), where the naive wedge join is
+    // Σ deg² and melts on hubs. One wedge self-join + one closure
+    // equi-join, all integer, each triangle found exactly once.
+    "q_triangle_count" -> ((s, d) => {
+      val e = coEdges(s, d).select(col("p1"), col("p2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = e.select(col("p1").as("n")).union(e.select(col("p2")))
+        .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+      val withDeg = e
+        .join(deg.select(col("n").as("p1"), col("dg").as("d1")), "p1")
+        .join(deg.select(col("n").as("p2"), col("dg").as("d2")), "p2")
+      val o = withDeg.select(
+        when(struct(col("d1"), col("p1")) < struct(col("d2"), col("p2")),
+          col("p1")).otherwise(col("p2")).as("a"),
+        when(struct(col("d1"), col("p1")) < struct(col("d2"), col("p2")),
+          col("p2")).otherwise(col("p1")).as("b"),
+        when(struct(col("d1"), col("p1")) < struct(col("d2"), col("p2")),
+          col("d1")).otherwise(col("d2")).as("da"),
+        when(struct(col("d1"), col("p1")) < struct(col("d2"), col("p2")),
+          col("d2")).otherwise(col("d1")).as("db"))
+      // wedges (a; b1 < b2 in the SAME total order) close iff b1→b2
+      val wedges = o.select(col("a"), col("b").as("b1"),
+          col("db").as("db1"))
+        .join(o.select(col("a"), col("b").as("b2"), col("db").as("db2")),
+          "a")
+        .filter(struct(col("db1"), col("b1")) <
+          struct(col("db2"), col("b2")))
+      val tris = wedges.join(
+        o.select(col("a").as("b1"), col("b").as("b2")), Seq("b1", "b2"))
+      tris.select(explode(array(col("a"), col("b1"), col("b2")))
+          .as("part"))
+        .groupBy(col("part")).agg(count(lit(1)).as("n_tri"))
+        .join(deg.select(col("n").as("part"), col("dg").as("degree")),
+          "part")
+        .select(col("part"), col("degree"), col("n_tri"))
+        .orderBy(col("n_tri").desc, col("part"))
+        .limit(20)
+    }),
+
+    // -- link prediction (common neighbors + resource allocation) ----------
+    // The recommendation/denoising primitive over the same graph: score
+    // NON-adjacent pairs by their shared neighborhood. Two classic
+    // indices in one pass: cn = |N(u)∩N(v)| and the resource-allocation
+    // index Σ_w 1/deg(w) — the latter micro-quantized as the INTEGER
+    // 1000000 div deg(w) per witness so the sum (and hence the ranking)
+    // is engine-exact, no float accumulation order to disagree on. One
+    // wedge join through the shared neighbor + one anti-join against
+    // the edge set. Scale: wedge volume is Σ deg(v)² — on hub-heavy
+    // graphs the production mitigation is a hub cap on v; here density
+    // is already support-bounded upstream.
+    "q_link_predict" -> ((s, d) => {
+      val e = coEdges(s, d).select(col("p1"), col("p2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val adj = e.select(col("p1").as("v"), col("p2").as("nb"))
+        .union(e.select(col("p2").as("v"), col("p1").as("nb")))
+      val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("dg"))
+      val wedge = adj.select(col("v"), col("nb").as("u"))
+        .join(adj.select(col("v"), col("nb").as("w")), "v")
+        .filter(col("u") < col("w"))
+        .join(deg, "v")
+      val scored = wedge.groupBy(col("u"), col("w"))
+        .agg(count(lit(1)).as("cn"),
+          sum(expr("1000000 div dg")).as("ra_q"))
+      scored.join(e, scored("u") === e("p1") && scored("w") === e("p2"),
+          "left_anti")
+        .select(col("u"), col("w"), col("cn"), col("ra_q"))
+        .orderBy(col("ra_q").desc, col("cn").desc, col("u"), col("w"))
+        .limit(20)
+    }),
+
+    // -- item-item collaborative filtering (co-occurrence recs) ------------
+    // The "customers also bought" readout: for the 10 most-stocked
+    // parts, the top-3 co-purchased parts ranked by a cosine-squared
+    // affinity co²/(n_u·n_v) — computed as the INTEGER
+    // co²·10¹² div (n_u·n_v) so the ranking is exact on both engines
+    // (co ≤ basket overlap keeps co²·10¹² well under 2⁶³). The pair
+    // frame is the same support-bounded co-purchase edge list; seed
+    // popularity is one keyed count; the per-seed top-3 is a bounded
+    // rank window over a frame whose size is the edge count.
+    "q_item_recs" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pop = li.groupBy(col("l_partkey").as("part"))
+        .agg(count(lit(1)).as("n_baskets"))
+      val seeds = pop
+        .orderBy(col("n_baskets").desc, col("part")).limit(10)
+      val pairs = coEdges(s, d)
+      val both = pairs.select(col("p1").as("part"), col("p2").as("rec"),
+          col("support").as("co"))
+        .union(pairs.select(col("p2").as("part"), col("p1").as("rec"),
+          col("support").as("co")))
+      val scored = both.join(broadcast(seeds), "part")
+        .join(pop.select(col("part").as("rec"),
+          col("n_baskets").as("n_rec")), "rec")
+        .withColumn("score_q",
+          expr("co * co * 1000000000000 div (n_baskets * n_rec)"))
+      val w = Window.partitionBy(col("part"))
+        .orderBy(col("score_q").desc, col("rec"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("part"), col("rnk").cast("long").as("rnk"),
+          col("rec"), col("co"), col("score_q"))
+        .orderBy(col("part"), col("rnk"))
     })
   )
 
   /** PageRank fixed-point scale (ranks are multiples of 1e-12) and
     * iteration count — shared by the Spark loop and the oracle CTEs. */
+  /** Co-purchase graph shared by q_triangle_count / q_link_predict /
+    * q_item_recs: undirected edges (p1 < p2) between parts appearing in
+    * the same order basket, kept only at support ≥ 2 — the thresholding
+    * every production co-occurrence graph applies, and what keeps edge
+    * density data-bounded instead of |parts|²-bounded. Same basket-array
+    * pair expansion as q_freq_itemsets (one basket-keyed shuffle + one
+    * pair-keyed shuffle, no self-join over the raw line-item stream). */
+  private def coEdges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), " +
+          "y -> struct(x AS p1, y AS p2))))")).as("pr"))
+      .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+
+  /** Oracle twin of [[coEdges]] — emits CTEs `b` (baskets) and `pe`
+    * (thresholded pairs p1 < p2 with support). */
+  private val coEdgesSql: String =
+    """b AS (SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS ps
+      |  FROM lineitem GROUP BY 1),
+      |pe AS (SELECT p1, p2, count(*) AS support FROM (
+      |    SELECT unnest(ps) AS p1, l_orderkey FROM b) t1
+      |  JOIN (SELECT unnest(ps) AS p2, l_orderkey FROM b) t2
+      |    USING (l_orderkey)
+      |  WHERE p1 < p2 GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
   private val prScale = 1000000000000L
   private val prIters = 3
 
@@ -1092,6 +1235,77 @@ object AnalyticsQueries extends QueryPack {
         |SELECT ((rn - 1) * 8) // n AS bucket, count(*) AS n_rows,
         |  round(min(o_totalprice), 2) AS lo,
         |  round(max(o_totalprice), 2) AS hi
-        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same (degree, id) total-order orientation; row-value comparison
+    // mirrors Spark's struct ordering; each triangle enumerated once
+    "q_triangle_count" ->
+      s"""WITH $coEdgesSql,
+         |e AS (SELECT p1, p2 FROM pe),
+         |deg AS (SELECT n, count(*) AS dg FROM (
+         |    SELECT p1 AS n FROM e UNION ALL SELECT p2 FROM e) t
+         |  GROUP BY 1),
+         |o AS (SELECT
+         |    CASE WHEN (d1.dg, e.p1) < (d2.dg, e.p2)
+         |      THEN e.p1 ELSE e.p2 END AS a,
+         |    CASE WHEN (d1.dg, e.p1) < (d2.dg, e.p2)
+         |      THEN e.p2 ELSE e.p1 END AS b,
+         |    CASE WHEN (d1.dg, e.p1) < (d2.dg, e.p2)
+         |      THEN d2.dg ELSE d1.dg END AS db
+         |  FROM e JOIN deg d1 ON d1.n = e.p1
+         |    JOIN deg d2 ON d2.n = e.p2),
+         |tri AS (SELECT w1.a, w1.b AS b1, w2.b AS b2
+         |  FROM o w1 JOIN o w2 ON w1.a = w2.a
+         |    AND (w1.db, w1.b) < (w2.db, w2.b)
+         |  JOIN o c ON c.a = w1.b AND c.b = w2.b)
+         |SELECT part, dg AS degree, n_tri FROM (
+         |  SELECT unnest([a, b1, b2]) AS part FROM tri) t
+         |JOIN deg ON deg.n = t.part
+         |JOIN (SELECT part AS p, count(*) AS n_tri FROM (
+         |    SELECT unnest([a, b1, b2]) AS part FROM tri) x
+         |  GROUP BY 1) g ON g.p = t.part
+         |GROUP BY 1, 2, 3
+         |ORDER BY n_tri DESC, part LIMIT 20""".stripMargin,
+
+    // integer resource-allocation weights (1000000 // deg) — exact sum
+    "q_link_predict" ->
+      s"""WITH $coEdgesSql,
+         |e AS (SELECT p1, p2 FROM pe),
+         |adj AS (SELECT p1 AS v, p2 AS nb FROM e
+         |  UNION ALL SELECT p2, p1 FROM e),
+         |deg AS (SELECT v, count(*) AS dg FROM adj GROUP BY 1),
+         |wedge AS (SELECT a1.nb AS u, a2.nb AS w, a1.v
+         |  FROM adj a1 JOIN adj a2 ON a1.v = a2.v AND a1.nb < a2.nb),
+         |scored AS (SELECT u, w, count(*) AS cn,
+         |    sum(1000000 // dg) AS ra_q
+         |  FROM wedge JOIN deg USING (v) GROUP BY 1, 2)
+         |SELECT u, w, cn, CAST(ra_q AS BIGINT) AS ra_q FROM scored s
+         |WHERE NOT EXISTS (SELECT 1 FROM e
+         |  WHERE e.p1 = s.u AND e.p2 = s.w)
+         |ORDER BY ra_q DESC, cn DESC, u, w LIMIT 20""".stripMargin,
+
+    // integer cosine² affinity co²·1e12 // (n_u·n_v); seeds = top-10
+    // popular parts with id tiebreak
+    "q_item_recs" ->
+      s"""WITH $coEdgesSql,
+         |li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |pop AS (SELECT l_partkey AS part, count(*) AS n_baskets
+         |  FROM li GROUP BY 1),
+         |seeds AS (SELECT part, n_baskets FROM pop
+         |  ORDER BY n_baskets DESC, part LIMIT 10),
+         |bo AS (SELECT p1 AS part, p2 AS rec, support AS co FROM pe
+         |  UNION ALL SELECT p2, p1, support FROM pe),
+         |scored AS (SELECT s.part, b.rec, b.co, s.n_baskets,
+         |    p2.n_baskets AS n_rec,
+         |    b.co * b.co * 1000000000000 // (s.n_baskets * p2.n_baskets)
+         |      AS score_q
+         |  FROM bo b JOIN seeds s ON b.part = s.part
+         |  JOIN pop p2 ON p2.part = b.rec)
+         |SELECT part, rnk, rec, co, CAST(score_q AS BIGINT) AS score_q
+         |FROM (SELECT part, rec, co, score_q, CAST(row_number() OVER (
+         |      PARTITION BY part ORDER BY score_q DESC, rec) AS BIGINT)
+         |    AS rnk
+         |  FROM scored) t
+         |WHERE rnk <= 3 ORDER BY part, rnk""".stripMargin
   )
 }

@@ -107,12 +107,21 @@ def main():
     # sizes, edge counts, and relaxation work are exactly 10x sf0.1 by
     # construction (the linear ground truth the doc/embedding shards
     # give the dedup probes). Non-key columns are copied verbatim.
+    # l_partkey is offset too (r10, for the co-purchase graph trio
+    # q_triangle_count/q_link_predict/q_item_recs): without the offset
+    # 10x baskets over the SAME part universe densify the co-occurrence
+    # graph (support counts inflate superlinearly past the >= 2
+    # threshold) and the probe would measure generator densification,
+    # not engine asymptotics. With it, the graph is 10 disjoint copies.
+    # Caveat: sf1 lineitem.l_partkey no longer joins the (unsharded)
+    # part table — same standing caveat as l_suppkey/supplier; probes
+    # are per-query opt-in, so only basket-keyed queries use sf1.
     import os.path
     if os.path.exists(f"{SRC}/orders.parquet"):
         koff = 10_000_000
         specs = [
             ("orders", ["o_orderkey", "o_custkey"]),
-            ("lineitem", ["l_orderkey", "l_suppkey"]),
+            ("lineitem", ["l_orderkey", "l_suppkey", "l_partkey"]),
             ("customer", ["c_custkey"]),
         ]
         for tname, keys in specs:
