@@ -825,6 +825,104 @@ object AnalyticsQueries extends QueryPack {
         .select(col("part"), col("rnk").cast("long").as("rnk"),
           col("rec"), col("co"), col("score_q"))
         .orderBy(col("part"), col("rnk"))
+    }),
+
+    // -- ROC AUC (rank-sum / Mann-Whitney form, grouped) -------------------
+    // The classifier-eval metric q_eval_metrics' P/R/F1 can't give:
+    // per-source AUC of "is this doc English?" with n_chars as the
+    // score. The distributed form is the RANK-SUM identity, computed
+    // over the per-(source, score) contingency frame — pos/neg counts
+    // per distinct score, a prefix sum of negatives below, then
+    // 2U = Σ np·(2·cumneg + nn) which handles ties as the standard
+    // average-rank midpoint WITHOUT ever ranking rows globally. Every
+    // value is an integer, so AUC_u is engine-exact. Scale: the shuffle
+    // carries only the contingency frame (groups × distinct scores);
+    // the prefix window partitions by source — with few heavy groups
+    // the Dist.globalPrefixSum two-phase form takes over (q_outlier_mad
+    // has the same documented caveat).
+    "q_auc_roc" -> ((s, d) => {
+      val g = Tables.documents(s, d)
+        .groupBy(col("source"), col("n_chars"))
+        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("np"),
+          sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("nn"))
+      val w = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("cumneg", coalesce(sum(col("nn")).over(w), lit(0L)))
+        .groupBy(col("source"))
+        .agg(sum(col("np") * (lit(2L) * col("cumneg") + col("nn")))
+            .as("two_u"),
+          sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
+        .select(col("source"), col("n_pos"), col("n_neg"),
+          when(col("n_pos") > 0 && col("n_neg") > 0,
+            expr("(1000000 * two_u) div (2 * n_pos * n_neg)")).as("auc_u"))
+        .orderBy(col("source"))
+    }),
+
+    // -- k-core decomposition (fixed-round peel) ---------------------------
+    // The graph-cleaning primitive next to CC/PageRank: iteratively
+    // strip nodes of degree < k until the k-core remains. Round count
+    // is PINNED at 4 (like q_pagerank's 3) so both engines compute the
+    // identical partial fixpoint whether or not the peel has converged
+    // — convergence is data-dependent and an unbounded loop is exactly
+    // what an oracle can't replay. Each round is two keyed joins
+    // against the surviving-node frame; the edge list shrinks
+    // monotonically, so round cost is bounded by the first. 100 TB
+    // shape: same disjoint-component parallelism as q_graph_bfs —
+    // peeling is embarrassingly key-parallel.
+    "q_kcore" -> ((s, d) => {
+      val k = 3
+      var e = coEdges(s, d).select(col("p1"), col("p2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      for (_ <- 1 to 4) {
+        val keep = e.select(col("p1").as("n"))
+          .union(e.select(col("p2")))
+          .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+          .filter(col("dg") >= k)
+          .select(col("n"))
+        e = e.join(keep.withColumnRenamed("n", "p1"), "p1")
+          .join(keep.withColumnRenamed("n", "p2"), "p2")
+          .select(col("p1"), col("p2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      e.select(col("p1").as("node")).union(e.select(col("p2")))
+        .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+        .orderBy(col("core_deg").desc, col("node"))
+    }),
+
+    // -- entity resolution: min-df token blocking + token-sort ratio -------
+    // Record linkage over the part-name universe: names normalized to
+    // sorted-token form, DISTINCT names paired only inside blocks keyed
+    // by each name's RAREST token (the canopy/cheapest-blocking-key
+    // rule — the df-weighted choice keeps block sizes near the rare
+    // tail instead of the hot head), then scored with the token-sort
+    // ratio 1 − lev/maxlen as an exact integer. Working on distinct
+    // names makes the frame vocabulary-bounded — the 100 TB corpus
+    // collapses to its name vocabulary before any pairing, and the
+    // support column carries the row weight back out. Both engines
+    // replay the identical blocking, so the oracle sees the same pairs.
+    "q_entity_match" -> ((s, d) => {
+      val names = Tables.part(s, d)
+        .select(array_join(sort_array(split(col("p_name"), " ")), " ")
+          .as("nm"))
+        .groupBy(col("nm")).agg(count(lit(1)).as("n_rows"))
+      val tok = names.select(col("nm"),
+        explode(split(col("nm"), " ")).as("t"))
+      val df = tok.groupBy(col("t")).agg(count(lit(1)).as("tdf"))
+      val blk = tok.join(df, "t")
+        .groupBy(col("nm"))
+        .agg(min(struct(col("tdf"), col("t"))).as("bk"))
+        .select(col("nm"), col("bk.t").as("bt"))
+      val a = names.join(blk, "nm")
+        .select(col("bt"), col("nm").as("na"), col("n_rows").as("ca"))
+      val b = a.select(col("bt"), col("na").as("nb"), col("ca").as("cb"))
+      a.join(b, Seq("bt")).filter(col("na") < col("nb"))
+        .withColumn("score_q", lit(1000000) -
+          expr("(1000000 * levenshtein(na, nb)) div " +
+            "greatest(length(na), length(nb))"))
+        .filter(col("score_q") >= 600000)
+        .select(col("na"), col("nb"), col("ca"), col("cb"),
+          col("score_q").cast("long").as("score_q"))
+        .orderBy(col("score_q").desc, col("na"), col("nb"))
     })
   )
 
@@ -1306,6 +1404,73 @@ object AnalyticsQueries extends QueryPack {
          |      PARTITION BY part ORDER BY score_q DESC, rec) AS BIGINT)
          |    AS rnk
          |  FROM scored) t
-         |WHERE rnk <= 3 ORDER BY part, rnk""".stripMargin
+         |WHERE rnk <= 3 ORDER BY part, rnk""".stripMargin,
+
+    // rank-sum AUC with average-rank tie handling — all integer
+    "q_auc_roc" ->
+      """WITH g AS (SELECT source, n_chars,
+        |    count(*) FILTER (lang = 'en') AS np,
+        |    count(*) FILTER (lang <> 'en') AS nn
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (SELECT source, np, nn, coalesce(sum(nn) OVER (
+        |    PARTITION BY source ORDER BY n_chars
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS cumneg FROM g),
+        |a AS (SELECT source, sum(np * (2 * cumneg + nn)) AS two_u,
+        |    sum(np) AS n_pos, sum(nn) AS n_neg FROM c GROUP BY 1)
+        |SELECT source, CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(n_neg AS BIGINT) AS n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    CAST((1000000 * two_u) // (2 * n_pos * n_neg) AS BIGINT)
+        |  END AS auc_u
+        |FROM a ORDER BY source""".stripMargin,
+
+    // 4 pinned peel rounds at k = 3, unrolled
+    "q_kcore" ->
+      s"""WITH $coEdgesSql,
+         |e0 AS MATERIALIZED (SELECT p1, p2 FROM pe),
+         |k1 AS MATERIALIZED (SELECT n FROM (SELECT n, count(*) dg FROM (
+         |    SELECT p1 AS n FROM e0 UNION ALL SELECT p2 FROM e0) t
+         |  GROUP BY 1) WHERE dg >= 3),
+         |e1 AS MATERIALIZED (SELECT p1, p2 FROM e0
+         |  WHERE p1 IN (SELECT n FROM k1) AND p2 IN (SELECT n FROM k1)),
+         |k2 AS MATERIALIZED (SELECT n FROM (SELECT n, count(*) dg FROM (
+         |    SELECT p1 AS n FROM e1 UNION ALL SELECT p2 FROM e1) t
+         |  GROUP BY 1) WHERE dg >= 3),
+         |e2 AS MATERIALIZED (SELECT p1, p2 FROM e1
+         |  WHERE p1 IN (SELECT n FROM k2) AND p2 IN (SELECT n FROM k2)),
+         |k3 AS MATERIALIZED (SELECT n FROM (SELECT n, count(*) dg FROM (
+         |    SELECT p1 AS n FROM e2 UNION ALL SELECT p2 FROM e2) t
+         |  GROUP BY 1) WHERE dg >= 3),
+         |e3 AS MATERIALIZED (SELECT p1, p2 FROM e2
+         |  WHERE p1 IN (SELECT n FROM k3) AND p2 IN (SELECT n FROM k3)),
+         |k4 AS MATERIALIZED (SELECT n FROM (SELECT n, count(*) dg FROM (
+         |    SELECT p1 AS n FROM e3 UNION ALL SELECT p2 FROM e3) t
+         |  GROUP BY 1) WHERE dg >= 3),
+         |e4 AS MATERIALIZED (SELECT p1, p2 FROM e3
+         |  WHERE p1 IN (SELECT n FROM k4) AND p2 IN (SELECT n FROM k4))
+         |SELECT node, count(*) AS core_deg FROM (
+         |  SELECT p1 AS node FROM e4 UNION ALL SELECT p2 FROM e4) t
+         |GROUP BY 1 ORDER BY core_deg DESC, node""".stripMargin,
+
+    // identical min-df-token blocking + integer token-sort ratio
+    "q_entity_match" ->
+      """WITH names AS (SELECT
+        |    list_aggr(list_sort(string_split(p_name, ' ')), 'string_agg',
+        |      ' ') AS nm, count(*) AS n_rows
+        |  FROM part GROUP BY 1),
+        |tok AS (SELECT nm, unnest(string_split(nm, ' ')) AS t FROM names),
+        |df AS (SELECT t, count(*) AS tdf FROM tok GROUP BY 1),
+        |blk AS (SELECT nm, min((tdf, t)) AS bk
+        |  FROM tok JOIN df USING (t) GROUP BY 1),
+        |a AS (SELECT bk[2] AS bt, nm AS na, n_rows AS ca
+        |  FROM names JOIN blk USING (nm))
+        |SELECT na, nb, ca, cb, CAST(score_q AS BIGINT) AS score_q FROM (
+        |  SELECT a.na, b.na AS nb, a.ca, b.ca AS cb,
+        |    1000000 - (1000000 * levenshtein(a.na, b.na)) //
+        |      greatest(length(a.na), length(b.na)) AS score_q
+        |  FROM a JOIN a b ON a.bt = b.bt AND a.na < b.na) t
+        |WHERE score_q >= 600000
+        |ORDER BY score_q DESC, na, nb""".stripMargin
   )
 }

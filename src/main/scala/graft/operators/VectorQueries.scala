@@ -194,6 +194,50 @@ object VectorQueries extends QueryPack {
         .orderBy(col("q_id"))
     }),
 
+    // -- retrieval ranking metrics: NDCG@10 / MRR / hits -------------------
+    // The retrieval-eval counterpart of q_eval_metrics' classification
+    // P/R/F1 and q_ann_recall's index health: score the cosine top-10
+    // run per query against same-label relevance. The log2 discount is
+    // pre-quantized into INTEGER weight literals (round(1e6/log2(i+1)),
+    // identical constants in both engines), so DCG, the ideal DCG
+    // (cumulative-weight lookup at the hit count — binary relevance
+    // makes the ideal list a prefix), NDCG, and MRR are all exact
+    // integer arithmetic on top of the established raw-cosine ranking.
+    // Scale: identical to q_sim_topk — broadcast query set, one
+    // corpus-side window, metric agg on the bounded top-10 frame.
+    "q_rank_ndcg" -> ((s, d) => {
+      val base = emb(s, d).withColumn("nrm", Vectors.norm(col("v")))
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("v").as("qv"), col("nrm").as("qnrm"))
+      val c = base
+        .select(col("vec_id").as("c_id"), col("label").as("c_label"),
+          col("v").as("cv"), col("nrm").as("cnrm"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_raw").desc, col("c_id").asc)
+      c.join(broadcast(q), col("q_id") =!= col("c_id"))
+        .withColumn("cos_raw",
+          Vectors.dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .withColumn("rel",
+          when(col("c_label") === col("q_label"), 1L).otherwise(0L))
+        .groupBy(col("q_id"))
+        .agg(sum(col("rel")).as("hits"),
+          sum(col("rel") *
+            element_at(typedLit(dcgW), col("rnk").cast("int")))
+            .as("dcg_q"),
+          min(when(col("rel") === 1L, col("rnk"))).as("first_rel"))
+        .withColumn("idcg_q", when(col("hits") > 0,
+          element_at(typedLit(dcgCumW), col("hits").cast("int"))))
+        .select(col("q_id"), col("hits"),
+          when(col("hits") > 0, expr("(1000000 * dcg_q) div idcg_q"))
+            .as("ndcg_u"),
+          when(col("first_rel").isNotNull, expr("1000000 div first_rel"))
+            .as("mrr_u"))
+        .orderBy(col("q_id"))
+    }),
+
     // -- triangle counting over the symmetrized kNN graph ------------------
     // Local clustering structure of the embedding corpus: build each
     // vector's top-3 cosine neighbors, symmetrize to an undirected edge
@@ -796,6 +840,15 @@ object VectorQueries extends QueryPack {
     })
   )
 
+  /** Integer DCG discount weights round(1e6 / log2(i + 1)) for ranks
+    * 1..10, and their prefix sums (the ideal DCG at each hit count) —
+    * q_rank_ndcg quantizes the log2 discount ONCE here so both engines
+    * run pure integer arithmetic on identical constants instead of
+    * racing each other's libm. */
+  private val dcgW = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+    356207L, 333333L, 315465L, 301030L, 289065L)
+  private val dcgCumW = dcgW.scanLeft(0L)(_ + _).tail
+
   /** k-means parameters shared by the Spark loop and the oracle CTEs. */
   private val kmK = 8
   private val kmIters = 3
@@ -1289,7 +1342,39 @@ object VectorQueries extends QueryPack {
           |FROM mn GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
       // integer fixed-point Lloyd rounds: see the query comment
-      "q_kmeans" -> kmeansSql
+      "q_kmeans" -> kmeansSql,
+
+      // same raw-cosine top-10 ranking as q_sim_topk; identical integer
+      // discount-weight literals (1-based list indexing matches
+      // element_at)
+      "q_rank_ndcg" -> {
+        val wLit = dcgW.mkString("[", ", ", "]")
+        val cLit = dcgCumW.mkString("[", ", ", "]")
+        s"""WITH e AS (SELECT vec_id, label,
+           |    CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
+           |s AS (SELECT a.vec_id AS q_id, a.label AS q_label,
+           |    b.vec_id AS c_id, b.label AS c_label,
+           |    list_dot_product(a.vd, b.vd) /
+           |      (sqrt(list_dot_product(a.vd, a.vd)) *
+           |       sqrt(list_dot_product(b.vd, b.vd))) AS cos_raw
+           |  FROM e a JOIN e b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+           |r AS (SELECT q_id, q_label, c_id, c_label,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY cos_raw DESC, c_id ASC) AS rnk FROM s),
+           |t AS (SELECT q_id,
+           |    CASE WHEN c_label = q_label THEN 1 ELSE 0 END AS rel, rnk
+           |  FROM r WHERE rnk <= 10),
+           |g AS (SELECT q_id, sum(rel) AS hits,
+           |    sum(rel * ($wLit)[rnk]) AS dcg_q,
+           |    min(CASE WHEN rel = 1 THEN rnk END) AS first_rel
+           |  FROM t GROUP BY 1)
+           |SELECT q_id, CAST(hits AS BIGINT) AS hits,
+           |  CASE WHEN hits > 0 THEN CAST((1000000 * dcg_q) //
+           |    ($cLit)[CAST(hits AS INT)] AS BIGINT) END AS ndcg_u,
+           |  CASE WHEN first_rel IS NOT NULL
+           |    THEN CAST(1000000 // first_rel AS BIGINT) END AS mrr_u
+           |FROM g ORDER BY q_id""".stripMargin
+      }
     )
   }
 }

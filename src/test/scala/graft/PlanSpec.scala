@@ -468,4 +468,19 @@ class PlanSpec extends AnyFunSuite {
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n" + p)
   }
+
+  test("the r10 graph/eval/linkage batch stays keyed (no all-pairs)") {
+    // q_rank_ndcg is excluded: it shares q_sim_topk's intentional
+    // broadcast-NLJ query×corpus shape. Everything else in the batch
+    // must stay equi-join-keyed — the wedge joins in particular
+    // (q_triangle_count, q_link_predict) would melt as cartesians.
+    for (q <- Seq("q_triangle_count", "q_link_predict", "q_item_recs",
+        "q_kcore", "q_auc_roc", "q_entity_match")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q degenerated to a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to a nested-loop join")
+    }
+  }
 }
