@@ -123,6 +123,11 @@ def main():
             ("orders", ["o_orderkey", "o_custkey"]),
             ("lineitem", ["l_orderkey", "l_suppkey", "l_partkey"]),
             ("customer", ["c_custkey"]),
+            # part: keys offset, NAMES copied verbatim — the distinct-name
+            # universe stays fixed while rows grow 10x, which is the
+            # realistic growth profile q_entity_match's vocabulary-bounded
+            # claim is measured against.
+            ("part", ["p_partkey"]),
         ]
         for tname, keys in specs:
             src = pd.read_parquet(f"{SRC}/{tname}.parquet")
