@@ -923,6 +923,144 @@ object AnalyticsQueries extends QueryPack {
         .select(col("na"), col("nb"), col("ca"), col("cb"),
           col("score_q").cast("long").as("score_q"))
         .orderBy(col("score_q").desc, col("na"), col("nb"))
+    }),
+
+    // -- CUPED variance reduction (pre-period covariate adjustment) --------
+    // The experimentation-stack refinement of q_ab_test: adjust each
+    // user's post-period metric by θ·(pre − pre_grand_mean), with
+    // θ = cov(pre, post)/var(pre) estimated on the pooled population.
+    // Per-user pre/post sums ride ONE user-keyed conditional aggregate;
+    // θ's moment sums are integer-exact (dollar-resolution covariate —
+    // Σpre² at milli resolution would overflow int64 near 10⁵ users,
+    // the same two-level-DECIMAL escape q_embed_standardize documents);
+    // the final per-arm means are fixed double expressions over exact
+    // sums, the q_ab_test contract. Scale: one user shuffle + one
+    // 2-group rollup; θ broadcast back as a scalar cross join.
+    "q_cuped" -> ((s, d) => {
+      val cut = lit("2024-01-16").cast("timestamp")
+      val u = Tables.events(s, d)
+        .select(pmod(col("user_id"), lit(2)).as("arm"), col("user_id"),
+          when(col("ts") < cut,
+            floor(col("value") * lit(1000.0) + lit(0.5)).cast("long"))
+            .as("prem"),
+          when(col("ts") >= cut,
+            floor(col("value") * lit(1000.0) + lit(0.5)).cast("long"))
+            .as("postm"))
+        .groupBy(col("arm"), col("user_id"))
+        .agg(coalesce(sum(col("prem")), lit(0L)).as("pre_m"),
+          coalesce(sum(col("postm")), lit(0L)).as("post_m"))
+        .withColumn("pre_d", expr("pre_m div 1000"))
+        .withColumn("post_d", expr("post_m div 1000"))
+      val g = u.agg(count(lit(1)).as("n"),
+        sum(col("pre_d")).as("sx"), sum(col("post_d")).as("sy"),
+        sum(col("pre_d") * col("pre_d")).as("sxx"),
+        sum(col("pre_d") * col("post_d")).as("sxy"))
+        .select(
+          (col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy") / col("n")).as("covn"),
+          (col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx") / col("n")).as("varn"),
+          (col("sx").cast("double") / col("n")).as("gm"))
+      val gt = g.withColumn("theta",
+        when(col("varn") > 0, col("covn") / col("varn")).otherwise(lit(0.0)))
+      u.crossJoin(broadcast(gt))
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_users"),
+          round(avg(col("post_m").cast("double") / lit(1000.0)), 6)
+            .as("raw_mean"),
+          round(avg(col("post_m").cast("double") / lit(1000.0) -
+            col("theta") *
+              (col("pre_d").cast("double") - col("gm"))), 6)
+            .as("adj_mean"))
+        .orderBy(col("arm"))
+    }),
+
+    // -- Gini concentration (per-nation customer spend) --------------------
+    // The corpus-concentration diagnostic (domain dominance in a crawl,
+    // whale dominance in revenue): exact Gini from the rank-weighted
+    // sum, G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx), on integer cents with
+    // a (spend, custkey) total order. One customer-keyed join-agg, one
+    // nation-keyed rank window — group-parallel, no global sort. The
+    // rank·x products stay under 2⁶³ to ~10⁶ customers/nation at cent
+    // resolution; beyond that the sum widens to DECIMAL.
+    "q_gini" -> ((s, d) => {
+      val spend = Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_nationkey"), col("c_custkey"))
+        .agg(coalesce(sum(floor(col("o_totalprice") * lit(100.0) +
+          lit(0.5)).cast("long")), lit(0L)).as("sp"))
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("sp").asc, col("c_custkey").asc)
+      spend.withColumn("rnk", row_number().over(w))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("sp")).as("total_c"),
+          sum(col("rnk") * col("sp")).as("rs"))
+        .select(col("c_nationkey"), col("n_cust"), col("total_c"),
+          when(col("total_c") > 0,
+            expr("(1000000 * (2 * rs - (n_cust + 1) * total_c)) div " +
+              "(n_cust * total_c)")).as("gini_u"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // -- changepoint detection (single breakpoint, between-group SS) ------
+    // Level-shift detection on the daily purchase-revenue series: the
+    // breakpoint maximizing the between-segment sum of squares, scored
+    // as the INTEGER (SL·nR − SR·nL)² div (nL·nR) on dollar-resolution
+    // day totals so the argmax is engine-exact (the objective is
+    // DEFINED as the integer-divided score; ties break earliest). The
+    // data-sized work is one day-keyed aggregate; the breakpoint scan
+    // is a prefix window over the bounded day frame (≤ series length —
+    // the q_seasonal_dow class of bounded tail), not the event stream.
+    "q_changepoint" -> ((s, d) => {
+      val day = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value")).cast("long")).as("rd"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = day.agg(sum(col("rd")).as("st"),
+        count(lit(1)).as("nt"))
+      day.withColumn("sl", sum(col("rd")).over(w))
+        .withColumn("nl", count(lit(1)).over(w))
+        .crossJoin(broadcast(tot))
+        .filter(col("nl") < col("nt"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("break_day"),
+          expr("((sl * (nt - nl) - (st - sl) * nl) * " +
+            "(sl * (nt - nl) - (st - sl) * nl)) div (nl * (nt - nl))")
+            .as("score_q"),
+          expr("sl div nl").as("mean_left_d"),
+          expr("(st - sl) div (nt - nl)").as("mean_right_d"))
+        .orderBy(col("score_q").desc, col("break_day"))
+        .limit(1)
+    }),
+
+    // -- churn-label generation (training-set assembly) --------------------
+    // The label-generation step of a churn-model pipeline: features
+    // from the first 20 days (event count, purchase cents), label =
+    // silent in the last 10 — emitted as the (activity bucket, label)
+    // training-population histogram with exact integer spend means.
+    // One user-keyed conditional aggregate builds both windows in a
+    // single scan (the q_ab_test one-shuffle discipline); the output
+    // frame is bounded at 10 buckets × 2 labels.
+    "q_churn_label" -> ((s, d) => {
+      val cut = lit("2024-01-21").cast("timestamp")
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(when(col("ts") < cut, 1)).as("n_ev"),
+          coalesce(sum(when(col("ts") < cut &&
+            col("event_type") === "purchase",
+            floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))),
+            lit(0L)).as("purch_c"),
+          count(when(col("ts") >= cut, 1)).as("n_post"))
+        .filter(col("n_ev") > 0)
+        .select(least(expr("n_ev div 10"), lit(9L)).as("bucket"),
+          (col("n_post") === 0).cast("int").cast("long").as("churned"),
+          col("purch_c"))
+        .groupBy(col("bucket"), col("churned"))
+        .agg(count(lit(1)).as("n_users"),
+          expr("sum(purch_c) div count(1)").as("avg_purch_c"))
+        .orderBy(col("bucket"), col("churned"))
     })
   )
 
@@ -1471,6 +1609,93 @@ object AnalyticsQueries extends QueryPack {
         |      greatest(length(a.na), length(b.na)) AS score_q
         |  FROM a JOIN a b ON a.bt = b.bt AND a.na < b.na) t
         |WHERE score_q >= 600000
-        |ORDER BY score_q DESC, na, nb""".stripMargin
+        |ORDER BY score_q DESC, na, nb""".stripMargin,
+
+    // θ from exact dollar-resolution integer moments; identical double
+    // expressions on both sides (q_ab_test contract)
+    "q_cuped" ->
+      """WITH u AS (SELECT user_id % 2 AS arm, user_id,
+        |    coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN
+        |      CAST(floor(value * 1000.0e0 + 0.5e0) AS BIGINT) END), 0)
+        |      AS pre_m,
+        |    coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN
+        |      CAST(floor(value * 1000.0e0 + 0.5e0) AS BIGINT) END), 0)
+        |      AS post_m
+        |  FROM events GROUP BY 1, 2),
+        |ud AS (SELECT arm, user_id, pre_m, post_m,
+        |    pre_m // 1000 AS pre_d, post_m // 1000 AS post_d FROM u),
+        |g AS (SELECT count(*) AS n, sum(pre_d) AS sx, sum(post_d) AS sy,
+        |    sum(pre_d * pre_d) AS sxx, sum(pre_d * post_d) AS sxy
+        |  FROM ud),
+        |t AS (SELECT
+        |    CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n AS covn,
+        |    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS varn,
+        |    CAST(sx AS DOUBLE) / n AS gm FROM g),
+        |t2 AS (SELECT covn, varn, gm,
+        |    CASE WHEN varn > 0 THEN covn / varn ELSE 0.0e0 END AS theta
+        |  FROM t)
+        |SELECT arm, count(*) AS n_users,
+        |  round(avg(CAST(post_m AS DOUBLE) / 1000.0e0), 6) AS raw_mean,
+        |  round(avg(CAST(post_m AS DOUBLE) / 1000.0e0 -
+        |    theta * (CAST(pre_d AS DOUBLE) - gm)), 6) AS adj_mean
+        |FROM ud, t2 GROUP BY arm ORDER BY arm""".stripMargin,
+
+    // exact rank-weighted Gini on integer cents, (spend, custkey) order
+    "q_gini" ->
+      """WITH sp AS (SELECT c_nationkey, c_custkey,
+        |    coalesce(sum(CAST(floor(o_totalprice * 100.0e0 + 0.5e0)
+        |      AS BIGINT)), 0) AS sp
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT c_nationkey, sp, row_number() OVER (
+        |    PARTITION BY c_nationkey ORDER BY sp ASC, c_custkey ASC)
+        |    AS rnk FROM sp)
+        |SELECT c_nationkey, count(*) AS n_cust,
+        |  CAST(sum(sp) AS BIGINT) AS total_c,
+        |  CASE WHEN sum(sp) > 0 THEN
+        |    CAST((1000000 * (2 * sum(rnk * sp) -
+        |      (count(*) + 1) * sum(sp))) //
+        |      (count(*) * sum(sp)) AS BIGINT) END AS gini_u
+        |FROM r GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+
+    // integer between-segment-SS objective; earliest-day tiebreak
+    "q_changepoint" ->
+      """WITH day AS (SELECT CAST(ts AS DATE) AS day,
+        |    sum(CAST(floor(value) AS BIGINT)) AS rd
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |p AS (SELECT day, sum(rd) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl,
+        |    CAST(count(*) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS nl FROM day),
+        |t AS (SELECT sum(rd) AS st, count(*) AS nt FROM day)
+        |SELECT strftime(day, '%Y-%m-%d') AS break_day,
+        |  CAST(((sl * (nt - nl) - (st - sl) * nl) *
+        |    (sl * (nt - nl) - (st - sl) * nl)) // (nl * (nt - nl))
+        |    AS BIGINT) AS score_q,
+        |  CAST(sl // nl AS BIGINT) AS mean_left_d,
+        |  CAST((st - sl) // (nt - nl) AS BIGINT) AS mean_right_d
+        |FROM p, t WHERE nl < nt
+        |ORDER BY score_q DESC, break_day LIMIT 1""".stripMargin,
+
+    // one conditional user aggregate; bounded (bucket, label) histogram
+    "q_churn_label" ->
+      """WITH u AS (SELECT user_id,
+        |    count(CASE WHEN ts < TIMESTAMP '2024-01-21' THEN 1 END)
+        |      AS n_ev,
+        |    coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-21'
+        |      AND event_type = 'purchase' THEN
+        |      CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT) END), 0)
+        |      AS purch_c,
+        |    count(CASE WHEN ts >= TIMESTAMP '2024-01-21' THEN 1 END)
+        |      AS n_post
+        |  FROM events GROUP BY 1)
+        |SELECT least(n_ev // 10, 9) AS bucket,
+        |  CAST(CASE WHEN n_post = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS churned,
+        |  count(*) AS n_users,
+        |  CAST(sum(purch_c) // count(*) AS BIGINT) AS avg_purch_c
+        |FROM u WHERE n_ev > 0
+        |GROUP BY 1, 2 ORDER BY bucket, churned""".stripMargin
   )
 }
