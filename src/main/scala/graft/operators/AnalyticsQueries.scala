@@ -981,8 +981,12 @@ object AnalyticsQueries extends QueryPack {
     // sum, G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx), on integer cents with
     // a (spend, custkey) total order. One customer-keyed join-agg, one
     // nation-keyed rank window — group-parallel, no global sort. The
-    // rank·x products stay under 2⁶³ to ~10⁶ customers/nation at cent
-    // resolution; beyond that the sum widens to DECIMAL.
+    // rank·x SUMS stay exact int64 to ~10⁴ customers/nation at cent
+    // resolution (measured 6.2e13 at sf0.1); the final ratio is a fixed
+    // double expression rounded 6dp — a 1e6-scaled integer numerator
+    // overflows int64 already at sf0.1, which ANSI mode turns into a
+    // hard failure (caught by the 10× probe). Beyond ~sf10 the sums
+    // widen to DECIMAL.
     "q_gini" -> ((s, d) => {
       val spend = Tables.customer(s, d)
         .join(Tables.orders(s, d),
@@ -998,8 +1002,10 @@ object AnalyticsQueries extends QueryPack {
           sum(col("rnk") * col("sp")).as("rs"))
         .select(col("c_nationkey"), col("n_cust"), col("total_c"),
           when(col("total_c") > 0,
-            expr("(1000000 * (2 * rs - (n_cust + 1) * total_c)) div " +
-              "(n_cust * total_c)")).as("gini_u"))
+            round((lit(2.0) * col("rs") -
+              (col("n_cust") + lit(1.0)) * col("total_c")) /
+              (col("n_cust").cast("double") * col("total_c")), 6))
+            .as("gini"))
         .orderBy(col("c_nationkey"))
     }),
 
@@ -1649,14 +1655,15 @@ object AnalyticsQueries extends QueryPack {
         |  GROUP BY 1, 2),
         |r AS (SELECT c_nationkey, sp, row_number() OVER (
         |    PARTITION BY c_nationkey ORDER BY sp ASC, c_custkey ASC)
-        |    AS rnk FROM sp)
-        |SELECT c_nationkey, count(*) AS n_cust,
-        |  CAST(sum(sp) AS BIGINT) AS total_c,
-        |  CASE WHEN sum(sp) > 0 THEN
-        |    CAST((1000000 * (2 * sum(rnk * sp) -
-        |      (count(*) + 1) * sum(sp))) //
-        |      (count(*) * sum(sp)) AS BIGINT) END AS gini_u
-        |FROM r GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+        |    AS rnk FROM sp),
+        |g AS (SELECT c_nationkey, count(*) AS n_cust,
+        |    CAST(sum(sp) AS BIGINT) AS total_c,
+        |    CAST(sum(rnk * sp) AS BIGINT) AS rs FROM r GROUP BY 1)
+        |SELECT c_nationkey, n_cust, total_c,
+        |  CASE WHEN total_c > 0 THEN
+        |    round((2.0e0 * rs - (n_cust + 1.0e0) * total_c) /
+        |      (CAST(n_cust AS DOUBLE) * total_c), 6) END AS gini
+        |FROM g ORDER BY c_nationkey""".stripMargin,
 
     // integer between-segment-SS objective; earliest-day tiebreak
     "q_changepoint" ->
