@@ -1067,6 +1067,72 @@ object AnalyticsQueries extends QueryPack {
         .agg(count(lit(1)).as("n_users"),
           expr("sum(purch_c) div count(1)").as("avg_purch_c"))
         .orderBy(col("bucket"), col("churned"))
+    }),
+
+    // -- discrete-time hazard curve (time-to-conversion survival) ----------
+    // Survival analysis over the event stream: per user, days from
+    // first activity to first purchase, right-censored at the window
+    // end. The life-table quantities — at-risk count n_t (a suffix sum
+    // over the bounded day frame), events d_t, censored c_t, hazard
+    // d_t/n_t in exact micro-integers — are what a Kaplan-Meier plot
+    // reads off. Scale: one user-keyed conditional aggregate carries
+    // all the data-sized work; the suffix-sum window runs on ≤ series
+    // length rows (the q_changepoint bounded-tail class).
+    "q_hazard_curve" -> ((s, d) => {
+      val winEnd = lit("2024-01-31").cast("date")
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("first_day"),
+          min(when(col("event_type") === "purchase", to_date(col("ts"))))
+            .as("purch_day"))
+        .select(
+          when(col("purch_day").isNotNull,
+            datediff(col("purch_day"), col("first_day")))
+            .otherwise(datediff(winEnd, col("first_day")))
+            .cast("long").as("t"),
+          col("purch_day").isNotNull.cast("int").cast("long").as("ev"))
+      val byT = u.groupBy(col("t"))
+        .agg(sum(col("ev")).as("d_events"),
+          sum(lit(1L) - col("ev")).as("c_censored"))
+      val w = Window.orderBy(col("t").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byT.withColumn("n_risk",
+          sum(col("d_events") + col("c_censored")).over(w))
+        .select(col("t"), col("n_risk"), col("d_events"),
+          col("c_censored"),
+          expr("(1000000 * d_events) div n_risk").as("hazard_u"))
+        .orderBy(col("t"))
+    }),
+
+    // -- A/B power analysis (required n per arm from pilot moments) --------
+    // The pre-experiment sizing readout the q_ab_test/q_cuped stack
+    // needs: per metric, the per-arm n for 80% power at α = 0.05
+    // against a 5% lift, n = 2·(z_α/2 + z_β)²·σ²/Δ². The z constant is
+    // a shared literal (7.848886 = (1.959964 + 0.841621)²); σ² and the
+    // mean come from exact milli-integer moment sums, so both engines
+    // evaluate one identical double expression (the q_ab_test
+    // contract). One conditional scan, output bounded at |event types|.
+    "q_power_analysis" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_type"),
+          floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+            .as("vq"))
+      e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("vq")).as("s1"),
+          sum(col("vq") * col("vq")).as("s2"))
+        .filter(col("n") > 1)
+        .select(col("event_type"), col("n"),
+          round(col("s1").cast("double") / col("n") / lit(1000.0), 6)
+            .as("mean_val"),
+          round(
+            (lit(2.0) * lit(7.848886) *
+              ((col("s2").cast("double") -
+                col("s1").cast("double") * col("s1") / col("n")) /
+                (col("n") - lit(1L)))) /
+              ((lit(0.05) * (col("s1").cast("double") / col("n"))) *
+               (lit(0.05) * (col("s1").cast("double") / col("n")))), 2)
+            .as("n_required"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -1703,6 +1769,45 @@ object AnalyticsQueries extends QueryPack {
         |  count(*) AS n_users,
         |  CAST(sum(purch_c) // count(*) AS BIGINT) AS avg_purch_c
         |FROM u WHERE n_ev > 0
-        |GROUP BY 1, 2 ORDER BY bucket, churned""".stripMargin
+        |GROUP BY 1, 2 ORDER BY bucket, churned""".stripMargin,
+
+    // same life-table construction; suffix sum over the bounded t frame
+    "q_hazard_curve" ->
+      """WITH u AS (SELECT user_id,
+        |    min(CAST(ts AS DATE)) AS first_day,
+        |    min(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(ts AS DATE) END) AS purch_day
+        |  FROM events GROUP BY 1),
+        |tt AS (SELECT CAST(CASE WHEN purch_day IS NOT NULL
+        |      THEN purch_day - first_day
+        |      ELSE DATE '2024-01-31' - first_day END AS BIGINT) AS t,
+        |    CASE WHEN purch_day IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM u),
+        |byt AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d_events,
+        |    CAST(sum(1 - ev) AS BIGINT) AS c_censored
+        |  FROM tt GROUP BY 1),
+        |rk AS (SELECT t, d_events, c_censored,
+        |    CAST(sum(d_events + c_censored) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n_risk FROM byt)
+        |SELECT t, n_risk, d_events, c_censored,
+        |  CAST((1000000 * d_events) // n_risk AS BIGINT) AS hazard_u
+        |FROM rk ORDER BY t""".stripMargin,
+
+    // identical double expression over exact milli-integer moments
+    "q_power_analysis" ->
+      """WITH m AS (SELECT event_type, count(*) AS n,
+        |    sum(CAST(floor(value * 1000.0e0 + 0.5e0) AS BIGINT)) AS s1,
+        |    sum(CAST(floor(value * 1000.0e0 + 0.5e0) AS BIGINT) *
+        |        CAST(floor(value * 1000.0e0 + 0.5e0) AS BIGINT)) AS s2
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  round(CAST(s1 AS DOUBLE) / n / 1000.0e0, 6) AS mean_val,
+        |  round((2.0e0 * 7.848886e0 *
+        |    ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) /
+        |      (n - 1))) /
+        |    ((0.05e0 * (CAST(s1 AS DOUBLE) / n)) *
+        |     (0.05e0 * (CAST(s1 AS DOUBLE) / n))), 2) AS n_required
+        |FROM m WHERE n > 1 ORDER BY event_type""".stripMargin
   )
 }

@@ -1144,6 +1144,29 @@ object TextQueries extends QueryPack {
         .repartition(s.sparkContext.defaultParallelism,
           col("d1"), col("d2"))
         .orderBy(col("d1"), col("d2"))
+    }),
+
+    // -- feature hashing (the hashing trick) -------------------------------
+    // The fixed-width featurization step of a text classifier at corpus
+    // scale: token → md5-prefix bucket in [0, 256) — portable across
+    // engines, unlike murmur — with the collision structure surfaced as
+    // the per-bucket (occurrence, distinct-token) histogram. The point
+    // at 100 TB: the model dimension is FIXED at 256 regardless of
+    // vocabulary growth, and the shuffle carries (bucket, token) pairs
+    // only for the distinct-count leg; occurrences map-side-combine
+    // into ≤ 256 cells. Top-20 by load, the heavy-hitter read.
+    "q_feature_hash" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(explode(split(norm(col("text")), " ")).as("t"))
+        .filter(length(col("t")) > 0)
+        .withColumn("bucket",
+          pmod(conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long"),
+            lit(256L)))
+      tok.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("t")).as("n_distinct"))
+        .orderBy(col("n_tokens").desc, col("bucket"))
+        .limit(20)
     })
   )
 
@@ -1977,7 +2000,19 @@ object TextQueries extends QueryPack {
           |  FROM b a JOIN b c ON a.w = c.w AND a.doc_id < c.doc_id
           |  WHERE abs(a.len - c.len) * 10 <= 3 * greatest(a.len, c.len)) t
           |WHERE lev * 10 <= 3 * mx
-          |ORDER BY d1, d2""".stripMargin
+          |ORDER BY d1, d2""".stripMargin,
+
+      // identical md5-prefix bucketing (hex prefix < 2^32, % 256)
+      "q_feature_hash" ->
+        s"""WITH tok AS (SELECT unnest(string_split($normSql, ' ')) AS t
+           |  FROM documents),
+           |b AS (SELECT t,
+           |    ('0x' || substr(md5(t), 1, 8))::BIGINT % 256 AS bucket
+           |  FROM tok WHERE length(t) > 0)
+           |SELECT bucket, count(*) AS n_tokens,
+           |  count(DISTINCT t) AS n_distinct
+           |FROM b GROUP BY 1
+           |ORDER BY n_tokens DESC, bucket LIMIT 20""".stripMargin
     )
   }
 }
