@@ -1133,6 +1133,60 @@ object AnalyticsQueries extends QueryPack {
                (lit(0.05) * (col("s1").cast("double") / col("n")))), 2)
             .as("n_required"))
         .orderBy(col("event_type"))
+    }),
+
+    // -- Benford first-digit audit (data-quality / fraud screen) -----------
+    // The classic fabricated-numbers screen: the leading significant
+    // digit of order totals against Benford's log10(1 + 1/d), with the
+    // expected shares pre-quantized to the same micro-integer literals
+    // on both engines (the q_rank_ndcg discount-weight discipline).
+    // Leading digit comes off the cent-integer's decimal rendering —
+    // invariant under the ×100, no float log anywhere. One map-side-
+    // combined groupBy into ≤ 9 cells; the total broadcasts back.
+    "q_benford_audit" -> ((s, d) => {
+      val pexp = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+        66947L, 57992L, 51153L, 45757L)
+      val digits = Tables.orders(s, d)
+        .select(substring(floor(col("o_totalprice") * lit(100.0) +
+          lit(0.5)).cast("long").cast("string"), 1, 1).cast("long")
+          .as("digit"))
+        .filter(col("digit") >= 1)
+      digits.groupBy(col("digit"))
+        .agg(count(lit(1)).as("n_obs"))
+        .crossJoin(broadcast(digits.agg(count(lit(1)).as("n_all"))))
+        .select(col("digit"), col("n_obs"),
+          expr("(1000000 * n_obs) div n_all").as("p_obs_u"),
+          element_at(typedLit(pexp), col("digit").cast("int"))
+            .as("p_exp_u"))
+        .orderBy(col("digit"))
+    }),
+
+    // -- decile lift chart (model-eval companion to q_auc_roc) -------------
+    // Gains-table evaluation of the same is-English scorer: global
+    // deciles of the (score DESC, id) ranking via the distributed
+    // prefix pass (never a single-partition window — the
+    // q_histogram_eqdepth machinery), positive share per decile as
+    // integer lift vs the base rate. The 1e6·n_pos·n product stays in
+    // int64 to ~10⁸ docs; beyond that the lift numerator widens to
+    // DECIMAL.
+    "q_decile_lift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("double").as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
+          lit(1L).as("one"))
+      val n = docs.count()
+      val tot = docs.agg(sum(col("pos")).as("p_all"))
+      graft.engine.Dist.globalPrefixSum(docs, "score", asc = false,
+          "doc_id", "one", s.sparkContext.defaultParallelism)
+        .withColumn("decile", expr(s"((cum - 1) * 10) div $n"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("pos")).as("n_pos"))
+        .crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_rows"), col("n_pos"),
+          when(col("p_all") > 0,
+            expr(s"(1000000 * n_pos * $n) div (n_rows * p_all)"))
+            .as("lift_u"))
+        .orderBy(col("decile"))
     })
   )
 
@@ -1808,6 +1862,39 @@ object AnalyticsQueries extends QueryPack {
         |      (n - 1))) /
         |    ((0.05e0 * (CAST(s1 AS DOUBLE) / n)) *
         |     (0.05e0 * (CAST(s1 AS DOUBLE) / n))), 2) AS n_required
-        |FROM m WHERE n > 1 ORDER BY event_type""".stripMargin
+        |FROM m WHERE n > 1 ORDER BY event_type""".stripMargin,
+
+    // identical micro-integer Benford expectations; cent-string digit
+    "q_benford_audit" ->
+      """WITH dd AS (SELECT CAST(substr(CAST(CAST(floor(
+        |      o_totalprice * 100.0e0 + 0.5e0) AS BIGINT) AS VARCHAR),
+        |      1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        |f AS (SELECT digit FROM dd WHERE digit >= 1),
+        |t AS (SELECT count(*) AS n_all FROM f)
+        |SELECT digit, count(*) AS n_obs,
+        |  CAST((1000000 * count(*)) // n_all AS BIGINT) AS p_obs_u,
+        |  CAST(([301030, 176091, 124939, 96910, 79181, 66947, 57992,
+        |    51153, 45757])[CAST(digit AS INT)] AS BIGINT) AS p_exp_u
+        |FROM f, t GROUP BY digit, n_all ORDER BY digit""".stripMargin,
+
+    // same (score DESC, id) global ranking; integer lift vs base rate
+    "q_decile_lift" ->
+      """WITH r AS (SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+        |    row_number() OVER (ORDER BY CAST(n_chars AS DOUBLE) DESC,
+        |      doc_id) AS rn
+        |  FROM documents),
+        |t AS (SELECT count(*) AS n, sum(pos) AS p_all FROM r),
+        |g AS (SELECT ((rn - 1) * 10) // n AS decile,
+        |    count(*) AS n_rows, sum(pos) AS n_pos, any_value(n) AS n,
+        |    any_value(p_all) AS p_all
+        |  FROM r, t GROUP BY 1)
+        |SELECT decile, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_pos AS BIGINT) AS n_pos,
+        |  CASE WHEN p_all > 0 THEN
+        |    CAST((1000000 * n_pos * n) // (n_rows * p_all) AS BIGINT)
+        |  END AS lift_u
+        |FROM g ORDER BY decile""".stripMargin
   )
 }

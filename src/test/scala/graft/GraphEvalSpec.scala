@@ -197,6 +197,33 @@ class GraphEvalSpec extends AnyFunSuite {
     }
   }
 
+  test("q_benford_audit: shares sum to one and digits are canonical") {
+    val rows = SparkEntry.queries("q_benford_audit")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val digits = rows.map(_.getAs[Long]("digit"))
+    assert(digits.forall(d => d >= 1 && d <= 9))
+    assert(digits.distinct.length == digits.length)
+    // observed micro shares sum to 1e6 up to one truncation unit per row
+    val share = rows.map(_.getAs[Long]("p_obs_u")).sum
+    assert(share <= 1000000L && share > 1000000L - rows.length,
+      s"observed shares sum to $share")
+    assert(rows.map(_.getAs[Long]("p_exp_u")).sum == 1000000L)
+  }
+
+  test("q_decile_lift partitions the corpus and averages to unit lift") {
+    val rows = SparkEntry.queries("q_decile_lift")(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("decile")).sorted
+      .sameElements(0L until 10L))
+    val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == n)
+    // row-weighted mean lift is 1e6 by construction, up to integer
+    // truncation in each decile's lift
+    val wsum = rows.map(r =>
+      r.getAs[Long]("lift_u") * r.getAs[Long]("n_rows")).sum
+    assert(math.abs(wsum - 1000000L * n) < n * 10,
+      s"weighted lift $wsum vs ${1000000L * n}")
+  }
+
   test("q_cuped: both arms present; adjustment preserves the grand mean") {
     val rows = SparkEntry.queries("q_cuped")(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("arm")).sorted.sameElements(Array(0L, 1L)))
