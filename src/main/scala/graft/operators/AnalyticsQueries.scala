@@ -1187,6 +1187,41 @@ object AnalyticsQueries extends QueryPack {
             expr(s"(1000000 * n_pos * $n) div (n_rows * p_all)"))
             .as("lift_u"))
         .orderBy(col("decile"))
+    }),
+
+    // -- grouped weighted median (quantity-weighted price) -----------------
+    // The weighted order statistic plain percentile can't express: the
+    // price point at which half the UNITS (not half the line items)
+    // have shipped, per return flag. Lower weighted median on exact
+    // integers: sort by (price cents, line id) inside each group, take
+    // the first row whose running weight doubles past the group total.
+    // Group-keyed sort window — parallelism rides the groups, with the
+    // same heavy-group caveat (and Dist two-phase escape) q_outlier_mad
+    // documents. Everything stays int64: cum·2 tops out at twice the
+    // group's unit count.
+    "q_weighted_median" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+            .cast("long").as("price_c"),
+          col("l_quantity").cast("long").as("qty"),
+          col("l_orderkey") * lit(16L) + col("l_linenumber").cast("long"))
+        .toDF("l_returnflag", "price_c", "qty", "lid")
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("price_c").asc, col("lid").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = li.groupBy(col("l_returnflag"))
+        .agg(sum(col("qty")).as("w_all"), count(lit(1)).as("n_lines"))
+      li.withColumn("cum", sum(col("qty")).over(w))
+        .join(broadcast(tot), "l_returnflag")
+        .filter(col("cum") * 2 >= col("w_all"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(struct(col("cum"), col("lid"), col("price_c")))
+          .as("m"), first(col("w_all")).as("w_all"),
+          first(col("n_lines")).as("n_lines"))
+        .select(col("l_returnflag"), col("n_lines"), col("w_all"),
+          col("m.price_c").as("wmedian_c"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -1895,6 +1930,30 @@ object AnalyticsQueries extends QueryPack {
         |  CASE WHEN p_all > 0 THEN
         |    CAST((1000000 * n_pos * n) // (n_rows * p_all) AS BIGINT)
         |  END AS lift_u
-        |FROM g ORDER BY decile""".stripMargin
+        |FROM g ORDER BY decile""".stripMargin,
+
+    // same (price, line-id) order, lower weighted median on exact cents
+    "q_weighted_median" ->
+      """WITH li AS (SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100.0e0 + 0.5e0) AS BIGINT)
+        |      AS price_c,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    l_orderkey * 16 + l_linenumber AS lid
+        |  FROM lineitem),
+        |c AS (SELECT l_returnflag, price_c, qty, lid,
+        |    sum(qty) OVER (PARTITION BY l_returnflag
+        |      ORDER BY price_c, lid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM li),
+        |t AS (SELECT l_returnflag, sum(qty) AS w_all,
+        |    count(*) AS n_lines FROM li GROUP BY 1),
+        |m AS (SELECT c.l_returnflag, price_c, cum, lid, t.w_all,
+        |    t.n_lines
+        |  FROM c JOIN t USING (l_returnflag) WHERE cum * 2 >= w_all),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY cum, lid) AS rn FROM m)
+        |SELECT l_returnflag, CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(w_all AS BIGINT) AS w_all, price_c AS wmedian_c
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin
   )
 }

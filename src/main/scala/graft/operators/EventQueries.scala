@@ -129,6 +129,30 @@ object EventQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // -- as-of join with a tolerance bound (attribution window) ------------
+    // merge_asof(tolerance=1h): each purchase matched to the latest
+    // prior click only if it happened within the hour — the standard
+    // attribution-window contract that plain as-of can't express (a
+    // week-old click must NOT claim the sale). Same one-shuffle sorted
+    // window as q_asof_join; the matched timestamp rides the same frame
+    // and a stale match nulls out, keeping left-outer semantics.
+    "q_asof_tolerance" -> ((s, d) => {
+      val e = Tables.eventsWithTime(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts_us").as("c_ts"),
+          col("value").as("c_value"))
+      AsOfJoin.asofBackwardTolerance(
+          purchases, clicks,
+          leftKey = col("user_id"), rightKey = col("c_user"),
+          leftTs = col("ts_us"), rightTs = col("c_ts"),
+          toleranceUs = 3600L * 1000000L)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("c_ts").as("click_ts"), col("c_value").as("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // -- resample + forward fill: regularize a sparse series ---------------
     // Time-series regularization: hourly grid per series over the full
     // corpus range (bounds arrive as a broadcast 1-row frame — no driver
@@ -553,6 +577,30 @@ object EventQueries extends QueryPack {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY us, is_p
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_id, user_id, us AS ts_us, view_ts, view_value
+        |FROM m WHERE is_p = 1 ORDER BY event_id""".stripMargin,
+
+    // same window as q_asof_join; a match older than the hour nulls out
+    "q_asof_tolerance" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS us, 0 AS is_p,
+        |         NULL::BIGINT AS event_id, value AS c_value
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts) AS us, 1 AS is_p, event_id,
+        |         NULL::DOUBLE AS c_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT user_id, us, is_p, event_id,
+        |    last_value(CASE WHEN is_p = 0 THEN us END IGNORE NULLS)
+        |      OVER w AS mt,
+        |    last_value(CASE WHEN is_p = 0 THEN c_value END IGNORE NULLS)
+        |      OVER w AS mv
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, is_p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, us AS ts_us,
+        |  CASE WHEN us - mt <= 3600000000 THEN mt END AS click_ts,
+        |  CASE WHEN us - mt <= 3600000000 THEN mv END AS click_value
         |FROM m WHERE is_p = 1 ORDER BY event_id""".stripMargin,
 
     // integer TWAP: milli-unit quantization + exact integer division

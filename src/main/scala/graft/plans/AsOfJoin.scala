@@ -58,6 +58,47 @@ object AsOfJoin {
       .select(col("__l.*") +: right.columns.map(c => col(s"__m.$c")): _*)
   }
 
+  /** [[asofBackward]] with a match-window bound (pandas merge_asof
+    * `tolerance`): the latest right row with
+    * `leftTs - toleranceUs <= rightTs <= leftTs`. Same single-shuffle
+    * union + sorted-window shape — the matched timestamp rides a second
+    * window expression over the SAME frame (one sort, two projections),
+    * and a stale match nulls the whole right struct, preserving
+    * left-outer semantics. */
+  def asofBackwardTolerance(left: DataFrame, right: DataFrame,
+                            leftKey: Column, rightKey: Column,
+                            leftTs: Column, rightTs: Column,
+                            toleranceUs: Long): DataFrame = {
+    val lStruct = StructType(left.schema.fields)
+    val rStruct = StructType(right.schema.fields)
+    val lCols = left.columns.map(col)
+    val rCols = right.columns.map(col)
+
+    val lTagged = left.select(
+      leftKey.as("__k"), leftTs.cast("long").as("__t"),
+      lit(1).as("__is_l"),
+      struct(lCols: _*).as("__l"),
+      lit(null).cast(rStruct).as("__r"))
+    val rTagged = right.select(
+      rightKey.as("__k"), rightTs.cast("long").as("__t"),
+      lit(0).as("__is_l"),
+      lit(null).cast(lStruct).as("__l"),
+      struct(rCols: _*).as("__r"))
+
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__is_l").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lTagged.unionByName(rTagged)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__mt", last(when(col("__is_l") === 0, col("__t")),
+        ignoreNulls = true).over(w))
+      .filter(col("__is_l") === 1)
+      .withColumn("__mok",
+        when(col("__t") - col("__mt") <= toleranceUs, col("__m")))
+      .select(col("__l.*") +: right.columns.map(c => col(s"__mok.$c")): _*)
+  }
+
   /** The mirror direction (pandas merge_asof direction='forward'): for
     * each `left` row, the EARLIEST `right` row with `rightTs >= leftTs`
     * within the key. Same single-shuffle union + sorted-window shape,
