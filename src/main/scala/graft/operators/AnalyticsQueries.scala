@@ -1193,12 +1193,16 @@ object AnalyticsQueries extends QueryPack {
     // The weighted order statistic plain percentile can't express: the
     // price point at which half the UNITS (not half the line items)
     // have shipped, per return flag. Lower weighted median on exact
-    // integers: sort by (price cents, line id) inside each group, take
-    // the first row whose running weight doubles past the group total.
-    // Group-keyed sort window — parallelism rides the groups, with the
-    // same heavy-group caveat (and Dist two-phase escape) q_outlier_mad
-    // documents. Everything stays int64: cum·2 tops out at twice the
-    // group's unit count.
+    // integers under the (price cents, line id) total order. With only
+    // 3 groups a naive per-group sort window serializes the corpus
+    // onto 3 tasks — the probe measured 5.8× at 10× data — so this is
+    // the TWO-PHASE exact form: (1) weight mass per $100 price bin
+    // (map-side combined, bins × groups bounded), a prefix over the
+    // tiny bin frame locates the median bin and its exclusive weight
+    // offset; (2) only that bin's rows (~1/10³ of the corpus) are
+    // sorted to pin the exact row. Bin = a monotone function of price,
+    // so the two-phase answer is IDENTICAL to the full sort — the
+    // oracle keeps the direct window formulation as proof.
     "q_weighted_median" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .select(col("l_returnflag"),
@@ -1207,13 +1211,30 @@ object AnalyticsQueries extends QueryPack {
           col("l_quantity").cast("long").as("qty"),
           col("l_orderkey") * lit(16L) + col("l_linenumber").cast("long"))
         .toDF("l_returnflag", "price_c", "qty", "lid")
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("price_c").asc, col("lid").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .withColumn("bin", expr("price_c div 10000"))
+      val bins = li.groupBy(col("l_returnflag"), col("bin"))
+        .agg(sum(col("qty")).as("bw"))
       val tot = li.groupBy(col("l_returnflag"))
         .agg(sum(col("qty")).as("w_all"), count(lit(1)).as("n_lines"))
-      li.withColumn("cum", sum(col("qty")).over(w))
+      val wBin = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("bin").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tgt = bins.withColumn("cumb", sum(col("bw")).over(wBin))
         .join(broadcast(tot), "l_returnflag")
+        .filter(col("cumb") * 2 >= col("w_all"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(struct(col("bin"), col("cumb"), col("bw"))).as("tb"),
+          first(col("w_all")).as("w_all"),
+          first(col("n_lines")).as("n_lines"))
+        .select(col("l_returnflag"), col("tb.bin").as("mbin"),
+          (col("tb.cumb") - col("tb.bw")).as("w_off"),
+          col("w_all"), col("n_lines"))
+      val wRow = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("price_c").asc, col("lid").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      li.join(broadcast(tgt), "l_returnflag")
+        .filter(col("bin") === col("mbin"))
+        .withColumn("cum", sum(col("qty")).over(wRow) + col("w_off"))
         .filter(col("cum") * 2 >= col("w_all"))
         .groupBy(col("l_returnflag"))
         .agg(min(struct(col("cum"), col("lid"), col("price_c")))
