@@ -884,6 +884,29 @@ object PipelineQueries extends QueryPack {
           .as("acctbal_bucket"),
         col("c_mktsegment"))
         .orderBy(col("pseudo_id"))
+    }),
+
+    // -- deterministic epoch shuffle (reproducible training order) ---------
+    // The data-loader contract a training run needs from the warehouse:
+    // a SEEDED, engine-portable permutation per epoch — order by
+    // md5(epoch:doc_id) — so any worker can reconstruct any epoch's
+    // order without coordination or stored state. Each epoch's head is
+    // a TakeOrderedAndProject (parallel top-K, never a full sort
+    // materialization); at 100 TB a consumer reads the same ordering as
+    // a range scan over the computed key. Two epochs shown to pin that
+    // orders actually differ across epochs.
+    "q_epoch_shuffle" -> ((s, d) => {
+      def epoch(e: Int) = Tables.documents(s, d)
+        .select(lit(e.toLong).as("epoch"), col("doc_id"),
+          md5(concat(lit(s"epoch$e:"), col("doc_id").cast("string")))
+            .as("k"))
+        .orderBy(col("k").asc, col("doc_id").asc).limit(10)
+      val w = Window.partitionBy(col("epoch"))
+        .orderBy(col("k").asc, col("doc_id").asc)
+      epoch(1).unionByName(epoch(2))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("epoch"), col("pos"), col("doc_id"))
+        .orderBy(col("epoch"), col("pos"))
     })
   )
 
@@ -1437,6 +1460,21 @@ object PipelineQueries extends QueryPack {
         |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) * 1000
         |    AS acctbal_bucket,
         |  c_mktsegment
-        |FROM customer ORDER BY pseudo_id""".stripMargin
+        |FROM customer ORDER BY pseudo_id""".stripMargin,
+
+    // identical seeded md5 permutation keys per epoch
+    "q_epoch_shuffle" ->
+      """WITH e AS (
+        |  SELECT 1 AS epoch, doc_id,
+        |    md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 2, doc_id, md5('epoch2:' || CAST(doc_id AS VARCHAR))
+        |  FROM documents),
+        |r AS (SELECT epoch, doc_id, row_number() OVER (
+        |    PARTITION BY epoch ORDER BY k, doc_id) AS pos FROM e)
+        |SELECT CAST(epoch AS BIGINT) AS epoch, CAST(pos AS BIGINT) AS pos,
+        |  doc_id
+        |FROM r WHERE pos <= 10 ORDER BY epoch, pos""".stripMargin
   )
 }

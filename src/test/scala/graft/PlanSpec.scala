@@ -475,12 +475,20 @@ class PlanSpec extends AnyFunSuite {
     // must stay equi-join-keyed — the wedge joins in particular
     // (q_triangle_count, q_link_predict) would melt as cartesians.
     for (q <- Seq("q_triangle_count", "q_link_predict", "q_item_recs",
-        "q_kcore", "q_auc_roc", "q_entity_match")) {
+        "q_kcore", "q_auc_roc", "q_entity_match", "q_weighted_median",
+        "q_asof_tolerance", "q_hazard_curve", "q_churn_label")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
         s"$q degenerated to a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$q degenerated to a nested-loop join")
     }
+  }
+
+  test("q_epoch_shuffle epoch heads fuse into TakeOrderedAndProject") {
+    // the seeded permutation must never materialize a full corpus sort:
+    // each epoch's top-10 is the parallel top-K operator
+    val p = plan("q_epoch_shuffle")
+    assert(p.contains("TakeOrderedAndProject"), p)
   }
 }
