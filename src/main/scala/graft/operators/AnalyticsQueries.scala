@@ -1243,6 +1243,62 @@ object AnalyticsQueries extends QueryPack {
         .select(col("l_returnflag"), col("n_lines"), col("w_all"),
           col("m.price_c").as("wmedian_c"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // -- rolling window quantiles (7-day revenue median / max) -------------
+    // The time-series smoothing readout EWMA can't give: exact order
+    // statistics over a 7-day moving frame. The moving frame holds ≤ 7
+    // integer day totals, so the exact lower median comes from sorting
+    // the collected frame in place — no approximate sketch, no
+    // re-ranking pass. Data-sized work is the one day-keyed aggregate;
+    // the window runs on the bounded day frame (q_changepoint class).
+    "q_rolling_quantile" -> ((s, d) => {
+      val day = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value")).cast("long")).as("rd"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      day.withColumn("win", sort_array(collect_list(col("rd")).over(w)))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("rd"),
+          element_at(col("win"), ((size(col("win")) + 1) / 2)
+            .cast("int")).as("med7"),
+          element_at(col("win"), size(col("win"))).as("max7"))
+        .orderBy(col("day"))
+    }),
+
+    // -- cross-metric correlation matrix (daily co-movement) ---------------
+    // Which metrics move together day over day: Pearson correlation for
+    // every event-type pair on the daily totals. The data-sized work is
+    // one (day, type) aggregate; the pair frame is the bounded day
+    // matrix self-joined on day (≤ |types|²·days rows), with exact
+    // integer co-moment sums and ONE fixed double expression per pair —
+    // the q_ab_test contract, never Spark's streaming corr kernel
+    // (merge-order-dependent) on the hot path.
+    "q_corr_matrix" -> ((s, d) => {
+      val day = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(sum(floor(col("value")).cast("long")).as("rd"))
+      val a = day.select(col("day"), col("event_type").as("t1"),
+        col("rd").as("x"))
+      val b = day.select(col("day"), col("event_type").as("t2"),
+        col("rd").as("y"))
+      a.join(b, "day").filter(col("t1") < col("t2"))
+        .groupBy(col("t1"), col("t2"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("t1"), col("t2"), col("n_days"),
+          round((col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy") / col("n_days")) /
+            (sqrt(col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx") / col("n_days")) *
+             sqrt(col("syy").cast("double") -
+              col("sy").cast("double") * col("sy") / col("n_days"))), 6)
+            .as("corr"))
+        .orderBy(col("t1"), col("t2"))
     })
   )
 
@@ -1975,6 +2031,38 @@ object AnalyticsQueries extends QueryPack {
         |    ORDER BY cum, lid) AS rn FROM m)
         |SELECT l_returnflag, CAST(n_lines AS BIGINT) AS n_lines,
         |  CAST(w_all AS BIGINT) AS w_all, price_c AS wmedian_c
-        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+
+    // same sorted moving frame; lower median at (size+1)//2, 1-based
+    "q_rolling_quantile" ->
+      """WITH day AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS rd
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |w AS (SELECT day, rd, list_sort(list(rd) OVER (ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win FROM day)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, rd,
+        |  win[CAST((len(win) + 1) // 2 AS INT)] AS med7,
+        |  win[CAST(len(win) AS INT)] AS max7
+        |FROM w ORDER BY day""".stripMargin,
+
+    // exact integer co-moments per pair; one identical double expression
+    "q_corr_matrix" ->
+      """WITH day AS (SELECT CAST(ts AS DATE) AS day, event_type,
+        |    sum(CAST(floor(value) AS BIGINT)) AS rd
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type AS t1, b.event_type AS t2,
+        |    count(*) AS n_days,
+        |    sum(a.rd) AS sx, sum(b.rd) AS sy,
+        |    sum(a.rd * a.rd) AS sxx, sum(b.rd * b.rd) AS syy,
+        |    sum(a.rd * b.rd) AS sxy
+        |  FROM day a JOIN day b ON a.day = b.day
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT t1, t2, CAST(n_days AS BIGINT) AS n_days,
+        |  round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n_days) /
+        |    (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n_days) *
+        |     sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n_days)),
+        |    6) AS corr
+        |FROM p ORDER BY t1, t2""".stripMargin
   )
 }
