@@ -1299,6 +1299,72 @@ object AnalyticsQueries extends QueryPack {
               col("sy").cast("double") * col("sy") / col("n_days"))), 6)
             .as("corr"))
         .orderBy(col("t1"), col("t2"))
+    }),
+
+    // -- fulfillment SLA: ship-lag percentiles per priority -----------------
+    // Exact p50/p90 of order-to-ship days per priority WITHOUT a
+    // per-group row sort: lag values live on a small integer domain, so
+    // the percentiles come off the (priority, lag) CONTINGENCY frame —
+    // count per distinct lag, prefix within priority, smallest lag
+    // whose cumulative count crosses the rank threshold (lower
+    // percentile contract, ceil via the cum·k ≥ q·n comparison). The
+    // same trick q_auc_roc uses: the shuffle carries only the bounded
+    // contingency frame, never the line items.
+    "q_ship_lag" -> ((s, d) => {
+      val lag = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+            .as("lag_d"))
+      val g = lag.groupBy(col("o_orderpriority"), col("lag_d"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("lag_d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("cum", sum(col("c")).over(w))
+        .join(broadcast(lag.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))), "o_orderpriority")
+        .groupBy(col("o_orderpriority"))
+        .agg(first(col("n")).as("n_lines"),
+          min(when(col("cum") * 2 >= col("n"), col("lag_d")))
+            .as("p50_lag"),
+          min(when(col("cum") * 10 >= col("n") * 9, col("lag_d")))
+            .as("p90_lag"),
+          max(col("lag_d")).as("max_lag"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // -- target encoding (smoothed category → rate feature) ----------------
+    // The categorical-feature workhorse of tabular ML, done exactly:
+    // per brand, the above-global-mean rate shrunk toward the global
+    // prior with pseudo-count m = 10 — enc = (pos + m·prior)/(n + m) as
+    // the integer (1e6·pos + m·prior_u) div (n + m), so rare brands
+    // collapse to the prior instead of memorizing noise. Global mean
+    // and prior are exact integer aggregates broadcast back; one
+    // brand-keyed aggregate carries the data-sized work.
+    "q_target_encode" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .select(col("p_brand"),
+          floor(col("p_retailprice") * lit(100.0) + lit(0.5))
+            .cast("long").as("price_c"))
+      val glob = p.agg(count(lit(1)).as("n_all"),
+        sum(col("price_c")).as("s_all"))
+        .select(col("n_all"), expr("s_all div n_all").as("gm_c"))
+      val labeled = p.crossJoin(broadcast(glob))
+        .withColumn("pos",
+          (col("price_c") > col("gm_c")).cast("int").cast("long"))
+      val prior = labeled.agg(count(lit(1)).as("np"),
+        sum(col("pos")).as("pp"))
+        .select(expr("(1000000 * pp) div np").as("prior_u"))
+      labeled.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("pos"))
+        .crossJoin(broadcast(prior))
+        .select(col("p_brand"), col("n"), col("pos"),
+          expr("(1000000 * pos + 10 * prior_u) div (n + 10)")
+            .as("enc_u"),
+          col("prior_u"))
+        .orderBy(col("p_brand"))
     })
   )
 
@@ -2063,6 +2129,47 @@ object AnalyticsQueries extends QueryPack {
         |    (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n_days) *
         |     sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n_days)),
         |    6) AS corr
-        |FROM p ORDER BY t1, t2""".stripMargin
+        |FROM p ORDER BY t1, t2""".stripMargin,
+
+    // same contingency-prefix percentiles (lower-percentile contract)
+    "q_ship_lag" ->
+      """WITH lag AS (SELECT o_orderpriority,
+        |    CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+        |      AS BIGINT) AS lag_d
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |g AS (SELECT o_orderpriority, lag_d, count(*) AS c
+        |  FROM lag GROUP BY 1, 2),
+        |cgg AS (SELECT o_orderpriority, lag_d, c, sum(c) OVER (
+        |    PARTITION BY o_orderpriority ORDER BY lag_d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM g),
+        |t AS (SELECT o_orderpriority, count(*) AS n FROM lag GROUP BY 1)
+        |SELECT o_orderpriority, CAST(any_value(n) AS BIGINT) AS n_lines,
+        |  CAST(min(CASE WHEN cum * 2 >= n THEN lag_d END) AS BIGINT)
+        |    AS p50_lag,
+        |  CAST(min(CASE WHEN cum * 10 >= n * 9 THEN lag_d END) AS BIGINT)
+        |    AS p90_lag,
+        |  CAST(max(lag_d) AS BIGINT) AS max_lag
+        |FROM cgg JOIN t USING (o_orderpriority)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // same smoothed-rate arithmetic on exact integer aggregates
+    "q_target_encode" ->
+      """WITH p AS (SELECT p_brand,
+        |    CAST(floor(p_retailprice * 100.0e0 + 0.5e0) AS BIGINT)
+        |      AS price_c
+        |  FROM part),
+        |gl AS (SELECT count(*) AS n_all,
+        |    sum(price_c) // count(*) AS gm_c FROM p),
+        |lab AS (SELECT p_brand,
+        |    CASE WHEN price_c > gm_c THEN 1 ELSE 0 END AS pos
+        |  FROM p, gl),
+        |pr AS (SELECT (1000000 * sum(pos)) // count(*) AS prior_u
+        |  FROM lab)
+        |SELECT p_brand, count(*) AS n, CAST(sum(pos) AS BIGINT) AS pos,
+        |  CAST((1000000 * sum(pos) + 10 * any_value(prior_u)) //
+        |    (count(*) + 10) AS BIGINT) AS enc_u,
+        |  CAST(any_value(prior_u) AS BIGINT) AS prior_u
+        |FROM lab, pr GROUP BY p_brand ORDER BY p_brand""".stripMargin
   )
 }
