@@ -194,6 +194,27 @@ object VectorQueries extends QueryPack {
         .orderBy(col("q_id"))
     }),
 
+    // -- IVF index balance audit (cell-size distribution) -------------------
+    // The index-health counterpart of q_ann_recall: the cell-size
+    // histogram of the two-level IVF assignment. A balanced index has
+    // cells near corpus/nlist; a skewed one concentrates probes on hot
+    // cells and silently degrades both latency and recall — this is the
+    // rebalance/re-train trigger an ANN service monitors. Reuses the
+    // SHARED ivfIndex2/ivfAssign2 helpers (and their oracle CTE twins),
+    // so the audited blocking is bit-identical to what q_sim_ivf /
+    // q_sim_pairs actually run.
+    "q_ivf_balance" -> ((s, d) => {
+      val pts = emb(s, d).withColumn("nrm", Vectors.norm(col("v")))
+        .select(col("vec_id").as("id"), col("v"), col("nrm"))
+      val idx = Vectors.ivfIndex2(pts, Vectors.deriveNlist(pts.count()))
+      Vectors.ivfAssign2(pts, idx, nprobe = 1)
+        .groupBy(col("cid")).agg(count(lit(1)).as("sz"))
+        .groupBy(expr("sz div 8").as("size_bucket"))
+        .agg(count(lit(1)).as("n_cells"),
+          min(col("sz")).as("min_sz"), max(col("sz")).as("max_sz"))
+        .orderBy(col("size_bucket"))
+    }),
+
     // -- retrieval ranking metrics: NDCG@10 / MRR / hits -------------------
     // The retrieval-eval counterpart of q_eval_metrics' classification
     // P/R/F1 and q_ann_recall's index health: score the cosine top-10
@@ -1343,6 +1364,22 @@ object VectorQueries extends QueryPack {
 
       // integer fixed-point Lloyd rounds: see the query comment
       "q_kmeans" -> kmeansSql,
+
+      // identical two-level blocking via the shared ivf2* CTEs
+      "q_ivf_balance" -> {
+        import graft.engine.OracleHash._
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+           |  FROM embeddings),
+           |n AS (SELECT vec_id, vd,
+           |    sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
+           |${ivf2IndexCtes("n", "vec_id")},
+           |${ivf2AssignCte("asg", "n", "vec_id", "", 1)},
+           |sz AS (SELECT cid, count(*) AS sz FROM asg GROUP BY 1)
+           |SELECT sz // 8 AS size_bucket, count(*) AS n_cells,
+           |  CAST(min(sz) AS BIGINT) AS min_sz,
+           |  CAST(max(sz) AS BIGINT) AS max_sz
+           |FROM sz GROUP BY 1 ORDER BY size_bucket""".stripMargin
+      },
 
       // same raw-cosine top-10 ranking as q_sim_topk; identical integer
       // discount-weight literals (1-based list indexing matches
