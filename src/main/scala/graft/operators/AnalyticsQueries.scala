@@ -1365,6 +1365,95 @@ object AnalyticsQueries extends QueryPack {
             .as("enc_u"),
           col("prior_u"))
         .orderBy(col("p_brand"))
+    }),
+
+    // -- right-to-be-forgotten sweep (deletion audit) ------------------------
+    // The GDPR/CCPA erasure pass that completes the privacy stack
+    // (q_anonymize, q_kanon, q_dp_*): given a deletion request list (a
+    // deterministic stand-in: the 20 lowest user ids), report per event
+    // type what a scrub would delete vs retain — the audit artifact a
+    // compliance pipeline logs BEFORE rewriting partitions. The request
+    // list broadcasts (it is always tiny relative to the corpus); the
+    // fact side never shuffles, one conditional aggregate.
+    "q_forget_user" -> ((s, d) => {
+      val doomed = Tables.events(s, d)
+        .select(col("user_id")).distinct()
+        .orderBy(col("user_id")).limit(20)
+        .withColumnRenamed("user_id", "del_uid")
+      Tables.events(s, d)
+        .join(broadcast(doomed), col("user_id") === col("del_uid"),
+          "left")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("del_uid").isNotNull, 1L).otherwise(0L))
+            .as("n_deleted"),
+          sum(when(col("del_uid").isNull, 1L).otherwise(0L))
+            .as("n_retained"))
+        .orderBy(col("event_type"))
+    }),
+
+    // -- difference-in-differences (quasi-experimental lift) ----------------
+    // The observational-causal estimator the A/B stack needs when
+    // treatment wasn't randomized at t0: arm × period means around the
+    // Jan-16 cut, DiD = (treat_post − treat_pre) − (ctrl_post −
+    // ctrl_pre). Four conditional moment sums in ONE scan and ONE
+    // 1-row aggregate; means are fixed double expressions over exact
+    // milli-integer sums (the q_ab_test contract).
+    "q_diff_in_diff" -> ((s, d) => {
+      val cut = lit("2024-01-16").cast("timestamp")
+      def cell(a: Int, post: Boolean) = {
+        val cond = pmod(col("user_id"), lit(2)) === a &&
+          (if (post) col("ts") >= cut else col("ts") < cut)
+        (sum(when(cond, col("vq"))).as(s"s_${a}_${if (post) "b" else "a"}"),
+         count(when(cond, lit(1))).as(s"n_${a}_${if (post) "b" else "a"}"))
+      }
+      val e = Tables.events(s, d).select(col("user_id"), col("ts"),
+        floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+          .as("vq"))
+      val (s0a, n0a) = cell(0, post = false); val (s0b, n0b) = cell(0, post = true)
+      val (s1a, n1a) = cell(1, post = false); val (s1b, n1b) = cell(1, post = true)
+      e.agg(s0a, n0a, s0b, n0b, s1a, n1a, s1b, n1b)
+        .select(
+          round(col("s_0_a").cast("double") / col("n_0_a") / 1000.0, 6)
+            .as("ctrl_pre"),
+          round(col("s_0_b").cast("double") / col("n_0_b") / 1000.0, 6)
+            .as("ctrl_post"),
+          round(col("s_1_a").cast("double") / col("n_1_a") / 1000.0, 6)
+            .as("treat_pre"),
+          round(col("s_1_b").cast("double") / col("n_1_b") / 1000.0, 6)
+            .as("treat_post"),
+          round((col("s_1_b").cast("double") / col("n_1_b") / 1000.0 -
+            col("s_1_a").cast("double") / col("n_1_a") / 1000.0) -
+            (col("s_0_b").cast("double") / col("n_0_b") / 1000.0 -
+             col("s_0_a").cast("double") / col("n_0_a") / 1000.0), 6)
+            .as("did"))
+    }),
+
+    // -- graph modularity (partition-quality score) --------------------------
+    // How partitioned the co-purchase graph is under its connected
+    // components: Q = (4m² − Σ_c deg_c²) / 4m² for a partition with no
+    // between-community edges, emitted as the exact integer micro
+    // score. Components come from the SAME large/small-star helper the
+    // dedup pipeline uses; degree sums are two keyed aggregates. The
+    // deg_c² sums stay in int64 to m ≈ 10⁹ edges.
+    "q_modularity" -> ((s, d) => {
+      val e = coEdges(s, d).select(col("p1"), col("p2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val m = e.count()
+      val labels = graft.functions.ConnectedComponents.largeSmallStar(
+        e.select(col("p1").as("d1"), col("p2").as("d2")))
+      val deg = e.select(col("p1").as("node")).union(
+          e.select(col("p2")))
+        .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+      val comm = deg.join(labels, col("node") === col("v"))
+        .groupBy(col("lbl"))
+        .agg(sum(col("dg")).as("deg_c"), count(lit(1)).as("sz"))
+      comm.agg(count(lit(1)).as("n_communities"),
+          max(col("sz")).as("largest"),
+          sum(col("deg_c") * col("deg_c")).as("sd"))
+        .select(col("n_communities"), col("largest"), lit(m).as("m_edges"),
+          expr(s"(1000000 * (4 * $m * $m - sd)) div (4 * $m * $m)")
+            .as("q_u"))
     })
   )
 
@@ -2170,6 +2259,70 @@ object AnalyticsQueries extends QueryPack {
         |  CAST((1000000 * sum(pos) + 10 * any_value(prior_u)) //
         |    (count(*) + 10) AS BIGINT) AS enc_u,
         |  CAST(any_value(prior_u) AS BIGINT) AS prior_u
-        |FROM lab, pr GROUP BY p_brand ORDER BY p_brand""".stripMargin
+        |FROM lab, pr GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // same deterministic 20-user request list; one conditional agg
+    "q_forget_user" ->
+      """WITH doomed AS (SELECT DISTINCT user_id FROM events
+        |  ORDER BY user_id LIMIT 20)
+        |SELECT event_type, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN user_id IN (SELECT user_id FROM doomed)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+        |  CAST(sum(CASE WHEN user_id IN (SELECT user_id FROM doomed)
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS n_retained
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // identical double expressions over exact milli-integer cell sums
+    "q_diff_in_diff" ->
+      """WITH e AS (SELECT user_id % 2 AS arm,
+        |    ts >= TIMESTAMP '2024-01-16' AS post,
+        |    CAST(floor(value * 1000.0e0 + 0.5e0) AS BIGINT) AS vq
+        |  FROM events),
+        |m AS (SELECT
+        |    sum(CASE WHEN arm = 0 AND NOT post THEN vq END) AS s_0_a,
+        |    count(CASE WHEN arm = 0 AND NOT post THEN 1 END) AS n_0_a,
+        |    sum(CASE WHEN arm = 0 AND post THEN vq END) AS s_0_b,
+        |    count(CASE WHEN arm = 0 AND post THEN 1 END) AS n_0_b,
+        |    sum(CASE WHEN arm = 1 AND NOT post THEN vq END) AS s_1_a,
+        |    count(CASE WHEN arm = 1 AND NOT post THEN 1 END) AS n_1_a,
+        |    sum(CASE WHEN arm = 1 AND post THEN vq END) AS s_1_b,
+        |    count(CASE WHEN arm = 1 AND post THEN 1 END) AS n_1_b
+        |  FROM e)
+        |SELECT
+        |  round(CAST(s_0_a AS DOUBLE) / n_0_a / 1000.0e0, 6) AS ctrl_pre,
+        |  round(CAST(s_0_b AS DOUBLE) / n_0_b / 1000.0e0, 6) AS ctrl_post,
+        |  round(CAST(s_1_a AS DOUBLE) / n_1_a / 1000.0e0, 6) AS treat_pre,
+        |  round(CAST(s_1_b AS DOUBLE) / n_1_b / 1000.0e0, 6) AS treat_post,
+        |  round((CAST(s_1_b AS DOUBLE) / n_1_b / 1000.0e0 -
+        |    CAST(s_1_a AS DOUBLE) / n_1_a / 1000.0e0) -
+        |    (CAST(s_0_b AS DOUBLE) / n_0_b / 1000.0e0 -
+        |     CAST(s_0_a AS DOUBLE) / n_0_a / 1000.0e0), 6) AS did
+        |FROM m""".stripMargin,
+
+    // CC labels via the recursive min-reachable fixpoint (the engine's
+    // large/small-star converges to the same min label per component)
+    "q_modularity" ->
+      s"""WITH RECURSIVE $coEdgesSql,
+         |ee AS (SELECT p1 AS src, p2 AS dst FROM pe
+         |  UNION ALL SELECT p2, p1 FROM pe),
+         |reach(v, r) AS (
+         |  SELECT DISTINCT src, src FROM ee
+         |  UNION
+         |  SELECT ee.dst, reach.r FROM reach JOIN ee ON reach.v = ee.src),
+         |lbl AS (SELECT v, min(r) AS lbl FROM reach GROUP BY v),
+         |deg AS (SELECT n AS node, count(*) AS dg FROM (
+         |    SELECT p1 AS n FROM pe UNION ALL SELECT p2 FROM pe) t
+         |  GROUP BY 1),
+         |comm AS (SELECT lbl.lbl, CAST(sum(dg) AS BIGINT) AS deg_c,
+         |    count(*) AS sz
+         |  FROM deg JOIN lbl ON deg.node = lbl.v GROUP BY 1),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pe)
+         |SELECT count(*) AS n_communities,
+         |  CAST(max(sz) AS BIGINT) AS largest,
+         |  any_value(m) AS m_edges,
+         |  CAST((1000000 * (4 * any_value(m) * any_value(m) -
+         |    sum(deg_c * deg_c))) //
+         |    (4 * any_value(m) * any_value(m)) AS BIGINT) AS q_u
+         |FROM comm, mm""".stripMargin
   )
 }
