@@ -1452,8 +1452,10 @@ object AnalyticsQueries extends QueryPack {
           max(col("sz")).as("largest"),
           sum(col("deg_c") * col("deg_c")).as("sd"))
         .select(col("n_communities"), col("largest"), lit(m).as("m_edges"),
-          expr(s"(1000000 * (4 * $m * $m - sd)) div (4 * $m * $m)")
-            .as("q_u"))
+          // ${m}L: an interpolated bare literal parses as INT and the
+          // 4·m² product overflows 32 bits already at sf1 (probe-caught)
+          expr(s"(1000000L * (4L * ${m}L * ${m}L - sd)) div " +
+            s"(4L * ${m}L * ${m}L)").as("q_u"))
     })
   )
 
