@@ -1456,6 +1456,66 @@ object AnalyticsQueries extends QueryPack {
           // 4·m² product overflows 32 bits already at sf1 (probe-caught)
           expr(s"(1000000L * (4L * ${m}L * ${m}L - sd)) div " +
             s"(4L * ${m}L * ${m}L)").as("q_u"))
+    }),
+
+    // -- forecast backtest (seasonal-naive, WMAPE scored) -------------------
+    // The forecasting-eval loop a metrics warehouse runs nightly:
+    // predict each day as the same weekday last week (the
+    // seasonal-naive baseline every real model must beat), scored over
+    // the held-out back half (days ≥ Jan 17) with integer MAE and
+    // weighted-MAPE micro — WMAPE, not MAPE, so zero-revenue days can't
+    // divide by zero. One (type, day) aggregate, one keyed self-join on
+    // the shifted date; both frames bounded at types × days.
+    "q_forecast_backtest" -> ((s, d) => {
+      val day = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value")).cast("long")).as("rd"))
+      val pred = day.select(col("event_type"),
+        date_add(col("day"), 7).as("day"), col("rd").as("pred"))
+      day.join(pred, Seq("event_type", "day"))
+        .filter(col("day") >= lit("2024-01-17").cast("date"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("rd") - col("pred"))).as("sae"),
+          sum(col("rd")).as("sa"))
+        .select(col("event_type"), col("n_days"),
+          expr("sae div n_days").as("mae_d"),
+          when(col("sa") > 0, expr("(1000000 * sae) div sa"))
+            .as("wmape_u"))
+        .orderBy(col("event_type"))
+    }),
+
+    // -- ABC / Pareto classification (inventory analytics) ------------------
+    // The 80/15/5 revenue-concentration classing every ops team runs:
+    // parts ranked by revenue descending, class A while the cumulative
+    // share stays within 80%, B to 95%, C after — ranks from the
+    // distributed prefix pass (q_decile_lift's machinery, never a
+    // single-partition window), thresholds compared in exact integer
+    // cross-products. Output is the bounded 3-row class summary.
+    "q_abc_class" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum(floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+          .cast("long")).as("rev_c"))
+        .select(col("l_partkey"), col("rev_c"),
+          col("rev_c").cast("double").as("score"))
+      val tot = rev.agg(sum(col("rev_c")).as("t_all"))
+      graft.engine.Dist.globalPrefixSum(rev, "score", asc = false,
+          "l_partkey", "rev_c", s.sparkContext.defaultParallelism)
+        .crossJoin(broadcast(tot))
+        .select(col("rev_c"),
+          when(col("cum") * 10 <= col("t_all") * 8, "A")
+            .when(col("cum") * 20 <= col("t_all") * 19, "B")
+            .otherwise("C").as("abc"))
+        .groupBy(col("abc"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("rev_c")).as("rev_c"))
+        .crossJoin(broadcast(tot))
+        // share as a 6dp double ratio: a 1e6-scaled integer numerator
+        // overflows int64 near 9e12 revenue cents (the q_gini lesson)
+        .select(col("abc"), col("n_parts"), col("rev_c"),
+          round(col("rev_c").cast("double") / col("t_all"), 6)
+            .as("share"))
+        .orderBy(col("abc"))
     })
   )
 
@@ -2325,6 +2385,44 @@ object AnalyticsQueries extends QueryPack {
          |  CAST((1000000 * (4 * any_value(m) * any_value(m) -
          |    sum(deg_c * deg_c))) //
          |    (4 * any_value(m) * any_value(m)) AS BIGINT) AS q_u
-         |FROM comm, mm""".stripMargin
+         |FROM comm, mm""".stripMargin,
+
+    // same shifted-date self-join; integer MAE, WMAPE micro
+    "q_forecast_backtest" ->
+      """WITH day AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS rd
+        |  FROM events GROUP BY 1, 2),
+        |j AS (SELECT a.event_type, a.day, a.rd, b.rd AS pred
+        |  FROM day a JOIN day b ON a.event_type = b.event_type
+        |    AND a.day = b.day + INTERVAL 7 DAY
+        |  WHERE a.day >= DATE '2024-01-17')
+        |SELECT event_type, count(*) AS n_days,
+        |  CAST(sum(abs(rd - pred)) // count(*) AS BIGINT) AS mae_d,
+        |  CASE WHEN sum(rd) > 0 THEN
+        |    CAST((1000000 * sum(abs(rd - pred))) // sum(rd) AS BIGINT)
+        |  END AS wmape_u
+        |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // same descending-revenue ranking and integer class thresholds
+    "q_abc_class" ->
+      """WITH rev AS (SELECT l_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100.0e0 + 0.5e0)
+        |      AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT rev_c, sum(rev_c) OVER (
+        |    ORDER BY CAST(rev_c AS DOUBLE) DESC, l_partkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM rev),
+        |t AS (SELECT CAST(sum(rev_c) AS BIGINT) AS t_all FROM rev),
+        |cl AS (SELECT rev_c,
+        |    CASE WHEN cum * 10 <= t_all * 8 THEN 'A'
+        |      WHEN cum * 20 <= t_all * 19 THEN 'B'
+        |      ELSE 'C' END AS abc
+        |  FROM r, t)
+        |SELECT abc, count(*) AS n_parts,
+        |  CAST(sum(rev_c) AS BIGINT) AS rev_c,
+        |  round(CAST(sum(rev_c) AS DOUBLE) / any_value(t_all), 6)
+        |    AS share
+        |FROM cl, t GROUP BY abc ORDER BY abc""".stripMargin
   )
 }
