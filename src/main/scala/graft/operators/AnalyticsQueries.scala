@@ -1516,6 +1516,47 @@ object AnalyticsQueries extends QueryPack {
           round(col("rev_c").cast("double") / col("t_all"), 6)
             .as("share"))
         .orderBy(col("abc"))
+    }),
+
+    // -- growth accounting (new / retained / resurrected / churned) ---------
+    // The canonical MAU decomposition: every week's actives split into
+    // new (first-ever week), retained (also active last week), and
+    // resurrected (returning after a gap); churned counts last week's
+    // actives who went silent. Weeks are integer epoch-week offsets
+    // from the corpus start — no calendar/locale surface to disagree
+    // on. One distinct (user, week) frame, a per-user min, and two
+    // self-joins shifted by one week — all user-keyed; the output is
+    // bounded at the week count.
+    "q_growth_accounting" -> ((s, d) => {
+      val uw = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("datediff(to_date(ts), DATE '2024-01-01') div 7")
+            .as("wk"))
+        .distinct()
+      val firstW = uw.groupBy(col("user_id")).agg(min(col("wk")).as("fw"))
+      val prev = uw.select(col("user_id"), (col("wk") + 1).as("wk"),
+        lit(1L).as("was_prev"))
+      val cur = uw.join(firstW, "user_id")
+        .join(prev, Seq("user_id", "wk"), "left")
+        .select(col("wk"),
+          when(col("wk") === col("fw"), 1L).otherwise(0L).as("is_new"),
+          when(col("wk") =!= col("fw") && col("was_prev").isNotNull, 1L)
+            .otherwise(0L).as("is_ret"),
+          when(col("wk") =!= col("fw") && col("was_prev").isNull, 1L)
+            .otherwise(0L).as("is_res"))
+        .groupBy(col("wk"))
+        .agg(sum(col("is_new")).as("n_new"),
+          sum(col("is_ret")).as("n_retained"),
+          sum(col("is_res")).as("n_resurrected"))
+      val churned = uw.select(col("user_id"), (col("wk") + 1).as("wk"))
+        .join(uw, Seq("user_id", "wk"), "left_anti")
+        .groupBy(col("wk")).agg(count(lit(1)).as("n_churned"))
+      cur.join(churned, Seq("wk"), "full_outer")
+        .select(col("wk"), coalesce(col("n_new"), lit(0L)).as("n_new"),
+          coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+          coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+          coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+        .orderBy(col("wk"))
     })
   )
 
@@ -2423,6 +2464,32 @@ object AnalyticsQueries extends QueryPack {
         |  CAST(sum(rev_c) AS BIGINT) AS rev_c,
         |  round(CAST(sum(rev_c) AS DOUBLE) / any_value(t_all), 6)
         |    AS share
-        |FROM cl, t GROUP BY abc ORDER BY abc""".stripMargin
+        |FROM cl, t GROUP BY abc ORDER BY abc""".stripMargin,
+
+    // same epoch-week decomposition; churn via the shifted anti-join
+    "q_growth_accounting" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    (CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS wk
+        |  FROM events),
+        |fw AS (SELECT user_id, min(wk) AS fw FROM uw GROUP BY 1),
+        |cur AS (SELECT u.wk,
+        |    sum(CASE WHEN u.wk = fw.fw THEN 1 ELSE 0 END) AS n_new,
+        |    sum(CASE WHEN u.wk <> fw.fw AND p.user_id IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS n_retained,
+        |    sum(CASE WHEN u.wk <> fw.fw AND p.user_id IS NULL
+        |      THEN 1 ELSE 0 END) AS n_resurrected
+        |  FROM uw u JOIN fw ON u.user_id = fw.user_id
+        |  LEFT JOIN uw p ON p.user_id = u.user_id AND p.wk + 1 = u.wk
+        |  GROUP BY 1),
+        |ch AS (SELECT a.wk + 1 AS wk, count(*) AS n_churned
+        |  FROM uw a LEFT JOIN uw b
+        |    ON b.user_id = a.user_id AND b.wk = a.wk + 1
+        |  WHERE b.user_id IS NULL GROUP BY 1)
+        |SELECT CAST(wk AS BIGINT) AS wk,
+        |  CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+        |  CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
+        |  CAST(coalesce(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+        |  CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned
+        |FROM cur FULL OUTER JOIN ch USING (wk) ORDER BY wk""".stripMargin
   )
 }
