@@ -1167,6 +1167,69 @@ object TextQueries extends QueryPack {
           countDistinct(col("t")).as("n_distinct"))
         .orderBy(col("n_tokens").desc, col("bucket"))
         .limit(20)
+    }),
+
+    // -- Zipf's-law fit (corpus health / generator audit) -------------------
+    // Natural corpora follow freq ∝ rank^(-s) with s ≈ 1; a slope far
+    // off flags synthetic, templated, or truncated text before it
+    // poisons a training mix. OLS on the (ln rank, ln freq) cloud of
+    // the top-1000 words: counts are a vocabulary-bounded aggregate,
+    // the top-1000 fuses into TakeOrderedAndProject, and ranks + the
+    // fit run on that bounded frame — log noise is ~1e-13 against the
+    // 6dp round (the q_stats_moments argument).
+    "q_zipf_fit" -> ((s, d) => {
+      val wc = Tables.documents(s, d)
+        .select(explode(split(norm(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(1000)
+      val rw = Window.orderBy(col("c").desc, col("w"))
+      wc.withColumn("rnk", row_number().over(rw))
+        .select(log(col("rnk").cast("double")).as("x"),
+          log(col("c").cast("double")).as("y"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("n").as("n_words"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("slope"),
+          round((col("sy") - col("sx") *
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+             (col("n") * col("sxx") - col("sx") * col("sx")))) / col("n"),
+            6).as("intercept"),
+          round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+            (col("n") * col("sxy") - col("sx") * col("sy"))) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+             (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("r2"))
+    }),
+
+    // -- word burstiness (variance-to-mean dispersion) ----------------------
+    // Church–Gale burstiness: content words clump (a doc that mentions
+    // a term mentions it again), function words spread evenly — the
+    // variance-to-mean ratio of per-doc counts separates them and
+    // flags template spam (uniform repetition) in a crawl. Zero-count
+    // docs enter the moments analytically (they add nothing to Σc or
+    // Σc²), so only the present (word, doc) pairs are ever
+    // materialized; N broadcasts as a scalar.
+    "q_burstiness" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.count()
+      docs.select(col("doc_id"),
+          explode(split(norm(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("c"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_docs_present"),
+          sum(col("c")).as("tot"), sum(col("c") * col("c")).as("ss"))
+        .select(col("w"), col("n_docs_present"), col("tot"),
+          round((col("ss").cast("double") -
+            col("tot").cast("double") * col("tot") / lit(nDocs.toDouble)) /
+            col("tot"), 6).as("vmr"))
+        .orderBy(col("tot").desc, col("w"))
+        .limit(20)
     })
   )
 
@@ -2012,7 +2075,43 @@ object TextQueries extends QueryPack {
            |SELECT bucket, count(*) AS n_tokens,
            |  count(DISTINCT t) AS n_distinct
            |FROM b GROUP BY 1
-           |ORDER BY n_tokens DESC, bucket LIMIT 20""".stripMargin
+           |ORDER BY n_tokens DESC, bucket LIMIT 20""".stripMargin,
+
+      // same (ln rank, ln freq) OLS over the top-1000 words
+      "q_zipf_fit" ->
+        s"""WITH wc AS (SELECT w, count(*) AS c FROM (
+           |    SELECT unnest(string_split($normSql, ' ')) AS w
+           |    FROM documents) t
+           |  WHERE length(w) > 0 GROUP BY 1
+           |  ORDER BY c DESC, w LIMIT 1000),
+           |r AS (SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, w)
+           |      AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM wc),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+           |    sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy,
+           |    sum(y * y) AS syy FROM r)
+           |SELECT n AS n_words,
+           |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+           |    AS slope,
+           |  round((sy - sx * ((n * sxy - sx * sy) /
+           |    (n * sxx - sx * sx))) / n, 6) AS intercept,
+           |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+           |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+           |FROM m""".stripMargin,
+
+      // zero-count docs enter the moments analytically; N is a scalar
+      "q_burstiness" ->
+        s"""WITH wd AS (SELECT w, doc_id, count(*) AS c FROM (
+           |    SELECT doc_id, unnest(string_split($normSql, ' ')) AS w
+           |    FROM documents) t
+           |  WHERE length(w) > 0 GROUP BY 1, 2),
+           |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+           |SELECT w, count(*) AS n_docs_present,
+           |  CAST(sum(c) AS BIGINT) AS tot,
+           |  round((CAST(sum(c * c) AS DOUBLE) -
+           |    CAST(sum(c) AS DOUBLE) * sum(c) / any_value(n)) /
+           |    sum(c), 6) AS vmr
+           |FROM wd, nd GROUP BY w
+           |ORDER BY tot DESC, w LIMIT 20""".stripMargin
     )
   }
 }
