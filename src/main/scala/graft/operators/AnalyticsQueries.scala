@@ -1557,6 +1557,68 @@ object AnalyticsQueries extends QueryPack {
           coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
           coalesce(col("n_churned"), lit(0L)).as("n_churned"))
         .orderBy(col("wk"))
+    }),
+
+    // -- bot-candidate detection (rate + regularity heuristics) -------------
+    // The trust-and-safety screen over the event stream: automation
+    // shows up as a HIGH request rate with LOW inter-arrival
+    // dispersion (humans are bursty — q_burstiness's logic applied to
+    // time). Per user: integer events-per-hour over the active span,
+    // and the coefficient of variation of inter-arrival gaps from
+    // exact SECOND-resolution moment sums (µs² would overflow int64 at
+    // month-long gaps). One user-keyed lag window + one aggregate;
+    // top-20 by rate is the review queue.
+    "q_bot_detect" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      val gaps = Tables.eventsWithTime(s, d)
+        .select(col("user_id"), col("ts_us"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        // integer div, not a double cast: DuckDB CAST(DOUBLE AS BIGINT)
+        // rounds while Spark truncates — `div`/`//` agree exactly
+        .withColumn("gap_s", expr("(ts_us - prev_us) div 1000000"))
+      gaps.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("ts_us")) - min(col("ts_us"))).as("span_us"),
+          count(col("gap_s")).as("n_gaps"),
+          sum(col("gap_s")).as("sg"),
+          sum(col("gap_s") * col("gap_s")).as("sgg"))
+        .filter(col("n_gaps") >= 2 && col("span_us") > 0)
+        .select(col("user_id"), col("n_events"),
+          expr("(n_events * 3600000000L) div span_us").as("rate_h"),
+          round(sqrt((col("sgg").cast("double") -
+            col("sg").cast("double") * col("sg") / col("n_gaps")) /
+            col("n_gaps")) /
+            (col("sg").cast("double") / col("n_gaps")), 6).as("gap_cv"))
+        .orderBy(col("rate_h").desc, col("user_id"))
+        .limit(20)
+    }),
+
+    // -- Theil–Sen robust trend (median of pairwise slopes) ------------------
+    // The outlier-immune alternative to the OLS trend: the median of
+    // all pairwise day-slopes of the revenue series, in exact
+    // micro-integers (each slope is an integer division; the median is
+    // an order statistic, so no float accumulates anywhere). The day
+    // frame is bounded, so the pair explosion is days²/2 — the
+    // q_changepoint bounded-tail class — while the data-sized work
+    // stays one keyed aggregate.
+    "q_theilsen" -> ((s, d) => {
+      val day = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(expr("datediff(to_date(ts), DATE '2024-01-01')")
+          .cast("long").as("di"))
+        .agg(sum(floor(col("value")).cast("long")).as("rd"))
+      val a = day.select(col("di").as("d1"), col("rd").as("r1"))
+      val b = day.select(col("di").as("d2"), col("rd").as("r2"))
+      val slopes = a.join(b, col("d1") < col("d2"))
+        .select(expr("(1000000 * (r2 - r1)) div (d2 - d1)")
+          .as("slope_u"))
+      val n = slopes.count()
+      val w = Window.orderBy(col("slope_u"))
+      slopes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === (n + 1) / 2)
+        .crossJoin(broadcast(day.agg(count(lit(1)).as("n_days"))))
+        .select(col("n_days"), lit(n).as("n_pairs"),
+          col("slope_u").as("slope_med_u"))
     })
   )
 
@@ -2490,6 +2552,43 @@ object AnalyticsQueries extends QueryPack {
         |  CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
         |  CAST(coalesce(n_resurrected, 0) AS BIGINT) AS n_resurrected,
         |  CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned
-        |FROM cur FULL OUTER JOIN ch USING (wk) ORDER BY wk""".stripMargin
+        |FROM cur FULL OUTER JOIN ch USING (wk) ORDER BY wk""".stripMargin,
+
+    // same second-resolution gap moments; integer rate over the span
+    "q_bot_detect" ->
+      """WITH g AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts))) // 1000000
+        |      AS gap_s
+        |  FROM events),
+        |u AS (SELECT user_id, count(*) AS n_events,
+        |    max(ts_us) - min(ts_us) AS span_us,
+        |    count(gap_s) AS n_gaps, sum(gap_s) AS sg,
+        |    sum(gap_s * gap_s) AS sgg
+        |  FROM g GROUP BY 1)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST((n_events * 3600000000) // span_us AS BIGINT) AS rate_h,
+        |  round(sqrt((CAST(sgg AS DOUBLE) -
+        |    CAST(sg AS DOUBLE) * sg / n_gaps) / n_gaps) /
+        |    (CAST(sg AS DOUBLE) / n_gaps), 6) AS gap_cv
+        |FROM u WHERE n_gaps >= 2 AND span_us > 0
+        |ORDER BY rate_h DESC, user_id LIMIT 20""".stripMargin,
+
+    // same integer pairwise slopes; lower median by row_number
+    "q_theilsen" ->
+      """WITH day AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS di,
+        |    CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS rd
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |sl AS (SELECT (1000000 * (b.rd - a.rd)) // (b.di - a.di)
+        |    AS slope_u
+        |  FROM day a JOIN day b ON a.di < b.di),
+        |r AS (SELECT slope_u, row_number() OVER (ORDER BY slope_u)
+        |    AS rn, count(*) OVER () AS np FROM sl),
+        |t AS (SELECT count(*) AS n_days FROM day)
+        |SELECT CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(np AS BIGINT) AS n_pairs,
+        |  CAST(slope_u AS BIGINT) AS slope_med_u
+        |FROM r, t WHERE rn = (np + 1) // 2""".stripMargin
   )
 }
