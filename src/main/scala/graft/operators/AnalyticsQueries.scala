@@ -1619,6 +1619,70 @@ object AnalyticsQueries extends QueryPack {
         .crossJoin(broadcast(day.agg(count(lit(1)).as("n_days"))))
         .select(col("n_days"), lit(n).as("n_pairs"),
           col("slope_u").as("slope_med_u"))
+    }),
+
+    // -- relationship-cardinality audit (data-modeling profiler) ------------
+    // What a schema-discovery pass asserts before anyone writes a join:
+    // per declared relation, the left fan-out distribution and whether
+    // the right side is actually unique — the difference between a
+    // safe N:1 lookup and a silent row-multiplying N:M. Each relation
+    // is two keyed aggregates; nothing joins.
+    "q_cardinality_audit" -> ((s, d) => {
+      def rel(name: String, left: DataFrame, lk: String,
+              right: DataFrame, rk: String) = {
+        val l = left.groupBy(col(lk)).agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+            max(col("c")).as("max_fanout"))
+        val r = right.groupBy(col(rk)).agg(count(lit(1)).as("c"))
+          .agg(max(col("c")).as("rmax"))
+        l.crossJoin(broadcast(r)).select(lit(name).as("relation"),
+          col("n_rows"), col("n_keys"), col("max_fanout"),
+          (col("rmax") === 1).cast("int").cast("long")
+            .as("right_unique"),
+          when(col("rmax") === 1,
+            when(col("max_fanout") === 1, "1:1").otherwise("N:1"))
+            .otherwise("N:M").as("rel_class"))
+      }
+      rel("lineitem.orderkey->orders", Tables.lineitem(s, d),
+          "l_orderkey", Tables.orders(s, d), "o_orderkey")
+        .unionByName(rel("orders.custkey->customer", Tables.orders(s, d),
+          "o_custkey", Tables.customer(s, d), "c_custkey"))
+        .unionByName(rel("lineitem.partkey->part", Tables.lineitem(s, d),
+          "l_partkey", Tables.part(s, d), "p_partkey"))
+        .orderBy(col("relation"))
+    }),
+
+    // -- foreign-key discovery (inclusion coefficients) ---------------------
+    // The other half of the profiler: how much of a candidate child
+    // column's domain is contained in the candidate parent key —
+    // inclusion ≈ 1e6 means an FK, low values kill the hypothesis.
+    // Distinct key sets first (the corpus collapses to its key
+    // domains), then a broadcast-friendly semi-join count per pair.
+    "q_fk_inclusion" -> ((s, d) => {
+      def inc(name: String, left: DataFrame, lk: String,
+              right: DataFrame, rk: String) = {
+        val lset = left.select(col(lk).as("k")).distinct()
+        val rset = right.select(col(rk).as("k")).distinct()
+        val nl = lset.agg(count(lit(1)).as("n_child"))
+        val ni = lset.join(rset, Seq("k"), "left_semi")
+          .agg(count(lit(1)).as("n_contained"))
+        nl.crossJoin(broadcast(ni)).select(lit(name).as("candidate"),
+          col("n_child"), col("n_contained"),
+          expr("(1000000 * n_contained) div n_child").as("inclusion_u"))
+      }
+      inc("lineitem.l_partkey in part.p_partkey",
+          Tables.lineitem(s, d), "l_partkey", Tables.part(s, d),
+          "p_partkey")
+        .unionByName(inc("orders.o_custkey in customer.c_custkey",
+          Tables.orders(s, d), "o_custkey", Tables.customer(s, d),
+          "c_custkey"))
+        .unionByName(inc("events.user_id in customer.c_custkey",
+          Tables.events(s, d), "user_id", Tables.customer(s, d),
+          "c_custkey"))
+        .unionByName(inc("part.p_partkey in lineitem.l_partkey",
+          Tables.part(s, d), "p_partkey", Tables.lineitem(s, d),
+          "l_partkey"))
+        .orderBy(col("candidate"))
     })
   )
 
@@ -2589,6 +2653,70 @@ object AnalyticsQueries extends QueryPack {
         |SELECT CAST(n_days AS BIGINT) AS n_days,
         |  CAST(np AS BIGINT) AS n_pairs,
         |  CAST(slope_u AS BIGINT) AS slope_med_u
-        |FROM r, t WHERE rn = (np + 1) // 2""".stripMargin
+        |FROM r, t WHERE rn = (np + 1) // 2""".stripMargin,
+
+    // same two keyed aggregates per relation
+    "q_cardinality_audit" ->
+      """WITH rel AS (
+        |  SELECT 'lineitem.orderkey->orders' AS relation,
+        |    l_orderkey AS lk FROM lineitem
+        |  UNION ALL SELECT 'orders.custkey->customer', o_custkey
+        |    FROM orders
+        |  UNION ALL SELECT 'lineitem.partkey->part', l_partkey
+        |    FROM lineitem),
+        |l AS (SELECT relation, count(*) AS n_keys,
+        |    CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(max(c) AS BIGINT) AS max_fanout FROM (
+        |    SELECT relation, lk, count(*) AS c FROM rel GROUP BY 1, 2) t
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT 'lineitem.orderkey->orders' AS relation,
+        |    CAST(max(c) AS BIGINT) AS rmax FROM (
+        |    SELECT o_orderkey, count(*) AS c FROM orders GROUP BY 1) t
+        |  UNION ALL SELECT 'orders.custkey->customer', max(c) FROM (
+        |    SELECT c_custkey, count(*) AS c FROM customer GROUP BY 1) t
+        |  UNION ALL SELECT 'lineitem.partkey->part', max(c) FROM (
+        |    SELECT p_partkey, count(*) AS c FROM part GROUP BY 1) t)
+        |SELECT l.relation, n_rows, n_keys, max_fanout,
+        |  CAST(CASE WHEN rmax = 1 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS right_unique,
+        |  CASE WHEN rmax = 1 THEN
+        |    CASE WHEN max_fanout = 1 THEN '1:1' ELSE 'N:1' END
+        |  ELSE 'N:M' END AS rel_class
+        |FROM l JOIN r ON l.relation = r.relation
+        |ORDER BY l.relation""".stripMargin,
+
+    // same distinct-domain semi-join counts
+    "q_fk_inclusion" ->
+      """WITH pairs AS (
+        |  SELECT 'lineitem.l_partkey in part.p_partkey' AS candidate,
+        |    (SELECT count(DISTINCT l_partkey) FROM lineitem) AS n_child,
+        |    (SELECT count(*) FROM
+        |      (SELECT DISTINCT l_partkey FROM lineitem) a
+        |      WHERE a.l_partkey IN (SELECT p_partkey FROM part))
+        |      AS n_contained
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey in customer.c_custkey',
+        |    (SELECT count(DISTINCT o_custkey) FROM orders),
+        |    (SELECT count(*) FROM
+        |      (SELECT DISTINCT o_custkey FROM orders) a
+        |      WHERE a.o_custkey IN (SELECT c_custkey FROM customer))
+        |  UNION ALL
+        |  SELECT 'events.user_id in customer.c_custkey',
+        |    (SELECT count(DISTINCT user_id) FROM events),
+        |    (SELECT count(*) FROM
+        |      (SELECT DISTINCT user_id FROM events) a
+        |      WHERE a.user_id IN (SELECT c_custkey FROM customer))
+        |  UNION ALL
+        |  SELECT 'part.p_partkey in lineitem.l_partkey',
+        |    (SELECT count(DISTINCT p_partkey) FROM part),
+        |    (SELECT count(*) FROM
+        |      (SELECT DISTINCT p_partkey FROM part) a
+        |      WHERE a.p_partkey IN (SELECT l_partkey FROM lineitem)))
+        |SELECT candidate, CAST(n_child AS BIGINT) AS n_child,
+        |  CAST(n_contained AS BIGINT) AS n_contained,
+        |  CAST((1000000 * n_contained) // n_child AS BIGINT)
+        |    AS inclusion_u
+        |FROM pairs ORDER BY candidate""".stripMargin
   )
 }
