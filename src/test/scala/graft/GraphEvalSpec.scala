@@ -224,6 +224,85 @@ class GraphEvalSpec extends AnyFunSuite {
       s"weighted lift $wsum vs ${1000000L * n}")
   }
 
+  test("q_weighted_median matches the direct single-sort computation") {
+    val rows = SparkEntry.queries("q_weighted_median")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long"),
+        col("l_quantity").cast("long"),
+        col("l_orderkey") * 16L + col("l_linenumber").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { r =>
+      val fl = r.getAs[String]("l_returnflag")
+      val xs = li.filter(_._1 == fl).sortBy(t => (t._2, t._4))
+      val wAll = xs.map(_._3).sum
+      var cum = 0L
+      val med = xs.find { t => cum += t._3; cum * 2 >= wAll }.get._2
+      assert(r.getAs[Long]("w_all") == wAll)
+      assert(r.getAs[Long]("wmedian_c") == med,
+        s"$fl: engine ${r.getAs[Long]("wmedian_c")} vs brute $med")
+    }
+  }
+
+  test("q_growth_accounting: weekly identities hold") {
+    val rows = SparkEntry.queries("q_growth_accounting")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("wk") ->
+        (r.getAs[Long]("n_new"), r.getAs[Long]("n_retained"),
+         r.getAs[Long]("n_resurrected"), r.getAs[Long]("n_churned")))
+      .toMap
+    val uw = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"),
+        expr("datediff(to_date(ts), DATE '2024-01-01') div 7").as("wk"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val actives = uw.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    for ((wk, (nw, nr, ns, _)) <- rows if actives.contains(wk))
+      assert(nw + nr + ns == actives(wk),
+        s"week $wk: $nw+$nr+$ns != ${actives(wk)} actives")
+    // churn(wk) = actives(wk-1) - retained(wk), for weeks present in both
+    for ((wk, (_, nr, _, _)) <- rows if actives.contains(wk - 1) &&
+        rows.contains(wk))
+      assert(rows(wk)._4 == actives(wk - 1) - nr,
+        s"week $wk: churned ${rows(wk)._4} != ${actives(wk - 1)} - $nr")
+  }
+
+  test("q_theilsen equals the brute-force median pairwise slope") {
+    val got = SparkEntry.queries("q_theilsen")(spark, sfDir).collect().head
+    val day = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("datediff(to_date(ts), DATE '2024-01-01')")
+        .cast("long").as("di"))
+      .agg(sum(floor(col("value")).cast("long")).as("rd"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val slopes = (for {
+      i <- day.indices; j <- (i + 1) until day.length
+    } yield {
+      val (d1, r1) = day(i); val (d2, r2) = day(j)
+      // truncating division: Spark `div` and DuckDB `//` both
+      // truncate toward zero on negatives (checked)
+      (1000000L * (r2 - r1)) / (d2 - d1)
+    }).sorted
+    val want = slopes((slopes.length + 1) / 2 - 1)
+    assert(got.getAs[Long]("n_pairs") == slopes.length)
+    assert(got.getAs[Long]("slope_med_u") == want,
+      s"engine ${got.getAs[Long]("slope_med_u")} vs brute $want")
+  }
+
+  test("q_abc_class partitions all parts and shares sum to one") {
+    val rows = SparkEntry.queries("q_abc_class")(spark, sfDir).collect()
+    val nParts = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_partkey")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_parts")).sum == nParts)
+    val shares = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shares - 1.0) < 1e-5, s"shares sum to $shares")
+    assert(rows.map(_.getAs[String]("abc")).sorted
+      .sameElements(Array("A", "B", "C")))
+  }
+
   test("q_cuped: both arms present; adjustment preserves the grand mean") {
     val rows = SparkEntry.queries("q_cuped")(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("arm")).sorted.sameElements(Array(0L, 1L)))
