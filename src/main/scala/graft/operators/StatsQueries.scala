@@ -333,6 +333,174 @@ object StatsQueries extends QueryPack {
             .as("mean_pred"),
           round(col("n_pos").cast("double") / col("n"), 6).as("rate"))
         .orderBy(col("bin"))
+    }),
+
+    // -- Mann-Whitney U rank-sum test (nonparametric two-sample) -----------
+    // The distribution-free alternative to q_ab_test's t-test: does the
+    // purchase value distribution stochastically dominate clicks? Ranks
+    // with midrank tie handling, computed WITHOUT ever ranking individual
+    // rows: the data-sized step is one groupBy on the milli-quantized
+    // value, and all rank arithmetic runs on the DISTINCT-VALUE frame —
+    // bounded by the quantized value domain (~1e5 cells for values in
+    // [0, 100]), a constant in corpus size, so the unpartitioned prefix
+    // window is scale-safe by construction (the q_changepoint bounded-
+    // frame class). Midranks stay integer by doubling (r2 = 2·below +
+    // t + 1 = twice the average rank of a tie group of size t);
+    // Σcnt1·r2 and the tie-correction Σ(t³−t) accumulate in
+    // DECIMAL(38,0) — exact past 2^63, matching DuckDB's HUGEINT. The
+    // final z (normal approximation with tie-corrected variance)
+    // evaluates in ONE mirrored double expression; a fully-tied corpus
+    // (σ = 0) NULLs z explicitly on both engines.
+    "q_mann_whitney" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val e = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("g1"),
+          floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+            .as("vq"))
+      val byV = e.groupBy(col("vq"))
+        .agg(count(lit(1)).as("cnt"), sum(col("g1")).as("cnt1"))
+      val w = Window.orderBy(col("vq"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = byV
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("r2",
+          lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L))
+      val m = ranked.agg(
+        sum(col("cnt1")).as("n1"),
+        sum(col("cnt") - col("cnt1")).as("n2"),
+        sum(dec(col("cnt1")) * dec(col("r2"))).as("r1d"),
+        sum(dec(col("cnt")) * dec(col("cnt")) * dec(col("cnt")) -
+          dec(col("cnt"))).as("tsum"))
+      val n1D = col("n1").cast("double"); val n2D = col("n2").cast("double")
+      val u1d = col("r1d").cast("double") - n1D * (n1D + lit(1.0))
+      val sig = sqrt(n1D * n2D / lit(12.0) *
+        ((n1D + n2D + lit(1.0)) -
+          col("tsum").cast("double") / ((n1D + n2D) * (n1D + n2D - lit(1.0)))))
+      m.select(col("n1"), col("n2"),
+        round(u1d / lit(2.0), 1).as("u1"),
+        when(sig =!= 0.0,
+          round((u1d - n1D * n2D) / (lit(2.0) * sig), 6)).as("z"))
+    }),
+
+    // -- Benjamini-Hochberg FDR over per-nation chi-square screens ---------
+    // The multiple-testing correction every metric-sweep dashboard needs:
+    // 25 simultaneous per-nation tests (does this nation's order-status
+    // mix deviate from the global mix?) would produce ~1-2 false alarms
+    // per sweep at raw α = 0.05; BH step-up controls the false-discovery
+    // rate across the family. The statistic is the df=2 goodness-of-fit
+    // chi-square against the pooled status shares (3 categories), chosen
+    // deliberately: for even df the chi-square survival function is
+    // CLOSED-FORM (df=2 → p = e^(−x²/2)) — elementary functions only, no
+    // incomplete-gamma dependency either engine would have to approximate.
+    // Determinism: cell terms (O−E)²/E are nano-quantized before the
+    // 3-cell sum (integer, order-free); p micro-quantized; the BH compare
+    // p_(i) ≤ i·α/m runs as the pure-integer pu·20m ≤ i·10⁶. Scale: one
+    // shuffle join orders⋈customer, then everything lives on the
+    // 25×3-cell frame (missing cells densified — an absent status still
+    // contributes its expected count). The rank window is bounded at m.
+    "q_bh_fdr" -> ((s, d) => {
+      val oc = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderstatus").as("st"))
+        .join(Tables.customer(s, d).select(
+          col("c_custkey").as("o_custkey"),
+          col("c_nationkey").cast("long").as("nk")), "o_custkey")
+      val cell = oc.groupBy(col("nk"), col("st")).agg(count(lit(1)).as("o"))
+      val nat = cell.groupBy(col("nk")).agg(sum(col("o")).as("ni"))
+      val glob = cell.groupBy(col("st")).agg(sum(col("o")).as("gc"))
+      val tot = cell.agg(sum(col("o")).as("nn"))
+      val grid = nat.crossJoin(broadcast(glob))
+      val terms = grid
+        .join(cell, Seq("nk", "st"), "left")
+        .na.fill(0L, Seq("o"))
+        .crossJoin(broadcast(tot))
+        .withColumn("e", col("ni").cast("double") *
+          col("gc").cast("double") / col("nn").cast("double"))
+        .withColumn("tu", floor(
+          (col("o").cast("double") - col("e")) *
+            (col("o").cast("double") - col("e")) / col("e") *
+            lit(1e9) + lit(0.5)).cast("long"))
+      val x2 = terms.groupBy(col("nk"))
+        .agg(max(col("ni")).as("n"), sum(col("tu")).as("x2u"))
+        .withColumn("pu", floor(
+          exp(-col("x2u").cast("double") / lit(2e9)) * lit(1e6) +
+            lit(0.5)).cast("long"))
+      val ranked = x2
+        .crossJoin(broadcast(x2.agg(count(lit(1)).as("m"))))
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("pu"), col("nk"))))
+        .withColumn("pass",
+          col("pu") * col("m") * lit(20L) <= col("rnk") * lit(1000000L))
+      val kstar = ranked.agg(max(when(col("pass"), col("rnk"))).as("k"))
+      ranked.crossJoin(broadcast(kstar))
+        .select(col("nk").as("nationkey"), col("n"),
+          round(col("x2u").cast("double") / lit(1e9), 6).as("x2"),
+          (col("pu").cast("double") / lit(1e6)).as("p_value"),
+          col("rnk").cast("long").as("rnk"),
+          when(col("k").isNotNull && col("rnk") <= col("k"), 1L)
+            .otherwise(0L).as("significant"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // -- Simpson's-paradox detector (pooled vs within-group trend) ---------
+    // The aggregation-bias audit: fit the order-value-vs-time trend once
+    // POOLED over all orders and once as the ANCOVA common slope WITHIN
+    // order-priority groups (Σg centered-Sxy / Σg centered-Sxx). A sign
+    // flip between the two is Simpson's paradox — the composition of
+    // groups, not the within-group relationship, drives the pooled trend;
+    // the gap column quantifies the confounding even when the sign holds.
+    // Determinism: per-group raw moments are exact DECIMAL(38,0); the
+    // per-group centered sums evaluate in double but the cross-group
+    // reduction folds them in SORTED group order via sort_array +
+    // aggregate() (the q_pca_power sorted-fold discipline), mirrored by
+    // list_reduce over an ORDER BY list in DuckDB — bit-identical
+    // sequential double adds. Scale: one keyed aggregation is the only
+    // data-sized step; the fold runs on the |priorities|-row frame.
+    "q_simpson_flip" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val o = Tables.orders(s, d).select(
+        col("o_orderpriority").as("grp"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("x"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+          .as("y"))
+      val g = o.groupBy(col("grp")).agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+      val c = g.select(col("grp"), col("n"), col("sx"), col("sy"),
+        col("sxx"), col("sxy"),
+        (col("sxy").cast("double") - col("sx").cast("double") *
+          col("sy").cast("double") / col("n").cast("double")).as("cxy"),
+        (col("sxx").cast("double") - col("sx").cast("double") *
+          col("sx").cast("double") / col("n").cast("double")).as("cxx"))
+      val t = c.agg(
+        sum(col("n")).as("nn"),
+        sum(col("sx")).as("tsx"), sum(col("sy")).as("tsy"),
+        sum(col("sxx")).as("tsxx"), sum(col("sxy")).as("tsxy"),
+        count(lit(1)).as("ngroups"),
+        sort_array(collect_list(struct(col("grp"), col("cxy"),
+          col("cxx")))).as("gs"))
+        .withColumn("wxy", expr(
+          "aggregate(gs, cast(0.0 as double), (a, s) -> a + s.cxy)"))
+        .withColumn("wxx", expr(
+          "aggregate(gs, cast(0.0 as double), (a, s) -> a + s.cxx)"))
+      val nnD = col("nn").cast("double")
+      val pooled = (nnD * col("tsxy").cast("double") -
+        col("tsx").cast("double") * col("tsy").cast("double")) /
+        (nnD * col("tsxx").cast("double") -
+          col("tsx").cast("double") * col("tsx").cast("double"))
+      val within = col("wxy") / col("wxx")
+      t.select(col("nn").as("n"), col("ngroups").as("n_groups"),
+        round(pooled, 6).as("pooled_slope"),
+        when(col("wxx") =!= 0.0, round(within, 6)).as("within_slope"),
+        when(col("wxx") =!= 0.0, round(pooled - within, 6))
+          .as("confounding_gap"),
+        when(col("wxx") =!= 0.0 && pooled * within < 0.0, 1L)
+          .otherwise(0L).as("sign_flip"))
     })
   )
 
@@ -528,6 +696,137 @@ object StatsQueries extends QueryPack {
          |SELECT bin, n, n_pos,
          |  round(CAST(spu AS DOUBLE) / n / 1000000.0e0, 6) AS mean_pred,
          |  round(CAST(n_pos AS DOUBLE) / n, 6) AS rate
-         |FROM bn ORDER BY bin""".stripMargin
+         |FROM bn ORDER BY bin""".stripMargin,
+
+    // doubled midranks on the distinct-value frame; HUGEINT products
+    // mirror Spark's decimal(38,0); one shared double expression for z
+    "q_mann_whitney" ->
+      """WITH e AS (SELECT
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
+        |    CAST(floor(value * 1000.0e0 + 0.5e0) AS BIGINT) AS vq
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |bv AS (SELECT vq, count(*) AS cnt,
+        |    CAST(sum(g1) AS BIGINT) AS cnt1 FROM e GROUP BY 1),
+        |rk AS (SELECT vq, cnt, cnt1,
+        |    CAST(sum(cnt) OVER (ORDER BY vq ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM bv),
+        |r2 AS (SELECT cnt, cnt1, 2 * (cum - cnt) + cnt + 1 AS r2
+        |  FROM rk),
+        |m AS (SELECT CAST(sum(cnt1) AS BIGINT) AS n1,
+        |    CAST(sum(cnt - cnt1) AS BIGINT) AS n2,
+        |    sum(CAST(cnt1 AS HUGEINT) * CAST(r2 AS HUGEINT)) AS r1d,
+        |    sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tsum FROM r2)
+        |SELECT n1, n2,
+        |  round((CAST(r1d AS DOUBLE)
+        |    - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0e0))
+        |    / 2.0e0, 1) AS u1,
+        |  CASE WHEN sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0e0
+        |      * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0e0)
+        |        - CAST(tsum AS DOUBLE)
+        |          / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |            * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0e0))))
+        |      <> 0
+        |    THEN round(((CAST(r1d AS DOUBLE)
+        |      - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0e0))
+        |      - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |      / (2.0e0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |        / 12.0e0
+        |        * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0e0)
+        |          - CAST(tsum AS DOUBLE)
+        |            / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |              * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)
+        |                - 1.0e0))))), 6)
+        |  END AS z
+        |FROM m""".stripMargin,
+
+    // densified 25x3 grid; nano-quantized cell terms; closed-form df=2
+    // p-value; pure-integer BH step-up compare
+    "q_bh_fdr" ->
+      """WITH oc AS (SELECT CAST(c.c_nationkey AS BIGINT) AS nk,
+        |    o.o_orderstatus AS st
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |cell AS (SELECT nk, st, count(*) AS o FROM oc GROUP BY 1, 2),
+        |nat AS (SELECT nk, CAST(sum(o) AS BIGINT) AS ni
+        |  FROM cell GROUP BY 1),
+        |gshare AS (SELECT st, CAST(sum(o) AS BIGINT) AS gc
+        |  FROM cell GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cell),
+        |grid AS (SELECT nat.nk, nat.ni, gshare.st, gshare.gc
+        |  FROM nat CROSS JOIN gshare),
+        |terms AS (SELECT g.nk, g.ni, coalesce(cell.o, 0) AS o,
+        |    CAST(g.ni AS DOUBLE) * CAST(g.gc AS DOUBLE)
+        |      / CAST(tot.nn AS DOUBLE) AS e
+        |  FROM grid g LEFT JOIN cell ON cell.nk = g.nk AND cell.st = g.st
+        |  CROSS JOIN tot),
+        |tu AS (SELECT nk, ni, CAST(floor(
+        |    (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+        |      * 1e9 + 0.5e0) AS BIGINT) AS tu FROM terms),
+        |x2 AS (SELECT nk, max(ni) AS n, CAST(sum(tu) AS BIGINT) AS x2u
+        |  FROM tu GROUP BY 1),
+        |pp AS (SELECT nk, n, x2u, CAST(floor(
+        |    exp(-CAST(x2u AS DOUBLE) / 2e9) * 1e6 + 0.5e0) AS BIGINT)
+        |    AS pu FROM x2),
+        |rk AS (SELECT nk, n, x2u, pu,
+        |    row_number() OVER (ORDER BY pu, nk) AS rnk,
+        |    count(*) OVER () AS m FROM pp),
+        |ks AS (SELECT max(CASE WHEN pu * m * 20 <= rnk * 1000000
+        |    THEN rnk END) AS k FROM rk)
+        |SELECT nk AS nationkey, n,
+        |  round(CAST(x2u AS DOUBLE) / 1e9, 6) AS x2,
+        |  CAST(pu AS DOUBLE) / 1e6 AS p_value, rnk,
+        |  CAST(CASE WHEN k IS NOT NULL AND rnk <= k THEN 1 ELSE 0 END
+        |    AS BIGINT) AS significant
+        |FROM rk CROSS JOIN ks ORDER BY nationkey""".stripMargin,
+
+    // HUGEINT raw moments; centered sums fold in ORDER BY grp via
+    // list_reduce — the same sequential double adds as sort_array +
+    // aggregate() on the Spark side
+    "q_simpson_flip" ->
+      """WITH o AS (SELECT o_orderpriority AS grp,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS x,
+        |    CAST(floor(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT) AS y
+        |  FROM orders),
+        |g AS (SELECT grp, count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM o GROUP BY 1),
+        |c AS (SELECT grp, n, sx, sy, sxx, sxy,
+        |    CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS cxy,
+        |    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS cxx
+        |  FROM g),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    sum(sx) AS tsx, sum(sy) AS tsy,
+        |    sum(sxx) AS tsxx, sum(sxy) AS tsxy,
+        |    CAST(count(*) AS BIGINT) AS ngroups,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(cxy ORDER BY grp)), (a, b) -> a + b) AS wxy,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(cxx ORDER BY grp)), (a, b) -> a + b) AS wxx
+        |  FROM c)
+        |SELECT nn AS n, ngroups AS n_groups,
+        |  round((CAST(nn AS DOUBLE) * CAST(tsxy AS DOUBLE)
+        |    - CAST(tsx AS DOUBLE) * CAST(tsy AS DOUBLE))
+        |    / (CAST(nn AS DOUBLE) * CAST(tsxx AS DOUBLE)
+        |      - CAST(tsx AS DOUBLE) * CAST(tsx AS DOUBLE)), 6)
+        |    AS pooled_slope,
+        |  CASE WHEN wxx <> 0 THEN round(wxy / wxx, 6) END
+        |    AS within_slope,
+        |  CASE WHEN wxx <> 0 THEN round((CAST(nn AS DOUBLE)
+        |    * CAST(tsxy AS DOUBLE)
+        |    - CAST(tsx AS DOUBLE) * CAST(tsy AS DOUBLE))
+        |    / (CAST(nn AS DOUBLE) * CAST(tsxx AS DOUBLE)
+        |      - CAST(tsx AS DOUBLE) * CAST(tsx AS DOUBLE))
+        |    - wxy / wxx, 6) END AS confounding_gap,
+        |  CAST(CASE WHEN wxx <> 0 AND (CAST(nn AS DOUBLE)
+        |    * CAST(tsxy AS DOUBLE)
+        |    - CAST(tsx AS DOUBLE) * CAST(tsy AS DOUBLE))
+        |    / (CAST(nn AS DOUBLE) * CAST(tsxx AS DOUBLE)
+        |      - CAST(tsx AS DOUBLE) * CAST(tsx AS DOUBLE))
+        |    * (wxy / wxx) < 0 THEN 1 ELSE 0 END AS BIGINT) AS sign_flip
+        |FROM t""".stripMargin
   )
 }
