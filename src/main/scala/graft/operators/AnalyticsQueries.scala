@@ -1683,6 +1683,180 @@ object AnalyticsQueries extends QueryPack {
           Tables.part(s, d), "p_partkey", Tables.lineitem(s, d),
           "l_partkey"))
         .orderBy(col("candidate"))
+    }),
+
+    // -- Holt linear-trend exponential smoothing (level + trend) -----------
+    // The next rung above q_ewma (level only) and the adaptive
+    // counterpart of q_forecast_backtest's frozen seasonal-naive: the
+    // classic double-exponential recursion l_t = αy_t + (1−α)(l+b),
+    // b_t = β(l_t − l) + (1−β)b, per daily event volume. The split
+    // mirrors q_pca_power: the DATA-SIZED work is one map-side-combined
+    // day aggregation; the inherently-sequential recursion then runs
+    // driver-local on the calendar-bounded day frame (30 rows here;
+    // ~36.5k rows per century at any corpus size — never data-sized).
+    // Determinism: counts are exact integers and the recursion is
+    // IDENTICAL double arithmetic in identical order on both sides —
+    // the oracle replays it as a recursive CTE with the same literal
+    // α = 0.3, β = 0.1 and the same expression shapes. Calendar gap
+    // days, if any, are treated as consecutive recursion steps.
+    "q_holt_linear" -> ((s, d) => {
+      import s.implicits._
+      val byDay = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long").as("d"))
+        .agg(count(lit(1)).as("y"))
+        .orderBy(col("d"))
+      val days = byDay.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Double, Double, Double)]
+      if (days.nonEmpty) {
+        var l = days(0)._2.toDouble
+        var b = if (days.length > 1) days(1)._2.toDouble - days(0)._2
+                else 0.0
+        out += ((days(0)._1, days(0)._2, l, b, l))
+        var i = 1
+        while (i < days.length) {
+          val y = days(i)._2.toDouble
+          val fitted = l + b
+          val lNew = 0.3 * y + 0.7 * (l + b)
+          b = 0.1 * (lNew - l) + 0.9 * b
+          l = lNew
+          out += ((days(i)._1, days(i)._2, l, b, fitted))
+          i += 1
+        }
+      }
+      out.toSeq.toDF("d", "y", "l", "b", "f")
+        .select(col("d"), col("y"), round(col("l"), 6).as("level"),
+          round(col("b"), 6).as("trend"),
+          round(col("f"), 6).as("fitted"),
+          round(col("y").cast("double") - col("f"), 6).as("err"))
+        .orderBy(col("d"))
+    }),
+
+    // -- Kaplan-Meier product-limit survival (with Greenwood SE) -----------
+    // The estimator q_hazard_curve's life table exists to feed: survival
+    // S(t) = Π(1 − d/n) over event times, with Greenwood's variance
+    // Σ d/(n(n−d)). Products become prefix sums of nano-quantized
+    // ln((n−d)/n) integers — exact, order-free — and both prefix windows
+    // run on the calendar-bounded day frame (the q_changepoint class);
+    // the data-sized step is the same user-keyed first-activity/first-
+    // purchase aggregate the hazard query uses. An exhausted risk set
+    // (d = n, ln 0) pins S and its SE to exactly 0 from that point on
+    // via a prefix flag instead of a sentinel log value.
+    "q_kaplan_meier" -> ((s, d) => {
+      val winEnd = lit("2024-01-31").cast("date")
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("first_day"),
+          min(when(col("event_type") === "purchase", to_date(col("ts"))))
+            .as("purch_day"))
+        .select(
+          when(col("purch_day").isNotNull,
+            datediff(col("purch_day"), col("first_day")))
+            .otherwise(datediff(winEnd, col("first_day")))
+            .cast("long").as("t"),
+          col("purch_day").isNotNull.cast("int").cast("long").as("ev"))
+      val byT = u.groupBy(col("t"))
+        .agg(sum(col("ev")).as("d_events"),
+          sum(lit(1L) - col("ev")).as("c_censored"))
+      val wDesc = Window.orderBy(col("t").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lt = byT.withColumn("n_risk",
+        sum(col("d_events") + col("c_censored")).over(wDesc))
+      val nD = col("n_risk").cast("double")
+      val dD = col("d_events").cast("double")
+      val terms = lt
+        .withColumn("lq", when(col("d_events") < col("n_risk"),
+          floor(log((nD - dD) / nD) * lit(1e9) + lit(0.5)).cast("long"))
+          .otherwise(lit(0L)))
+        .withColumn("gq", when(col("d_events") < col("n_risk"),
+          floor(dD / (nD * (nD - dD)) * lit(1e12) + lit(0.5))
+            .cast("long")).otherwise(lit(0L)))
+        .withColumn("zf",
+          when(col("d_events") === col("n_risk"), 1L).otherwise(0L))
+      val wAsc = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      terms
+        .withColumn("cuml", sum(col("lq")).over(wAsc))
+        .withColumn("cumg", sum(col("gq")).over(wAsc))
+        .withColumn("zeroed", sum(col("zf")).over(wAsc))
+        .select(col("t"), col("n_risk"), col("d_events"),
+          col("c_censored"),
+          when(col("zeroed") > 0, 0.0).otherwise(
+            round(exp(col("cuml").cast("double") / lit(1e9)), 6))
+            .as("surv"),
+          when(col("zeroed") > 0, 0.0).otherwise(
+            round(exp(col("cuml").cast("double") / lit(1e9)) *
+              sqrt(col("cumg").cast("double") / lit(1e12)), 6))
+            .as("se_greenwood"))
+        .orderBy(col("t"))
+    }),
+
+    // -- approximate functional-dependency discovery (g3 error) ------------
+    // The third leg of the schema profiler (with q_cardinality_audit and
+    // q_fk_inclusion): for each candidate determinant → dependent pair,
+    // the g3 measure — the minimum number of rows to delete before the
+    // FD holds exactly, i.e. Σ_keys (group size − majority dependent
+    // count). Two keyed aggregations per candidate ((det, dep) counts,
+    // then the per-det majority), nothing joins, and the audited frame
+    // collapses to the key domain before any cross-candidate union —
+    // the profiler never moves row-sized data.
+    "q_fd_check" -> ((s, d) => {
+      def fd(name: String, df: DataFrame, det: String, dep: String) = {
+        val cd = df.groupBy(col(det).as("k"), col(dep).as("v"))
+          .agg(count(lit(1)).as("c"))
+        val per = cd.groupBy(col("k"))
+          .agg(sum(col("c")).as("n"), max(col("c")).as("mx"))
+        per.agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+            sum(col("n") - col("mx")).as("violations"))
+          .select(lit(name).as("fd"), col("n_rows"), col("n_keys"),
+            col("violations"),
+            round(col("violations").cast("double") /
+              col("n_rows").cast("double"), 6).as("g3_rate"),
+            (col("violations") === 0L).cast("int").cast("long")
+              .as("holds"))
+      }
+      fd("documents.source->lang", Tables.documents(s, d),
+          "source", "lang")
+        .unionByName(fd("customer.c_nationkey->c_mktsegment",
+          Tables.customer(s, d), "c_nationkey", "c_mktsegment"))
+        .unionByName(fd("orders.o_custkey->o_orderpriority",
+          Tables.orders(s, d), "o_custkey", "o_orderpriority"))
+        .unionByName(fd("lineitem.l_partkey->l_suppkey",
+          Tables.lineitem(s, d), "l_partkey", "l_suppkey"))
+        .orderBy(col("fd"))
+    }),
+
+    // -- leave-one-source-out influence (data valuation) -------------------
+    // The cheapest member of the data-valuation family: how much does
+    // dropping source s move the corpus-level metric? For linear metrics
+    // (means/rates) the leave-one-group-out delta is CLOSED-FORM from
+    // one keyed aggregate + the broadcast global moments — no retraining
+    // loop, no per-candidate rescan, the property that makes it the
+    // screen a 100 TB curation pipeline actually runs before the
+    // expensive per-source ablation experiments. Reported for the mean
+    // document length and the length-gate pass rate.
+    "q_loo_influence" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("n_chars"),
+          when(col("n_chars") >= 300, 1L).otherwise(0L).as("pass"))
+      val bySrc = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sc"),
+          sum(col("pass")).as("np"))
+      val g = docs.agg(count(lit(1)).as("nn"), sum(col("n_chars")).as("tc"),
+        sum(col("pass")).as("tp"))
+      val nnD = col("nn").cast("double"); val ndD = col("n_docs").cast("double")
+      val rest = nnD - ndD
+      bySrc.crossJoin(broadcast(g))
+        .select(col("source"), col("n_docs"),
+          round(col("sc").cast("double") / ndD, 6).as("mean_src"),
+          when(rest =!= 0.0, round(
+            (col("tc").cast("double") - col("sc").cast("double")) / rest -
+              col("tc").cast("double") / nnD, 6)).as("delta_mean"),
+          when(rest =!= 0.0, round(
+            (col("tp").cast("double") - col("np").cast("double")) / rest -
+              col("tp").cast("double") / nnD, 6)).as("delta_passrate"))
+        .orderBy(col("source"))
     })
   )
 
@@ -2717,6 +2891,153 @@ object AnalyticsQueries extends QueryPack {
         |  CAST(n_contained AS BIGINT) AS n_contained,
         |  CAST((1000000 * n_contained) // n_child AS BIGINT)
         |    AS inclusion_u
-        |FROM pairs ORDER BY candidate""".stripMargin
+        |FROM pairs ORDER BY candidate""".stripMargin,
+
+    // the same recursion as the Spark driver loop, replayed as a
+    // recursive CTE: identical double expression shapes in identical
+    // order, same α/β literals
+    "q_holt_linear" ->
+      """WITH RECURSIVE dd AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1),
+        |i AS (SELECT d, CAST(y AS BIGINT) AS y,
+        |    row_number() OVER (ORDER BY d) - 1 AS t FROM dd),
+        |h AS (
+        |  SELECT t, y, CAST(y AS DOUBLE) AS f, CAST(y AS DOUBLE) AS l,
+        |    coalesce((SELECT CAST(y AS DOUBLE) FROM i WHERE t = 1)
+        |      - CAST(y AS DOUBLE), 0.0e0) AS b
+        |  FROM i WHERE t = 0
+        |  UNION ALL
+        |  SELECT i.t, i.y, h.l + h.b AS f,
+        |    0.3e0 * i.y + 0.7e0 * (h.l + h.b) AS l,
+        |    0.1e0 * ((0.3e0 * i.y + 0.7e0 * (h.l + h.b)) - h.l)
+        |      + 0.9e0 * h.b AS b
+        |  FROM h JOIN i ON i.t = h.t + 1)
+        |SELECT i.d, h.y, round(h.l, 6) AS level, round(h.b, 6) AS trend,
+        |  round(h.f, 6) AS fitted,
+        |  round(CAST(h.y AS DOUBLE) - h.f, 6) AS err
+        |FROM h JOIN i USING (t) ORDER BY i.d""".stripMargin,
+
+    // the hazard life table + nano-quantized log prefix sums; the d = n
+    // exhaustion flag zeroes S and SE exactly on both engines
+    "q_kaplan_meier" ->
+      """WITH u AS (SELECT user_id,
+        |    min(CAST(ts AS DATE)) AS first_day,
+        |    min(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(ts AS DATE) END) AS purch_day
+        |  FROM events GROUP BY 1),
+        |tt AS (SELECT CAST(CASE WHEN purch_day IS NOT NULL
+        |      THEN purch_day - first_day
+        |      ELSE DATE '2024-01-31' - first_day END AS BIGINT) AS t,
+        |    CASE WHEN purch_day IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM u),
+        |byt AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d_events,
+        |    CAST(sum(1 - ev) AS BIGINT) AS c_censored
+        |  FROM tt GROUP BY 1),
+        |rk AS (SELECT t, d_events, c_censored,
+        |    CAST(sum(d_events + c_censored) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n_risk FROM byt),
+        |q AS (SELECT t, n_risk, d_events, c_censored,
+        |    CASE WHEN d_events < n_risk THEN CAST(floor(
+        |      ln(CAST(n_risk - d_events AS DOUBLE)
+        |        / CAST(n_risk AS DOUBLE)) * 1e9 + 0.5e0) AS BIGINT)
+        |      ELSE 0 END AS lq,
+        |    CASE WHEN d_events < n_risk THEN CAST(floor(
+        |      CAST(d_events AS DOUBLE) / (CAST(n_risk AS DOUBLE)
+        |        * CAST(n_risk - d_events AS DOUBLE)) * 1e12 + 0.5e0)
+        |      AS BIGINT) ELSE 0 END AS gq,
+        |    CASE WHEN d_events = n_risk THEN 1 ELSE 0 END AS zf
+        |  FROM rk),
+        |cm AS (SELECT t, n_risk, d_events, c_censored,
+        |    CAST(sum(lq) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cuml,
+        |    CAST(sum(gq) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cumg,
+        |    CAST(sum(zf) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS zeroed
+        |  FROM q)
+        |SELECT t, n_risk, d_events, c_censored,
+        |  CASE WHEN zeroed > 0 THEN 0.0e0
+        |    ELSE round(exp(CAST(cuml AS DOUBLE) / 1e9), 6) END AS surv,
+        |  CASE WHEN zeroed > 0 THEN 0.0e0
+        |    ELSE round(exp(CAST(cuml AS DOUBLE) / 1e9)
+        |      * sqrt(CAST(cumg AS DOUBLE) / 1e12), 6) END
+        |    AS se_greenwood
+        |FROM cm ORDER BY t""".stripMargin,
+
+    // per-candidate (det, dep) counts -> per-det majority; g3 =
+    // sum(group - majority)
+    "q_fd_check" ->
+      """WITH f1 AS (SELECT count(*) AS n_keys,
+        |    CAST(sum(n) AS BIGINT) AS n_rows,
+        |    CAST(sum(n - mx) AS BIGINT) AS violations
+        |  FROM (SELECT k, sum(c) AS n, max(c) AS mx FROM (
+        |      SELECT source AS k, lang AS v, count(*) AS c
+        |      FROM documents GROUP BY 1, 2) cd1 GROUP BY 1) p1),
+        |f2 AS (SELECT count(*) AS n_keys,
+        |    CAST(sum(n) AS BIGINT) AS n_rows,
+        |    CAST(sum(n - mx) AS BIGINT) AS violations
+        |  FROM (SELECT k, sum(c) AS n, max(c) AS mx FROM (
+        |      SELECT c_nationkey AS k, c_mktsegment AS v, count(*) AS c
+        |      FROM customer GROUP BY 1, 2) cd2 GROUP BY 1) p2),
+        |f3 AS (SELECT count(*) AS n_keys,
+        |    CAST(sum(n) AS BIGINT) AS n_rows,
+        |    CAST(sum(n - mx) AS BIGINT) AS violations
+        |  FROM (SELECT k, sum(c) AS n, max(c) AS mx FROM (
+        |      SELECT o_custkey AS k, o_orderpriority AS v, count(*) AS c
+        |      FROM orders GROUP BY 1, 2) cd3 GROUP BY 1) p3),
+        |f4 AS (SELECT count(*) AS n_keys,
+        |    CAST(sum(n) AS BIGINT) AS n_rows,
+        |    CAST(sum(n - mx) AS BIGINT) AS violations
+        |  FROM (SELECT k, sum(c) AS n, max(c) AS mx FROM (
+        |      SELECT l_partkey AS k, l_suppkey AS v, count(*) AS c
+        |      FROM lineitem GROUP BY 1, 2) cd4 GROUP BY 1) p4),
+        |u AS (
+        |  SELECT 'documents.source->lang' AS fd, n_rows, n_keys,
+        |    violations FROM f1
+        |  UNION ALL SELECT 'customer.c_nationkey->c_mktsegment',
+        |    n_rows, n_keys, violations FROM f2
+        |  UNION ALL SELECT 'orders.o_custkey->o_orderpriority',
+        |    n_rows, n_keys, violations FROM f3
+        |  UNION ALL SELECT 'lineitem.l_partkey->l_suppkey',
+        |    n_rows, n_keys, violations FROM f4)
+        |SELECT fd, n_rows, CAST(n_keys AS BIGINT) AS n_keys, violations,
+        |  round(CAST(violations AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+        |    AS g3_rate,
+        |  CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS holds
+        |FROM u ORDER BY fd""".stripMargin,
+
+    // closed-form leave-one-group-out deltas from one keyed aggregate
+    // + the global moments
+    "q_loo_influence" ->
+      """WITH docs AS (SELECT source, n_chars,
+        |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS pass
+        |  FROM documents),
+        |bys AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sc,
+        |    CAST(sum(pass) AS BIGINT) AS np
+        |  FROM docs GROUP BY 1),
+        |g AS (SELECT count(*) AS nn, CAST(sum(n_chars) AS BIGINT) AS tc,
+        |    CAST(sum(pass) AS BIGINT) AS tp FROM docs)
+        |SELECT source, n_docs,
+        |  round(CAST(sc AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+        |    AS mean_src,
+        |  CASE WHEN CAST(nn AS DOUBLE) - CAST(n_docs AS DOUBLE) <> 0
+        |    THEN round((CAST(tc AS DOUBLE) - CAST(sc AS DOUBLE))
+        |      / (CAST(nn AS DOUBLE) - CAST(n_docs AS DOUBLE))
+        |      - CAST(tc AS DOUBLE) / CAST(nn AS DOUBLE), 6) END
+        |    AS delta_mean,
+        |  CASE WHEN CAST(nn AS DOUBLE) - CAST(n_docs AS DOUBLE) <> 0
+        |    THEN round((CAST(tp AS DOUBLE) - CAST(np AS DOUBLE))
+        |      / (CAST(nn AS DOUBLE) - CAST(n_docs AS DOUBLE))
+        |      - CAST(tp AS DOUBLE) / CAST(nn AS DOUBLE), 6) END
+        |    AS delta_passrate
+        |FROM bys CROSS JOIN g ORDER BY source""".stripMargin
   )
 }

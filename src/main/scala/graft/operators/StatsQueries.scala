@@ -501,6 +501,55 @@ object StatsQueries extends QueryPack {
           .as("confounding_gap"),
         when(col("wxx") =!= 0.0 && pooled * within < 0.0, 1L)
           .otherwise(0L).as("sign_flip"))
+    }),
+
+    // -- Brier-score decomposition (Murphy 1973) ---------------------------
+    // The single-number counterpart of q_calibration's reliability
+    // diagram: Brier = reliability − resolution + uncertainty over the
+    // same classifier/bin structure. Raw Brier is an exact integer sum of
+    // micro-residual squares in DECIMAL(38,0); the binned reliability/
+    // resolution terms are each ≤ 1 by construction, so nano-quantizing
+    // the per-bin SHARE-weighted term ((n_k/N)·gap²·1e9 ≤ 1e9) keeps the
+    // 10-term sum inside a long at ANY corpus size — no two-level escape
+    // needed. Cost: the classifier's unigram pass + a 10-row aggregate;
+    // the global moment frame broadcasts back.
+    "q_brier_decomp" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val pr = TextDedup.classifierScored(Tables.documents(s, d),
+          Seq(col("doc_id"), col("n_chars")))
+        .withColumn("pu", floor(lit(1.0) /
+          (lit(1.0) + exp(-col("score").cast("double") / lit(4.0))) *
+          lit(1000000.0) + lit(0.5)).cast("long"))
+        .withColumn("o", when(col("n_chars") >= 300, 1L).otherwise(0L))
+      val g = pr.agg(count(lit(1)).as("n"), sum(col("o")).as("npos"),
+        sum(dec(col("pu") - col("o") * lit(1000000L)) *
+          dec(col("pu") - col("o") * lit(1000000L))).as("sse"))
+      val bn = pr
+        .withColumn("bin", least(expr("pu div 100000"), lit(9L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("nk"), sum(col("pu")).as("spu"),
+          sum(col("o")).as("nposk"))
+      val nD = col("n").cast("double")
+      val pbar = col("spu").cast("double") / col("nk").cast("double") /
+        lit(1e6)
+      val obark = col("nposk").cast("double") / col("nk").cast("double")
+      val obar = col("npos").cast("double") / nD
+      val share = col("nk").cast("double") / nD
+      val t = bn.crossJoin(broadcast(g))
+        .withColumn("relu", floor(share * (pbar - obark) *
+          (pbar - obark) * lit(1e9) + lit(0.5)).cast("long"))
+        .withColumn("resu", floor(share * (obark - obar) *
+          (obark - obar) * lit(1e9) + lit(0.5)).cast("long"))
+        .groupBy(col("n"), col("npos"), col("sse"))
+        .agg(sum(col("relu")).as("srel"), sum(col("resu")).as("sres"))
+      t.select(col("n"),
+        round(col("sse").cast("double") / nD / lit(1e12), 6).as("brier"),
+        round(col("srel").cast("double") / lit(1e9), 6).as("reliability"),
+        round(col("sres").cast("double") / lit(1e9), 6).as("resolution"),
+        round(obar * (lit(1.0) - obar), 6).as("uncertainty"),
+        round(col("srel").cast("double") / lit(1e9) -
+          col("sres").cast("double") / lit(1e9) +
+          obar * (lit(1.0) - obar), 6).as("brier_binned"))
     })
   )
 
@@ -827,6 +876,54 @@ object StatsQueries extends QueryPack {
         |    / (CAST(nn AS DOUBLE) * CAST(tsxx AS DOUBLE)
         |      - CAST(tsx AS DOUBLE) * CAST(tsx AS DOUBLE))
         |    * (wxy / wxx) < 0 THEN 1 ELSE 0 END AS BIGINT) AS sign_flip
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+
+    // shared classifier chain; HUGEINT micro-residual squares; share-
+    // weighted nano-quantized bin terms summed as integers
+    "q_brier_decomp" ->
+      s"""WITH ${OracleHash.classifierScoreCtes("doc_id, n_chars")},
+         |pr AS (SELECT CAST(floor(
+         |    1.0e0 / (1.0e0 + exp(-CAST(score AS DOUBLE) / 4.0e0))
+         |      * 1000000.0e0 + 0.5) AS BIGINT) AS pu,
+         |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS o
+         |  FROM sc),
+         |g AS (SELECT count(*) AS n, CAST(sum(o) AS BIGINT) AS npos,
+         |    sum((CAST(pu AS HUGEINT) - CAST(o AS HUGEINT) * 1000000)
+         |      * (CAST(pu AS HUGEINT) - CAST(o AS HUGEINT) * 1000000))
+         |      AS sse
+         |  FROM pr),
+         |bn AS (SELECT least(pu // 100000, 9) AS bin, count(*) AS nk,
+         |    CAST(sum(pu) AS BIGINT) AS spu,
+         |    CAST(sum(o) AS BIGINT) AS nposk
+         |  FROM pr GROUP BY 1),
+         |tm AS (SELECT
+         |    CAST(floor(CAST(nk AS DOUBLE) / CAST(g.n AS DOUBLE)
+         |      * (CAST(spu AS DOUBLE) / CAST(nk AS DOUBLE) / 1e6
+         |        - CAST(nposk AS DOUBLE) / CAST(nk AS DOUBLE))
+         |      * (CAST(spu AS DOUBLE) / CAST(nk AS DOUBLE) / 1e6
+         |        - CAST(nposk AS DOUBLE) / CAST(nk AS DOUBLE))
+         |      * 1e9 + 0.5e0) AS BIGINT) AS relu,
+         |    CAST(floor(CAST(nk AS DOUBLE) / CAST(g.n AS DOUBLE)
+         |      * (CAST(nposk AS DOUBLE) / CAST(nk AS DOUBLE)
+         |        - CAST(g.npos AS DOUBLE) / CAST(g.n AS DOUBLE))
+         |      * (CAST(nposk AS DOUBLE) / CAST(nk AS DOUBLE)
+         |        - CAST(g.npos AS DOUBLE) / CAST(g.n AS DOUBLE))
+         |      * 1e9 + 0.5e0) AS BIGINT) AS resu
+         |  FROM bn CROSS JOIN g),
+         |agg AS (SELECT CAST(sum(relu) AS BIGINT) AS srel,
+         |    CAST(sum(resu) AS BIGINT) AS sres FROM tm)
+         |SELECT g.n,
+         |  round(CAST(sse AS DOUBLE) / CAST(g.n AS DOUBLE) / 1e12, 6)
+         |    AS brier,
+         |  round(CAST(srel AS DOUBLE) / 1e9, 6) AS reliability,
+         |  round(CAST(sres AS DOUBLE) / 1e9, 6) AS resolution,
+         |  round(CAST(g.npos AS DOUBLE) / CAST(g.n AS DOUBLE)
+         |    * (1.0e0 - CAST(g.npos AS DOUBLE) / CAST(g.n AS DOUBLE)), 6)
+         |    AS uncertainty,
+         |  round(CAST(srel AS DOUBLE) / 1e9 - CAST(sres AS DOUBLE) / 1e9
+         |    + CAST(g.npos AS DOUBLE) / CAST(g.n AS DOUBLE)
+         |      * (1.0e0 - CAST(g.npos AS DOUBLE) / CAST(g.n AS DOUBLE)),
+         |    6) AS brier_binned
+         |FROM g CROSS JOIN agg""".stripMargin
   )
 }

@@ -858,6 +858,52 @@ object VectorQueries extends QueryPack {
           sum(col("vec_id")).as("sum_ids"),
           sum(col("dist")).as("inertia_fp"))
         .orderBy(col("cid"))
+    }),
+
+    // -- Matryoshka truncation-fidelity audit ------------------------------
+    // The dimension-ablation readout behind truncatable ("Matryoshka")
+    // embeddings: if the index stored only the first k dims, how far do
+    // cosines move? For k ∈ {8,16,32,64}, the mean |cos_k − cos_full|
+    // over a deterministic linear pair sample (vec_id ↔ vec_id+1 — an
+    // equi-join that co-partitions on the key, NOT an all-pairs join;
+    // the audit needs an unbiased pair population, not every pair).
+    // Per-pair cosines use the same sequential-fold dot as the rest of
+    // the vector family on length-k prefixes (codegen'd native
+    // expression), are micro-quantized per pair, and aggregate as exact
+    // integers — the 4-way k fan-out is a bounded explode. Degenerate
+    // zero-norm prefixes are filtered on BOTH sides before averaging.
+    "q_matryoshka" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("v"))
+      val p = e.select(col("vec_id").as("id1"), col("v").as("av"))
+        .join(e.select((col("vec_id") - 1L).as("id1"),
+          col("v").as("bv")), "id1")
+      val ks = typedLit(Seq(8, 16, 32, 64))
+      val ak = slice(col("av"), lit(1), col("k"))
+      val bk = slice(col("bv"), lit(1), col("k"))
+      val c = p.withColumn("k", explode(ks))
+        .withColumn("na2", Vectors.dot(ak, ak))
+        .withColumn("nb2", Vectors.dot(bk, bk))
+        .withColumn("fa2", Vectors.dot(col("av"), col("av")))
+        .withColumn("fb2", Vectors.dot(col("bv"), col("bv")))
+        .filter(col("na2") > 0.0 && col("nb2") > 0.0 &&
+          col("fa2") > 0.0 && col("fb2") > 0.0)
+        .withColumn("ck", Vectors.dot(ak, bk) /
+          (sqrt(col("na2")) * sqrt(col("nb2"))))
+        .withColumn("cf", Vectors.dot(col("av"), col("bv")) /
+          (sqrt(col("fa2")) * sqrt(col("fb2"))))
+      c.select(col("k").cast("long").as("k"),
+          floor(col("ck") * lit(1e6) + lit(0.5)).cast("long").as("cq"),
+          floor(abs(col("ck") - col("cf")) * lit(1e6) + lit(0.5))
+            .cast("long").as("eq"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("cq")).as("scq"),
+          sum(col("eq")).as("seq"))
+        .select(col("k"), col("n_pairs"),
+          round(col("scq").cast("double") / col("n_pairs") / lit(1e6), 6)
+            .as("mean_cos"),
+          round(col("seq").cast("double") / col("n_pairs") / lit(1e6), 6)
+            .as("mae"))
+        .orderBy(col("k"))
     })
   )
 
@@ -1411,7 +1457,38 @@ object VectorQueries extends QueryPack {
            |  CASE WHEN first_rel IS NOT NULL
            |    THEN CAST(1000000 // first_rel AS BIGINT) END AS mrr_u
            |FROM g ORDER BY q_id""".stripMargin
-      }
+      },
+
+      // length-k prefix cosines via the same left-to-right
+      // list_dot_product folds; micro-quantized per pair, exact-integer
+      // aggregation
+      "q_matryoshka" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+          |  FROM embeddings),
+          |p AS (SELECT a.vec_id AS id1, a.vd AS av, b.vd AS bv
+          |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1),
+          |kk AS (SELECT unnest([8, 16, 32, 64]) AS k),
+          |c AS (SELECT id1, kk.k,
+          |    list_dot_product(av[1:kk.k], av[1:kk.k]) AS na2,
+          |    list_dot_product(bv[1:kk.k], bv[1:kk.k]) AS nb2,
+          |    list_dot_product(av, av) AS fa2,
+          |    list_dot_product(bv, bv) AS fb2,
+          |    list_dot_product(av[1:kk.k], bv[1:kk.k]) AS dk,
+          |    list_dot_product(av, bv) AS df
+          |  FROM p CROSS JOIN kk),
+          |f AS (SELECT id1, k,
+          |    dk / (sqrt(na2) * sqrt(nb2)) AS ck,
+          |    df / (sqrt(fa2) * sqrt(fb2)) AS cf
+          |  FROM c WHERE na2 > 0 AND nb2 > 0 AND fa2 > 0 AND fb2 > 0),
+          |q AS (SELECT CAST(k AS BIGINT) AS k,
+          |    CAST(floor(ck * 1e6 + 0.5e0) AS BIGINT) AS cq,
+          |    CAST(floor(abs(ck - cf) * 1e6 + 0.5e0) AS BIGINT) AS eq
+          |  FROM f)
+          |SELECT k, count(*) AS n_pairs,
+          |  round(CAST(sum(cq) AS DOUBLE) / count(*) / 1e6, 6)
+          |    AS mean_cos,
+          |  round(CAST(sum(eq) AS DOUBLE) / count(*) / 1e6, 6) AS mae
+          |FROM q GROUP BY k ORDER BY k""".stripMargin
     )
   }
 }
