@@ -1857,6 +1857,103 @@ object AnalyticsQueries extends QueryPack {
             (col("tp").cast("double") - col("np").cast("double")) / rest -
               col("tp").cast("double") / nnD, 6)).as("delta_passrate"))
         .orderBy(col("source"))
+    }),
+
+    // -- propensity-stratified treatment-effect estimate -------------------
+    // The observational-causal counterpart of q_ab_test/q_cuped: when
+    // assignment is NOT randomized (here: who converts to purchaser),
+    // compare outcomes within strata of a confounder and weight the
+    // per-stratum gaps. The confounder is user activity count; strata
+    // are activity QUINTILES by exact order statistics computed on the
+    // distinct-count frame (domain-bounded — the q_mann_whitney
+    // argument; ties stay in one stratum by construction, so no per-row
+    // global rank is ever needed). Per-user outcomes are exact integer
+    // floor-divisions; per-stratum arms aggregate exactly; the weighted
+    // ATE folds micro-quantized effects with integer weights in
+    // DECIMAL. Scale: one user-keyed aggregate + a broadcast stratum
+    // map; nothing data-sized shuffles twice.
+    "q_propensity_strat" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      // treatment = the user's FIRST event (min event_id — globally
+      // unique, so min_by is deterministic) is a purchase: a non-
+      // randomized ~20/80 split plausibly confounded with activity,
+      // which is exactly what the stratification adjusts for. "Every
+      // user eventually purchases" would leave an empty control arm —
+      // first-event status does not.
+      val u = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+            .as("vq"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("x"),
+          (min_by(col("event_type"), col("event_id")) === "purchase")
+            .cast("int").cast("long").as("treat"),
+          sum(col("vq")).as("sv"))
+        .withColumn("yq", expr("sv div x"))
+      val byX = u.groupBy(col("x")).agg(count(lit(1)).as("cnt"))
+      val wx = Window.orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val strat = byX
+        .withColumn("cum", sum(col("cnt")).over(wx))
+        .crossJoin(broadcast(byX.agg(sum(col("cnt")).as("nu"))))
+        .withColumn("stratum", expr("((cum - cnt) * 5) div nu"))
+        .select(col("x"), col("stratum"))
+      val byS = u.join(broadcast(strat), "x")
+        .groupBy(col("stratum"))
+        .agg(count(lit(1)).as("n"), sum(col("treat")).as("nt"),
+          sum(col("treat") * col("yq")).as("syt"),
+          sum((lit(1L) - col("treat")) * col("yq")).as("syc"))
+        .withColumn("nc", col("n") - col("nt"))
+      val mt = col("syt").cast("double") / col("nt").cast("double") /
+        lit(1000.0)
+      val mc = col("syc").cast("double") / col("nc").cast("double") /
+        lit(1000.0)
+      val withEff = byS
+        .withColumn("effq", when(col("nt") > 0L && col("nc") > 0L,
+          floor((mt - mc) * lit(1e6) + lit(0.5)).cast("long")))
+      val ate = withEff.filter(col("effq").isNotNull)
+        .agg(sum(dec(col("n")) * dec(col("effq"))).as("swe"),
+          sum(col("n")).as("sn"))
+      withEff.crossJoin(broadcast(ate))
+        .select(col("stratum"), col("n"), col("nt"), col("nc"),
+          when(col("nt") > 0L, round(mt, 6)).as("mean_treat"),
+          when(col("nc") > 0L, round(mc, 6)).as("mean_ctrl"),
+          when(col("effq").isNotNull,
+            col("effq").cast("double") / lit(1e6)).as("effect"),
+          when(col("sn").isNotNull && col("sn") > 0L,
+            round(col("swe").cast("double") /
+              col("sn").cast("double") / lit(1e6), 6)).as("ate"))
+        .orderBy(col("stratum"))
+    }),
+
+    // -- Hill tail-index estimator (heavy-tail exponent) -------------------
+    // The power-law companion of q_zipf_fit, pointed at document LENGTH:
+    // α̂ = k / Σᵢ ln(xᵢ/x₍ₖ₊₁₎) over the top-k order statistics — the
+    // number a curation pipeline reads before deciding length caps
+    // (finite-mean tails truncate safely; α ≤ 1 means the longest docs
+    // dominate total bytes). k adapts as min(100, n/2) so small corpora
+    // stay defined. Scale: the only data-sized step is the global top-
+    // (k+1) (TakeOrdered — no full sort); log-ratios are nano-quantized
+    // on the bounded k-row frame and summed exactly.
+    "q_hill_tail" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        col("n_chars"))
+      val k = math.max(1, math.min(100, (docs.count() / 2).toInt))
+      val top = docs.orderBy(col("n_chars").desc, col("doc_id"))
+        .limit(k + 1)
+      val r = top.withColumn("rn", row_number().over(
+        Window.orderBy(col("n_chars").desc, col("doc_id"))))
+      val xm = r.filter(col("rn") === k + 1)
+        .select(col("n_chars").as("xmin"))
+      r.filter(col("rn") <= k).crossJoin(broadcast(xm))
+        .withColumn("lq", floor(log(col("n_chars").cast("double") /
+          col("xmin").cast("double")) * lit(1e9) + lit(0.5))
+          .cast("long"))
+        .groupBy(col("xmin"))
+        .agg(count(lit(1)).as("k"), sum(col("lq")).as("slq"))
+        .select(col("k"), col("xmin"),
+          when(col("slq") > 0L, round(col("k").cast("double") /
+            (col("slq").cast("double") / lit(1e9)), 6)).as("alpha"))
     })
   )
 
@@ -3038,6 +3135,64 @@ object AnalyticsQueries extends QueryPack {
         |      / (CAST(nn AS DOUBLE) - CAST(n_docs AS DOUBLE))
         |      - CAST(tp AS DOUBLE) / CAST(nn AS DOUBLE), 6) END
         |    AS delta_passrate
-        |FROM bys CROSS JOIN g ORDER BY source""".stripMargin
+        |FROM bys CROSS JOIN g ORDER BY source""".stripMargin,
+
+    // blocked activity quintiles on the distinct-count frame; exact
+    // integer arm sums; DECIMAL-weighted micro-quantized ATE fold
+    "q_propensity_strat" ->
+      """WITH u AS (SELECT user_id, count(*) AS x,
+        |    CAST(CASE WHEN arg_min(event_type, event_id) = 'purchase'
+        |      THEN 1 ELSE 0 END AS BIGINT) AS treat,
+        |    CAST(sum(CAST(floor(value * 1000.0e0 + 0.5e0) AS BIGINT))
+        |      AS BIGINT) AS sv
+        |  FROM events GROUP BY 1),
+        |uy AS (SELECT user_id, x, treat, sv // x AS yq FROM u),
+        |byx AS (SELECT x, count(*) AS cnt FROM uy GROUP BY 1),
+        |nu AS (SELECT CAST(sum(cnt) AS BIGINT) AS nu FROM byx),
+        |st AS (SELECT x,
+        |    ((CAST(sum(cnt) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) - cnt) * 5) // nu.nu
+        |      AS stratum
+        |  FROM byx CROSS JOIN nu),
+        |bys AS (SELECT stratum, count(*) AS n,
+        |    CAST(sum(treat) AS BIGINT) AS nt,
+        |    CAST(sum(treat * yq) AS BIGINT) AS syt,
+        |    CAST(sum((1 - treat) * yq) AS BIGINT) AS syc
+        |  FROM uy JOIN st USING (x) GROUP BY 1),
+        |we AS (SELECT stratum, n, nt, n - nt AS nc, syt, syc,
+        |    CASE WHEN nt > 0 AND n - nt > 0 THEN CAST(floor(
+        |      (CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE) / 1000.0e0
+        |        - CAST(syc AS DOUBLE) / CAST(n - nt AS DOUBLE)
+        |          / 1000.0e0) * 1e6 + 0.5e0) AS BIGINT) END AS effq
+        |  FROM bys),
+        |ate AS (SELECT sum(CAST(n AS HUGEINT) * effq) AS swe,
+        |    CAST(sum(n) AS BIGINT) AS sn FROM we WHERE effq IS NOT NULL)
+        |SELECT stratum, n, nt, nc,
+        |  CASE WHEN nt > 0 THEN round(CAST(syt AS DOUBLE)
+        |    / CAST(nt AS DOUBLE) / 1000.0e0, 6) END AS mean_treat,
+        |  CASE WHEN nc > 0 THEN round(CAST(syc AS DOUBLE)
+        |    / CAST(nc AS DOUBLE) / 1000.0e0, 6) END AS mean_ctrl,
+        |  CASE WHEN effq IS NOT NULL THEN CAST(effq AS DOUBLE) / 1e6 END
+        |    AS effect,
+        |  CASE WHEN sn IS NOT NULL AND sn > 0 THEN round(
+        |    CAST(swe AS DOUBLE) / CAST(sn AS DOUBLE) / 1e6, 6) END
+        |    AS ate
+        |FROM we CROSS JOIN ate ORDER BY stratum""".stripMargin,
+
+    // global top-(k+1) order statistics; nano-quantized log-ratios
+    "q_hill_tail" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |kk AS (SELECT greatest(1, least(100, n // 2)) AS k FROM nn),
+        |r AS (SELECT doc_id, n_chars, row_number() OVER (
+        |    ORDER BY n_chars DESC, doc_id) AS rn FROM documents),
+        |xm AS (SELECT n_chars AS xmin FROM r, kk WHERE rn = k + 1),
+        |l AS (SELECT xmin, CAST(floor(
+        |    ln(CAST(r.n_chars AS DOUBLE) / CAST(xmin AS DOUBLE))
+        |      * 1e9 + 0.5e0) AS BIGINT) AS lq
+        |  FROM r, kk, xm WHERE rn <= k)
+        |SELECT count(*) AS k, xmin,
+        |  CASE WHEN sum(lq) > 0 THEN round(CAST(count(*) AS DOUBLE)
+        |    / (CAST(sum(lq) AS DOUBLE) / 1e9), 6) END AS alpha
+        |FROM l GROUP BY xmin""".stripMargin
   )
 }

@@ -550,6 +550,90 @@ object StatsQueries extends QueryPack {
         round(col("srel").cast("double") / lit(1e9) -
           col("sres").cast("double") / lit(1e9) +
           obar * (lit(1.0) - obar), 6).as("brier_binned"))
+    }),
+
+    // -- delete-one-group jackknife (grouped SE without resampling) --------
+    // The deterministic cousin of q_bootstrap_ci: the delete-one-SOURCE
+    // jackknife for the corpus mean, the estimator a pipeline uses when
+    // the natural resampling unit is a whole source/shard (clustered
+    // data) rather than a row. Every leave-one-out replicate is CLOSED-
+    // FORM from the per-source totals ((T−T_s)/(N−n_s) — the
+    // q_loo_influence identity), so the whole thing is one keyed
+    // aggregate + arithmetic on the G-row frame. Replicates are micro-
+    // quantized before the two bounded reduction passes (exact integer
+    // sums, order-free); SE and bias come out of Tukey's (G−1)/G
+    // formula in one mirrored double expression.
+    "q_jackknife" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("source"),
+        col("n_chars"))
+      val bySrc = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("ns"), sum(col("n_chars")).as("ts"))
+      val g = docs.agg(count(lit(1)).as("nn"), sum(col("n_chars")).as("tt"))
+      val th = bySrc.crossJoin(broadcast(g))
+        .filter(col("nn") =!= col("ns"))
+        .withColumn("thq", floor(
+          (col("tt").cast("double") - col("ts").cast("double")) /
+            (col("nn").cast("double") - col("ns").cast("double")) *
+            lit(1e6) + lit(0.5)).cast("long"))
+      val p1 = th.agg(count(lit(1)).as("gg"), sum(col("thq")).as("sthq"))
+      val gD = col("gg").cast("double")
+      val thDot = col("sthq").cast("double") / gD / lit(1e6)
+      val dev = th.crossJoin(broadcast(p1))
+        .withColumn("devq", floor(
+          (col("thq").cast("double") / lit(1e6) - thDot) *
+            (col("thq").cast("double") / lit(1e6) - thDot) *
+            lit(1e9) + lit(0.5)).cast("long"))
+      val fin = dev.agg(max(col("gg")).as("gg"), max(col("sthq")).as("sthq"),
+        max(col("nn")).as("nn"), max(col("tt")).as("tt"),
+        sum(col("devq")).as("sdev"))
+      val theta = col("tt").cast("double") / col("nn").cast("double")
+      fin.select(col("gg").as("n_groups"),
+        round(theta, 6).as("theta"),
+        round(thDot, 6).as("theta_jk"),
+        round(sqrt((gD - lit(1.0)) / gD *
+          (col("sdev").cast("double") / lit(1e9))), 6).as("jk_se"),
+        round((gD - lit(1.0)) * (thDot - theta), 6).as("jk_bias"))
+    }),
+
+    // -- one-way ANOVA F (k-group mean separation) -------------------------
+    // The k-sample extension of q_ab_test / q_mann_whitney: does event
+    // value differ across the 5 event types at all? Between/within sums
+    // of squares derive entirely from exact milli-integer moments; the
+    // per-group SHARE-weighted terms (n_g/N)·(m_g−m)² and the within-
+    // group variance shares are each bounded by the value variance, so
+    // micro-quantizing them keeps the k-term sums inside a long at any
+    // corpus size (the q_brier_decomp discipline). F and η² come out of
+    // one mirrored double expression on the two integer SS shares —
+    // the quantization unit cancels in both ratios.
+    "q_anova_f" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val e = Tables.events(s, d).select(col("event_type"),
+        floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+          .as("vq"))
+      val byG = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("ng"), sum(dec(col("vq"))).as("s1"),
+          sum(dec(col("vq")) * dec(col("vq"))).as("s2"))
+      val g = byG.agg(sum(col("ng")).as("nn"), sum(col("s1")).as("gs1"),
+        count(lit(1)).as("k"))
+      val ngD = col("ng").cast("double"); val nnD = col("nn").cast("double")
+      val mg = col("s1").cast("double") / ngD
+      val gm = col("gs1").cast("double") / nnD
+      val terms = byG.crossJoin(broadcast(g))
+        .withColumn("bq", floor(ngD / nnD * (mg - gm) * (mg - gm) *
+          lit(1e6) + lit(0.5)).cast("long"))
+        .withColumn("wq", floor(
+          (col("s2").cast("double") / ngD - mg * mg) * ngD / nnD *
+            lit(1e6) + lit(0.5)).cast("long"))
+      val fin = terms.groupBy(col("nn"), col("k"))
+        .agg(sum(col("bq")).as("ssb"), sum(col("wq")).as("ssw"))
+      val kD = col("k").cast("double")
+      val ssbD = col("ssb").cast("double"); val sswD = col("ssw").cast("double")
+      fin.select(col("nn").as("n"), col("k"),
+        when(col("ssw") =!= 0L && col("k") > 1L, round(
+          ssbD * (col("nn").cast("double") - kD) /
+            (sswD * (kD - lit(1.0))), 6)).as("f_stat"),
+        when(col("ssb") + col("ssw") =!= 0L,
+          round(ssbD / (ssbD + sswD), 6)).as("eta2"))
     })
   )
 
@@ -924,6 +1008,78 @@ object StatsQueries extends QueryPack {
          |    + CAST(g.npos AS DOUBLE) / CAST(g.n AS DOUBLE)
          |      * (1.0e0 - CAST(g.npos AS DOUBLE) / CAST(g.n AS DOUBLE)),
          |    6) AS brier_binned
-         |FROM g CROSS JOIN agg""".stripMargin
+         |FROM g CROSS JOIN agg""".stripMargin,
+
+    // closed-form leave-one-source replicates, micro-quantized before
+    // the bounded reduction; Tukey (G-1)/G in one shared expression
+    "q_jackknife" ->
+      """WITH bys AS (SELECT source, count(*) AS ns,
+        |    CAST(sum(n_chars) AS BIGINT) AS ts
+        |  FROM documents GROUP BY 1),
+        |g AS (SELECT count(*) AS nn, CAST(sum(n_chars) AS BIGINT) AS tt
+        |  FROM documents),
+        |th AS (SELECT CAST(floor(
+        |    (CAST(tt AS DOUBLE) - CAST(ts AS DOUBLE))
+        |      / (CAST(nn AS DOUBLE) - CAST(ns AS DOUBLE)) * 1e6 + 0.5e0)
+        |    AS BIGINT) AS thq, nn, tt
+        |  FROM bys CROSS JOIN g WHERE nn <> ns),
+        |p1 AS (SELECT count(*) AS gg, CAST(sum(thq) AS BIGINT) AS sthq
+        |  FROM th),
+        |dev AS (SELECT th.nn, th.tt, p1.gg, p1.sthq, CAST(floor(
+        |    (CAST(thq AS DOUBLE) / 1e6 - CAST(sthq AS DOUBLE)
+        |      / CAST(gg AS DOUBLE) / 1e6)
+        |    * (CAST(thq AS DOUBLE) / 1e6 - CAST(sthq AS DOUBLE)
+        |      / CAST(gg AS DOUBLE) / 1e6) * 1e9 + 0.5e0) AS BIGINT)
+        |    AS devq
+        |  FROM th CROSS JOIN p1),
+        |fin AS (SELECT max(gg) AS gg, max(sthq) AS sthq, max(nn) AS nn,
+        |    max(tt) AS tt, CAST(sum(devq) AS BIGINT) AS sdev FROM dev)
+        |SELECT gg AS n_groups,
+        |  round(CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS theta,
+        |  round(CAST(sthq AS DOUBLE) / CAST(gg AS DOUBLE) / 1e6, 6)
+        |    AS theta_jk,
+        |  round(sqrt((CAST(gg AS DOUBLE) - 1.0e0) / CAST(gg AS DOUBLE)
+        |    * (CAST(sdev AS DOUBLE) / 1e9)), 6) AS jk_se,
+        |  round((CAST(gg AS DOUBLE) - 1.0e0)
+        |    * (CAST(sthq AS DOUBLE) / CAST(gg AS DOUBLE) / 1e6
+        |      - CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE)), 6) AS jk_bias
+        |FROM fin""".stripMargin,
+
+    // exact milli-integer moments; share-weighted micro-quantized SS
+    // terms; the quantization unit cancels in F and eta-squared
+    "q_anova_f" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * 1000.0e0 + 0.5e0) AS BIGINT) AS vq
+        |  FROM events),
+        |byg AS (SELECT event_type, count(*) AS ng,
+        |    sum(CAST(vq AS HUGEINT)) AS s1,
+        |    sum(CAST(vq AS HUGEINT) * vq) AS s2
+        |  FROM e GROUP BY 1),
+        |g AS (SELECT CAST(sum(ng) AS BIGINT) AS nn, sum(s1) AS gs1,
+        |    count(*) AS k FROM byg),
+        |tm AS (SELECT nn, k, CAST(floor(
+        |    CAST(ng AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    * (CAST(s1 AS DOUBLE) / CAST(ng AS DOUBLE)
+        |      - CAST(gs1 AS DOUBLE) / CAST(nn AS DOUBLE))
+        |    * (CAST(s1 AS DOUBLE) / CAST(ng AS DOUBLE)
+        |      - CAST(gs1 AS DOUBLE) / CAST(nn AS DOUBLE))
+        |    * 1e6 + 0.5e0) AS BIGINT) AS bq,
+        |    CAST(floor((CAST(s2 AS DOUBLE) / CAST(ng AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) / CAST(ng AS DOUBLE)
+        |        * (CAST(s1 AS DOUBLE) / CAST(ng AS DOUBLE)))
+        |      * CAST(ng AS DOUBLE) / CAST(nn AS DOUBLE)
+        |      * 1e6 + 0.5e0) AS BIGINT) AS wq
+        |  FROM byg CROSS JOIN g),
+        |fin AS (SELECT nn, k, CAST(sum(bq) AS BIGINT) AS ssb,
+        |    CAST(sum(wq) AS BIGINT) AS ssw FROM tm GROUP BY 1, 2)
+        |SELECT nn AS n, CAST(k AS BIGINT) AS k,
+        |  CASE WHEN ssw <> 0 AND k > 1 THEN round(
+        |    CAST(ssb AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))
+        |    / (CAST(ssw AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0e0)), 6)
+        |  END AS f_stat,
+        |  CASE WHEN ssb + ssw <> 0 THEN round(CAST(ssb AS DOUBLE)
+        |    / (CAST(ssb AS DOUBLE) + CAST(ssw AS DOUBLE)), 6)
+        |  END AS eta2
+        |FROM fin""".stripMargin
   )
 }

@@ -1230,6 +1230,39 @@ object TextQueries extends QueryPack {
             col("tot"), 6).as("vmr"))
         .orderBy(col("tot").desc, col("w"))
         .limit(20)
+    }),
+
+    // -- stratified exact train/valid/test split ---------------------------
+    // The split q_hash_split can't give: per-STRATUM exact 80/10/10
+    // counts (proportional in expectation is not proportional — a rare
+    // language drifts whole points from its eval share under pure
+    // hashing). Docs rank within their language by splitmix64(doc_id)
+    // (deterministic, order/partitioning-independent) and the cuts are
+    // pure-integer compares rnk·10 ≤ n_l·{8,9} — exact ⌈·⌉ boundaries,
+    // no float shares. Scale: the rank is a per-stratum sort window —
+    // stratum count carries the parallelism (5 langs here); corpora
+    // where one stratum dominates would ride [[Dist.globalPrefixSum]]
+    // per stratum instead (the q_outlier_mad caveat class).
+    "q_stratified_split" -> ((s, d) => {
+      val hq = shiftrightunsigned(org.apache.spark.sql.graft
+        .NativeExpressions.splitmix64(col("doc_id")), 8)
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("hq"), col("doc_id"))
+      val wn = Window.partitionBy(col("lang"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("hq", hq)
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("nl", count(lit(1)).over(wn))
+        .withColumn("split",
+          when(col("rnk") * 10 <= col("nl") * 8, "train")
+            .when(col("rnk") * 10 <= col("nl") * 9, "valid")
+            .otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), max(col("nl")).as("n_lang"),
+          round(avg(col("n_chars")), 6).as("avg_chars"))
+        .withColumn("share_u", expr("(1000000 * n_docs) div n_lang"))
+        .orderBy(col("lang"), col("split"))
     })
   )
 
@@ -2111,7 +2144,31 @@ object TextQueries extends QueryPack {
            |    CAST(sum(c) AS DOUBLE) * sum(c) / any_value(n)) /
            |    sum(c), 6) AS vmr
            |FROM wd, nd GROUP BY w
-           |ORDER BY tot DESC, w LIMIT 20""".stripMargin
+           |ORDER BY tot DESC, w LIMIT 20""".stripMargin,
+
+      // same splitmix ranking; pure-integer 80/10/10 cut compares
+      "q_stratified_split" -> {
+        import graft.engine.OracleHash._
+        s"""WITH ${splitmixStages("documents", "doc_id, lang, n_chars",
+              "doc_id::UBIGINT")},
+           |h AS (SELECT doc_id, lang, n_chars,
+           |    (xor(z3, z3 >> 31) >> 8) AS hq FROM p3_),
+           |r AS (SELECT doc_id, lang, n_chars,
+           |    row_number() OVER (PARTITION BY lang
+           |      ORDER BY hq, doc_id) AS rnk,
+           |    count(*) OVER (PARTITION BY lang) AS nl
+           |  FROM h),
+           |sp AS (SELECT lang, n_chars, nl,
+           |    CASE WHEN rnk * 10 <= nl * 8 THEN 'train'
+           |         WHEN rnk * 10 <= nl * 9 THEN 'valid'
+           |         ELSE 'test' END AS split
+           |  FROM r)
+           |SELECT lang, split, count(*) AS n_docs,
+           |  CAST(max(nl) AS BIGINT) AS n_lang,
+           |  round(avg(n_chars), 6) AS avg_chars,
+           |  CAST((1000000 * count(*)) // max(nl) AS BIGINT) AS share_u
+           |FROM sp GROUP BY lang, split ORDER BY lang, split""".stripMargin
+      }
     )
   }
 }
