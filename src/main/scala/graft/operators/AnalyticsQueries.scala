@@ -1954,6 +1954,114 @@ object AnalyticsQueries extends QueryPack {
         .select(col("k"), col("xmin"),
           when(col("slq") > 0L, round(col("k").cast("double") /
             (col("slq").cast("double") / lit(1e9)), 6)).as("alpha"))
+    }),
+
+    // -- autocorrelation function (daily volume, lags 1-7) -----------------
+    // The stationarity readout q_seasonal_dow and q_holt_linear both
+    // implicitly assume: how much does today's volume predict tomorrow's
+    // (lag 1) vs next week's (lag 7)? Deviations are made SCALE-FREE
+    // before quantization — d_t = y_t/ȳ − 1 — so the micro-quantized
+    // integer products can never overflow no matter how large daily
+    // counts grow (the constant factor cancels in the ACF ratio; the
+    // full-series denominator is the standard estimator). Everything
+    // after the one day aggregate runs on the calendar-bounded frame:
+    // the 7-lag fan-out is a bounded explode joined on the dense day
+    // index.
+    "q_acf" -> ((s, d) => {
+      val byDay = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long").as("dd"))
+        .agg(count(lit(1)).as("y"))
+      val g = byDay.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+      val idx = byDay
+        .withColumn("t", row_number().over(Window.orderBy(col("dd")))
+          .cast("long"))
+        .crossJoin(broadcast(g))
+        .withColumn("dq", floor((col("y").cast("double") /
+          (col("sy").cast("double") / col("n").cast("double")) -
+          lit(1.0)) * lit(1e6) + lit(0.5)).cast("long"))
+        .select(col("t"), col("dq"))
+      val den = idx.agg(sum(col("dq") * col("dq")).as("den"))
+      val a = idx.withColumn("k", explode(expr("sequence(1, 7)")))
+        .select(col("k").cast("long").as("k"), (col("t") + col("k"))
+          .as("tk"), col("dq").as("dqa"))
+      val pairs = a.join(idx.select(col("t").as("tk"),
+        col("dq").as("dqb")), "tk")
+      pairs.groupBy(col("k"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("dqa") * col("dqb")).as("num"))
+        .crossJoin(broadcast(den))
+        .select(col("k").as("lag"), col("n_pairs"),
+          when(col("den") > 0L, round(col("num").cast("double") /
+            col("den").cast("double"), 6)).as("acf"))
+        .orderBy(col("lag"))
+    }),
+
+    // -- value-pattern profiling (shape mining) ----------------------------
+    // The data-profiling classic the FD/cardinality audits don't cover:
+    // what SHAPES live in a string column? Each value masks to its
+    // character classes (lowercase→a, uppercase→A, digit→9, everything
+    // else verbatim) and the top-5 shapes per column come back with
+    // exact shares — the screen that catches a stray free-text value in
+    // a code column or a second date format in an ingest feed. One
+    // keyed aggregate per column; the rank window runs per column on
+    // the bounded distinct-pattern frame.
+    "q_pattern_profile" -> ((s, d) => {
+      def mask(c: org.apache.spark.sql.Column) =
+        regexp_replace(regexp_replace(regexp_replace(c,
+          "[a-z]", "a"), "[A-Z]", "A"), "[0-9]", "9")
+      def prof(name: String, df: DataFrame, cn: String) =
+        df.select(mask(col(cn)).as("pattern"))
+          .groupBy(col("pattern")).agg(count(lit(1)).as("n"))
+          .withColumn("col_name", lit(name))
+      val all = prof("customer.c_mktsegment", Tables.customer(s, d),
+          "c_mktsegment")
+        .unionByName(prof("documents.source", Tables.documents(s, d),
+          "source"))
+        .unionByName(prof("events.props", Tables.events(s, d), "props"))
+      val wTot = Window.partitionBy(col("col_name"))
+      val wRnk = Window.partitionBy(col("col_name"))
+        .orderBy(col("n").desc, col("pattern"))
+      all
+        .withColumn("tot", sum(col("n")).over(wTot))
+        .withColumn("rnk", row_number().over(wRnk).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("col_name"), col("rnk"), col("pattern"), col("n"),
+          expr("(1000000 * n) div tot").as("share_u"))
+        .orderBy(col("col_name"), col("rnk"))
+    }),
+
+    // -- surrogate-key sequence audit --------------------------------------
+    // The ingest-integrity screen for identifier columns: density of the
+    // [min, max] range (gaps betray dropped batches), duplicate count
+    // (betrays replayed batches), both from one aggregate per column —
+    // count, distinct, min, max are all semigroup-mergeable, so the
+    // audit is a single map-side-combined pass per table regardless of
+    // scale.
+    "q_sequence_audit" -> ((s, d) => {
+      def audit(name: String, df: DataFrame, cn: String) =
+        df.select(col(cn).cast("long").as("k"))
+          .agg(count(lit(1)).as("n"),
+            count_distinct(col("k")).as("n_distinct"),
+            min(col("k")).as("kmin"), max(col("k")).as("kmax"))
+          .select(lit(name).as("key_col"), col("n"), col("n_distinct"),
+            col("kmin"), col("kmax"),
+            (col("kmax") - col("kmin") + lit(1L) - col("n_distinct"))
+              .as("gaps"),
+            (col("n") - col("n_distinct")).as("dupes"),
+            ((col("kmax") - col("kmin") + lit(1L) === col("n_distinct"))
+              && (col("n") === col("n_distinct"))).cast("int")
+              .cast("long").as("is_dense"))
+      audit("documents.doc_id", Tables.documents(s, d), "doc_id")
+        .unionByName(audit("embeddings.vec_id", Tables.embeddings(s, d),
+          "vec_id"))
+        .unionByName(audit("events.event_id", Tables.events(s, d),
+          "event_id"))
+        .unionByName(audit("orders.o_orderkey", Tables.orders(s, d),
+          "o_orderkey"))
+        .unionByName(audit("customer.c_custkey", Tables.customer(s, d),
+          "c_custkey"))
+        .orderBy(col("key_col"))
     })
   )
 
@@ -3193,6 +3301,93 @@ object AnalyticsQueries extends QueryPack {
         |SELECT count(*) AS k, xmin,
         |  CASE WHEN sum(lq) > 0 THEN round(CAST(count(*) AS DOUBLE)
         |    / (CAST(sum(lq) AS DOUBLE) / 1e9), 6) END AS alpha
-        |FROM l GROUP BY xmin""".stripMargin
+        |FROM l GROUP BY xmin""".stripMargin,
+
+    // scale-free micro-quantized deviations; dense day index; bounded
+    // 7-lag fan-out
+    "q_acf" ->
+      """WITH byd AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS sy
+        |  FROM byd),
+        |idx AS (SELECT
+        |    CAST(row_number() OVER (ORDER BY dd) AS BIGINT) AS t,
+        |    CAST(floor((CAST(y AS DOUBLE)
+        |      / (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) - 1.0e0)
+        |      * 1e6 + 0.5e0) AS BIGINT) AS dq
+        |  FROM byd CROSS JOIN g),
+        |den AS (SELECT CAST(sum(dq * dq) AS BIGINT) AS den FROM idx),
+        |a AS (SELECT CAST(k AS BIGINT) AS k, t + k AS tk, dq AS dqa
+        |  FROM idx CROSS JOIN (SELECT unnest(range(1, 8)) AS k) ks),
+        |p AS (SELECT a.k, a.dqa, b.dq AS dqb
+        |  FROM a JOIN idx b ON b.t = a.tk)
+        |SELECT k AS lag, count(*) AS n_pairs,
+        |  CASE WHEN den > 0 THEN round(
+        |    CAST(sum(dqa * dqb) AS DOUBLE) / CAST(den AS DOUBLE), 6)
+        |  END AS acf
+        |FROM p CROSS JOIN den GROUP BY k, den ORDER BY lag""".stripMargin,
+
+    // same three-stage character-class mask; per-column rank window on
+    // the bounded distinct-pattern frame
+    "q_pattern_profile" ->
+      """WITH m AS (
+        |  SELECT 'customer.c_mktsegment' AS col_name,
+        |    regexp_replace(regexp_replace(regexp_replace(c_mktsegment,
+        |      '[a-z]', 'a', 'g'), '[A-Z]', 'A', 'g'), '[0-9]', '9', 'g')
+        |      AS pattern
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'documents.source',
+        |    regexp_replace(regexp_replace(regexp_replace(source,
+        |      '[a-z]', 'a', 'g'), '[A-Z]', 'A', 'g'), '[0-9]', '9', 'g')
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'events.props',
+        |    regexp_replace(regexp_replace(regexp_replace(props,
+        |      '[a-z]', 'a', 'g'), '[A-Z]', 'A', 'g'), '[0-9]', '9', 'g')
+        |  FROM events),
+        |c AS (SELECT col_name, pattern, count(*) AS n
+        |  FROM m GROUP BY 1, 2),
+        |r AS (SELECT col_name, pattern, n,
+        |    CAST(sum(n) OVER (PARTITION BY col_name) AS BIGINT) AS tot,
+        |    CAST(row_number() OVER (PARTITION BY col_name
+        |      ORDER BY n DESC, pattern) AS BIGINT) AS rnk
+        |  FROM c)
+        |SELECT col_name, rnk, pattern, n,
+        |  CAST((1000000 * n) // tot AS BIGINT) AS share_u
+        |FROM r WHERE rnk <= 5 ORDER BY col_name, rnk""".stripMargin,
+
+    // one semigroup aggregate per key column
+    "q_sequence_audit" ->
+      """WITH a AS (
+        |  SELECT 'documents.doc_id' AS key_col, count(*) AS n,
+        |    count(DISTINCT doc_id) AS n_distinct,
+        |    CAST(min(doc_id) AS BIGINT) AS kmin,
+        |    CAST(max(doc_id) AS BIGINT) AS kmax FROM documents
+        |  UNION ALL
+        |  SELECT 'embeddings.vec_id', count(*),
+        |    count(DISTINCT vec_id), CAST(min(vec_id) AS BIGINT),
+        |    CAST(max(vec_id) AS BIGINT) FROM embeddings
+        |  UNION ALL
+        |  SELECT 'events.event_id', count(*),
+        |    count(DISTINCT event_id), CAST(min(event_id) AS BIGINT),
+        |    CAST(max(event_id) AS BIGINT) FROM events
+        |  UNION ALL
+        |  SELECT 'orders.o_orderkey', count(*),
+        |    count(DISTINCT o_orderkey), CAST(min(o_orderkey) AS BIGINT),
+        |    CAST(max(o_orderkey) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'customer.c_custkey', count(*),
+        |    count(DISTINCT c_custkey), CAST(min(c_custkey) AS BIGINT),
+        |    CAST(max(c_custkey) AS BIGINT) FROM customer)
+        |SELECT key_col, n, CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  kmin, kmax,
+        |  kmax - kmin + 1 - n_distinct AS gaps,
+        |  n - n_distinct AS dupes,
+        |  CAST(CASE WHEN kmax - kmin + 1 = n_distinct
+        |    AND n = n_distinct THEN 1 ELSE 0 END AS BIGINT) AS is_dense
+        |FROM a ORDER BY key_col""".stripMargin
   )
 }

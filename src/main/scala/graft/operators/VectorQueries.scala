@@ -904,6 +904,51 @@ object VectorQueries extends QueryPack {
           round(col("seq").cast("double") / col("n_pairs") / lit(1e6), 6)
             .as("mae"))
         .orderBy(col("k"))
+    }),
+
+    // -- per-label centroid similarity audit -------------------------------
+    // The class-separation readout over a labeled embedding corpus: the
+    // pairwise cosine between LABEL CENTROIDS — near-1.0 off-diagonal
+    // entries flag label collapse (classes the encoder cannot separate),
+    // the first thing to check before training a probe on the labels.
+    // The data-sized step is ONE keyed aggregate over the narrow
+    // (label, dim) posexplode (the q_embed_standardize shape, exact
+    // integer sums on the fixed-point quantization); centroids de-shift
+    // back to original units, micro-quantize, and all pairwise dots run
+    // as exact integers on the |labels|×64-row frame.
+    "q_label_centroids" -> ((s, d) => {
+      val p = Tables.embeddings(s, d)
+        .select(col("label").cast("long").as("label"),
+          posexplode(transform(col("embedding"),
+            x => floor((greatest(x.cast("double"), lit(-1.0)) +
+              lit(1.0)) * lit(1000000.0)).cast("long")))
+            .as(Seq("dim", "q")))
+      val cent = p.groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+        .withColumn("mq", (floor(col("sq").cast("double") /
+          col("n").cast("double") + lit(0.5)) - lit(1000000.0))
+          .cast("long"))
+      val nrm = cent.groupBy(col("label"))
+        .agg(max(col("n")).as("nvec"),
+          sum(col("mq") * col("mq")).as("ss"))
+      val dots = cent.select(col("label").as("l1"), col("dim"),
+          col("mq").as("ma"))
+        .join(cent.select(col("label").as("l2"), col("dim"),
+          col("mq").as("mb")), "dim")
+        .filter(col("l1") < col("l2"))
+        .groupBy(col("l1"), col("l2"))
+        .agg(sum(col("ma") * col("mb")).as("dot"))
+      dots
+        .join(nrm.select(col("label").as("l1"), col("nvec").as("n1"),
+          col("ss").as("ss1")), "l1")
+        .join(nrm.select(col("label").as("l2"), col("nvec").as("n2"),
+          col("ss").as("ss2")), "l2")
+        .select(col("l1"), col("l2"), col("n1"), col("n2"),
+          when(col("ss1") > 0L && col("ss2") > 0L,
+            round(col("dot").cast("double") /
+              (sqrt(col("ss1").cast("double")) *
+                sqrt(col("ss2").cast("double"))), 6)).as("cos_centroid"))
+        .orderBy(col("l1"), col("l2"))
     })
   )
 
@@ -1488,7 +1533,37 @@ object VectorQueries extends QueryPack {
           |  round(CAST(sum(cq) AS DOUBLE) / count(*) / 1e6, 6)
           |    AS mean_cos,
           |  round(CAST(sum(eq) AS DOUBLE) / count(*) / 1e6, 6) AS mae
-          |FROM q GROUP BY k ORDER BY k""".stripMargin
+          |FROM q GROUP BY k ORDER BY k""".stripMargin,
+
+      // the q_embed_standardize posexplode quantization; de-shifted
+      // micro-quantized centroids; exact integer pairwise dots on the
+      // labels x dims frame
+      "q_label_centroids" ->
+        """WITH p AS (SELECT CAST(label AS BIGINT) AS label,
+          |    generate_subscripts(embedding, 1) - 1 AS dim,
+          |    CAST(floor((greatest(CAST(unnest(embedding) AS DOUBLE),
+          |      CAST(-1.0 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+          |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS q
+          |  FROM embeddings),
+          |cent AS (SELECT label, dim, count(*) AS n,
+          |    CAST(sum(q) AS BIGINT) AS sq FROM p GROUP BY 1, 2),
+          |cm AS (SELECT label, dim, n, CAST(
+          |    floor(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) + 0.5e0)
+          |      - 1000000.0e0 AS BIGINT) AS mq
+          |  FROM cent),
+          |nr AS (SELECT label, CAST(max(n) AS BIGINT) AS nvec,
+          |    CAST(sum(mq * mq) AS BIGINT) AS ss FROM cm GROUP BY 1),
+          |dt AS (SELECT a.label AS l1, b.label AS l2,
+          |    CAST(sum(a.mq * b.mq) AS BIGINT) AS dot
+          |  FROM cm a JOIN cm b ON a.dim = b.dim AND a.label < b.label
+          |  GROUP BY 1, 2)
+          |SELECT l1, l2, n1.nvec AS n1, n2.nvec AS n2,
+          |  CASE WHEN n1.ss > 0 AND n2.ss > 0 THEN round(
+          |    CAST(dot AS DOUBLE) / (sqrt(CAST(n1.ss AS DOUBLE))
+          |      * sqrt(CAST(n2.ss AS DOUBLE))), 6) END AS cos_centroid
+          |FROM dt JOIN nr n1 ON n1.label = dt.l1
+          |JOIN nr n2 ON n2.label = dt.l2
+          |ORDER BY l1, l2""".stripMargin
     )
   }
 }
