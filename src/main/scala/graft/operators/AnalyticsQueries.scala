@@ -2062,6 +2062,37 @@ object AnalyticsQueries extends QueryPack {
         .unionByName(audit("customer.c_custkey", Tables.customer(s, d),
           "c_custkey"))
         .orderBy(col("key_col"))
+    }),
+
+    // -- audience-overlap matrix (exact pairwise distinct intersections) ---
+    // The segment-overlap readout behind every "reach" dashboard: for
+    // each pair of event types, how many distinct users do both, and
+    // the Jaccard of the two audiences. EXACT, without sketches: the
+    // corpus first collapses to the distinct (user, type) frame — at
+    // most |users|·|types| rows regardless of event volume — and the
+    // pair expansion self-joins ON THE USER KEY (co-partitioned, never
+    // cartesian), emitting at most C(|types|,2) rows per user. The
+    // sketch alternative (q_hll_merge) trades this exactness for one
+    // pass; this is the reconciliation query that audits it.
+    "q_audience_overlap" -> ((s, d) => {
+      val ut = Tables.events(s, d)
+        .select(col("user_id"), col("event_type")).distinct()
+      val szs = ut.groupBy(col("event_type")).agg(count(lit(1)).as("nu"))
+      val both = ut.select(col("user_id"), col("event_type").as("t1"))
+        .join(ut.select(col("user_id"), col("event_type").as("t2")),
+          "user_id")
+        .filter(col("t1") < col("t2"))
+        .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("n_both"))
+      both
+        .join(szs.select(col("event_type").as("t1"), col("nu").as("n1")),
+          "t1")
+        .join(szs.select(col("event_type").as("t2"), col("nu").as("n2")),
+          "t2")
+        .select(col("t1"), col("t2"), col("n1"), col("n2"), col("n_both"),
+          round(col("n_both").cast("double") /
+            (col("n1") + col("n2") - col("n_both")).cast("double"), 6)
+            .as("jaccard"))
+        .orderBy(col("t1"), col("t2"))
     })
   )
 
@@ -3388,6 +3419,22 @@ object AnalyticsQueries extends QueryPack {
         |  n - n_distinct AS dupes,
         |  CAST(CASE WHEN kmax - kmin + 1 = n_distinct
         |    AND n = n_distinct THEN 1 ELSE 0 END AS BIGINT) AS is_dense
-        |FROM a ORDER BY key_col""".stripMargin
+        |FROM a ORDER BY key_col""".stripMargin,
+
+    // distinct (user, type) frame first; user-keyed pair self-join
+    "q_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |sz AS (SELECT event_type, count(*) AS nu FROM ut GROUP BY 1),
+        |bt AS (SELECT a.event_type AS t1, b.event_type AS t2,
+        |    count(*) AS n_both
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT t1, t2, s1.nu AS n1, s2.nu AS n2, n_both,
+        |  round(CAST(n_both AS DOUBLE)
+        |    / CAST(s1.nu + s2.nu - n_both AS DOUBLE), 6) AS jaccard
+        |FROM bt JOIN sz s1 ON s1.event_type = bt.t1
+        |JOIN sz s2 ON s2.event_type = bt.t2
+        |ORDER BY t1, t2""".stripMargin
   )
 }

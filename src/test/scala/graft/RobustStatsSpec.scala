@@ -1,0 +1,356 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Tables
+
+/** Round-10 (this session) operators — nonparametric tests, survival,
+  * multiple-testing, time-series smoothing, profiling and data-valuation —
+  * cross-checked against driver-side brute-force recomputation on the
+  * sf0.001 corpus (the DuckDB hash gate is the second, engine-external
+  * check).
+  */
+class RobustStatsSpec extends AnyFunSuite {
+  import SparkFixture.{spark, sfDir}
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  private def vq(v: Double): Long = math.floor(v * 1000.0 + 0.5).toLong
+
+  private lazy val events: Array[(Long, Long, String, Double)] =
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+
+  private lazy val docs: Array[(Long, String, String, Long)] =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+
+  test("q_mann_whitney matches brute-force midrank U and tie-corrected z") {
+    val xs = events.filter(e => e._3 == "purchase" || e._3 == "click")
+      .map(e => (if (e._3 == "purchase") 1 else 0, vq(e._4)))
+    val n1 = xs.count(_._1 == 1).toLong
+    val n2 = xs.length - n1
+    // midranks via sort: rank of value v = below + (t + 1) / 2
+    val byV = xs.groupBy(_._2).view
+      .mapValues(g => (g.length.toLong, g.count(_._1 == 1).toLong))
+      .toSeq.sortBy(_._1)
+    var below = 0L; var r1twice = 0L; var tieSum = 0L
+    byV.foreach { case (_, (t, t1)) =>
+      r1twice += t1 * (2 * below + t + 1)
+      tieSum += t * t * t - t
+      below += t
+    }
+    val u1 = (r1twice - n1 * (n1 + 1)).toDouble / 2.0
+    val nn = (n1 + n2).toDouble
+    val sig = math.sqrt(n1.toDouble * n2 / 12.0 *
+      ((nn + 1.0) - tieSum.toDouble / (nn * (nn - 1.0))))
+    val z = (u1 - n1.toDouble * n2 / 2.0) / sig
+    val r = run("q_mann_whitney").collect().head
+    assert(r.getLong(0) == n1 && r.getLong(1) == n2)
+    assert(math.abs(r.getDouble(2) - u1) < 0.51)
+    assert(math.abs(r.getDouble(3) - z) < 1e-5)
+  }
+
+  test("q_anova_f matches the brute-force k-group F on quantized values") {
+    val groups = events.groupBy(_._3).view.mapValues(_.map(e => vq(e._4)))
+    val nn = events.length.toDouble
+    val gm = groups.values.flatten.sum.toDouble / nn
+    val ssb = groups.values.map { g =>
+      val m = g.sum.toDouble / g.length
+      g.length * (m - gm) * (m - gm)
+    }.sum
+    val ssw = groups.values.map { g =>
+      val m = g.sum.toDouble / g.length
+      g.map(v => (v - m) * (v - m)).sum
+    }.sum
+    val k = groups.size.toDouble
+    val f = (ssb / (k - 1)) / (ssw / (nn - k))
+    val r = run("q_anova_f").collect().head
+    assert(r.getLong(0) == events.length && r.getLong(1) == groups.size)
+    // the operator quantizes the per-group SS shares at 1e-6 relative to
+    // N — allow that rounding on the reassembled statistic
+    assert(math.abs(r.getDouble(2) - f) / f < 1e-3, s"F ${r.getDouble(2)} vs $f")
+    assert(math.abs(r.getDouble(3) - ssb / (ssb + ssw)) < 1e-4)
+  }
+
+  test("q_jackknife matches brute-force delete-one-source replicates") {
+    val bySrc = docs.groupBy(_._2).view
+      .mapValues(g => (g.length.toLong, g.map(_._4).sum)).toMap
+    val nn = docs.length.toLong
+    val tt = docs.map(_._4).sum
+    val reps = bySrc.values.map { case (ns, ts) =>
+      (tt - ts).toDouble / (nn - ns)
+    }.toSeq
+    val g = reps.length.toDouble
+    val thDot = reps.sum / g
+    val se = math.sqrt((g - 1.0) / g *
+      reps.map(x => (x - thDot) * (x - thDot)).sum)
+    val r = run("q_jackknife").collect().head
+    assert(r.getLong(0) == reps.length)
+    assert(math.abs(r.getDouble(1) - tt.toDouble / nn) < 1e-5)
+    assert(math.abs(r.getDouble(2) - thDot) < 1e-4)
+    assert(math.abs(r.getDouble(3) - se) < 1e-3)
+  }
+
+  test("q_kaplan_meier matches the brute-force product-limit curve") {
+    val winEnd = java.time.LocalDate.parse("2024-01-31").toEpochDay
+    val times = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay,
+        r.getString(2)))
+      .groupBy(_._1).toSeq.map { case (_, rows) =>
+        val first = rows.map(_._2).min
+        val purch = rows.filter(_._3 == "purchase").map(_._2)
+        if (purch.nonEmpty) (purch.min - first, 1) else (winEnd - first, 0)
+      }
+    val byT = times.groupBy(_._1).view
+      .mapValues(g => (g.count(_._2 == 1).toLong, g.length.toLong))
+      .toSeq.sortBy(_._1)
+    var atRisk = times.length.toLong
+    var s = 1.0
+    val expected = byT.map { case (t, (d, tot)) =>
+      if (d < atRisk) s *= (atRisk - d).toDouble / atRisk
+      else s = 0.0
+      val row = (t, atRisk, d, s)
+      atRisk -= tot
+      row
+    }
+    val got = run("q_kaplan_meier").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case ((gt, gn, gd, gs), (et, en, ed, es)) =>
+      assert(gt == et && gn == en && gd == ed)
+      assert(math.abs(gs - es) < 2e-6, s"t=$gt surv $gs vs $es")
+    }
+    // survival must be non-increasing
+    got.map(_._4).sliding(2).foreach {
+      case Array(a, b) => assert(b <= a + 1e-12)
+      case _           =>
+    }
+  }
+
+  test("q_holt_linear replays the recursion on brute-force day counts") {
+    val byDay = events.length // just force events; counts from table
+    val counts = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day")).count()
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+      .sortBy(_._1)
+    var l = counts(0)._2.toDouble
+    var b = counts(1)._2.toDouble - counts(0)._2
+    val exp = scala.collection.mutable.ArrayBuffer((counts(0)._1, l, b, l))
+    for (i <- 1 until counts.length) {
+      val y = counts(i)._2.toDouble
+      val f = l + b
+      val lN = 0.3 * y + 0.7 * (l + b)
+      b = 0.1 * (lN - l) + 0.9 * b
+      l = lN
+      exp += ((counts(i)._1, l, b, f))
+    }
+    val got = run("q_holt_linear").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.length == exp.length && byDay > 0)
+    got.zip(exp).foreach { case ((gd, gl, gb, gf), (ed, el, eb, ef)) =>
+      assert(gd == ed)
+      assert(math.abs(gl - el) < 1e-5 && math.abs(gb - eb) < 1e-5 &&
+        math.abs(gf - ef) < 1e-5)
+    }
+  }
+
+  test("q_bh_fdr significant set is the exact BH step-up prefix") {
+    val rows = run("q_bh_fdr").collect()
+      .map(r => (r.getLong(4), r.getDouble(3), r.getLong(5)))
+      .sortBy(_._1)
+    val m = rows.length
+    val passing = rows.filter { case (rnk, p, _) => p * m <= rnk * 0.05 + 1e-12 }
+    val kStar = if (passing.isEmpty) 0L else passing.map(_._1).max
+    rows.foreach { case (rnk, _, sig) =>
+      assert((sig == 1L) == (rnk <= kStar), s"rank $rnk")
+    }
+  }
+
+  test("q_acf matches brute-force autocorrelation of daily counts") {
+    val counts = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day")).count()
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+      .sortBy(_._1).map(_._2)
+    val mean = counts.sum.toDouble / counts.length
+    val dq = counts.map(y =>
+      math.floor((y / mean - 1.0) * 1e6 + 0.5).toLong)
+    val den = dq.map(x => x * x).sum.toDouble
+    val got = run("q_acf").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    (1 to 7).foreach { k =>
+      val num = dq.dropRight(k).zip(dq.drop(k)).map(p => p._1 * p._2).sum
+      val (np, acf) = got(k.toLong)
+      assert(np == counts.length - k)
+      assert(math.abs(acf - num / den) < 1e-5, s"lag $k")
+    }
+  }
+
+  test("q_stratified_split cuts are the exact 80/10/10 integer boundaries") {
+    val got = run("q_stratified_split").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    docs.groupBy(_._3).foreach { case (lang, g) =>
+      val nl = g.length.toLong
+      val train = nl * 8 / 10
+      val valid = nl * 9 / 10 - train
+      val test = nl - nl * 9 / 10
+      assert(got.getOrElse((lang, "train"), 0L) == train, s"$lang train")
+      assert(got.getOrElse((lang, "valid"), 0L) == valid, s"$lang valid")
+      assert(got.getOrElse((lang, "test"), 0L) == test, s"$lang test")
+    }
+  }
+
+  test("q_fd_check matches brute-force g3 violation counts") {
+    val srcLang = docs.groupBy(_._2).values.map { g =>
+      g.length - g.groupBy(_._3).values.map(_.length).max
+    }.sum
+    val got = run("q_fd_check").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val (nRows, viol) = got("documents.source->lang")
+    assert(nRows == docs.length)
+    assert(viol == srcLang)
+    // a surrogate-key determinant can never violate
+    got.foreach { case (fd, (n, v)) =>
+      assert(v >= 0 && v < n, fd)
+    }
+  }
+
+  test("q_loo_influence deltas recompute from per-source totals") {
+    val nn = docs.length.toLong
+    val tt = docs.map(_._4).sum
+    val got = run("q_loo_influence").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    docs.groupBy(_._2).foreach { case (src, g) =>
+      val exp = (tt - g.map(_._4).sum).toDouble / (nn - g.length) -
+        tt.toDouble / nn
+      assert(math.abs(got(src) - exp) < 1e-5, src)
+    }
+    // influences must roughly balance: the weighted sum over sources of
+    // (N - n_s)·delta_s telescopes to 0 exactly
+    val full = run("q_loo_influence").collect()
+      .map(r => (r.getLong(1), r.getDouble(3)))
+    val bal = full.map { case (ns, dl) => (nn - ns) * dl }.sum
+    assert(math.abs(bal) < 1e-2)
+  }
+
+  test("q_hill_tail matches brute-force top-k log-ratio estimate") {
+    val k = math.max(1, math.min(100, docs.length / 2))
+    val sorted = docs.map(d => (d._4, d._1)).sortBy { case (c, id) => (-c, id) }
+    val xmin = sorted(k)._1.toDouble
+    val slq = sorted.take(k)
+      .map(x => math.floor(math.log(x._1 / xmin) * 1e9 + 0.5).toLong).sum
+    val r = run("q_hill_tail").collect().head
+    assert(r.getLong(0) == k)
+    assert(r.getLong(1) == xmin.toLong)
+    assert(math.abs(r.getDouble(2) - k / (slq / 1e9)) < 1e-5)
+  }
+
+  test("q_audience_overlap matches brute-force distinct-user set overlap") {
+    val byType = events.groupBy(_._3).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val got = run("q_audience_overlap").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    for ((t1, s1) <- byType; (t2, s2) <- byType if t1 < t2) {
+      val inter = (s1 & s2).size.toLong
+      if (inter > 0) {
+        val (n1, n2, nb) = got((t1, t2))
+        assert(n1 == s1.size && n2 == s2.size && nb == inter, s"$t1/$t2")
+      } else assert(!got.contains((t1, t2)))
+    }
+  }
+
+  test("q_simpson_flip within-slope lies in the per-group slope hull") {
+    val r = run("q_simpson_flip").collect().head
+    val pooled = r.getDouble(2); val within = r.getDouble(3)
+    assert(!pooled.isNaN && !within.isNaN)
+    // the ANCOVA common slope is a convex combination of per-group
+    // slopes — recompute the per-group extremes as the hull
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    val slopes = o.groupBy(_._1).values.map { g =>
+      val n = g.length.toDouble
+      val sx = g.map(_._2).sum.toDouble; val sy = g.map(_._3).sum.toDouble
+      val sxx = g.map(p => p._2.toDouble * p._2).sum
+      val sxy = g.map(p => p._2.toDouble * p._3).sum
+      (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    }.toSeq
+    assert(within >= slopes.min - 1e-6 && within <= slopes.max + 1e-6)
+  }
+
+  test("q_brier_decomp components are consistent and brier is exact") {
+    val r = run("q_brier_decomp").collect().head
+    val (brier, rel, res, unc, binned) = (r.getDouble(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(rel >= 0 && res >= 0 && unc >= 0 && unc <= 0.25)
+    assert(math.abs(binned - (rel - res + unc)) < 2e-6)
+    // the binned decomposition reconstructs Brier up to within-bin
+    // variance of the predictions (Murphy): binned >= brier - epsilon
+    assert(binned >= brier - 0.05 && binned <= brier + 0.05)
+    assert(brier >= 0 && brier <= 1)
+  }
+
+  test("q_matryoshka is exact at full dimension and bounded") {
+    val rows = run("q_matryoshka").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows.keySet == Set(8L, 16L, 32L, 64L))
+    assert(rows(64L)._2 == 0.0)
+    rows.values.foreach { case (mc, mae) =>
+      assert(mc >= -1.0 && mc <= 1.0 && mae >= 0.0 && mae <= 2.0)
+    }
+    assert(rows(8L)._2 >= rows(32L)._2)
+  }
+
+  test("q_propensity_strat strata partition users and ATE is the weighted fold") {
+    val rows = run("q_propensity_strat").collect()
+    val users = events.map(_._2).distinct.length
+    assert(rows.map(_.getLong(1)).sum == users)
+    val valid = rows.filter(r => r.getLong(2) > 0 && r.getLong(3) > 0)
+    if (valid.nonEmpty) {
+      val wate = valid.map(r => r.getLong(1) *
+        math.floor(r.getDouble(6) * 1e6 + 0.5)).sum /
+        valid.map(_.getLong(1)).sum.toDouble / 1e6
+      val ate = valid.head.getDouble(7)
+      assert(math.abs(ate - wate) < 2e-6)
+    }
+  }
+
+  test("q_sequence_audit flags the dense driver keys as dense") {
+    val got = run("q_sequence_audit").collect()
+      .map(r => r.getString(0) -> (r.getLong(5), r.getLong(6),
+        r.getLong(7))).toMap
+    // every driver surrogate key is 0..n-1 dense with no dupes
+    got.foreach { case (k, (gaps, dupes, dense)) =>
+      assert(gaps == 0 && dupes == 0 && dense == 1, k)
+    }
+  }
+
+  test("q_pattern_profile shares sum to the column total over top shapes") {
+    val rows = run("q_pattern_profile").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (cn, g) =>
+      // ranks are 1..k distinct
+      val rnks = g.map(_.getLong(1)).sorted
+      assert(rnks.toSeq == (1L to rnks.length).toSeq, cn)
+      g.foreach(r => assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000000L))
+    }
+    // props masks to exactly the {"a": 9...} shapes
+    val props = rows.filter(_.getString(0) == "events.props")
+    assert(props.forall(_.getString(2).startsWith("{\"a\": 9")))
+  }
+}
