@@ -2093,6 +2093,163 @@ object AnalyticsQueries extends QueryPack {
             (col("n1") + col("n2") - col("n_both")).cast("double"), 6)
             .as("jaccard"))
         .orderBy(col("t1"), col("t2"))
+    }),
+
+    // -- Qini uplift curve (incremental response by targeting decile) ------
+    // The uplift-model evaluation companion of q_propensity_strat: if we
+    // could only "treat" the top-x% by a targeting score, how many
+    // INCREMENTAL responders would the treatment buy vs the control
+    // baseline? Users rank by activity (the available targeting signal)
+    // into blocked deciles — the same domain-bounded distinct-count
+    // quantile trick, DESC so decile 0 is the most active. The curve is
+    // cumulative exact integers (responders/arm sizes prefix-summed on
+    // the 10-row frame); Qini_d = Rt − Rc·Nt/Nc and the random-targeting
+    // diagonal evaluate in one mirrored double expression each.
+    "q_qini_uplift" -> ((s, d) => {
+      val u = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+            .as("vq"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("x"),
+          (min_by(col("event_type"), col("event_id")) === "purchase")
+            .cast("int").cast("long").as("treat"),
+          sum(col("vq")).as("sv"))
+        .withColumn("resp",
+          (expr("sv div x") >= 50000L).cast("int").cast("long"))
+      val byX = u.groupBy(col("x")).agg(count(lit(1)).as("cnt"))
+      val wx = Window.orderBy(col("x").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dec = byX
+        .withColumn("cum", sum(col("cnt")).over(wx))
+        .crossJoin(broadcast(byX.agg(sum(col("cnt")).as("nu"))))
+        .withColumn("decile", expr("((cum - cnt) * 10) div nu"))
+        .select(col("x"), col("decile"))
+      val byD = u.join(broadcast(dec), "x")
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("treat")).as("nt"),
+          sum(col("treat") * col("resp")).as("rt"),
+          sum((lit(1L) - col("treat")) * col("resp")).as("rc"))
+      val wc = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = byD
+        .withColumn("cn", sum(col("n")).over(wc))
+        .withColumn("cnt_t", sum(col("nt")).over(wc))
+        .withColumn("crt", sum(col("rt")).over(wc))
+        .withColumn("crc", sum(col("rc")).over(wc))
+        .withColumn("cnc", col("cn") - col("cnt_t"))
+      val tot = byD.agg(sum(col("n")).as("tn"), sum(col("nt")).as("tnt"),
+        sum(col("rt")).as("trt"), sum(col("rc")).as("trc"))
+      cum.crossJoin(broadcast(tot))
+        .select(col("decile"), col("n"), col("cnt_t").as("cum_nt"),
+          col("cnc").as("cum_nc"), col("crt").as("cum_rt"),
+          col("crc").as("cum_rc"),
+          when(col("cnc") > 0L, round(col("crt").cast("double") -
+            col("crc").cast("double") * col("cnt_t").cast("double") /
+              col("cnc").cast("double"), 6)).as("qini"),
+          when(col("tn") - col("tnt") > 0L, round(
+            (col("trt").cast("double") - col("trc").cast("double") *
+              col("tnt").cast("double") /
+              (col("tn") - col("tnt")).cast("double")) *
+              col("cn").cast("double") / col("tn").cast("double"), 6))
+            .as("qini_random"))
+        .orderBy(col("decile"))
+    }),
+
+    // -- mutual information between categorical columns --------------------
+    // The feature-dependence measure q_chi2_select's statistic doesn't
+    // give directly: MI in nats (how many nats does knowing A say about
+    // B) plus the normalized MI/√(H_A·H_B) that makes pairs comparable.
+    // Each audited pair is one keyed cell count; per-cell p·ln terms are
+    // nano-quantized on the bounded cell frame (|A|·|B| cells) and
+    // summed exactly — the engine never moves row-sized data after the
+    // count.
+    "q_mutual_info" -> ((s, d) => {
+      def mi(name: String, df: DataFrame, ca: String, cb: String) = {
+        val cells = df
+          .select(col(ca).cast("string").as("a"),
+            col(cb).cast("string").as("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+        val ma = cells.groupBy(col("a")).agg(sum(col("c")).as("cnt_a"))
+        val mb = cells.groupBy(col("b")).agg(sum(col("c")).as("cnt_b"))
+        val nn = cells.agg(sum(col("c")).as("n"))
+        val cD = col("c").cast("double"); val nD = col("n").cast("double")
+        val terms = cells.join(ma, "a").join(mb, "b")
+          .crossJoin(broadcast(nn))
+          .withColumn("tq", floor(cD / nD *
+            log(cD * nD / (col("cnt_a").cast("double") *
+              col("cnt_b").cast("double"))) * lit(1e9) + lit(0.5))
+            .cast("long"))
+        val ha = ma.crossJoin(broadcast(nn))
+          .withColumn("hq", floor(-(col("cnt_a").cast("double") / nD) *
+            log(col("cnt_a").cast("double") / nD) * lit(1e9) + lit(0.5))
+            .cast("long"))
+          .agg(sum(col("hq")).as("ha"))
+        val hb = mb.crossJoin(broadcast(nn))
+          .withColumn("hq", floor(-(col("cnt_b").cast("double") / nD) *
+            log(col("cnt_b").cast("double") / nD) * lit(1e9) + lit(0.5))
+            .cast("long"))
+          .agg(sum(col("hq")).as("hb"))
+        terms
+          .agg(max(col("n")).as("n"), count(lit(1)).as("n_cells"),
+            sum(col("tq")).as("miq"))
+          .crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+          .select(lit(name).as("pair"), col("n"), col("n_cells"),
+            round(col("miq").cast("double") / lit(1e9), 6).as("mi"),
+            when(col("ha") > 0L && col("hb") > 0L,
+              round(col("miq").cast("double") / lit(1e9) /
+                sqrt(col("ha").cast("double") / lit(1e9) *
+                  (col("hb").cast("double") / lit(1e9))), 6)).as("nmi"))
+      }
+      mi("documents.lang~source", Tables.documents(s, d),
+          "lang", "source")
+        .unionByName(mi("orders.status~priority", Tables.orders(s, d),
+          "o_orderstatus", "o_orderpriority"))
+        .unionByName(mi("customer.segment~nation", Tables.customer(s, d),
+          "c_mktsegment", "c_nationkey"))
+        .orderBy(col("pair"))
+    }),
+
+    // -- weight of evidence + information value (scorecard profiling) ------
+    // The credit-scorecard screen for a categorical feature against a
+    // binary outcome: per-category WoE = ln(p_good/p_bad) with 0.5
+    // Laplace smoothing (so empty arms stay finite), and the IV sum that
+    // ranks features before any model sees them. Outcome: the order is
+    // urgent-or-high priority; feature: the customer's market segment.
+    // One shuffle join orders⋈customer, then everything is exact
+    // integers on the |segments|-cell frame; WoE/IV evaluate in one
+    // mirrored double expression with nano-quantized IV contributions.
+    "q_woe_iv" -> ((s, d) => {
+      val oc = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            .cast("int").cast("long").as("good"))
+        .join(Tables.customer(s, d).select(
+          col("c_custkey").as("o_custkey"), col("c_mktsegment")
+            .as("seg")), "o_custkey")
+      val cells = oc.groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("good")).as("g"))
+        .withColumn("b", col("n") - col("g"))
+      val tot = cells.agg(sum(col("g")).as("gg"), sum(col("b")).as("bb"),
+        count(lit(1)).as("k"))
+      val pg = (col("g").cast("double") + lit(0.5)) /
+        (col("gg").cast("double") + lit(0.5) * col("k").cast("double"))
+      val pb = (col("b").cast("double") + lit(0.5)) /
+        (col("bb").cast("double") + lit(0.5) * col("k").cast("double"))
+      val withWoe = cells.crossJoin(broadcast(tot))
+        .withColumn("woeq",
+          floor(log(pg / pb) * lit(1e9) + lit(0.5)).cast("long"))
+        .withColumn("ivq",
+          floor((pg - pb) * log(pg / pb) * lit(1e9) + lit(0.5))
+            .cast("long"))
+      val iv = withWoe.agg(sum(col("ivq")).as("sivq"))
+      withWoe.crossJoin(broadcast(iv))
+        .select(col("seg"), col("n"), col("g").as("n_good"),
+          col("b").as("n_bad"),
+          (col("woeq").cast("double") / lit(1e9)).as("woe"),
+          (col("ivq").cast("double") / lit(1e9)).as("iv_contrib"),
+          round(col("sivq").cast("double") / lit(1e9), 6).as("iv_total"))
+        .orderBy(col("seg"))
     })
   )
 
@@ -3435,6 +3592,138 @@ object AnalyticsQueries extends QueryPack {
         |    / CAST(s1.nu + s2.nu - n_both AS DOUBLE), 6) AS jaccard
         |FROM bt JOIN sz s1 ON s1.event_type = bt.t1
         |JOIN sz s2 ON s2.event_type = bt.t2
-        |ORDER BY t1, t2""".stripMargin
+        |ORDER BY t1, t2""".stripMargin,
+
+    // first-event treatment; blocked DESC activity deciles; cumulative
+    // exact integers; mirrored Qini expressions
+    "q_qini_uplift" ->
+      """WITH u AS (SELECT user_id, count(*) AS x,
+        |    CAST(CASE WHEN arg_min(event_type, event_id) = 'purchase'
+        |      THEN 1 ELSE 0 END AS BIGINT) AS treat,
+        |    CAST(sum(CAST(floor(value * 1000.0e0 + 0.5e0) AS BIGINT))
+        |      AS BIGINT) AS sv
+        |  FROM events GROUP BY 1),
+        |ur AS (SELECT user_id, x, treat,
+        |    CAST(CASE WHEN sv // x >= 50000 THEN 1 ELSE 0 END AS BIGINT)
+        |      AS resp FROM u),
+        |byx AS (SELECT x, count(*) AS cnt FROM ur GROUP BY 1),
+        |nu AS (SELECT CAST(sum(cnt) AS BIGINT) AS nu FROM byx),
+        |dc AS (SELECT x,
+        |    ((CAST(sum(cnt) OVER (ORDER BY x DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) - cnt) * 10) // nu.nu
+        |      AS decile
+        |  FROM byx CROSS JOIN nu),
+        |byd AS (SELECT decile, count(*) AS n,
+        |    CAST(sum(treat) AS BIGINT) AS nt,
+        |    CAST(sum(treat * resp) AS BIGINT) AS rt,
+        |    CAST(sum((1 - treat) * resp) AS BIGINT) AS rc
+        |  FROM ur JOIN dc USING (x) GROUP BY 1),
+        |cm AS (SELECT decile, n, nt, rt, rc,
+        |    CAST(sum(n) OVER w AS BIGINT) AS cn,
+        |    CAST(sum(nt) OVER w AS BIGINT) AS cnt_t,
+        |    CAST(sum(rt) OVER w AS BIGINT) AS crt,
+        |    CAST(sum(rc) OVER w AS BIGINT) AS crc
+        |  FROM byd WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+        |    CAST(sum(nt) AS BIGINT) AS tnt,
+        |    CAST(sum(rt) AS BIGINT) AS trt,
+        |    CAST(sum(rc) AS BIGINT) AS trc FROM byd)
+        |SELECT decile, n, cnt_t AS cum_nt, cn - cnt_t AS cum_nc,
+        |  crt AS cum_rt, crc AS cum_rc,
+        |  CASE WHEN cn - cnt_t > 0 THEN round(CAST(crt AS DOUBLE)
+        |    - CAST(crc AS DOUBLE) * CAST(cnt_t AS DOUBLE)
+        |      / CAST(cn - cnt_t AS DOUBLE), 6) END AS qini,
+        |  CASE WHEN tn - tnt > 0 THEN round((CAST(trt AS DOUBLE)
+        |    - CAST(trc AS DOUBLE) * CAST(tnt AS DOUBLE)
+        |      / CAST(tn - tnt AS DOUBLE))
+        |    * CAST(cn AS DOUBLE) / CAST(tn AS DOUBLE), 6) END
+        |    AS qini_random
+        |FROM cm CROSS JOIN tot ORDER BY decile""".stripMargin,
+
+    // nano-quantized p*ln terms on the bounded cell frame; entropies
+    // from the margins with the same quantization
+    "q_mutual_info" ->
+      """WITH src AS (
+        |  SELECT 'documents.lang~source' AS pair, lang AS a,
+        |    source AS b FROM documents
+        |  UNION ALL
+        |  SELECT 'orders.status~priority', o_orderstatus,
+        |    o_orderpriority FROM orders
+        |  UNION ALL
+        |  SELECT 'customer.segment~nation', c_mktsegment,
+        |    CAST(c_nationkey AS VARCHAR) FROM customer),
+        |cells AS (SELECT pair, a, b, count(*) AS c
+        |  FROM src GROUP BY 1, 2, 3),
+        |ma AS (SELECT pair, a, CAST(sum(c) AS BIGINT) AS cnt_a
+        |  FROM cells GROUP BY 1, 2),
+        |mb AS (SELECT pair, b, CAST(sum(c) AS BIGINT) AS cnt_b
+        |  FROM cells GROUP BY 1, 2),
+        |nn AS (SELECT pair, CAST(sum(c) AS BIGINT) AS n
+        |  FROM cells GROUP BY 1),
+        |tm AS (SELECT cells.pair, CAST(floor(
+        |    CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+        |    * ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+        |      / (CAST(cnt_a AS DOUBLE) * CAST(cnt_b AS DOUBLE)))
+        |    * 1e9 + 0.5e0) AS BIGINT) AS tq
+        |  FROM cells JOIN ma USING (pair, a) JOIN mb USING (pair, b)
+        |  JOIN nn USING (pair)),
+        |ha AS (SELECT ma.pair, CAST(sum(CAST(floor(
+        |    -(CAST(cnt_a AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * ln(CAST(cnt_a AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * 1e9 + 0.5e0) AS BIGINT)) AS BIGINT) AS ha
+        |  FROM ma JOIN nn USING (pair) GROUP BY 1),
+        |hb AS (SELECT mb.pair, CAST(sum(CAST(floor(
+        |    -(CAST(cnt_b AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * ln(CAST(cnt_b AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * 1e9 + 0.5e0) AS BIGINT)) AS BIGINT) AS hb
+        |  FROM mb JOIN nn USING (pair) GROUP BY 1),
+        |mi AS (SELECT pair, count(*) AS n_cells,
+        |    CAST(sum(tq) AS BIGINT) AS miq FROM tm GROUP BY 1)
+        |SELECT mi.pair, nn.n, mi.n_cells,
+        |  round(CAST(miq AS DOUBLE) / 1e9, 6) AS mi,
+        |  CASE WHEN ha > 0 AND hb > 0 THEN round(
+        |    CAST(miq AS DOUBLE) / 1e9
+        |    / sqrt(CAST(ha AS DOUBLE) / 1e9
+        |      * (CAST(hb AS DOUBLE) / 1e9)), 6) END AS nmi
+        |FROM mi JOIN nn USING (pair) JOIN ha USING (pair)
+        |JOIN hb USING (pair)
+        |ORDER BY pair""".stripMargin,
+
+    // 0.5-Laplace-smoothed shares; mirrored ln ratio; nano-quantized IV
+    "q_woe_iv" ->
+      """WITH oc AS (SELECT
+        |    CAST(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END AS BIGINT) AS good,
+        |    c.c_mktsegment AS seg
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |cells AS (SELECT seg, count(*) AS n,
+        |    CAST(sum(good) AS BIGINT) AS g,
+        |    CAST(count(*) - sum(good) AS BIGINT) AS b
+        |  FROM oc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(g) AS BIGINT) AS gg,
+        |    CAST(sum(b) AS BIGINT) AS bb, count(*) AS k FROM cells),
+        |ww AS (SELECT seg, n, g, b,
+        |    CAST(floor(ln(((CAST(g AS DOUBLE) + 0.5e0)
+        |      / (CAST(gg AS DOUBLE) + 0.5e0 * CAST(k AS DOUBLE)))
+        |      / ((CAST(b AS DOUBLE) + 0.5e0)
+        |      / (CAST(bb AS DOUBLE) + 0.5e0 * CAST(k AS DOUBLE))))
+        |      * 1e9 + 0.5e0) AS BIGINT) AS woeq,
+        |    CAST(floor(((CAST(g AS DOUBLE) + 0.5e0)
+        |      / (CAST(gg AS DOUBLE) + 0.5e0 * CAST(k AS DOUBLE))
+        |      - (CAST(b AS DOUBLE) + 0.5e0)
+        |      / (CAST(bb AS DOUBLE) + 0.5e0 * CAST(k AS DOUBLE)))
+        |      * ln(((CAST(g AS DOUBLE) + 0.5e0)
+        |      / (CAST(gg AS DOUBLE) + 0.5e0 * CAST(k AS DOUBLE)))
+        |      / ((CAST(b AS DOUBLE) + 0.5e0)
+        |      / (CAST(bb AS DOUBLE) + 0.5e0 * CAST(k AS DOUBLE))))
+        |      * 1e9 + 0.5e0) AS BIGINT) AS ivq
+        |  FROM cells CROSS JOIN tot),
+        |iv AS (SELECT CAST(sum(ivq) AS BIGINT) AS sivq FROM ww)
+        |SELECT seg, n, g AS n_good, b AS n_bad,
+        |  CAST(woeq AS DOUBLE) / 1e9 AS woe,
+        |  CAST(ivq AS DOUBLE) / 1e9 AS iv_contrib,
+        |  round(CAST(sivq AS DOUBLE) / 1e9, 6) AS iv_total
+        |FROM ww CROSS JOIN iv ORDER BY seg""".stripMargin
   )
 }

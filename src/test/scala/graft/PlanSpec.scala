@@ -56,7 +56,10 @@ class PlanSpec extends AnyFunSuite {
       // q_dsir / q_hard_negatives are excluded: their only cross joins
       // are the accepted broadcast-scalar/centroid pattern (1-row totals,
       // nlist-row centroid table)
-      "q_dedup_contain", "q_contain_keep", "q_novelty", "q_dedup_incr")
+      "q_dedup_contain", "q_contain_keep", "q_novelty", "q_dedup_incr",
+      // r10: the audience pair expansion must ride the user key and the
+      // matryoshka pair sample must stay an id+1 equi-join
+      "q_audience_overlap", "q_matryoshka")
     assert(mustBeKeyed.forall(q => !allPairs.contains(q)),
       "a query is listed as both keyed and all-pairs")
     for (q <- mustBeKeyed) {
