@@ -949,6 +949,65 @@ object VectorQueries extends QueryPack {
               (sqrt(col("ss1").cast("double")) *
                 sqrt(col("ss2").cast("double"))), 6)).as("cos_centroid"))
         .orderBy(col("l1"), col("l2"))
+    }),
+
+    // -- IVF nprobe tuning sweep (recall vs candidate cost) ----------------
+    // The index-tuning counterpart of q_lsh_tuning, for the IVF family:
+    // recall@5 AND candidate volume at nprobe ∈ {1, 2, 4}, the two
+    // numbers an operator actually trades off when sizing the index.
+    // q_ann_recall pins the production config's health; this query is
+    // the sweep that justified it. The exact baseline is computed ONCE
+    // (10 broadcast queries against the corpus); each sweep point
+    // reuses the shared two-level index and corpus assignment — only
+    // the 10-row probe side re-ranks per nprobe. Recall aggregates as
+    // pure integers ((10⁶·hits) div (5·queries)).
+    "q_ivf_tuning" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
+        .withColumn("nrm", Vectors.norm(col("v")))
+      val nlist = Vectors.deriveNlist(e.count())
+      val idx = Vectors.ivfIndex2(e, nlist)
+      val assign = Vectors.ivfAssign2(e, idx, 1)
+      val qset = e.filter(col("id") < 10)
+      val qcols = broadcast(qset.select(col("id").as("q_id"),
+        col("v").as("qv"), col("nrm").as("qnrm")))
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_raw").desc, col("c_id").asc)
+      val exact = e.select(col("id").as("c_id"), col("v").as("cv"),
+          col("nrm").as("cnrm"))
+        .join(qcols, col("q_id") =!= col("c_id"))
+        .withColumn("cos_raw",
+          Vectors.dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("c_id"))
+      val nq = exact.select(col("q_id")).distinct()
+        .agg(count(lit(1)).as("n_queries"))
+      def sweep(np: Int): DataFrame = {
+        val cand = Vectors.ivfAssign2(qset, idx, np)
+          .select(col("id").as("q_id"), col("cid"))
+          .join(assign.select(col("id").as("c_id"), col("cid")), "cid")
+          .filter(col("q_id") =!= col("c_id"))
+          .select(col("q_id"), col("c_id"))
+        val nc = cand.agg(count(lit(1)).as("n_cand"))
+        val approx = cand
+          .join(qcols, "q_id")
+          .join(e.select(col("id").as("c_id"), col("v").as("cv"),
+            col("nrm").as("cnrm")), "c_id")
+          .withColumn("cos_raw", Vectors.dot(col("qv"), col("cv")) /
+            (col("qnrm") * col("cnrm")))
+          .withColumn("rnk", row_number().over(wTop))
+          .filter(col("rnk") <= 5)
+          .select(col("q_id"), col("c_id"))
+        val hits = exact.join(approx, Seq("q_id", "c_id"))
+          .agg(count(lit(1)).as("n_hits"))
+        nq.crossJoin(broadcast(nc)).crossJoin(broadcast(hits))
+          .select(lit(np.toLong).as("nprobe"), col("n_queries"),
+            col("n_cand"), col("n_hits"),
+            expr("(1000000 * n_hits) div (5 * n_queries)")
+              .as("recall5_u"))
+      }
+      sweep(1).unionByName(sweep(2)).unionByName(sweep(4))
+        .orderBy(col("nprobe"))
     })
   )
 
@@ -1563,7 +1622,64 @@ object VectorQueries extends QueryPack {
           |      * sqrt(CAST(n2.ss AS DOUBLE))), 6) END AS cos_centroid
           |FROM dt JOIN nr n1 ON n1.label = dt.l1
           |JOIN nr n2 ON n2.label = dt.l2
-          |ORDER BY l1, l2""".stripMargin
+          |ORDER BY l1, l2""".stripMargin,
+
+      // the shared two-level index CTEs replayed at three probe widths;
+      // exact baseline computed once; integer recall aggregation
+      "q_ivf_tuning" -> {
+        import graft.engine.OracleHash._
+        def ivBlock(np: Int): String =
+          s"""cand$np AS (SELECT p.vec_id AS q_id, a.vec_id AS c_id
+             |  FROM probes$np p JOIN asg a ON p.cid = a.cid
+             |  WHERE a.vec_id <> p.vec_id),
+             |iv$np AS (SELECT q_id, c_id FROM (
+             |  SELECT c.q_id, c.c_id, row_number() OVER (
+             |      PARTITION BY c.q_id
+             |      ORDER BY c.cos_raw DESC, c.c_id ASC) AS rnk
+             |  FROM (SELECT cand$np.q_id, cand$np.c_id,
+             |      list_dot_product(qn.vd, cn.vd) / (qn.nrm * cn.nrm)
+             |        AS cos_raw
+             |    FROM cand$np
+             |    JOIN n qn ON qn.vec_id = cand$np.q_id
+             |    JOIN n cn ON cn.vec_id = cand$np.c_id) c) t
+             |  WHERE rnk <= 5),
+             |r$np AS (SELECT $np AS nprobe,
+             |  (SELECT count(*) FROM cand$np) AS n_cand,
+             |  (SELECT count(*) FROM ex JOIN iv$np USING (q_id, c_id))
+             |    AS n_hits)""".stripMargin
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+           |  FROM embeddings),
+           |n AS (SELECT vec_id, vd,
+           |    sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
+           |ex AS (SELECT q_id, c_id FROM (
+           |  SELECT a.vec_id AS q_id, b.vec_id AS c_id, row_number() OVER (
+           |      PARTITION BY a.vec_id
+           |      ORDER BY list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm)
+           |        DESC, b.vec_id ASC) AS rnk
+           |  FROM n a JOIN n b
+           |    ON a.vec_id < 10 AND a.vec_id <> b.vec_id) t
+           |  WHERE rnk <= 5),
+           |nq AS (SELECT count(DISTINCT q_id) AS n_queries FROM ex),
+           |${ivf2IndexCtes("n", "vec_id")},
+           |${ivf2AssignCte("asg", "n", "vec_id", "", 1)},
+           |${ivf2AssignCte("probes1", "n", "vec_id",
+              " WHERE p.vec_id < 10", 1)},
+           |${ivf2AssignCte("probes2", "n", "vec_id",
+              " WHERE p.vec_id < 10", 2)},
+           |${ivf2AssignCte("probes4", "n", "vec_id",
+              " WHERE p.vec_id < 10", 4)},
+           |${ivBlock(1)},
+           |${ivBlock(2)},
+           |${ivBlock(4)},
+           |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+           |  UNION ALL SELECT * FROM r4)
+           |SELECT CAST(nprobe AS BIGINT) AS nprobe, nq.n_queries,
+           |  CAST(n_cand AS BIGINT) AS n_cand,
+           |  CAST(n_hits AS BIGINT) AS n_hits,
+           |  CAST((1000000 * n_hits) // (5 * nq.n_queries) AS BIGINT)
+           |    AS recall5_u
+           |FROM u CROSS JOIN nq ORDER BY nprobe""".stripMargin
+      }
     )
   }
 }
