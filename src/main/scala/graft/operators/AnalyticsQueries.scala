@@ -1733,6 +1733,60 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("d"))
     }),
 
+    // -- Holt-Winters additive (level + trend + weekly seasonality) --------
+    // The triple-exponential rung above q_holt_linear: the recursion
+    // additionally carries the last 7 seasonal offsets, so the one-step
+    // forecast l + b + s_{t−7} absorbs the day-of-week cycle
+    // q_seasonal_dow measures statically. Same architecture split: the
+    // data-sized step is the day aggregate; the recursion is driver-
+    // local on the calendar-bounded frame, replayed by the oracle as a
+    // recursive CTE whose state row carries the seasonal window as a
+    // LIST column (rotate-and-append each step). Standard init: l₆ =
+    // mean(week 1), b₆ = (mean(week 2) − mean(week 1))/7 (0 if the
+    // series is shorter than 14 days), s_i = y_i − l₆; α=0.3, β=0.1,
+    // γ=0.2. Identical double arithmetic in identical order on both
+    // engines; output starts at t = 7.
+    "q_holt_winters" -> ((s, d) => {
+      import s.implicits._
+      val byDay = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long").as("d"))
+        .agg(count(lit(1)).as("y"))
+        .orderBy(col("d"))
+      val days = byDay.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Double, Double, Double, Double, Double)]
+      if (days.length >= 8) {
+        val l0 = days.take(7).map(_._2).sum.toDouble / 7.0
+        var b = if (days.length >= 14)
+          (days.slice(7, 14).map(_._2).sum.toDouble / 7.0 - l0) / 7.0
+        else 0.0
+        var l = l0
+        val sl = scala.collection.mutable.Queue(
+          days.take(7).map(x => x._2.toDouble - l0): _*)
+        var t = 7
+        while (t < days.length) {
+          val y = days(t)._2
+          val s7 = sl.dequeue()
+          val f = l + b + s7
+          val lN = 0.3 * (y - s7) + 0.7 * (l + b)
+          b = 0.1 * (lN - l) + 0.9 * b
+          val sNew = 0.2 * (y - lN) + 0.8 * s7
+          l = lN
+          sl.enqueue(sNew)
+          out += ((days(t)._1, y, l, b, sNew, f, y - f))
+          t += 1
+        }
+      }
+      out.toSeq.toDF("d", "y", "l", "b", "s", "f", "e")
+        .select(col("d"), col("y"), round(col("l"), 6).as("level"),
+          round(col("b"), 6).as("trend"),
+          round(col("s"), 6).as("seasonal"),
+          round(col("f"), 6).as("fitted"),
+          round(col("e"), 6).as("err"))
+        .orderBy(col("d"))
+    }),
+
     // -- Kaplan-Meier product-limit survival (with Greenwood SE) -----------
     // The estimator q_hazard_curve's life table exists to feed: survival
     // S(t) = Π(1 − d/n) over event times, with Greenwood's variance
@@ -3311,6 +3365,39 @@ object AnalyticsQueries extends QueryPack {
         |  round(h.f, 6) AS fitted,
         |  round(CAST(h.y AS DOUBLE) - h.f, 6) AS err
         |FROM h JOIN i USING (t) ORDER BY i.d""".stripMargin,
+
+    // the same triple-exponential recursion; the recursive CTE state
+    // row carries the 7-slot seasonal window as a LIST column rotated
+    // each step
+    "q_holt_winters" ->
+      """WITH RECURSIVE dd AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1),
+        |i AS (SELECT d, CAST(y AS BIGINT) AS y,
+        |    row_number() OVER (ORDER BY d) - 1 AS t FROM dd),
+        |m1 AS (SELECT sum(y) / 7.0e0 AS l0 FROM i WHERE t <= 6),
+        |m2 AS (SELECT CASE WHEN (SELECT max(t) FROM i) >= 13
+        |    THEN ((SELECT sum(y) FROM i WHERE t BETWEEN 7 AND 13)
+        |      / 7.0e0 - l0) / 7.0e0 ELSE 0.0e0 END AS b0 FROM m1),
+        |sl0 AS (SELECT list(CAST(y AS DOUBLE) - l0 ORDER BY t) AS sl
+        |  FROM i, m1 WHERE t <= 6),
+        |h AS (
+        |  SELECT 6 AS t, CAST(NULL AS BIGINT) AS y,
+        |    CAST(NULL AS DOUBLE) AS f, l0 AS l, b0 AS b, sl
+        |  FROM m1, m2, sl0
+        |  UNION ALL
+        |  SELECT i.t, i.y, h.l + h.b + h.sl[1] AS f,
+        |    0.3e0 * (i.y - h.sl[1]) + 0.7e0 * (h.l + h.b) AS l,
+        |    0.1e0 * ((0.3e0 * (i.y - h.sl[1])
+        |      + 0.7e0 * (h.l + h.b)) - h.l) + 0.9e0 * h.b AS b,
+        |    h.sl[2:7] || [0.2e0 * (i.y - (0.3e0 * (i.y - h.sl[1])
+        |      + 0.7e0 * (h.l + h.b))) + 0.8e0 * h.sl[1]] AS sl
+        |  FROM h JOIN i ON i.t = h.t + 1)
+        |SELECT i.d, h.y, round(h.l, 6) AS level, round(h.b, 6) AS trend,
+        |  round(h.sl[7], 6) AS seasonal, round(h.f, 6) AS fitted,
+        |  round(CAST(h.y AS DOUBLE) - h.f, 6) AS err
+        |FROM h JOIN i USING (t) WHERE h.t >= 7 ORDER BY i.d""".stripMargin,
 
     // the hazard life table + nano-quantized log prefix sums; the d = n
     // exhaustion flag zeroes S and SE exactly on both engines
