@@ -1701,31 +1701,8 @@ object AnalyticsQueries extends QueryPack {
     // days, if any, are treated as consecutive recursion steps.
     "q_holt_linear" -> ((s, d) => {
       import s.implicits._
-      val byDay = Tables.events(s, d)
-        .groupBy(datediff(to_date(col("ts")),
-          lit("1970-01-01").cast("date")).cast("long").as("d"))
-        .agg(count(lit(1)).as("y"))
-        .orderBy(col("d"))
-      val days = byDay.collect().map(r => (r.getLong(0), r.getLong(1)))
-      val out = scala.collection.mutable.ArrayBuffer
-        .empty[(Long, Long, Double, Double, Double)]
-      if (days.nonEmpty) {
-        var l = days(0)._2.toDouble
-        var b = if (days.length > 1) days(1)._2.toDouble - days(0)._2
-                else 0.0
-        out += ((days(0)._1, days(0)._2, l, b, l))
-        var i = 1
-        while (i < days.length) {
-          val y = days(i)._2.toDouble
-          val fitted = l + b
-          val lNew = 0.3 * y + 0.7 * (l + b)
-          b = 0.1 * (lNew - l) + 0.9 * b
-          l = lNew
-          out += ((days(i)._1, days(i)._2, l, b, fitted))
-          i += 1
-        }
-      }
-      out.toSeq.toDF("d", "y", "l", "b", "f")
+      val days = dailyCounts(s, d)
+      holtRecursion(days).toDF("d", "y", "l", "b", "f")
         .select(col("d"), col("y"), round(col("l"), 6).as("level"),
           round(col("b"), 6).as("trend"),
           round(col("f"), 6).as("fitted"),
@@ -2304,8 +2281,171 @@ object AnalyticsQueries extends QueryPack {
           (col("ivq").cast("double") / lit(1e9)).as("iv_contrib"),
           round(col("sivq").cast("double") / lit(1e9), 6).as("iv_total"))
         .orderBy(col("seg"))
+    }),
+
+    // -- degree assortativity (customer-supplier trade graph) --------------
+    // Pearson correlation of endpoint degrees across edges of the shared
+    // bipartite graph (q_degree_dist's construction): do high-degree
+    // customers trade with high-degree suppliers? Negative r is the
+    // hub-spoke signature. Degrees come from one keyed aggregate, join
+    // back onto the symmetrized edge list ON THE ENDPOINT KEYS, and the
+    // correlation derives from exact DECIMAL moment sums in one
+    // mirrored expression — the q_group_ols shape on graph data.
+    "q_assortativity" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val e0 = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.union(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val xy = edges
+        .join(deg.select(col("src"), col("deg").as("dx")), "src")
+        .join(deg.select(col("src").as("dst"), col("deg").as("dy")),
+          "dst")
+      val m = xy.agg(count(lit(1)).as("m"),
+        sum(dec(col("dx"))).as("sx"), sum(dec(col("dy"))).as("sy"),
+        sum(dec(col("dx")) * dec(col("dx"))).as("sxx"),
+        sum(dec(col("dy")) * dec(col("dy"))).as("syy"),
+        sum(dec(col("dx")) * dec(col("dy"))).as("sxy"))
+      val mD = col("m").cast("double")
+      val num = mD * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")
+      val dx2 = mD * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      val dy2 = mD * col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double")
+      m.select(expr("m div 2").as("n_edges"),
+        when(dx2 > 0.0 && dy2 > 0.0,
+          round(num / sqrt(dx2 * dy2), 6)).as("assortativity"))
+    }),
+
+    // -- Markov conditional entropy (event-sequence predictability) --------
+    // The information-theoretic readout on top of q_transition_matrix:
+    // per current state, the entropy of the next-event distribution, and
+    // the overall conditional entropy H(next|cur) — how predictable the
+    // event stream is one step ahead (0 = deterministic chains,
+    // ln 5 ≈ 1.609 = uniform). Transitions come from a user-keyed lag
+    // window (users carry the parallelism); per-cell p·ln terms are
+    // nano-quantized on the |states|² frame and summed exactly (the
+    // q_mutual_info discipline).
+    "q_markov_entropy" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val pairs = Tables.eventsWithTime(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("event_type").as("cur"))
+        .withColumn("nxt", lead(col("cur"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+      val cells = pairs.groupBy(col("cur"), col("nxt"))
+        .agg(count(lit(1)).as("c"))
+      val byCur = cells.groupBy(col("cur")).agg(sum(col("c")).as("nc"))
+      val terms = cells.join(byCur, "cur")
+        .withColumn("hq", floor(
+          -(col("c").cast("double") / col("nc").cast("double")) *
+            log(col("c").cast("double") / col("nc").cast("double")) *
+            lit(1e9) + lit(0.5)).cast("long"))
+        .groupBy(col("cur"))
+        .agg(max(col("nc")).as("n_pairs"), sum(col("hq")).as("hcq"))
+      val tot = terms.agg(sum(col("n_pairs")).as("nn"))
+      val glob = terms.crossJoin(broadcast(tot))
+        .withColumn("wq", floor(
+          col("n_pairs").cast("double") / col("nn").cast("double") *
+            (col("hcq").cast("double") / lit(1e9)) * lit(1e9) + lit(0.5))
+          .cast("long"))
+        .agg(sum(col("wq")).as("hallq"))
+      terms.crossJoin(broadcast(glob))
+        .select(col("cur"), col("n_pairs"),
+          round(col("hcq").cast("double") / lit(1e9), 6).as("h_next"),
+          round(col("hallq").cast("double") / lit(1e9), 6)
+            .as("h_conditional"))
+        .orderBy(col("cur"))
+    }),
+
+    // -- forecast accuracy comparison (MASE model selection) ---------------
+    // The readout that decides between q_holt_linear and the frozen
+    // seasonal-naive of q_forecast_backtest: MAE / RMSE / MASE of both
+    // one-step forecasters on the SAME evaluation days (t ≥ 7). MASE
+    // scales by the naive MAE, so 1.0 is the "no better than repeating
+    // last week" line. Naive errors are exact integers; Holt errors are
+    // micro-quantized per day on the calendar-bounded frame and summed
+    // exactly; each metric evaluates in one mirrored expression.
+    "q_forecast_accuracy" -> ((s, d) => {
+      import s.implicits._
+      val days = dailyCounts(s, d)
+      val holt = holtRecursion(days).map(r => (r._1, r._5)).toMap
+      val rows = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Long)]
+      var i = 7
+      while (i < days.length) {
+        val (dd, y) = days(i)
+        val en = math.abs(y - days(i - 7)._2)
+        rows += (("seasonal_naive7", dd, en * 1000000L,
+          en * en * 1000000L))
+        val eh = math.abs(y.toDouble - holt(dd))
+        rows += (("holt_linear", dd,
+          math.floor(eh * 1e6 + 0.5).toLong,
+          math.floor(eh * eh * 1e6 + 0.5).toLong))
+        i += 1
+      }
+      val df = rows.toSeq.toDF("model", "dd", "aeq", "seq")
+      val agg = df.groupBy(col("model"))
+        .agg(count(lit(1)).as("n_eval"), sum(col("aeq")).as("sae"),
+          sum(col("seq")).as("sse"))
+      val naive = agg.filter(col("model") === "seasonal_naive7")
+        .select(col("sae").as("nae"), col("n_eval").as("nn"))
+      agg.crossJoin(broadcast(naive))
+        .select(col("model"), col("n_eval"),
+          round(col("sae").cast("double") / col("n_eval") / lit(1e6), 6)
+            .as("mae"),
+          round(sqrt(col("sse").cast("double") / col("n_eval") /
+            lit(1e6)), 6).as("rmse"),
+          when(col("nae") > 0L, round(
+            (col("sae").cast("double") / col("n_eval")) /
+              (col("nae").cast("double") / col("nn")), 6)).as("mase"))
+        .orderBy(col("model"))
     })
   )
+
+  /** Daily event counts (d = epoch day, y = count), collected ordered —
+    * the calendar-bounded frame the time-series recursions run on. */
+  private def dailyCounts(s: SparkSession, d: String): Array[(Long, Long)] =
+    Tables.events(s, d)
+      .groupBy(datediff(to_date(col("ts")),
+        lit("1970-01-01").cast("date")).cast("long").as("d"))
+      .agg(count(lit(1)).as("y"))
+      .orderBy(col("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+  /** Holt double-exponential recursion (α=0.3, β=0.1) — ONE
+    * implementation shared by q_holt_linear and q_forecast_accuracy so
+    * the oracle-pinned arithmetic cannot drift between them. Returns
+    * (d, y, level, trend, one-step fitted) per day. */
+  private def holtRecursion(days: Array[(Long, Long)])
+      : Seq[(Long, Long, Double, Double, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double, Double, Double)]
+    if (days.nonEmpty) {
+      var l = days(0)._2.toDouble
+      var b = if (days.length > 1) days(1)._2.toDouble - days(0)._2
+              else 0.0
+      out += ((days(0)._1, days(0)._2, l, b, l))
+      var i = 1
+      while (i < days.length) {
+        val y = days(i)._2.toDouble
+        val fitted = l + b
+        val lNew = 0.3 * y + 0.7 * (l + b)
+        b = 0.1 * (lNew - l) + 0.9 * b
+        l = lNew
+        out += ((days(i)._1, days(i)._2, l, b, fitted))
+        i += 1
+      }
+    }
+    out.toSeq
+  }
 
   /** PageRank fixed-point scale (ranks are multiples of 1e-12) and
     * iteration count — shared by the Spark loop and the oracle CTEs. */
@@ -3811,6 +3951,113 @@ object AnalyticsQueries extends QueryPack {
         |  CAST(woeq AS DOUBLE) / 1e9 AS woe,
         |  CAST(ivq AS DOUBLE) / 1e9 AS iv_contrib,
         |  round(CAST(sivq AS DOUBLE) / 1e9, 6) AS iv_total
-        |FROM ww CROSS JOIN iv ORDER BY seg""".stripMargin
+        |FROM ww CROSS JOIN iv ORDER BY seg""".stripMargin,
+
+    // symmetrized bipartite edge list; HUGEINT degree moments; one
+    // mirrored Pearson expression
+    "q_assortativity" ->
+      """WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src,
+        |    l.l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |ed AS (SELECT src, dst FROM e0
+        |  UNION ALL SELECT dst, src FROM e0),
+        |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+        |xy AS (SELECT dx.deg AS dx, dy.deg AS dy
+        |  FROM ed JOIN dg dx ON dx.src = ed.src
+        |  JOIN dg dy ON dy.src = ed.dst),
+        |m AS (SELECT count(*) AS m,
+        |    sum(CAST(dx AS HUGEINT)) AS sx,
+        |    sum(CAST(dy AS HUGEINT)) AS sy,
+        |    sum(CAST(dx AS HUGEINT) * dx) AS sxx,
+        |    sum(CAST(dy AS HUGEINT) * dy) AS syy,
+        |    sum(CAST(dx AS HUGEINT) * dy) AS sxy
+        |  FROM xy)
+        |SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+        |  CASE WHEN CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |    AND CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+        |  THEN round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  END AS assortativity
+        |FROM m""".stripMargin,
+
+    // user-keyed lag pairs; nano-quantized p*ln terms per current state
+    "q_markov_entropy" ->
+      """WITH seq AS (SELECT user_id, event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS nxt
+        |  FROM events),
+        |cells AS (SELECT cur, nxt, count(*) AS c FROM seq
+        |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |byc AS (SELECT cur, CAST(sum(c) AS BIGINT) AS nc
+        |  FROM cells GROUP BY 1),
+        |tm AS (SELECT cells.cur, nc, CAST(floor(
+        |    -(CAST(c AS DOUBLE) / CAST(nc AS DOUBLE))
+        |    * ln(CAST(c AS DOUBLE) / CAST(nc AS DOUBLE))
+        |    * 1e9 + 0.5e0) AS BIGINT) AS hq
+        |  FROM cells JOIN byc USING (cur)),
+        |terms AS (SELECT cur, max(nc) AS n_pairs,
+        |    CAST(sum(hq) AS BIGINT) AS hcq FROM tm GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS nn FROM terms),
+        |gl AS (SELECT CAST(sum(CAST(floor(
+        |    CAST(n_pairs AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    * (CAST(hcq AS DOUBLE) / 1e9) * 1e9 + 0.5e0) AS BIGINT))
+        |    AS BIGINT) AS hallq
+        |  FROM terms CROSS JOIN tot)
+        |SELECT cur, n_pairs,
+        |  round(CAST(hcq AS DOUBLE) / 1e9, 6) AS h_next,
+        |  round(CAST(hallq AS DOUBLE) / 1e9, 6) AS h_conditional
+        |FROM terms CROSS JOIN gl ORDER BY cur""".stripMargin,
+
+    // the q_holt_linear recursive CTE supplies the model errors; naive
+    // errors are exact integers on the same evaluation days
+    "q_forecast_accuracy" ->
+      """WITH RECURSIVE dd AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1),
+        |i AS (SELECT d, CAST(y AS BIGINT) AS y,
+        |    row_number() OVER (ORDER BY d) - 1 AS t FROM dd),
+        |h AS (
+        |  SELECT t, y, CAST(y AS DOUBLE) AS f, CAST(y AS DOUBLE) AS l,
+        |    coalesce((SELECT CAST(y AS DOUBLE) FROM i WHERE t = 1)
+        |      - CAST(y AS DOUBLE), 0.0e0) AS b
+        |  FROM i WHERE t = 0
+        |  UNION ALL
+        |  SELECT i.t, i.y, h.l + h.b AS f,
+        |    0.3e0 * i.y + 0.7e0 * (h.l + h.b) AS l,
+        |    0.1e0 * ((0.3e0 * i.y + 0.7e0 * (h.l + h.b)) - h.l)
+        |      + 0.9e0 * h.b AS b
+        |  FROM h JOIN i ON i.t = h.t + 1),
+        |ev AS (
+        |  SELECT 'seasonal_naive7' AS model, a.t,
+        |    abs(a.y - b.y) * 1000000 AS aeq,
+        |    abs(a.y - b.y) * abs(a.y - b.y) * 1000000 AS seq
+        |  FROM i a JOIN i b ON b.t = a.t - 7
+        |  UNION ALL
+        |  SELECT 'holt_linear', h.t,
+        |    CAST(floor(abs(CAST(h.y AS DOUBLE) - h.f) * 1e6 + 0.5e0)
+        |      AS BIGINT),
+        |    CAST(floor(abs(CAST(h.y AS DOUBLE) - h.f)
+        |      * abs(CAST(h.y AS DOUBLE) - h.f) * 1e6 + 0.5e0) AS BIGINT)
+        |  FROM h WHERE h.t >= 7),
+        |agg AS (SELECT model, count(*) AS n_eval,
+        |    CAST(sum(aeq) AS BIGINT) AS sae,
+        |    CAST(sum(seq) AS BIGINT) AS sse
+        |  FROM ev GROUP BY 1),
+        |nv AS (SELECT sae AS nae, n_eval AS nn FROM agg
+        |  WHERE model = 'seasonal_naive7')
+        |SELECT model, n_eval,
+        |  round(CAST(sae AS DOUBLE) / n_eval / 1e6, 6) AS mae,
+        |  round(sqrt(CAST(sse AS DOUBLE) / n_eval / 1e6), 6) AS rmse,
+        |  CASE WHEN nae > 0 THEN round(
+        |    (CAST(sae AS DOUBLE) / n_eval)
+        |    / (CAST(nae AS DOUBLE) / nn), 6) END AS mase
+        |FROM agg CROSS JOIN nv ORDER BY model""".stripMargin
   )
 }
