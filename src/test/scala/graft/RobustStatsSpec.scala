@@ -340,6 +340,118 @@ class RobustStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_mutual_info matches brute-force MI and is non-negative") {
+    val cells = docs.groupBy(d => (d._3, d._2)).view.mapValues(_.length)
+    val n = docs.length.toDouble
+    val ma = docs.groupBy(_._3).view.mapValues(_.length)
+    val mb = docs.groupBy(_._2).view.mapValues(_.length)
+    val mi = cells.map { case ((a, b), c) =>
+      c / n * math.log(c * n / (ma(a).toDouble * mb(b))) }.sum
+    val got = run("q_mutual_info").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(math.abs(got("documents.lang~source") - mi) < 1e-4)
+    got.values.foreach(v => assert(v >= -1e-6))
+  }
+
+  test("q_woe_iv contributions are non-negative and sum to the total") {
+    val rows = run("q_woe_iv").collect()
+    val total = rows.head.getDouble(6)
+    rows.foreach { r =>
+      assert(r.getDouble(5) >= 0.0)
+      assert(math.abs(r.getDouble(6) - total) < 1e-12)
+    }
+    assert(math.abs(rows.map(_.getDouble(5)).sum - total) < 1e-5)
+  }
+
+  test("q_qini_uplift cumulative counts are monotone and end at the totals") {
+    val rows = run("q_qini_uplift").collect().sortBy(_.getLong(0))
+    val users = events.map(_._2).distinct.length
+    assert(rows.map(_.getLong(1)).sum == users)
+    val cums = rows.map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)))
+    cums.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._1 >= a._1 && b._2 >= a._2 && b._3 >= a._3 &&
+          b._4 >= a._4)
+      case _ =>
+    }
+    // the last decile's qini equals the random diagonal's endpoint
+    val last = rows.last
+    assert(math.abs(last.getDouble(6) - last.getDouble(7)) < 1e-6)
+  }
+
+  test("q_holt_winters fitted values replay the triple recursion") {
+    val counts = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day")).count()
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+      .sortBy(_._1)
+    val l0 = counts.take(7).map(_._2).sum.toDouble / 7.0
+    var b = if (counts.length >= 14)
+      (counts.slice(7, 14).map(_._2).sum.toDouble / 7.0 - l0) / 7.0
+    else 0.0
+    var l = l0
+    val q = scala.collection.mutable.Queue(
+      counts.take(7).map(x => x._2.toDouble - l0): _*)
+    val exp = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    for (i <- 7 until counts.length) {
+      val y = counts(i)._2
+      val s7 = q.dequeue()
+      exp += ((counts(i)._1, l + b + s7))
+      val lN = 0.3 * (y - s7) + 0.7 * (l + b)
+      b = 0.1 * (lN - l) + 0.9 * b
+      q.enqueue(0.2 * (y - lN) + 0.8 * s7)
+      l = lN
+    }
+    val got = run("q_holt_winters").collect()
+      .map(r => (r.getLong(0), r.getDouble(5)))
+    assert(got.length == exp.length)
+    got.zip(exp).foreach { case ((gd, gf), (ed, ef)) =>
+      assert(gd == ed && math.abs(gf - ef) < 1e-5)
+    }
+  }
+
+  test("q_forecast_accuracy MASE of the naive model is exactly 1") {
+    val rows = run("q_forecast_accuracy").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(4))).toMap
+    val (nN, maeN, maseN) = rows("seasonal_naive7")
+    assert(maseN == 1.0)
+    val (nH, maeH, maseH) = rows("holt_linear")
+    assert(nN == nH)
+    assert(math.abs(maseH - maeH / maeN) < 1e-4)
+  }
+
+  test("q_markov_entropy conditional entropy is the weighted state mean") {
+    val rows = run("q_markov_entropy").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val nn = rows.map(_._1).sum.toDouble
+    val wavg = rows.map { case (n, h, _) => n / nn * h }.sum
+    rows.foreach { case (_, h, hc) =>
+      assert(h >= 0.0 && h <= math.log(5.0) + 1e-9)
+      assert(math.abs(hc - wavg) < 1e-5)
+    }
+  }
+
+  test("q_assortativity is a correlation in [-1, 1]") {
+    val r = run("q_assortativity").collect().head
+    assert(r.getLong(0) > 0)
+    val a = r.getDouble(1)
+    assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9)
+  }
+
+  test("q_ivf_tuning recall and candidates are monotone in nprobe") {
+    val rows = run("q_ivf_tuning").collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(2) >= a.getLong(2), "candidates must not shrink")
+        assert(b.getLong(4) >= a.getLong(4), "recall must not drop")
+      case _ =>
+    }
+    rows.foreach(r => assert(r.getLong(4) <= 1000000L))
+  }
+
   test("q_pattern_profile shares sum to the column total over top shapes") {
     val rows = run("q_pattern_profile").collect()
     assert(rows.nonEmpty)
