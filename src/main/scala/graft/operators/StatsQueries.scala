@@ -634,6 +634,145 @@ object StatsQueries extends QueryPack {
             (sswD * (kD - lit(1.0))), 6)).as("f_stat"),
         when(col("ssb") + col("ssw") =!= 0L,
           round(ssbD / (ssbD + sswD), 6)).as("eta2"))
+    }),
+
+    // -- James-Stein shrinkage of per-group means --------------------------
+    // The winner's-curse correction for a 25-arm dashboard: raw
+    // per-nation mean order values overstate the extremes; the JS
+    // estimator shrinks every arm toward the grand mean by
+    // c = max(0, 1 − (k−3)·se²/S), which DOMINATES the raw means in
+    // total squared error for k ≥ 4 (Stein's paradox). Everything
+    // derives from exact DECIMAL cent moments: per-arm variance-of-the-
+    // mean and squared deviations are micro-quantized on the k-row
+    // frame and summed exactly; the shrink factor and shrunk means
+    // evaluate in one mirrored double expression.
+    "q_james_stein" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val oc = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+            .as("yq"))
+        .join(Tables.customer(s, d).select(
+          col("c_custkey").as("o_custkey"),
+          col("c_nationkey").cast("long").as("nk")), "o_custkey")
+      val byN = oc.groupBy(col("nk"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("yq"))).as("s1"),
+          sum(dec(col("yq")) * dec(col("yq"))).as("s2"))
+        .filter(col("n") > 1L)
+      val g = byN.agg(sum(col("n")).as("nn"), sum(col("s1")).as("gs1"),
+        count(lit(1)).as("k"))
+      val nD = col("n").cast("double")
+      val mi = col("s1").cast("double") / nD / lit(100.0)
+      val gm = col("gs1").cast("double") / col("nn").cast("double") /
+        lit(100.0)
+      val se2 = (col("s2").cast("double") / lit(10000.0) -
+        (col("s1").cast("double") / lit(100.0)) * mi) /
+        (nD - lit(1.0)) / nD
+      val wj = byN.crossJoin(broadcast(g))
+        .withColumn("devq",
+          floor((mi - gm) * (mi - gm) * lit(1e6) + lit(0.5)).cast("long"))
+        .withColumn("seq",
+          floor(se2 * lit(1e6) + lit(0.5)).cast("long"))
+      val sums = wj.agg(max(col("k")).as("k"),
+        sum(col("devq")).as("sdev"), sum(col("seq")).as("sse2"))
+      val kD = col("k").cast("double")
+      val c = greatest(lit(0.0), lit(1.0) - (kD - lit(3.0)) *
+        (col("sse2").cast("double") / lit(1e6) / kD) /
+        (col("sdev").cast("double") / lit(1e6)))
+      wj.crossJoin(broadcast(sums.select(col("k").as("kk"),
+          round(c, 6).as("shrink"))))
+        .select(col("nk").as("nationkey"), col("n"),
+          round(mi, 6).as("raw_mean"),
+          round(gm + col("shrink") * (mi - gm), 6).as("js_mean"),
+          col("shrink"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // -- empirical-Bayes rate shrinkage (beta-binomial) --------------------
+    // The rate counterpart of q_james_stein: per-nation urgent-order
+    // rates shrink toward the prior fitted by method of moments on the
+    // k arm rates (α+β = m(1−m)/v − 1, clamped at 0 when the arms are
+    // underdispersed — then the posterior IS the raw rate). The
+    // "intelligent pseudo-counts" every rate dashboard should apply
+    // before ranking small arms against big ones. Exact integer arm
+    // counts; the k-row moment fold is micro-quantized; prior and
+    // posteriors evaluate in mirrored expressions.
+    "q_eb_rate" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val oc = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            .cast("int").cast("long").as("u"))
+        .join(Tables.customer(s, d).select(
+          col("c_custkey").as("o_custkey"),
+          col("c_nationkey").cast("long").as("nk")), "o_custkey")
+      val byN = oc.groupBy(col("nk"))
+        .agg(count(lit(1)).as("n"), sum(col("u")).as("x"))
+      val rate = col("x").cast("double") / col("n").cast("double")
+      val withQ = byN
+        .withColumn("rq", floor(rate * lit(1e9) + lit(0.5)).cast("long"))
+      // rq² reaches 1e18 per arm — the k-arm sum would wrap a long, so
+      // the squares accumulate in DECIMAL like every other moment fold
+      val mom = withQ.agg(count(lit(1)).as("k"), sum(col("rq")).as("sr"),
+        sum(dec(col("rq")) * dec(col("rq"))).as("srr"))
+      val kD = col("k").cast("double")
+      val m = col("sr").cast("double") / kD / lit(1e9)
+      val v = (col("srr").cast("double") / lit(1e18) -
+        kD * m * m) / (kD - lit(1.0))
+      val kap = greatest(lit(0.0), when(v > 0.0,
+        m * (lit(1.0) - m) / v - lit(1.0)).otherwise(lit(0.0)))
+      val pri = mom.select(col("k"), round(m, 6).as("prior_mean"),
+        round(kap, 6).as("kappa"))
+      withQ.crossJoin(broadcast(pri))
+        .select(col("nk").as("nationkey"), col("n"), col("x"),
+          round(rate, 6).as("raw_rate"),
+          round((col("x").cast("double") +
+            col("prior_mean") * col("kappa")) /
+            (col("n").cast("double") + col("kappa")), 6).as("eb_rate"),
+          col("prior_mean"), col("kappa"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // -- Spearman rank correlation (ties via midranks) ---------------------
+    // The monotone-association measure between document length and the
+    // hashed classifier score: Pearson on MIDRANKS, with both rank
+    // assignments computed on domain-bounded distinct-value frames (the
+    // q_mann_whitney trick — no global per-row ranking ever happens;
+    // doubled midranks keep everything integer until the final moment
+    // fold in DECIMAL). Output is ρ with exact tie handling.
+    "q_spearman" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val scored = TextDedup.classifierScored(Tables.documents(s, d),
+          Seq(col("doc_id"), col("n_chars")))
+        .select(col("doc_id"), col("n_chars").as("xv"),
+          col("score").cast("long").as("yv"))
+      def midranks(src: DataFrame, cn: String) = {
+        val w = Window.orderBy(col(cn))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        src.groupBy(col(cn)).agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum(col("cnt")).over(w))
+          .select(col(cn),
+            (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L))
+              .as(s"r_$cn"))
+      }
+      val ranked = scored
+        .join(broadcast(midranks(scored, "xv")), "xv")
+        .join(broadcast(midranks(scored, "yv")), "yv")
+      val m = ranked.agg(count(lit(1)).as("n"),
+        sum(dec(col("r_xv"))).as("sx"), sum(dec(col("r_yv"))).as("sy"),
+        sum(dec(col("r_xv")) * dec(col("r_xv"))).as("sxx"),
+        sum(dec(col("r_yv")) * dec(col("r_yv"))).as("syy"),
+        sum(dec(col("r_xv")) * dec(col("r_yv"))).as("sxy"))
+      val nD = col("n").cast("double")
+      val num = nD * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")
+      val dx = nD * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      val dy = nD * col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double")
+      m.select(col("n"),
+        when(dx > 0.0 && dy > 0.0, round(num / sqrt(dx * dy), 6))
+          .as("spearman_rho"))
     })
   )
 
@@ -1080,6 +1219,124 @@ object StatsQueries extends QueryPack {
         |  CASE WHEN ssb + ssw <> 0 THEN round(CAST(ssb AS DOUBLE)
         |    / (CAST(ssb AS DOUBLE) + CAST(ssw AS DOUBLE)), 6)
         |  END AS eta2
-        |FROM fin""".stripMargin
+        |FROM fin""".stripMargin,
+
+    // exact HUGEINT cent moments; micro-quantized k-row folds; one
+    // mirrored shrink-factor expression
+    "q_james_stein" ->
+      """WITH oc AS (SELECT CAST(c.c_nationkey AS BIGINT) AS nk,
+        |    CAST(floor(o.o_totalprice * 100.0e0 + 0.5e0) AS BIGINT)
+        |      AS yq
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |byn AS (SELECT nk, count(*) AS n,
+        |    sum(CAST(yq AS HUGEINT)) AS s1,
+        |    sum(CAST(yq AS HUGEINT) * yq) AS s2
+        |  FROM oc GROUP BY 1 HAVING count(*) > 1),
+        |g AS (SELECT CAST(sum(n) AS BIGINT) AS nn, sum(s1) AS gs1,
+        |    count(*) AS k FROM byn),
+        |wj AS (SELECT nk, n, s1, s2, nn, gs1, k,
+        |    CAST(floor((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0e0
+        |      - CAST(gs1 AS DOUBLE) / CAST(nn AS DOUBLE) / 100.0e0)
+        |      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0e0
+        |      - CAST(gs1 AS DOUBLE) / CAST(nn AS DOUBLE) / 100.0e0)
+        |      * 1e6 + 0.5e0) AS BIGINT) AS devq,
+        |    CAST(floor((CAST(s2 AS DOUBLE) / 10000.0e0
+        |      - (CAST(s1 AS DOUBLE) / 100.0e0)
+        |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0e0))
+        |      / (CAST(n AS DOUBLE) - 1.0e0) / CAST(n AS DOUBLE)
+        |      * 1e6 + 0.5e0) AS BIGINT) AS seq
+        |  FROM byn CROSS JOIN g),
+        |sm AS (SELECT max(k) AS k, CAST(sum(devq) AS BIGINT) AS sdev,
+        |    CAST(sum(seq) AS BIGINT) AS sse2 FROM wj),
+        |sh AS (SELECT round(greatest(0.0e0, 1.0e0
+        |    - (CAST(k AS DOUBLE) - 3.0e0)
+        |    * (CAST(sse2 AS DOUBLE) / 1e6 / CAST(k AS DOUBLE))
+        |    / (CAST(sdev AS DOUBLE) / 1e6)), 6) AS shrink FROM sm)
+        |SELECT nk AS nationkey, n,
+        |  round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0e0, 6)
+        |    AS raw_mean,
+        |  round(CAST(gs1 AS DOUBLE) / CAST(nn AS DOUBLE) / 100.0e0
+        |    + shrink * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0e0
+        |      - CAST(gs1 AS DOUBLE) / CAST(nn AS DOUBLE) / 100.0e0), 6)
+        |    AS js_mean,
+        |  shrink
+        |FROM wj CROSS JOIN sh ORDER BY nationkey""".stripMargin,
+
+    // method-of-moments beta-binomial prior on the k-arm rate frame;
+    // HUGEINT rate-square fold
+    "q_eb_rate" ->
+      """WITH oc AS (SELECT CAST(c.c_nationkey AS BIGINT) AS nk,
+        |    CAST(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END AS BIGINT) AS u
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |byn AS (SELECT nk, count(*) AS n, CAST(sum(u) AS BIGINT) AS x
+        |  FROM oc GROUP BY 1),
+        |wq AS (SELECT nk, n, x, CAST(floor(
+        |    CAST(x AS DOUBLE) / CAST(n AS DOUBLE) * 1e9 + 0.5e0)
+        |    AS BIGINT) AS rq FROM byn),
+        |mom AS (SELECT count(*) AS k, CAST(sum(rq) AS BIGINT) AS sr,
+        |    sum(CAST(rq AS HUGEINT) * rq) AS srr FROM wq),
+        |pri AS (SELECT k,
+        |    round(CAST(sr AS DOUBLE) / CAST(k AS DOUBLE) / 1e9, 6)
+        |      AS prior_mean,
+        |    round(greatest(0.0e0, CASE WHEN
+        |      (CAST(srr AS DOUBLE) / 1e18 - CAST(k AS DOUBLE)
+        |        * (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE) / 1e9)
+        |        * (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE) / 1e9))
+        |        / (CAST(k AS DOUBLE) - 1.0e0) > 0
+        |      THEN (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE) / 1e9)
+        |        * (1.0e0 - CAST(sr AS DOUBLE) / CAST(k AS DOUBLE) / 1e9)
+        |        / ((CAST(srr AS DOUBLE) / 1e18 - CAST(k AS DOUBLE)
+        |          * (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE) / 1e9)
+        |          * (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE) / 1e9))
+        |          / (CAST(k AS DOUBLE) - 1.0e0)) - 1.0e0
+        |      ELSE 0.0e0 END), 6) AS kappa
+        |  FROM mom)
+        |SELECT nk AS nationkey, n, x,
+        |  round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_rate,
+        |  round((CAST(x AS DOUBLE) + prior_mean * kappa)
+        |    / (CAST(n AS DOUBLE) + kappa), 6) AS eb_rate,
+        |  prior_mean, kappa
+        |FROM wq CROSS JOIN pri ORDER BY nationkey""".stripMargin,
+
+    // midranks on both domain-bounded distinct-value frames; Pearson on
+    // doubled midranks in HUGEINT
+    "q_spearman" -> {
+      s"""WITH ${OracleHash.classifierScoreCtes("doc_id, n_chars")},
+         |sv AS (SELECT doc_id, n_chars AS xv,
+         |    CAST(score AS BIGINT) AS yv FROM sc),
+         |rx AS (SELECT xv, 2 * (cum - cnt) + cnt + 1 AS r_xv FROM (
+         |  SELECT xv, cnt, CAST(sum(cnt) OVER (ORDER BY xv
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum
+         |  FROM (SELECT xv, count(*) AS cnt FROM sv GROUP BY 1) t) t2),
+         |ry AS (SELECT yv, 2 * (cum - cnt) + cnt + 1 AS r_yv FROM (
+         |  SELECT yv, cnt, CAST(sum(cnt) OVER (ORDER BY yv
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum
+         |  FROM (SELECT yv, count(*) AS cnt FROM sv GROUP BY 1) t) t2),
+         |rk AS (SELECT r_xv, r_yv FROM sv JOIN rx USING (xv)
+         |  JOIN ry USING (yv)),
+         |m AS (SELECT count(*) AS n,
+         |    sum(CAST(r_xv AS HUGEINT)) AS sx,
+         |    sum(CAST(r_yv AS HUGEINT)) AS sy,
+         |    sum(CAST(r_xv AS HUGEINT) * r_xv) AS sxx,
+         |    sum(CAST(r_yv AS HUGEINT) * r_yv) AS syy,
+         |    sum(CAST(r_xv AS HUGEINT) * r_yv) AS sxy
+         |  FROM rk)
+         |SELECT n,
+         |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+         |    AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+         |  THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         |  END AS spearman_rho
+         |FROM m""".stripMargin
+    }
   )
 }

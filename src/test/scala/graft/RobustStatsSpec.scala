@@ -452,6 +452,69 @@ class RobustStatsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(4) <= 1000000L))
   }
 
+  test("q_james_stein shrinks every arm toward the grand mean") {
+    val rows = run("q_james_stein").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val c = rows.head._4
+    assert(c >= 0.0 && c <= 1.0)
+    // weighted grand mean of raw means (order-weighted) bounds the
+    // shrunk value between raw and grand mean
+    val gm = rows.map(x => x._1 * x._2).sum / rows.map(_._1).sum
+    rows.foreach { case (_, raw, js, cc) =>
+      assert(math.abs(cc - c) < 1e-12)
+      assert(math.abs(js - (gm + c * (raw - gm))) < 1e-3)
+      // shrinkage never overshoots past the grand mean
+      if (raw > gm) assert(js <= raw + 1e-9 && js >= gm - 1e-9)
+      else assert(js >= raw - 1e-9 && js <= gm + 1e-9)
+    }
+  }
+
+  test("q_eb_rate posteriors interpolate raw rate and prior mean") {
+    val rows = run("q_eb_rate").collect()
+      .map(r => (r.getLong(1), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, raw, eb, pm, kap) =>
+      assert(kap >= 0.0)
+      val expected = (raw * n + pm * kap) / (n + kap)
+      assert(math.abs(eb - expected) < 1e-4)
+      val lo = math.min(raw, pm) - 1e-9
+      val hi = math.max(raw, pm) + 1e-9
+      assert(eb >= lo && eb <= hi)
+    }
+  }
+
+  test("q_spearman matches a brute-force midrank correlation") {
+    import graft.functions.TextDedup
+    val scored = TextDedup.classifierScored(
+      Tables.documents(spark, sfDir),
+      Seq(col("doc_id"), col("n_chars")))
+      .select(col("n_chars"), col("score").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def midrank(xs: Array[Long]): Map[Long, Double] = {
+      val byV = xs.groupBy(identity).view.mapValues(_.length)
+        .toSeq.sortBy(_._1)
+      var below = 0L
+      byV.map { case (v, t) =>
+        val r = below + (t + 1) / 2.0
+        below += t
+        v -> r
+      }.toMap
+    }
+    val rx = midrank(scored.map(_._1)); val ry = midrank(scored.map(_._2))
+    val pairs = scored.map { case (x, y) => (rx(x), ry(y)) }
+    val n = pairs.length.toDouble
+    val mx = pairs.map(_._1).sum / n; val my = pairs.map(_._2).sum / n
+    val num = pairs.map(p => (p._1 - mx) * (p._2 - my)).sum
+    val den = math.sqrt(pairs.map(p => (p._1 - mx) * (p._1 - mx)).sum *
+      pairs.map(p => (p._2 - my) * (p._2 - my)).sum)
+    val r = run("q_spearman").collect().head
+    assert(r.getLong(0) == scored.length)
+    assert(math.abs(r.getDouble(1) - num / den) < 1e-5)
+  }
+
   test("q_pattern_profile shares sum to the column total over top shapes") {
     val rows = run("q_pattern_profile").collect()
     assert(rows.nonEmpty)
