@@ -773,6 +773,124 @@ object StatsQueries extends QueryPack {
       m.select(col("n"),
         when(dx > 0.0 && dy > 0.0, round(num / sqrt(dx * dy), 6))
           .as("spearman_rho"))
+    }),
+
+    // -- regression discontinuity (jump at a date cutoff) ------------------
+    // The sharp-RD estimator: fit the order-value trend separately on
+    // each side of the 1998-01-01 cutoff and read the jump between the
+    // two intercepts AT the cutoff — the causal estimate when treatment
+    // switches exactly there (the q_diff_in_diff companion for
+    // threshold designs). Per-side OLS from exact DECIMAL cent moments
+    // (the q_group_ols shape keyed by side); intercepts and the jump
+    // evaluate in one mirrored expression; degenerate sides NULL
+    // explicitly.
+    "q_reg_discontinuity" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val cutoff = lit("1998-01-01").cast("date")
+      val o = Tables.orders(s, d).select(
+        datediff(col("o_orderdate").cast("date"), cutoff).cast("long")
+          .as("x"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+          .as("y"))
+        .withColumn("side", when(col("x") < 0L, "left")
+          .otherwise("right"))
+      val m = o.groupBy(col("side")).agg(count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+      val nD = col("n").cast("double")
+      val num = nD * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")
+      val den = nD * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      val sides = m.select(col("side"), col("n"),
+        when(den =!= 0.0, num / den).as("slope"),
+        when(den =!= 0.0,
+          (col("sy").cast("double") - num / den *
+            col("sx").cast("double")) / nD / lit(100.0)).as("icpt"))
+      val l = sides.filter(col("side") === "left")
+        .select(col("n").as("n_left"), col("slope").as("sl"),
+          col("icpt").as("il"))
+      val r = sides.filter(col("side") === "right")
+        .select(col("n").as("n_right"), col("slope").as("sr"),
+          col("icpt").as("ir"))
+      l.crossJoin(broadcast(r))
+        .select(col("n_left"), col("n_right"),
+          round(col("sl") * lit(365.0) / lit(100.0), 6)
+            .as("slope_left_per_year"),
+          round(col("sr") * lit(365.0) / lit(100.0), 6)
+            .as("slope_right_per_year"),
+          round(col("il"), 6).as("icpt_left"),
+          round(col("ir"), 6).as("icpt_right"),
+          round(col("ir") - col("il"), 6).as("jump"))
+    }),
+
+    // -- capture-recapture population estimate (Chapman) -------------------
+    // Two-sample mark-recapture over the PURCHASER population: who
+    // purchases in days 1-3 vs days 4-6 of the corpus window, overlap m,
+    // Chapman's bias-corrected N̂ = (n1+1)(n2+1)/(m+1) − 1 — the
+    // estimator a coverage audit uses when the full population can't be
+    // enumerated (how many distinct entities does this corpus REALLY
+    // touch?). Exact distinct-set sizes via two keyed aggregates; the
+    // estimate and the observed-coverage ratio evaluate in mirrored
+    // expressions.
+    "q_capture_recapture" -> ((s, d) => {
+      val pe = Tables.eventsWithTime(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts_t")).as("day"))
+      val d0 = lit("2024-01-01").cast("date")
+      val s1 = pe.filter(datediff(col("day"), d0).between(0, 2))
+        .select(col("user_id")).distinct()
+      val s2 = pe.filter(datediff(col("day"), d0).between(3, 5))
+        .select(col("user_id")).distinct()
+      val n1 = s1.agg(count(lit(1)).as("n1"))
+      val n2 = s2.agg(count(lit(1)).as("n2"))
+      val mm = s1.join(s2, "user_id").agg(count(lit(1)).as("m"))
+      val obs = pe.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n_obs"))
+      n1.crossJoin(broadcast(n2)).crossJoin(broadcast(mm))
+        .crossJoin(broadcast(obs))
+        .select(col("n1"), col("n2"), col("m"), col("n_obs"),
+          round((col("n1").cast("double") + lit(1.0)) *
+            (col("n2").cast("double") + lit(1.0)) /
+            (col("m").cast("double") + lit(1.0)) - lit(1.0), 6)
+            .as("chapman_n"),
+          when((col("n1") + lit(1L)) * (col("n2") + lit(1L)) >
+            (col("m") + lit(1L)), round(col("n_obs").cast("double") /
+              ((col("n1").cast("double") + lit(1.0)) *
+                (col("n2").cast("double") + lit(1.0)) /
+                (col("m").cast("double") + lit(1.0)) - lit(1.0)), 6))
+            .as("coverage"))
+    }),
+
+    // -- Wilson score intervals for per-arm rates --------------------------
+    // The interval q_eb_rate's point shrinkage should be read next to:
+    // the Wilson 95% CI per nation urgent-rate, which stays inside
+    // (0,1) and behaves at small n where the Wald interval collapses.
+    // One closed-form expression per arm from exact integer counts,
+    // shared z²=3.841459 literal on both engines.
+    "q_wilson_ci" -> ((s, d) => {
+      val oc = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            .cast("int").cast("long").as("u"))
+        .join(Tables.customer(s, d).select(
+          col("c_custkey").as("o_custkey"),
+          col("c_nationkey").cast("long").as("nk")), "o_custkey")
+      val byN = oc.groupBy(col("nk"))
+        .agg(count(lit(1)).as("n"), sum(col("u")).as("x"))
+      val nD = col("n").cast("double")
+      val p = col("x").cast("double") / nD
+      val z2 = lit(3.841459)
+      val denom = lit(1.0) + z2 / nD
+      val center = (p + z2 / (lit(2.0) * nD)) / denom
+      val half = sqrt(z2) * sqrt(p * (lit(1.0) - p) / nD +
+        z2 / (lit(4.0) * nD * nD)) / denom
+      byN.select(col("nk").as("nationkey"), col("n"), col("x"),
+          round(p, 6).as("rate"),
+          round(center - half, 6).as("wilson_lo"),
+          round(center + half, 6).as("wilson_hi"))
+        .orderBy(col("nationkey"))
     })
   )
 
@@ -1337,6 +1455,103 @@ object StatsQueries extends QueryPack {
          |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
          |  END AS spearman_rho
          |FROM m""".stripMargin
-    }
+    },
+
+    // per-side HUGEINT cent moments; mirrored intercept/jump expressions
+    "q_reg_discontinuity" ->
+      """WITH o AS (SELECT
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1998-01-01'
+        |      AS BIGINT) AS x,
+        |    CAST(floor(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT) AS y
+        |  FROM orders),
+        |sd AS (SELECT CASE WHEN x < 0 THEN 'left' ELSE 'right' END
+        |    AS side, x, y FROM o),
+        |m AS (SELECT side, count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM sd GROUP BY 1),
+        |est AS (SELECT side, n,
+        |    CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+        |      THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS slope,
+        |    CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+        |      THEN (CAST(sy AS DOUBLE)
+        |        - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0e0
+        |      END AS icpt
+        |  FROM m)
+        |SELECT l.n AS n_left, r.n AS n_right,
+        |  round(l.slope * 365.0e0 / 100.0e0, 6) AS slope_left_per_year,
+        |  round(r.slope * 365.0e0 / 100.0e0, 6) AS slope_right_per_year,
+        |  round(l.icpt, 6) AS icpt_left,
+        |  round(r.icpt, 6) AS icpt_right,
+        |  round(r.icpt - l.icpt, 6) AS jump
+        |FROM (SELECT * FROM est WHERE side = 'left') l
+        |CROSS JOIN (SELECT * FROM est WHERE side = 'right') r"""
+        .stripMargin,
+
+    // two distinct purchaser windows; Chapman bias-corrected estimate
+    "q_capture_recapture" ->
+      """WITH pe AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events WHERE event_type = 'purchase'),
+        |s1 AS (SELECT DISTINCT user_id FROM pe
+        |  WHERE day - DATE '2024-01-01' BETWEEN 0 AND 2),
+        |s2 AS (SELECT DISTINCT user_id FROM pe
+        |  WHERE day - DATE '2024-01-01' BETWEEN 3 AND 5),
+        |n1 AS (SELECT count(*) AS n1 FROM s1),
+        |n2 AS (SELECT count(*) AS n2 FROM s2),
+        |m AS (SELECT count(*) AS m FROM s1 JOIN s2 USING (user_id)),
+        |obs AS (SELECT count(DISTINCT user_id) AS n_obs FROM pe)
+        |SELECT n1, n2, m, n_obs,
+        |  round((CAST(n1 AS DOUBLE) + 1.0e0)
+        |    * (CAST(n2 AS DOUBLE) + 1.0e0)
+        |    / (CAST(m AS DOUBLE) + 1.0e0) - 1.0e0, 6) AS chapman_n,
+        |  CASE WHEN (n1 + 1) * (n2 + 1) > m + 1 THEN round(
+        |    CAST(n_obs AS DOUBLE) / ((CAST(n1 AS DOUBLE) + 1.0e0)
+        |      * (CAST(n2 AS DOUBLE) + 1.0e0)
+        |      / (CAST(m AS DOUBLE) + 1.0e0) - 1.0e0), 6) END
+        |    AS coverage
+        |FROM n1 CROSS JOIN n2 CROSS JOIN m CROSS JOIN obs"""
+        .stripMargin,
+
+    // shared z-squared literal; one closed-form Wilson expression
+    "q_wilson_ci" ->
+      """WITH oc AS (SELECT CAST(c.c_nationkey AS BIGINT) AS nk,
+        |    CAST(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END AS BIGINT) AS u
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |byn AS (SELECT nk, count(*) AS n, CAST(sum(u) AS BIGINT) AS x
+        |  FROM oc GROUP BY 1)
+        |SELECT nk AS nationkey, n, x,
+        |  round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+        |  round((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+        |    + 3.841459e0 / (2.0e0 * CAST(n AS DOUBLE)))
+        |    / (1.0e0 + 3.841459e0 / CAST(n AS DOUBLE))
+        |    - sqrt(3.841459e0) * sqrt(CAST(x AS DOUBLE)
+        |      / CAST(n AS DOUBLE) * (1.0e0 - CAST(x AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+        |      + 3.841459e0 / (4.0e0 * CAST(n AS DOUBLE)
+        |        * CAST(n AS DOUBLE)))
+        |      / (1.0e0 + 3.841459e0 / CAST(n AS DOUBLE)), 6)
+        |    AS wilson_lo,
+        |  round((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+        |    + 3.841459e0 / (2.0e0 * CAST(n AS DOUBLE)))
+        |    / (1.0e0 + 3.841459e0 / CAST(n AS DOUBLE))
+        |    + sqrt(3.841459e0) * sqrt(CAST(x AS DOUBLE)
+        |      / CAST(n AS DOUBLE) * (1.0e0 - CAST(x AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+        |      + 3.841459e0 / (4.0e0 * CAST(n AS DOUBLE)
+        |        * CAST(n AS DOUBLE)))
+        |      / (1.0e0 + 3.841459e0 / CAST(n AS DOUBLE)), 6)
+        |    AS wilson_hi
+        |FROM byn ORDER BY nationkey""".stripMargin
   )
 }

@@ -515,6 +515,61 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - num / den) < 1e-5)
   }
 
+  test("q_wilson_ci brackets the rate and stays inside (0,1)") {
+    val rows = run("q_wilson_ci").collect()
+    rows.foreach { r =>
+      val (n, x, rate, lo, hi) = (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(lo < rate && rate < hi)
+      assert(lo > 0.0 && hi < 1.0)
+      val z2 = 3.841459; val nD = n.toDouble; val p = x.toDouble / n
+      val denom = 1.0 + z2 / nD
+      val center = (p + z2 / (2 * nD)) / denom
+      val half = math.sqrt(z2) *
+        math.sqrt(p * (1 - p) / nD + z2 / (4 * nD * nD)) / denom
+      assert(math.abs(lo - (center - half)) < 1e-5)
+      assert(math.abs(hi - (center + half)) < 1e-5)
+    }
+  }
+
+  test("q_capture_recapture matches brute-force set arithmetic") {
+    val d0 = java.time.LocalDate.parse("2024-01-01").toEpochDay
+    val pe = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .collect().map(r => (r.getLong(0),
+        r.getDate(1).toLocalDate.toEpochDay - d0))
+    val s1 = pe.filter(p => p._2 >= 0 && p._2 <= 2).map(_._1).toSet
+    val s2 = pe.filter(p => p._2 >= 3 && p._2 <= 5).map(_._1).toSet
+    val r = run("q_capture_recapture").collect().head
+    assert(r.getLong(0) == s1.size && r.getLong(1) == s2.size)
+    assert(r.getLong(2) == (s1 & s2).size)
+    val chap = (s1.size + 1.0) * (s2.size + 1.0) /
+      ((s1 & s2).size + 1.0) - 1.0
+    assert(math.abs(r.getDouble(4) - chap) < 1e-5)
+  }
+
+  test("q_reg_discontinuity intercepts match per-side brute-force OLS") {
+    val cutoff = java.time.LocalDate.parse("1998-01-01").toEpochDay
+    val o = Tables.orders(spark, sfDir)
+      .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay - cutoff,
+        math.floor(r.getDouble(1) * 100.0 + 0.5).toLong))
+    def fit(g: Array[(Long, Long)]): Double = {
+      val n = g.length.toDouble
+      val sx = g.map(_._1).sum.toDouble; val sy = g.map(_._2).sum.toDouble
+      val sxx = g.map(p => p._1.toDouble * p._1).sum
+      val sxy = g.map(p => p._1.toDouble * p._2).sum
+      val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      (sy - b * sx) / n / 100.0
+    }
+    val il = fit(o.filter(_._1 < 0)); val ir = fit(o.filter(_._1 >= 0))
+    val r = run("q_reg_discontinuity").collect().head
+    assert(math.abs(r.getDouble(4) - il) < 1e-3)
+    assert(math.abs(r.getDouble(5) - ir) < 1e-3)
+    assert(math.abs(r.getDouble(6) - (ir - il)) < 2e-3)
+  }
+
   test("q_pattern_profile shares sum to the column total over top shapes") {
     val rows = run("q_pattern_profile").collect()
     assert(rows.nonEmpty)
