@@ -1263,6 +1263,46 @@ object TextQueries extends QueryPack {
           round(avg(col("n_chars")), 6).as("avg_chars"))
         .withColumn("share_u", expr("(1000000 * n_docs) div n_lang"))
         .orderBy(col("lang"), col("split"))
+    }),
+
+    // -- dedup aggressiveness sweep (threshold curve) ----------------------
+    // The decision table behind "what Jaccard threshold do we ship?":
+    // ONE prefix-filtered exact pair mining at the loosest setting
+    // (θ = 0.5), then every stricter threshold reads off the same pair
+    // frame as a pure integer filter on the micro-quantized similarity —
+    // pair volume, docs touched, the greedy keep-lowest-id removal
+    // bound, and corpus retention per θ. (The exact removal count under
+    // clustering is q_dedup_keep's job at the shipped θ; the greedy
+    // bound here is the monotone screen that ranks thresholds without
+    // re-running CC per candidate θ.) Thresholds are densified so a
+    // zero-pair setting still reports its row.
+    "q_dedup_sweep" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val pairs = TextDedup.exactJaccardPairs(docs, 0.5)
+        .withColumn("jq",
+          floor(col("jacc") * lit(1e6) + lit(0.5)).cast("long"))
+      val thrs = Seq(500000L, 700000L, 900000L).toDF("thr_u")
+      val f = pairs.crossJoin(broadcast(thrs))
+        .filter(col("jq") >= col("thr_u"))
+      val ag = f.groupBy(col("thr_u"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count_distinct(col("d2")).as("n_removed_bound"))
+      val ad = f.select(col("thr_u"), explode(array(col("d1"), col("d2")))
+          .as("doc"))
+        .groupBy(col("thr_u"))
+        .agg(count_distinct(col("doc")).as("n_docs_affected"))
+      val nn = docs.agg(count(lit(1)).as("n"))
+      thrs
+        .join(ag, Seq("thr_u"), "left")
+        .join(ad, Seq("thr_u"), "left")
+        .na.fill(0L, Seq("n_pairs", "n_removed_bound", "n_docs_affected"))
+        .crossJoin(broadcast(nn))
+        .select(col("thr_u"), col("n_pairs"), col("n_docs_affected"),
+          col("n_removed_bound"),
+          expr("(1000000 * (n - n_removed_bound)) div n")
+            .as("retention_u"))
+        .orderBy(col("thr_u"))
     })
   )
 
@@ -2168,7 +2208,48 @@ object TextQueries extends QueryPack {
            |  round(avg(n_chars), 6) AS avg_chars,
            |  CAST((1000000 * count(*)) // max(nl) AS BIGINT) AS share_u
            |FROM sp GROUP BY lang, split ORDER BY lang, split""".stripMargin
-      }
+      },
+
+      // the naive quadratic twin of the prefix-filtered pair mining at
+      // the base threshold; stricter settings are integer filters on
+      // the micro-quantized similarity; thresholds densified
+      "q_dedup_sweep" ->
+        s"""WITH t AS (SELECT doc_id,
+          |    list_distinct(list_transform(
+          |      range(0, greatest(len(string_split($normSql, ' ')) - 4, 1)),
+          |      i -> array_to_string(string_split($normSql, ' ')[i+1:i+5],
+          |        ' '))) AS toks
+          |  FROM documents),
+          |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+          |    CAST(floor(round(
+          |      CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+          |      (len(a.toks) + len(b.toks)
+          |       - len(list_intersect(a.toks, b.toks))), 6)
+          |      * 1e6 + 0.5e0) AS BIGINT) AS jq
+          |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+          |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+          |      (len(a.toks) + len(b.toks)
+          |       - len(list_intersect(a.toks, b.toks))) >= 0.5),
+          |th AS (SELECT CAST(unnest([500000, 700000, 900000]) AS BIGINT)
+          |    AS thr_u),
+          |f AS (SELECT thr_u, d1, d2 FROM p CROSS JOIN th
+          |  WHERE jq >= thr_u),
+          |ag AS (SELECT thr_u, count(*) AS n_pairs,
+          |    count(DISTINCT d2) AS n_removed_bound FROM f GROUP BY 1),
+          |ad AS (SELECT thr_u, count(DISTINCT doc) AS n_docs_affected
+          |  FROM (SELECT thr_u, d1 AS doc FROM f
+          |    UNION ALL SELECT thr_u, d2 FROM f) u GROUP BY 1),
+          |nn AS (SELECT count(*) AS n FROM documents)
+          |SELECT th.thr_u,
+          |  CAST(coalesce(ag.n_pairs, 0) AS BIGINT) AS n_pairs,
+          |  CAST(coalesce(ad.n_docs_affected, 0) AS BIGINT)
+          |    AS n_docs_affected,
+          |  CAST(coalesce(ag.n_removed_bound, 0) AS BIGINT)
+          |    AS n_removed_bound,
+          |  CAST((1000000 * (nn.n - coalesce(ag.n_removed_bound, 0)))
+          |    // nn.n AS BIGINT) AS retention_u
+          |FROM th LEFT JOIN ag USING (thr_u) LEFT JOIN ad USING (thr_u)
+          |CROSS JOIN nn ORDER BY th.thr_u""".stripMargin
     )
   }
 }
