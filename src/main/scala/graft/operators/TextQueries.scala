@@ -1279,9 +1279,15 @@ object TextQueries extends QueryPack {
     "q_dedup_sweep" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      // the mined pair frame feeds BOTH aggregate branches (pair counts
+      // and the endpoint-distinct leg) — persist it so the prefix-filter
+      // mining runs once, not once per branch (bounded: pairs only, far
+      // smaller than the corpus; lazy consumer, LRU-evictable — the
+      // q_pagerank caching pattern)
       val pairs = TextDedup.exactJaccardPairs(docs, 0.5)
         .withColumn("jq",
           floor(col("jacc") * lit(1e6) + lit(0.5)).cast("long"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val thrs = Seq(500000L, 700000L, 900000L).toDF("thr_u")
       val f = pairs.crossJoin(broadcast(thrs))
         .filter(col("jq") >= col("thr_u"))
@@ -1303,6 +1309,100 @@ object TextQueries extends QueryPack {
           expr("(1000000 * (n - n_removed_bound)) div n")
             .as("retention_u"))
         .orderBy(col("thr_u"))
+    }),
+
+    // -- discriminative-word mining (informative-Dirichlet log-odds) -------
+    // Monroe's "fightin' words": which words distinguish the English
+    // corpus from the rest? The z-scored log-odds-ratio with a Dirichlet
+    // prior (α = 0.01 per word) — the corpus-comparison statistic that,
+    // unlike raw frequency ratios, doesn't drown in hapax noise. All
+    // inputs are exact integer counts on the vocab-bounded (word ×
+    // side) frame; δ and its variance evaluate in one mirrored double
+    // expression; the top-20 ranks on micro-quantized |z| with the word
+    // as tiebreak (a fused TakeOrdered, never a full sort).
+    "q_log_odds" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(when(col("lang") === "en", 1L).otherwise(0L).as("en"),
+          explode(split(norm(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val byW = docs.groupBy(col("w"))
+        .agg(sum(col("en")).as("y1"),
+          sum(lit(1L) - col("en")).as("y2"))
+      val tot = byW.agg(sum(col("y1")).as("n1"), sum(col("y2")).as("n2"),
+        count(lit(1)).as("v"))
+      val a = lit(0.01)
+      val a0 = col("v").cast("double") * lit(0.01)
+      val y1a = col("y1").cast("double") + a
+      val y2a = col("y2").cast("double") + a
+      val o1 = log(y1a / (col("n1").cast("double") + a0 - y1a))
+      val o2 = log(y2a / (col("n2").cast("double") + a0 - y2a))
+      val delta = o1 - o2
+      val se = sqrt(lit(1.0) / y1a + lit(1.0) / y2a)
+      byW.crossJoin(broadcast(tot))
+        .withColumn("zq", floor(delta / se * lit(1e6) + lit(0.5))
+          .cast("long"))
+        .orderBy(abs(col("zq")).desc, col("w"))
+        .limit(20)
+        .select(col("w"), col("y1"), col("y2"),
+          round(delta, 6).as("log_odds"),
+          (col("zq").cast("double") / lit(1e6)).as("z"))
+    }),
+
+    // -- Heaps'-law vocabulary-growth fit ----------------------------------
+    // How fast does vocabulary grow with corpus size — the number that
+    // sizes every hash-vocab / tokenizer decision before a 100× scale-
+    // up. Cumulative (tokens, distinct types) at each tenth of the
+    // corpus WITHOUT re-scanning per prefix: a type's first-appearance
+    // doc (one token-keyed min) buckets it into the decile where it
+    // enters the vocabulary, and both curves are 10-row prefix sums.
+    // β and ln K fit by OLS on micro-quantized ln-ln points (exact
+    // integer sums on the 10-row frame). Doc ids are dense 0..N−1
+    // (q_sequence_audit pins this), so deciles are pure id arithmetic.
+    "q_heaps_law" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.count()
+      val tok = docs.select(col("doc_id"),
+          explode(split(norm(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val decOf = (name: String) =>
+        expr(s"least(($name * 10) div $nDocs, 9)")
+      val perDec = tok.groupBy(decOf("doc_id").as("dec"))
+        .agg(count(lit(1)).as("toks"))
+      val firstSeen = tok.groupBy(col("w"))
+        .agg(min(col("doc_id")).as("fd"))
+        .groupBy(decOf("fd").as("dec"))
+        .agg(count(lit(1)).as("newtypes"))
+      val wc = Window.orderBy(col("dec"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val curve = perDec.join(firstSeen, Seq("dec"), "left")
+        .na.fill(0L, Seq("newtypes"))
+        .withColumn("n_cum", sum(col("toks")).over(wc))
+        .withColumn("v_cum", sum(col("newtypes")).over(wc))
+        .withColumn("lnn",
+          floor(log(col("n_cum").cast("double")) * lit(1e6) + lit(0.5))
+            .cast("long"))
+        .withColumn("lnv",
+          floor(log(col("v_cum").cast("double")) * lit(1e6) + lit(0.5))
+            .cast("long"))
+      val dec38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val fit = curve.agg(count(lit(1)).as("np"),
+        sum(dec38(col("lnn"))).as("sx"), sum(dec38(col("lnv"))).as("sy"),
+        sum(dec38(col("lnn")) * dec38(col("lnn"))).as("sxx"),
+        sum(dec38(col("lnn")) * dec38(col("lnv"))).as("sxy"))
+      val nD = col("np").cast("double")
+      val num = nD * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")
+      val den = nD * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      val beta = fit.select(
+        when(den =!= 0.0, round(num / den, 6)).as("beta"),
+        when(den =!= 0.0, round(
+          (col("sy").cast("double") - num / den *
+            col("sx").cast("double")) / nD / lit(1e6), 6)).as("ln_k"))
+      curve.crossJoin(broadcast(beta))
+        .select(col("dec").cast("long").as("decile"), col("n_cum"),
+          col("v_cum"), col("beta"), col("ln_k"))
+        .orderBy(col("decile"))
     })
   )
 
@@ -2249,7 +2349,90 @@ object TextQueries extends QueryPack {
           |  CAST((1000000 * (nn.n - coalesce(ag.n_removed_bound, 0)))
           |    // nn.n AS BIGINT) AS retention_u
           |FROM th LEFT JOIN ag USING (thr_u) LEFT JOIN ad USING (thr_u)
-          |CROSS JOIN nn ORDER BY th.thr_u""".stripMargin
+          |CROSS JOIN nn ORDER BY th.thr_u""".stripMargin,
+
+      // same Dirichlet-prior log-odds expression; micro-quantized |z|
+      // ranking with the word tiebreak
+      "q_log_odds" ->
+        s"""WITH tk AS (SELECT
+           |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en, w
+           |  FROM (SELECT lang,
+           |      unnest(string_split($normSql, ' ')) AS w
+           |    FROM documents) t WHERE length(w) > 0),
+           |byw AS (SELECT w, CAST(sum(en) AS BIGINT) AS y1,
+           |    CAST(sum(1 - en) AS BIGINT) AS y2 FROM tk GROUP BY 1),
+           |tot AS (SELECT CAST(sum(y1) AS BIGINT) AS n1,
+           |    CAST(sum(y2) AS BIGINT) AS n2, count(*) AS v FROM byw),
+           |z AS (SELECT w, y1, y2,
+           |    ln((CAST(y1 AS DOUBLE) + 0.01e0)
+           |      / (CAST(n1 AS DOUBLE) + CAST(v AS DOUBLE) * 0.01e0
+           |        - (CAST(y1 AS DOUBLE) + 0.01e0)))
+           |    - ln((CAST(y2 AS DOUBLE) + 0.01e0)
+           |      / (CAST(n2 AS DOUBLE) + CAST(v AS DOUBLE) * 0.01e0
+           |        - (CAST(y2 AS DOUBLE) + 0.01e0))) AS delta,
+           |    sqrt(1.0e0 / (CAST(y1 AS DOUBLE) + 0.01e0)
+           |      + 1.0e0 / (CAST(y2 AS DOUBLE) + 0.01e0)) AS se
+           |  FROM byw CROSS JOIN tot),
+           |q AS (SELECT w, y1, y2, delta,
+           |    CAST(floor(delta / se * 1e6 + 0.5e0) AS BIGINT) AS zq
+           |  FROM z)
+           |SELECT w, y1, y2, round(delta, 6) AS log_odds,
+           |  CAST(zq AS DOUBLE) / 1e6 AS z
+           |FROM q ORDER BY abs(zq) DESC, w LIMIT 20""".stripMargin,
+
+      // first-appearance deciles; 10-row prefix sums; micro-quantized
+      // ln-ln OLS
+      "q_heaps_law" ->
+        s"""WITH nn AS (SELECT count(*) AS nd FROM documents),
+           |tok AS (SELECT doc_id, w FROM (SELECT doc_id,
+           |      unnest(string_split($normSql, ' ')) AS w
+           |    FROM documents) t WHERE length(w) > 0),
+           |pd AS (SELECT least((doc_id * 10) // nd, 9) AS dec,
+           |    count(*) AS toks FROM tok CROSS JOIN nn GROUP BY 1),
+           |fs AS (SELECT least((fd * 10) // nd, 9) AS dec,
+           |    count(*) AS newtypes FROM (
+           |    SELECT w, min(doc_id) AS fd FROM tok GROUP BY 1) f
+           |  CROSS JOIN nn GROUP BY 1),
+           |curve AS (SELECT pd.dec,
+           |    CAST(sum(pd.toks) OVER w AS BIGINT) AS n_cum,
+           |    CAST(sum(coalesce(fs.newtypes, 0)) OVER w AS BIGINT)
+           |      AS v_cum
+           |  FROM pd LEFT JOIN fs USING (dec)
+           |  WINDOW w AS (ORDER BY pd.dec ROWS BETWEEN UNBOUNDED
+           |    PRECEDING AND CURRENT ROW)),
+           |lq AS (SELECT dec, n_cum, v_cum,
+           |    CAST(floor(ln(CAST(n_cum AS DOUBLE)) * 1e6 + 0.5e0)
+           |      AS BIGINT) AS lnn,
+           |    CAST(floor(ln(CAST(v_cum AS DOUBLE)) * 1e6 + 0.5e0)
+           |      AS BIGINT) AS lnv
+           |  FROM curve),
+           |fit AS (SELECT count(*) AS np,
+           |    sum(CAST(lnn AS HUGEINT)) AS sx,
+           |    sum(CAST(lnv AS HUGEINT)) AS sy,
+           |    sum(CAST(lnn AS HUGEINT) * lnn) AS sxx,
+           |    sum(CAST(lnn AS HUGEINT) * lnv) AS sxy
+           |  FROM lq),
+           |est AS (SELECT
+           |    CASE WHEN CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+           |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+           |      THEN round((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+           |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           |        / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+           |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END
+           |      AS beta,
+           |    CASE WHEN CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+           |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+           |      THEN round((CAST(sy AS DOUBLE)
+           |        - (CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+           |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           |          / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+           |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           |          * CAST(sx AS DOUBLE)) / CAST(np AS DOUBLE) / 1e6, 6)
+           |      END AS ln_k
+           |  FROM fit)
+           |SELECT CAST(dec AS BIGINT) AS decile, n_cum, v_cum,
+           |  beta, ln_k
+           |FROM lq CROSS JOIN est ORDER BY decile""".stripMargin
     )
   }
 }
