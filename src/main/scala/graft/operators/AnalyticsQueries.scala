@@ -2407,6 +2407,46 @@ object AnalyticsQueries extends QueryPack {
             (col("sae").cast("double") / col("n_eval")) /
               (col("nae").cast("double") / col("nn")), 6)).as("mase"))
         .orderBy(col("model"))
+    }),
+
+    // -- price indices (Laspeyres / Paasche / Fisher) ----------------------
+    // The index-number triple between a base year (1996) and a current
+    // year (2000) over the parts traded in BOTH: how much of the revenue
+    // change is price vs mix? Unit values per (part, period) come from
+    // exact cent/milli-quantity sums and micro-quantize before the
+    // basket folds; the basket sums Σp·q accumulate in DECIMAL (price ×
+    // quantity products reach 1e12+ per part); the three indices
+    // evaluate in mirrored expressions (Fisher = √(L·P)). Scale: one
+    // part-keyed aggregate per period and one part-keyed join — the
+    // basket frame is |common parts|, never row-sized.
+    "q_price_index" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      def period(y: Int) = Tables.lineitem(s, d)
+        .filter(year(col("l_shipdate")) === y)
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(sum(floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+          .cast("long")).as("sep"),
+          sum(floor(col("l_quantity") * lit(1000.0) + lit(0.5))
+            .cast("long")).as("sq"))
+        .filter(col("sq") > 0L)
+        .withColumn("p_u", floor(col("sep").cast("double") /
+          col("sq").cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+      val base = period(1996).select(col("pk"), col("p_u").as("p0"),
+        col("sq").as("q0"))
+      val cur = period(2000).select(col("pk"), col("p_u").as("p1"),
+        col("sq").as("q1"))
+      val basket = base.join(cur, "pk")
+      val m = basket.agg(count(lit(1)).as("n_parts"),
+        sum(dec(col("p1")) * dec(col("q0"))).as("l_num"),
+        sum(dec(col("p0")) * dec(col("q0"))).as("l_den"),
+        sum(dec(col("p1")) * dec(col("q1"))).as("p_num"),
+        sum(dec(col("p0")) * dec(col("q1"))).as("p_den"))
+      val lasp = col("l_num").cast("double") / col("l_den").cast("double")
+      val paas = col("p_num").cast("double") / col("p_den").cast("double")
+      m.select(col("n_parts"),
+        round(lasp, 6).as("laspeyres"),
+        round(paas, 6).as("paasche"),
+        round(sqrt(lasp * paas), 6).as("fisher"))
     })
   )
 
@@ -4058,6 +4098,47 @@ object AnalyticsQueries extends QueryPack {
         |  CASE WHEN nae > 0 THEN round(
         |    (CAST(sae AS DOUBLE) / n_eval)
         |    / (CAST(nae AS DOUBLE) / nn), 6) END AS mase
-        |FROM agg CROSS JOIN nv ORDER BY model""".stripMargin
+        |FROM agg CROSS JOIN nv ORDER BY model""".stripMargin,
+
+    // exact cent/milli sums per (part, period); micro-quantized unit
+    // values; HUGEINT basket folds; mirrored index expressions
+    "q_price_index" ->
+      """WITH b AS (SELECT l_partkey AS pk,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100.0e0 + 0.5e0)
+        |      AS BIGINT)) AS BIGINT) AS sep,
+        |    CAST(sum(CAST(floor(l_quantity * 1000.0e0 + 0.5e0)
+        |      AS BIGINT)) AS BIGINT) AS sq
+        |  FROM lineitem WHERE year(l_shipdate) = 1996
+        |  GROUP BY 1 HAVING sum(CAST(floor(l_quantity * 1000.0e0
+        |    + 0.5e0) AS BIGINT)) > 0),
+        |c AS (SELECT l_partkey AS pk,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100.0e0 + 0.5e0)
+        |      AS BIGINT)) AS BIGINT) AS sep,
+        |    CAST(sum(CAST(floor(l_quantity * 1000.0e0 + 0.5e0)
+        |      AS BIGINT)) AS BIGINT) AS sq
+        |  FROM lineitem WHERE year(l_shipdate) = 2000
+        |  GROUP BY 1 HAVING sum(CAST(floor(l_quantity * 1000.0e0
+        |    + 0.5e0) AS BIGINT)) > 0),
+        |bk AS (SELECT b.pk,
+        |    CAST(floor(CAST(b.sep AS DOUBLE) / CAST(b.sq AS DOUBLE)
+        |      * 1e6 + 0.5e0) AS BIGINT) AS p0, b.sq AS q0,
+        |    CAST(floor(CAST(c.sep AS DOUBLE) / CAST(c.sq AS DOUBLE)
+        |      * 1e6 + 0.5e0) AS BIGINT) AS p1, c.sq AS q1
+        |  FROM b JOIN c USING (pk)),
+        |m AS (SELECT count(*) AS n_parts,
+        |    sum(CAST(p1 AS HUGEINT) * q0) AS l_num,
+        |    sum(CAST(p0 AS HUGEINT) * q0) AS l_den,
+        |    sum(CAST(p1 AS HUGEINT) * q1) AS p_num,
+        |    sum(CAST(p0 AS HUGEINT) * q1) AS p_den
+        |  FROM bk)
+        |SELECT n_parts,
+        |  round(CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE), 6)
+        |    AS laspeyres,
+        |  round(CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE), 6)
+        |    AS paasche,
+        |  round(sqrt(CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE)
+        |    * (CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE))), 6)
+        |    AS fisher
+        |FROM m""".stripMargin
   )
 }

@@ -891,6 +891,73 @@ object StatsQueries extends QueryPack {
           round(center - half, 6).as("wilson_lo"),
           round(center + half, 6).as("wilson_hi"))
         .orderBy(col("nationkey"))
+    }),
+
+    // -- overdispersion diagnostic (Poisson adequacy per event type) -------
+    // The count-model sanity check: is daily volume per event type
+    // Poisson (dispersion ≈ 1) or clumped (> 1 — bursts, bots, retry
+    // storms)? Variance-to-mean of the per-type daily counts from exact
+    // integer moments on the (type × day) frame — a 5×30 contingency at
+    // any corpus size; sample variance uses the n−1 convention. One
+    // keyed aggregate is the only data-sized step.
+    "q_overdispersion" -> ((s, d) => {
+      val byTD = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")),
+            lit("1970-01-01").cast("date")).cast("long").as("dd"))
+        .agg(count(lit(1)).as("c"))
+      val m = byTD.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("c")).as("s1"),
+          sum(col("c") * col("c")).as("s2"))
+      val nD = col("n_days").cast("double")
+      val mean = col("s1").cast("double") / nD
+      val vr = (col("s2").cast("double") - col("s1").cast("double") *
+        col("s1").cast("double") / nD) / (nD - lit(1.0))
+      m.filter(col("n_days") > 1L)
+        .select(col("event_type"), col("n_days"),
+          round(mean, 6).as("mean_daily"),
+          round(vr, 6).as("var_daily"),
+          when(mean > 0.0, round(vr / mean, 6)).as("dispersion"),
+          when(mean > 0.0 && vr / mean > 1.0, 1L).otherwise(0L)
+            .as("overdispersed"))
+        .orderBy(col("event_type"))
+    }),
+
+    // -- Wald-Wolfowitz runs test (randomness of daily movement) -----------
+    // Is the day-over-day up/down sequence of total volume random, or
+    // does it trend/oscillate? The runs count against its null
+    // expectation 2·n1·n2/(n1+n2) + 1 — the distribution-free check
+    // behind "is this series worth a forecaster at all". Ties
+    // (flat days) drop before runs are counted, per the classical
+    // definition. Everything runs on the calendar-bounded day frame:
+    // two lag windows and exact integer counts; z evaluates in one
+    // mirrored expression.
+    "q_runs_test" -> ((s, d) => {
+      val byDay = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long").as("dd"))
+        .agg(count(lit(1)).as("y"))
+      val wd = Window.orderBy(col("dd"))
+      val signs = byDay
+        .withColumn("prev", lag(col("y"), 1).over(wd))
+        .filter(col("prev").isNotNull && col("y") =!= col("prev"))
+        .withColumn("s", when(col("y") > col("prev"), 1L).otherwise(0L))
+      val runsF = signs
+        .withColumn("ps", lag(col("s"), 1).over(wd))
+        .withColumn("chg",
+          when(col("ps").isNull || col("s") =!= col("ps"), 1L)
+            .otherwise(0L))
+      val m = runsF.agg(sum(col("s")).as("n1"),
+        sum(lit(1L) - col("s")).as("n2"), sum(col("chg")).as("runs"))
+      val n1D = col("n1").cast("double"); val n2D = col("n2").cast("double")
+      val nn = n1D + n2D
+      val er = lit(2.0) * n1D * n2D / nn + lit(1.0)
+      val vr = lit(2.0) * n1D * n2D *
+        (lit(2.0) * n1D * n2D - n1D - n2D) / (nn * nn * (nn - lit(1.0)))
+      m.select(col("n1"), col("n2"), col("runs"),
+        round(er, 6).as("expected_runs"),
+        when(vr > 0.0, round((col("runs").cast("double") - er) /
+          sqrt(vr), 6)).as("z"))
     })
   )
 
@@ -1552,6 +1619,75 @@ object StatsQueries extends QueryPack {
         |        * CAST(n AS DOUBLE)))
         |      / (1.0e0 + 3.841459e0 / CAST(n AS DOUBLE)), 6)
         |    AS wilson_hi
-        |FROM byn ORDER BY nationkey""".stripMargin
+        |FROM byn ORDER BY nationkey""".stripMargin,
+
+    // exact integer daily-count moments; n-1 sample variance
+    "q_overdispersion" ->
+      """WITH td AS (SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, count(*) AS n_days,
+        |    CAST(sum(c) AS BIGINT) AS s1,
+        |    CAST(sum(c * c) AS BIGINT) AS s2
+        |  FROM td GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  round(CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+        |    AS mean_daily,
+        |  round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |    * CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |    / (CAST(n_days AS DOUBLE) - 1.0e0), 6) AS var_daily,
+        |  CASE WHEN CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE) > 0
+        |    THEN round(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |      * CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |      / (CAST(n_days AS DOUBLE) - 1.0e0))
+        |      / (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)), 6) END
+        |    AS dispersion,
+        |  CAST(CASE WHEN CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE) > 0
+        |    AND ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |      * CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |      / (CAST(n_days AS DOUBLE) - 1.0e0))
+        |      / (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)) > 1.0e0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS overdispersed
+        |FROM m WHERE n_days > 1 ORDER BY event_type""".stripMargin,
+
+    // ties drop first; runs from sign changes; one mirrored z
+    "q_runs_test" ->
+      """WITH byd AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1),
+        |sg AS (SELECT dd, CASE WHEN y > prev THEN 1 ELSE 0 END AS s
+        |  FROM (SELECT dd, y, lag(y) OVER (ORDER BY dd) AS prev
+        |    FROM byd) t
+        |  WHERE prev IS NOT NULL AND y <> prev),
+        |ch AS (SELECT s, CASE WHEN ps IS NULL OR s <> ps THEN 1 ELSE 0
+        |    END AS chg
+        |  FROM (SELECT dd, s, lag(s) OVER (ORDER BY dd) AS ps
+        |    FROM sg) t),
+        |m AS (SELECT CAST(sum(s) AS BIGINT) AS n1,
+        |    CAST(sum(1 - s) AS BIGINT) AS n2,
+        |    CAST(sum(chg) AS BIGINT) AS runs FROM ch)
+        |SELECT n1, n2, runs,
+        |  round(2.0e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0e0, 6)
+        |    AS expected_runs,
+        |  CASE WHEN 2.0e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |      * (2.0e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |        - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+        |      / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |        * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |        * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0e0)) > 0
+        |    THEN round((CAST(runs AS DOUBLE)
+        |      - (2.0e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0e0))
+        |      / sqrt(2.0e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |        * (2.0e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |          - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+        |        / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |          * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |          * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)
+        |            - 1.0e0))), 6) END AS z
+        |FROM m""".stripMargin
   )
 }
