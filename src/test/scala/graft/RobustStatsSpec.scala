@@ -570,6 +570,94 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(6) - (ir - il)) < 2e-3)
   }
 
+  test("q_overdispersion matches brute-force daily-count moments") {
+    val counts = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day")).count()
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    val got = run("q_overdispersion").collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(4))).toMap
+    counts.groupBy(_._1).foreach { case (t, g) =>
+      val n = g.length.toDouble
+      val mean = g.map(_._2).sum / n
+      val vr = g.map(x => (x._2 - mean) * (x._2 - mean)).sum / (n - 1)
+      val (gm, gd) = got(t)
+      assert(math.abs(gm - mean) < 1e-4, t)
+      assert(math.abs(gd - vr / mean) < 1e-4, t)
+    }
+  }
+
+  test("q_runs_test counts runs like the brute-force sign walk") {
+    val ys = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day")).count()
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay,
+        r.getLong(1))).sortBy(_._1).map(_._2)
+    val signs = ys.sliding(2).collect {
+      case Array(a, b) if a != b => if (b > a) 1 else 0
+    }.toSeq
+    val runs = 1 + signs.sliding(2).count {
+      case Seq(a, b) => a != b
+      case _         => false
+    }
+    val r = run("q_runs_test").collect().head
+    assert(r.getLong(0) == signs.count(_ == 1))
+    assert(r.getLong(1) == signs.count(_ == 0))
+    assert(r.getLong(2) == runs)
+  }
+
+  test("q_price_index Fisher lies between Laspeyres and Paasche") {
+    val r = run("q_price_index").collect().head
+    val (np, l, p, f) = (r.getLong(0), r.getDouble(1), r.getDouble(2),
+      r.getDouble(3))
+    assert(np > 0)
+    assert(l > 0 && p > 0 && f > 0)
+    assert(f >= math.min(l, p) - 1e-9 && f <= math.max(l, p) + 1e-9)
+    assert(math.abs(f - math.sqrt(l * p)) < 1e-5)
+  }
+
+  test("q_dedup_sweep counts are monotone non-increasing in threshold") {
+    val rows = run("q_dedup_sweep").collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(500000L, 700000L, 900000L))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(1) <= a.getLong(1))
+        assert(b.getLong(2) <= a.getLong(2))
+        assert(b.getLong(3) <= a.getLong(3))
+        assert(b.getLong(4) >= a.getLong(4)) // retention grows
+      case _ =>
+    }
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2)) // removal bound <= affected
+    }
+  }
+
+  test("q_log_odds z-ranking is consistent and counts are exact") {
+    val rows = run("q_log_odds").collect()
+    assert(rows.length == 20)
+    val zs = rows.map(r => math.abs(r.getDouble(4)))
+    zs.sliding(2).foreach {
+      case Array(a, b) => assert(b <= a + 1e-9)
+      case _           =>
+    }
+    // sign of log_odds and z agree
+    rows.foreach { r =>
+      assert(r.getDouble(3) * r.getDouble(4) >= 0.0)
+    }
+  }
+
+  test("q_heaps_law curves are cumulative and detect the closed vocabulary") {
+    val rows = run("q_heaps_law").collect().sortBy(_.getLong(0))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(1) > a.getLong(1))  // tokens strictly grow
+        assert(b.getLong(2) >= a.getLong(2)) // vocab non-decreasing
+      case _ =>
+    }
+    // the driver corpus has a closed generator vocabulary: every type
+    // appears in the first decile, so the fitted growth exponent is 0
+    assert(rows.last.getLong(2) == rows.head.getLong(2))
+    assert(math.abs(rows.head.getDouble(3)) < 1e-9)
+  }
+
   test("q_pattern_profile shares sum to the column total over top shapes") {
     val rows = run("q_pattern_profile").collect()
     assert(rows.nonEmpty)
