@@ -958,6 +958,119 @@ object StatsQueries extends QueryPack {
         round(er, 6).as("expected_runs"),
         when(vr > 0.0, round((col("runs").cast("double") - er) /
           sqrt(vr), 6)).as("z"))
+    }),
+
+    // -- paired t-test (within-user first-half vs second-half) -------------
+    // The design that beats q_ab_test's independent-samples comparison
+    // when the same units appear in both conditions: each user's mean
+    // event value in the first half of the window pairs against their
+    // own second half, removing between-user variance from the error
+    // term entirely. Per-user half means come from exact milli sums;
+    // the per-user DELTA micro-quantizes on the user frame and its
+    // moments fold in DECIMAL; t evaluates in one mirrored expression.
+    // One user-keyed conditional aggregate is the only data-sized step.
+    "q_paired_ttest" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val mid = lit("2024-01-16").cast("date")
+      val u = Tables.events(s, d)
+        .select(col("user_id"),
+          (to_date(col("ts")) < mid).cast("int").cast("long").as("h1"),
+          floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+            .as("vq"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("h1")).as("n1"),
+          sum(col("h1") * col("vq")).as("sv1"),
+          sum(lit(1L) - col("h1")).as("n2"),
+          sum((lit(1L) - col("h1")) * col("vq")).as("sv2"))
+        .filter(col("n1") > 0L && col("n2") > 0L)
+        .withColumn("dq", floor(
+          (col("sv1").cast("double") / col("n1").cast("double") -
+            col("sv2").cast("double") / col("n2").cast("double")) /
+            lit(1000.0) * lit(1e6) + lit(0.5)).cast("long"))
+      val m = u.agg(count(lit(1)).as("n"), sum(dec(col("dq"))).as("sd"),
+        sum(dec(col("dq")) * dec(col("dq"))).as("sdd"))
+      val nD = col("n").cast("double")
+      val mean = col("sd").cast("double") / nD / lit(1e6)
+      val sd = sqrt((col("sdd").cast("double") / lit(1e12) -
+        nD * mean * mean) / (nD - lit(1.0)))
+      m.select(col("n").as("n_users"),
+        round(mean, 6).as("mean_delta"),
+        when(col("n") > 1L && sd > 0.0,
+          round(mean / (sd / sqrt(nD)), 6)).as("t_stat"))
+    }),
+
+    // -- Cohen's kappa (agreement between two labelers) --------------------
+    // Chance-corrected agreement between the hashed quality classifier
+    // (score > 0) and the length gate (n_chars ≥ 300) — the number that
+    // says whether two quality signals measure the same thing or just
+    // share a base rate. Confusion cells are exact integer counts from
+    // the classifier's one unigram pass; κ = (p_o − p_e)/(1 − p_e)
+    // evaluates in one mirrored expression.
+    "q_cohens_kappa" -> ((s, d) => {
+      val sc = TextDedup.classifierScored(Tables.documents(s, d),
+          Seq(col("doc_id"), col("n_chars")))
+        .select((col("score") > 0L).cast("int").cast("long").as("a"),
+          (col("n_chars") >= 300L).cast("int").cast("long").as("b"))
+      val m = sc.agg(count(lit(1)).as("n"),
+        sum(col("a") * col("b")).as("n11"),
+        sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+        sum((lit(1L) - col("a")) * col("b")).as("n01"),
+        sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+      val nD = col("n").cast("double")
+      val po = (col("n11") + col("n00")).cast("double") / nD
+      val pa = (col("n11") + col("n10")).cast("double") / nD
+      val pb = (col("n11") + col("n01")).cast("double") / nD
+      val pe = pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb)
+      m.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        round(po, 6).as("p_observed"),
+        round(pe, 6).as("p_expected"),
+        when(pe =!= 1.0, round((po - pe) / (lit(1.0) - pe), 6))
+          .as("kappa"))
+    }),
+
+    // -- Durbin-Watson (serial correlation of trend residuals) -------------
+    // The companion q_group_ols should always be read with: after
+    // fitting the daily-volume trend, are the residuals independent
+    // (DW ≈ 2) or autocorrelated (DW → 0 trending, → 4 oscillating)?
+    // The global fit derives from exact DECIMAL moments; residuals
+    // micro-quantize on the calendar-bounded day frame and the DW
+    // ratio folds their exact integer squares through one lag window.
+    "q_durbin_watson" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val byDay = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long").as("dd"))
+        .agg(count(lit(1)).as("y"))
+      val m = byDay.agg(count(lit(1)).as("n"),
+        sum(dec(col("dd"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("dd")) * dec(col("dd"))).as("sxx"),
+        sum(dec(col("dd")) * dec(col("y"))).as("sxy"))
+      val nD = col("n").cast("double")
+      val num = nD * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")
+      val den = nD * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      val fit = m.select(col("n"), (num / den).as("b"),
+        ((col("sy").cast("double") - num / den *
+          col("sx").cast("double")) / nD).as("a"))
+      val res = byDay.crossJoin(broadcast(fit))
+        .withColumn("eq", floor(
+          (col("y").cast("double") - (col("a") + col("b") *
+            col("dd").cast("double"))) * lit(1e6) + lit(0.5))
+          .cast("long"))
+      val wd = Window.orderBy(col("dd"))
+      val dw = res
+        .withColumn("pe", lag(col("eq"), 1).over(wd))
+        .agg(max(col("n")).as("n_days"), max(col("b")).as("slope"),
+          sum(dec(col("eq")) * dec(col("eq"))).as("see"),
+          sum(when(col("pe").isNotNull,
+            dec(col("eq") - col("pe")) * dec(col("eq") - col("pe")))
+            .otherwise(dec(lit(0L)))).as("sde"))
+      dw.select(col("n_days"),
+        round(col("slope"), 6).as("slope_per_day"),
+        when(col("see") > dec(lit(0L)), round(
+          col("sde").cast("double") / col("see").cast("double"), 6))
+          .as("dw"))
     })
   )
 
@@ -1688,6 +1801,125 @@ object StatsQueries extends QueryPack {
         |          * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
         |          * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)
         |            - 1.0e0))), 6) END AS z
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    // per-user half sums; micro-quantized deltas; HUGEINT delta moments
+    "q_paired_ttest" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+        |      THEN CAST(floor(value * 1000.0e0 + 0.5e0) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS sv1,
+        |    CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+        |      THEN 0 ELSE CAST(floor(value * 1000.0e0 + 0.5e0)
+        |        AS BIGINT) END) AS BIGINT) AS sv2
+        |  FROM events GROUP BY 1),
+        |dq AS (SELECT CAST(floor(
+        |    (CAST(sv1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      - CAST(sv2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / 1000.0e0
+        |      * 1e6 + 0.5e0) AS BIGINT) AS dq
+        |  FROM u WHERE n1 > 0 AND n2 > 0),
+        |m AS (SELECT count(*) AS n, sum(CAST(dq AS HUGEINT)) AS sd,
+        |    sum(CAST(dq AS HUGEINT) * dq) AS sdd FROM dq)
+        |SELECT n AS n_users,
+        |  round(CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) / 1e6, 6)
+        |    AS mean_delta,
+        |  CASE WHEN n > 1 AND sqrt((CAST(sdd AS DOUBLE) / 1e12
+        |      - CAST(n AS DOUBLE)
+        |        * (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) / 1e6)
+        |        * (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) / 1e6))
+        |      / (CAST(n AS DOUBLE) - 1.0e0)) > 0
+        |    THEN round((CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) / 1e6)
+        |      / (sqrt((CAST(sdd AS DOUBLE) / 1e12 - CAST(n AS DOUBLE)
+        |        * (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) / 1e6)
+        |        * (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) / 1e6))
+        |        / (CAST(n AS DOUBLE) - 1.0e0))
+        |        / sqrt(CAST(n AS DOUBLE))), 6) END AS t_stat
+        |FROM m""".stripMargin,
+
+    // shared classifier chain; exact confusion cells; mirrored kappa
+    "q_cohens_kappa" -> {
+      s"""WITH ${OracleHash.classifierScoreCtes("doc_id, n_chars")},
+         |ab AS (SELECT CASE WHEN score > 0 THEN 1 ELSE 0 END AS a,
+         |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS b FROM sc),
+         |m AS (SELECT count(*) AS n,
+         |    CAST(sum(a * b) AS BIGINT) AS n11,
+         |    CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+         |    CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+         |    CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+         |  FROM ab)
+         |SELECT n, n11, n10, n01, n00,
+         |  round(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         |    AS p_observed,
+         |  round(CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)
+         |    * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+         |    + (1.0e0 - CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+         |    * (1.0e0 - CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)),
+         |    6) AS p_expected,
+         |  CASE WHEN CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)
+         |      * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+         |      + (1.0e0 - CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+         |      * (1.0e0 - CAST(n11 + n01 AS DOUBLE)
+         |        / CAST(n AS DOUBLE)) <> 1.0e0
+         |    THEN round((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+         |      - (CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)
+         |        * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+         |        + (1.0e0 - CAST(n11 + n10 AS DOUBLE)
+         |          / CAST(n AS DOUBLE))
+         |        * (1.0e0 - CAST(n11 + n01 AS DOUBLE)
+         |          / CAST(n AS DOUBLE))))
+         |      / (1.0e0 - (CAST(n11 + n10 AS DOUBLE)
+         |        / CAST(n AS DOUBLE)
+         |        * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+         |        + (1.0e0 - CAST(n11 + n10 AS DOUBLE)
+         |          / CAST(n AS DOUBLE))
+         |        * (1.0e0 - CAST(n11 + n01 AS DOUBLE)
+         |          / CAST(n AS DOUBLE)))), 6) END AS kappa
+         |FROM m""".stripMargin
+    },
+
+    // HUGEINT trend moments; micro-quantized residuals; lag-window DW
+    "q_durbin_watson" ->
+      """WITH byd AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT count(*) AS n, sum(CAST(dd AS HUGEINT)) AS sx,
+        |    sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(dd AS HUGEINT) * dd) AS sxx,
+        |    sum(CAST(dd AS HUGEINT) * y) AS sxy
+        |  FROM byd),
+        |fit AS (SELECT n,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+        |    (CAST(sy AS DOUBLE)
+        |      - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a
+        |  FROM m),
+        |res AS (SELECT dd, CAST(floor(
+        |    (CAST(y AS DOUBLE) - (a + b * CAST(dd AS DOUBLE)))
+        |      * 1e6 + 0.5e0) AS BIGINT) AS eq, n, b
+        |  FROM byd CROSS JOIN fit),
+        |lg AS (SELECT n, b, eq, lag(eq) OVER (ORDER BY dd) AS pe
+        |  FROM res),
+        |dw AS (SELECT max(n) AS n_days, max(b) AS slope,
+        |    sum(CAST(eq AS HUGEINT) * eq) AS see,
+        |    sum(CASE WHEN pe IS NOT NULL
+        |      THEN CAST(eq - pe AS HUGEINT) * (eq - pe)
+        |      ELSE 0::HUGEINT END) AS sde
+        |  FROM lg)
+        |SELECT CAST(n_days AS BIGINT) AS n_days,
+        |  round(slope, 6) AS slope_per_day,
+        |  CASE WHEN see > 0 THEN round(
+        |    CAST(sde AS DOUBLE) / CAST(see AS DOUBLE), 6) END AS dw
+        |FROM dw""".stripMargin
   )
 }

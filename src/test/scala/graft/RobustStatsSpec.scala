@@ -658,6 +658,50 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(math.abs(rows.head.getDouble(3)) < 1e-9)
   }
 
+  test("q_paired_ttest matches brute-force per-user half deltas") {
+    val mid = java.time.LocalDate.parse("2024-01-16").toEpochDay
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      .collect().map(r => (r.getLong(0),
+        r.getDate(1).toLocalDate.toEpochDay < mid, vq(r.getDouble(2))))
+    val deltas = rows.groupBy(_._1).values.flatMap { g =>
+      val h1 = g.filter(_._2); val h2 = g.filterNot(_._2)
+      if (h1.nonEmpty && h2.nonEmpty)
+        Some((h1.map(_._3).sum.toDouble / h1.length -
+          h2.map(_._3).sum.toDouble / h2.length) / 1000.0)
+      else None
+    }.toSeq
+    val n = deltas.length.toDouble
+    val mean = deltas.sum / n
+    val sd = math.sqrt(deltas.map(x => (x - mean) * (x - mean)).sum /
+      (n - 1))
+    val r = run("q_paired_ttest").collect().head
+    assert(r.getLong(0) == deltas.length)
+    assert(math.abs(r.getDouble(1) - mean) < 1e-4)
+    assert(math.abs(r.getDouble(2) - mean / (sd / math.sqrt(n))) < 1e-3)
+  }
+
+  test("q_cohens_kappa cells sum to n and kappa is chance-corrected") {
+    val r = run("q_cohens_kappa").collect().head
+    val (n, n11, n10, n01, n00) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(n11 + n10 + n01 + n00 == n)
+    val po = (n11 + n00).toDouble / n
+    val pa = (n11 + n10).toDouble / n; val pb = (n11 + n01).toDouble / n
+    val pe = pa * pb + (1 - pa) * (1 - pb)
+    assert(math.abs(r.getDouble(7) - (po - pe) / (1 - pe)) < 1e-5)
+    assert(r.getDouble(7) > -1.0 && r.getDouble(7) < 1.0)
+  }
+
+  test("q_durbin_watson is near 2 for uncorrelated residuals and in [0,4]") {
+    val r = run("q_durbin_watson").collect().head
+    val dw = r.getDouble(2)
+    assert(dw >= 0.0 && dw <= 4.0)
+    // the synthetic daily series is i.i.d.-ish noise around a flat
+    // trend: DW must not scream autocorrelation
+    assert(dw > 1.0 && dw < 3.0)
+  }
+
   test("q_pattern_profile shares sum to the column total over top shapes") {
     val rows = run("q_pattern_profile").collect()
     assert(rows.nonEmpty)
