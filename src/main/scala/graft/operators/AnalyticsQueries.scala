@@ -2447,6 +2447,112 @@ object AnalyticsQueries extends QueryPack {
         round(lasp, 6).as("laspeyres"),
         round(paas, 6).as("paasche"),
         round(sqrt(lasp * paas), 6).as("fisher"))
+    }),
+
+    // -- Markov removal-effect attribution ---------------------------------
+    // The data-driven alternative to q_attribution's rule-based credits:
+    // model each user journey (events until first purchase) as an
+    // absorbing Markov chain (states start + the 4 non-conversion event
+    // types; absorbers conv/null), then credit each channel by its
+    // REMOVAL EFFECT — how much the start→conv absorption probability
+    // drops when every transition into that channel is severed. The
+    // DATA-SIZED work is one user-keyed journey-pair extraction and a
+    // ≤30-cell transition count; scenarios and the 60-step absorption
+    // iteration run driver-local on the bounded matrix (the q_pca_power
+    // split). Determinism: transition probabilities are EXACT integer
+    // ratios ((10⁹·cnt) div total — no float division), and the
+    // iteration is identical double arithmetic in identical fixed state
+    // order on both engines (the oracle replays it as a 25-column
+    // recursive CTE).
+    "q_markov_attribution" -> ((s, d) => {
+      import s.implicits._
+      // journey extraction: per user, events ordered by (ts_us,
+      // event_id), truncated at the first purchase (inclusive)
+      val ev = Tables.eventsWithTime(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type").as("et"))
+      val wu = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val marked = ev
+        .withColumn("pmin", min(when(col("et") === "purchase",
+          struct(col("ts_us"), col("event_id")))).over(
+          Window.partitionBy(col("user_id"))))
+        .filter(col("pmin").isNull ||
+          struct(col("ts_us"), col("event_id")) <= col("pmin"))
+        .withColumn("rn", row_number().over(wu))
+        .withColumn("nxt", lead(col("et"), 1).over(wu))
+        .withColumn("converted", col("pmin").isNotNull)
+      val trans = marked.select(
+        when(col("rn") === 1,
+          struct(lit("start").as("f"),
+            when(col("et") === "purchase", "conv").otherwise(col("et"))
+              .as("t"))).as("first"),
+        when(col("nxt").isNotNull && col("et") =!= "purchase",
+          struct(col("et").as("f"),
+            when(col("nxt") === "purchase", "conv").otherwise(col("nxt"))
+              .as("t"))).as("step"),
+        when(col("nxt").isNull && !col("converted") &&
+          col("et") =!= "purchase",
+          struct(col("et").as("f"), lit("null").as("t"))).as("term"))
+        .select(explode(array(col("first"), col("step"), col("term")))
+          .as("tr"))
+        .filter(col("tr").isNotNull)
+        .select(col("tr.f").as("f"), col("tr.t").as("t"))
+      val counts = trans.groupBy(col("f"), col("t"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => ((r.getString(0), r.getString(1)),
+          r.getLong(2))).toMap
+      // driver-local: exact integer probabilities, removal scenarios,
+      // 60-step absorption — bounded at 5 origins × 6 targets
+      val origins = Seq("start", "click", "error", "signup", "view")
+      val chans = Seq("click", "error", "signup", "view")
+      val totals = origins.map(o => o ->
+        counts.collect { case ((f, _), c) if f == o => c }.sum).toMap
+      def p(sc: String)(f: String, t: String): Double = {
+        if (sc != "base" && (t == sc || f == sc)) 0.0
+        else {
+          val tot = totals(f)
+          if (tot == 0L) 0.0
+          else (1000000000L * counts.getOrElse((f, t), 0L) / tot) / 1e9
+        }
+      }
+      def absorb(sc: String): Double = {
+        val pr = p(sc) _
+        // state vector in fixed order start, click, error, signup, view
+        var st = Array(1.0, 0.0, 0.0, 0.0, 0.0)
+        var conv = 0.0
+        var k = 0
+        while (k < 60) {
+          conv = conv + st(0) * pr("start", "conv") +
+            st(1) * pr("click", "conv") + st(2) * pr("error", "conv") +
+            st(3) * pr("signup", "conv") + st(4) * pr("view", "conv")
+          val nx = new Array[Double](5)
+          for ((tgt, i) <- chans.zipWithIndex) {
+            nx(i + 1) = st(0) * pr("start", tgt) +
+              st(1) * pr("click", tgt) + st(2) * pr("error", tgt) +
+              st(3) * pr("signup", tgt) + st(4) * pr("view", tgt)
+          }
+          nx(0) = 0.0
+          st = nx
+          k += 1
+        }
+        conv
+      }
+      val base = absorb("base")
+      val res = chans.map { ch =>
+        val rem = absorb(ch)
+        val re = if (base > 0.0) 1.0 - rem / base else 0.0
+        (ch, rem, re)
+      }
+      val reSum = res.map(_._3).sum
+      res.map { case (ch, rem, re) =>
+        (ch, base, rem, re, if (reSum > 0.0) re / reSum else 0.0)
+      }.toDF("channel", "b", "r", "e", "s")
+        .select(col("channel"), round(col("b"), 6).as("base_conv"),
+          round(col("r"), 6).as("removed_conv"),
+          round(col("e"), 6).as("removal_effect"),
+          round(col("s"), 6).as("attribution"))
+        .orderBy(col("channel"))
     })
   )
 
@@ -4139,6 +4245,94 @@ object AnalyticsQueries extends QueryPack {
         |  round(sqrt(CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE)
         |    * (CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE))), 6)
         |    AS fisher
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    // journey pairs truncated at first purchase; exact integer-ratio
+    // probabilities; the 60-step absorption replayed as a recursive CTE
+    // over the scenario-pivoted 25-column transition matrix with the
+    // same fixed state order as the driver loop
+    "q_markov_attribution" -> {
+      val pcol = (f: String, t: String, fs: String, ts: String) =>
+        s"coalesce(sum(CASE WHEN f = '$fs' AND t = '$ts' THEN pq END)," +
+          s" 0) / 1e9 AS p_$f$t"
+      val froms = Seq("s" -> "start", "c" -> "click", "e" -> "error",
+        "g" -> "signup", "v" -> "view")
+      val tos = Seq("c" -> "click", "e" -> "error", "g" -> "signup",
+        "v" -> "view", "k" -> "conv")
+      val pivCols = (for ((f, fs) <- froms; (t, ts) <- tos)
+        yield pcol(f, t, fs, ts)).mkString(",\n        |    ")
+      s"""WITH RECURSIVE ev AS (SELECT user_id, epoch_us(ts) AS us,
+         |    event_id, event_type AS et FROM events),
+         |pm AS (SELECT user_id,
+         |    min(CASE WHEN et = 'purchase' THEN (us, event_id) END)
+         |      AS pmin
+         |  FROM ev GROUP BY 1),
+         |kept AS (SELECT ev.user_id, ev.us, ev.event_id, ev.et,
+         |    pm.pmin IS NOT NULL AS converted
+         |  FROM ev JOIN pm USING (user_id)
+         |  WHERE pm.pmin IS NULL OR (ev.us, ev.event_id) <= pm.pmin),
+         |seq AS (SELECT user_id, et, converted,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY us, event_id) AS rn,
+         |    lead(et) OVER (PARTITION BY user_id
+         |      ORDER BY us, event_id) AS nxt
+         |  FROM kept),
+         |tr AS (
+         |  SELECT 'start' AS f, CASE WHEN et = 'purchase' THEN 'conv'
+         |    ELSE et END AS t FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT et, CASE WHEN nxt = 'purchase' THEN 'conv' ELSE nxt
+         |    END FROM seq WHERE nxt IS NOT NULL AND et <> 'purchase'
+         |  UNION ALL
+         |  SELECT et, 'null' FROM seq
+         |  WHERE nxt IS NULL AND NOT converted AND et <> 'purchase'),
+         |cnt AS (SELECT f, t, count(*) AS c FROM tr GROUP BY 1, 2),
+         |tt AS (SELECT f, CAST(sum(c) AS BIGINT) AS tot
+         |  FROM cnt GROUP BY 1),
+         |pq0 AS (SELECT cnt.f, cnt.t,
+         |    CAST((1000000000 * c) // tot AS BIGINT) AS pq
+         |  FROM cnt JOIN tt USING (f)),
+         |scn AS (SELECT unnest(['base', 'click', 'error', 'signup',
+         |    'view']) AS sc),
+         |spq AS (SELECT scn.sc, f, t,
+         |    CASE WHEN scn.sc <> 'base' AND (t = scn.sc OR f = scn.sc)
+         |      THEN 0 ELSE pq END AS pq
+         |  FROM pq0 CROSS JOIN scn),
+         |piv AS (SELECT sc,
+         |    $pivCols
+         |  FROM spq GROUP BY sc),
+         |it AS (
+         |  SELECT sc, 0 AS k, 1.0e0 AS s0, 0.0e0 AS s1, 0.0e0 AS s2,
+         |    0.0e0 AS s3, 0.0e0 AS s4, 0.0e0 AS conv FROM piv
+         |  UNION ALL
+         |  SELECT i.sc, i.k + 1,
+         |    0.0e0,
+         |    i.s0 * p.p_sc + i.s1 * p.p_cc + i.s2 * p.p_ec
+         |      + i.s3 * p.p_gc + i.s4 * p.p_vc,
+         |    i.s0 * p.p_se + i.s1 * p.p_ce + i.s2 * p.p_ee
+         |      + i.s3 * p.p_ge + i.s4 * p.p_ve,
+         |    i.s0 * p.p_sg + i.s1 * p.p_cg + i.s2 * p.p_eg
+         |      + i.s3 * p.p_gg + i.s4 * p.p_vg,
+         |    i.s0 * p.p_sv + i.s1 * p.p_cv + i.s2 * p.p_ev
+         |      + i.s3 * p.p_gv + i.s4 * p.p_vv,
+         |    i.conv + i.s0 * p.p_sk + i.s1 * p.p_ck + i.s2 * p.p_ek
+         |      + i.s3 * p.p_gk + i.s4 * p.p_vk
+         |  FROM it i JOIN piv p USING (sc) WHERE i.k < 60),
+         |fin AS (SELECT sc, conv FROM it WHERE k = 60),
+         |bs AS (SELECT conv AS b FROM fin WHERE sc = 'base'),
+         |re AS (SELECT sc AS channel, conv AS removed,
+         |    CASE WHEN b > 0 THEN 1.0e0 - conv / b ELSE 0.0e0 END AS re,
+         |    b
+         |  FROM fin CROSS JOIN bs WHERE sc <> 'base'),
+         |rs AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(re ORDER BY channel)), (a, x) -> a + x) AS resum
+         |  FROM re)
+         |SELECT channel, round(b, 6) AS base_conv,
+         |  round(removed, 6) AS removed_conv,
+         |  round(re, 6) AS removal_effect,
+         |  round(CASE WHEN resum > 0 THEN re / resum ELSE 0.0e0 END, 6)
+         |    AS attribution
+         |FROM re CROSS JOIN rs ORDER BY channel""".stripMargin
+    }
   )
 }

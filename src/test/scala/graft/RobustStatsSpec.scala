@@ -702,6 +702,22 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(dw > 1.0 && dw < 3.0)
   }
 
+  test("q_markov_attribution effects are probabilities and shares sum to 1") {
+    val rows = run("q_markov_attribution").collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("click", "error", "signup", "view"))
+    val base = rows.head.getDouble(1)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - base) < 1e-12)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= base + 1e-9,
+        "removal can only lower conversion")
+      assert(r.getDouble(3) >= -1e-9 && r.getDouble(3) <= 1.0 + 1e-9)
+      val expectedRe = 1.0 - r.getDouble(2) / base
+      assert(math.abs(r.getDouble(3) - expectedRe) < 1e-5)
+    }
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-4)
+  }
+
   test("q_pattern_profile shares sum to the column total over top shapes") {
     val rows = run("q_pattern_profile").collect()
     assert(rows.nonEmpty)
