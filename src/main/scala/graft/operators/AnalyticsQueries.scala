@@ -2553,6 +2553,78 @@ object AnalyticsQueries extends QueryPack {
           round(col("e"), 6).as("removal_effect"),
           round(col("s"), 6).as("attribution"))
         .orderBy(col("channel"))
+    }),
+
+    // -- log-rank test (two-group survival comparison) ---------------------
+    // The inference leg of the survival family (q_hazard_curve describes,
+    // q_kaplan_meier estimates, this TESTS): do week-1 adopters convert
+    // on a different clock than later joiners? The classic O−E/V
+    // statistic over the pooled life table — at each event time, group
+    // 1's observed events against its hypergeometric expectation given
+    // the shared risk sets. Per-time E and V terms are nano-quantized
+    // on the DENSIFIED (time × group) day frame (a group with no row at
+    // t still sits in the risk set — sparse suffix sums would silently
+    // shrink it) and summed exactly; z and χ² evaluate in one mirrored
+    // expression. One user-keyed aggregate is the only data-sized step.
+    "q_logrank" -> ((s, d) => {
+      val winEnd = lit("2024-01-31").cast("date")
+      // cohorts: the user's market segment (every first activity lands
+      // in week 1 on this corpus, so a calendar split would leave an
+      // empty arm) — "do AUTOMOBILE/BUILDING customers convert on a
+      // different clock?" Users without a customer row fall to group 0.
+      val seg = Tables.customer(s, d).select(
+        col("c_custkey").as("user_id"),
+        col("c_mktsegment").isin("AUTOMOBILE", "BUILDING")
+          .cast("int").cast("long").as("gseg"))
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("first_day"),
+          min(when(col("event_type") === "purchase", to_date(col("ts"))))
+            .as("purch_day"))
+        .join(seg, Seq("user_id"), "left")
+        .select(
+          coalesce(col("gseg"), lit(0L)).as("g"),
+          when(col("purch_day").isNotNull,
+            datediff(col("purch_day"), col("first_day")))
+            .otherwise(datediff(winEnd, col("first_day")))
+            .cast("long").as("t"),
+          col("purch_day").isNotNull.cast("int").cast("long").as("ev"))
+      val byTG = u.groupBy(col("t"), col("g"))
+        .agg(sum(col("ev")).as("dd"), count(lit(1)).as("tot"))
+      val gframe = byTG.select(col("t")).distinct()
+        .crossJoin(broadcast(byTG.select(col("g")).distinct()))
+        .join(byTG, Seq("t", "g"), "left")
+        .na.fill(0L, Seq("dd", "tot"))
+      val wg = Window.partitionBy(col("g")).orderBy(col("t").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val risk = gframe.withColumn("nr", sum(col("tot")).over(wg))
+      val byT = risk.groupBy(col("t"))
+        .agg(sum(col("dd")).as("dt"), sum(col("nr")).as("nt"),
+          sum(when(col("g") === 1L, col("dd")).otherwise(0L)).as("d1"),
+          sum(when(col("g") === 1L, col("nr")).otherwise(0L)).as("n1"))
+        .filter(col("dt") > 0L)
+      val dtD = col("dt").cast("double"); val ntD = col("nt").cast("double")
+      val n1D = col("n1").cast("double")
+      val terms = byT
+        .withColumn("eq", floor(dtD * n1D / ntD * lit(1e9) + lit(0.5))
+          .cast("long"))
+        .withColumn("vq", when(col("nt") > 1L, floor(
+          dtD * (n1D / ntD) * (lit(1.0) - n1D / ntD) *
+            (ntD - dtD) / (ntD - lit(1.0)) * lit(1e9) + lit(0.5))
+          .cast("long")).otherwise(lit(0L)))
+      val gm = terms.agg(sum(col("d1")).as("o1"), sum(col("eq")).as("se"),
+        sum(col("vq")).as("sv"))
+      val gsz = u.groupBy(col("g")).agg(count(lit(1)).as("nu"))
+      val n1u = gsz.filter(col("g") === 1L).select(col("nu").as("n1_users"))
+      val n0u = gsz.filter(col("g") === 0L).select(col("nu").as("n0_users"))
+      val z = (col("o1").cast("double") -
+        col("se").cast("double") / lit(1e9)) /
+        sqrt(col("sv").cast("double") / lit(1e9))
+      gm.crossJoin(broadcast(n1u)).crossJoin(broadcast(n0u))
+        .select(col("n1_users"), col("n0_users"), col("o1"),
+          round(col("se").cast("double") / lit(1e9), 6).as("e1"),
+          when(col("sv") > 0L, round(z, 6)).as("z"),
+          when(col("sv") > 0L, round(z * z, 6)).as("chi2"))
     })
   )
 
@@ -4333,6 +4405,71 @@ object AnalyticsQueries extends QueryPack {
          |  round(CASE WHEN resum > 0 THEN re / resum ELSE 0.0e0 END, 6)
          |    AS attribution
          |FROM re CROSS JOIN rs ORDER BY channel""".stripMargin
-    }
+    },
+
+    // densified (time x group) life table; nano-quantized E/V terms;
+    // one mirrored z
+    "q_logrank" ->
+      """WITH u AS (SELECT user_id,
+        |    min(CAST(ts AS DATE)) AS first_day,
+        |    min(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(ts AS DATE) END) AS purch_day
+        |  FROM events GROUP BY 1),
+        |sg AS (SELECT c_custkey AS user_id,
+        |    CAST(CASE WHEN c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+        |      THEN 1 ELSE 0 END AS BIGINT) AS gseg
+        |  FROM customer),
+        |tt AS (SELECT
+        |    coalesce(gseg, 0) AS g,
+        |    CAST(CASE WHEN purch_day IS NOT NULL
+        |      THEN purch_day - first_day
+        |      ELSE DATE '2024-01-31' - first_day END AS BIGINT) AS t,
+        |    CASE WHEN purch_day IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM u LEFT JOIN sg USING (user_id)),
+        |bytg AS (SELECT t, g, CAST(sum(ev) AS BIGINT) AS dd,
+        |    count(*) AS tot FROM tt GROUP BY 1, 2),
+        |gf AS (SELECT ts.t, gs.g, coalesce(bytg.dd, 0) AS dd,
+        |    coalesce(bytg.tot, 0) AS tot
+        |  FROM (SELECT DISTINCT t FROM bytg) ts
+        |  CROSS JOIN (SELECT DISTINCT g FROM bytg) gs
+        |  LEFT JOIN bytg USING (t, g)),
+        |rk AS (SELECT t, g, dd,
+        |    CAST(sum(tot) OVER (PARTITION BY g ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS nr FROM gf),
+        |byt AS (SELECT t, CAST(sum(dd) AS BIGINT) AS dt,
+        |    CAST(sum(nr) AS BIGINT) AS nt,
+        |    CAST(sum(CASE WHEN g = 1 THEN dd ELSE 0 END) AS BIGINT)
+        |      AS d1,
+        |    CAST(sum(CASE WHEN g = 1 THEN nr ELSE 0 END) AS BIGINT)
+        |      AS n1
+        |  FROM rk GROUP BY 1 HAVING sum(dd) > 0),
+        |tm AS (SELECT d1,
+        |    CAST(floor(CAST(dt AS DOUBLE) * CAST(n1 AS DOUBLE)
+        |      / CAST(nt AS DOUBLE) * 1e9 + 0.5e0) AS BIGINT) AS eq,
+        |    CASE WHEN nt > 1 THEN CAST(floor(CAST(dt AS DOUBLE)
+        |      * (CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      * (1.0e0 - CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      * (CAST(nt AS DOUBLE) - CAST(dt AS DOUBLE))
+        |      / (CAST(nt AS DOUBLE) - 1.0e0) * 1e9 + 0.5e0) AS BIGINT)
+        |      ELSE 0 END AS vq
+        |  FROM byt),
+        |gm AS (SELECT CAST(sum(d1) AS BIGINT) AS o1,
+        |    CAST(sum(eq) AS BIGINT) AS se,
+        |    CAST(sum(vq) AS BIGINT) AS sv FROM tm),
+        |gsz AS (SELECT g, count(*) AS nu FROM tt GROUP BY 1)
+        |SELECT
+        |  (SELECT nu FROM gsz WHERE g = 1) AS n1_users,
+        |  (SELECT nu FROM gsz WHERE g = 0) AS n0_users,
+        |  o1, round(CAST(se AS DOUBLE) / 1e9, 6) AS e1,
+        |  CASE WHEN sv > 0 THEN round((CAST(o1 AS DOUBLE)
+        |    - CAST(se AS DOUBLE) / 1e9)
+        |    / sqrt(CAST(sv AS DOUBLE) / 1e9), 6) END AS z,
+        |  CASE WHEN sv > 0 THEN round(((CAST(o1 AS DOUBLE)
+        |    - CAST(se AS DOUBLE) / 1e9)
+        |    / sqrt(CAST(sv AS DOUBLE) / 1e9))
+        |    * ((CAST(o1 AS DOUBLE) - CAST(se AS DOUBLE) / 1e9)
+        |    / sqrt(CAST(sv AS DOUBLE) / 1e9)), 6) END AS chi2
+        |FROM gm""".stripMargin
   )
 }
