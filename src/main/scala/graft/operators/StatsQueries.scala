@@ -1071,6 +1071,181 @@ object StatsQueries extends QueryPack {
         when(col("see") > dec(lit(0L)), round(
           col("sde").cast("double") / col("see").cast("double"), 6))
           .as("dw"))
+    }),
+
+    // -- Kruskal-Wallis H (k-sample rank test) -----------------------------
+    // The k-group extension of q_mann_whitney (as q_anova_f extends the
+    // t-test): do the 5 event-type value distributions differ at all,
+    // without normality? Midranks ride the same domain-bounded
+    // distinct-value frame; per-group doubled rank sums accumulate in
+    // DECIMAL; the per-group R²/n terms fold in SORTED group order (the
+    // sorted-fold discipline) before the mirrored H expression with
+    // tie correction. df = k−1 = 4 is even, so the chi-square p-value
+    // is CLOSED FORM: p = e^(−H/2)·(1 + H/2).
+    "q_kruskal_wallis" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val e = Tables.events(s, d)
+        .select(col("event_type"),
+          floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+            .as("vq"))
+      val byV = e.groupBy(col("vq")).agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("vq"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranks = byV
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .select(col("vq"),
+          (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L))
+            .as("r2"))
+      val ties = byV.agg(
+        sum(dec(col("cnt")) * dec(col("cnt")) * dec(col("cnt")) -
+          dec(col("cnt"))).as("tsum"))
+      val byG = e.join(broadcast(ranks), "vq")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("ng"), sum(dec(col("r2"))).as("sr2"))
+        .withColumn("term",
+          (col("sr2").cast("double") / lit(2.0)) *
+            (col("sr2").cast("double") / lit(2.0)) /
+            col("ng").cast("double"))
+      val agg1 = byG.agg(sum(col("ng")).as("nn"),
+        count(lit(1)).as("k"),
+        sort_array(collect_list(struct(col("event_type"), col("term"))))
+          .as("gs"))
+        .withColumn("tsumr", expr(
+          "aggregate(gs, cast(0.0 as double), (a, s) -> a + s.term)"))
+        .crossJoin(broadcast(ties))
+      val nD = col("nn").cast("double")
+      val h0 = lit(12.0) / (nD * (nD + lit(1.0))) * col("tsumr") -
+        lit(3.0) * (nD + lit(1.0))
+      val corr = lit(1.0) - col("tsum").cast("double") /
+        (nD * nD * nD - nD)
+      val h = h0 / corr
+      agg1.select(col("nn").as("n"), col("k"),
+        when(corr > 0.0, round(h, 6)).as("h_stat"),
+        (col("k") - lit(1L)).as("df"),
+        when(corr > 0.0,
+          round(exp(-h / lit(2.0)) * (lit(1.0) + h / lit(2.0)), 6))
+          .as("p_value"))
+    }),
+
+    // -- Cochran-Mantel-Haenszel (stratified 2x2 association) --------------
+    // The confounder-safe version of a pooled 2x2: does the
+    // AUTOMOBILE/BUILDING segment pair have different urgent-order odds,
+    // CONTROLLING for nation? 25 per-stratum 2x2 tables; per-stratum
+    // hypergeometric E and V nano-quantize on the 25-row frame (the
+    // q_logrank term discipline); the CMH chi-square (no continuity
+    // correction) and the Mantel-Haenszel common odds ratio each
+    // evaluate in one mirrored expression.
+    "q_cmh" -> ((s, d) => {
+      val oc = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            .cast("int").cast("long").as("u"))
+        .join(Tables.customer(s, d).select(
+          col("c_custkey").as("o_custkey"),
+          col("c_nationkey").cast("long").as("nk"),
+          col("c_mktsegment").isin("AUTOMOBILE", "BUILDING")
+            .cast("int").cast("long").as("g")), "o_custkey")
+      val cells = oc.groupBy(col("nk"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("g") * col("u")).as("a"),
+          sum(col("g") * (lit(1L) - col("u"))).as("b"),
+          sum((lit(1L) - col("g")) * col("u")).as("c"),
+          sum((lit(1L) - col("g")) * (lit(1L) - col("u"))).as("dd"))
+        .filter(col("n") > 1L)
+      val nD = col("n").cast("double")
+      val r1 = (col("a") + col("b")).cast("double")
+      val r0 = (col("c") + col("dd")).cast("double")
+      val c1 = (col("a") + col("c")).cast("double")
+      val c0 = (col("b") + col("dd")).cast("double")
+      val terms = cells
+        .withColumn("eq", floor(r1 * c1 / nD * lit(1e9) + lit(0.5))
+          .cast("long"))
+        .withColumn("vq", floor(r1 * r0 * c1 * c0 /
+          (nD * nD * (nD - lit(1.0))) * lit(1e9) + lit(0.5))
+          .cast("long"))
+        .withColumn("adq", floor(col("a").cast("double") *
+          col("dd").cast("double") / nD * lit(1e6) + lit(0.5))
+          .cast("long"))
+        .withColumn("bcq", floor(col("b").cast("double") *
+          col("c").cast("double") / nD * lit(1e6) + lit(0.5))
+          .cast("long"))
+      val m = terms.agg(count(lit(1)).as("n_strata"),
+        sum(col("a")).as("sa"), sum(col("eq")).as("se"),
+        sum(col("vq")).as("sv"), sum(col("adq")).as("sad"),
+        sum(col("bcq")).as("sbc"))
+      val diff = col("sa").cast("double") -
+        col("se").cast("double") / lit(1e9)
+      m.select(col("n_strata"), col("sa").as("sum_a"),
+        round(col("se").cast("double") / lit(1e9), 6).as("sum_e"),
+        when(col("sv") > 0L, round(diff * diff /
+          (col("sv").cast("double") / lit(1e9)), 6)).as("cmh_chi2"),
+        when(col("sbc") > 0L, round(col("sad").cast("double") /
+          col("sbc").cast("double"), 6)).as("or_mh"))
+    }),
+
+    // -- Weibull fit of the conversion-time distribution -------------------
+    // The parametric summary on top of q_kaplan_meier: ln(−ln S) vs
+    // ln t is LINEAR iff survival is Weibull, and the fit's slope IS
+    // the shape (k < 1 = early-bias, > 1 = wear-in). The KM estimate's
+    // −ln S is already an exact nano-integer (the log prefix sum), so
+    // y = ln(−cuml/10⁹) is a pure function of integers; both axes
+    // micro-quantize on the bounded day frame and OLS folds exact
+    // integers (the q_heaps_law discipline). λ reports as exp(−a/k).
+    "q_weibull_fit" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val winEnd = lit("2024-01-31").cast("date")
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("first_day"),
+          min(when(col("event_type") === "purchase", to_date(col("ts"))))
+            .as("purch_day"))
+        .select(
+          when(col("purch_day").isNotNull,
+            datediff(col("purch_day"), col("first_day")))
+            .otherwise(datediff(winEnd, col("first_day")))
+            .cast("long").as("t"),
+          col("purch_day").isNotNull.cast("int").cast("long").as("ev"))
+      val byT = u.groupBy(col("t"))
+        .agg(sum(col("ev")).as("d_events"),
+          sum(lit(1L) - col("ev")).as("c_censored"))
+      val wDesc = Window.orderBy(col("t").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAsc = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lt = byT.withColumn("n_risk",
+        sum(col("d_events") + col("c_censored")).over(wDesc))
+      val nD = col("n_risk").cast("double")
+      val dD = col("d_events").cast("double")
+      val pts = lt
+        .withColumn("lq", when(col("d_events") < col("n_risk"),
+          floor(log((nD - dD) / nD) * lit(1e9) + lit(0.5)).cast("long"))
+          .otherwise(lit(0L)))
+        .withColumn("zf",
+          when(col("d_events") === col("n_risk"), 1L).otherwise(0L))
+        .withColumn("cuml", sum(col("lq")).over(wAsc))
+        .withColumn("zeroed", sum(col("zf")).over(wAsc))
+        .filter(col("t") >= 1L && col("cuml") < 0L &&
+          col("zeroed") === 0L)
+        .select(
+          floor(log(col("t").cast("double")) * lit(1e6) + lit(0.5))
+            .cast("long").as("xq"),
+          floor(log(-col("cuml").cast("double") / lit(1e9)) * lit(1e6) +
+            lit(0.5)).cast("long").as("yq"))
+      val fit = pts.agg(count(lit(1)).as("np"),
+        sum(dec(col("xq"))).as("sx"), sum(dec(col("yq"))).as("sy"),
+        sum(dec(col("xq")) * dec(col("xq"))).as("sxx"),
+        sum(dec(col("xq")) * dec(col("yq"))).as("sxy"))
+      val npD = col("np").cast("double")
+      val num = npD * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")
+      val den = npD * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      val shape = num / den
+      val icpt = (col("sy").cast("double") - shape *
+        col("sx").cast("double")) / npD / lit(1e6)
+      fit.select(col("np").as("n_points"),
+        when(den =!= 0.0, round(shape, 6)).as("shape"),
+        when(den =!= 0.0, round(exp(-icpt / shape), 6)).as("scale_days"))
     })
   )
 
@@ -1920,6 +2095,172 @@ object StatsQueries extends QueryPack {
         |  round(slope, 6) AS slope_per_day,
         |  CASE WHEN see > 0 THEN round(
         |    CAST(sde AS DOUBLE) / CAST(see AS DOUBLE), 6) END AS dw
-        |FROM dw""".stripMargin
+        |FROM dw""".stripMargin,
+
+    // midranks on the distinct-value frame; ordered fold of R^2/n
+    // terms; closed-form even-df p-value
+    "q_kruskal_wallis" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * 1000.0e0 + 0.5e0) AS BIGINT) AS vq
+        |  FROM events),
+        |bv AS (SELECT vq, count(*) AS cnt FROM e GROUP BY 1),
+        |rk AS (SELECT vq, 2 * (cum - cnt) + cnt + 1 AS r2 FROM (
+        |  SELECT vq, cnt, CAST(sum(cnt) OVER (ORDER BY vq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum FROM bv) t),
+        |ties AS (SELECT sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt)
+        |    AS tsum FROM bv),
+        |byg AS (SELECT event_type, count(*) AS ng,
+        |    sum(CAST(r2 AS HUGEINT)) AS sr2
+        |  FROM e JOIN rk USING (vq) GROUP BY 1),
+        |tm AS (SELECT event_type, ng,
+        |    (CAST(sr2 AS DOUBLE) / 2.0e0) * (CAST(sr2 AS DOUBLE)
+        |      / 2.0e0) / CAST(ng AS DOUBLE) AS term
+        |  FROM byg),
+        |agg AS (SELECT CAST(sum(ng) AS BIGINT) AS nn,
+        |    count(*) AS k,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(term ORDER BY event_type)), (a, x) -> a + x)
+        |      AS tsumr
+        |  FROM tm)
+        |SELECT nn AS n, CAST(k AS BIGINT) AS k,
+        |  CASE WHEN 1.0e0 - CAST(tsum AS DOUBLE)
+        |      / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |        * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE)) > 0
+        |    THEN round((12.0e0 / (CAST(nn AS DOUBLE)
+        |      * (CAST(nn AS DOUBLE) + 1.0e0)) * tsumr
+        |      - 3.0e0 * (CAST(nn AS DOUBLE) + 1.0e0))
+        |      / (1.0e0 - CAST(tsum AS DOUBLE)
+        |        / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |          * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE))), 6) END
+        |    AS h_stat,
+        |  CAST(k - 1 AS BIGINT) AS df,
+        |  CASE WHEN 1.0e0 - CAST(tsum AS DOUBLE)
+        |      / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |        * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE)) > 0
+        |    THEN round(exp(-((12.0e0 / (CAST(nn AS DOUBLE)
+        |      * (CAST(nn AS DOUBLE) + 1.0e0)) * tsumr
+        |      - 3.0e0 * (CAST(nn AS DOUBLE) + 1.0e0))
+        |      / (1.0e0 - CAST(tsum AS DOUBLE)
+        |        / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |          * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE)))) / 2.0e0)
+        |      * (1.0e0 + ((12.0e0 / (CAST(nn AS DOUBLE)
+        |      * (CAST(nn AS DOUBLE) + 1.0e0)) * tsumr
+        |      - 3.0e0 * (CAST(nn AS DOUBLE) + 1.0e0))
+        |      / (1.0e0 - CAST(tsum AS DOUBLE)
+        |        / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |          * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE))))
+        |        / 2.0e0), 6) END AS p_value
+        |FROM agg CROSS JOIN ties""".stripMargin,
+
+    // per-stratum 2x2 E/V nano-quantized; mirrored CMH and MH-OR
+    "q_cmh" ->
+      """WITH oc AS (SELECT CAST(c.c_nationkey AS BIGINT) AS nk,
+        |    CAST(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END AS BIGINT) AS u,
+        |    CAST(CASE WHEN c.c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+        |      THEN 1 ELSE 0 END AS BIGINT) AS g
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |cells AS (SELECT nk, count(*) AS n,
+        |    CAST(sum(g * u) AS BIGINT) AS a,
+        |    CAST(sum(g * (1 - u)) AS BIGINT) AS b,
+        |    CAST(sum((1 - g) * u) AS BIGINT) AS c,
+        |    CAST(sum((1 - g) * (1 - u)) AS BIGINT) AS dd
+        |  FROM oc GROUP BY 1 HAVING count(*) > 1),
+        |tm AS (SELECT a,
+        |    CAST(floor(CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+        |      / CAST(n AS DOUBLE) * 1e9 + 0.5e0) AS BIGINT) AS eq,
+        |    CAST(floor(CAST(a + b AS DOUBLE) * CAST(c + dd AS DOUBLE)
+        |      * CAST(a + c AS DOUBLE) * CAST(b + dd AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |        * (CAST(n AS DOUBLE) - 1.0e0)) * 1e9 + 0.5e0)
+        |      AS BIGINT) AS vq,
+        |    CAST(floor(CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)
+        |      / CAST(n AS DOUBLE) * 1e6 + 0.5e0) AS BIGINT) AS adq,
+        |    CAST(floor(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+        |      / CAST(n AS DOUBLE) * 1e6 + 0.5e0) AS BIGINT) AS bcq
+        |  FROM cells),
+        |m AS (SELECT count(*) AS n_strata, CAST(sum(a) AS BIGINT) AS sa,
+        |    CAST(sum(eq) AS BIGINT) AS se,
+        |    CAST(sum(vq) AS BIGINT) AS sv,
+        |    CAST(sum(adq) AS BIGINT) AS sad,
+        |    CAST(sum(bcq) AS BIGINT) AS sbc
+        |  FROM tm)
+        |SELECT n_strata, sa AS sum_a,
+        |  round(CAST(se AS DOUBLE) / 1e9, 6) AS sum_e,
+        |  CASE WHEN sv > 0 THEN round(
+        |    (CAST(sa AS DOUBLE) - CAST(se AS DOUBLE) / 1e9)
+        |    * (CAST(sa AS DOUBLE) - CAST(se AS DOUBLE) / 1e9)
+        |    / (CAST(sv AS DOUBLE) / 1e9), 6) END AS cmh_chi2,
+        |  CASE WHEN sbc > 0 THEN round(
+        |    CAST(sad AS DOUBLE) / CAST(sbc AS DOUBLE), 6) END AS or_mh
+        |FROM m""".stripMargin,
+
+    // KM nano-integer -lnS reused exactly; micro-quantized ln-ln OLS
+    "q_weibull_fit" ->
+      """WITH u AS (SELECT user_id,
+        |    min(CAST(ts AS DATE)) AS first_day,
+        |    min(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(ts AS DATE) END) AS purch_day
+        |  FROM events GROUP BY 1),
+        |tt AS (SELECT CAST(CASE WHEN purch_day IS NOT NULL
+        |      THEN purch_day - first_day
+        |      ELSE DATE '2024-01-31' - first_day END AS BIGINT) AS t,
+        |    CASE WHEN purch_day IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM u),
+        |byt AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d_events,
+        |    CAST(sum(1 - ev) AS BIGINT) AS c_censored
+        |  FROM tt GROUP BY 1),
+        |rk AS (SELECT t, d_events, c_censored,
+        |    CAST(sum(d_events + c_censored) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n_risk FROM byt),
+        |q AS (SELECT t,
+        |    CASE WHEN d_events < n_risk THEN CAST(floor(
+        |      ln(CAST(n_risk - d_events AS DOUBLE)
+        |        / CAST(n_risk AS DOUBLE)) * 1e9 + 0.5e0) AS BIGINT)
+        |      ELSE 0 END AS lq,
+        |    CASE WHEN d_events = n_risk THEN 1 ELSE 0 END AS zf
+        |  FROM rk),
+        |cm AS (SELECT t,
+        |    CAST(sum(lq) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cuml,
+        |    CAST(sum(zf) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS zeroed
+        |  FROM q),
+        |pts AS (SELECT
+        |    CAST(floor(ln(CAST(t AS DOUBLE)) * 1e6 + 0.5e0) AS BIGINT)
+        |      AS xq,
+        |    CAST(floor(ln(-CAST(cuml AS DOUBLE) / 1e9) * 1e6 + 0.5e0)
+        |      AS BIGINT) AS yq
+        |  FROM cm WHERE t >= 1 AND cuml < 0 AND zeroed = 0),
+        |fit AS (SELECT count(*) AS np,
+        |    sum(CAST(xq AS HUGEINT)) AS sx,
+        |    sum(CAST(yq AS HUGEINT)) AS sy,
+        |    sum(CAST(xq AS HUGEINT) * xq) AS sxx,
+        |    sum(CAST(xq AS HUGEINT) * yq) AS sxy
+        |  FROM pts)
+        |SELECT np AS n_points,
+        |  CASE WHEN CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+        |    THEN round((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END
+        |    AS shape,
+        |  CASE WHEN CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+        |    THEN round(exp(-((CAST(sy AS DOUBLE)
+        |      - (CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * CAST(sx AS DOUBLE)) / CAST(np AS DOUBLE) / 1e6)
+        |      / ((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))), 6) END
+        |    AS scale_days
+        |FROM fit""".stripMargin
   )
 }

@@ -718,6 +718,58 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-4)
   }
 
+  test("q_kruskal_wallis matches brute-force midrank H") {
+    val xs = events.map(e => (e._3, vq(e._4)))
+    val byV = xs.groupBy(_._2).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    var below = 0L
+    val rank = byV.map { case (v, t) =>
+      val r = below + (t + 1) / 2.0; below += t; v -> r
+    }.toMap
+    val n = xs.length.toDouble
+    val tsum = byV.map { case (_, t) => t * t * t - t }.sum.toDouble
+    val groups = xs.groupBy(_._1)
+    val sumTerm = groups.toSeq.sortBy(_._1).map { case (_, g) =>
+      val r = g.map(x => rank(x._2)).sum
+      r * r / g.length
+    }.sum
+    val h0 = 12.0 / (n * (n + 1)) * sumTerm - 3.0 * (n + 1)
+    val h = h0 / (1.0 - tsum / (n * n * n - n))
+    val r = run("q_kruskal_wallis").collect().head
+    assert(r.getLong(0) == xs.length && r.getLong(1) == groups.size)
+    assert(math.abs(r.getDouble(2) - h) < 1e-4)
+    assert(math.abs(r.getDouble(4) -
+      math.exp(-h / 2) * (1 + h / 2)) < 1e-4)
+  }
+
+  test("q_cmh chi-square is non-negative and OR is positive") {
+    val r = run("q_cmh").collect().head
+    assert(r.getLong(0) > 0)
+    assert(r.getDouble(3) >= 0.0)
+    assert(r.getDouble(4) > 0.0)
+    // sum of observed a-cells is close to expectation under the null
+    // synthetic data: chi2 should not scream
+    assert(r.getDouble(3) < 50.0)
+  }
+
+  test("q_weibull_fit shape is positive and matches the hazard story") {
+    val r = run("q_weibull_fit").collect().head
+    assert(r.getLong(0) >= 2)
+    val shape = r.getDouble(1)
+    assert(shape > 0.0)
+    assert(r.getDouble(2) > 0.0)
+  }
+
+  test("q_logrank observed and expected events reconcile") {
+    val r = run("q_logrank").collect().head
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+    assert(r.getLong(2) <= r.getLong(0), "O1 cannot exceed group size")
+    assert(r.getDouble(3) > 0.0)
+    // z^2 == chi2
+    assert(math.abs(r.getDouble(4) * r.getDouble(4) - r.getDouble(5))
+      < 1e-5)
+  }
+
   test("q_pattern_profile shares sum to the column total over top shapes") {
     val rows = run("q_pattern_profile").collect()
     assert(rows.nonEmpty)
