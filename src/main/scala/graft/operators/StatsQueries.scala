@@ -1246,6 +1246,116 @@ object StatsQueries extends QueryPack {
       fit.select(col("np").as("n_points"),
         when(den =!= 0.0, round(shape, 6)).as("shape"),
         when(den =!= 0.0, round(exp(-icpt / shape), 6)).as("scale_days"))
+    }),
+
+    // -- Friedman test (repeated-measures ranks: types ranked within days) -
+    // The blocked counterpart of q_kruskal_wallis: each DAY ranks the 5
+    // event types by volume, removing day-level level shifts the way
+    // q_paired_ttest removes user-level ones; the statistic asks
+    // whether any type systematically outranks the others across the 30
+    // blocks. Midranks (doubled, exact integers) come from a per-day
+    // window over the k-row frame; rank sums fold per type in DECIMAL
+    // and the R² terms in SORTED type order; df = k−1 = 4 keeps the
+    // closed-form even-df p-value.
+    "q_friedman" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val byTD = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long").as("dd"),
+          col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val wcnt = Window.partitionBy(col("dd"), col("c"))
+      // midrank within day: r2 = 2·(#strictly below) + (#tied) + 1
+      val ranked = byTD
+        .withColumn("cumle", count(lit(1)).over(
+          Window.partitionBy(col("dd")).orderBy(col("c"))
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tied", count(lit(1)).over(wcnt))
+        .withColumn("r2",
+          lit(2L) * (col("cumle") - col("tied")) + col("tied") + lit(1L))
+      val byJ = ranked.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nb"), sum(dec(col("r2"))).as("sr2"))
+        .withColumn("term",
+          (col("sr2").cast("double") / lit(2.0)) *
+            (col("sr2").cast("double") / lit(2.0)))
+      val agg1 = byJ.agg(max(col("nb")).as("nb"), count(lit(1)).as("k"),
+        sort_array(collect_list(struct(col("event_type"), col("term"))))
+          .as("gs"))
+        .withColumn("sumr2", expr(
+          "aggregate(gs, cast(0.0 as double), (a, s) -> a + s.term)"))
+      val nD = col("nb").cast("double"); val kD = col("k").cast("double")
+      val chi = lit(12.0) / (nD * kD * (kD + lit(1.0))) * col("sumr2") -
+        lit(3.0) * nD * (kD + lit(1.0))
+      agg1.select(col("nb").as("n_blocks"), col("k"),
+        round(chi, 6).as("chi2"),
+        (col("k") - lit(1L)).as("df"),
+        round(exp(-chi / lit(2.0)) * (lit(1.0) + chi / lit(2.0)), 6)
+          .as("p_value"))
+    }),
+
+    // -- McNemar test (paired disagreement between two labelers) -----------
+    // The inference companion of q_cohens_kappa on the SAME confusion
+    // cells: do the classifier gate and the length gate disagree
+    // SYMMETRICALLY, or does one systematically fire where the other
+    // doesn't? Only the discordant cells matter — χ² = (b−c)²/(b+c) —
+    // which is what makes it the right test for comparing two quality
+    // filters on the same corpus. Exact integer cells; one mirrored
+    // expression.
+    "q_mcnemar" -> ((s, d) => {
+      val sc = TextDedup.classifierScored(Tables.documents(s, d),
+          Seq(col("doc_id"), col("n_chars")))
+        .select((col("score") > 0L).cast("int").cast("long").as("a"),
+          (col("n_chars") >= 300L).cast("int").cast("long").as("b"))
+      val m = sc.agg(count(lit(1)).as("n"),
+        sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+        sum((lit(1L) - col("a")) * col("b")).as("n01"))
+      val bD = col("n10").cast("double"); val cD = col("n01").cast("double")
+      m.select(col("n"), col("n10"), col("n01"),
+        when(col("n10") + col("n01") > 0L,
+          round((bD - cD) * (bD - cD) / (bD + cD), 6)).as("chi2"))
+    }),
+
+    // -- Cronbach's alpha (internal consistency of the metric panel) -------
+    // Do the 5 per-type daily volumes move together enough to justify a
+    // single "site activity" composite? α = k/(k−1)·(1 − Σvarⱼ/var_tot)
+    // over the 30-day panel — the reliability readout before anyone
+    // ships a summed index. Exact integer count moments per item and
+    // for the day totals; per-item variance terms micro-quantize on the
+    // k-row frame and sum exactly; α evaluates in one mirrored
+    // expression. Everything after the (type, day) aggregate is
+    // calendar-bounded.
+    "q_cronbach_alpha" -> ((s, d) => {
+      val byTD = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")),
+            lit("1970-01-01").cast("date")).cast("long").as("dd"))
+        .agg(count(lit(1)).as("c"))
+      val perItem = byTD.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nd"), sum(col("c")).as("s1"),
+          sum(col("c") * col("c")).as("s2"))
+      val ndD = col("nd").cast("double")
+      val vj = (col("s2").cast("double") - col("s1").cast("double") *
+        col("s1").cast("double") / ndD) / (ndD - lit(1.0))
+      val items = perItem
+        .withColumn("vq", floor(vj * lit(1e6) + lit(0.5)).cast("long"))
+        .agg(count(lit(1)).as("k"), max(col("nd")).as("n_days"),
+          sum(col("vq")).as("svq"))
+      val totals = byTD.groupBy(col("dd")).agg(sum(col("c")).as("tot"))
+        .agg(count(lit(1)).as("ndt"), sum(col("tot")).as("t1"),
+          sum(col("tot") * col("tot")).as("t2"))
+      val ndtD = col("ndt").cast("double")
+      val vtot = (col("t2").cast("double") - col("t1").cast("double") *
+        col("t1").cast("double") / ndtD) / (ndtD - lit(1.0))
+      val kD = col("k").cast("double")
+      items.crossJoin(broadcast(totals))
+        .select(col("k"), col("n_days"),
+          round(vtot, 6).as("var_total"),
+          round(col("svq").cast("double") / lit(1e6), 6)
+            .as("sum_item_var"),
+          when(col("k") > 1L && vtot > 0.0, round(
+            kD / (kD - lit(1.0)) * (lit(1.0) -
+              (col("svq").cast("double") / lit(1e6)) / vtot), 6))
+            .as("alpha"))
     })
   )
 
@@ -2261,6 +2371,104 @@ object StatsQueries extends QueryPack {
         |        / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))), 6) END
         |    AS scale_days
-        |FROM fit""".stripMargin
+        |FROM fit""".stripMargin,
+
+    // within-day doubled midranks; ordered fold of R^2 terms;
+    // closed-form even-df p
+    "q_friedman" ->
+      """WITH td AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (SELECT dd, event_type,
+        |    2 * (cumle - tied) + tied + 1 AS r2
+        |  FROM (SELECT dd, event_type, c,
+        |      count(*) OVER (PARTITION BY dd ORDER BY c
+        |        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS cumle,
+        |      count(*) OVER (PARTITION BY dd, c) AS tied
+        |    FROM td) t),
+        |byj AS (SELECT event_type, count(*) AS nb,
+        |    sum(CAST(r2 AS HUGEINT)) AS sr2
+        |  FROM rk GROUP BY 1),
+        |tm AS (SELECT event_type, nb,
+        |    (CAST(sr2 AS DOUBLE) / 2.0e0)
+        |      * (CAST(sr2 AS DOUBLE) / 2.0e0) AS term
+        |  FROM byj),
+        |agg AS (SELECT CAST(max(nb) AS BIGINT) AS nb,
+        |    count(*) AS k,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(term ORDER BY event_type)), (a, x) -> a + x)
+        |      AS sumr2
+        |  FROM tm)
+        |SELECT nb AS n_blocks, CAST(k AS BIGINT) AS k,
+        |  round(12.0e0 / (CAST(nb AS DOUBLE) * CAST(k AS DOUBLE)
+        |    * (CAST(k AS DOUBLE) + 1.0e0)) * sumr2
+        |    - 3.0e0 * CAST(nb AS DOUBLE)
+        |      * (CAST(k AS DOUBLE) + 1.0e0), 6) AS chi2,
+        |  CAST(k - 1 AS BIGINT) AS df,
+        |  round(exp(-(12.0e0 / (CAST(nb AS DOUBLE) * CAST(k AS DOUBLE)
+        |    * (CAST(k AS DOUBLE) + 1.0e0)) * sumr2
+        |    - 3.0e0 * CAST(nb AS DOUBLE)
+        |      * (CAST(k AS DOUBLE) + 1.0e0)) / 2.0e0)
+        |    * (1.0e0 + (12.0e0 / (CAST(nb AS DOUBLE)
+        |      * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0e0))
+        |      * sumr2 - 3.0e0 * CAST(nb AS DOUBLE)
+        |      * (CAST(k AS DOUBLE) + 1.0e0)) / 2.0e0), 6) AS p_value
+        |FROM agg""".stripMargin,
+
+    // shared classifier chain; only the discordant cells
+    "q_mcnemar" -> {
+      s"""WITH ${OracleHash.classifierScoreCtes("doc_id, n_chars")},
+         |ab AS (SELECT CASE WHEN score > 0 THEN 1 ELSE 0 END AS a,
+         |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS b FROM sc),
+         |m AS (SELECT count(*) AS n,
+         |    CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+         |    CAST(sum((1 - a) * b) AS BIGINT) AS n01
+         |  FROM ab)
+         |SELECT n, n10, n01,
+         |  CASE WHEN n10 + n01 > 0 THEN round(
+         |    (CAST(n10 AS DOUBLE) - CAST(n01 AS DOUBLE))
+         |    * (CAST(n10 AS DOUBLE) - CAST(n01 AS DOUBLE))
+         |    / (CAST(n10 AS DOUBLE) + CAST(n01 AS DOUBLE)), 6) END
+         |    AS chi2
+         |FROM m""".stripMargin
+    },
+
+    // exact count moments per item + day totals; micro-quantized item
+    // variances; mirrored alpha
+    "q_cronbach_alpha" ->
+      """WITH td AS (SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |pi AS (SELECT event_type, count(*) AS nd,
+        |    CAST(sum(c) AS BIGINT) AS s1,
+        |    CAST(sum(c * c) AS BIGINT) AS s2
+        |  FROM td GROUP BY 1),
+        |it AS (SELECT count(*) AS k, CAST(max(nd) AS BIGINT) AS n_days,
+        |    CAST(sum(CAST(floor((CAST(s2 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |        / CAST(nd AS DOUBLE)) / (CAST(nd AS DOUBLE) - 1.0e0)
+        |      * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS svq
+        |  FROM pi),
+        |tt AS (SELECT count(*) AS ndt, CAST(sum(tot) AS BIGINT) AS t1,
+        |    CAST(sum(tot * tot) AS BIGINT) AS t2
+        |  FROM (SELECT dd, CAST(sum(c) AS BIGINT) AS tot
+        |    FROM td GROUP BY 1) dt)
+        |SELECT CAST(k AS BIGINT) AS k, n_days,
+        |  round((CAST(t2 AS DOUBLE) - CAST(t1 AS DOUBLE)
+        |    * CAST(t1 AS DOUBLE) / CAST(ndt AS DOUBLE))
+        |    / (CAST(ndt AS DOUBLE) - 1.0e0), 6) AS var_total,
+        |  round(CAST(svq AS DOUBLE) / 1e6, 6) AS sum_item_var,
+        |  CASE WHEN k > 1 AND (CAST(t2 AS DOUBLE) - CAST(t1 AS DOUBLE)
+        |      * CAST(t1 AS DOUBLE) / CAST(ndt AS DOUBLE))
+        |      / (CAST(ndt AS DOUBLE) - 1.0e0) > 0
+        |    THEN round(CAST(k AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0e0)
+        |      * (1.0e0 - (CAST(svq AS DOUBLE) / 1e6)
+        |        / ((CAST(t2 AS DOUBLE) - CAST(t1 AS DOUBLE)
+        |          * CAST(t1 AS DOUBLE) / CAST(ndt AS DOUBLE))
+        |          / (CAST(ndt AS DOUBLE) - 1.0e0))), 6) END AS alpha
+        |FROM it CROSS JOIN tt""".stripMargin
   )
 }

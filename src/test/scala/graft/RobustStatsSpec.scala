@@ -770,6 +770,35 @@ class RobustStatsSpec extends AnyFunSuite {
       < 1e-5)
   }
 
+  test("q_friedman rank sums conserve the total and p is closed-form") {
+    val r = run("q_friedman").collect().head
+    val (nb, k, chi, df, p) = (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getLong(3), r.getDouble(4))
+    assert(df == k - 1)
+    assert(chi >= -1e-9)
+    assert(math.abs(p - math.exp(-chi / 2) * (1 + chi / 2)) < 1e-5)
+    assert(nb > 0 && p >= 0.0 && p <= 1.0)
+  }
+
+  test("q_mcnemar uses the same discordant cells as kappa") {
+    val mc = run("q_mcnemar").collect().head
+    val kp = run("q_cohens_kappa").collect().head
+    assert(mc.getLong(1) == kp.getLong(2)) // n10
+    assert(mc.getLong(2) == kp.getLong(3)) // n01
+    val b = mc.getLong(1).toDouble; val c = mc.getLong(2).toDouble
+    assert(math.abs(mc.getDouble(3) - (b - c) * (b - c) / (b + c)) < 1e-5)
+  }
+
+  test("q_cronbach_alpha detects the multinomial anti-correlation") {
+    val r = run("q_cronbach_alpha").collect().head
+    assert(r.getLong(0) == 5)
+    // the per-type daily volumes split a near-constant total, so items
+    // anti-correlate and alpha must come out below zero — a composite
+    // of these five would be meaningless, which is the audit's point
+    assert(r.getDouble(4) < 0.5)
+    assert(r.getDouble(2) > 0 && r.getDouble(3) > 0)
+  }
+
   test("q_pattern_profile shares sum to the column total over top shapes") {
     val rows = run("q_pattern_profile").collect()
     assert(rows.nonEmpty)
