@@ -2625,6 +2625,83 @@ object AnalyticsQueries extends QueryPack {
           round(col("se").cast("double") / lit(1e9), 6).as("e1"),
           when(col("sv") > 0L, round(z, 6)).as("z"),
           when(col("sv") > 0L, round(z * z, 6)).as("chi2"))
+    }),
+
+    // -- Theil index with between/within decomposition ---------------------
+    // The inequality measure q_gini can't give: Theil's T DECOMPOSES
+    // exactly into between-nation and within-nation components — the
+    // answer to "is order-value inequality a country story or an
+    // everywhere story". Per-row terms (x/μ)·ln(x/μ) are scale-free and
+    // micro-quantize safely at any corpus size (the q_acf discipline);
+    // group terms live on the 25-row frame. Within = total − between by
+    // the decomposition identity — reported from the same quantized
+    // sums so the identity holds exactly as printed.
+    "q_theil_index" -> ((s, d) => {
+      val oc = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+            .as("x"))
+        .join(Tables.customer(s, d).select(
+          col("c_custkey").as("o_custkey"),
+          col("c_nationkey").cast("long").as("nk")), "o_custkey")
+      val g = oc.agg(count(lit(1)).as("nn"), sum(col("x")).as("xx"))
+      val mu = col("xx").cast("double") / col("nn").cast("double")
+      val rows = oc.crossJoin(broadcast(g))
+        .withColumn("tq", floor(col("x").cast("double") / mu *
+          log(col("x").cast("double") / mu) * lit(1e6) + lit(0.5))
+          .cast("long"))
+      val total = rows.agg(max(col("nn")).as("nn"),
+        sum(col("tq")).as("stq"))
+      val byN = oc.groupBy(col("nk"))
+        .agg(count(lit(1)).as("ng"), sum(col("x")).as("xg"))
+      val bt = byN.crossJoin(broadcast(g))
+        .withColumn("bq", floor(
+          col("xg").cast("double") / col("xx").cast("double") *
+            log((col("xg").cast("double") / col("ng").cast("double")) /
+              (col("xx").cast("double") / col("nn").cast("double"))) *
+            lit(1e6) + lit(0.5)).cast("long"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("bq")).as("sbq"))
+      val theil = col("stq").cast("double") /
+        col("nn").cast("double") / lit(1e6)
+      val between = col("sbq").cast("double") / lit(1e6)
+      total.crossJoin(broadcast(bt))
+        .select(col("nn").as("n"), col("n_groups"),
+          round(theil, 6).as("theil_total"),
+          round(between, 6).as("theil_between"),
+          round(theil - between, 6).as("theil_within"))
+    }),
+
+    // -- Herfindahl-Hirschman concentration index --------------------------
+    // The antitrust-style concentration readout per market: HHI of
+    // supplier revenue shares within each nation's supply base (scaled
+    // ×10⁴ as conventionally reported; 10⁴ = monopoly). Revenue sums
+    // are exact cents; per-supplier share-squared terms quantize at
+    // 1e9 on the supplier frame and sum exactly per nation; the
+    // effective-supplier count 1/HHI comes from the same integer.
+    "q_hhi" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey").cast("long").as("nk"),
+          col("l_suppkey"))
+        .agg(sum(floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+          .cast("long")).as("r"))
+      val tot = rev.groupBy(col("nk")).agg(sum(col("r")).as("tr"),
+        count(lit(1)).as("n_suppliers"))
+      val terms = rev.join(tot, "nk")
+        .withColumn("sq", floor(
+          (col("r").cast("double") / col("tr").cast("double")) *
+            (col("r").cast("double") / col("tr").cast("double")) *
+            lit(1e9) + lit(0.5)).cast("long"))
+        .groupBy(col("nk"))
+        .agg(max(col("n_suppliers")).as("n_suppliers"),
+          sum(col("sq")).as("shq"))
+      terms.select(col("nk").as("nationkey"), col("n_suppliers"),
+          round(col("shq").cast("double") / lit(1e9) * lit(10000.0), 6)
+            .as("hhi"),
+          when(col("shq") > 0L, round(lit(1e9) /
+            col("shq").cast("double"), 6)).as("effective_suppliers"))
+        .orderBy(col("nationkey"))
     })
   )
 
@@ -4470,6 +4547,62 @@ object AnalyticsQueries extends QueryPack {
         |    / sqrt(CAST(sv AS DOUBLE) / 1e9))
         |    * ((CAST(o1 AS DOUBLE) - CAST(se AS DOUBLE) / 1e9)
         |    / sqrt(CAST(sv AS DOUBLE) / 1e9)), 6) END AS chi2
-        |FROM gm""".stripMargin
+        |FROM gm""".stripMargin,
+
+    // scale-free micro-quantized row terms; 25-row between frame; the
+    // decomposition identity holds on the printed numbers
+    "q_theil_index" ->
+      """WITH oc AS (SELECT CAST(c.c_nationkey AS BIGINT) AS nk,
+        |    CAST(floor(o.o_totalprice * 100.0e0 + 0.5e0) AS BIGINT)
+        |      AS x
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |g AS (SELECT count(*) AS nn, CAST(sum(x) AS BIGINT) AS xx
+        |  FROM oc),
+        |rows_ AS (SELECT CAST(floor(CAST(x AS DOUBLE)
+        |    / (CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE))
+        |    * ln(CAST(x AS DOUBLE)
+        |      / (CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE)))
+        |    * 1e6 + 0.5e0) AS BIGINT) AS tq
+        |  FROM oc CROSS JOIN g),
+        |tot AS (SELECT CAST(sum(tq) AS BIGINT) AS stq FROM rows_),
+        |byn AS (SELECT nk, count(*) AS ng, CAST(sum(x) AS BIGINT) AS xg
+        |  FROM oc GROUP BY 1),
+        |bt AS (SELECT count(*) AS n_groups,
+        |    CAST(sum(CAST(floor(CAST(xg AS DOUBLE)
+        |      / CAST(xx AS DOUBLE)
+        |      * ln((CAST(xg AS DOUBLE) / CAST(ng AS DOUBLE))
+        |        / (CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE)))
+        |      * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS sbq
+        |  FROM byn CROSS JOIN g)
+        |SELECT g.nn AS n, CAST(n_groups AS BIGINT) AS n_groups,
+        |  round(CAST(stq AS DOUBLE) / CAST(g.nn AS DOUBLE) / 1e6, 6)
+        |    AS theil_total,
+        |  round(CAST(sbq AS DOUBLE) / 1e6, 6) AS theil_between,
+        |  round(CAST(stq AS DOUBLE) / CAST(g.nn AS DOUBLE) / 1e6
+        |    - CAST(sbq AS DOUBLE) / 1e6, 6) AS theil_within
+        |FROM g CROSS JOIN tot CROSS JOIN bt""".stripMargin,
+
+    // exact cent revenue; nano-quantized share squares per supplier
+    "q_hhi" ->
+      """WITH rev AS (SELECT CAST(s.s_nationkey AS BIGINT) AS nk,
+        |    l.l_suppkey,
+        |    CAST(sum(CAST(floor(l.l_extendedprice * 100.0e0 + 0.5e0)
+        |      AS BIGINT)) AS BIGINT) AS r
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT nk, CAST(sum(r) AS BIGINT) AS tr,
+        |    count(*) AS n_suppliers FROM rev GROUP BY 1),
+        |tm AS (SELECT rev.nk,
+        |    CAST(max(n_suppliers) AS BIGINT) AS n_suppliers,
+        |    CAST(sum(CAST(floor((CAST(r AS DOUBLE)
+        |      / CAST(tr AS DOUBLE)) * (CAST(r AS DOUBLE)
+        |      / CAST(tr AS DOUBLE)) * 1e9 + 0.5e0) AS BIGINT))
+        |      AS BIGINT) AS shq
+        |  FROM rev JOIN tot USING (nk) GROUP BY 1)
+        |SELECT nk AS nationkey, n_suppliers,
+        |  round(CAST(shq AS DOUBLE) / 1e9 * 10000.0e0, 6) AS hhi,
+        |  CASE WHEN shq > 0 THEN round(1e9 / CAST(shq AS DOUBLE), 6)
+        |    END AS effective_suppliers
+        |FROM tm ORDER BY nationkey""".stripMargin
   )
 }

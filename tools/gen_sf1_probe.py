@@ -128,6 +128,11 @@ def main():
             # realistic growth profile q_entity_match's vocabulary-bounded
             # claim is measured against.
             ("part", ["p_partkey"]),
+            # supplier (r10, for q_hhi): s_suppkey matches lineitem's
+            # offset so within-shard joins stay valid; s_nationkey is
+            # offset too, so each shard is a disjoint supplier market —
+            # per-nation concentration frames grow 10x linearly.
+            ("supplier", ["s_suppkey", "s_nationkey"]),
         ]
         for tname, keys in specs:
             src = pd.read_parquet(f"{SRC}/{tname}.parquet")
