@@ -1356,6 +1356,105 @@ object StatsQueries extends QueryPack {
             kD / (kD - lit(1.0)) * (lit(1.0) -
               (col("svq").cast("double") / lit(1e6)) / vtot), 6))
             .as("alpha"))
+    }),
+
+    // -- partial correlation (controlling for total volume) ----------------
+    // The confound check q_corr_matrix invites: purchase and view daily
+    // volumes correlate — but is that a real relationship or just both
+    // riding total site traffic? r_xy·z partials out the day's total
+    // volume; a raw correlation that collapses when controlled is the
+    // classic spurious-common-cause signature. All three pairwise r's
+    // derive from exact DECIMAL co-moments on the calendar-bounded
+    // (day × series) frame; the partial evaluates in one mirrored
+    // expression.
+    "q_partial_corr" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val byDay = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long").as("dd"))
+        .agg(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("y"),
+          count(lit(1)).as("z"))
+      val m = byDay.agg(count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("z"))).as("sz"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"),
+        sum(dec(col("z")) * dec(col("z"))).as("szz"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("x")) * dec(col("z"))).as("sxz"),
+        sum(dec(col("y")) * dec(col("z"))).as("syz"))
+      val nD = col("n").cast("double")
+      def cv(sab: String, sa: String, sb: String) =
+        nD * col(sab).cast("double") -
+          col(sa).cast("double") * col(sb).cast("double")
+      val rxy = cv("sxy", "sx", "sy") /
+        sqrt(cv("sxx", "sx", "sx") * cv("syy", "sy", "sy"))
+      val rxz = cv("sxz", "sx", "sz") /
+        sqrt(cv("sxx", "sx", "sx") * cv("szz", "sz", "sz"))
+      val ryz = cv("syz", "sy", "sz") /
+        sqrt(cv("syy", "sy", "sy") * cv("szz", "sz", "sz"))
+      val part = (rxy - rxz * ryz) /
+        sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz))
+      m.select(col("n").as("n_days"),
+        round(rxy, 6).as("r_xy"),
+        round(rxz, 6).as("r_xz"),
+        round(ryz, 6).as("r_yz"),
+        when(rxz * rxz < 1.0 && ryz * ryz < 1.0, round(part, 6))
+          .as("r_xy_given_z"))
+    }),
+
+    // -- Granger causality screen (lag-1, F-test) --------------------------
+    // Does yesterday's VIEW volume predict today's PURCHASE volume
+    // beyond purchase's own history? The restricted model regresses
+    // y_t on y_{t−1}; the unrestricted adds x_{t−1}; F compares the
+    // residual sums. Both fits are CLOSED-FORM two-predictor normal
+    // equations over centered co-moments, which derive from exact
+    // DECIMAL sums on the lagged calendar-bounded frame — one mirrored
+    // expression chain, no iterative solver. (A screen, not proof:
+    // Granger precedence, not causation.)
+    "q_granger" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val byDay = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long").as("dd"))
+        .agg(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("p"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("v"))
+      val wd = Window.orderBy(col("dd"))
+      val lagged = byDay
+        .withColumn("y", col("p"))
+        .withColumn("x1", lag(col("p"), 1).over(wd))
+        .withColumn("x2", lag(col("v"), 1).over(wd))
+        .filter(col("x1").isNotNull)
+      val m = lagged.agg(count(lit(1)).as("n"),
+        sum(dec(col("y"))).as("sy"), sum(dec(col("x1"))).as("s1"),
+        sum(dec(col("x2"))).as("s2"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"),
+        sum(dec(col("x1")) * dec(col("x1"))).as("s11"),
+        sum(dec(col("x2")) * dec(col("x2"))).as("s22"),
+        sum(dec(col("x1")) * dec(col("y"))).as("s1y"),
+        sum(dec(col("x2")) * dec(col("y"))).as("s2y"),
+        sum(dec(col("x1")) * dec(col("x2"))).as("s12"))
+      val nD = col("n").cast("double")
+      def cc(sab: String, sa: String, sb: String) =
+        (col(sab).cast("double") - col(sa).cast("double") *
+          col(sb).cast("double") / nD)
+      val c11 = cc("s11", "s1", "s1"); val c22 = cc("s22", "s2", "s2")
+      val c12 = cc("s12", "s1", "s2"); val c1y = cc("s1y", "s1", "sy")
+      val c2y = cc("s2y", "s2", "sy"); val cyy = cc("syy", "sy", "sy")
+      val det = c11 * c22 - c12 * c12
+      val b1 = (c1y * c22 - c2y * c12) / det
+      val b2 = (c2y * c11 - c1y * c12) / det
+      val rssU = cyy - b1 * c1y - b2 * c2y
+      val rssR = cyy - c1y * c1y / c11
+      val f = (rssR - rssU) / (rssU / (nD - lit(3.0)))
+      m.select(col("n").as("n_obs"),
+        when(det =!= 0.0, round(b2, 6)).as("coef_xlag"),
+        when(det =!= 0.0 && rssU > 0.0, round(f, 6)).as("f_stat"))
     })
   )
 
@@ -2469,6 +2568,116 @@ object StatsQueries extends QueryPack {
         |        / ((CAST(t2 AS DOUBLE) - CAST(t1 AS DOUBLE)
         |          * CAST(t1 AS DOUBLE) / CAST(ndt AS DOUBLE))
         |          / (CAST(ndt AS DOUBLE) - 1.0e0))), 6) END AS alpha
-        |FROM it CROSS JOIN tt""".stripMargin
+        |FROM it CROSS JOIN tt""".stripMargin,
+
+    // HUGEINT co-moments on the day frame; mirrored pairwise and
+    // partial correlation expressions
+    "q_partial_corr" ->
+      """WITH byd AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y,
+        |    count(*) AS z
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(z AS HUGEINT)) AS sz,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy,
+        |    sum(CAST(z AS HUGEINT) * z) AS szz,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * z) AS sxz,
+        |    sum(CAST(y AS HUGEINT) * z) AS syz
+        |  FROM byd),
+        |r AS (SELECT n,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rxy,
+        |    (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+        |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+        |        - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS rxz,
+        |    (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+        |      / sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+        |        - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS ryz
+        |  FROM m)
+        |SELECT n AS n_days, round(rxy, 6) AS r_xy,
+        |  round(rxz, 6) AS r_xz, round(ryz, 6) AS r_yz,
+        |  CASE WHEN rxz * rxz < 1.0e0 AND ryz * ryz < 1.0e0
+        |    THEN round((rxy - rxz * ryz)
+        |      / sqrt((1.0e0 - rxz * rxz) * (1.0e0 - ryz * ryz)), 6)
+        |  END AS r_xy_given_z
+        |FROM r""".stripMargin,
+
+    // lagged day frame; closed-form two-predictor normal equations;
+    // mirrored F
+    "q_granger" ->
+      """WITH byd AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS p,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v
+        |  FROM events GROUP BY 1),
+        |lg AS (SELECT p AS y,
+        |    lag(p) OVER (ORDER BY dd) AS x1,
+        |    lag(v) OVER (ORDER BY dd) AS x2
+        |  FROM byd),
+        |f AS (SELECT y, x1, x2 FROM lg WHERE x1 IS NOT NULL),
+        |m AS (SELECT count(*) AS n,
+        |    sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x1 AS HUGEINT)) AS s1,
+        |    sum(CAST(x2 AS HUGEINT)) AS s2,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy,
+        |    sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+        |    sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+        |    sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+        |    sum(CAST(x2 AS HUGEINT) * y) AS s2y,
+        |    sum(CAST(x1 AS HUGEINT) * x2) AS s12
+        |  FROM f),
+        |cm AS (SELECT n,
+        |    CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |      * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS c11,
+        |    CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE)
+        |      * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS c22,
+        |    CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |      * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS c12,
+        |    CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |      * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS c1y,
+        |    CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE)
+        |      * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS c2y,
+        |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+        |      * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cyy
+        |  FROM m)
+        |SELECT n AS n_obs,
+        |  CASE WHEN c11 * c22 - c12 * c12 <> 0 THEN round(
+        |    (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12), 6) END
+        |    AS coef_xlag,
+        |  CASE WHEN c11 * c22 - c12 * c12 <> 0
+        |    AND cyy - (c1y * c22 - c2y * c12)
+        |      / (c11 * c22 - c12 * c12) * c1y
+        |      - (c2y * c11 - c1y * c12)
+        |      / (c11 * c22 - c12 * c12) * c2y > 0
+        |    THEN round(((cyy - c1y * c1y / c11)
+        |      - (cyy - (c1y * c22 - c2y * c12)
+        |        / (c11 * c22 - c12 * c12) * c1y
+        |        - (c2y * c11 - c1y * c12)
+        |        / (c11 * c22 - c12 * c12) * c2y))
+        |      / ((cyy - (c1y * c22 - c2y * c12)
+        |        / (c11 * c22 - c12 * c12) * c1y
+        |        - (c2y * c11 - c1y * c12)
+        |        / (c11 * c22 - c12 * c12) * c2y)
+        |        / (CAST(n AS DOUBLE) - 3.0e0)), 6) END AS f_stat
+        |FROM cm""".stripMargin
   )
 }
