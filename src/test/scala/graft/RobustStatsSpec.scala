@@ -799,6 +799,60 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(r.getDouble(2) > 0 && r.getDouble(3) > 0)
   }
 
+  test("q_theil_index decomposition identity holds as printed") {
+    val r = run("q_theil_index").collect().head
+    val (total, between, within) = (r.getDouble(2), r.getDouble(3),
+      r.getDouble(4))
+    assert(total >= 0.0 && between >= -1e-9 && within >= -1e-9)
+    assert(math.abs(total - (between + within)) < 2e-6)
+    assert(between <= total + 1e-9)
+  }
+
+  test("q_hhi is bounded by the supplier count") {
+    run("q_hhi").collect().foreach { r =>
+      val (ns, hhi, eff) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      // HHI in [10^4/n, 10^4]; effective suppliers in [1, n]
+      assert(hhi >= 10000.0 / ns - 1e-3 && hhi <= 10000.0 + 1e-6)
+      assert(eff >= 1.0 - 1e-6 && eff <= ns + 1e-6)
+      assert(math.abs(eff * hhi - 10000.0) < 1.0,
+        "eff * hhi must reconstruct the 10^4 scale")
+    }
+  }
+
+  test("q_partial_corr matches brute-force correlations") {
+    val byDay = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("x"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("y"),
+        count(lit(1)).as("z"))
+      .collect().map(r => (r.getLong(1).toDouble, r.getLong(2).toDouble,
+        r.getLong(3).toDouble))
+    def corr(a: Array[Double], b: Array[Double]): Double = {
+      val n = a.length
+      val ma = a.sum / n; val mb = b.sum / n
+      val num = a.zip(b).map { case (p, q) => (p - ma) * (q - mb) }.sum
+      num / math.sqrt(a.map(p => (p - ma) * (p - ma)).sum *
+        b.map(q => (q - mb) * (q - mb)).sum)
+    }
+    val xs = byDay.map(_._1); val ys = byDay.map(_._2)
+    val zs = byDay.map(_._3)
+    val rxy = corr(xs, ys); val rxz = corr(xs, zs); val ryz = corr(ys, zs)
+    val part = (rxy - rxz * ryz) /
+      math.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+    val r = run("q_partial_corr").collect().head
+    assert(math.abs(r.getDouble(1) - rxy) < 1e-5)
+    assert(math.abs(r.getDouble(4) - part) < 1e-5)
+  }
+
+  test("q_granger F is non-negative and the unrestricted fit wins") {
+    val r = run("q_granger").collect().head
+    assert(r.getLong(0) > 3)
+    // RSS_u <= RSS_r always => F >= 0
+    assert(r.getDouble(2) >= -1e-9)
+  }
+
   test("q_pattern_profile shares sum to the column total over top shapes") {
     val rows = run("q_pattern_profile").collect()
     assert(rows.nonEmpty)
