@@ -1455,6 +1455,82 @@ object StatsQueries extends QueryPack {
       m.select(col("n").as("n_obs"),
         when(det =!= 0.0, round(b2, 6)).as("coef_xlag"),
         when(det =!= 0.0 && rssU > 0.0, round(f, 6)).as("f_stat"))
+    }),
+
+    // -- Mann-Kendall trend test -------------------------------------------
+    // The significance test q_theilsen's slope should be read with: is
+    // the monotone trend in daily volume real? S sums the signs of all
+    // day-pair differences (exact integers on the days²/2 bounded pair
+    // frame — the q_theilsen shape), the variance takes the standard
+    // tie correction from the tied-value groups, and z applies the
+    // continuity correction. Everything after the day aggregate is
+    // calendar-bounded.
+    "q_mann_kendall" -> ((s, d) => {
+      val byDay = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long").as("dd"))
+        .agg(count(lit(1)).as("y"))
+      val pairs = byDay.select(col("dd").as("d1"), col("y").as("y1"))
+        .join(byDay.select(col("dd").as("d2"), col("y").as("y2")),
+          col("d1") < col("d2"))
+        .select(signum(col("y2").cast("double") -
+          col("y1").cast("double")).cast("long").as("sg"))
+      val sAgg = pairs.agg(sum(col("sg")).as("s"))
+      val nAgg = byDay.agg(count(lit(1)).as("n"))
+      val ties = byDay.groupBy(col("y")).agg(count(lit(1)).as("t"))
+        .agg(sum(col("t") * (col("t") - lit(1L)) *
+          (lit(2L) * col("t") + lit(5L))).as("tcorr"))
+      val nD = col("n").cast("double")
+      val varS = (nD * (nD - lit(1.0)) * (lit(2.0) * nD + lit(5.0)) -
+        col("tcorr").cast("double")) / lit(18.0)
+      val sD = col("s").cast("double")
+      val z = (sD - signum(sD)) / sqrt(varS)
+      sAgg.crossJoin(broadcast(nAgg)).crossJoin(broadcast(ties))
+        .select(col("n").as("n_days"), col("s"),
+          when(varS > 0.0, round(z, 6)).as("z"),
+          when(sD > 0.0, "increasing").when(sD < 0.0, "decreasing")
+            .otherwise("none").as("trend"))
+    }),
+
+    // -- Pettitt changepoint test ------------------------------------------
+    // The nonparametric counterpart of q_changepoint: the split t* that
+    // maximizes |U_t| = |Σ_{i≤t<j} sgn(x_j − x_i)| — a rank-based break
+    // detector immune to outliers, with the classical closed-form
+    // approximate p = 2·e^(−6K²/(n³+n²)). The (pair × split) expansion
+    // is bounded at days³/2 by the calendar; signs are exact integers
+    // and the argmax takes the earliest day on ties.
+    "q_pettitt" -> ((s, d) => {
+      val byDay = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long").as("dd"))
+        .agg(count(lit(1)).as("y"))
+      val idx = byDay.withColumn("t",
+        row_number().over(Window.orderBy(col("dd"))).cast("long"))
+      val pairs = idx.select(col("t").as("i"), col("y").as("y1"))
+        .join(idx.select(col("t").as("j"), col("y").as("y2")),
+          col("i") < col("j"))
+        .select(col("i"), col("j"),
+          signum(col("y2").cast("double") - col("y1").cast("double"))
+            .cast("long").as("sg"))
+      val splits = idx.select(col("t").as("sp")).filter(col("sp") <
+        idx.agg(max(col("t"))).head().getLong(0))
+      val ut = pairs.join(broadcast(splits),
+          col("i") <= col("sp") && col("j") > col("sp"))
+        .groupBy(col("sp")).agg(sum(col("sg")).as("u"))
+      val n = idx.agg(count(lit(1)).as("n"))
+      val best = ut
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(abs(col("u")).desc, col("sp"))))
+        .filter(col("rnk") === 1)
+        .join(idx.select(col("t").as("sp"), col("dd").as("break_day")),
+          "sp")
+      val nD = col("n").cast("double")
+      val k = abs(col("u")).cast("double")
+      best.crossJoin(broadcast(n))
+        .select(col("n").as("n_days"), col("break_day"),
+          col("u").as("u_stat"),
+          round(least(lit(1.0), lit(2.0) * exp(lit(-6.0) * k * k /
+            (nD * nD * nD + nD * nD))), 6).as("p_approx"))
     })
   )
 
@@ -2678,6 +2754,67 @@ object StatsQueries extends QueryPack {
         |        - (c2y * c11 - c1y * c12)
         |        / (c11 * c22 - c12 * c12) * c2y)
         |        / (CAST(n AS DOUBLE) - 3.0e0)), 6) END AS f_stat
-        |FROM cm""".stripMargin
+        |FROM cm""".stripMargin,
+
+    // exact sign pairs on the bounded day frame; tie-corrected variance;
+    // continuity-corrected z
+    "q_mann_kendall" ->
+      """WITH byd AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1),
+        |pr AS (SELECT CAST(sign(CAST(b.y AS DOUBLE)
+        |    - CAST(a.y AS DOUBLE)) AS BIGINT) AS sg
+        |  FROM byd a JOIN byd b ON a.dd < b.dd),
+        |sa AS (SELECT CAST(sum(sg) AS BIGINT) AS s FROM pr),
+        |na AS (SELECT count(*) AS n FROM byd),
+        |ti AS (SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+        |    AS tcorr
+        |  FROM (SELECT count(*) AS t FROM byd GROUP BY y) g)
+        |SELECT n AS n_days, s,
+        |  CASE WHEN (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0)
+        |      * (2.0e0 * CAST(n AS DOUBLE) + 5.0e0)
+        |      - CAST(tcorr AS DOUBLE)) / 18.0e0 > 0
+        |    THEN round((CAST(s AS DOUBLE) - sign(CAST(s AS DOUBLE)))
+        |      / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0)
+        |        * (2.0e0 * CAST(n AS DOUBLE) + 5.0e0)
+        |        - CAST(tcorr AS DOUBLE)) / 18.0e0), 6) END AS z,
+        |  CASE WHEN CAST(s AS DOUBLE) > 0 THEN 'increasing'
+        |       WHEN CAST(s AS DOUBLE) < 0 THEN 'decreasing'
+        |       ELSE 'none' END AS trend
+        |FROM sa CROSS JOIN na CROSS JOIN ti""".stripMargin,
+
+    // bounded (pair x split) expansion; earliest-day argmax; classical
+    // closed-form approximate p
+    "q_pettitt" ->
+      """WITH byd AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1),
+        |idx AS (SELECT dd, y,
+        |    CAST(row_number() OVER (ORDER BY dd) AS BIGINT) AS t
+        |  FROM byd),
+        |pr AS (SELECT a.t AS i, b.t AS j, CAST(sign(CAST(b.y AS DOUBLE)
+        |    - CAST(a.y AS DOUBLE)) AS BIGINT) AS sg
+        |  FROM idx a JOIN idx b ON a.t < b.t),
+        |sp AS (SELECT t AS sp FROM idx
+        |  WHERE t < (SELECT max(t) FROM idx)),
+        |ut AS (SELECT sp, CAST(sum(sg) AS BIGINT) AS u
+        |  FROM pr JOIN sp ON pr.i <= sp.sp AND pr.j > sp.sp
+        |  GROUP BY 1),
+        |na AS (SELECT count(*) AS n FROM idx),
+        |best AS (SELECT sp, u FROM (SELECT sp, u,
+        |    row_number() OVER (ORDER BY abs(u) DESC, sp) AS rnk
+        |  FROM ut) t WHERE rnk = 1)
+        |SELECT na.n AS n_days, idx.dd AS break_day, best.u AS u_stat,
+        |  round(least(1.0e0, 2.0e0
+        |    * exp(-6.0e0 * CAST(abs(best.u) AS DOUBLE)
+        |    * CAST(abs(best.u) AS DOUBLE)
+        |    / (CAST(na.n AS DOUBLE) * CAST(na.n AS DOUBLE)
+        |      * CAST(na.n AS DOUBLE)
+        |      + CAST(na.n AS DOUBLE) * CAST(na.n AS DOUBLE)))), 6)
+        |    AS p_approx
+        |FROM best JOIN idx ON idx.t = best.sp CROSS JOIN na"""
+        .stripMargin
   )
 }
