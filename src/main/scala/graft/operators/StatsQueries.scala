@@ -1531,6 +1531,40 @@ object StatsQueries extends QueryPack {
           col("u").as("u_stat"),
           round(least(lit(1.0), lit(2.0) * exp(lit(-6.0) * k * k /
             (nD * nD * nD + nD * nD))), 6).as("p_approx"))
+    }),
+
+    // -- KS separation of the quality classifier ---------------------------
+    // The scorecard-world companion of q_auc_roc: the maximum gap
+    // between the positive and negative score CDFs, and the score
+    // where it happens — the classical cut-point selection readout.
+    // The argmax is decided on CROSS-MULTIPLIED exact integers
+    // (cum1·n0 vs cum0·n1 — the q_drift_ks discipline, no float CDFs
+    // can disagree), on the domain-bounded distinct-score frame; the
+    // earliest score wins ties.
+    "q_ks_separation" -> ((s, d) => {
+      val sc = TextDedup.classifierScored(Tables.documents(s, d),
+          Seq(col("doc_id"), col("n_chars")))
+        .select(col("score").cast("long").as("sv"),
+          (col("n_chars") >= 300L).cast("int").cast("long").as("pos"))
+      val byS = sc.groupBy(col("sv"))
+        .agg(sum(col("pos")).as("c1"),
+          sum(lit(1L) - col("pos")).as("c0"))
+      val w = Window.orderBy(col("sv"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = byS.agg(sum(col("c1")).as("n1"), sum(col("c0")).as("n0"))
+      val cum = byS
+        .withColumn("f1", sum(col("c1")).over(w))
+        .withColumn("f0", sum(col("c0")).over(w))
+        .crossJoin(broadcast(tot))
+        .withColumn("gap",
+          abs(col("f1") * col("n0") - col("f0") * col("n1")))
+      val best = cum
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("gap").desc, col("sv"))))
+        .filter(col("rnk") === 1)
+      best.select(col("n1").as("n_pos"), col("n0").as("n_neg"),
+        col("sv").as("ks_score"),
+        expr("(1000000 * gap) div (n1 * n0)").as("ks_u"))
     })
   )
 
@@ -2815,6 +2849,32 @@ object StatsQueries extends QueryPack {
         |      + CAST(na.n AS DOUBLE) * CAST(na.n AS DOUBLE)))), 6)
         |    AS p_approx
         |FROM best JOIN idx ON idx.t = best.sp CROSS JOIN na"""
-        .stripMargin
+        .stripMargin,
+
+    // shared classifier chain; cross-multiplied integer CDF argmax
+    "q_ks_separation" -> {
+      s"""WITH ${OracleHash.classifierScoreCtes("doc_id, n_chars")},
+         |sv AS (SELECT CAST(score AS BIGINT) AS sv,
+         |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS pos
+         |  FROM sc),
+         |bys AS (SELECT sv, CAST(sum(pos) AS BIGINT) AS c1,
+         |    CAST(sum(1 - pos) AS BIGINT) AS c0 FROM sv GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+         |    CAST(sum(c0) AS BIGINT) AS n0 FROM bys),
+         |cum AS (SELECT sv,
+         |    CAST(sum(c1) OVER (ORDER BY sv ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS f1,
+         |    CAST(sum(c0) OVER (ORDER BY sv ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS f0
+         |  FROM bys),
+         |gp AS (SELECT sv, abs(f1 * n0 - f0 * n1) AS gap, n1, n0
+         |  FROM cum CROSS JOIN tot),
+         |best AS (SELECT sv, gap, n1, n0 FROM (SELECT sv, gap, n1, n0,
+         |    row_number() OVER (ORDER BY gap DESC, sv) AS rnk FROM gp) t
+         |  WHERE rnk = 1)
+         |SELECT n1 AS n_pos, n0 AS n_neg, sv AS ks_score,
+         |  CAST((1000000 * gap) // (n1 * n0) AS BIGINT) AS ks_u
+         |FROM best""".stripMargin
+    }
   )
 }
