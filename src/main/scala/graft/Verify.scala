@@ -77,7 +77,11 @@ object Verify {
         override def run(): Unit = {
           spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
           try {
-            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            // Canonicalize signed zero at the gate: DuckDB's round() can
+            // emit -0.0 where Spark emits +0.0 (equal values, different
+            // hashes) — collapse to unsigned so the class can't recur.
+            graft.engine.Canon.normalizeNegZero(fn(spark, sfDir))
+              .coalesce(1).write.mode("overwrite")
               .parquet(inflight)
             abandoned.synchronized {
               if (abandoned.get) deleteRecursively(new java.io.File(inflight))

@@ -123,19 +123,30 @@ object Vectors {
   def ivfIndex2(corpus: org.apache.spark.sql.DataFrame, nlist: Int)
       : Ivf2Index = {
     import org.apache.spark.sql.expressions.Window
+    // Session-memoized (SharedArtifacts): the whole ANN family
+    // (q_sim_ivf/q_hard_negatives/q_semdedup/q_ann_recall/q_ivf_balance/
+    // q_knn_triangles_ann) searches ONE index — build its tables once
+    // per (corpus plan, nlist) per session, as a production deployment
+    // would, instead of once per query. Deterministic build (lowest-id
+    // centroid sets, fixed tie-breaks), so a hit is bit-identical.
+    val kb = graft.engine.SharedArtifacts.keyFor(corpus, "ivf2", nlist)
     val m1 = math.ceil(math.sqrt(nlist.toDouble)).toInt
-    val fineC = ivfCentroids(corpus, nlist)
-    val l1C = ivfCentroids(corpus, m1)
-      .select(col("cid").as("l1"), col("cv").as("l1v"),
-        col("cnrm").as("l1nrm"))
-    val wF = Window.partitionBy(col("cid"))
-      .orderBy(col("l1sim").desc, col("l1").asc)
-    val fineWithL1 = fineC.crossJoin(broadcast(l1C))
-      .withColumn("l1sim",
-        dot(col("cv"), col("l1v")) / (col("cnrm") * col("l1nrm")))
-      .withColumn("frn", row_number().over(wF))
-      .filter(col("frn") === 1)
-      .select(col("l1"), col("cid"), col("cv"), col("cnrm"))
+    val l1C = graft.engine.SharedArtifacts.memo(kb + "|l1") {
+      ivfCentroids(corpus, m1)
+        .select(col("cid").as("l1"), col("cv").as("l1v"),
+          col("cnrm").as("l1nrm"))
+    }
+    val fineWithL1 = graft.engine.SharedArtifacts.memo(kb + "|fine") {
+      val fineC = ivfCentroids(corpus, nlist)
+      val wF = Window.partitionBy(col("cid"))
+        .orderBy(col("l1sim").desc, col("l1").asc)
+      fineC.crossJoin(broadcast(l1C))
+        .withColumn("l1sim",
+          dot(col("cv"), col("l1v")) / (col("cnrm") * col("l1nrm")))
+        .withColumn("frn", row_number().over(wF))
+        .filter(col("frn") === 1)
+        .select(col("l1"), col("cid"), col("cv"), col("cnrm"))
+    }
     Ivf2Index(l1C, fineWithL1)
   }
 
@@ -150,7 +161,19 @@ object Vectors {
     * ONE implementation (ivfAssign2 is a projection of this) so the
     * oracle-pinned two-level blocking cannot drift between callers. */
   def ivfAssign2Sim(pts: org.apache.spark.sql.DataFrame, idx: Ivf2Index,
-                    nprobe: Int): org.apache.spark.sql.DataFrame = {
+                    nprobe: Int): org.apache.spark.sql.DataFrame =
+    // Memoized like the index itself: the corpus-side assignment is the
+    // expensive half (n × O(√nlist) dots) and is identical across every
+    // family member that assigns the same frame at the same nprobe.
+    graft.engine.SharedArtifacts.memo(
+      graft.engine.SharedArtifacts.keyFor(pts, "asg2", nprobe,
+        idx.fineWithL1.semanticHash())) {
+      ivfAssign2SimBuild(pts, idx, nprobe)
+    }
+
+  private def ivfAssign2SimBuild(pts: org.apache.spark.sql.DataFrame,
+                                 idx: Ivf2Index, nprobe: Int)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wL1 = Window.partitionBy(col("id"))
       .orderBy(col("l1sim").desc, col("l1").asc)

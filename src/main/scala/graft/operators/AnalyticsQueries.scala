@@ -796,8 +796,9 @@ object AnalyticsQueries extends QueryPack {
     // The "customers also bought" readout: for the 10 most-stocked
     // parts, the top-3 co-purchased parts ranked by a cosine-squared
     // affinity co²/(n_u·n_v) — computed as the INTEGER
-    // co²·10¹² div (n_u·n_v) so the ranking is exact on both engines
-    // (co ≤ basket overlap keeps co²·10¹² well under 2⁶³). The pair
+    // co²·10¹² div (n_u·n_v) so the ranking is exact on both engines,
+    // the numerator widened to DECIMAL(38,0)/HUGEINT because co²·10¹²
+    // exits int64 already at co ≈ 3033. The pair
     // frame is the same support-bounded co-purchase edge list; seed
     // popularity is one keyed count; the per-seed top-3 is a bounded
     // rank window over a frame whose size is the edge count.
@@ -816,8 +817,14 @@ object AnalyticsQueries extends QueryPack {
       val scored = both.join(broadcast(seeds), "part")
         .join(pop.select(col("part").as("rec"),
           col("n_baskets").as("n_rec")), "rec")
+        // DECIMAL(38,0) numerator (HUGEINT in the oracle): co²·10¹²
+        // leaves int64 once a pair's co-occurrence support exceeds
+        // ~3033 baskets — routine for hot pairs at scale. The quotient
+        // is ≤ 10¹² (co ≤ min(n_baskets, n_rec)), so the BIGINT cast
+        // back is always exact.
         .withColumn("score_q",
-          expr("co * co * 1000000000000 div (n_baskets * n_rec)"))
+          expr("CAST((CAST(co AS DECIMAL(38,0)) * co * 1000000000000) " +
+            "div (CAST(n_baskets AS DECIMAL(38,0)) * n_rec) AS BIGINT)"))
       val w = Window.partitionBy(col("part"))
         .orderBy(col("score_q").desc, col("rec"))
       scored.withColumn("rnk", row_number().over(w))
@@ -871,8 +878,14 @@ object AnalyticsQueries extends QueryPack {
     // peeling is embarrassingly key-parallel.
     "q_kcore" -> ((s, d) => {
       val k = 3
+      // localCheckpoint-per-round (ConnectedComponents.scala discipline),
+      // not persist: eager checkpoint truncates lineage AND detaches the
+      // new iterate from the old one's blocks, so each superseded edge
+      // list becomes unreferenced immediately and the context cleaner
+      // reclaims it — the loop holds ≤2 cached generations at any time
+      // instead of all 5 (the r10 leak: memory pressure at 100×).
       var e = coEdges(s, d).select(col("p1"), col("p2"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       for (_ <- 1 to 4) {
         val keep = e.select(col("p1").as("n"))
           .union(e.select(col("p2")))
@@ -882,7 +895,7 @@ object AnalyticsQueries extends QueryPack {
         e = e.join(keep.withColumnRenamed("n", "p1"), "p1")
           .join(keep.withColumnRenamed("n", "p2"), "p2")
           .select(col("p1"), col("p2"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
       }
       e.select(col("p1").as("node")).union(e.select(col("p2")))
         .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
@@ -963,14 +976,22 @@ object AnalyticsQueries extends QueryPack {
           (col("sx").cast("double") / col("n")).as("gm"))
       val gt = g.withColumn("theta",
         when(col("varn") > 0, col("covn") / col("varn")).otherwise(lit(0.0)))
-      u.crossJoin(broadcast(gt))
-        .groupBy(col("arm"))
+      // Arm means from EXACT integer sums, then ONE fixed double
+      // expression (the q_ab_test/q_diff_in_diff determinism contract):
+      // avg() over per-user double expressions would make the result
+      // depend on float accumulation order across partitions. The
+      // identity: avg(post/1000 − θ(pre − gm)) =
+      // Σpost/(1000n) − θ(Σpre/n − gm).
+      u.groupBy(col("arm"))
         .agg(count(lit(1)).as("n_users"),
-          round(avg(col("post_m").cast("double") / lit(1000.0)), 6)
+          sum(col("post_m")).as("sp"), sum(col("pre_d")).as("sd"))
+        .crossJoin(broadcast(gt))
+        .select(col("arm"), col("n_users"),
+          round(col("sp").cast("double") / col("n_users") / lit(1000.0), 6)
             .as("raw_mean"),
-          round(avg(col("post_m").cast("double") / lit(1000.0) -
+          round(col("sp").cast("double") / col("n_users") / lit(1000.0) -
             col("theta") *
-              (col("pre_d").cast("double") - col("gm"))), 6)
+              (col("sd").cast("double") / col("n_users") - col("gm")), 6)
             .as("adj_mean"))
         .orderBy(col("arm"))
     }),
@@ -1452,10 +1473,16 @@ object AnalyticsQueries extends QueryPack {
           max(col("sz")).as("largest"),
           sum(col("deg_c") * col("deg_c")).as("sd"))
         .select(col("n_communities"), col("largest"), lit(m).as("m_edges"),
-          // ${m}L: an interpolated bare literal parses as INT and the
-          // 4·m² product overflows 32 bits already at sf1 (probe-caught)
-          expr(s"(1000000L * (4L * ${m}L * ${m}L - sd)) div " +
-            s"(4L * ${m}L * ${m}L)").as("q_u"))
+          // DECIMAL(38,0) numerator (HUGEINT in the oracle twin): the
+          // 1e6-scaled 4m² product leaves int64 already at m ≈ 1.5e6
+          // edges (4m²·1e6 > 2⁶³) — far below the deg_c² sums' own
+          // m ≈ 1e9 ceiling. 4m²·1e6 ≈ 4e24 at m = 1e9 sits well
+          // inside 38 digits; the quotient is ≤ 1e6 so the final
+          // BIGINT cast is always exact.
+          expr(s"CAST((CAST(1000000 AS DECIMAL(38,0)) * " +
+            s"(4 * CAST(${m} AS DECIMAL(38,0)) * ${m}L - sd)) div " +
+            s"(4 * CAST(${m} AS DECIMAL(38,0)) * ${m}L) AS BIGINT)")
+            .as("q_u"))
     }),
 
     // -- forecast backtest (seasonal-naive, WMAPE scored) -------------------
@@ -3211,8 +3238,8 @@ object AnalyticsQueries extends QueryPack {
          |  UNION ALL SELECT p2, p1, support FROM pe),
          |scored AS (SELECT s.part, b.rec, b.co, s.n_baskets,
          |    p2.n_baskets AS n_rec,
-         |    b.co * b.co * 1000000000000 // (s.n_baskets * p2.n_baskets)
-         |      AS score_q
+         |    (b.co::HUGEINT * b.co * 1000000000000)
+         |      // (s.n_baskets::HUGEINT * p2.n_baskets) AS score_q
          |  FROM bo b JOIN seeds s ON b.part = s.part
          |  JOIN pop p2 ON p2.part = b.rec)
          |SELECT part, rnk, rec, co, CAST(score_q AS BIGINT) AS score_q
@@ -3311,12 +3338,15 @@ object AnalyticsQueries extends QueryPack {
         |    CAST(sx AS DOUBLE) / n AS gm FROM g),
         |t2 AS (SELECT covn, varn, gm,
         |    CASE WHEN varn > 0 THEN covn / varn ELSE 0.0e0 END AS theta
-        |  FROM t)
-        |SELECT arm, count(*) AS n_users,
-        |  round(avg(CAST(post_m AS DOUBLE) / 1000.0e0), 6) AS raw_mean,
-        |  round(avg(CAST(post_m AS DOUBLE) / 1000.0e0 -
-        |    theta * (CAST(pre_d AS DOUBLE) - gm)), 6) AS adj_mean
-        |FROM ud, t2 GROUP BY arm ORDER BY arm""".stripMargin,
+        |  FROM t),
+        |a AS (SELECT arm, count(*) AS n_users,
+        |    CAST(sum(post_m) AS BIGINT) AS sp,
+        |    CAST(sum(pre_d) AS BIGINT) AS sd FROM ud GROUP BY 1)
+        |SELECT arm, n_users,
+        |  round(CAST(sp AS DOUBLE) / n_users / 1000.0e0, 6) AS raw_mean,
+        |  round(CAST(sp AS DOUBLE) / n_users / 1000.0e0 -
+        |    theta * (CAST(sd AS DOUBLE) / n_users - gm), 6) AS adj_mean
+        |FROM a, t2 ORDER BY arm""".stripMargin,
 
     // exact rank-weighted Gini on integer cents, (spend, custkey) order
     "q_gini" ->
@@ -3605,9 +3635,9 @@ object AnalyticsQueries extends QueryPack {
          |SELECT count(*) AS n_communities,
          |  CAST(max(sz) AS BIGINT) AS largest,
          |  any_value(m) AS m_edges,
-         |  CAST((1000000 * (4 * any_value(m) * any_value(m) -
-         |    sum(deg_c * deg_c))) //
-         |    (4 * any_value(m) * any_value(m)) AS BIGINT) AS q_u
+         |  CAST((1000000::HUGEINT * (4::HUGEINT * any_value(m) *
+         |    any_value(m) - sum(deg_c * deg_c))) //
+         |    (4::HUGEINT * any_value(m) * any_value(m)) AS BIGINT) AS q_u
          |FROM comm, mm""".stripMargin,
 
     // same shifted-date self-join; integer MAE, WMAPE micro

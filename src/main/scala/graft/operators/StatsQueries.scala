@@ -1259,11 +1259,22 @@ object StatsQueries extends QueryPack {
     // closed-form even-df p-value.
     "q_friedman" -> ((s, d) => {
       val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-      val byTD = Tables.events(s, d)
+      val byTD0 = Tables.events(s, d)
         .groupBy(datediff(to_date(col("ts")),
           lit("1970-01-01").cast("date")).cast("long").as("dd"),
           col("event_type"))
         .agg(count(lit(1)).as("c"))
+      // Densify the (day × type) frame with zero-count cells BEFORE
+      // ranking (the q_logrank/q_bh_fdr discipline): ranks are per-day
+      // over whatever types are present, but the statistic divides by
+      // the GLOBAL k and max(nb) — a single missing cell would silently
+      // bias chi2 instead of ranking the absent type last with c = 0.
+      // The type dimension is domain-bounded (k = 5), so it broadcasts.
+      val byTD = byTD0.select(col("dd")).distinct()
+        .crossJoin(broadcast(byTD0.select(col("event_type")).distinct()))
+        .join(byTD0, Seq("dd", "event_type"), "left")
+        .select(col("dd"), col("event_type"),
+          coalesce(col("c"), lit(0L)).as("c"))
       val wcnt = Window.partitionBy(col("dd"), col("c"))
       // midrank within day: r2 = 2·(#strictly below) + (#tied) + 1
       val ranked = byTD
@@ -1325,11 +1336,20 @@ object StatsQueries extends QueryPack {
     // expression. Everything after the (type, day) aggregate is
     // calendar-bounded.
     "q_cronbach_alpha" -> ((s, d) => {
-      val byTD = Tables.events(s, d)
+      val byTD0 = Tables.events(s, d)
         .groupBy(col("event_type"),
           datediff(to_date(col("ts")),
             lit("1970-01-01").cast("date")).cast("long").as("dd"))
         .agg(count(lit(1)).as("c"))
+      // Same densification as q_friedman: every item must carry the
+      // full day panel (zero-count days included) or per-item variances
+      // and the day totals are computed over DIFFERENT n's and alpha
+      // silently biases on a single missing (type, day) cell.
+      val byTD = byTD0.select(col("dd")).distinct()
+        .crossJoin(broadcast(byTD0.select(col("event_type")).distinct()))
+        .join(byTD0, Seq("dd", "event_type"), "left")
+        .select(col("event_type"), col("dd"),
+          coalesce(col("c"), lit(0L)).as("c"))
       val perItem = byTD.groupBy(col("event_type"))
         .agg(count(lit(1)).as("nd"), sum(col("c")).as("s1"),
           sum(col("c") * col("c")).as("s2"))
@@ -1556,15 +1576,23 @@ object StatsQueries extends QueryPack {
         .withColumn("f1", sum(col("c1")).over(w))
         .withColumn("f0", sum(col("c0")).over(w))
         .crossJoin(broadcast(tot))
+        // DECIMAL(38,0) cross-products (HUGEINT in the oracle): the
+        // gap approaches n1·n0, so 10⁶·gap exits int64 once
+        // n1·n0 > 9.2e12 (~3e6 docs per class) and the raw products
+        // themselves at ~3e9 per class — sibling queries document the
+        // same ceiling; here we widen instead. ks_u ≤ 10⁶, so the
+        // final BIGINT cast is exact.
         .withColumn("gap",
-          abs(col("f1") * col("n0") - col("f0") * col("n1")))
+          abs(col("f1").cast("decimal(38,0)") * col("n0") -
+            col("f0").cast("decimal(38,0)") * col("n1")))
       val best = cum
         .withColumn("rnk", row_number().over(
           Window.orderBy(col("gap").desc, col("sv"))))
         .filter(col("rnk") === 1)
       best.select(col("n1").as("n_pos"), col("n0").as("n_neg"),
         col("sv").as("ks_score"),
-        expr("(1000000 * gap) div (n1 * n0)").as("ks_u"))
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * gap) div " +
+          "(CAST(n1 AS DECIMAL(38,0)) * n0) AS BIGINT)").as("ks_u"))
     })
   )
 
@@ -2585,10 +2613,15 @@ object StatsQueries extends QueryPack {
     // within-day doubled midranks; ordered fold of R^2 terms;
     // closed-form even-df p
     "q_friedman" ->
-      """WITH td AS (SELECT
+      """WITH td0 AS (SELECT
         |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
         |    event_type, count(*) AS c
         |  FROM events GROUP BY 1, 2),
+        |td AS (SELECT d.dd, t.event_type, coalesce(td0.c, 0) AS c
+        |  FROM (SELECT DISTINCT dd FROM td0) d
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM td0) t
+        |  LEFT JOIN td0 ON td0.dd = d.dd
+        |    AND td0.event_type = t.event_type),
         |rk AS (SELECT dd, event_type,
         |    2 * (cumle - tied) + tied + 1 AS r2
         |  FROM (SELECT dd, event_type, c,
@@ -2647,10 +2680,15 @@ object StatsQueries extends QueryPack {
     // exact count moments per item + day totals; micro-quantized item
     // variances; mirrored alpha
     "q_cronbach_alpha" ->
-      """WITH td AS (SELECT event_type,
+      """WITH td0 AS (SELECT event_type,
         |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
         |    count(*) AS c
         |  FROM events GROUP BY 1, 2),
+        |td AS (SELECT t.event_type, d.dd, coalesce(td0.c, 0) AS c
+        |  FROM (SELECT DISTINCT dd FROM td0) d
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM td0) t
+        |  LEFT JOIN td0 ON td0.dd = d.dd
+        |    AND td0.event_type = t.event_type),
         |pi AS (SELECT event_type, count(*) AS nd,
         |    CAST(sum(c) AS BIGINT) AS s1,
         |    CAST(sum(c * c) AS BIGINT) AS s2
@@ -2867,13 +2905,15 @@ object StatsQueries extends QueryPack {
          |    CAST(sum(c0) OVER (ORDER BY sv ROWS BETWEEN UNBOUNDED
          |      PRECEDING AND CURRENT ROW) AS BIGINT) AS f0
          |  FROM bys),
-         |gp AS (SELECT sv, abs(f1 * n0 - f0 * n1) AS gap, n1, n0
+         |gp AS (SELECT sv,
+         |    abs(f1::HUGEINT * n0 - f0::HUGEINT * n1) AS gap, n1, n0
          |  FROM cum CROSS JOIN tot),
          |best AS (SELECT sv, gap, n1, n0 FROM (SELECT sv, gap, n1, n0,
          |    row_number() OVER (ORDER BY gap DESC, sv) AS rnk FROM gp) t
          |  WHERE rnk = 1)
          |SELECT n1 AS n_pos, n0 AS n_neg, sv AS ks_score,
-         |  CAST((1000000 * gap) // (n1 * n0) AS BIGINT) AS ks_u
+         |  CAST((1000000::HUGEINT * gap) // (n1::HUGEINT * n0)
+         |    AS BIGINT) AS ks_u
          |FROM best""".stripMargin
     }
   )

@@ -725,6 +725,19 @@ object TextQueries extends QueryPack {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // -- scale-dispatched dedup (the PERF.md rule as an operator) ----------
+    // TextDedup.jaccardPairsAuto probes corpus cardinality and routes:
+    // exact prefix-filtered mining at/below ExactPairsMaxDocs distinct
+    // docs, MinHash-LSH banding above. The oracle twin pins the
+    // SMALL-CORPUS branch (sf0.01 is orders of magnitude under the
+    // threshold, so it must equal q_dedup_jaccard's exact answer);
+    // TextDedupSpec pins the switchover itself.
+    "q_dedup_auto" -> ((s, d) => {
+      TextDedup.jaccardPairsAuto(
+          Tables.documents(s, d).select(col("doc_id"), col("text")), 0.7)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     // -- incremental dedup: a new batch against the indexed corpus ---------
     // The steady-state production dedup shape: the corpus (first 80% of
     // doc ids — cutoff = floor(0.8·(max_id+1)), scale-relative by
@@ -1406,6 +1419,27 @@ object TextQueries extends QueryPack {
     })
   )
 
+  /** Naive-quadratic exact word-shingle Jaccard twin, shared verbatim by
+    * q_dedup_jaccard (the exact miner) and q_dedup_auto (the scale
+    * dispatcher, which MUST take the exact branch at oracle scale) so
+    * the two rows can never drift apart. */
+  private def exactJaccardOracle(normSql: String): String =
+    s"""WITH t AS (SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(0, greatest(len(string_split($normSql, ' ')) - 4, 1)),
+      |      i -> array_to_string(string_split($normSql, ' ')[i+1:i+5],
+      |        ' '))) AS toks
+      |  FROM documents)
+      |SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |    (len(a.toks) + len(b.toks)
+      |     - len(list_intersect(a.toks, b.toks))), 6) AS jacc
+      |FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |    (len(a.toks) + len(b.toks)
+      |     - len(list_intersect(a.toks, b.toks))) >= 0.7
+      |ORDER BY d1, d2""".stripMargin
+
   def oracle: Map[String, String] = {
     val normSql =
       "regexp_replace(lower(trim(text)), '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g')"
@@ -1884,22 +1918,13 @@ object TextQueries extends QueryPack {
            |ORDER BY d1, d2""".stripMargin
       },
 
-      "q_dedup_jaccard" ->
-        s"""WITH t AS (SELECT doc_id,
-          |    list_distinct(list_transform(
-          |      range(0, greatest(len(string_split($normSql, ' ')) - 4, 1)),
-          |      i -> array_to_string(string_split($normSql, ' ')[i+1:i+5],
-          |        ' '))) AS toks
-          |  FROM documents)
-          |SELECT a.doc_id AS d1, b.doc_id AS d2,
-          |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-          |    (len(a.toks) + len(b.toks)
-          |     - len(list_intersect(a.toks, b.toks))), 6) AS jacc
-          |FROM t a JOIN t b ON a.doc_id < b.doc_id
-          |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-          |    (len(a.toks) + len(b.toks)
-          |     - len(list_intersect(a.toks, b.toks))) >= 0.7
-          |ORDER BY d1, d2""".stripMargin,
+      "q_dedup_jaccard" -> exactJaccardOracle(normSql),
+
+      // the dispatcher's oracle pins the small-corpus branch: sf0.01 is
+      // orders of magnitude under TextDedup.ExactPairsMaxDocs, so
+      // q_dedup_auto must equal the exact miner's answer verbatim (the
+      // LSH branch's fidelity is covered by q_dedup_recall/TextDedupSpec)
+      "q_dedup_auto" -> exactJaccardOracle(normSql),
 
       // the naive quadratic twin restricted to increment-involving
       // orientations — same word-shingle sets as q_dedup_jaccard; the

@@ -351,6 +351,57 @@ object VectorQueries extends QueryPack {
       }
     }),
 
+    // -- ANN twin of q_knn_triangles (the sanctioned 100 TB path) ----------
+    // q_knn_triangles is EXACT kNN and therefore O(n²) by contract (its
+    // oracle is brute force); this is the recall-gated approximate twin
+    // a web-scale corpus actually runs: every vector probes its top-2
+    // fine cells of the SAME two-level IVF index q_sim_ivf serves,
+    // candidates are its cell-mates under nprobe-1 assignment, the
+    // exact cosine reranks candidates, and the top-3 graph feeds the
+    // identical symmetrize→wedge→close triangle phase. Cost: candidate
+    // volume is ~2·celldepth per vector (≈128 at the derived nlist) —
+    // linear in n with broadcast index tables and cid equi-joins, never
+    // all-pairs. Both rows stay in the corpus: exact is ground truth,
+    // this is the scale path, and VectorsSpec measures the edge recall
+    // between them (q_ann_recall monitors the same index continuously).
+    "q_knn_triangles_ann" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
+        .withColumn("nrm", Vectors.norm(col("v")))
+      val nlist = Vectors.deriveNlist(e.count())
+      val idx = Vectors.ivfIndex2(e, nlist)
+      val assign = Vectors.ivfAssign2(e, idx, 1)
+      val probes = Vectors.ivfAssign2(e, idx, 2)
+      val wTop = Window.partitionBy(col("a_id"))
+        .orderBy(col("cos_raw").desc, col("b_id").asc)
+      // probe cids are distinct per query and each candidate sits in
+      // exactly one cell, so the cid equi-join emits each (a, b) pair
+      // at most once — no candidate dedup needed before the window
+      val edges = probes.select(col("id").as("a_id"), col("cid"))
+        .join(assign.select(col("id").as("b_id"), col("cid")), "cid")
+        .filter(col("a_id") =!= col("b_id"))
+        .join(e.select(col("id").as("a_id"), col("v").as("av"),
+          col("nrm").as("anrm")), "a_id")
+        .join(e.select(col("id").as("b_id"), col("v").as("bv"),
+          col("nrm").as("bnrm")), "b_id")
+        .withColumn("cos_raw",
+          Vectors.dot(col("av"), col("bv")) / (col("anrm") * col("bnrm")))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 3)
+        .select(least(col("a_id"), col("b_id")).as("u"),
+          greatest(col("a_id"), col("b_id")).as("vx"))
+        .distinct()
+      val e1 = edges.select(col("u").as("x"), col("vx").as("y"))
+      val e2 = edges.select(col("u").as("y"), col("vx").as("z"))
+      val e3 = edges.select(col("u").as("x"), col("vx").as("z"))
+      val tri = e1.join(e2, "y").join(e3, Seq("x", "z"))
+      tri.select(col("x").as("vec_id"))
+        .union(tri.select(col("y")))
+        .union(tri.select(col("z")))
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("vec_id"))
+    }),
+
     // -- IVF ANN: centroid-partitioned approximate top-k -------------------
     // Inverted-file index: corpus vectors are assigned to their nearest
     // centroid (deterministic centroid set = first `nlist` vectors, no
@@ -607,14 +658,20 @@ object VectorQueries extends QueryPack {
       }
       // cov reports in ORIGINAL embedding units (the 1e6 fixed-point
       // scale squares out): at fixed-point magnitude ~1e10 a double's
-      // ulp exceeds 1e-6 and round(·, 6) becomes engine-dependent —
+      // ulp exceeds 1e-6 and 6dp quantization becomes engine-dependent —
       // dividing first puts the value at ~1e1 where 6dp is far above
-      // ulp and both engines round identically
+      // ulp and both engines quantize identically. Quantize with the
+      // floor(x*1e6 + 0.5)/1e6 idiom (q_semdedup's centroid_sim) rather
+      // than round(·, 6): a raw covariance in (-5e-7, 0) floors to an
+      // unsigned +0.0 in BOTH engines, where DuckDB's round keeps IEEE
+      // -0.0 and Spark's BigDecimal round cannot — the one-cell hash
+      // split CORRECTNESS_r10 caught at cell (5,9).
       rows.toDF("i", "j", "s_ij", "si", "sj")
         .select(col("i"), col("j"), col("s_ij"),
-          round(((col("s_ij").cast("double") -
+          (floor((((col("s_ij").cast("double") -
             col("si").cast("double") * col("sj").cast("double") /
-              lit(nT.toDouble)) / lit(nT.toDouble)) / lit(1e12), 6)
+              lit(nT.toDouble)) / lit(nT.toDouble)) / lit(1e12)) *
+            lit(1e6) + lit(0.5)) / lit(1e6))
             .as("cov"))
         .orderBy(col("i"), col("j"))
     }),
@@ -1380,6 +1437,38 @@ object VectorQueries extends QueryPack {
            |      UNION ALL SELECT z FROM tri) t
            |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
+      // the same two-level IVF CTEs as q_sim_ivf, with ALL vectors as
+      // probes (nprobe 2) feeding the exact query's triangle phase
+      "q_knn_triangles_ann" -> {
+        import graft.engine.OracleHash._
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+           |  FROM embeddings),
+           |n AS (SELECT vec_id, vd,
+           |    sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
+           |${ivf2IndexCtes("n", "vec_id")},
+           |${ivf2AssignCte("asg", "n", "vec_id", "", 1)},
+           |${ivf2AssignCte("probes", "n", "vec_id", "", 2)},
+           |cand AS (SELECT p.vec_id AS a_id, a.vec_id AS b_id,
+           |    list_dot_product(an.vd, bn.vd) / (an.nrm * bn.nrm)
+           |      AS cos_raw
+           |  FROM probes p JOIN asg a ON p.cid = a.cid
+           |  JOIN n an ON an.vec_id = p.vec_id
+           |  JOIN n bn ON bn.vec_id = a.vec_id
+           |  WHERE a.vec_id <> p.vec_id),
+           |k AS (SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
+           |    ORDER BY cos_raw DESC, b_id ASC) AS rnk FROM cand),
+           |ed AS (SELECT DISTINCT least(a_id, b_id) AS u,
+           |    greatest(a_id, b_id) AS vx FROM k WHERE rnk <= 3),
+           |tri AS (SELECT e1.u AS x, e1.vx AS y, e2.vx AS z
+           |  FROM ed e1 JOIN ed e2 ON e2.u = e1.vx
+           |  JOIN ed e3 ON e3.u = e1.u AND e3.vx = e2.vx)
+           |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_triangles
+           |FROM (SELECT x AS vec_id FROM tri
+           |      UNION ALL SELECT y FROM tri
+           |      UNION ALL SELECT z FROM tri) t
+           |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+      },
+
       // the shared two-level CTE helpers (OracleHash.ivf2*Ctes — one
       // oracle-pinned text with q_sim_ivf/q_dedup_embed, so the blocking
       // cannot drift); the Sim-variant extraCols keep (vd, nrm, csim)
@@ -1428,9 +1517,9 @@ object VectorQueries extends QueryPack {
           |  GROUP BY 1),
           |n AS (SELECT count(*) AS n FROM p)
           |SELECT CAST(s.i AS BIGINT) AS i, CAST(s.j AS BIGINT) AS j, s_ij,
-          |  round(((CAST(s_ij AS DOUBLE)
+          |  floor(((CAST(s_ij AS DOUBLE)
           |    - CAST(a.sk AS DOUBLE) * CAST(b.sk AS DOUBLE) / n.n) / n.n)
-          |    / 1e12, 6) AS cov
+          |    / 1e12 * 1e6 + 0.5e0) / 1e6 AS cov
           |FROM s JOIN m a ON a.k = s.i JOIN m b ON b.k = s.j CROSS JOIN n
           |ORDER BY i, j""".stripMargin,
 

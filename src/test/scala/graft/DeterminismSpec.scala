@@ -43,4 +43,26 @@ class DeterminismSpec extends AnyFunSuite {
       } finally spark.conf.set(key, old)
     }
   }
+
+  test("Canon.normalizeNegZero collapses -0.0 and preserves everything else") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, -0.0, -0.0f, "a"),
+      (2L, 0.0, 0.0f, "b"),
+      (3L, -1.5, 2.5f, "c"),
+      (4L, Double.NaN, Float.NaN, "d"))
+      .toDF("id", "d", "f", "s")
+    val out = graft.engine.Canon.normalizeNegZero(df)
+      .orderBy(col("id")).collect()
+    // row 1: both signed zeros become unsigned (+Inf reciprocal)
+    assert(1.0 / out(0).getDouble(1) > 0, "-0.0 double survived")
+    assert(1.0f / out(0).getFloat(2) > 0, "-0.0 float survived")
+    // rows 2-4: values untouched (incl. NaN), schema/order preserved
+    assert(out(1).getDouble(1) == 0.0 && out(1).getFloat(2) == 0.0f)
+    assert(out(2).getDouble(1) == -1.5 && out(2).getFloat(2) == 2.5f)
+    assert(out(3).getDouble(1).isNaN && out(3).getFloat(2).isNaN)
+    assert(out.map(_.getString(3)).toSeq == Seq("a", "b", "c", "d"))
+    assert(graft.engine.Canon.normalizeNegZero(df).schema == df.schema)
+  }
 }

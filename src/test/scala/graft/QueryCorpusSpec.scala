@@ -45,6 +45,32 @@ class QueryCorpusSpec extends AnyFunSuite {
       val n = df.count()
       if (!mayBeEmptyAtSf0001(name))
         assert(n > 0, s"$name returned no rows")
+      // Signed-zero canary (r10's one red row): a -0.0 double hashes
+      // differently from +0.0 in the comparison harness even though the
+      // values are equal. Verify normalizes at the gate (Canon); this
+      // asserts queries don't produce the class in the first place.
+      // Detection: x == 0.0 matches both zeros; the string form
+      // distinguishes them (Double.toString(-0.0) = "-0.0"). Division
+      // (1/-0.0 = -Inf) would be the classic probe but ANSI mode turns
+      // any /0 into DIVIDE_BY_ZERO. One distributed aggregate, no
+      // collect.
+      val floatCols = df.schema.fields.filter(f =>
+        f.dataType == org.apache.spark.sql.types.DoubleType ||
+        f.dataType == org.apache.spark.sql.types.FloatType)
+      if (floatCols.nonEmpty) {
+        import org.apache.spark.sql.functions.{col, count, when}
+        val negZeroCounts = floatCols.map { f =>
+          val c = col(f.name).cast("double")
+          count(when(c === 0.0 && c.cast("string").startsWith("-"), 1))
+            .as(f.name)
+        }
+        val row = df.agg(negZeroCounts.head, negZeroCounts.tail.toSeq: _*)
+          .head()
+        floatCols.map(_.name).zipWithIndex.foreach { case (cn, i) =>
+          assert(row.getLong(i) == 0L,
+            s"$name column $cn contains ${row.getLong(i)} -0.0 value(s)")
+        }
+      }
     }
   }
 }

@@ -49,6 +49,22 @@ class TextDedupSpec extends AnyFunSuite {
     assert(lsh.contains((0L, 1L)))
   }
 
+  test("scale dispatcher: exact at/under the ceiling, MinHash-LSH above; auto equals exact here") {
+    // The PERF.md dispatch rule as code (TextDedup.dedupPathFor): the
+    // switchover constant and the chooser are pinned so the rule can't
+    // silently drift, and jaccardPairsAuto on a small corpus must emit
+    // the exact miner's answer bit-for-bit.
+    assert(TextDedup.dedupPathFor(1L) == "exact")
+    assert(TextDedup.dedupPathFor(TextDedup.ExactPairsMaxDocs) == "exact")
+    assert(TextDedup.dedupPathFor(TextDedup.ExactPairsMaxDocs + 1)
+      == "minhash-lsh")
+    val auto = TextDedup.jaccardPairsAuto(docs, 0.2)
+      .select($"d1", $"d2", $"jacc").as[(Long, Long, Double)]
+      .collect().toSeq.sorted
+    assert(auto == exact.sorted,
+      s"auto (exact branch) diverged from exactJaccardPairs: $auto")
+  }
+
   test("native 3-shingle distinct count equals the interpreted trigram pipeline") {
     // q_repetition_ratio's rewrite contract: size(shingleHashes(text, 3))
     // must agree with the transform/slice/concat trigram formulation,

@@ -101,6 +101,56 @@ class VectorsSpec extends AnyFunSuite {
       s"only-brute=${(brute.toSet -- blocked.toSet).take(5)}")
   }
 
+  test("q_knn_triangles_ann: IVF edge recall vs the exact kNN graph is measured and bounded") {
+    // The recall gate for the sanctioned 100 TB path: the ANN twin's
+    // kNN edge set must recover most of the exact graph's edges. The
+    // exact side is the same brute-force build the previous test uses;
+    // the ANN side replays the query's candidate construction (nprobe-2
+    // probes × nprobe-1 assignment over the shared two-level index).
+    import org.apache.spark.sql.expressions.Window
+    val sfDir = "/root/testdata/sf0.001"
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), Vectors.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    val a = base.select(col("id").as("a_id"), col("v").as("av"),
+      col("nrm").as("anrm"))
+    val b = base.select(col("id").as("b_id"), col("v").as("bv"),
+      col("nrm").as("bnrm"))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("cos_raw").desc, col("b_id").asc)
+    val exact = a.join(broadcast(b), col("a_id") =!= col("b_id"))
+      .withColumn("cos_raw",
+        Vectors.dot(col("av"), col("bv")) / (col("anrm") * col("bnrm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(least(col("a_id"), col("b_id")).as("u"),
+        greatest(col("a_id"), col("b_id")).as("vx"))
+      .distinct()
+      .as[(Long, Long)].collect().toSet
+    val nlist = Vectors.deriveNlist(base.count())
+    val idx = Vectors.ivfIndex2(base, nlist)
+    val assign = Vectors.ivfAssign2(base, idx, 1)
+    val probes = Vectors.ivfAssign2(base, idx, 2)
+    val ann = probes.select(col("id").as("a_id"), col("cid"))
+      .join(assign.select(col("id").as("b_id"), col("cid")), "cid")
+      .filter(col("a_id") =!= col("b_id"))
+      .join(a, "a_id").join(b, "b_id")
+      .withColumn("cos_raw",
+        Vectors.dot(col("av"), col("bv")) / (col("anrm") * col("bnrm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(least(col("a_id"), col("b_id")).as("u"),
+        greatest(col("a_id"), col("b_id")).as("vx"))
+      .distinct()
+      .as[(Long, Long)].collect().toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    info(f"kNN edge recall (IVF nprobe=2 vs exact, sf0.001): $recall%.3f " +
+      s"(${(exact & ann).size}/${exact.size})")
+    assert(recall >= 0.3,
+      f"ANN edge recall $recall%.3f below the 0.3 alarm floor — " +
+      "retune nprobe/nlist before trusting the scale path")
+  }
+
   test("q_hard_negatives extends q_sim_ivf's ranking: disjoint from and below the top-5") {
     val top = SparkEntry.queries("q_sim_ivf")(spark, SparkFixture.sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
