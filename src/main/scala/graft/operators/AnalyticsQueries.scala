@@ -644,6 +644,35 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("day"))
     }),
 
+    // -- cumulative distinct users per day (reach curve) -------------------
+    // The audience-reach counter q_active_users' per-window distincts
+    // cannot answer: how many DISTINCT users has the product ever seen
+    // as of each day? The naive per-day COUNT(DISTINCT ... WHERE day <=
+    // d) rescans the corpus once per day; the distributed shape is the
+    // first-seen trick — a running distinct count is exactly the count
+    // of FIRST OCCURRENCES, so one user-keyed min(day) aggregate
+    // reduces the corpus to one row per user, a day-keyed count reduces
+    // that to the bounded day frame, and the cumulative sum runs on
+    // days only. DAU joins back for the same-frame comparison. All
+    // integer; one user-keyed + one day-keyed shuffle.
+    "q_running_distinct" -> ((s, d) => {
+      val e = Tables.eventsWithTime(s, d)
+        .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
+      val firstSeen = e.groupBy(col("user_id"))
+        .agg(min(col("day")).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+      val dau = e.groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dau.join(firstSeen, Seq("day"), "left")
+        .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+        .withColumn("cum_distinct", sum(col("new_users")).over(w))
+        .select(col("day"), col("dau"), col("new_users"),
+          col("cum_distinct"))
+        .orderBy(col("day"))
+    }),
+
     // -- referential-integrity audit (constraint checking) -----------------
     // The invariants a lakehouse cannot declare-and-enforce the way an
     // OLTP database does, so it AUDITS them per batch instead: primary-
@@ -2981,6 +3010,20 @@ object AnalyticsQueries extends QueryPack {
         |SELECT day, dau.week, dau, wau,
         |  round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
         |FROM dau JOIN wau USING (week) ORDER BY day""".stripMargin,
+
+    "q_running_distinct" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id
+        |  FROM events),
+        |fs AS (SELECT min(day) AS day FROM e GROUP BY user_id),
+        |nu AS (SELECT day, count(*) AS new_users FROM fs GROUP BY day),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau
+        |  FROM e GROUP BY day)
+        |SELECT dau.day, dau,
+        |  CAST(coalesce(new_users, 0) AS BIGINT) AS new_users,
+        |  CAST(sum(coalesce(new_users, 0))
+        |    OVER (ORDER BY dau.day) AS BIGINT) AS cum_distinct
+        |FROM dau LEFT JOIN nu ON nu.day = dau.day
+        |ORDER BY dau.day""".stripMargin,
 
     "q_integrity_audit" ->
       """WITH c1 AS (SELECT 'pk_orders_unique' AS "check",

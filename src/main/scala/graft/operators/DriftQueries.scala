@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{Dist, QueryPack, Tables}
 
@@ -23,6 +24,13 @@ import graft.engine.{Dist, QueryPack, Tables}
   *  - q_chi2_select — per-language chi-square association against the
   *                    source mix (the classic feature-selection statistic
   *                    over a lang × source contingency table).
+  *  - q_js_divergence — symmetric, bounded Jensen–Shannon divergence of
+  *                    the event-type mix between the cohorts, reported as
+  *                    per-type term rows over exact integer counts.
+  *  - q_cusum       — tabular CUSUM control chart (k = σ/2, h = 4σ) over
+  *                    the daily mean series; the sequential recursion
+  *                    collapses to running sums/mins via the prefix
+  *                    identity, all in exact integer micro-units.
   *
   * Scale notes (100 TB): every path reduces to keyed aggregations over
   * bounded-cardinality frames. The KS/PSI cumulative counts ride
@@ -197,6 +205,95 @@ object DriftQueries extends QueryPack {
         .withColumn("dof", lit(sCount - 1))
         .select(col("lang"), col("n_docs"), col("chi2"), col("dof"))
         .orderBy(col("lang"))
+    }),
+
+    // -- Jensen–Shannon divergence between cohort mixes --------------------
+    // The symmetric, bounded ([0, ln 2]) companion of q_drift_psi: how
+    // far has the EVENT-TYPE mix moved between the early and late
+    // cohort? KL is undefined on empty cells and asymmetric; JS against
+    // the midpoint M = (P+Q)/2 is the drift metric a mixture monitor
+    // actually alarms on. Laplace-smoothed proportions (the PSI
+    // convention) keep terms finite. Output is PER-TYPE term rows, not
+    // a float total: each js_term is ONE fixed double expression over
+    // exact integer counts (no cross-row float summation whose order an
+    // engine could choose differently) — the consumer sums the bounded
+    // frame. Cost: one conditional aggregate over the type vocabulary;
+    // the cohort split broadcasts as a one-row bounds frame.
+    "q_js_divergence" -> ((s, d) => {
+      val e = Tables.eventsWithTime(s, d)
+        .select(col("event_type"), col("ts_us").as("us"))
+      val bounds = e.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+        .select(expr("(lo + hi) div 2").as("mid"))
+      val g = e.crossJoin(broadcast(bounds))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(col("us") < col("mid"), 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("us") >= col("mid"), 1L).otherwise(0L)).as("n_cur"))
+      val t = g.agg(sum(col("n_ref")).as("ta"), sum(col("n_cur")).as("tb"),
+        count(lit(1)).as("k"))
+      val p = (col("n_ref").cast("double") + lit(0.5)) /
+        (col("ta").cast("double") + lit(0.5) * col("k"))
+      val q = (col("n_cur").cast("double") + lit(0.5)) /
+        (col("tb").cast("double") + lit(0.5) * col("k"))
+      val m = (p + q) / lit(2.0)
+      g.crossJoin(broadcast(t))
+        .select(col("event_type"), col("n_ref"), col("n_cur"),
+          round(p, 6).as("p_ref"), round(q, 6).as("p_cur"),
+          // floor idiom, not round(·, 6): a tiny FP-negative term (p ≈ q)
+          // must not reach DuckDB's signed-zero round (the q_embed_gram
+          // class)
+          (floor((p * log(p / m) + q * log(q / m)) / lit(2.0) * lit(1e6) +
+            lit(0.5)) / lit(1e6)).as("js_term"))
+        .orderBy(col("event_type"))
+    }),
+
+    // -- CUSUM control chart over the daily value series -------------------
+    // The sequential mean-shift detector q_changepoint's single-split
+    // scan cannot replace: tabular CUSUM with reference value k = σ/2
+    // and decision interval h = 4σ, the SPC textbook parameterization.
+    // The recursion S⁺_t = max(0, S⁺_{t-1} + (x_t − μ − k)) is
+    // sequential on its face; it collapses to pure windows via the
+    // prefix identity S⁺_t = C_t − min(0, min_{s≤t} C_s) with
+    // C_t = Σ_{i≤t}(x_i − μ − k) — so the whole chart is two running
+    // sums + two running mins over the BOUNDED day frame (the
+    // data-sized work is one day-keyed aggregate). Determinism: day
+    // means, μ, k, h are all quantized to exact integer micro-units
+    // before any accumulation — the running sums are integer arithmetic,
+    // and the alarm boundary is an exact integer comparison.
+    "q_cusum" -> ((s, d) => {
+      val byDay = Tables.eventsWithTime(s, d)
+        .select(expr("ts_us div 86400000000").as("day"),
+          floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+            .as("vq"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("vq")).as("sq"))
+        .withColumn("xm", expr("(sq * 1000) div n"))
+      val t = byDay.agg(sum(col("sq")).as("tsq"), sum(col("n")).as("tn"),
+        count(lit(1)).as("nd"), sum(col("xm")).as("s1"),
+        sum(col("xm") * col("xm")).as("s2"))
+      val withT = byDay.crossJoin(broadcast(t))
+        .withColumn("mu", expr("(tsq * 1000) div tn"))
+        .withColumn("sd", sqrt((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1") / col("nd")) / col("nd")))
+        .withColumn("kq",
+          floor(col("sd") * lit(0.5) + lit(0.5)).cast("long"))
+        .withColumn("hq",
+          floor(col("sd") * lit(4.0) + lit(0.5)).cast("long"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      withT
+        .withColumn("cp", sum(col("xm") - col("mu") - col("kq")).over(w))
+        .withColumn("cm", sum(col("mu") - col("kq") - col("xm")).over(w))
+        .withColumn("shi",
+          col("cp") - least(lit(0L), min(col("cp")).over(w)))
+        .withColumn("slo",
+          col("cm") - least(lit(0L), min(col("cm")).over(w)))
+        .select(col("day"), col("n"),
+          (col("xm").cast("double") / lit(1e6)).as("xbar"),
+          (col("shi").cast("double") / lit(1e6)).as("cusum_hi"),
+          (col("slo").cast("double") / lit(1e6)).as("cusum_lo"),
+          (col("shi") > col("hq") || col("slo") > col("hq")).as("alarm"))
+        .orderBy(col("day"))
     })
   )
 
@@ -277,6 +374,62 @@ object DriftQueries extends QueryPack {
         |  round(sum(pow(o - e_in, 2) / e_in
         |    + pow((st - o) - e_out, 2) / e_out), 6) AS chi2,
         |  (SELECT count(*) - 1 FROM st) AS dof
-        |FROM terms GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM terms GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // identical FP shapes: p/q/m computed once in a staged CTE, every
+    // reference reuses the same double value (Spark's column reuse
+    // inlines the identical expression tree — same ops, same bits)
+    "q_js_divergence" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |b AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+        |g AS (SELECT event_type,
+        |    sum(CASE WHEN us < mid THEN 1 ELSE 0 END) AS n_ref,
+        |    sum(CASE WHEN us >= mid THEN 1 ELSE 0 END) AS n_cur
+        |  FROM e CROSS JOIN b GROUP BY event_type),
+        |t AS (SELECT sum(n_ref) AS ta, sum(n_cur) AS tb,
+        |    count(*) AS k FROM g),
+        |pq AS (SELECT event_type, n_ref, n_cur,
+        |    (CAST(n_ref AS DOUBLE) + 0.5)
+        |      / (CAST(ta AS DOUBLE) + 0.5 * k) AS p,
+        |    (CAST(n_cur AS DOUBLE) + 0.5)
+        |      / (CAST(tb AS DOUBLE) + 0.5 * k) AS q
+        |  FROM g CROSS JOIN t),
+        |pm AS (SELECT *, (p + q) / 2.0 AS m FROM pq)
+        |SELECT event_type, CAST(n_ref AS BIGINT) AS n_ref,
+        |  CAST(n_cur AS BIGINT) AS n_cur,
+        |  round(p, 6) AS p_ref, round(q, 6) AS p_cur,
+        |  floor((p * ln(p / m) + q * ln(q / m)) / 2.0 * 1e6 + 0.5) / 1e6
+        |    AS js_term
+        |FROM pm ORDER BY event_type""".stripMargin,
+
+    // integer micro-units end to end: day means, μ, k, h quantized before
+    // any accumulation, running sums exact, alarm boundary integer
+    "q_cusum" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq
+        |  FROM events),
+        |g AS (SELECT day, count(*) AS n, sum(vq) AS sq
+        |  FROM e GROUP BY day),
+        |g2 AS (SELECT day, n, sq, (sq * 1000) // n AS xm FROM g),
+        |t AS (SELECT sum(sq) AS tsq, sum(n) AS tn, count(*) AS nd,
+        |    sum(xm) AS s1, sum(xm * xm) AS s2 FROM g2),
+        |p AS (SELECT g2.*, (tsq * 1000) // tn AS mu,
+        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nd)
+        |      / nd) AS sd
+        |  FROM g2 CROSS JOIN t),
+        |k AS (SELECT *, CAST(floor(sd * 0.5 + 0.5) AS BIGINT) AS kq,
+        |    CAST(floor(sd * 4.0 + 0.5) AS BIGINT) AS hq FROM p),
+        |c AS (SELECT *,
+        |    sum(xm - mu - kq) OVER (ORDER BY day) AS cp,
+        |    sum(mu - kq - xm) OVER (ORDER BY day) AS cm FROM k),
+        |sc AS (SELECT *,
+        |    cp - least(0, min(cp) OVER (ORDER BY day)) AS shi,
+        |    cm - least(0, min(cm) OVER (ORDER BY day)) AS slo FROM c)
+        |SELECT CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n,
+        |  CAST(xm AS DOUBLE) / 1e6 AS xbar,
+        |  CAST(shi AS DOUBLE) / 1e6 AS cusum_hi,
+        |  CAST(slo AS DOUBLE) / 1e6 AS cusum_lo,
+        |  (shi > hq OR slo > hq) AS alarm
+        |FROM sc ORDER BY day""".stripMargin
   )
 }

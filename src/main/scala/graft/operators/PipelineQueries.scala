@@ -866,6 +866,89 @@ object PipelineQueries extends QueryPack {
     // and flag every group smaller than k=5 — those rows would need
     // suppression or generalization. One aggregation; group cardinality
     // is bounded by the identifier domain product, never the corpus.
+    // -- class-imbalance training weights ----------------------------------
+    // The two standard corrections a trainer applies to an imbalanced
+    // label/language mix: inverse-frequency weights N/(K·n_c) (exact
+    // integer micro-division), and the effective-number-of-samples
+    // weights (1−β)/(1−β^n) with β = 0.999 (Cui et al., CVPR 2019) —
+    // the form that stops over-weighting classes whose marginal sample
+    // adds no new information. The β^n power is the only
+    // transcendental; it feeds ONE fixed double expression from the
+    // exact integer count, reported per 1000 docs so 6dp quantization
+    // has headroom. Cost: one vocabulary-sized aggregate.
+    "q_class_weights" -> ((s, d) => {
+      val g = Tables.documents(s, d)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val t = g.agg(sum(col("n")).as("tot"), count(lit(1)).as("k"))
+      g.crossJoin(broadcast(t))
+        .select(col("lang"), col("n"),
+          (expr("(tot * 1000000) div (k * n)").cast("double") / lit(1e6))
+            .as("inv_freq_w"),
+          (floor((lit(1.0) - lit(0.999)) /
+            (lit(1.0) - pow(lit(0.999), col("n").cast("double"))) *
+            lit(1000.0) * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("eff_num_w_per_1k"))
+        .orderBy(col("lang"))
+    }),
+
+    // -- l-diversity audit (the k-anonymity blind spot) --------------------
+    // q_kanon counts group SIZES; a group can be large yet leak — if
+    // every member shares the same sensitive value, membership reveals
+    // it. l-diversity requires ≥ l distinct sensitive values per
+    // quasi-identifier group. QI = (mktsegment, nationkey), sensitive =
+    // the account-balance band; flag groups under l = 3. One aggregate
+    // with a distinct count — same cost class as the k-anon audit it
+    // completes.
+    "q_l_diversity" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_nationkey"),
+          expr("CAST(floor(c_acctbal / 2000.0) AS BIGINT)").as("bal_band"))
+        .groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("bal_band")).as("l_div"))
+        .withColumn("flagged", col("l_div") < 3)
+        .orderBy(col("c_mktsegment"), col("c_nationkey"))
+    }),
+
+    // -- differentially-private quantile (exponential mechanism) -----------
+    // Completes the DP release family (count, sum → quantile): the
+    // median cannot be released by adding noise to a value (rank
+    // utility, not value utility), so the exponential mechanism scores
+    // every CANDIDATE value c by u(c) = −|rank(c) − n/2| (sensitivity
+    // 1) and samples ∝ exp(ε·u/2) — equivalently, argmax of ε·u/2 +
+    // Gumbel noise. Candidates are the distinct milli-values (the
+    // Mann-Whitney bounded-frame class); utilities are exact integers
+    // (|2·cum − n| avoids the half-rank); the Gumbel draw is splitmix64-
+    // seeded per candidate (the q_dp_count reproducible-release
+    // policy). Reports the DP median next to the true median and the
+    // realized rank error — the privacy/accuracy trade made visible.
+    "q_dp_quantile" -> ((s, d) => {
+      val byV = Tables.events(s, d)
+        .select(floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+          .as("vq"))
+        .groupBy(col("vq")).agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("vq"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cdf = byV.withColumn("cum", sum(col("cnt")).over(w))
+      val t = cdf.agg(max(col("cum")).as("n"))
+      val scored = cdf.crossJoin(broadcast(t))
+        .withColumn("absdev", abs(col("cum") * lit(2L) - col("n")))
+        .withColumn("u01",
+          (shiftrightunsigned(NativeExpressions.splitmix64(col("vq")), 11)
+            .cast("double") + lit(0.5)) / lit(9007199254740992.0))
+        .withColumn("score", lit(-0.25) * col("absdev").cast("double") +
+          -log(-log(col("u01"))))
+      val winner = scored.orderBy(col("score").desc, col("vq")).limit(1)
+      val trueMed = cdf.crossJoin(broadcast(t))
+        .filter(col("cum") * lit(2L) >= col("n"))
+        .agg(min(col("vq")).as("mvq"))
+      winner.crossJoin(broadcast(trueMed))
+        .select((col("vq").cast("double") / lit(1000.0)).as("dp_median"),
+          (col("mvq").cast("double") / lit(1000.0)).as("true_median"),
+          expr("absdev div 2").as("rank_error"),
+          lit(1.0).as("epsilon"))
+    }),
+
     "q_kanon" -> ((s, d) => {
       Tables.documents(s, d)
         .groupBy(col("lang"), col("source"),
@@ -1453,6 +1536,60 @@ object PipelineQueries extends QueryPack {
         |  count(*) AS n, count(*) < 5 AS suppressed
         |FROM documents GROUP BY lang, source, n_chars // 100
         |ORDER BY lang, source, len_bucket""".stripMargin,
+
+    // β^n is the only transcendental; one mirrored double expression
+    // from the exact count, reported per-1000 for 6dp headroom
+    "q_class_weights" ->
+      """WITH g AS (SELECT lang, count(*) AS n FROM documents
+        |  GROUP BY lang),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+        |    count(*) AS k FROM g)
+        |SELECT lang, n,
+        |  CAST((tot * 1000000) // (k * n) AS DOUBLE) / 1e6
+        |    AS inv_freq_w,
+        |  floor((1.0e0 - 0.999e0)
+        |    / (1.0e0 - pow(0.999e0, CAST(n AS DOUBLE)))
+        |    * 1000.0e0 * 1e6 + 0.5e0) / 1e6 AS eff_num_w_per_1k
+        |FROM g CROSS JOIN t ORDER BY lang""".stripMargin,
+
+    "q_l_diversity" ->
+      """SELECT c_mktsegment, c_nationkey, count(*) AS n,
+        |  count(DISTINCT CAST(floor(c_acctbal / 2000.0) AS BIGINT))
+        |    AS l_div,
+        |  count(DISTINCT CAST(floor(c_acctbal / 2000.0) AS BIGINT)) < 3
+        |    AS flagged
+        |FROM customer GROUP BY c_mktsegment, c_nationkey
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+
+    // candidate utilities exact integers; Gumbel draw splitmix64-seeded
+    // per candidate, every double op mirrored token-for-token
+    "q_dp_quantile" -> {
+      import graft.engine.OracleHash._
+      s"""WITH b AS (SELECT
+         |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq,
+         |    count(*) AS cnt FROM events GROUP BY 1),
+         |c AS (SELECT vq, cnt, CAST(sum(cnt) OVER (ORDER BY vq
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS cum FROM b),
+         |t AS (SELECT max(cum) AS n FROM c),
+         |a AS (SELECT vq, cum, abs(cum * 2 - n) AS absdev
+         |  FROM c CROSS JOIN t),
+         |${splitmixStages("a", "vq, cum, absdev", "vq::UBIGINT")},
+         |sc AS (SELECT vq, absdev,
+         |    -0.25e0 * CAST(absdev AS DOUBLE)
+         |    + (-ln(-ln((CAST(xor(z3, z3 >> 31) >> 11 AS DOUBLE)
+         |      + 0.5e0) / 9007199254740992.0e0))) AS score
+         |  FROM p3_),
+         |w AS (SELECT vq, absdev FROM sc
+         |  ORDER BY score DESC, vq LIMIT 1),
+         |m AS (SELECT min(vq) AS mvq FROM c CROSS JOIN t
+         |  WHERE cum * 2 >= n)
+         |SELECT CAST(w.vq AS DOUBLE) / 1000.0 AS dp_median,
+         |  CAST(mvq AS DOUBLE) / 1000.0 AS true_median,
+         |  CAST(absdev // 2 AS BIGINT) AS rank_error,
+         |  1.0e0 AS epsilon
+         |FROM w CROSS JOIN m""".stripMargin
+    },
 
     "q_anonymize" ->
       """SELECT sha256(concat('pepper-1:', c_custkey)) AS pseudo_id,

@@ -201,6 +201,50 @@ object StatsQueries extends QueryPack {
         .orderBy(col("dow"))
     }),
 
+    // -- STL-lite trend/seasonal/remainder decomposition -------------------
+    // q_seasonal_dow reports dow OFFSETS; this decomposes the whole
+    // daily series the classic-decomposition way: trend = centered
+    // 7-day moving average (full windows only — edges stay NULL rather
+    // than silently shortening the kernel), seasonal = per-dow mean of
+    // the detrended series, remainder = what's left — the frame an
+    // anomaly monitor thresholds. Determinism: day means are exact
+    // integer micro-units; the MA of 7 integers is an exact integer
+    // division; the per-dow mean is the only fractional step and is
+    // floor(x+0.5)-quantized from exact integer sums, so every output
+    // is an integer micro-value divided by 1e6. The data-sized step is
+    // one day-keyed aggregate; all windows ride the bounded day frame.
+    "q_stl_decompose" -> ((s, d) => {
+      val byDay = Tables.eventsWithTime(s, d)
+        .select(expr("ts_us div 86400000000").as("day"),
+          floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+            .as("vq"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("vq")).as("sq"))
+        .withColumn("xm", expr("(sq * 1000) div n"))
+        .withColumn("dow", expr("(day + 3) % 7"))
+      val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      val tr = byDay
+        .withColumn("wc", count(lit(1)).over(w7))
+        .withColumn("swin", sum(col("xm")).over(w7))
+        .withColumn("trend_u",
+          when(col("wc") === 7, expr("swin div 7")))
+      val sdow = tr.filter(col("trend_u").isNotNull)
+        .groupBy(col("dow"))
+        .agg(sum(col("xm") - col("trend_u")).as("sdet"),
+          count(lit(1)).as("cnt"))
+        .select(col("dow"),
+          floor(col("sdet").cast("double") / col("cnt") + lit(0.5))
+            .cast("long").as("s_u"))
+      tr.join(sdow, Seq("dow"), "left")
+        .select(col("day"), col("dow"), col("n"),
+          (col("xm").cast("double") / lit(1e6)).as("x"),
+          (col("trend_u").cast("double") / lit(1e6)).as("trend"),
+          (col("s_u").cast("double") / lit(1e6)).as("seasonal"),
+          ((col("xm") - col("trend_u") - col("s_u")).cast("double") /
+            lit(1e6)).as("remainder"))
+        .orderBy(col("day"))
+    }),
+
     // -- sequential probability ratio test (Wald SPRT) --------------------
     // The streaming-decision primitive batch A/B tests lack: walk the
     // event stream in time order accumulating the Bernoulli
@@ -332,6 +376,55 @@ object StatsQueries extends QueryPack {
           round(col("spu").cast("double") / col("n") / lit(1000000.0), 6)
             .as("mean_pred"),
           round(col("n_pos").cast("double") / col("n"), 6).as("rate"))
+        .orderBy(col("bin"))
+    }),
+
+    // -- isotonic calibration (PAVA on the reliability deciles) ------------
+    // q_calibration DIAGNOSES miscalibration; this REPAIRS it: the
+    // monotone-nondecreasing rate curve closest (weighted L2) to the
+    // per-bin empirical rates — what a production scorer applies as its
+    // calibration map. Pool-adjacent-violators is a sequential
+    // algorithm; on the bounded bin frame it collapses to the exact
+    // minimax identity iso_i = max_{j≤i} min_{k≥i} mean(y over bins
+    // j..k) — a (j, k) interval enumeration over ≤10 rows, free of
+    // driver loops AND of sequential state. Interval means are exact
+    // integer micro-divisions of prefix-sum differences, so the
+    // max-of-min decides on integers — no float comparison anywhere.
+    // Data-sized work: the same classifier pass + 10-row aggregation
+    // as q_calibration; the enumeration is O(bins³) on a bounded frame.
+    "q_isotonic" -> ((s, d) => {
+      val scored = TextDedup.classifierScored(Tables.documents(s, d),
+        Seq(col("doc_id"), col("n_chars")))
+      val bins = scored
+        .withColumn("p", lit(1.0) /
+          (lit(1.0) + exp(-col("score").cast("double") / lit(4.0))))
+        .withColumn("pu", floor(col("p") * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+        .withColumn("bin", least(expr("pu div 100000"), lit(9L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("n_chars") >= 300, 1L).otherwise(0L)).as("n_pos"))
+      val w = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = bins
+        .withColumn("cn", sum(col("n")).over(w))
+        .withColumn("cp", sum(col("n_pos")).over(w))
+      val jf = c.select(col("bin").as("j"), (col("cn") - col("n"))
+        .as("cnj"), (col("cp") - col("n_pos")).as("cpj"))
+      val kf = c.select(col("bin").as("k"), col("cn").as("cnk"),
+        col("cp").as("cpk"))
+      val iv = jf.crossJoin(kf).filter(col("j") <= col("k"))
+        .withColumn("m_u",
+          expr("((cpk - cpj) * 1000000) div (cnk - cnj)"))
+      val iso = c.select(col("bin").as("i"))
+        .join(iv, col("j") <= col("i") && col("k") >= col("i"))
+        .groupBy(col("i"), col("j")).agg(min(col("m_u")).as("mn"))
+        .groupBy(col("i")).agg(max(col("mn")).as("iso_u"))
+      c.join(iso, col("bin") === col("i"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          (expr("(n_pos * 1000000) div n").cast("double") / lit(1e6))
+            .as("rate"),
+          (col("iso_u").cast("double") / lit(1e6)).as("iso_rate"))
         .orderBy(col("bin"))
     }),
 
@@ -1699,6 +1792,34 @@ object StatsQueries extends QueryPack {
         |    AS resid_sd
         |FROM d CROSS JOIN g ORDER BY dow""".stripMargin,
 
+    // centered 7-row MA (full windows only), per-dow mean of detrended
+    // integers floor(x+0.5)-quantized; every output = micro-int / 1e6
+    "q_stl_decompose" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq
+        |  FROM events),
+        |g AS (SELECT day, count(*) AS n, sum(vq) AS sq
+        |  FROM e GROUP BY day),
+        |g2 AS (SELECT day, n, sq, (sq * 1000) // n AS xm,
+        |    (day + 3) % 7 AS dow FROM g),
+        |t AS (SELECT *,
+        |    CASE WHEN count(*) OVER w7 = 7
+        |      THEN (sum(xm) OVER w7) // 7 END AS trend_u
+        |  FROM g2 WINDOW w7 AS (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |sd AS (SELECT dow, CAST(floor(
+        |    CAST(sum(xm - trend_u) AS DOUBLE) / count(*) + 0.5)
+        |    AS BIGINT) AS s_u
+        |  FROM t WHERE trend_u IS NOT NULL GROUP BY dow)
+        |SELECT CAST(t.day AS BIGINT) AS day,
+        |  CAST(t.dow AS BIGINT) AS dow, CAST(t.n AS BIGINT) AS n,
+        |  CAST(xm AS DOUBLE) / 1e6 AS x,
+        |  CAST(trend_u AS DOUBLE) / 1e6 AS trend,
+        |  CAST(s_u AS DOUBLE) / 1e6 AS seasonal,
+        |  CAST(xm - trend_u - s_u AS DOUBLE) / 1e6 AS remainder
+        |FROM t LEFT JOIN sd ON sd.dow = t.dow
+        |ORDER BY day""".stripMargin,
+
     // exact prefix integers under one window; ln constants from the
     // same literals; LLR micro-quantized before every boundary compare
     "q_ab_sprt" ->
@@ -1789,6 +1910,37 @@ object StatsQueries extends QueryPack {
          |  round(CAST(spu AS DOUBLE) / n / 1000000.0e0, 6) AS mean_pred,
          |  round(CAST(n_pos AS DOUBLE) / n, 6) AS rate
          |FROM bn ORDER BY bin""".stripMargin,
+
+    // exact minimax PAVA on the bounded bin frame: interval means are
+    // integer micro-divisions, max-of-min decides on integers
+    "q_isotonic" ->
+      s"""WITH ${OracleHash.classifierScoreCtes("doc_id, n_chars")},
+         |pr AS (SELECT doc_id, n_chars, CAST(floor(
+         |    1.0e0 / (1.0e0 + exp(-CAST(score AS DOUBLE) / 4.0e0))
+         |      * 1000000.0e0 + 0.5) AS BIGINT) AS pu
+         |  FROM sc),
+         |bn AS (SELECT least(pu // 100000, 9) AS bin, count(*) AS n,
+         |    CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_pos
+         |  FROM pr GROUP BY 1),
+         |c AS (SELECT bin, n, n_pos,
+         |    CAST(sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+         |    CAST(sum(n_pos) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cp
+         |  FROM bn),
+         |iv AS (SELECT j.bin AS j, k.bin AS k,
+         |    ((k.cp - (j.cp - j.n_pos)) * 1000000)
+         |      // (k.cn - (j.cn - j.n)) AS m_u
+         |  FROM c j CROSS JOIN c k WHERE j.bin <= k.bin),
+         |mn AS (SELECT c.bin AS i, iv.j, min(m_u) AS mn
+         |  FROM c JOIN iv ON iv.j <= c.bin AND iv.k >= c.bin
+         |  GROUP BY 1, 2),
+         |iso AS (SELECT i, max(mn) AS iso_u FROM mn GROUP BY i)
+         |SELECT c.bin, c.n, c.n_pos,
+         |  CAST((c.n_pos * 1000000) // c.n AS DOUBLE) / 1e6 AS rate,
+         |  CAST(iso_u AS DOUBLE) / 1e6 AS iso_rate
+         |FROM c JOIN iso ON iso.i = c.bin ORDER BY c.bin""".stripMargin,
 
     // doubled midranks on the distinct-value frame; HUGEINT products
     // mirror Spark's decimal(38,0); one shared double expression for z

@@ -226,6 +226,68 @@ object TextQueries extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // -- Flesch readability scoring (syllable-heuristic) --------------------
+    // The classic document-difficulty signal a curriculum or quality
+    // mix keys on: Flesch reading ease + Flesch–Kincaid grade, with
+    // syllables approximated by vowel-group counts (the standard
+    // dictionary-free heuristic — exact syllabification needs a
+    // pronunciation lexicon; the GROUP count is deterministic and
+    // engine-portable as a single regex count). Words count over the
+    // same normalized text as the rest of the text family; sentences
+    // are [.!?]+ runs floored at 1. Each score is ONE fixed double
+    // expression over the three per-doc integers, floor-quantized (a
+    // dense doc's ease score goes negative — round() is out per the
+    // signed-zero policy). Embarrassingly parallel scan; no shuffle.
+    "q_readability" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .withColumn("wrds",
+          regexp_count(norm(col("text")), lit("[^ ]+")).cast("long"))
+        .withColumn("sents",
+          greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+            .cast("long"))
+        .withColumn("syls",
+          greatest(regexp_count(lower(col("text")), lit("[aeiouy]+")),
+            lit(1)).cast("long"))
+        .filter(col("wrds") > 0)
+      val wps = col("wrds").cast("double") / col("sents")
+      val spw = col("syls").cast("double") / col("wrds")
+      t.select(col("doc_id"), col("wrds").as("words"),
+          col("sents").as("sentences"), col("syls").as("syllables"),
+          (floor((lit(206.835) - lit(1.015) * wps - lit(84.6) * spw) *
+            lit(1e6) + lit(0.5)) / lit(1e6)).as("flesch"),
+          (floor((lit(0.39) * wps + lit(11.8) * spw - lit(15.59)) *
+            lit(1e6) + lit(0.5)) / lit(1e6)).as("fk_grade"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- tokenizer fertility audit (subwords per word, per language) --------
+    // The cross-lingual tokenizer-equity readout: fertility = subword
+    // tokens per whitespace word. A language with fertility ≫ the
+    // corpus mean pays more sequence length for the same content — the
+    // number a multilingual sampling mix corrects for. Reuses
+    // q_token_count's BPE-ish token regex verbatim so the two audits
+    // can never disagree on what a token is. Exact integer sums per
+    // language; ratios by integer micro-division.
+    "q_tokenizer_fertility" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("wrds",
+          regexp_count(norm(col("text")), lit("[^ ]+")).cast("long"))
+        .withColumn("toks",
+          regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+            .cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("wrds")).as("sum_words"),
+          sum(col("toks")).as("sum_tokens"),
+          sum(col("n_chars")).as("sum_chars"))
+        .select(col("lang"), col("n_docs"), col("sum_words"),
+          col("sum_tokens"),
+          (expr("(sum_tokens * 1000000) div sum_words").cast("double") /
+            lit(1e6)).as("fertility"),
+          (expr("(sum_chars * 1000000) div sum_tokens").cast("double") /
+            lit(1e6)).as("chars_per_token"))
+        .orderBy(col("lang"))
+    }),
+
     // -- language-ID heuristic (deterministic char-class profile) ----------
     "q_lang_id" -> ((s, d) => {
       Tables.documents(s, d)
@@ -1219,6 +1281,43 @@ object TextQueries extends QueryPack {
             .as("r2"))
     }),
 
+    // -- Good–Turing frequency smoothing (count-of-counts) ------------------
+    // The LM-smoothing companion of q_zipf_fit and q_lm_perplexity's
+    // add-k: for each low frequency r, the adjusted count
+    // r* = (r+1)·N_{r+1}/N_r, where N_r is the COUNT OF COUNTS — how
+    // many distinct words occur exactly r times. N_1/N is the classic
+    // estimate of unseen-event mass (how much probability a tokenizer
+    // or LM should reserve for words the corpus never showed). Shape:
+    // the word count is vocabulary-bounded; count-of-counts collapses
+    // that to the tiny distinct-r frame; the r ↔ r+1 alignment is an
+    // exact self-join on the bounded frame (a lead() over present r
+    // would silently skip gaps). All integer; r* reports micro-quantized
+    // by integer division.
+    "q_good_turing" -> ((s, d) => {
+      val wc = Tables.documents(s, d)
+        .select(explode(split(norm(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("r"))
+      val coc = wc.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+      val t = wc.agg(sum(col("r")).as("n_tokens"),
+        count(lit(1)).as("vocab"))
+      val nxt = coc.select((col("r") - 1).as("r"),
+        col("n_r").as("n_r_next"))
+      // the 12 SMALLEST present frequencies, not a fixed r ≤ 10: a
+      // synthetic or deduped corpus can have min word frequency far
+      // above 10, and an empty smoothing table is useless. The
+      // alignment join still reads the FULL count-of-counts frame.
+      coc.orderBy(col("r")).limit(12)
+        .join(nxt, Seq("r"), "left")
+        .crossJoin(broadcast(t))
+        .withColumn("n_r_next", coalesce(col("n_r_next"), lit(0L)))
+        .select(col("r"), col("n_r"), col("n_r_next"),
+          (expr("((r + 1) * n_r_next * 1000000) div n_r")
+            .cast("double") / lit(1e6)).as("r_star"),
+          col("n_tokens"), col("vocab"))
+        .orderBy(col("r"))
+    }),
+
     // -- word burstiness (variance-to-mean dispersion) ----------------------
     // Church–Gale burstiness: content words clump (a doc that mentions
     // a term mentions it again), function words spread evenly — the
@@ -1756,6 +1855,50 @@ object TextQueries extends QueryPack {
           |    AS BIGINT) AS sum_bpe_tokens,
           |  round(avg(len(string_split(text, ' '))), 6) AS avg_ws_tokens
           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+      // vowel-GROUP syllable heuristic; scores are one mirrored double
+      // expression over the three per-doc integers, floor-quantized
+      "q_readability" ->
+        s"""WITH b AS (SELECT doc_id,
+           |    CAST(len(regexp_extract_all($normSql, '[^ ]+'))
+           |      AS BIGINT) AS wrds,
+           |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+           |      AS BIGINT) AS sents,
+           |    CAST(greatest(
+           |      len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+           |      AS BIGINT) AS syls
+           |  FROM documents),
+           |r AS (SELECT doc_id, wrds, sents, syls,
+           |    CAST(wrds AS DOUBLE) / sents AS wps,
+           |    CAST(syls AS DOUBLE) / wrds AS spw
+           |  FROM b WHERE wrds > 0)
+           |SELECT doc_id, wrds AS words, sents AS sentences,
+           |  syls AS syllables,
+           |  floor((206.835 - 1.015 * wps - 84.6 * spw) * 1e6 + 0.5)
+           |    / 1e6 AS flesch,
+           |  floor((0.39 * wps + 11.8 * spw - 15.59) * 1e6 + 0.5) / 1e6
+           |    AS fk_grade
+           |FROM r ORDER BY doc_id""".stripMargin,
+
+      // q_token_count's token regex verbatim; integer micro-division
+      "q_tokenizer_fertility" ->
+        s"""WITH b AS (SELECT lang, n_chars,
+           |    CAST(len(regexp_extract_all($normSql, '[^ ]+'))
+           |      AS BIGINT) AS wrds,
+           |    CAST(len(regexp_extract_all(text,
+           |      '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS toks
+           |  FROM documents),
+           |g AS (SELECT lang, count(*) AS n_docs,
+           |    CAST(sum(wrds) AS BIGINT) AS sum_words,
+           |    CAST(sum(toks) AS BIGINT) AS sum_tokens,
+           |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           |  FROM b GROUP BY lang)
+           |SELECT lang, n_docs, sum_words, sum_tokens,
+           |  CAST((sum_tokens * 1000000) // sum_words AS DOUBLE) / 1e6
+           |    AS fertility,
+           |  CAST((sum_chars * 1000000) // sum_tokens AS DOUBLE) / 1e6
+           |    AS chars_per_token
+           |FROM g ORDER BY lang""".stripMargin,
 
       "q_lang_id" ->
         """SELECT doc_id, lang, vr,
@@ -2295,6 +2438,26 @@ object TextQueries extends QueryPack {
            |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
            |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
            |FROM m""".stripMargin,
+
+      // exact r ↔ r+1 self-join on the bounded count-of-counts frame;
+      // r* micro-quantized by integer division (HUGEINT-safe)
+      "q_good_turing" ->
+        s"""WITH wc AS (SELECT w, count(*) AS r FROM (
+           |    SELECT unnest(string_split($normSql, ' ')) AS w
+           |    FROM documents) t
+           |  WHERE length(w) > 0 GROUP BY 1),
+           |coc AS (SELECT r, count(*) AS n_r FROM wc GROUP BY r),
+           |lo AS (SELECT r, n_r FROM coc ORDER BY r LIMIT 12),
+           |t AS (SELECT CAST(sum(r) AS BIGINT) AS n_tokens,
+           |    CAST(count(*) AS BIGINT) AS vocab FROM wc)
+           |SELECT CAST(lo.r AS BIGINT) AS r,
+           |  CAST(lo.n_r AS BIGINT) AS n_r,
+           |  CAST(coalesce(nxt.n_r, 0) AS BIGINT) AS n_r_next,
+           |  CAST(((lo.r + 1) * coalesce(nxt.n_r, 0) * 1000000)
+           |    // lo.n_r AS DOUBLE) / 1e6 AS r_star,
+           |  n_tokens, vocab
+           |FROM lo LEFT JOIN coc nxt ON nxt.r = lo.r + 1 CROSS JOIN t
+           |ORDER BY r""".stripMargin,
 
       // zero-count docs enter the moments analytically; N is a scalar
       "q_burstiness" ->
