@@ -595,6 +595,109 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("id"))
     }),
 
+    // -- sampled harmonic centrality (bounded-hop, multi-root BFS) ---------
+    // The centrality metric that works on disconnected graphs (closeness
+    // breaks: unreachable ⇒ ∞): c(v) = Σ_u 1/d(u, v), with unreachable
+    // terms contributing 0. Exact all-pairs is |V| BFS runs; the
+    // production estimator (Boldi–Vigna style) runs BFS from a SAMPLE
+    // of roots and reports the partial sum — this is q_graph_bfs's
+    // machinery with the ROOT kept in the frontier key, so per-round
+    // state is Σ_seeds |B_k(seed)| rows, bounded by seeds × reach, and
+    // every round is one edge⋈frontier join + keyed min. 1/d terms are
+    // exact integer micro-units (d ∈ {1..3} ⇒ 1000000 div d), so the
+    // per-node sum is merge-order-free.
+    "q_harmonic_centrality" -> ((s, d) => {
+      val e0 = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.union(e0.select(col("dst").as("src"),
+          col("src").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        var dist = Tables.customer(s, d)
+          .filter(pmod(col("c_custkey"), lit(50)) === 0)
+          .select((col("c_custkey") * 2).as("root"),
+            (col("c_custkey") * 2).as("id"), lit(0L).as("dist"))
+        for (_ <- 1 to bfsHops) {
+          val relaxed = edges
+            .join(dist.withColumnRenamed("id", "src"), "src")
+            .select(col("root"), col("dst").as("id"),
+              (col("dist") + lit(1L)).as("dist"))
+          dist = dist.union(relaxed)
+            .groupBy(col("root"), col("id"))
+            .agg(min(col("dist")).as("dist"))
+        }
+        dist.filter(col("dist") > 0)
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("n_sources"),
+            sum(expr("1000000 div dist")).as("h_u"))
+          .select(col("id"),
+            when(pmod(col("id"), lit(2)) === 0, lit("customer"))
+              .otherwise(lit("supplier")).as("node_type"),
+            col("n_sources"),
+            (col("h_u").cast("double") / lit(1e6)).as("harmonic"))
+          .orderBy(col("id"))
+      } finally edges.unpersist(blocking = false)
+    }),
+
+    // -- label propagation (semi-supervised label flooding) ----------------
+    // The graph half of semi-supervised learning: a few nodes carry
+    // known labels (every 20th customer, labeled with its nation's
+    // REGION); labels flood outward for a fixed number of rounds, each
+    // unlabeled node adopting the MAJORITY label among its labeled
+    // neighbors (ties to the smallest label — a total order, so every
+    // round is deterministic). Assigned labels are immutable (seeds
+    // clamped, flood monotone) — the variant that provably converges
+    // and never oscillates. Per round: one edge⋈labels join, one
+    // (node, label) count, one per-node argmax window keyed by node —
+    // all keyed shuffles, frontier-bounded like q_graph_bfs.
+    "q_label_propagation" -> ((s, d) => {
+      val e0 = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.union(e0.select(col("dst").as("src"),
+          col("src").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        var labels = Tables.customer(s, d)
+          .filter(pmod(col("c_custkey"), lit(20)) === 0)
+          .join(Tables.nation(s, d),
+            col("c_nationkey") === col("n_nationkey"))
+          .select((col("c_custkey") * 2).as("id"),
+            col("n_regionkey").cast("long").as("label"),
+            lit(0L).as("round"))
+        for (r <- 1 to lpRounds) {
+          val votes = edges
+            .join(labels.select(col("id").as("src"), col("label")), "src")
+            .groupBy(col("dst"), col("label"))
+            .agg(count(lit(1)).as("cnt"))
+            .join(labels.select(col("id").as("dst")), Seq("dst"),
+              "left_anti")
+          val w = Window.partitionBy(col("dst"))
+            .orderBy(col("cnt").desc, col("label").asc)
+          val newly = votes.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("dst").as("id"), col("label"),
+              lit(r.toLong).as("round"))
+          // localCheckpoint-per-round, not persist: the q_kcore lesson —
+          // eager checkpoint detaches the superseded iterate so the loop
+          // holds ≤2 cached generations
+          labels = labels.union(newly).localCheckpoint(true)
+        }
+        labels.select(col("id"),
+            when(pmod(col("id"), lit(2)) === 0, lit("customer"))
+              .otherwise(lit("supplier")).as("node_type"),
+            col("label"), col("round"))
+          .orderBy(col("id"))
+      } finally edges.unpersist(blocking = false)
+    }),
+
     // -- sample-ratio mismatch guard (the A/B test's A/A test) -------------
     // The first thing to check about an experiment is the assignment
     // itself: if the two arms' sizes differ more than chance allows, the
@@ -2832,6 +2935,7 @@ object AnalyticsQueries extends QueryPack {
 
   private val prScale = 1000000000000L
   private val prIters = 3
+  private val lpRounds = 3
 
   /** BFS hop bound — shared by the Spark loop and the oracle CTEs. */
   private val bfsHops = 3
@@ -2860,6 +2964,70 @@ object AnalyticsQueries extends QueryPack {
        |    AS node_type,
        |  dist
        |FROM d$bfsHops ORDER BY id""".stripMargin
+  }
+
+  /** bfsSql with the ROOT kept in the frontier key — the oracle of the
+    * sampled harmonic-centrality estimator. */
+  private def harmonicSql: String = {
+    val rounds = (1 to bfsHops).map { i =>
+      s"""d$i AS (SELECT root, id, CAST(min(dist) AS BIGINT) AS dist
+         |  FROM (
+         |    SELECT root, id, dist FROM d${i - 1}
+         |    UNION ALL SELECT d${i - 1}.root, e.dst AS id,
+         |      d${i - 1}.dist + 1 AS dist
+         |    FROM e JOIN d${i - 1} ON e.src = d${i - 1}.id) t
+         |  GROUP BY root, id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src,
+       |    l.l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |e AS (SELECT src, dst FROM e0
+       |  UNION ALL SELECT dst, src FROM e0),
+       |d0 AS (SELECT c_custkey * 2 AS root, c_custkey * 2 AS id,
+       |    CAST(0 AS BIGINT) AS dist
+       |  FROM customer WHERE c_custkey % 50 = 0),
+       |$rounds
+       |SELECT id,
+       |  CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END
+       |    AS node_type,
+       |  count(*) AS n_sources,
+       |  CAST(CAST(sum(1000000 // dist) AS BIGINT) AS DOUBLE) / 1e6
+       |    AS harmonic
+       |FROM d$bfsHops WHERE dist > 0 GROUP BY id ORDER BY id""".stripMargin
+  }
+
+  /** Oracle of the label-flooding rounds: per round, unlabeled nodes
+    * adopt the majority neighbor label (count DESC, label ASC — a total
+    * order, so the argmax is unique on both engines). */
+  private def labelPropSql: String = {
+    val rounds = (1 to lpRounds).map { i =>
+      s"""n$i AS (SELECT dst AS id, label, CAST($i AS BIGINT) AS round
+         |  FROM (SELECT dst, label, row_number() OVER (PARTITION BY dst
+         |      ORDER BY cnt DESC, label ASC) AS rn
+         |    FROM (SELECT e.dst, l.label, count(*) AS cnt
+         |      FROM e JOIN l${i - 1} l ON e.src = l.id
+         |      WHERE e.dst NOT IN (SELECT id FROM l${i - 1})
+         |      GROUP BY e.dst, l.label) v) z
+         |  WHERE rn = 1),
+         |l$i AS (SELECT * FROM l${i - 1}
+         |  UNION ALL SELECT id, label, round FROM n$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src,
+       |    l.l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |e AS (SELECT src, dst FROM e0
+       |  UNION ALL SELECT dst, src FROM e0),
+       |l0 AS (SELECT c.c_custkey * 2 AS id,
+       |    CAST(n.n_regionkey AS BIGINT) AS label,
+       |    CAST(0 AS BIGINT) AS round
+       |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |  WHERE c.c_custkey % 20 = 0),
+       |$rounds
+       |SELECT id,
+       |  CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END
+       |    AS node_type,
+       |  label, round
+       |FROM l$lpRounds ORDER BY id""".stripMargin
   }
 
   /** The oracle side of the SAME iteration loop: r0 → c1/r1 → … as a
@@ -2983,6 +3151,8 @@ object AnalyticsQueries extends QueryPack {
     "q_pagerank" -> pagerankSql,
 
     "q_graph_bfs" -> bfsSql,
+    "q_harmonic_centrality" -> harmonicSql,
+    "q_label_propagation" -> labelPropSql,
 
     "q_ab_srm" ->
       """SELECT event_type,

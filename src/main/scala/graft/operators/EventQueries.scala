@@ -360,6 +360,29 @@ object EventQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // -- as-of join, nearest direction (completes the family) --------------
+    // backward / forward / tolerance / NEAREST — the last merge_asof
+    // direction: each view matches the purchase closest in time on
+    // EITHER side, ties to the earlier one. Same single-shuffle
+    // union+window idiom; both direction frames share one sort (see
+    // AsOfJoin.asofNearest for why the same-timestamp case is safe).
+    "q_asof_nearest" -> ((s, d) => {
+      val e = Tables.eventsWithTime(s, d)
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts_us").as("p_ts"),
+          col("value").as("p_value"))
+      AsOfJoin.asofNearest(views, purchases,
+          leftKey = col("user_id"), rightKey = col("p_user"),
+          leftTs = col("ts_us"), rightTs = col("p_ts"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("p_ts").as("matched_ts"),
+          col("p_value").as("purchase_value"),
+          abs(col("p_ts") - col("ts_us")).as("dist_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // -- event-time disorder audit (the watermark-design diagnostic) -------
     // Before choosing a streaming watermark delay you measure how
     // disordered the source actually is: per user, walk events in
@@ -786,6 +809,43 @@ object EventQueries extends QueryPack {
         |  p_ts AS next_purchase_ts, pv AS purchase_value,
         |  p_ts - us AS latency_us
         |FROM m WHERE is_r = 0 ORDER BY event_id""".stripMargin,
+
+    // both direction frames over ONE sort (purchases before views at
+    // equal us); tie us-bt = ft-us prefers the backward match
+    "q_asof_nearest" ->
+      """WITH u AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us, 1 AS is_l,
+        |         NULL::DOUBLE AS p_value
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT NULL::BIGINT, user_id, epoch_us(ts) AS us, 0 AS is_l,
+        |         value
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT event_id, user_id, us, is_l,
+        |    last_value(CASE WHEN is_l = 0 THEN us END IGNORE NULLS)
+        |      OVER wb AS bt,
+        |    last_value(CASE WHEN is_l = 0 THEN p_value END IGNORE NULLS)
+        |      OVER wb AS bv,
+        |    first_value(CASE WHEN is_l = 0 THEN us END IGNORE NULLS)
+        |      OVER wf AS ft,
+        |    first_value(CASE WHEN is_l = 0 THEN p_value END IGNORE NULLS)
+        |      OVER wf AS fv
+        |  FROM u
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY us, is_l
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wf AS (PARTITION BY user_id ORDER BY us, is_l
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id, us AS ts_us,
+        |  CASE WHEN bt IS NULL THEN ft WHEN ft IS NULL THEN bt
+        |       WHEN us - bt <= ft - us THEN bt ELSE ft END AS matched_ts,
+        |  CASE WHEN bt IS NULL THEN fv WHEN ft IS NULL THEN bv
+        |       WHEN us - bt <= ft - us THEN bv ELSE fv END
+        |    AS purchase_value,
+        |  abs((CASE WHEN bt IS NULL THEN ft WHEN ft IS NULL THEN bt
+        |       WHEN us - bt <= ft - us THEN bt ELSE ft END) - us)
+        |    AS dist_us
+        |FROM m WHERE is_l = 1 ORDER BY event_id""".stripMargin,
 
     // latest-op-wins per key with trailing-delete tombstoning; raw stored
     // doubles pass through unrounded (bit-exact in parquet on both sides)

@@ -466,6 +466,23 @@ object RelationalQueries extends QueryPack {
           ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
     }),
 
+    // -- SQL entry point: GROUP BY ALL / ORDER BY ALL ----------------------
+    // The analyst-ergonomics surface both engines grew for exploratory
+    // SQL: every non-aggregate select item becomes a grouping key, and
+    // ORDER BY ALL sorts by the full select list left-to-right — so the
+    // query stays edit-stable as dimensions are added. Pure resolver
+    // sugar: Catalyst rewrites to the explicit GROUP BY, identical plan,
+    // zero scale cost.
+    "q_groupby_all" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+          |  round(sum(o_totalprice), 2) AS revenue
+          |FROM orders
+          |GROUP BY ALL
+          |ORDER BY ALL""".stripMargin)
+    }),
+
     // -- SQL entry point: SQL-defined scalar UDF (CREATE FUNCTION) ---------
     // The declarative extension path: the body is a SQL expression, so
     // unlike a JVM udf() it inlines into the plan (no codegen fence, no
@@ -1014,6 +1031,12 @@ object RelationalQueries extends QueryPack {
         |FROM lineitem WHERE l_quantity > 10
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // the same sugar exists in DuckDB — the oracle exercises it too
+    "q_groupby_all" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin,
 
     "q_sql_udf" ->
       """SELECT l_returnflag,

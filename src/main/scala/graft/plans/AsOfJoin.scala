@@ -138,4 +138,54 @@ object AsOfJoin {
       .filter(col("__is_l") === 1)
       .select(col("__l.*") +: right.columns.map(c => col(s"__m.$c")): _*)
   }
+
+  /** The third direction (pandas merge_asof direction='nearest'): for
+    * each `left` row, the `right` row minimizing |rightTs − leftTs|
+    * within the key; ties prefer the backward (earlier) match. Still ONE
+    * shuffle and ONE sort: both direction windows share the backward
+    * sort order (right before left at equal __t), and Spark evaluates
+    * the two frames in a single WindowExec. A same-timestamp right row
+    * is visible to the PRECEDING frame (distance 0), which the tie rule
+    * selects — so the forward frame's exclusion of same-ts rights (they
+    * sort before the left row) never loses a match. */
+  def asofNearest(left: DataFrame, right: DataFrame,
+                  leftKey: Column, rightKey: Column,
+                  leftTs: Column, rightTs: Column): DataFrame = {
+    val lStruct = StructType(left.schema.fields)
+    val rStruct = StructType(right.schema.fields)
+    val lCols = left.columns.map(col)
+    val rCols = right.columns.map(col)
+
+    val lTagged = left.select(
+      leftKey.as("__k"), leftTs.cast("long").as("__t"),
+      lit(1).as("__is_l"),
+      struct(lCols: _*).as("__l"),
+      lit(null).cast(rStruct).as("__r"))
+    val rTagged = right.select(
+      rightKey.as("__k"), rightTs.cast("long").as("__t"),
+      lit(0).as("__is_l"),
+      lit(null).cast(lStruct).as("__l"),
+      struct(rCols: _*).as("__r"))
+
+    val ord = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__is_l").asc)
+    val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    lTagged.unionByName(rTagged)
+      .withColumn("__mb", last(col("__r"), ignoreNulls = true).over(wb))
+      .withColumn("__bt", last(when(col("__is_l") === 0, col("__t")),
+        ignoreNulls = true).over(wb))
+      .withColumn("__mf", first(col("__r"), ignoreNulls = true).over(wf))
+      .withColumn("__ft", first(when(col("__is_l") === 0, col("__t")),
+        ignoreNulls = true).over(wf))
+      .filter(col("__is_l") === 1)
+      .withColumn("__m",
+        when(col("__bt").isNull, col("__mf"))
+          .when(col("__ft").isNull, col("__mb"))
+          .when(col("__t") - col("__bt") <= col("__ft") - col("__t"),
+            col("__mb"))
+          .otherwise(col("__mf")))
+      .select(col("__l.*") +: right.columns.map(c => col(s"__m.$c")): _*)
+  }
 }
