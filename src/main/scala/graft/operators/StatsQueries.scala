@@ -55,6 +55,10 @@ object StatsQueries extends QueryPack {
     * groups × B rows by construction. */
   private[operators] val bootstrapReps = 100
 
+  /** q_ewma_chart truncation depth — same 16-tap Horner lag-fold contract
+    * as q_ewma ((1−λ)¹⁶ ≈ 2.8% residual weight at λ=0.2). */
+  private[operators] val ewmaChartTaps = 16
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- per-group OLS trend fit ------------------------------------------
     // Exact integer moments per event_type: x = whole seconds since the
@@ -1686,6 +1690,247 @@ object StatsQueries extends QueryPack {
         col("sv").as("ks_score"),
         expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * gap) div " +
           "(CAST(n1 AS DECIMAL(38,0)) * n0) AS BIGINT)").as("ks_u"))
+    }),
+
+    // -- Jarque–Bera normality test of the daily count series --------------
+    // The distribution-shape gate a monitoring pipeline runs before
+    // trusting z-score alarms: skewness/kurtosis of each type's daily
+    // volumes from EXACT integer raw moments (Σy..Σy⁴ in DECIMAL(38,0) —
+    // y⁴ outgrows int64 once daily volume passes ~55k, i.e. well inside
+    // sf1), then one fixed double expression both engines evaluate
+    // identically. Scale shape: one (type, day) aggregate, then a
+    // k-row moment aggregate — the day frame is calendar-bounded.
+    "q_jarque_bera" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val byd = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long").as("dd"))
+        .agg(count(lit(1)).as("y"))
+      val m = byd.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("y"))).as("s1"),
+        sum(dec(col("y")) * dec(col("y"))).as("s2"),
+        sum(dec(col("y")) * dec(col("y")) * dec(col("y"))).as("s3"),
+        sum(dec(col("y")) * dec(col("y")) * dec(col("y")) * dec(col("y")))
+          .as("s4"))
+      val nD = col("n").cast("double")
+      val mu = col("s1").cast("double") / nD
+      val r2 = col("s2").cast("double") / nD
+      val r3 = col("s3").cast("double") / nD
+      val r4 = col("s4").cast("double") / nD
+      val m2 = r2 - mu * mu
+      val m3 = r3 - lit(3.0) * mu * r2 + lit(2.0) * mu * mu * mu
+      val m4 = r4 - lit(4.0) * mu * r3 + lit(6.0) * mu * mu * r2 -
+        lit(3.0) * mu * mu * mu * mu
+      val sk = m3 / (sqrt(m2) * m2)
+      val ku = m4 / (m2 * m2)
+      val jb = nD / lit(6.0) *
+        (sk * sk + (ku - lit(3.0)) * (ku - lit(3.0)) / lit(4.0))
+      def q6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      m.select(col("event_type"), col("n").as("n_days"),
+          when(m2 > 0.0, q6(sk)).as("skew"),
+          when(m2 > 0.0, q6(ku)).as("kurtosis"),
+          when(m2 > 0.0, q6(jb)).as("jb"))
+        .orderBy(col("event_type"))
+    }),
+
+    // -- Grubbs outlier statistic over the daily series --------------------
+    // Single-most-extreme-day test: G = max|y−ȳ|/s. The argmax is decided
+    // on EXACT integers (|n·y − Σy| — the deviation scaled by n, sign-free
+    // and overflow-safe in DECIMAL), so no float ever picks the day;
+    // G itself is then one fixed double expression. The day frame is
+    // calendar-bounded, so the rank window is a bounded-frame sort by
+    // contract (same policy as q_mann_kendall / q_pettitt).
+    "q_grubbs" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val byd = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long").as("dd"))
+        .agg(count(lit(1)).as("y"))
+      val m = byd.agg(count(lit(1)).as("n"), sum(dec(col("y"))).as("s1"),
+        sum(dec(col("y")) * dec(col("y"))).as("s2"))
+      val top = byd.crossJoin(broadcast(m))
+        .withColumn("adev", abs(dec(col("y")) * dec(col("n")) - col("s1")))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("adev").desc, col("dd"))))
+        .filter(col("rnk") === 1)
+      val nD = col("n").cast("double")
+      val mu = col("s1").cast("double") / nD
+      val vr = (col("s2").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double") / nD) /
+        (nD - lit(1.0))
+      def q6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      top.select(col("n").as("n_days"), col("dd").as("outlier_dd"),
+        col("y").as("outlier_y"), q6(mu).as("mean"),
+        when(vr > 0.0, q6(sqrt(vr))).as("sd"),
+        when(vr > 0.0, q6(abs(col("y").cast("double") - mu) / sqrt(vr)))
+          .as("g"))
+    }),
+
+    // -- Kendall rank correlation (tau-b) between two daily metrics --------
+    // Concordance of daily click volume vs daily purchase volume. All
+    // pair classification happens on exact integer signs over the
+    // calendar-bounded days²/2 pair frame (the q_theilsen/q_mann_kendall
+    // band); tau-b's tie correction uses exact pair counts and only the
+    // final ratio is floating point.
+    "q_kendall_tau" -> ((s, d) => {
+      val byd = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long").as("dd"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+      val pr = byd.select(col("dd").as("d1"), col("x").as("x1"),
+          col("y").as("y1"))
+        .join(byd.select(col("dd").as("d2"), col("x").as("x2"),
+          col("y").as("y2")), col("d1") < col("d2"))
+        .select((signum(col("x2").cast("double") - col("x1")) *
+            signum(col("y2").cast("double") - col("y1")))
+            .cast("long").as("cd"),
+          when(col("x1") === col("x2"), 1L).otherwise(0L).as("tx"),
+          when(col("y1") === col("y2"), 1L).otherwise(0L).as("ty"))
+      val agg = pr.agg(
+        sum(when(col("cd") === 1L, 1L).otherwise(0L)).as("c"),
+        sum(when(col("cd") === -1L, 1L).otherwise(0L)).as("dis"),
+        sum(col("tx")).as("n1"), sum(col("ty")).as("n2"),
+        count(lit(1)).as("n0"))
+      val den = sqrt((col("n0") - col("n1")).cast("double") *
+        (col("n0") - col("n2")).cast("double"))
+      agg.select(col("n0").as("n_pairs"), col("c").as("concordant"),
+        col("dis").as("discordant"),
+        when(den > 0.0,
+          floor((col("c") - col("dis")).cast("double") / den * lit(1e6) +
+            lit(0.5)) / lit(1e6)).as("tau_b"))
+    }),
+
+    // -- Cohen's d / Hedges' g effect size between A/B arms ----------------
+    // The "is it big, not just significant" companion to q_ab_test: same
+    // arm derivation (user_id parity), same ONE-scan conditional moment
+    // aggregate; pooled-SD standardized difference from exact micro-unit
+    // integer sums — the micro scale cancels in the ratio, so no unit
+    // correction appears anywhere.
+    "q_cohens_d" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_type"), pmod(col("user_id"), lit(2)).as("arm"),
+          floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+            .as("vq"))
+      def arm(a: Int, e0: org.apache.spark.sql.Column) =
+        when(col("arm") === a, e0)
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val m = e.groupBy(col("event_type")).agg(
+        count(arm(0, lit(1))).as("n_a"),
+        sum(arm(0, dec(col("vq")))).as("s_a"),
+        sum(arm(0, dec(col("vq")) * dec(col("vq")))).as("q_a"),
+        count(arm(1, lit(1))).as("n_b"),
+        sum(arm(1, dec(col("vq")))).as("s_b"),
+        sum(arm(1, dec(col("vq")) * dec(col("vq")))).as("q_b"))
+      def va(suf: String) =
+        (col(s"q$suf").cast("double") -
+          col(s"s$suf").cast("double") * col(s"s$suf").cast("double") /
+            col(s"n$suf")) / (col(s"n$suf") - lit(1L))
+      def mn(suf: String) = col(s"s$suf").cast("double") / col(s"n$suf")
+      val sp = sqrt(((col("n_a") - lit(1L)) * va("_a") +
+        (col("n_b") - lit(1L)) * va("_b")) /
+        (col("n_a") + col("n_b") - lit(2L)))
+      val dEff = (mn("_a") - mn("_b")) / sp
+      val gCorr = lit(1.0) - lit(3.0) /
+        (lit(4.0) * (col("n_a") + col("n_b")).cast("double") - lit(9.0))
+      def q6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      m.select(col("event_type"), col("n_a"), col("n_b"),
+          when(sp > 0.0, q6(dEff)).as("cohens_d"),
+          when(sp > 0.0, q6(dEff * gCorr)).as("hedges_g"))
+        .orderBy(col("event_type"))
+    }),
+
+    // -- Brown–Forsythe (median-based Levene) equal-variance test ----------
+    // The precondition check for pooled-variance tests (q_ab_test /
+    // q_anova_f): are the k groups' spreads comparable? Deviations are
+    // taken from the exact LOWER median (the q_outlier_mad idiom — no
+    // interpolated float median can disagree between engines), and the
+    // between/within sums of squares are assembled as integer rationals:
+    // tⱼ = Sⱼ² div nⱼ is integer-divided per group (truncation < 1
+    // squared-milli-unit per group — relative ~1e-12 against the ~1e13
+    // SS magnitudes, and IDENTICAL on both engines), so the k-row
+    // reduction sums INTEGERS (order-free) and only the final W ratio is
+    // floating point. Spark's `div` lowers to a BIGINT quotient, so the
+    // un-scaled quotient (≤ nⱼ·maxz² ≈ 2e15 at sf1) must stay inside
+    // int64 — a 10⁶ pre-scale would silently wrap it. One keyed median
+    // window + one keyed aggregate — both shuffles ride event_type.
+    "q_levene_bf" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+            .as("vq"))
+      val w1 = Window.partitionBy(col("event_type"))
+        .orderBy(col("vq"), col("event_id"))
+      val wn = Window.partitionBy(col("event_type"))
+      val med = e.withColumn("rn", row_number().over(w1))
+        .withColumn("n", count(lit(1)).over(wn))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("vq").as("med"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val z = e.join(med, "event_type")
+        .select(col("event_type"), abs(col("vq") - col("med")).as("z"))
+      val g = z.groupBy(col("event_type")).agg(count(lit(1)).as("nj"),
+        sum(dec(col("z"))).as("sj"),
+        sum(dec(col("z")) * dec(col("z"))).as("qj"))
+      val gg = g.select(col("nj"), col("sj"),
+        expr("(sj * sj) div CAST(nj AS DECIMAL(38,0))").as("tj"),
+        col("qj"))
+      val tot = gg.agg(count(lit(1)).as("k"), sum(col("nj")).as("n"),
+        sum(col("sj")).as("s"), sum(col("tj")).as("t_tot"),
+        sum(col("qj") - col("tj")).as("denom_u"))
+      val u = expr("(s * s) div CAST(n AS DECIMAL(38,0))")
+      val numerU = (col("t_tot") - u).cast("double")
+      val wStat = (col("n") - col("k")).cast("double") /
+        (col("k") - lit(1L)).cast("double") *
+        numerU / col("denom_u").cast("double")
+      tot.select(col("k").as("k_groups"), col("n").as("n_total"),
+        when(col("denom_u").cast("double") > 0.0,
+          floor(wStat * lit(1e6) + lit(0.5)) / lit(1e6)).as("bf_w"))
+    }),
+
+    // -- EWMA control chart over the daily volume series -------------------
+    // The SPC companion to q_cusum: a 16-tap Horner-truncated EWMA
+    // (λ=0.2 — the q_ewma lag-fold discipline, identical fold order on
+    // both engines) tracked against asymptotic ±3σ·sqrt(λ/(2−λ)) control
+    // limits derived from exact integer day-count moments. The day frame
+    // is calendar-bounded, so the single-partition ORDER BY dd window is
+    // a bounded-frame sort by contract.
+    "q_ewma_chart" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val byd = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long").as("dd"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("yd", col("y").cast("double"))
+      val m = byd.agg(count(lit(1)).as("n"), sum(dec(col("y"))).as("s1"),
+        sum(dec(col("y")) * dec(col("y"))).as("s2"))
+      val w = Window.orderBy(col("dd"))
+      val inner = coalesce(lag(col("yd"), ewmaChartTaps - 1).over(w),
+        lit(0.0))
+      val tail = (ewmaChartTaps - 2 to 1 by -1).foldLeft(inner) {
+        (acc, k) =>
+          coalesce(lag(col("yd"), k).over(w), lit(0.0)) + lit(0.8) * acc
+      }
+      val zCol = lit(0.2) * (col("yd") + lit(0.8) * tail)
+      val nD = col("n").cast("double")
+      val mu = col("s1").cast("double") / nD
+      val vr = (col("s2").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double") / nD) /
+        (nD - lit(1.0))
+      val limit = lit(3.0) * sqrt(vr) * sqrt(lit(0.2) / lit(1.8))
+      byd.withColumn("z", zCol)
+        .crossJoin(broadcast(m))
+        .select(col("dd"), col("y"),
+          (floor(col("z") * lit(1e6) + lit(0.5)) / lit(1e6)).as("ewma"),
+          when(vr > 0.0, abs(col("z") - mu) > limit).as("violation"))
+        .orderBy(col("dd"))
     })
   )
 
@@ -3067,6 +3312,203 @@ object StatsQueries extends QueryPack {
          |  CAST((1000000::HUGEINT * gap) // (n1::HUGEINT * n0)
          |    AS BIGINT) AS ks_u
          |FROM best""".stripMargin
+    },
+
+    // exact HUGEINT raw moments; the central-moment/skew/kurtosis closed
+    // form mirrors the Spark expression token-for-token
+    "q_jarque_bera" ->
+      """WITH byd AS (SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, count(*) AS n,
+        |    sum(CAST(y AS HUGEINT)) AS s1,
+        |    sum(CAST(y AS HUGEINT) * y) AS s2,
+        |    sum(CAST(y AS HUGEINT) * y * y) AS s3,
+        |    sum(CAST(y AS HUGEINT) * y * y * y) AS s4
+        |  FROM byd GROUP BY 1),
+        |f AS (SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+        |  FROM m),
+        |g AS (SELECT event_type, n, nd,
+        |    r2 - mu * mu AS m2,
+        |    r3 - 3.0e0 * mu * r2 + 2.0e0 * mu * mu * mu AS m3,
+        |    r4 - 4.0e0 * mu * r3 + 6.0e0 * mu * mu * r2
+        |      - 3.0e0 * mu * mu * mu * mu AS m4
+        |  FROM f),
+        |h AS (SELECT event_type, n, nd, m2,
+        |    m3 / (sqrt(m2) * m2) AS sk, m4 / (m2 * m2) AS ku
+        |  FROM g)
+        |SELECT event_type, n AS n_days,
+        |  CASE WHEN m2 > 0 THEN floor(sk * 1e6 + 0.5e0) / 1e6 END AS skew,
+        |  CASE WHEN m2 > 0 THEN floor(ku * 1e6 + 0.5e0) / 1e6
+        |    END AS kurtosis,
+        |  CASE WHEN m2 > 0 THEN floor(nd / 6.0e0 * (sk * sk
+        |    + (ku - 3.0e0) * (ku - 3.0e0) / 4.0e0) * 1e6 + 0.5e0) / 1e6
+        |    END AS jb
+        |FROM h ORDER BY event_type""".stripMargin,
+
+    // integer-decided argmax (|n·y − Σy| in HUGEINT), earliest-day tiebreak
+    "q_grubbs" ->
+      """WITH byd AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT count(*) AS n, sum(CAST(y AS HUGEINT)) AS s1,
+        |    sum(CAST(y AS HUGEINT) * y) AS s2
+        |  FROM byd),
+        |t AS (SELECT dd, y, n, s1, s2,
+        |    row_number() OVER (ORDER BY abs(CAST(y AS HUGEINT) * n - s1)
+        |      DESC, dd) AS rnk
+        |  FROM byd CROSS JOIN m),
+        |top AS (SELECT dd, y, n, s1, s2 FROM t WHERE rnk = 1),
+        |f AS (SELECT dd, y, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0e0) AS vr
+        |  FROM top)
+        |SELECT n AS n_days, dd AS outlier_dd, CAST(y AS BIGINT)
+        |    AS outlier_y,
+        |  floor(mu * 1e6 + 0.5e0) / 1e6 AS mean,
+        |  CASE WHEN vr > 0 THEN floor(sqrt(vr) * 1e6 + 0.5e0) / 1e6
+        |    END AS sd,
+        |  CASE WHEN vr > 0 THEN
+        |    floor(abs(CAST(y AS DOUBLE) - mu) / sqrt(vr) * 1e6 + 0.5e0)
+        |      / 1e6 END AS g
+        |FROM f""".stripMargin,
+
+    // exact integer sign pairs over the bounded day² frame; tau-b tie
+    // correction from exact pair counts
+    "q_kendall_tau" ->
+      """WITH byd AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |pr AS (SELECT
+        |    CAST(sign(CAST(b.x AS DOUBLE) - a.x)
+        |      * sign(CAST(b.y AS DOUBLE) - a.y) AS BIGINT) AS cd,
+        |    CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+        |    CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+        |  FROM byd a JOIN byd b ON a.dd < b.dd),
+        |agg AS (SELECT
+        |    CAST(sum(CASE WHEN cd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN cd = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS dis,
+        |    CAST(sum(tx) AS BIGINT) AS n1, CAST(sum(ty) AS BIGINT) AS n2,
+        |    count(*) AS n0
+        |  FROM pr)
+        |SELECT n0 AS n_pairs, c AS concordant, dis AS discordant,
+        |  CASE WHEN sqrt(CAST(n0 - n1 AS DOUBLE)
+        |      * CAST(n0 - n2 AS DOUBLE)) > 0 THEN
+        |    floor(CAST(c - dis AS DOUBLE)
+        |      / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE))
+        |      * 1e6 + 0.5e0) / 1e6 END AS tau_b
+        |FROM agg""".stripMargin,
+
+    // pooled-SD standardized difference from exact micro-unit moments;
+    // micro scale cancels in the ratio
+    "q_cohens_d" ->
+      """WITH e AS (SELECT event_type, user_id % 2 AS arm,
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq
+        |  FROM events),
+        |m AS (SELECT event_type,
+        |    count(CASE WHEN arm = 0 THEN 1 END) AS n_a,
+        |    sum(CASE WHEN arm = 0 THEN CAST(vq AS HUGEINT) END) AS s_a,
+        |    sum(CASE WHEN arm = 0 THEN CAST(vq AS HUGEINT) * vq END)
+        |      AS q_a,
+        |    count(CASE WHEN arm = 1 THEN 1 END) AS n_b,
+        |    sum(CASE WHEN arm = 1 THEN CAST(vq AS HUGEINT) END) AS s_b,
+        |    sum(CASE WHEN arm = 1 THEN CAST(vq AS HUGEINT) * vq END)
+        |      AS q_b
+        |  FROM e GROUP BY 1),
+        |f AS (SELECT event_type, n_a, n_b,
+        |    CAST(s_a AS DOUBLE) / n_a AS mn_a,
+        |    CAST(s_b AS DOUBLE) / n_b AS mn_b,
+        |    (CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE)
+        |      * CAST(s_a AS DOUBLE) / n_a) / (n_a - 1) AS va,
+        |    (CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE)
+        |      * CAST(s_b AS DOUBLE) / n_b) / (n_b - 1) AS vb
+        |  FROM m),
+        |g AS (SELECT event_type, n_a, n_b, mn_a, mn_b,
+        |    sqrt(((n_a - 1) * va + (n_b - 1) * vb) / (n_a + n_b - 2))
+        |      AS sp
+        |  FROM f)
+        |SELECT event_type, n_a, n_b,
+        |  CASE WHEN sp > 0 THEN
+        |    floor((mn_a - mn_b) / sp * 1e6 + 0.5e0) / 1e6 END AS cohens_d,
+        |  CASE WHEN sp > 0 THEN
+        |    floor((mn_a - mn_b) / sp * (1.0e0 - 3.0e0
+        |      / (4.0e0 * CAST(n_a + n_b AS DOUBLE) - 9.0e0)) * 1e6
+        |      + 0.5e0) / 1e6 END AS hedges_g
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    // exact lower-median deviations; between/within SS as integer
+    // rationals (S² div n per group — truncation identical on both
+    // engines) so the k-row reduction sums integers and only the final
+    // W ratio is floating point
+    "q_levene_bf" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq
+        |  FROM events),
+        |med AS (SELECT event_type, vq AS med FROM (
+        |    SELECT event_type, vq,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY vq, event_id) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS n
+        |    FROM e) t
+        |  WHERE rn = (n + 1) // 2),
+        |z AS (SELECT e.event_type, abs(e.vq - med.med) AS z
+        |  FROM e JOIN med USING (event_type)),
+        |g AS (SELECT event_type, count(*) AS nj,
+        |    sum(CAST(z AS HUGEINT)) AS sj,
+        |    sum(CAST(z AS HUGEINT) * z) AS qj
+        |  FROM z GROUP BY 1),
+        |gg AS (SELECT nj, sj, (sj * sj) // nj AS tj, qj
+        |  FROM g),
+        |tot AS (SELECT count(*) AS k, sum(nj) AS n, sum(sj) AS s,
+        |    sum(tj) AS t_tot, sum(qj - tj) AS denom_u
+        |  FROM gg)
+        |SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT)
+        |    AS n_total,
+        |  CASE WHEN CAST(denom_u AS DOUBLE) > 0 THEN
+        |    floor(CAST(n - k AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+        |      * CAST(t_tot - (s * s) // n AS DOUBLE)
+        |      / CAST(denom_u AS DOUBLE) * 1e6 + 0.5e0) / 1e6 END AS bf_w
+        |FROM tot""".stripMargin,
+
+    // same 16-tap Horner lag fold as q_ewma, on the daily count series;
+    // asymptotic limits from exact integer moments
+    "q_ewma_chart" -> {
+      val inner = s"coalesce(lag(yd, ${ewmaChartTaps - 1}) OVER w, 0.0e0)"
+      val tail = (ewmaChartTaps - 2 to 1 by -1).foldLeft(inner) {
+        (acc, k) => s"coalesce(lag(yd, $k) OVER w, 0.0e0) + 0.8e0 * ($acc)"
+      }
+      s"""WITH byd AS (SELECT
+         |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+         |    count(*) AS y, CAST(count(*) AS DOUBLE) AS yd
+         |  FROM events GROUP BY 1),
+         |m AS (SELECT count(*) AS n, sum(CAST(y AS HUGEINT)) AS s1,
+         |    sum(CAST(y AS HUGEINT) * y) AS s2
+         |  FROM byd),
+         |f AS (SELECT dd, y, 0.2e0 * (yd + 0.8e0 * ($tail)) AS z
+         |  FROM byd WINDOW w AS (ORDER BY dd)),
+         |g AS (SELECT CAST(n AS DOUBLE) AS nd,
+         |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+         |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0e0) AS vr
+         |  FROM m)
+         |SELECT dd, CAST(y AS BIGINT) AS y,
+         |  floor(z * 1e6 + 0.5e0) / 1e6 AS ewma,
+         |  CASE WHEN vr > 0 THEN
+         |    abs(z - mu) > 3.0e0 * sqrt(vr) * sqrt(0.2e0 / 1.8e0)
+         |    END AS violation
+         |FROM f CROSS JOIN g ORDER BY dd""".stripMargin
     }
   )
 }
