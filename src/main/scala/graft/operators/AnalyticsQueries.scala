@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.engine.{QueryPack, Tables}
+import graft.engine.{Dist, QueryPack, Tables}
 
 /** Statistical and behavioral analytics over the star schema + events —
   * second-moment aggregates, event funnels, cohort retention, and
@@ -2861,6 +2861,166 @@ object AnalyticsQueries extends QueryPack {
           when(col("shq") > 0L, round(lit(1e9) /
             col("shq").cast("double"), 6)).as("effective_suppliers"))
         .orderBy(col("nationkey"))
+    }),
+
+    // -- HITS hubs & authorities over the customer→supplier graph ----------
+    // Kleinberg's mutual-reinforcement centrality on the directed
+    // purchase graph: customers are hubs (they point), suppliers are
+    // authorities (they are pointed at). Same integer fixed-point
+    // discipline as q_pagerank: scores are multiples of 1e-12, every
+    // iteration's L1 normalization is one HUGEINT-exact scalar aggregate
+    // broadcast back (sums ride DECIMAL(38,0) — E·1e12 outgrows int64 at
+    // ~9M edges), and the per-node update joins ride the edge keys. The
+    // static edge list is persisted across the 2 unrolled rounds (the
+    // q_pagerank iterative-graph caching shape).
+    "q_hits" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val e0 = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var hub = e0.select(col("ck")).distinct()
+        .withColumn("h", lit(hitsScale))
+      var auth: DataFrame = null
+      for (_ <- 1 to hitsIters) {
+        val a = e0.join(hub, "ck").groupBy(col("sk"))
+          .agg(sum(dec(col("h"))).as("araw"))
+        val at = a.agg(sum(col("araw")).as("ta"))
+        auth = a.crossJoin(broadcast(at))
+          .select(col("sk"),
+            expr(s"(CAST($hitsScale AS DECIMAL(38,0)) * araw) div ta")
+              .as("a"))
+        val h2 = e0.join(auth, "sk").groupBy(col("ck"))
+          .agg(sum(dec(col("a"))).as("hraw"))
+        val ht = h2.agg(sum(col("hraw")).as("th"))
+        hub = h2.crossJoin(broadcast(ht))
+          .select(col("ck"),
+            expr(s"(CAST($hitsScale AS DECIMAL(38,0)) * hraw) div th")
+              .as("h"))
+      }
+      val hubs = hub.select(lit("hub").as("role"), col("ck").as("id"),
+        col("h").as("score_fp"))
+      val auths = auth.select(lit("authority").as("role"),
+        col("sk").as("id"), col("a").as("score_fp"))
+      hubs.union(auths)
+        .select(col("role"), col("id"), col("score_fp"),
+          (col("score_fp").cast("double") / lit(hitsScale.toDouble))
+            .as("score"))
+        .orderBy(col("role"), col("id"))
+    }),
+
+    // -- per-node clustering coefficient over the co-purchase graph --------
+    // The local-density companion to q_triangle_count: cc(v) =
+    // 2·tri(v) / (deg(v)·(deg(v)−1)), exact integers until the final
+    // ratio. Shares coEdges and the degree-ordered wedge orientation
+    // (wedges fan out from the low-degree endpoint, the scale-safe
+    // shape); nodes whose wedges close nowhere still report cc = 0 via
+    // the left join — absence of triangles is a value, not a dropped row.
+    "q_clustering_coef" -> ((s, d) => {
+      val e = coEdges(s, d).select(col("p1"), col("p2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = e.select(col("p1").as("n")).union(e.select(col("p2")))
+        .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+      val withDeg = e
+        .join(deg.select(col("n").as("p1"), col("dg").as("d1")), "p1")
+        .join(deg.select(col("n").as("p2"), col("dg").as("d2")), "p2")
+      val o = withDeg.select(
+        when(struct(col("d1"), col("p1")) < struct(col("d2"), col("p2")),
+          col("p1")).otherwise(col("p2")).as("a"),
+        when(struct(col("d1"), col("p1")) < struct(col("d2"), col("p2")),
+          col("p2")).otherwise(col("p1")).as("b"),
+        when(struct(col("d1"), col("p1")) < struct(col("d2"), col("p2")),
+          col("d2")).otherwise(col("d1")).as("db"))
+      val wedges = o.select(col("a"), col("b").as("b1"),
+          col("db").as("db1"))
+        .join(o.select(col("a"), col("b").as("b2"), col("db").as("db2")),
+          "a")
+        .filter(struct(col("db1"), col("b1")) <
+          struct(col("db2"), col("b2")))
+      val tris = wedges.join(
+        o.select(col("a").as("b1"), col("b").as("b2")), Seq("b1", "b2"))
+      val perNode = tris
+        .select(explode(array(col("a"), col("b1"), col("b2"))).as("part"))
+        .groupBy(col("part")).agg(count(lit(1)).as("n_tri"))
+      deg.select(col("n").as("part"), col("dg").as("degree"))
+        .join(perNode, Seq("part"), "left")
+        .select(col("part"), col("degree"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          when(col("degree") >= 2L,
+            floor(lit(2.0) * coalesce(col("n_tri"), lit(0L))
+                .cast("double") /
+              (col("degree").cast("double") *
+                (col("degree") - lit(1L)).cast("double")) * lit(1e6) +
+              lit(0.5)) / lit(1e6))
+            .otherwise(lit(0.0)).as("cc"))
+        .orderBy(col("part"))
+    }),
+
+    // -- average precision (PR-AUC) per source -----------------------------
+    // The retrieval/classifier twin of q_auc_roc on the same
+    // (score = n_chars, label = lang·en) frame: AP = mean over positive
+    // ranks of precision@k under the DECLARED total order (n_chars desc,
+    // doc_id asc — ties are broken identically on both engines, so the
+    // statistic is exact by contract). Per-term precision is integer
+    // micro-quantized ((10⁶·cum_pos) div k) before the positive-row sum,
+    // so the reduction is order-free integer addition; source-keyed
+    // windows shuffle once on the group key.
+    "q_pr_auc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val ranked = docs
+        .withColumn("k", row_number().over(w))
+        .withColumn("cum_pos", sum(col("pos")).over(w))
+      ranked.filter(col("pos") === 1L)
+        .withColumn("p_u", expr("(1000000 * cum_pos) div k"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_pos"), sum(col("p_u")).as("sp"))
+        .select(col("source"), col("n_pos"),
+          expr("sp div n_pos").as("ap_u"))
+        .orderBy(col("source"))
+    }),
+
+    // -- Lorenz curve: cumulative revenue share by customer decile ---------
+    // The inequality profile behind q_gini, as the 10-point curve a
+    // dashboard plots. Customer revenue is exact integer cents; the
+    // global ranking is the DISTRIBUTED prefix pass (Dist.globalPrefixSums
+    // — seeded-sample ranges + per-range offsets, never a single-partition
+    // window), carrying the population count and the revenue sum under
+    // ONE total order (revenue asc, custkey asc). Decile boundaries and
+    // shares derive from exact integers; zero-order customers enter at
+    // revenue 0 — a Lorenz curve over only the active customers would
+    // overstate equality.
+    "q_lorenz" -> ((s, d) => {
+      val rev = Tables.customer(s, d).select(col("c_custkey"))
+        .join(Tables.orders(s, d)
+          .groupBy(col("o_custkey")).agg(
+            sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+              .cast("long")).as("rc")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), coalesce(col("rc"), lit(0L)).as("revc"))
+        .withColumn("revd", col("revc").cast("double"))
+        .withColumn("one", lit(1L))
+      val cum = Dist.globalPrefixSums(rev, "revd", asc = true,
+        "c_custkey", Seq("one", "revc"), Seq("cumn", "cumrev"), 32)
+      val tot = rev.agg(count(lit(1)).as("n"), sum(col("revc")).as("tr"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("decile", expr("((cumn - 1) * 10) div n + 1"))
+        .groupBy(col("decile"))
+        .agg(max(col("cumn")).as("cum_customers"),
+          max(col("cumrev")).as("cum_revc"),
+          max(col("n")).as("n"), max(col("tr")).as("tr"))
+        .select(col("decile"), col("cum_customers"),
+          (floor(col("cum_customers").cast("double") /
+            col("n").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("pop_share"),
+          (floor(col("cum_revc").cast("double") /
+            col("tr").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("rev_share"))
+        .orderBy(col("decile"))
     })
   )
 
@@ -2935,6 +3095,13 @@ object AnalyticsQueries extends QueryPack {
 
   private val prScale = 1000000000000L
   private val prIters = 3
+
+  /** HITS fixed-point scale (scores are multiples of 1e-12; each round's
+    * L1 normalization rescales the total mass back to this) and the
+    * unrolled iteration count — shared by the Spark loop and the oracle
+    * CTEs. */
+  private val hitsScale = 1000000000000L
+  private val hitsIters = 2
   private val lpRounds = 3
 
   /** BFS hop bound — shared by the Spark loop and the oracle CTEs. */
@@ -3063,7 +3230,116 @@ object AnalyticsQueries extends QueryPack {
        |FROM r$prIters ORDER BY id""".stripMargin
   }
 
+  /** q_hits oracle: unrolled mutual-reinforcement rounds in the same
+    * 1e-12 HUGEINT fixed point; each normalization is a scalar subquery. */
+  private def hitsSql: String = {
+    val iters = (1 to hitsIters).map { i =>
+      val prev = if (i == 1) "h0" else s"h${i - 1}"
+      s"""a${i}raw AS (SELECT sk, sum(h) AS araw
+         |  FROM e JOIN $prev USING (ck) GROUP BY 1),
+         |a$i AS (SELECT sk, ($hitsScale::HUGEINT * araw)
+         |    // (SELECT sum(araw) FROM a${i}raw) AS a
+         |  FROM a${i}raw),
+         |h${i}raw AS (SELECT ck, sum(a) AS hraw
+         |  FROM e JOIN a$i USING (sk) GROUP BY 1),
+         |h$i AS (SELECT ck, ($hitsScale::HUGEINT * hraw)
+         |    // (SELECT sum(hraw) FROM h${i}raw) AS h
+         |  FROM h${i}raw)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |h0 AS (SELECT DISTINCT ck, $hitsScale::HUGEINT AS h FROM e),
+       |$iters
+       |SELECT role, id, score_fp,
+       |  CAST(score_fp AS DOUBLE) / $hitsScale.0 AS score
+       |FROM (
+       |  SELECT 'hub' AS role, ck AS id, CAST(h AS BIGINT) AS score_fp
+       |  FROM h$hitsIters
+       |  UNION ALL
+       |  SELECT 'authority', sk, CAST(a AS BIGINT) FROM a$hitsIters) t
+       |ORDER BY role, id""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    // same integer fixed point as the Spark loop; see hitsSql
+    "q_hits" -> hitsSql,
+
+    // the triangle frame of q_triangle_count, re-read per node with the
+    // zero-triangle left join; exact integers until the final ratio
+    "q_clustering_coef" ->
+      s"""WITH $coEdgesSql,
+         |e AS (SELECT p1, p2 FROM pe),
+         |deg AS (SELECT n, count(*) AS dg FROM (
+         |    SELECT p1 AS n FROM e UNION ALL SELECT p2 FROM e) t
+         |  GROUP BY 1),
+         |o AS (SELECT
+         |    CASE WHEN (d1.dg, e.p1) < (d2.dg, e.p2)
+         |      THEN e.p1 ELSE e.p2 END AS a,
+         |    CASE WHEN (d1.dg, e.p1) < (d2.dg, e.p2)
+         |      THEN e.p2 ELSE e.p1 END AS b,
+         |    CASE WHEN (d1.dg, e.p1) < (d2.dg, e.p2)
+         |      THEN d2.dg ELSE d1.dg END AS db
+         |  FROM e JOIN deg d1 ON d1.n = e.p1
+         |    JOIN deg d2 ON d2.n = e.p2),
+         |tri AS (SELECT w1.a, w1.b AS b1, w2.b AS b2
+         |  FROM o w1 JOIN o w2 ON w1.a = w2.a
+         |    AND (w1.db, w1.b) < (w2.db, w2.b)
+         |  JOIN o c ON c.a = w1.b AND c.b = w2.b),
+         |pn AS (SELECT part, count(*) AS n_tri FROM (
+         |    SELECT unnest([a, b1, b2]) AS part FROM tri) x
+         |  GROUP BY 1)
+         |SELECT deg.n AS part, deg.dg AS degree,
+         |  CAST(COALESCE(pn.n_tri, 0) AS BIGINT) AS n_tri,
+         |  CASE WHEN deg.dg >= 2 THEN
+         |    floor(2.0e0 * CAST(COALESCE(pn.n_tri, 0) AS DOUBLE)
+         |      / (CAST(deg.dg AS DOUBLE) * CAST(deg.dg - 1 AS DOUBLE))
+         |      * 1e6 + 0.5e0) / 1e6
+         |    ELSE 0.0e0 END AS cc
+         |FROM deg LEFT JOIN pn ON pn.part = deg.n
+         |ORDER BY part""".stripMargin,
+
+    // integer micro-quantized precision@k terms under the declared
+    // (n_chars DESC, doc_id) total order — the reduction sums integers
+    "q_pr_auc" ->
+      """WITH docs AS (SELECT doc_id, source, n_chars,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |r AS (SELECT source, pos,
+        |    row_number() OVER w AS k,
+        |    sum(pos) OVER w AS cum_pos
+        |  FROM docs
+        |  WINDOW w AS (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id)),
+        |g AS (SELECT source, count(*) AS n_pos,
+        |    sum((1000000 * cum_pos) // k) AS sp
+        |  FROM r WHERE pos = 1 GROUP BY 1)
+        |SELECT source, n_pos, CAST(sp // n_pos AS BIGINT) AS ap_u
+        |FROM g ORDER BY source""".stripMargin,
+
+    // exact integer cents under one (revenue, custkey) total order;
+    // zero-order customers enter at revenue 0
+    "q_lorenz" ->
+      """WITH rev AS (SELECT c.c_custkey,
+        |    COALESCE(r.rc, 0) AS revc
+        |  FROM customer c LEFT JOIN (SELECT o_custkey,
+        |      CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |        AS BIGINT) AS rc
+        |    FROM orders GROUP BY 1) r ON r.o_custkey = c.c_custkey),
+        |cum AS (SELECT c_custkey, revc,
+        |    row_number() OVER w AS cumn,
+        |    sum(revc) OVER (ORDER BY revc, c_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumrev
+        |  FROM rev WINDOW w AS (ORDER BY revc, c_custkey)),
+        |t AS (SELECT count(*) AS n, sum(revc) AS tr FROM rev)
+        |SELECT ((cumn - 1) * 10) // n + 1 AS decile,
+        |  max(cumn) AS cum_customers,
+        |  floor(CAST(max(cumn) AS DOUBLE) / CAST(max(n) AS DOUBLE)
+        |    * 1e6 + 0.5e0) / 1e6 AS pop_share,
+        |  floor(CAST(max(cumrev) AS DOUBLE) / CAST(max(tr) AS DOUBLE)
+        |    * 1e6 + 0.5e0) / 1e6 AS rev_share
+        |FROM cum CROSS JOIN t
+        |GROUP BY 1 ORDER BY decile""".stripMargin,
+
     // the quadratic NOT EXISTS dominance check — semantics twin of the
     // engine's order-statistic formulation (see the query comment for the
     // m1/gmin ⟺ dominance proof); exact integers on both sides
