@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.NativeExpressions
-import graft.engine.{OracleHash, QueryPack, Tables}
+import graft.engine.{Dist, OracleHash, QueryPack, Tables}
 import graft.functions.{ConnectedComponents, TextDedup, Vectors}
 
 /** Training-data curation operators a 100 TB corpus pipeline runs between
@@ -990,6 +990,63 @@ object PipelineQueries extends QueryPack {
         .withColumn("pos", row_number().over(w).cast("long"))
         .select(col("epoch"), col("pos"), col("doc_id"))
         .orderBy(col("epoch"), col("pos"))
+    }),
+
+    // -- URL normalization + per-domain rollup -----------------------------
+    // The crawl-curation key derivation: canonicalize a URL (lowercase
+    // host, strip the fragment, strip utm_* tracking params, strip the
+    // www. prefix for the domain key) and aggregate per registrable
+    // domain. The corpus carries no URL column, so each doc synthesizes a
+    // DETERMINISTIC messy URL from (source, doc_id) — identical on both
+    // engines; the operator under test is the normalization surgery.
+    // Pure per-row regex work + one 20-group aggregate; the patterns stay
+    // in the Java∩RE2-portable subset.
+    "q_url_normalize" -> ((s, d) => {
+      val url = concat(lit("https://WWW."), col("source"),
+        lit(".Example.COM/p/"), col("doc_id").cast("string"),
+        lit("?utm_source=feed&id="), pmod(col("doc_id"), lit(7))
+          .cast("string"), lit("&utm_campaign=x#s"))
+      val noFrag = regexp_replace(url, "#.*$", "")
+      val host = lower(regexp_extract(noFrag, "^https?://([^/]+)", 1))
+      val rest = regexp_extract(noFrag, "^https?://[^/]+([^#]*)", 1)
+      val q0 = regexp_replace(rest, "utm_[a-z]+=[^&]*&", "")
+      val q1 = regexp_replace(q0, "[?&]utm_[a-z]+=[^&]*$", "")
+      val q2 = regexp_replace(q1, "\\?$", "")
+      val domain = regexp_replace(host, "^www\\.", "")
+      Tables.documents(s, d)
+        .select(col("doc_id"), domain.as("domain"),
+          concat(lit("https://"), domain, q2).as("norm_url"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("norm_url")).as("n_distinct"))
+        .orderBy(col("domain"))
+    }),
+
+    // -- curriculum interleave order ---------------------------------------
+    // Deterministic curriculum scheduling: rank docs by a difficulty
+    // proxy (length), cut into global deciles via the DISTRIBUTED prefix
+    // pass (never a single-partition ntile), then emit the round-robin
+    // interleave (rank-1 of every decile, then rank-2, ...) so each
+    // training window sees the full difficulty spectrum. The within-
+    // decile rank is a decile-keyed window — ten balanced partitions by
+    // construction. seq = (rank−1)·10 + decile is unique by definition.
+    "q_curriculum" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("diff", col("n_chars").cast("double"))
+        .withColumn("one", lit(1L))
+      val cum = Dist.globalPrefixSum(docs, "diff", asc = true,
+        "doc_id", "one", 32)
+      val tot = docs.agg(count(lit(1)).as("n"))
+      val dec = cum.crossJoin(broadcast(tot))
+        .withColumn("decile", expr("((cum - 1) * 10) div n + 1"))
+      val w = Window.partitionBy(col("decile"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      dec.withColumn("phase_rank", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("decile"), col("phase_rank"),
+          ((col("phase_rank") - lit(1L)) * lit(10L) + col("decile"))
+            .as("seq"))
+        .orderBy(col("seq"))
     })
   )
 
@@ -1612,6 +1669,53 @@ object PipelineQueries extends QueryPack {
         |    PARTITION BY epoch ORDER BY k, doc_id) AS pos FROM e)
         |SELECT CAST(epoch AS BIGINT) AS epoch, CAST(pos AS BIGINT) AS pos,
         |  doc_id
-        |FROM r WHERE pos <= 10 ORDER BY epoch, pos""".stripMargin
+        |FROM r WHERE pos <= 10 ORDER BY epoch, pos""".stripMargin,
+
+    // identical synthetic messy URL; same normalization surgery with
+    // DuckDB's explicit 'g' replace-all flag
+    "q_url_normalize" ->
+      """WITH u AS (SELECT doc_id,
+        |    'https://WWW.' || source || '.Example.COM/p/'
+        |      || CAST(doc_id AS VARCHAR) || '?utm_source=feed&id='
+        |      || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x#s'
+        |      AS url
+        |  FROM documents),
+        |nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS nu
+        |  FROM u),
+        |p AS (SELECT doc_id,
+        |    lower(regexp_extract(nu, '^https?://([^/]+)', 1)) AS host,
+        |    regexp_extract(nu, '^https?://[^/]+([^#]*)', 1) AS rest
+        |  FROM nf),
+        |q AS (SELECT doc_id,
+        |    regexp_replace(host, '^www\.', '', 'g') AS domain,
+        |    regexp_replace(regexp_replace(regexp_replace(rest,
+        |      'utm_[a-z]+=[^&]*&', '', 'g'),
+        |      '[?&]utm_[a-z]+=[^&]*$', '', 'g'),
+        |      '\?$', '', 'g') AS q2
+        |  FROM p)
+        |SELECT domain, count(*) AS n_urls,
+        |  CAST(count(DISTINCT 'https://' || domain || q2) AS BIGINT)
+        |    AS n_distinct
+        |FROM q GROUP BY 1 ORDER BY domain""".stripMargin,
+
+    // same decile cut on the (n_chars, doc_id) total order; the oracle
+    // may use the plain global window the engine's distributed prefix
+    // pass is provably equal to
+    "q_curriculum" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS cum
+        |  FROM documents),
+        |t AS (SELECT count(*) AS n FROM documents),
+        |d AS (SELECT doc_id, n_chars,
+        |    ((cum - 1) * 10) // n + 1 AS decile
+        |  FROM r CROSS JOIN t),
+        |f AS (SELECT doc_id, decile,
+        |    row_number() OVER (PARTITION BY decile
+        |      ORDER BY n_chars, doc_id) AS phase_rank
+        |  FROM d)
+        |SELECT doc_id, CAST(decile AS BIGINT) AS decile,
+        |  CAST(phase_rank AS BIGINT) AS phase_rank,
+        |  CAST((phase_rank - 1) * 10 + decile AS BIGINT) AS seq
+        |FROM f ORDER BY seq""".stripMargin
   )
 }

@@ -1515,6 +1515,72 @@ object TextQueries extends QueryPack {
         .select(col("dec").cast("long").as("decile"), col("n_cum"),
           col("v_cum"), col("beta"), col("ln_k"))
         .orderBy(col("decile"))
+    }),
+
+    // -- PII detection + redaction ----------------------------------------
+    // The scrub pass every training corpus runs before release: count and
+    // replace emails / phone numbers / IPv4 literals with typed sentinel
+    // tokens. The corpus text carries no PII, so each doc is extended
+    // with a DETERMINISTIC doc_id-derived contact tail (both engines
+    // synthesize the identical string — the operator under test is the
+    // regex machinery, not the generator). Patterns stay in the
+    // Java∩RE2-portable subset (character classes + bounded repetition —
+    // no lookaround). Per-row work only: the scan is the whole cost, and
+    // the scrub inlines into whole-stage codegen.
+    "q_pii_scrub" -> ((s, d) => {
+      val txt2 = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com or call +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".0.1"))
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+1-555-[0-9]{4}"
+      val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      Tables.documents(s, d)
+        .select(col("doc_id"), txt2.as("t"))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(emailRe)).cast("long")
+            .as("n_emails"),
+          regexp_count(col("t"), lit(phoneRe)).cast("long")
+            .as("n_phones"),
+          regexp_count(col("t"), lit(ipRe)).cast("long").as("n_ips"),
+          regexp_replace(regexp_replace(regexp_replace(col("t"),
+            emailRe, "[EMAIL]"), phoneRe, "[PHONE]"), ipRe, "[IP]")
+            .as("scrubbed"))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          col("n_ips"), length(col("scrubbed")).cast("long")
+            .as("scrub_len"),
+          md5(col("scrubbed")).as("scrub_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- script / character-class profile per language ---------------------
+    // The writing-system audit before tokenizer decisions: per-language
+    // ratios of ASCII letters / digits / whitespace / other, from EXACT
+    // integer per-class counts (regexp_count per row, integer sums per
+    // group — a per-row float ratio averaged per group would be
+    // accumulation-order dependent). One scan, one 5-group aggregate.
+    "q_script_profile" -> ((s, d) => {
+      val n = length(col("text")).cast("long")
+      val alpha = regexp_count(col("text"), lit("[A-Za-z]")).cast("long")
+      val digit = regexp_count(col("text"), lit("[0-9]")).cast("long")
+      val space = regexp_count(col("text"), lit(" ")).cast("long")
+      def q6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      Tables.documents(s, d)
+        .select(col("lang"), n.as("n"), alpha.as("a"), digit.as("dg"),
+          space.as("sp"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tn"),
+          sum(col("a")).as("ta"), sum(col("dg")).as("td"),
+          sum(col("sp")).as("ts"))
+        .select(col("lang"), col("n_docs"),
+          q6(col("ta").cast("double") / col("tn")).as("alpha_ratio"),
+          q6(col("td").cast("double") / col("tn")).as("digit_ratio"),
+          q6(col("ts").cast("double") / col("tn")).as("space_ratio"),
+          q6((col("tn") - col("ta") - col("td") - col("ts"))
+            .cast("double") / col("tn")).as("other_ratio"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -2620,7 +2686,63 @@ object TextQueries extends QueryPack {
            |  FROM fit)
            |SELECT CAST(dec AS BIGINT) AS decile, n_cum, v_cum,
            |  beta, ln_k
-           |FROM lq CROSS JOIN est ORDER BY decile""".stripMargin
+           |FROM lq CROSS JOIN est ORDER BY decile""".stripMargin,
+
+      // identical deterministic contact tail; Java∩RE2-portable patterns;
+      // DuckDB regexp_replace needs the explicit 'g' flag to match
+      // Spark's replace-all default
+      "q_pii_scrub" ->
+        """WITH t AS (SELECT doc_id,
+          |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+          |      || '@example.com or call +1-555-'
+          |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          |      || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+          |      || '.0.1' AS t
+          |  FROM documents),
+          |s AS (SELECT doc_id,
+          |    CAST(len(regexp_extract_all(t,
+          |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          |      AS BIGINT) AS n_emails,
+          |    CAST(len(regexp_extract_all(t, '\+1-555-[0-9]{4}'))
+          |      AS BIGINT) AS n_phones,
+          |    CAST(len(regexp_extract_all(t,
+          |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
+          |      AS BIGINT) AS n_ips,
+          |    regexp_replace(regexp_replace(regexp_replace(t,
+          |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+          |      '[EMAIL]', 'g'),
+          |      '\+1-555-[0-9]{4}', '[PHONE]', 'g'),
+          |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+          |      '[IP]', 'g') AS scrubbed
+          |  FROM t)
+          |SELECT doc_id, n_emails, n_phones, n_ips,
+          |  CAST(len(scrubbed) AS BIGINT) AS scrub_len,
+          |  md5(scrubbed) AS scrub_md5
+          |FROM s ORDER BY doc_id""".stripMargin,
+
+      // exact integer class counts; ratios from group-total integer sums
+      "q_script_profile" ->
+        """WITH c AS (SELECT lang,
+          |    CAST(len(text) AS BIGINT) AS n,
+          |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT)
+          |      AS a,
+          |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+          |      AS dg,
+          |    CAST(len(regexp_extract_all(text, ' ')) AS BIGINT) AS sp
+          |  FROM documents),
+          |g AS (SELECT lang, count(*) AS n_docs, sum(n) AS tn,
+          |    sum(a) AS ta, sum(dg) AS td, sum(sp) AS ts
+          |  FROM c GROUP BY 1)
+          |SELECT lang, n_docs,
+          |  floor(CAST(ta AS DOUBLE) / tn * 1e6 + 0.5e0) / 1e6
+          |    AS alpha_ratio,
+          |  floor(CAST(td AS DOUBLE) / tn * 1e6 + 0.5e0) / 1e6
+          |    AS digit_ratio,
+          |  floor(CAST(ts AS DOUBLE) / tn * 1e6 + 0.5e0) / 1e6
+          |    AS space_ratio,
+          |  floor(CAST(tn - ta - td - ts AS DOUBLE) / tn * 1e6 + 0.5e0)
+          |    / 1e6 AS other_ratio
+          |FROM g ORDER BY lang""".stripMargin
     )
   }
 }

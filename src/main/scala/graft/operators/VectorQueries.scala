@@ -1065,8 +1065,48 @@ object VectorQueries extends QueryPack {
       }
       sweep(1).unionByName(sweep(2)).unionByName(sweep(4))
         .orderBy(col("nprobe"))
+    }),
+
+    // -- Johnson–Lindenstrauss random projection (64 → 16 dims) ------------
+    // The dimensionality-reduction front door for cheap filtering before
+    // exact rescoring: a deterministic ±1 Rademacher matrix (parity of
+    // splitmix64(k·4096 + j) — the rhpSignature convention, precomputed
+    // driver-side and shared verbatim with the oracle's VALUES list)
+    // projects the gram-discipline fixed-point quantization, so every
+    // output coordinate is an EXACT integer dot product — no FP fold
+    // order anywhere. Per-row HOF work only (no shuffle); the long-form
+    // output is the relational-consumer shape (same rationale as
+    // q_embed_standardize).
+    "q_random_projection" -> ((s, d) => {
+      val qArr = transform(col("embedding"),
+        x => floor((greatest(x.cast("double"), lit(-1.0)) + lit(1.0)) *
+          lit(1000000.0)).cast("long"))
+      val ys = (0 until rpDims).map { k =>
+        aggregate(
+          zip_with(qArr, typedlit(rpSigns(k).toSeq), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v)
+      }
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(array(ys: _*)).as(Seq("k", "y")))
+        .select(col("vec_id"), col("k").cast("long").as("k"), col("y"),
+          (col("y").cast("double") / lit(1e6)).as("yd"))
+        .orderBy(col("vec_id"), col("k"))
     })
   )
+
+  /** q_random_projection: output dims and the deterministic ±1 Rademacher
+    * sign matrix — parity of splitmix64(k·4096 + j), the [[Vectors
+    * .rhpSignature]] convention. Computed once driver-side; the oracle
+    * embeds the identical literals. */
+  private val rpDims = 16
+  private[operators] val rpSigns: Array[Array[Long]] =
+    Array.tabulate(rpDims) { k =>
+      Array.tabulate(64) { j =>
+        val h = org.apache.spark.sql.graft.NativeExpressions
+          .splitmix64Long(k.toLong * 4096L + j)
+        if ((h & 1L) == 0L) 1L else -1L
+      }
+    }
 
   /** Integer DCG discount weights round(1e6 / log2(i + 1)) for ranks
     * 1..10, and their prefix sums (the ideal DCG at each hit count) —
@@ -1768,6 +1808,29 @@ object VectorQueries extends QueryPack {
            |  CAST((1000000 * n_hits) // (5 * nq.n_queries) AS BIGINT)
            |    AS recall5_u
            |FROM u CROSS JOIN nq ORDER BY nprobe""".stripMargin
+      },
+
+      // identical sign literals (driver-precomputed splitmix64 parity);
+      // exact integer dot products on the shared fixed-point quantization
+      "q_random_projection" -> {
+        val values = rpSigns.zipWithIndex.map { case (arr, k) =>
+          s"($k, [${arr.mkString(", ")}])"
+        }.mkString(",\n          |    ").stripMargin
+        s"""WITH p AS (SELECT vec_id,
+           |    list_transform(CAST(embedding AS DOUBLE[]),
+           |      x -> CAST(floor((greatest(x, CAST(-1.0 AS DOUBLE))
+           |        + CAST(1.0 AS DOUBLE)) * CAST(1000000.0 AS DOUBLE))
+           |        AS BIGINT)) AS q
+           |  FROM embeddings),
+           |s(k, sg) AS (VALUES
+           |    ${values}),
+           |t AS (SELECT vec_id, k,
+           |    CAST(list_sum(list_transform(range(1, 65),
+           |      j -> q[j] * sg[j])) AS BIGINT) AS y
+           |  FROM p CROSS JOIN s)
+           |SELECT vec_id, CAST(k AS BIGINT) AS k, y,
+           |  CAST(y AS DOUBLE) / 1e6 AS yd
+           |FROM t ORDER BY vec_id, k""".stripMargin
       }
     )
   }
