@@ -504,6 +504,46 @@ object EventQueries extends QueryPack {
           sum(col("next_us") - col("us")).as("total_us"))
         .select(col("cum").as("level"), col("n_segments"), col("total_us"))
         .orderBy(col("level"))
+    }),
+
+    // -- session-length / duration profile ---------------------------------
+    // The engagement-distribution readout over q_sessionize's session
+    // frame: sessions bucketed by event count (1 / 2-4 / 5-9 / 10+),
+    // with per-bucket duration stats from EXACT integer microsecond
+    // sums — a bounded 4-row output whatever the corpus size (the
+    // histogram shape scales; a global percentile over sessions would
+    // need a distributed rank pass for no extra signal here). Same
+    // >=30min boundary contract as q_sessionize.
+    "q_session_stats" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val sess = Tables.eventsWithTime(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_us").isNull ||
+            col("ts_us") - col("prev_us") >= lit(1800000000L), 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum(col("is_new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
+      val bucket = when(col("n_events") === 1L, "1")
+        .when(col("n_events") <= 4L, "2-4")
+        .when(col("n_events") <= 9L, "5-9")
+        .otherwise("10+")
+      sess.groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          sum(col("dur_us")).as("sum_dur_us"),
+          max(col("dur_us")).as("max_dur_us"))
+        .select(col("bucket"), col("n_sessions"), col("n_events"),
+          (floor(col("sum_dur_us").cast("double") / col("n_sessions") /
+            lit(1e6) * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("avg_dur_sec"),
+          (col("max_dur_us") / lit(1000000L)).as("max_dur_sec"))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -902,6 +942,37 @@ object EventQueries extends QueryPack {
         |SELECT CAST(lev AS BIGINT) AS level, count(*) AS n_segments,
         |  CAST(sum(next_us - us) AS BIGINT) AS total_us
         |FROM c WHERE next_us IS NOT NULL
-        |GROUP BY 1 ORDER BY level""".stripMargin
+        |GROUP BY 1 ORDER BY level""".stripMargin,
+
+    // same >=30min boundary as q_sessionize; exact integer microsecond
+    // duration sums per bucket
+    "q_session_stats" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |m AS (SELECT user_id, event_id, ts_us,
+        |    lag(ts_us, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS prev_us
+        |  FROM e),
+        |sq AS (SELECT user_id, ts_us,
+        |    sum(CASE WHEN prev_us IS NULL
+        |        OR ts_us - prev_us >= 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_seq
+        |  FROM m),
+        |s AS (SELECT user_id, session_seq, count(*) AS n_events,
+        |    max(ts_us) - min(ts_us) AS dur_us
+        |  FROM sq GROUP BY 1, 2),
+        |b AS (SELECT CASE WHEN n_events = 1 THEN '1'
+        |      WHEN n_events <= 4 THEN '2-4'
+        |      WHEN n_events <= 9 THEN '5-9'
+        |      ELSE '10+' END AS bucket, n_events, dur_us
+        |  FROM s)
+        |SELECT bucket, count(*) AS n_sessions,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  floor(CAST(sum(dur_us) AS DOUBLE) / count(*) / 1e6 * 1e6
+        |    + 0.5e0) / 1e6 AS avg_dur_sec,
+        |  CAST(max(dur_us) AS BIGINT) / 1000000 AS max_dur_sec
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 }

@@ -270,6 +270,26 @@ object JoinQueries extends QueryPack {
           round(col("max_n").cast("double") * col("n_keys") /
             col("total"), 6).as("skew_factor"))
         .orderBy(col("rank"))
+    }),
+
+    // -- null-safe equality join (`<=>` / IS NOT DISTINCT FROM) ------------
+    // The SQL surface for joining on keys where NULL must match NULL
+    // (sentinel-encoded dimensions, SCD bridge tables). nationkey 0 is
+    // nulled on both sides, so the NULL partition carries real matches
+    // that a plain equi-join would silently drop. Catalyst plans
+    // EqualNullSafe as a KEYED join (hash/sort-merge on the null-safe
+    // key), not a cartesian — the whole point of preferring `<=>` over
+    // `ON a = b OR (a IS NULL AND b IS NULL)`, which falls off the keyed
+    // path into BNLJ.
+    "q_nullsafe_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select(expr("nullif(c_nationkey, 0)").as("ck"))
+      val su = Tables.supplier(s, d)
+        .select(expr("nullif(s_nationkey, 0)").as("sk"))
+      c.join(su, col("ck") <=> col("sk"))
+        .groupBy(coalesce(col("ck"), lit(-1L)).as("nk"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("nk"))
     })
   )
 
@@ -405,6 +425,15 @@ object JoinQueries extends QueryPack {
         |  round(CAST(n AS DOUBLE) / total, 6) AS share,
         |  n_keys,
         |  round(CAST(max_n AS DOUBLE) * n_keys / total, 6) AS skew_factor
-        |FROM top CROSS JOIN st WHERE rank <= 5 ORDER BY rank""".stripMargin
+        |FROM top CROSS JOIN st WHERE rank <= 5 ORDER BY rank""".stripMargin,
+
+    // IS NOT DISTINCT FROM is DuckDB's spelling of Spark's <=>
+    "q_nullsafe_join" ->
+      """SELECT CAST(COALESCE(c.ck, -1) AS BIGINT) AS nk,
+        |  count(*) AS n_pairs
+        |FROM (SELECT nullif(c_nationkey, 0) AS ck FROM customer) c
+        |JOIN (SELECT nullif(s_nationkey, 0) AS sk FROM supplier) s
+        |  ON c.ck IS NOT DISTINCT FROM s.sk
+        |GROUP BY 1 ORDER BY nk""".stripMargin
   )
 }
