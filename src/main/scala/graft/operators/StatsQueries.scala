@@ -1931,6 +1931,170 @@ object StatsQueries extends QueryPack {
           (floor(col("z") * lit(1e6) + lit(0.5)) / lit(1e6)).as("ewma"),
           when(vr > 0.0, abs(col("z") - mu) > limit).as("violation"))
         .orderBy(col("dd"))
+    }),
+
+    // -- cross-correlation function between two daily metrics --------------
+    // The lead/lag discovery companion to q_acf (within one series) and
+    // q_granger (fixed lag 1): does click volume LEAD purchase volume,
+    // and by how many days? For each lag ∈ [−7, 7] the overlap
+    // cross-moments are EXACT DECIMAL integer sums over the keyed
+    // (dd+lag) join of the calendar-bounded day frame; the normalization
+    // uses full-series central moments (the standard CCF denominator),
+    // so every lag shares one broadcast stats row and only the final
+    // ratio is floating point.
+    "q_ccf" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val byd = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long").as("dd"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+      val m = byd.agg(count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"))
+      val lags = s.range(-7, 8).select(col("id").as("lag"))
+      val o = byd.select(col("dd").as("d1"), col("x").as("x1"))
+        .crossJoin(lags)
+        .join(byd.select(col("dd").as("d2"), col("y").as("y2")),
+          col("d2") === col("d1") + col("lag"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_overlap"),
+          sum(dec(col("x1"))).as("sxo"), sum(dec(col("y2"))).as("syo"),
+          sum(dec(col("x1")) * dec(col("y2"))).as("sxyo"))
+      val nD = col("n").cast("double")
+      val mx = col("sx").cast("double") / nD
+      val my = col("sy").cast("double") / nD
+      val num = col("sxyo").cast("double") - mx * col("syo").cast("double") -
+        my * col("sxo").cast("double") +
+        col("n_overlap").cast("double") * mx * my
+      val den = sqrt((col("sxx").cast("double") - nD * mx * mx) *
+        (col("syy").cast("double") - nD * my * my))
+      o.crossJoin(broadcast(m))
+        .select(col("lag"), col("n_overlap"),
+          when(den > 0.0,
+            floor(num / den * lit(1e6) + lit(0.5)) / lit(1e6)).as("ccf"))
+        .orderBy(col("lag"))
+    }),
+
+    // -- Bollinger bands over the daily volume series ----------------------
+    // The rolling-window SPC view (vs q_ewma_chart's exponentially
+    // weighted one): 7-day rolling mean ± 2σ from EXACT integer rolling
+    // sums (the window carries longs; only each row's band evaluation is
+    // floating point, one fixed expression). Bands are NULL until the
+    // window is full — a 3-day "band" is noise, and an engine that
+    // silently emitted it would alarm on warm-up; the breakout flag is a
+    // plain NON-NULL boolean (warm-up rows read false) because the
+    // comparison harness renders a null boolean as None on one engine
+    // and NaN on the other.
+    "q_bollinger" -> ((s, d) => {
+      val byd = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long").as("dd"))
+        .agg(count(lit(1)).as("y"))
+      val w = Window.orderBy(col("dd")).rowsBetween(-6, 0)
+      val r = byd
+        .withColumn("cnt", count(lit(1)).over(w))
+        .withColumn("rs1", sum(col("y")).over(w))
+        .withColumn("rs2", sum(col("y") * col("y")).over(w))
+      val cntD = col("cnt").cast("double")
+      val mid = col("rs1").cast("double") / cntD
+      val vr = (col("rs2").cast("double") -
+        col("rs1").cast("double") * col("rs1").cast("double") / cntD) /
+        (cntD - lit(1.0))
+      def q6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      // the vr divisor (cnt−1) is 0 on the first warm-up row and ANSI
+      // mode faults even a double division by zero — nest the guards so
+      // vr only ever evaluates under cnt = 7 (CaseWhen short-circuits
+      // per row in codegen)
+      val full = col("cnt") === 7L
+      r.select(col("dd"), col("y"),
+          when(full, q6(mid)).as("mid"),
+          when(full, when(vr > 0.0, q6(mid + lit(2.0) * sqrt(vr))))
+            .as("bb_upper"),
+          when(full, when(vr > 0.0, q6(mid - lit(2.0) * sqrt(vr))))
+            .as("bb_lower"),
+          coalesce(when(full, when(vr > 0.0,
+            col("y").cast("double") > mid + lit(2.0) * sqrt(vr) ||
+              col("y").cast("double") < mid - lit(2.0) * sqrt(vr))),
+            lit(false)).as("breakout"))
+        .orderBy(col("dd"))
+    }),
+
+    // -- Hurst exponent via rescaled-range (R/S) analysis ------------------
+    // Long-range-dependence audit of the daily series (H≈0.5 random walk,
+    // H→1 trending): for window sizes w ∈ {5,10,15} the series splits
+    // into complete segments; within each, the cumulative-deviation range
+    // is computed as EXACT integers (Z_k·w = w·cumsum_k − (k+1)·S — the
+    // mean never materializes as a float), and R/S collapses to
+    // R_u / sqrt(w·SS − S²) with the moment products in DECIMAL. Per-
+    // segment R/S is micro-quantized to an integer before the per-w mean
+    // (order-free reduction), and H is the closed-form 3-point OLS slope
+    // on (ln w, ln mean R/S). Segment windows are (w, seg)-keyed.
+    "q_hurst" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val byd = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long").as("dd"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("idx",
+          row_number().over(Window.orderBy(col("dd"))).cast("long") -
+            lit(1L))
+      val tot = byd.agg(count(lit(1)).as("nd"))
+      val ws = s.range(1, 4).select((col("id") * 5).as("w"))
+      val segs = byd.crossJoin(ws).crossJoin(broadcast(tot))
+        .withColumn("seg", expr("idx div w"))
+        .withColumn("pos", expr("idx % w"))
+        .filter(col("seg") < expr("nd div w"))
+      val wseg = Window.partitionBy(col("w"), col("seg"))
+      val wcum = wseg.orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val z = segs
+        .withColumn("s", sum(col("y")).over(wseg))
+        .withColumn("ss", sum(dec(col("y")) * dec(col("y"))).over(wseg))
+        .withColumn("c", sum(col("y")).over(wcum))
+        .withColumn("zs",
+          col("w") * col("c") - (col("pos") + lit(1L)) * col("s"))
+      val perSeg = z.groupBy(col("w"), col("seg"))
+        .agg(max(col("zs")).as("zmax"), min(col("zs")).as("zmin"),
+          max(col("s")).as("sTot"), max(col("ss")).as("ssTot"))
+        .withColumn("den2",
+          (dec(col("w")) * col("ssTot") -
+            dec(col("sTot")) * dec(col("sTot"))).cast("double"))
+        .withColumn("rs6",
+          when(col("den2") > 0.0,
+            floor((col("zmax") - col("zmin")).cast("double") /
+              sqrt(col("den2")) * lit(1e6) + lit(0.5)).cast("long")))
+        .filter(col("rs6").isNotNull)
+      val perW = perSeg.groupBy(col("w"))
+        .agg(count(lit(1)).as("n_segs"), sum(col("rs6")).as("srs"))
+        .withColumn("mean_rs_u", expr("srs div n_segs"))
+        .withColumn("lnw_u",
+          floor(log(col("w").cast("double")) * lit(1e6) + lit(0.5))
+            .cast("long"))
+        .withColumn("lnrs_u",
+          floor(log(col("mean_rs_u").cast("double") / lit(1e6)) *
+            lit(1e6) + lit(0.5)).cast("long"))
+      val fit = perW.agg(count(lit(1)).as("np"),
+        sum(col("lnw_u")).as("sa"), sum(col("lnrs_u")).as("sb"),
+        sum(col("lnw_u") * col("lnw_u")).as("saa"),
+        sum(col("lnw_u") * col("lnrs_u")).as("sab"))
+      val npD = col("np").cast("double")
+      val hNum = npD * col("sab").cast("double") -
+        col("sa").cast("double") * col("sb").cast("double")
+      val hDen = npD * col("saa").cast("double") -
+        col("sa").cast("double") * col("sa").cast("double")
+      val h = fit.select(
+        when(hDen =!= 0.0,
+          floor(hNum / hDen * lit(1e6) + lit(0.5)) / lit(1e6)).as("h"))
+      perW.crossJoin(broadcast(h))
+        .select(col("w"), col("n_segs"),
+          (col("mean_rs_u").cast("double") / lit(1e6)).as("rs_mean"),
+          col("h"))
+        .orderBy(col("w"))
     })
   )
 
@@ -3509,6 +3673,142 @@ object StatsQueries extends QueryPack {
          |    abs(z - mu) > 3.0e0 * sqrt(vr) * sqrt(0.2e0 / 1.8e0)
          |    END AS violation
          |FROM f CROSS JOIN g ORDER BY dd""".stripMargin
-    }
+    },
+
+    // exact HUGEINT overlap cross-moments per lag; full-series central
+    // moments in the denominator, one fixed ratio
+    "q_ccf" ->
+      """WITH byd AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS sx,
+        |    sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM byd),
+        |l AS (SELECT unnest(range(-7, 8)) AS lag),
+        |o AS (SELECT lag, count(*) AS n_overlap,
+        |    sum(CAST(a.x AS HUGEINT)) AS sxo,
+        |    sum(CAST(b.y AS HUGEINT)) AS syo,
+        |    sum(CAST(a.x AS HUGEINT) * b.y) AS sxyo
+        |  FROM byd a CROSS JOIN l JOIN byd b ON b.dd = a.dd + l.lag
+        |  GROUP BY 1),
+        |f AS (SELECT lag, n_overlap, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+        |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+        |    CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+        |    CAST(sxo AS DOUBLE) AS sxod, CAST(syo AS DOUBLE) AS syod,
+        |    CAST(sxyo AS DOUBLE) AS sxyod
+        |  FROM o CROSS JOIN m)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_overlap,
+        |  CASE WHEN sqrt((sxxd - nd * mx * mx)
+        |      * (syyd - nd * my * my)) > 0 THEN
+        |    floor((sxyod - mx * syod - my * sxod
+        |      + CAST(n_overlap AS DOUBLE) * mx * my)
+        |      / sqrt((sxxd - nd * mx * mx) * (syyd - nd * my * my))
+        |      * 1e6 + 0.5e0) / 1e6 END AS ccf
+        |FROM f ORDER BY lag""".stripMargin,
+
+    // exact integer rolling sums; bands NULL until the window is full
+    "q_bollinger" ->
+      """WITH byd AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT dd, y,
+        |    count(*) OVER w AS cnt,
+        |    sum(y) OVER w AS rs1,
+        |    sum(y * y) OVER w AS rs2
+        |  FROM byd
+        |  WINDOW w AS (ORDER BY dd
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT dd, y, cnt, CAST(cnt AS DOUBLE) AS cd,
+        |    CAST(rs1 AS DOUBLE) AS r1, CAST(rs2 AS DOUBLE) AS r2
+        |  FROM r)
+        |SELECT dd, CAST(y AS BIGINT) AS y,
+        |  CASE WHEN cnt = 7 THEN floor(r1 / cd * 1e6 + 0.5e0) / 1e6
+        |    END AS mid,
+        |  CASE WHEN cnt = 7 THEN
+        |    CASE WHEN (r2 - r1 * r1 / cd) / (cd - 1.0e0) > 0
+        |    THEN floor((r1 / cd + 2.0e0
+        |      * sqrt((r2 - r1 * r1 / cd) / (cd - 1.0e0))) * 1e6 + 0.5e0)
+        |      / 1e6 END END AS bb_upper,
+        |  CASE WHEN cnt = 7 THEN
+        |    CASE WHEN (r2 - r1 * r1 / cd) / (cd - 1.0e0) > 0
+        |    THEN floor((r1 / cd - 2.0e0
+        |      * sqrt((r2 - r1 * r1 / cd) / (cd - 1.0e0))) * 1e6 + 0.5e0)
+        |      / 1e6 END END AS bb_lower,
+        |  COALESCE(CASE WHEN cnt = 7 THEN
+        |    CASE WHEN (r2 - r1 * r1 / cd) / (cd - 1.0e0) > 0
+        |    THEN CAST(y AS DOUBLE) > r1 / cd + 2.0e0
+        |        * sqrt((r2 - r1 * r1 / cd) / (cd - 1.0e0))
+        |      OR CAST(y AS DOUBLE) < r1 / cd - 2.0e0
+        |        * sqrt((r2 - r1 * r1 / cd) / (cd - 1.0e0))
+        |    END END, FALSE) AS breakout
+        |FROM f ORDER BY dd""".stripMargin,
+
+    // integer cumulative-deviation ranges (Z·w = w·cum − (k+1)·S);
+    // R/S = R_u / sqrt(w·SS − S²) with HUGEINT products; micro-quantized
+    // per-segment R/S before the order-free per-w mean; 3-point OLS H
+    "q_hurst" ->
+      """WITH b0 AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1),
+        |byd AS (SELECT dd, y,
+        |    row_number() OVER (ORDER BY dd) - 1 AS idx
+        |  FROM b0),
+        |t AS (SELECT count(*) AS nd FROM byd),
+        |wv AS (SELECT unnest(range(1, 4)) * 5 AS w),
+        |segs AS (SELECT b.y, wv.w, b.idx // wv.w AS seg,
+        |    b.idx % wv.w AS pos
+        |  FROM byd b CROSS JOIN wv CROSS JOIN t
+        |  WHERE b.idx // wv.w < t.nd // wv.w),
+        |z AS (SELECT w, seg, pos,
+        |    sum(y) OVER ws AS s,
+        |    sum(CAST(y AS HUGEINT) * y) OVER ws AS ss,
+        |    sum(y) OVER (PARTITION BY w, seg ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM segs WINDOW ws AS (PARTITION BY w, seg)),
+        |zz AS (SELECT w, seg, w * c - (pos + 1) * s AS zs, s, ss FROM z),
+        |perseg AS (SELECT w, seg, max(zs) AS zmax, min(zs) AS zmin,
+        |    max(s) AS stot, max(ss) AS sstot
+        |  FROM zz GROUP BY 1, 2),
+        |rs AS (SELECT w, seg, zmax, zmin,
+        |    CAST(CAST(w AS HUGEINT) * sstot
+        |      - CAST(stot AS HUGEINT) * stot AS DOUBLE) AS den2
+        |  FROM perseg),
+        |r6 AS (SELECT w,
+        |    CAST(floor(CAST(zmax - zmin AS DOUBLE) / sqrt(den2) * 1e6
+        |      + 0.5e0) AS BIGINT) AS rs6
+        |  FROM rs WHERE den2 > 0),
+        |perw AS (SELECT w, count(*) AS n_segs, sum(rs6) AS srs
+        |  FROM r6 GROUP BY 1),
+        |pw3 AS (SELECT w, n_segs, srs // n_segs AS mean_rs_u,
+        |    CAST(floor(ln(CAST(w AS DOUBLE)) * 1e6 + 0.5e0) AS BIGINT)
+        |      AS lnw_u,
+        |    CAST(floor(ln(CAST(srs // n_segs AS DOUBLE) / 1e6) * 1e6
+        |      + 0.5e0) AS BIGINT) AS lnrs_u
+        |  FROM perw),
+        |fit AS (SELECT count(*) AS np, sum(lnw_u) AS sa,
+        |    sum(lnrs_u) AS sb,
+        |    sum(CAST(lnw_u AS HUGEINT) * lnw_u) AS saa,
+        |    sum(CAST(lnw_u AS HUGEINT) * lnrs_u) AS sab
+        |  FROM pw3),
+        |h AS (SELECT CASE WHEN CAST(np AS DOUBLE) * CAST(saa AS DOUBLE)
+        |      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) <> 0 THEN
+        |    floor((CAST(np AS DOUBLE) * CAST(sab AS DOUBLE)
+        |      - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+        |      / (CAST(np AS DOUBLE) * CAST(saa AS DOUBLE)
+        |      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) * 1e6 + 0.5e0)
+        |      / 1e6 END AS h
+        |  FROM fit)
+        |SELECT CAST(w AS BIGINT) AS w, n_segs,
+        |  CAST(mean_rs_u AS DOUBLE) / 1e6 AS rs_mean, h
+        |FROM pw3 CROSS JOIN h ORDER BY w""".stripMargin
   )
 }

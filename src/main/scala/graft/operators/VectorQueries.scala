@@ -1091,6 +1091,103 @@ object VectorQueries extends QueryPack {
         .select(col("vec_id"), col("k").cast("long").as("k"), col("y"),
           (col("y").cast("double") / lit(1e6)).as("yd"))
         .orderBy(col("vec_id"), col("k"))
+    }),
+
+    // -- simplified silhouette of the label clustering ---------------------
+    // The separability audit for a labeled embedding corpus: per-vector
+    // silhouette s = (cos_own − max cos_other) / max(1−cos_own,
+    // 1−cos_other_max) against the INTEGER label centroids
+    // (q_label_centroids' fixed-point mean). The bounded centroid table
+    // (10×64 longs) is collected and re-enters as literal arrays, so
+    // each row does 10 exact-integer HOF dots with NO shuffle — the
+    // per-vector double work is one fixed expression, micro-quantized
+    // before the per-label mean (order-free integer reduction).
+    "q_silhouette" -> ((s, d) => {
+      def qRaw = transform(col("embedding"),
+        x => floor((greatest(x.cast("double"), lit(-1.0)) + lit(1.0)) *
+          lit(1000000.0)).cast("long"))
+      val pe = Tables.embeddings(s, d)
+        .select(col("label").cast("long").as("label"),
+          posexplode(qRaw).as(Seq("dim", "q")))
+      val centRows = pe.groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+        .select(col("label"), col("dim"),
+          (floor(col("sq").cast("double") / col("n").cast("double") +
+            lit(0.5)) - lit(1000000.0)).cast("long").as("mq"))
+        .collect()
+      val labels = centRows.map(_.getLong(0)).distinct.sorted
+      val cent: Map[Long, Array[Long]] = labels.map { l =>
+        val arr = new Array[Long](64)
+        centRows.filter(_.getLong(0) == l)
+          .foreach(r => arr(r.getInt(1)) = r.getLong(2))
+        l -> arr
+      }.toMap
+      val qc = transform(col("embedding"),
+        x => floor((greatest(x.cast("double"), lit(-1.0)) + lit(1.0)) *
+          lit(1000000.0)).cast("long") - lit(1000000L))
+      val ssv = aggregate(transform(qc, v => v * v), lit(0L),
+        (a, v) => a + v)
+      val cosArr = array(labels.map { l =>
+        val dot = aggregate(
+          zip_with(qc, typedlit(cent(l).toSeq), (x, y) => x * y),
+          lit(0L), (a, v) => a + v)
+        val ssc = cent(l).map(v => v * v).sum
+        dot.cast("double") /
+          (sqrt(ssv.cast("double")) * sqrt(lit(ssc.toDouble)))
+      }: _*)
+      val cosOwn = element_at(cosArr, (col("label") + lit(1L)).cast("int"))
+      val maxOther = array_max(zip_with(cosArr,
+        sequence(lit(0L), lit(labels.length - 1L)),
+        (c, i) => when(i === col("label"), lit(-2.0)).otherwise(c)))
+      val gmax = greatest(lit(1.0) - cosOwn, lit(1.0) - maxOther)
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("embedding"))
+        .withColumn("s6",
+          when(gmax > 0.0, floor((cosOwn - maxOther) / gmax * lit(1e6) +
+            lit(0.5)).cast("long")))
+        .groupBy(col("label"))
+        .agg(count(col("s6")).as("n_vecs"), sum(col("s6")).as("ssum"))
+        .select(col("label"), col("n_vecs"),
+          expr("ssum div n_vecs").as("mean_sil_u"),
+          (expr("ssum div n_vecs").cast("double") / lit(1e6))
+            .as("mean_sil"))
+        .orderBy(col("label"))
+    }),
+
+    // -- diagonal-Mahalanobis OOD scoring ----------------------------------
+    // The outlier gate a curation pipeline runs on embeddings before
+    // they poison a centroid/index build: per-dimension z-scores against
+    // the corpus moments (q_embed_standardize's exact integer moment
+    // derivation, verbatim), quantized to integers per term so each
+    // vector's squared distance is an EXACT integer sum — the top-20
+    // review queue is then decided on integers and fuses into
+    // TakeOrderedAndProject. One narrow explode pass + one broadcast of
+    // the 64-row stats frame.
+    "q_mahalanobis" -> ((s, d) => {
+      val p = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          posexplode(transform(col("embedding"),
+            x => floor((greatest(x.cast("double"), lit(-1.0)) + lit(1.0)) *
+              lit(1000000.0)).cast("long"))).as(Seq("dim", "q")))
+      val st = p.groupBy(col("dim")).agg(count(lit(1)).as("n"),
+        sum(col("q")).as("s1"), sum(col("q") * col("q")).as("s2"))
+      val z = st.select(col("dim"),
+        (col("s1").cast("double") / col("n")).as("mu"),
+        sqrt((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") / col("n")) /
+          col("n") + lit(1e-12)).as("sd"))
+      p.join(broadcast(z), "dim")
+        .withColumn("z3",
+          floor((col("q") - col("mu")) / col("sd") * lit(1000.0) +
+            lit(0.5)).cast("long"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(col("z3") * col("z3")).as("md2_u"))
+        .orderBy(col("md2_u").desc, col("vec_id"))
+        .limit(20)
+        .select(col("vec_id"), col("label"), col("md2_u"),
+          (floor(sqrt(col("md2_u").cast("double") / lit(1e6)) * lit(1e6) +
+            lit(0.5)) / lit(1e6)).as("md"))
     })
   )
 
@@ -1831,7 +1928,82 @@ object VectorQueries extends QueryPack {
            |SELECT vec_id, CAST(k AS BIGINT) AS k, y,
            |  CAST(y AS DOUBLE) / 1e6 AS yd
            |FROM t ORDER BY vec_id, k""".stripMargin
-      }
+      },
+
+      // the q_label_centroids integer centroid CTEs + exploded per-(vec,
+      // label) exact integer dots; sil quantized before the per-label mean
+      "q_silhouette" ->
+        """WITH pe AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+          |    generate_subscripts(embedding, 1) - 1 AS dim,
+          |    CAST(floor((greatest(CAST(unnest(embedding) AS DOUBLE),
+          |      CAST(-1.0 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+          |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS q
+          |  FROM embeddings),
+          |cent AS (SELECT label, dim, count(*) AS n,
+          |    CAST(sum(q) AS BIGINT) AS sq
+          |  FROM pe GROUP BY 1, 2),
+          |cm AS (SELECT label, dim, CAST(
+          |    floor(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) + 0.5e0)
+          |      - 1000000.0e0 AS BIGINT) AS mq
+          |  FROM cent),
+          |sscs AS (SELECT label, CAST(sum(mq * mq) AS BIGINT) AS ssc
+          |  FROM cm GROUP BY 1),
+          |pc AS (SELECT vec_id, label, dim, q - 1000000 AS qc FROM pe),
+          |ssvs AS (SELECT vec_id,
+          |    CAST(sum(qc * qc) AS BIGINT) AS ssv
+          |  FROM pc GROUP BY 1),
+          |dots AS (SELECT pc.vec_id, pc.label AS own, cm.label AS l,
+          |    CAST(sum(pc.qc * cm.mq) AS BIGINT) AS dot
+          |  FROM pc JOIN cm ON cm.dim = pc.dim
+          |  GROUP BY 1, 2, 3),
+          |cs AS (SELECT d.vec_id, d.own, d.l,
+          |    CAST(d.dot AS DOUBLE) / (sqrt(CAST(v.ssv AS DOUBLE))
+          |      * sqrt(CAST(c.ssc AS DOUBLE))) AS cos
+          |  FROM dots d JOIN ssvs v ON v.vec_id = d.vec_id
+          |  JOIN sscs c ON c.label = d.l),
+          |pv AS (SELECT vec_id, own,
+          |    max(CASE WHEN l = own THEN cos END) AS cown,
+          |    max(CASE WHEN l <> own THEN cos END) AS cmax
+          |  FROM cs GROUP BY 1, 2),
+          |s6 AS (SELECT own AS label,
+          |    CASE WHEN greatest(1.0e0 - cown, 1.0e0 - cmax) > 0 THEN
+          |      CAST(floor((cown - cmax)
+          |        / greatest(1.0e0 - cown, 1.0e0 - cmax) * 1e6 + 0.5e0)
+          |        AS BIGINT) END AS s6
+          |  FROM pv)
+          |SELECT label, count(s6) AS n_vecs,
+          |  CAST(sum(s6) // count(s6) AS BIGINT) AS mean_sil_u,
+          |  CAST(sum(s6) // count(s6) AS DOUBLE) / 1e6 AS mean_sil
+          |FROM s6 GROUP BY 1 ORDER BY label""".stripMargin,
+
+      // the q_embed_standardize moment CTEs verbatim; per-term integer
+      // z quantization so the squared distance is an exact integer sum
+      "q_mahalanobis" ->
+        """WITH p AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+          |    generate_subscripts(embedding, 1) - 1 AS dim,
+          |    CAST(floor((greatest(CAST(unnest(embedding) AS DOUBLE),
+          |      CAST(-1.0 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+          |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS q
+          |  FROM embeddings),
+          |st AS (SELECT dim, count(*) AS n, CAST(sum(q) AS BIGINT) AS s1,
+          |    CAST(sum(q * q) AS BIGINT) AS s2 FROM p GROUP BY dim),
+          |z AS (SELECT dim, CAST(s1 AS DOUBLE) / n AS mu,
+          |    sqrt((CAST(s2 AS DOUBLE)
+          |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n
+          |      + 1e-12) AS sd
+          |  FROM st),
+          |z3 AS (SELECT p.vec_id, p.label,
+          |    CAST(floor((p.q - z.mu) / z.sd * 1000.0e0 + 0.5e0)
+          |      AS BIGINT) AS z3
+          |  FROM p JOIN z USING (dim)),
+          |md AS (SELECT vec_id, label,
+          |    CAST(sum(z3 * z3) AS BIGINT) AS md2_u
+          |  FROM z3 GROUP BY 1, 2
+          |  ORDER BY md2_u DESC, vec_id LIMIT 20)
+          |SELECT vec_id, label, md2_u,
+          |  floor(sqrt(CAST(md2_u AS DOUBLE) / 1e6) * 1e6 + 0.5e0) / 1e6
+          |    AS md
+          |FROM md ORDER BY md2_u DESC, vec_id""".stripMargin
     )
   }
 }
