@@ -475,4 +475,159 @@ class Round11bSpec extends AnyFunSuite {
         < 1e-9)
     }
   }
+
+  // -------------------------------------------------- round-11 third leg
+
+  test("q_ccf at lag 0 replays the direct cross-correlation") {
+    val clicks = dailyByType("click").withDefaultValue(0L)
+    val purch = dailyByType("purchase").withDefaultValue(0L)
+    val days = dailyCounts.keys.toSeq.sorted
+    val xs = days.map(clicks); val ys = days.map(purch)
+    val n = days.length.toDouble
+    val mx = xs.sum / n; val my = ys.sum / n
+    val rows = SparkEntry.queries("q_ccf")(spark, sfDir).collect()
+    assert(rows.length == 15)
+    val at0 = rows.find(_.getLong(0) == 0L).get
+    assert(at0.getLong(1) == days.length.toLong)
+    val num = xs.zip(ys).map { case (x, y) =>
+      (x - mx) * (y - my) }.sum
+    val den = math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum *
+      ys.map(y => (y - my) * (y - my)).sum)
+    assert(math.abs(at0.getDouble(2) - num / den) < 1e-4)
+    // lag symmetry of the overlap count
+    rows.foreach { r =>
+      assert(r.getLong(1) == days.length - math.abs(r.getLong(0)))
+    }
+  }
+
+  test("q_bollinger band math replays the rolling moments") {
+    val ys = dailyCounts.toSeq.sortBy(_._1)
+    val rows = SparkEntry.queries("q_bollinger")(spark, sfDir).collect()
+    assert(rows.length == ys.length)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == ys(i)._1 && r.getLong(1) == ys(i)._2)
+      if (i < 6) {
+        assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+        assert(!r.getBoolean(5))
+      } else {
+        val w = ys.slice(i - 6, i + 1).map(_._2)
+        val mid = w.sum.toDouble / 7
+        val vr = (w.map(y => y.toDouble * y).sum -
+          w.sum.toDouble * w.sum / 7) / 6
+        assert(math.abs(r.getDouble(2) - q6(mid)) < 2e-6)
+        assert(math.abs(r.getDouble(3) - q6(mid + 2 * math.sqrt(vr)))
+          < 2e-6)
+        assert(math.abs(r.getDouble(4) - q6(mid - 2 * math.sqrt(vr)))
+          < 2e-6)
+        assert(r.getBoolean(5) ==
+          (ys(i)._2 > mid + 2 * math.sqrt(vr) ||
+            ys(i)._2 < mid - 2 * math.sqrt(vr)))
+      }
+    }
+  }
+
+  test("q_hurst replays the R/S fold and stays in (0, 1.5)") {
+    val ys = dailyCounts.toSeq.sortBy(_._1).map(_._2)
+    val rows = SparkEntry.queries("q_hurst")(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(5L, 10L, 15L))
+    rows.foreach { r =>
+      val w = r.getLong(0).toInt
+      val nSegs = ys.length / w
+      assert(r.getLong(1) == nSegs.toLong)
+      val rs6s = (0 until nSegs).flatMap { g =>
+        val seg = ys.slice(g * w, g * w + w)
+        val s = seg.sum
+        val ss = seg.map(y => BigInt(y) * y).sum
+        var c = 0L
+        val zs = seg.zipWithIndex.map { case (y, k) =>
+          c += y; w * c - (k + 1) * s
+        }
+        val den2 = (BigInt(w) * ss - BigInt(s) * s).toDouble
+        if (den2 > 0)
+          Some(math.floor((zs.max - zs.min).toDouble /
+            math.sqrt(den2) * 1e6 + 0.5).toLong)
+        else None
+      }
+      val meanU = rs6s.sum / rs6s.length
+      assert(math.abs(r.getDouble(2) - meanU.toDouble / 1e6) < 1e-9)
+      val h = r.getDouble(3)
+      assert(h > 0.0 && h < 1.5)
+    }
+  }
+
+  test("q_silhouette separates labels against brute-force centroids") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("long"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).toArray))
+    def quant(x: Float): Long =
+      math.floor((math.max(x.toDouble, -1.0) + 1.0) * 1000000.0).toLong
+    val labels = vecs.map(_._2).distinct.sorted
+    val cent = labels.map { l =>
+      val vs = vecs.filter(_._2 == l)
+      l -> Array.tabulate(64) { j =>
+        val sq = vs.map(v => quant(v._3(j))).sum
+        (math.floor(sq.toDouble / vs.length + 0.5) - 1000000.0).toLong
+      }
+    }.toMap
+    val sums = scala.collection.mutable.Map[Long, (Long, Long)]()
+      .withDefaultValue((0L, 0L))
+    vecs.foreach { case (_, l, emb) =>
+      val qc = emb.map(x => quant(x) - 1000000L)
+      val ssv = qc.map(v => v * v).sum
+      val cos = labels.map { l2 =>
+        val c = cent(l2)
+        val dot = qc.indices.map(j => qc(j) * c(j)).sum
+        val ssc = c.map(v => v * v).sum
+        l2 -> dot.toDouble / (math.sqrt(ssv.toDouble) *
+          math.sqrt(ssc.toDouble))
+      }.toMap
+      val cown = cos(l)
+      val cmax = cos.filter(_._1 != l).values.max
+      val g = math.max(1.0 - cown, 1.0 - cmax)
+      if (g > 0) {
+        val s6 = math.floor((cown - cmax) / g * 1e6 + 0.5).toLong
+        val (n, t) = sums(l); sums(l) = (n + 1, t + s6)
+      }
+    }
+    val rows = SparkEntry.queries("q_silhouette")(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (n, t) = sums(r.getLong(0))
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == t / n)
+    }
+  }
+
+  test("q_mahalanobis top-20 replays the integer z-term distance") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("long"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    def quant(x: Float): Long =
+      math.floor((math.max(x.toDouble, -1.0) + 1.0) * 1000000.0).toLong
+    val n = vecs.length
+    val stats = Array.tabulate(64) { j =>
+      val qs = vecs.map(v => quant(v._3(j)))
+      val s1 = qs.sum; val s2 = qs.map(q => BigInt(q) * q).sum
+      val mu = s1.toDouble / n
+      val sd = math.sqrt((s2.toDouble - s1.toDouble * s1 / n) / n + 1e-12)
+      (mu, sd)
+    }
+    val scores = vecs.map { case (id, l, emb) =>
+      val md2 = emb.indices.map { j =>
+        val (mu, sd) = stats(j)
+        val z3 = math.floor((quant(emb(j)) - mu) / sd * 1000.0 + 0.5)
+          .toLong
+        z3 * z3
+      }.sum
+      (id, l, md2)
+    }.sortBy(t => (-t._3, t._1)).take(20)
+    val rows = SparkEntry.queries("q_mahalanobis")(spark, sfDir).collect()
+    assert(rows.length == 20)
+    rows.zip(scores).foreach { case (r, (id, l, md2)) =>
+      assert(r.getLong(0) == id && r.getLong(1) == l &&
+        r.getLong(2) == md2)
+    }
+  }
 }
