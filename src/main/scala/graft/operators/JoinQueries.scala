@@ -290,6 +290,59 @@ object JoinQueries extends QueryPack {
         .groupBy(coalesce(col("ck"), lit(-1L)).as("nk"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("nk"))
+    }),
+
+    // -- volume shipping between two nations (TPC-H Q7 shape) --------------
+    // The 6-way star-with-two-dims-twice join: lineitem⋈orders is the
+    // fact spine (two big-table shuffles), supplier/customer bridge to
+    // TWO separate broadcast copies of nation (aliased roles — the shape
+    // that goes wrong when an engine can't alias a dim). Revenue is
+    // per-row fixed double math quantized to exact integer cents BEFORE
+    // the group sum, so the aggregate is summation-order-free (q5_join's
+    // round(sum(double)) survives only because 2dp sits above the noise;
+    // this one is exact by construction).
+    "q7_volume" -> ((s, d) => {
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+        .filter(col("supp_nation").isin("NATION_1", "NATION_2"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+        .filter(col("cust_nation").isin("NATION_1", "NATION_2"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+        .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(floor(col("l_extendedprice") *
+            (lit(1.0) - col("l_discount")) * lit(100.0) + lit(0.5))
+            .cast("long")).as("rev_cents"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // -- returned-item revenue ranking (TPC-H Q10 shape) -------------------
+    // Who cost us the most in returns: fact-side filter (l_returnflag =
+    // 'R') pushes to the scan BEFORE the join spine, customer/nation
+    // dims attach after the aggregate-ready frame, top-20 fuses into
+    // TakeOrderedAndProject. Exact integer cents per the q7_volume
+    // rationale; (revenue desc, custkey) is the declared total order.
+    "q10_returns" -> ((s, d) => {
+      val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      l.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(floor(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount")) * lit(100.0) + lit(0.5))
+          .cast("long")).as("rev_cents"))
+        .orderBy(col("rev_cents").desc, col("c_custkey"))
+        .limit(20)
     })
   )
 
