@@ -487,6 +487,39 @@ object JoinQueries extends QueryPack {
         |FROM (SELECT nullif(c_nationkey, 0) AS ck FROM customer) c
         |JOIN (SELECT nullif(s_nationkey, 0) AS sk FROM supplier) s
         |  ON c.ck IS NOT DISTINCT FROM s.sk
-        |GROUP BY 1 ORDER BY nk""".stripMargin
+        |GROUP BY 1 ORDER BY nk""".stripMargin,
+
+    // exact integer cents before the group sum (order-free)
+    "q7_volume" ->
+      """WITH rev AS (SELECT n1.n_name AS supp_nation,
+        |    n2.n_name AS cust_nation,
+        |    CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |    CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0
+        |      + 0.5) AS BIGINT) AS rc
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        |    AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |    AND n1.n_name <> n2.n_name)
+        |SELECT supp_nation, cust_nation, l_year, count(*) AS n_items,
+        |  CAST(sum(rc) AS BIGINT) AS rev_cents
+        |FROM rev GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // fact filter ahead of the spine; (rev desc, custkey) total order
+    "q10_returns" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+        |    * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY rev_cents DESC, c_custkey LIMIT 20""".stripMargin
   )
 }
