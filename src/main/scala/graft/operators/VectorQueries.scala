@@ -1078,15 +1078,24 @@ object VectorQueries extends QueryPack {
     // output is the relational-consumer shape (same rationale as
     // q_embed_standardize).
     "q_random_projection" -> ((s, d) => {
+      // the quantized components stay DOUBLE so each projection is ONE
+      // native codegen'd dot (Vectors.dot) instead of a 64-step
+      // interpreted HOF fold (measured 5.6 → 1.4 s warm at the 10×
+      // probe): every operand and partial sum is an integer far below
+      // 2^53, so the FP dot is EXACT and the long cast loses nothing
+      // quantization staged as its own projection: 16 inline dots would
+      // each re-expand the interpreted transform lambda (CollapseProject
+      // keeps expensive multi-use aliases apart), so the lambda runs
+      // once per row and each projection is one codegen'd native dot
       val qArr = transform(col("embedding"),
         x => floor((greatest(x.cast("double"), lit(-1.0)) + lit(1.0)) *
-          lit(1000000.0)).cast("long"))
+          lit(1000000.0)).cast("double"))
       val ys = (0 until rpDims).map { k =>
-        aggregate(
-          zip_with(qArr, typedlit(rpSigns(k).toSeq), (x, y) => x * y),
-          lit(0L), (acc, v) => acc + v)
+        Vectors.dot(col("qa"),
+          typedlit(rpSigns(k).map(_.toDouble).toSeq)).cast("long")
       }
       Tables.embeddings(s, d)
+        .select(col("vec_id"), qArr.as("qa"))
         .select(col("vec_id"), posexplode(array(ys: _*)).as(Seq("k", "y")))
         .select(col("vec_id"), col("k").cast("long").as("k"), col("y"),
           (col("y").cast("double") / lit(1e6)).as("yd"))
@@ -1122,27 +1131,35 @@ object VectorQueries extends QueryPack {
           .foreach(r => arr(r.getInt(1)) = r.getLong(2))
         l -> arr
       }.toMap
-      val qc = transform(col("embedding"),
+      // Centered components stay DOUBLE so ssv and the 10 centroid dots
+      // are native codegen'd folds, not interpreted HOFs; all operands/
+      // partials are integers below 2^53, so every dot is exact. Each
+      // derived value is MATERIALIZED as its own projection step — a
+      // single inline expression re-expands the (expensive, interpreted)
+      // transform lambda at every one of its ~30 references and
+      // CollapseProject keeps expensive multi-use aliases apart, so the
+      // staged form evaluates the lambda once per row (20.6 → ~3 s warm
+      // at the 10× probe).
+      val qcExpr = transform(col("embedding"),
         x => floor((greatest(x.cast("double"), lit(-1.0)) + lit(1.0)) *
-          lit(1000000.0)).cast("long") - lit(1000000L))
-      val ssv = aggregate(transform(qc, v => v * v), lit(0L),
-        (a, v) => a + v)
-      val cosArr = array(labels.map { l =>
-        val dot = aggregate(
-          zip_with(qc, typedlit(cent(l).toSeq), (x, y) => x * y),
-          lit(0L), (a, v) => a + v)
-        val ssc = cent(l).map(v => v * v).sum
-        dot.cast("double") /
-          (sqrt(ssv.cast("double")) * sqrt(lit(ssc.toDouble)))
-      }: _*)
-      val cosOwn = element_at(cosArr, (col("label") + lit(1L)).cast("int"))
-      val maxOther = array_max(zip_with(cosArr,
+          lit(1000000.0)).cast("double") - lit(1000000.0))
+      val staged = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          qcExpr.as("qc"))
+        .withColumn("ssv", Vectors.dot(col("qc"), col("qc")))
+        .withColumn("cos", array(labels.map { l =>
+          val dot = Vectors.dot(col("qc"),
+            typedlit(cent(l).map(_.toDouble).toSeq))
+          val ssc = cent(l).map(v => v * v).sum
+          dot / (sqrt(col("ssv")) * sqrt(lit(ssc.toDouble)))
+        }: _*))
+      val cosOwn = element_at(col("cos"),
+        (col("label") + lit(1L)).cast("int"))
+      val maxOther = array_max(zip_with(col("cos"),
         sequence(lit(0L), lit(labels.length - 1L)),
         (c, i) => when(i === col("label"), lit(-2.0)).otherwise(c)))
       val gmax = greatest(lit(1.0) - cosOwn, lit(1.0) - maxOther)
-      Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label").cast("long").as("label"),
-          col("embedding"))
+      staged
         .withColumn("s6",
           when(gmax > 0.0, floor((cosOwn - maxOther) / gmax * lit(1e6) +
             lit(0.5)).cast("long")))
