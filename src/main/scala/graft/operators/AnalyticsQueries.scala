@@ -617,8 +617,16 @@ object AnalyticsQueries extends QueryPack {
           col("src").as("dst")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        // FIXED-SIZE root sample (the 200 smallest qualifying keys, a
+        // deterministic set that is append-stable): "every 50th
+        // customer" alone scales the root count WITH the table, and the
+        // multi-root frontier is roots × reach — at 10× data that made
+        // the probe 10× roots × 10× reach ⇒ quadratic growth (91 s at
+        // sf1). A bounded sample keeps sampled-centrality linear in the
+        // graph, which is the entire point of sampling it.
         var dist = Tables.customer(s, d)
           .filter(pmod(col("c_custkey"), lit(50)) === 0)
+          .orderBy(col("c_custkey")).limit(harmonicRoots)
           .select((col("c_custkey") * 2).as("root"),
             (col("c_custkey") * 2).as("id"), lit(0L).as("dist"))
         for (_ <- 1 to bfsHops) {
@@ -3119,6 +3127,11 @@ object AnalyticsQueries extends QueryPack {
   /** BFS hop bound — shared by the Spark loop and the oracle CTEs. */
   private val bfsHops = 3
 
+  /** q_harmonic_centrality root-sample size — FIXED so the multi-root
+    * frontier (roots × reach) stays linear in the graph; shared by the
+    * Spark query and the oracle. */
+  private val harmonicRoots = 200
+
   /** Oracle side of the SAME bounded relaxation: each round unions the
     * previous distance table with every edge-relaxed candidate and keeps
     * the per-node min — pure integer arithmetic. */
@@ -3164,7 +3177,8 @@ object AnalyticsQueries extends QueryPack {
        |  UNION ALL SELECT dst, src FROM e0),
        |d0 AS (SELECT c_custkey * 2 AS root, c_custkey * 2 AS id,
        |    CAST(0 AS BIGINT) AS dist
-       |  FROM customer WHERE c_custkey % 50 = 0),
+       |  FROM (SELECT c_custkey FROM customer WHERE c_custkey % 50 = 0
+       |    ORDER BY c_custkey LIMIT $harmonicRoots) r),
        |$rounds
        |SELECT id,
        |  CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END
