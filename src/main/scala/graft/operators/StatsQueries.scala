@@ -1929,7 +1929,10 @@ object StatsQueries extends QueryPack {
         .crossJoin(broadcast(m))
         .select(col("dd"), col("y"),
           (floor(col("z") * lit(1e6) + lit(0.5)) / lit(1e6)).as("ewma"),
-          when(vr > 0.0, abs(col("z") - mu) > limit).as("violation"))
+          // non-null boolean by contract (the q_bollinger None-vs-NaN
+          // harness lesson): a zero-variance series reads false
+          coalesce(when(vr > 0.0, abs(col("z") - mu) > limit),
+            lit(false)).as("violation"))
         .orderBy(col("dd"))
     }),
 
@@ -2095,6 +2098,93 @@ object StatsQueries extends QueryPack {
           (col("mean_rs_u").cast("double") / lit(1e6)).as("rs_mean"),
           col("h"))
         .orderBy(col("w"))
+    }),
+
+    // -- Wilcoxon signed-rank test on paired daily metrics ------------------
+    // The paired nonparametric companion to q_mann_whitney (unpaired) and
+    // q_paired_ttest (parametric): does daily click volume systematically
+    // exceed daily view volume? Average ranks of |d| are carried as EXACT
+    // integers in 2× units (avg2 = 2·min_rank + ties − 1), so W⁺ and the
+    // tie correction are integer sums; the normal approximation is one
+    // fixed double expression. The rank window runs on the calendar-
+    // bounded day frame (the q_mann_kendall band).
+    "q_wilcoxon_signed" -> ((s, d) => {
+      val byd = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long").as("dd"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("x"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("y"))
+        .withColumn("diff", col("x") - col("y"))
+        .filter(col("diff") =!= 0L)
+        .withColumn("ad", abs(col("diff")))
+      val ranked = byd
+        .withColumn("rnk", rank().over(Window.orderBy(col("ad"))))
+        .withColumn("t", count(lit(1)).over(Window.partitionBy(col("ad"))))
+        .withColumn("avg2", lit(2L) * col("rnk") + col("t") - lit(1L))
+      val agg = ranked.agg(count(lit(1)).as("n"),
+        sum(when(col("diff") > 0L, col("avg2")).otherwise(0L)).as("w2p"))
+      // tie correction Σ(t³−t) counts each tie GROUP once: aggregate the
+      // distinct (ad, t) frame, not per-row
+      val ties = ranked.select(col("ad"), col("t")).distinct()
+        .agg(coalesce(sum(col("t") * col("t") * col("t") - col("t")),
+          lit(0L)).as("tcorr"))
+      val nD = col("n").cast("double")
+      val wp = col("w2p").cast("double") / lit(2.0)
+      val mu = nD * (nD + lit(1.0)) / lit(4.0)
+      val vr = nD * (nD + lit(1.0)) * (lit(2.0) * nD + lit(1.0)) /
+        lit(24.0) - col("tcorr").cast("double") / lit(48.0)
+      agg.crossJoin(broadcast(ties))
+        .select(col("n").as("n_nonzero"), wp.as("w_plus"),
+          when(vr > 0.0,
+            floor((wp - mu) / sqrt(vr) * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("z"))
+    }),
+
+    // -- Tukey HSD pairwise comparisons after ANOVA -------------------------
+    // The post-hoc step q_anova_f motivates: WHICH event-type means
+    // differ? All k·(k−1)/2 studentized ranges derive from ONE
+    // conditional-moment scan (exact micro-unit integers) self-joined on
+    // the bounded k-row frame; MSW and every q statistic are fixed double
+    // expressions. The 3.86 critical value is the k=5, df→∞, α=0.05
+    // studentized-range constant — a declared constant, not a lookup.
+    "q_tukey_hsd" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val e = Tables.events(s, d)
+        .select(col("event_type"),
+          floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+            .as("vq"))
+      val g = e.groupBy(col("event_type")).agg(count(lit(1)).as("nj"),
+        sum(dec(col("vq"))).as("sj"),
+        sum(dec(col("vq")) * dec(col("vq"))).as("qj"))
+      val tot = g.agg(count(lit(1)).as("k"), sum(col("nj")).as("n"),
+        sum((col("qj") -
+          expr("(sj * sj) div CAST(nj AS DECIMAL(38,0))"))
+          .cast("decimal(38,0)")).as("ssw_u"))
+      val msw = col("ssw_u").cast("double") /
+        (col("n") - col("k")).cast("double")
+      val a = g.select(col("event_type").as("type_a"),
+        col("nj").as("na"), col("sj").as("sa"))
+      val b = g.select(col("event_type").as("type_b"),
+        col("nj").as("nb"), col("sj").as("sb"))
+      val ma = col("sa").cast("double") / col("na")
+      val mb = col("sb").cast("double") / col("nb")
+      val se = sqrt(msw / lit(2.0) *
+        (lit(1.0) / col("na") + lit(1.0) / col("nb")))
+      val qStat = abs(ma - mb) / se
+      def q6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      a.join(b, col("type_a") < col("type_b"))
+        .crossJoin(broadcast(tot))
+        .select(col("type_a"), col("type_b"),
+          q6((ma - mb) / lit(1000.0)).as("mean_diff"),
+          when(se > 0.0, q6(qStat)).as("q_stat"),
+          // non-null boolean by contract (the q_bollinger None-vs-NaN
+          // harness lesson): a degenerate zero-spread pair reads false
+          coalesce(when(se > 0.0, qStat > lit(3.86)), lit(false))
+            .as("significant"))
+        .orderBy(col("type_a"), col("type_b"))
     })
   )
 
@@ -3669,9 +3759,9 @@ object StatsQueries extends QueryPack {
          |  FROM m)
          |SELECT dd, CAST(y AS BIGINT) AS y,
          |  floor(z * 1e6 + 0.5e0) / 1e6 AS ewma,
-         |  CASE WHEN vr > 0 THEN
+         |  COALESCE(CASE WHEN vr > 0 THEN
          |    abs(z - mu) > 3.0e0 * sqrt(vr) * sqrt(0.2e0 / 1.8e0)
-         |    END AS violation
+         |    END, FALSE) AS violation
          |FROM f CROSS JOIN g ORDER BY dd""".stripMargin
     },
 
@@ -3809,6 +3899,72 @@ object StatsQueries extends QueryPack {
         |  FROM fit)
         |SELECT CAST(w AS BIGINT) AS w, n_segs,
         |  CAST(mean_rs_u AS DOUBLE) / 1e6 AS rs_mean, h
-        |FROM pw3 CROSS JOIN h ORDER BY w""".stripMargin
+        |FROM pw3 CROSS JOIN h ORDER BY w""".stripMargin,
+
+    // exact 2×-unit average ranks (2·min_rank + ties − 1); tie groups
+    // aggregated once; one fixed normal-approximation expression
+    "q_wilcoxon_signed" ->
+      """WITH byd AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |dz AS (SELECT dd, x - y AS diff, abs(x - y) AS ad
+        |  FROM byd WHERE x - y <> 0),
+        |r AS (SELECT diff, ad,
+        |    rank() OVER (ORDER BY ad) AS rnk,
+        |    count(*) OVER (PARTITION BY ad) AS t
+        |  FROM dz),
+        |r2 AS (SELECT diff, ad, t, 2 * rnk + t - 1 AS avg2 FROM r),
+        |agg AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN diff > 0 THEN avg2 ELSE 0 END) AS BIGINT)
+        |      AS w2p
+        |  FROM r2),
+        |ties AS (SELECT COALESCE(CAST(sum(t * t * t - t) AS BIGINT), 0)
+        |      AS tcorr
+        |  FROM (SELECT DISTINCT ad, t FROM r2) g)
+        |SELECT n AS n_nonzero,
+        |  CAST(w2p AS DOUBLE) / 2.0e0 AS w_plus,
+        |  CASE WHEN CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0e0)
+        |      * (2.0e0 * CAST(n AS DOUBLE) + 1.0e0) / 24.0e0
+        |      - CAST(tcorr AS DOUBLE) / 48.0e0 > 0 THEN
+        |    floor((CAST(w2p AS DOUBLE) / 2.0e0 - CAST(n AS DOUBLE)
+        |      * (CAST(n AS DOUBLE) + 1.0e0) / 4.0e0)
+        |      / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0e0)
+        |      * (2.0e0 * CAST(n AS DOUBLE) + 1.0e0) / 24.0e0
+        |      - CAST(tcorr AS DOUBLE) / 48.0e0) * 1e6 + 0.5e0) / 1e6
+        |    END AS z
+        |FROM agg CROSS JOIN ties""".stripMargin,
+
+    // one conditional-moment scan; all pairs on the bounded k-row frame;
+    // 3.86 = studentized-range critical (k=5, df→∞, α=0.05)
+    "q_tukey_hsd" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq
+        |  FROM events),
+        |g AS (SELECT event_type, count(*) AS nj,
+        |    sum(CAST(vq AS HUGEINT)) AS sj,
+        |    sum(CAST(vq AS HUGEINT) * vq) AS qj
+        |  FROM e GROUP BY 1),
+        |tot AS (SELECT count(*) AS k, sum(nj) AS n,
+        |    sum(qj - (sj * sj) // nj) AS ssw_u
+        |  FROM g),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.nj AS na, a.sj AS sa, b.nj AS nb, b.sj AS sb
+        |  FROM g a JOIN g b ON a.event_type < b.event_type),
+        |f AS (SELECT type_a, type_b,
+        |    CAST(sa AS DOUBLE) / na AS ma, CAST(sb AS DOUBLE) / nb AS mb,
+        |    sqrt(CAST(ssw_u AS DOUBLE) / CAST(n - k AS DOUBLE) / 2.0e0
+        |      * (1.0e0 / na + 1.0e0 / nb)) AS se
+        |  FROM p CROSS JOIN tot)
+        |SELECT type_a, type_b,
+        |  floor((ma - mb) / 1000.0e0 * 1e6 + 0.5e0) / 1e6 AS mean_diff,
+        |  CASE WHEN se > 0 THEN
+        |    floor(abs(ma - mb) / se * 1e6 + 0.5e0) / 1e6 END AS q_stat,
+        |  COALESCE(CASE WHEN se > 0 THEN abs(ma - mb) / se > 3.86e0
+        |    END, FALSE) AS significant
+        |FROM f ORDER BY type_a, type_b""".stripMargin
   )
 }
