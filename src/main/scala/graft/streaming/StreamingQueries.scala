@@ -450,10 +450,43 @@ object StreamingQueries extends QueryPack {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
         .orderBy(col("event_type"))
+    }),
+
+    // -- continuous top-k: hourly leaders -----------------------------------
+    // The production streaming-top-k shape: the STREAM maintains only the
+    // mergeable per-(window, type) counts (bounded state — exact top-k is
+    // not incrementally maintainable, its inputs are), and the rank is
+    // taken at READ time over the result table with a deterministic
+    // (count desc, type) tie-break. Complete mode over AvailableNow sees
+    // the whole corpus, so the batch oracle is exact.
+    "q_stream_topk" -> ((s, d) => {
+      val agg = StreamRunner.eventsStream(s, d)
+        .withWatermark("ts_t", "10 minutes")
+        .groupBy(window(col("ts_t"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("hour_s"))
+        .orderBy(col("n").desc, col("event_type"))
+      StreamRunner.runToTable(s, agg, "g_stream_topk", "complete")
+        .select(unix_timestamp(col("w.start")).as("hour_s"),
+          col("event_type"), col("n"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3L)
+        .orderBy(col("hour_s"), col("rnk"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "q_stream_topk" ->
+      """WITH c AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_s,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT hour_s, event_type, n,
+        |    row_number() OVER (PARTITION BY hour_s
+        |      ORDER BY n DESC, event_type) AS rnk
+        |  FROM c)
+        |SELECT hour_s, event_type, n, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 3 ORDER BY hour_s, rnk""".stripMargin,
     // batch replay of the full pipeline: reference deciles (q_drift_psi's
     // ceil-threshold contract), epoch-aligned 6h windows, per-(win, bin)
     // counts with zero cells kept, Laplace-smoothed PSI terms

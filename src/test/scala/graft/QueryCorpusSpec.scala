@@ -71,6 +71,26 @@ class QueryCorpusSpec extends AnyFunSuite {
             s"$name column $cn contains ${row.getLong(i)} -0.0 value(s)")
         }
       }
+      // Null-boolean canary (r11's q_bollinger breakout): the comparison
+      // harness renders a NULL boolean as None on the Spark side and NaN
+      // on the DuckDB side, so a nullable flag hash-mismatches exactly
+      // when a degenerate row materializes. Booleans in query outputs
+      // must be total — encode "not applicable" as false (or emit a
+      // separate nullable reason column), never as NULL.
+      val boolCols = df.schema.fields.filter(
+        _.dataType == org.apache.spark.sql.types.BooleanType)
+      if (boolCols.nonEmpty) {
+        import org.apache.spark.sql.functions.{col, count, when}
+        val nullCounts = boolCols.map(f =>
+          count(when(col(f.name).isNull, 1)).as(f.name))
+        val row = df.agg(nullCounts.head, nullCounts.tail.toSeq: _*)
+          .head()
+        boolCols.map(_.name).zipWithIndex.foreach { case (cn, i) =>
+          assert(row.getLong(i) == 0L,
+            s"$name boolean column $cn contains ${row.getLong(i)} " +
+            "NULL(s) — encode not-applicable as false")
+        }
+      }
     }
   }
 }
