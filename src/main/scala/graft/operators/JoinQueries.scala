@@ -304,10 +304,12 @@ object JoinQueries extends QueryPack {
     "q7_volume" -> ((s, d) => {
       val n1 = Tables.nation(s, d)
         .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
-        .filter(col("supp_nation").isin("NATION_1", "NATION_2"))
+        .filter(col("supp_nation").isin("NATION_1", "NATION_2",
+          "NATION_3", "NATION_4"))
       val n2 = Tables.nation(s, d)
         .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
-        .filter(col("cust_nation").isin("NATION_1", "NATION_2"))
+        .filter(col("cust_nation").isin("NATION_1", "NATION_2",
+          "NATION_3", "NATION_4"))
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -502,8 +504,10 @@ object JoinQueries extends QueryPack {
         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
         |  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-        |  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
-        |    AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |  WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3',
+        |      'NATION_4')
+        |    AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3',
+        |      'NATION_4')
         |    AND n1.n_name <> n2.n_name)
         |SELECT supp_nation, cust_nation, l_year, count(*) AS n_items,
         |  CAST(sum(rc) AS BIGINT) AS rev_cents
