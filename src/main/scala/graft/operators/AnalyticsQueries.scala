@@ -651,6 +651,46 @@ object AnalyticsQueries extends QueryPack {
       } finally edges.unpersist(blocking = false)
     }),
 
+    // -- sampled bounded-horizon eccentricity (diameter screen) ------------
+    // The reach-profile companion to q_harmonic_centrality, on the same
+    // fixed 200-root bounded BFS: per root, how FAR does the graph
+    // extend (ecc within the hop horizon) and how MUCH of it is
+    // reachable — max over the frame is the sampled diameter lower
+    // bound, the standard screen before committing an iteration bound
+    // for any frontier algorithm. Identical cost shape: roots × reach
+    // frontier rows, keyed min per round, all-integer distances.
+    "q_eccentricity" -> ((s, d) => {
+      val e0 = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.union(e0.select(col("dst").as("src"),
+          col("src").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        var dist = Tables.customer(s, d)
+          .filter(pmod(col("c_custkey"), lit(50)) === 0)
+          .orderBy(col("c_custkey")).limit(harmonicRoots)
+          .select((col("c_custkey") * 2).as("root"),
+            (col("c_custkey") * 2).as("id"), lit(0L).as("dist"))
+        for (_ <- 1 to bfsHops) {
+          val relaxed = edges
+            .join(dist.withColumnRenamed("id", "src"), "src")
+            .select(col("root"), col("dst").as("id"),
+              (col("dist") + lit(1L)).as("dist"))
+          dist = dist.union(relaxed)
+            .groupBy(col("root"), col("id"))
+            .agg(min(col("dist")).as("dist"))
+        }
+        dist.groupBy(col("root"))
+          .agg(sum(when(col("dist") > 0L, 1L).otherwise(0L))
+            .as("n_reached"), max(col("dist")).as("ecc_h"))
+          .orderBy(col("root"))
+      } finally edges.unpersist(blocking = false)
+    }),
+
     // -- label propagation (semi-supervised label flooding) ----------------
     // The graph half of semi-supervised learning: a few nodes carry
     // known labels (every 20th customer, labeled with its nation's
@@ -930,6 +970,43 @@ object AnalyticsQueries extends QueryPack {
         .select(col("u"), col("w"), col("cn"), col("ra_q"))
         .orderBy(col("ra_q").desc, col("cn").desc, col("u"), col("w"))
         .limit(20)
+    }),
+
+    // -- Adamic-Adar link prediction (inverse-log common neighbors) --------
+    // Completes the classical link-prediction trio next to
+    // q_link_predict's CN + resource-allocation: AA downweights hub
+    // wedge centers by 1/ln(deg) instead of 1/deg — the standard
+    // middle ground. Same thresholded co-purchase graph and wedge
+    // machinery; each center's weight is micro-quantized to an integer
+    // BEFORE the pair aggregation (floor-ln discipline), so the per-pair
+    // sum is order-free. Wedge centers always have deg ≥ 2 (they carry
+    // two neighbors), so ln never sees 1; the guard keeps degree-1
+    // rows finite anyway.
+    "q_adamic_adar" -> ((s, d) => {
+      val e = coEdges(s, d).select(col("p1"), col("p2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val adj = e.select(col("p1").as("v"), col("p2").as("nb"))
+          .union(e.select(col("p2").as("v"), col("p1").as("nb")))
+        val degW = adj.groupBy(col("v")).agg(count(lit(1)).as("dg"))
+          .withColumn("aw",
+            when(col("dg") >= 2L,
+              floor(lit(1e6) / log(col("dg").cast("double")) + lit(0.5))
+                .cast("long"))
+              .otherwise(0L))
+        val wedge = adj.select(col("v"), col("nb").as("u"))
+          .join(adj.select(col("v"), col("nb").as("w")), "v")
+          .filter(col("u") < col("w"))
+          .join(degW, "v")
+        val scored = wedge.groupBy(col("u"), col("w"))
+          .agg(count(lit(1)).as("cn"), sum(col("aw")).as("aa_q"))
+        scored.join(e,
+            scored("u") === e("p1") && scored("w") === e("p2"),
+            "left_anti")
+          .select(col("u"), col("w"), col("cn"), col("aa_q"))
+          .orderBy(col("aa_q").desc, col("cn").desc, col("u"), col("w"))
+          .limit(20)
+      } finally e.unpersist(blocking = false)
     }),
 
     // -- item-item collaborative filtering (co-occurrence recs) ------------
@@ -3160,7 +3237,10 @@ object AnalyticsQueries extends QueryPack {
 
   /** bfsSql with the ROOT kept in the frontier key — the oracle of the
     * sampled harmonic-centrality estimator. */
-  private def harmonicSql: String = {
+  /** Shared multi-root bounded-BFS CTE chain (customer–supplier bipartite
+    * graph, fixed root sample, bfsHops relaxation rounds) — the common
+    * body of q_harmonic_centrality and q_eccentricity's oracles. */
+  private def multiRootBfsCtes: String = {
     val rounds = (1 to bfsHops).map { i =>
       s"""d$i AS (SELECT root, id, CAST(min(dist) AS BIGINT) AS dist
          |  FROM (
@@ -3170,7 +3250,7 @@ object AnalyticsQueries extends QueryPack {
          |    FROM e JOIN d${i - 1} ON e.src = d${i - 1}.id) t
          |  GROUP BY root, id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src,
+    s"""e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src,
        |    l.l_suppkey * 2 + 1 AS dst
        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
        |e AS (SELECT src, dst FROM e0
@@ -3179,7 +3259,11 @@ object AnalyticsQueries extends QueryPack {
        |    CAST(0 AS BIGINT) AS dist
        |  FROM (SELECT c_custkey FROM customer WHERE c_custkey % 50 = 0
        |    ORDER BY c_custkey LIMIT $harmonicRoots) r),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def harmonicSql: String =
+    s"""WITH $multiRootBfsCtes
        |SELECT id,
        |  CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END
        |    AS node_type,
@@ -3187,7 +3271,14 @@ object AnalyticsQueries extends QueryPack {
        |  CAST(CAST(sum(1000000 // dist) AS BIGINT) AS DOUBLE) / 1e6
        |    AS harmonic
        |FROM d$bfsHops WHERE dist > 0 GROUP BY id ORDER BY id""".stripMargin
-  }
+
+  private def eccentricitySql: String =
+    s"""WITH $multiRootBfsCtes
+       |SELECT root,
+       |  CAST(sum(CASE WHEN dist > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_reached,
+       |  CAST(max(dist) AS BIGINT) AS ecc_h
+       |FROM d$bfsHops GROUP BY root ORDER BY root""".stripMargin
 
   /** Oracle of the label-flooding rounds: per round, unlabeled nodes
     * adopt the majority neighbor label (count DESC, label ASC — a total
@@ -3454,6 +3545,8 @@ object AnalyticsQueries extends QueryPack {
 
     "q_graph_bfs" -> bfsSql,
     "q_harmonic_centrality" -> harmonicSql,
+
+    "q_eccentricity" -> eccentricitySql,
     "q_label_propagation" -> labelPropSql,
 
     "q_ab_srm" ->
@@ -3739,6 +3832,28 @@ object AnalyticsQueries extends QueryPack {
          |WHERE NOT EXISTS (SELECT 1 FROM e
          |  WHERE e.p1 = s.u AND e.p2 = s.w)
          |ORDER BY ra_q DESC, cn DESC, u, w LIMIT 20""".stripMargin,
+
+    // inverse-log center weights, micro-quantized before the pair sum
+    // (floor-ln discipline); same wedge frame and anti-join as CN/RA
+    "q_adamic_adar" ->
+      s"""WITH $coEdgesSql,
+         |e AS (SELECT p1, p2 FROM pe),
+         |adj AS (SELECT p1 AS v, p2 AS nb FROM e
+         |  UNION ALL SELECT p2, p1 FROM e),
+         |degw AS (SELECT v, count(*) AS dg,
+         |    CASE WHEN count(*) >= 2 THEN CAST(floor(1e6
+         |      / ln(CAST(count(*) AS DOUBLE)) + 0.5e0) AS BIGINT)
+         |    ELSE 0 END AS aw
+         |  FROM adj GROUP BY 1),
+         |wedge AS (SELECT a1.nb AS u, a2.nb AS w, a1.v
+         |  FROM adj a1 JOIN adj a2 ON a1.v = a2.v AND a1.nb < a2.nb),
+         |scored AS (SELECT u, w, count(*) AS cn,
+         |    CAST(sum(aw) AS BIGINT) AS aa_q
+         |  FROM wedge JOIN degw USING (v) GROUP BY 1, 2)
+         |SELECT u, w, cn, aa_q FROM scored s
+         |WHERE NOT EXISTS (SELECT 1 FROM e
+         |  WHERE e.p1 = s.u AND e.p2 = s.w)
+         |ORDER BY aa_q DESC, cn DESC, u, w LIMIT 20""".stripMargin,
 
     // integer cosine² affinity co²·1e12 // (n_u·n_v); seeds = top-10
     // popular parts with id tiebreak

@@ -345,6 +345,32 @@ object JoinQueries extends QueryPack {
           .cast("long")).as("rev_cents"))
         .orderBy(col("rev_cents").desc, col("c_custkey"))
         .limit(20)
+    }),
+
+    // -- large-volume orders (TPC-H Q18 shape) ------------------------------
+    // The group-HAVING-semi-join classic: customers whose single orders
+    // exceed a quantity threshold. The HAVING aggregate runs on lineitem
+    // ALONE (two columns off the scan, map-side combined) and only the
+    // few qualifying order keys re-enter the join spine — at 100 TB the
+    // spine processes the ~1% survivors, not the fact table. Quantities
+    // are integral by corpus contract; floor(q + 0.5) makes the group
+    // sum an exact integer (never a double accumulation), and
+    // (o_totalprice desc, o_orderkey) is the declared total order.
+    "q18_big_orders" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(floor(col("l_quantity") + lit(0.5)).cast("long"))
+          .as("total_qty"))
+        .filter(col("total_qty") > 250L)
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
     })
   )
 
@@ -524,6 +550,19 @@ object JoinQueries extends QueryPack {
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |WHERE l.l_returnflag = 'R'
         |GROUP BY 1, 2, 3
-        |ORDER BY rev_cents DESC, c_custkey LIMIT 20""".stripMargin
+        |ORDER BY rev_cents DESC, c_custkey LIMIT 20""".stripMargin,
+
+    // HAVING aggregate on lineitem alone; only survivors join the spine
+    "q18_big_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING total_qty > 250)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |  round(o.o_totalprice, 2) AS o_totalprice, b.total_qty
+        |FROM orders o
+        |JOIN big b ON o.o_orderkey = b.l_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
   )
 }

@@ -1047,6 +1047,89 @@ object PipelineQueries extends QueryPack {
           ((col("phase_rank") - lit(1L)) * lit(10L) + col("decile"))
             .as("seq"))
         .orderBy(col("seq"))
+    }),
+
+    // -- leakage-safe train/val/test split ----------------------------------
+    // The split every training pipeline needs and most get wrong: docs
+    // are assigned to train/val/test by their exact-dup GROUP (md5 of
+    // the text), not per-doc, so two copies of the same document can
+    // never straddle train and test — the self-contamination q_decontam
+    // guards against externally. Assignment is a pure function of the
+    // group key (md5-prefix bucket, the q_feature_hash portability
+    // idiom), so the split is reproducible from scratch on any engine
+    // and append-stable: new copies of a known doc land in the known
+    // split. Output is the per-split audit (sizes, group counts, char
+    // mass, share) with the leakage invariant surfaced as a column the
+    // driver hash-checks at 0.
+    "q_train_split" -> ((s, d) => {
+      val g = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), md5(col("text")).as("gid"))
+        .withColumn("h",
+          pmod(conv(substring(col("gid"), 1, 8), 16, 10).cast("long"),
+            lit(10L)))
+        .withColumn("split",
+          when(col("h") < 8L, "train").when(col("h") === 8L, "val")
+            .otherwise("test"))
+      val leaks = g.groupBy(col("gid"))
+        .agg(countDistinct(col("split")).as("ns"))
+        .agg(coalesce(sum(when(col("ns") > 1L, 1L).otherwise(0L)), lit(0L))
+          .as("n_leaky_groups"))
+      val tot = g.agg(count(lit(1)).as("nn"))
+      g.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("gid")).as("n_groups"),
+          sum(col("n_chars")).as("n_chars_sum"))
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(leaks))
+        .select(col("split"), col("n_docs"), col("n_groups"),
+          col("n_chars_sum"),
+          expr("(1000000 * n_docs) div nn").as("doc_share_u"),
+          col("n_leaky_groups"))
+        .orderBy(col("split"))
+    }),
+
+    // -- schema/profile drift audit (data-contract screen) ------------------
+    // The ingest data-contract check: did a column's value DOMAIN move
+    // between the early and late halves of the order feed? Each audited
+    // column contributes its per-value early/late counts (nulls kept as
+    // an explicit sentinel value); per column the audit reports NDV on
+    // both sides, values that appeared/vanished, and the total-variation
+    // distance between the two share distributions — assembled from
+    // exact integer micro-shares (a·10⁶ div N), so the sum is order-free
+    // and the only float is the final /10⁶ display rescale. Costs one
+    // pass per audited column over the orders scan + a value-keyed agg;
+    // the per-column reduce frame is NDV-bounded.
+    "q_schema_drift" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("dd", datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).cast("long"))
+      val mid = o.agg(expr("(min(dd) + max(dd)) div 2").as("mid"))
+      val base = o.crossJoin(broadcast(mid))
+        .withColumn("late", col("dd") > col("mid"))
+      def cells(name: String, c: org.apache.spark.sql.Column) =
+        base.select(lit(name).as("col_name"),
+          coalesce(c.cast("string"), lit("<null>")).as("val"),
+          col("late"))
+      val all = cells("o_orderstatus", col("o_orderstatus"))
+        .unionByName(cells("o_orderpriority", col("o_orderpriority")))
+        .unionByName(cells("price_bucket",
+          floor(col("o_totalprice") / lit(50000.0)).cast("long")))
+      val vc = all.groupBy(col("col_name"), col("val"))
+        .agg(sum(when(!col("late"), 1L).otherwise(0L)).as("na"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("nb"))
+      val totals = vc.groupBy(col("col_name"))
+        .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+      vc.join(broadcast(totals), "col_name")
+        .groupBy(col("col_name"))
+        .agg(max(col("ta")).as("n_early"), max(col("tb")).as("n_late"),
+          sum(when(col("na") > 0L, 1L).otherwise(0L)).as("ndv_early"),
+          sum(when(col("nb") > 0L, 1L).otherwise(0L)).as("ndv_late"),
+          sum(when(col("na") === 0L && col("nb") > 0L, 1L).otherwise(0L))
+            .as("new_values"),
+          sum(when(col("na") > 0L && col("nb") === 0L, 1L).otherwise(0L))
+            .as("gone_values"),
+          expr("sum(abs((na * 1000000) div ta " +
+            "- (nb * 1000000) div tb)) div 2").as("tv_u"))
+        .orderBy(col("col_name"))
     })
   )
 
@@ -1716,6 +1799,74 @@ object PipelineQueries extends QueryPack {
         |SELECT doc_id, CAST(decile AS BIGINT) AS decile,
         |  CAST(phase_rank AS BIGINT) AS phase_rank,
         |  CAST((phase_rank - 1) * 10 + decile AS BIGINT) AS seq
-        |FROM f ORDER BY seq""".stripMargin
+        |FROM f ORDER BY seq""".stripMargin,
+
+    // group assignment is a pure function of md5(text) — the same
+    // portable prefix-bucket idiom as q_feature_hash; the leak counter
+    // is the hash-checked invariant (must be 0 by construction)
+    "q_train_split" ->
+      """WITH g AS (SELECT doc_id, n_chars, md5(text) AS gid,
+        |    ('0x' || substr(md5(text), 1, 8))::BIGINT % 10 AS h
+        |  FROM documents),
+        |sp AS (SELECT doc_id, n_chars, gid,
+        |    CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM g),
+        |lk AS (SELECT COALESCE(CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0
+        |      END) AS BIGINT), 0) AS n_leaky_groups
+        |  FROM (SELECT gid, count(DISTINCT split) AS ns
+        |    FROM sp GROUP BY 1) t),
+        |tot AS (SELECT count(*) AS nn FROM sp)
+        |SELECT split, count(*) AS n_docs,
+        |  count(DISTINCT gid) AS n_groups,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+        |  CAST((1000000 * count(*)) // nn AS BIGINT) AS doc_share_u,
+        |  n_leaky_groups
+        |FROM sp CROSS JOIN tot CROSS JOIN lk
+        |GROUP BY split, nn, n_leaky_groups ORDER BY split""".stripMargin,
+
+    // per-value early/late counts with an explicit null sentinel; TVD
+    // from exact integer micro-shares
+    "q_schema_drift" ->
+      """WITH o AS (SELECT *,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS dd
+        |  FROM orders),
+        |mid AS (SELECT (min(dd) + max(dd)) // 2 AS mid FROM o),
+        |base AS (SELECT o.*, dd > mid AS late FROM o CROSS JOIN mid),
+        |allv AS (
+        |  SELECT 'o_orderstatus' AS col_name,
+        |    COALESCE(CAST(o_orderstatus AS VARCHAR), '<null>') AS val,
+        |    late FROM base
+        |  UNION ALL
+        |  SELECT 'o_orderpriority',
+        |    COALESCE(CAST(o_orderpriority AS VARCHAR), '<null>'), late
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 'price_bucket',
+        |    COALESCE(CAST(CAST(floor(o_totalprice / 50000.0) AS BIGINT)
+        |      AS VARCHAR), '<null>'), late
+        |  FROM base),
+        |vc AS (SELECT col_name, val,
+        |    CAST(sum(CASE WHEN NOT late THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS na,
+        |    CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM allv GROUP BY 1, 2),
+        |totals AS (SELECT col_name, CAST(sum(na) AS BIGINT) AS ta,
+        |    CAST(sum(nb) AS BIGINT) AS tb
+        |  FROM vc GROUP BY 1)
+        |SELECT col_name, max(ta) AS n_early, max(tb) AS n_late,
+        |  CAST(sum(CASE WHEN na > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS ndv_early,
+        |  CAST(sum(CASE WHEN nb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS ndv_late,
+        |  CAST(sum(CASE WHEN na = 0 AND nb > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS new_values,
+        |  CAST(sum(CASE WHEN na > 0 AND nb = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS gone_values,
+        |  CAST(sum(abs((na * 1000000) // ta - (nb * 1000000) // tb))
+        |    // 2 AS BIGINT) AS tv_u
+        |FROM vc JOIN totals USING (col_name)
+        |GROUP BY col_name ORDER BY col_name""".stripMargin
   )
 }

@@ -59,6 +59,22 @@ object StatsQueries extends QueryPack {
     * as q_ewma ((1−λ)¹⁶ ≈ 2.8% residual weight at λ=0.2). */
   private[operators] val ewmaChartTaps = 16
 
+  /** q_periodogram DFT basis, micro-quantized ONCE on the driver and
+    * inlined as integer literals into BOTH engines (the Spark literal
+    * frame and the oracle's VALUES list), so no cos/sin is ever evaluated
+    * by either engine at query time — the cross-engine last-ulp trig risk
+    * is structurally zero. cos(2πkt/N) depends only on kt mod N, so a
+    * fixed N=64-day window needs exactly 64 coefficient pairs for ALL
+    * analysis frequencies. */
+  private[operators] val dftWindowDays = 64
+  private[operators] val dftCoeffs: Seq[(Long, Long, Long)] =
+    (0 until dftWindowDays).map { m =>
+      val a = 2.0 * math.Pi * m / dftWindowDays
+      (m.toLong,
+        math.floor(math.cos(a) * 1e6 + 0.5).toLong,
+        math.floor(math.sin(a) * 1e6 + 0.5).toLong)
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- per-group OLS trend fit ------------------------------------------
     // Exact integer moments per event_type: x = whole seconds since the
@@ -2185,6 +2201,277 @@ object StatsQueries extends QueryPack {
           coalesce(when(se > 0.0, qStat > lit(3.86)), lit(false))
             .as("significant"))
         .orderBy(col("type_a"), col("type_b"))
+    }),
+
+    // -- Bartlett equal-variance test (k event-type groups) -----------------
+    // The parametric sibling of q_levene_bf: sensitive to non-normality
+    // but the textbook precondition check for q_anova_f / q_tukey_hsd's
+    // pooled MSW. Discipline: per-group moments are EXACT integer sums
+    // (one conditional scan); each group variance evaluates through ONE
+    // fixed double expression and its ln is micro-quantized to an integer
+    // BEFORE the k-row reduction (the q_pmi floor-ln idiom), so the
+    // k-term sum is order-free; the reciprocal sum in Bartlett's C
+    // correction is an exact integer division (pico-units), never a float
+    // accumulation. Only the final T/C ratio is floating point.
+    "q_bartlett" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val e = Tables.events(s, d)
+        .select(col("event_type"),
+          floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+            .as("vq"))
+      val g = e.groupBy(col("event_type")).agg(count(lit(1)).as("nj"),
+        sum(dec(col("vq"))).as("sj"),
+        sum(dec(col("vq")) * dec(col("vq"))).as("qj"))
+      val vj = (col("qj").cast("double") -
+        col("sj").cast("double") * col("sj").cast("double") /
+          col("nj")) / (col("nj") - lit(1L))
+      val per = g.select(col("nj"),
+        when(vj > 0.0,
+          (col("nj") - lit(1L)) *
+            floor(log(vj) * lit(1e6) + lit(0.5)).cast("long"))
+          .otherwise(lit(0L)).as("lj_w"),
+        when(vj > 0.0, 0L).otherwise(1L).as("degen"),
+        (col("qj") - expr("(sj * sj) div CAST(nj AS DECIMAL(38,0))"))
+          .cast("decimal(38,0)").as("ssw_j"),
+        expr("1000000000000 div (nj - 1)").as("rj"))
+      val t = per.agg(count(lit(1)).as("k"), sum(col("nj")).as("n"),
+        sum(col("lj_w")).as("sum_lj"), sum(col("degen")).as("n_degen"),
+        sum(col("ssw_j")).as("ssw_u"), sum(col("rj")).as("sum_rj"))
+      val sp2 = col("ssw_u").cast("double") /
+        (col("n") - col("k")).cast("double")
+      val lp = floor(log(sp2) * lit(1e6) + lit(0.5))
+      val tU = (col("n") - col("k")).cast("double") * lp -
+        col("sum_lj").cast("double")
+      val cCorr = lit(1.0) +
+        (col("sum_rj").cast("double") / lit(1e12) -
+          lit(1.0) / (col("n") - col("k")).cast("double")) /
+        (lit(3.0) * (col("k") - lit(1L)).cast("double"))
+      t.select(col("k"), col("n"), (col("k") - lit(1L)).as("df"),
+        when(col("n_degen") === 0L && sp2 > 0.0,
+          floor(tU / lit(1e6) / cCorr * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("bartlett_chi2"))
+    }),
+
+    // -- Cochran's Q test (binary repeated measures across event types) -----
+    // q_friedman's binary specialization: within a (user, day) exposure
+    // block, is the 0/1 "did event type j that day" indicator equally
+    // likely across types? Blocks are user-days (per-user lifetime
+    // indicators saturate — every long-lived user eventually touches
+    // every type, degenerating the denominator; daily blocks stay
+    // sparse at every scale), the response is a genuine zero for an
+    // absent (user, day, type), so unlike q_friedman no densification
+    // is needed — the formula touches only row/column totals. One
+    // distinct-triple shuffle; both reductions (per-block Ri, per-type
+    // Cj) are exact integers; Q is one fixed double expression on the
+    // final 1-row frame.
+    "q_cochran_q" -> ((s, d) => {
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long").as("dd"),
+          col("event_type")).distinct()
+      val rAgg = pairs.groupBy(col("user_id"), col("dd"))
+        .agg(count(lit(1)).as("ri"))
+        .agg(count(lit(1)).as("n_blocks"), sum(col("ri")).as("n_tot"),
+          sum(col("ri") * col("ri")).as("sr2"))
+      val cAgg = pairs.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cj"))
+        .agg(count(lit(1)).as("k"), sum(col("cj") * col("cj")).as("sc2"))
+      val den = col("k").cast("double") * col("n_tot") -
+        col("sr2").cast("double")
+      val num = (col("k") - lit(1L)).cast("double") *
+        (col("k").cast("double") * col("sc2") -
+          col("n_tot").cast("double") * col("n_tot"))
+      rAgg.crossJoin(broadcast(cAgg))
+        .select(col("k"), col("n_blocks"), (col("k") - lit(1L)).as("df"),
+          when(den > 0.0,
+            floor(num / den * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("q_stat"))
+    }),
+
+    // -- Mood's median test (k-group location on counts above the median) ---
+    // The nonparametric coarse cousin of q_kruskal_wallis: does each
+    // event type land above the GLOBAL median as often as expected?
+    // The global lower median comes off the distinct-value contingency
+    // frame via Dist.globalPrefixSum — no single-partition window at any
+    // corpus size (the q_histogram_eqdepth discipline). The 2×k
+    // chi-square then assembles from per-cell INTEGER terms:
+    // (obs·N − rt·ct)²·10⁶ div (rt·ct·N) in DECIMAL(38,0) — exact and
+    // order-free (numerator ≤ ~10³³ at sf1000; the 38-digit ceiling is
+    // reached near 10¹⁰ rows, same documented bound as q_mood's
+    // contingency siblings). Only the final /10⁶ rescale is floating.
+    "q_mood_median" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val e = Tables.events(s, d)
+        .select(col("event_type"),
+          floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+            .as("vq"))
+      val counts = e.groupBy(col("vq")).agg(count(lit(1)).as("cnt"))
+        .withColumn("vqd", col("vq").cast("double"))
+      val tot = counts.agg(sum(col("cnt")).as("n"))
+      val med = Dist.globalPrefixSum(counts, "vqd", asc = true,
+          idCol = "vq", weightCol = "cnt",
+          s.sparkContext.defaultParallelism)
+        .crossJoin(broadcast(tot))
+        .filter(col("cum") >= expr("(n + 1) div 2"))
+        .agg(min(col("vq")).as("med"))
+      val cells = e.crossJoin(broadcast(med))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("rt"),
+          sum(when(col("vq") > col("med"), 1L).otherwise(0L)).as("above"))
+      val g = cells.agg(sum(col("rt")).as("nn"),
+        sum(col("above")).as("ca"))
+      val withTot = cells.crossJoin(broadcast(g))
+        .select(col("nn"), col("ca"),
+          (dec(col("above")) * dec(col("nn")) -
+            dec(col("rt")) * dec(col("ca"))).as("dev_a"),
+          (dec(col("rt")) * dec(col("ca")) * dec(col("nn"))).as("den_a"),
+          (dec(col("rt") - col("above")) * dec(col("nn")) -
+            dec(col("rt")) * dec(col("nn") - col("ca"))).as("dev_b"),
+          (dec(col("rt")) * dec(col("nn") - col("ca")) * dec(col("nn")))
+            .as("den_b"))
+      val terms = withTot.select(col("nn"), col("ca"),
+        expr("CAST((dev_a * dev_a * 1000000) div den_a " +
+          "+ (dev_b * dev_b * 1000000) div den_b AS DECIMAL(38,0))")
+          .as("t_u"))
+      val fin = terms.groupBy(col("nn"), col("ca"))
+        .agg(count(lit(1)).as("k"), sum(col("t_u")).as("chi_u"))
+      fin.crossJoin(broadcast(med))
+        .select(col("k"), col("nn").as("n"),
+          (col("med").cast("double") / lit(1000.0)).as("median"),
+          (col("k") - lit(1L)).as("df"),
+          (col("chi_u").cast("double") / lit(1e6)).as("chi2"))
+    }),
+
+    // -- AR(2) Yule–Walker fit of the daily-volume series --------------------
+    // The forecasting step q_acf motivates: fit the autoregressive
+    // coefficients themselves. Same scale-free micro-quantized deviation
+    // frame as q_acf (so the integer lag co-moments can never overflow),
+    // lags 1–2 via the bounded dense-index join; φ₁/φ₂ and the residual
+    // ratio are the closed-form Yule–Walker solutions — fixed double
+    // expressions over three exact integers (num₁, num₂, den). Everything
+    // after the one day aggregate runs on the calendar-bounded frame.
+    "q_ar_fit" -> ((s, d) => {
+      val byDay = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long").as("dd"))
+        .agg(count(lit(1)).as("y"))
+      val g = byDay.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+      val idx = byDay
+        .withColumn("t", row_number().over(Window.orderBy(col("dd")))
+          .cast("long"))
+        .crossJoin(broadcast(g))
+        .withColumn("dq", floor((col("y").cast("double") /
+          (col("sy").cast("double") / col("n").cast("double")) -
+          lit(1.0)) * lit(1e6) + lit(0.5)).cast("long"))
+        .select(col("t"), col("dq"))
+      val den = idx.agg(sum(col("dq") * col("dq")).as("den"),
+        count(lit(1)).as("n_days"))
+      val a = idx.withColumn("k", explode(expr("sequence(1, 2)")))
+        .select(col("k").cast("long").as("k"),
+          (col("t") + col("k")).as("tk"), col("dq").as("dqa"))
+      val nums = a.join(idx.select(col("t").as("tk"),
+          col("dq").as("dqb")), "tk")
+        .groupBy(col("k"))
+        .agg(sum(col("dqa") * col("dqb")).as("num"))
+        .groupBy()
+        .agg(sum(when(col("k") === 1L, col("num"))).as("num1"),
+          sum(when(col("k") === 2L, col("num"))).as("num2"))
+      val r1 = col("num1").cast("double") / col("den")
+      val r2 = col("num2").cast("double") / col("den")
+      val phi1 = r1 * (lit(1.0) - r2) / (lit(1.0) - r1 * r1)
+      val phi2 = (r2 - r1 * r1) / (lit(1.0) - r1 * r1)
+      def q6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      den.crossJoin(broadcast(nums))
+        .select(col("n_days"),
+          when(col("den") > 0L, q6(r1)).as("r1"),
+          when(col("den") > 0L, q6(r2)).as("r2"),
+          when(col("den") > 0L && r1 * r1 =!= lit(1.0), q6(phi1))
+            .as("phi1"),
+          when(col("den") > 0L && r1 * r1 =!= lit(1.0), q6(phi2))
+            .as("phi2"),
+          when(col("den") > 0L && r1 * r1 =!= lit(1.0),
+            q6(lit(1.0) - phi1 * r1 - phi2 * r2)).as("noise_ratio"))
+    }),
+
+    // -- daily-volume periodogram (DFT power at the top 8 frequencies) ------
+    // The frequency-domain twin of q_acf/q_seasonal_dow: WHICH cycle
+    // dominates the volume series? A fixed 64-day window from the first
+    // observed day (absent days contribute exactly 0, so no densify
+    // shuffle), the quantized-basis table broadcast from [[dftCoeffs]] —
+    // every spectral line is two exact INTEGER dot products (re/im), and
+    // the power combines them in DECIMAL(38,0) before one identical
+    // integer rescale. The data-sized cost is the one day aggregate; the
+    // fan-out is 8 bounded rows per day.
+    "q_periodogram" -> ((s, d) => {
+      val coef = s.createDataFrame(dftCoeffs).toDF("m", "cq", "sq")
+      val byDay = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long").as("dd"))
+        .agg(count(lit(1)).as("y"))
+      val d0 = byDay.agg(min(col("dd")).as("d0"))
+      val frame = byDay.crossJoin(broadcast(d0))
+        .select((col("dd") - col("d0")).as("t"), col("y"))
+        .filter(col("t") < dftWindowDays)
+      frame.withColumn("k", explode(expr("sequence(1, 8)")))
+        .withColumn("m", expr(s"(k * t) % $dftWindowDays"))
+        .join(broadcast(coef), "m")
+        .groupBy(col("k").cast("long").as("k"))
+        .agg(sum(col("y") * col("cq")).as("re_u"),
+          sum(col("y") * col("sq")).as("im_u"))
+        .select(col("k"),
+          (lit(dftWindowDays.toDouble) / col("k")).as("period_days"),
+          col("re_u"), col("im_u"),
+          expr("CAST((CAST(re_u AS DECIMAL(38,0)) * re_u " +
+            "+ CAST(im_u AS DECIMAL(38,0)) * im_u) " +
+            "div 1000000000000 AS BIGINT)").as("power"))
+        .orderBy(col("k"))
+    }),
+
+    // -- Bayesian A/B conversion readout (P(B beats A)) ----------------------
+    // The decision-framed companion to q_ab_test's frequentist z: under
+    // Beta(1+x, 1+n−x) posteriors on each arm's user-conversion rate,
+    // how probable is it that B's rate exceeds A's? The two posteriors
+    // are summarized by their exact moments (rational in the four
+    // conversion integers), the difference standardized, and Φ evaluated
+    // through the Abramowitz–Stegun 26.2.17 polynomial — a FIXED double
+    // expression both engines compute from the same four integers (the
+    // single exp() call carries the same quantized last-ulp tolerance as
+    // the repo's ln discipline). One distinct-user scan is the only
+    // data-sized stage.
+    "q_bayes_ab" -> ((s, d) => {
+      val conv = Tables.events(s, d)
+        .groupBy(pmod(col("user_id"), lit(2)).as("arm"), col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("cv"))
+      val m = conv.groupBy()
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 0, col("cv")).otherwise(0L)).as("x_a"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("arm") === 1, col("cv")).otherwise(0L)).as("x_b"))
+      def mu(n: String, x: String) =
+        (lit(1.0) + col(x)) / (lit(2.0) + col(n))
+      def va(n: String, x: String) =
+        (lit(1.0) + col(x)) * (lit(1.0) + col(n) - col(x)) /
+          ((lit(2.0) + col(n)) * (lit(2.0) + col(n)) *
+            (lit(3.0) + col(n)))
+      val z = (mu("n_b", "x_b") - mu("n_a", "x_a")) /
+        sqrt(va("n_a", "x_a") + va("n_b", "x_b"))
+      val az = abs(z)
+      val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+      val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+        t * (lit(1.781477937) + t * (lit(-1.821255978) +
+          t * lit(1.330274429)))))
+      val phiPos = lit(1.0) -
+        lit(0.3989422804014327) * exp(az * az / lit(-2.0)) * poly
+      val pB = when(z >= 0.0, phiPos).otherwise(lit(1.0) - phiPos)
+      def q6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      m.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        q6(mu("n_a", "x_a")).as("mean_a"),
+        q6(mu("n_b", "x_b")).as("mean_b"),
+        q6(pB).as("p_b_beats_a"))
     })
   )
 
@@ -3965,6 +4252,228 @@ object StatsQueries extends QueryPack {
         |    floor(abs(ma - mb) / se * 1e6 + 0.5e0) / 1e6 END AS q_stat,
         |  COALESCE(CASE WHEN se > 0 THEN abs(ma - mb) / se > 3.86e0
         |    END, FALSE) AS significant
-        |FROM f ORDER BY type_a, type_b""".stripMargin
+        |FROM f ORDER BY type_a, type_b""".stripMargin,
+
+    // exact integer moments per group; ln terms micro-quantized BEFORE the
+    // k-row sum (floor-ln idiom); reciprocal sum in C as exact pico-unit
+    // integer division; one final T/C double ratio
+    "q_bartlett" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq
+        |  FROM events),
+        |g AS (SELECT event_type, count(*) AS nj,
+        |    sum(CAST(vq AS HUGEINT)) AS sj,
+        |    sum(CAST(vq AS HUGEINT) * vq) AS qj
+        |  FROM e GROUP BY 1),
+        |per AS (SELECT nj,
+        |    CASE WHEN (CAST(qj AS DOUBLE) - CAST(sj AS DOUBLE)
+        |        * CAST(sj AS DOUBLE) / nj) / (nj - 1) > 0
+        |      THEN (nj - 1) * CAST(floor(ln((CAST(qj AS DOUBLE)
+        |        - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE) / nj)
+        |        / (nj - 1)) * 1e6 + 0.5e0) AS BIGINT)
+        |      ELSE 0 END AS lj_w,
+        |    CASE WHEN (CAST(qj AS DOUBLE) - CAST(sj AS DOUBLE)
+        |        * CAST(sj AS DOUBLE) / nj) / (nj - 1) > 0
+        |      THEN 0 ELSE 1 END AS degen,
+        |    qj - (sj * sj) // nj AS ssw_j,
+        |    1000000000000 // (nj - 1) AS rj
+        |  FROM g),
+        |t AS (SELECT count(*) AS k, CAST(sum(nj) AS BIGINT) AS n,
+        |    CAST(sum(lj_w) AS BIGINT) AS sum_lj,
+        |    CAST(sum(degen) AS BIGINT) AS n_degen,
+        |    sum(ssw_j) AS ssw_u, CAST(sum(rj) AS BIGINT) AS sum_rj
+        |  FROM per)
+        |SELECT k, n, k - 1 AS df,
+        |  CASE WHEN n_degen = 0
+        |    AND CAST(ssw_u AS DOUBLE) / CAST(n - k AS DOUBLE) > 0
+        |  THEN floor((CAST(n - k AS DOUBLE)
+        |    * floor(ln(CAST(ssw_u AS DOUBLE) / CAST(n - k AS DOUBLE))
+        |      * 1e6 + 0.5e0)
+        |    - CAST(sum_lj AS DOUBLE)) / 1e6
+        |    / (1.0e0 + (CAST(sum_rj AS DOUBLE) / 1e12
+        |      - 1.0e0 / CAST(n - k AS DOUBLE))
+        |      / (3.0e0 * CAST(k - 1 AS DOUBLE)))
+        |    * 1e6 + 0.5e0) / 1e6
+        |  END AS bartlett_chi2
+        |FROM t""".stripMargin,
+
+    // distinct (user, day, type) triples; exact integer row/column
+    // totals; one closed-form double ratio
+    "q_cochran_q" ->
+      """WITH p AS (SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    event_type
+        |  FROM events),
+        |r AS (SELECT count(*) AS n_blocks,
+        |    CAST(sum(ri) AS BIGINT) AS n_tot,
+        |    CAST(sum(ri * ri) AS BIGINT) AS sr2
+        |  FROM (SELECT user_id, dd, count(*) AS ri
+        |    FROM p GROUP BY 1, 2) t),
+        |c AS (SELECT count(*) AS k, CAST(sum(cj * cj) AS BIGINT) AS sc2
+        |  FROM (SELECT event_type, count(*) AS cj FROM p GROUP BY 1) t)
+        |SELECT k, n_blocks, k - 1 AS df,
+        |  CASE WHEN CAST(k AS DOUBLE) * n_tot - CAST(sr2 AS DOUBLE) > 0
+        |  THEN floor(CAST(k - 1 AS DOUBLE)
+        |    * (CAST(k AS DOUBLE) * sc2 - CAST(n_tot AS DOUBLE) * n_tot)
+        |    / (CAST(k AS DOUBLE) * n_tot - CAST(sr2 AS DOUBLE))
+        |    * 1e6 + 0.5e0) / 1e6
+        |  END AS q_stat
+        |FROM r CROSS JOIN c""".stripMargin,
+
+    // global lower median off the distinct-value contingency prefix; per-
+    // cell chi-square terms as exact HUGEINT micro-units
+    "q_mood_median" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq
+        |  FROM events),
+        |cum AS (SELECT vq, CAST(sum(cnt) OVER (ORDER BY vq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM (SELECT vq, count(*) AS cnt FROM e GROUP BY 1) t),
+        |tot AS (SELECT count(*) AS n FROM e),
+        |med AS (SELECT min(vq) AS med FROM cum CROSS JOIN tot
+        |  WHERE cum >= (n + 1) // 2),
+        |cells AS (SELECT event_type, count(*) AS rt,
+        |    CAST(sum(CASE WHEN vq > med THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS above
+        |  FROM e CROSS JOIN med GROUP BY 1),
+        |g AS (SELECT CAST(sum(rt) AS BIGINT) AS nn,
+        |    CAST(sum(above) AS BIGINT) AS ca FROM cells),
+        |wt AS (SELECT nn, ca,
+        |    CAST(above AS HUGEINT) * nn - CAST(rt AS HUGEINT) * ca
+        |      AS dev_a,
+        |    CAST(rt AS HUGEINT) * ca * nn AS den_a,
+        |    CAST(rt - above AS HUGEINT) * nn
+        |      - CAST(rt AS HUGEINT) * (nn - ca) AS dev_b,
+        |    CAST(rt AS HUGEINT) * (nn - ca) * nn AS den_b
+        |  FROM cells CROSS JOIN g),
+        |terms AS (SELECT nn, ca,
+        |    (dev_a * dev_a * 1000000) // den_a
+        |      + (dev_b * dev_b * 1000000) // den_b AS t_u
+        |  FROM wt),
+        |fin AS (SELECT nn, ca, count(*) AS k, sum(t_u) AS chi_u
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT k, nn AS n, CAST(med AS DOUBLE) / 1000.0e0 AS median,
+        |  k - 1 AS df, CAST(chi_u AS DOUBLE) / 1e6 AS chi2
+        |FROM fin CROSS JOIN med""".stripMargin,
+
+    // the q_acf deviation frame at lags 1-2; Yule-Walker closed forms as
+    // fixed double expressions over three exact integers
+    "q_ar_fit" ->
+      """WITH byd AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS sy
+        |  FROM byd),
+        |idx AS (SELECT
+        |    CAST(row_number() OVER (ORDER BY dd) AS BIGINT) AS t,
+        |    CAST(floor((CAST(y AS DOUBLE)
+        |      / (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) - 1.0e0)
+        |      * 1e6 + 0.5e0) AS BIGINT) AS dq
+        |  FROM byd CROSS JOIN g),
+        |den AS (SELECT CAST(sum(dq * dq) AS BIGINT) AS den,
+        |    count(*) AS n_days FROM idx),
+        |a AS (SELECT CAST(k AS BIGINT) AS k, t + k AS tk, dq AS dqa
+        |  FROM idx CROSS JOIN (SELECT unnest(range(1, 3)) AS k) ks),
+        |p AS (SELECT a.k, a.dqa, b.dq AS dqb
+        |  FROM a JOIN idx b ON b.t = a.tk),
+        |nums AS (SELECT
+        |    CAST(sum(CASE WHEN k = 1 THEN dqa * dqb END) AS BIGINT)
+        |      AS num1,
+        |    CAST(sum(CASE WHEN k = 2 THEN dqa * dqb END) AS BIGINT)
+        |      AS num2
+        |  FROM p),
+        |f AS (SELECT n_days, den,
+        |    CAST(num1 AS DOUBLE) / den AS rr1,
+        |    CAST(num2 AS DOUBLE) / den AS rr2
+        |  FROM den CROSS JOIN nums)
+        |SELECT n_days,
+        |  CASE WHEN den > 0
+        |    THEN floor(rr1 * 1e6 + 0.5e0) / 1e6 END AS r1,
+        |  CASE WHEN den > 0
+        |    THEN floor(rr2 * 1e6 + 0.5e0) / 1e6 END AS r2,
+        |  CASE WHEN den > 0 AND rr1 * rr1 <> 1.0e0
+        |    THEN floor(rr1 * (1.0e0 - rr2) / (1.0e0 - rr1 * rr1)
+        |      * 1e6 + 0.5e0) / 1e6 END AS phi1,
+        |  CASE WHEN den > 0 AND rr1 * rr1 <> 1.0e0
+        |    THEN floor((rr2 - rr1 * rr1) / (1.0e0 - rr1 * rr1)
+        |      * 1e6 + 0.5e0) / 1e6 END AS phi2,
+        |  CASE WHEN den > 0 AND rr1 * rr1 <> 1.0e0
+        |    THEN floor((1.0e0
+        |      - rr1 * (1.0e0 - rr2) / (1.0e0 - rr1 * rr1) * rr1
+        |      - (rr2 - rr1 * rr1) / (1.0e0 - rr1 * rr1) * rr2)
+        |      * 1e6 + 0.5e0) / 1e6 END AS noise_ratio
+        |FROM f""".stripMargin,
+
+    // the SAME driver-quantized integer basis table as the Spark side
+    // (interpolated below) — neither engine evaluates trig at query time
+    "q_periodogram" -> {
+      val values = dftCoeffs
+        .map { case (m, c, sq) => s"($m, $c, $sq)" }.mkString(", ")
+      s"""WITH coef(m, cq, sq) AS (VALUES $values),
+         |byd AS (SELECT
+         |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+         |    count(*) AS y
+         |  FROM events GROUP BY 1),
+         |d0 AS (SELECT min(dd) AS d0 FROM byd),
+         |f AS (SELECT dd - d0 AS t, y FROM byd CROSS JOIN d0
+         |  WHERE dd - d0 < $dftWindowDays),
+         |fan AS (SELECT k, (k * t) % $dftWindowDays AS m, y
+         |  FROM f CROSS JOIN (SELECT unnest(range(1, 9)) AS k) ks),
+         |agg AS (SELECT k, CAST(sum(y * cq) AS BIGINT) AS re_u,
+         |    CAST(sum(y * sq) AS BIGINT) AS im_u
+         |  FROM fan JOIN coef USING (m) GROUP BY 1)
+         |SELECT k, ${dftWindowDays.toDouble}e0 / k AS period_days,
+         |  re_u, im_u,
+         |  CAST((CAST(re_u AS HUGEINT) * re_u
+         |    + CAST(im_u AS HUGEINT) * im_u)
+         |    // 1000000000000 AS BIGINT) AS power
+         |FROM agg ORDER BY k""".stripMargin
+    },
+
+    // four exact conversion integers; posterior moments + A&S 26.2.17 Φ as
+    // one mirrored double expression
+    "q_bayes_ab" ->
+      """WITH conv AS (SELECT user_id % 2 AS arm, user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS cv
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN arm = 0 THEN cv ELSE 0 END) AS BIGINT)
+        |      AS x_a,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(sum(CASE WHEN arm = 1 THEN cv ELSE 0 END) AS BIGINT)
+        |      AS x_b
+        |  FROM conv),
+        |s AS (SELECT n_a, x_a, n_b, x_b,
+        |    ((1.0e0 + x_b) / (2.0e0 + n_b)
+        |      - (1.0e0 + x_a) / (2.0e0 + n_a))
+        |    / sqrt((1.0e0 + x_a) * (1.0e0 + n_a - x_a)
+        |        / ((2.0e0 + n_a) * (2.0e0 + n_a) * (3.0e0 + n_a))
+        |      + (1.0e0 + x_b) * (1.0e0 + n_b - x_b)
+        |        / ((2.0e0 + n_b) * (2.0e0 + n_b) * (3.0e0 + n_b)))
+        |      AS z
+        |  FROM m),
+        |p AS (SELECT n_a, x_a, n_b, x_b, z,
+        |    1.0e0 / (1.0e0 + 0.2316419e0 * abs(z)) AS t
+        |  FROM s),
+        |f AS (SELECT n_a, x_a, n_b, x_b, z,
+        |    1.0e0 - 0.3989422804014327e0 * exp(abs(z) * abs(z) / -2.0e0)
+        |    * (t * (0.319381530e0 + t * (-0.356563782e0
+        |      + t * (1.781477937e0 + t * (-1.821255978e0
+        |      + t * 1.330274429e0))))) AS phi_pos
+        |  FROM p)
+        |SELECT n_a, x_a, n_b, x_b,
+        |  floor((1.0e0 + x_a) / (2.0e0 + n_a) * 1e6 + 0.5e0) / 1e6
+        |    AS mean_a,
+        |  floor((1.0e0 + x_b) / (2.0e0 + n_b) * 1e6 + 0.5e0) / 1e6
+        |    AS mean_b,
+        |  floor(CASE WHEN z >= 0 THEN phi_pos ELSE 1.0e0 - phi_pos END
+        |    * 1e6 + 0.5e0) / 1e6 AS p_b_beats_a
+        |FROM f""".stripMargin
   )
 }

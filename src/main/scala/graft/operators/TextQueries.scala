@@ -1281,6 +1281,51 @@ object TextQueries extends QueryPack {
             .as("r2"))
     }),
 
+    // -- RAKE keyword extraction (stopword-delimited phrase scoring) --------
+    // The unsupervised keyword miner (Rose et al. 2010): candidate
+    // phrases are maximal runs between stopwords; each word earns
+    // degree (Σ length of phrases it appears in) over frequency, and a
+    // phrase scores the sum of its words' ratios. Corpus-level variant:
+    // word degree/frequency aggregate over ALL phrase instances (vocab-
+    // bounded), per-word ratios micro-quantized as integer divisions in
+    // DECIMAL(38,0) (exact at any corpus size), so the per-phrase sum is
+    // order-free and identical across instances — the final group per
+    // distinct phrase can take max() without a determinism caveat.
+    // Shapes: one doc-keyed window for phrase ids, one word-keyed stats
+    // join, one phrase-keyed aggregate; top-20 fuses into TakeOrdered.
+    "q_rake_keywords" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(norm(col("text")), " ")))
+        .toDF("doc_id", "pos", "w")
+      val wSeq = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val marked = toks
+        .withColumn("stop",
+          col("w").isin("the", "a") || length(col("w")) === 0)
+        .withColumn("sid",
+          sum(when(col("stop"), 1L).otherwise(0L)).over(wSeq))
+        .filter(!col("stop"))
+      val inst = marked.groupBy(col("doc_id"), col("sid"))
+        .agg(concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("pos"), col("w")))),
+            x => x.getField("w"))).as("phrase"),
+          count(lit(1)).as("len"))
+      val pw = marked.select(col("doc_id"), col("sid"), col("w"))
+        .join(inst, Seq("doc_id", "sid"))
+      val stats = pw.groupBy(col("w"))
+        .agg(sum(col("len")).as("dg"), count(lit(1)).as("fq"))
+      val scored = pw.join(stats, "w")
+        .groupBy(col("doc_id"), col("sid"), col("phrase"))
+        .agg(sum(expr(
+          "CAST((CAST(dg AS DECIMAL(38,0)) * 1000000) div fq AS BIGINT)"))
+          .as("score_u"))
+      scored.groupBy(col("phrase"))
+        .agg(count(lit(1)).as("n_inst"), max(col("score_u")).as("score_u"))
+        .select(col("phrase"), col("n_inst"), col("score_u"),
+          (col("score_u").cast("double") / lit(1e6)).as("score"))
+        .orderBy(col("score_u").desc, col("n_inst").desc, col("phrase"))
+        .limit(20)
+    }),
+
     // -- Good–Turing frequency smoothing (count-of-counts) ------------------
     // The LM-smoothing companion of q_zipf_fit and q_lm_perplexity's
     // add-k: for each low frequency r, the adjusted count
@@ -2504,6 +2549,43 @@ object TextQueries extends QueryPack {
            |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
            |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
            |FROM m""".stripMargin,
+
+      // same stopword-run phrase ids (running count incl. current row);
+      // per-word deg/freq ratios as exact HUGEINT micro-divisions
+      "q_rake_keywords" ->
+        s"""WITH toks AS (SELECT doc_id, i AS pos, ws[i + 1] AS w
+           |  FROM (SELECT doc_id, string_split($normSql, ' ') AS ws
+           |    FROM documents) dd,
+           |  unnest(range(0, len(ws))) AS t(i)),
+           |mk AS (SELECT doc_id, pos, w,
+           |    (w IN ('the', 'a') OR length(w) = 0) AS stop
+           |  FROM toks),
+           |sd AS (SELECT doc_id, pos, w, stop,
+           |    CAST(sum(CASE WHEN stop THEN 1 ELSE 0 END) OVER (
+           |      PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS sid
+           |  FROM mk),
+           |ph AS (SELECT doc_id, pos, w, sid FROM sd WHERE NOT stop),
+           |inst AS (SELECT doc_id, sid,
+           |    array_to_string(list(w ORDER BY pos), ' ') AS phrase,
+           |    count(*) AS len
+           |  FROM ph GROUP BY 1, 2),
+           |pw AS (SELECT p.w, p.doc_id, p.sid, i.phrase, i.len
+           |  FROM ph p JOIN inst i USING (doc_id, sid)),
+           |stats AS (SELECT w, CAST(sum(len) AS BIGINT) AS dg,
+           |    count(*) AS fq
+           |  FROM pw GROUP BY 1),
+           |sc AS (SELECT doc_id, sid, phrase,
+           |    CAST(sum((CAST(dg AS HUGEINT) * 1000000) // fq)
+           |      AS BIGINT) AS score_u
+           |  FROM pw JOIN stats USING (w) GROUP BY 1, 2, 3)
+           |SELECT phrase, count(*) AS n_inst,
+           |  CAST(max(score_u) AS BIGINT) AS score_u,
+           |  CAST(max(score_u) AS DOUBLE) / 1e6 AS score
+           |FROM sc GROUP BY 1
+           |ORDER BY score_u DESC, n_inst DESC, phrase LIMIT 20"""
+          .stripMargin,
 
       // exact r ↔ r+1 self-join on the bounded count-of-counts frame;
       // r* micro-quantized by integer division (HUGEINT-safe)

@@ -1,0 +1,385 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Tables
+
+/** Round-11 third-leg additions — each cross-checked against an
+  * independent driver-side brute-force recomputation on the sf0.001
+  * corpus (the DuckDB hash gate is the second, engine-external check):
+  * Bartlett, Cochran's Q, Mood's median, AR(2) Yule–Walker, the
+  * quantized-basis periodogram, Bayesian A/B, Adamic–Adar, sampled
+  * eccentricity, TPC-H Q18, RAKE keywords, the leakage-safe split, and
+  * the schema-drift audit.
+  */
+class Round11cSpec extends AnyFunSuite {
+  import SparkFixture.{spark, sfDir}
+
+  private def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  private lazy val events: Array[(Long, Long, String, Double, Long)] =
+    Tables.eventsWithTime(spark, sfDir)
+      .select(col("ts_us"), col("user_id"), col("event_type"),
+        col("value"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getLong(4)))
+
+  private lazy val docs: Array[(Long, String, Long)] =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+
+  private def dayOf(tsUs: Long): Long = tsUs / 86400000000L
+
+  private def vq(value: Double): Long =
+    math.floor(value * 1000.0 + 0.5).toLong
+
+  private def norm(s: String): String =
+    s.trim.toLowerCase.replaceAll("[ \\t\\n\\f\\r\\u000B]+", " ")
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  // ---------------------------------------------------------- statistics
+
+  test("q_bartlett replays the quantized-ln pooled-variance statistic") {
+    val r = SparkEntry.queries("q_bartlett")(spark, sfDir).collect().head
+    val groups = events.groupBy(_._3).values.toSeq
+      .map(_.map(e => vq(e._4)))
+    val k = groups.size.toLong
+    val n = groups.map(_.length.toLong).sum
+    var sumLj = 0L
+    var sswU = BigInt(0)
+    var sumRj = 0L
+    groups.foreach { g =>
+      val nj = g.length.toLong
+      val sj = BigInt(g.sum)
+      val qj = g.map(v => BigInt(v) * v).sum
+      val vjD = (qj.toDouble - sj.toDouble * sj.toDouble / nj) / (nj - 1)
+      assert(vjD > 0, "no degenerate groups in the corpus")
+      sumLj += (nj - 1) * math.floor(math.log(vjD) * 1e6 + 0.5).toLong
+      sswU += qj - (sj * sj) / nj
+      sumRj += 1000000000000L / (nj - 1)
+    }
+    val sp2 = sswU.toDouble / (n - k)
+    val lp = math.floor(math.log(sp2) * 1e6 + 0.5)
+    val tU = (n - k).toDouble * lp - sumLj.toDouble
+    val c = 1.0 + (sumRj / 1e12 - 1.0 / (n - k)) / (3.0 * (k - 1))
+    assert(r.getLong(0) == k && r.getLong(1) == n && r.getLong(2) == k - 1)
+    assert(math.abs(r.getDouble(3) - q6(tU / 1e6 / c)) < 2e-6)
+  }
+
+  test("q_cochran_q replays the binary repeated-measures statistic") {
+    val r = SparkEntry.queries("q_cochran_q")(spark, sfDir).collect().head
+    val pairs = events.map(e => (e._2, dayOf(e._1), e._3)).distinct
+    val k = pairs.map(_._3).distinct.length.toLong
+    val ri = pairs.groupBy(p => (p._1, p._2)).map(_._2.length.toLong)
+    val cj = pairs.groupBy(_._3).map(_._2.length.toLong)
+    val nTot = ri.sum
+    val num = (k - 1).toDouble *
+      (k.toDouble * cj.map(c => c * c).sum - nTot.toDouble * nTot)
+    val den = k.toDouble * nTot - ri.map(x => x * x).sum.toDouble
+    assert(r.getLong(0) == k && r.getLong(1) == ri.size.toLong)
+    assert(r.getLong(2) == k - 1)
+    assert(math.abs(r.getDouble(3) - q6(num / den)) < 2e-6)
+  }
+
+  test("q_mood_median replays the lower median and integer chi-square") {
+    val r = SparkEntry.queries("q_mood_median")(spark, sfDir)
+      .collect().head
+    val vs = events.map(e => vq(e._4)).sorted
+    val n = vs.length.toLong
+    val med = vs(((n + 1) / 2 - 1).toInt)
+    assert(r.getDouble(2) == med.toDouble / 1000.0)
+    val byType = events.groupBy(_._3)
+    val nn = BigInt(n)
+    val ca = BigInt(events.count(e => vq(e._4) > med))
+    var chiU = BigInt(0)
+    byType.values.foreach { es =>
+      val rt = BigInt(es.length)
+      val above = BigInt(es.count(e => vq(e._4) > med))
+      val devA = above * nn - rt * ca
+      val devB = (rt - above) * nn - rt * (nn - ca)
+      chiU += (devA * devA * 1000000) / (rt * ca * nn) +
+        (devB * devB * 1000000) / (rt * (nn - ca) * nn)
+    }
+    assert(r.getLong(0) == byType.size.toLong && r.getLong(1) == n)
+    assert(math.abs(r.getDouble(4) - chiU.toDouble / 1e6) < 1e-9)
+  }
+
+  test("q_ar_fit replays the Yule-Walker closed forms on the dq frame") {
+    val r = SparkEntry.queries("q_ar_fit")(spark, sfDir).collect().head
+    val byDay = events.groupBy(e => dayOf(e._1))
+      .map { case (d, es) => d -> es.length.toLong }.toSeq.sortBy(_._1)
+    val nD = byDay.length.toLong
+    val sy = byDay.map(_._2).sum
+    val dq = byDay.map { case (_, y) =>
+      math.floor((y.toDouble / (sy.toDouble / nD) - 1.0) * 1e6 + 0.5)
+        .toLong
+    }
+    val den = dq.map(x => x * x).sum
+    def num(k: Int) =
+      dq.dropRight(k).zip(dq.drop(k)).map { case (a, b) => a * b }.sum
+    val r1 = num(1).toDouble / den
+    val r2 = num(2).toDouble / den
+    val phi1 = r1 * (1.0 - r2) / (1.0 - r1 * r1)
+    val phi2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    assert(r.getLong(0) == nD)
+    assert(math.abs(r.getDouble(1) - q6(r1)) < 2e-6)
+    assert(math.abs(r.getDouble(2) - q6(r2)) < 2e-6)
+    assert(math.abs(r.getDouble(3) - q6(phi1)) < 2e-6)
+    assert(math.abs(r.getDouble(4) - q6(phi2)) < 2e-6)
+    assert(math.abs(r.getDouble(5) -
+      q6(1.0 - phi1 * r1 - phi2 * r2)) < 2e-6)
+  }
+
+  test("q_periodogram replays the integer DFT exactly (all-integer rows)") {
+    val rows = SparkEntry.queries("q_periodogram")(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == 8)
+    val byDay = events.groupBy(e => dayOf(e._1))
+      .map { case (d, es) => d -> es.length.toLong }
+    val d0 = byDay.keys.min
+    val frame = byDay.toSeq.map { case (d, y) => (d - d0, y) }
+      .filter(_._1 < 64)
+    val cq = (0 until 64).map(m =>
+      math.floor(math.cos(2.0 * math.Pi * m / 64) * 1e6 + 0.5).toLong)
+    val sq = (0 until 64).map(m =>
+      math.floor(math.sin(2.0 * math.Pi * m / 64) * 1e6 + 0.5).toLong)
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      val re = frame.map { case (t, y) => y * cq(((k * t) % 64).toInt) }
+        .sum
+      val im = frame.map { case (t, y) => y * sq(((k * t) % 64).toInt) }
+        .sum
+      val power =
+        ((BigInt(re) * re + BigInt(im) * im) / BigInt(1000000000000L))
+          .toLong
+      assert(r.getDouble(1) == 64.0 / k)
+      assert(r.getLong(2) == re && r.getLong(3) == im)
+      assert(r.getLong(4) == power)
+    }
+  }
+
+  test("q_bayes_ab replays the posterior-moment probit closed form") {
+    val r = SparkEntry.queries("q_bayes_ab")(spark, sfDir).collect().head
+    val perUser = events.groupBy(e => e._2).toSeq
+      .map { case (u, es) => (u % 2, es.exists(_._3 == "purchase")) }
+    def cnt(arm: Long) = perUser.count(_._1 == arm).toLong
+    def cv(arm: Long) = perUser.count(p => p._1 == arm && p._2).toLong
+    val (na, xa, nb, xb) = (cnt(0), cv(0), cnt(1), cv(1))
+    def mu(n: Long, x: Long) = (1.0 + x) / (2.0 + n)
+    def va(n: Long, x: Long) =
+      (1.0 + x) * (1.0 + n - x) / ((2.0 + n) * (2.0 + n) * (3.0 + n))
+    val z = (mu(nb, xb) - mu(na, xa)) / math.sqrt(va(na, xa) + va(nb, xb))
+    val az = math.abs(z)
+    val t = 1.0 / (1.0 + 0.2316419 * az)
+    val poly = t * (0.319381530 + t * (-0.356563782 + t * (1.781477937 +
+      t * (-1.821255978 + t * 1.330274429))))
+    val phiPos = 1.0 - 0.3989422804014327 * math.exp(az * az / -2.0) * poly
+    val p = if (z >= 0) phiPos else 1.0 - phiPos
+    assert(r.getLong(0) == na && r.getLong(1) == xa)
+    assert(r.getLong(2) == nb && r.getLong(3) == xb)
+    assert(math.abs(r.getDouble(4) - q6(mu(na, xa))) < 2e-6)
+    assert(math.abs(r.getDouble(5) - q6(mu(nb, xb))) < 2e-6)
+    assert(math.abs(r.getDouble(6) - q6(p)) < 2e-6)
+    assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+  }
+
+  // --------------------------------------------------------------- graph
+
+  private lazy val coPairs: Map[(Long, Long), Int] = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    li.groupBy(_._1).values.flatMap { b =>
+      val ps = b.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity).map { case (p, xs) => p -> xs.length }
+      .filter(_._2 >= 2)
+  }
+
+  test("q_adamic_adar matches the brute-force wedge scoring") {
+    val rows = SparkEntry.queries("q_adamic_adar")(spark, sfDir).collect()
+    val edges = coPairs.keySet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSeq }
+    val aw = adj.map { case (v, nbs) =>
+      v -> (if (nbs.length >= 2)
+        math.floor(1e6 / math.log(nbs.length.toDouble) + 0.5).toLong
+      else 0L)
+    }
+    val scored = adj.toSeq.flatMap { case (v, nbs) =>
+      val srt = nbs.sorted
+      for (i <- srt.indices; j <- (i + 1) until srt.length)
+        yield ((srt(i), srt(j)), aw(v))
+    }.groupBy(_._1).map { case (p, xs) =>
+      (p, xs.length.toLong, xs.map(_._2).sum)
+    }.filterNot { case (p, _, _) => edges.contains(p) }
+      .toSeq
+      .sortBy { case ((u, w), cn, aa) => (-aa, -cn, u, w) }.take(20)
+    assert(rows.length == scored.length)
+    rows.zip(scored).foreach { case (r, ((u, w), cn, aa)) =>
+      assert(r.getLong(0) == u && r.getLong(1) == w)
+      assert(r.getLong(2) == cn && r.getLong(3) == aa)
+    }
+  }
+
+  test("q_eccentricity matches a brute-force 3-hop BFS per root") {
+    val rows = SparkEntry.queries("q_eccentricity")(spark, sfDir)
+      .collect()
+    val lo = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).collect()
+      .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1)).distinct
+    val adj = (lo ++ lo.map(p => (p._2, p._1))).groupBy(_._1)
+      .map { case (v, xs) => v -> xs.map(_._2).toSet }
+    val roots = Tables.customer(spark, sfDir)
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+      .filter(_ % 50 == 0).sorted.take(200).map(_ * 2)
+    assert(rows.length == roots.length)
+    rows.zip(roots.sorted).foreach { case (r, root) =>
+      var dist = Map(root -> 0L)
+      for (h <- 1 to 3) {
+        val next = dist.keys
+          .flatMap(v => adj.getOrElse(v, Set.empty).map(_ -> (dist(v) + 1)))
+          .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).min }
+        dist = (dist.toSeq ++ next.toSeq).groupBy(_._1)
+          .map { case (v, xs) => v -> xs.map(_._2).min }
+      }
+      assert(r.getLong(0) == root)
+      assert(r.getLong(1) == dist.count(_._2 > 0).toLong)
+      assert(r.getLong(2) == dist.values.max)
+    }
+  }
+
+  // --------------------------------------------------------------- joins
+
+  test("q18_big_orders: HAVING threshold and ordering replay") {
+    val rows = SparkEntry.queries("q18_big_orders")(spark, sfDir)
+      .collect()
+    val qty = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity")).collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) + 0.5).toLong))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val big = qty.filter(_._2 > 250)
+    assert(rows.length == math.min(big.size, 100))
+    rows.foreach { r =>
+      assert(big(r.getLong(2)) == r.getLong(5),
+        "total_qty must match the per-order integer sum")
+    }
+    val prices = rows.map(_.getDouble(4))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b },
+      "o_totalprice desc total order")
+  }
+
+  // ----------------------------------------------------------- text/pipe
+
+  test("q_rake_keywords replays the degree/frequency phrase scores") {
+    val rows = SparkEntry.queries("q_rake_keywords")(spark, sfDir)
+      .collect()
+    assert(rows.length == 20)
+    val stop = Set("the", "a", "")
+    val phrases = docs.flatMap { case (_, text, _) =>
+      val ws = norm(text).split(" ", -1)
+      val out = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      var cur = scala.collection.mutable.ArrayBuffer[String]()
+      ws.foreach { w =>
+        if (stop(w)) {
+          if (cur.nonEmpty) { out += cur.toSeq; cur.clear() }
+        } else cur += w
+      }
+      if (cur.nonEmpty) out += cur.toSeq
+      out
+    }
+    val dg = scala.collection.mutable.Map[String, Long]()
+    val fq = scala.collection.mutable.Map[String, Long]()
+    phrases.foreach { p =>
+      p.foreach { w =>
+        dg(w) = dg.getOrElse(w, 0L) + p.length
+        fq(w) = fq.getOrElse(w, 0L) + 1L
+      }
+    }
+    val scoreOf = (p: Seq[String]) =>
+      p.map(w => (BigInt(dg(w)) * 1000000 / fq(w)).toLong).sum
+    val byPhrase = phrases.groupBy(_.mkString(" ")).toSeq
+      .map { case (txt, xs) => (txt, xs.length.toLong, scoreOf(xs.head)) }
+      .sortBy { case (txt, n, sc) => (-sc, -n, txt) }.take(20)
+    rows.zip(byPhrase).foreach { case (r, (txt, n, sc)) =>
+      assert(r.getString(0) == txt)
+      assert(r.getLong(1) == n && r.getLong(2) == sc)
+      assert(r.getDouble(3) == sc.toDouble / 1e6)
+    }
+  }
+
+  test("q_train_split: leakage-free partition with replayed counts") {
+    val rows = SparkEntry.queries("q_train_split")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("test", "train", "val"))
+    val assigned = docs.map { case (id, text, nc) =>
+      val gid = md5Hex(text)
+      val h = java.lang.Long.parseLong(gid.substring(0, 8), 16) % 10
+      val split = if (h < 8) "train" else if (h == 8) "val" else "test"
+      (split, gid, nc)
+    }
+    val n = assigned.length.toLong
+    rows.foreach { r =>
+      val s = r.getString(0)
+      val mine = assigned.filter(_._1 == s)
+      assert(r.getLong(1) == mine.length.toLong)
+      assert(r.getLong(2) == mine.map(_._2).distinct.length.toLong)
+      assert(r.getLong(3) == mine.map(_._3).sum)
+      assert(r.getLong(4) == 1000000L * mine.length / n)
+      assert(r.getLong(5) == 0L, "exact-dup groups can never leak " +
+        "across splits: assignment is a function of the group key")
+    }
+    assert(rows.map(_.getLong(1)).sum == n, "splits partition the corpus")
+  }
+
+  test("q_schema_drift replays the value-domain audit on orders") {
+    val rows = SparkEntry.queries("q_schema_drift")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("o_orderpriority", "o_orderstatus", "price_bucket"))
+    val os = Tables.orders(spark, sfDir)
+      .select(datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).cast("long").as("dd"),
+        col("o_orderstatus"), col("o_orderpriority"),
+        col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDouble(3)))
+    val mid = (os.map(_._1).min + os.map(_._1).max) / 2
+    def audit(vals: Array[(String, Boolean)]) = {
+      val cells = vals.groupBy(_._1).toSeq.map { case (_, xs) =>
+        (xs.count(!_._2).toLong, xs.count(_._2).toLong)
+      }
+      val ta = cells.map(_._1).sum
+      val tb = cells.map(_._2).sum
+      val tv = cells.map { case (na, nb) =>
+        math.abs(na * 1000000L / ta - nb * 1000000L / tb)
+      }.sum / 2
+      (ta, tb, cells.count(_._1 > 0).toLong, cells.count(_._2 > 0).toLong,
+        cells.count(c => c._1 == 0 && c._2 > 0).toLong,
+        cells.count(c => c._1 > 0 && c._2 == 0).toLong, tv)
+    }
+    val byCol = Map(
+      "o_orderstatus" -> os.map(o => (o._2, o._1 > mid)),
+      "o_orderpriority" -> os.map(o => (o._3, o._1 > mid)),
+      "price_bucket" -> os.map(o =>
+        (math.floor(o._4 / 50000.0).toLong.toString, o._1 > mid)))
+    rows.foreach { r =>
+      val (ta, tb, ndvA, ndvB, nv, gv, tv) = audit(byCol(r.getString(0)))
+      assert(r.getLong(1) == ta && r.getLong(2) == tb)
+      assert(r.getLong(3) == ndvA && r.getLong(4) == ndvB)
+      assert(r.getLong(5) == nv && r.getLong(6) == gv)
+      assert(r.getLong(7) == tv)
+    }
+  }
+}
