@@ -166,6 +166,43 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("cohort_day"), col("week_offset"))
     }),
 
+    // -- cohort LTV curve (cumulative value per user by age week) -----------
+    // The monetary completion of q_cohort_retention: for each signup-week
+    // cohort, cumulative value PER COHORT USER as the cohort ages — the
+    // curve every acquisition-payback decision reads. Values are exact
+    // milli-unit integers before any aggregation; cohort sizes come from
+    // the first-seen frame; the running sum is a cohort-keyed window
+    // over the calendar-bounded (cohort, age) cell frame, so nothing
+    // after the two keyed aggregates grows with data.
+    "q_cohort_ltv" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"),
+          (datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long") * lit(1L)).as("dd"),
+          floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+            .as("vq"))
+        .withColumn("ww", expr("dd div 7"))
+      val first = e.groupBy(col("user_id"))
+        .agg(min(col("ww")).as("cohort_w"))
+      val sizes = first.groupBy(col("cohort_w"))
+        .agg(count(lit(1)).as("n_users"))
+      val cells = e.join(first, "user_id")
+        .groupBy(col("cohort_w"), (col("ww") - col("cohort_w"))
+          .as("age_w"))
+        .agg(sum(col("vq")).as("v"))
+      val wCum = Window.partitionBy(col("cohort_w")).orderBy(col("age_w"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells
+        .withColumn("cum_v", sum(col("v")).over(wCum))
+        .join(broadcast(sizes), "cohort_w")
+        .select(col("cohort_w"), col("age_w"), col("n_users"),
+          col("cum_v"),
+          expr("cum_v div n_users").as("ltv_m"),
+          ((expr("cum_v div n_users")).cast("double") / lit(1000.0))
+            .as("ltv"))
+        .orderBy(col("cohort_w"), col("age_w"))
+    }),
+
     // -- exponentially weighted moving average (16-tap Horner) --------------
     // One window sort per user; constant per-row work; bounded frame.
     // Rounding is explicit floor(x*1e4 + 0.5)/1e4 on BOTH engines:
@@ -446,6 +483,64 @@ object AnalyticsQueries extends QueryPack {
           col("pr").as("pr_fp"),
           (col("pr").cast("double") / lit(prScale.toDouble)).as("pr"))
         .orderBy(col("id"))
+    }),
+
+    // -- personalized PageRank (seed-teleport random walk) -------------------
+    // The recommendation/similarity variant of q_pagerank: the teleport
+    // mass returns to a SEED SET instead of the uniform vector, so
+    // scores measure proximity to the seeds — "nodes like these" over
+    // the customer–supplier graph. Identical integer fixed-point
+    // discipline (1e-12 units, div-truncated identically on both
+    // engines), same persisted static adjacency, 3 unrolled rounds;
+    // only the teleport term differs (seeds get (15·scale) div (100·ns),
+    // everyone else 0). Top-20 by fixed-point score is the read.
+    "q_ppr" -> ((s, d) => {
+      val e0 = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.union(e0.select(col("dst").as("src"),
+        col("src").as("dst")))
+      val nodes = Tables.customer(s, d)
+        .select((col("c_custkey") * 2).as("id"))
+        .union(Tables.supplier(s, d)
+          .select((col("s_suppkey") * 2 + 1).as("id")))
+      val seeds = Tables.customer(s, d)
+        .filter(pmod(col("c_custkey"), lit(100)) === 0)
+        .select((col("c_custkey") * 2).as("id"),
+          lit(1L).as("is_seed"))
+      val nSeed = seeds.agg(count(lit(1)).as("ns"))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      val adj = edges.join(deg, "src")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def base = nodes.join(broadcast(seeds), Seq("id"), "left")
+        .crossJoin(broadcast(nSeed))
+      var pr = base.select(col("id"),
+        when(col("is_seed").isNotNull, expr(s"${prScale}L div ns"))
+          .otherwise(0L).as("pr"), col("ns"), col("is_seed"))
+      for (_ <- 1 to prIters) {
+        val contrib = adj
+          .join(pr.select(col("id").as("src"), col("pr")), "src")
+          .groupBy(col("dst")).agg(sum(expr("pr div outdeg")).as("c"))
+        pr = base
+          .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+          .select(col("id"),
+            (when(col("is_seed").isNotNull,
+              expr(s"(15 * ${prScale}L) div (100 * ns)")).otherwise(0L)
+              + expr("(85 * coalesce(c, 0L)) div 100")).as("pr"),
+            col("ns"), col("is_seed"))
+      }
+      // adjacency deliberately left cached — same rationale as q_pagerank
+      pr.select(col("id"),
+          when(pmod(col("id"), lit(2)) === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          coalesce(col("is_seed"), lit(0L)).as("is_seed"),
+          col("pr").as("ppr_fp"),
+          (col("pr").cast("double") / lit(prScale.toDouble)).as("ppr"))
+        .orderBy(col("ppr_fp").desc, col("id"))
+        .limit(20)
     }),
 
     // -- A/B test: Welch z-statistic between deterministic arms ------------
@@ -3352,6 +3447,50 @@ object AnalyticsQueries extends QueryPack {
        |FROM r$prIters ORDER BY id""".stripMargin
   }
 
+  /** q_ppr oracle: the pagerankSql rounds with the teleport term gated
+    * to the seed set (same integer fixed point, same truncation). */
+  private def pprSql: String = {
+    val iters = (1 to prIters).map { i =>
+      s"""c$i AS (SELECT e.dst AS id,
+         |    CAST(sum(r${i - 1}.pr // deg.outdeg) AS BIGINT) AS c
+         |  FROM e JOIN deg ON deg.id = e.src
+         |  JOIN r${i - 1} ON r${i - 1}.id = e.src GROUP BY e.dst),
+         |r$i AS (SELECT nodes.id,
+         |    (CASE WHEN seeds.id IS NOT NULL
+         |      THEN (15 * $prScale) // (100 * ns.ns) ELSE 0 END)
+         |      + ((85 * coalesce(c$i.c, 0)) // 100) AS pr
+         |  FROM nodes CROSS JOIN ns
+         |  LEFT JOIN seeds ON seeds.id = nodes.id
+         |  LEFT JOIN c$i ON c$i.id = nodes.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src,
+       |    l.l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |e AS (SELECT src, dst FROM e0
+       |  UNION ALL SELECT dst, src FROM e0),
+       |nodes AS (SELECT c_custkey * 2 AS id FROM customer
+       |  UNION ALL SELECT s_suppkey * 2 + 1 AS id FROM supplier),
+       |seeds AS (SELECT c_custkey * 2 AS id FROM customer
+       |  WHERE c_custkey % 100 = 0),
+       |ns AS (SELECT count(*) AS ns FROM seeds),
+       |deg AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY 1),
+       |r0 AS (SELECT nodes.id,
+       |    CASE WHEN seeds.id IS NOT NULL THEN $prScale // ns.ns
+       |      ELSE 0 END AS pr
+       |  FROM nodes CROSS JOIN ns
+       |  LEFT JOIN seeds ON seeds.id = nodes.id),
+       |$iters
+       |SELECT nodes.id,
+       |  CASE WHEN nodes.id % 2 = 0 THEN 'customer' ELSE 'supplier' END
+       |    AS node_type,
+       |  CAST(CASE WHEN seeds.id IS NOT NULL THEN 1 ELSE 0 END
+       |    AS BIGINT) AS is_seed,
+       |  pr AS ppr_fp, CAST(pr AS DOUBLE) / $prScale.0 AS ppr
+       |FROM r$prIters f JOIN nodes ON nodes.id = f.id
+       |LEFT JOIN seeds ON seeds.id = nodes.id
+       |ORDER BY ppr_fp DESC, nodes.id LIMIT 20""".stripMargin
+  }
+
   /** q_hits oracle: unrolled mutual-reinforcement rounds in the same
     * 1e-12 HUGEINT fixed point; each normalization is a scalar subquery. */
   private def hitsSql: String = {
@@ -3537,6 +3676,29 @@ object AnalyticsQueries extends QueryPack {
         |FROM events e JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_day, week_offset""".stripMargin,
 
+    // milli-unit values exact before aggregation; cohort-keyed running sum
+    "q_cohort_ltv" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) // 7
+        |      AS ww,
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq
+        |  FROM events),
+        |f AS (SELECT user_id, min(ww) AS cohort_w FROM e GROUP BY 1),
+        |sz AS (SELECT cohort_w, count(*) AS n_users FROM f GROUP BY 1),
+        |cells AS (SELECT cohort_w, ww - cohort_w AS age_w,
+        |    CAST(sum(vq) AS BIGINT) AS v
+        |  FROM e JOIN f USING (user_id) GROUP BY 1, 2),
+        |cum AS (SELECT cohort_w, age_w,
+        |    CAST(sum(v) OVER (PARTITION BY cohort_w ORDER BY age_w
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_v
+        |  FROM cells)
+        |SELECT cohort_w, age_w, n_users, cum_v,
+        |  CAST(cum_v // n_users AS BIGINT) AS ltv_m,
+        |  CAST(cum_v // n_users AS DOUBLE) / 1000.0e0 AS ltv
+        |FROM cum JOIN sz USING (cohort_w)
+        |ORDER BY cohort_w, age_w""".stripMargin,
+
     // floor(x*1e4 + 0.5)/1e4, not round(): see the query comment
     "q_ewma" ->
       s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
@@ -3547,6 +3709,8 @@ object AnalyticsQueries extends QueryPack {
 
     // integer fixed-point throughout: see the query comment
     "q_pagerank" -> pagerankSql,
+
+    "q_ppr" -> pprSql,
 
     "q_graph_bfs" -> bfsSql,
     "q_harmonic_centrality" -> harmonicSql,

@@ -17,6 +17,8 @@ case class AudioFeatures(doc_id: Long, n_samples: Int, sample_rate: Int,
                          avg_sample: Double)
 
 /** Per-frame audio features (energy / zero-crossings / peak). */
+case class SpecFrame(doc_id: Long, frame_id: Long, k: Long, re_m: Long,
+  im_m: Long, power: Long)
 case class AudioFrame(doc_id: Long, frame_id: Long, energy: Long,
                       zcr: Long, peak: Long)
 
@@ -80,6 +82,19 @@ object MultimodalQueries extends QueryPack {
     * the raw samples. Hand-assembled so the hot loop pays AudioSystem's
     * synchronized provider lookup once per row (the decode) instead of
     * twice. */
+  /** q_mm_spectrogram DFT basis over the 64-sample frame, MILLI-quantized
+    * on the driver and inlined as integer literals in BOTH engines (the
+    * q_periodogram zero-query-time-trig discipline) — milli (not micro)
+    * so re/im ≤ 64·128·10³ ≈ 8.2·10⁶ and power = re² + im² stays well
+    * inside int64 with no widening. */
+  private[operators] val specBasis: Seq[(Long, Long, Long)] =
+    (0 until 64).map { m =>
+      val a = 2.0 * math.Pi * m / 64
+      (m.toLong,
+        math.floor(math.cos(a) * 1000 + 0.5).toLong,
+        math.floor(math.sin(a) * 1000 + 0.5).toLong)
+    }
+
   private[graft] def writeWav(pcm: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](44 + pcm.length)
     val bb = java.nio.ByteBuffer.wrap(out)
@@ -333,6 +348,53 @@ object MultimodalQueries extends QueryPack {
     // replays the arithmetic without audio code. Same real JDK decode
     // path and narrow per-partition shape as q_mm_wav_decode; framing
     // multiplies rows ×8 but stays partition-local.
+    // -- frame spectrogram over the real WAV decode path ---------------------
+    // The frequency-domain extension of q_mm_audio_frames: per 64-sample
+    // frame, spectral power at the 4 lowest analysis frequencies via the
+    // driver-quantized integer basis ([[specBasis]] — the q_periodogram
+    // zero-query-time-trig discipline). Same REAL JDK audio path (the
+    // synthetic PCM round-trips through javax.sound WAV decode inside
+    // mapPartitions, amortizing codec setup); every re/im is an exact
+    // 64-term integer dot and power = re² + im² stays in int64 by the
+    // milli-quantization. Linear compute per doc, no shuffle before the
+    // final sort.
+    "q_mm_spectrogram" -> ((s, d) => {
+      import s.implicits._
+      val n = 512
+      val fl = 64
+      val cq = specBasis.map(_._2).toArray
+      val sq = specBasis.map(_._3).toArray
+      Tables.documents(s, d).select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          it.flatMap { id =>
+            val pcm = Array.tabulate(n) { i =>
+              (org.apache.spark.sql.graft.NativeExpressions
+                .splitmix64Long(id * 1024L + i) & 0xffL).toByte
+            }
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(writeWav(pcm)))
+            val decoded = in.readAllBytes()
+            for (f <- 0 until n / fl; k <- 1 to 4) yield {
+              var re = 0L
+              var im = 0L
+              var j = 0
+              while (j < fl) {
+                val sv = ((decoded(f * fl + j) & 0xff) - 128).toLong
+                val m = ((k * j) % fl).toInt
+                re += sv * cq(m)
+                im += sv * sq(m)
+                j += 1
+              }
+              SpecFrame(id, f.toLong, k.toLong, re, im, re * re + im * im)
+            }
+          }
+        }
+        .toDF()
+        .orderBy(col("doc_id"), col("frame_id"), col("k"))
+    }),
+
     "q_mm_audio_frames" -> ((s, d) => {
       import s.implicits._
       val n = 512
@@ -448,6 +510,33 @@ object MultimodalQueries extends QueryPack {
     // zero-crossing uses strict sign opposition (sv·sv2 < 0), so a
     // centered sample of exactly 0 never counts — pinned here and in the
     // Spark loop identically
+    // same splitmix PCM reconstruction as q_mm_audio_frames, joined to
+    // the identical driver-quantized milli basis literals
+    "q_mm_spectrogram" -> {
+      import graft.engine.OracleHash._
+      val values = specBasis
+        .map { case (m, c, sq) => s"($m, $c, $sq)" }.mkString(", ")
+      s"""WITH coef(m, cq, sq) AS (VALUES $values),
+         |px AS (SELECT doc_id, i,
+         |    CAST(doc_id * 1024 + i AS UBIGINT) AS seed
+         |  FROM documents, unnest(range(0, 512)) AS t(i)),
+         |${splitmixStages("px", "doc_id, i", "seed")},
+         |v AS (SELECT doc_id, i,
+         |    CAST(xor(z3, z3 >> 31) % 256 AS BIGINT) - 128 AS sv
+         |  FROM p3_),
+         |f AS (SELECT doc_id, i // 64 AS frame_id, i % 64 AS j, sv
+         |  FROM v),
+         |fan AS (SELECT doc_id, frame_id, k, (k * j) % 64 AS m, sv
+         |  FROM f CROSS JOIN (SELECT unnest(range(1, 5)) AS k) ks),
+         |agg AS (SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id, k,
+         |    CAST(sum(sv * cq) AS BIGINT) AS re_m,
+         |    CAST(sum(sv * sq) AS BIGINT) AS im_m
+         |  FROM fan JOIN coef USING (m) GROUP BY 1, 2, 3)
+         |SELECT doc_id, frame_id, k, re_m, im_m,
+         |  re_m * re_m + im_m * im_m AS power
+         |FROM agg ORDER BY doc_id, frame_id, k""".stripMargin
+    },
+
     "q_mm_audio_frames" -> {
       import graft.engine.OracleHash._
       s"""WITH px AS (SELECT doc_id, i,

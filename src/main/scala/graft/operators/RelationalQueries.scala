@@ -466,6 +466,23 @@ object RelationalQueries extends QueryPack {
           ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
     }),
 
+    // -- SQL entry point: IDENTIFIER() parameterized names -----------------
+    // The SQL-injection-safe templating surface (Spark 4 / DuckDB both
+    // ship it): table and column names arrive as constant STRING
+    // expressions through IDENTIFIER(), the resolver binds them at
+    // analysis time, and the plan is byte-identical to the literal-name
+    // query — zero runtime cost, but the entry point a multi-tenant
+    // query service needs so tenant-supplied names can never splice SQL.
+    "q_sql_identifier" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT l_returnflag, count(*) AS n,
+          |  round(sum(IDENTIFIER('l_' || 'extendedprice')), 2)
+          |    AS revenue
+          |FROM IDENTIFIER('line' || 'item')
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
     // -- SQL entry point: GROUP BY ALL / ORDER BY ALL ----------------------
     // The analyst-ergonomics surface both engines grew for exploratory
     // SQL: every non-aggregate select item becomes a grouping key, and
@@ -1037,6 +1054,13 @@ object RelationalQueries extends QueryPack {
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS revenue
         |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin,
+
+    // DuckDB resolves the same constant-expression names at bind time
+    "q_sql_identifier" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_sql_udf" ->
       """SELECT l_returnflag,

@@ -2472,6 +2472,35 @@ object StatsQueries extends QueryPack {
         q6(mu("n_a", "x_a")).as("mean_a"),
         q6(mu("n_b", "x_b")).as("mean_b"),
         q6(pB).as("p_b_beats_a"))
+    }),
+
+    // -- Croston-style intermittent-demand rate (per event type) ------------
+    // The forecasting primitive for SPARSE series where q_forecast_backtest's
+    // seasonal-naive assumes density: demand rate = mean demand on ACTIVE
+    // days over mean inter-arrival gap, the long-run-mean form of
+    // Croston's method. The only data-sized stage is the (type, day)
+    // aggregate; everything after runs on the bounded active-day frame,
+    // and all three readouts are exact integer micro-divisions
+    // (numerator ≤ 10⁶·Σy·n_active ≈ 10¹⁷ at sf10 — the int64 ceiling
+    // sits near 10⁴× that, documented here per house convention).
+    "q_croston" -> ((s, d) => {
+      val byd = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long").as("dd"))
+        .agg(count(lit(1)).as("y"))
+      byd.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_active"), sum(col("y")).as("sy"),
+          min(col("dd")).as("d1"), max(col("dd")).as("dn"))
+        .select(col("event_type"), col("n_active"), col("sy"),
+          expr("(1000000 * sy) div n_active").as("mean_demand_u"),
+          when(col("n_active") > 1L,
+            expr("(1000000 * (dn - d1)) div (n_active - 1)"))
+            .as("mean_gap_u"),
+          when(col("n_active") > 1L && col("dn") > col("d1"),
+            expr("(1000000 * sy * (n_active - 1)) " +
+              "div (n_active * (dn - d1))")).as("forecast_u"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -4474,6 +4503,27 @@ object StatsQueries extends QueryPack {
         |    AS mean_b,
         |  floor(CASE WHEN z >= 0 THEN phi_pos ELSE 1.0e0 - phi_pos END
         |    * 1e6 + 0.5e0) / 1e6 AS p_b_beats_a
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    // bounded active-day frame; all readouts exact integer micro-divisions
+    "q_croston" ->
+      """WITH byd AS (SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, count(*) AS n_active,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    min(dd) AS d1, max(dd) AS dn
+        |  FROM byd GROUP BY 1)
+        |SELECT event_type, n_active, sy,
+        |  CAST((1000000 * sy) // n_active AS BIGINT) AS mean_demand_u,
+        |  CASE WHEN n_active > 1 THEN
+        |    CAST((1000000 * (dn - d1)) // (n_active - 1) AS BIGINT)
+        |  END AS mean_gap_u,
+        |  CASE WHEN n_active > 1 AND dn > d1 THEN
+        |    CAST((1000000 * sy * (n_active - 1))
+        |      // (n_active * (dn - d1)) AS BIGINT)
+        |  END AS forecast_u
+        |FROM g ORDER BY event_type""".stripMargin
   )
 }

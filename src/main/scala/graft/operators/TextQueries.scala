@@ -30,6 +30,21 @@ object TextQueries extends QueryPack {
   /** Distinct word set of a document. */
   private def tokens(c: Column): Column = array_distinct(split(c, " "))
 
+  /** Heuristic language guess (CJK presence, then vowel-ratio bands) —
+    * the classifier under evaluation in q_eval_metrics and q_mcc; ONE
+    * definition so the two readouts can never score different models. */
+  private def langGuess(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("vr", round(
+        regexp_count(col("text"), lit("[aeiou]")).cast("double") /
+          length(col("text")), 6))
+      .withColumn("guess",
+        when(regexp_count(col("text"), lit("[\\u4e00-\\u9fff]")) > 0, "zh")
+          .when(col("vr") >= 0.32, "en")
+          .when(col("vr") >= 0.28, "es")
+          .otherwise("other"))
+      .select(col("lang"), col("guess"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- per-document text statistics / quality scoring --------------------
     "q_text_stats" -> ((s, d) => {
@@ -313,16 +328,7 @@ object TextQueries extends QueryPack {
     // engines truncate non-negatives identically), so no FP anywhere.
     // Per-class F1 = 2·tp/(n_true + n_pred) needs no P/R intermediates.
     "q_eval_metrics" -> ((s, d) => {
-      val scored = Tables.documents(s, d)
-        .withColumn("vr", round(
-          regexp_count(col("text"), lit("[aeiou]")).cast("double") /
-            length(col("text")), 6))
-        .withColumn("guess",
-          when(regexp_count(col("text"), lit("[\\u4e00-\\u9fff]")) > 0, "zh")
-            .when(col("vr") >= 0.32, "en")
-            .when(col("vr") >= 0.28, "es")
-            .otherwise("other"))
-        .select(col("lang"), col("guess"))
+      val scored = langGuess(s, d)
       val t = scored.groupBy(col("lang").as("label"))
         .agg(count(lit(1)).as("n_true"))
       val p = scored.groupBy(col("guess").as("label"))
@@ -341,6 +347,41 @@ object TextQueries extends QueryPack {
           when(col("n_true") > 0, expr("(tp * 1000000) div n_true")))
         .withColumn("f1_u", expr("(2 * tp * 1000000) div (n_true + n_pred)"))
         .orderBy(col("label"))
+    }),
+
+    // -- Matthews correlation coefficient (binary detector quality) --------
+    // The single-number confusion summary q_eval_metrics' per-class
+    // P/R/F1 doesn't give: MCC balances all four confusion cells, so a
+    // detector that just predicts the majority class scores ~0 where
+    // accuracy looks great — the right gate metric for imbalanced
+    // corpus filters. Binary view of the shared [[langGuess]] model
+    // ("en" vs rest); the four cells are one conditional integer scan,
+    // MCC/accuracy/balanced-accuracy are fixed double expressions on
+    // the 1-row frame (cell products < 2⁵³ below ~10¹⁰ docs; the same
+    // documented ceiling as the contingency siblings).
+    "q_mcc" -> ((s, d) => {
+      val m = langGuess(s, d).agg(
+        sum(when(col("lang") === "en" && col("guess") === "en", 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("lang") =!= "en" && col("guess") === "en", 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("lang") === "en" && col("guess") =!= "en", 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("lang") =!= "en" && col("guess") =!= "en", 1L)
+          .otherwise(0L)).as("tn"))
+      val num = col("tp").cast("double") * col("tn") -
+        col("fp").cast("double") * col("fn")
+      val den = sqrt((col("tp") + col("fp")).cast("double") *
+        (col("tp") + col("fn")) * (col("tn") + col("fp")) *
+        (col("tn") + col("fn")))
+      val tpr = col("tp").cast("double") / (col("tp") + col("fn"))
+      val tnr = col("tn").cast("double") / (col("tn") + col("fp"))
+      def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      m.select(col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("((tp + tn) * 1000000) div (tp + fp + fn + tn)")
+          .as("accuracy_u"),
+        when(den > 0.0, q6(num / den)).as("mcc"),
+        q6((tpr + tnr) / lit(2.0)).as("balanced_acc"))
     }),
 
     // -- document fingerprint: md5 + min-shingle rolling fingerprint -------
@@ -1326,6 +1367,43 @@ object TextQueries extends QueryPack {
         .limit(20)
     }),
 
+    // -- interpolated Kneser-Ney bigram probabilities ------------------------
+    // The LM-smoothing step q_lm_perplexity (add-k) and q_good_turing
+    // motivate: KN discounts every bigram count by a fixed D = 0.75 and
+    // redistributes the mass through the CONTINUATION unigram — P(w2)
+    // proportional to how many distinct contexts w2 follows, the
+    // correction that stops high-count-but-single-context words from
+    // soaking up backoff mass. Every input to the closed form is an
+    // exact integer aggregate over the bigram-type frame (c12, left
+    // total c1, distinct continuations of w1, distinct left-contexts of
+    // w2, total bigram types); the probability is ONE mirrored double
+    // expression. Vocab-bounded reduce; top-20 fuses into TakeOrdered.
+    "q_kn_bigram" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(split(norm(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+      val bg = toks.select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), " +
+          "i -> struct(ws[i] AS w1, ws[i + 1] AS w2))")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+      val c12 = bg.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+      val left = c12.groupBy(col("w1"))
+        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_fw"))
+      val right = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1p_bw"))
+      val btot = c12.agg(count(lit(1)).as("bb"))
+      val pKn = (col("c12") - lit(0.75)) / col("c1") +
+        lit(0.75) * col("n1p_fw") / col("c1") *
+        (col("n1p_bw").cast("double") / col("bb"))
+      c12.join(left, "w1").join(right, "w2").crossJoin(broadcast(btot))
+        .select(col("w1"), col("w2"), col("c12"), col("c1"),
+          col("n1p_fw"), col("n1p_bw"),
+          (floor(pKn * lit(1e6) + lit(0.5)) / lit(1e6)).as("p_kn"))
+        .orderBy(col("c12").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
     // -- Good–Turing frequency smoothing (count-of-counts) ------------------
     // The LM-smoothing companion of q_zipf_fit and q_lm_perplexity's
     // add-k: for each low frequency r, the adjusted count
@@ -2064,6 +2142,43 @@ object TextQueries extends QueryPack {
           |LEFT JOIN tp USING (label)
           |ORDER BY label""".stripMargin,
 
+      // same guess CTE, binary 'en' view; cells exact, MCC one closed form
+      "q_mcc" ->
+        """WITH s AS (SELECT lang,
+          |    CASE WHEN has_cjk THEN 'zh'
+          |         WHEN vr >= 0.32 THEN 'en'
+          |         WHEN vr >= 0.28 THEN 'es'
+          |         ELSE 'other' END AS guess
+          |  FROM (SELECT lang,
+          |      round(CAST(len(regexp_extract_all(text, '[aeiou]'))
+          |        AS DOUBLE) / length(text), 6) AS vr,
+          |      len(regexp_extract_all(text, '[一-鿿]')) > 0 AS has_cjk
+          |    FROM documents) t),
+          |m AS (SELECT
+          |    CAST(sum(CASE WHEN lang = 'en' AND guess = 'en'
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+          |    CAST(sum(CASE WHEN lang <> 'en' AND guess = 'en'
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+          |    CAST(sum(CASE WHEN lang = 'en' AND guess <> 'en'
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+          |    CAST(sum(CASE WHEN lang <> 'en' AND guess <> 'en'
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+          |  FROM s)
+          |SELECT tp, fp, fn, tn,
+          |  CAST(((tp + tn) * 1000000) // (tp + fp + fn + tn) AS BIGINT)
+          |    AS accuracy_u,
+          |  CASE WHEN sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn)
+          |      * (tn + fp) * (tn + fn)) > 0
+          |    THEN floor((CAST(tp AS DOUBLE) * tn
+          |      - CAST(fp AS DOUBLE) * fn)
+          |      / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn)
+          |        * (tn + fp) * (tn + fn)) * 1e6 + 0.5e0) / 1e6
+          |  END AS mcc,
+          |  floor((CAST(tp AS DOUBLE) / (tp + fn)
+          |    + CAST(tn AS DOUBLE) / (tn + fp)) / 2.0e0
+          |    * 1e6 + 0.5e0) / 1e6 AS balanced_acc
+          |FROM m""".stripMargin,
+
       "q_fingerprint" ->
         s"""SELECT doc_id, md5($normSql) AS doc_md5,
            |  list_min(list_transform(
@@ -2586,6 +2701,27 @@ object TextQueries extends QueryPack {
            |FROM sc GROUP BY 1
            |ORDER BY score_u DESC, n_inst DESC, phrase LIMIT 20"""
           .stripMargin,
+
+      // exact integer bigram-type aggregates; one mirrored double closed
+      // form with the fixed D = 0.75 discount
+      "q_kn_bigram" ->
+        s"""WITH w AS (SELECT string_split($normSql, ' ') AS ws
+           |  FROM documents),
+           |bg AS (SELECT ws[i + 1] AS w1, ws[i + 2] AS w2
+           |  FROM w, unnest(range(0, len(ws) - 1)) AS t(i)
+           |  WHERE length(ws[i + 1]) > 0 AND length(ws[i + 2]) > 0),
+           |c AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+           |lf AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+           |    count(*) AS n1p_fw
+           |  FROM c GROUP BY 1),
+           |rt AS (SELECT w2, count(*) AS n1p_bw FROM c GROUP BY 1),
+           |bt AS (SELECT count(*) AS bb FROM c)
+           |SELECT w1, w2, c12, c1, n1p_fw, n1p_bw,
+           |  floor(((c12 - 0.75e0) / c1 + 0.75e0 * n1p_fw / c1
+           |    * (CAST(n1p_bw AS DOUBLE) / bb)) * 1e6 + 0.5e0) / 1e6
+           |    AS p_kn
+           |FROM c JOIN lf USING (w1) JOIN rt USING (w2) CROSS JOIN bt
+           |ORDER BY c12 DESC, w1, w2 LIMIT 20""".stripMargin,
 
       // exact r ↔ r+1 self-join on the bounded count-of-counts frame;
       // r* micro-quantized by integer division (HUGEINT-safe)

@@ -1205,6 +1205,53 @@ object VectorQueries extends QueryPack {
         .select(col("vec_id"), col("label"), col("md2_u"),
           (floor(sqrt(col("md2_u").cast("double") / lit(1e6)) * lit(1e6) +
             lit(0.5)) / lit(1e6)).as("md"))
+    }),
+
+    // -- k-center seeding (deterministic farthest-point traversal) ----------
+    // The k-means++ alternative that needs no randomness: greedily pick
+    // the point FARTHEST from the chosen set (Gonzalez 1985 — a 2-approx
+    // for the k-center radius), the standard deterministic seeding /
+    // coreset primitive. Five rounds; each is one broadcast of the
+    // single new seed + a per-row least() fold of the running min-dist,
+    // then a TakeOrdered argmax (dist desc, vec_id) — the driver ever
+    // holds 5 vectors, and per-round cost is one linear scan at any
+    // corpus size. Distances ride the exact integer micro-grid
+    // (squaredDistLong on the q_kmeans clamp), so argmax ties break on
+    // vec_id identically in both engines. sel_dist is the k-center
+    // radius SEQUENCE (non-increasing) — the operator's quality readout.
+    "q_kcenter_seed" -> ((s, d) => {
+      import org.apache.spark.sql.graft.NativeExpressions
+      import s.implicits._
+      val pts = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => floor((greatest(x.cast("double"), lit(-1.0)) + lit(1.0)) *
+            lit(1000000.0)).cast("long")).as("q"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val first = pts.orderBy(col("vec_id")).limit(1).collect().head
+        var seeds = List((0L, first.getLong(0), 0L))
+        var md = pts
+          .crossJoin(broadcast(pts
+            .filter(col("vec_id") === first.getLong(0))
+            .select(col("q").as("cq"))))
+          .select(col("vec_id"), col("q"),
+            NativeExpressions.squaredDistLong(col("q"), col("cq"))
+              .as("md"))
+        for (r <- 1 to 4) {
+          val far = md.orderBy(col("md").desc, col("vec_id")).limit(1)
+            .collect().head
+          seeds = seeds :+ ((r.toLong, far.getLong(0), far.getLong(2)))
+          val cq = pts.filter(col("vec_id") === far.getLong(0))
+            .select(col("q").as("cq"))
+          md = md.crossJoin(broadcast(cq))
+            .select(col("vec_id"), col("q"),
+              least(col("md"),
+                NativeExpressions.squaredDistLong(col("q"), col("cq")))
+                .as("md"))
+        }
+        seeds.toDF("seed_rank", "vec_id", "sel_dist")
+          .orderBy(col("seed_rank"))
+      } finally pts.unpersist(blocking = false)
     })
   )
 
@@ -2020,7 +2067,43 @@ object VectorQueries extends QueryPack {
           |SELECT vec_id, label, md2_u,
           |  floor(sqrt(CAST(md2_u AS DOUBLE) / 1e6) * 1e6 + 0.5e0) / 1e6
           |    AS md
-          |FROM md ORDER BY md2_u DESC, vec_id""".stripMargin
+          |FROM md ORDER BY md2_u DESC, vec_id""".stripMargin,
+
+      // four unrolled farthest-point rounds on the same integer grid;
+      // argmax ties break on vec_id in both engines
+      "q_kcenter_seed" -> {
+        def sq(a: String, b: String) =
+          s"CAST(list_sum(list_transform(range(1, 65), " +
+            s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+        val rounds = (2 to 4).map { r =>
+          s"""d$r AS (SELECT d${r - 1}.vec_id, d${r - 1}.q,
+             |    least(d${r - 1}.md, ${sq(s"d${r - 1}.q", s"s${r - 1}.q")})
+             |      AS md
+             |  FROM d${r - 1} CROSS JOIN s${r - 1}),
+             |s$r AS (SELECT vec_id, q, md FROM d$r
+             |  ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH p AS (SELECT vec_id,
+           |    list_transform(CAST(embedding AS DOUBLE[]),
+           |      x -> CAST(floor((greatest(x, CAST(-1.0 AS DOUBLE))
+           |        + CAST(1.0 AS DOUBLE)) * CAST(1000000.0 AS DOUBLE))
+           |        AS BIGINT)) AS q
+           |  FROM embeddings),
+           |s0 AS (SELECT vec_id, q FROM p ORDER BY vec_id LIMIT 1),
+           |d1 AS (SELECT p.vec_id, p.q, ${sq("p.q", "s0.q")} AS md
+           |  FROM p CROSS JOIN s0),
+           |s1 AS (SELECT vec_id, q, md FROM d1
+           |  ORDER BY md DESC, vec_id LIMIT 1),
+           |$rounds
+           |SELECT * FROM (
+           |  SELECT CAST(0 AS BIGINT) AS seed_rank, vec_id,
+           |    CAST(0 AS BIGINT) AS sel_dist FROM s0
+           |  UNION ALL SELECT 1, vec_id, md FROM s1
+           |  UNION ALL SELECT 2, vec_id, md FROM s2
+           |  UNION ALL SELECT 3, vec_id, md FROM s3
+           |  UNION ALL SELECT 4, vec_id, md FROM s4) t
+           |ORDER BY seed_rank""".stripMargin
+      }
     )
   }
 }

@@ -382,4 +382,227 @@ class Round11cSpec extends AnyFunSuite {
       assert(r.getLong(7) == tv)
     }
   }
+
+  // ------------------------------------------------------------ leg 5
+
+  test("q_croston replays the intermittent-demand rate per type") {
+    val rows = SparkEntry.queries("q_croston")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val byDay = events.filter(_._3 == t).groupBy(e => dayOf(e._1))
+        .map { case (d, es) => d -> es.length.toLong }
+      val nAct = byDay.size.toLong
+      val sy = byDay.values.sum
+      val (d1, dn) = (byDay.keys.min, byDay.keys.max)
+      assert(r.getLong(1) == nAct && r.getLong(2) == sy)
+      assert(r.getLong(3) == 1000000L * sy / nAct)
+      assert(r.getLong(4) == 1000000L * (dn - d1) / (nAct - 1))
+      assert(r.getLong(5) ==
+        1000000L * sy * (nAct - 1) / (nAct * (dn - d1)))
+    }
+  }
+
+  test("q_kn_bigram replays the discount/continuation closed form") {
+    val rows = SparkEntry.queries("q_kn_bigram")(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val bg = docs.flatMap { case (_, text, _) =>
+      val ws = norm(text).split(" ", -1)
+      ws.zip(ws.tail).filter(p => p._1.nonEmpty && p._2.nonEmpty)
+    }
+    val c12 = bg.groupBy(identity).map { case (p, xs) =>
+      p -> xs.length.toLong
+    }
+    val c1 = c12.toSeq.groupBy(_._1._1)
+      .map { case (w, xs) => w -> xs.map(_._2).sum }
+    val n1pFw = c12.toSeq.groupBy(_._1._1)
+      .map { case (w, xs) => w -> xs.length.toLong }
+    val n1pBw = c12.toSeq.groupBy(_._1._2)
+      .map { case (w, xs) => w -> xs.length.toLong }
+    val bb = c12.size.toLong
+    val expect = c12.toSeq
+      .sortBy { case ((w1, w2), c) => (-c, w1, w2) }.take(20)
+    rows.zip(expect).foreach { case (r, ((w1, w2), c)) =>
+      assert(r.getString(0) == w1 && r.getString(1) == w2)
+      assert(r.getLong(2) == c)
+      assert(r.getLong(3) == c1(w1) && r.getLong(4) == n1pFw(w1))
+      assert(r.getLong(5) == n1pBw(w2))
+      val p = (c - 0.75) / c1(w1) + 0.75 * n1pFw(w1) / c1(w1) *
+        (n1pBw(w2).toDouble / bb)
+      assert(math.abs(r.getDouble(6) - q6(p)) < 2e-6)
+      assert(r.getDouble(6) > 0.0 && r.getDouble(6) <= 1.0)
+    }
+  }
+
+  test("q_ppr replays the seed-teleport fixed point and tops at seeds") {
+    val rows = SparkEntry.queries("q_ppr")(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val lo = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).collect()
+      .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1)).distinct
+    val edges = lo ++ lo.map(p => (p._2, p._1))
+    val custs = Tables.customer(spark, sfDir)
+      .select(col("c_custkey")).collect().map(_.getLong(0) * 2)
+    val supps = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey")).collect().map(_.getLong(0) * 2 + 1)
+    val nodes = custs ++ supps
+    val seeds = custs.filter(c => (c / 2) % 100 == 0).toSet
+    val ns = seeds.size.toLong
+    val outdeg = edges.groupBy(_._1).map { case (v, xs) =>
+      v -> xs.length.toLong
+    }
+    val scale = 1000000000000L
+    var pr: Map[Long, Long] = nodes.map(id =>
+      id -> (if (seeds(id)) scale / ns else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) =>
+          pr.getOrElse(src, 0L) / outdeg(src)
+        }.sum
+      }
+      pr = nodes.map { id =>
+        val tele = if (seeds(id)) (15 * scale) / (100 * ns) else 0L
+        id -> (tele + (85 * contrib.getOrElse(id, 0L)) / 100)
+      }.toMap
+    }
+    val expect = pr.toSeq.sortBy { case (id, p) => (-p, id) }.take(20)
+    rows.zip(expect).foreach { case (r, (id, p)) =>
+      assert(r.getLong(0) == id)
+      assert(r.getLong(2) == (if (seeds(id)) 1L else 0L))
+      assert(r.getLong(3) == p)
+    }
+  }
+
+  test("q_kcenter_seed replays farthest-point traversal; radii decrease") {
+    val rows = SparkEntry.queries("q_kcenter_seed")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5)
+    val pts = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).toArray
+        (r.getLong(0), v.map(x => math.floor(
+          (math.max(x.toDouble, -1.0) + 1.0) * 1000000.0).toLong))
+      }.sortBy(_._1)
+    def sq(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var chosen = List(pts.head)
+    var md = pts.map(p => (p, sq(p._2, pts.head._2)))
+    val expect = scala.collection.mutable.ArrayBuffer(
+      (0L, pts.head._1, 0L))
+    for (r <- 1 to 4) {
+      val far = md.minBy { case ((id, _), dist) => (-dist, id) }
+      expect += ((r.toLong, far._1._1, far._2))
+      chosen = chosen :+ far._1
+      md = md.map { case (p, dist) =>
+        (p, math.min(dist, sq(p._2, far._1._2)))
+      }
+    }
+    rows.zip(expect).foreach { case (r, (rank, id, dist)) =>
+      assert(r.getLong(0) == rank && r.getLong(1) == id)
+      assert(r.getLong(2) == dist)
+    }
+    val radii = rows.drop(1).map(_.getLong(2))
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      "k-center selection radii are non-increasing")
+  }
+
+  test("q_mm_spectrogram replays the integer DFT over the decoded PCM") {
+    val rows = SparkEntry.queries("q_mm_spectrogram")(spark, sfDir)
+      .collect()
+    assert(rows.length == docs.length * 8 * 4)
+    val cq = (0 until 64).map(m =>
+      math.floor(math.cos(2.0 * math.Pi * m / 64) * 1000 + 0.5).toLong)
+    val sq = (0 until 64).map(m =>
+      math.floor(math.sin(2.0 * math.Pi * m / 64) * 1000 + 0.5).toLong)
+    val sample = rows.filter(_.getLong(0) == docs.head._1)
+    sample.foreach { r =>
+      val (id, f, k) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      var re = 0L
+      var im = 0L
+      for (j <- 0 until 64) {
+        val sv = (org.apache.spark.sql.graft.NativeExpressions
+          .splitmix64Long(id * 1024L + f * 64 + j) & 0xffL).toInt - 128
+        val m = ((k * j) % 64).toInt
+        re += sv * cq(m)
+        im += sv * sq(m)
+      }
+      assert(r.getLong(3) == re && r.getLong(4) == im)
+      assert(r.getLong(5) == re * re + im * im)
+    }
+  }
+
+  // ------------------------------------------------------------ leg 6
+
+  test("q_mcc replays the binary confusion closed forms") {
+    val r = SparkEntry.queries("q_mcc")(spark, sfDir).collect().head
+    val langs = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("text")).collect()
+      .map { row =>
+        val text = row.getString(1)
+        val vowels = "[aeiou]".r.findAllIn(text).length
+        val vr = math.round(vowels.toDouble / text.length * 1e6) / 1e6
+        val cjk = text.exists(c => c >= '一' && c <= '鿿')
+        val guess =
+          if (cjk) "zh"
+          else if (vr >= 0.32) "en"
+          else if (vr >= 0.28) "es"
+          else "other"
+        (row.getString(0), guess)
+      }
+    val tp = langs.count(p => p._1 == "en" && p._2 == "en").toLong
+    val fp = langs.count(p => p._1 != "en" && p._2 == "en").toLong
+    val fn = langs.count(p => p._1 == "en" && p._2 != "en").toLong
+    val tn = langs.count(p => p._1 != "en" && p._2 != "en").toLong
+    assert(r.getLong(0) == tp && r.getLong(1) == fp)
+    assert(r.getLong(2) == fn && r.getLong(3) == tn)
+    assert(r.getLong(4) == (tp + tn) * 1000000L / (tp + fp + fn + tn))
+    val mcc = (tp.toDouble * tn - fp.toDouble * fn) /
+      math.sqrt((tp + fp).toDouble * (tp + fn) * (tn + fp) * (tn + fn))
+    assert(math.abs(r.getDouble(5) - q6(mcc)) < 2e-6)
+    assert(r.getDouble(5) >= -1.0 && r.getDouble(5) <= 1.0)
+  }
+
+  test("q_cohort_ltv: monotone curves that replay the cell sums") {
+    val rows = SparkEntry.queries("q_cohort_ltv")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ev = events.map(e =>
+      (e._2, dayOf(e._1) / 7, vq(e._4)))
+    val cohort = ev.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.map(_._2).min
+    }
+    val sizes = cohort.groupBy(_._2).map { case (w, xs) =>
+      w -> xs.size.toLong
+    }
+    val cells = ev.groupBy(e => (cohort(e._1), e._2 - cohort(e._1)))
+      .map { case (k, xs) => k -> xs.map(_._3).sum }
+    rows.groupBy(_.getLong(0)).foreach { case (cw, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      var cum = 0L
+      sorted.foreach { r =>
+        cum += cells((cw, r.getLong(1)))
+        assert(r.getLong(2) == sizes(cw))
+        assert(r.getLong(3) == cum)
+        assert(r.getLong(4) == cum / sizes(cw))
+      }
+      val curve = sorted.map(_.getLong(3))
+      assert(curve.zip(curve.tail).forall { case (a, b) => a <= b },
+        "cumulative value never decreases")
+    }
+  }
+
+  test("q_sql_identifier binds names at analysis time, same as literals") {
+    val viaIdent = SparkEntry.queries("q_sql_identifier")(spark, sfDir)
+      .collect()
+    val literal = spark.sql(
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      .collect()
+    assert(viaIdent.map(_.toString).toSeq ==
+      literal.map(_.toString).toSeq)
+  }
 }
