@@ -215,6 +215,28 @@ object FunctionQueries extends QueryPack {
     }),
 
     // -- array / higher-order functions over embeddings --------------------
+    // -- bitmap-accelerated exact distinct counting --------------------------
+    // Spark 4's roaring-style bitmap aggregate surface: user ids bucket
+    // into fixed 32768-bit bitmaps (bitmap_bucket_number /
+    // bitmap_bit_position), each (group, bucket) folds to ONE binary
+    // value via bitmap_construct_agg, and popcounts sum to the EXACT
+    // distinct count — the scale pattern that replaces shuffling raw
+    // ids with shuffling fixed-size mergeable bitmaps (the same shape
+    // HLL gives approximately, exact here). At 100 TB the shuffle
+    // volume is groups × touched-buckets × 4 KiB, independent of row
+    // count. Oracle: the definitionally-equal count(DISTINCT).
+    "q_bitmap_distinct" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          bitmap_bucket_number(col("user_id")).as("bucket"))
+        .agg(bitmap_count(bitmap_construct_agg(
+          bitmap_bit_position(col("user_id")))).as("cnt"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("n_distinct"),
+          count(lit(1)).as("n_buckets"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_array_funcs" -> ((s, d) => {
       Tables.embeddings(s, d)
         .withColumn("vd", col("embedding").cast("array<double>"))
@@ -549,6 +571,18 @@ object FunctionQueries extends QueryPack {
         |  l_orderkey % 7 AS key_mod
         |FROM lineitem WHERE l_linenumber = 1
         |ORDER BY l_orderkey""".stripMargin,
+
+    // popcount-sum over fixed bitmaps == count(DISTINCT) by definition;
+    // bucket formula pinned by probe: v>0 → (v-1)//32768+1, else v//32768
+    "q_bitmap_distinct" ->
+      """WITH b AS (SELECT event_type, user_id,
+        |    CASE WHEN user_id > 0 THEN (user_id - 1) // 32768 + 1
+        |      ELSE 0 END AS bucket
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+        |  CAST(count(DISTINCT bucket) AS BIGINT) AS n_buckets
+        |FROM b GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q_array_funcs" ->
       """SELECT vec_id,

@@ -605,4 +605,19 @@ class Round11cSpec extends AnyFunSuite {
     assert(viaIdent.map(_.toString).toSeq ==
       literal.map(_.toString).toSeq)
   }
+
+  test("q_bitmap_distinct: popcount sums equal exact distinct counts") {
+    val rows = SparkEntry.queries("q_bitmap_distinct")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    def bucket(v: Long): Long =
+      if (v > 0) (v - 1) / 32768 + 1 else v / 32768
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val users = events.filter(_._3 == t).map(_._2).distinct
+      assert(r.getLong(1) == users.length.toLong,
+        "bitmap popcount sum must equal count(DISTINCT)")
+      assert(r.getLong(2) == users.map(bucket).distinct.length.toLong)
+    }
+  }
 }
