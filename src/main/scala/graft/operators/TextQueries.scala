@@ -659,6 +659,88 @@ object TextQueries extends QueryPack {
     // merge table is larger but applies exactly this way — narrow
     // per-word map, zero shuffle before the per-doc aggregation; the
     // output is the per-doc char→token compression the tokenizer buys.
+    // -- word2vec-style negative-sampling table (unigram^0.75) ---------------
+    // The sampling table contrastive training draws negatives from:
+    // unigram counts tempered by the classic 0.75 exponent (rare words
+    // up-weighted, the word2vec recipe), each word owning a contiguous
+    // integer range so a uniform integer draw maps to a word by range
+    // lookup — the distributed-sampling-ready layout. Counts are a
+    // vocab-bounded aggregate; the cumulative ranges ride one window on
+    // that bounded frame (the q_zipf_fit convention); weights are
+    // micro-quantized before the prefix so ranges are exact integers.
+    "q_negative_sampling" -> ((s, d) => {
+      val wc = Tables.documents(s, d)
+        .select(explode(split(norm(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .withColumn("wt_u",
+          floor(pow(col("c").cast("double"), lit(0.75)) * lit(1e6) +
+            lit(0.5)).cast("long"))
+      val tot = wc.agg(sum(col("wt_u")).as("tot"))
+      val wCum = Window.orderBy(col("wt_u").desc, col("w"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      wc.withColumn("cum_hi", sum(col("wt_u")).over(wCum))
+        .crossJoin(broadcast(tot))
+        .select(col("w"), col("c"), col("wt_u"),
+          (col("cum_hi") - col("wt_u")).as("range_lo"),
+          col("cum_hi").as("range_hi"),
+          expr("(wt_u * 1000000) div tot").as("prob_u"))
+        .orderBy(col("wt_u").desc, col("w"))
+        .limit(30)
+    }),
+
+    // -- BPE tokenizer TRAINING loop (3 greedy merge rounds) -----------------
+    // Closes the tokenizer-induction triangle: q_bpe_pairs scores one
+    // round's candidates and q_bpe_apply replays a FIXED table — this is
+    // the loop that LEARNS the table. All state rides the DISTINCT-WORD
+    // frame (vocab-bounded, never corpus-bounded): each round counts
+    // adjacent token pairs weighted by word frequency, takes the argmax
+    // under the (count desc, pair asc) total order, and re-tokenizes via
+    // a literal sentinel-space replace — the exact left-to-right
+    // non-overlapping semantics q_bpe_apply's spec pins on both engines.
+    // The winning pair stays relational (a broadcast 1-row frame), so no
+    // driver round-trips; 3 rounds = 3 bounded jobs.
+    "q_bpe_train" -> ((s, d) => {
+      // eager localCheckpoint: the three unrolled rounds each re-derive
+      // their input lineage — without truncation round 3 would replay
+      // the full corpus tokenization scan three times; checkpointed, the
+      // replays run on the VOCAB-bounded frame only (measured 23.8 →
+      // ~4 s warm at the 10× probe)
+      val w0 = Tables.documents(s, d)
+        .select(explode(split(norm(col("text")), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .withColumn("ct", concat(lit(" "),
+          expr("array_join(split(w, ''), ' ')"), lit(" ")))
+        .localCheckpoint(true)
+      def bestPair(wr: DataFrame): DataFrame = wr
+        .withColumn("arr", split(trim(col("ct")), " "))
+        .select(col("n"), explode(expr(
+          "transform(sequence(0, size(arr) - 2), " +
+            "i -> concat(arr[i], ' ', arr[i + 1]))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("n")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("pair")).limit(1)
+      def applyBest(wr: DataFrame, b: DataFrame): DataFrame = wr
+        .crossJoin(broadcast(b.select(col("pair").as("bp"))))
+        .withColumn("ct", call_function("replace", col("ct"),
+          concat(lit(" "), col("bp"), lit(" ")),
+          concat(lit(" "), call_function("replace", col("bp"),
+            lit(" "), lit("")), lit(" "))))
+        .select(col("w"), col("n"), col("ct"))
+      val b1 = bestPair(w0)
+      val w1 = applyBest(w0, b1)
+      val b2 = bestPair(w1)
+      val w2 = applyBest(w1, b2)
+      val b3 = bestPair(w2)
+      def tag(b: DataFrame, r: Int) = b.select(lit(r.toLong).as("round"),
+        col("pair"),
+        call_function("replace", col("pair"), lit(" "), lit(""))
+          .as("merged"),
+        col("pair_count"))
+      tag(b1, 1).unionByName(tag(b2, 2)).unionByName(tag(b3, 3))
+        .orderBy(col("round"))
+    }),
+
     "q_bpe_apply" -> ((s, d) => {
       val merges = Seq("t h" -> "th", "th e" -> "the", "i n" -> "in",
         "a n" -> "an", "an d" -> "and", "e r" -> "er", "o n" -> "on",
@@ -1846,6 +1928,63 @@ object TextQueries extends QueryPack {
       // the same 8-merge table nested literally (replace() is
       // left-to-right non-overlapping in both engines); char split via
       // substring enumeration
+      // tempered weights micro-quantized before the prefix; ranges exact
+      "q_negative_sampling" ->
+        s"""WITH wc AS (SELECT w, count(*) AS c FROM (
+           |    SELECT unnest(string_split($normSql, ' ')) AS w
+           |    FROM documents) t
+           |  WHERE length(w) > 0 GROUP BY 1),
+           |wt AS (SELECT w, c,
+           |    CAST(floor(pow(CAST(c AS DOUBLE), 0.75e0) * 1e6 + 0.5e0)
+           |      AS BIGINT) AS wt_u
+           |  FROM wc),
+           |tot AS (SELECT CAST(sum(wt_u) AS BIGINT) AS tot FROM wt),
+           |cum AS (SELECT w, c, wt_u,
+           |    CAST(sum(wt_u) OVER (ORDER BY wt_u DESC, w
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cum_hi
+           |  FROM wt)
+           |SELECT w, c, wt_u, cum_hi - wt_u AS range_lo,
+           |  cum_hi AS range_hi,
+           |  CAST((wt_u * 1000000) // tot AS BIGINT) AS prob_u
+           |FROM cum CROSS JOIN tot
+           |ORDER BY wt_u DESC, w LIMIT 30""".stripMargin,
+
+      // three unrolled greedy rounds on the distinct-word frame; identical
+      // sentinel-space literal replace semantics as q_bpe_apply
+      "q_bpe_train" -> {
+        val rounds = (1 to 3).map { r =>
+          s"""p$r AS (SELECT arr[i] || ' ' || arr[i + 1] AS pair,
+             |    CAST(sum(n) AS BIGINT) AS pair_count
+             |  FROM (SELECT n, string_split(trim(ct), ' ') AS arr
+             |    FROM w${r - 1}) t,
+             |  unnest(range(1, len(arr))) AS u(i)
+             |  GROUP BY 1),
+             |b$r AS (SELECT pair, pair_count FROM p$r
+             |  ORDER BY pair_count DESC, pair LIMIT 1),
+             |w$r AS (SELECT w, n,
+             |    replace(ct, ' ' || b$r.pair || ' ',
+             |      ' ' || replace(b$r.pair, ' ', '') || ' ') AS ct
+             |  FROM w${r - 1} CROSS JOIN b$r)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH wx AS (SELECT unnest(string_split($normSql, ' ')) AS w
+           |  FROM documents),
+           |w0 AS (SELECT w, count(*) AS n,
+           |    ' ' || array_to_string(list_transform(
+           |      range(1, length(w) + 1), i -> substring(w, i, 1)), ' ')
+           |      || ' ' AS ct
+           |  FROM wx WHERE length(w) >= 2 GROUP BY w),
+           |$rounds
+           |SELECT * FROM (
+           |  SELECT CAST(1 AS BIGINT) AS round, pair,
+           |    replace(pair, ' ', '') AS merged, pair_count FROM b1
+           |  UNION ALL SELECT 2, pair, replace(pair, ' ', ''),
+           |    pair_count FROM b2
+           |  UNION ALL SELECT 3, pair, replace(pair, ' ', ''),
+           |    pair_count FROM b3) t
+           |ORDER BY round""".stripMargin
+      },
+
       "q_bpe_apply" -> {
         val merges = Seq("t h" -> "th", "th e" -> "the", "i n" -> "in",
           "a n" -> "an", "an d" -> "and", "e r" -> "er", "o n" -> "on",

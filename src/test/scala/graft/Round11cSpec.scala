@@ -606,6 +606,59 @@ class Round11cSpec extends AnyFunSuite {
       literal.map(_.toString).toSeq)
   }
 
+  test("q_bpe_train replays three greedy merge rounds exactly") {
+    val rows = SparkEntry.queries("q_bpe_train")(spark, sfDir).collect()
+    assert(rows.length == 3)
+    var words: Seq[(String, Long)] = docs
+      .flatMap(d => norm(d._2).split(" ", -1)).filter(_.length >= 2)
+      .groupBy(identity).toSeq.map { case (w, xs) =>
+        (" " + w.toSeq.mkString(" ") + " ", xs.length.toLong)
+      }
+    for (r <- 1 to 3) {
+      val counts = scala.collection.mutable.Map[String, Long]()
+      words.foreach { case (ct, n) =>
+        val arr = ct.trim.split(" ")
+        arr.zip(arr.tail).foreach { case (a, b) =>
+          counts(s"$a $b") = counts.getOrElse(s"$a $b", 0L) + n
+        }
+      }
+      val (bp, bc) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+      val row = rows(r - 1)
+      assert(row.getLong(0) == r.toLong)
+      assert(row.getString(1) == bp, s"round $r best pair")
+      assert(row.getString(2) == bp.replace(" ", ""))
+      assert(row.getLong(3) == bc)
+      words = words.map { case (ct, n) =>
+        (ct.replace(s" $bp ", " " + bp.replace(" ", "") + " "), n)
+      }
+    }
+  }
+
+  test("q_negative_sampling: exact ranges that partition the table") {
+    val rows = SparkEntry.queries("q_negative_sampling")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val wc = docs.flatMap(d => norm(d._2).split(" ", -1))
+      .filter(_.nonEmpty).groupBy(identity).toSeq
+      .map { case (w, xs) =>
+        val c = xs.length.toLong
+        (w, c,
+          math.floor(math.pow(c.toDouble, 0.75) * 1e6 + 0.5).toLong)
+      }
+    val tot = wc.map(_._3).sum
+    val expect = wc.sortBy { case (w, _, wt) => (-wt, w) }
+    var cum = 0L
+    rows.zip(expect.take(rows.length)).foreach {
+      case (r, (w, c, wt)) =>
+        assert(r.getString(0) == w && r.getLong(1) == c)
+        assert(r.getLong(2) == wt)
+        assert(r.getLong(3) == cum, "ranges are contiguous")
+        cum += wt
+        assert(r.getLong(4) == cum)
+        assert(r.getLong(5) == wt * 1000000L / tot)
+    }
+  }
+
   test("q_bitmap_distinct: popcount sums equal exact distinct counts") {
     val rows = SparkEntry.queries("q_bitmap_distinct")(spark, sfDir)
       .collect()
