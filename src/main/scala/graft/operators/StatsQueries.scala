@@ -2474,6 +2474,85 @@ object StatsQueries extends QueryPack {
         q6(pB).as("p_b_beats_a"))
     }),
 
+    // -- mutual information between two categorical columns ------------------
+    // The information-theoretic association readout next to
+    // q_chi2_select's test statistic: I(lang; source) in nats from the
+    // same bounded contingency frame. Each cell contributes
+    // n_ij · (ln n_ij + ln N − ln n_i − ln n_j); the four ln values are
+    // micro-quantized integers of exact counts (the floor-ln idiom), so
+    // the cell terms and their sum are exact integer arithmetic — only
+    // the final /(N·10⁶) readout is floating point. One counting
+    // aggregate is the data-sized stage; margins ride broadcast joins on
+    // the ~|langs|·|sources| frame.
+    "q_mutual_info" -> ((s, d) => {
+      def lnq(c: org.apache.spark.sql.Column) =
+        floor(log(c.cast("double")) * lit(1e6) + lit(0.5)).cast("long")
+      val cells = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("nij"))
+      val rm = cells.groupBy(col("lang")).agg(sum(col("nij")).as("ni"))
+      val cm = cells.groupBy(col("source")).agg(sum(col("nij")).as("nj"))
+      val tot = cells.agg(sum(col("nij")).as("nn"),
+        count(lit(1)).as("n_cells"))
+      cells.join(broadcast(rm), "lang").join(broadcast(cm), "source")
+        .crossJoin(broadcast(tot))
+        .select(col("nn"), col("n_cells"),
+          (col("nij") * (lnq(col("nij")) + lnq(col("nn")) -
+            lnq(col("ni")) - lnq(col("nj")))).as("t_u"),
+          (col("nij") * -(lnq(col("nij")) - lnq(col("nn")))).as("h_u"))
+        .groupBy(col("nn"), col("n_cells"))
+        .agg(sum(col("t_u")).as("mi_u"), sum(col("h_u")).as("hj_u"))
+        .select(col("nn").as("n"), col("n_cells"),
+          (floor(col("mi_u").cast("double") / col("nn") + lit(0.5)) /
+            lit(1e6)).as("mi_nats"),
+          (floor(col("hj_u").cast("double") / col("nn") + lit(0.5)) /
+            lit(1e6)).as("joint_entropy_nats"))
+    }),
+
+    // -- IPF / raking: calibrate a contingency table to target margins ------
+    // The survey-weighting classic (iterative proportional fitting):
+    // rescale the (lang × source) document counts so both margins match
+    // uniform targets — the de-biasing step before any corpus statistic
+    // is read as population-representative. Two unrolled IPF iterations
+    // (row-scale then column-scale, twice) entirely in integer
+    // micro-units: every scaling is (w · T_u) div marginsum in
+    // DECIMAL(38,0) — deterministic truncation on both engines, no
+    // float state carried between rounds. The cell frame is bounded
+    // (|langs| × |sources|), so everything after the one counting
+    // aggregate is margin-keyed work on ~100 rows.
+    "q_ipf_rake" -> ((s, d) => {
+      val cells = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cells.agg(sum(col("n")).as("nn"),
+        countDistinct(col("lang")).as("nr"),
+        countDistinct(col("source")).as("nc"))
+      val base = cells.crossJoin(broadcast(tot))
+        .withColumn("tr_u", expr("(nn * 1000000) div nr"))
+        .withColumn("tc_u", expr("(nn * 1000000) div nc"))
+        .withColumn("w_u", col("n") * lit(1000000L))
+      def scaleRows(df: DataFrame): DataFrame = {
+        val m = Window.partitionBy(col("lang"))
+        df.withColumn("ms", sum(col("w_u")).over(m))
+          .withColumn("w_u",
+            expr("CAST((CAST(w_u AS DECIMAL(38,0)) * tr_u) " +
+              "div CAST(ms AS DECIMAL(38,0)) AS BIGINT)"))
+          .drop("ms")
+      }
+      def scaleCols(df: DataFrame): DataFrame = {
+        val m = Window.partitionBy(col("source"))
+        df.withColumn("ms", sum(col("w_u")).over(m))
+          .withColumn("w_u",
+            expr("CAST((CAST(w_u AS DECIMAL(38,0)) * tc_u) " +
+              "div CAST(ms AS DECIMAL(38,0)) AS BIGINT)"))
+          .drop("ms")
+      }
+      val raked = scaleCols(scaleRows(scaleCols(scaleRows(base))))
+      raked.select(col("lang"), col("source"), col("n"), col("w_u"),
+          (col("w_u").cast("double") / lit(1e6)).as("weight"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // -- Croston-style intermittent-demand rate (per event type) ------------
     // The forecasting primitive for SPARSE series where q_forecast_backtest's
     // seasonal-naive assumes density: demand rate = mean demand on ACTIVE
@@ -4504,6 +4583,73 @@ object StatsQueries extends QueryPack {
         |  floor(CASE WHEN z >= 0 THEN phi_pos ELSE 1.0e0 - phi_pos END
         |    * 1e6 + 0.5e0) / 1e6 AS p_b_beats_a
         |FROM f""".stripMargin,
+
+    // same bounded contingency; floor-ln micro-quantized cell terms
+    "q_mutual_info" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS nij
+        |  FROM documents GROUP BY 1, 2),
+        |rm AS (SELECT lang, CAST(sum(nij) AS BIGINT) AS ni
+        |  FROM cells GROUP BY 1),
+        |cm AS (SELECT source, CAST(sum(nij) AS BIGINT) AS nj
+        |  FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(nij) AS BIGINT) AS nn,
+        |    count(*) AS n_cells FROM cells),
+        |t AS (SELECT nn, n_cells,
+        |    nij * (CAST(floor(ln(CAST(nij AS DOUBLE)) * 1e6 + 0.5e0)
+        |        AS BIGINT)
+        |      + CAST(floor(ln(CAST(nn AS DOUBLE)) * 1e6 + 0.5e0)
+        |        AS BIGINT)
+        |      - CAST(floor(ln(CAST(ni AS DOUBLE)) * 1e6 + 0.5e0)
+        |        AS BIGINT)
+        |      - CAST(floor(ln(CAST(nj AS DOUBLE)) * 1e6 + 0.5e0)
+        |        AS BIGINT)) AS t_u,
+        |    nij * -(CAST(floor(ln(CAST(nij AS DOUBLE)) * 1e6 + 0.5e0)
+        |        AS BIGINT)
+        |      - CAST(floor(ln(CAST(nn AS DOUBLE)) * 1e6 + 0.5e0)
+        |        AS BIGINT)) AS h_u
+        |  FROM cells JOIN rm USING (lang) JOIN cm USING (source)
+        |  CROSS JOIN tot)
+        |SELECT nn AS n, n_cells,
+        |  floor(CAST(sum(t_u) AS DOUBLE) / nn + 0.5e0) / 1e6 AS mi_nats,
+        |  floor(CAST(sum(h_u) AS DOUBLE) / nn + 0.5e0) / 1e6
+        |    AS joint_entropy_nats
+        |FROM t GROUP BY nn, n_cells""".stripMargin,
+
+    // four unrolled margin scalings in integer micro-units; identical
+    // DECIMAL/HUGEINT truncation on both engines
+    "q_ipf_rake" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    count(DISTINCT lang) AS nr, count(DISTINCT source) AS nc
+        |  FROM cells),
+        |b0 AS (SELECT lang, source, n,
+        |    (nn * 1000000) // nr AS tr_u, (nn * 1000000) // nc AS tc_u,
+        |    n * 1000000 AS w_u
+        |  FROM cells CROSS JOIN tot),
+        |r1 AS (SELECT lang, source, n, tr_u, tc_u,
+        |    CAST((CAST(w_u AS HUGEINT) * tr_u)
+        |      // CAST(sum(w_u) OVER (PARTITION BY lang) AS HUGEINT)
+        |      AS BIGINT) AS w_u
+        |  FROM b0),
+        |c1 AS (SELECT lang, source, n, tr_u, tc_u,
+        |    CAST((CAST(w_u AS HUGEINT) * tc_u)
+        |      // CAST(sum(w_u) OVER (PARTITION BY source) AS HUGEINT)
+        |      AS BIGINT) AS w_u
+        |  FROM r1),
+        |r2 AS (SELECT lang, source, n, tr_u, tc_u,
+        |    CAST((CAST(w_u AS HUGEINT) * tr_u)
+        |      // CAST(sum(w_u) OVER (PARTITION BY lang) AS HUGEINT)
+        |      AS BIGINT) AS w_u
+        |  FROM c1),
+        |c2 AS (SELECT lang, source, n, tr_u, tc_u,
+        |    CAST((CAST(w_u AS HUGEINT) * tc_u)
+        |      // CAST(sum(w_u) OVER (PARTITION BY source) AS HUGEINT)
+        |      AS BIGINT) AS w_u
+        |  FROM r2)
+        |SELECT lang, source, n, w_u,
+        |  CAST(w_u AS DOUBLE) / 1e6 AS weight
+        |FROM c2 ORDER BY lang, source""".stripMargin,
 
     // bounded active-day frame; all readouts exact integer micro-divisions
     "q_croston" ->

@@ -659,6 +659,76 @@ class Round11cSpec extends AnyFunSuite {
     }
   }
 
+  private lazy val docMeta: Array[(String, String)] =
+    Tables.documents(spark, sfDir).select(col("lang"), col("source"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+
+  test("q_ipf_rake replays four integer margin scalings; margins converge") {
+    val rows = SparkEntry.queries("q_ipf_rake")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val cells = docMeta.groupBy(identity).map { case (k, xs) =>
+      k -> xs.length.toLong
+    }
+    val nn = cells.values.sum
+    val nr = cells.keys.map(_._1).toSet.size.toLong
+    val nc = cells.keys.map(_._2).toSet.size.toLong
+    val trU = BigInt(nn) * 1000000 / nr
+    val tcU = BigInt(nn) * 1000000 / nc
+    var w: Map[(String, String), BigInt] = cells.map { case (k, n) =>
+      k -> BigInt(n) * 1000000
+    }
+    def scale(byRow: Boolean): Unit = {
+      val ms = w.toSeq.groupBy(p => if (byRow) p._1._1 else p._1._2)
+        .map { case (g, xs) => g -> xs.map(_._2).sum }
+      val t = if (byRow) trU else tcU
+      w = w.map { case (k, v) =>
+        k -> v * t / ms(if (byRow) k._1 else k._2)
+      }
+    }
+    scale(byRow = true); scale(byRow = false)
+    scale(byRow = true); scale(byRow = false)
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == cells(k))
+      assert(BigInt(r.getLong(3)) == w(k), s"cell $k weight")
+    }
+    // after two iterations the column margins are exact by construction
+    // (last scaling) and row margins are near-target
+    val rowMargins = w.toSeq.groupBy(_._1._1)
+      .map(_._2.map(_._2).sum.toDouble)
+    rowMargins.foreach { m =>
+      assert(math.abs(m - trU.toDouble) / trU.toDouble < 0.05,
+        "row margins within 5% of target after 2 IPF iterations")
+    }
+  }
+
+  test("q_mutual_info: nonnegative, bounded by joint entropy") {
+    val r = SparkEntry.queries("q_mutual_info")(spark, sfDir)
+      .collect().head
+    val cells = docMeta.groupBy(identity).map { case (k, xs) =>
+      k -> xs.length.toLong
+    }
+    val nn = cells.values.sum
+    val ni = cells.toSeq.groupBy(_._1._1)
+      .map { case (g, xs) => g -> xs.map(_._2).sum }
+    val nj = cells.toSeq.groupBy(_._1._2)
+      .map { case (g, xs) => g -> xs.map(_._2).sum }
+    def lnq(x: Long): Long =
+      math.floor(math.log(x.toDouble) * 1e6 + 0.5).toLong
+    val miU = cells.map { case ((l, s2), n) =>
+      n * (lnq(n) + lnq(nn) - lnq(ni(l)) - lnq(nj(s2)))
+    }.sum
+    val hjU = cells.map { case (_, n) => n * -(lnq(n) - lnq(nn)) }.sum
+    assert(r.getLong(0) == nn && r.getLong(1) == cells.size.toLong)
+    assert(math.abs(r.getDouble(2) -
+      math.floor(miU.toDouble / nn + 0.5) / 1e6) < 2e-6)
+    assert(math.abs(r.getDouble(3) -
+      math.floor(hjU.toDouble / nn + 0.5) / 1e6) < 2e-6)
+    assert(r.getDouble(2) >= -1e-5, "empirical MI is nonnegative")
+    assert(r.getDouble(2) <= r.getDouble(3) + 1e-6,
+      "MI bounded by joint entropy")
+  }
+
   test("q_bitmap_distinct: popcount sums equal exact distinct counts") {
     val rows = SparkEntry.queries("q_bitmap_distinct")(spark, sfDir)
       .collect()
