@@ -459,6 +459,35 @@ object StreamingQueries extends QueryPack {
     // taken at READ time over the result table with a deterministic
     // (count desc, type) tie-break. Complete mode over AvailableNow sees
     // the whole corpus, so the batch oracle is exact.
+    // -- streaming EXACT daily active users (chained stateful operators) ----
+    // The q_active_users batch metric as a continuous query, exact (not
+    // HLL): a per-(day-window, user) streaming dedup feeds a windowed
+    // count — Spark 4's multiple-stateful-operator support, with the
+    // watermark propagated through the dedup so both state stores expire.
+    // State is bounded by users-per-open-window, the exact-distinct
+    // analogue of q_stream_drift's mergeable counts. Append mode emits
+    // decided windows; the deterministic read keeps windows whose end is
+    // ≤ the run's own final watermark (the q_stream_outer_join
+    // completeness pattern), which the batch oracle reproduces from
+    // ms-floored max(ts) − delay.
+    "q_stream_dau" -> ((s, d) => {
+      val dedup = StreamRunner.eventsStream(s, d)
+        .withWatermark("ts_t", "10 minutes")
+        .select(window(col("ts_t"), "1 day").as("w"), col("user_id"),
+          col("ts_t"))
+        .dropDuplicates("w", "user_id")
+      val agg = dedup.groupBy(col("w")).agg(count(lit(1)).as("dau"))
+      val (table, wm) = StreamRunner.runToTableWithWatermark(
+        s, agg, "g_stream_dau", "append")
+      val bound = wm.getOrElse(Long.MinValue)
+      table
+        .select(unix_timestamp(col("w.start")).as("day_s"),
+          unix_micros(col("w.end")).as("end_us"), col("dau"))
+        .filter(col("end_us") <= lit(bound))
+        .select(col("day_s"), col("dau"))
+        .orderBy(col("day_s"))
+    }),
+
     "q_stream_topk" -> ((s, d) => {
       val agg = StreamRunner.eventsStream(s, d)
         .withWatermark("ts_t", "10 minutes")
@@ -477,6 +506,19 @@ object StreamingQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // exact distinct per epoch-aligned day; watermark-complete windows
+    // only (end <= ms-floored max(ts) - 10 min)
+    "q_stream_dau" ->
+      """WITH wm AS (SELECT (max(epoch_us(ts) // 1000)) * 1000
+        |    - 600000000 AS wm_us FROM events),
+        |d AS (SELECT epoch_us(ts) // 86400000000 AS day_i, user_id
+        |  FROM events),
+        |dd AS (SELECT DISTINCT day_i, user_id FROM d)
+        |SELECT day_i * 86400 AS day_s, count(*) AS dau
+        |FROM dd CROSS JOIN wm
+        |WHERE (day_i + 1) * 86400000000 <= wm_us
+        |GROUP BY day_i * 86400 ORDER BY day_s""".stripMargin,
+
     "q_stream_topk" ->
       """WITH c AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_s,
         |    event_type, count(*) AS n

@@ -729,6 +729,19 @@ class Round11cSpec extends AnyFunSuite {
       "MI bounded by joint entropy")
   }
 
+  test("q_stream_dau: exact distinct users per decided day window") {
+    val rows = SparkEntry.queries("q_stream_dau")(spark, sfDir).collect()
+    assert(rows.nonEmpty, "at least one day window is watermark-decided")
+    val wmUs = events.map(_._1 / 1000).max * 1000 - 600000000L
+    val expect = events.map(e => (dayOf(e._1), e._2)).distinct
+      .groupBy(_._1).map { case (d, xs) => d -> xs.length.toLong }
+      .filter { case (d, _) => (d + 1) * 86400000000L <= wmUs }
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      assert(expect(r.getLong(0) / 86400) == r.getLong(1))
+    }
+  }
+
   test("q_bitmap_distinct: popcount sums equal exact distinct counts") {
     val rows = SparkEntry.queries("q_bitmap_distinct")(spark, sfDir)
       .collect()
