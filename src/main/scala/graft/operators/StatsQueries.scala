@@ -2474,41 +2474,6 @@ object StatsQueries extends QueryPack {
         q6(pB).as("p_b_beats_a"))
     }),
 
-    // -- mutual information between two categorical columns ------------------
-    // The information-theoretic association readout next to
-    // q_chi2_select's test statistic: I(lang; source) in nats from the
-    // same bounded contingency frame. Each cell contributes
-    // n_ij · (ln n_ij + ln N − ln n_i − ln n_j); the four ln values are
-    // micro-quantized integers of exact counts (the floor-ln idiom), so
-    // the cell terms and their sum are exact integer arithmetic — only
-    // the final /(N·10⁶) readout is floating point. One counting
-    // aggregate is the data-sized stage; margins ride broadcast joins on
-    // the ~|langs|·|sources| frame.
-    "q_mutual_info" -> ((s, d) => {
-      def lnq(c: org.apache.spark.sql.Column) =
-        floor(log(c.cast("double")) * lit(1e6) + lit(0.5)).cast("long")
-      val cells = Tables.documents(s, d)
-        .groupBy(col("lang"), col("source"))
-        .agg(count(lit(1)).as("nij"))
-      val rm = cells.groupBy(col("lang")).agg(sum(col("nij")).as("ni"))
-      val cm = cells.groupBy(col("source")).agg(sum(col("nij")).as("nj"))
-      val tot = cells.agg(sum(col("nij")).as("nn"),
-        count(lit(1)).as("n_cells"))
-      cells.join(broadcast(rm), "lang").join(broadcast(cm), "source")
-        .crossJoin(broadcast(tot))
-        .select(col("nn"), col("n_cells"),
-          (col("nij") * (lnq(col("nij")) + lnq(col("nn")) -
-            lnq(col("ni")) - lnq(col("nj")))).as("t_u"),
-          (col("nij") * -(lnq(col("nij")) - lnq(col("nn")))).as("h_u"))
-        .groupBy(col("nn"), col("n_cells"))
-        .agg(sum(col("t_u")).as("mi_u"), sum(col("h_u")).as("hj_u"))
-        .select(col("nn").as("n"), col("n_cells"),
-          (floor(col("mi_u").cast("double") / col("nn") + lit(0.5)) /
-            lit(1e6)).as("mi_nats"),
-          (floor(col("hj_u").cast("double") / col("nn") + lit(0.5)) /
-            lit(1e6)).as("joint_entropy_nats"))
-    }),
-
     // -- IPF / raking: calibrate a contingency table to target margins ------
     // The survey-weighting classic (iterative proportional fitting):
     // rescale the (lang × source) document counts so both margins match
@@ -4583,37 +4548,6 @@ object StatsQueries extends QueryPack {
         |  floor(CASE WHEN z >= 0 THEN phi_pos ELSE 1.0e0 - phi_pos END
         |    * 1e6 + 0.5e0) / 1e6 AS p_b_beats_a
         |FROM f""".stripMargin,
-
-    // same bounded contingency; floor-ln micro-quantized cell terms
-    "q_mutual_info" ->
-      """WITH cells AS (SELECT lang, source, count(*) AS nij
-        |  FROM documents GROUP BY 1, 2),
-        |rm AS (SELECT lang, CAST(sum(nij) AS BIGINT) AS ni
-        |  FROM cells GROUP BY 1),
-        |cm AS (SELECT source, CAST(sum(nij) AS BIGINT) AS nj
-        |  FROM cells GROUP BY 1),
-        |tot AS (SELECT CAST(sum(nij) AS BIGINT) AS nn,
-        |    count(*) AS n_cells FROM cells),
-        |t AS (SELECT nn, n_cells,
-        |    nij * (CAST(floor(ln(CAST(nij AS DOUBLE)) * 1e6 + 0.5e0)
-        |        AS BIGINT)
-        |      + CAST(floor(ln(CAST(nn AS DOUBLE)) * 1e6 + 0.5e0)
-        |        AS BIGINT)
-        |      - CAST(floor(ln(CAST(ni AS DOUBLE)) * 1e6 + 0.5e0)
-        |        AS BIGINT)
-        |      - CAST(floor(ln(CAST(nj AS DOUBLE)) * 1e6 + 0.5e0)
-        |        AS BIGINT)) AS t_u,
-        |    nij * -(CAST(floor(ln(CAST(nij AS DOUBLE)) * 1e6 + 0.5e0)
-        |        AS BIGINT)
-        |      - CAST(floor(ln(CAST(nn AS DOUBLE)) * 1e6 + 0.5e0)
-        |        AS BIGINT)) AS h_u
-        |  FROM cells JOIN rm USING (lang) JOIN cm USING (source)
-        |  CROSS JOIN tot)
-        |SELECT nn AS n, n_cells,
-        |  floor(CAST(sum(t_u) AS DOUBLE) / nn + 0.5e0) / 1e6 AS mi_nats,
-        |  floor(CAST(sum(h_u) AS DOUBLE) / nn + 0.5e0) / 1e6
-        |    AS joint_entropy_nats
-        |FROM t GROUP BY nn, n_cells""".stripMargin,
 
     // four unrolled margin scalings in integer micro-units; identical
     // DECIMAL/HUGEINT truncation on both engines

@@ -702,33 +702,6 @@ class Round11cSpec extends AnyFunSuite {
     }
   }
 
-  test("q_mutual_info: nonnegative, bounded by joint entropy") {
-    val r = SparkEntry.queries("q_mutual_info")(spark, sfDir)
-      .collect().head
-    val cells = docMeta.groupBy(identity).map { case (k, xs) =>
-      k -> xs.length.toLong
-    }
-    val nn = cells.values.sum
-    val ni = cells.toSeq.groupBy(_._1._1)
-      .map { case (g, xs) => g -> xs.map(_._2).sum }
-    val nj = cells.toSeq.groupBy(_._1._2)
-      .map { case (g, xs) => g -> xs.map(_._2).sum }
-    def lnq(x: Long): Long =
-      math.floor(math.log(x.toDouble) * 1e6 + 0.5).toLong
-    val miU = cells.map { case ((l, s2), n) =>
-      n * (lnq(n) + lnq(nn) - lnq(ni(l)) - lnq(nj(s2)))
-    }.sum
-    val hjU = cells.map { case (_, n) => n * -(lnq(n) - lnq(nn)) }.sum
-    assert(r.getLong(0) == nn && r.getLong(1) == cells.size.toLong)
-    assert(math.abs(r.getDouble(2) -
-      math.floor(miU.toDouble / nn + 0.5) / 1e6) < 2e-6)
-    assert(math.abs(r.getDouble(3) -
-      math.floor(hjU.toDouble / nn + 0.5) / 1e6) < 2e-6)
-    assert(r.getDouble(2) >= -1e-5, "empirical MI is nonnegative")
-    assert(r.getDouble(2) <= r.getDouble(3) + 1e-6,
-      "MI bounded by joint entropy")
-  }
-
   test("q_stream_dau: exact distinct users per decided day window") {
     val rows = SparkEntry.queries("q_stream_dau")(spark, sfDir).collect()
     assert(rows.nonEmpty, "at least one day window is watermark-decided")
