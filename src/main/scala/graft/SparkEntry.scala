@@ -14,7 +14,10 @@ import graft.streaming.StreamingQueries
   * against their exact counterparts).
   */
 object SparkEntry {
-  private val packs: Seq[QueryPack] = Seq(
+  // private[graft]: QueryCorpusSpec pins that pack name sets are pairwise
+  // disjoint — a colliding name silently shadows an operator (the map
+  // merge is last-wins), which once cost a real query
+  private[graft] val packs: Seq[QueryPack] = Seq(
     RelationalQueries,
     AnalyticsQueries,
     DriftQueries,

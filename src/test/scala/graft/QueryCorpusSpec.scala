@@ -19,6 +19,18 @@ class QueryCorpusSpec extends AnyFunSuite {
     assert(unknown.isEmpty, s"oracle without query: $unknown")
   }
 
+  test("pack query names are pairwise disjoint (no silent shadowing)") {
+    // the pack maps merge last-wins, so a colliding name silently
+    // REPLACES an operator; this happened once (a duplicate
+    // q_mutual_info shadowed the multi-pair MI audit) — pin it shut
+    val all = SparkEntry.packs.flatMap(_.queries.keys)
+    val dups = all.groupBy(identity).filter(_._2.length > 1).keys
+    assert(dups.isEmpty, s"query name declared in two packs: $dups")
+    val oralls = SparkEntry.packs.flatMap(_.oracle.keys)
+    val odups = oralls.groupBy(identity).filter(_._2.length > 1).keys
+    assert(odups.isEmpty, s"oracle declared in two packs: $odups")
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
