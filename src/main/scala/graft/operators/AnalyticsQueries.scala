@@ -652,6 +652,44 @@ object AnalyticsQueries extends QueryPack {
         .limit(20)
     }),
 
+    // -- association rules (confidence / lift over the co-purchase pairs) ---
+    // The rule-mining step q_freq_itemsets stops short of: for each
+    // thresholded pair emit BOTH directed rules a→b with confidence
+    // s_ab/s_a and the shared lift s_ab·N/(s_a·s_b) — the actionable
+    // "customers who bought X buy Y" readout (q_item_recs ranks by
+    // cosine² affinity; rules carry the probabilistic semantics). All
+    // scores are exact integer micro-divisions over the memoized
+    // [[coEdges]] graph + per-item basket counts; both margins ride
+    // broadcast joins on the thresholded pair frame. Top-20 rules by
+    // (lift, confidence) under a total order.
+    "q_assoc_rules" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val items = li.groupBy(col("l_partkey").as("item"))
+        .agg(count(lit(1)).as("s_item"))
+      val nb = li.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val pairs = coEdges(s, d)
+      val rules = pairs.select(col("p1").as("a"), col("p2").as("b"),
+          col("support"))
+        .unionByName(pairs.select(col("p2").as("a"), col("p1").as("b"),
+          col("support")))
+      rules
+        .join(broadcast(items.select(col("item").as("a"),
+          col("s_item").as("s_a"))), "a")
+        .join(broadcast(items.select(col("item").as("b"),
+          col("s_item").as("s_b"))), "b")
+        .crossJoin(broadcast(nb))
+        .select(col("a"), col("b"), col("support"),
+          expr("(support * 1000000) div s_a").as("confidence_u"),
+          expr("CAST((CAST(support AS DECIMAL(38,0)) * n_baskets " +
+            "* 1000000) div (CAST(s_a AS DECIMAL(38,0)) * s_b) " +
+            "AS BIGINT)").as("lift_u"))
+        .orderBy(col("lift_u").desc, col("confidence_u").desc,
+          col("a"), col("b"))
+        .limit(20)
+    }),
+
     // -- bounded multi-source BFS (k-hop shortest path) --------------------
     // The remaining graph primitive next to PageRank/CC/triangles:
     // hop distance from a seed set (every 50th customer) over the same
@@ -701,6 +739,29 @@ object AnalyticsQueries extends QueryPack {
     // every round is one edge⋈frontier join + keyed min. 1/d terms are
     // exact integer micro-units (d ∈ {1..3} ⇒ 1000000 div d), so the
     // per-node sum is merge-order-free.
+    // -- sampled effective diameter (90th-percentile reach distance) --------
+    // The robust companion to q_eccentricity's max: the 90th percentile
+    // of sampled pairwise distances (the "effective diameter" of the
+    // small-world literature — max distances chase single outlier
+    // paths). Third consumer of the memoized multiRootBfs frame, so the
+    // marginal cost is one bounded aggregate: distances live on {1..3},
+    // making the percentile an exact contingency lookup — no sort, no
+    // quantile estimate.
+    "q_effective_diameter" -> ((s, d) => {
+      val dist = multiRootBfs(s, d).filter(col("dist") > 0)
+      val byD = dist.groupBy(col("dist")).agg(count(lit(1)).as("n"))
+      val tot = byD.agg(sum(col("n")).as("nn"))
+      byD.crossJoin(broadcast(tot))
+        .withColumn("cum", sum(col("n"))
+          .over(Window.orderBy(col("dist"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("dist"), col("n"), col("cum"), col("nn"),
+          expr("(1000000 * cum) div nn").as("cdf_u"),
+          expr("10 * cum >= 9 * nn AND 10 * (cum - n) < 9 * nn")
+            .as("is_eff_diameter"))
+        .orderBy(col("dist"))
+    }),
+
     "q_harmonic_centrality" -> ((s, d) => {
       multiRootBfs(s, d).filter(col("dist") > 0)
         .groupBy(col("id"))
@@ -3716,6 +3777,46 @@ object AnalyticsQueries extends QueryPack {
     "q_harmonic_centrality" -> harmonicSql,
 
     "q_eccentricity" -> eccentricitySql,
+
+    // contingency percentile on the bounded {1..3} distance domain
+    "q_effective_diameter" ->
+      s"""WITH $multiRootBfsCtes,
+         |dd AS (SELECT dist, count(*) AS n FROM d$bfsHops
+         |  WHERE dist > 0 GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM dd),
+         |c AS (SELECT dist, n,
+         |    CAST(sum(n) OVER (ORDER BY dist
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum
+         |  FROM dd)
+         |SELECT dist, CAST(n AS BIGINT) AS n, cum, nn,
+         |  CAST((1000000 * cum) // nn AS BIGINT) AS cdf_u,
+         |  10 * cum >= 9 * nn AND 10 * (cum - n) < 9 * nn
+         |    AS is_eff_diameter
+         |FROM c CROSS JOIN tot ORDER BY dist""".stripMargin,
+
+    // both directed rules per thresholded pair; exact integer
+    // micro-divisions; N·support product widened to HUGEINT
+    "q_assoc_rules" ->
+      s"""WITH $coEdgesSql,
+         |li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |items AS (SELECT l_partkey AS item, count(*) AS s_item
+         |  FROM li GROUP BY 1),
+         |nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM li),
+         |rules AS (SELECT p1 AS a, p2 AS b, support FROM pe
+         |  UNION ALL SELECT p2, p1, support FROM pe)
+         |SELECT a, b, support,
+         |  CAST((support * 1000000) // ia.s_item AS BIGINT)
+         |    AS confidence_u,
+         |  CAST((CAST(support AS HUGEINT) * n_baskets * 1000000)
+         |    // (CAST(ia.s_item AS HUGEINT) * ib.s_item) AS BIGINT)
+         |    AS lift_u
+         |FROM rules
+         |JOIN items ia ON ia.item = a
+         |JOIN items ib ON ib.item = b
+         |CROSS JOIN nb
+         |ORDER BY lift_u DESC, confidence_u DESC, a, b
+         |LIMIT 20""".stripMargin,
     "q_label_propagation" -> labelPropSql,
 
     "q_ab_srm" ->

@@ -715,6 +715,47 @@ class Round11cSpec extends AnyFunSuite {
     }
   }
 
+  test("q_assoc_rules replays directed confidence/lift over the pairs") {
+    val rows = SparkEntry.queries("q_assoc_rules")(spark, sfDir)
+      .collect()
+    assert(rows.length == 20)
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val sItem = li.groupBy(_._2).map { case (i, xs) =>
+      i -> xs.length.toLong
+    }
+    val nB = li.map(_._1).distinct.length.toLong
+    val rules = coPairs.toSeq.flatMap { case ((a, b), s2) =>
+      Seq((a, b, s2.toLong), (b, a, s2.toLong))
+    }.map { case (a, b, s2) =>
+      val conf = s2 * 1000000L / sItem(a)
+      val lift = (BigInt(s2) * nB * 1000000 /
+        (BigInt(sItem(a)) * sItem(b))).toLong
+      (a, b, s2, conf, lift)
+    }.sortBy { case (a, b, _, conf, lift) => (-lift, -conf, a, b) }
+      .take(20)
+    rows.zip(rules).foreach { case (r, (a, b, s2, conf, lift)) =>
+      assert(r.getLong(0) == a && r.getLong(1) == b)
+      assert(r.getLong(2) == s2)
+      assert(r.getLong(3) == conf && r.getLong(4) == lift)
+    }
+  }
+
+  test("q_effective_diameter: CDF partitions and flags exactly one level") {
+    val rows = SparkEntry.queries("q_effective_diameter")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val nn = rows.head.getLong(3)
+    assert(rows.map(_.getLong(1)).sum == nn,
+      "per-distance counts partition the reach pairs")
+    assert(rows.count(_.getBoolean(5)) == 1,
+      "exactly one distance level carries the 90th percentile")
+    val cums = rows.sortBy(_.getLong(0)).map(_.getLong(2))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a < b })
+    assert(cums.last == nn)
+  }
+
   test("q_bitmap_distinct: popcount sums equal exact distinct counts") {
     val rows = SparkEntry.queries("q_bitmap_distinct")(spark, sfDir)
       .collect()
