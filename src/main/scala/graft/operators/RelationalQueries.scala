@@ -483,6 +483,26 @@ object RelationalQueries extends QueryPack {
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }),
 
+    // -- SQL entry point: EXECUTE IMMEDIATE with bound parameters -----------
+    // The other half of the q_sql_identifier templating story: the query
+    // TEXT itself arrives as a string and positional parameters bind via
+    // USING — the dynamic-SQL entry a query service exposes, with
+    // parameter marks (?) instead of string splicing so values can never
+    // escape into syntax. The inner plan is identical to the literal
+    // query; zero runtime cost.
+    "q_sql_exec" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("DECLARE OR REPLACE VARIABLE stmt STRING")
+      s.sql(
+        """SET VAR stmt =
+          |  'SELECT o_orderpriority, count(*) AS n,
+          |     round(sum(o_totalprice), 2) AS revenue
+          |   FROM orders WHERE o_totalprice > ?
+          |   GROUP BY o_orderpriority ORDER BY o_orderpriority'"""
+          .stripMargin)
+      s.sql("EXECUTE IMMEDIATE stmt USING 100000")
+    }),
+
     // -- SQL entry point: GROUP BY ALL / ORDER BY ALL ----------------------
     // The analyst-ergonomics surface both engines grew for exploratory
     // SQL: every non-aggregate select item becomes a grouping key, and
@@ -1054,6 +1074,13 @@ object RelationalQueries extends QueryPack {
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS revenue
         |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin,
+
+    // the parameter binds as a value on both engines
+    "q_sql_exec" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders WHERE o_totalprice > 100000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // DuckDB resolves the same constant-expression names at bind time
     "q_sql_identifier" ->

@@ -756,6 +756,19 @@ class Round11cSpec extends AnyFunSuite {
     assert(cums.last == nn)
   }
 
+  test("q_sql_exec: EXECUTE IMMEDIATE binds params, equals the literal") {
+    val viaExec = SparkEntry.queries("q_sql_exec")(spark, sfDir).collect()
+    val literal = spark.sql(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders WHERE o_totalprice > 100000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      .collect()
+    assert(viaExec.nonEmpty)
+    assert(viaExec.map(_.toString).toSeq ==
+      literal.map(_.toString).toSeq)
+  }
+
   test("q_bitmap_distinct: popcount sums equal exact distinct counts") {
     val rows = SparkEntry.queries("q_bitmap_distinct")(spark, sfDir)
       .collect()
