@@ -324,6 +324,46 @@ object EventQueries extends QueryPack {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // -- Markov steady state (long-run occupancy of the journey chain) ------
+    // The q_transition_matrix follow-up: where does a user's session
+    // END UP spending its time? Ten unrolled power-iteration rounds of
+    // v·P in the pagerank 1e-12 integer fixed point — each round's
+    // per-edge term (v_i·cnt_ij) div rowtot_i is an exact DECIMAL
+    // division, so no float state crosses rounds and both engines
+    // truncate identically. The transition frame is eagerly
+    // localCheckpointed (bounded k² rows) so the unrolled rounds replay
+    // the tiny matrix, never the corpus-sized lead window. Valid on this
+    // corpus because every observed state has outgoing transitions
+    // (checked by the spec); a truly absorbing state would need the
+    // pagerank teleport escape.
+    "q_markov_steady" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val trans = Tables.eventsWithTime(s, d)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("ft"), col("next_type").as("tt"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rt",
+          sum(col("cnt")).over(Window.partitionBy(col("ft"))))
+        .localCheckpoint(true)
+      val states = trans.select(col("ft").as("state")).distinct()
+      val kF = states.agg(count(lit(1)).as("k"))
+      var v = states.crossJoin(broadcast(kF))
+        .select(col("state"), expr("1000000000000 div k").as("v"))
+      for (_ <- 1 to 10) {
+        v = trans
+          .join(v.select(col("state").as("ft"), col("v").as("vi")), "ft")
+          .groupBy(col("tt").as("state"))
+          .agg(sum(expr(
+            "CAST((CAST(vi AS DECIMAL(38,0)) * cnt) div rt AS BIGINT)"))
+            .as("v"))
+      }
+      v.select(col("state"), col("v").as("steady_u"),
+          (col("v").cast("double") / lit(1e12)).as("steady"))
+        .orderBy(col("state"))
+    }),
+
     // -- keyed dedup: first event per (user_id, event_type) ----------------
     "q_dedup_keyed" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"), col("event_type"))
@@ -735,6 +775,37 @@ object EventQueries extends QueryPack {
         |  round(CAST(n AS DOUBLE) /
         |    CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    // ten unrolled integer power-iteration rounds in the pagerank fixed
+    // point; identical HUGEINT truncation per edge term
+    "q_markov_steady" -> {
+      val rounds = (1 to 10).map { i =>
+        s"""v$i AS (SELECT tt AS state,
+           |    CAST(sum((CAST(v AS HUGEINT) * cnt) // rt) AS BIGINT)
+           |      AS v
+           |  FROM trr JOIN v${i - 1} ON v${i - 1}.state = trr.ft
+           |  GROUP BY tt)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+         |    event_id FROM events),
+         |nx AS (SELECT event_type AS ft,
+         |    lead(event_type) OVER (
+         |      PARTITION BY user_id ORDER BY us, event_id) AS tt
+         |  FROM e),
+         |tr AS (SELECT ft, tt, count(*) AS cnt FROM nx
+         |  WHERE tt IS NOT NULL GROUP BY 1, 2),
+         |trr AS (SELECT ft, tt, cnt,
+         |    CAST(sum(cnt) OVER (PARTITION BY ft) AS BIGINT) AS rt
+         |  FROM tr),
+         |st AS (SELECT DISTINCT ft AS state FROM tr),
+         |kk AS (SELECT count(*) AS k FROM st),
+         |v0 AS (SELECT state, 1000000000000 // k AS v
+         |  FROM st CROSS JOIN kk),
+         |$rounds
+         |SELECT state, v AS steady_u,
+         |  CAST(v AS DOUBLE) / 1000000000000.0e0 AS steady
+         |FROM v10 ORDER BY state""".stripMargin
+    },
 
     "q_interp_linear" ->
       """WITH e AS (SELECT event_type,

@@ -769,6 +769,40 @@ class Round11cSpec extends AnyFunSuite {
       literal.map(_.toString).toSeq)
   }
 
+  test("q_markov_steady replays the integer power iteration") {
+    val rows = SparkEntry.queries("q_markov_steady")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val byUser = events.groupBy(_._2).values
+    val trans = byUser.flatMap { es =>
+      val srt = es.sortBy(e => (e._1, e._5)).map(_._3)
+      srt.zip(srt.tail)
+    }.toSeq.groupBy(identity).map { case (p, xs) =>
+      p -> xs.length.toLong
+    }
+    val states = trans.keys.map(_._1).toSeq.distinct
+    assert(trans.keys.map(_._2).toSet.subsetOf(states.toSet),
+      "every observed state has outgoing transitions (no absorber)")
+    val rt = trans.toSeq.groupBy(_._1._1).map { case (f, xs) =>
+      f -> xs.map(_._2).sum
+    }
+    var v: Map[String, BigInt] = states.map(s2 =>
+      s2 -> BigInt(1000000000000L) / states.length).toMap
+    for (_ <- 1 to 10) {
+      v = trans.toSeq.groupBy(_._1._2).map { case (to, xs) =>
+        to -> xs.map { case ((f, _), cnt) =>
+          v(f) * cnt / rt(f)
+        }.sum
+      }
+    }
+    rows.foreach { r =>
+      assert(BigInt(r.getLong(1)) == v(r.getString(0)))
+    }
+    val mass = rows.map(_.getLong(1)).sum
+    assert(mass > 999000000000L && mass <= 1000000000000L,
+      "steady mass conserved up to integer truncation")
+  }
+
   test("q_bitmap_distinct: popcount sums equal exact distinct counts") {
     val rows = SparkEntry.queries("q_bitmap_distinct")(spark, sfDir)
       .collect()
