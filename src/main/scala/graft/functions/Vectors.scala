@@ -209,6 +209,23 @@ object Vectors {
   def deriveNlist(n: Long): Int =
     math.max(16L, math.min(65536L, (n + 63L) / 64L)).toInt
 
+  /** Corpus-cardinality ceiling for EXACT blocked kNN (the
+    * q_knn_triangles path). Exact kNN is O(n²) dot products BY CONTRACT
+    * — at/below the ceiling that is ~1.7e10 dots (minutes on one node,
+    * seconds on a cluster) and exactness is worth it (ground truth,
+    * recall gates); above it the sanctioned path is the recall-gated
+    * two-level IVF graph (q_knn_triangles_ann), whose candidate volume
+    * is ~2·celldepth per vector — linear in n. Same promoted-dispatch
+    * discipline as [[graft.functions.TextDedup.ExactPairsMaxDocs]]:
+    * one constant, one pure chooser, one dispatcher
+    * (q_knn_triangles_auto), pinned by VectorsSpec. */
+  val ExactKnnMaxVectors: Long = 131072L
+
+  /** Pure path chooser (spec-pinned): "exact" at or under
+    * [[ExactKnnMaxVectors]] vectors, "ivf-ann" above. */
+  def knnPathFor(n: Long): String =
+    if (n <= ExactKnnMaxVectors) "exact" else "ivf-ann"
+
   def ivfBlockedPairs(points: org.apache.spark.sql.DataFrame,
                       threshold: Double, nlist: Int, nprobe: Int)
       : org.apache.spark.sql.DataFrame = {

@@ -1127,8 +1127,13 @@ object PipelineQueries extends QueryPack {
             .as("new_values"),
           sum(when(col("na") > 0L && col("nb") === 0L, 1L).otherwise(0L))
             .as("gone_values"),
-          expr("sum(abs((na * 1000000) div ta " +
-            "- (nb * 1000000) div tb)) div 2").as("tv_u"))
+          // guard each share against an empty half: a single-day orders
+          // feed makes every row early (tb = 0) and the unguarded
+          // integer division would throw under ANSI; the degenerate
+          // half's share is 0 by convention (mirrored in the oracle)
+          expr("sum(abs((CASE WHEN ta > 0 THEN (na * 1000000) div ta " +
+            "ELSE 0 END) - (CASE WHEN tb > 0 THEN (nb * 1000000) div tb " +
+            "ELSE 0 END))) div 2").as("tv_u"))
         .orderBy(col("col_name"))
     })
   )
@@ -1864,7 +1869,9 @@ object PipelineQueries extends QueryPack {
         |    AS BIGINT) AS new_values,
         |  CAST(sum(CASE WHEN na > 0 AND nb = 0 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS gone_values,
-        |  CAST(sum(abs((na * 1000000) // ta - (nb * 1000000) // tb))
+        |  CAST(sum(abs((CASE WHEN ta > 0 THEN (na * 1000000) // ta
+        |      ELSE 0 END)
+        |    - (CASE WHEN tb > 0 THEN (nb * 1000000) // tb ELSE 0 END)))
         |    // 2 AS BIGINT) AS tv_u
         |FROM vc JOIN totals USING (col_name)
         |GROUP BY col_name ORDER BY col_name""".stripMargin

@@ -38,7 +38,20 @@ object SourceQueries extends QueryPack {
   // private[graft]: the streaming foreachBatch sink reuses the same
   // per-application scratch scheme (and its shutdown-hook cleanup)
   private[graft] def scratch(s: SparkSession, d: String, name: String): String = {
-    val appRoot = s"/tmp/graft_io/${s.sparkContext.applicationId}"
+    // Memory-backed scratch when the box has tmpfs (VERDICT r11 item 1c):
+    // the write-maintenance ops (q_compact's two parquet writes × reps,
+    // the roundtrip sources) were dominated by the shared box's disk
+    // queue, not their plans — q_compact read 2.77 → 14.35 s across two
+    // driver runs of IDENTICAL code. Scratch is by construction
+    // throwaway (per-application, shutdown-hook deleted), so tmpfs
+    // changes nothing about the queries' semantics; a real deployment
+    // writes maintenance output to its object store, and what this
+    // bench should measure is the plan + serialization cost.
+    // SPARK_GRAFT_SCRATCH overrides for boxes where /dev/shm is small.
+    val base = sys.env.get("SPARK_GRAFT_SCRATCH").getOrElse {
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
+    }
+    val appRoot = s"$base/graft_io/${s.sparkContext.applicationId}"
     if (cleanupRegistered.add(appRoot)) {
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def del(f: java.io.File): Unit = {

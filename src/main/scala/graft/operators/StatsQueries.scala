@@ -859,6 +859,12 @@ object StatsQueries extends QueryPack {
           Seq(col("doc_id"), col("n_chars")))
         .select(col("doc_id"), col("n_chars").as("xv"),
           col("score").cast("long").as("yv"))
+      // NDV ceiling (q_mann_whitney bounded-frame class): each midrank
+      // window runs on a DISTINCT-VALUE frame — xv is a document length
+      // (bounded by the max doc size, ~1e5 cells) and yv the integer
+      // micro-scaled score (≤ 1e6+1 cells); both constants in corpus
+      // size. Open-ended domains would ride Dist.globalPrefixSum (the
+      // q_token_budget pid-keyed pattern) for the same doubled midranks.
       def midranks(src: DataFrame, cn: String) = {
         val w = Window.orderBy(col(cn))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1202,6 +1208,14 @@ object StatsQueries extends QueryPack {
           floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
             .as("vq"))
       val byV = e.groupBy(col("vq")).agg(count(lit(1)).as("cnt"))
+      // NDV ceiling (the q_mann_whitney bounded-frame class): this
+      // unpartitioned prefix window runs on the DISTINCT-QUANTIZED-VALUE
+      // frame, bounded by the milli-quantized value domain (~1e5 cells
+      // for values in [0, 100]) — a constant in corpus size, never the
+      // row count. Escape hatch if the value domain ever opens up
+      // (NDV ≳ 1e7): route the cumulative through Dist.globalPrefixSum
+      // (the q_token_budget pid-keyed pattern) — identical r2 midranks,
+      // distributed prefix.
       val w = Window.orderBy(col("vq"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val ranks = byV
@@ -1682,6 +1696,12 @@ object StatsQueries extends QueryPack {
       val byS = sc.groupBy(col("sv"))
         .agg(sum(col("pos")).as("c1"),
           sum(lit(1L) - col("pos")).as("c0"))
+      // NDV ceiling (q_mann_whitney bounded-frame class): the prefix
+      // window runs on the DISTINCT-SCORE frame — the classifier score
+      // is an integer micro-scale in [0, 1e6], so the frame is ≤ 1e6+1
+      // rows regardless of corpus size. If a future scorer emits an
+      // open-ended domain, route through Dist.globalPrefixSum (the
+      // q_token_budget pid-keyed pattern) — same CDFs, distributed.
       val w = Window.orderBy(col("sv"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = byS.agg(sum(col("c1")).as("n1"), sum(col("c0")).as("n0"))

@@ -33,6 +33,29 @@ object TextQueries extends QueryPack {
   /** Heuristic language guess (CJK presence, then vowel-ratio bands) —
     * the classifier under evaluation in q_eval_metrics and q_mcc; ONE
     * definition so the two readouts can never score different models. */
+  /** Session-memoized corpus word-frequency table (w, n, ct) — the
+    * tokenizer-induction family's shared base frame (VERDICT r11 item 4):
+    * q_bpe_pairs, q_bpe_train, and q_bpe_apply each previously rebuilt
+    * the same explode→groupBy tokenization of the full corpus, tripling
+    * the family's bench cost. One SharedArtifacts memo keyed on the
+    * documents frame + an eager localCheckpoint (the train loop's rounds
+    * replay lineage — truncated, they run on the VOCAB-bounded frame
+    * only). `ct` is the space-interleaved char tokenization BPE merges
+    * rewrite. Unfiltered (every non-empty word) so each consumer applies
+    * its own length contract downstream. */
+  private def bpeW0(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.engine.SharedArtifacts.memo(
+      graft.engine.SharedArtifacts.keyFor(docs, "bpeW0")) {
+      docs.select(explode(split(norm(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .withColumn("ct", concat(lit(" "),
+          expr("array_join(split(w, ''), ' ')"), lit(" ")))
+        .localCheckpoint(true)
+    }
+  }
+
   private def langGuess(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("vr", round(
@@ -45,7 +68,8 @@ object TextQueries extends QueryPack {
           .otherwise("other"))
       .select(col("lang"), col("guess"))
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     // -- per-document text statistics / quality scoring --------------------
     "q_text_stats" -> ((s, d) => {
       Tables.documents(s, d)
@@ -74,10 +98,7 @@ object TextQueries extends QueryPack {
     // text. Exact integer counts end to end; total (count desc, pair)
     // order makes the top-20 boundary deterministic.
     "q_bpe_pairs" -> ((s, d) => {
-      val words = Tables.documents(s, d)
-        .select(explode(split(norm(col("text")), " ")).as("w"))
-        .filter(length(col("w")) >= 2)
-        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      val words = bpeW0(s, d).filter(length(col("w")) >= 2)
       words
         .select(col("w"), col("n"),
           explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
@@ -381,7 +402,12 @@ object TextQueries extends QueryPack {
         expr("((tp + tn) * 1000000) div (tp + fp + fn + tn)")
           .as("accuracy_u"),
         when(den > 0.0, q6(num / den)).as("mcc"),
-        q6((tpr + tnr) / lit(2.0)).as("balanced_acc"))
+        // guard both recall denominators: a corpus with zero 'en' (or
+        // zero non-'en') docs would otherwise divide by 0 → NaN on the
+        // Spark side while DuckDB yields NULL — hash divergence on a
+        // degenerate-but-valid input
+        when((col("tp") + col("fn")) > 0L && (col("tn") + col("fp")) > 0L,
+          q6((tpr + tnr) / lit(2.0))).as("balanced_acc"))
     }),
 
     // -- document fingerprint: md5 + min-shingle rolling fingerprint -------
@@ -516,6 +542,51 @@ object TextQueries extends QueryPack {
         .withColumn("dup_frac",
           floor(col("n_dup_spans") * lit(1e6) / col("n_spans") + lit(0.5))
             / lit(1e6))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- exact-substring (span-level) dedup: maximal repeated spans --------
+    // The ExactSubstr shape of Lee et al. (suffix-array dedup): find the
+    // MAXIMAL ≥15-token spans that recur across documents — the unit a
+    // curation pipeline actually cuts, where q_dup_spans only scores the
+    // duplicated FRACTION. Suffix arrays don't distribute; the
+    // equivalent relational form is sorted positional shingle runs: a
+    // repeated span of L ≥ 15 tokens is exactly a run of L−4
+    // consecutive 5-word windows whose hashes each recur in ≥2 distinct
+    // docs, so (1) position-hash every window (the PositionalShingle
+    // kernel — narrow map), (2) keep positions whose hash is inter-doc
+    // recurring (one h-keyed agg + a left-semi join: the exact-dedup
+    // shuffle shape), (3) stitch consecutive survivors with
+    // gaps-and-islands (pos − row_number per doc — one DOC-KEYED window,
+    // parallelism = doc count), (4) keep islands spanning ≥ 15 tokens.
+    // Per doc: span count, duplicated-token mass, longest span, first
+    // offset — the cut list's driving stats. Every stage is keyed;
+    // nothing is corpus-quadratic (a hot boilerplate shingle is ONE row
+    // in the recurring set, fanned out only to its containing docs).
+    "q_dedup_substr" -> ((s, d) => {
+      val minTokens = 15L // spans of >= 15 tokens = runs of >= 11 windows
+      val sh = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), TextDedup.wordShinglesSeq(col("text")).as("hs"))
+      val pos = sh.select(col("doc_id"),
+        posexplode(col("hs")).as(Seq("pos", "h")))
+        .withColumn("pos", col("pos").cast("long"))
+      val recurring = pos.select(col("doc_id"), col("h")).distinct()
+        .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select(col("h"))
+      val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val spans = pos.join(recurring, Seq("h"), "left_semi")
+        .withColumn("grp",
+          col("pos") - row_number().over(wOrd).cast("long"))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("pos")).as("start_pos"), count(lit(1)).as("run"))
+        .withColumn("span_tokens", col("run") + lit(4L))
+        .filter(col("span_tokens") >= minTokens)
+      spans.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("span_tokens")).as("dup_tokens"),
+          max(col("span_tokens")).as("max_span_tokens"),
+          min(col("start_pos")).as("first_span_pos"))
         .orderBy(col("doc_id"))
     }),
 
@@ -677,16 +748,23 @@ object TextQueries extends QueryPack {
           floor(pow(col("c").cast("double"), lit(0.75)) * lit(1e6) +
             lit(0.5)).cast("long"))
       val tot = wc.agg(sum(col("wt_u")).as("tot"))
+      // the displayed top-30 own the FIRST 30 ranges of the
+      // (wt_u desc, w) total order, so their prefix sums depend only on
+      // rows above them in that same order — i.e. only on each other.
+      // Take the top-k FIRST (distributed TakeOrdered), then run the
+      // range window on the 30-row frame: the unpartitioned WindowExec
+      // never sees the open-ended vocab (1e8+ words at 100 TB), only a
+      // driver-bounded constant. tot stays the full-vocab aggregate.
+      val top = wc.orderBy(col("wt_u").desc, col("w")).limit(30)
       val wCum = Window.orderBy(col("wt_u").desc, col("w"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      wc.withColumn("cum_hi", sum(col("wt_u")).over(wCum))
+      top.withColumn("cum_hi", sum(col("wt_u")).over(wCum))
         .crossJoin(broadcast(tot))
         .select(col("w"), col("c"), col("wt_u"),
           (col("cum_hi") - col("wt_u")).as("range_lo"),
           col("cum_hi").as("range_hi"),
           expr("(wt_u * 1000000) div tot").as("prob_u"))
         .orderBy(col("wt_u").desc, col("w"))
-        .limit(30)
     }),
 
     // -- BPE tokenizer TRAINING loop (3 greedy merge rounds) -----------------
@@ -701,20 +779,18 @@ object TextQueries extends QueryPack {
     // The winning pair stays relational (a broadcast 1-row frame), so no
     // driver round-trips; 3 rounds = 3 bounded jobs.
     "q_bpe_train" -> ((s, d) => {
-      // eager localCheckpoint: the three unrolled rounds each re-derive
-      // their input lineage — without truncation round 3 would replay
-      // the full corpus tokenization scan three times; checkpointed, the
-      // replays run on the VOCAB-bounded frame only (measured 23.8 →
-      // ~4 s warm at the 10× probe)
-      val w0 = Tables.documents(s, d)
-        .select(explode(split(norm(col("text")), " ")).as("w"))
-        .filter(length(col("w")) >= 2)
-        .groupBy(col("w")).agg(count(lit(1)).as("n"))
-        .withColumn("ct", concat(lit(" "),
-          expr("array_join(split(w, ''), ' ')"), lit(" ")))
-        .localCheckpoint(true)
+      // rides the session-memoized (and eagerly checkpointed) bpeW0 —
+      // see the helper's Scaladoc; the ≥2-char contract applies here
+      // (single-char words carry no pairs in round 1, and rounds 2-3
+      // guard collapsed words inside bestPair)
+      val w0 = bpeW0(s, d).filter(length(col("w")) >= 2)
       def bestPair(wr: DataFrame): DataFrame = wr
         .withColumn("arr", split(trim(col("ct")), " "))
+        // words that collapsed to a single token after earlier merges
+        // contribute no pairs — without this guard sequence(0, -1) under
+        // ANSI mode makes arr[1] throw INVALID_ARRAY_INDEX (the oracle's
+        // range(1, len(arr)) is naturally empty for those words)
+        .filter(size(col("arr")) >= 2)
         .select(col("n"), explode(expr(
           "transform(sequence(0, size(arr) - 2), " +
             "i -> concat(arr[i], ' ', arr[i + 1]))")).as("pair"))
@@ -745,19 +821,24 @@ object TextQueries extends QueryPack {
       val merges = Seq("t h" -> "th", "th e" -> "the", "i n" -> "in",
         "a n" -> "an", "an d" -> "and", "e r" -> "er", "o n" -> "on",
         "r e" -> "re")
-      val ws = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(norm(col("text")), " "))
-          .as("w"))
-        .filter(length(col("w")) > 0)
-        .withColumn("ct", concat(lit(" "),
-          expr("array_join(split(w, ''), ' ')"), lit(" ")))
       val merged = merges.foldLeft(col("ct")) { case (acc, (a, b)) =>
         call_function("replace", acc, lit(s" $a "), lit(s" $b "))
       }
-      ws.withColumn("m", merged)
-        .withColumn("n_tok", size(split(trim(col("m")), " ")).cast("long"))
+      // per-WORD merge compute on the shared vocab-bounded bpeW0 frame
+      // (each distinct word tokenized once per session, not once per
+      // occurrence), joined back to the doc→word explode by key — the
+      // frequency-table formulation every production BPE encoder uses
+      val stats = bpeW0(s, d)
+        .withColumn("m", merged)
+        .select(col("w"), length(col("w")).cast("long").as("n_char"),
+          size(split(trim(col("m")), " ")).cast("long").as("n_tok"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(norm(col("text")), " "))
+          .as("w"))
+        .filter(length(col("w")) > 0)
+        .join(stats, "w")
         .groupBy(col("doc_id"))
-        .agg(sum(length(col("w"))).cast("long").as("n_char_tokens"),
+        .agg(sum(col("n_char")).as("n_char_tokens"),
           sum(col("n_tok")).as("n_tokens"))
         .withColumn("compression",
           round(col("n_tokens").cast("double") / col("n_char_tokens"), 6))
@@ -978,7 +1059,32 @@ object TextQueries extends QueryPack {
     // construction here); corpora with open universes (> 4096 grams)
     // fall back to the sorted-array bounded-merge verify unchanged.
     // The approximate scale path remains q_dedup_minhash.
-    "q_dedup_ngram" -> ((s, d) => {
+    "q_dedup_ngram" -> ((s, d) => ngramPairsExact(s, d)),
+
+    // -- scale-dispatched ngram dedup (VERDICT r11 item 3) -----------------
+    // The q_dedup_auto treatment for the second exact-by-contract
+    // quadratic row: probe corpus cardinality (one distinct-count) and
+    // route per TextDedup.dedupPathFor — the exact size-banded
+    // dense-universe miner at/under ExactPairsMaxDocs distinct docs,
+    // MinHash-LSH word-shingle banding above (q_dedup_minhash's
+    // semantics: above the ceiling the dense char-trigram universe
+    // defeats every sublinear exact structure — measured in the
+    // q_dedup_ngram block below — so the sanctioned web-scale feature
+    // space IS the sparse shingle one, recall-monitored by
+    // q_dedup_recall). Oracle pins the SMALL (exact) branch; the
+    // TextDedupSpec chooser pins make the quadratic path unreachable
+    // above the ceiling.
+    "q_dedup_ngram_auto" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val n = docs.select(col("doc_id")).distinct().count()
+      if (TextDedup.dedupPathFor(n) == "exact") ngramPairsExact(s, d)
+      else TextDedup.minHashLshPairs(docs, numPerms = 16, bands = 4,
+          threshold = 0.8)
+        .orderBy(col("d1"), col("d2"))
+    }),
+  ) ++ textRest
+
+  private def ngramPairsExact(s: SparkSession, d: String): DataFrame = {
       import org.apache.spark.sql.graft.NativeExpressions
       val thr = 0.8
       val salts = 32
@@ -1062,8 +1168,13 @@ object TextQueries extends QueryPack {
           greatest(col("ida"), col("idb")).as("d2"),
           round(jaccRaw, 6).as("jacc"))
         .orderBy(col("d1"), col("d2"))
-    }),
+  }
 
+  /** Continuation of the queries map after the ngram-dedup family
+    * refactor (the exact body is a named def so q_dedup_ngram and the
+    * auto dispatcher share it verbatim). */
+  private def textRest
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- MLM masking: deterministic 15% token corruption --------------------
     // Masked-language-model training-pair generation (BERT-style iid
     // masking): token (doc, pos) is masked iff its splitmix64 bucket
@@ -2313,9 +2424,11 @@ object TextQueries extends QueryPack {
           |      / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn)
           |        * (tn + fp) * (tn + fn)) * 1e6 + 0.5e0) / 1e6
           |  END AS mcc,
-          |  floor((CAST(tp AS DOUBLE) / (tp + fn)
-          |    + CAST(tn AS DOUBLE) / (tn + fp)) / 2.0e0
-          |    * 1e6 + 0.5e0) / 1e6 AS balanced_acc
+          |  CASE WHEN (tp + fn) > 0 AND (tn + fp) > 0
+          |    THEN floor((CAST(tp AS DOUBLE) / (tp + fn)
+          |      + CAST(tn AS DOUBLE) / (tn + fp)) / 2.0e0
+          |      * 1e6 + 0.5e0) / 1e6
+          |  END AS balanced_acc
           |FROM m""".stripMargin,
 
       "q_fingerprint" ->
@@ -2379,6 +2492,36 @@ object TextQueries extends QueryPack {
 
       // positional shingles (duplicates kept, unlike shingleCtes' set
       // form); same normalization + FNV-1a-64 as the Spark kernel
+      // same positional-FNV + recurring CTEs as q_dup_spans, then the
+      // gaps-and-islands stitch (pos − row_number per doc) and the
+      // ≥15-token span filter
+      "q_dedup_substr" -> {
+        import graft.engine.OracleHash._
+        val h = fnv1a64("array_to_string(ws[(pos+1):(pos+5)], ' ')")
+        s"""WITH w AS (SELECT doc_id,
+           |    string_split($normSql, ' ') AS ws FROM documents),
+           |ps AS (SELECT doc_id, pos, $h AS h
+           |  FROM (SELECT doc_id, ws,
+           |      unnest(range(0, greatest(len(ws) - 4, 1))) AS pos
+           |    FROM w) t),
+           |recurring AS (SELECT h FROM
+           |    (SELECT h, count(*) AS nd FROM
+           |      (SELECT DISTINCT doc_id, h FROM ps) dd GROUP BY h) c
+           |  WHERE nd >= 2),
+           |mk AS (SELECT doc_id, pos, row_number() OVER (
+           |    PARTITION BY doc_id ORDER BY pos) AS rn
+           |  FROM ps JOIN recurring USING (h)),
+           |sp AS (SELECT doc_id, min(pos) AS start_pos,
+           |    count(*) + 4 AS span_tokens
+           |  FROM mk GROUP BY doc_id, pos - rn),
+           |f AS (SELECT * FROM sp WHERE span_tokens >= 15)
+           |SELECT doc_id, count(*) AS n_spans,
+           |  CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+           |  CAST(max(span_tokens) AS BIGINT) AS max_span_tokens,
+           |  CAST(min(start_pos) AS BIGINT) AS first_span_pos
+           |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+
       "q_dup_spans" -> {
         import graft.engine.OracleHash._
         val h = fnv1a64("array_to_string(ws[(i+1):(i+5)], ' ')")
@@ -2719,6 +2862,24 @@ object TextQueries extends QueryPack {
            |SELECT d1, d2, hamming FROM cand WHERE hamming <= 3
            |ORDER BY d1, d2""".stripMargin
       },
+
+      // the auto dispatcher's oracle pins its SMALL (exact) branch —
+      // sf0.01 is orders of magnitude under ExactPairsMaxDocs
+      "q_dedup_ngram_auto" ->
+        """WITH n AS (SELECT doc_id,
+          |    regexp_replace(lower(trim(text)), '[ \t\n\f\r\x0B]+', ' ', 'g') AS nt
+          |  FROM documents),
+          |g AS (SELECT doc_id,
+          |    list_distinct(list_transform(range(0, length(nt) - 2),
+          |      i -> substring(nt, i + 1, 3))) AS grams
+          |  FROM n)
+          |SELECT d1, d2, jacc FROM (
+          |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+          |    round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+          |      (len(a.grams) + len(b.grams)
+          |       - len(list_intersect(a.grams, b.grams))), 6) AS jacc
+          |  FROM g a JOIN g b ON a.doc_id < b.doc_id) t
+          |WHERE jacc >= 0.8 ORDER BY d1, d2""".stripMargin,
 
       "q_dedup_ngram" ->
         """WITH n AS (SELECT doc_id,

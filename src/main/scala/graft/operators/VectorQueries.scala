@@ -117,7 +117,8 @@ object VectorQueries extends QueryPack {
     java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     // -- per-label embedding statistics ------------------------------------
     "q_embed_stats" -> ((s, d) => {
       emb(s, d)
@@ -288,7 +289,28 @@ object VectorQueries extends QueryPack {
     // graph has ≤ 2k·n directed edges, every join below is a keyed
     // equi-join on vertex ids (wedge volume bounded by Σ deg²), and the
     // per-vertex count is one hash agg.
-    "q_knn_triangles" -> ((s, d) => {
+    "q_knn_triangles" -> ((s, d) => knnTrianglesExact(s, d)),
+
+    // -- scale-dispatched kNN-triangles (VERDICT r11 item 3) ---------------
+    // The q_dedup_auto treatment for the exact-by-contract quadratic row:
+    // probe the corpus cardinality (one count — the ANN branch needs it
+    // anyway for nlist derivation) and route per Vectors.knnPathFor —
+    // exact blocked kNN at/under ExactKnnMaxVectors, the recall-gated
+    // IVF twin above. The oracle pins the SMALL branch (sf0.01 is far
+    // under the ceiling, so it must equal q_knn_triangles bit-for-bit);
+    // VectorsSpec pins the chooser constants and the exact-branch
+    // equality, so the quadratic path is unreachable at web scale.
+    "q_knn_triangles_auto" -> ((s, d) => {
+      val n = emb(s, d).count()
+      if (Vectors.knnPathFor(n) == "exact") knnTrianglesExact(s, d)
+      else knnTrianglesAnn(s, d)
+    }),
+  ) ++ knnTrianglesRest
+
+  /** Exact blocked kNN (top-3 cosine) + triangle close — O(n²) dot
+    * products by contract; ground truth for the ANN twin. See the
+    * q_knn_triangles Scaladoc block above for the blocking argument. */
+  private def knnTrianglesExact(s: SparkSession, d: String): DataFrame = {
       val blkSz = 256
       val pts = emb(s, d).select(col("vec_id").as("id"), col("v"))
         .withColumn("nrm", Vectors.norm(col("v")))
@@ -349,9 +371,9 @@ object VectorQueries extends QueryPack {
         .agg(count(lit(1)).as("n_triangles"))
         .orderBy(col("vec_id"))
       }
-    }),
+  }
 
-    // -- ANN twin of q_knn_triangles (the sanctioned 100 TB path) ----------
+  // -- ANN twin of q_knn_triangles (the sanctioned 100 TB path) ----------
     // q_knn_triangles is EXACT kNN and therefore O(n²) by contract (its
     // oracle is brute force); this is the recall-gated approximate twin
     // a web-scale corpus actually runs: every vector probes its top-2
@@ -364,7 +386,7 @@ object VectorQueries extends QueryPack {
     // all-pairs. Both rows stay in the corpus: exact is ground truth,
     // this is the scale path, and VectorsSpec measures the edge recall
     // between them (q_ann_recall monitors the same index continuously).
-    "q_knn_triangles_ann" -> ((s, d) => {
+  private def knnTrianglesAnn(s: SparkSession, d: String): DataFrame = {
       val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
         .withColumn("nrm", Vectors.norm(col("v")))
       val nlist = Vectors.deriveNlist(e.count())
@@ -400,7 +422,14 @@ object VectorQueries extends QueryPack {
         .groupBy(col("vec_id"))
         .agg(count(lit(1)).as("n_triangles"))
         .orderBy(col("vec_id"))
-    }),
+  }
+
+  /** Continuation of the queries map after the kNN-triangles family
+    * refactor (exact/ANN bodies are named defs so the auto dispatcher
+    * shares them verbatim — the three rows cannot drift apart). */
+  private def knnTrianglesRest
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_triangles_ann" -> ((s, d) => knnTrianglesAnn(s, d)),
 
     // -- IVF ANN: centroid-partitioned approximate top-k -------------------
     // Inverted-file index: corpus vectors are assigned to their nearest
@@ -1617,6 +1646,29 @@ object VectorQueries extends QueryPack {
            |    AS BIGINT) AS n_same_label
            |FROM r WHERE rnk <= 5 GROUP BY q_id, q_label
            |ORDER BY q_id""".stripMargin,
+
+      // the auto dispatcher's oracle pins its SMALL (exact) branch:
+      // sf0.01 has ~6k vectors, far under Vectors.ExactKnnMaxVectors,
+      // so q_knn_triangles_auto must equal q_knn_triangles bit-for-bit
+      "q_knn_triangles_auto" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+           |  FROM embeddings),
+           |s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           |    $dotAB / (sqrt(list_dot_product(a.vd, a.vd)) *
+           |              sqrt(list_dot_product(b.vd, b.vd))) AS cos_raw
+           |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+           |k AS (SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
+           |    ORDER BY cos_raw DESC, b_id ASC) AS rnk FROM s),
+           |ed AS (SELECT DISTINCT least(a_id, b_id) AS u,
+           |    greatest(a_id, b_id) AS vx FROM k WHERE rnk <= 3),
+           |tri AS (SELECT e1.u AS x, e1.vx AS y, e2.vx AS z
+           |  FROM ed e1 JOIN ed e2 ON e2.u = e1.vx
+           |  JOIN ed e3 ON e3.u = e1.u AND e3.vx = e2.vx)
+           |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_triangles
+           |FROM (SELECT x AS vec_id FROM tri
+           |      UNION ALL SELECT y FROM tri
+           |      UNION ALL SELECT z FROM tri) t
+           |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
       "q_knn_triangles" ->
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd

@@ -14,6 +14,35 @@ class QueryCorpusSpec extends AnyFunSuite {
 
   private val mayBeEmptyAtSf0001 = Set("q_anti_join", "q_self_join")
 
+  // Unpartitioned-window allowlist (VERDICT r11 item 2): every corpus
+  // query whose OPTIMIZED plan contains a Window with an EMPTY
+  // partitionSpec and no Limit beneath it must appear here — the
+  // single-task window shape is only admissible over frames bounded by
+  // something other than corpus size. Every member below windows a
+  // DOMAIN-bounded frame: value-quantization cells (~1e5:
+  // q_mann_whitney/q_kruskal_wallis/q_outlier_mad-class), integer
+  // micro-scaled score cells (≤1e6+1: q_ks_separation/q_spearman/
+  // q_isotonic/q_propensity_strat/q_qini_uplift), day/calendar series
+  // (q_acf/q_ar_fit/q_bollinger/q_cusum/q_ewma_chart/q_granger/
+  // q_stl_decompose/q_hurst/q_heaps_law/q_runs_test/q_durbin_watson/
+  // q_changepoint/q_pettitt/q_rolling_quantile/q_running_distinct),
+  // survival event times (q_kaplan_meier/q_hazard_curve/q_weibull_fit),
+  // test-statistic frames (q_bh_fdr/q_wilcoxon_signed/q_dp_quantile),
+  // decile/bucket frames (q_rfm), and the 200-root BFS distance domain
+  // (q_effective_diameter). A query that windows an OPEN-ended frame
+  // (vocab, doc ids, users) must take a Limit first (the
+  // q_negative_sampling r12 fix) or ride Dist.globalPrefixSum — adding
+  // a name here requires writing down WHAT bounds the frame.
+  private val boundedGlobalWindow = Set(
+    "q_acf", "q_ar_fit", "q_bh_fdr", "q_bollinger", "q_changepoint",
+    "q_cusum", "q_dp_quantile", "q_durbin_watson", "q_effective_diameter",
+    "q_ewma_chart", "q_granger", "q_hazard_curve", "q_heaps_law",
+    "q_hurst", "q_isotonic", "q_kaplan_meier", "q_kruskal_wallis",
+    "q_ks_separation", "q_mann_whitney", "q_pettitt", "q_propensity_strat",
+    "q_qini_uplift", "q_rfm", "q_rolling_quantile", "q_running_distinct",
+    "q_runs_test", "q_spearman", "q_stl_decompose", "q_weibull_fit",
+    "q_wilcoxon_signed")
+
   test("oracle entries reference declared queries only") {
     val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"oracle without query: $unknown")
@@ -39,6 +68,25 @@ class QueryCorpusSpec extends AnyFunSuite {
     test(s"$name runs on sf0.001") {
       val df = fn(spark, sfDir)
       assert(df.columns.nonEmpty)
+      // Unpartitioned-window gate (see boundedGlobalWindow above): a
+      // global ORDER BY window with no Limit beneath it moves its whole
+      // input to one task at ANY scale — admissible only over
+      // domain-bounded frames, which must be allowlisted with their
+      // bound written down.
+      locally {
+        import org.apache.spark.sql.catalyst.plans.logical.{
+          GlobalLimit, LocalLimit, Window => LWindow}
+        val unkeyed = df.queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty &&
+            w.child.collectFirst {
+              case _: GlobalLimit => (); case _: LocalLimit => ()
+            }.isEmpty => w
+        }
+        assert(unkeyed.isEmpty || boundedGlobalWindow(name),
+          s"$name runs ${unkeyed.size} unpartitioned un-limited Window(s)" +
+          " — bound the frame (Limit first / Dist.globalPrefixSum) or" +
+          " allowlist it in boundedGlobalWindow with the domain bound")
+      }
       // Grader-compat canary: the driver canonicalizes every result in
       // pandas (sort_values over all columns) before hashing, and a
       // top-level array/map/struct column crashes it unhashable (r9:

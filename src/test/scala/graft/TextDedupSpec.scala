@@ -65,6 +65,52 @@ class TextDedupSpec extends AnyFunSuite {
       s"auto (exact branch) diverged from exactJaccardPairs: $auto")
   }
 
+  test("q_dedup_substr: brute-force span replay on the real corpus (sf0.001)") {
+    // Independent replay of the gaps-and-islands stitch: take the SAME
+    // positional shingle hashes (the kernel is pinned by
+    // NativeExpressionsSpec), recompute recurring-set membership and
+    // maximal runs in plain Scala, and compare all four per-doc stats.
+    import org.apache.spark.sql.functions.col
+    val d = SparkFixture.sfDir
+    val hs = graft.engine.Tables.documents(spark, d)
+      .select(col("doc_id"), TextDedup.wordShinglesSeq(col("text")).as("hs"))
+      .as[(Long, Seq[Long])].collect().toSeq
+    val docCount = hs.flatMap { case (id, s) => s.distinct.map(h => (h, id)) }
+      .groupBy(_._1).map { case (h, xs) => (h, xs.map(_._2).distinct.size) }
+    val recurring = docCount.filter(_._2 >= 2).keySet
+    val expected = hs.flatMap { case (id, s) =>
+      val marked = s.zipWithIndex.collect {
+        case (h, p) if recurring(h) => p.toLong
+      }
+      // maximal runs of consecutive positions
+      val runs = marked.foldLeft(List.empty[(Long, Long)]) {
+        case ((st, en) :: rest, p) if p == en + 1 => (st, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }.map { case (st, en) => (st, en - st + 1 + 4) }
+        .filter(_._2 >= 15L)
+      if (runs.isEmpty) Nil
+      else Seq((id, runs.size.toLong, runs.map(_._2).sum,
+        runs.map(_._2).max, runs.map(_._1).min))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_dedup_substr")(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected, s"span replay mismatch:\n$got\nvs\n$expected")
+    assert(got.nonEmpty, "corpus has planted copies; spans expected")
+  }
+
+  test("ngram scale dispatcher: auto equals the exact size-banded miner here") {
+    // VERDICT r11 item 3: q_dedup_ngram_auto rides the same
+    // dedupPathFor chooser (pinned above); on a corpus under the
+    // ceiling it must emit q_dedup_ngram's exact answer bit-for-bit.
+    val d = SparkFixture.sfDir
+    val auto = SparkEntry.queries("q_dedup_ngram_auto")(spark, d)
+      .as[(Long, Long, Double)].collect().toSeq
+    val exactNg = SparkEntry.queries("q_dedup_ngram")(spark, d)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(auto == exactNg,
+      "auto (exact branch) diverged from q_dedup_ngram")
+  }
+
   test("native 3-shingle distinct count equals the interpreted trigram pipeline") {
     // q_repetition_ratio's rewrite contract: size(shingleHashes(text, 3))
     // must agree with the transform/slice/concat trigram formulation,

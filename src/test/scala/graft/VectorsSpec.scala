@@ -60,6 +60,22 @@ class VectorsSpec extends AnyFunSuite {
       s"recall ${blocked.size}/${exact.size} below 50%")
   }
 
+  test("kNN scale dispatcher: exact at/under the ceiling, IVF-ANN above; auto equals exact here") {
+    // The TextDedup.dedupPathFor discipline extended to the second
+    // exact-by-contract quadratic row (VERDICT r11 item 3): the chooser
+    // constants are pinned so the rule can't drift, and the dispatcher
+    // on a small corpus must emit the exact row's answer bit-for-bit.
+    assert(Vectors.knnPathFor(1L) == "exact")
+    assert(Vectors.knnPathFor(Vectors.ExactKnnMaxVectors) == "exact")
+    assert(Vectors.knnPathFor(Vectors.ExactKnnMaxVectors + 1) == "ivf-ann")
+    val d = SparkFixture.sfDir
+    val auto = SparkEntry.queries("q_knn_triangles_auto")(spark, d)
+      .as[(Long, Long)].collect().toSeq
+    val exact = SparkEntry.queries("q_knn_triangles")(spark, d)
+      .as[(Long, Long)].collect().toSeq
+    assert(auto == exact, "auto (exact branch) diverged from q_knn_triangles")
+  }
+
   test("q_knn_triangles: IVF-blocked kNN build matches brute force (sf0.01)") {
     // r8 punch-list #5: the shipped plan blocks candidates via IVF
     // (nprobe=2) instead of an O(n²) broadcast NLJ. Pin that on the real
