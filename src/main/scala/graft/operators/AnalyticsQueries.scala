@@ -790,6 +790,24 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("root"))
     }),
 
+    // -- sampled closeness centrality (bounded-horizon) ---------------------
+    // The classical closeness readout on the same fixed 200-root bounded
+    // BFS: reached mass over total distance, n_reached/Σdist per root —
+    // the "how central is this node" number the harmonic variant
+    // regularizes (harmonic handles disconnection; closeness is the one
+    // dashboards quote). Fourth consumer of the memoized multiRootBfs
+    // frame: marginal cost is one root-keyed aggregate; the ratio is an
+    // exact integer micro-division (all-positive operands, div == //).
+    "q_closeness_centrality" -> ((s, d) => {
+      multiRootBfs(s, d).filter(col("dist") > 0L)
+        .groupBy(col("root"))
+        .agg(count(lit(1)).as("n_reached"), sum(col("dist")).as("sum_dist"))
+        .select(col("root"), col("n_reached"), col("sum_dist"),
+          (expr("(n_reached * 1000000) div sum_dist").cast("double") /
+            lit(1e6)).as("closeness"))
+        .orderBy(col("root"))
+    }),
+
     // -- label propagation (semi-supervised label flooding) ----------------
     // The graph half of semi-supervised learning: a few nodes carry
     // known labels (every 20th customer, labeled with its nation's
@@ -3777,6 +3795,16 @@ object AnalyticsQueries extends QueryPack {
     "q_harmonic_centrality" -> harmonicSql,
 
     "q_eccentricity" -> eccentricitySql,
+
+    // same multi-root BFS CTE chain; integer micro closeness
+    "q_closeness_centrality" ->
+      s"""WITH $multiRootBfsCtes
+         |SELECT root, count(*) AS n_reached,
+         |  CAST(sum(dist) AS BIGINT) AS sum_dist,
+         |  CAST((count(*) * 1000000) // CAST(sum(dist) AS BIGINT)
+         |    AS DOUBLE) / 1e6 AS closeness
+         |FROM d$bfsHops WHERE dist > 0 GROUP BY root
+         |ORDER BY root""".stripMargin,
 
     // contingency percentile on the bounded {1..3} distance domain
     "q_effective_diameter" ->

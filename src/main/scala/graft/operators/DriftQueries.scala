@@ -294,6 +294,52 @@ object DriftQueries extends QueryPack {
           (col("slo").cast("double") / lit(1e6)).as("cusum_lo"),
           (col("shi") > col("hq") || col("slo") > col("hq")).as("alarm"))
         .orderBy(col("day"))
+    }),
+
+    // -- Page-Hinkley mean-shift detector over the daily value series ------
+    // The streaming-drift literature's other sequential detector (the one
+    // river/MOA ship next to CUSUM): m_t = Σ_{i≤t}(x_i − x̄_i − δ) where
+    // x̄_i is the RUNNING mean at step i, alarm when m_t − min_{s≤t} m_s
+    // exceeds λ. Differs from q_cusum in the reference point — CUSUM
+    // measures drift against the fixed global mean, PH against the
+    // evolving prefix mean, which is what makes it usable one-pass on an
+    // open stream. The recursion collapses to windows the same way:
+    // x̄_i is one prefix-ratio window, m_t a second running sum, the
+    // floor a running min — three windows over the BOUNDED day frame
+    // (calendar-domain, the q_cusum class; data-sized work is one
+    // day-keyed aggregate). Determinism: day means and the running mean
+    // are exact integer micro-units ((cum·1000) div n — positive
+    // operands, so div == //); δ and λ quantize from σ once; every
+    // accumulation and the alarm comparison is integer arithmetic.
+    "q_page_hinkley" -> ((s, d) => {
+      val byDay = Tables.eventsWithTime(s, d)
+        .select(expr("ts_us div 86400000000").as("day"),
+          floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+            .as("vq"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("vq")).as("sq"))
+        .withColumn("xm", expr("(sq * 1000) div n"))
+      val t = byDay.agg(count(lit(1)).as("nd"), sum(col("xm")).as("s1"),
+        sum(col("xm") * col("xm")).as("s2"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byDay.crossJoin(broadcast(t))
+        .withColumn("sd", sqrt((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1") / col("nd")) / col("nd")))
+        .withColumn("dq",
+          floor(col("sd") * lit(0.1) + lit(0.5)).cast("long"))
+        .withColumn("lq",
+          floor(col("sd") * lit(5.0) + lit(0.5)).cast("long"))
+        .withColumn("cums", sum(col("sq")).over(w))
+        .withColumn("cumn", sum(col("n")).over(w))
+        .withColumn("xbar", expr("(cums * 1000) div cumn"))
+        .withColumn("mt", sum(col("xm") - col("xbar") - col("dq")).over(w))
+        .withColumn("ph", col("mt") - least(lit(0L), min(col("mt")).over(w)))
+        .select(col("day"), col("n"),
+          (col("xbar").cast("double") / lit(1e6)).as("run_mean"),
+          (col("ph").cast("double") / lit(1e6)).as("ph_stat"),
+          (col("ph") > col("lq")).as("alarm"))
+        .orderBy(col("day"))
     })
   )
 
@@ -430,6 +476,36 @@ object DriftQueries extends QueryPack {
         |  CAST(shi AS DOUBLE) / 1e6 AS cusum_hi,
         |  CAST(slo AS DOUBLE) / 1e6 AS cusum_lo,
         |  (shi > hq OR slo > hq) AS alarm
-        |FROM sc ORDER BY day""".stripMargin
+        |FROM sc ORDER BY day""".stripMargin,
+
+    "q_page_hinkley" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq
+        |  FROM events),
+        |g AS (SELECT day, count(*) AS n, CAST(sum(vq) AS BIGINT) AS sq
+        |  FROM e GROUP BY day),
+        |g2 AS (SELECT day, n, sq, (sq * 1000) // n AS xm FROM g),
+        |t AS (SELECT count(*) AS nd, CAST(sum(xm) AS BIGINT) AS s1,
+        |    CAST(sum(xm * xm) AS BIGINT) AS s2 FROM g2),
+        |p AS (SELECT g2.*,
+        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nd)
+        |      / nd) AS sd
+        |  FROM g2 CROSS JOIN t),
+        |k AS (SELECT *, CAST(floor(sd * 0.1 + 0.5) AS BIGINT) AS dq,
+        |    CAST(floor(sd * 5.0 + 0.5) AS BIGINT) AS lq FROM p),
+        |c AS (SELECT *,
+        |    (CAST(sum(sq) OVER (ORDER BY day) AS BIGINT) * 1000)
+        |      // CAST(sum(n) OVER (ORDER BY day) AS BIGINT) AS xbar
+        |  FROM k),
+        |m AS (SELECT *,
+        |    CAST(sum(xm - xbar - dq) OVER (ORDER BY day) AS BIGINT) AS mt
+        |  FROM c),
+        |f AS (SELECT *,
+        |    mt - least(0, min(mt) OVER (ORDER BY day)) AS ph FROM m)
+        |SELECT CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n,
+        |  CAST(xbar AS DOUBLE) / 1e6 AS run_mean,
+        |  CAST(ph AS DOUBLE) / 1e6 AS ph_stat,
+        |  ph > lq AS alarm
+        |FROM f ORDER BY day""".stripMargin
   )
 }

@@ -280,6 +280,27 @@ object RelationalQueries extends QueryPack {
           |         l_linestatus ASC NULLS FIRST""".stripMargin)
     }),
 
+    // -- LATERAL correlated subquery (top-N per key, SQL surface) ----------
+    // The SQL-standard per-key top-N idiom: a correlated LATERAL derived
+    // table with ORDER BY + LIMIT, the form analysts port from every
+    // warehouse. Spark decorrelates it (DecorrelateInnerQuery) into the
+    // same rank-window plan q_window_topk declares — i.e. the lateral
+    // is pure SURFACE: one shuffle on the correlation key, no per-row
+    // re-execution, so the 100 TB plan is the window plan. Customers
+    // without orders drop (inner lateral join semantics, mirrored).
+    "q_lateral_topn" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM customer c,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+          |         WHERE o_custkey = c.c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey
+          |         LIMIT 2) t
+          |ORDER BY c.c_custkey, t.o_totalprice DESC,
+          |         t.o_orderkey""".stripMargin)
+    }),
+
     // -- filtered / conditional aggregation -------------------------------
     "q_filtered_agg" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -939,6 +960,17 @@ object RelationalQueries extends QueryPack {
         |                        (l_returnflag), ())
         |ORDER BY gid, l_returnflag ASC NULLS FIRST,
         |         l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    // identical LATERAL text — DuckDB runs the same SQL-standard form
+    "q_lateral_topn" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey
+        |         LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_totalprice DESC,
+        |         t.o_orderkey""".stripMargin,
 
     "q_filtered_agg" ->
       """SELECT l_returnflag,

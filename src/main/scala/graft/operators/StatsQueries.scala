@@ -1453,6 +1453,141 @@ object StatsQueries extends QueryPack {
           round((bD - cD) * (bD - cD) / (bD + cD), 6)).as("chi2"))
     }),
 
+    // -- Cramér's V (categorical association strength) ----------------------
+    // The effect-size companion the χ² family lacks: how STRONGLY are
+    // order status and priority associated, on a [0,1] scale comparable
+    // across tables? V = √(χ²/(n·(min(r,c)−1))) over the full r×c
+    // contingency grid. The grid is DENSIFIED from the margin cross
+    // product (the q_friedman convention: χ² charges e_ij for empty
+    // cells too — a cells-only sum understates). Exact integer cells and
+    // margins; each cell's (n_ij−e_ij)²/e_ij quantizes to integer
+    // micro-units on the BOUNDED grid (r·c ≤ 15 here) and sums exactly;
+    // V is one mirrored double expression. Data-sized work: one
+    // two-column groupBy.
+    "q_cramers_v" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderstatus").as("rr"),
+          col("o_orderpriority").as("cc"))
+      val cells = o.groupBy(col("rr"), col("cc"))
+        .agg(count(lit(1)).as("nij"))
+      val rm = cells.groupBy(col("rr")).agg(sum(col("nij")).as("ri"))
+      val cm = cells.groupBy(col("cc")).agg(sum(col("nij")).as("cj"))
+      val tot = cells.agg(sum(col("nij")).as("n"),
+        countDistinct(col("rr")).as("r"),
+        countDistinct(col("cc")).as("c"))
+      val grid = rm.crossJoin(cm)
+        .join(cells, Seq("rr", "cc"), "left")
+        .withColumn("nij", coalesce(col("nij"), lit(0L)))
+        .crossJoin(broadcast(tot))
+      val eij = col("ri").cast("double") * col("cj") / col("n")
+      grid
+        .withColumn("t_u", floor((col("nij") - eij) * (col("nij") - eij) /
+          eij * lit(1e6) + lit(0.5)).cast("long"))
+        .groupBy(col("n"), col("r"), col("c"))
+        .agg(sum(col("t_u")).as("chi_u"))
+        .select(col("n"), col("r"), col("c"),
+          (col("chi_u").cast("double") / lit(1e6)).as("chi2"),
+          (floor(sqrt(col("chi_u").cast("double") / lit(1e6) /
+            (col("n").cast("double") *
+              (least(col("r"), col("c")) - lit(1L)).cast("double"))) *
+            lit(1e6) + lit(0.5)) / lit(1e6)).as("cramers_v"))
+    }),
+
+    // -- χ² goodness-of-fit (priority mix vs the uniform null) -------------
+    // The one-sample categorical test: does the order-priority mix
+    // deviate from uniform? Per-category (o−e)²/e terms quantize to
+    // integer micro-units on the k-row category frame and sum exactly;
+    // df = k−1. The corpus contract pins k = 5 priorities, so df = 4 is
+    // EVEN and the χ² p-value is closed form p = e^(−x/2)·(1 + x/2)
+    // (the q_friedman/q_kruskal_wallis device) — guarded on k, NULL if a
+    // future corpus changes the category count. Data-sized work: one
+    // single-column groupBy.
+    "q_chisq_gof" -> ((s, d) => {
+      val cells = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("cat"))
+        .agg(count(lit(1)).as("o"))
+      val tot = cells.agg(sum(col("o")).as("n"), count(lit(1)).as("k"))
+      val e = col("n").cast("double") / col("k").cast("double")
+      val agg1 = cells.crossJoin(broadcast(tot))
+        .withColumn("t_u", floor((col("o") - e) * (col("o") - e) / e *
+          lit(1e6) + lit(0.5)).cast("long"))
+        .groupBy(col("n"), col("k"))
+        .agg(sum(col("t_u")).as("chi_u"))
+      val chi = col("chi_u").cast("double") / lit(1e6)
+      agg1.select(col("n"), col("k"),
+        chi.as("chi2"),
+        (col("k") - lit(1L)).as("df"),
+        when(col("k") === 5L,
+          floor(exp(-chi / lit(2.0)) * (lit(1.0) + chi / lit(2.0)) *
+            lit(1e6) + lit(0.5)) / lit(1e6)).as("p_value"))
+    }),
+
+    // -- paired sign test (early vs late per-user value) --------------------
+    // The assumption-free paired companion of q_mann_whitney: for each
+    // user active in BOTH halves of the window, the sign of the
+    // (late − early) mean-value change; under H₀ signs are fair coins.
+    // The per-user delta is the exact integer micro-quantized
+    // mean-difference (the diff-in-means device); zeros drop by the
+    // textbook rule; z = (n_pos − n_neg)/√(n_pos + n_neg) is one
+    // mirrored expression. Data-sized work: one user-keyed aggregate.
+    "q_sign_test" -> ((s, d) => {
+      val e0 = Tables.eventsWithTime(s, d)
+        .select(col("user_id"), expr("ts_us div 86400000000").as("dd"),
+          floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+            .as("vq"))
+      val mid = e0.agg(expr("(min(dd) + max(dd)) div 2").as("mid"))
+      val u = e0.crossJoin(broadcast(mid))
+        .withColumn("h1", (col("dd") <= col("mid")).cast("int")
+          .cast("long"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("h1")).as("n1"),
+          sum(col("h1") * col("vq")).as("sv1"),
+          sum(lit(1L) - col("h1")).as("n2"),
+          sum((lit(1L) - col("h1")) * col("vq")).as("sv2"))
+        .filter(col("n1") > 0L && col("n2") > 0L)
+        .withColumn("dq", floor(
+          (col("sv2").cast("double") / col("n2").cast("double") -
+            col("sv1").cast("double") / col("n1").cast("double")) /
+            lit(1000.0) * lit(1e6) + lit(0.5)).cast("long"))
+      val m = u.agg(
+        sum(when(col("dq") > 0L, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("dq") < 0L, 1L).otherwise(0L)).as("n_neg"))
+      val pD = col("n_pos").cast("double")
+      val nD = col("n_neg").cast("double")
+      m.select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") + col("n_neg") > 0L,
+          floor((pD - nD) / sqrt(pD + nD) * lit(1e6) + lit(0.5)) /
+            lit(1e6)).as("z"))
+    }),
+
+    // -- two-sample Poisson rate test (purchase vs click intensity) --------
+    // Are purchases and clicks arriving at different daily rates? With
+    // equal exposure (the same day window), the conditional test's
+    // normal approximation is z = (k₁ − k₂)/√(k₁ + k₂) — exact integer
+    // counts, one mirrored expression. Rates report as exact integer
+    // micro-units per day ((k·10⁶) div days). Data-sized work: one
+    // filtered scan.
+    "q_poisson_rate_test" -> ((s, d) => {
+      val e0 = Tables.eventsWithTime(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_type"), expr("ts_us div 86400000000").as("dd"))
+      val m = e0.agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("k1"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("k2"),
+        (max(col("dd")) - min(col("dd")) + lit(1L)).as("days"))
+      val k1D = col("k1").cast("double"); val k2D = col("k2").cast("double")
+      m.select(col("k1"), col("k2"), col("days"),
+        (expr("(k1 * 1000000) div days").cast("double") / lit(1e6))
+          .as("rate1"),
+        (expr("(k2 * 1000000) div days").cast("double") / lit(1e6))
+          .as("rate2"),
+        when(col("k1") + col("k2") > 0L,
+          floor((k1D - k2D) / sqrt(k1D + k2D) * lit(1e6) + lit(0.5)) /
+            lit(1e6)).as("z"))
+    }),
+
     // -- Cronbach's alpha (internal consistency of the metric panel) -------
     // Do the 5 per-type daily volumes move together enough to justify a
     // single "site activity" composite? α = k/(k−1)·(1 − Σvarⱼ/var_tot)
@@ -3707,6 +3842,114 @@ object StatsQueries extends QueryPack {
          |    AS chi2
          |FROM m""".stripMargin
     },
+
+    // densified r×c grid from the margin cross product; per-cell terms
+    // micro-quantized then integer-summed; mirrored V
+    "q_cramers_v" ->
+      """WITH o AS (SELECT o_orderstatus AS rr, o_orderpriority AS cc
+        |  FROM orders),
+        |cells AS (SELECT rr, cc, count(*) AS nij FROM o GROUP BY 1, 2),
+        |rm AS (SELECT rr, CAST(sum(nij) AS BIGINT) AS ri
+        |  FROM cells GROUP BY 1),
+        |cm AS (SELECT cc, CAST(sum(nij) AS BIGINT) AS cj
+        |  FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(nij) AS BIGINT) AS n,
+        |    count(DISTINCT rr) AS r, count(DISTINCT cc) AS c FROM cells),
+        |grid AS (SELECT rm.rr, cm.cc, ri, cj,
+        |    coalesce(cells.nij, 0) AS nij
+        |  FROM rm CROSS JOIN cm
+        |  LEFT JOIN cells ON cells.rr = rm.rr AND cells.cc = cm.cc),
+        |tu AS (SELECT n, r, c,
+        |    CAST(floor((nij - CAST(ri AS DOUBLE) * cj / n)
+        |      * (nij - CAST(ri AS DOUBLE) * cj / n)
+        |      / (CAST(ri AS DOUBLE) * cj / n) * 1e6 + 0.5e0) AS BIGINT)
+        |      AS t_u
+        |  FROM grid CROSS JOIN tot),
+        |ag AS (SELECT n, r, c, CAST(sum(t_u) AS BIGINT) AS chi_u
+        |  FROM tu GROUP BY 1, 2, 3)
+        |SELECT n, r, c, CAST(chi_u AS DOUBLE) / 1e6 AS chi2,
+        |  floor(sqrt(CAST(chi_u AS DOUBLE) / 1e6 / (CAST(n AS DOUBLE)
+        |    * CAST(least(r, c) - 1 AS DOUBLE))) * 1e6 + 0.5e0) / 1e6
+        |    AS cramers_v
+        |FROM ag""".stripMargin,
+
+    // per-category terms micro-quantized then integer-summed; df = k−1;
+    // the even-df closed-form p guarded on the 5-priority contract
+    "q_chisq_gof" ->
+      """WITH cells AS (SELECT o_orderpriority AS cat, count(*) AS o
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n, count(*) AS k
+        |  FROM cells),
+        |tu AS (SELECT n, k,
+        |    CAST(floor((o - CAST(n AS DOUBLE) / CAST(k AS DOUBLE))
+        |      * (o - CAST(n AS DOUBLE) / CAST(k AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) / CAST(k AS DOUBLE)) * 1e6 + 0.5e0)
+        |      AS BIGINT) AS t_u
+        |  FROM cells CROSS JOIN tot),
+        |ag AS (SELECT n, k, CAST(sum(t_u) AS BIGINT) AS chi_u
+        |  FROM tu GROUP BY 1, 2)
+        |SELECT n, k, CAST(chi_u AS DOUBLE) / 1e6 AS chi2,
+        |  CAST(k - 1 AS BIGINT) AS df,
+        |  CASE WHEN k = 5 THEN
+        |    floor(exp(-(CAST(chi_u AS DOUBLE) / 1e6) / 2.0e0)
+        |      * (1.0e0 + (CAST(chi_u AS DOUBLE) / 1e6) / 2.0e0)
+        |      * 1e6 + 0.5e0) / 1e6 END AS p_value
+        |FROM ag""".stripMargin,
+
+    // exact integer per-user mean deltas; ties drop; mirrored z
+    "q_sign_test" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS dd,
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq
+        |  FROM events),
+        |mid AS (SELECT (min(dd) + max(dd)) // 2 AS mid FROM e),
+        |u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN dd <= mid THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(sum(CASE WHEN dd <= mid THEN vq ELSE 0 END) AS BIGINT)
+        |      AS sv1,
+        |    CAST(sum(CASE WHEN dd > mid THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n2,
+        |    CAST(sum(CASE WHEN dd > mid THEN vq ELSE 0 END) AS BIGINT)
+        |      AS sv2
+        |  FROM e CROSS JOIN mid GROUP BY user_id),
+        |dq AS (SELECT CAST(floor((CAST(sv2 AS DOUBLE) / n2
+        |      - CAST(sv1 AS DOUBLE) / n1) / 1000.0e0 * 1e6 + 0.5e0)
+        |      AS BIGINT) AS dq
+        |  FROM u WHERE n1 > 0 AND n2 > 0),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN dq > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pos,
+        |    CAST(sum(CASE WHEN dq < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_neg
+        |  FROM dq)
+        |SELECT n_pos, n_neg,
+        |  CASE WHEN n_pos + n_neg > 0 THEN
+        |    floor((CAST(n_pos AS DOUBLE) - CAST(n_neg AS DOUBLE))
+        |      / sqrt(CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE))
+        |      * 1e6 + 0.5e0) / 1e6 END AS z
+        |FROM m""".stripMargin,
+
+    // exact counts over the shared exposure window; integer micro rates;
+    // mirrored z
+    "q_poisson_rate_test" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS dd
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k1,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k2,
+        |    max(dd) - min(dd) + 1 AS days
+        |  FROM e)
+        |SELECT k1, k2, CAST(days AS BIGINT) AS days,
+        |  CAST((k1 * 1000000) // days AS DOUBLE) / 1e6 AS rate1,
+        |  CAST((k2 * 1000000) // days AS DOUBLE) / 1e6 AS rate2,
+        |  CASE WHEN k1 + k2 > 0 THEN
+        |    floor((CAST(k1 AS DOUBLE) - CAST(k2 AS DOUBLE))
+        |      / sqrt(CAST(k1 AS DOUBLE) + CAST(k2 AS DOUBLE))
+        |      * 1e6 + 0.5e0) / 1e6 END AS z
+        |FROM m""".stripMargin,
 
     // exact count moments per item + day totals; micro-quantized item
     // variances; mirrored alpha

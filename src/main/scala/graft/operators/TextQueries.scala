@@ -747,6 +747,11 @@ object TextQueries extends QueryPack {
         .withColumn("wt_u",
           floor(pow(col("c").cast("double"), lit(0.75)) * lit(1e6) +
             lit(0.5)).cast("long"))
+      // int64 ceiling (r12 overflow audit, the q_gini documentation
+      // convention): wt_u = c^0.75·1e6 ≤ c·1e6, so tot ≤ corpus_tokens·1e6
+      // — exact below ~9.2e12 corpus tokens (~40 TB of raw text); beyond
+      // that widen tot and cum_hi to DECIMAL(38,0) (HUGEINT twin is
+      // automatic: DuckDB sum() already widens).
       val tot = wc.agg(sum(col("wt_u")).as("tot"))
       // the displayed top-30 own the FIRST 30 ranges of the
       // (wt_u desc, w) total order, so their prefix sums depend only on
@@ -913,6 +918,66 @@ object TextQueries extends QueryPack {
         .select(col("w1"), col("w2"), col("n2"),
           (col("pmi_u") / lit(1e6)).as("pmi"))
         .orderBy(col("pmi").desc, col("w1"), col("w2"))
+    }),
+
+    // -- skip-gram co-occurrence pairs (window ±2) --------------------------
+    // The word2vec training-pair extraction that completes the
+    // embedding-induction triangle (q_negative_sampling draws the
+    // negatives, this mines the positives): every (center, context)
+    // pair within a ±2 token window, counted corpus-wide, top-20 under
+    // the (count desc, center, context) total order. Scale shape: the
+    // context lookup is an exact EQUI-join on (doc_id, pos + k) — the
+    // offset becomes part of the join key, so pair volume is
+    // tokens × window (linear), never positional range-scan; counting
+    // is one vocabulary²-bounded (in practice near-linear) keyed agg;
+    // the final sort is TakeOrdered.
+    "q_skipgram_pairs" -> ((s, d) => {
+      val pos = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(norm(col("text")), " ")).as(Seq("p", "w")))
+        .filter(length(col("w")) > 0)
+      val right = pos
+        .select(col("doc_id"), col("p").as("p2"), col("w").as("ctx"))
+      val pairs = pos
+        .withColumn("k", explode(sequence(lit(1), lit(2))))
+        .withColumn("p2", col("p") + col("k"))
+        .join(right, Seq("doc_id", "p2"))
+      // symmetric window: the (a, b) forward match stands in for both
+      // directions, so emit the mirrored pair too — each unordered
+      // co-occurrence contributes one count to each direction
+      pairs.select(col("w").as("center"), col("ctx").as("context"))
+        .unionAll(pairs.select(col("ctx").as("center"),
+          col("w").as("context")))
+        .groupBy(col("center"), col("context"))
+        .agg(count(lit(1)).as("n_cooc"))
+        .orderBy(col("n_cooc").desc, col("center"), col("context"))
+        .limit(20)
+    }),
+
+    // -- Gini-Simpson lexical diversity per source --------------------------
+    // The corpus-mix health readout a data card wants next to token
+    // counts: the probability two random tokens from a source differ,
+    // 1 − Σc(c−1)/(N(N−1)) over the source's word histogram — high for
+    // organic text, collapsing toward 0 for templated/spam sources.
+    // Σc(c−1) accumulates in DECIMAL(38,0) (a hot word's c² exits int64
+    // at c > 3e9; HUGEINT is automatic in the twin); the index is ONE
+    // mirrored double expression. Scale: a (source, word) keyed agg then
+    // a source-keyed reduce — both vocabulary-bounded.
+    "q_simpson_diversity" -> ((s, d) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val wc = Tables.documents(s, d)
+        .select(col("source"), explode(split(norm(col("text")), " "))
+          .as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      wc.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"),
+          sum(dec(col("c")) * dec(col("c") - lit(1L))).as("ssq"))
+        .select(col("source"), col("n_tokens"), col("vocab"),
+          (floor((lit(1.0) - col("ssq").cast("double") /
+            (col("n_tokens").cast("double") * (col("n_tokens") - lit(1L))))
+            * lit(1e6) + lit(0.5)) / lit(1e6)).as("gini_simpson"))
+        .orderBy(col("source"))
     }),
 
     // -- per-doc novelty: fraction of shingles FIRST seen in this doc ------
@@ -2168,6 +2233,38 @@ object TextQueries extends QueryPack {
            |  WHERE n2 >= 5)
            |SELECT w1, w2, n2, pmi_u / 1e6 AS pmi
            |FROM sc ORDER BY pmi_u DESC, w1, w2 LIMIT 20""".stripMargin,
+
+      // same (doc_id, pos + k) equi-join staging; both directions via
+      // the mirrored union
+      "q_skipgram_pairs" ->
+        s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws
+           |  FROM documents),
+           |p AS (SELECT doc_id, i AS p, ws[i+1] AS w
+           |  FROM w, unnest(range(0, len(ws))) AS t(i)
+           |  WHERE length(ws[i+1]) > 0),
+           |pr AS (SELECT a.w AS w, b.w AS ctx
+           |  FROM p a JOIN p b ON a.doc_id = b.doc_id
+           |    AND (b.p = a.p + 1 OR b.p = a.p + 2)),
+           |bo AS (SELECT w AS center, ctx AS context FROM pr
+           |  UNION ALL SELECT ctx, w FROM pr)
+           |SELECT center, context, count(*) AS n_cooc
+           |FROM bo GROUP BY 1, 2
+           |ORDER BY n_cooc DESC, center, context LIMIT 20""".stripMargin,
+
+      // HUGEINT Σc(c−1); one mirrored double expression
+      "q_simpson_diversity" ->
+        s"""WITH wc AS (SELECT source, w, count(*) AS c FROM (
+           |    SELECT source, unnest(string_split($normSql, ' ')) AS w
+           |    FROM documents) t
+           |  WHERE length(w) > 0 GROUP BY 1, 2),
+           |ag AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+           |    count(*) AS vocab, sum(c * (c - 1)) AS ssq
+           |  FROM wc GROUP BY 1)
+           |SELECT source, n_tokens, vocab,
+           |  floor((1.0e0 - CAST(ssq AS DOUBLE)
+           |    / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)))
+           |    * 1e6 + 0.5e0) / 1e6 AS gini_simpson
+           |FROM ag ORDER BY source""".stripMargin,
 
       // identical histogram-then-expand staging; range() excludes its
       // stop bound so i covers positions 1..len-1, same as sequence()

@@ -35,7 +35,8 @@ class QueryCorpusSpec extends AnyFunSuite {
   // a name here requires writing down WHAT bounds the frame.
   private val boundedGlobalWindow = Set(
     "q_acf", "q_ar_fit", "q_bh_fdr", "q_bollinger", "q_changepoint",
-    "q_cusum", "q_dp_quantile", "q_durbin_watson", "q_effective_diameter",
+    "q_cusum", "q_page_hinkley", // day-calendar series, the q_cusum class
+    "q_dp_quantile", "q_durbin_watson", "q_effective_diameter",
     "q_ewma_chart", "q_granger", "q_hazard_curve", "q_heaps_law",
     "q_hurst", "q_isotonic", "q_kaplan_meier", "q_kruskal_wallis",
     "q_ks_separation", "q_mann_whitney", "q_pettitt", "q_propensity_strat",

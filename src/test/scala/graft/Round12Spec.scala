@@ -1,0 +1,250 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Tables
+
+/** Round-12 additions — each cross-checked against an independent
+  * driver-side brute-force recomputation on the sf0.001 corpus (the
+  * DuckDB hash gate is the second, engine-external check): Page–Hinkley,
+  * Cramér's V, the χ² goodness-of-fit, the paired sign test, the
+  * two-sample Poisson rate test, skip-gram pairs, Gini–Simpson
+  * diversity, sampled closeness centrality, and the LATERAL top-N.
+  */
+class Round12Spec extends AnyFunSuite {
+  import SparkFixture.{spark, sfDir}
+
+  private def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  private lazy val events: Array[(Long, Long, String, Double)] =
+    Tables.eventsWithTime(spark, sfDir)
+      .select(col("ts_us"), col("user_id"), col("event_type"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3)))
+
+  private lazy val docs: Array[(Long, String, String)] =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+  private def dayOf(tsUs: Long): Long = tsUs / 86400000000L
+  private def vq(value: Double): Long =
+    math.floor(value * 1000.0 + 0.5).toLong
+  private def norm(s: String): String =
+    s.trim.toLowerCase.replaceAll("[ \\t\\n\\f\\r\\u000B]+", " ")
+
+  // ---------------------------------------------------------- drift
+
+  test("q_page_hinkley replays the sequential PH recursion") {
+    // TRUE sequential implementation (running mean, m_t, running min) —
+    // validates the window-collapse identity, not just the windows.
+    val byDay = events.groupBy(e => dayOf(e._1)).toSeq
+      .map { case (d, es) => (d, es.length.toLong,
+        es.map(e => vq(e._4)).sum) }
+      .sortBy(_._1)
+    val xms = byDay.map { case (d, n, sq) => (d, n, (sq * 1000L) / n) }
+    val nd = xms.length.toDouble
+    val s1 = xms.map(_._3).sum
+    val s2 = xms.map(x => BigInt(x._3) * x._3).sum
+    val sd = math.sqrt((s2.toDouble - s1.toDouble * s1 / nd) / nd)
+    val dq = math.floor(sd * 0.1 + 0.5).toLong
+    val lq = math.floor(sd * 5.0 + 0.5).toLong
+    var cums = 0L; var cumn = 0L; var mt = 0L; var minMt = 0L
+    val expected = byDay.zip(xms).map { case ((d, n, sq), (_, _, xm)) =>
+      cums += sq; cumn += n
+      val xbar = (cums * 1000L) / cumn
+      mt += xm - xbar - dq
+      if (mt < minMt) minMt = mt
+      val ph = mt - math.min(0L, minMt)
+      (d, n, xbar.toDouble / 1e6, ph.toDouble / 1e6, ph > lq)
+    }
+    val got = SparkEntry.queries("q_page_hinkley")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(got == expected)
+  }
+
+  // ---------------------------------------------------------- stats
+
+  private lazy val orders: Array[(Long, String, String)] =
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+  test("q_cramers_v replays the densified-grid chi-square and V") {
+    val cells = orders.groupBy(o => (o._2, o._3)).map {
+      case (k, xs) => (k, xs.length.toLong) }
+    val rows = orders.map(_._2).distinct.sorted
+    val cols = orders.map(_._3).distinct.sorted
+    val ri = rows.map(r => r -> cells.collect {
+      case ((rr, _), n) if rr == r => n }.sum).toMap
+    val cj = cols.map(c => c -> cells.collect {
+      case ((_, cc), n) if cc == c => n }.sum).toMap
+    val n = orders.length.toLong
+    var chiU = 0L
+    for (r <- rows; c <- cols) {
+      val nij = cells.getOrElse((r, c), 0L)
+      val e = ri(r).toDouble * cj(c) / n
+      chiU += math.floor((nij - e) * (nij - e) / e * 1e6 + 0.5).toLong
+    }
+    val v = q6(math.sqrt(chiU.toDouble / 1e6 /
+      (n.toDouble * (math.min(rows.size, cols.size) - 1).toDouble)))
+    val got = SparkEntry.queries("q_cramers_v")(spark, sfDir)
+      .collect().head
+    assert(got.getLong(0) == n)
+    assert(got.getLong(1) == rows.size.toLong)
+    assert(got.getLong(2) == cols.size.toLong)
+    assert(got.getDouble(3) == chiU.toDouble / 1e6)
+    assert(got.getDouble(4) == v)
+  }
+
+  test("q_chisq_gof replays the uniform-null chi-square with closed-form p") {
+    val cells = orders.groupBy(_._3).map { case (_, xs) => xs.length.toLong }
+    val n = cells.sum; val k = cells.size.toLong
+    val e = n.toDouble / k
+    val chiU = cells.map(o =>
+      math.floor((o - e) * (o - e) / e * 1e6 + 0.5).toLong).sum
+    val chi = chiU.toDouble / 1e6
+    val got = SparkEntry.queries("q_chisq_gof")(spark, sfDir)
+      .collect().head
+    assert(got.getLong(0) == n && got.getLong(1) == k)
+    assert(got.getDouble(2) == chi)
+    assert(got.getLong(3) == k - 1)
+    if (k == 5)
+      assert(got.getDouble(4) ==
+        q6(math.exp(-chi / 2.0) * (1.0 + chi / 2.0)))
+  }
+
+  test("q_sign_test replays the per-user early/late signs") {
+    val dds = events.map(e => dayOf(e._1))
+    val mid = (dds.min + dds.max) / 2
+    val perUser = events.groupBy(_._2).values.flatMap { es =>
+      val e1 = es.filter(e => dayOf(e._1) <= mid)
+      val e2 = es.filter(e => dayOf(e._1) > mid)
+      if (e1.isEmpty || e2.isEmpty) None
+      else {
+        val m1 = e1.map(e => vq(e._4)).sum.toDouble / e1.length
+        val m2 = e2.map(e => vq(e._4)).sum.toDouble / e2.length
+        Some(math.floor((m2 - m1) / 1000.0 * 1e6 + 0.5).toLong)
+      }
+    }.toSeq
+    val pos = perUser.count(_ > 0L).toLong
+    val neg = perUser.count(_ < 0L).toLong
+    val got = SparkEntry.queries("q_sign_test")(spark, sfDir)
+      .collect().head
+    assert(got.getLong(0) == pos && got.getLong(1) == neg)
+    assert(got.getDouble(2) ==
+      q6((pos - neg).toDouble / math.sqrt((pos + neg).toDouble)))
+  }
+
+  test("q_poisson_rate_test replays the equal-exposure rate z") {
+    val pc = events.filter(e => e._3 == "purchase" || e._3 == "click")
+    val k1 = pc.count(_._3 == "purchase").toLong
+    val k2 = pc.count(_._3 == "click").toLong
+    val dds = pc.map(e => dayOf(e._1))
+    val days = dds.max - dds.min + 1
+    val got = SparkEntry.queries("q_poisson_rate_test")(spark, sfDir)
+      .collect().head
+    assert(got.getLong(0) == k1 && got.getLong(1) == k2)
+    assert(got.getLong(2) == days)
+    assert(got.getDouble(3) == (k1 * 1000000L / days).toDouble / 1e6)
+    assert(got.getDouble(4) == (k2 * 1000000L / days).toDouble / 1e6)
+    assert(got.getDouble(5) ==
+      q6((k1 - k2).toDouble / math.sqrt((k1 + k2).toDouble)))
+  }
+
+  // ---------------------------------------------------------- text
+
+  test("q_skipgram_pairs replays the windowed co-occurrence counts") {
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    docs.foreach { case (_, _, text) =>
+      val ws = norm(text).split(" ").filter(_.nonEmpty)
+      for (i <- ws.indices; k <- 1 to 2 if i + k < ws.length) {
+        counts((ws(i), ws(i + k))) =
+          counts.getOrElse((ws(i), ws(i + k)), 0L) + 1L
+        counts((ws(i + k), ws(i))) =
+          counts.getOrElse((ws(i + k), ws(i)), 0L) + 1L
+      }
+    }
+    val expected = counts.toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.take(20)
+      .map { case ((a, b), n) => (a, b, n) }
+    val got = SparkEntry.queries("q_skipgram_pairs")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(got == expected)
+  }
+
+  test("q_simpson_diversity replays the per-source Gini-Simpson index") {
+    val expected = docs.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (src, ds) =>
+        val wc = ds.flatMap(d => norm(d._3).split(" ").filter(_.nonEmpty))
+          .groupBy(identity).map(_._2.length.toLong)
+        val n = wc.sum
+        val ssq = wc.map(c => BigInt(c) * (c - 1)).sum
+        (src, n, wc.size.toLong,
+          q6(1.0 - ssq.toDouble / (n.toDouble * (n - 1))))
+    }
+    val got = SparkEntry.queries("q_simpson_diversity")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == expected)
+  }
+
+  // ---------------------------------------------------------- graph / sql
+
+  test("q_closeness_centrality replays a driver-side multi-root BFS") {
+    val li = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey"))
+      .distinct().collect()
+      .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    li.foreach { case (c, s) =>
+      adj(c) = adj(c) + s; adj(s) = adj(s) + c }
+    val roots = Tables.customer(spark, sfDir)
+      .filter(pmod(col("c_custkey"), lit(50)) === 0)
+      .select(col("c_custkey")).collect().map(_.getLong(0) * 2)
+      .sorted.take(200)
+    val expected = roots.flatMap { r =>
+      var dist = Map(r -> 0L)
+      var frontier = Set(r)
+      for (h <- 1 to 3) {
+        val next = frontier.flatMap(adj).filterNot(dist.contains)
+        next.foreach(n => dist += n -> h.toLong)
+        frontier = next
+      }
+      val reached = dist.values.filter(_ > 0L)
+      if (reached.isEmpty) None
+      else {
+        val nr = reached.size.toLong; val sdist = reached.sum
+        Some((r, nr, sdist, (nr * 1000000L / sdist).toDouble / 1e6))
+      }
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q_closeness_centrality")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == expected)
+  }
+
+  test("q_lateral_topn replays per-customer top-2 orders") {
+    val os = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = os.groupBy(_._1).toSeq.flatMap { case (ck, xs) =>
+      xs.sortBy(x => (-x._3, x._2)).take(2).map(x => (ck, x._2, x._3))
+    }.sortBy(x => (x._1, -x._3, x._2))
+    val got = SparkEntry.queries("q_lateral_topn")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(got == expected)
+  }
+}
