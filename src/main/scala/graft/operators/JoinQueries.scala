@@ -371,6 +371,106 @@ object JoinQueries extends QueryPack {
           col("total_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
+    }),
+
+    // -- TPC-H Q14: promotion revenue share ---------------------------------
+    // Broadcast-dimension exemplar: one ship-month of the fact joins the
+    // part table (broadcast — the dimension never shuffles the fact),
+    // then a single conditional aggregate. Revenue in exact cents; the
+    // percentage is an exact integer micro-ratio.
+    "q14_promo" -> ((s, d) => {
+      val cents = floor(col("l_extendedprice") *
+        (lit(1.0) - col("l_discount")) * lit(100.0) + lit(0.5))
+        .cast("long")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-03-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(sum(when(col("p_type") === "PROMO", cents).otherwise(0L))
+          .as("promo_cents"),
+          sum(cents).as("total_cents"))
+        .select(col("promo_cents"), col("total_cents"),
+          (expr("(promo_cents * 1000000) div total_cents").cast("double") /
+            lit(1e4)).as("promo_pct"))
+    }),
+
+    // -- TPC-H Q17: small-quantity-order revenue ----------------------------
+    // The correlated-average shape: lines of one brand whose quantity
+    // falls under 20% of that PART's average quantity. The scalable
+    // form: per-part quantity moments aggregate FIRST (part-keyed, the
+    // survivors of the brand filter only), then the threshold test is
+    // the exact integer cross-multiplication qc·5·n < Σqc — no float
+    // average ever materializes, no correlated re-scan (the TPC-H
+    // subquery decorrelates to exactly this join). avg_yearly divides
+    // the exact cent sum by the 7-year window via integer div.
+    "q17_small_qty" -> ((s, d) => {
+      val qc = floor(col("l_quantity") * lit(100.0) + lit(0.5)).cast("long")
+      val pb = Tables.part(s, d).filter(col("p_brand") === "Brand#13")
+        .select(col("p_partkey"))
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(pb), col("l_partkey") === col("p_partkey"))
+      val avgq = li.groupBy(col("p_partkey").as("pk"))
+        .agg(count(lit(1)).as("n_l"), sum(qc).as("sqc"))
+      li.join(avgq, col("p_partkey") === col("pk"))
+        .filter(qc * lit(5L) * col("n_l") < col("sqc"))
+        .agg(count(lit(1)).as("n_small"),
+          (expr("sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))" +
+            " div 7").cast("double") / lit(100.0)).as("avg_yearly"))
+    }),
+
+    // -- TPC-H Q19: disjunctive bracket filter ------------------------------
+    // The OR-of-ANDs predicate exemplar: three (brand, size-band,
+    // quantity-band) brackets over the part-joined fact. What matters at
+    // 100 TB: Catalyst factors the common p_partkey equi-join OUT of the
+    // disjunction (the join stays a broadcast hash join, never a BNLJ)
+    // and pushes the residual disjunction to the scan. Cent-exact
+    // revenue.
+    "q19_brackets" -> ((s, d) => {
+      val j = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+      j.filter(
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1.0, 15.0)) ||
+        (col("p_brand") === "Brand#20" && col("p_size").between(5, 20) &&
+          col("l_quantity").between(10.0, 25.0)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(20.0, 35.0)))
+        .agg(count(lit(1)).as("n_lines"),
+          (sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * lit(100.0) + lit(0.5)).cast("long")).cast("double") /
+            lit(100.0)).as("revenue"))
+    }),
+
+    // -- TPC-H Q22: idle high-balance customers -----------------------------
+    // The anti-join + scalar-subquery exemplar: customers with an
+    // above-average positive balance and no URGENT orders (this corpus's
+    // order coverage is total, so the untouched-segment predicate is the
+    // priority slice), grouped by nation. The average threshold never
+    // materializes as a float: the test is the exact cross-multiplication
+    // bal_cents·n > Σcents against the broadcast 1-row moment frame; the
+    // anti join is key-shuffled and its probe side pre-filters to the
+    // urgent slice BEFORE the shuffle (predicate under the anti join —
+    // at 100 TB that is 1/5th of the orders table never moving). Balance
+    // totals are exact cent sums.
+    "q22_idle_customers" -> ((s, d) => {
+      val bc = floor(col("c_acctbal") * lit(100.0) + lit(0.5)).cast("long")
+      val c = Tables.customer(s, d)
+      val t = c.filter(col("c_acctbal") > lit(0.0))
+        .agg(sum(bc).as("sc"), count(lit(1)).as("nc"))
+      c.crossJoin(broadcast(t))
+        .filter(bc * col("nc") > col("sc"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          (sum(bc).cast("double") / lit(100.0)).as("total_bal"))
+        .orderBy(col("nationkey"))
     })
   )
 
@@ -563,6 +663,70 @@ object JoinQueries extends QueryPack {
         |FROM orders o
         |JOIN big b ON o.o_orderkey = b.l_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    // exact cents + integer micro-ratio
+    "q14_promo" ->
+      """WITH j AS (SELECT p_type,
+        |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+        |      + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
+        |      AS BIGINT) AS promo_cents,
+        |    CAST(sum(cents) AS BIGINT) AS total_cents
+        |  FROM j)
+        |SELECT promo_cents, total_cents,
+        |  CAST((promo_cents * 1000000) // total_cents AS DOUBLE) / 1e4
+        |    AS promo_pct
+        |FROM m""".stripMargin,
+
+    // per-part moments first; exact cross-multiplied threshold
+    "q17_small_qty" ->
+      """WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice,
+        |    CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS qc
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#13'),
+        |a AS (SELECT l_partkey AS pk, count(*) AS n_l,
+        |    CAST(sum(qc) AS BIGINT) AS sqc
+        |  FROM li GROUP BY 1)
+        |SELECT count(*) AS n_small,
+        |  CAST(CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+        |    AS BIGINT)) AS BIGINT) // 7 AS DOUBLE) / 100.0 AS avg_yearly
+        |FROM li JOIN a ON li.l_partkey = a.pk
+        |WHERE qc * 5 * n_l < sqc""".stripMargin,
+
+    // the disjunction stays a residual over one equi-join
+    "q19_brackets" ->
+      """SELECT count(*) AS n_lines,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |    * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 1.0 AND 15.0)
+        |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 5 AND 20
+        |       AND l_quantity BETWEEN 10.0 AND 25.0)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 20.0 AND 35.0)""".stripMargin,
+
+    // exact cross-multiplied balance threshold; NOT EXISTS anti join
+    "q22_idle_customers" ->
+      """WITH t AS (SELECT
+        |    CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS sc,
+        |    count(*) AS nc
+        |  FROM customer WHERE c_acctbal > 0.0),
+        |f AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+        |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bc
+        |  FROM customer CROSS JOIN t
+        |  WHERE CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) * nc > sc
+        |    AND NOT EXISTS (SELECT 1 FROM orders
+        |                    WHERE o_custkey = c_custkey
+        |                      AND o_orderpriority = '1-URGENT'))
+        |SELECT nationkey, count(*) AS n_cust,
+        |  CAST(sum(bc) AS DOUBLE) / 100.0 AS total_bal
+        |FROM f GROUP BY 1 ORDER BY nationkey""".stripMargin
   )
 }

@@ -264,6 +264,25 @@ object RelationalQueries extends QueryPack {
           col("o_orderpriority").asc_nulls_first)
     }),
 
+    // -- TPC-H Q6: forecasting revenue change (pure scan/filter/agg) -------
+    // The canonical filter-pushdown exemplar: a one-year ship window,
+    // a discount band, and a quantity cap — every predicate reaches the
+    // parquet scan (no join, no shuffle; the aggregate is a single
+    // map-side fold). Revenue accumulates in exact CENTS (the
+    // q10_returns device: floor(x·100+0.5) per line, integer sum) so
+    // the one-row answer is order-free on both engines.
+    "q6_forecast" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount") >= lit(0.05) && col("l_discount") <= lit(0.07) &&
+          col("l_quantity") < lit(24.0))
+        .agg(count(lit(1)).as("n_lines"),
+          (sum(floor(col("l_extendedprice") * col("l_discount") *
+            lit(100.0) + lit(0.5)).cast("long")).cast("double") /
+            lit(100.0)).as("revenue"))
+    }),
+
     // -- grouping sets (SQL surface) --------------------------------------
     "q_grouping_sets" -> ((s, d) => {
       Tables.registerAll(s, d)
@@ -960,6 +979,17 @@ object RelationalQueries extends QueryPack {
         |                        (l_returnflag), ())
         |ORDER BY gid, l_returnflag ASC NULLS FIRST,
         |         l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    // every predicate in the scan; exact cent accumulation
+    "q6_forecast" ->
+      """SELECT count(*) AS n_lines,
+        |  CAST(sum(CAST(floor(l_extendedprice * l_discount * 100.0
+        |    + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24.0""".stripMargin,
 
     // identical LATERAL text — DuckDB runs the same SQL-standard form
     "q_lateral_topn" ->

@@ -33,6 +33,24 @@ class PlanSpec extends AnyFunSuite {
       "scan reads columns the query never uses: " + read)
   }
 
+  test("q6_forecast pushes every predicate to the parquet scan") {
+    val p = plan("q6_forecast")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.contains("PushedFilters: []"), "no filters pushed:\n" + p)
+    // pure scan+agg: no join, no pre-agg shuffle beyond the 1-row fold
+    assert(!p.contains("Join"), "q6 grew a join:\n" + p)
+  }
+
+  test("q19_brackets keeps the disjunction a residual over one equi-join") {
+    // the OR-of-ANDs must NOT break the p_partkey equi-join into a
+    // nested-loop — Catalyst factors the common conjunct out
+    val p = plan("q19_brackets")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q5_join broadcasts the dimension tables") {
     val p = plan("q5_join")
     assert(p.contains("BroadcastHashJoin"), p)

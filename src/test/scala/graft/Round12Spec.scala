@@ -234,6 +234,107 @@ class Round12Spec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  // ---------------------------------------------------------- TPC-H
+
+  private def cents(x: Double): Long = math.floor(x * 100.0 + 0.5).toLong
+
+  private lazy val li6: Array[(Long, Long, Double, Double, Double, String)] =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("sd"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getString(5)))
+
+  test("q6_forecast replays the banded filter-aggregate") {
+    val sel = li6.filter(l => l._6 >= "1996-01-01" &&
+      l._6 < "1997-01-01" &&
+      l._5 >= 0.05 && l._5 <= 0.07 && l._3 < 24.0)
+    val got = SparkEntry.queries("q6_forecast")(spark, sfDir)
+      .collect().head
+    assert(got.getLong(0) == sel.length.toLong)
+    assert(got.getDouble(1) ==
+      sel.map(l => cents(l._4 * l._5)).sum.toDouble / 100.0)
+  }
+
+  test("q17_small_qty replays the per-part 20%-of-average threshold") {
+    val brand = Tables.part(spark, sfDir)
+      .filter(col("p_brand") === "Brand#13")
+      .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    val bl = li6.filter(l => brand(l._2))
+    val moments = bl.groupBy(_._2).map { case (pk, xs) =>
+      pk -> (xs.length.toLong,
+        xs.map(l => math.floor(l._3 * 100.0 + 0.5).toLong).sum) }
+    val small = bl.filter { l =>
+      val (nl, sqc) = moments(l._2)
+      math.floor(l._3 * 100.0 + 0.5).toLong * 5L * nl < sqc
+    }
+    val got = SparkEntry.queries("q17_small_qty")(spark, sfDir)
+      .collect().head
+    assert(got.getLong(0) == small.length.toLong)
+    assert(got.getDouble(1) ==
+      (small.map(l => cents(l._4)).sum / 7L).toDouble / 100.0)
+  }
+
+  test("q19_brackets replays the disjunctive bracket revenue") {
+    val parts = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2)))
+      .toMap
+    val sel = li6.filter { l =>
+      parts.get(l._2).exists { case (b, sz) =>
+        (b == "Brand#13" && sz >= 1 && sz <= 10 &&
+          l._3 >= 1.0 && l._3 <= 15.0) ||
+        (b == "Brand#20" && sz >= 5 && sz <= 20 &&
+          l._3 >= 10.0 && l._3 <= 25.0) ||
+        (b == "Brand#23" && sz >= 10 && sz <= 30 &&
+          l._3 >= 20.0 && l._3 <= 35.0)
+      }
+    }
+    val got = SparkEntry.queries("q19_brackets")(spark, sfDir)
+      .collect().head
+    assert(got.getLong(0) == sel.length.toLong)
+    assert(got.getDouble(1) ==
+      sel.map(l => cents(l._4 * (1.0 - l._5))).sum.toDouble / 100.0)
+  }
+
+  test("q14_promo and q22_idle_customers replay") {
+    // q14: one ship-month promo share
+    val pt = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_type")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val mSel = li6.filter(l => l._6 >= "1996-03-01" &&
+      l._6 < "1996-04-01")
+    val totalC = mSel.map(l => cents(l._4 * (1.0 - l._5))).sum
+    val promoC = mSel.filter(l => pt(l._2) == "PROMO")
+      .map(l => cents(l._4 * (1.0 - l._5))).sum
+    val got14 = SparkEntry.queries("q14_promo")(spark, sfDir)
+      .collect().head
+    assert(got14.getLong(0) == promoC && got14.getLong(1) == totalC)
+    assert(got14.getDouble(2) ==
+      (promoC * 1000000L / totalC).toDouble / 1e4)
+    // q22: above-average balance, no urgent orders, by nation
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong,
+        r.getDouble(2)))
+    val urgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).collect().map(_.getLong(0)).toSet
+    val pos = cust.filter(_._3 > 0.0)
+    val sc = pos.map(c => cents(c._3)).sum; val nc = pos.length.toLong
+    val expected = cust
+      .filter(c => cents(c._3) * nc > sc && !urgent(c._1))
+      .groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (nk, xs) => (nk, xs.length.toLong,
+        xs.map(c => cents(c._3)).sum.toDouble / 100.0) }
+    val got22 = SparkEntry.queries("q22_idle_customers")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(got22 == expected)
+  }
+
   test("q_lateral_topn replays per-customer top-2 orders") {
     val os = Tables.orders(spark, sfDir)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
