@@ -122,6 +122,65 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // -- funnel latency: time-to-convert histogram ---------------------------
+    // The question after q_funnel's "how many convert" is "how FAST":
+    // per user, first view → first purchase strictly after it (the same
+    // carry-along conditional-min shape as q_funnel, so the view frame
+    // plans once), bucketed into a day-grain latency histogram with
+    // exact second bounds per bucket. All arithmetic integer (µs → s →
+    // day via div); the histogram frame is bounded by the corpus time
+    // span, the data-sized work is two keyed aggregates.
+    "q_time_to_convert" -> ((s, d) => {
+      val e = Tables.eventsWithTime(s, d)
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("v_us"))
+      v.join(e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us").as("p_ts")),
+          Seq("user_id"), "left")
+        .groupBy(col("user_id"), col("v_us"))
+        .agg(min(when(col("p_ts") > col("v_us"), col("p_ts"))).as("p_us"))
+        .filter(col("p_us").isNotNull)
+        .withColumn("delta_s", expr("(p_us - v_us) div 1000000"))
+        .groupBy(expr("delta_s div 86400").as("day_bucket"))
+        .agg(count(lit(1)).as("n_users"),
+          min(col("delta_s")).as("min_s"), max(col("delta_s")).as("max_s"))
+        .orderBy(col("day_bucket"))
+    }),
+
+    // -- join-key skew audit (the pre-shuffle ops readout) -------------------
+    // The number that decides salting BEFORE a 100 TB join falls over:
+    // the per-key row-count distribution of a join key (orders per
+    // customer). Shape: key-counts (one keyed agg) → COUNT-OF-COUNTS
+    // (bounded by the max key multiplicity, NOT the key count — a
+    // billion-key table with multiplicities ≤ 1e4 reduces to ≤ 1e4
+    // rows), then exact p50/p99/max and the heaviest key's row share by
+    // integer cross-multiplication on that bounded frame. The quantile
+    // convention is ceil-rank (smallest c with k·cum ≥ q·keys — the
+    // q_outlier_mad integer contract). skew = p99/p50 as integer micros.
+    "q_key_skew" -> ((s, d) => {
+      val kc = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("c"))
+      val cc = kc.groupBy(col("c")).agg(count(lit(1)).as("nk"))
+      val w = Window.orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = cc.agg(sum(col("nk")).as("keys"),
+        sum(col("c") * col("nk")).as("nrows"))
+      cc.withColumn("cumk", sum(col("nk")).over(w))
+        .crossJoin(broadcast(tot))
+        .agg(max(col("keys")).as("n_keys"), max(col("nrows")).as("n_rows"),
+          min(when(col("cumk") * 2 >= col("keys"), col("c"))).as("p50_c"),
+          min(when(col("cumk") * 100 >= col("keys") * 99, col("c")))
+            .as("p99_c"),
+          max(col("c")).as("max_c"))
+        .select(col("n_keys"), col("n_rows"), col("p50_c"), col("p99_c"),
+          col("max_c"),
+          (expr("(p99_c * 1000000) div p50_c").cast("double") / lit(1e6))
+            .as("skew_ratio"),
+          (expr("(max_c * 1000000) div n_rows").cast("double") / lit(1e6))
+            .as("top_key_share"))
+    }),
+
     // -- first/last-touch attribution ---------------------------------------
     // Which touchpoint gets credit for a conversion: per purchase, the
     // FIRST and the MOST RECENT preceding non-purchase event of the same
@@ -3726,6 +3785,42 @@ object AnalyticsQueries extends QueryPack {
         |       WHEN c.click_us IS NOT NULL THEN 2 ELSE 1 END AS stage
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    // same carry-along conditional-min; integer µs→s→day buckets
+    "q_time_to_convert" ->
+      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS v_us FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > v.v_us
+        |  GROUP BY 1),
+        |dl AS (SELECT (p.p_us - v.v_us) // 1000000 AS delta_s
+        |  FROM v JOIN p USING (user_id))
+        |SELECT delta_s // 86400 AS day_bucket, count(*) AS n_users,
+        |  CAST(min(delta_s) AS BIGINT) AS min_s,
+        |  CAST(max(delta_s) AS BIGINT) AS max_s
+        |FROM dl GROUP BY 1 ORDER BY day_bucket""".stripMargin,
+
+    // count-of-counts frame; ceil-rank quantiles by cross-multiplication
+    "q_key_skew" ->
+      """WITH kc AS (SELECT o_custkey, count(*) AS c
+        |  FROM orders GROUP BY 1),
+        |cc AS (SELECT c, count(*) AS nk FROM kc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(nk) AS BIGINT) AS keys,
+        |    CAST(sum(c * nk) AS BIGINT) AS nrows FROM cc),
+        |cm AS (SELECT c, nk,
+        |    CAST(sum(nk) OVER (ORDER BY c) AS BIGINT) AS cumk FROM cc),
+        |ag AS (SELECT max(keys) AS n_keys, max(nrows) AS n_rows,
+        |    min(CASE WHEN cumk * 2 >= keys THEN c END) AS p50_c,
+        |    min(CASE WHEN cumk * 100 >= keys * 99 THEN c END) AS p99_c,
+        |    max(c) AS max_c
+        |  FROM cm CROSS JOIN tot)
+        |SELECT n_keys, n_rows, CAST(p50_c AS BIGINT) AS p50_c,
+        |  CAST(p99_c AS BIGINT) AS p99_c, CAST(max_c AS BIGINT) AS max_c,
+        |  CAST((p99_c * 1000000) // p50_c AS DOUBLE) / 1e6 AS skew_ratio,
+        |  CAST((max_c * 1000000) // n_rows AS DOUBLE) / 1e6
+        |    AS top_key_share
+        |FROM ag""".stripMargin,
 
     "q_attribution" ->
       """WITH t AS (SELECT event_id, user_id, event_type,

@@ -63,6 +63,31 @@ object PipelineQueries extends QueryPack {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- quantile normalization of the quality score -------------------------
+    // The rank-based score calibration mixing pipelines apply before
+    // thresholding across heterogeneous scorers: map each distinct
+    // classifier score to its corpus ECDF quantile (cum/N, ties share
+    // the upper rank — the exact integer convention). The data-sized
+    // work is one score-keyed agg; the cumulative rides the
+    // DISTINCT-SCORE frame, bounded by the score domain (the hashed
+    // classifier emits small integer sums — q_ks_separation's class),
+    // never the corpus.
+    "q_quantile_normalize" -> ((s, d) => {
+      val sc = TextDedup.classifierScored(Tables.documents(s, d),
+          Seq(col("doc_id")))
+        .select(col("score"))
+      val byS = sc.groupBy(col("score")).agg(count(lit(1)).as("n_docs"))
+      val tot = byS.agg(sum(col("n_docs")).as("nn"))
+      val w = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byS.withColumn("cum", sum(col("n_docs")).over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("score"), col("n_docs"),
+          (expr("(cum * 1000000) div nn").cast("double") / lit(1e6))
+            .as("quantile"))
+        .orderBy(col("score"))
+    }),
+
     // -- near-dup CLUSTERS: connected components over the pair graph ------
     // Pair mining (q_dedup_*) yields edges; dedup pipelines need the
     // transitive closure — one canonical doc per duplicate GROUP, not per
@@ -1192,6 +1217,19 @@ object PipelineQueries extends QueryPack {
       |lbl AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // shared classifier CTEs; upper-rank ECDF by integer micro-division
+    "q_quantile_normalize" -> {
+      s"""WITH ${OracleHash.classifierScoreCtes("doc_id")},
+         |bys AS (SELECT score, count(*) AS n_docs FROM sc GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn FROM bys),
+         |cm AS (SELECT score, n_docs,
+         |    CAST(sum(n_docs) OVER (ORDER BY score) AS BIGINT) AS cum
+         |  FROM bys)
+         |SELECT score, n_docs,
+         |  CAST((cum * 1000000) // nn AS DOUBLE) / 1e6 AS quantile
+         |FROM cm CROSS JOIN tot ORDER BY score""".stripMargin
+    },
+
     "q_dup_clusters" ->
       s"""WITH RECURSIVE $dupLabelCtes
         |SELECT cluster_id, count(*) AS n_members,

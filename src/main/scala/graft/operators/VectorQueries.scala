@@ -779,6 +779,49 @@ object VectorQueries extends QueryPack {
     // is order-free; q² norms are exact integers by construction. Scale
     // shape: one narrow posexplode pass, a 64-row scale agg broadcast
     // back, one vec-keyed agg — never corpus² work.
+    // -- robust per-dimension scaler stats (median / IQR) --------------------
+    // The outlier-immune twin of q_embed_standardize's mean/std: per
+    // embedding dimension, the exact LOWER median and quartiles of the
+    // micro-quantized values (ceil-rank k·cum ≥ q·n on the DIM-KEYED
+    // distinct-value frame — q_outlier_mad's integer contract, windows
+    // partitioned by dim so nothing is single-task), the IQR, and the
+    // count beyond the classic 1.5·IQR fences decided by the exact
+    // integer comparison 2·|vq − med| > 3·iqr. Scale: one narrow
+    // posexplode, a (dim, vq)-keyed agg, dim-keyed windows, one
+    // broadcast-stats recount.
+    "q_robust_scaler" -> ((s, d) => {
+      val p = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(Vectors.asDouble(col("embedding")))
+            .as(Seq("dim", "x")))
+        .select(col("dim").cast("long").as("dim"),
+          floor(col("x") * lit(1e6) + lit(0.5)).cast("long").as("vq"))
+      val cells = p.groupBy(col("dim"), col("vq"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("dim")).orderBy(col("vq"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy(col("dim"))
+      val stats = cells
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("n", sum(col("cnt")).over(wn))
+        .groupBy(col("dim"))
+        .agg(max(col("n")).as("n"),
+          min(when(col("cum") * 4 >= col("n"), col("vq"))).as("q1q"),
+          min(when(col("cum") * 2 >= col("n"), col("vq"))).as("medq"),
+          min(when(col("cum") * 4 >= col("n") * 3, col("vq"))).as("q3q"))
+      val out = p.join(broadcast(stats), "dim")
+        .groupBy(col("dim"))
+        .agg(sum(when(abs(col("vq") - col("medq")) * 2 >
+          (col("q3q") - col("q1q")) * 3, 1L).otherwise(0L))
+          .as("n_outliers"))
+      stats.join(out, "dim")
+        .select(col("dim"), col("n"),
+          (col("medq").cast("double") / lit(1e6)).as("median"),
+          ((col("q3q") - col("q1q")).cast("double") / lit(1e6)).as("iqr"),
+          col("n_outliers"))
+        .orderBy(col("dim"))
+    }),
+
     "q_quantize_int8" -> ((s, d) => {
       val p = Tables.embeddings(s, d)
         .select(col("vec_id"),
@@ -1782,6 +1825,35 @@ object VectorQueries extends QueryPack {
       // per-dim scale, identical left-to-right FP expression shapes;
       // per-dim error quantized to exact integers before the sum so the
       // per-vector total is order-free in both engines
+      // ceil-rank quartiles on the (dim, vq) frame; integer fences
+      "q_robust_scaler" ->
+        """WITH p AS (SELECT
+          |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+          |      AS dim,
+          |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5)
+          |      AS BIGINT) AS vq
+          |  FROM embeddings),
+          |cells AS (SELECT dim, vq, count(*) AS cnt FROM p GROUP BY 1, 2),
+          |cm AS (SELECT dim, vq, cnt,
+          |    CAST(sum(cnt) OVER (PARTITION BY dim ORDER BY vq)
+          |      AS BIGINT) AS cum,
+          |    CAST(sum(cnt) OVER (PARTITION BY dim) AS BIGINT) AS n
+          |  FROM cells),
+          |st AS (SELECT dim, max(n) AS n,
+          |    min(CASE WHEN cum * 4 >= n THEN vq END) AS q1q,
+          |    min(CASE WHEN cum * 2 >= n THEN vq END) AS medq,
+          |    min(CASE WHEN cum * 4 >= n * 3 THEN vq END) AS q3q
+          |  FROM cm GROUP BY dim),
+          |o AS (SELECT p.dim,
+          |    CAST(sum(CASE WHEN abs(vq - medq) * 2 > (q3q - q1q) * 3
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+          |  FROM p JOIN st ON p.dim = st.dim GROUP BY p.dim)
+          |SELECT st.dim, CAST(n AS BIGINT) AS n,
+          |  CAST(medq AS DOUBLE) / 1e6 AS median,
+          |  CAST(q3q - q1q AS DOUBLE) / 1e6 AS iqr,
+          |  n_outliers
+          |FROM st JOIN o ON st.dim = o.dim ORDER BY st.dim""".stripMargin,
+
       "q_quantize_int8" ->
         """WITH p AS (SELECT vec_id,
           |    generate_subscripts(embedding, 1) - 1 AS dim,

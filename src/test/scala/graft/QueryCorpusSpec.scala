@@ -42,7 +42,9 @@ class QueryCorpusSpec extends AnyFunSuite {
     "q_ks_separation", "q_mann_whitney", "q_pettitt", "q_propensity_strat",
     "q_qini_uplift", "q_rfm", "q_rolling_quantile", "q_running_distinct",
     "q_runs_test", "q_spearman", "q_stl_decompose", "q_weibull_fit",
-    "q_wilcoxon_signed")
+    "q_wilcoxon_signed",
+    "q_key_skew",           // count-of-counts frame ≤ max key multiplicity
+    "q_quantile_normalize") // distinct-score frame ≤ classifier domain
 
   test("oracle entries reference declared queries only") {
     val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -234,6 +234,85 @@ class Round12Spec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q_time_to_convert replays the first-view-to-first-purchase histogram") {
+    val byUser = events.groupBy(_._2)
+    val deltas = byUser.values.flatMap { es =>
+      val views = es.filter(_._3 == "view")
+      if (views.isEmpty) None
+      else {
+        val v = views.map(_._1).min
+        val ps = es.filter(e => e._3 == "purchase" && e._1 > v)
+        if (ps.isEmpty) None else Some((ps.map(_._1).min - v) / 1000000L)
+      }
+    }.toSeq
+    val expected = deltas.groupBy(_ / 86400L).toSeq.sortBy(_._1)
+      .map { case (b, xs) => (b, xs.length.toLong, xs.min, xs.max) }
+    val got = SparkEntry.queries("q_time_to_convert")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
+  test("q_key_skew replays the count-of-counts quantiles") {
+    val counts = orders.groupBy(_._1).map(_._2.length.toLong).toSeq.sorted
+    val keys = counts.length.toLong
+    val nrows = counts.sum
+    val got = SparkEntry.queries("q_key_skew")(spark, sfDir)
+      .collect().head
+    assert(got.getLong(0) == keys && got.getLong(1) == nrows)
+    // replicate exactly: smallest c with cum*2 >= keys etc.
+    var cum = 0L
+    val dist = counts.groupBy(identity).toSeq.sortBy(_._1)
+    var e50 = -1L; var e99 = -1L
+    dist.foreach { case (c, xs) =>
+      cum += xs.length
+      if (e50 < 0 && cum * 2 >= keys) e50 = c
+      if (e99 < 0 && cum * 100 >= keys * 99) e99 = c
+    }
+    assert(got.getLong(2) == e50 && got.getLong(3) == e99)
+    assert(got.getLong(4) == counts.max)
+    assert(got.getDouble(5) == (e99 * 1000000L / e50).toDouble / 1e6)
+    assert(got.getDouble(6) ==
+      (counts.max * 1000000L / nrows).toDouble / 1e6)
+  }
+
+  test("q_quantile_normalize: quantiles are an exact upper-rank ECDF") {
+    val rows = SparkEntry.queries("q_quantile_normalize")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val nn = rows.map(_._2).sum
+    var cum = 0L
+    rows.foreach { case (_, n, q) =>
+      cum += n
+      assert(q == (cum * 1000000L / nn).toDouble / 1e6)
+    }
+    // scores ascend; quantiles non-decreasing ending at 1.0
+    assert(rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted)
+    assert(rows.last._3 == 1.0)
+  }
+
+  test("q_robust_scaler replays median/IQR/fences per dimension") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble))
+    val dims = vecs.head.length
+    val expected = (0 until dims).map { d =>
+      val vqs = vecs.map(v => math.floor(v(d) * 1e6 + 0.5).toLong).sorted
+      val n = vqs.length.toLong
+      def ceilQ(num: Long, den: Long): Long =
+        vqs(((num * n + den - 1) / den - 1).toInt)
+      // smallest value whose cum*den >= num*n == element at ceil rank
+      val q1 = ceilQ(1, 4); val med = ceilQ(1, 2); val q3 = ceilQ(3, 4)
+      val out = vqs.count(v => math.abs(v - med) * 2 > (q3 - q1) * 3)
+      (d.toLong, n, med.toDouble / 1e6, (q3 - q1).toDouble / 1e6,
+        out.toLong)
+    }
+    val got = SparkEntry.queries("q_robust_scaler")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    assert(got == expected)
+  }
+
   // ---------------------------------------------------------- TPC-H
 
   private def cents(x: Double): Long = math.floor(x * 100.0 + 0.5).toLong
