@@ -148,6 +148,33 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("day_bucket"))
     }),
 
+    // -- UCB1 bandit arm ranking ---------------------------------------------
+    // The deterministic half of the explore/exploit toolkit (Thompson
+    // needs randomness; UCB1 is a pure function of the observed
+    // history): per arm (event type), mean observed value plus the
+    // √(2·ln N / nᵢ) exploration bonus — the arm a sequential optimizer
+    // would pull next. Means are exact integer micros; the bonus is ONE
+    // mirrored ln/sqrt expression on the k-row arm frame; the data-sized
+    // work is a single keyed aggregate.
+    "q_ucb_arms" -> ((s, d) => {
+      val byArm = Tables.events(s, d)
+        .select(col("event_type"),
+          floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+            .as("vq"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("vq")).as("sv"))
+        .withColumn("mu_u", expr("(sv * 1000) div n"))
+      val tot = byArm.agg(sum(col("n")).as("nn"))
+      def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      byArm.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n"),
+          (col("mu_u").cast("double") / lit(1e6)).as("mean_value"),
+          q6(col("mu_u").cast("double") / lit(1e6) +
+            sqrt(lit(2.0) * log(col("nn").cast("double")) /
+              col("n").cast("double"))).as("ucb"))
+        .orderBy(col("event_type"))
+    }),
+
     // -- join-key skew audit (the pre-shuffle ops readout) -------------------
     // The number that decides salting BEFORE a 100 TB join falls over:
     // the per-key row-count distribution of a join key (orders per
@@ -3800,6 +3827,21 @@ object AnalyticsQueries extends QueryPack {
         |  CAST(min(delta_s) AS BIGINT) AS min_s,
         |  CAST(max(delta_s) AS BIGINT) AS max_s
         |FROM dl GROUP BY 1 ORDER BY day_bucket""".stripMargin,
+
+    // integer micro means; one mirrored ln/sqrt bonus per arm
+    "q_ucb_arms" ->
+      """WITH a AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS sv
+        |  FROM events GROUP BY 1),
+        |a2 AS (SELECT event_type, n, (sv * 1000) // n AS mu_u FROM a),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM a)
+        |SELECT event_type, n,
+        |  CAST(mu_u AS DOUBLE) / 1e6 AS mean_value,
+        |  floor((CAST(mu_u AS DOUBLE) / 1e6
+        |    + sqrt(2.0e0 * ln(CAST(nn AS DOUBLE)) / CAST(n AS DOUBLE)))
+        |    * 1e6 + 0.5e0) / 1e6 AS ucb
+        |FROM a2 CROSS JOIN tot ORDER BY event_type""".stripMargin,
 
     // count-of-counts frame; ceil-rank quantiles by cross-multiplication
     "q_key_skew" ->

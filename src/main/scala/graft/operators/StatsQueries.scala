@@ -515,31 +515,7 @@ object StatsQueries extends QueryPack {
     // 25×3-cell frame (missing cells densified — an absent status still
     // contributes its expected count). The rank window is bounded at m.
     "q_bh_fdr" -> ((s, d) => {
-      val oc = Tables.orders(s, d)
-        .select(col("o_custkey"), col("o_orderstatus").as("st"))
-        .join(Tables.customer(s, d).select(
-          col("c_custkey").as("o_custkey"),
-          col("c_nationkey").cast("long").as("nk")), "o_custkey")
-      val cell = oc.groupBy(col("nk"), col("st")).agg(count(lit(1)).as("o"))
-      val nat = cell.groupBy(col("nk")).agg(sum(col("o")).as("ni"))
-      val glob = cell.groupBy(col("st")).agg(sum(col("o")).as("gc"))
-      val tot = cell.agg(sum(col("o")).as("nn"))
-      val grid = nat.crossJoin(broadcast(glob))
-      val terms = grid
-        .join(cell, Seq("nk", "st"), "left")
-        .na.fill(0L, Seq("o"))
-        .crossJoin(broadcast(tot))
-        .withColumn("e", col("ni").cast("double") *
-          col("gc").cast("double") / col("nn").cast("double"))
-        .withColumn("tu", floor(
-          (col("o").cast("double") - col("e")) *
-            (col("o").cast("double") - col("e")) / col("e") *
-            lit(1e9) + lit(0.5)).cast("long"))
-      val x2 = terms.groupBy(col("nk"))
-        .agg(max(col("ni")).as("n"), sum(col("tu")).as("x2u"))
-        .withColumn("pu", floor(
-          exp(-col("x2u").cast("double") / lit(2e9)) * lit(1e6) +
-            lit(0.5)).cast("long"))
+      val x2 = natChi2P(s, d)
       val ranked = x2
         .crossJoin(broadcast(x2.agg(count(lit(1)).as("m"))))
         .withColumn("rnk",
@@ -555,6 +531,123 @@ object StatsQueries extends QueryPack {
           when(col("k").isNotNull && col("rnk") <= col("k"), 1L)
             .otherwise(0L).as("significant"))
         .orderBy(col("nationkey"))
+    }),
+
+    // -- Holm–Bonferroni step-down (FWER companion of q_bh_fdr) -------------
+    // The family-wise-error control on the SAME 25 per-nation
+    // independence tests: reject p₍ᵢ₎ only while EVERY earlier test in
+    // the p-ascending order also clears its α/(m−i+1) bar (the
+    // step-down stop), and report the standard running-max adjusted
+    // p̃ᵢ = min(1, maxⱼ≤ᵢ pⱼ·(m−j+1)). Both the stop and the adjustment
+    // are exact integer arithmetic on the micro-quantized p frame (the
+    // q_bh_fdr device); the windows ride the m-row TEST frame, bounded
+    // by the nation count, never the data.
+    "q_holm_bonferroni" -> ((s, d) => {
+      val x2 = natChi2P(s, d)
+      val wOrd = Window.orderBy(col("pu"), col("nk"))
+      val w = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      x2.crossJoin(broadcast(x2.agg(count(lit(1)).as("m"))))
+        .withColumn("rnk", row_number().over(wOrd).cast("long"))
+        .withColumn("stepu", col("pu") * (col("m") - col("rnk") + lit(1L)))
+        .withColumn("fail",
+          when(col("stepu") * lit(20L) > lit(1000000L), 1L).otherwise(0L))
+        .withColumn("adj_u", least(lit(1000000L), max(col("stepu")).over(w)))
+        .withColumn("nfail", sum(col("fail")).over(w))
+        .select(col("nk").as("nationkey"), col("n"),
+          (col("pu").cast("double") / lit(1e6)).as("p_value"),
+          col("rnk"),
+          (col("adj_u").cast("double") / lit(1e6)).as("p_holm"),
+          when(col("nfail") === 0L, 1L).otherwise(0L).as("significant"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // -- Welch's ANOVA (unequal-variance one-way test) -----------------------
+    // q_anova_f's classical F assumes a common within-group variance;
+    // Welch's F* is the heteroscedasticity-robust form every stats
+    // package recommends when group spreads differ (event-type values
+    // here). Per-group moments are exact DECIMAL; the group weights
+    // wᵢ = nᵢ/sᵢ² and weighted means quantize to integer micros on the
+    // k-row frame and SUM exactly (order-free — the q_anova_f bq/wq
+    // device), as do the second-stage deviation and H terms; F*, df₂
+    // evaluate in one mirrored expression each.
+    "q_welch_anova" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val e = Tables.events(s, d).select(col("event_type"),
+        floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+          .as("vq"))
+      val byG = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("ng"), sum(dec(col("vq"))).as("s1"),
+          sum(dec(col("vq")) * dec(col("vq"))).as("s2"))
+        .filter(col("ng") > 1L)
+      val ngD = col("ng").cast("double")
+      // mean and sample variance in VALUE units (vq is milli-units)
+      val mg = col("s1").cast("double") / ngD / lit(1000.0)
+      val vg = (col("s2").cast("double") / lit(1e6) -
+        (col("s1").cast("double") / lit(1000.0)) * mg) / (ngD - lit(1.0))
+      val wts = byG
+        .withColumn("wq", floor(ngD / vg * lit(1e6) + lit(0.5))
+          .cast("long"))
+        .withColumn("wmq", floor(ngD / vg * mg * lit(1e6) + lit(0.5))
+          .cast("long"))
+      val tot = wts.agg(count(lit(1)).as("k"), sum(col("wq")).as("sw"),
+        sum(col("wmq")).as("swm"))
+      val mw = col("swm").cast("double") / col("sw").cast("double")
+      val wD = col("wq").cast("double") / lit(1e6)
+      val swD = col("sw").cast("double") / lit(1e6)
+      val terms = wts.crossJoin(broadcast(tot))
+        .withColumn("aq", floor(wD * (mg - mw) * (mg - mw) * lit(1e6) +
+          lit(0.5)).cast("long"))
+        .withColumn("hq", floor((lit(1.0) - wD / swD) *
+          (lit(1.0) - wD / swD) / (ngD - lit(1.0)) * lit(1e9) +
+          lit(0.5)).cast("long"))
+      val fin = terms.groupBy(col("k"), col("sw"))
+        .agg(sum(col("ng")).as("n"), sum(col("aq")).as("sa"),
+          sum(col("hq")).as("sh"))
+      val kD = col("k").cast("double")
+      val aD = col("sa").cast("double") / lit(1e6)
+      val hD = col("sh").cast("double") / lit(1e9)
+      def q6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      fin.select(col("n"), col("k"),
+        q6(aD / (kD - lit(1.0)) /
+          (lit(1.0) + lit(2.0) * (kD - lit(2.0)) /
+            (kD * kD - lit(1.0)) * hD)).as("f_welch"),
+        (col("k") - lit(1L)).as("df1"),
+        q6((kD * kD - lit(1.0)) / (lit(3.0) * hD)).as("df2"))
+    }),
+
+    // -- MASE backtest of the seasonal-naive forecaster ----------------------
+    // The scale-free forecast-accuracy metric (Hyndman & Koehler) the
+    // smoothing family (q_holt_*) lacks an evaluation row for: on the
+    // daily mean-value series, score the weekly seasonal-naive forecast
+    // (ŷ_t = y_{t−7}) against the one-step naive benchmark —
+    // MASE = mean|y−ŷ| / mean|y−y_{t−1}|; < 1 beats naive. Day means
+    // are exact integer micros (the q_cusum device); both error sums
+    // are integer; the ratio is one exact cross-multiplied integer
+    // micro-division. Lags ride the BOUNDED day frame (calendar class).
+    "q_mase_backtest" -> ((s, d) => {
+      val byDay = Tables.eventsWithTime(s, d)
+        .select(expr("ts_us div 86400000000").as("day"),
+          floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+            .as("vq"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("vq")).as("sq"))
+        .withColumn("xm", expr("(sq * 1000) div n"))
+      val w = Window.orderBy(col("day"))
+      val errs = byDay
+        .withColumn("e1", abs(col("xm") - lag(col("xm"), 1).over(w)))
+        .withColumn("e7", abs(col("xm") - lag(col("xm"), 7).over(w)))
+      errs.agg(count(lit(1)).as("n_days"),
+          sum(when(col("e7").isNotNull, 1L).otherwise(0L)).as("n7"),
+          sum(when(col("e1").isNotNull, 1L).otherwise(0L)).as("n1"),
+          sum(col("e7")).as("s7"), sum(col("e1")).as("s1"))
+        .select(col("n_days"),
+          (expr("(s7 * 1000000) div n7").cast("double") / lit(1e12))
+            .as("mae_seasonal"),
+          (expr("(s1 * 1000000) div n1").cast("double") / lit(1e12))
+            .as("mae_naive"),
+          (expr("(s7 * n1 * 1000000) div (s1 * n7)").cast("double") /
+            lit(1e6)).as("mase"))
     }),
 
     // -- Simpson's-paradox detector (pooled vs within-group trend) ---------
@@ -2703,6 +2796,40 @@ object StatsQueries extends QueryPack {
     })
   )
 
+  /** Per-nation status-mix independence χ² + micro-quantized p-value
+    * frame (nk, n, x2u, pu) — the shared multiple-testing input of
+    * q_bh_fdr and q_holm_bonferroni, factored so the two procedures
+    * cannot drift from different test statistics. Densified nation ×
+    * status grid; per-cell terms nano-quantized then integer-summed;
+    * p from the df=2 closed form e^(−χ²/2). */
+  private def natChi2P(s: SparkSession, d: String): DataFrame = {
+    val oc = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderstatus").as("st"))
+      .join(Tables.customer(s, d).select(
+        col("c_custkey").as("o_custkey"),
+        col("c_nationkey").cast("long").as("nk")), "o_custkey")
+    val cell = oc.groupBy(col("nk"), col("st")).agg(count(lit(1)).as("o"))
+    val nat = cell.groupBy(col("nk")).agg(sum(col("o")).as("ni"))
+    val glob = cell.groupBy(col("st")).agg(sum(col("o")).as("gc"))
+    val tot = cell.agg(sum(col("o")).as("nn"))
+    val grid = nat.crossJoin(broadcast(glob))
+    val terms = grid
+      .join(cell, Seq("nk", "st"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(tot))
+      .withColumn("e", col("ni").cast("double") *
+        col("gc").cast("double") / col("nn").cast("double"))
+      .withColumn("tu", floor(
+        (col("o").cast("double") - col("e")) *
+          (col("o").cast("double") - col("e")) / col("e") *
+          lit(1e9) + lit(0.5)).cast("long"))
+    terms.groupBy(col("nk"))
+      .agg(max(col("ni")).as("n"), sum(col("tu")).as("x2u"))
+      .withColumn("pu", floor(
+        exp(-col("x2u").cast("double") / lit(2e9)) * lit(1e6) +
+          lit(0.5)).cast("long"))
+  }
+
   def oracle: Map[String, String] = Map(
     // DECIMAL sums widen exactly like Spark's decimal(38,0) (DuckDB sums
     // BIGINT into HUGEINT); the closed form mirrors the Spark expression
@@ -3035,6 +3162,129 @@ object StatsQueries extends QueryPack {
         |  CAST(CASE WHEN k IS NOT NULL AND rnk <= k THEN 1 ELSE 0 END
         |    AS BIGINT) AS significant
         |FROM rk CROSS JOIN ks ORDER BY nationkey""".stripMargin,
+
+    // same χ²/p CTE chain as q_bh_fdr; exact integer step-down
+    "q_holm_bonferroni" ->
+      """WITH oc AS (SELECT CAST(c.c_nationkey AS BIGINT) AS nk,
+        |    o.o_orderstatus AS st
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |cell AS (SELECT nk, st, count(*) AS o FROM oc GROUP BY 1, 2),
+        |nat AS (SELECT nk, CAST(sum(o) AS BIGINT) AS ni
+        |  FROM cell GROUP BY 1),
+        |gshare AS (SELECT st, CAST(sum(o) AS BIGINT) AS gc
+        |  FROM cell GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cell),
+        |grid AS (SELECT nat.nk, nat.ni, gshare.st, gshare.gc
+        |  FROM nat CROSS JOIN gshare),
+        |terms AS (SELECT g.nk, g.ni, coalesce(cell.o, 0) AS o,
+        |    CAST(g.ni AS DOUBLE) * CAST(g.gc AS DOUBLE)
+        |      / CAST(tot.nn AS DOUBLE) AS e
+        |  FROM grid g LEFT JOIN cell ON cell.nk = g.nk AND cell.st = g.st
+        |  CROSS JOIN tot),
+        |tu AS (SELECT nk, ni, CAST(floor(
+        |    (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+        |      * 1e9 + 0.5e0) AS BIGINT) AS tu FROM terms),
+        |x2 AS (SELECT nk, max(ni) AS n, CAST(sum(tu) AS BIGINT) AS x2u
+        |  FROM tu GROUP BY 1),
+        |pp AS (SELECT nk, n, x2u, CAST(floor(
+        |    exp(-CAST(x2u AS DOUBLE) / 2e9) * 1e6 + 0.5e0) AS BIGINT)
+        |    AS pu FROM x2),
+        |rk AS (SELECT nk, n, pu,
+        |    row_number() OVER (ORDER BY pu, nk) AS rnk,
+        |    count(*) OVER () AS m FROM pp),
+        |st2 AS (SELECT *, pu * (m - rnk + 1) AS stepu,
+        |    CASE WHEN pu * (m - rnk + 1) * 20 > 1000000 THEN 1 ELSE 0 END
+        |      AS fail FROM rk),
+        |fin AS (SELECT *,
+        |    least(1000000, max(stepu) OVER (ORDER BY pu, nk)) AS adj_u,
+        |    CAST(sum(fail) OVER (ORDER BY pu, nk) AS BIGINT) AS nfail
+        |  FROM st2)
+        |SELECT nk AS nationkey, n,
+        |  CAST(pu AS DOUBLE) / 1e6 AS p_value,
+        |  CAST(rnk AS BIGINT) AS rnk,
+        |  CAST(adj_u AS DOUBLE) / 1e6 AS p_holm,
+        |  CAST(CASE WHEN nfail = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS significant
+        |FROM fin ORDER BY nationkey""".stripMargin,
+
+    // HUGEINT group moments; micro-quantized weights summed exactly;
+    // mirrored F*, df2
+    "q_welch_anova" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq
+        |  FROM events),
+        |g AS (SELECT event_type, count(*) AS ng,
+        |    sum(vq) AS s1, sum(vq * vq) AS s2
+        |  FROM e GROUP BY 1 HAVING count(*) > 1),
+        |wts AS (SELECT event_type, ng,
+        |    CAST(floor(CAST(ng AS DOUBLE)
+        |      / ((CAST(s2 AS DOUBLE) / 1e6
+        |          - (CAST(s1 AS DOUBLE) / 1000.0)
+        |            * (CAST(s1 AS DOUBLE) / CAST(ng AS DOUBLE) / 1000.0))
+        |         / (CAST(ng AS DOUBLE) - 1.0e0))
+        |      * 1e6 + 0.5e0) AS BIGINT) AS wq,
+        |    CAST(floor(CAST(ng AS DOUBLE)
+        |      / ((CAST(s2 AS DOUBLE) / 1e6
+        |          - (CAST(s1 AS DOUBLE) / 1000.0)
+        |            * (CAST(s1 AS DOUBLE) / CAST(ng AS DOUBLE) / 1000.0))
+        |         / (CAST(ng AS DOUBLE) - 1.0e0))
+        |      * (CAST(s1 AS DOUBLE) / CAST(ng AS DOUBLE) / 1000.0)
+        |      * 1e6 + 0.5e0) AS BIGINT) AS wmq,
+        |    CAST(s1 AS DOUBLE) / CAST(ng AS DOUBLE) / 1000.0 AS mg
+        |  FROM g),
+        |tot AS (SELECT count(*) AS k, CAST(sum(wq) AS BIGINT) AS sw,
+        |    CAST(sum(wmq) AS BIGINT) AS swm FROM wts),
+        |terms AS (SELECT ng, k, sw,
+        |    CAST(floor((CAST(wq AS DOUBLE) / 1e6)
+        |      * (mg - CAST(swm AS DOUBLE) / CAST(sw AS DOUBLE))
+        |      * (mg - CAST(swm AS DOUBLE) / CAST(sw AS DOUBLE))
+        |      * 1e6 + 0.5e0) AS BIGINT) AS aq,
+        |    CAST(floor((1.0e0 - (CAST(wq AS DOUBLE) / 1e6)
+        |        / (CAST(sw AS DOUBLE) / 1e6))
+        |      * (1.0e0 - (CAST(wq AS DOUBLE) / 1e6)
+        |        / (CAST(sw AS DOUBLE) / 1e6))
+        |      / (CAST(ng AS DOUBLE) - 1.0e0) * 1e9 + 0.5e0) AS BIGINT)
+        |      AS hq
+        |  FROM wts CROSS JOIN tot),
+        |fin AS (SELECT k, CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(sum(aq) AS BIGINT) AS sa, CAST(sum(hq) AS BIGINT) AS sh
+        |  FROM terms GROUP BY k)
+        |SELECT n, CAST(k AS BIGINT) AS k,
+        |  floor((CAST(sa AS DOUBLE) / 1e6) / (CAST(k AS DOUBLE) - 1.0e0)
+        |    / (1.0e0 + 2.0e0 * (CAST(k AS DOUBLE) - 2.0e0)
+        |      / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0e0)
+        |      * (CAST(sh AS DOUBLE) / 1e9)) * 1e6 + 0.5e0) / 1e6
+        |    AS f_welch,
+        |  CAST(k - 1 AS BIGINT) AS df1,
+        |  floor((CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0e0)
+        |    / (3.0e0 * (CAST(sh AS DOUBLE) / 1e9)) * 1e6 + 0.5e0) / 1e6
+        |    AS df2
+        |FROM fin""".stripMargin,
+
+    // integer day-mean lags on the calendar frame; exact micro ratio
+    "q_mase_backtest" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq
+        |  FROM events),
+        |g AS (SELECT day, count(*) AS n, CAST(sum(vq) AS BIGINT) AS sq
+        |  FROM e GROUP BY 1),
+        |g2 AS (SELECT day, (sq * 1000) // n AS xm FROM g),
+        |er AS (SELECT
+        |    abs(xm - lag(xm, 1) OVER (ORDER BY day)) AS e1,
+        |    abs(xm - lag(xm, 7) OVER (ORDER BY day)) AS e7
+        |  FROM g2),
+        |m AS (SELECT count(*) AS n_days,
+        |    CAST(sum(CASE WHEN e7 IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n7,
+        |    CAST(sum(CASE WHEN e1 IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(sum(e7) AS BIGINT) AS s7, CAST(sum(e1) AS BIGINT) AS s1
+        |  FROM er)
+        |SELECT n_days,
+        |  CAST((s7 * 1000000) // n7 AS DOUBLE) / 1e12 AS mae_seasonal,
+        |  CAST((s1 * 1000000) // n1 AS DOUBLE) / 1e12 AS mae_naive,
+        |  CAST((s7 * n1 * 1000000) // (s1 * n7) AS DOUBLE) / 1e6 AS mase
+        |FROM m""".stripMargin,
 
     // HUGEINT raw moments; centered sums fold in ORDER BY grp via
     // list_reduce — the same sequential double adds as sort_array +

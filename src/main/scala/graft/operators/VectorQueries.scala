@@ -431,6 +431,61 @@ object VectorQueries extends QueryPack {
       : Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_triangles_ann" -> ((s, d) => knnTrianglesAnn(s, d)),
 
+    // -- DBSCAN point classification (density clustering triage) -----------
+    // The density view the centroid methods (q_kmeans/q_kcenter_seed)
+    // can't give: classify every vector as CORE (≥ minPts cosine-τ
+    // neighbors), BORDER (a core neighbor but not core itself), or
+    // NOISE — the DBSCAN taxonomy, which is the data-quality triage a
+    // curation pipeline runs on an embedding space (noise ≈ outliers/
+    // garbage, core mass ≈ dense modes). Neighborhoods come from the
+    // SAME two-level IVF blocking the ANN family serves (nprobe-2
+    // candidate cells, exact-cosine verify, symmetrized pairs), so
+    // candidate volume is ~2·celldepth per vector — linear, never
+    // all-pairs; the oracle replicates the identical blocking. Degree
+    // count, core test, and the border semi-join are all keyed.
+    "q_dbscan_core" -> ((s, d) => {
+      val tau = 0.35
+      val minPts = 3
+      val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
+        .withColumn("nrm", Vectors.norm(col("v")))
+      val nlist = Vectors.deriveNlist(e.count())
+      val idx = Vectors.ivfIndex2(e, nlist)
+      val assign = Vectors.ivfAssign2(e, idx, 1)
+      val probes = Vectors.ivfAssign2(e, idx, 2)
+      val cand = probes.select(col("id").as("a_id"), col("cid"))
+        .join(assign.select(col("id").as("b_id"), col("cid")), "cid")
+        .filter(col("a_id") =!= col("b_id"))
+        .join(e.select(col("id").as("a_id"), col("v").as("av"),
+          col("nrm").as("anrm")), "a_id")
+        .join(e.select(col("id").as("b_id"), col("v").as("bv"),
+          col("nrm").as("bnrm")), "b_id")
+        .filter(Vectors.dot(col("av"), col("bv")) /
+          (col("anrm") * col("bnrm")) >= tau)
+        .select(least(col("a_id"), col("b_id")).as("u"),
+          greatest(col("a_id"), col("b_id")).as("vx"))
+        .distinct()
+      val deg = cand.select(col("u").as("id"))
+        .unionAll(cand.select(col("vx").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("nnb"))
+      val cls = e.select(col("id")).join(deg, Seq("id"), "left")
+        .na.fill(0L, Seq("nnb"))
+      val coreIds = cls.filter(col("nnb") >= minPts)
+        .select(col("id").as("core_id"))
+      val nbrCore = cand.select(col("u").as("id"), col("vx").as("nb"))
+        .unionAll(cand.select(col("vx").as("id"), col("u").as("nb")))
+        .join(coreIds, col("nb") === col("core_id"), "left_semi")
+        .select(col("id")).distinct()
+        .withColumn("has_core_nbr", lit(true))
+      cls.join(nbrCore, Seq("id"), "left")
+        .withColumn("klass",
+          when(col("nnb") >= minPts, "core")
+            .when(col("has_core_nbr"), "border")
+            .otherwise("noise"))
+        .groupBy(col("klass"))
+        .agg(count(lit(1)).as("n_points"))
+        .orderBy(col("klass"))
+    }),
+
     // -- IVF ANN: centroid-partitioned approximate top-k -------------------
     // Inverted-file index: corpus vectors are assigned to their nearest
     // centroid (deterministic centroid set = first `nlist` vectors, no
@@ -1763,6 +1818,42 @@ object VectorQueries extends QueryPack {
            |      UNION ALL SELECT y FROM tri
            |      UNION ALL SELECT z FROM tri) t
            |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+      },
+
+      // same IVF blocking CTEs; symmetrized cosine-τ pairs, keyed degree
+      "q_dbscan_core" -> {
+        import graft.engine.OracleHash._
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+           |  FROM embeddings),
+           |n AS (SELECT vec_id, vd,
+           |    sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
+           |${ivf2IndexCtes("n", "vec_id")},
+           |${ivf2AssignCte("asg", "n", "vec_id", "", 1)},
+           |${ivf2AssignCte("probes", "n", "vec_id", "", 2)},
+           |cand AS (SELECT DISTINCT least(p.vec_id, a.vec_id) AS u,
+           |    greatest(p.vec_id, a.vec_id) AS vx
+           |  FROM probes p JOIN asg a ON p.cid = a.cid
+           |  JOIN n an ON an.vec_id = p.vec_id
+           |  JOIN n bn ON bn.vec_id = a.vec_id
+           |  WHERE a.vec_id <> p.vec_id
+           |    AND list_dot_product(an.vd, bn.vd) / (an.nrm * bn.nrm)
+           |      >= 0.35),
+           |deg AS (SELECT id, count(*) AS nnb FROM (
+           |    SELECT u AS id FROM cand
+           |    UNION ALL SELECT vx FROM cand) t GROUP BY 1),
+           |cls AS (SELECT e.vec_id AS id, coalesce(deg.nnb, 0) AS nnb
+           |  FROM e LEFT JOIN deg ON e.vec_id = deg.id),
+           |core AS (SELECT id FROM cls WHERE nnb >= 3),
+           |nbrc AS (SELECT DISTINCT t.id FROM (
+           |    SELECT u AS id, vx AS nb FROM cand
+           |    UNION ALL SELECT vx, u FROM cand) t
+           |  JOIN core ON t.nb = core.id)
+           |SELECT CASE WHEN cls.nnb >= 3 THEN 'core'
+           |            WHEN nbrc.id IS NOT NULL THEN 'border'
+           |            ELSE 'noise' END AS klass,
+           |  count(*) AS n_points
+           |FROM cls LEFT JOIN nbrc ON cls.id = nbrc.id
+           |GROUP BY 1 ORDER BY klass""".stripMargin
       },
 
       // the shared two-level CTE helpers (OracleHash.ivf2*Ctes — one

@@ -44,7 +44,9 @@ class QueryCorpusSpec extends AnyFunSuite {
     "q_runs_test", "q_spearman", "q_stl_decompose", "q_weibull_fit",
     "q_wilcoxon_signed",
     "q_key_skew",           // count-of-counts frame ≤ max key multiplicity
-    "q_quantile_normalize") // distinct-score frame ≤ classifier domain
+    "q_quantile_normalize", // distinct-score frame ≤ classifier domain
+    "q_holm_bonferroni",    // m-row test frame (q_bh_fdr's class)
+    "q_mase_backtest")      // day-calendar series, the q_cusum class
 
   test("oracle entries reference declared queries only") {
     val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

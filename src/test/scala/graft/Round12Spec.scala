@@ -13,6 +13,7 @@ import graft.engine.Tables
   */
 class Round12Spec extends AnyFunSuite {
   import SparkFixture.{spark, sfDir}
+  import spark.implicits._
 
   private def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
@@ -311,6 +312,156 @@ class Round12Spec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
         r.getDouble(3), r.getLong(4))).toSeq
     assert(got == expected)
+  }
+
+  test("q_holm_bonferroni replays the step-down on independently computed p-values") {
+    val nk = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val cells = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderstatus")).collect()
+      .map(r => (nk(r.getLong(0)), r.getString(1)))
+    val byCell = cells.groupBy(identity).map { case (k, xs) =>
+      k -> xs.length.toLong }
+    val nats = cells.map(_._1).distinct.sorted
+    val sts = cells.map(_._2).distinct.sorted
+    val ni = nats.map(n => n -> cells.count(_._1 == n).toLong).toMap
+    val gc = sts.map(s0 => s0 -> cells.count(_._2 == s0).toLong).toMap
+    val nn = cells.length.toLong
+    val ps = nats.map { n =>
+      val x2u = sts.map { s0 =>
+        val o = byCell.getOrElse((n, s0), 0L)
+        val e = ni(n).toDouble * gc(s0).toDouble / nn.toDouble
+        math.floor((o - e) * (o - e) / e * 1e9 + 0.5).toLong
+      }.sum
+      val pu = math.floor(math.exp(-x2u.toDouble / 2e9) * 1e6 + 0.5).toLong
+      (n, pu)
+    }
+    val m = ps.length.toLong
+    val ranked = ps.sortBy(p => (p._2, p._1)).zipWithIndex
+      .map { case ((n, pu), i) => (n, pu, i + 1L) }
+    var runMax = 0L; var anyFail = false
+    val holm = ranked.map { case (n, pu, rnk) =>
+      val step = pu * (m - rnk + 1)
+      runMax = math.max(runMax, step)
+      if (step * 20 > 1000000L) anyFail = true
+      (n, pu.toDouble / 1e6, rnk, math.min(1000000L, runMax).toDouble / 1e6,
+        if (anyFail) 0L else 1L)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_holm_bonferroni")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5))).toSeq
+    assert(got == holm.toSeq)
+  }
+
+  test("q_welch_anova replays the heteroscedastic F*") {
+    val groups = events.groupBy(_._3).values.map(_.map(e => vq(e._4)))
+      .filter(_.length > 1).toSeq
+    val stats = groups.map { g =>
+      val n = g.length.toLong
+      val s1 = g.map(BigInt(_)).sum
+      val s2 = g.map(v => BigInt(v) * v).sum
+      val mg = s1.toDouble / n / 1000.0
+      val vg = (s2.toDouble / 1e6 - (s1.toDouble / 1000.0) *
+        (s1.toDouble / n / 1000.0)) / (n - 1.0)
+      val wq = math.floor(n / vg * 1e6 + 0.5).toLong
+      val wmq = math.floor(n / vg * mg * 1e6 + 0.5).toLong
+      (n, mg, wq, wmq)
+    }
+    val k = stats.length.toLong
+    val sw = stats.map(_._3).sum; val swm = stats.map(_._4).sum
+    val mw = swm.toDouble / sw
+    val sa = stats.map { case (_, mg, wq, _) =>
+      math.floor((wq.toDouble / 1e6) * (mg - mw) * (mg - mw) * 1e6 +
+        0.5).toLong }.sum
+    val sh = stats.map { case (n, _, wq, _) =>
+      val f = 1.0 - (wq.toDouble / 1e6) / (sw.toDouble / 1e6)
+      math.floor(f * f / (n - 1.0) * 1e9 + 0.5).toLong }.sum
+    val aD = sa.toDouble / 1e6; val hD = sh.toDouble / 1e9
+    val fW = q6(aD / (k - 1.0) /
+      (1.0 + 2.0 * (k - 2.0) / (k * k - 1.0) * hD))
+    val df2 = q6((k.toDouble * k - 1.0) / (3.0 * hD))
+    val got = SparkEntry.queries("q_welch_anova")(spark, sfDir)
+      .collect().head
+    assert(got.getLong(0) == stats.map(_._1).sum)
+    assert(got.getLong(1) == k)
+    assert(got.getDouble(2) == fW)
+    assert(got.getLong(3) == k - 1)
+    assert(got.getDouble(4) == df2)
+  }
+
+  test("q_mase_backtest replays the seasonal-naive MASE") {
+    val xm = events.groupBy(e => dayOf(e._1)).toSeq.sortBy(_._1)
+      .map { case (d, es) =>
+        val sq = es.map(e => vq(e._4)).sum
+        (sq * 1000L) / es.length }
+    val e1 = xm.indices.drop(1).map(i => math.abs(xm(i) - xm(i - 1)))
+    val e7 = xm.indices.drop(7).map(i => math.abs(xm(i) - xm(i - 7)))
+    val got = SparkEntry.queries("q_mase_backtest")(spark, sfDir)
+      .collect().head
+    assert(got.getLong(0) == xm.length.toLong)
+    assert(got.getDouble(1) ==
+      (e7.sum * 1000000L / e7.length).toDouble / 1e12)
+    assert(got.getDouble(2) ==
+      (e1.sum * 1000000L / e1.length).toDouble / 1e12)
+    assert(got.getDouble(3) ==
+      (e7.sum * e1.length * 1000000L / (e1.sum * e7.length)).toDouble /
+        1e6)
+  }
+
+  test("q_ucb_arms replays the UCB1 scores") {
+    val arms = events.groupBy(_._3).toSeq.sortBy(_._1)
+    val nn = events.length.toDouble
+    val expected = arms.map { case (t, es) =>
+      val n = es.length.toLong
+      val mu = (es.map(e => vq(e._4)).sum * 1000L) / n
+      (t, n, mu.toDouble / 1e6,
+        q6(mu.toDouble / 1e6 + math.sqrt(2.0 * math.log(nn) / n)))
+    }
+    val got = SparkEntry.queries("q_ucb_arms")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(got == expected)
+  }
+
+  test("q_dbscan_core: classes partition the corpus; core/border logic replays") {
+    import graft.functions.Vectors
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"),
+        Vectors.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    val nlist = Vectors.deriveNlist(e.count())
+    val idx = Vectors.ivfIndex2(e, nlist)
+    val assign = Vectors.ivfAssign2(e, idx, 1)
+    val probes = Vectors.ivfAssign2(e, idx, 2)
+    // collect the same IVF-blocked cosine-0.35 edges, classify in Scala
+    val edges = probes.select(col("id").as("a_id"), col("cid"))
+      .join(assign.select(col("id").as("b_id"), col("cid")), "cid")
+      .filter(col("a_id") =!= col("b_id"))
+      .join(e.select(col("id").as("a_id"), col("v").as("av"),
+        col("nrm").as("anrm")), "a_id")
+      .join(e.select(col("id").as("b_id"), col("v").as("bv"),
+        col("nrm").as("bnrm")), "b_id")
+      .filter(Vectors.dot(col("av"), col("bv")) /
+        (col("anrm") * col("bnrm")) >= 0.35)
+      .select(least(col("a_id"), col("b_id")),
+        greatest(col("a_id"), col("b_id")))
+      .distinct().as[(Long, Long)].collect().toSet
+    val ids = e.select(col("id")).as[Long].collect()
+    val deg = scala.collection.mutable.Map.empty[Long, Int]
+      .withDefaultValue(0)
+    edges.foreach { case (u, v) => deg(u) += 1; deg(v) += 1 }
+    val core = ids.filter(deg(_) >= 3).toSet
+    val border = ids.filter(i => !core(i) && edges.exists { case (u, v) =>
+      (u == i && core(v)) || (v == i && core(u)) }).toSet
+    val expected = Map(
+      "core" -> core.size.toLong, "border" -> border.size.toLong,
+      "noise" -> (ids.length - core.size - border.size).toLong)
+      .filter(_._2 > 0L).toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q_dbscan_core")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    assert(got.map(_._2).sum == ids.length.toLong)
   }
 
   // ---------------------------------------------------------- TPC-H
