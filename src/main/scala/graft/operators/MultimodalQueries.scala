@@ -26,6 +26,8 @@ case class AudioFrame(doc_id: Long, frame_id: Long, energy: Long,
 case class ResizedImage(doc_id: Long, out_w: Int, out_h: Int,
                         sum_pixels: Long, hex_raster: String)
 
+case class AHashRow(doc_id: Long, ahash_hex: String, n_ones: Long)
+
 /** Multimodal-column operators: image/audio/video handled as opaque
   * `binary` columns with typed metadata (SURVEY.md §2.2 "Multimodal
   * columns"; the reference stores whole files as opaque payloads —
@@ -217,6 +219,73 @@ object MultimodalQueries extends QueryPack {
         .toDF()
         .select(col("doc_id"), col("width"), col("height"),
           col("png_nonempty"), round(col("avg_pixel"), 6).as("avg_pixel"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- perceptual average-hash over the REAL decoded raster ----------------
+    // The image-dedup fingerprint (aHash): decode the real PNG through
+    // the JDK codec, threshold each pixel against the image mean by the
+    // EXACT integer cross-multiplication pv·256 > Σpv (no float mean
+    // ever materializes — ties resolve identically on both engines), and
+    // pack the 256 bits row-major into a 64-nibble hex string. Near-dup
+    // images then pair by hamming distance on these hex fingerprints
+    // exactly like SimHash pairs text (the q_dedup_simhash machinery);
+    // this row pins the fingerprint itself. PNG is lossless, so the
+    // oracle regenerates each pixel from the portable splitmix64 formula
+    // and reproduces the hash bit-for-bit. Per-partition codec loop, no
+    // shuffle before the output sort.
+    "q_mm_image_ahash" -> ((s, d) => {
+      import s.implicits._
+      val side = 16
+      Tables.documents(s, d).select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val img = new java.awt.image.BufferedImage(side, side,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val r = img.getRaster
+            var i = 0
+            while (i < side * side) {
+              val v = (org.apache.spark.sql.graft.NativeExpressions
+                .splitmix64Long(id * 256L + i) & 0xffL).toInt
+              r.setSample(i % side, i / side, 0, v)
+              i += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            val dec = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bos.toByteArray))
+            val r2 = dec.getRaster
+            val pv = new Array[Int](side * side)
+            var sum = 0L
+            var j = 0
+            while (j < side * side) {
+              pv(j) = r2.getSample(j % side, j / side, 0)
+              sum += pv(j)
+              j += 1
+            }
+            val sb = new StringBuilder(side * side / 4)
+            var ones = 0L
+            var k = 0
+            while (k < side * side / 4) {
+              var nib = 0
+              var b = 0
+              while (b < 4) {
+                if (pv(4 * k + b).toLong * 256L > sum) {
+                  nib |= 8 >> b; ones += 1L
+                }
+                b += 1
+              }
+              sb.append(Integer.toHexString(nib))
+              k += 1
+            }
+            AHashRow(id, sb.toString, ones)
+          }
+        }
+        .toDF()
+        .select(col("doc_id"), col("ahash_hex"), col("n_ones"))
         .orderBy(col("doc_id"))
     }),
 
@@ -474,6 +543,33 @@ object MultimodalQueries extends QueryPack {
          |  true AS png_nonempty,
          |  round(sum(pv) / 256.0, 6) AS avg_pixel
          |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // lossless PNG ⇒ regenerate pixels via splitmix64; the bit test is
+    // the exact integer cross-multiplication pv·256 > Σpv; nibbles pack
+    // row-major (bit 4k is the nibble's high bit)
+    "q_mm_image_ahash" -> {
+      import graft.engine.OracleHash._
+      s"""WITH px AS (SELECT doc_id, i,
+         |    CAST(doc_id * 256 + i AS UBIGINT) AS seed
+         |  FROM documents, unnest(range(0, 256)) AS t(i)),
+         |${splitmixStages("px", "doc_id, i", "seed")},
+         |v AS (SELECT doc_id, i,
+         |    CAST(xor(z3, z3 >> 31) % 256 AS BIGINT) AS pv FROM p3_),
+         |tot AS (SELECT doc_id, CAST(sum(pv) AS BIGINT) AS s
+         |  FROM v GROUP BY 1),
+         |b AS (SELECT v.doc_id, v.i,
+         |    CASE WHEN pv * 256 > s THEN 1 ELSE 0 END AS bit
+         |  FROM v JOIN tot ON v.doc_id = tot.doc_id),
+         |nib AS (SELECT doc_id, i // 4 AS k,
+         |    CAST(sum(bit * (CASE i % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+         |      WHEN 2 THEN 2 ELSE 1 END)) AS BIGINT) AS nv,
+         |    CAST(sum(bit) AS BIGINT) AS nb
+         |  FROM b GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  string_agg(printf('%x', nv), '' ORDER BY k) AS ahash_hex,
+         |  CAST(sum(nb) AS BIGINT) AS n_ones
+         |FROM nib GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     // the sampled source index for out-pixel k (row-major over 8×8) is

@@ -616,6 +616,42 @@ object StatsQueries extends QueryPack {
         q6((kD * kD - lit(1.0)) / (lit(3.0) * hD)).as("df2"))
     }),
 
+    // -- Q–Q deciles (purchase vs click value distributions) -----------------
+    // The distribution-comparison readout behind every Q–Q plot: the
+    // nine deciles of the two event-value distributions side by side,
+    // each an EXACT ceil-rank order statistic (smallest quantized value
+    // with 10·cum ≥ d·n — the q_outlier_mad integer contract) computed
+    // on the GROUP-KEYED distinct-value frames (windows partitioned by
+    // event type, so nothing is single-task; frames bounded by the
+    // quantized value domain). Matching deciles ⇒ same distribution;
+    // the integer milli gap per decile is the Q–Q deviation.
+    "q_qq_plot" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_type").as("grp"),
+          floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+            .as("vq"))
+      val cells = e.groupBy(col("grp"), col("vq"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("grp")).orderBy(col("vq"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy(col("grp"))
+      cells
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("n", sum(col("cnt")).over(wn))
+        .withColumn("d", explode(sequence(lit(1L), lit(9L))))
+        .filter(col("cum") * 10 >= col("d") * col("n"))
+        .groupBy(col("d").as("decile"))
+        .agg(min(when(col("grp") === "purchase", col("vq"))).as("pq"),
+          min(when(col("grp") === "click", col("vq"))).as("cq"))
+        .select(col("decile"),
+          (col("pq").cast("double") / lit(1000.0)).as("q_purchase"),
+          (col("cq").cast("double") / lit(1000.0)).as("q_click"),
+          ((col("pq") - col("cq")).cast("double") / lit(1000.0))
+            .as("qq_gap"))
+        .orderBy(col("decile"))
+    }),
+
     // -- MASE backtest of the seasonal-naive forecaster ----------------------
     // The scale-free forecast-accuracy metric (Hyndman & Koehler) the
     // smoothing family (q_holt_*) lacks an evaluation row for: on the
@@ -3260,6 +3296,30 @@ object StatsQueries extends QueryPack {
         |    / (3.0e0 * (CAST(sh AS DOUBLE) / 1e9)) * 1e6 + 0.5e0) / 1e6
         |    AS df2
         |FROM fin""".stripMargin,
+
+    // group-keyed ceil-rank deciles on the quantized value frames
+    "q_qq_plot" ->
+      """WITH e AS (SELECT event_type AS grp,
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |cells AS (SELECT grp, vq, count(*) AS cnt FROM e GROUP BY 1, 2),
+        |cm AS (SELECT grp, vq,
+        |    CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY vq) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n
+        |  FROM cells),
+        |q AS (SELECT d, grp, vq
+        |  FROM cm, unnest(range(1, 10)) AS t(d)
+        |  WHERE cum * 10 >= d * n)
+        |SELECT d AS decile,
+        |  CAST(min(CASE WHEN grp = 'purchase' THEN vq END) AS DOUBLE)
+        |    / 1000.0 AS q_purchase,
+        |  CAST(min(CASE WHEN grp = 'click' THEN vq END) AS DOUBLE)
+        |    / 1000.0 AS q_click,
+        |  CAST(min(CASE WHEN grp = 'purchase' THEN vq END)
+        |    - min(CASE WHEN grp = 'click' THEN vq END) AS DOUBLE)
+        |    / 1000.0 AS qq_gap
+        |FROM q GROUP BY d ORDER BY decile""".stripMargin,
 
     // integer day-mean lags on the calendar frame; exact micro ratio
     "q_mase_backtest" ->

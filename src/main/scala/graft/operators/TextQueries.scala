@@ -1049,6 +1049,31 @@ object TextQueries extends QueryPack {
         .orderBy(col("s1"), col("s2"))
     }),
 
+    // -- duplicate rate by source (curation accountability readout) --------
+    // Which ingestion sources PRODUCE the duplicates: mine the exact
+    // near-dup pairs once (the shared prefix-filtered miner), mark every
+    // doc that participates in ≥1 pair, and aggregate the dup share per
+    // source — the per-feed number that decides which crawls get
+    // throttled or re-scoped. Exact integer micro-rate; one left-semi
+    // style mark join + a source-keyed agg on top of the pair mining.
+    "q_dup_by_source" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = TextDedup.exactJaccardPairs(
+        docs.select(col("doc_id"), col("text")), 0.7)
+      val dupDocs = pairs.select(col("d1").as("doc_id"))
+        .unionAll(pairs.select(col("d2").as("doc_id"))).distinct()
+        .withColumn("is_dup", lit(1L))
+      docs.select(col("doc_id"), col("source"))
+        .join(dupDocs, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"))
+        .withColumn("dup_rate",
+          expr("(n_dup_docs * 1000000) div n_docs").cast("double") /
+            lit(1e6))
+        .orderBy(col("source"))
+    }),
+
     // -- near-dup: exact word-set Jaccard (ground truth for LSH variants) --
     "q_dedup_jaccard" -> ((s, d) => {
       TextDedup.exactJaccardPairs(
@@ -1990,6 +2015,30 @@ object TextQueries extends QueryPack {
     val normSql =
       "regexp_replace(lower(trim(text)), '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g')"
     Map(
+      // same 5-shingle pair CTE as q_dedup_jaccard; source-keyed rate
+      "q_dup_by_source" ->
+        s"""WITH t AS (SELECT doc_id,
+           |    list_distinct(list_transform(
+           |      range(0, greatest(len(string_split($normSql, ' ')) - 4,
+           |        1)),
+           |      i -> array_to_string(string_split($normSql, ' ')[i+1:i+5],
+           |        ' '))) AS toks
+           |  FROM documents),
+           |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+           |      (len(a.toks) + len(b.toks)
+           |       - len(list_intersect(a.toks, b.toks))) >= 0.7),
+           |dd AS (SELECT DISTINCT doc_id FROM (
+           |    SELECT d1 AS doc_id FROM p
+           |    UNION ALL SELECT d2 FROM p) u)
+           |SELECT d.source, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_dup_docs,
+           |  CAST((sum(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    * 1000000) // count(*) AS DOUBLE) / 1e6 AS dup_rate
+           |FROM documents d LEFT JOIN dd ON d.doc_id = dd.doc_id
+           |GROUP BY d.source ORDER BY d.source""".stripMargin,
       // same FNV shingle family as the dedup twins (OracleHash.shingleCtes)
       "q_novelty" ->
         s"""WITH ${graft.engine.OracleHash.shingleCtes},

@@ -464,6 +464,63 @@ class Round12Spec extends AnyFunSuite {
     assert(got.map(_._2).sum == ids.length.toLong)
   }
 
+  test("q_mm_image_ahash replays the perceptual hash from the splitmix pixels") {
+    // PNG is lossless, so the decoded raster equals the generated pixels;
+    // recompute the mean-threshold bits + nibble packing in plain Scala.
+    import org.apache.spark.sql.graft.NativeExpressions.splitmix64Long
+    val ids = docs.map(_._1).sorted
+    val expected = ids.map { id =>
+      val pv = (0 until 256).map(i =>
+        (splitmix64Long(id * 256L + i) & 0xffL).toInt)
+      val sum = pv.map(_.toLong).sum
+      val bits = pv.map(p => if (p.toLong * 256L > sum) 1 else 0)
+      val hex = (0 until 64).map { k =>
+        val nib = bits(4 * k) * 8 + bits(4 * k + 1) * 4 +
+          bits(4 * k + 2) * 2 + bits(4 * k + 3)
+        Integer.toHexString(nib)
+      }.mkString
+      (id, hex, bits.count(_ == 1).toLong)
+    }.toSeq
+    val got = SparkEntry.queries("q_mm_image_ahash")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(got == expected)
+  }
+
+  test("q_qq_plot replays the ceil-rank deciles per group") {
+    def deciles(t: String): Map[Long, Long] = {
+      val vs = events.filter(_._3 == t).map(e => vq(e._4)).sorted
+      val n = vs.length.toLong
+      (1L to 9L).map(d0 =>
+        d0 -> vs(((d0 * n + 9) / 10 - 1).toInt)).toMap
+    }
+    val p = deciles("purchase"); val c = deciles("click")
+    val expected = (1L to 9L).map(d0 => (d0, p(d0).toDouble / 1000.0,
+      c(d0).toDouble / 1000.0, (p(d0) - c(d0)).toDouble / 1000.0))
+    val got = SparkEntry.queries("q_qq_plot")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(got == expected)
+  }
+
+  test("q_dup_by_source replays the per-source dup marking") {
+    import graft.functions.TextDedup
+    val pairs = TextDedup.exactJaccardPairs(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      0.7).select(col("d1"), col("d2")).as[(Long, Long)].collect()
+    val dup = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val expected = docs.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (src, ds) =>
+        val n = ds.length.toLong
+        val nd = ds.count(d0 => dup(d0._1)).toLong
+        (src, n, nd, (nd * 1000000L / n).toDouble / 1e6)
+    }
+    val got = SparkEntry.queries("q_dup_by_source")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == expected)
+  }
+
   // ---------------------------------------------------------- TPC-H
 
   private def cents(x: Double): Long = math.floor(x * 100.0 + 0.5).toLong
