@@ -116,6 +116,64 @@ object SourceQueries extends QueryPack {
     // inferred schema itself is part of the checked result: it's emitted
     // as a literal column the DuckDB twin hard-codes, so a regression to
     // all-strings inference fails the hash gate, not just a type warning.
+    // -- JSON PERMISSIVE parse: corrupt-record quarantine --------------------
+    // The JSON-lines twin of q_csv_permissive: every key ≡ 0 mod 5
+    // writes a TRUNCATED object (deterministic malformation), and the
+    // PERMISSIVE reader lands those lines in the corrupt-record column
+    // with every schema field null — parse what you can, quarantine the
+    // rest, never fail the 100 TB ingest job. The oracle reconstructs
+    // the expected outcome from the nation table directly.
+    "q_json_corrupt" -> ((s, d) => {
+      val out = scratch(s, d, "nation_json_corrupt")
+      Tables.nation(s, d)
+        .select(when(pmod(col("n_nationkey"), lit(5)) === 0,
+            concat(lit("{\"n_nationkey\":"), col("n_nationkey"),
+              lit(",\"n_name\":")))
+          .otherwise(concat(lit("{\"n_nationkey\":"), col("n_nationkey"),
+            lit(",\"n_name\":\""), col("n_name"), lit("\"}")))
+          .as("value"))
+        .write.mode("overwrite").text(out)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("_bad", StringType)))
+      s.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .schema(schema).json(out)
+        .select(col("n_nationkey"), col("n_name"),
+          col("_bad").isNotNull.as("quarantined"))
+        .orderBy(col("n_nationkey"), col("n_name"))
+    }),
+
+    // -- multi-line CSV: quoted embedded newlines ----------------------------
+    // Real CSV feeds quote fields that CONTAIN the record terminator;
+    // a line-splitting reader shreds them. Roundtrip a field with an
+    // embedded newline through the CSV writer (which quotes it) and the
+    // multiLine reader (which must NOT split on it), then prove the
+    // payload survived: exact length, first physical line, line count.
+    // Scale note: multiLine parsing sacrifices intra-file split
+    // parallelism (a quoted newline makes split boundaries ambiguous) —
+    // at 100 TB you keep files small and parallelize ACROSS files, which
+    // is how this scratch layout writes them.
+    "q_csv_multiline" -> ((s, d) => {
+      val out = scratch(s, d, "nation_multiline")
+      Tables.nation(s, d)
+        .select(col("n_nationkey"),
+          concat(col("n_name"), lit("\nsecond line of "), col("n_name"))
+            .as("note"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("note", StringType)))
+      s.read.option("header", "true").option("multiLine", "true")
+        .schema(schema).csv(out)
+        .select(col("n_nationkey"),
+          length(col("note")).cast("long").as("note_len"),
+          substring_index(col("note"), "\n", 1).as("first_line"),
+          (size(split(col("note"), "\n")) === 2).as("two_lines"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     "q_csv_infer" -> ((s, d) => {
       val out = scratch(s, d, "nation_csv_infer")
       Tables.nation(s, d)
@@ -595,6 +653,26 @@ object SourceQueries extends QueryPack {
         |       ELSE NULL END AS bad_line,
         |  (n_nationkey % 7 = 0) AS quarantined
         |FROM nation ORDER BY coalesce(bad_line, n_name)""".stripMargin,
+
+    // corrupt rows null every schema field; quarantine flag mirrors
+    "q_json_corrupt" ->
+      """SELECT
+        |  CASE WHEN n_nationkey % 5 = 0 THEN NULL
+        |       ELSE n_nationkey END AS n_nationkey,
+        |  CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_name END
+        |    AS n_name,
+        |  (n_nationkey % 5 = 0) AS quarantined
+        |FROM nation
+        |ORDER BY n_nationkey NULLS FIRST, n_name""".stripMargin,
+
+    // the quoted newline survives the roundtrip byte-for-byte
+    "q_csv_multiline" ->
+      """SELECT n_nationkey,
+        |  CAST(length(n_name || chr(10) || 'second line of ' || n_name)
+        |    AS BIGINT) AS note_len,
+        |  n_name AS first_line,
+        |  true AS two_lines
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     // ASCII corpus: char length == octet length, md5(text) == md5(bytes)
     "q_binary_source" ->

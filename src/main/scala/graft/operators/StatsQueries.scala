@@ -616,6 +616,64 @@ object StatsQueries extends QueryPack {
         q6((kD * kD - lit(1.0)) / (lit(3.0) * hD)).as("df2"))
     }),
 
+    // -- permutation test (deterministic label-flip resampling) --------------
+    // The distribution-free significance machinery t-tests approximate:
+    // re-assign each observation's group label B=64 times by the pure
+    // splitmix64 hash of (event_id, b) — reproducible across runs,
+    // engines, and partitionings, the same determinism contract as the
+    // sampling family — and count replicates whose |mean difference|
+    // reaches the observed one; p = (extreme+1)/(B+1) (the add-one
+    // permutation convention). The comparison |d_b| ≥ |d_obs| is decided
+    // on EXACT integers: d = (sv₁n₂ − sv₂n₁)/(n₁n₂), so cross-multiply
+    // in DECIMAL(38,0) (≈1e25 ≪ 1e38; HUGEINT twin). A degenerate flip
+    // (one side empty) counts as extreme — conservative, and
+    // probability-zero at any real n. Cost: one B-fold explode over the
+    // filtered scan + a 64-group aggregate; B is the knob at 100 TB.
+    "q_permutation_test" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val e = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_id"),
+          (col("event_type") === "purchase").cast("int").cast("long")
+            .as("g"),
+          floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+            .as("vq"))
+      val obs = e.agg(sum(col("g")).as("n1"),
+        sum(col("g") * col("vq")).as("sv1"),
+        sum(lit(1L) - col("g")).as("n2"),
+        sum((lit(1L) - col("g")) * col("vq")).as("sv2"))
+      val reps = e.withColumn("b", explode(sequence(lit(0L), lit(63L))))
+        .withColumn("gb", pmod(shiftrightunsigned(
+          NativeExpressions.splitmix64(
+            col("event_id") * lit(64L) + col("b")), 8), lit(2)))
+        .groupBy(col("b"))
+        .agg(sum(col("gb")).as("n1b"),
+          sum(col("gb") * col("vq")).as("sv1b"),
+          sum(lit(1L) - col("gb")).as("n2b"),
+          sum((lit(1L) - col("gb")) * col("vq")).as("sv2b"))
+      val fin = reps.crossJoin(broadcast(obs))
+        .withColumn("numb",
+          dec(col("sv1b")) * col("n2b") - dec(col("sv2b")) * col("n1b"))
+        .withColumn("num",
+          dec(col("sv1")) * col("n2") - dec(col("sv2")) * col("n1"))
+        .withColumn("extreme",
+          when(abs(col("numb")) * dec(col("n1")) * col("n2") >=
+            abs(col("num")) * dec(col("n1b")) * col("n2b"), 1L)
+            .otherwise(0L))
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          max(col("sv1")).as("sv1"), max(col("sv2")).as("sv2"),
+          count(lit(1)).as("n_flips"), sum(col("extreme")).as("n_extreme"))
+      def q6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      fin.select(col("n1"), col("n2"),
+        q6(col("sv1").cast("double") / col("n1") / lit(1000.0) -
+          col("sv2").cast("double") / col("n2") / lit(1000.0))
+          .as("diff_obs"),
+        col("n_flips"), col("n_extreme"),
+        (expr("((n_extreme + 1) * 1000000) div (n_flips + 1)")
+          .cast("double") / lit(1e6)).as("p_value"))
+    }),
+
     // -- Q–Q deciles (purchase vs click value distributions) -----------------
     // The distribution-comparison readout behind every Q–Q plot: the
     // nine deciles of the two event-value distributions side by side,
@@ -3296,6 +3354,47 @@ object StatsQueries extends QueryPack {
         |    / (3.0e0 * (CAST(sh AS DOUBLE) / 1e9)) * 1e6 + 0.5e0) / 1e6
         |    AS df2
         |FROM fin""".stripMargin,
+
+    // staged-splitmix label flips; HUGEINT cross-multiplied extremes
+    "q_permutation_test" -> {
+      import graft.engine.OracleHash._
+      s"""WITH e AS (SELECT event_id,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,
+         |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq
+         |  FROM events WHERE event_type IN ('purchase', 'click')),
+         |obs AS (SELECT CAST(sum(g) AS BIGINT) AS n1,
+         |    CAST(sum(g * vq) AS BIGINT) AS sv1,
+         |    CAST(sum(1 - g) AS BIGINT) AS n2,
+         |    CAST(sum((1 - g) * vq) AS BIGINT) AS sv2 FROM e),
+         |px AS (SELECT event_id, b, vq,
+         |    CAST(event_id * 64 + b AS UBIGINT) AS seed
+         |  FROM e, unnest(range(0, 64)) AS t(b)),
+         |${splitmixStages("px", "event_id, b, vq", "seed")},
+         |fl AS (SELECT b, vq,
+         |    CAST((xor(z3, z3 >> 31) >> 8) % 2 AS BIGINT) AS gb
+         |  FROM p3_),
+         |reps AS (SELECT b, CAST(sum(gb) AS BIGINT) AS n1b,
+         |    CAST(sum(gb * vq) AS BIGINT) AS sv1b,
+         |    CAST(sum(1 - gb) AS BIGINT) AS n2b,
+         |    CAST(sum((1 - gb) * vq) AS BIGINT) AS sv2b
+         |  FROM fl GROUP BY b),
+         |ex AS (SELECT
+         |    CASE WHEN abs(sv1b::HUGEINT * n2b - sv2b::HUGEINT * n1b)
+         |        * n1 * n2
+         |      >= abs(sv1::HUGEINT * n2 - sv2::HUGEINT * n1)
+         |        * n1b * n2b THEN 1 ELSE 0 END AS extreme
+         |  FROM reps CROSS JOIN obs),
+         |fin AS (SELECT count(*) AS n_flips,
+         |    CAST(sum(extreme) AS BIGINT) AS n_extreme FROM ex)
+         |SELECT n1, n2,
+         |  floor((CAST(sv1 AS DOUBLE) / n1 / 1000.0e0
+         |    - CAST(sv2 AS DOUBLE) / n2 / 1000.0e0) * 1e6 + 0.5e0) / 1e6
+         |    AS diff_obs,
+         |  CAST(n_flips AS BIGINT) AS n_flips, n_extreme,
+         |  CAST(((n_extreme + 1) * 1000000) // (n_flips + 1) AS DOUBLE)
+         |    / 1e6 AS p_value
+         |FROM fin CROSS JOIN obs""".stripMargin
+    },
 
     // group-keyed ceil-rank deciles on the quantized value frames
     "q_qq_plot" ->

@@ -1074,6 +1074,41 @@ object TextQueries extends QueryPack {
         .orderBy(col("source"))
     }),
 
+    // -- MinHash estimator calibration (est vs exact Jaccard) ---------------
+    // The sketch-trust readout q_dedup_recall doesn't give: per matched-
+    // coordinate count m ∈ [0,16], how does the MinHash ESTIMATE m/16
+    // track the exact Jaccard on real pairs? (E[matches]/16 = J is the
+    // estimator's unbiasedness — this measures it on THIS corpus, which
+    // is what calibrates banding thresholds before anyone trusts them at
+    // 100 TB.) Pairs come from the exact miner at J ≥ 0.6 (the bounded
+    // ground-truth set); signatures from the session-memoized table; the
+    // per-pair match count is one zip_with fold; the calibration frame
+    // is ≤ 17 rows. Exact integer micro averages.
+    "q_minhash_calibration" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val pairs = TextDedup.exactJaccardPairs(docs, 0.6)
+      val sigs = TextDedup.minHashSignatures(docs, 16)
+      pairs
+        .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sa")),
+          "d1")
+        .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sb")),
+          "d2")
+        .withColumn("m", expr(
+          "aggregate(zip_with(sa, sb, (x, y) -> " +
+            "CASE WHEN x = y THEN 1 ELSE 0 END), 0, (a, v) -> a + v)")
+          .cast("long"))
+        .withColumn("jacc_u",
+          floor(col("jacc") * lit(1e6) + lit(0.5)).cast("long"))
+        .groupBy(col("m").as("n_match"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("jacc_u")).as("sj"))
+        .select(col("n_match"), col("n_pairs"),
+          (expr("(n_match * 1000000) div 16").cast("double") / lit(1e6))
+            .as("est_jaccard"),
+          (expr("(sj div n_pairs)").cast("double") / lit(1e6))
+            .as("avg_exact_jaccard"))
+        .orderBy(col("n_match"))
+    }),
+
     // -- near-dup: exact word-set Jaccard (ground truth for LSH variants) --
     "q_dedup_jaccard" -> ((s, d) => {
       TextDedup.exactJaccardPairs(
@@ -2861,6 +2896,44 @@ object TextQueries extends QueryPack {
       // signature family in SQL (graft.engine.OracleHash), band on raw
       // 4-minhash slices, verify candidates with exact Jaccard — the
       // exact relational twin of TextDedup.minHashLshPairs.
+      // same signature CTE chain; per-pair positional match fold
+      "q_minhash_calibration" -> {
+        import graft.engine.OracleHash._
+        s"""WITH $shingleCtes,
+           |v AS (SELECT doc_id, toks, len(toks) AS sz FROM sh),
+           |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+           |    round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+           |      (a.sz + b.sz - len(list_intersect(a.toks, b.toks))), 6)
+           |      AS jacc
+           |  FROM v a JOIN v b ON a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+           |      (a.sz + b.sz - len(list_intersect(a.toks, b.toks)))
+           |    >= 0.6),
+           |ex AS (SELECT doc_id, unnest(toks) AS h FROM sh),
+           |exk AS (SELECT doc_id, k, h
+           |  FROM ex CROSS JOIN (SELECT unnest(range(0, 16)) AS k)),
+           |${splitmixStages("exk", "doc_id, k",
+              "xor(h, " + u64mul(golden, "(k+1)::UBIGINT") + ")")},
+           |mh AS (SELECT doc_id, k, min(xor(z3, z3 >> 31)) AS m
+           |  FROM p3_ GROUP BY doc_id, k),
+           |sig AS (SELECT doc_id, list(m ORDER BY k) AS sg
+           |  FROM mh GROUP BY doc_id),
+           |pm AS (SELECT p.d1, p.d2, p.jacc,
+           |    CAST(sum(CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS m
+           |  FROM pairs p
+           |  JOIN sig a ON a.doc_id = p.d1
+           |  JOIN sig b ON b.doc_id = p.d2
+           |  CROSS JOIN (SELECT unnest(range(1, 17)) AS i)
+           |  GROUP BY 1, 2, 3)
+           |SELECT m AS n_match, count(*) AS n_pairs,
+           |  CAST((m * 1000000) // 16 AS DOUBLE) / 1e6 AS est_jaccard,
+           |  CAST(CAST(sum(CAST(floor(jacc * 1e6 + 0.5e0) AS BIGINT))
+           |      AS BIGINT) // count(*) AS DOUBLE) / 1e6
+           |    AS avg_exact_jaccard
+           |FROM pm GROUP BY m ORDER BY n_match""".stripMargin
+      },
+
       "q_dedup_minhash" -> {
         import graft.engine.OracleHash._
         s"""WITH $shingleCtes,

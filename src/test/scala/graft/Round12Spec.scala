@@ -521,6 +521,78 @@ class Round12Spec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q_json_corrupt and q_csv_multiline replay from the nation table") {
+    val nation = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").cast("long"), col("n_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expJson = nation.map { case (k, nm) =>
+      if (k % 5 == 0) (None, None, true) else (Some(k.toInt), Some(nm), false)
+    }.sortBy(t => (t._1.isDefined, t._1, t._2))
+    val gotJson = SparkEntry.queries("q_json_corrupt")(spark, sfDir)
+      .collect().map(r => (
+        if (r.isNullAt(0)) None else Some(r.getInt(0)),
+        Option(r.getString(1)), r.getBoolean(2)))
+      .sortBy(t => (t._1.isDefined, t._1, t._2)).toSeq
+    assert(gotJson == expJson.toSeq)
+    val expCsv = nation.sortBy(_._1).map { case (k, nm) =>
+      (k.toInt, (nm + "\nsecond line of " + nm).length.toLong, nm, true) }
+    val gotCsv = SparkEntry.queries("q_csv_multiline")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+        r.getBoolean(3))).toSeq
+    assert(gotCsv == expCsv.toSeq)
+  }
+
+  test("q_permutation_test replays the hash-flip replicates") {
+    import org.apache.spark.sql.graft.NativeExpressions.splitmix64Long
+    val pc = Tables.eventsWithTime(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"),
+        (col("event_type") === "purchase").cast("int"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), vq(r.getDouble(2))))
+    val n1 = pc.count(_._2 == 1).toLong
+    val n2 = pc.count(_._2 == 0).toLong
+    val sv1 = pc.filter(_._2 == 1).map(_._3).sum
+    val sv2 = pc.filter(_._2 == 0).map(_._3).sum
+    val num = (BigInt(sv1) * n2 - BigInt(sv2) * n1).abs
+    var extreme = 0L
+    for (b <- 0L until 64L) {
+      var n1b = 0L; var n2b = 0L; var s1b = BigInt(0); var s2b = BigInt(0)
+      pc.foreach { case (id, _, v) =>
+        val gb = ((splitmix64Long(id * 64L + b) >>> 8) % 2L)
+        if (gb == 1L) { n1b += 1; s1b += v } else { n2b += 1; s2b += v }
+      }
+      val numb = (s1b * n2b - s2b * n1b).abs
+      if (numb * n1 * n2 >= num * n1b * n2b) extreme += 1
+    }
+    val got = SparkEntry.queries("q_permutation_test")(spark, sfDir)
+      .collect().head
+    assert(got.getLong(0) == n1 && got.getLong(1) == n2)
+    assert(got.getDouble(2) ==
+      q6(sv1.toDouble / n1 / 1000.0 - sv2.toDouble / n2 / 1000.0))
+    assert(got.getLong(3) == 64L)
+    assert(got.getLong(4) == extreme)
+    assert(got.getDouble(5) ==
+      ((extreme + 1) * 1000000L / 65L).toDouble / 1e6)
+  }
+
+  test("q_minhash_calibration: est tracks exact and masses add up") {
+    import graft.functions.TextDedup
+    val rows = SparkEntry.queries("q_minhash_calibration")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // pair mass equals the exact miner's J >= 0.6 pair count
+    val nPairs = TextDedup.exactJaccardPairs(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      0.6).count()
+    assert(rows.map(_._2).sum == nPairs)
+    // estimator sanity: m in [0, 16], est = m/16 exactly
+    rows.foreach { case (m, _, est, _) =>
+      assert(m >= 0L && m <= 16L)
+      assert(est == (m * 1000000L / 16L).toDouble / 1e6)
+    }
+  }
+
   // ---------------------------------------------------------- TPC-H
 
   private def cents(x: Double): Long = math.floor(x * 100.0 + 0.5).toLong

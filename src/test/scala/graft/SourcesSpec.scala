@@ -53,8 +53,11 @@ class SourcesSpec extends AnyFunSuite {
     // carries the Spark applicationId
     graft.operators.SourceQueries.queries("q_csv_roundtrip")(
       spark, SparkFixture.sfDir).collect()
+    // same base resolution as SourceQueries.scratch (tmpfs when present)
+    val base = sys.env.getOrElse("SPARK_GRAFT_SCRATCH",
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp")
     val appDir = new java.io.File(
-      s"/tmp/graft_io/${spark.sparkContext.applicationId}")
+      s"$base/graft_io/${spark.sparkContext.applicationId}")
     assert(appDir.isDirectory,
       s"expected per-application scratch dir at $appDir")
   }
