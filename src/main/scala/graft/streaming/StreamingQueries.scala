@@ -240,6 +240,63 @@ object StreamingQueries extends QueryPack {
         .orderBy(col("click_id"), col("view_id"))
     }),
 
+    // -- stream-stream LEFT SEMI interval join ------------------------------
+    // The streaming EXISTS: clicks that attracted ≥1 view from the same
+    // user within 30 minutes, emitted as soon as the FIRST match
+    // arrives — each left row at most once, no view payload shipped.
+    // Unlike the outer twin there is no withholding subtlety on a
+    // bounded replay: unmatched rows simply never emit, so the batch
+    // oracle is the plain EXISTS under the identical interval. State:
+    // both sides bounded by the watermark + interval, exactly the inner
+    // join's envelope.
+    "q_stream_semi_join" -> ((s, d) => {
+      val clicks = StreamRunner.eventsStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+          col("ts_t").as("click_t"), col("ts_us").as("click_us"))
+        .withWatermark("click_t", "10 minutes")
+      val views = StreamRunner.eventsStream(s, d)
+        .filter(col("event_type") === "view")
+        .select(col("user_id").as("vu"), col("ts_t").as("view_t"))
+        .withWatermark("view_t", "10 minutes")
+      val joined = clicks.join(views,
+        col("cu") === col("vu") &&
+          col("view_t") >= col("click_t") &&
+          col("view_t") <= col("click_t") + expr("INTERVAL 30 MINUTES"),
+        "left_semi")
+        .select(col("click_id"), col("cu").as("user_id"), col("click_us"))
+      StreamRunner.runToTable(s, joined, "g_stream_semi_join", "append")
+        .orderBy(col("click_id"))
+    }),
+
+    // -- streaming upsert snapshot (last-writer-wins per key) ---------------
+    // The CDC-view shape: an update-mode aggregate whose state is each
+    // user's LATEST event under the (ts, event_id) total order — the
+    // streaming materialization of "current value per key" every
+    // operational dashboard sits on. max(struct(...)) makes the
+    // comparison a single lexicographic struct max (mergeable, so
+    // map-side partials work and state is one row per key); the bounded
+    // replay's single AvailableNow micro-batch emits each key exactly
+    // once. Oracle: the batch argmax.
+    "q_stream_upsert" -> ((s, d) => {
+      val e = StreamRunner.eventsStream(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"),
+          floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+            .as("vq"))
+      val snap = e.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max(struct(col("ts_us"), col("event_id"), col("event_type"),
+            col("vq"))).as("last"))
+        .select(col("user_id"), col("n_events"),
+          col("last.ts_us").as("last_ts_us"),
+          col("last.event_id").as("last_event_id"),
+          col("last.event_type").as("last_type"),
+          (col("last.vq").cast("double") / lit(1000.0)).as("last_value"))
+      StreamRunner.runToTable(s, snap, "g_stream_upsert", "update")
+        .orderBy(col("user_id"))
+    }),
+
     // -- stream-stream LEFT OUTER interval join ----------------------------
     // Outer rows (clicks with no view in their 30-minute window) can
     // only EMIT once the watermark passes the end of their match window
@@ -638,6 +695,35 @@ object StreamingQueries extends QueryPack {
         |  AND epoch_us(b.ts) >= epoch_us(a.ts)
         |  AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000
         |ORDER BY click_id, view_id""".stripMargin,
+
+    // matched-only semantics: the batch EXISTS under the same interval
+    "q_stream_semi_join" ->
+      """SELECT a.event_id AS click_id, a.user_id,
+        |  epoch_us(a.ts) AS click_us
+        |FROM events a
+        |WHERE a.event_type = 'click'
+        |  AND EXISTS (SELECT 1 FROM events b
+        |    WHERE b.event_type = 'view' AND b.user_id = a.user_id
+        |      AND epoch_us(b.ts) >= epoch_us(a.ts)
+        |      AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000)
+        |ORDER BY click_id""".stripMargin,
+
+    // the batch argmax under the (ts, event_id, type, vq) struct order
+    "q_stream_upsert" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    event_type,
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts_us DESC, event_id DESC, event_type DESC,
+        |             vq DESC) AS rk,
+        |    count(*) OVER (PARTITION BY user_id) AS n_events
+        |  FROM e)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        |  ts_us AS last_ts_us, event_id AS last_event_id,
+        |  event_type AS last_type,
+        |  CAST(vq AS DOUBLE) / 1000.0 AS last_value
+        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
 
     // the state store's content IS the aggregation result, so the
     // oracle is the plain batch aggregate

@@ -593,6 +593,34 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("q_stream_semi_join and q_stream_upsert replay their batch semantics") {
+    val ev = Tables.eventsWithTime(spark, sfDir)
+      .select(col("ts_us"), col("user_id"), col("event_type"),
+        col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+    // semi: clicks with >= 1 same-user view in [t, t+30m]
+    val views = ev.filter(_._3 == "view")
+    val expSemi = ev.filter(_._3 == "click").filter { c =>
+      views.exists(v => v._2 == c._2 && v._1 >= c._1 &&
+        v._1 <= c._1 + 1800000000L)
+    }.map(c => (c._4, c._2, c._1)).sortBy(_._1).toSeq
+    val gotSemi = SparkEntry.queries("q_stream_semi_join")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(gotSemi == expSemi)
+    // upsert: last-writer-wins under the (ts, id, type, vq) struct order
+    val expUp = ev.groupBy(_._2).toSeq.sortBy(_._1).map { case (u, es) =>
+      val last = es.map(e => (e._1, e._4, e._3, vq(e._5))).max
+      (u, es.length.toLong, last._1, last._2, last._3,
+        last._4.toDouble / 1000.0)
+    }
+    val gotUp = SparkEntry.queries("q_stream_upsert")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getDouble(5))).toSeq
+    assert(gotUp == expUp)
+  }
+
   // ---------------------------------------------------------- TPC-H
 
   private def cents(x: Double): Long = math.floor(x * 100.0 + 0.5).toLong
