@@ -148,6 +148,88 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("day_bucket"))
     }),
 
+    // -- price elasticity of demand (ln-ln regression) ------------------------
+    // The econometric readout on the order book: regress ln(quantity) on
+    // ln(effective price ratio 1−discount) across lines — the slope IS
+    // the discount elasticity of demand. Per-row logs floor-quantize to
+    // integer micros (the floor-ln idiom: both engines ln the IDENTICAL
+    // double, ≤1 ulp, quantized before any accumulation), moments are
+    // exact DECIMAL/HUGEINT, and the OLS slope evaluates in ONE mirrored
+    // double expression. Zero-discount lines keep xq = 0 — they belong
+    // in the regression; a zero-variance price column NULLs the slope
+    // explicitly. One scan, one 1-row reduce.
+    "q_elasticity" -> ((s, d) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 0.0)
+        .select(
+          floor(log(lit(1.0) - col("l_discount")) * lit(1e6) + lit(0.5))
+            .cast("long").as("xq"),
+          floor(log(col("l_quantity")) * lit(1e6) + lit(0.5))
+            .cast("long").as("yq"))
+      val m = li.agg(count(lit(1)).as("n"), sum(dec(col("xq"))).as("sx"),
+        sum(dec(col("yq"))).as("sy"),
+        sum(dec(col("xq")) * dec(col("xq"))).as("sxx"),
+        sum(dec(col("xq")) * dec(col("yq"))).as("sxy"))
+      val nD = col("n").cast("double")
+      val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+      val den = nD * col("sxx").cast("double") - sxD * sxD
+      def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      m.select(col("n"),
+        q6(sxD / nD / lit(1e6)).as("mean_ln_price"),
+        q6(syD / nD / lit(1e6)).as("mean_ln_qty"),
+        when(den =!= 0.0,
+          q6((nD * col("sxy").cast("double") - sxD * syD) / den))
+          .as("elasticity"))
+    }),
+
+    // -- propensity-score caliper matching (ATT estimate) ---------------------
+    // The causal-inference workhorse q_propensity_strat's stratification
+    // approximates: match every TREATED user (≥1 purchase) to its
+    // nearest CONTROL by score (micro mean event value) within a ±0.1
+    // caliper, with replacement, nearest-then-smallest-id tie rule —
+    // fully deterministic. Scale shape: candidates come from a BUCKET
+    // equi-join (score div caliper; treated probes its bucket ±1, each
+    // control lives in exactly one, so no pair dedup) — never an
+    // all-pairs score join; the argmin is one struct-min per treated.
+    // ATT = mean matched outcome gap (events per user), exact integer
+    // sum with a final mirrored division (sum may be negative, so NO
+    // integer div — trunc/floor diverge below zero).
+    "q_psm_match" -> ((s, d) => {
+      val u = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * lit(1000.0) + lit(0.5)).cast("long"))
+            .as("sv"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("treated"))
+        .withColumn("score", expr("(sv * 1000) div n_events"))
+      val t = u.filter(col("treated") === 1L)
+        .select(col("user_id").as("tid"), col("score").as("ts"),
+          col("n_events").as("ty"))
+        .withColumn("b", explode(array(expr("ts div 100000 - 1"),
+          expr("ts div 100000"), expr("ts div 100000 + 1"))))
+      val c = u.filter(col("treated") === 0L)
+        .select(col("user_id").as("cid"), col("score").as("cs"),
+          col("n_events").as("cy"))
+        .withColumn("b", expr("cs div 100000"))
+      val best = t.join(c, "b")
+        .filter(abs(col("ts") - col("cs")) <= lit(100000L))
+        .groupBy(col("tid"), col("ty"))
+        .agg(min(struct(abs(col("ts") - col("cs")).as("dist"),
+          col("cid"), col("cy"))).as("m"))
+      val nT = u.filter(col("treated") === 1L).groupBy()
+        .agg(count(lit(1)).as("n_treated"))
+      def q6(c2: Column) = floor(c2 * lit(1e6) + lit(0.5)) / lit(1e6)
+      best.agg(count(lit(1)).as("n_matched"),
+          sum(col("ty") - col("m.cy")).as("sdiff"))
+        .crossJoin(broadcast(nT))
+        .select(col("n_treated"), col("n_matched"),
+          (expr("(n_matched * 1000000) div n_treated").cast("double") /
+            lit(1e6)).as("match_rate"),
+          q6(col("sdiff").cast("double") / col("n_matched"))
+            .as("att_events"))
+    }),
+
     // -- UCB1 bandit arm ranking ---------------------------------------------
     // The deterministic half of the explore/exploit toolkit (Thompson
     // needs randomness; UCB1 is a pure function of the observed
@@ -3827,6 +3909,61 @@ object AnalyticsQueries extends QueryPack {
         |  CAST(min(delta_s) AS BIGINT) AS min_s,
         |  CAST(max(delta_s) AS BIGINT) AS max_s
         |FROM dl GROUP BY 1 ORDER BY day_bucket""".stripMargin,
+
+    // floor-ln quantized logs; HUGEINT moments; one mirrored slope
+    "q_elasticity" ->
+      """WITH li AS (SELECT
+        |    CAST(floor(ln(1.0e0 - l_discount) * 1e6 + 0.5e0) AS BIGINT)
+        |      AS xq,
+        |    CAST(floor(ln(l_quantity) * 1e6 + 0.5e0) AS BIGINT) AS yq
+        |  FROM lineitem WHERE l_quantity > 0.0),
+        |m AS (SELECT count(*) AS n, sum(xq) AS sx, sum(yq) AS sy,
+        |    sum(xq * xq) AS sxx, sum(xq * yq) AS sxy FROM li)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  floor(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 * 1e6
+        |    + 0.5e0) / 1e6 AS mean_ln_price,
+        |  floor(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 * 1e6
+        |    + 0.5e0) / 1e6 AS mean_ln_qty,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
+        |    THEN floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * 1e6 + 0.5e0) / 1e6 END AS elasticity
+        |FROM m""".stripMargin,
+
+    // bucket equi-join candidates; struct-min nearest; mirrored ATT
+    "q_psm_match" ->
+      """WITH u AS (SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS sv,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS treated
+        |  FROM events GROUP BY 1),
+        |u2 AS (SELECT user_id, n_events, treated,
+        |    (sv * 1000) // n_events AS score FROM u),
+        |t AS (SELECT user_id AS tid, score AS ts, n_events AS ty,
+        |    unnest([score // 100000 - 1, score // 100000,
+        |            score // 100000 + 1]) AS b
+        |  FROM u2 WHERE treated = 1),
+        |c AS (SELECT user_id AS cid, score AS cs, n_events AS cy,
+        |    score // 100000 AS b FROM u2 WHERE treated = 0),
+        |cand AS (SELECT tid, ty, abs(ts - cs) AS dist, cid, cy
+        |  FROM t JOIN c USING (b) WHERE abs(ts - cs) <= 100000),
+        |best AS (SELECT tid, ty,
+        |    min(struct_pack(dist := dist, cid := cid, cy := cy)) AS m
+        |  FROM cand GROUP BY 1, 2),
+        |nt AS (SELECT count(*) AS n_treated FROM u2 WHERE treated = 1),
+        |ag AS (SELECT count(*) AS n_matched,
+        |    CAST(sum(ty - m.cy) AS BIGINT) AS sdiff FROM best)
+        |SELECT CAST(n_treated AS BIGINT) AS n_treated,
+        |  CAST(n_matched AS BIGINT) AS n_matched,
+        |  CAST((n_matched * 1000000) // n_treated AS DOUBLE) / 1e6
+        |    AS match_rate,
+        |  floor(CAST(sdiff AS DOUBLE) / n_matched * 1e6 + 0.5e0) / 1e6
+        |    AS att_events
+        |FROM ag CROSS JOIN nt""".stripMargin,
 
     // integer micro means; one mirrored ln/sqrt bonus per arm
     "q_ucb_arms" ->

@@ -616,6 +616,53 @@ object StatsQueries extends QueryPack {
         q6((kD * kD - lit(1.0)) / (lit(3.0) * hD)).as("df2"))
     }),
 
+    // -- TOST equivalence test (two one-sided tests) --------------------------
+    // The inference q_ab_test can't give: evidence of SAMENESS. Classic
+    // TOST with margin ±0.5 value units: both one-sided z's must clear
+    // 1.645 for the purchase/click mean gap to be declared inside the
+    // equivalence band — absence of evidence made rigorous, the
+    // non-inferiority readout every launch review wants. Group moments
+    // are exact DECIMAL; Welch SE, the two z's, and the verdict evaluate
+    // in mirrored expressions; the verdict itself compares quantized
+    // integers so the boolean can't straddle a ULP.
+    "q_tost" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val e = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select((col("event_type") === "purchase").cast("int").cast("long")
+          .as("g"),
+          floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+            .as("vq"))
+      val m = e.groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("vq"))).as("s1"),
+          sum(dec(col("vq")) * dec(col("vq"))).as("s2"))
+      val w = m.agg(
+        max(when(col("g") === 1L, col("n"))).as("n1"),
+        max(when(col("g") === 1L, col("s1"))).as("a1"),
+        max(when(col("g") === 1L, col("s2"))).as("a2"),
+        max(when(col("g") === 0L, col("n"))).as("n2"),
+        max(when(col("g") === 0L, col("s1"))).as("b1"),
+        max(when(col("g") === 0L, col("s2"))).as("b2"))
+      val n1D = col("n1").cast("double"); val n2D = col("n2").cast("double")
+      val m1 = col("a1").cast("double") / n1D / lit(1000.0)
+      val m2 = col("b1").cast("double") / n2D / lit(1000.0)
+      val v1 = (col("a2").cast("double") / lit(1e6) -
+        (col("a1").cast("double") / lit(1000.0)) * m1) / (n1D - lit(1.0))
+      val v2 = (col("b2").cast("double") / lit(1e6) -
+        (col("b1").cast("double") / lit(1000.0)) * m2) / (n2D - lit(1.0))
+      val se = sqrt(v1 / n1D + v2 / n2D)
+      val margin = lit(0.5)
+      val zLo = ((m1 - m2) + margin) / se
+      val zUp = (margin - (m1 - m2)) / se
+      def q6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      w.select(col("n1"), col("n2"), q6(m1 - m2).as("diff"),
+        q6(se).as("se"), q6(zLo).as("z_lower"), q6(zUp).as("z_upper"),
+        (floor(zLo * lit(1e6) + lit(0.5)) > lit(1644854.0) &&
+          floor(zUp * lit(1e6) + lit(0.5)) > lit(1644854.0))
+          .as("equivalent"))
+    }),
+
     // -- permutation test (deterministic label-flip resampling) --------------
     // The distribution-free significance machinery t-tests approximate:
     // re-assign each observation's group label B=64 times by the pure
@@ -3354,6 +3401,42 @@ object StatsQueries extends QueryPack {
         |    / (3.0e0 * (CAST(sh AS DOUBLE) / 1e9)) * 1e6 + 0.5e0) / 1e6
         |    AS df2
         |FROM fin""".stripMargin,
+
+    // HUGEINT moments; mirrored Welch SE + z's; integer-quantized verdict
+    "q_tost" ->
+      """WITH e AS (SELECT
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |m AS (SELECT g, count(*) AS n, sum(vq) AS s1,
+        |    sum(vq * vq) AS s2 FROM e GROUP BY 1),
+        |w AS (SELECT
+        |    CAST(max(CASE WHEN g = 1 THEN n END) AS BIGINT) AS n1,
+        |    max(CASE WHEN g = 1 THEN s1 END) AS a1,
+        |    max(CASE WHEN g = 1 THEN s2 END) AS a2,
+        |    CAST(max(CASE WHEN g = 0 THEN n END) AS BIGINT) AS n2,
+        |    max(CASE WHEN g = 0 THEN s1 END) AS b1,
+        |    max(CASE WHEN g = 0 THEN s2 END) AS b2
+        |  FROM m),
+        |x AS (SELECT n1, n2,
+        |    CAST(a1 AS DOUBLE) / n1 / 1000.0e0 AS m1,
+        |    CAST(b1 AS DOUBLE) / n2 / 1000.0e0 AS m2,
+        |    sqrt(((CAST(a2 AS DOUBLE) / 1e6 - (CAST(a1 AS DOUBLE)
+        |        / 1000.0e0) * (CAST(a1 AS DOUBLE) / n1 / 1000.0e0))
+        |        / (CAST(n1 AS DOUBLE) - 1.0e0)) / n1
+        |      + ((CAST(b2 AS DOUBLE) / 1e6 - (CAST(b1 AS DOUBLE)
+        |        / 1000.0e0) * (CAST(b1 AS DOUBLE) / n2 / 1000.0e0))
+        |        / (CAST(n2 AS DOUBLE) - 1.0e0)) / n2) AS se
+        |  FROM w)
+        |SELECT n1, n2,
+        |  floor((m1 - m2) * 1e6 + 0.5e0) / 1e6 AS diff,
+        |  floor(se * 1e6 + 0.5e0) / 1e6 AS se,
+        |  floor(((m1 - m2) + 0.5e0) / se * 1e6 + 0.5e0) / 1e6 AS z_lower,
+        |  floor((0.5e0 - (m1 - m2)) / se * 1e6 + 0.5e0) / 1e6 AS z_upper,
+        |  (floor(((m1 - m2) + 0.5e0) / se * 1e6 + 0.5e0) > 1644854
+        |    AND floor((0.5e0 - (m1 - m2)) / se * 1e6 + 0.5e0) > 1644854)
+        |    AS equivalent
+        |FROM x""".stripMargin,
 
     // staged-splitmix label flips; HUGEINT cross-multiplied extremes
     "q_permutation_test" -> {

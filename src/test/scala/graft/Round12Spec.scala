@@ -621,6 +621,76 @@ class Round12Spec extends AnyFunSuite {
     assert(gotUp == expUp)
   }
 
+  test("q_tost replays the two one-sided z's") {
+    def grp(t: String) = events.filter(_._3 == t).map(e => vq(e._4))
+    val a = grp("purchase"); val b = grp("click")
+    val n1 = a.length.toLong; val n2 = b.length.toLong
+    val a1 = a.map(BigInt(_)).sum; val b1 = b.map(BigInt(_)).sum
+    val a2 = a.map(v => BigInt(v) * v).sum
+    val b2 = b.map(v => BigInt(v) * v).sum
+    val m1 = a1.toDouble / n1 / 1000.0; val m2 = b1.toDouble / n2 / 1000.0
+    val v1 = (a2.toDouble / 1e6 - (a1.toDouble / 1000.0) * m1) / (n1 - 1.0)
+    val v2 = (b2.toDouble / 1e6 - (b1.toDouble / 1000.0) * m2) / (n2 - 1.0)
+    val se = math.sqrt(v1 / n1 + v2 / n2)
+    val zLo = ((m1 - m2) + 0.5) / se; val zUp = (0.5 - (m1 - m2)) / se
+    val got = SparkEntry.queries("q_tost")(spark, sfDir).collect().head
+    assert(got.getLong(0) == n1 && got.getLong(1) == n2)
+    assert(got.getDouble(2) == q6(m1 - m2))
+    assert(got.getDouble(3) == q6(se))
+    assert(got.getDouble(4) == q6(zLo) && got.getDouble(5) == q6(zUp))
+    assert(got.getBoolean(6) ==
+      (math.floor(zLo * 1e6 + 0.5) > 1644854.0 &&
+        math.floor(zUp * 1e6 + 0.5) > 1644854.0))
+  }
+
+  test("q_elasticity replays the ln-ln OLS slope") {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") > 0.0)
+      .select(col("l_discount"), col("l_quantity")).collect()
+      .map(r => (math.floor(math.log(1.0 - r.getDouble(0)) * 1e6 +
+        0.5).toLong,
+        math.floor(math.log(r.getDouble(1)) * 1e6 + 0.5).toLong))
+    val n = li.length.toLong
+    val sx = li.map(x => BigInt(x._1)).sum
+    val sy = li.map(x => BigInt(x._2)).sum
+    val sxx = li.map(x => BigInt(x._1) * x._1).sum
+    val sxy = li.map(x => BigInt(x._1) * x._2).sum
+    val den = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+    val got = SparkEntry.queries("q_elasticity")(spark, sfDir)
+      .collect().head
+    assert(got.getLong(0) == n)
+    assert(got.getDouble(1) == q6(sx.toDouble / n / 1e6))
+    assert(got.getDouble(2) == q6(sy.toDouble / n / 1e6))
+    assert(got.getDouble(3) ==
+      q6((n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) / den))
+  }
+
+  test("q_psm_match replays the caliper nearest-neighbor ATT") {
+    val us = events.groupBy(_._2).toSeq.map { case (uid, es) =>
+      val sv = es.map(e => vq(e._4)).sum
+      val score = (sv * 1000L) / es.length
+      (uid, es.length.toLong, score, es.exists(_._3 == "purchase"))
+    }
+    val controls = us.filter(!_._4)
+    val treated = us.filter(_._4)
+    val matched = treated.flatMap { case (tid, ty, ts, _) =>
+      val cands = controls.filter(c => math.abs(ts - c._3) <= 100000L)
+        .map(c => (math.abs(ts - c._3), c._1, c._2))
+      if (cands.isEmpty) None else Some((tid, ty, cands.min))
+    }
+    val sdiff = matched.map { case (_, ty, (_, _, cy)) => ty - cy }.sum
+    val got = SparkEntry.queries("q_psm_match")(spark, sfDir)
+      .collect().head
+    assert(got.getLong(0) == treated.length.toLong)
+    assert(got.getLong(1) == matched.length.toLong)
+    assert(got.getDouble(2) ==
+      (matched.length.toLong * 1000000L / treated.length).toDouble / 1e6)
+    // zero matched treated (possible at tiny SF: every user purchased,
+    // or no control within the caliper) legitimately NULLs the ATT
+    if (matched.isEmpty) assert(got.isNullAt(3))
+    else assert(got.getDouble(3) == q6(sdiff.toDouble / matched.length))
+  }
+
   // ---------------------------------------------------------- TPC-H
 
   private def cents(x: Double): Long = math.floor(x * 100.0 + 0.5).toLong
