@@ -230,6 +230,54 @@ object AnalyticsQueries extends QueryPack {
             .as("att_events"))
     }),
 
+    // -- Shapley-value channel attribution -------------------------------------
+    // The game-theoretically fair credit split q_attribution's first/
+    // last-touch heuristics approximate: each user's TOUCH COALITION is
+    // the set of non-purchase channels they saw (4 channels ⇒ 16
+    // coalitions — a bounded frame regardless of corpus size); the
+    // characteristic function v(S) is the exact integer micro conversion
+    // rate of users with coalition exactly S (empty-population
+    // coalitions contribute v = 0 — the standard practical convention,
+    // documented, mirrored); Shapley φᵢ = Σ_{S∌i} |S|!(4−|S|−1)!
+    // ·(v(S∪i) − v(S)) / 4! with the factorial weights as integer
+    // literals (6,2,2,6 over 24). Data-sized work: ONE user-keyed
+    // aggregate; everything after lives on the 16-row coalition frame.
+    // The efficiency property Σφᵢ = v(full) − v(∅) is spec-pinned.
+    "q_shapley_attribution" -> ((s, d) => {
+      val u = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"),
+          (max(when(col("event_type") === "click", 1L).otherwise(0L)) +
+           max(when(col("event_type") === "error", 1L).otherwise(0L)) * 2 +
+           max(when(col("event_type") === "signup", 1L).otherwise(0L)) * 4 +
+           max(when(col("event_type") === "view", 1L).otherwise(0L)) * 8)
+            .as("mask"))
+      val byMask = u.groupBy(col("mask"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("nc"))
+      val all = s.range(0, 16).select(col("id").as("mask"))
+      val vS = all.join(byMask, Seq("mask"), "left")
+        .na.fill(0L, Seq("n", "nc"))
+        .withColumn("v_u",
+          when(col("n") > 0L, expr("(nc * 1000000) div n"))
+            .otherwise(lit(0L)))
+        .select(col("mask"), col("v_u"))
+      val ch = s.createDataFrame(Seq(("click", 1L), ("error", 2L),
+        ("signup", 4L), ("view", 8L))).toDF("channel", "bit")
+      val pairs = vS.crossJoin(broadcast(ch))
+        .filter(expr("mask & bit") === 0L)
+        .join(vS.select(col("mask").as("mask2"), col("v_u").as("v2")),
+          col("mask") + col("bit") === col("mask2"))
+        .withColumn("pc", expr("bit_count(mask)"))
+        .withColumn("w", when(col("pc") === 0, 6L)
+          .when(col("pc") === 3, 6L).otherwise(2L))
+      pairs.groupBy(col("channel"))
+        .agg(sum(col("w") * (col("v2") - col("v_u"))).as("su"))
+        .select(col("channel"),
+          (floor(col("su").cast("double") / lit(24.0) + lit(0.5)) /
+            lit(1e6)).as("shapley"))
+        .orderBy(col("channel"))
+    }),
+
     // -- UCB1 bandit arm ranking ---------------------------------------------
     // The deterministic half of the explore/exploit toolkit (Thompson
     // needs randomness; UCB1 is a pure function of the observed
@@ -3909,6 +3957,38 @@ object AnalyticsQueries extends QueryPack {
         |  CAST(min(delta_s) AS BIGINT) AS min_s,
         |  CAST(max(delta_s) AS BIGINT) AS max_s
         |FROM dl GROUP BY 1 ORDER BY day_bucket""".stripMargin,
+
+    // 16-coalition frame; integer factorial weights; mirrored /24 scale
+    "q_shapley_attribution" ->
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      + max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 2
+        |      + max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) * 4
+        |      + max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) * 8
+        |      AS mask
+        |  FROM events GROUP BY 1),
+        |bm AS (SELECT mask, count(*) AS n, CAST(sum(conv) AS BIGINT)
+        |    AS nc FROM u GROUP BY 1),
+        |allm AS (SELECT unnest(range(0, 16)) AS mask),
+        |vs AS (SELECT allm.mask,
+        |    CASE WHEN coalesce(bm.n, 0) > 0
+        |      THEN (coalesce(bm.nc, 0) * 1000000) // bm.n
+        |      ELSE 0 END AS v_u
+        |  FROM allm LEFT JOIN bm ON allm.mask = bm.mask),
+        |ch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+        |    ('signup', 4), ('view', 8)) AS t(channel, bit)),
+        |pairs AS (SELECT ch.channel, a.v_u, b.v_u AS v2,
+        |    CASE WHEN bit_count(CAST(a.mask AS BIGINT)) IN (0, 3)
+        |      THEN 6 ELSE 2 END AS w
+        |  FROM vs a CROSS JOIN ch
+        |  JOIN vs b ON a.mask + ch.bit = b.mask
+        |  WHERE (CAST(a.mask AS BIGINT) & CAST(ch.bit AS BIGINT)) = 0)
+        |SELECT channel,
+        |  floor(CAST(sum(w * (v2 - v_u)) AS DOUBLE) / 24.0e0 + 0.5e0)
+        |    / 1e6 AS shapley
+        |FROM pairs GROUP BY channel ORDER BY channel""".stripMargin,
 
     // floor-ln quantized logs; HUGEINT moments; one mirrored slope
     "q_elasticity" ->

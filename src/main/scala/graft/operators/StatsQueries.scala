@@ -616,6 +616,59 @@ object StatsQueries extends QueryPack {
         q6((kD * kD - lit(1.0)) / (lit(3.0) * hD)).as("df2"))
     }),
 
+    // -- intraclass correlation ICC(1) (one-way random effects) ---------------
+    // The reliability readout behind "does nation explain order value":
+    // what share of total variance is BETWEEN nations? ICC(1) =
+    // (MSB − MSW)/(MSB + (n₀−1)·MSW) with the unbalanced-design
+    // n₀ = (N − Σnᵢ²/N)/(k−1). Per-group cent moments are exact
+    // DECIMAL; the between/within sum-of-squares terms are quantized
+    // per group as N-normalized integer micros (the q_anova_f device —
+    // order-free sums) and the final ICC/n₀ evaluate in mirrored
+    // expressions on the 1-row frame.
+    "q_icc" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val oc = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+            .as("cents"))
+        .join(Tables.customer(s, d).select(
+          col("c_custkey").as("o_custkey"),
+          col("c_nationkey").cast("long").as("nk")), "o_custkey")
+      val byG = oc.groupBy(col("nk"))
+        .agg(count(lit(1)).as("ng"), sum(dec(col("cents"))).as("s1"),
+          sum(dec(col("cents")) * dec(col("cents"))).as("s2"))
+        .filter(col("ng") > 1L)
+      val g = byG.agg(sum(col("ng")).as("nn"), sum(col("s1")).as("gs1"),
+        count(lit(1)).as("k"), sum(dec(col("ng")) * dec(col("ng")))
+          .as("sn2"))
+      val ngD = col("ng").cast("double"); val nnD = col("nn").cast("double")
+      val mg = col("s1").cast("double") / ngD
+      val gm = col("gs1").cast("double") / nnD
+      val terms = byG.crossJoin(broadcast(g))
+        .withColumn("bq", floor(ngD * (mg - gm) * (mg - gm) / nnD +
+          lit(0.5)).cast("long"))
+        .withColumn("wq", floor((col("s2").cast("double") - mg *
+          col("s1").cast("double")) / nnD + lit(0.5))
+          .cast("long"))
+      val fin = terms.groupBy(col("nn"), col("k"), col("sn2"))
+        .agg(sum(col("bq")).as("ssb"), sum(col("wq")).as("ssw"))
+      val kD = col("k").cast("double")
+      val msb = col("ssb").cast("double") *
+        col("nn").cast("double") / (kD - lit(1.0))
+      val msw = col("ssw").cast("double") *
+        col("nn").cast("double") /
+        (col("nn").cast("double") - kD)
+      val n0 = (col("nn").cast("double") -
+        col("sn2").cast("double") / col("nn").cast("double")) /
+        (kD - lit(1.0))
+      def q6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      fin.select(col("nn").as("n"), col("k"),
+        q6(n0).as("n0"),
+        when(msb + (n0 - lit(1.0)) * msw =!= 0.0,
+          q6((msb - msw) / (msb + (n0 - lit(1.0)) * msw))).as("icc"))
+    }),
+
     // -- TOST equivalence test (two one-sided tests) --------------------------
     // The inference q_ab_test can't give: evidence of SAMENESS. Classic
     // TOST with margin ±0.5 value units: both one-sided z's must clear
@@ -3401,6 +3454,47 @@ object StatsQueries extends QueryPack {
         |    / (3.0e0 * (CAST(sh AS DOUBLE) / 1e9)) * 1e6 + 0.5e0) / 1e6
         |    AS df2
         |FROM fin""".stripMargin,
+
+    // HUGEINT group moments; N-normalized micro SS terms; mirrored ICC
+    "q_icc" ->
+      """WITH oc AS (SELECT CAST(c.c_nationkey AS BIGINT) AS nk,
+        |    CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |g AS (SELECT nk, count(*) AS ng, sum(cents) AS s1,
+        |    sum(cents * cents) AS s2
+        |  FROM oc GROUP BY 1 HAVING count(*) > 1),
+        |t AS (SELECT CAST(sum(ng) AS BIGINT) AS nn,
+        |    sum(s1) AS gs1, count(*) AS k, sum(ng::HUGEINT * ng) AS sn2
+        |  FROM g),
+        |terms AS (SELECT nn, k, sn2,
+        |    CAST(floor(CAST(ng AS DOUBLE)
+        |      * (CAST(s1 AS DOUBLE) / CAST(ng AS DOUBLE)
+        |         - CAST(gs1 AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      * (CAST(s1 AS DOUBLE) / CAST(ng AS DOUBLE)
+        |         - CAST(gs1 AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      / CAST(nn AS DOUBLE) + 0.5e0) AS BIGINT) AS bq,
+        |    CAST(floor((CAST(s2 AS DOUBLE)
+        |      - (CAST(s1 AS DOUBLE) / CAST(ng AS DOUBLE))
+        |        * CAST(s1 AS DOUBLE))
+        |      / CAST(nn AS DOUBLE) + 0.5e0) AS BIGINT) AS wq
+        |  FROM g CROSS JOIN t),
+        |fin AS (SELECT nn, k, sn2, CAST(sum(bq) AS BIGINT) AS ssb,
+        |    CAST(sum(wq) AS BIGINT) AS ssw
+        |  FROM terms GROUP BY 1, 2, 3),
+        |x AS (SELECT nn, k,
+        |    CAST(ssb AS DOUBLE) * CAST(nn AS DOUBLE)
+        |      / (CAST(k AS DOUBLE) - 1.0e0) AS msb,
+        |    CAST(ssw AS DOUBLE) * CAST(nn AS DOUBLE)
+        |      / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)) AS msw,
+        |    (CAST(nn AS DOUBLE) - CAST(sn2 AS DOUBLE)
+        |      / CAST(nn AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0e0) AS n0
+        |  FROM fin)
+        |SELECT nn AS n, CAST(k AS BIGINT) AS k,
+        |  floor(n0 * 1e6 + 0.5e0) / 1e6 AS n0,
+        |  CASE WHEN msb + (n0 - 1.0e0) * msw <> 0.0
+        |    THEN floor((msb - msw) / (msb + (n0 - 1.0e0) * msw)
+        |      * 1e6 + 0.5e0) / 1e6 END AS icc
+        |FROM x""".stripMargin,
 
     // HUGEINT moments; mirrored Welch SE + z's; integer-quantized verdict
     "q_tost" ->

@@ -691,6 +691,70 @@ class Round12Spec extends AnyFunSuite {
     else assert(got.getDouble(3) == q6(sdiff.toDouble / matched.length))
   }
 
+  test("q_shapley_attribution replays exact Shapley and satisfies efficiency") {
+    val byUser = events.groupBy(_._2).toSeq.map { case (_, es) =>
+      val types = es.map(_._3).toSet
+      val mask = (if (types("click")) 1 else 0) +
+        (if (types("error")) 2 else 0) + (if (types("signup")) 4 else 0) +
+        (if (types("view")) 8 else 0)
+      (mask, if (types("purchase")) 1L else 0L)
+    }
+    val v = (0 until 16).map { m =>
+      val us = byUser.filter(_._1 == m)
+      m -> (if (us.isEmpty) 0L
+            else us.map(_._2).sum * 1000000L / us.length)
+    }.toMap
+    val chans = Seq(("click", 1), ("error", 2), ("signup", 4), ("view", 8))
+    val expected = chans.map { case (name, bit) =>
+      val su = (0 until 16).filter(m => (m & bit) == 0).map { m =>
+        val w = Integer.bitCount(m) match {
+          case 0 | 3 => 6L; case _ => 2L }
+        w * (v(m + bit) - v(m))
+      }.sum
+      (name, math.floor(su.toDouble / 24.0 + 0.5) / 1e6)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_shapley_attribution")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == expected)
+    // efficiency: sum of phi equals v(full) - v(empty) up to the four
+    // per-channel floor quantizations (each <= 0.5 micro)
+    val tot = got.map(_._2).sum
+    val target = (v(15) - v(0)).toDouble / 1e6
+    assert(math.abs(tot - target) <= 4.0 / 1e6 + 1e-9,
+      s"efficiency violated: $tot vs $target")
+  }
+
+  test("q_icc replays the one-way random-effects ICC(1)") {
+    val nk = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val oc = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (nk(r.getLong(0)), cents(r.getDouble(1))))
+    val gs = oc.groupBy(_._1).values.filter(_.length > 1).toSeq
+    val nn = gs.map(_.length.toLong).sum
+    val k = gs.length.toLong
+    val gs1 = gs.flatMap(_.map(x => BigInt(x._2))).sum
+    val sn2 = gs.map(g => BigInt(g.length.toLong) * g.length).sum
+    val gm = gs1.toDouble / nn
+    val ssb = gs.map { g =>
+      val ng = g.length.toDouble
+      val mg = g.map(x => BigInt(x._2)).sum.toDouble / ng
+      math.floor(ng * (mg - gm) * (mg - gm) / nn + 0.5).toLong }.sum
+    val ssw = gs.map { g =>
+      val s1 = g.map(x => BigInt(x._2)).sum
+      val s2 = g.map(x => BigInt(x._2) * x._2).sum
+      val mg = s1.toDouble / g.length
+      math.floor((s2.toDouble - mg * s1.toDouble) / nn + 0.5).toLong }.sum
+    val msb = ssb.toDouble * nn / (k - 1.0)
+    val msw = ssw.toDouble * nn / (nn - k.toDouble)
+    val n0 = (nn.toDouble - sn2.toDouble / nn) / (k - 1.0)
+    val got = SparkEntry.queries("q_icc")(spark, sfDir).collect().head
+    assert(got.getLong(0) == nn && got.getLong(1) == k)
+    assert(got.getDouble(2) == q6(n0))
+    assert(got.getDouble(3) == q6((msb - msw) / (msb + (n0 - 1.0) * msw)))
+  }
+
   // ---------------------------------------------------------- TPC-H
 
   private def cents(x: Double): Long = math.floor(x * 100.0 + 0.5).toLong
