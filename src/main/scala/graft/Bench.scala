@@ -126,6 +126,20 @@ object Bench {
     // raw per-query triples so the NEXT "regression" is checkable
     // against the conditions it ran under (see PERF.md "Noise policy").
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    // Process CPU time (VERDICT r12 item 1): two consecutive rounds were
+    // burned adjudicating phantom 25x "regressions" that were really a
+    // contended driver box. Wall time alone cannot tell "the plan got
+    // slower" from "someone else had the cores" — process CPU time can:
+    // on a loaded box wall >> own-cpu/cores, on an idle box the two track.
+    // com.sun.management is a public JDK export (jdk.management module),
+    // guarded anyway so an exotic JVM degrades to -1 rather than crashing
+    // the round's artifact.
+    val sunBean: Option[com.sun.management.OperatingSystemMXBean] =
+      osBean match {
+        case b: com.sun.management.OperatingSystemMXBean => Some(b)
+        case _ => None
+      }
+    def processCpuNanos(): Long = sunBean.map(_.getProcessCpuTime).getOrElse(-1L)
     val startedAt = java.time.Instant.now().toString
     val loadStart = osBean.getSystemLoadAverage
     // JVM age when timing began: distinguishes a fresh-process run (page
@@ -134,26 +148,37 @@ object Bench {
     val jvmUptimeMs =
       java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime
     val triples = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    // per-rep process CPU seconds and a load-average sample taken at each
+    // rep's start, parallel to `triples` — the contamination evidence
+    val cpuTriples = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val loadSamples = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+      def once(): (Double, Double, Double) = {
+        val load = osBean.getSystemLoadAverage
+        val c0 = processCpuNanos()
         val t0 = System.nanoTime()
         val ok = timedRun(name, fn)
         val dt = (System.nanoTime() - t0) / 1e9
+        val dc = { val c1 = processCpuNanos(); if (c0 < 0 || c1 < 0) -1.0 else (c1 - c0) / 1e9 }
         // failures are recorded as negative sentinels so a timeout ceiling
         // can never masquerade as a measurement in round-over-round diffs
-        if (ok) dt else -dt
+        (if (ok) dt else -dt, dc, load)
       }
       val first = once()
-      val times =
-        if (first <= 0 || first > repCeil || singleRep(name)) Seq(first)
+      val runs =
+        if (first._1 <= 0 || first._1 > repCeil || singleRep(name)) Seq(first)
         else first +: (2 to reps).map(_ => once())
+      val times = runs.map(_._1)
       triples(name) = times
+      cpuTriples(name) = runs.map(_._2)
+      loadSamples(name) = runs.map(_._3)
       val good = times.filter(_ > 0).sorted
       val v =
         if (good.isEmpty) times.head
         else if (good.size % 2 == 1) good(good.size / 2)
         else (good(good.size / 2 - 1) + good(good.size / 2)) / 2.0
       System.err.println(f"[bench] $name%-24s $v%8.2f s  (${times.map(t => f"$t%.2f").mkString("/")})" +
+        f"  cpu(${runs.map(r => f"${r._2}%.2f").mkString("/")})" +
         (if (good.isEmpty) "  [FAILED/TIMEOUT]" else ""))
       name -> v
     }
@@ -196,6 +221,18 @@ object Bench {
     val samples = triples.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.map(d3).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // cpu_s: per-rep process CPU seconds (whole JVM, all 32 worker
+    // threads — so cpu may legitimately exceed wall by up to the core
+    // count). The adjudication signal is the OTHER direction: wall much
+    // greater than cpu/cores on a rep means the process did not have the
+    // CPU it was charged for — external load, not plan cost. load: the
+    // 1-min system load average sampled at each rep's start.
+    val cpuJson = cpuTriples.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(d3).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val loadJson = loadSamples.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(d3).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val env = Seq(
       "\"started_utc\":\"" + startedAt + "\"",
       "\"java\":\"" + sys.props.getOrElse("java.version", "?") + "\"",
@@ -205,11 +242,17 @@ object Bench {
       "\"load_avg_start\":" + d3(loadStart),
       "\"load_avg_end\":" + d3(loadEnd),
       "\"reps\":" + reps,
-      "\"jvm_uptime_ms_at_start\":" + jvmUptimeMs
+      "\"jvm_uptime_ms_at_start\":" + jvmUptimeMs,
+      // Measurement-regime stamp (ADVICE r12): r12 changed what the
+      // write-maintenance numbers measure (single rep, /dev/shm scratch,
+      // shared-memo builds moved to untimed warmup). Artifacts from
+      // different regimes must not be diffed raw; the stamp makes the
+      // regime machine-checkable.
+      "\"regime\":\"r12+: write-ops reps=1, tmpfs scratch, memo warmup untimed\""
     ).mkString("{", ",", "}")
     val fullJson = results.sortBy(_._1).map(ent).mkString(
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"mat":"noop","env":$env,"queries":{""",
-      ",", s"""},"samples":$samples,"sf":"$sfDir"}""")
+      ",", s"""},"samples":$samples,"cpu_s":$cpuJson,"load_1m":$loadJson,"sf":"$sfDir"}""")
     // anchor BENCH_DETAIL.json at the repo root (PWD may differ under the
     // driver's launcher) and make write failures visible
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo") +

@@ -8,6 +8,15 @@ import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Win
   * that cannot survive an unbounded frame at 100 TB. Output feeds the
   * PlanSpec allowlist of NDV/domain-bounded frames; anything not on that
   * list must either take a Limit first or ride Dist.globalPrefixSum.
+  *
+  * Known blind spot (ADVICE r12): auto-dispatch rows (q_dedup_auto,
+  * q_dedup_ngram_auto, q_knn_triangles_auto, q_rank_stat family) run an
+  * eager cardinality probe inside the query constructor and return
+  * whichever branch the probe picks AT THE SCAN'S SF — so this gate only
+  * ever audits that branch (the small/exact one at sf0.001). The large
+  * branch of each dispatcher is separately pinned by its own spec
+  * (TextDedupSpec / VectorsSpec / StatsSpec equality-of-branches tests),
+  * which is where its window/shuffle shape is enforced.
   */
 object WindowScan {
   def main(args: Array[String]): Unit = {

@@ -122,6 +122,57 @@ object Workspace {
     def workspaceExists(name: String): Boolean =
       Files.isDirectory(wsRoot(name))
 
+    /** Write path (r13): commit a new immutable snapshot that is `base`
+      * with ONE file replaced, and move `latest` to it — the store-level
+      * primitive beneath SQL MERGE/UPDATE/DELETE through the catalog
+      * (the reference's declared "versioning control for data
+      * transformations", reference/README.md:8, realized as
+      * copy-on-write versions, never in-place mutation).
+      *
+      * The version id is CONTENT-ADDRESSED: a SHA-256 over the sorted
+      * (path, bytes) pairs of the whole new tree, truncated to 16 hex
+      * chars — identical contents yield the identical id (idempotent
+      * re-commits land on the existing dir), and every older version
+      * stays readable at its pinned id, exactly the property the DSv2
+      * time-travel read relies on. Other named refs are preserved.
+      */
+    def commitFile(name: String, baseVersionId: String, rawPath: String,
+                   contents: String): String = {
+      val rel = WorkspacePath(rawPath)
+      val base = snapshotDir(name, baseVersionId)
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      val baseFiles: Seq[(String, Array[Byte])] =
+        if (!Files.isDirectory(base)) Seq.empty
+        else {
+          val st = Files.walk(base)
+          try st.iterator().asScala.filter(Files.isRegularFile(_))
+            .map(p => base.relativize(p).toString -> Files.readAllBytes(p))
+            .toSeq
+          finally st.close()
+        }
+      val tree = (baseFiles.filterNot(_._1 == rel.value) :+
+        (rel.value -> contents.getBytes(utf8))).sortBy(_._1)
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      tree.foreach { case (p, b) =>
+        md.update(p.getBytes(utf8)); md.update(0.toByte)
+        md.update(b); md.update(0.toByte)
+      }
+      val id = md.digest().take(8).map(b => f"$b%02x").mkString
+      val dir = snapshotDir(name, id)
+      if (!Files.isDirectory(dir)) {
+        tree.foreach { case (p, b) =>
+          val out = dir.resolve(p)
+          Files.createDirectories(out.getParent)
+          Files.write(out, b)
+        }
+      }
+      val newRefs = refs(name) + ("latest" -> id)
+      Files.writeString(wsRoot(name).resolve("refs"),
+        newRefs.toSeq.sortBy(_._1).map { case (k, v) => s"$k\t$v" }
+          .mkString("", "\n", "\n"))
+      id
+    }
+
     /** The reference's one end-to-end operator (A1): point lookup of a file
       * or recursive directory listing at (name, version, path).
       * Defaults mirror src/http_server.rs:105-115.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.NativeExpressions
-import graft.engine.{Dist, OracleHash, QueryPack, Tables}
+import graft.engine.{Dist, OracleHash, QueryPack, RankStats, Tables}
 import graft.functions.TextDedup
 
 /** Statistical-modeling operators over the event stream and document
@@ -475,12 +475,10 @@ object StatsQueries extends QueryPack {
             .as("vq"))
       val byV = e.groupBy(col("vq"))
         .agg(count(lit(1)).as("cnt"), sum(col("g1")).as("cnt1"))
-      val w = Window.orderBy(col("vq"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val ranked = byV
-        .withColumn("cum", sum(col("cnt")).over(w))
-        .withColumn("r2",
-          lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L))
+      // NDV-dispatched midranks (RankStats): global window under an
+      // in-plan Limit at the measured NDV when the quantized domain is
+      // small, Dist.globalPrefixSum above the ceiling
+      val ranked = RankStats.doubledMidranks(byV, "vq", "cnt", "r2")
       val m = ranked.agg(
         sum(col("cnt1")).as("n1"),
         sum(col("cnt") - col("cnt1")).as("n2"),
@@ -579,6 +577,11 @@ object StatsQueries extends QueryPack {
         .agg(count(lit(1)).as("ng"), sum(dec(col("vq"))).as("s1"),
           sum(dec(col("vq")) * dec(col("vq"))).as("s2"))
         .filter(col("ng") > 1L)
+        // a degenerate group whose values are all identical has vg = 0;
+        // its Welch weight ng/vg is Infinity and the non-ANSI long cast
+        // saturates where DuckDB errors — exclude it exactly:
+        // vg > 0  ⟺  ng·s2 − s1² > 0 in integer (decimal) arithmetic
+        .filter(dec(col("ng")) * col("s2") > col("s1") * col("s1"))
       val ngD = col("ng").cast("double")
       // mean and sample variance in VALUE units (vq is milli-units)
       val mg = col("s1").cast("double") / ngD / lit(1000.0)
@@ -703,16 +706,21 @@ object StatsQueries extends QueryPack {
         (col("a1").cast("double") / lit(1000.0)) * m1) / (n1D - lit(1.0))
       val v2 = (col("b2").cast("double") / lit(1e6) -
         (col("b1").cast("double") / lit(1000.0)) * m2) / (n2D - lit(1.0))
-      val se = sqrt(v1 / n1D + v2 / n2D)
+      val se0 = sqrt(v1 / n1D + v2 / n2D)
+      // degenerate-but-valid edge (ADVICE r12): both groups all-identical
+      // values → se = 0 → the z ratios divide by zero (Spark Infinity vs
+      // DuckDB cast error). Emit NULL z's and a non-equivalent verdict,
+      // mirrored in the oracle.
+      val se = when(se0 > lit(0.0), se0)
       val margin = lit(0.5)
       val zLo = ((m1 - m2) + margin) / se
       val zUp = (margin - (m1 - m2)) / se
       def q6(c: org.apache.spark.sql.Column) =
         floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
       w.select(col("n1"), col("n2"), q6(m1 - m2).as("diff"),
-        q6(se).as("se"), q6(zLo).as("z_lower"), q6(zUp).as("z_upper"),
-        (floor(zLo * lit(1e6) + lit(0.5)) > lit(1644854.0) &&
-          floor(zUp * lit(1e6) + lit(0.5)) > lit(1644854.0))
+        q6(se0).as("se"), q6(zLo).as("z_lower"), q6(zUp).as("z_upper"),
+        coalesce(floor(zLo * lit(1e6) + lit(0.5)) > lit(1644854.0) &&
+          floor(zUp * lit(1e6) + lit(0.5)) > lit(1644854.0), lit(false))
           .as("equivalent"))
     }),
 
@@ -840,7 +848,13 @@ object StatsQueries extends QueryPack {
             .as("mae_seasonal"),
           (expr("(s1 * 1000000) div n1").cast("double") / lit(1e12))
             .as("mae_naive"),
-          (expr("(s7 * n1 * 1000000) div (s1 * n7)").cast("double") /
+          // the triple product s7*n1*1e6 can exceed int64 on a long
+          // calendar with high-magnitude day means; widen to
+          // DECIMAL(38,0) (HUGEINT on the oracle side) so the integer
+          // division is exact instead of silently wrapped (non-ANSI
+          // Spark wraps, DuckDB raises — a silent-wrong-answer class)
+          (expr("(cast(s7 as decimal(38,0)) * n1 * 1000000) div " +
+            "(cast(s1 as decimal(38,0)) * n7)").cast("double") /
             lit(1e6)).as("mase"))
     }),
 
@@ -1146,24 +1160,20 @@ object StatsQueries extends QueryPack {
           Seq(col("doc_id"), col("n_chars")))
         .select(col("doc_id"), col("n_chars").as("xv"),
           col("score").cast("long").as("yv"))
-      // NDV ceiling (q_mann_whitney bounded-frame class): each midrank
-      // window runs on a DISTINCT-VALUE frame — xv is a document length
-      // (bounded by the max doc size, ~1e5 cells) and yv the integer
-      // micro-scaled score (≤ 1e6+1 cells); both constants in corpus
-      // size. Open-ended domains would ride Dist.globalPrefixSum (the
-      // q_token_budget pid-keyed pattern) for the same doubled midranks.
-      def midranks(src: DataFrame, cn: String) = {
-        val w = Window.orderBy(col(cn))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        src.groupBy(col(cn)).agg(count(lit(1)).as("cnt"))
-          .withColumn("cum", sum(col("cnt")).over(w))
-          .select(col(cn),
-            (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L))
-              .as(s"r_$cn"))
-      }
+      // NDV-dispatched midranks (RankStats, q_mann_whitney class): each
+      // midrank frame is the DISTINCT-VALUE frame — xv a document length,
+      // yv the integer micro-scaled score. The dispatcher probes the NDV
+      // and takes the Limit-bounded window below the ceiling (where it
+      // also broadcast-hints the rank frame for the join back) or
+      // Dist.globalPrefixSum above it (unhinted — shuffle join).
+      def midranks(src: DataFrame, cn: String) =
+        RankStats.doubledMidranks(
+          src.groupBy(col(cn)).agg(count(lit(1)).as("cnt")),
+          cn, "cnt", s"r_$cn")
+          .select(col(cn), col(s"r_$cn"))
       val ranked = scored
-        .join(broadcast(midranks(scored, "xv")), "xv")
-        .join(broadcast(midranks(scored, "yv")), "yv")
+        .join(midranks(scored, "xv"), "xv")
+        .join(midranks(scored, "yv"), "yv")
       val m = ranked.agg(count(lit(1)).as("n"),
         sum(dec(col("r_xv"))).as("sx"), sum(dec(col("r_yv"))).as("sy"),
         sum(dec(col("r_xv")) * dec(col("r_xv"))).as("sxx"),
@@ -1495,25 +1505,17 @@ object StatsQueries extends QueryPack {
           floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
             .as("vq"))
       val byV = e.groupBy(col("vq")).agg(count(lit(1)).as("cnt"))
-      // NDV ceiling (the q_mann_whitney bounded-frame class): this
-      // unpartitioned prefix window runs on the DISTINCT-QUANTIZED-VALUE
-      // frame, bounded by the milli-quantized value domain (~1e5 cells
-      // for values in [0, 100]) — a constant in corpus size, never the
-      // row count. Escape hatch if the value domain ever opens up
-      // (NDV ≳ 1e7): route the cumulative through Dist.globalPrefixSum
-      // (the q_token_budget pid-keyed pattern) — identical r2 midranks,
-      // distributed prefix.
-      val w = Window.orderBy(col("vq"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val ranks = byV
-        .withColumn("cum", sum(col("cnt")).over(w))
-        .select(col("vq"),
-          (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L))
-            .as("r2"))
+      // NDV-dispatched midranks (RankStats, q_mann_whitney class): the
+      // prefix runs on the DISTINCT-QUANTIZED-VALUE frame; the
+      // dispatcher probes its NDV and bounds the window in-plan below
+      // the ceiling (broadcast-hinting the rank frame for the join
+      // back) or rides Dist.globalPrefixSum above it.
+      val ranks = RankStats.doubledMidranks(byV, "vq", "cnt", "r2")
+        .select(col("vq"), col("r2"))
       val ties = byV.agg(
         sum(dec(col("cnt")) * dec(col("cnt")) * dec(col("cnt")) -
           dec(col("cnt"))).as("tsum"))
-      val byG = e.join(broadcast(ranks), "vq")
+      val byG = e.join(ranks, "vq")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("ng"), sum(dec(col("r2"))).as("sr2"))
         .withColumn("term",
@@ -2118,18 +2120,14 @@ object StatsQueries extends QueryPack {
       val byS = sc.groupBy(col("sv"))
         .agg(sum(col("pos")).as("c1"),
           sum(lit(1L) - col("pos")).as("c0"))
-      // NDV ceiling (q_mann_whitney bounded-frame class): the prefix
-      // window runs on the DISTINCT-SCORE frame — the classifier score
-      // is an integer micro-scale in [0, 1e6], so the frame is ≤ 1e6+1
-      // rows regardless of corpus size. If a future scorer emits an
-      // open-ended domain, route through Dist.globalPrefixSum (the
-      // q_token_budget pid-keyed pattern) — same CDFs, distributed.
-      val w = Window.orderBy(col("sv"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // NDV-dispatched CDFs (RankStats, q_mann_whitney class): both
+      // class CDFs ride ONE dispatcher pass over the DISTINCT-SCORE
+      // frame — Limit-bounded window below the NDV ceiling,
+      // Dist.globalPrefixSums above it (shared sample/offsets for the
+      // two weight columns).
       val tot = byS.agg(sum(col("c1")).as("n1"), sum(col("c0")).as("n0"))
-      val cum = byS
-        .withColumn("f1", sum(col("c1")).over(w))
-        .withColumn("f0", sum(col("c0")).over(w))
+      val cum = RankStats.cumulative(byS, "sv",
+          Seq("c1", "c0"), Seq("f1", "f0"))
         .crossJoin(broadcast(tot))
         // DECIMAL(38,0) cross-products (HUGEINT in the oracle): the
         // gap approaches n1·n0, so 10⁶·gap exits int64 once
@@ -2140,10 +2138,9 @@ object StatsQueries extends QueryPack {
         .withColumn("gap",
           abs(col("f1").cast("decimal(38,0)") * col("n0") -
             col("f0").cast("decimal(38,0)") * col("n1")))
-      val best = cum
-        .withColumn("rnk", row_number().over(
-          Window.orderBy(col("gap").desc, col("sv"))))
-        .filter(col("rnk") === 1)
+      // argmax via TakeOrdered (orderBy+limit(1) fuses into
+      // TakeOrderedAndProject — distributed top-1, no global window)
+      val best = cum.orderBy(col("gap").desc, col("sv")).limit(1)
       best.select(col("n1").as("n_pos"), col("n0").as("n_neg"),
         col("sv").as("ks_score"),
         expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * gap) div " +
@@ -3409,7 +3406,10 @@ object StatsQueries extends QueryPack {
         |  FROM events),
         |g AS (SELECT event_type, count(*) AS ng,
         |    sum(vq) AS s1, sum(vq * vq) AS s2
-        |  FROM e GROUP BY 1 HAVING count(*) > 1),
+        |  FROM e GROUP BY 1
+        |  HAVING count(*) > 1
+        |    AND count(*) * sum(CAST(vq AS HUGEINT) * vq)
+        |      > sum(CAST(vq AS HUGEINT)) * sum(CAST(vq AS HUGEINT))),
         |wts AS (SELECT event_type, ng,
         |    CAST(floor(CAST(ng AS DOUBLE)
         |      / ((CAST(s2 AS DOUBLE) / 1e6
@@ -3521,16 +3521,18 @@ object StatsQueries extends QueryPack {
         |      + ((CAST(b2 AS DOUBLE) / 1e6 - (CAST(b1 AS DOUBLE)
         |        / 1000.0e0) * (CAST(b1 AS DOUBLE) / n2 / 1000.0e0))
         |        / (CAST(n2 AS DOUBLE) - 1.0e0)) / n2) AS se
-        |  FROM w)
+        |  FROM w),
+        |x2 AS (SELECT n1, n2, m1, m2, se,
+        |    CASE WHEN se > 0 THEN se END AS seg FROM x)
         |SELECT n1, n2,
         |  floor((m1 - m2) * 1e6 + 0.5e0) / 1e6 AS diff,
         |  floor(se * 1e6 + 0.5e0) / 1e6 AS se,
-        |  floor(((m1 - m2) + 0.5e0) / se * 1e6 + 0.5e0) / 1e6 AS z_lower,
-        |  floor((0.5e0 - (m1 - m2)) / se * 1e6 + 0.5e0) / 1e6 AS z_upper,
-        |  (floor(((m1 - m2) + 0.5e0) / se * 1e6 + 0.5e0) > 1644854
-        |    AND floor((0.5e0 - (m1 - m2)) / se * 1e6 + 0.5e0) > 1644854)
-        |    AS equivalent
-        |FROM x""".stripMargin,
+        |  floor(((m1 - m2) + 0.5e0) / seg * 1e6 + 0.5e0) / 1e6 AS z_lower,
+        |  floor((0.5e0 - (m1 - m2)) / seg * 1e6 + 0.5e0) / 1e6 AS z_upper,
+        |  coalesce(floor(((m1 - m2) + 0.5e0) / seg * 1e6 + 0.5e0) > 1644854
+        |    AND floor((0.5e0 - (m1 - m2)) / seg * 1e6 + 0.5e0) > 1644854,
+        |    FALSE) AS equivalent
+        |FROM x2""".stripMargin,
 
     // staged-splitmix label flips; HUGEINT cross-multiplied extremes
     "q_permutation_test" -> {
@@ -3619,7 +3621,8 @@ object StatsQueries extends QueryPack {
         |SELECT n_days,
         |  CAST((s7 * 1000000) // n7 AS DOUBLE) / 1e12 AS mae_seasonal,
         |  CAST((s1 * 1000000) // n1 AS DOUBLE) / 1e12 AS mae_naive,
-        |  CAST((s7 * n1 * 1000000) // (s1 * n7) AS DOUBLE) / 1e6 AS mase
+        |  CAST((CAST(s7 AS HUGEINT) * n1 * 1000000)
+        |    // (CAST(s1 AS HUGEINT) * n7) AS DOUBLE) / 1e6 AS mase
         |FROM m""".stripMargin,
 
     // HUGEINT raw moments; centered sums fold in ORDER BY grp via

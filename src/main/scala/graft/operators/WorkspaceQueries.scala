@@ -157,6 +157,37 @@ object WorkspaceQueries extends QueryPack {
           |SELECT 'id_prefix_aaaa', CAST(k AS INT), CAST(v AS INT)
           |FROM ws.demo.`data.csv` VERSION AS OF 'aaaa'
           |ORDER BY pin, k""".stripMargin)
+    }),
+
+    // Native SQL MERGE INTO through the DSv2 catalog (r13 —
+    // SupportsRowLevelOperations, group-based copy-on-write): the write
+    // half of the reference's declared "versioning control for data
+    // transformations" (reference/README.md:8). The merge source derives
+    // from the driver's nation table (keys 2..6: 2/3 match and update,
+    // 4/5/6 insert, seed row 1 carries over), the MERGE commits a NEW
+    // content-addressed snapshot with `latest` advanced — prior pins
+    // stay readable (Round13Spec pins that invariant) — and the query
+    // returns the post-merge table read back through the same catalog.
+    // q_upsert_merge (RelationalQueries) remains the batch full-outer
+    // shape; this row is the native-SQL-surface exemplar.
+    "q_merge_native" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val store = fixture()
+      s.conf.set("spark.sql.catalog.wsq",
+        classOf[graft.sources.WorkspaceCatalog].getName)
+      s.conf.set("spark.sql.catalog.wsq.root", store.mountPath.toString)
+      graft.engine.Tables.nation(s, d)
+        .filter(col("n_nationkey") >= 2 && col("n_nationkey") <= 6)
+        .select(col("n_nationkey").cast("string").as("k"),
+          (col("n_regionkey") * lit(100)).cast("string").as("v"))
+        .createOrReplaceTempView("ws_merge_src")
+      s.sql(
+        """MERGE INTO wsq.demo.`data.csv` t USING ws_merge_src s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+          |""".stripMargin)
+      s.sql("SELECT k, v FROM wsq.demo.`data.csv` ORDER BY k")
     })
   )
 
@@ -212,6 +243,21 @@ object WorkspaceQueries extends QueryPack {
         |  ('id_prefix_aaaa', 1, 10), ('id_prefix_aaaa', 2, 20),
         |  ('ref_stable', 1, 10), ('ref_stable', 2, 20)
         |) AS t(pin, k, v)
-        |ORDER BY pin, k""".stripMargin
+        |ORDER BY pin, k""".stripMargin,
+
+    // MERGE semantics replayed relationally: seed {1:10,2:20,3:30} from
+    // the fixture's latest data.csv, source = nation keys 2..6 with
+    // v = n_regionkey*100; matched rows take the source value, unmatched
+    // source rows insert, unmatched seed rows carry over. (DuckDB's own
+    // MERGE INTO would need a writable table; the oracle only has to
+    // reproduce the post-image.)
+    "q_merge_native" ->
+      """WITH seed(k, v) AS (VALUES ('1','10'),('2','20'),('3','30')),
+        |src AS (SELECT CAST(n_nationkey AS VARCHAR) AS k,
+        |    CAST(n_regionkey * 100 AS VARCHAR) AS v
+        |  FROM nation WHERE n_nationkey BETWEEN 2 AND 6)
+        |SELECT coalesce(s.k, t.k) AS k, coalesce(s.v, t.v) AS v
+        |FROM seed t FULL OUTER JOIN src s ON t.k = s.k
+        |ORDER BY k""".stripMargin
   )
 }

@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -94,8 +95,10 @@ class WorkspaceCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier, version: String): Table = {
     val (file, vid) = resolveFile(ident, version)
+    val root = SQLConf.get.getConfString(s"spark.sql.catalog.$catalogName.root")
     new CsvSnapshotTable(s"$catalogName.${ident.namespace().mkString(".")}" +
-      s".${ident.name()}@$vid", file)
+      s".${ident.name()}@$vid", file,
+      SnapshotWriteCtx(root, ident.namespace()(0), ident.name(), vid))
   }
 
   // The reference's list route is an explicit stub (http_server.rs:30-33);
@@ -151,12 +154,35 @@ class WorkspaceCatalog extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException("read-only catalog")
 }
 
+/** Everything the write path needs to commit a new snapshot version,
+  * serializable-by-value (strings only — the executor side never touches
+  * it; commit happens on the driver). */
+private[sources] case class SnapshotWriteCtx(root: String, workspace: String,
+                                             relPath: String,
+                                             baseVersion: String)
+
 /** One immutable snapshot file as a batch-readable table: header-derived
   * all-STRING schema, one partition (config-sized artifacts), executor-side
   * line parse with the store's dialect (comma split, no quoting).
+  *
+  * r13: also the write half — [[SupportsRowLevelOperations]], so Spark's
+  * native `MERGE INTO` / `UPDATE` / `DELETE` SQL work against the catalog.
+  * The operation is GROUP-BASED copy-on-write at the only granularity this
+  * store has (one file = one group): Spark's RewriteMergeIntoTable /
+  * RewriteUpdateTable / RewriteDelete plan a ReplaceData over the
+  * operation's scan, hand the COMPLETE post-image rows to the write, and
+  * [[SnapshotStore.commitFile]] lands them as a NEW content-addressed
+  * version with `latest` advanced — versions are never mutated in place,
+  * which is precisely the reference's declared "versioning control for
+  * data transformations" (reference/README.md:8) and the immutability the
+  * time-travel reads pin against. Rows serialize back in the store's own
+  * dialect (comma join, no quoting) sorted lexicographically, so a given
+  * logical table state always lands as byte-identical file content and
+  * the content-addressed id is deterministic.
   */
-private[sources] class CsvSnapshotTable(tableName: String, file: Path)
-  extends Table with SupportsRead {
+private[sources] class CsvSnapshotTable(tableName: String, file: Path,
+                                        writeCtx: SnapshotWriteCtx)
+  extends Table with SupportsRead with SupportsRowLevelOperations {
 
   private val headerAndSchema: (Array[String], StructType) = {
     val head = {
@@ -171,7 +197,7 @@ private[sources] class CsvSnapshotTable(tableName: String, file: Path)
   override def name(): String = tableName
   override def schema(): StructType = headerAndSchema._2
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -189,6 +215,93 @@ private[sources] class CsvSnapshotTable(tableName: String, file: Path)
       }
     }
   }
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    val outer = this
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation = new RowLevelOperation {
+        override def command(): RowLevelOperation.Command = info.command()
+        // the target read of the row-level plan: the same whole-file
+        // scan — one file is the one (and only) rewrite group
+        override def newScanBuilder(
+            options: CaseInsensitiveStringMap): ScanBuilder =
+          outer.newScanBuilder(options)
+        override def newWriteBuilder(
+            lwi: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
+          override def build(): Write = new Write {
+            // the ReplaceData row layout is the OPERATION's schema, which
+            // Spark may extend beyond the table columns (e.g. metadata /
+            // provenance attributes) — map each header column to its
+            // position in the incoming rows instead of assuming identity
+            override def toBatch: BatchWrite =
+              new SnapshotReplaceDataWrite(writeCtx, headerAndSchema._1,
+                headerAndSchema._1.map(lwi.schema().fieldIndex))
+          }
+        }
+      }
+    }
+  }
+}
+
+/** Group-based ReplaceData write: executors serialize their slice of the
+  * post-image to CSV lines (tiny, config-sized artifacts — the store's
+  * contract), the driver sorts the union for byte-determinism and commits
+  * ONE new content-addressed snapshot version. abort() is a no-op: nothing
+  * is visible until commitFile writes the new version dir and ref. */
+private[sources] class SnapshotReplaceDataWrite(ctx: SnapshotWriteCtx,
+                                                header: Array[String],
+                                                colPositions: Array[Int])
+  extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new CsvLinesWriterFactory(colPositions)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val lines = messages.iterator.flatMap {
+      case CsvLinesCommit(ls) => ls
+      case _                  => Seq.empty[String]
+    }.toArray.sorted
+    val contents = (header.mkString(",") +: lines)
+      .mkString("", "\n", "\n")
+    val store = new SnapshotStore(java.nio.file.Paths.get(ctx.root))
+    store.commitFile(ctx.workspace, ctx.baseVersion, ctx.relPath, contents)
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] case class CsvLinesCommit(lines: Seq[String])
+  extends WriterCommitMessage
+
+private[sources] class CsvLinesWriterFactory(colPositions: Array[Int])
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      override def write(record: InternalRow): Unit = {
+        // The physical post-image rows carry the table columns
+        // RIGHT-ALIGNED: Spark's group-based rewrite plans prepend
+        // plan-internal attributes (observed on 4.1: one leading extra
+        // field on MERGE/UPDATE/DELETE rows while LogicalWriteInfo
+        // still declares the bare table schema), so the table columns
+        // are the LAST schema-length fields in declared order.
+        val off = record.numFields - colPositions.length
+        // store dialect: comma join, no quoting (a value containing a
+        // comma is not representable — same constraint the reference's
+        // naive split imposes on the read side); null folds to empty
+        buf += colPositions.map { i =>
+          if (record.isNullAt(off + i)) ""
+          else record.getUTF8String(off + i).toString
+        }.mkString(",")
+      }
+      override def commit(): WriterCommitMessage = CsvLinesCommit(buf.toSeq)
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
 }
 
 private[sources] case class CsvSnapshotPartition(path: String, nCols: Int)

@@ -38,10 +38,14 @@ class QueryCorpusSpec extends AnyFunSuite {
     "q_cusum", "q_page_hinkley", // day-calendar series, the q_cusum class
     "q_dp_quantile", "q_durbin_watson", "q_effective_diameter",
     "q_ewma_chart", "q_granger", "q_hazard_curve", "q_heaps_law",
-    "q_hurst", "q_isotonic", "q_kaplan_meier", "q_kruskal_wallis",
-    "q_ks_separation", "q_mann_whitney", "q_pettitt", "q_propensity_strat",
+    "q_hurst", "q_isotonic", "q_kaplan_meier", "q_pettitt",
+    "q_propensity_strat",
+    // q_kruskal_wallis / q_ks_separation / q_mann_whitney / q_spearman
+    // left this list in r13: their midrank/CDF prefixes now ride the
+    // RankStats NDV dispatcher (in-plan Limit bound below the ceiling,
+    // Dist.globalPrefixSum above), so the gate accepts them unaided.
     "q_qini_uplift", "q_rfm", "q_rolling_quantile", "q_running_distinct",
-    "q_runs_test", "q_spearman", "q_stl_decompose", "q_weibull_fit",
+    "q_runs_test", "q_stl_decompose", "q_weibull_fit",
     "q_wilcoxon_signed",
     "q_key_skew",           // count-of-counts frame ≤ max key multiplicity
     "q_quantile_normalize", // distinct-score frame ≤ classifier domain
