@@ -45,18 +45,23 @@ object OracleHash {
     * hashes of each document's 5-word shingles over normalized text —
     * the DuckDB twin of `TextDedup.toks`. Compose as
     * s"WITH $shingleCtes, ...". */
-  val shingleCtes: String = {
+  /** [[shingleCtes]] over an arbitrary source CTE/table with (doc_id,
+    * text) — the panel-restricted recall monitors shingle a sampled
+    * subset instead of the whole `documents` table. */
+  def shingleCtesFrom(src: String): String = {
     // explicit class (== Java \s incl. VT \x0B): RE2's \s excludes VT,
     // Java's includes it — spelling the class keeps both engines identical
     val norm =
       "regexp_replace(lower(trim(text)), '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g')"
     val shingleHash = fnv1a64("array_to_string(ws[(i+1):(i+5)], ' ')")
-    s"""w AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM documents),
+    s"""w AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM $src),
        |sh AS (SELECT doc_id,
        |    list_distinct(list_transform(range(0, greatest(len(ws) - 4, 1)),
        |      i -> $shingleHash)) AS toks
        |  FROM w)""".stripMargin
   }
+
+  val shingleCtes: String = shingleCtesFrom("documents")
 
   /** CTE fragment `w_, u, f, b, sc` — the hashed-linear-classifier
     * inference chain over `documents` (the SQL twin of
@@ -134,11 +139,13 @@ object OracleHash {
     * CTE `from` (with columns `keep`); emits CTEs `p1_, p2_, p3_` and the
     * final value is `xor(z3, z3 >> 31)` computed by the caller from p3_.
     */
-  def splitmixStages(from: String, keep: String, seedExpr: String): String = {
+  def splitmixStages(from: String, keep: String, seedExpr: String,
+                     prefix: String = "p"): String = {
     val s1 = u64mul("xor(z1, z1 >> 30)", "13787848793156543929::UBIGINT")
     val s2 = u64mul("xor(z2, z2 >> 27)", "10723151780598845931::UBIGINT")
-    s"""p1_ AS (SELECT $keep, ${u64add(seedExpr, golden)} AS z1 FROM $from),
-       |p2_ AS (SELECT $keep, $s1 AS z2 FROM p1_),
-       |p3_ AS (SELECT $keep, $s2 AS z3 FROM p2_)""".stripMargin
+    s"""${prefix}1_ AS (SELECT $keep, ${u64add(seedExpr, golden)} AS z1
+       |  FROM $from),
+       |${prefix}2_ AS (SELECT $keep, $s1 AS z2 FROM ${prefix}1_),
+       |${prefix}3_ AS (SELECT $keep, $s2 AS z3 FROM ${prefix}2_)""".stripMargin
   }
 }

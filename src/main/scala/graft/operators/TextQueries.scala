@@ -1218,7 +1218,7 @@ object TextQueries extends QueryPack {
       // array (ASCII corpus ⇒ identical to character trigrams). The
       // repartition restores input parallelism lost to the single local
       // parquet split (a real 100 TB table has thousands of splits).
-      val docIds = Tables.documents(s, d)
+      val docIdsAll = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .withColumn("gids", NativeExpressions
           .trigramCodes(encode(norm(col("text")), "UTF-8")))
@@ -1228,6 +1228,34 @@ object TextQueries extends QueryPack {
           floor(log(col("sz").cast("double")) / math.log(1.0 / thr))
             .cast("int"))
         .select(col("doc_id"), col("gids"), col("sz"), col("band"))
+      // Sampled ground truth (VERDICT r12 item 4): exact all-pairs dense-
+      // universe Jaccard is quadratic BY DEFINITION, so the ground-truth
+      // row bounds its input instead of its algorithm — a deterministic
+      // STRATIFIED sample: strata are the decimal size classes of the
+      // gram-set cardinality (digit count — integer-exact on both
+      // engines, unlike a float log-band edge), each stratum keeps its
+      // 192 smallest splitmix64(doc_id)-ranked docs (a fresh seed stream;
+      // top-56-bit order so signed/unsigned agree, the q_rebalance
+      // idiom). The sample is ≤ 19·192 docs at ANY corpus size — the
+      // exact miner below is now constant-bounded, never corpus-
+      // quadratic — while staying exact within the sample (every pair of
+      // sampled docs is verified). Size-class stratification keeps every
+      // band of the blocking structure represented, and consistent
+      // hashing means a doc only leaves the panel when a smaller-keyed
+      // doc arrives. At sf0.01 (500 docs) the sample genuinely binds
+      // (89+192 = 281 docs kept), so the DuckDB oracle exercises the
+      // sampling logic too, not just the miner. The FULL-corpus scale
+      // path remains q_dedup_minhash / the *_auto dispatchers.
+      val mPerStratum = 192
+      val wS = Window.partitionBy(length(col("sz").cast("string")))
+        .orderBy(col("hk"), col("doc_id"))
+      val docIds = docIdsAll
+        .withColumn("hk", shiftrightunsigned(
+          NativeExpressions.splitmix64(
+            col("doc_id") * lit(613L) + lit(29L)), 8))
+        .withColumn("srn", row_number().over(wS))
+        .filter(col("srn") <= mPerStratum)
+        .drop("hk", "srn")
       // corpus gram dictionary — but probe cardinality BEFORE collecting:
       // limit(4097) bounds the driver transfer regardless of the gram
       // universe, so an open-universe corpus (the case the array
@@ -1462,6 +1490,52 @@ object TextQueries extends QueryPack {
             .as("recall"),
           round(col("n_hit").cast("double") / col("n_cand"), 6)
             .as("precision"))
+    }),
+
+    // -- SAMPLED recall monitor with error bars (VERDICT r12 item 4) -------
+    // q_dedup_recall measures LSH recall against a full-corpus exact
+    // miner — fine on a slice, quadratic at corpus scale. This is the
+    // shape a 100 TB pipeline actually schedules: a DETERMINISTIC
+    // STRATIFIED PANEL (per-source strata, each keeping its 16 smallest
+    // splitmix64-ranked doc_ids — consistent hashing, so the panel is
+    // stable under corpus growth and bounded at 16·|sources| docs), the
+    // exact miner runs ONLY within the panel, LSH recall is measured on
+    // the panel's true pairs, and the Wilson 95% interval turns the
+    // panel size into explicit ERROR BARS — the reader sees not just
+    // "recall 0.9" but how much evidence backs it. The interval is a
+    // mirrored double expression (same literals both engines), NULL when
+    // the panel has no true pairs.
+    "q_dedup_recall_ci" -> ((s, d) => {
+      val wS = Window.partitionBy(col("source"))
+        .orderBy(col("hk"), col("doc_id"))
+      val panel = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"))
+        .withColumn("hk", shiftrightunsigned(
+          NativeExpressions.splitmix64(
+            col("doc_id") * lit(487L) + lit(13L)), 8))
+        .withColumn("srn", row_number().over(wS))
+        .filter(col("srn") <= 16)
+        .select(col("doc_id"), col("text"))
+      val exact = TextDedup.exactJaccardPairs(panel, 0.7)
+        .select(col("d1"), col("d2"))
+      val lsh = TextDedup.minHashLshPairs(panel, numPerms = 16, bands = 4,
+          threshold = 0.7)
+        .select(col("d1"), col("d2"), lit(1L).as("c"))
+      val h = exact.join(lsh, Seq("d1", "d2"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("c"), lit(0L))).as("n_hit"))
+      val z = lit(1.959964)
+      val nD = col("n_true").cast("double")
+      val p = col("n_hit").cast("double") / nD
+      val denom = lit(1.0) + z * z / nD
+      val center = (p + z * z / (lit(2.0) * nD)) / denom
+      val half = z * sqrt(p * (lit(1.0) - p) / nD +
+        z * z / (lit(4.0) * nD * nD)) / denom
+      def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      h.select(col("n_true"), col("n_hit"),
+        when(col("n_true") > 0L, q6(p)).as("recall"),
+        when(col("n_true") > 0L, q6(center - half)).as("recall_lo95"),
+        when(col("n_true") > 0L, q6(center + half)).as("recall_hi95"))
     }),
 
     // -- LSH banding-parameter sweep (the S-curve, measured) ---------------
@@ -3007,6 +3081,75 @@ object TextQueries extends QueryPack {
            |FROM h CROSS JOIN nc""".stripMargin
       },
 
+      // panel = per-source 16 smallest splitmix64(doc_id*487+13)-ranked
+      // docs (prefix-q hash chain; the minhash chain keeps prefix p);
+      // Wilson 95% in one mirrored double expression
+      "q_dedup_recall_ci" -> {
+        import graft.engine.OracleHash._
+        s"""WITH ${splitmixStages("documents", "doc_id, source, text",
+              "CAST(doc_id*487+13 AS UBIGINT)", prefix = "q")},
+           |ph AS (SELECT doc_id, source, text,
+           |    (xor(z3, z3 >> 31) >> 8) AS hk FROM q3_),
+           |panel AS (SELECT doc_id, text FROM (
+           |    SELECT doc_id, text, row_number() OVER (
+           |      PARTITION BY source ORDER BY hk, doc_id) AS srn
+           |    FROM ph) t WHERE srn <= 16),
+           |${shingleCtesFrom("panel")},
+           |v AS (SELECT doc_id, toks, len(toks) AS sz FROM sh),
+           |exact AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM v a JOIN v b ON a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+           |    (a.sz + b.sz - len(list_intersect(a.toks, b.toks)))
+           |    >= 0.7),
+           |ex AS (SELECT doc_id, unnest(toks) AS h FROM sh),
+           |exk AS (SELECT doc_id, k, h
+           |  FROM ex CROSS JOIN (SELECT unnest(range(0, 16)) AS k)),
+           |${splitmixStages("exk", "doc_id, k",
+              "xor(h, " + u64mul(golden, "(k+1)::UBIGINT") + ")")},
+           |mh AS (SELECT doc_id, k, min(xor(z3, z3 >> 31)) AS m
+           |  FROM p3_ GROUP BY doc_id, k),
+           |sig AS (SELECT doc_id, list(m ORDER BY k) AS sg
+           |  FROM mh GROUP BY doc_id),
+           |bk AS (SELECT doc_id, b, sg[(b*4+1):(b*4+4)] AS key
+           |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+           |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+           |  FROM bk x JOIN bk y
+           |  ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+           |lsh AS (SELECT cand.d1, cand.d2
+           |  FROM cand JOIN v a ON a.doc_id = cand.d1
+           |    JOIN v b ON b.doc_id = cand.d2
+           |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+           |    (a.sz + b.sz - len(list_intersect(a.toks, b.toks)))
+           |    >= 0.7),
+           |hh AS (SELECT CAST(count(*) AS BIGINT) AS n_true,
+           |    CAST(sum(CASE WHEN l.d1 IS NOT NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_hit
+           |  FROM exact e LEFT JOIN lsh l
+           |    ON e.d1 = l.d1 AND e.d2 = l.d2),
+           |wils AS (SELECT n_true, n_hit,
+           |    CAST(n_true AS DOUBLE) AS nd,
+           |    CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) AS p
+           |  FROM hh)
+           |SELECT n_true, n_hit,
+           |  CASE WHEN n_true > 0 THEN
+           |    floor(p * 1e6 + 0.5e0) / 1e6 END AS recall,
+           |  CASE WHEN n_true > 0 THEN floor(
+           |    ((p + 1.959964e0*1.959964e0/(2.0e0*nd))
+           |       / (1.0e0 + 1.959964e0*1.959964e0/nd)
+           |     - 1.959964e0 * sqrt(p*(1.0e0-p)/nd
+           |         + 1.959964e0*1.959964e0/(4.0e0*nd*nd))
+           |       / (1.0e0 + 1.959964e0*1.959964e0/nd)) * 1e6 + 0.5e0)
+           |    / 1e6 END AS recall_lo95,
+           |  CASE WHEN n_true > 0 THEN floor(
+           |    ((p + 1.959964e0*1.959964e0/(2.0e0*nd))
+           |       / (1.0e0 + 1.959964e0*1.959964e0/nd)
+           |     + 1.959964e0 * sqrt(p*(1.0e0-p)/nd
+           |         + 1.959964e0*1.959964e0/(4.0e0*nd*nd))
+           |       / (1.0e0 + 1.959964e0*1.959964e0/nd)) * 1e6 + 0.5e0)
+           |    / 1e6 END AS recall_hi95
+           |FROM wils""".stripMargin
+      },
+
       // one shared sig CTE, three slicings — band config b slices
       // sg[(j*R+1):(j*R+R)] with R = 16/b; each candidate set verifies
       // exactly, then the three counts union
@@ -3084,37 +3227,68 @@ object TextQueries extends QueryPack {
 
       // the auto dispatcher's oracle pins its SMALL (exact) branch —
       // sf0.01 is orders of magnitude under ExactPairsMaxDocs
-      "q_dedup_ngram_auto" ->
-        """WITH n AS (SELECT doc_id,
-          |    regexp_replace(lower(trim(text)), '[ \t\n\f\r\x0B]+', ' ', 'g') AS nt
-          |  FROM documents),
-          |g AS (SELECT doc_id,
-          |    list_distinct(list_transform(range(0, length(nt) - 2),
-          |      i -> substring(nt, i + 1, 3))) AS grams
-          |  FROM n)
-          |SELECT d1, d2, jacc FROM (
-          |  SELECT a.doc_id AS d1, b.doc_id AS d2,
-          |    round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-          |      (len(a.grams) + len(b.grams)
-          |       - len(list_intersect(a.grams, b.grams))), 6) AS jacc
-          |  FROM g a JOIN g b ON a.doc_id < b.doc_id) t
-          |WHERE jacc >= 0.8 ORDER BY d1, d2""".stripMargin,
+      // small branch == q_dedup_ngram (the sampled exact miner) — same
+      // stratified-sample CTE chain
+      "q_dedup_ngram_auto" -> {
+        import graft.engine.OracleHash._
+        s"""WITH n AS (SELECT doc_id,
+           |    regexp_replace(lower(trim(text)), '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g') AS nt
+           |  FROM documents),
+           |g0 AS (SELECT doc_id,
+           |    list_distinct(list_transform(range(0, length(nt) - 2),
+           |      i -> substring(nt, i + 1, 3))) AS grams
+           |  FROM n),
+           |g1 AS (SELECT doc_id, grams, len(grams) AS sz FROM g0
+           |  WHERE len(grams) > 0),
+           |${splitmixStages("g1", "doc_id, grams, sz",
+              "(doc_id*613+29)::UBIGINT")},
+           |h AS (SELECT doc_id, grams, sz,
+           |    (xor(z3, z3 >> 31) >> 8) AS hk FROM p3_),
+           |g AS (SELECT doc_id, grams FROM (
+           |    SELECT doc_id, grams, row_number() OVER (
+           |      PARTITION BY length(CAST(sz AS VARCHAR))
+           |      ORDER BY hk, doc_id) AS srn FROM h) t
+           |  WHERE srn <= 192)
+           |SELECT d1, d2, jacc FROM (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+           |    round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+           |      (len(a.grams) + len(b.grams)
+           |       - len(list_intersect(a.grams, b.grams))), 6) AS jacc
+           |  FROM g a JOIN g b ON a.doc_id < b.doc_id) t
+           |WHERE jacc >= 0.8 ORDER BY d1, d2""".stripMargin
+      },
 
-      "q_dedup_ngram" ->
-        """WITH n AS (SELECT doc_id,
-          |    regexp_replace(lower(trim(text)), '[ \t\n\f\r\x0B]+', ' ', 'g') AS nt
-          |  FROM documents),
-          |g AS (SELECT doc_id,
-          |    list_distinct(list_transform(range(0, length(nt) - 2),
-          |      i -> substring(nt, i + 1, 3))) AS grams
-          |  FROM n)
-          |SELECT d1, d2, jacc FROM (
-          |  SELECT a.doc_id AS d1, b.doc_id AS d2,
-          |    round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-          |      (len(a.grams) + len(b.grams)
-          |       - len(list_intersect(a.grams, b.grams))), 6) AS jacc
-          |  FROM g a JOIN g b ON a.doc_id < b.doc_id) t
-          |WHERE jacc >= 0.8 ORDER BY d1, d2""".stripMargin,
+      // sampled ground truth (r13): digit-count size strata, 192
+      // smallest splitmix64-ranked docs per stratum — mirrors the Spark
+      // miner's deterministic stratified sample exactly
+      "q_dedup_ngram" -> {
+        import graft.engine.OracleHash._
+        s"""WITH n AS (SELECT doc_id,
+           |    regexp_replace(lower(trim(text)), '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g') AS nt
+           |  FROM documents),
+           |g0 AS (SELECT doc_id,
+           |    list_distinct(list_transform(range(0, length(nt) - 2),
+           |      i -> substring(nt, i + 1, 3))) AS grams
+           |  FROM n),
+           |g1 AS (SELECT doc_id, grams, len(grams) AS sz FROM g0
+           |  WHERE len(grams) > 0),
+           |${splitmixStages("g1", "doc_id, grams, sz",
+              "(doc_id*613+29)::UBIGINT")},
+           |h AS (SELECT doc_id, grams, sz,
+           |    (xor(z3, z3 >> 31) >> 8) AS hk FROM p3_),
+           |g AS (SELECT doc_id, grams FROM (
+           |    SELECT doc_id, grams, row_number() OVER (
+           |      PARTITION BY length(CAST(sz AS VARCHAR))
+           |      ORDER BY hk, doc_id) AS srn FROM h) t
+           |  WHERE srn <= 192)
+           |SELECT d1, d2, jacc FROM (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+           |    round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+           |      (len(a.grams) + len(b.grams)
+           |       - len(list_intersect(a.grams, b.grams))), 6) AS jacc
+           |  FROM g a JOIN g b ON a.doc_id < b.doc_id) t
+           |WHERE jacc >= 0.8 ORDER BY d1, d2""".stripMargin
+      },
 
       // chunking via unnest + generate_subscripts (DuckDB's range()
       // cannot take lateral parameters); string_agg ORDER BY ord

@@ -307,39 +307,42 @@ object VectorQueries extends QueryPack {
     }),
   ) ++ knnTrianglesRest
 
-  /** Exact blocked kNN (top-3 cosine) + triangle close — O(n²) dot
-    * products by contract; ground truth for the ANN twin. See the
-    * q_knn_triangles Scaladoc block above for the blocking argument. */
+  /** Exact kNN (top-3 cosine) + triangle close over a DETERMINISTIC
+    * STRATIFIED SAMPLE (r13, VERDICT r12 item 4): the exact all-pairs
+    * step is quadratic by definition, so the ground-truth row bounds its
+    * INPUT instead of its algorithm — 16 vec_id-residue strata × the 16
+    * smallest splitmix64-ranked vectors each (fresh seed stream, top-56-
+    * bit order so signed/unsigned agree — the q_rebalance idiom) = ≤ 256
+    * vectors at ANY corpus size, exact within the sample. Residue strata
+    * spread the panel across the id space, and consistent hashing means
+    * a vector only leaves the panel when a smaller-keyed one arrives. At
+    * sf0.01 (500 vectors) the sample binds (256 kept), so the oracle
+    * twin exercises the sampling, not just the miner. The full-corpus
+    * scale path remains knnTrianglesAnn (recall-gated IVF); error bars
+    * for recall readouts derive from the sample size (q_ann_recall_ci).
+    * The 256-vector cap means ONE 256-wide block suffices — no maxId
+    * probe, no block replication. */
   private def knnTrianglesExact(s: SparkSession, d: String): DataFrame = {
-      val blkSz = 256
-      val pts = emb(s, d).select(col("vec_id").as("id"), col("v"))
+      val mPerStratum = 16
+      val ptsAll = emb(s, d).select(col("vec_id").as("id"), col("v"))
         .withColumn("nrm", Vectors.norm(col("v")))
-      // max(id) is NULL on an empty corpus — surface the empty result
-      // instead of an NPE. Block count derives from max(id), so density
-      // matters: the fixture's vec_ids are a dense 0..n-1 range (pinned
-      // by CorpusSchemaCanarySpec's long type + generator contract); a
-      // genuinely sparse id space should be zipped dense upstream or the
-      // a-side replicates across empty blocks.
-      val maxIdRow = pts.agg(max(col("id"))).head()
-      if (maxIdRow.isNullAt(0)) {
-        s.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("vec_id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("n_triangles",
-              org.apache.spark.sql.types.LongType))))
-      } else {
-      val maxId = maxIdRow.getLong(0)
-      val nBlocks = (maxId / blkSz + 1).toInt
+      val wS = Window.partitionBy(pmod(col("id"), lit(16)))
+        .orderBy(col("hk"), col("id"))
+      val pts = ptsAll
+        .withColumn("hk", shiftrightunsigned(
+          org.apache.spark.sql.graft.NativeExpressions.splitmix64(
+            col("id") * lit(769L) + lit(41L)), 8))
+        .withColumn("srn", row_number().over(wS))
+        .filter(col("srn") <= mPerStratum)
+        .drop("hk", "srn")
       val bBlk = pts
         .select(col("id").as("b_id"), col("v").as("bv"),
           col("nrm").as("bnrm"))
-        .withColumn("blk", expr(s"cast(b_id div $blkSz as int)"))
+        .withColumn("blk", lit(0))
       val aRep = pts
         .select(col("id").as("a_id"), col("v").as("av"),
           col("nrm").as("anrm"))
-        .withColumn("blk", explode(sequence(lit(0), lit(nBlocks - 1))))
+        .withColumn("blk", lit(0))
       val wPart = Window.partitionBy(col("a_id"), col("blk"))
         .orderBy(col("cos_raw").desc, col("b_id").asc)
       val wTop = Window.partitionBy(col("a_id"))
@@ -370,7 +373,6 @@ object VectorQueries extends QueryPack {
         .groupBy(col("vec_id"))
         .agg(count(lit(1)).as("n_triangles"))
         .orderBy(col("vec_id"))
-      }
   }
 
   // -- ANN twin of q_knn_triangles (the sanctioned 100 TB path) ----------
@@ -537,6 +539,49 @@ object VectorQueries extends QueryPack {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           round(coalesce(col("n_hits"), lit(0L)) / 5.0, 6).as("recall5"))
         .orderBy(col("q_id"))
+    }),
+
+    // -- aggregate ANN recall with error bars (VERDICT r12 item 4) ---------
+    // q_ann_recall reports recall PER probe; this is the fleet readout a
+    // dashboard tracks: one aggregate recall@5 over the probe panel's
+    // 5·|panel| (query, true-neighbor) Bernoulli trials, with the Wilson
+    // 95% interval making the PANEL SIZE an explicit error bar — the
+    // sampled-ground-truth discipline (the probe panel is the sample;
+    // the exact side is |panel|×n, linear, never all-pairs). Mirrored
+    // double expression; NULL bounds on an empty panel.
+    "q_ann_recall_ci" -> ((s, d) => {
+      val base = emb(s, d).withColumn("nrm", Vectors.norm(col("v")))
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qnrm"))
+      val c = base.select(col("vec_id").as("c_id"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_raw").desc, col("c_id").asc)
+      val exact = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+        .withColumn("cos_raw",
+          Vectors.dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("c_id"))
+      val approx = ivfRanked(s, d).filter(col("rnk") <= 5)
+        .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+      val agg = exact.join(approx, Seq("q_id", "c_id"), "left")
+        .agg(count(lit(1)).as("n_trials"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      val z = lit(1.959964)
+      val nD = col("n_trials").cast("double")
+      val p = col("n_hits").cast("double") / nD
+      val denom = lit(1.0) + z * z / nD
+      val center = (p + z * z / (lit(2.0) * nD)) / denom
+      val half = z * sqrt(p * (lit(1.0) - p) / nD +
+        z * z / (lit(4.0) * nD * nD)) / denom
+      def q6(x: org.apache.spark.sql.Column) =
+        floor(x * lit(1e6) + lit(0.5)) / lit(1e6)
+      agg.select(col("n_trials"), col("n_hits"),
+        when(col("n_trials") > 0L, q6(p)).as("recall5"),
+        when(col("n_trials") > 0L, q6(center - half)).as("recall_lo95"),
+        when(col("n_trials") > 0L, q6(center + half)).as("recall_hi95"))
     }),
 
     // -- hard-negative mining for contrastive training ---------------------
@@ -1657,6 +1702,65 @@ object VectorQueries extends QueryPack {
            |ORDER BY q_id""".stripMargin
       },
 
+      // same exact/IVF CTEs aggregated to one Bernoulli-trial frame +
+      // the mirrored Wilson 95% expression (q_dedup_recall_ci's twin)
+      "q_ann_recall_ci" -> {
+        import graft.engine.OracleHash._
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+           |  FROM embeddings),
+           |n AS (SELECT vec_id, vd,
+           |    sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
+           |ex AS (SELECT q_id, c_id FROM (
+           |  SELECT a.vec_id AS q_id, b.vec_id AS c_id, row_number() OVER (
+           |      PARTITION BY a.vec_id
+           |      ORDER BY list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm)
+           |        DESC, b.vec_id ASC) AS rnk
+           |  FROM n a JOIN n b
+           |    ON a.vec_id < 10 AND a.vec_id <> b.vec_id) t
+           |  WHERE rnk <= 5),
+           |${ivf2IndexCtes("n", "vec_id")},
+           |${ivf2AssignCte("asg", "n", "vec_id", "", 1)},
+           |${ivf2AssignCte("probes", "n", "vec_id",
+              " WHERE p.vec_id < 10", 2)},
+           |iv AS (SELECT q_id, c_id FROM (
+           |  SELECT c.q_id, c.c_id, row_number() OVER (PARTITION BY c.q_id
+           |      ORDER BY c.cos_raw DESC, c.c_id ASC) AS rnk
+           |  FROM (SELECT p.vec_id AS q_id, a.vec_id AS c_id,
+           |      list_dot_product(qn.vd, cn.vd) / (qn.nrm * cn.nrm)
+           |        AS cos_raw
+           |    FROM probes p JOIN asg a ON p.cid = a.cid
+           |    JOIN n qn ON qn.vec_id = p.vec_id
+           |    JOIN n cn ON cn.vec_id = a.vec_id
+           |    WHERE a.vec_id <> p.vec_id) c) t
+           |  WHERE rnk <= 5),
+           |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_trials,
+           |    CAST(sum(CASE WHEN iv.c_id IS NOT NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_hits
+           |  FROM ex LEFT JOIN iv USING (q_id, c_id)),
+           |wils AS (SELECT n_trials, n_hits,
+           |    CAST(n_trials AS DOUBLE) AS nd,
+           |    CAST(n_hits AS DOUBLE) / CAST(n_trials AS DOUBLE) AS p
+           |  FROM agg)
+           |SELECT n_trials, n_hits,
+           |  CASE WHEN n_trials > 0 THEN
+           |    floor(p * 1e6 + 0.5e0) / 1e6 END AS recall5,
+           |  CASE WHEN n_trials > 0 THEN floor(
+           |    ((p + 1.959964e0*1.959964e0/(2.0e0*nd))
+           |       / (1.0e0 + 1.959964e0*1.959964e0/nd)
+           |     - 1.959964e0 * sqrt(p*(1.0e0-p)/nd
+           |         + 1.959964e0*1.959964e0/(4.0e0*nd*nd))
+           |       / (1.0e0 + 1.959964e0*1.959964e0/nd)) * 1e6 + 0.5e0)
+           |    / 1e6 END AS recall_lo95,
+           |  CASE WHEN n_trials > 0 THEN floor(
+           |    ((p + 1.959964e0*1.959964e0/(2.0e0*nd))
+           |       / (1.0e0 + 1.959964e0*1.959964e0/nd)
+           |     + 1.959964e0 * sqrt(p*(1.0e0-p)/nd
+           |         + 1.959964e0*1.959964e0/(4.0e0*nd*nd))
+           |       / (1.0e0 + 1.959964e0*1.959964e0/nd)) * 1e6 + 0.5e0)
+           |    / 1e6 END AS recall_hi95
+           |FROM wils""".stripMargin
+      },
+
       // q_sim_ivf's twin with the rank predicate flipped to the 6..15
       // hard-negative window (same two-level index/probe CTEs)
       "q_hard_negatives" -> {
@@ -1748,9 +1852,19 @@ object VectorQueries extends QueryPack {
       // the auto dispatcher's oracle pins its SMALL (exact) branch:
       // sf0.01 has ~6k vectors, far under Vectors.ExactKnnMaxVectors,
       // so q_knn_triangles_auto must equal q_knn_triangles bit-for-bit
-      "q_knn_triangles_auto" ->
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+      // (both over the r13 stratified 16×16 sample)
+      "q_knn_triangles_auto" -> {
+        import graft.engine.OracleHash._
+        s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
            |  FROM embeddings),
+           |${splitmixStages("e0", "vec_id, vd",
+              "CAST(vec_id*769+41 AS UBIGINT)")},
+           |h AS (SELECT vec_id, vd,
+           |    (xor(z3, z3 >> 31) >> 8) AS hk FROM p3_),
+           |e AS (SELECT vec_id, vd FROM (
+           |    SELECT vec_id, vd, row_number() OVER (
+           |      PARTITION BY vec_id % 16 ORDER BY hk, vec_id) AS srn
+           |    FROM h) t WHERE srn <= 16),
            |s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            |    $dotAB / (sqrt(list_dot_product(a.vd, a.vd)) *
            |              sqrt(list_dot_product(b.vd, b.vd))) AS cos_raw
@@ -1766,11 +1880,23 @@ object VectorQueries extends QueryPack {
            |FROM (SELECT x AS vec_id FROM tri
            |      UNION ALL SELECT y FROM tri
            |      UNION ALL SELECT z FROM tri) t
-           |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+           |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+      },
 
-      "q_knn_triangles" ->
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+      // sampled ground truth (r13): 16 vec_id-residue strata × 16
+      // smallest splitmix64-ranked vectors — mirrors the Spark sample
+      "q_knn_triangles" -> {
+        import graft.engine.OracleHash._
+        s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
            |  FROM embeddings),
+           |${splitmixStages("e0", "vec_id, vd",
+              "CAST(vec_id*769+41 AS UBIGINT)")},
+           |h AS (SELECT vec_id, vd,
+           |    (xor(z3, z3 >> 31) >> 8) AS hk FROM p3_),
+           |e AS (SELECT vec_id, vd FROM (
+           |    SELECT vec_id, vd, row_number() OVER (
+           |      PARTITION BY vec_id % 16 ORDER BY hk, vec_id) AS srn
+           |    FROM h) t WHERE srn <= 16),
            |s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            |    $dotAB / (sqrt(list_dot_product(a.vd, a.vd)) *
            |              sqrt(list_dot_product(b.vd, b.vd))) AS cos_raw
@@ -1786,7 +1912,8 @@ object VectorQueries extends QueryPack {
            |FROM (SELECT x AS vec_id FROM tri
            |      UNION ALL SELECT y FROM tri
            |      UNION ALL SELECT z FROM tri) t
-           |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+           |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+      },
 
       // the same two-level IVF CTEs as q_sim_ivf, with ALL vectors as
       // probes (nprobe 2) feeding the exact query's triangle phase

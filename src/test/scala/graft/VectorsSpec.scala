@@ -84,9 +84,21 @@ class VectorsSpec extends AnyFunSuite {
     // tie-breaks.
     import org.apache.spark.sql.expressions.Window
     val sfDir = "/root/testdata/sf0.01"
+    // r13: the ground-truth row samples its input (16 residue strata ×
+    // 16 smallest splitmix64-ranked ids) — the brute-force replay
+    // applies the IDENTICAL sample, so this test still pins that the
+    // blocked build is LOSSLESS within the sampled population
+    val wS = Window.partitionBy(pmod(col("vec_id"), lit(16)))
+      .orderBy(col("hk"), col("vec_id"))
     val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", Vectors.norm(col("v")))
+      .withColumn("hk", shiftrightunsigned(
+        org.apache.spark.sql.graft.NativeExpressions.splitmix64(
+          col("vec_id") * lit(769L) + lit(41L)), 8))
+      .withColumn("srn", row_number().over(wS))
+      .filter(col("srn") <= 16)
+      .drop("hk", "srn")
     val a = base.select(col("vec_id").as("a_id"), col("v").as("av"),
       col("nrm").as("anrm"))
     val b = base.select(col("vec_id").as("b_id"), col("v").as("bv"),
