@@ -93,6 +93,7 @@ object Bench {
         // the warmup is where that build belongs. One cheapest consumer
         // per memo family triggers each build untimed:
         "q_sim_ivf",            // ivf2 l1 + fine centroids + asg2
+        "q_dbscan_core",        // verified tau-neighborhood edge list (r13)
         "q_dedup_minhash",      // minhash signature table
         "q_adamic_adar",        // coEdges + coWedges
         "q_effective_diameter", // multiRootBfs

@@ -76,7 +76,20 @@ object StreamRunner {
     // restore it after the query drains so batch queries are unaffected.
     val conf = spark.conf
     val prev = conf.get("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.shuffle.partitions", "8")
+    // SPARK_GRAFT_STREAM_PARTS is the documented floor knob (r13 floor
+    // analysis, PERF.md "Streaming floor"): each stateful operator pays
+    // one state-store instance + commit per partition per micro-batch,
+    // so the bounded-run fixed cost is ~linear in this number. Measured
+    // at sf0.1 on the interval-join family (warm): parts=4 → 3.07/4.21/
+    // 2.47 s, parts=8 → 3.67/4.74/2.87, parts=16 → 4.27/5.47/3.97 —
+    // the floor IS the per-partition store machinery, so the bounded
+    // harness defaults to the measured optimum (4); a production
+    // deployment sizes this to key cardinality instead. RocksDB was
+    // also measured (parts=4: 5.63/6.08/4.99 warm — 1.8× slower at this
+    // scale; native store init + changelog upload dominate) — the
+    // default in-memory HDFS-backed provider stays.
+    conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
     val wm = try {
       val q = stream.writeStream
         .format("memory")

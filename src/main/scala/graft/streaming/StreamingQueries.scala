@@ -492,7 +492,8 @@ object StreamingQueries extends QueryPack {
         .select(col("event_id"), col("event_type"), col("value"))
       val conf = s.conf
       val prev = conf.get("spark.sql.shuffle.partitions")
-      conf.set("spark.sql.shuffle.partitions", "8")
+      conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
       try {
         val q = src.writeStream
           .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -31,6 +31,14 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // ad-hoc conf sweeps for floor experiments, e.g.
+    // SPARK_GRAFT_EXTRA_CONF="spark.sql.streaming.stateStore.providerClass=...RocksDBStateStoreProvider"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";;").foreach {
+      kv => kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k, v)
+        case _ => ()
+      }
+    })
     val picked =
       if (names.isEmpty) SparkEntry.queries.keys.toSeq.sorted else names.toSeq
     picked.foreach { q =>
