@@ -71,6 +71,49 @@ object JoinQueries extends QueryPack {
         .orderBy(col("n_name"))
     }),
 
+    // -- TPC-H Q8: national market share (r13) ------------------------------
+    // The canonical two-level-dimension star query: within the AMERICA
+    // market (customer's region) for STANDARD-type parts, what share of
+    // yearly order volume is supplied by NATION_5? Adapted to the corpus
+    // schema (names are synthetic; no partsupp — Q8 needs none). Shape at
+    // 100 TB: lineitem⋈orders⋈part is the only fact-fact work (part
+    // filter broadcast via AQE after the type predicate), customer/
+    // supplier key into broadcast nation/region dims twice (two aliases,
+    // the Q8 signature), and the share divides two conditional sums in
+    // one pass — no second scan, no self-join. The division quantizes at
+    // 1e-6 in a mirrored expression.
+    "q8_market_share" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+      val p = Tables.part(s, d).filter(col("p_type") === "STANDARD")
+      val c = Tables.customer(s, d)
+      val su = Tables.supplier(s, d)
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+      val r = Tables.region(s, d).filter(col("r_name") === "AMERICA")
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          round(sum(when(col("supp_nation") === "NATION_5", vol)
+            .otherwise(lit(0.0))), 2).as("nation_volume"),
+          round(sum(vol), 2).as("total_volume"))
+        .withColumn("mkt_share",
+          floor(col("nation_volume") / col("total_volume") * lit(1e6) +
+            lit(0.5)) / lit(1e6))
+        .orderBy(col("o_year"))
+    }),
+
     // -- broadcast join: revenue per region --------------------------------
     "q_broadcast_join" -> ((s, d) => {
       val c = Tables.customer(s, d)
@@ -513,6 +556,32 @@ object JoinQueries extends QueryPack {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
+
+    // conditional-sum share in one pass; same 1e-6 floor-quantized divide
+    "q8_market_share" ->
+      """WITH v AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    l_extendedprice * (1.0 - l_discount) AS vol,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |    AND p_type = 'STANDARD' AND r_name = 'AMERICA')
+        |SELECT o_year,
+        |  round(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol
+        |    ELSE 0.0 END), 2) AS nation_volume,
+        |  round(sum(vol), 2) AS total_volume,
+        |  floor(round(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol
+        |      ELSE 0.0 END), 2)
+        |    / round(sum(vol), 2) * 1e6 + 0.5e0) / 1e6 AS mkt_share
+        |FROM v GROUP BY o_year ORDER BY o_year""".stripMargin,
 
     "q_broadcast_join" ->
       """SELECT r_name, round(sum(o_totalprice), 2) AS sum_price,

@@ -318,6 +318,38 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // -- temperature-scaled source mixing (r13) ------------------------------
+    // The UniMax/multilingual-sampling recipe q_mix_weights' explicit
+    // targets don't cover: source i is drawn with p_i ∝ n_i^α (α = 0.7 —
+    // upweights small sources without letting any dominate), and the
+    // per-source expected epochs p_i·N/n_i quantify the repetition cost
+    // of that choice. Determinism: n^0.7 = e^(0.7·ln n) micro-quantizes
+    // to an integer per source BEFORE the normalizing sum (order-free
+    // long add; the exp/ln expression is mirrored verbatim — the
+    // q_bh_fdr closed-form discipline). One keyed count + a 1-row
+    // broadcast at any corpus size.
+    "q_temperature_mix" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val wq = counts.withColumn("wqu",
+        floor(exp(lit(0.7) * log(col("n_docs").cast("double"))) *
+          lit(1e6) + lit(0.5)).cast("long"))
+      val tot = wq.agg(sum(col("n_docs")).as("n_total"),
+        sum(col("wqu")).as("z"))
+      def q6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      wq.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          q6(col("n_docs").cast("double") / col("n_total").cast("double"))
+            .as("raw_share"),
+          q6(col("wqu").cast("double") / col("z").cast("double"))
+            .as("temp_share"),
+          q6(col("wqu").cast("double") / col("z").cast("double") *
+            col("n_total").cast("double") / col("n_docs").cast("double"))
+            .as("epochs"))
+        .orderBy(col("source"))
+    }),
+
     // -- DSIR: hashed n-gram importance weights (Xie et al. 2023,
     // arXiv:2302.03169) ---------------------------------------------------
     // Data Selection via Importance Resampling: score every raw doc by
@@ -1346,6 +1378,25 @@ object PipelineQueries extends QueryPack {
         |  ('de', 0.15), ('fr', 0.15)) AS v(lang, target_share)
         |  ON v.lang = t.lang
         |ORDER BY t.lang""".stripMargin,
+
+    // mirrored e^(0.7 ln n) micro-quantized pre-sum
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_docs,
+        |    CAST(floor(exp(0.7e0 * ln(CAST(n_docs AS DOUBLE))) * 1e6
+        |      + 0.5e0) AS BIGINT) AS wqu FROM c),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+        |    CAST(sum(wqu) AS BIGINT) AS z FROM w)
+        |SELECT source, n_docs,
+        |  floor(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)
+        |    * 1e6 + 0.5e0) / 1e6 AS raw_share,
+        |  floor(CAST(wqu AS DOUBLE) / CAST(z AS DOUBLE)
+        |    * 1e6 + 0.5e0) / 1e6 AS temp_share,
+        |  floor(CAST(wqu AS DOUBLE) / CAST(z AS DOUBLE)
+        |    * CAST(n_total AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |    * 1e6 + 0.5e0) / 1e6 AS epochs
+        |FROM w CROSS JOIN t ORDER BY source""".stripMargin,
 
     // distinct unigram FNV-1a-64 (same lambda nesting as
     // q_quality_classifier); bucket mod 4096 agrees between signed and

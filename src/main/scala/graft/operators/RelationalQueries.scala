@@ -333,6 +333,51 @@ object RelationalQueries extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // -- TPC-H Q13: customer order-count distribution (r13) -----------------
+    // The left-outer + two-level-aggregate signature: orders per customer
+    // (customers with none count as 0), then the histogram of that count.
+    // Adapted to the corpus schema: orders has no o_comment, so the
+    // NOT LIKE '%special%requests%' predicate is dropped (noted in
+    // SURVEY §2.4) — the plan shape (outer join preserving empty groups +
+    // count-of-counts reaggregation) is the operator under test. At
+    // 100 TB: one key shuffle for the outer join, and the second
+    // aggregate runs on the |customers|-row frame keyed by c_count.
+    "q13_cust_dist" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey"))
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // -- TPC-H Q15: top supplier by quarterly revenue (r13) -----------------
+    // The view + argmax-equality signature: revenue per supplier over one
+    // quarter, keep every supplier matching the MAX (ties all surface —
+    // the spec's subtlety). The max is a 1-row broadcast joined back by
+    // VALUE equality on the 2-decimal-rounded revenue (mirrored rounding
+    // both engines), never a sort-limit — the Q15 semantics when several
+    // suppliers tie. Scale: one filtered lineitem aggregate keyed by
+    // suppkey; supplier dim broadcasts.
+    "q15_top_supplier" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount"))), 2).as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mr"))
+      rev.join(broadcast(mx), col("total_revenue") === col("mr"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey").cast("long").as("s_suppkey"),
+          col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // -- mode + median aggregates ------------------------------------------
     // Inverse-distribution surface: most-frequent value and interpolated
     // median per group. mode() breaks ties arbitrarily on BOTH engines,
@@ -1009,6 +1054,29 @@ object RelationalQueries extends QueryPack {
         |  round(avg(l_quantity) FILTER (WHERE l_quantity > 25), 6) AS avg_big_qty
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q13_cust_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+        |  total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q_mode_median" ->
       """SELECT o_orderpriority, mode(o_orderstatus) AS status_mode,

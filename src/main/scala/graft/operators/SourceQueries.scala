@@ -346,6 +346,45 @@ object SourceQueries extends QueryPack {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // -- parquet bloom filters: point-lookup row-group skipping (r13) -------
+    // The needle-in-haystack read shape min/max stats can't serve: the
+    // layout is sorted by l_partkey, so every row group's l_orderkey
+    // min/max spans nearly the full key range and zone-map pruning is
+    // useless — exactly when parquet's split-block bloom filters earn
+    // their bytes. The writer enables a bloom on l_orderkey (declared
+    // NDV sizes the filter) with small row groups so skipping is real;
+    // the point-lookup readback then skips row groups whose bloom
+    // excludes the probed keys. At 100 TB this is the difference
+    // between a full-column decode and touching a handful of pages.
+    // The oracle pins the values; SourcesSpec pins the file-level claim
+    // (bloom offsets present in the parquet footer).
+    "q_parquet_bloom" -> ((s, d) => {
+      val out = scratch(s, d, "lineitem_bloom")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .sort(col("l_partkey"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#l_orderkey", "200000")
+        // parquet-mr silently DROPS the bloom when the chunk ends up
+        // fully dictionary-encoded (the dictionary already gives exact
+        // membership); at bench SFs the key set is small enough to
+        // dictionary-encode, so disable dictionary on the bloom column
+        // to exercise the 100 TB-shaped path (huge NDV → plain encoding
+        // → bloom is the only membership structure)
+        .option("parquet.enable.dictionary#l_orderkey", "false")
+        .option("parquet.block.size", (1 << 20).toString)
+        .parquet(out)
+      s.read.parquet(out)
+        .filter(col("l_orderkey").isin(1L, 7L, 4242L))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          floor(sum(col("l_quantity")) * lit(100.0) + lit(0.5))
+            .cast("long").as("qty_c"))
+        .orderBy(col("l_orderkey"))
+    }),
+
     // -- dynamic partition pruning: join-driven runtime pruning -------------
     // The static-pruning sibling above needs the partition value in the
     // query text; real star joins filter on a DIMENSION attribute. DPP
@@ -717,6 +756,12 @@ object SourceQueries extends QueryPack {
         |  round(sum(o_totalprice), 2) AS sum_price
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_parquet_bloom" ->
+      """SELECT l_orderkey, count(*) AS n_lines,
+        |  CAST(floor(sum(l_quantity) * 100.0 + 0.5) AS BIGINT) AS qty_c
+        |FROM lineitem WHERE l_orderkey IN (1, 7, 4242)
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
     "q_orc_roundtrip" ->
       """SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal

@@ -2984,6 +2984,178 @@ object StatsQueries extends QueryPack {
             expr("(1000000 * sy * (n_active - 1)) " +
               "div (n_active * (dn - d1))")).as("forecast_u"))
         .orderBy(col("event_type"))
+    }),
+
+    // -- Cohen's kappa: chance-corrected rater agreement (r13) -------------
+    // The label-quality audit two annotation pipelines need before one
+    // replaces the other: agreement between the LENGTH heuristic
+    // (n_chars ≥ 300) and the hashed linear classifier's SIGN, corrected
+    // for the agreement chance alone would produce. Exact integer
+    // confusion counts from one pass over the shared classifier frame
+    // (TextDedup.classifierScored — the anti-drift single source of the
+    // bucket/weight formula); κ = (po − pe)/(1 − pe) evaluates in one
+    // mirrored double expression, NULL when pe = 1 (degenerate raters).
+    "q_cohens_kappa" -> ((s, d) => {
+      val sc = TextDedup.classifierScored(Tables.documents(s, d),
+          Seq(col("doc_id"), col("n_chars")))
+        .select((col("n_chars") >= 300L).cast("int").cast("long").as("ya"),
+          (col("score") >= 0L).cast("int").cast("long").as("yb"))
+      val m = sc.agg(count(lit(1)).as("n"),
+        sum(col("ya") * col("yb")).as("n11"),
+        sum(col("ya") * (lit(1L) - col("yb"))).as("n10"),
+        sum((lit(1L) - col("ya")) * col("yb")).as("n01"),
+        sum((lit(1L) - col("ya")) * (lit(1L) - col("yb"))).as("n00"))
+      val nD = col("n").cast("double")
+      val po = (col("n11") + col("n00")).cast("double") / nD
+      val pa = (col("n11") + col("n10")).cast("double") / nD
+      val pb = (col("n11") + col("n01")).cast("double") / nD
+      val pe = pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb)
+      def q6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      m.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        q6(po).as("po"), q6(pe).as("pe"),
+        when(lit(1.0) - pe =!= 0.0, q6((po - pe) / (lit(1.0) - pe)))
+          .as("kappa"))
+    }),
+
+    // -- log loss (cross-entropy) of the calibrated classifier (r13) -------
+    // The scoring-rule readout q_brier_decomp's family lacks: mean
+    // negative log-likelihood of the logistic-calibrated classifier
+    // probability p = 1/(1+e^(−score/64)) against the length label,
+    // p clipped to [1e-6, 1−1e-6] (the standard clip — a single
+    // overconfident wrong row otherwise dominates). Determinism: the
+    // per-row loss nano-quantizes to an integer BEFORE the sum
+    // (order-free; DECIMAL(38,0)/HUGEINT — 1e12 rows × ~1.4e10 nanos
+    // exceeds int64), and ln/exp are mirrored elementary expressions.
+    // One narrow pass + one 1-row reduce at any scale.
+    "q_log_loss" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val sc = TextDedup.classifierScored(Tables.documents(s, d),
+          Seq(col("doc_id"), col("n_chars")))
+        .select((col("n_chars") >= 300L).cast("int").cast("long").as("y"),
+          col("score"))
+        .withColumn("p", lit(1.0) /
+          (lit(1.0) + exp(-col("score").cast("double") / lit(64.0))))
+        .withColumn("pc",
+          least(greatest(col("p"), lit(1e-6)), lit(1.0) - lit(1e-6)))
+        .withColumn("lq", floor(
+          -(col("y").cast("double") * log(col("pc")) +
+            (lit(1.0) - col("y").cast("double")) *
+              log(lit(1.0) - col("pc"))) * lit(1e9) + lit(0.5))
+          .cast("long"))
+      val m = sc.agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(dec(col("lq"))).as("slq"))
+      def q6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      m.select(col("n"), col("n_pos"),
+        when(col("n") > 0L, q6(col("slq").cast("double") /
+          col("n").cast("double") / lit(1e9))).as("log_loss"))
+    }),
+
+    // -- lift & cumulative gains by score band (r13) ------------------------
+    // The targeting readout behind "how much better than random is the
+    // top score band": 10 fixed probability bands of the SAME logistic
+    // calibration as q_log_loss, per-band positive rate vs the base
+    // rate (lift), and top-down cumulative gains. Fixed-width bands
+    // (not rank deciles) keep the operator order-free and shuffle-light:
+    // one keyed aggregate; the cumulative runs on the ≤10-row band frame
+    // under an in-plan Limit (the RankStats small-branch discipline —
+    // no unbounded global window).
+    "q_lift_gains" -> ((s, d) => {
+      val sc = TextDedup.classifierScored(Tables.documents(s, d),
+          Seq(col("doc_id"), col("n_chars")))
+        .select((col("n_chars") >= 300L).cast("int").cast("long").as("y"),
+          col("score"))
+        .withColumn("p", lit(1.0) /
+          (lit(1.0) + exp(-col("score").cast("double") / lit(64.0))))
+        .withColumn("band",
+          least(lit(9L), floor(col("p") * lit(10.0)).cast("long")))
+      val byB = sc.groupBy(col("band"))
+        .agg(count(lit(1)).as("nb"), sum(col("y")).as("posb"))
+      val tot = byB.agg(sum(col("nb")).as("nt"), sum(col("posb")).as("post"))
+      val w = Window.orderBy(col("band").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = byB.orderBy(col("band").desc).limit(10)
+        .withColumn("cum_n", sum(col("nb")).over(w))
+        .withColumn("cum_pos", sum(col("posb")).over(w))
+        .crossJoin(broadcast(tot))
+      def q6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      cum.select(col("band"), col("nb"), col("posb"),
+          when(col("post") > 0L,
+            q6((col("posb").cast("double") / col("nb").cast("double")) /
+              (col("post").cast("double") / col("nt").cast("double"))))
+            .as("lift"),
+          when(col("post") > 0L,
+            q6(col("cum_pos").cast("double") / col("post").cast("double")))
+            .as("cum_gain"),
+          q6(col("cum_n").cast("double") / col("nt").cast("double"))
+            .as("cum_share"))
+        .orderBy(col("band").desc)
+    }),
+
+    // -- exact trimmed mean per group (r13) ---------------------------------
+    // The robust location estimate between mean and median: drop the
+    // lowest and highest 10% of rows per event type (k = ⌊n/10⌋ each
+    // side), average the rest — EXACTLY, via the distinct-value frame:
+    // each milli-quantized value cell covers rank interval
+    // [cum−cnt+1, cum]; its kept weight is the overlap with [k+1, n−k];
+    // Σ vq·w stays integer (DECIMAL/HUGEINT) until one final division.
+    // The cumulative is a PER-TYPE window over the value-domain frame —
+    // keyed, NDV-bounded, never a corpus-row sort (the q_mann_whitney
+    // frame discipline, per group).
+    "q_trimmed_mean" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val e = Tables.events(s, d).select(col("event_type"),
+        floor(col("value") * lit(1000.0) + lit(0.5)).cast("long").as("vq"))
+      val byV = e.groupBy(col("event_type"), col("vq"))
+        .agg(count(lit(1)).as("cnt"))
+      val wT = Window.partitionBy(col("event_type")).orderBy(col("vq"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = e.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val cells = byV.withColumn("cum", sum(col("cnt")).over(wT))
+        .join(tot, "event_type")
+        .withColumn("k", expr("n div 10"))
+        .withColumn("kept", greatest(lit(0L),
+          least(col("cum"), col("n") - col("k")) -
+            greatest(col("cum") - col("cnt") + lit(1L), col("k") + lit(1L)) +
+            lit(1L)))
+      cells.groupBy(col("event_type"), col("n"), col("k"))
+        .agg(sum(dec(col("vq")) * dec(col("kept"))).as("sv"),
+          sum(col("kept")).as("nk"))
+        .select(col("event_type"), col("n"), col("k"),
+          when(col("nk") > 0L,
+            floor(col("sv").cast("double") / col("nk").cast("double") /
+              lit(1000.0) * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("trimmed_mean"))
+        .orderBy(col("event_type"))
+    }),
+
+    // -- strict local peaks in the daily series (r13) ------------------------
+    // The alarm primitive under every "traffic spiked" readout: days
+    // whose count strictly exceeds both neighbors, per event type
+    // (keyed lag/lead over the calendar-bounded day frame), plus the
+    // global top peak per type (max value, earliest day on ties — an
+    // exact two-level reduction, no argmax ambiguity).
+    "q_peak_days" -> ((s, d) => {
+      val byd = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long").as("dd"))
+        .agg(count(lit(1)).as("y"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("dd"))
+      val peaks = byd
+        .withColumn("pv", lag(col("y"), 1).over(w))
+        .withColumn("nx", lead(col("y"), 1).over(w))
+        .filter(col("pv").isNotNull && col("nx").isNotNull &&
+          col("y") > col("pv") && col("y") > col("nx"))
+      val mx = peaks.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_peaks"), max(col("y")).as("peak_value"))
+      peaks.join(mx, "event_type")
+        .filter(col("y") === col("peak_value"))
+        .groupBy(col("event_type"), col("n_peaks"), col("peak_value"))
+        .agg(min(col("dd")).as("peak_day"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -5456,6 +5628,140 @@ object StatsQueries extends QueryPack {
         |    CAST((1000000 * sy * (n_active - 1))
         |      // (n_active * (dn - d1)) AS BIGINT)
         |  END AS forecast_u
-        |FROM g ORDER BY event_type""".stripMargin
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    // exact integer confusion counts off the shared classifier chain;
+    // mirrored kappa expression
+    "q_cohens_kappa" -> {
+      s"""WITH ${OracleHash.classifierScoreCtes("doc_id, n_chars")},
+         |r AS (SELECT
+         |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS ya,
+         |    CASE WHEN score >= 0 THEN 1 ELSE 0 END AS yb FROM sc),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(ya*yb) AS BIGINT) AS n11,
+         |    CAST(sum(ya*(1-yb)) AS BIGINT) AS n10,
+         |    CAST(sum((1-ya)*yb) AS BIGINT) AS n01,
+         |    CAST(sum((1-ya)*(1-yb)) AS BIGINT) AS n00 FROM r),
+         |x AS (SELECT n, n11, n10, n01, n00,
+         |    CAST(n11 + n00 AS DOUBLE) / n AS po,
+         |    (CAST(n11 + n10 AS DOUBLE) / n)
+         |      * (CAST(n11 + n01 AS DOUBLE) / n)
+         |    + (1.0e0 - CAST(n11 + n10 AS DOUBLE) / n)
+         |      * (1.0e0 - CAST(n11 + n01 AS DOUBLE) / n) AS pe
+         |  FROM m)
+         |SELECT n, n11, n10, n01, n00,
+         |  floor(po * 1e6 + 0.5e0) / 1e6 AS po,
+         |  floor(pe * 1e6 + 0.5e0) / 1e6 AS pe,
+         |  CASE WHEN 1.0e0 - pe <> 0.0e0 THEN
+         |    floor((po - pe) / (1.0e0 - pe) * 1e6 + 0.5e0) / 1e6
+         |  END AS kappa
+         |FROM x""".stripMargin
+    },
+
+    // nano-quantized per-row loss summed in HUGEINT; mirrored
+    // logistic + clip + ln
+    "q_log_loss" -> {
+      s"""WITH ${OracleHash.classifierScoreCtes("doc_id, n_chars")},
+         |r AS (SELECT
+         |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y,
+         |    least(greatest(
+         |      1.0e0 / (1.0e0 + exp(-CAST(score AS DOUBLE) / 64.0e0)),
+         |      1e-6), 1.0e0 - 1e-6) AS pc FROM sc),
+         |q AS (SELECT y,
+         |    CAST(floor(-(CAST(y AS DOUBLE) * ln(pc)
+         |      + (1.0e0 - CAST(y AS DOUBLE)) * ln(1.0e0 - pc))
+         |      * 1e9 + 0.5e0) AS BIGINT) AS lq FROM r),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS n_pos,
+         |    sum(CAST(lq AS HUGEINT)) AS slq FROM q)
+         |SELECT n, n_pos,
+         |  CASE WHEN n > 0 THEN
+         |    floor(CAST(slq AS DOUBLE) / CAST(n AS DOUBLE) / 1e9
+         |      * 1e6 + 0.5e0) / 1e6
+         |  END AS log_loss
+         |FROM m""".stripMargin
+    },
+
+    // fixed 10-band logistic calibration; cumulative over the band
+    // frame (≤10 rows)
+    "q_lift_gains" -> {
+      s"""WITH ${OracleHash.classifierScoreCtes("doc_id, n_chars")},
+         |r AS (SELECT
+         |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y,
+         |    least(9, CAST(floor(
+         |      1.0e0 / (1.0e0 + exp(-CAST(score AS DOUBLE) / 64.0e0))
+         |      * 10.0e0) AS BIGINT)) AS band FROM sc),
+         |bb AS (SELECT band, CAST(count(*) AS BIGINT) AS nb,
+         |    CAST(sum(y) AS BIGINT) AS posb FROM r GROUP BY band),
+         |tt AS (SELECT CAST(sum(nb) AS BIGINT) AS nt,
+         |    CAST(sum(posb) AS BIGINT) AS post FROM bb),
+         |cc AS (SELECT band, nb, posb,
+         |    CAST(sum(nb) OVER (ORDER BY band DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_n,
+         |    CAST(sum(posb) OVER (ORDER BY band DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_pos
+         |  FROM bb)
+         |SELECT band, nb, posb,
+         |  CASE WHEN post > 0 THEN floor(
+         |    (CAST(posb AS DOUBLE) / CAST(nb AS DOUBLE))
+         |    / (CAST(post AS DOUBLE) / CAST(nt AS DOUBLE))
+         |    * 1e6 + 0.5e0) / 1e6 END AS lift,
+         |  CASE WHEN post > 0 THEN floor(
+         |    CAST(cum_pos AS DOUBLE) / CAST(post AS DOUBLE)
+         |    * 1e6 + 0.5e0) / 1e6 END AS cum_gain,
+         |  floor(CAST(cum_n AS DOUBLE) / CAST(nt AS DOUBLE)
+         |    * 1e6 + 0.5e0) / 1e6 AS cum_share
+         |FROM cc CROSS JOIN tt ORDER BY band DESC""".stripMargin
+    },
+
+    // value-domain cells × kept-rank overlap, all integer until the
+    // final division
+    "q_trimmed_mean" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq
+        |  FROM events),
+        |byv AS (SELECT event_type, vq, count(*) AS cnt
+        |  FROM e GROUP BY 1, 2),
+        |cu AS (SELECT event_type, vq, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY vq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM byv),
+        |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1),
+        |cells AS (SELECT cu.event_type, vq, cnt, cum, n, n // 10 AS k,
+        |    greatest(0, least(cum, n - n // 10)
+        |      - greatest(cum - cnt + 1, n // 10 + 1) + 1) AS kept
+        |  FROM cu JOIN tot ON cu.event_type = tot.event_type)
+        |SELECT event_type, n, k,
+        |  CASE WHEN sum(kept) > 0 THEN
+        |    floor(CAST(sum(CAST(vq AS HUGEINT) * kept) AS DOUBLE)
+        |      / CAST(sum(kept) AS DOUBLE) / 1000.0e0 * 1e6 + 0.5e0) / 1e6
+        |  END AS trimmed_mean
+        |FROM cells GROUP BY event_type, n, k
+        |ORDER BY event_type""".stripMargin,
+
+    // keyed lag/lead peaks; exact two-level top reduction
+    "q_peak_days" ->
+      """WITH byd AS (SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, dd, y,
+        |    lag(y) OVER (PARTITION BY event_type ORDER BY dd) AS pv,
+        |    lead(y) OVER (PARTITION BY event_type ORDER BY dd) AS nx
+        |  FROM byd),
+        |p AS (SELECT event_type, dd, y FROM l
+        |  WHERE pv IS NOT NULL AND nx IS NOT NULL AND y > pv AND y > nx),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_peaks,
+        |    CAST(max(y) AS BIGINT) AS peak_value FROM p GROUP BY 1)
+        |SELECT p.event_type, n_peaks, peak_value,
+        |  min(dd) AS peak_day
+        |FROM p JOIN m ON p.event_type = m.event_type
+        |  AND p.y = m.peak_value
+        |GROUP BY p.event_type, n_peaks, peak_value
+        |ORDER BY p.event_type""".stripMargin
   )
 }

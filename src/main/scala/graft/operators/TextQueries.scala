@@ -222,6 +222,54 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // -- sequential filter funnel: per-stage attrition (r13) -----------------
+    // q_gopher_rules reports each rule's verdict per doc; a curation
+    // pipeline needs the FUNNEL view — rules applied in a fixed order,
+    // with survivors and drop share attributed to the stage that killed
+    // each doc (the readout that tells you which rule to re-tune before
+    // a 100 TB run). Same rule definitions as q_gopher_rules (single
+    // source for the thresholds), one narrow pass + one 1-row aggregate;
+    // the 4-stage unpivot runs on that single row.
+    "q_filter_funnel" -> ((s, d) => {
+      val f = Tables.documents(s, d)
+        .withColumn("ws", split(norm(col("text")), " "))
+        .withColumn("n_words", size(col("ws")).cast("long"))
+        .withColumn("sum_len",
+          expr("aggregate(ws, 0L, (a, w) -> a + length(w))"))
+        .withColumn("n_alpha",
+          expr("size(filter(ws, w -> w rlike '[a-z]'))").cast("long"))
+        .withColumn("n_stop_kinds", size(array_intersect(
+          array_distinct(col("ws")),
+          array(lit("the"), lit("a"), lit("of"), lit("and"), lit("to"))))
+          .cast("long"))
+        .withColumn("r1",
+          (col("n_words") >= 50L && col("n_words") <= 100000L)
+            .cast("int").cast("long"))
+        .withColumn("r2",
+          (lit(3L) * col("n_words") <= col("sum_len") &&
+            col("sum_len") <= lit(10L) * col("n_words"))
+            .cast("int").cast("long"))
+        .withColumn("r3",
+          (lit(5L) * col("n_alpha") >= lit(4L) * col("n_words"))
+            .cast("int").cast("long"))
+        .withColumn("r4", (col("n_stop_kinds") >= 2L)
+          .cast("int").cast("long"))
+      val m = f.agg(count(lit(1)).as("n0"),
+        sum(col("r1")).as("s1"),
+        sum(col("r1") * col("r2")).as("s2"),
+        sum(col("r1") * col("r2") * col("r3")).as("s3"),
+        sum(col("r1") * col("r2") * col("r3") * col("r4")).as("s4"))
+      m.select(expr(
+          "stack(4, 1L, 'word_count', n0, s1," +
+            " 2L, 'mean_len', s1, s2," +
+            " 3L, 'alpha_ratio', s2, s3," +
+            " 4L, 'stopwords', s3, s4) AS (stage, rule, n_in, n_out)"))
+        .withColumn("drop_pct", when(col("n_in") > 0L,
+          floor((col("n_in") - col("n_out")).cast("double") /
+            col("n_in").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6)))
+        .orderBy(col("stage"))
+    }),
+
     // -- token-distribution Shannon entropy (quality signal) ---------------
     // ent = ln(n) − (Σ c·ln c)/n over the doc's token histogram — low
     // entropy flags repetitive/templated text. FP determinism: the
@@ -2496,6 +2544,47 @@ object TextQueries extends QueryPack {
            |    AND (5 * n_alpha >= 4 * n_words)
            |    AND n_stop_kinds >= 2) AS gopher_pass
            |FROM f ORDER BY doc_id""".stripMargin,
+
+      // same rule expressions as q_gopher_rules, folded to the staged
+      // conditional sums; 4-row unpivot via UNION ALL
+      "q_filter_funnel" ->
+        s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws
+           |  FROM documents),
+           |f AS (SELECT doc_id,
+           |    CAST(len(ws) AS BIGINT) AS n_words,
+           |    CAST(list_sum(list_transform(ws, w -> length(w)))
+           |      AS BIGINT) AS sum_len,
+           |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+           |      AS BIGINT) AS n_alpha,
+           |    CAST(len(list_intersect(list_distinct(ws),
+           |      ['the', 'a', 'of', 'and', 'to'])) AS BIGINT)
+           |      AS n_stop_kinds
+           |  FROM w),
+           |r AS (SELECT
+           |    CASE WHEN n_words >= 50 AND n_words <= 100000
+           |      THEN 1 ELSE 0 END AS r1,
+           |    CASE WHEN 3 * n_words <= sum_len
+           |      AND sum_len <= 10 * n_words THEN 1 ELSE 0 END AS r2,
+           |    CASE WHEN 5 * n_alpha >= 4 * n_words
+           |      THEN 1 ELSE 0 END AS r3,
+           |    CASE WHEN n_stop_kinds >= 2 THEN 1 ELSE 0 END AS r4
+           |  FROM f),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+           |    CAST(sum(r1) AS BIGINT) AS s1,
+           |    CAST(sum(r1*r2) AS BIGINT) AS s2,
+           |    CAST(sum(r1*r2*r3) AS BIGINT) AS s3,
+           |    CAST(sum(r1*r2*r3*r4) AS BIGINT) AS s4 FROM r),
+           |u AS (
+           |  SELECT 1 AS stage, 'word_count' AS rule, n0 AS n_in,
+           |    s1 AS n_out FROM m
+           |  UNION ALL SELECT 2, 'mean_len', s1, s2 FROM m
+           |  UNION ALL SELECT 3, 'alpha_ratio', s2, s3 FROM m
+           |  UNION ALL SELECT 4, 'stopwords', s3, s4 FROM m)
+           |SELECT CAST(stage AS BIGINT) AS stage, rule, n_in, n_out,
+           |  CASE WHEN n_in > 0 THEN
+           |    floor(CAST(n_in - n_out AS DOUBLE) / CAST(n_in AS DOUBLE)
+           |      * 1e6 + 0.5e0) / 1e6 END AS drop_pct
+           |FROM u ORDER BY stage""".stripMargin,
 
       // sorted fold = identical FP summation order (lm_perplexity idiom)
       "q_entropy" ->

@@ -37,8 +37,8 @@ object VectorQueries extends QueryPack {
     * index tables broadcast, corpus assignment is O(√nlist) dots per
     * point, and the candidate join is an equi-join on cid — no all-pairs
     * step. Output: (q_id, c_id, cos_raw, rnk). */
-  private def ivfRanked(s: SparkSession, d: String): DataFrame = {
-    val nprobe = 2
+  private def ivfRanked(s: SparkSession, d: String,
+                        nprobe: Int = 2): DataFrame = {
     val e = emb(s, d).select(col("vec_id").as("id"), col("v"))
       .withColumn("nrm", Vectors.norm(col("v")))
     // nlist = ceil(corpus/64) (clamped): lists stay ~64 deep at any SF
@@ -592,6 +592,90 @@ object VectorQueries extends QueryPack {
         when(col("n_trials") > 0L, q6(p)).as("recall5"),
         when(col("n_trials") > 0L, q6(center - half)).as("recall_lo95"),
         when(col("n_trials") > 0L, q6(center + half)).as("recall_hi95"))
+    }),
+
+    // -- IVF nprobe sweep: the recall/latency curve (r13) -------------------
+    // q_ann_recall pins ONE index config; a tuner needs the CURVE —
+    // recall@5 at nprobe 1/2/3 over the same two-level index and probe
+    // panel, measured by the pipeline itself (the q_lsh_tuning of the
+    // IVF family). The index artifacts are session-memoized, so the
+    // three configs share one build and differ only in the probe fan-out
+    // — exactly how a production sweep amortizes too.
+    "q_ivf_nprobe_sweep" -> ((s, d) => {
+      val base = emb(s, d).withColumn("nrm", Vectors.norm(col("v")))
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qnrm"))
+      val c = base.select(col("vec_id").as("c_id"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_raw").desc, col("c_id").asc)
+      val exact = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+        .withColumn("cos_raw",
+          Vectors.dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("c_id"))
+      def q6(x: org.apache.spark.sql.Column) =
+        floor(x * lit(1e6) + lit(0.5)) / lit(1e6)
+      Seq(1, 2, 3).map { np =>
+        val approx = ivfRanked(s, d, np).filter(col("rnk") <= 5)
+          .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+        exact.join(approx, Seq("q_id", "c_id"), "left")
+          .agg(count(lit(1)).as("n_trials"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .withColumn("nprobe", lit(np.toLong))
+      }.reduce(_ unionByName _)
+        .select(col("nprobe"), col("n_trials"), col("n_hits"),
+          when(col("n_trials") > 0L,
+            q6(col("n_hits").cast("double") /
+              col("n_trials").cast("double"))).as("recall5"))
+        .orderBy(col("nprobe"))
+    }),
+
+    // -- per-label centroid drift between corpus halves (r13) ---------------
+    // The embedding-health audit behind "did the encoder or the data
+    // shift": for each label, the cosine between the centroid of the
+    // even-vec_id half and the odd half — ~1 for a stable population,
+    // drifting down when the halves no longer agree. Determinism: the
+    // cosine is SCALE-INVARIANT, so centroids never divide by counts —
+    // per-(label, half, dim) component sums of micro-quantized values
+    // accumulate in DECIMAL(38,0) (order-free), and dot/norms reduce
+    // over the ≤dims-row frame in exact integer arithmetic before ONE
+    // mirrored double expression. Two keyed aggregates, no all-pairs.
+    "q_centroid_drift" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val comp = emb(s, d)
+        .select(col("label").cast("long").as("label"),
+          pmod(col("vec_id"), lit(2L)).as("half"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .withColumn("xq", floor(col("x") * lit(1e6) + lit(0.5))
+          .cast("long"))
+      val sums = comp.groupBy(col("label"), col("half"), col("dim"))
+        .agg(sum(dec(col("xq"))).as("sx"))
+      val a = sums.filter(col("half") === 0L)
+        .select(col("label"), col("dim"), col("sx").as("sa"))
+      val b = sums.filter(col("half") === 1L)
+        .select(col("label").as("lb"), col("dim").as("db"),
+          col("sx").as("sb"))
+      val m = a.join(b, col("label") === col("lb") &&
+          col("dim") === col("db"))
+        .groupBy(col("label"))
+        .agg(sum(col("sa") * col("sb")).as("dot"),
+          sum(col("sa") * col("sa")).as("na2"),
+          sum(col("sb") * col("sb")).as("nb2"))
+      val cnt = emb(s, d).groupBy(col("label").cast("long").as("label"))
+        .agg(sum(when(pmod(col("vec_id"), lit(2L)) === 0L, 1L)
+          .otherwise(0L)).as("n_even"),
+          sum(when(pmod(col("vec_id"), lit(2L)) === 1L, 1L)
+            .otherwise(0L)).as("n_odd"))
+      m.join(cnt, "label")
+        .select(col("label"), col("n_even"), col("n_odd"),
+          when(col("na2") > 0 && col("nb2") > 0,
+            floor(col("dot").cast("double") /
+              sqrt(col("na2").cast("double") * col("nb2").cast("double")) *
+              lit(1e6) + lit(0.5)) / lit(1e6)).as("centroid_cos"))
+        .orderBy(col("label"))
     }),
 
     // -- hard-negative mining for contrastive training ---------------------
@@ -1770,6 +1854,93 @@ object VectorQueries extends QueryPack {
            |    / 1e6 END AS recall_hi95
            |FROM wils""".stripMargin
       },
+
+      // three probe fan-outs over ONE shared index CTE chain
+      "q_ivf_nprobe_sweep" -> {
+        import graft.engine.OracleHash._
+        def ivCte(k: Int): String =
+          s"""iv$k AS (SELECT q_id, c_id FROM (
+             |  SELECT c.q_id, c.c_id, row_number() OVER (
+             |      PARTITION BY c.q_id
+             |      ORDER BY c.cos_raw DESC, c.c_id ASC) AS rnk
+             |  FROM (SELECT p.vec_id AS q_id, a.vec_id AS c_id,
+             |      list_dot_product(qn.vd, cn.vd) / (qn.nrm * cn.nrm)
+             |        AS cos_raw
+             |    FROM pr$k p JOIN asg a ON p.cid = a.cid
+             |    JOIN n qn ON qn.vec_id = p.vec_id
+             |    JOIN n cn ON cn.vec_id = a.vec_id
+             |    WHERE a.vec_id <> p.vec_id) c) t
+             |  WHERE rnk <= 5)""".stripMargin
+        def gCte(k: Int): String =
+          s"""g$k AS (SELECT $k AS nprobe,
+             |    CAST(count(*) AS BIGINT) AS n_trials,
+             |    CAST(sum(CASE WHEN iv$k.c_id IS NOT NULL THEN 1 ELSE 0
+             |      END) AS BIGINT) AS n_hits
+             |  FROM ex LEFT JOIN iv$k USING (q_id, c_id))""".stripMargin
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+           |  FROM embeddings),
+           |n AS (SELECT vec_id, vd,
+           |    sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
+           |ex AS (SELECT q_id, c_id FROM (
+           |  SELECT a.vec_id AS q_id, b.vec_id AS c_id, row_number() OVER (
+           |      PARTITION BY a.vec_id
+           |      ORDER BY list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm)
+           |        DESC, b.vec_id ASC) AS rnk
+           |  FROM n a JOIN n b
+           |    ON a.vec_id < 10 AND a.vec_id <> b.vec_id) t
+           |  WHERE rnk <= 5),
+           |${ivf2IndexCtes("n", "vec_id")},
+           |${ivf2AssignCte("asg", "n", "vec_id", "", 1)},
+           |${ivf2AssignCte("pr1", "n", "vec_id",
+              " WHERE p.vec_id < 10", 1)},
+           |${ivf2AssignCte("pr2", "n", "vec_id",
+              " WHERE p.vec_id < 10", 2)},
+           |${ivf2AssignCte("pr3", "n", "vec_id",
+              " WHERE p.vec_id < 10", 3)},
+           |${ivCte(1)}, ${ivCte(2)}, ${ivCte(3)},
+           |${gCte(1)}, ${gCte(2)}, ${gCte(3)}
+           |SELECT CAST(nprobe AS BIGINT) AS nprobe, n_trials, n_hits,
+           |  CASE WHEN n_trials > 0 THEN
+           |    floor(CAST(n_hits AS DOUBLE) / CAST(n_trials AS DOUBLE)
+           |      * 1e6 + 0.5e0) / 1e6 END AS recall5
+           |FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2
+           |  UNION ALL SELECT * FROM g3) u
+           |ORDER BY nprobe""".stripMargin
+      },
+
+      // HUGEINT component sums; scale-invariant cosine needs no count
+      // division; one mirrored double at the end
+      "q_centroid_drift" ->
+        """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+          |    CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
+          |comp AS (SELECT label, vec_id % 2 AS half,
+          |    generate_subscripts(vd, 1) - 1 AS dim,
+          |    CAST(floor(unnest(vd) * 1e6 + 0.5e0) AS BIGINT) AS xq
+          |  FROM e),
+          |sums AS (SELECT label, half, dim,
+          |    sum(CAST(xq AS HUGEINT)) AS sx
+          |  FROM comp GROUP BY 1, 2, 3),
+          |m AS (SELECT a.label,
+          |    sum(a.sx * b.sx) AS dot,
+          |    sum(a.sx * a.sx) AS na2,
+          |    sum(b.sx * b.sx) AS nb2
+          |  FROM sums a JOIN sums b
+          |    ON a.label = b.label AND a.dim = b.dim
+          |    AND a.half = 0 AND b.half = 1
+          |  GROUP BY a.label),
+          |cnt AS (SELECT label,
+          |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS n_even,
+          |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS n_odd
+          |  FROM e GROUP BY 1)
+          |SELECT m.label, n_even, n_odd,
+          |  CASE WHEN na2 > 0 AND nb2 > 0 THEN
+          |    floor(CAST(dot AS DOUBLE)
+          |      / sqrt(CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE))
+          |      * 1e6 + 0.5e0) / 1e6 END AS centroid_cos
+          |FROM m JOIN cnt ON m.label = cnt.label
+          |ORDER BY m.label""".stripMargin,
 
       // q_sim_ivf's twin with the rank predicate flipped to the 6..15
       // hard-negative window (same two-level index/probe CTEs)
