@@ -28,6 +28,9 @@ case class ResizedImage(doc_id: Long, out_w: Int, out_h: Int,
 
 case class AHashRow(doc_id: Long, ahash_hex: String, n_ones: Long)
 
+/** Per-image aHash packed as 32 8-bit chunks (the dedup blocking unit). */
+case class AHashChunks(doc_id: Long, chunks: Array[Int])
+
 /** Multimodal-column operators: image/audio/video handled as opaque
   * `binary` columns with typed metadata (SURVEY.md §2.2 "Multimodal
   * columns"; the reference stores whole files as opaque payloads —
@@ -287,6 +290,101 @@ object MultimodalQueries extends QueryPack {
         .toDF()
         .select(col("doc_id"), col("ahash_hex"), col("n_ones"))
         .orderBy(col("doc_id"))
+    }),
+
+    // -- image NEAR-DUP dedup: banded aHash pairing (r13) --------------------
+    // The multimodal half of the dedup family: near-duplicate image
+    // detection by perceptual-hash hamming distance, blocked so no
+    // all-pairs step ever runs. The planted corpus makes the ground
+    // truth portable: quads of doc_ids share a base 16×16 splitmix
+    // image, each doc perturbing ~7 pixels (a second splitmix stream
+    // decides position + replacement value), so within-quad aHashes
+    // differ by ~8 bits (measured 1..20) and cross-quad by ~128 — the
+    // bimodal gap a real near-dup corpus shows. Every image round-trips
+    // the REAL PNG codec (encode + decode) before hashing, same as
+    // q_mm_png_decode. Blocking: the 256-bit hash splits into 32 8-bit
+    // chunks; hamming ≤ τ=24 < 32 forces ≥ 1 identical chunk
+    // (pigeonhole — exact, not probabilistic), so candidates come from
+    // a chunk-equality equi-join (~n·32 rows, unrelated images collide
+    // on a chunk with p=1/256) and the exact 256-bit hamming verifies
+    // each candidate via zip_with + bit_count. At 100 TB: fingerprints
+    // are one codec pass, the join is keyed on (chunk_idx, value), and
+    // verification touches candidates only — the SimHash/MinHash story
+    // in the pixel domain.
+    "q_mm_image_dedup" -> ((s, d) => {
+      import s.implicits._
+      val side = 16
+      val tau = 24
+      val fp = Tables.documents(s, d).select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val base = id / 4
+            val img = new java.awt.image.BufferedImage(side, side,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val r = img.getRaster
+            var i = 0
+            while (i < side * side) {
+              val zd = org.apache.spark.sql.graft.NativeExpressions
+                .splitmix64Long(id * 4096L + i + 999L)
+              val v =
+                if (java.lang.Long.remainderUnsigned(zd >>> 8, 37L) == 0L)
+                  ((zd >>> 16) & 0xffL).toInt
+                else (org.apache.spark.sql.graft.NativeExpressions
+                  .splitmix64Long(base * 256L + i) & 0xffL).toInt
+              r.setSample(i % side, i / side, 0, v)
+              i += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            val dec = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bos.toByteArray))
+            val r2 = dec.getRaster
+            val pv = new Array[Int](side * side)
+            var sum = 0L
+            var j = 0
+            while (j < side * side) {
+              pv(j) = r2.getSample(j % side, j / side, 0)
+              sum += pv(j)
+              j += 1
+            }
+            val chunks = new Array[Int](32)
+            var c = 0
+            while (c < 32) {
+              var v = 0
+              var b = 0
+              while (b < 8) {
+                if (pv(8 * c + b).toLong * 256L > sum) v |= 1 << b
+                b += 1
+              }
+              chunks(c) = v
+              c += 1
+            }
+            AHashChunks(id, chunks)
+          }
+        }
+        .toDF()
+      val ex = fp.select(col("doc_id"),
+        posexplode(col("chunks")).as(Seq("ci", "cv")))
+      val cand = ex.alias("a")
+        .join(ex.alias("b"),
+          col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      cand
+        .join(fp.select(col("doc_id").as("d1"), col("chunks").as("ca")),
+          "d1")
+        .join(fp.select(col("doc_id").as("d2"), col("chunks").as("cb")),
+          "d2")
+        .withColumn("hamming", expr(
+          "aggregate(zip_with(ca, cb, (x, y) -> bit_count(x ^ y))," +
+            " 0, (acc, h) -> acc + h)").cast("long"))
+        .filter(col("hamming") <= tau)
+        .select(col("d1"), col("d2"), col("hamming"))
+        .orderBy(col("d1"), col("d2"))
     }),
 
     // -- REAL image resize: decode → NN-downsample → re-encode → decode ----
