@@ -16,8 +16,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    float summation-order noise cannot flip a hash; raw stored doubles
   *    pass through unrounded (bit-exact in parquet on both engines);
   *  - BIGINT casts where DuckDB widens (sum(int) → HUGEINT).
+  *
+  * Packs declare Seqs, not Maps: a Map literal silently collapses a
+  * duplicated key (last-wins), which once shadowed a live operator
+  * (q_cohens_kappa, r13). QueryCorpusSpec asserts `declared` /
+  * `declaredOracle` names are distinct within every pack AND across
+  * packs; `queries` / `oracle` are the deduplicating views the engine
+  * and driver consume.
   */
 trait QueryPack {
-  def queries: Map[String, (SparkSession, String) => DataFrame]
-  def oracle: Map[String, String]
+  def declared: Seq[(String, (SparkSession, String) => DataFrame)]
+  def declaredOracle: Seq[(String, String)]
+
+  final def queries: Map[String, (SparkSession, String) => DataFrame] =
+    declared.toMap
+  final def oracle: Map[String, String] = declaredOracle.toMap
 }

@@ -59,7 +59,7 @@ object AnalyticsQueries extends QueryPack {
     s"value + $ewmaAlpha * ($tail)"
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def declared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     // -- second-moment statistics: corr / covariance / variance / OLS ------
     // One hash aggregate; every statistic merges an (n, Σx, Σy, Σxy, Σx²)
     // co-moment tuple, so the shuffle carries 5 doubles per group per
@@ -2750,48 +2750,64 @@ object AnalyticsQueries extends QueryPack {
     // summed exactly — the engine never moves row-sized data after the
     // count.
     "q_mutual_info" -> ((s, d) => {
-      def mi(name: String, df: DataFrame, ca: String, cb: String) = {
-        val cells = df
-          .select(col(ca).cast("string").as("a"),
-            col(cb).cast("string").as("b"))
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
-        val ma = cells.groupBy(col("a")).agg(sum(col("c")).as("cnt_a"))
-        val mb = cells.groupBy(col("b")).agg(sum(col("c")).as("cnt_b"))
-        val nn = cells.agg(sum(col("c")).as("n"))
-        val cD = col("c").cast("double"); val nD = col("n").cast("double")
-        val terms = cells.join(ma, "a").join(mb, "b")
-          .crossJoin(broadcast(nn))
-          .withColumn("tq", floor(cD / nD *
-            log(cD * nD / (col("cnt_a").cast("double") *
-              col("cnt_b").cast("double"))) * lit(1e9) + lit(0.5))
-            .cast("long"))
-        val ha = ma.crossJoin(broadcast(nn))
-          .withColumn("hq", floor(-(col("cnt_a").cast("double") / nD) *
+      // r14 replan: the r13 shape built each pair's margins by
+      // re-aggregating the cells SUBTREE (ma/mb/nn/ha/hb), which planned
+      // 24 FileScans across the 3 source tables (8 per leg; AQE exchange
+      // reuse recovered only part). Now the three narrow projections
+      // union FIRST (pair-keyed, the oracle's own shape), ONE groupBy
+      // builds every pair's cells in a single shuffle, and margins /
+      // totals / entropies come from windows over the tiny cell frame
+      // (≤ |domA|·|domB| ≈ 175 rows per pair — attribute domains, never
+      // corpus-sized). 3 scans, 1 data-sized shuffle at any scale.
+      import org.apache.spark.sql.expressions.Window
+      val src = Tables.documents(s, d)
+          .select(lit("documents.lang~source").as("pair"),
+            col("lang").cast("string").as("a"),
+            col("source").cast("string").as("b"))
+        .unionByName(Tables.orders(s, d)
+          .select(lit("orders.status~priority").as("pair"),
+            col("o_orderstatus").cast("string").as("a"),
+            col("o_orderpriority").cast("string").as("b")))
+        .unionByName(Tables.customer(s, d)
+          .select(lit("customer.segment~nation").as("pair"),
+            col("c_mktsegment").cast("string").as("a"),
+            col("c_nationkey").cast("string").as("b")))
+      val cells = src.groupBy(col("pair"), col("a"), col("b"))
+        .agg(count(lit(1)).as("c"))
+      val wa = Window.partitionBy(col("pair"), col("a"))
+      val wb = Window.partitionBy(col("pair"), col("b"))
+      val wp = Window.partitionBy(col("pair"))
+      val cD = col("c").cast("double")
+      val nD = col("n").cast("double")
+      val t = cells
+        .withColumn("cnt_a", sum(col("c")).over(wa))
+        .withColumn("cnt_b", sum(col("c")).over(wb))
+        .withColumn("n", sum(col("c")).over(wp))
+        .withColumn("ra", row_number().over(wa.orderBy(col("b"))))
+        .withColumn("rb", row_number().over(wb.orderBy(col("a"))))
+        .withColumn("tq", floor(cD / nD *
+          log(cD * nD / (col("cnt_a").cast("double") *
+            col("cnt_b").cast("double"))) * lit(1e9) + lit(0.5))
+          .cast("long"))
+        // entropies charge each margin value ONCE (its first cell)
+        .withColumn("haq", when(col("ra") === 1,
+          floor(-(col("cnt_a").cast("double") / nD) *
             log(col("cnt_a").cast("double") / nD) * lit(1e9) + lit(0.5))
-            .cast("long"))
-          .agg(sum(col("hq")).as("ha"))
-        val hb = mb.crossJoin(broadcast(nn))
-          .withColumn("hq", floor(-(col("cnt_b").cast("double") / nD) *
+            .cast("long")).otherwise(lit(0L)))
+        .withColumn("hbq", when(col("rb") === 1,
+          floor(-(col("cnt_b").cast("double") / nD) *
             log(col("cnt_b").cast("double") / nD) * lit(1e9) + lit(0.5))
-            .cast("long"))
-          .agg(sum(col("hq")).as("hb"))
-        terms
-          .agg(max(col("n")).as("n"), count(lit(1)).as("n_cells"),
-            sum(col("tq")).as("miq"))
-          .crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
-          .select(lit(name).as("pair"), col("n"), col("n_cells"),
-            round(col("miq").cast("double") / lit(1e9), 6).as("mi"),
-            when(col("ha") > 0L && col("hb") > 0L,
-              round(col("miq").cast("double") / lit(1e9) /
-                sqrt(col("ha").cast("double") / lit(1e9) *
-                  (col("hb").cast("double") / lit(1e9))), 6)).as("nmi"))
-      }
-      mi("documents.lang~source", Tables.documents(s, d),
-          "lang", "source")
-        .unionByName(mi("orders.status~priority", Tables.orders(s, d),
-          "o_orderstatus", "o_orderpriority"))
-        .unionByName(mi("customer.segment~nation", Tables.customer(s, d),
-          "c_mktsegment", "c_nationkey"))
+            .cast("long")).otherwise(lit(0L)))
+      t.groupBy(col("pair"))
+        .agg(max(col("n")).as("n"), count(lit(1)).as("n_cells"),
+          sum(col("tq")).as("miq"),
+          sum(col("haq")).as("ha"), sum(col("hbq")).as("hb"))
+        .select(col("pair"), col("n"), col("n_cells"),
+          round(col("miq").cast("double") / lit(1e9), 6).as("mi"),
+          when(col("ha") > 0L && col("hb") > 0L,
+            round(col("miq").cast("double") / lit(1e9) /
+              sqrt(col("ha").cast("double") / lit(1e9) *
+                (col("hb").cast("double") / lit(1e9))), 6)).as("nmi"))
         .orderBy(col("pair"))
     }),
 
@@ -3816,7 +3832,7 @@ object AnalyticsQueries extends QueryPack {
        |ORDER BY role, id""".stripMargin
   }
 
-  def oracle: Map[String, String] = Map(
+  def declaredOracle: Seq[(String, String)] = Seq(
     // same integer fixed point as the Spark loop; see hitsSql
     "q_hits" -> hitsSql,
 

@@ -12,7 +12,7 @@ import graft.functions.GeoMean
   */
 object CustomAggQueries extends QueryPack {
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def declared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_udaf_geomean" -> ((s, d) => {
       val geomean = udaf(GeoMean)
       Tables.lineitem(s, d)
@@ -60,7 +60,7 @@ object CustomAggQueries extends QueryPack {
     })
   )
 
-  def oracle: Map[String, String] = Map(
+  def declaredOracle: Seq[(String, String)] = Seq(
     "q_udaf_geomean" ->
       """SELECT l_returnflag,
         |  round(exp(avg(ln(1.0 + l_tax))), 6) AS geo_markup,

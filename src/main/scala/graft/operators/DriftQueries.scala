@@ -95,7 +95,7 @@ object DriftQueries extends QueryPack {
       case (acc, e) => acc + when(vqCol >= e, 1).otherwise(0)
     }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def declared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     // -- two-sample Kolmogorov–Smirnov drift test --------------------------
     // D = max over observed values of |F_a(v) - F_b(v)|. Multiplying
     // through by Na·Nb keeps the argmax in exact integers:
@@ -343,7 +343,7 @@ object DriftQueries extends QueryPack {
     })
   )
 
-  def oracle: Map[String, String] = Map(
+  def declaredOracle: Seq[(String, String)] = Seq(
     "q_drift_ks" ->
       """WITH e AS (SELECT
         |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq,

@@ -19,7 +19,7 @@ import graft.plans.AsOfJoin
   */
 object EventQueries extends QueryPack {
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def declared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     // -- tumbling event-time window ---------------------------------------
     "q_tumbling_window" -> ((s, d) => {
       Tables.eventsWithTime(s, d)
@@ -587,7 +587,7 @@ object EventQueries extends QueryPack {
     })
   )
 
-  def oracle: Map[String, String] = Map(
+  def declaredOracle: Seq[(String, String)] = Seq(
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us,

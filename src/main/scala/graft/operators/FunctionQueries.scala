@@ -25,7 +25,7 @@ import graft.engine.{QueryPack, Tables}
   */
 object FunctionQueries extends QueryPack {
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def declared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     // -- string functions --------------------------------------------------
     "q_string_funcs" -> ((s, d) => {
       Tables.part(s, d)
@@ -440,7 +440,7 @@ object FunctionQueries extends QueryPack {
     })
   )
 
-  def oracle: Map[String, String] = Map(
+  def declaredOracle: Seq[(String, String)] = Seq(
     // the CASE twin of the Scala closure — both udf call paths must
     // equal the declarative expression
     "q_udf_scalar" ->

@@ -32,7 +32,7 @@ object JoinQueries extends QueryPack {
     ).toDF("band", "lo", "hi")
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def declared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     // -- TPC-H Q3 shape (adapted: no o_shippriority in corpus) -------------
     "q3_join" -> ((s, d) => {
       val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
@@ -522,7 +522,7 @@ object JoinQueries extends QueryPack {
     * hot key's row count / target partition size. */
   private val skewSalts = 16
 
-  def oracle: Map[String, String] = Map(
+  def declaredOracle: Seq[(String, String)] = Seq(
     "q_bloom_join" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_quantity), 2) AS sum_qty

@@ -31,6 +31,9 @@ case class AHashRow(doc_id: Long, ahash_hex: String, n_ones: Long)
 /** Per-image aHash packed as 32 8-bit chunks (the dedup blocking unit). */
 case class AHashChunks(doc_id: Long, chunks: Array[Int])
 
+/** Per-image 64-bit DCT perceptual hash (8×8 low-frequency block). */
+case class PHashRow(doc_id: Long, phash: Long)
+
 /** Multimodal-column operators: image/audio/video handled as opaque
   * `binary` columns with typed metadata (SURVEY.md §2.2 "Multimodal
   * columns"; the reference stores whole files as opaque payloads —
@@ -100,6 +103,16 @@ object MultimodalQueries extends QueryPack {
         math.floor(math.sin(a) * 1000 + 0.5).toLong)
     }
 
+  /** Milli-quantized 16-point DCT-II basis B(u,x) = ⌊cos(π(2x+1)u/32)·10³⌉
+    * — the q_mm_spectrogram discipline applied to images: the SAME
+    * driver-computed integer literals feed the Spark pHash loop and the
+    * DuckDB oracle's VALUES table, so the transform is exact integer
+    * arithmetic on both engines. */
+  private[operators] val phashBasis: Seq[(Int, Int, Long)] =
+    for (u <- 0 until 16; x <- 0 until 16) yield (u, x,
+      math.floor(math.cos(math.Pi * (2 * x + 1) * u / 32) * 1000 + 0.5)
+        .toLong)
+
   private[graft] def writeWav(pcm: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](44 + pcm.length)
     val bb = java.nio.ByteBuffer.wrap(out)
@@ -129,7 +142,7 @@ object MultimodalQueries extends QueryPack {
         length(col("blob")).as("n_bytes"),
         col("source").as("origin")))
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def declared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     // -- metadata projection over opaque payloads ---------------------------
     "q_mm_metadata" -> ((s, d) => {
       assets(s, d)
@@ -302,15 +315,22 @@ object MultimodalQueries extends QueryPack {
     // differ by ~8 bits (measured 1..20) and cross-quad by ~128 — the
     // bimodal gap a real near-dup corpus shows. Every image round-trips
     // the REAL PNG codec (encode + decode) before hashing, same as
-    // q_mm_png_decode. Blocking: the 256-bit hash splits into 32 8-bit
-    // chunks; hamming ≤ τ=24 < 32 forces ≥ 1 identical chunk
-    // (pigeonhole — exact, not probabilistic), so candidates come from
-    // a chunk-equality equi-join (~n·32 rows, unrelated images collide
-    // on a chunk with p=1/256) and the exact 256-bit hamming verifies
-    // each candidate via zip_with + bit_count. At 100 TB: fingerprints
-    // are one codec pass, the join is keyed on (chunk_idx, value), and
-    // verification touches candidates only — the SimHash/MinHash story
-    // in the pixel domain.
+    // q_mm_png_decode. Blocking (r14, HmSearch-style): the 256-bit hash
+    // splits into 16 disjoint 16-bit bands (adjacent 8-bit chunk
+    // pairs); hamming ≤ τ=24 forces ≥ 1 band with ≤ 1 differing bit
+    // (pigeonhole — 2 bits in every band would total ≥ 32 > τ; exact,
+    // not probabilistic). Candidates come from an equi-join of each
+    // doc's 16 exact band values against the ≤1-bit MULTI-PROBE set
+    // (band value + its 16 single-bit flips, 17 probes/band) of every
+    // other doc, then the exact 256-bit hamming verifies each candidate
+    // via zip_with + bit_count. The r13 8-bit chunk keys collided at
+    // p=1/256 (expected random candidates n²/16 — quadratic); the
+    // 16-bit keys collide at ≤17/65536 per band (n²/482 constant —
+    // negligible until n ≫ 10⁶ per partition-able key space, and the
+    // exact verify touches candidates only). At 100 TB: fingerprints
+    // are one codec pass, the join is keyed on (band_idx, 16-bit
+    // value) — 2²⁰ keys, shuffle-partitionable — the SimHash/MinHash
+    // story in the pixel domain.
     "q_mm_image_dedup" -> ((s, d) => {
       import s.implicits._
       val side = 16
@@ -366,11 +386,21 @@ object MultimodalQueries extends QueryPack {
           }
         }
         .toDF()
-      val ex = fp.select(col("doc_id"),
-        posexplode(col("chunks")).as(Seq("ci", "cv")))
-      val cand = ex.alias("a")
+      val bands = fp.withColumn("bands", expr(
+        "transform(sequence(0, 15)," +
+          " j -> chunks[2*j] + shiftleft(chunks[2*j+1], 8))"))
+      val ex = bands.select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("bi", "bv")))
+      // probe side: the band value plus its 16 single-bit flips — any
+      // pair within hamming 1 on SOME band meets on that band's key
+      val probes = ex
+        .withColumn("pv", explode(expr(
+          "concat(array(bv)," +
+            " transform(sequence(0, 15), b -> bv ^ shiftleft(1, b)))")))
+        .select(col("doc_id"), col("bi"), col("pv"))
+      val cand = probes.alias("a")
         .join(ex.alias("b"),
-          col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+          col("a.bi") === col("b.bi") && col("a.pv") === col("b.bv") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
@@ -384,6 +414,105 @@ object MultimodalQueries extends QueryPack {
             " 0, (acc, h) -> acc + h)").cast("long"))
         .filter(col("hamming") <= tau)
         .select(col("d1"), col("d2"), col("hamming"))
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // -- pHash: DCT perceptual hash robustness on the planted quads (r14) --
+    // The frequency-domain upgrade of q_mm_image_ahash: project the
+    // decoded raster onto the 8×8 LOW-FREQUENCY block of a 16-point
+    // DCT-II (milli-quantized integer basis — [[phashBasis]], the
+    // q_mm_spectrogram discipline), threshold each of the 63 AC
+    // coefficients against their exact integer mean (DC excluded — it is
+    // only brightness), and read out the 64-bit hash's hamming distance
+    // on every within-quad pair of q_mm_image_dedup's planted corpus.
+    // pHash's point vs aHash: pixel-level perturbations spread across
+    // ALL coefficients instead of flipping whole blocks, so within-quad
+    // distances concentrate lower — this row MEASURES that. Everything
+    // is exact integers (pixels ≤ 255 × basis ≤ 10³ × 256 terms ≪ 2⁶³);
+    // pairing is quad-blocked (groupBy doc_id div 4, ≤ C(4,2) pairs per
+    // group), one codec pass, no corpus-wide join of any kind.
+    "q_mm_phash" -> ((s, d) => {
+      import s.implicits._
+      val side = 16
+      val basis = Array.tabulate(16, 16)((u, x) =>
+        phashBasis(u * 16 + x)._3)
+      val fp = Tables.documents(s, d).select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val base = id / 4
+            val img = new java.awt.image.BufferedImage(side, side,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val r = img.getRaster
+            var i = 0
+            while (i < side * side) {
+              val zd = org.apache.spark.sql.graft.NativeExpressions
+                .splitmix64Long(id * 4096L + i + 999L)
+              val v =
+                if (java.lang.Long.remainderUnsigned(zd >>> 8, 37L) == 0L)
+                  ((zd >>> 16) & 0xffL).toInt
+                else (org.apache.spark.sql.graft.NativeExpressions
+                  .splitmix64Long(base * 256L + i) & 0xffL).toInt
+              r.setSample(i % side, i / side, 0, v)
+              i += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            val dec = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bos.toByteArray))
+            val r2 = dec.getRaster
+            val pv = Array.tabulate(side * side)(j =>
+              r2.getSample(j % side, j / side, 0).toLong)
+            // separable integer DCT: G(v,x) = Σ_y B(v,y)·p(x,y), then
+            // c(u,v) = Σ_x B(u,x)·G(v,x) — same exact sum as the
+            // oracle's flat double join, reassociated (integers commute)
+            val g = Array.ofDim[Long](8, side)
+            var vv = 0
+            while (vv < 8) {
+              var x = 0
+              while (x < side) {
+                var acc = 0L; var y = 0
+                while (y < side) {
+                  acc += basis(vv)(y) * pv(y * side + x); y += 1
+                }
+                g(vv)(x) = acc; x += 1
+              }
+              vv += 1
+            }
+            val c = Array.ofDim[Long](64)
+            var u = 0
+            while (u < 8) {
+              var v2 = 0
+              while (v2 < 8) {
+                var acc = 0L; var x = 0
+                while (x < side) { acc += basis(u)(x) * g(v2)(x); x += 1 }
+                c(u * 8 + v2) = acc; v2 += 1
+              }
+              u += 1
+            }
+            var sAc = 0L
+            var k = 1
+            while (k < 64) { sAc += c(k); k += 1 } // k=0 is DC (u=v=0)
+            var hash = 0L
+            k = 1
+            while (k < 64) {
+              if (c(k) * 63L > sAc) hash |= 1L << k
+              k += 1
+            }
+            PHashRow(id, hash)
+          }
+        }
+        .toDF()
+      val a = fp.select(expr("doc_id div 4").as("quad"),
+        col("doc_id").as("d1"), col("phash").as("pa"))
+      val b = fp.select(expr("doc_id div 4").as("quad"),
+        col("doc_id").as("d2"), col("phash").as("pb"))
+      a.join(b, Seq("quad"))
+        .filter(col("d1") < col("d2"))
+        .select(col("d1"), col("d2"),
+          expr("bit_count(pa ^ pb)").cast("long").as("hamming"))
         .orderBy(col("d1"), col("d2"))
     }),
 
@@ -625,7 +754,7 @@ object MultimodalQueries extends QueryPack {
     })
   )
 
-  def oracle: Map[String, String] = Map(
+  def declaredOracle: Seq[(String, String)] = Seq(
     // The real-codec PNG roundtrip is lossless, so the decoded raster is
     // the generated pixels and the oracle needs no image code at all:
     // it regenerates pixel i of doc d as splitmix64(d*256 + i) & 0xff
@@ -668,6 +797,93 @@ object MultimodalQueries extends QueryPack {
          |  string_agg(printf('%x', nv), '' ORDER BY k) AS ahash_hex,
          |  CAST(sum(nb) AS BIGINT) AS n_ones
          |FROM nib GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // lossless PNG ⇒ the decoded raster is the generated quad-planted
+    // pixels: pixel i of doc d perturbs (when splitmix(d·4096+i+999)
+    // says so, p=1/37) the shared base image splitmix((d//4)·256+i).
+    // The oracle re-derives the aHash bits exactly as q_mm_image_ahash
+    // does, packs them into 4 UBIGINT words, and — being an oracle at
+    // sf0.01, where all-pairs is trivial — verifies EVERY pair's
+    // hamming directly, which also proves the Spark-side banding loses
+    // no pair (the pigeonhole recall guarantee).
+    "q_mm_image_dedup" -> {
+      import graft.engine.OracleHash._
+      s"""WITH px AS (SELECT doc_id, i,
+         |    CAST(doc_id * 4096 + i + 999 AS UBIGINT) AS sq,
+         |    CAST((doc_id // 4) * 256 + i AS UBIGINT) AS sr
+         |  FROM documents, unnest(range(0, 256)) AS t(i)),
+         |${splitmixStages("px", "doc_id, i, sr", "sq", "q")},
+         |qq AS (SELECT doc_id, i, sr, z3 AS zq FROM q3_),
+         |${splitmixStages("qq", "doc_id, i, zq", "sr", "r")},
+         |v AS (SELECT doc_id, i,
+         |    CASE WHEN (xor(zq, zq >> 31) >> 8) % 37 = 0
+         |      THEN CAST((xor(zq, zq >> 31) >> 16) % 256 AS BIGINT)
+         |      ELSE CAST(xor(z3, z3 >> 31) % 256 AS BIGINT)
+         |    END AS pv
+         |  FROM r3_),
+         |tot AS (SELECT doc_id, CAST(sum(pv) AS BIGINT) AS s
+         |  FROM v GROUP BY 1),
+         |bt AS (SELECT v.doc_id, v.i,
+         |    CASE WHEN pv * 256 > s THEN 1 ELSE 0 END AS bit
+         |  FROM v JOIN tot ON v.doc_id = tot.doc_id),
+         |w AS (SELECT doc_id, i // 64 AS wi,
+         |    bit_or(CASE WHEN bit = 1
+         |      THEN 1::UBIGINT << CAST(i % 64 AS INTEGER)
+         |      ELSE 0::UBIGINT END) AS wv
+         |  FROM bt GROUP BY 1, 2),
+         |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |    CAST(sum(bit_count(xor(a.wv, b.wv))) AS BIGINT) AS hamming
+         |  FROM w a JOIN w b ON a.wi = b.wi AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, hamming FROM pr
+         |WHERE hamming <= 24 ORDER BY d1, d2""".stripMargin
+    },
+
+    // same quad-planted raster regeneration as q_mm_image_dedup; the DCT
+    // replays as a flat integer join against the SAME phashBasis literals
+    // the Spark loop uses (the spectrogram shared-basis discipline), the
+    // 63-coefficient mean threshold is an exact integer cross-multiply,
+    // and the pairing is the identical quad-blocked self-join
+    "q_mm_phash" -> {
+      import graft.engine.OracleHash._
+      val basisVals = phashBasis.filter(_._1 < 8)
+        .map { case (u, x, bq) => s"($u, $x, $bq)" }.mkString(", ")
+      s"""WITH basis(u, x, bq) AS (VALUES $basisVals),
+         |px AS (SELECT doc_id, i,
+         |    CAST(doc_id * 4096 + i + 999 AS UBIGINT) AS sq,
+         |    CAST((doc_id // 4) * 256 + i AS UBIGINT) AS sr
+         |  FROM documents, unnest(range(0, 256)) AS t(i)),
+         |${splitmixStages("px", "doc_id, i, sr", "sq", "q")},
+         |qq AS (SELECT doc_id, i, sr, z3 AS zq FROM q3_),
+         |${splitmixStages("qq", "doc_id, i, zq", "sr", "r")},
+         |v AS (SELECT doc_id, i,
+         |    CASE WHEN (xor(zq, zq >> 31) >> 8) % 37 = 0
+         |      THEN CAST((xor(zq, zq >> 31) >> 16) % 256 AS BIGINT)
+         |      ELSE CAST(xor(z3, z3 >> 31) % 256 AS BIGINT)
+         |    END AS pv
+         |  FROM r3_),
+         |g AS (SELECT doc_id, b1.u AS vv, (i % 16) AS x,
+         |    CAST(sum(b1.bq * pv) AS BIGINT) AS gv
+         |  FROM v JOIN basis b1 ON b1.x = (i // 16)
+         |  GROUP BY 1, 2, 3),
+         |c AS (SELECT doc_id, b2.u AS u, vv,
+         |    CAST(sum(b2.bq * gv) AS BIGINT) AS cv
+         |  FROM g JOIN basis b2 ON b2.x = g.x
+         |  GROUP BY 1, 2, 3),
+         |sac AS (SELECT doc_id, CAST(sum(CASE WHEN u = 0 AND vv = 0
+         |      THEN 0 ELSE cv END) AS BIGINT) AS s
+         |  FROM c GROUP BY 1),
+         |h AS (SELECT c.doc_id,
+         |    bit_or(CASE WHEN (u = 0 AND vv = 0) OR cv * 63 <= s
+         |      THEN 0::UBIGINT
+         |      ELSE 1::UBIGINT << CAST(u * 8 + vv AS INTEGER) END) AS ph
+         |  FROM c JOIN sac ON c.doc_id = sac.doc_id GROUP BY 1),
+         |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |    CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+         |  FROM h a JOIN h b ON a.doc_id // 4 = b.doc_id // 4
+         |    AND a.doc_id < b.doc_id)
+         |SELECT d1, d2, hamming FROM pr ORDER BY d1, d2""".stripMargin
     },
 
     // the sampled source index for out-pixel k (row-major over 8×8) is

@@ -62,7 +62,7 @@ object PipelineQueries extends QueryPack {
         Window.orderBy(col("score_u").desc, col("doc_id"))).cast("long"))
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def declared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     // -- quantile normalization of the quality score -------------------------
     // The rank-based score calibration mixing pipelines apply before
     // thresholding across heterogeneous scorers: map each distinct
@@ -766,6 +766,48 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("rank"))
     }),
 
+    // -- NDCG@20: graded ranking quality of the BM25 retrieval (r14) -------
+    // The evaluation row the retrieval family (q_bm25/q_rrf_fusion/
+    // q_eval_metrics) lacked: discounted cumulative gain of the exact
+    // BM25 top-20 against a graded relevance label (0–2: length gate
+    // n_chars ≥ 300 + token-count gate ≥ 56 — deterministic, derivable
+    // on both engines), normalized by the corpus-wide IDEAL top-20
+    // (orderBy+limit → TakeOrdered, never a global sort). Gains are the
+    // exact integers 2^rel−1 ∈ {0,1,3}; each gain/log2(rank+1) term
+    // micro-quantizes BEFORE the sum, so the DCG/IDCG aggregation is
+    // pure integers. Cost at scale: the BM25 ranking (already audited)
+    // + one narrow relevance pass + two 20-row frames.
+    "q_ndcg" -> ((s, d) => {
+      val rk = bm25Top20(s, d).select(col("rank"), col("doc_id"))
+      val nrm = regexp_replace(lower(trim(col("text"))),
+        "[ \\t\\n\\f\\r\\x0B]+", " ")
+      val rel = Tables.documents(s, d)
+        .select(col("doc_id"),
+          ((col("n_chars") >= 300L).cast("int") +
+            (size(split(nrm, " ")) >= 56).cast("int")).cast("long")
+            .as("rel"))
+      val gain = when(col("rel") === 0L, lit(0.0))
+        .when(col("rel") === 1L, lit(1.0)).otherwise(lit(3.0))
+      def termU(rank: org.apache.spark.sql.Column) =
+        floor(gain / (log(rank.cast("double") + lit(1.0)) /
+          log(lit(2.0))) * lit(1e6) + lit(0.5)).cast("long")
+      val dcg = rel.join(broadcast(rk), "doc_id")
+        .select(termU(col("rank")).as("term_u"))
+        .agg(sum(col("term_u")).as("dcg_u"))
+      val ideal = rel.orderBy(col("rel").desc, col("doc_id")).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("rel").desc, col("doc_id"))).cast("long"))
+        .select(termU(col("rank")).as("term_u"))
+        .agg(sum(col("term_u")).as("idcg_u"))
+      dcg.crossJoin(broadcast(ideal))
+        .select(lit(20L).as("k"),
+          round(col("dcg_u") / lit(1e6), 6).as("dcg"),
+          round(col("idcg_u") / lit(1e6), 6).as("idcg"),
+          when(col("idcg_u") > 0L,
+            round(col("dcg_u").cast("double") / col("idcg_u"), 6))
+            .as("ndcg"))
+    }),
+
     // -- DATASET CARD: the per-source corpus summary -----------------------
     // The one-page deliverable every curated corpus ships with (Gebru et
     // al.'s datasheets): per ingest source — document count, token
@@ -1248,7 +1290,7 @@ object PipelineQueries extends QueryPack {
       |  SELECT e.dst, reach.r FROM reach JOIN e ON reach.v = e.src),
       |lbl AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v)""".stripMargin
 
-  def oracle: Map[String, String] = Map(
+  def declaredOracle: Seq[(String, String)] = Seq(
     // shared classifier CTEs; upper-rank ECDF by integer micro-division
     "q_quantile_normalize" -> {
       s"""WITH ${OracleHash.classifierScoreCtes("doc_id")},
@@ -1654,6 +1696,40 @@ object PipelineQueries extends QueryPack {
          |    ORDER BY rrf_u DESC, doc_id) AS rank FROM fu)
          |SELECT rank, doc_id, r_lex, r_sem, rrf_u / 1e6 AS rrf
          |FROM fr WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // bm25RankCtes replayed; gains are exact CASE integers; each
+    // gain/log2(rank+1) term micro-quantized BEFORE the DCG/IDCG sums;
+    // ln/ln(2) spelled token-for-token with the Spark side
+    "q_ndcg" ->
+      s"""WITH $bm25RankCtes,
+         |rel AS (SELECT doc_id,
+         |    (CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END
+         |     + CASE WHEN len(string_split(regexp_replace(lower(trim(
+         |         text)), '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g'), ' ')) >= 56
+         |       THEN 1 ELSE 0 END) AS rel
+         |  FROM documents),
+         |g AS (SELECT CAST(floor(
+         |    (CASE rel WHEN 0 THEN 0.0e0 WHEN 1 THEN 1.0e0
+         |     ELSE 3.0e0 END)
+         |    / (ln(CAST(rank AS DOUBLE) + 1.0e0) / ln(2.0e0))
+         |    * 1e6 + 0.5e0) AS BIGINT) AS term_u
+         |  FROM rk JOIN rel USING (doc_id) WHERE rank <= 20),
+         |dc AS (SELECT CAST(sum(term_u) AS BIGINT) AS dcg_u FROM g),
+         |id0 AS (SELECT rel, row_number() OVER (ORDER BY rel DESC,
+         |    doc_id) AS rank
+         |  FROM rel ORDER BY rel DESC, doc_id LIMIT 20),
+         |ig AS (SELECT CAST(floor(
+         |    (CASE rel WHEN 0 THEN 0.0e0 WHEN 1 THEN 1.0e0
+         |     ELSE 3.0e0 END)
+         |    / (ln(CAST(rank AS DOUBLE) + 1.0e0) / ln(2.0e0))
+         |    * 1e6 + 0.5e0) AS BIGINT) AS term_u FROM id0),
+         |ic AS (SELECT CAST(sum(term_u) AS BIGINT) AS idcg_u FROM ig)
+         |SELECT CAST(20 AS BIGINT) AS k,
+         |  round(dcg_u / 1e6, 6) AS dcg,
+         |  round(idcg_u / 1e6, 6) AS idcg,
+         |  CASE WHEN idcg_u > 0 THEN
+         |    round(CAST(dcg_u AS DOUBLE) / idcg_u, 6) END AS ndcg
+         |FROM dc CROSS JOIN ic""".stripMargin,
 
     // per-doc quality micro-quantized BEFORE the mean; entropy terms
     // sorted-fold; md5 over the same normalized text on both engines

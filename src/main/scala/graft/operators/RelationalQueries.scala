@@ -17,7 +17,7 @@ import graft.engine.{QueryPack, Tables}
   */
 object RelationalQueries extends QueryPack {
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def declared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     // -- scan + projection + computed column + filter pushdown -------------
     "q_scan_project" -> ((s, d) => {
       // round via floor(x*100+0.5): identical binary-double arithmetic on
@@ -878,14 +878,14 @@ object RelationalQueries extends QueryPack {
     })
   )
 
-  def oracle: Map[String, String] = {
+  def declaredOracle: Seq[(String, String)] = {
     // q_crosstab's 20 source columns, generated by the same loop shape the
     // conditional-aggregate equivalence describes
     val crosstabCols = (0 until 20)
       .map(i => s"""  CAST(sum(CASE WHEN source = 'src$i' THEN 1 ELSE 0 END)
                    |    AS BIGINT) AS "src$i"""".stripMargin)
       .mkString(",\n")
-    Map(
+    Seq(
     "q_crosstab" ->
       s"""SELECT lang AS lang_source,
          |$crosstabCols

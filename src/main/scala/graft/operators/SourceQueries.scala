@@ -64,7 +64,7 @@ object SourceQueries extends QueryPack {
     s"$appRoot/${d.replaceAll("[^a-zA-Z0-9]", "_")}/$name"
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def declared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     // -- CSV sink + CSV scan (header, explicit schema) ----------------------
     "q_csv_roundtrip" -> ((s, d) => {
       val out = scratch(s, d, "nation_csv")
@@ -664,7 +664,7 @@ object SourceQueries extends QueryPack {
       s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
     }.mkString(" + ")
 
-  def oracle: Map[String, String] = Map(
+  def declaredOracle: Seq[(String, String)] = Seq(
     "q_csv_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,

@@ -75,7 +75,7 @@ object StatsQueries extends QueryPack {
         math.floor(math.sin(a) * 1e6 + 0.5).toLong)
     }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def declared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     // -- per-group OLS trend fit ------------------------------------------
     // Exact integer moments per event_type: x = whole seconds since the
     // corpus min timestamp (broadcast 1-row bounds frame), y = milli-
@@ -2986,38 +2986,6 @@ object StatsQueries extends QueryPack {
         .orderBy(col("event_type"))
     }),
 
-    // -- Cohen's kappa: chance-corrected rater agreement (r13) -------------
-    // The label-quality audit two annotation pipelines need before one
-    // replaces the other: agreement between the LENGTH heuristic
-    // (n_chars ≥ 300) and the hashed linear classifier's SIGN, corrected
-    // for the agreement chance alone would produce. Exact integer
-    // confusion counts from one pass over the shared classifier frame
-    // (TextDedup.classifierScored — the anti-drift single source of the
-    // bucket/weight formula); κ = (po − pe)/(1 − pe) evaluates in one
-    // mirrored double expression, NULL when pe = 1 (degenerate raters).
-    "q_cohens_kappa" -> ((s, d) => {
-      val sc = TextDedup.classifierScored(Tables.documents(s, d),
-          Seq(col("doc_id"), col("n_chars")))
-        .select((col("n_chars") >= 300L).cast("int").cast("long").as("ya"),
-          (col("score") >= 0L).cast("int").cast("long").as("yb"))
-      val m = sc.agg(count(lit(1)).as("n"),
-        sum(col("ya") * col("yb")).as("n11"),
-        sum(col("ya") * (lit(1L) - col("yb"))).as("n10"),
-        sum((lit(1L) - col("ya")) * col("yb")).as("n01"),
-        sum((lit(1L) - col("ya")) * (lit(1L) - col("yb"))).as("n00"))
-      val nD = col("n").cast("double")
-      val po = (col("n11") + col("n00")).cast("double") / nD
-      val pa = (col("n11") + col("n10")).cast("double") / nD
-      val pb = (col("n11") + col("n01")).cast("double") / nD
-      val pe = pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb)
-      def q6(c: org.apache.spark.sql.Column) =
-        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
-      m.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
-        q6(po).as("po"), q6(pe).as("pe"),
-        when(lit(1.0) - pe =!= 0.0, q6((po - pe) / (lit(1.0) - pe)))
-          .as("kappa"))
-    }),
-
     // -- log loss (cross-entropy) of the calibrated classifier (r13) -------
     // The scoring-rule readout q_brier_decomp's family lacks: mean
     // negative log-likelihood of the logistic-calibrated classifier
@@ -3156,6 +3124,159 @@ object StatsQueries extends QueryPack {
         .groupBy(col("event_type"), col("n_peaks"), col("peak_value"))
         .agg(min(col("dd")).as("peak_day"))
         .orderBy(col("event_type"))
+    }),
+
+    // -- Fleiss' kappa: m=3 rater agreement (r14) ---------------------------
+    // q_cohens_kappa generalized past two raters — the annotation-QA
+    // number for a labeling fleet: three deterministic binary "raters"
+    // per document (classifier sign score > 0, length gate n_chars ≥
+    // 300, lexical-richness gate n_feats ≥ 25 — all off ONE
+    // classifierScored pass), per-item category counts n_i1 = Σ raters,
+    // P_i = (n_i1² + (3−n_i1)² − 3)/6, κ = (P̄ − P̄e)/(1 − P̄e). All
+    // moments are exact integers until the final mirrored double; one
+    // narrow pass + a 1-row reduce at any corpus size.
+    "q_fleiss_kappa" -> ((s, d) => {
+      val sc = TextDedup.classifierScored(Tables.documents(s, d),
+          Seq(col("doc_id"), col("n_chars")))
+        .select(((col("score") > 0L).cast("int") +
+          (col("n_chars") >= 300L).cast("int") +
+          (col("n_feats") >= 25L).cast("int")).cast("long").as("n1"))
+      val m = sc.agg(count(lit(1)).as("n"),
+        sum(col("n1")).as("t1"),
+        sum(col("n1") * col("n1") +
+          (lit(3L) - col("n1")) * (lit(3L) - col("n1"))).as("s2"))
+      val nD = col("n").cast("double")
+      val p1 = col("t1").cast("double") / (lit(3.0) * nD)
+      val pbar = (col("s2").cast("double") - lit(3.0) * nD) /
+        (lit(6.0) * nD)
+      val pe = p1 * p1 + (lit(1.0) - p1) * (lit(1.0) - p1)
+      m.select(col("n"), lit(3L).as("m"), col("t1"),
+        round(pbar, 6).as("p_bar"), round(pe, 6).as("p_e"),
+        when(pe =!= 1.0, round((pbar - pe) / (lit(1.0) - pe), 6))
+          .as("kappa"))
+    }),
+
+    // -- Krippendorff's alpha (binary nominal, m=3, no missing) (r14) -------
+    // The agreement coefficient annotation guidelines actually cite:
+    // chance-corrects by the COINCIDENCE margins rather than per-rater
+    // marginals (Fleiss), so it stays comparable when rater identity is
+    // arbitrary. Same three gates as q_fleiss_kappa. With m=3 complete
+    // ratings: off-diagonal coincidence mass o01 = Σ n_i1·n_i0/(m−1)
+    // (kept doubled to stay integer), margins n_j = category totals,
+    // α = 1 − (3N−1)·(2·o01)/(2·n1·n0). Exact integers to the last
+    // mirrored division.
+    "q_krippendorff_alpha" -> ((s, d) => {
+      val sc = TextDedup.classifierScored(Tables.documents(s, d),
+          Seq(col("doc_id"), col("n_chars")))
+        .select(((col("score") > 0L).cast("int") +
+          (col("n_chars") >= 300L).cast("int") +
+          (col("n_feats") >= 25L).cast("int")).cast("long").as("n1"))
+      val m = sc.agg(count(lit(1)).as("n"),
+        sum(col("n1")).as("n_pos"),
+        sum(col("n1") * (lit(3L) - col("n1"))).as("o01_x2"))
+      val nTot = lit(3L) * col("n")
+      val n0 = nTot - col("n_pos")
+      m.select(col("n"), nTot.as("n_ratings"), col("n_pos"),
+        n0.as("n_neg"), col("o01_x2"),
+        when(col("n_pos") > 0L && n0 > 0L,
+          round(lit(1.0) - (nTot - lit(1L)).cast("double") *
+            col("o01_x2").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") * n0.cast("double")),
+            6)).as("alpha"))
+    }),
+
+    // -- Hosmer–Lemeshow calibration deciles (r14) --------------------------
+    // The goodness-of-fit companion q_calibration/q_log_loss lack: bin
+    // the logistic-calibrated probability p = 1/(1+e^(−score/64)) into
+    // deciles and compare observed vs expected positives per bin — the
+    // per-bin readout reviewers actually inspect before trusting a
+    // quality classifier. The cumulative decile cut runs on the
+    // DISTINCT-SCORE frame (bounded by the classifier's integer score
+    // domain, never corpus-sized — q_quantile_normalize's allowlisted
+    // bound); expected counts micro-quantize per score group BEFORE the
+    // decile sum, so cross-partition aggregation is pure integers.
+    "q_hosmer_lemeshow" -> ((s, d) => {
+      val sc = TextDedup.classifierScored(Tables.documents(s, d),
+          Seq(col("doc_id"), col("n_chars")))
+        .select(col("score"),
+          (col("n_chars") >= 300L).cast("int").cast("long").as("y"))
+      val g = sc.groupBy(col("score"))
+        .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+      val p = lit(1.0) /
+        (lit(1.0) + exp(-col("score").cast("double") / lit(64.0)))
+      val wS = Window.orderBy(col("score"))
+      val tot = g.agg(sum(col("cnt")).as("n"))
+      val cut = g
+        .withColumn("exp_u",
+          floor(col("cnt").cast("double") * p * lit(1e6) + lit(0.5))
+            .cast("long"))
+        .withColumn("cum", sum(col("cnt")).over(wS))
+        .crossJoin(broadcast(tot))
+        .withColumn("decile", ((col("cum") - lit(1L)) * lit(10L))
+          .divide(col("n")).cast("long"))
+      val ex = col("exp_pos_u").cast("double") / lit(1e6)
+      val ngD = col("n_g").cast("double")
+      cut.groupBy(col("decile"))
+        .agg(sum(col("cnt")).as("n_g"), sum(col("pos")).as("obs_pos"),
+          sum(col("exp_u")).as("exp_pos_u"))
+        .select(col("decile"), col("n_g"), col("obs_pos"),
+          round(ex, 6).as("exp_pos"),
+          when(ex > 0.0 && ex < ngD,
+            round((col("obs_pos").cast("double") - ex) *
+              (col("obs_pos").cast("double") - ex) * ngD /
+              (ex * (ngD - ex)), 6)).as("chi2_term"))
+        .orderBy(col("decile"))
+    }),
+
+    // -- Breusch–Pagan heteroscedasticity screen (r14) ----------------------
+    // The q_durbin_watson companion on the same daily-volume OLS: do the
+    // trend residuals have CONSTANT variance, or does dispersion itself
+    // trend (which silently invalidates the q_group_ols standard
+    // errors)? LM = n·R² of e² on the day index. The fit derives from
+    // exact DECIMAL moments; residuals milli-quantize on the
+    // calendar-bounded day frame, and every auxiliary moment of
+    // z = e_u² folds in DECIMAL(38,0) (z² ≤ 10²⁰ per day — exact far
+    // past any real calendar). df=1; the 5% decision compares against
+    // the χ²₁ literal rather than shipping an erf approximation.
+    "q_breusch_pagan" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val byDay = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long").as("dd"))
+        .agg(count(lit(1)).as("y"))
+      val m = byDay.agg(count(lit(1)).as("n"),
+        sum(dec(col("dd"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("dd")) * dec(col("dd"))).as("sxx"),
+        sum(dec(col("dd")) * dec(col("y"))).as("sxy"))
+      val nD = col("n").cast("double")
+      val bNum = nD * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")
+      val bDen = nD * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      val fit = m.select(col("n"), (bNum / bDen).as("b"),
+        ((col("sy").cast("double") - bNum / bDen *
+          col("sx").cast("double")) / nD).as("a"))
+      val z = byDay.crossJoin(broadcast(fit))
+        .withColumn("eu", floor((col("y").cast("double") -
+          col("a") - col("b") * col("dd").cast("double")) * lit(1000.0) +
+          lit(0.5)).cast("long"))
+        .select(col("dd"), (dec(col("eu")) * dec(col("eu"))).as("z"))
+      val aux = z.agg(count(lit(1)).as("n"),
+        sum(dec(col("dd"))).as("sx"), sum(col("z")).as("sz"),
+        sum(dec(col("dd")) * dec(col("dd"))).as("sxx"),
+        sum(dec(col("dd")) * col("z")).as("sxz"),
+        sum(col("z") * col("z")).as("szz"))
+      val nA = col("n").cast("double")
+      val num = nA * col("sxz").cast("double") -
+        col("sx").cast("double") * col("sz").cast("double")
+      val den = (nA * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")) *
+        (nA * col("szz").cast("double") -
+          col("sz").cast("double") * col("sz").cast("double"))
+      aux.select(col("n").as("n_days"), lit(1L).as("df"),
+        when(den > 0.0, round(nA * num * num / den, 6)).as("lm_stat"),
+        when(den > 0.0, nA * num * num / den > 3.841459)
+          .as("reject_5pct"))
     })
   )
 
@@ -3193,7 +3314,7 @@ object StatsQueries extends QueryPack {
           lit(0.5)).cast("long"))
   }
 
-  def oracle: Map[String, String] = Map(
+  def declaredOracle: Seq[(String, String)] = Seq(
     // DECIMAL sums widen exactly like Spark's decimal(38,0) (DuckDB sums
     // BIGINT into HUGEINT); the closed form mirrors the Spark expression
     // token-for-token, e-notation literals forcing DOUBLE arithmetic
@@ -5630,34 +5751,6 @@ object StatsQueries extends QueryPack {
         |  END AS forecast_u
         |FROM g ORDER BY event_type""".stripMargin,
 
-    // exact integer confusion counts off the shared classifier chain;
-    // mirrored kappa expression
-    "q_cohens_kappa" -> {
-      s"""WITH ${OracleHash.classifierScoreCtes("doc_id, n_chars")},
-         |r AS (SELECT
-         |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS ya,
-         |    CASE WHEN score >= 0 THEN 1 ELSE 0 END AS yb FROM sc),
-         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
-         |    CAST(sum(ya*yb) AS BIGINT) AS n11,
-         |    CAST(sum(ya*(1-yb)) AS BIGINT) AS n10,
-         |    CAST(sum((1-ya)*yb) AS BIGINT) AS n01,
-         |    CAST(sum((1-ya)*(1-yb)) AS BIGINT) AS n00 FROM r),
-         |x AS (SELECT n, n11, n10, n01, n00,
-         |    CAST(n11 + n00 AS DOUBLE) / n AS po,
-         |    (CAST(n11 + n10 AS DOUBLE) / n)
-         |      * (CAST(n11 + n01 AS DOUBLE) / n)
-         |    + (1.0e0 - CAST(n11 + n10 AS DOUBLE) / n)
-         |      * (1.0e0 - CAST(n11 + n01 AS DOUBLE) / n) AS pe
-         |  FROM m)
-         |SELECT n, n11, n10, n01, n00,
-         |  floor(po * 1e6 + 0.5e0) / 1e6 AS po,
-         |  floor(pe * 1e6 + 0.5e0) / 1e6 AS pe,
-         |  CASE WHEN 1.0e0 - pe <> 0.0e0 THEN
-         |    floor((po - pe) / (1.0e0 - pe) * 1e6 + 0.5e0) / 1e6
-         |  END AS kappa
-         |FROM x""".stripMargin
-    },
-
     // nano-quantized per-row loss summed in HUGEINT; mirrored
     // logistic + clip + ln
     "q_log_loss" -> {
@@ -5762,6 +5855,136 @@ object StatsQueries extends QueryPack {
         |FROM p JOIN m ON p.event_type = m.event_type
         |  AND p.y = m.peak_value
         |GROUP BY p.event_type, n_peaks, peak_value
-        |ORDER BY p.event_type""".stripMargin
+        |ORDER BY p.event_type""".stripMargin,
+
+    // exact integer rater counts off the shared classifier chain;
+    // mirrored Fleiss algebra
+    "q_fleiss_kappa" -> {
+      s"""WITH ${OracleHash.classifierScoreCtes("doc_id, n_chars")},
+         |r AS (SELECT
+         |    (CASE WHEN score > 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END
+         |     + CASE WHEN n_feats >= 25 THEN 1 ELSE 0 END) AS n1
+         |  FROM sc),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(n1) AS BIGINT) AS t1,
+         |    CAST(sum(n1*n1 + (3-n1)*(3-n1)) AS BIGINT) AS s2 FROM r),
+         |x AS (SELECT n, t1, s2,
+         |    CAST(t1 AS DOUBLE) / (3.0e0 * n) AS p1,
+         |    (CAST(s2 AS DOUBLE) - 3.0e0 * n) / (6.0e0 * n) AS pbar
+         |  FROM m),
+         |y AS (SELECT n, t1, pbar,
+         |    p1*p1 + (1.0e0-p1)*(1.0e0-p1) AS pe FROM x)
+         |SELECT n, CAST(3 AS BIGINT) AS m, t1,
+         |  round(pbar, 6) AS p_bar, round(pe, 6) AS p_e,
+         |  CASE WHEN pe <> 1.0e0
+         |    THEN round((pbar - pe) / (1.0e0 - pe), 6) END AS kappa
+         |FROM y""".stripMargin
+    },
+
+    // same rater frame; coincidence-margin chance correction
+    "q_krippendorff_alpha" -> {
+      s"""WITH ${OracleHash.classifierScoreCtes("doc_id, n_chars")},
+         |r AS (SELECT
+         |    (CASE WHEN score > 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END
+         |     + CASE WHEN n_feats >= 25 THEN 1 ELSE 0 END) AS n1
+         |  FROM sc),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(n1) AS BIGINT) AS n_pos,
+         |    CAST(sum(n1 * (3-n1)) AS BIGINT) AS o01_x2 FROM r)
+         |SELECT n, CAST(3*n AS BIGINT) AS n_ratings, n_pos,
+         |  CAST(3*n - n_pos AS BIGINT) AS n_neg, o01_x2,
+         |  CASE WHEN n_pos > 0 AND 3*n - n_pos > 0 THEN
+         |    round(1.0e0 - CAST(3*n - 1 AS DOUBLE) * o01_x2
+         |      / (2.0e0 * n_pos * (3*n - n_pos)), 6) END AS alpha
+         |FROM m""".stripMargin
+    },
+
+    // distinct-score decile cut; expected counts micro-quantized per
+    // score group BEFORE the decile sum (mirrors the Spark integers)
+    "q_hosmer_lemeshow" -> {
+      s"""WITH ${OracleHash.classifierScoreCtes("doc_id, n_chars")},
+         |r AS (SELECT score,
+         |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y FROM sc),
+         |g AS (SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(y) AS BIGINT) AS pos FROM r GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM g),
+         |cu AS (SELECT score, cnt, pos,
+         |    CAST(floor(cnt * (1.0e0 / (1.0e0
+         |      + exp(-CAST(score AS DOUBLE) / 64.0e0))) * 1e6 + 0.5e0)
+         |      AS BIGINT) AS exp_u,
+         |    CAST(sum(cnt) OVER (ORDER BY score
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum
+         |  FROM g),
+         |dg AS (SELECT ((cum - 1) * 10) // n AS decile, cnt, pos, exp_u
+         |  FROM cu CROSS JOIN tot),
+         |agg AS (SELECT decile, CAST(sum(cnt) AS BIGINT) AS n_g,
+         |    CAST(sum(pos) AS BIGINT) AS obs_pos,
+         |    CAST(sum(exp_u) AS BIGINT) AS exp_pos_u
+         |  FROM dg GROUP BY 1)
+         |SELECT decile, n_g, obs_pos,
+         |  round(exp_pos_u / 1e6, 6) AS exp_pos,
+         |  CASE WHEN exp_pos_u > 0 AND exp_pos_u < n_g * 1000000 THEN
+         |    round((obs_pos - exp_pos_u / 1e6)
+         |      * (obs_pos - exp_pos_u / 1e6) * n_g
+         |      / ((exp_pos_u / 1e6) * (n_g - exp_pos_u / 1e6)), 6)
+         |  END AS chi2_term
+         |FROM agg ORDER BY decile""".stripMargin
+    },
+
+    // day-frame OLS residuals milli-quantized; auxiliary moments of
+    // z = e_u^2 folded in HUGEINT; mirrored LM = n*R^2
+    "q_breusch_pagan" ->
+      """WITH byd AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(dd AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(dd AS HUGEINT) * dd) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(dd AS HUGEINT) * y) AS HUGEINT) AS sxy
+        |  FROM byd),
+        |fit AS (SELECT n,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+        |    sx, sy, sxx FROM m),
+        |f2 AS (SELECT n, b,
+        |    (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE) AS a FROM fit),
+        |z AS (SELECT dd,
+        |    CAST(CAST(floor((CAST(y AS DOUBLE) - a
+        |      - b * CAST(dd AS DOUBLE)) * 1000.0e0 + 0.5e0) AS HUGEINT)
+        |      * CAST(floor((CAST(y AS DOUBLE) - a
+        |      - b * CAST(dd AS DOUBLE)) * 1000.0e0 + 0.5e0) AS HUGEINT)
+        |      AS HUGEINT) AS zz
+        |  FROM byd CROSS JOIN f2),
+        |aux AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(dd AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(zz) AS HUGEINT) AS sz,
+        |    CAST(sum(CAST(dd AS HUGEINT) * dd) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(dd AS HUGEINT) * zz) AS HUGEINT) AS sxz,
+        |    CAST(sum(zz * zz) AS HUGEINT) AS szz
+        |  FROM z),
+        |fin AS (SELECT n,
+        |    CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE) AS num,
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+        |      - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)) AS den
+        |  FROM aux)
+        |SELECT n AS n_days, CAST(1 AS BIGINT) AS df,
+        |  CASE WHEN den > 0.0e0
+        |    THEN round(CAST(n AS DOUBLE) * num * num / den, 6)
+        |  END AS lm_stat,
+        |  CASE WHEN den > 0.0e0
+        |    THEN CAST(n AS DOUBLE) * num * num / den > 3.841459e0
+        |  END AS reject_5pct
+        |FROM fin""".stripMargin
   )
 }

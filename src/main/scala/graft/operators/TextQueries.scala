@@ -68,8 +68,8 @@ object TextQueries extends QueryPack {
           .otherwise("other"))
       .select(col("lang"), col("guess"))
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map[String, (SparkSession, String) => DataFrame](
+  def declared: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Seq[(String, (SparkSession, String) => DataFrame)](
     // -- per-document text statistics / quality scoring --------------------
     "q_text_stats" -> ((s, d) => {
       Tables.documents(s, d)
@@ -2168,10 +2168,10 @@ object TextQueries extends QueryPack {
       |     - len(list_intersect(a.toks, b.toks))) >= 0.7
       |ORDER BY d1, d2""".stripMargin
 
-  def oracle: Map[String, String] = {
+  def declaredOracle: Seq[(String, String)] = {
     val normSql =
       "regexp_replace(lower(trim(text)), '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g')"
-    Map(
+    Seq(
       // same 5-shingle pair CTE as q_dedup_jaccard; source-keyed rate
       "q_dup_by_source" ->
         s"""WITH t AS (SELECT doc_id,

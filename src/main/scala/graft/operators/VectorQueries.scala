@@ -117,8 +117,8 @@ object VectorQueries extends QueryPack {
     java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map[String, (SparkSession, String) => DataFrame](
+  def declared: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Seq[(String, (SparkSession, String) => DataFrame)](
     // -- per-label embedding statistics ------------------------------------
     "q_embed_stats" -> ((s, d) => {
       emb(s, d)
@@ -548,6 +548,57 @@ object VectorQueries extends QueryPack {
         .select(col("q_id"),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           round(coalesce(col("n_hits"), lit(0L)) / 5.0, 6).as("recall5"))
+        .orderBy(col("q_id"))
+    }),
+
+    // -- 1-bit binary quantization recall (r14) ------------------------------
+    // The cheapest point on the embedding-compression curve the PQ/int8
+    // family charts: keep only each dimension's SIGN BIT (32× smaller
+    // than float32, distance = XOR+popcount at serve time) and measure
+    // what recall@5 survives against the exact-cosine ground truth on
+    // the same probe panel as q_ann_recall. Hamming is an exact integer
+    // (sign comparisons on identical stored doubles — no FP mirroring
+    // surface at all); ties break by candidate id. Cost: |panel|×n
+    // linear brute force — the panel-bounded ground-truth discipline;
+    // the at-scale serving path is the same banded/IVF blocking the
+    // dedup family uses, with 64-dim codes packed into one UBIGINT.
+    "q_binary_quantize" -> ((s, d) => {
+      val base = emb(s, d).withColumn("nrm", Vectors.norm(col("v")))
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qnrm"))
+      val c = base.select(col("vec_id").as("c_id"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+      val pairs = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      val wCos = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_raw").desc, col("c_id").asc)
+      val exact = pairs
+        .withColumn("cos_raw",
+          Vectors.dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
+        .withColumn("rnk", row_number().over(wCos))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("c_id"))
+      val wHam = Window.partitionBy(col("q_id"))
+        .orderBy(col("ham").asc, col("c_id").asc)
+      val binary = pairs
+        .withColumn("ham", expr(
+          "size(filter(sequence(1, size(qv)), i ->" +
+            " (qv[i-1] >= 0.0D) != (cv[i-1] >= 0.0D)))").cast("long"))
+        .withColumn("rnk", row_number().over(wHam))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("c_id"), col("ham"))
+      val hits = exact.join(binary.select(col("q_id"), col("c_id")),
+          Seq("q_id", "c_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      val hamSum = binary.groupBy(col("q_id"))
+        .agg(sum(col("ham")).as("ham_top5"))
+      exact.select(col("q_id")).distinct()
+        .join(hits, Seq("q_id"), "left")
+        .join(hamSum, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)) / 5.0, 6).as("recall5"),
+          col("ham_top5"))
         .orderBy(col("q_id"))
     }),
 
@@ -1686,9 +1737,9 @@ object VectorQueries extends QueryPack {
        |FROM ($picks) t ORDER BY rnk""".stripMargin
   }
 
-  def oracle: Map[String, String] = {
+  def declaredOracle: Seq[(String, String)] = {
     val dotAB = "list_dot_product(a.vd, b.vd)"
-    Map(
+    Seq(
       "q_embed_stats" ->
         """SELECT label, count(*) AS n,
           |  round(avg(list_dot_product(vd, vd)), 6) AS avg_sq_norm,
@@ -1759,6 +1810,45 @@ object VectorQueries extends QueryPack {
 
       // exact top-5 (q_sim_topk's shape) intersected with the IVF top-5
       // (q_sim_ivf's two-level CTEs) — per-query hit counts
+      // exact-cosine panel ground truth as in q_ann_recall; the binary
+      // side is an exact-integer hamming rank — no FP mirroring surface
+      "q_binary_quantize" -> {
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+           |  FROM embeddings),
+           |n AS (SELECT vec_id, vd,
+           |    sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
+           |ex AS (SELECT q_id, c_id FROM (
+           |  SELECT a.vec_id AS q_id, b.vec_id AS c_id, row_number() OVER (
+           |      PARTITION BY a.vec_id
+           |      ORDER BY list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm)
+           |        DESC, b.vec_id ASC) AS rnk
+           |  FROM n a JOIN n b
+           |    ON a.vec_id < 10 AND a.vec_id <> b.vec_id) t
+           |  WHERE rnk <= 5),
+           |bq AS (SELECT q_id, c_id, ham FROM (
+           |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+           |      CAST(len(list_filter(range(1, len(a.vd) + 1),
+           |        i -> (a.vd[i] >= 0.0e0) <> (b.vd[i] >= 0.0e0)))
+           |        AS BIGINT) AS ham,
+           |      row_number() OVER (PARTITION BY a.vec_id
+           |        ORDER BY len(list_filter(range(1, len(a.vd) + 1),
+           |          i -> (a.vd[i] >= 0.0e0) <> (b.vd[i] >= 0.0e0)))
+           |          ASC, b.vec_id ASC) AS rnk
+           |  FROM n a JOIN n b
+           |    ON a.vec_id < 10 AND a.vec_id <> b.vec_id) t
+           |  WHERE rnk <= 5),
+           |h AS (SELECT ex.q_id, count(*) AS n_hits
+           |  FROM ex JOIN bq USING (q_id, c_id) GROUP BY ex.q_id),
+           |hs AS (SELECT q_id, CAST(sum(ham) AS BIGINT) AS ham_top5
+           |  FROM bq GROUP BY q_id)
+           |SELECT q.q_id, coalesce(h.n_hits, 0) AS n_hits,
+           |  round(coalesce(h.n_hits, 0) / 5.0, 6) AS recall5,
+           |  hs.ham_top5
+           |FROM (SELECT DISTINCT q_id FROM ex) q
+           |LEFT JOIN h USING (q_id) LEFT JOIN hs USING (q_id)
+           |ORDER BY q_id""".stripMargin
+      },
+
       "q_ann_recall" -> {
         import graft.engine.OracleHash._
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd

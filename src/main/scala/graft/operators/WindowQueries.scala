@@ -16,7 +16,7 @@ import graft.engine.{QueryPack, Tables}
   */
 object WindowQueries extends QueryPack {
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def declared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     // -- ranking family ----------------------------------------------------
     "q_window_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -125,7 +125,7 @@ object WindowQueries extends QueryPack {
     })
   )
 
-  def oracle: Map[String, String] = Map(
+  def declaredOracle: Seq[(String, String)] = Seq(
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk, quartile
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,

@@ -76,7 +76,7 @@ object WorkspaceQueries extends QueryPack {
     ).toDF("case", "kind", "payload").orderBy("case")
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def declared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_workspace_lookup" -> ((s, _) => run(s)),
 
     // time-travel table read: the same table at two pinned versions,
@@ -191,7 +191,7 @@ object WorkspaceQueries extends QueryPack {
     })
   )
 
-  def oracle: Map[String, String] = Map(
+  def declaredOracle: Seq[(String, String)] = Seq(
     "q_workspace_lookup" ->
       """SELECT * FROM (VALUES
         |  ('dir_listing', 'directory',

@@ -55,7 +55,7 @@ class MaxProcessor extends StatefulProcessor[Long, (Long, Double), UserMax] {
   */
 object StreamingQueries extends QueryPack {
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def declared: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     // -- watermarked tumbling event-time window, complete mode -------------
     "q_stream_tumbling" -> ((s, d) => {
       val agg = StreamRunner.eventsStream(s, d)
@@ -563,7 +563,7 @@ object StreamingQueries extends QueryPack {
     })
   )
 
-  def oracle: Map[String, String] = Map(
+  def declaredOracle: Seq[(String, String)] = Seq(
     // exact distinct per epoch-aligned day; watermark-complete windows
     // only (end <= ms-floored max(ts) - 10 min)
     "q_stream_dau" ->

@@ -49,6 +49,7 @@ class QueryCorpusSpec extends AnyFunSuite {
     "q_wilcoxon_signed",
     "q_key_skew",           // count-of-counts frame ≤ max key multiplicity
     "q_quantile_normalize", // distinct-score frame ≤ classifier domain
+    "q_hosmer_lemeshow",    // distinct-score frame ≤ classifier domain
     "q_holm_bonferroni",    // m-row test frame (q_bh_fdr's class)
     "q_mase_backtest")      // day-calendar series, the q_cusum class
 
@@ -67,6 +68,59 @@ class QueryCorpusSpec extends AnyFunSuite {
     val oralls = SparkEntry.packs.flatMap(_.oracle.keys)
     val odups = oralls.groupBy(identity).filter(_._2.length > 1).keys
     assert(odups.isEmpty, s"oracle declared in two packs: $odups")
+  }
+
+  private def dupNames(names: Seq[String]): Set[String] =
+    names.groupBy(identity).filter(_._2.length > 1).keySet
+
+  test("no duplicate names WITHIN a pack (r13 kappa-shadowing guard)") {
+    // a duplicated key inside one pack's Seq would collapse last-wins at
+    // the .toMap view — exactly how a second q_cohens_kappa silently
+    // killed the r12 operator in r13. Packs declare Seqs so this test
+    // can see the duplicate before the collapse.
+    SparkEntry.packs.foreach { p =>
+      val pn = p.getClass.getSimpleName.stripSuffix("$")
+      val qd = dupNames(p.declared.map(_._1))
+      assert(qd.isEmpty, s"$pn declares duplicate query name(s): $qd")
+      val od = dupNames(p.declaredOracle.map(_._1))
+      assert(od.isEmpty, s"$pn declares duplicate oracle name(s): $od")
+    }
+  }
+
+  test("the duplicate guard catches a planted duplicate") {
+    // guard-of-the-guard: prove the predicate actually fires on the r13
+    // failure shape (same name declared twice inside one pack's Seq)
+    val planted = new graft.engine.QueryPack {
+      def declared = Seq(
+        "q_dup" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+          s.range(1).toDF()),
+        "q_dup" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+          s.range(2).toDF()))
+      def declaredOracle = Seq.empty
+    }
+    assert(dupNames(planted.declared.map(_._1)) == Set("q_dup"))
+    // and the Map view really does collapse it (why the Seq matters)
+    assert(planted.queries.size == 1 && planted.declared.size == 2)
+  }
+
+  // Queries deliberately WITHOUT a DuckDB oracle. Every name here must
+  // carry the reason it is hash-uncheckable AND the spec that verifies it
+  // instead — an empty-reason entry is a coverage hole, not an exemption.
+  // (Inverse of the "oracle entries reference declared queries only" pin:
+  // this is the check whose absence let q_mm_image_dedup ship unverified
+  // in r13.)
+  private val oracleless: Map[String, String] = Map(
+  )
+
+  test("every query has an oracle or a written oracle-less justification") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val unjustified = missing -- oracleless.keySet
+    assert(unjustified.isEmpty,
+      s"queries with neither oracle nor justification: $unjustified")
+    val stale = oracleless.keySet.filter(SparkEntry.oracleSql.contains)
+    assert(stale.isEmpty, s"oracleless allowlist now has oracles: $stale")
+    val blank = oracleless.filter(_._2.trim.isEmpty).keys
+    assert(blank.isEmpty, s"oracleless entries without a reason: $blank")
   }
 
   test("flagship entry returns rows") {

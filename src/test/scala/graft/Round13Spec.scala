@@ -98,17 +98,22 @@ class Round13Spec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
 
   test("q_cohens_kappa replays from the raw classifier frame") {
-    val ya = classifierRows.map { case (nc, _) => if (nc >= 300) 1L else 0L }
-    val yb = classifierRows.map { case (_, sc) => if (sc >= 0) 1L else 0L }
-    val n = ya.length.toDouble
-    val n11 = ya.zip(yb).count { case (a, b) => a == 1 && b == 1 }
-    val n00 = ya.zip(yb).count { case (a, b) => a == 0 && b == 0 }
+    // replays the r12 rater convention (a = classifier score > 0,
+    // b = length gate) — the one q_mcnemar shares; the r14 cleanup
+    // deleted the duplicated r13 variant that had shadowed it
+    val a = classifierRows.map { case (_, sc) => if (sc > 0) 1L else 0L }
+    val b = classifierRows.map { case (nc, _) => if (nc >= 300) 1L else 0L }
+    val n = a.length.toDouble
+    val n11 = a.zip(b).count { case (x, y) => x == 1 && y == 1 }
+    val n00 = a.zip(b).count { case (x, y) => x == 0 && y == 0 }
     val po = (n11 + n00) / n
-    val pa = ya.sum / n; val pb = yb.sum / n
+    val pa = a.sum / n; val pb = b.sum / n
     val pe = pa * pb + (1 - pa) * (1 - pb)
     val row = SparkEntry.queries("q_cohens_kappa")(spark, sfDir).head()
-    assert(row.getAs[Long]("n") == ya.length)
-    assert(row.getAs[Double]("kappa") == q6((po - pe) / (1 - pe)))
+    assert(row.getAs[Long]("n") == a.length)
+    val expect = BigDecimal((po - pe) / (1 - pe))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(row.getAs[Double]("kappa") - expect) < 1e-9)
   }
 
   test("q_log_loss replays: nano-quantized per-row loss mean") {

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-14 additions. First family: the verification the r13
+  * `q_mm_image_dedup` shipped without (VERDICT r13 items 2–4) — the
+  * quad-planted ground truth is replayed end-to-end, the banding's
+  * pigeonhole recall guarantee is pinned against exhaustive expectation,
+  * and the candidate join is pinned equi (no nested-loop/cartesian
+  * fallback at any scale).
+  */
+class Round14Spec extends AnyFunSuite {
+  import SparkFixture.{spark, sfDir}
+
+  private def dedup() =
+    SparkEntry.queries("q_mm_image_dedup")(spark, sfDir)
+
+  test("q_mm_image_dedup recovers exactly the planted quads") {
+    // the corpus plants quads: docs d with equal d/4 share a base image,
+    // each perturbing ~7 of 256 pixels — so ALL C(4,2)=6 within-quad
+    // pairs must surface (500 docs → 125 quads → 750 pairs) and NO
+    // cross-quad pair may (those hashes differ by ~128 bits ≫ τ=24)
+    val rows = dedup().collect()
+    assert(rows.length == 750)
+    rows.foreach { r =>
+      val (d1, d2, h) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(d1 / 4 == d2 / 4, s"cross-quad pair surfaced: $d1, $d2")
+      assert(d1 < d2)
+      assert(h >= 0 && h <= 24, s"hamming out of band: $h")
+    }
+    val quads = rows.groupBy(r => r.getLong(0) / 4)
+    assert(quads.size == 125)
+    assert(quads.values.forall(_.length == 6),
+      "a quad lost a within-quad pair (recall hole)")
+  }
+
+  test("q_mm_image_dedup within-quad distances sit far below τ") {
+    // the bimodal-gap premise: perturbing ~7/256 pixels flips ≤ ~20
+    // aHash bits, so every surfaced distance should clear τ=24 with
+    // margin — a distance AT the threshold would mean the planted
+    // perturbation and τ drifted together and the test lost its power
+    val hs = dedup().select(col("hamming")).collect().map(_.getLong(0))
+    assert(hs.max <= 22, s"within-quad max hamming ${hs.max} too close to τ")
+  }
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("q_fleiss_kappa algebra replays from its own outputs") {
+    val r = run("q_fleiss_kappa").collect().head
+    val (n, m, t1) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(m == 3 && t1 >= 0 && t1 <= 3 * n)
+    val (pbar, pe, k) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    val p1 = t1.toDouble / (3 * n)
+    assert(math.abs(pe - (p1 * p1 + (1 - p1) * (1 - p1))) < 1e-5)
+    assert(pbar >= 0.0 && pbar <= 1.0)
+    assert(math.abs(k - (pbar - pe) / (1 - pe)) < 1e-4)
+    assert(k > -1.0 && k < 1.0)
+  }
+
+  test("q_krippendorff_alpha shares the rater frame with fleiss") {
+    val kr = run("q_krippendorff_alpha").collect().head
+    val fl = run("q_fleiss_kappa").collect().head
+    // same three gates, same corpus → identical positive-rating mass
+    assert(kr.getLong(2) == fl.getLong(2), "n_pos != fleiss t1")
+    val (n, nRat, nPos, nNeg, o2) = (kr.getLong(0), kr.getLong(1),
+      kr.getLong(2), kr.getLong(3), kr.getLong(4))
+    assert(nRat == 3 * n && nPos + nNeg == nRat)
+    val alpha = kr.getDouble(5)
+    val expect = 1.0 - (3.0 * n - 1) * o2 / (2.0 * nPos * nNeg)
+    assert(math.abs(alpha - expect) < 1e-5)
+    assert(alpha > -1.0 && alpha <= 1.0)
+  }
+
+  test("q_hosmer_lemeshow deciles partition the corpus") {
+    val rows = run("q_hosmer_lemeshow").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 9L))
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+    val nPos = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("n_chars") >= 300).count()
+    assert(rows.map(_.getLong(2)).sum == nPos)
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= r.getLong(1))
+      if (!r.isNullAt(4)) assert(r.getDouble(4) >= -1e-9)
+    }
+  }
+
+  test("q_breusch_pagan LM stat is coherent with its decision flag") {
+    val r = run("q_breusch_pagan").collect().head
+    assert(r.getLong(1) == 1) // df
+    val lm = r.getDouble(2)
+    assert(lm >= 0.0)
+    assert(r.getBoolean(3) == (lm > 3.841459))
+  }
+
+  test("q_ndcg is a normalized gain in (0, 1] with dcg <= idcg") {
+    val r = run("q_ndcg").collect().head
+    assert(r.getLong(0) == 20)
+    val (dcg, idcg, ndcg) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(dcg >= 0.0 && idcg > 0.0 && dcg <= idcg + 1e-9)
+    assert(math.abs(ndcg - dcg / idcg) < 1e-4)
+    assert(ndcg > 0.0 && ndcg <= 1.0)
+    // the ideal top-20 replays from the corpus-wide relevance grades:
+    // idcg must equal the DCG of the 20 highest grades in rank order
+    val nrm = regexp_replace(lower(trim(col("text"))),
+      "[ \\t\\n\\f\\r\\x0B]+", " ")
+    val grades = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(((col("n_chars") >= 300L).cast("int") +
+        (size(split(nrm, " ")) >= 56).cast("int")).cast("long").as("rel"))
+      .collect().map(_.getLong(0)).sorted.reverse.take(20)
+    val idcgU = grades.zipWithIndex.map { case (g, i) =>
+      val gain = if (g == 0) 0.0 else if (g == 1) 1.0 else 3.0
+      math.floor(gain / (math.log(i + 2.0) / math.log(2.0)) * 1e6 + 0.5)
+        .toLong
+    }.sum
+    assert(math.abs(idcg - idcgU / 1e6) < 1e-5)
+  }
+
+  test("q_binary_quantize: panel recall readout is structurally sound") {
+    val rows = run("q_binary_quantize").collect()
+    assert(rows.length == 10) // the q_ann_recall probe panel
+    rows.foreach { r =>
+      val (hits, rec) = (r.getLong(1), r.getDouble(2))
+      assert(hits >= 0 && hits <= 5)
+      assert(math.abs(rec - hits / 5.0) < 1e-9)
+      val ham = r.getLong(3)
+      assert(ham >= 0 && ham <= 5L * 64) // 5 neighbors × 64-dim codes
+    }
+  }
+
+  test("q_mm_phash: within-quad DCT-hash distances stay far below 64/2") {
+    val rows = run("q_mm_phash").collect()
+    assert(rows.length == 750) // 125 quads × C(4,2)
+    rows.foreach { r =>
+      assert(r.getLong(0) / 4 == r.getLong(1) / 4)
+      val h = r.getLong(2)
+      // planted ~7-pixel perturbations: aHash pairs measured 1..22
+      // (q_mm_image_dedup); the DCT hash must concentrate at or below
+      // that band — random 64-bit pairs sit at ~32
+      assert(h >= 0 && h <= 24, s"within-quad phash hamming $h")
+    }
+  }
+
+  test("q_mm_image_dedup candidate join stays equi — no NL/cartesian") {
+    // the r13 defect was candidate volume, not candidate mechanism; pin
+    // the mechanism too: banding must reach the executor as a keyed
+    // equi-join, never a nested-loop/cartesian fallback
+    val plan = dedup().queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "cartesian in dedup plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "BNLJ in dedup plan")
+  }
+}
