@@ -34,6 +34,9 @@ case class AHashChunks(doc_id: Long, chunks: Array[Int])
 /** Per-image 64-bit DCT perceptual hash (8×8 low-frequency block). */
 case class PHashRow(doc_id: Long, phash: Long)
 
+/** Per-clip 105-bit Haitsma–Kalker audio fingerprint (two packed words). */
+case class AudioFp(doc_id: Long, h0: Long, h1: Long)
+
 /** Multimodal-column operators: image/audio/video handled as opaque
   * `binary` columns with typed metadata (SURVEY.md §2.2 "Multimodal
   * columns"; the reference stores whole files as opaque payloads —
@@ -516,6 +519,94 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // -- audio fingerprint robustness on planted near-dup clips (r14) -------
+    // The audio half of the perceptual-dedup family (images:
+    // q_mm_image_dedup/q_mm_phash): quads of doc_ids share a base
+    // 1024-sample 8-bit PCM clip (splitmix((d div 4)·2048 + i)), each
+    // doc perturbing ~17 samples (splitmix(d·8192+i+777), p = 1/61).
+    // Every clip round-trips the REAL WAV codec (writeWav →
+    // javax.sound decode — lossless, q_mm_wav_decode's path), then the
+    // classic Haitsma–Kalker fingerprint: 16 frames × 8 integer-DFT
+    // band energies (the shared milli-quantized specBasis — exact
+    // integers), bit(t,k) = sign of the time-difference of adjacent-
+    // band energy differences → 105 bits. Planted separation (measured
+    // at design time AND pinned by Round14Spec): within-quad hamming
+    // 3..23, cross-quad 33..74 — τ = 26 splits the gap. Pairing is
+    // quad-blocked (the planted ground truth; at 100 TB the candidate
+    // step is the image row's banded multi-probe on the packed words).
+    // One codec pass, integer everything, no corpus-wide join.
+    "q_mm_audio_fp" -> ((s, d) => {
+      import s.implicits._
+      val n = 1024
+      val cqA = specBasis.map(_._2).toArray
+      val sqA = specBasis.map(_._3).toArray
+      val fp = Tables.documents(s, d).select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val base = id / 4
+            val pcm = Array.tabulate(n) { i =>
+              val zd = org.apache.spark.sql.graft.NativeExpressions
+                .splitmix64Long(id * 8192L + i + 777L)
+              val v =
+                if (java.lang.Long.remainderUnsigned(zd >>> 8, 61L) == 0L)
+                  (zd >>> 16) & 0xffL
+                else org.apache.spark.sql.graft.NativeExpressions
+                  .splitmix64Long(base * 2048L + i) & 0xffL
+              v.toByte
+            }
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(writeWav(pcm)))
+            val dec = in.readAllBytes()
+            val e = Array.ofDim[Long](16, 8)
+            var f = 0
+            while (f < 16) {
+              var k = 1
+              while (k <= 8) {
+                var re = 0L; var im = 0L; var j = 0
+                while (j < 64) {
+                  val sv = (dec(f * 64 + j) & 0xff) - 128
+                  val m = (k * j) % 64
+                  re += sv * cqA(m); im += sv * sqA(m)
+                  j += 1
+                }
+                e(f)(k - 1) = re * re + im * im
+                k += 1
+              }
+              f += 1
+            }
+            var h0 = 0L; var h1 = 0L
+            var idx = 0; var t = 1
+            while (t < 16) {
+              var k = 0
+              while (k < 7) {
+                val v = (e(t)(k) - e(t)(k + 1)) -
+                  (e(t - 1)(k) - e(t - 1)(k + 1))
+                if (v > 0L) {
+                  if (idx < 64) h0 |= 1L << idx else h1 |= 1L << (idx - 64)
+                }
+                idx += 1; k += 1
+              }
+              t += 1
+            }
+            AudioFp(id, h0, h1)
+          }
+        }
+        .toDF()
+      val a = fp.select(expr("doc_id div 4").as("quad"),
+        col("doc_id").as("d1"), col("h0").as("a0"), col("h1").as("a1"))
+      val b = fp.select(expr("doc_id div 4").as("quad"),
+        col("doc_id").as("d2"), col("h0").as("b0"), col("h1").as("b1"))
+      a.join(b, Seq("quad"))
+        .filter(col("d1") < col("d2"))
+        .select(col("d1"), col("d2"),
+          (expr("bit_count(a0 ^ b0)") + expr("bit_count(a1 ^ b1)"))
+            .cast("long").as("hamming"))
+        .withColumn("is_near", col("hamming") <= 26)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     // -- REAL image resize: decode → NN-downsample → re-encode → decode ----
     // Upgrades q_mm_resize's payload-truncation stand-in to the real
     // thing on the q_mm_png_decode codec path: the 16×16 splitmix image
@@ -884,6 +975,55 @@ object MultimodalQueries extends QueryPack {
          |  FROM h a JOIN h b ON a.doc_id // 4 = b.doc_id // 4
          |    AND a.doc_id < b.doc_id)
          |SELECT d1, d2, hamming FROM pr ORDER BY d1, d2""".stripMargin
+    },
+
+    // lossless WAV ⇒ the decoded PCM is the generated quad-planted
+    // samples; energies replay as the same integer DFT against the
+    // shared specBasis literals; HK bits via lead/lag over the
+    // (frame, band) grid; hamming is an exact integer bit join
+    "q_mm_audio_fp" -> {
+      import graft.engine.OracleHash._
+      val coefVals = specBasis
+        .map { case (m, c, sq) => s"($m, $c, $sq)" }.mkString(", ")
+      s"""WITH coef(m, cq, sq) AS (VALUES $coefVals),
+         |px AS (SELECT doc_id, i,
+         |    CAST(doc_id * 8192 + i + 777 AS UBIGINT) AS sq_,
+         |    CAST((doc_id // 4) * 2048 + i AS UBIGINT) AS sr
+         |  FROM documents, unnest(range(0, 1024)) AS t(i)),
+         |${splitmixStages("px", "doc_id, i, sr", "sq_", "q")},
+         |qq AS (SELECT doc_id, i, sr, z3 AS zq FROM q3_),
+         |${splitmixStages("qq", "doc_id, i, zq", "sr", "r")},
+         |v AS (SELECT doc_id, i // 64 AS t, i % 64 AS j,
+         |    (CASE WHEN (xor(zq, zq >> 31) >> 8) % 61 = 0
+         |      THEN CAST((xor(zq, zq >> 31) >> 16) % 256 AS BIGINT)
+         |      ELSE CAST(xor(z3, z3 >> 31) % 256 AS BIGINT)
+         |    END) - 128 AS sv
+         |  FROM r3_),
+         |fan AS (SELECT doc_id, t, k, (k * j) % 64 AS m, sv
+         |  FROM v CROSS JOIN (SELECT unnest(range(1, 9)) AS k) ks),
+         |e AS (SELECT doc_id, t, k,
+         |    CAST(sum(sv * cq) AS BIGINT) * CAST(sum(sv * cq) AS BIGINT)
+         |    + CAST(sum(sv * sq) AS BIGINT)
+         |      * CAST(sum(sv * sq) AS BIGINT) AS pw
+         |  FROM fan JOIN coef USING (m) GROUP BY 1, 2, 3),
+         |dd AS (SELECT doc_id, t, k, dv FROM (
+         |    SELECT doc_id, t, k,
+         |      pw - lead(pw) OVER (PARTITION BY doc_id, t ORDER BY k)
+         |        AS dv
+         |    FROM e) x WHERE k <= 7),
+         |bits AS (SELECT doc_id, t, k, bit FROM (
+         |    SELECT doc_id, t, k,
+         |      CASE WHEN dv - lag(dv) OVER (PARTITION BY doc_id, k
+         |        ORDER BY t) > 0 THEN 1 ELSE 0 END AS bit
+         |    FROM dd) y WHERE t >= 1),
+         |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |    CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS hamming
+         |  FROM bits a JOIN bits b ON a.t = b.t AND a.k = b.k
+         |    AND a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, hamming, hamming <= 26 AS is_near
+         |FROM pr ORDER BY d1, d2""".stripMargin
     },
 
     // the sampled source index for out-pixel k (row-major over 8×8) is

@@ -52,6 +52,81 @@ object StreamRunner {
                  mode: String): DataFrame =
     runToTableWithWatermark(spark, stream, name, mode)._1
 
+  /** Three-micro-batch late-arrival fixture (q_stream_late_data): the
+    * events table split at the midpoint timestamp T0 = (min+max)/2 µs
+    * into an ON-TIME file (ts ≥ T0, first micro-batch), a 1-row MARKER
+    * file (the max-ts event again — exists only to advance a batch:
+    * Spark applies the watermark to LATE-ROW FILTERING one batch after
+    * it is computed, so the drop must happen two batches after the
+    * on-time data; the duplicate row itself dedupes away), and a LATE
+    * file (ts < T0 — data older than everything already processed, the
+    * production late-arrival shape). File order is pinned by explicit
+    * modTimes (the file source schedules oldest-modTime first);
+    * maxFilesPerTrigger is set by the caller's readStream. Memoized per
+    * corpus dir — the split is deterministic, so rebuilding it per call
+    * would only add write traffic. */
+  private val lateFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def lateFixtureDir(spark: SparkSession, dir: String): String =
+    lateFixtures.computeIfAbsent(dir, { _ =>
+      Tables.ensureConf(spark)
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val evT = Tables.withEventTime(ev)
+      val mm = evT.agg(min(col("ts_us")).as("mn"),
+        max(col("ts_us")).as("mx")).head()
+      val t0 = (mm.getLong(0) + mm.getLong(1)) / 2
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_late_fixture").toFile
+      root.deleteOnExit()
+      def writeOne(df: DataFrame, fname: String, modTime: Long): Unit = {
+        val stage = new java.io.File(root, s"_stage_$fname")
+        df.coalesce(1).write.parquet(stage.toString)
+        val part = stage.listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(root, fname)
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(modTime)
+        stage.listFiles().foreach(_.delete()); stage.delete(); ()
+      }
+      val base = System.currentTimeMillis() - 3600000L
+      val orig = ev.columns.map(col)
+      writeOne(evT.filter(col("ts_us") >= t0).select(orig: _*),
+        "a_ontime.parquet", base)
+      writeOne(evT.filter(col("ts_us") === mm.getLong(1))
+        .select(orig: _*), "m_marker.parquet", base + 30000L)
+      writeOne(evT.filter(col("ts_us") < t0).select(orig: _*),
+        "b_late.parquet", base + 60000L)
+      root.toString
+    })
+
+  /** [[runToTableWithWatermark]] plus the total input rows DROPPED by the
+    * watermark across all micro-batches (the per-batch
+    * `stateOperators.numRowsDroppedByWatermark` metric summed) — the
+    * late-data accounting a production stream alerts on. */
+  def runToTableWithDropped(
+      spark: SparkSession, stream: DataFrame, name: String,
+      mode: String): (DataFrame, Long) = {
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
+    val dropped = try {
+      val q = stream.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+        .map(_.numRowsDroppedByWatermark)
+        .sum
+    } finally conf.set("spark.sql.shuffle.partitions", prev)
+    (spark.table(name), dropped)
+  }
+
   /** [[runToTable]] plus the run's FINAL event-time watermark in epoch
     * micros (None when the query has no watermark or saw no data).
     *

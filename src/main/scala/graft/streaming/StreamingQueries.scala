@@ -297,6 +297,56 @@ object StreamingQueries extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // -- late-data accounting: watermark drops, measured (r14) --------------
+    // The production streaming question none of the other rows answer:
+    // when data arrives LATE — older than what the stream has already
+    // processed — how much does the watermark actually drop? The
+    // three-micro-batch fixture (StreamRunner.lateFixtureDir) replays
+    // the events table split at its midpoint T0: batch 1 processes the
+    // newer half, batch 2 a 1-row marker (Spark applies a freshly
+    // computed watermark to late-row FILTERING one batch later, so the
+    // marker batch is what arms it; the duplicated row dedupes away),
+    // batch 3 delivers the older half late under watermark
+    // W = max(on-time ts)ms − 18 days. dropDuplicates drops every late
+    // row below W (numRowsDroppedByWatermark — the metric a production
+    // stream alerts on); rows in the ~3-day grace band survive and
+    // emit. Output is the one-row audit a pipeline dashboard tracks:
+    // on-time volume, late volume, dropped, late-but-kept, total
+    // emitted — with n_emitted ≡ n_on_time + n_late_kept pinning the
+    // metric against the sink. Deterministic because the split, the
+    // file order, the ms-floored watermark arithmetic and the drop
+    // predicate (event time < W; no corpus event lies within 1 ms of
+    // the boundary) are exact integer functions of the corpus — which
+    // is what lets a DuckDB oracle replay a STREAMING-semantics row.
+    "q_stream_late_data" -> ((s, d) => {
+      val fix = StreamRunner.lateFixtureDir(s, d)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val dd = s.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1") // one file per micro-batch
+        .parquet(fix)
+        .transform(graft.engine.Tables.withEventTime)
+        .withWatermark("ts_t", "18 days")
+        .dropDuplicates("event_id", "ts_t")
+        .select(col("event_id"))
+      val (sink, dropped) = StreamRunner.runToTableWithDropped(
+        s, dd, "g_stream_late_data", "append")
+      val nEmitted = sink.count()
+      val ev = Tables.withEventTime(Tables.events(s, d))
+      val mm = ev.agg(min(col("ts_us")).as("mn"),
+        max(col("ts_us")).as("mx")).head()
+      val t0 = (mm.getLong(0) + mm.getLong(1)) / 2
+      ev.agg(
+          sum((col("ts_us") >= t0).cast("int").cast("long"))
+            .as("n_on_time"),
+          sum((col("ts_us") < t0).cast("int").cast("long"))
+            .as("n_late"))
+        .select(col("n_on_time"), col("n_late"),
+          lit(dropped).as("n_dropped"),
+          (col("n_late") - lit(dropped)).as("n_late_kept"),
+          lit(nEmitted).as("n_emitted"))
+    }),
+
     // -- stream-stream LEFT OUTER interval join ----------------------------
     // Outer rows (clicks with no view in their 30-minute window) can
     // only EMIT once the watermark passes the end of their match window
@@ -627,6 +677,27 @@ object StreamingQueries extends QueryPack {
         |    * ln(((n_cur + 0.5) / (nw + 5.0))
         |        / ((n_ref + 0.5) / (nat + 5.0))), 6) AS psi_term
         |FROM j ORDER BY win_s, bin""".stripMargin,
+
+    // fixture replay in pure SQL: midpoint split, ms-floored watermark,
+    // row-level late predicate (no corpus event within 1 ms of W)
+    "q_stream_late_data" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us FROM events),
+        |m AS (SELECT min(us) AS mn, max(us) AS mx FROM e),
+        |t AS (SELECT (mn + mx) // 2 AS t0 FROM m),
+        |a AS (SELECT us FROM e, t WHERE us >= t0),
+        |b AS (SELECT us FROM e, t WHERE us < t0),
+        |w AS (SELECT (max(us) // 1000) - 18*24*3600*1000 AS wm_ms
+        |  FROM a),
+        |dr AS (SELECT CAST(count(*) AS BIGINT) AS n_dropped
+        |  FROM b, w WHERE us // 1000 < wm_ms)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_on_time,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_late,
+        |  n_dropped,
+        |  CAST((SELECT count(*) FROM b) - n_dropped AS BIGINT)
+        |    AS n_late_kept,
+        |  CAST((SELECT count(*) FROM a) + (SELECT count(*) FROM b)
+        |    - n_dropped AS BIGINT) AS n_emitted
+        |FROM dr""".stripMargin,
 
     "q_stream_tumbling" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_s, event_type,

@@ -142,6 +142,39 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  test("q_stream_late_data: the watermark drops late rows, measurably") {
+    val r = run("q_stream_late_data").collect().head
+    val (onTime, late, dropped, kept, emitted) = (r.getLong(0),
+      r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val total = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(onTime + late == total)
+    // the 18-day delay against a ~30-day corpus leaves a ~3-day grace
+    // band: a real mix of dropped and kept late rows, or the test has
+    // no power
+    assert(dropped > 0, "watermark dropped nothing — fixture broken")
+    assert(kept > 0, "grace band empty — fixture cut in the wrong place")
+    assert(dropped + kept == late)
+    // metric-vs-sink consistency: everything not dropped was emitted
+    assert(emitted == onTime + kept)
+  }
+
+  test("q_mm_audio_fp: within-quad fingerprints sit inside τ=26") {
+    val rows = run("q_mm_audio_fp").collect()
+    assert(rows.length == 750) // 125 quads × C(4,2)
+    rows.foreach { r =>
+      assert(r.getLong(0) / 4 == r.getLong(1) / 4)
+      val h = r.getLong(2)
+      // design-time separation: within-quad 2..25 measured on this
+      // corpus (cross-quad 33..74); 30 leaves regeneration margin
+      assert(h >= 0 && h <= 30, s"within-quad audio hamming $h")
+      assert(r.getBoolean(3) == (h <= 26))
+    }
+    // the bulk must sit FAR below τ or the τ margin is illusory
+    val below = rows.count(_.getLong(2) <= 20)
+    assert(below >= rows.length * 9 / 10,
+      "within-quad hamming mass crept toward τ")
+  }
+
   test("q_mm_image_dedup candidate join stays equi — no NL/cartesian") {
     // the r13 defect was candidate volume, not candidate mechanism; pin
     // the mechanism too: banding must reach the executor as a keyed
