@@ -37,6 +37,10 @@ case class PHashRow(doc_id: Long, phash: Long)
 /** Per-clip 105-bit Haitsma–Kalker audio fingerprint (two packed words). */
 case class AudioFp(doc_id: Long, h0: Long, h1: Long)
 
+/** Per-video scene-cut detection result. */
+case class SceneCut(doc_id: Long, cut_frame: Long, cut_hamming: Long,
+                    n_cuts: Long)
+
 /** Multimodal-column operators: image/audio/video handled as opaque
   * `binary` columns with typed metadata (SURVEY.md §2.2 "Multimodal
   * columns"; the reference stores whole files as opaque payloads —
@@ -607,6 +611,82 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // -- video scene-cut detection on planted two-scene clips (r14) ---------
+    // The video half of the multimodal family: a "video" is a sequence
+    // of frames, and the first curation op every video pipeline runs is
+    // SHOT SEGMENTATION — find the frame where the content changes.
+    // Planted corpus: 8 frames of 8×8 grayscale per doc; frames before
+    // the per-doc cut c = 2 + splitmix(doc·31+5) mod 5 render scene A
+    // (splitmix((doc·2)·4096+i)), the rest scene B ((doc·2+1)·4096+i),
+    // each frame perturbed by ~1 noisy pixel (p = 1/61 — detector must
+    // tolerate noise). Every frame round-trips the REAL PNG codec.
+    // Detector: per-frame 64-bit aHash (exact integer mean threshold),
+    // consecutive-frame hamming, cut where hamming ≥ 16 (within-scene
+    // noise flips ≤ a few bits; scene change ~32). Output: the detected
+    // cut frame, its hamming, and the number of detections (exactly 1
+    // when the detector is right). Narrow per-doc map — one codec pass,
+    // no shuffle beyond the final sort.
+    "q_mm_video_scenecut" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val c = 2 + java.lang.Long.remainderUnsigned(
+              org.apache.spark.sql.graft.NativeExpressions
+                .splitmix64Long(id * 31L + 5L), 5L).toInt
+            val hashes = Array.tabulate(8) { f =>
+              val scene = if (f < c) 0L else 1L
+              val img = new java.awt.image.BufferedImage(8, 8,
+                java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val r = img.getRaster
+              var i = 0
+              while (i < 64) {
+                val zd = org.apache.spark.sql.graft.NativeExpressions
+                  .splitmix64Long(id * 32768L + f * 64L + i + 13L)
+                val v =
+                  if (java.lang.Long.remainderUnsigned(zd >>> 8, 61L)
+                      == 0L) ((zd >>> 16) & 0xffL).toInt
+                  else (org.apache.spark.sql.graft.NativeExpressions
+                    .splitmix64Long((id * 2L + scene) * 4096L + i)
+                    & 0xffL).toInt
+                r.setSample(i % 8, i / 8, 0, v)
+                i += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              val dec = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bos.toByteArray))
+              val r2 = dec.getRaster
+              val pv = Array.tabulate(64)(j =>
+                r2.getSample(j % 8, j / 8, 0).toLong)
+              val sum = pv.sum
+              var h = 0L; var j = 0
+              while (j < 64) {
+                if (pv(j) * 64L > sum) h |= 1L << j
+                j += 1
+              }
+              h
+            }
+            var cutF = -1L; var cutH = -1L; var nCuts = 0L
+            var f = 1
+            while (f < 8) {
+              val hm = java.lang.Long.bitCount(hashes(f) ^ hashes(f - 1))
+              if (hm >= 16) {
+                nCuts += 1
+                if (hm > cutH) { cutH = hm.toLong; cutF = f.toLong }
+              }
+              f += 1
+            }
+            SceneCut(id, cutF, cutH, nCuts)
+          }
+        }
+        .toDF()
+        .orderBy(col("doc_id"))
+    }),
+
     // -- REAL image resize: decode → NN-downsample → re-encode → decode ----
     // Upgrades q_mm_resize's payload-truncation stand-in to the real
     // thing on the q_mm_png_decode codec path: the 16×16 splitmix image
@@ -1024,6 +1104,62 @@ object MultimodalQueries extends QueryPack {
          |  GROUP BY 1, 2)
          |SELECT d1, d2, hamming, hamming <= 26 AS is_near
          |FROM pr ORDER BY d1, d2""".stripMargin
+    },
+
+    // lossless PNG ⇒ regenerate the planted two-scene frames (cut point
+    // from its own splitmix chain, scene + noise streams as in the
+    // Spark loop), re-derive per-frame aHash words, lag-hamming, and
+    // the same earliest-argmax cut selection
+    "q_mm_video_scenecut" -> {
+      import graft.engine.OracleHash._
+      s"""WITH cd_ AS (SELECT doc_id,
+         |    CAST(doc_id * 31 + 5 AS UBIGINT) AS scs FROM documents),
+         |${splitmixStages("cd_", "doc_id", "scs", "c")},
+         |cc AS (SELECT doc_id,
+         |    2 + CAST(xor(z3, z3 >> 31) % 5 AS BIGINT) AS c FROM c3_),
+         |px AS (SELECT doc_id, f, i,
+         |    CAST(doc_id * 32768 + f * 64 + i + 13 AS UBIGINT) AS sn,
+         |    CAST((doc_id * 2 + CASE WHEN f < c THEN 0 ELSE 1 END)
+         |      * 4096 + i AS UBIGINT) AS ss
+         |  FROM cc, unnest(range(0, 8)) tf(f),
+         |    unnest(range(0, 64)) ti(i)),
+         |${splitmixStages("px", "doc_id, f, i, ss", "sn", "q")},
+         |qq AS (SELECT doc_id, f, i, ss, z3 AS zq FROM q3_),
+         |${splitmixStages("qq", "doc_id, f, i, zq", "ss", "r")},
+         |v AS (SELECT doc_id, f, i,
+         |    CASE WHEN (xor(zq, zq >> 31) >> 8) % 61 = 0
+         |      THEN CAST((xor(zq, zq >> 31) >> 16) % 256 AS BIGINT)
+         |      ELSE CAST(xor(z3, z3 >> 31) % 256 AS BIGINT)
+         |    END AS pv
+         |  FROM r3_),
+         |tot AS (SELECT doc_id, f, CAST(sum(pv) AS BIGINT) AS s
+         |  FROM v GROUP BY 1, 2),
+         |w AS (SELECT v.doc_id, v.f,
+         |    bit_or(CASE WHEN pv * 64 > s
+         |      THEN 1::UBIGINT << CAST(i AS INTEGER)
+         |      ELSE 0::UBIGINT END) AS wv
+         |  FROM v JOIN tot ON v.doc_id = tot.doc_id AND v.f = tot.f
+         |  GROUP BY 1, 2),
+         |hm AS (SELECT doc_id, f, hmv FROM (
+         |    SELECT doc_id, f,
+         |      CAST(bit_count(xor(wv, lag(wv) OVER (PARTITION BY doc_id
+         |        ORDER BY f))) AS BIGINT) AS hmv
+         |    FROM w) x WHERE f >= 1),
+         |cuts AS (SELECT doc_id, f, hmv,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY hmv DESC, f ASC) AS rn
+         |  FROM hm WHERE hmv >= 16),
+         |nc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cuts
+         |  FROM cuts GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(c1.f, -1) AS cut_frame,
+         |  coalesce(c1.hmv, -1) AS cut_hamming,
+         |  coalesce(nc.n_cuts, 0) AS n_cuts
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN (SELECT doc_id, f, hmv FROM cuts WHERE rn = 1) c1
+         |  ON d.doc_id = c1.doc_id
+         |LEFT JOIN nc ON d.doc_id = nc.doc_id
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     // the sampled source index for out-pixel k (row-major over 8×8) is

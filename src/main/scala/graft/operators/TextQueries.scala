@@ -497,6 +497,40 @@ object TextQueries extends QueryPack {
         .orderBy(col("split"))
     }),
 
+    // -- split leakage: near-dup pairs straddling the train split (r14) ----
+    // The audit that decides whether a split is USABLE: a near-duplicate
+    // pair with one side in train and the other in valid/test leaks the
+    // evaluation set into training — the classic contamination bug that
+    // inflates benchmarks silently. Pairs come from the exact prefix-
+    // filtered Jaccard miner at 0.7 (the q_dedup_jaccard machinery);
+    // split assignment is the q_hash_split splitmix bucket, so this row
+    // audits the repo's OWN split operator. Output: the pair count per
+    // unordered split-cell with a leaked flag — the dashboard number is
+    // Σ leaked / Σ all. At 100 TB: the miner is the audited blocked
+    // path; the split join is two broadcast-friendly key lookups.
+    "q_split_leakage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = TextDedup.exactJaccardPairs(
+        docs.select(col("doc_id"), col("text")), 0.7)
+      val bucket = pmod(shiftrightunsigned(
+        org.apache.spark.sql.graft.NativeExpressions
+          .splitmix64(col("doc_id")), 8), lit(100))
+      val sp = docs.select(col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "valid")
+          .otherwise("test").as("split"))
+      pairs
+        .join(sp.select(col("doc_id").as("d1"), col("split").as("s1")),
+          "d1")
+        .join(sp.select(col("doc_id").as("d2"), col("split").as("s2")),
+          "d2")
+        .select(least(col("s1"), col("s2")).as("split_a"),
+          greatest(col("s1"), col("s2")).as("split_b"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leaked", col("split_a") =!= col("split_b"))
+        .orderBy(col("split_a"), col("split_b"))
+    }),
+
     // -- within-document repetition (Gopher-style quality signal) ----------
     // Duplicate word-trigram fraction: high values flag boilerplate /
     // degenerate generations. Narrow per-doc map — scales trivially.
@@ -2196,6 +2230,38 @@ object TextQueries extends QueryPack {
            |    * 1000000) // count(*) AS DOUBLE) / 1e6 AS dup_rate
            |FROM documents d LEFT JOIN dd ON d.doc_id = dd.doc_id
            |GROUP BY d.source ORDER BY d.source""".stripMargin,
+      // same 5-shingle pair CTE as q_dup_by_source; split = the
+      // q_hash_split splitmix bucket; unordered cell via least/greatest
+      "q_split_leakage" ->
+        s"""WITH t AS (SELECT doc_id,
+           |    list_distinct(list_transform(
+           |      range(0, greatest(len(string_split($normSql, ' ')) - 4,
+           |        1)),
+           |      i -> array_to_string(string_split($normSql, ' ')[i+1:i+5],
+           |        ' '))) AS toks
+           |  FROM documents),
+           |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+           |      (len(a.toks) + len(b.toks)
+           |       - len(list_intersect(a.toks, b.toks))) >= 0.7),
+           |${graft.engine.OracleHash.splitmixStages("documents",
+              "doc_id", "doc_id::UBIGINT")},
+           |sp AS (SELECT doc_id,
+           |    CASE WHEN (xor(z3, z3 >> 31) >> 8) % 100::UBIGINT
+           |           < 80::UBIGINT THEN 'train'
+           |         WHEN (xor(z3, z3 >> 31) >> 8) % 100::UBIGINT
+           |           < 90::UBIGINT THEN 'valid'
+           |         ELSE 'test' END AS split
+           |  FROM p3_),
+           |lab AS (SELECT least(sa.split, sb.split) AS split_a,
+           |    greatest(sa.split, sb.split) AS split_b
+           |  FROM p JOIN sp sa ON p.d1 = sa.doc_id
+           |  JOIN sp sb ON p.d2 = sb.doc_id)
+           |SELECT split_a, split_b, count(*) AS n_pairs,
+           |  split_a <> split_b AS leaked
+           |FROM lab GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin,
+
       // same FNV shingle family as the dedup twins (OracleHash.shingleCtes)
       "q_novelty" ->
         s"""WITH ${graft.engine.OracleHash.shingleCtes},

@@ -175,6 +175,33 @@ class Round14Spec extends AnyFunSuite {
       "within-quad hamming mass crept toward τ")
   }
 
+  test("q_mm_video_scenecut recovers every planted cut exactly") {
+    val rows = run("q_mm_video_scenecut").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val planted = 2 + java.lang.Long.remainderUnsigned(
+        org.apache.spark.sql.graft.NativeExpressions
+          .splitmix64Long(id * 31L + 5L), 5L)
+      assert(r.getLong(3) == 1, s"doc $id: ${r.getLong(3)} cuts != 1")
+      assert(r.getLong(1) == planted,
+        s"doc $id: detected ${r.getLong(1)} != planted $planted")
+      assert(r.getLong(2) >= 16 && r.getLong(2) <= 64)
+    }
+  }
+
+  test("q_split_leakage cells partition the dup-pair set") {
+    val rows = run("q_split_leakage").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, leaked) = (r.getString(0), r.getString(1),
+        r.getBoolean(3))
+      assert(a <= b) // unordered cell canonicalization
+      assert(leaked == (a != b))
+      assert(r.getLong(2) > 0)
+    }
+  }
+
   test("q_mm_image_dedup candidate join stays equi — no NL/cartesian") {
     // the r13 defect was candidate volume, not candidate mechanism; pin
     // the mechanism too: banding must reach the executor as a keyed
