@@ -588,6 +588,32 @@ object RelationalQueries extends QueryPack {
       s.sql("EXECUTE IMMEDIATE stmt USING 100000")
     }),
 
+    // -- RECURSIVE CTE: hierarchy walk (Spark 4 WITH RECURSIVE) (r14) -------
+    // The iterative-plan surface Spark 4 added and every warehouse
+    // engine has had for years: walk the implicit supplier org chart
+    // (parent = key div 2 — a binary tree over s_suppkey) from every
+    // node to the root, then profile the hierarchy by depth. The
+    // recursion executes as Spark's UnionLoop (one plan iteration per
+    // level, ≤ log₂(max key) rounds — each round a narrow map over the
+    // frontier, so at 100 TB the cost is rounds × frontier scans, never
+    // materialized all-pairs). ANSI-portable: DuckDB runs the same
+    // recursion.
+    "q_recursive_cte" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        """WITH RECURSIVE walk(node, cur, depth) AS (
+          |  SELECT s_suppkey, s_suppkey, 0 FROM supplier
+          |  UNION ALL
+          |  SELECT node, cur div 2, depth + 1 FROM walk WHERE cur > 1
+          |)
+          |SELECT depth AS root_depth,
+          |  count(*) AS n_nodes,
+          |  min(node) AS min_node, max(node) AS max_node
+          |FROM (SELECT node, CAST(max(depth) AS BIGINT) AS depth
+          |      FROM walk GROUP BY node) t
+          |GROUP BY root_depth ORDER BY root_depth""".stripMargin)
+    }),
+
     // -- SQL entry point: GROUP BY ALL / ORDER BY ALL ----------------------
     // The analyst-ergonomics surface both engines grew for exploratory
     // SQL: every non-aggregate select item becomes a grouping key, and
@@ -1204,6 +1230,20 @@ object RelationalQueries extends QueryPack {
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS revenue
         |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin,
+
+    // the identical ANSI recursion; DuckDB's integer // mirrors div
+    "q_recursive_cte" ->
+      """WITH RECURSIVE walk(node, cur, depth) AS (
+        |  SELECT s_suppkey, s_suppkey, 0 FROM supplier
+        |  UNION ALL
+        |  SELECT node, cur // 2, depth + 1 FROM walk WHERE cur > 1
+        |)
+        |SELECT depth AS root_depth,
+        |  count(*) AS n_nodes,
+        |  min(node) AS min_node, max(node) AS max_node
+        |FROM (SELECT node, CAST(max(depth) AS BIGINT) AS depth
+        |      FROM walk GROUP BY node) t
+        |GROUP BY root_depth ORDER BY root_depth""".stripMargin,
 
     // the parameter binds as a value on both engines
     "q_sql_exec" ->

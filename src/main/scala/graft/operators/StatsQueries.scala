@@ -265,6 +265,118 @@ object StatsQueries extends QueryPack {
         .orderBy(col("day"))
     }),
 
+    // -- strength of trend / seasonality (Hyndman F-measures) (r14) ---------
+    // The one-number readouts on top of q_stl_decompose's frame that
+    // decide whether the series is WORTH seasonal modeling:
+    // F_trend = max(0, 1 − Var(R)/Var(T+R)) and
+    // F_seasonal = max(0, 1 − Var(R)/Var(S+R)) over the full-window
+    // days (Hyndman & Athanasopoulos, FPP). Identical integer micro
+    // decomposition as the STL row (shared formulas, exact DECIMAL
+    // moments of the micro residuals); only the final variance ratio is
+    // floating and mirrored. One day-keyed aggregate + bounded windows.
+    "q_seasonal_strength" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val byDay = Tables.eventsWithTime(s, d)
+        .select(expr("ts_us div 86400000000").as("day"),
+          floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+            .as("vq"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("vq")).as("sq"))
+        .withColumn("xm", expr("(sq * 1000) div n"))
+        .withColumn("dow", expr("(day + 3) % 7"))
+      val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      val tr = byDay
+        .withColumn("wc", count(lit(1)).over(w7))
+        .withColumn("swin", sum(col("xm")).over(w7))
+        .withColumn("trend_u",
+          when(col("wc") === 7, expr("swin div 7")))
+      val sdow = tr.filter(col("trend_u").isNotNull)
+        .groupBy(col("dow"))
+        .agg(sum(col("xm") - col("trend_u")).as("sdet"),
+          count(lit(1)).as("cnt"))
+        .select(col("dow"),
+          floor(col("sdet").cast("double") / col("cnt") + lit(0.5))
+            .cast("long").as("s_u"))
+      val m = tr.join(sdow, Seq("dow"))
+        .filter(col("trend_u").isNotNull)
+        .select((col("xm") - col("trend_u") - col("s_u")).as("r"),
+          (col("xm") - col("trend_u")).as("sr"),
+          (col("xm") - col("s_u")).as("tr_"))
+      val mm = m.agg(count(lit(1)).as("n"),
+        sum(dec(col("r"))).as("s1r"),
+        sum(dec(col("r")) * dec(col("r"))).as("s2r"),
+        sum(dec(col("sr"))).as("s1s"),
+        sum(dec(col("sr")) * dec(col("sr"))).as("s2s"),
+        sum(dec(col("tr_"))).as("s1t"),
+        sum(dec(col("tr_")) * dec(col("tr_"))).as("s2t"))
+      val nD = col("n").cast("double")
+      def v(s1: String, s2: String) =
+        nD * col(s2).cast("double") -
+          col(s1).cast("double") * col(s1).cast("double")
+      val vr = v("s1r", "s2r")
+      mm.select(col("n").as("n_days"),
+        when(v("s1t", "s2t") > 0.0,
+          round(greatest(lit(0.0), lit(1.0) - vr / v("s1t", "s2t")), 6))
+          .as("f_trend"),
+        when(v("s1s", "s2s") > 0.0,
+          round(greatest(lit(0.0), lit(1.0) - vr / v("s1s", "s2s")), 6))
+          .as("f_seasonal"))
+    }),
+
+    // -- Kendall's W: concordance of k raters over the day frame (r14) ------
+    // The effect-size companion of q_friedman: do the five event types
+    // agree on WHICH days are busy? Each type ranks the densified day
+    // spine by its daily milli-volume (midranks for ties, kept as
+    // DOUBLED integers so everything stays exact), and
+    // W = 12·S / (k²(n³−n) − k·ΣT) with the standard tie correction
+    // T = Σ(t³−t). Every moment is an exact integer off the bounded
+    // (k × days) grid; only the final ratio is floating and mirrored.
+    // Windows partition by event_type — never a corpus-sized frame.
+    "q_kendall_w" -> ((s, d) => {
+      val byDT = Tables.eventsWithTime(s, d)
+        .select(expr("ts_us div 86400000000").as("day"),
+          col("event_type"),
+          floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+            .as("vq"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("vq")).as("sv"))
+      val days = byDT.select(col("day")).distinct()
+      val types = byDT.select(col("event_type")).distinct()
+      val grid = days.crossJoin(types)
+        .join(byDT, Seq("event_type", "day"), "left")
+        .withColumn("sv", coalesce(col("sv"), lit(0L)))
+      val wT = Window.partitionBy(col("event_type")).orderBy(col("sv"))
+      val wTie = Window.partitionBy(col("event_type"), col("sv"))
+      val ranked = grid
+        .withColumn("rmin", rank().over(wT))
+        .withColumn("tie", count(lit(1)).over(wTie))
+        .withColumn("mr2",
+          lit(2L) * col("rmin") + col("tie") - lit(1L))
+      val perDay = ranked.groupBy(col("day"))
+        .agg(sum(col("mr2")).as("r2"))
+      val ties = ranked.select(col("event_type"), col("sv"), col("tie"))
+        .distinct()
+        .agg(sum(col("tie") * col("tie") * col("tie") - col("tie"))
+          .as("t_tot"))
+      val kn = grid.agg(countDistinct(col("event_type")).as("k"),
+        countDistinct(col("day")).as("n"))
+      val s2 = perDay.crossJoin(broadcast(kn))
+        .select((col("r2") - col("k") * (col("n") + lit(1L))).as("dev"),
+          col("k"), col("n"))
+        .groupBy(col("k"), col("n"))
+        .agg(sum(col("dev") * col("dev")).as("s2sum"))
+      s2.crossJoin(broadcast(ties))
+        .select(col("n").as("n_days"), col("k"),
+          when(col("k") * col("k") *
+            (col("n") * col("n") * col("n") - col("n")) -
+            col("k") * col("t_tot") > 0L,
+            round(lit(3.0) * col("s2sum").cast("double") /
+              (col("k") * col("k") *
+                (col("n") * col("n") * col("n") - col("n")) -
+                col("k") * col("t_tot")).cast("double"), 6))
+            .as("w"))
+    }),
+
     // -- sequential probability ratio test (Wald SPRT) --------------------
     // The streaming-decision primitive batch A/B tests lack: walk the
     // event stream in time order accumulating the Bernoulli
@@ -5933,6 +6045,90 @@ object StatsQueries extends QueryPack {
          |  END AS chi2_term
          |FROM agg ORDER BY decile""".stripMargin
     },
+
+    // densified (type x day) grid; doubled midranks stay integer;
+    // exact tie correction; one mirrored final ratio
+    "q_kendall_w" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq
+        |  FROM events),
+        |bdt AS (SELECT event_type, day, CAST(sum(vq) AS BIGINT) AS sv
+        |  FROM e GROUP BY 1, 2),
+        |grid AS (SELECT t.event_type, d.day,
+        |    coalesce(b.sv, 0) AS sv
+        |  FROM (SELECT DISTINCT day FROM bdt) d
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM bdt) t
+        |  LEFT JOIN bdt b ON b.event_type = t.event_type
+        |    AND b.day = d.day),
+        |rk AS (SELECT event_type, day, sv,
+        |    rank() OVER (PARTITION BY event_type ORDER BY sv) AS rmin,
+        |    count(*) OVER (PARTITION BY event_type, sv) AS tie
+        |  FROM grid),
+        |mr AS (SELECT event_type, day, sv,
+        |    2 * rmin + tie - 1 AS mr2, tie FROM rk),
+        |pd AS (SELECT day, CAST(sum(mr2) AS BIGINT) AS r2
+        |  FROM mr GROUP BY day),
+        |tt AS (SELECT CAST(sum(tie * tie * tie - tie) AS BIGINT)
+        |    AS t_tot
+        |  FROM (SELECT DISTINCT event_type, sv, tie FROM mr) u),
+        |kn AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k,
+        |    CAST(count(DISTINCT day) AS BIGINT) AS n FROM grid),
+        |s2 AS (SELECT k, n,
+        |    CAST(sum((r2 - k * (n + 1)) * (r2 - k * (n + 1)))
+        |      AS BIGINT) AS s2sum
+        |  FROM pd CROSS JOIN kn GROUP BY k, n)
+        |SELECT n AS n_days, k,
+        |  CASE WHEN k * k * (n * n * n - n) - k * t_tot > 0 THEN
+        |    round(3.0e0 * s2sum
+        |      / CAST(k * k * (n * n * n - n) - k * t_tot AS DOUBLE), 6)
+        |  END AS w
+        |FROM s2 CROSS JOIN tt""".stripMargin,
+
+    // identical STL integer chain; variance moments in HUGEINT;
+    // mirrored Hyndman F ratio
+    "q_seasonal_strength" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq
+        |  FROM events),
+        |g AS (SELECT day, count(*) AS n, sum(vq) AS sq
+        |  FROM e GROUP BY day),
+        |g2 AS (SELECT day, n, sq, (sq * 1000) // n AS xm,
+        |    (day + 3) % 7 AS dow FROM g),
+        |t AS (SELECT *,
+        |    CASE WHEN count(*) OVER w7 = 7
+        |      THEN (sum(xm) OVER w7) // 7 END AS trend_u
+        |  FROM g2 WINDOW w7 AS (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |sd AS (SELECT dow, CAST(floor(
+        |    CAST(sum(xm - trend_u) AS DOUBLE) / count(*) + 0.5)
+        |    AS BIGINT) AS s_u
+        |  FROM t WHERE trend_u IS NOT NULL GROUP BY dow),
+        |m AS (SELECT xm - trend_u - s_u AS r, xm - trend_u AS sr,
+        |    xm - s_u AS tr_
+        |  FROM t JOIN sd ON sd.dow = t.dow WHERE trend_u IS NOT NULL),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(r AS HUGEINT)) AS HUGEINT) AS s1r,
+        |    CAST(sum(CAST(r AS HUGEINT) * r) AS HUGEINT) AS s2r,
+        |    CAST(sum(CAST(sr AS HUGEINT)) AS HUGEINT) AS s1s,
+        |    CAST(sum(CAST(sr AS HUGEINT) * sr) AS HUGEINT) AS s2s,
+        |    CAST(sum(CAST(tr_ AS HUGEINT)) AS HUGEINT) AS s1t,
+        |    CAST(sum(CAST(tr_ AS HUGEINT) * tr_) AS HUGEINT) AS s2t
+        |  FROM m),
+        |vv AS (SELECT n,
+        |    CAST(n AS DOUBLE) * CAST(s2r AS DOUBLE)
+        |      - CAST(s1r AS DOUBLE) * CAST(s1r AS DOUBLE) AS vr,
+        |    CAST(n AS DOUBLE) * CAST(s2s AS DOUBLE)
+        |      - CAST(s1s AS DOUBLE) * CAST(s1s AS DOUBLE) AS vs,
+        |    CAST(n AS DOUBLE) * CAST(s2t AS DOUBLE)
+        |      - CAST(s1t AS DOUBLE) * CAST(s1t AS DOUBLE) AS vt
+        |  FROM mm)
+        |SELECT n AS n_days,
+        |  CASE WHEN vt > 0.0e0 THEN
+        |    round(greatest(0.0e0, 1.0e0 - vr / vt), 6) END AS f_trend,
+        |  CASE WHEN vs > 0.0e0 THEN
+        |    round(greatest(0.0e0, 1.0e0 - vr / vs), 6) END AS f_seasonal
+        |FROM vv""".stripMargin,
 
     // day-frame OLS residuals milli-quantized; auxiliary moments of
     // z = e_u^2 folded in HUGEINT; mirrored LM = n*R^2

@@ -202,6 +202,43 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  test("q_recursive_cte depths replay floor(log2) over the key range") {
+    val rows = run("q_recursive_cte").collect()
+    val keys = spark.read.parquet(s"$sfDir/supplier.parquet")
+      .select(col("s_suppkey")).collect().map(_.getLong(0))
+    val expected = keys.groupBy { k =>
+      if (k <= 1) 0L else (63 - java.lang.Long.numberOfLeadingZeros(k)).toLong
+    }.view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap == expected)
+  }
+
+  test("q_seasonal_strength replays from the STL decomposition frame") {
+    val stl = run("q_stl_decompose").collect()
+      .filter(r => !r.isNullAt(4) && !r.isNullAt(5))
+      .map(r => (r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    def popVar(xs: Array[Double]): Double = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    val rem = stl.map { case (x, t, sv) => x - t - sv }
+    val sPlusR = stl.map { case (x, t, _) => x - t }
+    val tPlusR = stl.map { case (x, _, sv) => x - sv }
+    val r = run("q_seasonal_strength").collect().head
+    assert(r.getLong(0) == stl.length)
+    val fT = math.max(0.0, 1.0 - popVar(rem) / popVar(tPlusR))
+    val fS = math.max(0.0, 1.0 - popVar(rem) / popVar(sPlusR))
+    assert(math.abs(r.getDouble(1) - fT) < 1e-4)
+    assert(math.abs(r.getDouble(2) - fS) < 1e-4)
+  }
+
+  test("q_kendall_w is a [0,1] concordance over the full rater grid") {
+    val r = run("q_kendall_w").collect().head
+    assert(r.getLong(1) == 5) // the five event types
+    assert(r.getLong(0) > 0)
+    val w = r.getDouble(2)
+    assert(w >= 0.0 && w <= 1.0)
+  }
+
   test("q_mm_image_dedup candidate join stays equi — no NL/cartesian") {
     // the r13 defect was candidate volume, not candidate mechanism; pin
     // the mechanism too: banding must reach the executor as a keyed
