@@ -2582,6 +2582,55 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("lag"))
     }),
 
+    // -- Ljung–Box portmanteau test on the daily series (r14) ---------------
+    // The decision on top of q_acf's readout: are the first 7
+    // autocorrelations JOINTLY zero, or is the series autocorrelated
+    // enough that the i.i.d. modeling the A/B rows assume is unsafe?
+    // Q = n(n+2)·Σ_{k≤7} r_k²/(n−k), df = 7. Reuses the exact q_acf
+    // chain (scale-free micro deviations, integer lag co-moments); each
+    // r_k²/(n−k) term nano-quantizes BEFORE the sum so the only
+    // cross-row aggregation is integer; the 5% decision compares
+    // against the χ²₇ literal (14.067140) rather than shipping an
+    // incomplete-gamma approximation.
+    "q_ljung_box" -> ((s, d) => {
+      val byDay = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long").as("dd"))
+        .agg(count(lit(1)).as("y"))
+      val g = byDay.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+      val idx = byDay
+        .withColumn("t", row_number().over(Window.orderBy(col("dd")))
+          .cast("long"))
+        .crossJoin(broadcast(g))
+        .withColumn("dq", floor((col("y").cast("double") /
+          (col("sy").cast("double") / col("n").cast("double")) -
+          lit(1.0)) * lit(1e6) + lit(0.5)).cast("long"))
+        .select(col("t"), col("dq"), col("n"))
+      val den = idx.agg(sum(col("dq") * col("dq")).as("den"),
+        max(col("n")).as("n"))
+      val a = idx.withColumn("k", explode(expr("sequence(1, 7)")))
+        .select(col("k").cast("long").as("k"), (col("t") + col("k"))
+          .as("tk"), col("dq").as("dqa"))
+      val pairs = a.join(idx.select(col("t").as("tk"),
+        col("dq").as("dqb")), "tk")
+      val rks = pairs.groupBy(col("k"))
+        .agg(sum(col("dqa") * col("dqb")).as("num"))
+        .crossJoin(broadcast(den))
+        .select(col("k"), col("n"),
+          floor((col("num").cast("double") / col("den").cast("double")) *
+            (col("num").cast("double") / col("den").cast("double")) /
+            (col("n") - col("k")).cast("double") * lit(1e9) +
+            lit(0.5)).cast("long").as("term_u"))
+      rks.groupBy(col("n"))
+        .agg(sum(col("term_u")).as("s_u"))
+        .select(col("n").as("n_days"), lit(7L).as("df"),
+          round(col("n").cast("double") * (col("n") + lit(2L)) *
+            (col("s_u").cast("double") / lit(1e9)), 6).as("q_stat"),
+          (col("n").cast("double") * (col("n") + lit(2L)) *
+            (col("s_u").cast("double") / lit(1e9)) > 14.067140)
+            .as("reject_5pct"))
+    }),
+
     // -- value-pattern profiling (shape mining) ----------------------------
     // The data-profiling classic the FD/cardinality audits don't cover:
     // what SHAPES live in a string column? Each value masks to its
@@ -5343,6 +5392,42 @@ object AnalyticsQueries extends QueryPack {
 
     // scale-free micro-quantized deviations; dense day index; bounded
     // 7-lag fan-out
+    // the q_acf chain with nano-quantized r_k^2/(n-k) terms; chi2_7
+    // literal decision
+    "q_ljung_box" ->
+      """WITH byd AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS sy
+        |  FROM byd),
+        |idx AS (SELECT
+        |    CAST(row_number() OVER (ORDER BY dd) AS BIGINT) AS t,
+        |    CAST(floor((CAST(y AS DOUBLE)
+        |      / (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) - 1.0e0)
+        |      * 1e6 + 0.5e0) AS BIGINT) AS dq
+        |  FROM byd CROSS JOIN g),
+        |den AS (SELECT CAST(sum(dq * dq) AS BIGINT) AS den,
+        |    (SELECT count(*) FROM byd) AS n FROM idx),
+        |a AS (SELECT CAST(k AS BIGINT) AS k, t + k AS tk, dq AS dqa
+        |  FROM idx CROSS JOIN (SELECT unnest(range(1, 8)) AS k) ks),
+        |p AS (SELECT a.k, a.dqa, b.dq AS dqb
+        |  FROM a JOIN idx b ON b.t = a.tk),
+        |rks AS (SELECT k, n,
+        |    CAST(floor((CAST(sum(dqa * dqb) AS DOUBLE)
+        |        / CAST(den AS DOUBLE))
+        |      * (CAST(sum(dqa * dqb) AS DOUBLE) / CAST(den AS DOUBLE))
+        |      / CAST(n - k AS DOUBLE) * 1e9 + 0.5e0) AS BIGINT)
+        |      AS term_u
+        |  FROM p CROSS JOIN den GROUP BY k, n, den)
+        |SELECT n AS n_days, CAST(7 AS BIGINT) AS df,
+        |  round(CAST(n AS DOUBLE) * (n + 2)
+        |    * (CAST(sum(term_u) AS DOUBLE) / 1e9), 6) AS q_stat,
+        |  CAST(n AS DOUBLE) * (n + 2)
+        |    * (CAST(sum(term_u) AS DOUBLE) / 1e9) > 14.067140e0
+        |    AS reject_5pct
+        |FROM rks GROUP BY n""".stripMargin,
+
     "q_acf" ->
       """WITH byd AS (SELECT
         |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,

@@ -3340,6 +3340,42 @@ object StatsQueries extends QueryPack {
         .orderBy(col("decile"))
     }),
 
+    // -- operating-point selection: F1-max and Youden-max thresholds (r14) --
+    // The decision the ROC/lift family stops short of: WHICH score
+    // threshold should the quality gate ship with? Sweep every distinct
+    // classifier score as a candidate cut (predict positive at
+    // score ≥ θ), with cumulative TP/FP off the bounded distinct-score
+    // frame, and report the θ maximizing F1 = 2tp/(pp + P) and the θ
+    // maximizing Youden's J = tp/P − fp/N. Both objectives are
+    // micro-quantized INTEGER divisions, so the argmax comparison can
+    // never flip on float noise between engines; ties break toward the
+    // lower θ (orderBy metric desc, score asc → TakeOrdered).
+    "q_optimal_threshold" -> ((s, d) => {
+      val sc = TextDedup.classifierScored(Tables.documents(s, d),
+          Seq(col("doc_id"), col("n_chars")))
+        .select(col("score"),
+          (col("n_chars") >= 300L).cast("int").cast("long").as("y"))
+      val byS = sc.groupBy(col("score"))
+        .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+      val tot = byS.agg(sum(col("cnt")).as("n"), sum(col("pos")).as("p"))
+      val wD = Window.orderBy(col("score").desc)
+      val cum = byS
+        .withColumn("tp", sum(col("pos")).over(wD))
+        .withColumn("pp", sum(col("cnt")).over(wD))
+        .crossJoin(broadcast(tot))
+        .withColumn("fp", col("pp") - col("tp"))
+        .withColumn("f1_u", expr("(2 * tp * 1000000) div (pp + p)"))
+        .withColumn("youden_u",
+          expr("((tp * (n - p) - fp * p) * 1000000) div (p * (n - p))"))
+      def best(metric: String, name: String) = cum
+        .orderBy(col(metric).desc, col("score").asc).limit(1)
+        .select(lit(name).as("criterion"), col("score").as("threshold"),
+          col("tp"), col("fp"),
+          (col(metric).cast("double") / lit(1e6)).as("metric"))
+      best("f1_u", "f1").unionByName(best("youden_u", "youden"))
+        .orderBy(col("criterion"))
+    }),
+
     // -- Breusch–Pagan heteroscedasticity screen (r14) ----------------------
     // The q_durbin_watson companion on the same daily-volume OLS: do the
     // trend residuals have CONSTANT variance, or does dispersion itself
@@ -6129,6 +6165,39 @@ object StatsQueries extends QueryPack {
         |  CASE WHEN vs > 0.0e0 THEN
         |    round(greatest(0.0e0, 1.0e0 - vr / vs), 6) END AS f_seasonal
         |FROM vv""".stripMargin,
+
+    // distinct-score cumulative sweep; integer micro objectives so the
+    // argmax can never flip on float noise; ties toward the lower theta
+    "q_optimal_threshold" -> {
+      s"""WITH ${OracleHash.classifierScoreCtes("doc_id, n_chars")},
+         |r AS (SELECT score,
+         |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y FROM sc),
+         |g AS (SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(y) AS BIGINT) AS pos FROM r GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         |    CAST(sum(pos) AS BIGINT) AS p FROM g),
+         |cum AS (SELECT score,
+         |    CAST(sum(pos) OVER (ORDER BY score DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS tp,
+         |    CAST(sum(cnt) OVER (ORDER BY score DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS pp
+         |  FROM g),
+         |mx AS (SELECT score, tp, pp - tp AS fp,
+         |    (2 * tp * 1000000) // (pp + p) AS f1_u,
+         |    ((tp * (n - p) - (pp - tp) * p) * 1000000)
+         |      // (p * (n - p)) AS youden_u
+         |  FROM cum CROSS JOIN tot),
+         |bf AS (SELECT 'f1' AS criterion, score AS threshold, tp, fp,
+         |    CAST(f1_u AS DOUBLE) / 1e6 AS metric
+         |  FROM mx ORDER BY f1_u DESC, score ASC LIMIT 1),
+         |by_ AS (SELECT 'youden' AS criterion, score AS threshold, tp,
+         |    fp, CAST(youden_u AS DOUBLE) / 1e6 AS metric
+         |  FROM mx ORDER BY youden_u DESC, score ASC LIMIT 1)
+         |SELECT * FROM bf UNION ALL SELECT * FROM by_
+         |ORDER BY criterion""".stripMargin
+    },
 
     // day-frame OLS residuals milli-quantized; auxiliary moments of
     // z = e_u^2 folded in HUGEINT; mirrored LM = n*R^2

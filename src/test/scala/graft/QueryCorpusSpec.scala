@@ -50,6 +50,7 @@ class QueryCorpusSpec extends AnyFunSuite {
     "q_key_skew",           // count-of-counts frame ≤ max key multiplicity
     "q_quantile_normalize", // distinct-score frame ≤ classifier domain
     "q_hosmer_lemeshow",    // distinct-score frame ≤ classifier domain
+    "q_optimal_threshold",  // distinct-score frame ≤ classifier domain
     "q_holm_bonferroni",    // m-row test frame (q_bh_fdr's class)
     "q_mase_backtest")      // day-calendar series, the q_cusum class
 

@@ -239,6 +239,41 @@ class Round14Spec extends AnyFunSuite {
     assert(w >= 0.0 && w <= 1.0)
   }
 
+  test("q_ljung_box aggregates the ACF it claims to test") {
+    val acf = run("q_acf").collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val lb = run("q_ljung_box").collect().head
+    val n = lb.getLong(0).toDouble
+    assert(lb.getLong(1) == 7)
+    // replay Q from q_acf's own r_k readout (both are 6dp-rounded, so
+    // compare with a tolerance matched to 7 accumulated roundings)
+    val q = n * (n + 2) * acf.map { case (k, r) => r * r / (n - k) }.sum
+    assert(math.abs(lb.getDouble(2) - q) < 0.05)
+    assert(lb.getBoolean(3) == (lb.getDouble(2) > 14.067140))
+  }
+
+  test("q_optimal_threshold picks genuinely maximal operating points") {
+    val rows = run("q_optimal_threshold").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("f1", "youden"))
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(3) >= 0) // tp, fp
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    // brute-force replay: no other threshold beats the reported F1
+    val sc = graft.functions.TextDedup.classifierScored(
+      spark.read.parquet(s"$sfDir/documents.parquet"),
+      Seq(col("doc_id"), col("n_chars")))
+      .select(col("score"), (col("n_chars") >= 300L).cast("long").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val p = sc.map(_._2).sum
+    val f1Best = sc.map(_._1).distinct.map { th =>
+      val tp = sc.count { case (s0, y) => s0 >= th && y == 1 }.toLong
+      val pp = sc.count { case (s0, _) => s0 >= th }.toLong
+      (2 * tp * 1000000L) / (pp + p)
+    }.max
+    assert(rows.head.getDouble(4) == f1Best / 1e6)
+  }
+
   test("q_mm_image_dedup candidate join stays equi — no NL/cartesian") {
     // the r13 defect was candidate volume, not candidate mechanism; pin
     // the mechanism too: banding must reach the executor as a keyed
