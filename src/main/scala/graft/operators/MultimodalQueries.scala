@@ -637,31 +637,41 @@ object MultimodalQueries extends QueryPack {
             val c = 2 + java.lang.Long.remainderUnsigned(
               org.apache.spark.sql.graft.NativeExpressions
                 .splitmix64Long(id * 31L + 5L), 5L).toInt
-            val hashes = Array.tabulate(8) { f =>
-              val scene = if (f < c) 0L else 1L
-              val img = new java.awt.image.BufferedImage(8, 8,
-                java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-              val r = img.getRaster
+            // one 8×64 FILM-STRIP per doc (frame f = rows 8f..8f+7):
+            // a single PNG roundtrip instead of 8 tiny ones — the codec
+            // fixed cost per call dominates at 8×8 (measured 3× wall on
+            // the bench), and PNG losslessness makes the strip
+            // pixel-identical to per-frame encodes, so the oracle's
+            // per-frame replay is unchanged
+            val img = new java.awt.image.BufferedImage(8, 64,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val r = img.getRaster
+            var f0 = 0
+            while (f0 < 8) {
+              val scene = if (f0 < c) 0L else 1L
               var i = 0
               while (i < 64) {
                 val zd = org.apache.spark.sql.graft.NativeExpressions
-                  .splitmix64Long(id * 32768L + f * 64L + i + 13L)
+                  .splitmix64Long(id * 32768L + f0 * 64L + i + 13L)
                 val v =
                   if (java.lang.Long.remainderUnsigned(zd >>> 8, 61L)
                       == 0L) ((zd >>> 16) & 0xffL).toInt
                   else (org.apache.spark.sql.graft.NativeExpressions
                     .splitmix64Long((id * 2L + scene) * 4096L + i)
                     & 0xffL).toInt
-                r.setSample(i % 8, i / 8, 0, v)
+                r.setSample(i % 8, f0 * 8 + i / 8, 0, v)
                 i += 1
               }
-              val bos = new java.io.ByteArrayOutputStream()
-              javax.imageio.ImageIO.write(img, "png", bos)
-              val dec = javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(bos.toByteArray))
-              val r2 = dec.getRaster
+              f0 += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            val dec = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bos.toByteArray))
+            val r2 = dec.getRaster
+            val hashes = Array.tabulate(8) { f =>
               val pv = Array.tabulate(64)(j =>
-                r2.getSample(j % 8, j / 8, 0).toLong)
+                r2.getSample(j % 8, f * 8 + j / 8, 0).toLong)
               val sum = pv.sum
               var h = 0L; var j = 0
               while (j < 64) {

@@ -3340,6 +3340,49 @@ object StatsQueries extends QueryPack {
         .orderBy(col("decile"))
     }),
 
+    // -- peaks-over-threshold GPD tail fit (r14) -----------------------------
+    // The extreme-value companion q_hill_tail's power-law lens misses:
+    // model the event-value tail ABOVE a high threshold with the
+    // Generalized Pareto (the Pickands–Balkema–de Haan limit), fitted
+    // by the closed-form method of moments — ξ = ½(1 − m²/v),
+    // σ = ½·m·(1 + m²/v) over the exceedances y = x − u at u = exact
+    // P95. The threshold comes off the milli-quantized value-domain
+    // frame via Dist.globalPrefixSum (never a single-partition window);
+    // exceedance moments are exact integers; the two estimator
+    // expressions are mirrored doubles. ξ > 0 flags a heavy tail the
+    // capacity-planning rows must respect.
+    "q_gpd_tail" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+          .as("vq"))
+      val counts = e.groupBy(col("vq")).agg(count(lit(1)).as("cnt"))
+        .withColumn("vqd", col("vq").cast("double"))
+      val tot = counts.agg(sum(col("cnt")).as("n"))
+      val u = Dist.globalPrefixSum(counts, "vqd", asc = true,
+          idCol = "vq", weightCol = "cnt",
+          s.sparkContext.defaultParallelism)
+        .crossJoin(broadcast(tot))
+        .filter(col("cum") >= expr("(19 * n + 19) div 20"))
+        .agg(min(col("vq")).as("u"))
+      val exc = e.crossJoin(broadcast(u))
+        .filter(col("vq") > col("u"))
+        .select(col("u"), (col("vq") - col("u")).as("y"))
+      val m = exc.groupBy(col("u"))
+        .agg(count(lit(1)).as("n_exceed"), sum(col("y")).as("sy"),
+          sum(col("y") * col("y")).as("syy"))
+      val nD = col("n_exceed").cast("double")
+      val mean = col("sy").cast("double") / nD
+      val vr = (nD * col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double")) / (nD * nD)
+      m.select(
+        (col("u").cast("double") / lit(1000.0)).as("u"),
+        col("n_exceed"),
+        when(vr > 0.0, round(lit(0.5) * (lit(1.0) - mean * mean / vr), 6))
+          .as("xi"),
+        when(vr > 0.0, round(lit(0.5) * (mean / lit(1000.0)) *
+          (lit(1.0) + mean * mean / vr), 6)).as("sigma"))
+    }),
+
     // -- operating-point selection: F1-max and Youden-max thresholds (r14) --
     // The decision the ROC/lift family stops short of: WHICH score
     // threshold should the quality gate ship with? Sweep every distinct
@@ -6165,6 +6208,40 @@ object StatsQueries extends QueryPack {
         |  CASE WHEN vs > 0.0e0 THEN
         |    round(greatest(0.0e0, 1.0e0 - vr / vs), 6) END AS f_seasonal
         |FROM vv""".stripMargin,
+
+    // value-domain P95 via cumulative counts; exact exceedance moments;
+    // mirrored method-of-moments estimators
+    "q_gpd_tail" ->
+      """WITH e AS (SELECT CAST(floor(value * 1000.0 + 0.5) AS BIGINT)
+        |    AS vq FROM events),
+        |c AS (SELECT vq, count(*) AS cnt FROM e GROUP BY vq),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+        |cu AS (SELECT vq,
+        |    CAST(sum(cnt) OVER (ORDER BY vq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM c),
+        |u AS (SELECT CAST(min(vq) AS BIGINT) AS u FROM cu CROSS JOIN tot
+        |  WHERE cum >= (19 * n + 19) // 20),
+        |exc AS (SELECT u, e.vq - u AS y FROM e CROSS JOIN u
+        |  WHERE e.vq > u),
+        |m AS (SELECT u, CAST(count(*) AS BIGINT) AS n_exceed,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM exc GROUP BY u),
+        |v AS (SELECT u, n_exceed,
+        |    CAST(sy AS DOUBLE) / n_exceed AS mean,
+        |    (CAST(n_exceed AS DOUBLE) * syy
+        |      - CAST(sy AS DOUBLE) * sy)
+        |      / (CAST(n_exceed AS DOUBLE) * n_exceed) AS vr
+        |  FROM m)
+        |SELECT CAST(u AS DOUBLE) / 1000.0e0 AS u, n_exceed,
+        |  CASE WHEN vr > 0.0e0 THEN
+        |    round(0.5e0 * (1.0e0 - mean * mean / vr), 6) END AS xi,
+        |  CASE WHEN vr > 0.0e0 THEN
+        |    round(0.5e0 * (mean / 1000.0e0)
+        |      * (1.0e0 + mean * mean / vr), 6) END AS sigma
+        |FROM v""".stripMargin,
 
     // distinct-score cumulative sweep; integer micro objectives so the
     // argmax can never flip on float noise; ties toward the lower theta

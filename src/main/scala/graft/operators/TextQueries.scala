@@ -1915,6 +1915,32 @@ object TextQueries extends QueryPack {
         .orderBy(col("r"))
     }),
 
+    // -- Chao1 vocabulary richness estimator (r14) ---------------------------
+    // The "how many words exist that we HAVEN'T seen" readout on top of
+    // q_good_turing's count-of-counts frame: Chao1 = S_obs + f1²/(2·f2)
+    // (bias-corrected (f1(f1−1))/(2(f2+1)) when f2 = 0), the standard
+    // species-richness lower bound — for a corpus, the vocabulary a
+    // larger crawl would surface. Exact integer f1/f2/S_obs off one
+    // word-count aggregate; the estimator is one mirrored division.
+    "q_chao1" -> ((s, d) => {
+      val wc = Tables.documents(s, d)
+        .select(explode(split(norm(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("r"))
+      wc.agg(count(lit(1)).as("s_obs"),
+          sum((col("r") === 1L).cast("long")).as("f1"),
+          sum((col("r") === 2L).cast("long")).as("f2"),
+          sum(col("r")).as("n_tokens"))
+        .select(col("n_tokens"), col("s_obs"), col("f1"), col("f2"),
+          round(col("s_obs") +
+            when(col("f2") > 0L,
+              col("f1").cast("double") * col("f1") /
+                (lit(2.0) * col("f2")))
+              .otherwise(col("f1").cast("double") *
+                (col("f1") - lit(1L)) /
+                (lit(2.0) * (col("f2") + lit(1L)))), 6).as("chao1"))
+    }),
+
     // -- word burstiness (variance-to-mean dispersion) ----------------------
     // Church–Gale burstiness: content words clump (a doc that mentions
     // a term mentions it again), function words spread evenly — the
@@ -2261,6 +2287,25 @@ object TextQueries extends QueryPack {
            |SELECT split_a, split_b, count(*) AS n_pairs,
            |  split_a <> split_b AS leaked
            |FROM lab GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin,
+
+      // the q_good_turing word-count frame; mirrored Chao1 division
+      "q_chao1" ->
+        s"""WITH wc AS (SELECT w, count(*) AS r FROM (
+           |    SELECT unnest(string_split($normSql, ' ')) AS w
+           |    FROM documents) t
+           |  WHERE length(w) > 0 GROUP BY 1),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS s_obs,
+           |    CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS f1,
+           |    CAST(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS f2,
+           |    CAST(sum(r) AS BIGINT) AS n_tokens FROM wc)
+           |SELECT n_tokens, s_obs, f1, f2,
+           |  round(s_obs + CASE WHEN f2 > 0
+           |    THEN CAST(f1 AS DOUBLE) * f1 / (2.0e0 * f2)
+           |    ELSE CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0e0 * (f2 + 1))
+           |  END, 6) AS chao1
+           |FROM m""".stripMargin,
 
       // same FNV shingle family as the dedup twins (OracleHash.shingleCtes)
       "q_novelty" ->

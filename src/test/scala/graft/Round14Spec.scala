@@ -274,6 +274,36 @@ class Round14Spec extends AnyFunSuite {
     assert(rows.head.getDouble(4) == f1Best / 1e6)
   }
 
+  test("q_chao1 is a richness lower bound consistent with its own parts") {
+    val r = run("q_chao1").collect().head
+    val (n, sObs, f1, f2) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))
+    assert(n >= sObs && sObs >= f1 + f2)
+    val expect =
+      if (f2 > 0) sObs + f1.toDouble * f1 / (2.0 * f2)
+      else sObs + f1.toDouble * (f1 - 1) / (2.0 * (f2 + 1))
+    assert(math.abs(r.getDouble(4) - expect) < 1e-4)
+    assert(r.getDouble(4) >= sObs.toDouble)
+  }
+
+  test("q_gpd_tail replays from the raw quantized values") {
+    val vq = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+        .as("vq"))
+      .collect().map(_.getLong(0)).sorted
+    val n = vq.length
+    val u = vq((19 * n + 19) / 20 - 1) // min vq with cum >= ceil(0.95n)
+    val exc = vq.filter(_ > u).map(_ - u)
+    val r = run("q_gpd_tail").collect().head
+    assert(r.getDouble(0) == u / 1000.0)
+    assert(r.getLong(1) == exc.length)
+    val m = exc.sum.toDouble / exc.length
+    val v = exc.map(y => (y - m) * (y - m)).sum / exc.length
+    assert(math.abs(r.getDouble(2) - 0.5 * (1 - m * m / v)) < 1e-3)
+    assert(math.abs(r.getDouble(3) - 0.5 * (m / 1000.0) * (1 + m * m / v))
+      < 1e-3)
+  }
+
   test("q_mm_image_dedup candidate join stays equi — no NL/cartesian") {
     // the r13 defect was candidate volume, not candidate mechanism; pin
     // the mechanism too: banding must reach the executor as a keyed
