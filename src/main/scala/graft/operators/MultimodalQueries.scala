@@ -120,6 +120,9 @@ object MultimodalQueries extends QueryPack {
       math.floor(math.cos(math.Pi * (2 * x + 1) * u / 32) * 1000 + 0.5)
         .toLong)
 
+  private[operators] val specCq: Array[Long] = specBasis.map(_._2).toArray
+  private[operators] val specSq: Array[Long] = specBasis.map(_._3).toArray
+
   private[graft] def writeWav(pcm: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](44 + pcm.length)
     val bb = java.nio.ByteBuffer.wrap(out)
@@ -697,6 +700,165 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // -- multimodal curation: image+audio near-dup survivorship (r14) -------
+    // The q_curate_pipeline of the media half: one end-to-end verdict
+    // per document combining BOTH perceptual fingerprints — cull when
+    // the image aHash sits within τ_img = 10 of a SMALLER doc's (the
+    // dominated-by-smaller survivorship rule, stated; τ tighter than
+    // the dedup row's 24 so only the closest variants cull), else cull
+    // when the audio HK fingerprint sits within τ_aud = 12 of a smaller
+    // doc's, else keep. The two modalities fire on genuinely different
+    // subsets (image within-quad distances span 1..22, audio 2..25 —
+    // each threshold bisects its own band). Output: per (source,
+    // verdict) counts — the per-feed accountability readout. Cost: the
+    // two fingerprint passes (each one codec map) + quad-blocked pair
+    // frames; at 100 TB the candidate step is the banded multi-probe
+    // already shipped in q_mm_image_dedup.
+    "q_mm_curate" -> ((s, d) => {
+      import s.implicits._
+      val side = 16
+      // image fingerprints (chunks) — same loop as q_mm_image_dedup
+      val ifp = Tables.documents(s, d).select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val base = id / 4
+            val img = new java.awt.image.BufferedImage(side, side,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val r = img.getRaster
+            var i = 0
+            while (i < side * side) {
+              val zd = org.apache.spark.sql.graft.NativeExpressions
+                .splitmix64Long(id * 4096L + i + 999L)
+              val v =
+                if (java.lang.Long.remainderUnsigned(zd >>> 8, 37L) == 0L)
+                  ((zd >>> 16) & 0xffL).toInt
+                else (org.apache.spark.sql.graft.NativeExpressions
+                  .splitmix64Long(base * 256L + i) & 0xffL).toInt
+              r.setSample(i % side, i / side, 0, v)
+              i += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            val dec = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bos.toByteArray))
+            val r2 = dec.getRaster
+            val pv = new Array[Int](side * side)
+            var sum = 0L
+            var j = 0
+            while (j < side * side) {
+              pv(j) = r2.getSample(j % side, j / side, 0)
+              sum += pv(j)
+              j += 1
+            }
+            val chunks = new Array[Int](32)
+            var c = 0
+            while (c < 32) {
+              var v = 0
+              var b = 0
+              while (b < 8) {
+                if (pv(8 * c + b).toLong * 256L > sum) v |= 1 << b
+                b += 1
+              }
+              chunks(c) = v
+              c += 1
+            }
+            AHashChunks(id, chunks)
+          }
+        }
+        .toDF()
+      val ia = ifp.select(expr("doc_id div 4").as("quad"),
+        col("doc_id").as("d1"), col("chunks").as("ca"))
+      val ib = ifp.select(expr("doc_id div 4").as("quad"),
+        col("doc_id").as("d2"), col("chunks").as("cb"))
+      val imgCull = ia.join(ib, Seq("quad"))
+        .filter(col("d1") < col("d2"))
+        .withColumn("hamming", expr(
+          "aggregate(zip_with(ca, cb, (x, y) -> bit_count(x ^ y))," +
+            " 0, (acc, h) -> acc + h)").cast("long"))
+        .filter(col("hamming") <= 10)
+        .select(col("d2").as("doc_id")).distinct()
+        .withColumn("img_dup", lit(true))
+      // audio fingerprints — same loop as q_mm_audio_fp
+      val afp = Tables.documents(s, d).select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          val cqA = specCq; val sqA = specSq
+          it.map { id =>
+            val base = id / 4
+            val pcm = Array.tabulate(1024) { i =>
+              val zd = org.apache.spark.sql.graft.NativeExpressions
+                .splitmix64Long(id * 8192L + i + 777L)
+              val v =
+                if (java.lang.Long.remainderUnsigned(zd >>> 8, 61L) == 0L)
+                  (zd >>> 16) & 0xffL
+                else org.apache.spark.sql.graft.NativeExpressions
+                  .splitmix64Long(base * 2048L + i) & 0xffL
+              v.toByte
+            }
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(writeWav(pcm)))
+            val dec = in.readAllBytes()
+            val e = Array.ofDim[Long](16, 8)
+            var f = 0
+            while (f < 16) {
+              var k = 1
+              while (k <= 8) {
+                var re = 0L; var im = 0L; var j = 0
+                while (j < 64) {
+                  val sv = (dec(f * 64 + j) & 0xff) - 128
+                  val m = (k * j) % 64
+                  re += sv * cqA(m); im += sv * sqA(m)
+                  j += 1
+                }
+                e(f)(k - 1) = re * re + im * im
+                k += 1
+              }
+              f += 1
+            }
+            var h0 = 0L; var h1 = 0L
+            var idx = 0; var t = 1
+            while (t < 16) {
+              var k = 0
+              while (k < 7) {
+                val v = (e(t)(k) - e(t)(k + 1)) -
+                  (e(t - 1)(k) - e(t - 1)(k + 1))
+                if (v > 0L) {
+                  if (idx < 64) h0 |= 1L << idx else h1 |= 1L << (idx - 64)
+                }
+                idx += 1; k += 1
+              }
+              t += 1
+            }
+            AudioFp(id, h0, h1)
+          }
+        }
+        .toDF()
+      val aa = afp.select(expr("doc_id div 4").as("quad"),
+        col("doc_id").as("d1"), col("h0").as("a0"), col("h1").as("a1"))
+      val ab = afp.select(expr("doc_id div 4").as("quad"),
+        col("doc_id").as("d2"), col("h0").as("b0"), col("h1").as("b1"))
+      val audCull = aa.join(ab, Seq("quad"))
+        .filter(col("d1") < col("d2"))
+        .filter((expr("bit_count(a0 ^ b0)") +
+          expr("bit_count(a1 ^ b1)")).cast("long") <= 12)
+        .select(col("d2").as("doc_id")).distinct()
+        .withColumn("aud_dup", lit(true))
+      Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .join(imgCull, Seq("doc_id"), "left")
+        .join(audCull, Seq("doc_id"), "left")
+        .withColumn("verdict",
+          when(coalesce(col("img_dup"), lit(false)), "cull_image")
+            .when(coalesce(col("aud_dup"), lit(false)), "cull_audio")
+            .otherwise("keep"))
+        .groupBy(col("source"), col("verdict"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("verdict"))
+    }),
+
     // -- REAL image resize: decode → NN-downsample → re-encode → decode ----
     // Upgrades q_mm_resize's payload-truncation stand-in to the real
     // thing on the q_mm_png_decode codec path: the 16×16 splitmix image
@@ -1170,6 +1332,92 @@ object MultimodalQueries extends QueryPack {
          |  ON d.doc_id = c1.doc_id
          |LEFT JOIN nc ON d.doc_id = nc.doc_id
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // both fingerprint chains replayed (image aHash words ≤ τ_img = 10,
+    // audio HK bits ≤ τ_aud = 12, each against SMALLER docs only), then
+    // the same precedence verdict and per-source rollup
+    "q_mm_curate" -> {
+      import graft.engine.OracleHash._
+      val coefVals = specBasis
+        .map { case (m, c, sq) => s"($m, $c, $sq)" }.mkString(", ")
+      s"""WITH px_i AS (SELECT doc_id, i,
+         |    CAST(doc_id * 4096 + i + 999 AS UBIGINT) AS sq,
+         |    CAST((doc_id // 4) * 256 + i AS UBIGINT) AS sr
+         |  FROM documents, unnest(range(0, 256)) AS t(i)),
+         |${splitmixStages("px_i", "doc_id, i, sr", "sq", "iq")},
+         |qqi AS (SELECT doc_id, i, sr, z3 AS zq FROM iq3_),
+         |${splitmixStages("qqi", "doc_id, i, zq", "sr", "ir")},
+         |vi AS (SELECT doc_id, i,
+         |    CASE WHEN (xor(zq, zq >> 31) >> 8) % 37 = 0
+         |      THEN CAST((xor(zq, zq >> 31) >> 16) % 256 AS BIGINT)
+         |      ELSE CAST(xor(z3, z3 >> 31) % 256 AS BIGINT)
+         |    END AS pv
+         |  FROM ir3_),
+         |toti AS (SELECT doc_id, CAST(sum(pv) AS BIGINT) AS s
+         |  FROM vi GROUP BY 1),
+         |bti AS (SELECT vi.doc_id, vi.i,
+         |    CASE WHEN pv * 256 > s THEN 1 ELSE 0 END AS bit
+         |  FROM vi JOIN toti ON vi.doc_id = toti.doc_id),
+         |wi AS (SELECT doc_id, i // 64 AS wid,
+         |    bit_or(CASE WHEN bit = 1
+         |      THEN 1::UBIGINT << CAST(i % 64 AS INTEGER)
+         |      ELSE 0::UBIGINT END) AS wv
+         |  FROM bti GROUP BY 1, 2),
+         |ic AS (SELECT DISTINCT d2 AS doc_id FROM (
+         |    SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |      CAST(sum(bit_count(xor(a.wv, b.wv))) AS BIGINT) AS h
+         |    FROM wi a JOIN wi b ON a.wid = b.wid
+         |      AND a.doc_id // 4 = b.doc_id // 4
+         |      AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2) p WHERE h <= 10),
+         |coef(m, cq, sq2) AS (VALUES $coefVals),
+         |px_a AS (SELECT doc_id, i,
+         |    CAST(doc_id * 8192 + i + 777 AS UBIGINT) AS sq_,
+         |    CAST((doc_id // 4) * 2048 + i AS UBIGINT) AS sr
+         |  FROM documents, unnest(range(0, 1024)) AS t(i)),
+         |${splitmixStages("px_a", "doc_id, i, sr", "sq_", "aq")},
+         |qqa AS (SELECT doc_id, i, sr, z3 AS zq FROM aq3_),
+         |${splitmixStages("qqa", "doc_id, i, zq", "sr", "ar")},
+         |va AS (SELECT doc_id, i // 64 AS tt, i % 64 AS j,
+         |    (CASE WHEN (xor(zq, zq >> 31) >> 8) % 61 = 0
+         |      THEN CAST((xor(zq, zq >> 31) >> 16) % 256 AS BIGINT)
+         |      ELSE CAST(xor(z3, z3 >> 31) % 256 AS BIGINT)
+         |    END) - 128 AS sv
+         |  FROM ar3_),
+         |fan AS (SELECT doc_id, tt, k, (k * j) % 64 AS m, sv
+         |  FROM va CROSS JOIN (SELECT unnest(range(1, 9)) AS k) ks),
+         |ea AS (SELECT doc_id, tt, k,
+         |    CAST(sum(sv * cq) AS BIGINT) * CAST(sum(sv * cq) AS BIGINT)
+         |    + CAST(sum(sv * sq2) AS BIGINT)
+         |      * CAST(sum(sv * sq2) AS BIGINT) AS pw
+         |  FROM fan JOIN coef USING (m) GROUP BY 1, 2, 3),
+         |dda AS (SELECT doc_id, tt, k, dv FROM (
+         |    SELECT doc_id, tt, k,
+         |      pw - lead(pw) OVER (PARTITION BY doc_id, tt ORDER BY k)
+         |        AS dv
+         |    FROM ea) x WHERE k <= 7),
+         |bitsa AS (SELECT doc_id, tt, k, bit FROM (
+         |    SELECT doc_id, tt, k,
+         |      CASE WHEN dv - lag(dv) OVER (PARTITION BY doc_id, k
+         |        ORDER BY tt) > 0 THEN 1 ELSE 0 END AS bit
+         |    FROM dda) y WHERE tt >= 1),
+         |ac AS (SELECT DISTINCT d2 AS doc_id FROM (
+         |    SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |      CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)
+         |        AS BIGINT) AS h
+         |    FROM bitsa a JOIN bitsa b ON a.tt = b.tt AND a.k = b.k
+         |      AND a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2) p WHERE h <= 12)
+         |SELECT d.source,
+         |  CASE WHEN ic.doc_id IS NOT NULL THEN 'cull_image'
+         |       WHEN ac.doc_id IS NOT NULL THEN 'cull_audio'
+         |       ELSE 'keep' END AS verdict,
+         |  count(*) AS n_docs
+         |FROM documents d
+         |LEFT JOIN ic ON d.doc_id = ic.doc_id
+         |LEFT JOIN ac ON d.doc_id = ac.doc_id
+         |GROUP BY 1, 2 ORDER BY source, verdict""".stripMargin
     },
 
     // the sampled source index for out-pixel k (row-major over 8×8) is

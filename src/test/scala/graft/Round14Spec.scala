@@ -304,6 +304,22 @@ class Round14Spec extends AnyFunSuite {
       < 1e-3)
   }
 
+  test("q_mm_curate verdicts partition the corpus; canonicals survive") {
+    val rows = run("q_mm_curate").collect()
+    val byVerdict = rows.groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(byVerdict.values.sum == 500)
+    assert(byVerdict.keySet.subsetOf(
+      Set("keep", "cull_image", "cull_audio")))
+    // the dominated-by-smaller rule can never cull a quad's minimum
+    // doc_id, so at least the 125 canonicals survive
+    assert(byVerdict.getOrElse("keep", 0L) >= 125)
+    // both modalities must actually fire — distinct thresholds bisect
+    // distinct hamming bands, or the composition is degenerate
+    assert(byVerdict.getOrElse("cull_image", 0L) > 0)
+    assert(byVerdict.getOrElse("cull_audio", 0L) > 0)
+  }
+
   test("q_mm_image_dedup candidate join stays equi — no NL/cartesian") {
     // the r13 defect was candidate volume, not candidate mechanism; pin
     // the mechanism too: banding must reach the executor as a keyed
