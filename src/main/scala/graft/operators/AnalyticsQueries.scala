@@ -2631,6 +2631,61 @@ object AnalyticsQueries extends QueryPack {
             .as("reject_5pct"))
     }),
 
+    // -- matrix profile over the daily series (r14) --------------------------
+    // The motif/discord discovery primitive (Yeh et al., ICDM'16,
+    // simplified to the classic exact all-window form): for every
+    // 7-day window of the daily-volume series, the squared Euclidean
+    // distance to its nearest OTHER window (trivial-match exclusion
+    // |a−b| ≥ 4), on mean-centered integer deviations dev = y·7 − Σwin
+    // (scaled by 7 so centering never leaves the integers). The
+    // profile's global minimum marks the series' repeated motif, the
+    // maximum its discord (anomalous week). Every distance is an exact
+    // integer; ties break to the smaller neighbor index. The window
+    // frame is the CALENDAR (≤ a few hundred rows at any corpus size) —
+    // the all-pairs step is day-frame-bounded, the q_cusum class.
+    "q_matrix_profile" -> ((s, d) => {
+      val byDay = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long").as("dd"))
+        .agg(count(lit(1)).as("y"))
+      val idx = byDay
+        .withColumn("t", row_number().over(Window.orderBy(col("dd")))
+          .cast("long"))
+        .select(col("t"), col("y"))
+      val ex = idx
+        .withColumn("off", explode(expr("sequence(0, 6)")))
+        .select((col("t") - col("off")).as("wt"),
+          col("off").cast("long").as("off"), col("y"))
+        .filter(col("wt") >= 1)
+      val sums = ex.groupBy(col("wt"))
+        .agg(count(lit(1)).as("n7"), sum(col("y")).as("sw"))
+        .filter(col("n7") === 7)
+        .select(col("wt"), col("sw"))
+      val devs = ex.join(sums, "wt")
+        .select(col("wt"), col("off"),
+          (col("y") * lit(7L) - col("sw")).as("dev"))
+      val a = devs.select(col("wt").as("ta"), col("off"),
+        col("dev").as("da"))
+      val b = devs.select(col("wt").as("tb"), col("off"),
+        col("dev").as("db"))
+      val d2 = a.join(b, Seq("off"))
+        .filter(abs(col("ta") - col("tb")) >= 4)
+        .groupBy(col("ta"), col("tb"))
+        .agg(sum((col("da") - col("db")) * (col("da") - col("db")))
+          .as("d2"))
+      val wNN = Window.partitionBy(col("ta"))
+        .orderBy(col("d2").asc, col("tb").asc)
+      val prof = d2.withColumn("rn", row_number().over(wNN))
+        .filter(col("rn") === 1)
+        .select(col("ta").as("t"), col("tb").as("nn"), col("d2"))
+      val glob = prof.agg(min(col("d2")).as("mn"), max(col("d2")).as("mx"))
+      prof.crossJoin(broadcast(glob))
+        .select(col("t"), col("nn"), col("d2"),
+          (col("d2") === col("mn")).as("is_motif"),
+          (col("d2") === col("mx")).as("is_discord"))
+        .orderBy(col("t"))
+    }),
+
     // -- value-pattern profiling (shape mining) ----------------------------
     // The data-profiling classic the FD/cardinality audits don't cover:
     // what SHAPES live in a string column? Each value masks to its
@@ -5392,6 +5447,38 @@ object AnalyticsQueries extends QueryPack {
 
     // scale-free micro-quantized deviations; dense day index; bounded
     // 7-lag fan-out
+    // calendar-bounded all-window distances; integer mean-centered
+    // deviations (scaled by 7); ties to the smaller neighbor
+    "q_matrix_profile" ->
+      """WITH byd AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1),
+        |idx AS (SELECT
+        |    CAST(row_number() OVER (ORDER BY dd) AS BIGINT) AS t, y
+        |  FROM byd),
+        |ex AS (SELECT t - off AS wt, CAST(off AS BIGINT) AS off, y
+        |  FROM idx CROSS JOIN (SELECT unnest(range(0, 7)) AS off) o
+        |  WHERE t - off >= 1),
+        |sums AS (SELECT wt, CAST(sum(y) AS BIGINT) AS sw
+        |  FROM ex GROUP BY wt HAVING count(*) = 7),
+        |devs AS (SELECT ex.wt, ex.off,
+        |    CAST(ex.y * 7 - s.sw AS BIGINT) AS dev
+        |  FROM ex JOIN sums s ON ex.wt = s.wt),
+        |d2 AS (SELECT a.wt AS ta, b.wt AS tb,
+        |    CAST(sum((a.dev - b.dev) * (a.dev - b.dev)) AS BIGINT)
+        |      AS d2
+        |  FROM devs a JOIN devs b ON a.off = b.off
+        |    AND abs(a.wt - b.wt) >= 4
+        |  GROUP BY 1, 2),
+        |prof AS (SELECT ta AS t, tb AS nn, d2 FROM (
+        |    SELECT ta, tb, d2, row_number() OVER (PARTITION BY ta
+        |      ORDER BY d2 ASC, tb ASC) AS rn FROM d2) x
+        |  WHERE rn = 1),
+        |g AS (SELECT min(d2) AS mn, max(d2) AS mx FROM prof)
+        |SELECT t, nn, d2, d2 = mn AS is_motif, d2 = mx AS is_discord
+        |FROM prof CROSS JOIN g ORDER BY t""".stripMargin,
+
     // the q_acf chain with nano-quantized r_k^2/(n-k) terms; chi2_7
     // literal decision
     "q_ljung_box" ->

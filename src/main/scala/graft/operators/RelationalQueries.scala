@@ -598,7 +598,7 @@ object RelationalQueries extends QueryPack {
     // frontier, so at 100 TB the cost is rounds × frontier scans, never
     // materialized all-pairs). ANSI-portable: DuckDB runs the same
     // recursion.
-    "q_recursive_cte" -> ((s, d) => {
+    "q_recursive_walk" -> ((s, d) => {
       Tables.registerAll(s, d)
       s.sql(
         """WITH RECURSIVE walk(node, cur, depth) AS (
@@ -1232,7 +1232,7 @@ object RelationalQueries extends QueryPack {
         |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin,
 
     // the identical ANSI recursion; DuckDB's integer // mirrors div
-    "q_recursive_cte" ->
+    "q_recursive_walk" ->
       """WITH RECURSIVE walk(node, cur, depth) AS (
         |  SELECT s_suppkey, s_suppkey, 0 FROM supplier
         |  UNION ALL

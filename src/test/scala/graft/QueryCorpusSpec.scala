@@ -52,7 +52,8 @@ class QueryCorpusSpec extends AnyFunSuite {
     "q_hosmer_lemeshow",    // distinct-score frame ≤ classifier domain
     "q_optimal_threshold",  // distinct-score frame ≤ classifier domain
     "q_holm_bonferroni",    // m-row test frame (q_bh_fdr's class)
-    "q_mase_backtest")      // day-calendar series, the q_cusum class
+    "q_mase_backtest",      // day-calendar series, the q_cusum class
+    "q_matrix_profile")     // day-calendar series, the q_cusum class
 
   test("oracle entries reference declared queries only") {
     val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -202,8 +202,8 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
-  test("q_recursive_cte depths replay floor(log2) over the key range") {
-    val rows = run("q_recursive_cte").collect()
+  test("q_recursive_walk depths replay floor(log2) over the key range") {
+    val rows = run("q_recursive_walk").collect()
     val keys = spark.read.parquet(s"$sfDir/supplier.parquet")
       .select(col("s_suppkey")).collect().map(_.getLong(0))
     val expected = keys.groupBy { k =>
@@ -318,6 +318,32 @@ class Round14Spec extends AnyFunSuite {
     // distinct hamming bands, or the composition is degenerate
     assert(byVerdict.getOrElse("cull_image", 0L) > 0)
     assert(byVerdict.getOrElse("cull_audio", 0L) > 0)
+  }
+
+  test("q_matrix_profile replays by brute force from the day counts") {
+    val days = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy(expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS LONG)")
+        .as("dd"))
+      .agg(count(lit(1)).as("y"))
+      .orderBy(col("dd")).collect().map(_.getLong(1))
+    val n = days.length
+    val wins = (0 to n - 7).map { i =>
+      val s7 = days.slice(i, i + 7).sum
+      days.slice(i, i + 7).map(_ * 7 - s7)
+    }
+    def d2(a: Int, b: Int): Long =
+      wins(a).zip(wins(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expect = wins.indices.map { a =>
+      val cands = wins.indices.filter(b => math.abs(a - b) >= 4)
+        .map(b => (d2(a, b), b + 1L)).min
+      (a + 1L, cands._2, cands._1)
+    }
+    val got = run("q_matrix_profile").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    val flags = run("q_matrix_profile").collect()
+    assert(flags.count(_.getBoolean(3)) >= 1) // motif
+    assert(flags.count(_.getBoolean(4)) >= 1) // discord
   }
 
   test("q_mm_image_dedup candidate join stays equi — no NL/cartesian") {
