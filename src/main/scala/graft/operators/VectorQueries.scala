@@ -602,6 +602,53 @@ object VectorQueries extends QueryPack {
         .orderBy(col("q_id"))
     }),
 
+    // -- asymmetric binary distance (ADC) recall (r14) -----------------------
+    // The standard serve-time upgrade over q_binary_quantize's
+    // symmetric hamming (Jégou et al.'s asymmetric distance, applied to
+    // 1-bit codes): the QUERY stays full-precision and scores
+    // Σᵢ sign(cᵢ)·qᵢ against each candidate's sign bits — same 32×
+    // candidate memory, strictly more information per comparison. Each
+    // per-dimension contribution micro-quantizes to an integer BEFORE
+    // the sum (order-free, engine-portable); ranking is integer-exact
+    // with c_id ties. Measured against the same exact-cosine panel as
+    // the symmetric row — the recall GAP between the two rows is the
+    // documented argument for ADC at serve time.
+    "q_binary_asym" -> ((s, d) => {
+      val base = emb(s, d).withColumn("nrm", Vectors.norm(col("v")))
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qnrm"))
+      val c = base.select(col("vec_id").as("c_id"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+      val pairs = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      val wCos = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_raw").desc, col("c_id").asc)
+      val exact = pairs
+        .withColumn("cos_raw",
+          Vectors.dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
+        .withColumn("rnk", row_number().over(wCos))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("c_id"))
+      val wAsym = Window.partitionBy(col("q_id"))
+        .orderBy(col("score_u").desc, col("c_id").asc)
+      val approx = pairs
+        .withColumn("score_u", expr(
+          "aggregate(zip_with(qv, cv, (x, y) ->" +
+            " CAST(floor((CASE WHEN y >= 0.0D THEN x ELSE -x END)" +
+            " * 1000000.0D + 0.5D) AS BIGINT)), 0L, (acc, t) -> acc + t)"))
+        .withColumn("rnk", row_number().over(wAsym))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("c_id"))
+      val hits = exact.join(approx, Seq("q_id", "c_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      exact.select(col("q_id")).distinct()
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)) / 5.0, 6).as("recall5"))
+        .orderBy(col("q_id"))
+    }),
+
     // -- aggregate ANN recall with error bars (VERDICT r12 item 4) ---------
     // q_ann_recall reports recall PER probe; this is the fleet readout a
     // dashboard tracks: one aggregate recall@5 over the probe panel's
@@ -1810,6 +1857,42 @@ object VectorQueries extends QueryPack {
 
       // exact top-5 (q_sim_topk's shape) intersected with the IVF top-5
       // (q_sim_ivf's two-level CTEs) — per-query hit counts
+      // exact-cosine panel ground truth; per-dimension ADC contributions
+      // micro-quantized before the integer sum (order-free both engines)
+      "q_binary_asym" -> {
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+           |  FROM embeddings),
+           |n AS (SELECT vec_id, vd,
+           |    sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
+           |ex AS (SELECT q_id, c_id FROM (
+           |  SELECT a.vec_id AS q_id, b.vec_id AS c_id, row_number() OVER (
+           |      PARTITION BY a.vec_id
+           |      ORDER BY list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm)
+           |        DESC, b.vec_id ASC) AS rnk
+           |  FROM n a JOIN n b
+           |    ON a.vec_id < 10 AND a.vec_id <> b.vec_id) t
+           |  WHERE rnk <= 5),
+           |ap AS (SELECT q_id, c_id FROM (
+           |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+           |      row_number() OVER (PARTITION BY a.vec_id
+           |        ORDER BY list_sum(list_transform(
+           |          range(1, len(a.vd) + 1),
+           |          i -> CAST(floor((CASE WHEN b.vd[i] >= 0.0e0
+           |            THEN a.vd[i] ELSE -a.vd[i] END)
+           |            * 1000000.0e0 + 0.5e0) AS BIGINT)))
+           |          DESC, b.vec_id ASC) AS rnk
+           |  FROM n a JOIN n b
+           |    ON a.vec_id < 10 AND a.vec_id <> b.vec_id) t
+           |  WHERE rnk <= 5),
+           |h AS (SELECT ex.q_id, count(*) AS n_hits
+           |  FROM ex JOIN ap USING (q_id, c_id) GROUP BY ex.q_id)
+           |SELECT q.q_id, coalesce(h.n_hits, 0) AS n_hits,
+           |  round(coalesce(h.n_hits, 0) / 5.0, 6) AS recall5
+           |FROM (SELECT DISTINCT q_id FROM ex) q
+           |LEFT JOIN h USING (q_id)
+           |ORDER BY q_id""".stripMargin
+      },
+
       // exact-cosine panel ground truth as in q_ann_recall; the binary
       // side is an exact-integer hamming rank — no FP mirroring surface
       "q_binary_quantize" -> {

@@ -53,7 +53,9 @@ class QueryCorpusSpec extends AnyFunSuite {
     "q_optimal_threshold",  // distinct-score frame ≤ classifier domain
     "q_holm_bonferroni",    // m-row test frame (q_bh_fdr's class)
     "q_mase_backtest",      // day-calendar series, the q_cusum class
-    "q_matrix_profile")     // day-calendar series, the q_cusum class
+    "q_matrix_profile",     // day-calendar series, the q_cusum class
+    "q_ljung_box",          // day-calendar series (the q_acf chain)
+    "q_seasonal_strength")  // day-calendar series (the q_stl chain)
 
   test("oracle entries reference declared queries only") {
     val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

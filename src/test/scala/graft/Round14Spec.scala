@@ -129,6 +129,19 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  test("q_binary_asym: ADC recall dominates the symmetric hamming row") {
+    val asym = run("q_binary_asym").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sym = run("q_binary_quantize").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asym.keySet == sym.keySet)
+    // the full-precision query strictly adds information per
+    // comparison, so aggregate recall must not be WORSE — this is the
+    // operator's whole argument
+    assert(asym.values.sum >= sym.values.sum,
+      s"ADC recall ${asym.values.sum} < symmetric ${sym.values.sum}")
+  }
+
   test("q_mm_phash: within-quad DCT-hash distances stay far below 64/2") {
     val rows = run("q_mm_phash").collect()
     assert(rows.length == 750) // 125 quads × C(4,2)
