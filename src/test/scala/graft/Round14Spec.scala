@@ -3,12 +3,17 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Round-14 additions. First family: the verification the r13
-  * `q_mm_image_dedup` shipped without (VERDICT r13 items 2–4) — the
-  * quad-planted ground truth is replayed end-to-end, the banding's
-  * pigeonhole recall guarantee is pinned against exhaustive expectation,
-  * and the candidate join is pinned equi (no nested-loop/cartesian
-  * fallback at any scale).
+/** Round-14 additions: (1) the verification the r13 `q_mm_image_dedup`
+  * shipped without (VERDICT r13 items 2–4) — quad replay, pigeonhole
+  * recall, equi-join pin; (2) replay/consistency specs for every r14
+  * operator — rater agreement (fleiss/krippendorff cross-pin),
+  * calibration (hosmer), heteroscedasticity + portmanteau +
+  * seasonal-strength + concordance time-series rows, NDCG ideal replay,
+  * binary-quantization and ADC recall (with the dominance pin),
+  * perceptual pHash/audio-fingerprint/scene-cut planted-ground-truth
+  * replays, the multimodal curation verdict partition, split leakage,
+  * streaming late-data accounting, recursive-walk depth replay, GPD and
+  * Chao1 algebra replays, and the brute-force matrix-profile replay.
   */
 class Round14Spec extends AnyFunSuite {
   import SparkFixture.{spark, sfDir}
