@@ -3408,8 +3408,14 @@ object StatsQueries extends QueryPack {
         .crossJoin(broadcast(tot))
         .withColumn("fp", col("pp") - col("tp"))
         .withColumn("f1_u", expr("(2 * tp * 1000000) div (pp + p)"))
+        // difference-of-floors rather than the single cross-multiplied
+        // ratio: tp·(n−p) would overflow int64 near n ≈ 3·10⁹ docs; the
+        // two-floor form keeps every intermediate ≤ n·10⁶ (the same
+        // ceiling class as f1_u) and stays a deterministic integer
+        // objective mirrored on both engines (micro error < 2 ulp of
+        // the exact J — immaterial to an argmax over ≥ 1-micro gaps)
         .withColumn("youden_u",
-          expr("((tp * (n - p) - fp * p) * 1000000) div (p * (n - p))"))
+          expr("(tp * 1000000) div p - (fp * 1000000) div (n - p)"))
       def best(metric: String, name: String) = cum
         .orderBy(col(metric).desc, col("score").asc).limit(1)
         .select(lit(name).as("criterion"), col("score").as("threshold"),
@@ -6263,8 +6269,8 @@ object StatsQueries extends QueryPack {
          |  FROM g),
          |mx AS (SELECT score, tp, pp - tp AS fp,
          |    (2 * tp * 1000000) // (pp + p) AS f1_u,
-         |    ((tp * (n - p) - (pp - tp) * p) * 1000000)
-         |      // (p * (n - p)) AS youden_u
+         |    (tp * 1000000) // p
+         |      - ((pp - tp) * 1000000) // (n - p) AS youden_u
          |  FROM cum CROSS JOIN tot),
          |bf AS (SELECT 'f1' AS criterion, score AS threshold, tp, fp,
          |    CAST(f1_u AS DOUBLE) / 1e6 AS metric
