@@ -3324,8 +3324,10 @@ object StatsQueries extends QueryPack {
             .cast("long"))
         .withColumn("cum", sum(col("cnt")).over(wS))
         .crossJoin(broadcast(tot))
-        .withColumn("decile", ((col("cum") - lit(1L)) * lit(10L))
-          .divide(col("n")).cast("long"))
+        // exact integer floor division, mirroring the oracle's `//`:
+        // double-divide-then-cast can flip a bucket boundary once cum
+        // outgrows double's 2^53 integer range
+        .withColumn("decile", expr("((cum - 1) * 10) div n"))
       val ex = col("exp_pos_u").cast("double") / lit(1e6)
       val ngD = col("n_g").cast("double")
       cut.groupBy(col("decile"))
@@ -3414,8 +3416,13 @@ object StatsQueries extends QueryPack {
         // ceiling class as f1_u) and stays a deterministic integer
         // objective mirrored on both engines (micro error < 2 ulp of
         // the exact J — immaterial to an argmax over ≥ 1-micro gaps)
+        // degenerate-label guard: with zero positives (p=0) or zero
+        // negatives (n=p) Youden's J is undefined — Spark's non-ANSI div
+        // would yield NULL while DuckDB's // raises, so both sides gate
+        // explicitly and return a NULL metric row instead of diverging
         .withColumn("youden_u",
-          expr("(tp * 1000000) div p - (fp * 1000000) div (n - p)"))
+          when(col("p") > 0L && col("n") > col("p"),
+            expr("(tp * 1000000) div p - (fp * 1000000) div (n - p)")))
       def best(metric: String, name: String) = cum
         .orderBy(col(metric).desc, col("score").asc).limit(1)
         .select(lit(name).as("criterion"), col("score").as("threshold"),
@@ -3431,10 +3438,11 @@ object StatsQueries extends QueryPack {
     // trend (which silently invalidates the q_group_ols standard
     // errors)? LM = n·R² of e² on the day index. The fit derives from
     // exact DECIMAL moments; residuals milli-quantize on the
-    // calendar-bounded day frame, and every auxiliary moment of
-    // z = e_u² folds in DECIMAL(38,0) (z² ≤ 10²⁰ per day — exact far
-    // past any real calendar). df=1; the 5% decision compares against
-    // the χ²₁ literal rather than shipping an erf approximation.
+    // calendar-bounded day frame, and z = e_u² is rescaled by an exact
+    // mirrored integer K before the auxiliary moments so sum(z²) can
+    // never cross the DECIMAL(38,0) ceiling (see the inline note).
+    // df=1; the 5% decision compares against the χ²₁ literal rather
+    // than shipping an erf approximation.
     "q_breusch_pagan" -> ((s, d) => {
       val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
       val byDay = Tables.events(s, d)
@@ -3458,11 +3466,25 @@ object StatsQueries extends QueryPack {
           col("a") - col("b") * col("dd").cast("double")) * lit(1000.0) +
           lit(0.5)).cast("long"))
         .select(col("dd"), (dec(col("eu")) * dec(col("eu"))).as("z"))
-      val aux = z.agg(count(lit(1)).as("n"),
-        sum(dec(col("dd"))).as("sx"), sum(col("z")).as("sz"),
+      // R² is scale-invariant in z, so rescale z = eu² to ≤ ~2·10¹²
+      // before the auxiliary moments: the raw fourth-power sum
+      // sum(z²) = sum(eu⁴) would cross the decimal(38,0) ceiling once
+      // daily residuals exceed ~3·10⁹ milli-units (plausible at 100 TB
+      // daily volumes) — Spark (non-ANSI) overflows to silent NULL where
+      // the HUGEINT oracle keeps computing. K = max(1, max(z) div 10¹²)
+      // is an exact integer mirrored on both engines, so the rescaled
+      // statistic stays bit-identical across engines; sum(zs²) ≤ n·4·10²⁴
+      // — exact past any real calendar (10¹⁰ days before 10³⁸).
+      val zmx = z.agg(max(col("z")).as("zmx"))
+      val zq = z.crossJoin(broadcast(zmx))
+        .select(col("dd"), expr(
+          "z div greatest(cast(1 as bigint), zmx div 1000000000000)")
+          .as("zs"))
+      val aux = zq.agg(count(lit(1)).as("n"),
+        sum(dec(col("dd"))).as("sx"), sum(dec(col("zs"))).as("sz"),
         sum(dec(col("dd")) * dec(col("dd"))).as("sxx"),
-        sum(dec(col("dd")) * col("z")).as("sxz"),
-        sum(col("z") * col("z")).as("szz"))
+        sum(dec(col("dd")) * dec(col("zs"))).as("sxz"),
+        sum(dec(col("zs")) * dec(col("zs"))).as("szz"))
       val nA = col("n").cast("double")
       val num = nA * col("sxz").cast("double") -
         col("sx").cast("double") * col("sz").cast("double")
@@ -6269,8 +6291,9 @@ object StatsQueries extends QueryPack {
          |  FROM g),
          |mx AS (SELECT score, tp, pp - tp AS fp,
          |    (2 * tp * 1000000) // (pp + p) AS f1_u,
-         |    (tp * 1000000) // p
-         |      - ((pp - tp) * 1000000) // (n - p) AS youden_u
+         |    CASE WHEN p > 0 AND n > p THEN
+         |      (tp * 1000000) // p
+         |        - ((pp - tp) * 1000000) // (n - p) END AS youden_u
          |  FROM cum CROSS JOIN tot),
          |bf AS (SELECT 'f1' AS criterion, score AS threshold, tp, fp,
          |    CAST(f1_u AS DOUBLE) / 1e6 AS metric
@@ -6311,13 +6334,17 @@ object StatsQueries extends QueryPack {
         |      - b * CAST(dd AS DOUBLE)) * 1000.0e0 + 0.5e0) AS HUGEINT)
         |      AS HUGEINT) AS zz
         |  FROM byd CROSS JOIN f2),
+        |zm AS (SELECT max(zz) AS zmx FROM z),
+        |zq AS (SELECT dd, zz // greatest(CAST(1 AS HUGEINT),
+        |    zmx // 1000000000000) AS zs
+        |  FROM z CROSS JOIN zm),
         |aux AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(CAST(dd AS HUGEINT)) AS HUGEINT) AS sx,
-        |    CAST(sum(zz) AS HUGEINT) AS sz,
+        |    CAST(sum(CAST(zs AS HUGEINT)) AS HUGEINT) AS sz,
         |    CAST(sum(CAST(dd AS HUGEINT) * dd) AS HUGEINT) AS sxx,
-        |    CAST(sum(CAST(dd AS HUGEINT) * zz) AS HUGEINT) AS sxz,
-        |    CAST(sum(zz * zz) AS HUGEINT) AS szz
-        |  FROM z),
+        |    CAST(sum(CAST(dd AS HUGEINT) * zs) AS HUGEINT) AS sxz,
+        |    CAST(sum(CAST(zs AS HUGEINT) * zs) AS HUGEINT) AS szz
+        |  FROM zq),
         |fin AS (SELECT n,
         |    CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
         |      - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE) AS num,

@@ -86,7 +86,16 @@ object StreamRunner {
             f.getName.endsWith(".parquet")).get
         val dest = new java.io.File(root, fname)
         java.nio.file.Files.move(part.toPath, dest.toPath)
-        dest.setLastModified(modTime)
+        // the file order IS the fixture: the source schedules
+        // oldest-modTime first, so a silently failed pin would feed the
+        // late file in the wrong batch and test nothing — fail loudly
+        if (!dest.setLastModified(modTime))
+          throw new java.io.IOException(
+            s"lateFixtureDir: could not pin modTime on $dest")
+        // deleteOnExit on the root alone cannot remove a non-empty
+        // directory — register the contents too (reverse order: files
+        // are deleted before their parent on JVM exit)
+        dest.deleteOnExit()
         stage.listFiles().foreach(_.delete()); stage.delete(); ()
       }
       val base = System.currentTimeMillis() - 3600000L
