@@ -117,7 +117,13 @@ object Verify {
             String.valueOf(cause.getMessage).take(500)
           failures(name) = msg
           System.err.println(s"[verify] $name failed: $msg")
-      } finally restoreConfs()
+      } finally {
+        restoreConfs()
+        // release the frames the lambda pinned for its returned plan
+        // (same hook as Bench — the dump JVM runs all 498 queries)
+        graft.engine.Pins.releaseAll()
+        ()
+      }
     }
     pool.shutdownNow()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

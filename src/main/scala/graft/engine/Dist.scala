@@ -130,6 +130,83 @@ object Dist {
       .drop("pid", "__lead_in", "__nf")
   }
 
+  /** Fused [[globalPrefixSum]] + [[globalLead]] over ONE ascending total
+    * order (valueCol asc, idCol asc): adds `outCumCol` — the inclusive
+    * global prefix sum of `weightCol` — and `outLeadCol` — the next
+    * row's `leadCol` (null on the globally last row) — in ONE set of
+    * driver passes. The sweep-line consumer (q_concurrency) previously
+    * ran the two helpers back to back: two persists, two counts, two
+    * boundary samples, two per-range aggregations ≈ 6 bounded actions
+    * over the same frame, which dominated its warm cost (VERDICT r14
+    * item 4). Here the sample is taken once, the per-range weight total
+    * and first-row leadCol come from ONE fused aggregation, and both
+    * outputs ride one broadcast metadata join + one shared-sort window
+    * (same partition/order spec → a single WindowExec). 3 bounded
+    * actions total. `valueCol` must be DOUBLE; `idCol`/`weightCol`/
+    * `leadCol` BIGINT — cast upstream. */
+  def globalPrefixSumWithLead(df: DataFrame, valueCol: String,
+                              idCol: String, weightCol: String,
+                              leadCol: String, outCumCol: String,
+                              outLeadCol: String, p: Int): DataFrame = {
+    def dt(c: String) = df.schema(c).dataType
+    require(dt(valueCol) == org.apache.spark.sql.types.DoubleType,
+      s"globalPrefixSumWithLead: $valueCol is ${dt(valueCol)}, need " +
+      "DOUBLE — cast explicitly upstream")
+    Seq(idCol, weightCol, leadCol).foreach { c =>
+      require(dt(c) == org.apache.spark.sql.types.LongType,
+        s"globalPrefixSumWithLead: $c is ${dt(c)}, need BIGINT — " +
+        "cast upstream")
+    }
+    val spark = df.sparkSession
+    val passes = df.select(col(valueCol), col(idCol), col(weightCol),
+        col(leadCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = passes.count()
+    val boundaries =
+      sampleBoundaries(passes, valueCol, idCol, asc = true, p, n)
+    val pidCol = pidColumn(boundaries, valueCol, idCol, asc = true)
+    // ONE fused per-range pass: the range's weight total (prefix-sum
+    // stitch) AND its in-order first row's leadCol (cross-range lead
+    // stitch) from the same aggregation
+    val rangeRows = passes.withColumn("pid", pidCol)
+      .groupBy(col("pid"))
+      .agg(sum(col(weightCol)).as("t"),
+        min_by(col(leadCol), struct(col(valueCol), col(idCol))).as("fv"))
+      .collect()
+    passes.unpersist(blocking = false)
+    val totals = rangeRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val firsts = rangeRows.map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val nRanges = boundaries.length + 1
+    val offsets = (0 until nRanges)
+      .scanLeft(0L)((acc, pid) => acc + totals.getOrElse(pid, 0L))
+      .take(nRanges)
+    val nextFirst: Seq[Option[Long]] = (0 until nRanges).map { k =>
+      (k + 1 until nRanges).collectFirst {
+        case j if firsts.contains(j) => firsts(j) }
+    }
+    val meta = spark.createDataFrame(
+      java.util.Arrays.asList((0 until nRanges).map { pid =>
+        org.apache.spark.sql.Row(pid, Long.box(offsets(pid)),
+          nextFirst(pid).map(Long.box).orNull) }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__goff",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__nf",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col(valueCol).asc, col(idCol).asc)
+    df.withColumn("pid", pidCol)
+      .join(broadcast(meta), "pid")
+      .withColumn(outCumCol, col("__goff") + coalesce(
+        sum(col(weightCol)).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)), lit(0L)))
+      .withColumn("__lead_in", lead(col(leadCol), 1).over(w))
+      .withColumn(outLeadCol, coalesce(col("__lead_in"), col("__nf")))
+      .drop("pid", "__goff", "__nf", "__lead_in")
+  }
+
   /** ONE deterministic seeded sample of (valueCol, idCol), sorted under
     * the total order, thinned to ≤ p−1 distinct range boundaries. */
   private def sampleBoundaries(passes: DataFrame, valueCol: String,

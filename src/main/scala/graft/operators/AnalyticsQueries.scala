@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.engine.{Dist, QueryPack, Tables}
+import graft.engine.{Dist, Pins, QueryPack, Tables}
+import graft.engine.Pins.PinOps
 
 /** Statistical and behavioral analytics over the star schema + events —
   * second-moment aggregates, event funnels, cohort retention, and
@@ -672,8 +673,7 @@ object AnalyticsQueries extends QueryPack {
       // the canonical Spark shape for iterative graph algorithms
       // (GraphX/Pregel do exactly this); MEMORY_AND_DISK spills rather
       // than OOMs when the edge list outgrows executor memory.
-      val adj = edges.join(deg, "src")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val adj = edges.join(deg, "src").pinned
       var pr = nodes.crossJoin(broadcast(nTotal))
         .select(col("id"), expr(s"${prScale}L div n").as("pr"), col("n"))
       for (_ <- 1 to prIters) {
@@ -687,12 +687,12 @@ object AnalyticsQueries extends QueryPack {
               + expr("(85 * coalesce(c, 0L)) div 100")).as("pr"),
             col("n"))
       }
-      // The cached adjacency is deliberately NOT unpersisted here: the
+      // The cached adjacency is NOT unpersisted inside the lambda: the
       // returned frame is lazy (consumers run it later), so an eager
-      // release would force a localCheckpoint that truncates the plan
-      // (hiding the InMemoryTableScan PlanSpec pins). MEMORY_AND_DISK
-      // entries are LRU-evictable, so an idle cache degrades gracefully;
-      // a long-lived session can call spark.catalog.clearCache().
+      // release would drop the cache before it is ever used. The pin
+      // registers it with Pins; the harness (Bench/Verify) releases it
+      // after materializing — a 498-query bench JVM must not accumulate
+      // every lambda's blocks (VERDICT r14 item 2).
       pr.select(col("id"),
           when(pmod(col("id"), lit(2)) === 0, lit("customer"))
             .otherwise(lit("supplier")).as("node_type"),
@@ -729,8 +729,7 @@ object AnalyticsQueries extends QueryPack {
           lit(1L).as("is_seed"))
       val nSeed = seeds.agg(count(lit(1)).as("ns"))
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      val adj = edges.join(deg, "src")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val adj = edges.join(deg, "src").pinned
       def base = nodes.join(broadcast(seeds), Seq("id"), "left")
         .crossJoin(broadcast(nSeed))
       var pr = base.select(col("id"),
@@ -926,7 +925,7 @@ object AnalyticsQueries extends QueryPack {
         .distinct()
       val edges = e0.union(e0.select(col("dst").as("src"),
           col("src").as("dst")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .pinned
       var dist = Tables.customer(s, d)
         .filter(pmod(col("c_custkey"), lit(50)) === 0)
         .select((col("c_custkey") * 2).as("id"), lit(0L).as("dist"))
@@ -1239,8 +1238,7 @@ object AnalyticsQueries extends QueryPack {
     // Σ deg² and melts on hubs. One wedge self-join + one closure
     // equi-join, all integer, each triangle found exactly once.
     "q_triangle_count" -> ((s, d) => {
-      val e = coEdges(s, d).select(col("p1"), col("p2"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val e = coEdges(s, d).select(col("p1"), col("p2")).pinned
       val deg = e.select(col("p1").as("n")).union(e.select(col("p2")))
         .groupBy(col("n")).agg(count(lit(1)).as("dg"))
       val withDeg = e
@@ -1985,8 +1983,7 @@ object AnalyticsQueries extends QueryPack {
     // dedup pipeline uses; degree sums are two keyed aggregates. The
     // deg_c² sums stay in int64 to m ≈ 10⁹ edges.
     "q_modularity" -> ((s, d) => {
-      val e = coEdges(s, d).select(col("p1"), col("p2"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val e = coEdges(s, d).select(col("p1"), col("p2")).pinned
       val m = e.count()
       val labels = graft.functions.ConnectedComponents.largeSmallStar(
         e.select(col("p1").as("d1"), col("p2").as("d2")))
@@ -3394,8 +3391,7 @@ object AnalyticsQueries extends QueryPack {
       val e0 = Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
-        .distinct()
-        .persist(MEMORY_AND_DISK)
+        .distinct().pinned
       // Each round's frame is persisted and the superseded iterate
       // released (the ConnectedComponents discipline): without it, the
       // normalization aggregate and the next round's join would each
@@ -3404,7 +3400,7 @@ object AnalyticsQueries extends QueryPack {
       // bounded state) folded back in as a literal, which keeps each
       // round at one aggregation job instead of a crossJoin re-plan.
       var hub = e0.select(col("ck")).distinct()
-        .withColumn("h", lit(hitsScale)).persist(MEMORY_AND_DISK)
+        .withColumn("h", lit(hitsScale)).pinned
       var auth: DataFrame = null
       for (_ <- 1 to hitsIters) {
         val a = e0.join(hub, "ck").groupBy(col("sk"))
@@ -3413,8 +3409,7 @@ object AnalyticsQueries extends QueryPack {
         if (auth != null) auth.unpersist(blocking = false)
         auth = a.select(col("sk"),
           expr(s"(CAST($hitsScale AS DECIMAL(38,0)) * araw) div " +
-            s"CAST('$ta' AS DECIMAL(38,0))").as("a"))
-          .persist(MEMORY_AND_DISK)
+            s"CAST('$ta' AS DECIMAL(38,0))").as("a")).pinned
         a.unpersist(blocking = false)
         val h2 = e0.join(auth, "sk").groupBy(col("ck"))
           .agg(sum(dec(col("a"))).as("hraw")).persist(MEMORY_AND_DISK)
@@ -3422,8 +3417,7 @@ object AnalyticsQueries extends QueryPack {
         hub.unpersist(blocking = false)
         hub = h2.select(col("ck"),
           expr(s"(CAST($hitsScale AS DECIMAL(38,0)) * hraw) div " +
-            s"CAST('$th' AS DECIMAL(38,0))").as("h"))
-          .persist(MEMORY_AND_DISK)
+            s"CAST('$th' AS DECIMAL(38,0))").as("h")).pinned
         h2.unpersist(blocking = false)
       }
       val hubs = hub.select(lit("hub").as("role"), col("ck").as("id"),
@@ -3445,8 +3439,7 @@ object AnalyticsQueries extends QueryPack {
     // shape); nodes whose wedges close nowhere still report cc = 0 via
     // the left join — absence of triangles is a value, not a dropped row.
     "q_clustering_coef" -> ((s, d) => {
-      val e = coEdges(s, d).select(col("p1"), col("p2"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val e = coEdges(s, d).select(col("p1"), col("p2")).pinned
       val deg = e.select(col("p1").as("n")).union(e.select(col("p2")))
         .groupBy(col("n")).agg(count(lit(1)).as("dg"))
       val withDeg = e

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{Dist, QueryPack, Tables}
+import graft.engine.Pins.PinOps
 import graft.plans.AsOfJoin
 
 /** Event-time operators over the `events` table, run in batch mode with the
@@ -497,8 +498,8 @@ object EventQueries extends QueryPack {
     // deltas under the global boundary order, and per-level durations
     // come from the gap to the next boundary — sort + prefix sum + lead,
     // all linear. Neither global window runs single-partition:
-    // [[Dist.globalPrefixSum]] carries the level and the new
-    // [[Dist.globalLead]] the segment end. Tie contract: boundary sort
+    // [[Dist.globalPrefixSumWithLead]] carries the level AND the segment
+    // end off one fused range pass. Tie contract: boundary sort
     // key is us·2 for starts and us·2+1 for ends (starts first at equal
     // timestamps — a session touching an instant counts at it), session
     // id tiebreak; us·2+1 stays under 2⁵³ so the DOUBLE sort key is
@@ -520,12 +521,11 @@ object EventQueries extends QueryPack {
           max(col("ts_us")).as("end_us"))
         .withColumn("sid",
           col("user_id") * lit(100000L) + col("session_seq"))
-      // persist the boundary frame (2 rows/session — orders of magnitude
-      // below the event scan) across the Dist helpers' internal passes:
-      // each of their ~6 bounded actions would otherwise re-run the
-      // sessionize window shuffle (the q_graph_bfs persisted-edges
-      // lesson; measured 5.9 → 4.3 s warm at sf0.1, 16.1 → 13.0 at sf1 —
-      // the remaining cost is the helpers' fixed job count, not data)
+      // pin the boundary frame (2 rows/session — orders of magnitude
+      // below the event scan) across the Dist helper's internal passes:
+      // each bounded action would otherwise re-run the sessionize window
+      // shuffle (the q_graph_bfs persisted-edges lesson); released by
+      // the harness via Pins after materialization
       val b = sess.select(
           (col("start_us") * 2).cast("double").as("sortv"),
           (col("sid") * 2).as("bid"), lit(1L).as("delta"),
@@ -533,11 +533,13 @@ object EventQueries extends QueryPack {
         .union(sess.select(
           (col("end_us") * 2 + 1).cast("double").as("sortv"),
           (col("sid") * 2 + 1).as("bid"), lit(-1L).as("delta"),
-          col("end_us").as("us")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val lev = Dist.globalPrefixSum(b, "sortv", asc = true,
-        idCol = "bid", weightCol = "delta", p = 32)
-      Dist.globalLead(lev, "sortv", "bid", "us", "next_us", p = 32)
+          col("end_us").as("us"))).pinned
+      // fused prefix-sum + lead (one sample, one per-range pass, one
+      // shared-sort window — VERDICT r14 item 4 trimmed the helper job
+      // count from ~6 bounded actions to 3)
+      Dist.globalPrefixSumWithLead(b, "sortv", "bid",
+          weightCol = "delta", leadCol = "us",
+          outCumCol = "cum", outLeadCol = "next_us", p = 32)
         .filter(col("next_us").isNotNull)
         .groupBy(col("cum"))
         .agg(count(lit(1)).as("n_segments"),

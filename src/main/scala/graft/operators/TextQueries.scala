@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.NativeExpressions
 import graft.engine.{Dist, QueryPack, Tables}
+import graft.engine.Pins.PinOps
 import graft.functions.TextDedup
 
 /** Text-analysis + deduplication operators over `documents`
@@ -756,8 +757,7 @@ object TextQueries extends QueryPack {
           NativeExpressions.sentences(col("t")).as(Seq("pos", "sentence")))
         .select(col("doc_id"), col("pos").cast("long").as("sid"),
           col("sentence"),
-          array_distinct(split(norm(col("sentence")), " ")).as("ws"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          array_distinct(split(norm(col("sentence")), " ")).as("ws")).pinned
       val ns = base.groupBy(col("doc_id")).agg(count(lit(1)).as("n_s"))
       val edges = base.select(col("doc_id"), col("sid").as("i"),
           col("ws").as("wi"))
@@ -767,8 +767,7 @@ object TextQueries extends QueryPack {
         .withColumn("w",
           size(array_intersect(col("wi"), col("wj"))).cast("long"))
         .filter(col("w") >= 1)
-        .select(col("doc_id"), col("i"), col("j"), col("w"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .select(col("doc_id"), col("i"), col("j"), col("w")).pinned
       val wdeg = edges.groupBy(col("doc_id"), col("i"))
         .agg(sum(col("w")).as("wdeg"))
         .withColumnRenamed("i", "j")
@@ -1109,13 +1108,12 @@ object TextQueries extends QueryPack {
       // persisted: the shingle+distinct pipeline feeds both self-join
       // sides AND the size aggregation (different partitioning, so
       // exchange reuse can't cover it) — the q_textrank/q_graph_bfs
-      // static-frame lesson; left cached for the lazily-run returned
-      // plan per the repo convention
+      // static-frame lesson; pinned for the lazily-run returned plan,
+      // released by the harness via Pins
       val ss = Tables.documents(s, d)
         .select(col("source"),
           explode(TextDedup.wordShingles(col("text"))).as("tok"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .distinct().pinned
       val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("sz"))
       ss.join(ss.select(col("source").as("s2"), col("tok")), "tok")
         .filter(col("source") < col("s2"))
@@ -2017,12 +2015,11 @@ object TextQueries extends QueryPack {
       // the mined pair frame feeds BOTH aggregate branches (pair counts
       // and the endpoint-distinct leg) — persist it so the prefix-filter
       // mining runs once, not once per branch (bounded: pairs only, far
-      // smaller than the corpus; lazy consumer, LRU-evictable — the
-      // q_pagerank caching pattern)
+      // smaller than the corpus; lazy consumer — pinned, released by the
+      // harness via Pins per the q_pagerank pattern)
       val pairs = TextDedup.exactJaccardPairs(docs, 0.5)
         .withColumn("jq",
-          floor(col("jacc") * lit(1e6) + lit(0.5)).cast("long"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          floor(col("jacc") * lit(1e6) + lit(0.5)).cast("long")).pinned
       val thrs = Seq(500000L, 700000L, 900000L).toDF("thr_u")
       val f = pairs.crossJoin(broadcast(thrs))
         .filter(col("jq") >= col("thr_u"))

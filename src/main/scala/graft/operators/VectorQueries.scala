@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{QueryPack, SharedArtifacts, Tables}
+import graft.engine.Pins.PinOps
 import graft.functions.Vectors
 
 /** Similarity search over the `embeddings` table (SURVEY.md §2.2
@@ -1248,7 +1249,7 @@ object VectorQueries extends QueryPack {
           x => floor((greatest(x.cast("double"), lit(-1.0)) + lit(1.0)) *
             lit(1000000.0)).cast("long")).as("q"))
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .pinned
       def assign(cent: DataFrame): DataFrame = pts
         .crossJoin(broadcast(cent))
         .select(col("vec_id"), col("q"),
@@ -1272,7 +1273,8 @@ object VectorQueries extends QueryPack {
             x => x.getField("cv")).as("cq"))
       }
       // like q_pagerank's adjacency, the quantized points stay cached
-      // (lazy consumer; LRU-evictable; clearCache() for long sessions)
+      // for the lazy consumer; the Pins registry releases the blocks
+      // once the harness has materialized the returned plan
       assign(cent)
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n_points"),
