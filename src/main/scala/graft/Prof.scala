@@ -16,6 +16,9 @@ object Prof {
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(s, d).write.format("noop").mode("overwrite").save()
       println(f"$q run$i: ${(System.nanoTime()-t0)/1e9}%.2f s")
+      // mirror Bench's per-query pin release so each run measures the
+      // full operator (codec pass included), not a cache-reuse artifact
+      graft.engine.Pins.releaseAll()
     }
   }
 }

@@ -553,6 +553,11 @@ object MultimodalQueries extends QueryPack {
       // consumer re-runs the PNG encode+decode+hash map (~3 full codec
       // scans at 100 TB where 1 suffices). Released by the harness.
       val fp = Pins.pin(imageAHashChunks(s, d))
+      // eager: populate the cache in ONE pass before the three readers
+      // below share a job — concurrent scans of a cold cached partition
+      // can each recompute it (cache-put races), silently re-paying the
+      // codec per reader
+      fp.count()
       val bands = fp.withColumn("bands", expr(
         "transform(sequence(0, 15)," +
           " j -> chunks[2*j] + shiftleft(chunks[2*j+1], 8))"))
