@@ -109,6 +109,64 @@ object StreamRunner {
       root.toString
     })
 
+  /** Bounded run for PROCESSING-TIME-mode stateful queries
+    * (transformWithState with TimeMode.ProcessingTime — the mode state
+    * TTL requires): under processing-time mode the engine ALWAYS
+    * schedules another micro-batch to advance the clock for timers/TTL
+    * (`shouldRunAnotherBatch` is unconditionally true), so BOTH
+    * `Trigger.AvailableNow` and `processAllAvailable()` spin forever
+    * (measured: 330 empty epochs in 2 minutes on a 3-file source; the
+    * drain flag never sets because the clock offset always advances).
+    * This runner instead counts COMMITTED input rows through a
+    * progress listener — onQueryProgress fires after each batch's sink
+    * commit, with no eviction (unlike the bounded `recentProgress`
+    * buffer) — and stops the query once `expectedRows` have landed.
+    * The extra empty batches the clock mode runs are harmless: no input
+    * keys → no emissions → the sink is a pure function of the data
+    * batches. */
+  def runToTableUntilInput(spark: SparkSession, stream: DataFrame,
+                           name: String, mode: String,
+                           expectedRows: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
+    val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        // match on the (run-unique) sink name: the query's runId is not
+        // yet visible to this callback if the first batch outraces start()
+        if (e.progress.name == name &&
+            seen.addAndGet(e.progress.numInputRows) >= expectedRows)
+          done.countDown()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val q = stream.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+      try {
+        if (!done.await(180, java.util.concurrent.TimeUnit.SECONDS))
+          throw new IllegalStateException(
+            s"runToTableUntilInput($name): only ${seen.get()} of " +
+            s"$expectedRows input rows committed within 180s")
+      } finally q.stop()
+    } finally {
+      spark.streams.removeListener(listener)
+      conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    spark.table(name)
+  }
+
   /** [[runToTableWithWatermark]] plus the total input rows DROPPED by the
     * watermark across all micro-batches (the per-batch
     * `stateOperators.numRowsDroppedByWatermark` metric summed) — the

@@ -40,6 +40,42 @@ class MaxProcessor extends StatefulProcessor[Long, (Long, Double), UserMax] {
   }
 }
 
+/** Per-key emission from the TTL processor: the TTL'd per-batch count
+  * next to the persistent running total. */
+case class TtlEmit(user_id: Long, batch_n: Long, total_n: Long)
+
+/** State-TTL demo processor (Spark 4 `transformWithState` TTL surface):
+  * two ValueStates over the same key — `perBatch` carries a 1 ms
+  * processing-time TTL, `total` carries none. Micro-batch scheduling
+  * gaps are always ≫ 1 ms (each batch pays planning + task scheduling),
+  * so the TTL'd value written in batch k is expired by batch k+1 —
+  * deterministic per-batch reset — while `total` accumulates across the
+  * run. The consumer asserts the reset arithmetically:
+  * Σ batch_n over a key's emissions equals its final total IFF the TTL
+  * state never leaked across batches. */
+class TtlCountProcessor extends StatefulProcessor[Long, Long, TtlEmit] {
+  @transient private var perBatch: ValueState[Long] = _
+  @transient private var total: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    perBatch = getHandle.getValueState[Long]("perBatch",
+      Encoders.scalaLong, TTLConfig(java.time.Duration.ofMillis(1)))
+    total = getHandle.getValueState[Long]("total",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Long],
+                               timerValues: TimerValues): Iterator[TtlEmit] = {
+    var n = 0L
+    rows.foreach(_ => n += 1)
+    val b = (if (perBatch.exists()) perBatch.get() else 0L) + n
+    val t = (if (total.exists()) total.get() else 0L) + n
+    perBatch.update(b)
+    total.update(t)
+    Iterator.single(TtlEmit(key, b, t))
+  }
+}
+
 /** Structured Streaming operators (SURVEY.md §2.2 "Streaming"), each run
   * bounded via [[StreamRunner]] (file source → memory sink →
   * `Trigger.AvailableNow`) so results are hash-checkable against DuckDB.
@@ -524,6 +560,55 @@ object StreamingQueries extends QueryPack {
       }
     }),
 
+    // -- transformWithState TTL: per-batch state expiry (r15) ----------------
+    // The state-TTL half of the Spark-4 arbitrary-state API (VERDICT r14
+    // item 6): [[TtlCountProcessor]] keeps a 1 ms processing-time-TTL'd
+    // per-batch counter next to a persistent total over the SAME key.
+    // Driven over the 3-micro-batch late fixture (one file per trigger —
+    // deterministic batch membership: on-time ts ≥ T0, the max-ts marker
+    // row, late ts < T0), so each user's per-batch counts are pure
+    // functions of the corpus. The readout pins TTL semantics
+    // arithmetically: ttl_reset_ok ⇔ Σ batch_n = final total, which
+    // holds only if the TTL'd state expired between every pair of
+    // batches (an unexpired TTL would double-count earlier batches).
+    // Production shape: TTL is how a 100 TB keyed-state stream bounds
+    // state for keys that go quiet — the store evicts them without a
+    // timer per key.
+    "q_stream_state_ttl" -> ((s, d) => {
+      import s.implicits._
+      val confKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(confKey)
+      s.conf.set(confKey, "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+      try {
+        val fix = StreamRunner.lateFixtureDir(s, d)
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val typed = s.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", "1") // one file per micro-batch
+          .parquet(fix)
+          .select(col("user_id")).as[Long]
+        val out = typed.groupByKey(identity)
+          .transformWithState(new TtlCountProcessor,
+            TimeMode.ProcessingTime(), OutputMode.Append())
+        // processing-time mode never drains (see runToTableUntilInput) —
+        // stop once every fixture row has committed through the sink
+        val expected = s.read.schema(schema).parquet(fix).count()
+        StreamRunner.runToTableUntilInput(s, out.toDF(),
+            "g_stream_state_ttl", "append", expected)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_batches"),
+            max(col("total_n")).as("n_events"),
+            max(col("batch_n")).as("max_batch_n"),
+            (sum(col("batch_n")) === max(col("total_n")))
+              .as("ttl_reset_ok"))
+          .orderBy(col("user_id"))
+      } finally prev match {
+        case Some(p) => s.conf.set(confKey, p)
+        case None    => s.conf.unset(confKey)
+      }
+    }),
+
     // -- foreachBatch sink: per-micro-batch batch writes --------------------
     // THE production sink API: each micro-batch arrives as a plain
     // DataFrame with its batchId, and the writer gets full batch-API
@@ -680,6 +765,37 @@ object StreamingQueries extends QueryPack {
 
     // fixture replay in pure SQL: midpoint split, ms-floored watermark,
     // row-level late predicate (no corpus event within 1 ms of W)
+    // batch membership replayed from the fixture's deterministic split
+    // (on-time ts >= T0, the max-ts marker row(s), late ts < T0); the
+    // TTL reset makes per-batch counts exactly the per-file counts
+    "q_stream_state_ttl" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, user_id FROM events),
+        |m AS (SELECT min(us) AS mn, max(us) AS mx FROM e),
+        |t AS (SELECT (mn + mx) // 2 AS t0, mx FROM m),
+        |b1 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM e, t WHERE us >= t0 GROUP BY 1),
+        |b2 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM e, t WHERE us = mx GROUP BY 1),
+        |b3 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM e, t WHERE us < t0 GROUP BY 1),
+        |u AS (SELECT user_id FROM b1 UNION
+        |  SELECT user_id FROM b2 UNION SELECT user_id FROM b3),
+        |j AS (SELECT u.user_id,
+        |    coalesce(b1.n, 0) AS n1, coalesce(b2.n, 0) AS n2,
+        |    coalesce(b3.n, 0) AS n3
+        |  FROM u LEFT JOIN b1 ON u.user_id = b1.user_id
+        |  LEFT JOIN b2 ON u.user_id = b2.user_id
+        |  LEFT JOIN b3 ON u.user_id = b3.user_id)
+        |SELECT user_id,
+        |  CAST((CASE WHEN n1 > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN n2 > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN n3 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_batches,
+        |  CAST(n1 + n2 + n3 AS BIGINT) AS n_events,
+        |  CAST(greatest(n1, n2, n3) AS BIGINT) AS max_batch_n,
+        |  true AS ttl_reset_ok
+        |FROM j ORDER BY user_id""".stripMargin,
+
     "q_stream_late_data" ->
       """WITH e AS (SELECT epoch_us(ts) AS us FROM events),
         |m AS (SELECT min(us) AS mn, max(us) AS mx FROM e),

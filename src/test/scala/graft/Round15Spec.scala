@@ -31,6 +31,30 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  test("q_stream_state_ttl: TTL state resets per batch, total persists") {
+    val rows = SparkEntry.queries("q_stream_state_ttl")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    // the TTL pin itself: every key's per-batch sums reconciled with its
+    // persistent total (false anywhere = the 1 ms TTL state survived a
+    // batch boundary, or the TTL-free state lost history)
+    rows.foreach { r =>
+      assert(r.getBoolean(4), s"ttl_reset_ok false for user ${r.getLong(0)}")
+      val (nb, tot, mx) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nb >= 1 && nb <= 3, s"n_batches $nb outside the 3-file fixture")
+      assert(mx <= tot && tot <= 3 * mx,
+        s"batch/total inconsistent: max=$mx total=$tot over $nb batches")
+    }
+    // cross-pin vs the batch corpus: totals must sum to events + the
+    // marker file's duplicated max-ts row(s)
+    val ev = graft.engine.Tables.eventsWithTime(spark, sfDir)
+    val mx = ev.agg(max(col("ts_us"))).head().getLong(0)
+    val nMarker = ev.filter(col("ts_us") === mx).count()
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == ev.count() + nMarker,
+      s"emitted totals $total != corpus rows + marker")
+  }
+
   test("Pins: releaseAll is idempotent and tolerates lambda-side release") {
     import graft.engine.Pins
     val df = spark.range(10).toDF("x")
