@@ -147,64 +147,92 @@ object Dist {
   def globalPrefixSumWithLead(df: DataFrame, valueCol: String,
                               idCol: String, weightCol: String,
                               leadCol: String, outCumCol: String,
-                              outLeadCol: String, p: Int): DataFrame = {
+                              outLeadCol: String, p: Int): DataFrame =
+    globalPrefixSumsWithLead(df, valueCol, idCol, Seq(weightCol),
+      Seq(outCumCol), leadCol, outLeadCol, p)
+
+  /** [[globalPrefixSumWithLead]] for SEVERAL weight columns under the
+    * one ascending total order (the [[globalPrefixSums]] ×
+    * [[globalLead]] fusion): `outCumCols(j)` carries the prefix sum of
+    * `weightCols(j)`, `outLeadCol` the next row's `leadCol` — one
+    * sample, one fused range pass, one shared-sort window. The
+    * two-cohort CDF + segment-width consumer (q_wasserstein) pays 3
+    * bounded actions instead of the chained helpers' ~6. */
+  def globalPrefixSumsWithLead(df: DataFrame, valueCol: String,
+                               idCol: String, weightCols: Seq[String],
+                               outCumCols: Seq[String], leadCol: String,
+                               outLeadCol: String, p: Int): DataFrame = {
+    require(weightCols.nonEmpty && weightCols.length == outCumCols.length,
+      "globalPrefixSumsWithLead: weightCols and outCumCols must pair up")
     def dt(c: String) = df.schema(c).dataType
     require(dt(valueCol) == org.apache.spark.sql.types.DoubleType,
-      s"globalPrefixSumWithLead: $valueCol is ${dt(valueCol)}, need " +
+      s"globalPrefixSumsWithLead: $valueCol is ${dt(valueCol)}, need " +
       "DOUBLE — cast explicitly upstream")
-    Seq(idCol, weightCol, leadCol).foreach { c =>
+    (idCol +: leadCol +: weightCols).foreach { c =>
       require(dt(c) == org.apache.spark.sql.types.LongType,
-        s"globalPrefixSumWithLead: $c is ${dt(c)}, need BIGINT — " +
+        s"globalPrefixSumsWithLead: $c is ${dt(c)}, need BIGINT — " +
         "cast upstream")
     }
     val spark = df.sparkSession
-    val passes = df.select(col(valueCol), col(idCol), col(weightCol),
-        col(leadCol))
+    val passes = df.select((valueCol +: idCol +: leadCol +: weightCols)
+        .distinct.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = passes.count()
     val boundaries =
       sampleBoundaries(passes, valueCol, idCol, asc = true, p, n)
     val pidCol = pidColumn(boundaries, valueCol, idCol, asc = true)
-    // ONE fused per-range pass: the range's weight total (prefix-sum
-    // stitch) AND its in-order first row's leadCol (cross-range lead
+    // ONE fused per-range pass: every weight's range total (prefix-sum
+    // stitch) AND the range's in-order first leadCol (cross-range lead
     // stitch) from the same aggregation
+    val totalAggs = weightCols.map(w => sum(col(w)).as(s"t_$w")) :+
+      min_by(col(leadCol), struct(col(valueCol), col(idCol))).as("fv")
     val rangeRows = passes.withColumn("pid", pidCol)
       .groupBy(col("pid"))
-      .agg(sum(col(weightCol)).as("t"),
-        min_by(col(leadCol), struct(col(valueCol), col(idCol))).as("fv"))
+      .agg(totalAggs.head, totalAggs.tail: _*)
       .collect()
     passes.unpersist(blocking = false)
-    val totals = rangeRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val firsts = rangeRows.map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val nw = weightCols.length
+    val totals = rangeRows.map(r => r.getInt(0) ->
+      weightCols.indices.map(j => r.getLong(j + 1)).toArray).toMap
+    val firsts = rangeRows.map(r => r.getInt(0) -> r.getLong(nw + 1)).toMap
     val nRanges = boundaries.length + 1
-    val offsets = (0 until nRanges)
-      .scanLeft(0L)((acc, pid) => acc + totals.getOrElse(pid, 0L))
+    val offsets: Seq[Array[Long]] = (0 until nRanges)
+      .scanLeft(Array.fill(nw)(0L)) { (acc, pid) =>
+        acc.zip(totals.getOrElse(pid, Array.fill(nw)(0L)))
+          .map { case (a, b) => a + b }
+      }
       .take(nRanges)
     val nextFirst: Seq[Option[Long]] = (0 until nRanges).map { k =>
       (k + 1 until nRanges).collectFirst {
         case j if firsts.contains(j) => firsts(j) }
     }
+    val offNames = weightCols.indices.map(j => s"__goff_$j")
     val meta = spark.createDataFrame(
       java.util.Arrays.asList((0 until nRanges).map { pid =>
-        org.apache.spark.sql.Row(pid, Long.box(offsets(pid)),
-          nextFirst(pid).map(Long.box).orNull) }: _*),
-      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.Row.fromSeq(
+          pid +: offsets(pid).toSeq.map(Long.box) :+
+            nextFirst(pid).map(Long.box).orNull) }: _*),
+      org.apache.spark.sql.types.StructType(
         org.apache.spark.sql.types.StructField("pid",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("__goff",
-          org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.IntegerType, nullable = false) +:
+        offNames.map(o => org.apache.spark.sql.types.StructField(o,
+          org.apache.spark.sql.types.LongType, nullable = false)) :+
         org.apache.spark.sql.types.StructField("__nf",
-          org.apache.spark.sql.types.LongType, nullable = true))))
+          org.apache.spark.sql.types.LongType, nullable = true)))
     val w = Window.partitionBy(col("pid"))
       .orderBy(col(valueCol).asc, col(idCol).asc)
-    df.withColumn("pid", pidCol)
+    val joined = df.withColumn("pid", pidCol)
       .join(broadcast(meta), "pid")
-      .withColumn(outCumCol, col("__goff") + coalesce(
-        sum(col(weightCol)).over(w.rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)), lit(0L)))
+    val withCums = weightCols.indices.foldLeft(joined) { (acc, j) =>
+      acc.withColumn(outCumCols(j), col(offNames(j)) + coalesce(
+        sum(col(weightCols(j))).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        lit(0L)))
+    }
+    withCums
       .withColumn("__lead_in", lead(col(leadCol), 1).over(w))
       .withColumn(outLeadCol, coalesce(col("__lead_in"), col("__nf")))
-      .drop("pid", "__goff", "__nf", "__lead_in")
+      .drop("pid" +: "__lead_in" +: "__nf" +: offNames: _*)
   }
 
   /** ONE deterministic seeded sample of (valueCol, idCol), sorted under

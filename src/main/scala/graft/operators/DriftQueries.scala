@@ -61,12 +61,15 @@ object DriftQueries extends QueryPack {
     * both cohorts sharing the sample/totals/window jobs.
     * Columns: vq, na, nb, cum_a, cum_b. */
   private[graft] def cohortCdf(s: SparkSession, d: String): DataFrame = {
-    val grouped = quantizedEvents(s, d)
+    // the grouped frame is pinned (released by the harness) so the
+    // prefix helper's internal passes AND the returned plan share ONE
+    // event scan instead of re-running the full-table aggregation
+    val grouped = graft.engine.Pins.pin(quantizedEvents(s, d)
       .groupBy(col("vq"))
       .agg(
         sum(when(col("us") < col("mid"), 1L).otherwise(0L)).as("na"),
         sum(when(col("us") >= col("mid"), 1L).otherwise(0L)).as("nb"))
-      .withColumn("vqd", col("vq").cast("double"))
+      .withColumn("vqd", col("vq").cast("double")))
     Dist.globalPrefixSums(grouped, "vqd", asc = true, idCol = "vq",
         weightCols = Seq("na", "nb"), outCols = Seq("cum_a", "cum_b"),
         p = 32)
@@ -340,10 +343,392 @@ object DriftQueries extends QueryPack {
           (col("ph").cast("double") / lit(1e6)).as("ph_stat"),
           (col("ph") > col("lq")).as("alarm"))
         .orderBy(col("day"))
+    }),
+
+    // -- Bhattacharyya / Hellinger bin overlap (r15) --------------------------
+    // The OVERLAP lens on the same reference-decile bins as q_drift_psi:
+    // BC = Σ √(p_i·q_i) (1 = identical, 0 = disjoint) and the squared
+    // Hellinger terms ½(√p−√q)² — bounded metrics that stay finite and
+    // comparable when PSI's log ratio explodes on near-empty bins. Same
+    // decileEdges contract (ceil thresholds) and Laplace smoothing, so
+    // the three drift dashboards bin IDENTICALLY; per-bin term rows
+    // (the q_drift_psi output shape) keep every sum engine-free.
+    "q_bhattacharyya" -> ((s, d) => {
+      val spark = s
+      val cdf = cohortCdf(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val Array(naTot, nbTot) = cdf
+          .agg(sum(col("na")), sum(col("nb"))).head()
+          .toSeq.map(x => x.asInstanceOf[Long]).toArray
+        val edges = decileEdges(cdf, naTot)
+        val binned = cdf.withColumn("bin", binColumn(edges, col("vq")))
+          .groupBy(col("bin"))
+          .agg(sum(col("na")).as("n_ref"), sum(col("nb")).as("n_cur"))
+          .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+        import spark.implicits._
+        (0 until 10).map { b =>
+          val (nr, nc) = binned.getOrElse(b, (0L, 0L))
+          (b.toLong, nr, nc)
+        }.toDF("bin", "n_ref", "n_cur")
+          .withColumn("pr",
+            (col("n_ref").cast("double") + lit(0.5)) / lit(naTot + 5.0))
+          .withColumn("pc",
+            (col("n_cur").cast("double") + lit(0.5)) / lit(nbTot + 5.0))
+          .select(col("bin"), col("n_ref"), col("n_cur"),
+            round(sqrt(col("pr") * col("pc")), 6).as("bc_term"),
+            round((sqrt(col("pr")) - sqrt(col("pc"))) *
+              (sqrt(col("pr")) - sqrt(col("pc"))) / lit(2.0), 6)
+              .as("hellinger2_term"))
+          .orderBy(col("bin"))
+      } finally cdf.unpersist(blocking = false)
+    }),
+
+    // -- 1-D Wasserstein-1 (earth mover's) drift distance (r15) -------------
+    // The MAGNITUDE companion to q_drift_ks: KS reports the worst single
+    // CDF gap, W₁ = ∫|F_a − F_b| dv reports how much probability mass
+    // must MOVE (in value units) to turn one cohort into the other — the
+    // drift number a retraining trigger thresholds on. Same cohortCdf
+    // frame (one Dist.globalPrefixSums pass, never single-partition);
+    // segment widths come from Dist.globalLead over the bounded
+    // distinct-value frame. Exactness at scale: the CDF gap is rescaled
+    // by the exact mirrored integer K = max(1, ta·tb div 10¹²) before
+    // the segment sum (the q_breusch_pagan overflow discipline), so the
+    // decimal(38,0) fold holds for any corpus ≤ ~10¹² distinct values.
+    "q_wasserstein" -> ((s, d) => {
+      val grouped = graft.engine.Pins.pin(quantizedEvents(s, d)
+        .groupBy(col("vq"))
+        .agg(
+          sum(when(col("us") < col("mid"), 1L).otherwise(0L)).as("na"),
+          sum(when(col("us") >= col("mid"), 1L).otherwise(0L)).as("nb"))
+        .withColumn("vqd", col("vq").cast("double"))
+        .withColumn("vq2", col("vq")))
+      val tot = grouped.agg(sum(col("na")).as("ta"),
+        sum(col("nb")).as("tb"))
+      Dist.globalPrefixSumsWithLead(grouped, "vqd", "vq",
+          weightCols = Seq("na", "nb"),
+          outCumCols = Seq("cum_a", "cum_b"),
+          leadCol = "vq2", outLeadCol = "next_vq", p = 32)
+        .crossJoin(broadcast(tot))
+        .filter(col("next_vq").isNotNull)
+        .withColumn("k", expr(
+          "greatest(cast(1 as bigint), (cast(ta as decimal(38,0)) *" +
+            " cast(tb as decimal(38,0))) div 1000000000000)"))
+        .withColumn("cd_s", expr(
+          "abs(cast(cum_a as decimal(38,0)) * cast(tb as decimal(38,0))" +
+            " - cast(cum_b as decimal(38,0)) * cast(ta as decimal(38,0)))" +
+            " div k"))
+        .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
+          (count(lit(1)) + 1).as("n_values"),
+          sum(expr("cast(cd_s as decimal(38,0))" +
+            " * cast(next_vq - vq as decimal(38,0))")).as("sw"),
+          max(col("k")).as("k"))
+        .select(col("n_a"), col("n_b"), col("n_values"),
+          round(col("k").cast("double") * col("sw").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double") *
+              lit(1000.0)), 6).as("w1"))
+    }),
+
+    // -- two-sample Cramér–von Mises drift statistic (r15) ------------------
+    // The WHOLE-CDF companion: where KS takes the max gap and W₁ the
+    // area, CvM sums the SQUARED gap at every observation —
+    // T = ta·tb/(ta+tb)² · Σ_v (na+nb)·(F_a−F_b)² — sensitive to many
+    // moderate gaps where KS sees only the worst one. Same cohortCdf
+    // frame; the gap is K-rescaled (exact mirrored integer) so the
+    // squared fold stays inside decimal(38,0) at any real corpus.
+    "q_cramer_von_mises" -> ((s, d) => {
+      val cdf = graft.engine.Pins.pin(cohortCdf(s, d))
+      val tot = cdf.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+      cdf.crossJoin(broadcast(tot))
+        .withColumn("k", expr(
+          "greatest(cast(1 as bigint), (cast(ta as decimal(38,0)) *" +
+            " cast(tb as decimal(38,0))) div 1000000000000)"))
+        .withColumn("cd_s", expr(
+          "abs(cast(cum_a as decimal(38,0)) * cast(tb as decimal(38,0))" +
+            " - cast(cum_b as decimal(38,0)) * cast(ta as decimal(38,0)))" +
+            " div k"))
+        .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
+          count(lit(1)).as("n_values"),
+          sum(expr("cast(cd_s as decimal(38,0)) *" +
+            " cast(cd_s as decimal(38,0)) *" +
+            " cast(na + nb as decimal(38,0))")).as("sq"),
+          max(col("k")).as("k"))
+        .select(col("n_a"), col("n_b"), col("n_values"),
+          round(col("k").cast("double") * col("k").cast("double") *
+            col("sq").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double") *
+              (col("n_a") + col("n_b")).cast("double") *
+              (col("n_a") + col("n_b")).cast("double")), 6).as("t_stat"))
+    }),
+
+    // -- Cliff's delta ordinal effect size (r15) -----------------------------
+    // The nonparametric EFFECT-SIZE companion to q_mann_whitney's test:
+    // δ = (#{x>y} − #{x<y}) / (ta·tb) over all cross pairs, computed
+    // WITHOUT pairing — #{x>y} = Σ_v nb_v·(ta − Ca(v)) and
+    // #{x<y} = Σ_v nb_v·(Ca(v) − na_v) off the same cumulative frame
+    // (linear, never quadratic). Pure integers until the single final
+    // division; the conventional magnitude bands (0.147/0.33/0.474,
+    // Romano et al.) label the rounded value identically on both
+    // engines.
+    "q_cliffs_delta" -> ((s, d) => {
+      val cdf = graft.engine.Pins.pin(cohortCdf(s, d))
+      val tot = cdf.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+      cdf.crossJoin(broadcast(tot))
+        .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
+          sum(expr("cast(nb as decimal(38,0)) *" +
+            " cast(ta - cum_a as decimal(38,0))")).as("gt"),
+          sum(expr("cast(nb as decimal(38,0)) *" +
+            " cast(cum_a - na as decimal(38,0))")).as("lt"))
+        .withColumn("delta", round(
+          (col("gt").cast("double") - col("lt").cast("double")) /
+            (col("n_a").cast("double") * col("n_b").cast("double")), 6))
+        .select(col("n_a"), col("n_b"),
+          col("gt").cast("double").as("n_gt"),
+          col("lt").cast("double").as("n_lt"),
+          col("delta"),
+          when(abs(col("delta")) < 0.147, "negligible")
+            .when(abs(col("delta")) < 0.33, "small")
+            .when(abs(col("delta")) < 0.474, "medium")
+            .otherwise("large").as("magnitude"))
+    }),
+
+    // -- two-sample energy distance (r15) ------------------------------------
+    // Székely's E-statistic E = 2·E|X−Y| − E|X−X'| − E|Y−Y'| (V-statistic
+    // form, diagonal included) — zero iff the distributions coincide,
+    // and in 1-D every cross-sum of |·| differences collapses to prefix
+    // sums: Σ_{x,y}|x−y| = Σ_v na_v·[vq·Cb − Sb + (Sb_tot − Sb) −
+    // vq·(tb − Cb)] over the distinct-value frame, where Cb/Sb are the
+    // other cohort's cumulative count/value-sum. ONE four-weight
+    // Dist.globalPrefixSums pass carries all four cumulative series;
+    // every fold is decimal(38,0)-exact to ~10¹⁵ rows (terms ≤ n²·10⁶).
+    "q_energy_distance" -> ((s, d) => {
+      val grouped = quantizedEvents(s, d)
+        .groupBy(col("vq"))
+        .agg(
+          sum(when(col("us") < col("mid"), 1L).otherwise(0L)).as("na"),
+          sum(when(col("us") >= col("mid"), 1L).otherwise(0L)).as("nb"))
+        .withColumn("sa", col("na") * col("vq"))
+        .withColumn("sb", col("nb") * col("vq"))
+        .withColumn("vqd", col("vq").cast("double"))
+      val cdf = graft.engine.Pins.pin(Dist.globalPrefixSums(
+        grouped, "vqd", asc = true, idCol = "vq",
+        weightCols = Seq("na", "nb", "sa", "sb"),
+        outCols = Seq("ca", "cb", "csa", "csb"), p = 32))
+      val tot = cdf.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"),
+        sum(col("sa")).as("sta"), sum(col("sb")).as("stb"))
+      def cross(w: String, cc: String, cs: String, st: String,
+                to: String) = sum(expr(
+        s"cast($w as decimal(38,0)) * (cast(vq as decimal(38,0)) *" +
+          s" cast($cc as decimal(38,0)) - cast($cs as decimal(38,0)) +" +
+          s" cast($st - $cs as decimal(38,0)) - cast(vq as decimal(38,0))" +
+          s" * cast($to - $cc as decimal(38,0)))"))
+      cdf.crossJoin(broadcast(tot))
+        .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
+          cross("na", "cb", "csb", "stb", "tb").as("sxy"),
+          cross("na", "ca", "csa", "sta", "ta").as("sxx"),
+          cross("nb", "cb", "csb", "stb", "tb").as("syy"))
+        .withColumn("e_xy", round(col("sxy").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double") *
+            lit(1000.0)), 6))
+        .withColumn("e_xx", round(col("sxx").cast("double") /
+          (col("n_a").cast("double") * col("n_a").cast("double") *
+            lit(1000.0)), 6))
+        .withColumn("e_yy", round(col("syy").cast("double") /
+          (col("n_b").cast("double") * col("n_b").cast("double") *
+            lit(1000.0)), 6))
+        .select(col("n_a"), col("n_b"), col("e_xy"), col("e_xx"),
+          col("e_yy"),
+          round(lit(2.0) * col("e_xy") - col("e_xx") - col("e_yy"), 6)
+            .as("energy_d"))
     })
   )
 
   def declaredOracle: Seq[(String, String)] = Seq(
+    // identical decile edges + Laplace smoothing as q_drift_psi; per-bin
+    // BC and squared-Hellinger terms
+    "q_bhattacharyya" ->
+      """WITH e AS (SELECT
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq,
+        |    epoch_us(ts) AS us FROM events),
+        |b AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+        |g AS (SELECT vq,
+        |    sum(CASE WHEN us < mid THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN us >= mid THEN 1 ELSE 0 END) AS nb
+        |  FROM e CROSS JOIN b GROUP BY vq),
+        |c AS (SELECT vq, na, nb,
+        |    sum(na) OVER (ORDER BY vq) AS cum_a FROM g),
+        |t AS (SELECT sum(na) AS nat, sum(nb) AS nbt FROM g),
+        |edges AS (SELECT i, min(vq) AS edge
+        |  FROM c CROSS JOIN (SELECT unnest(range(1, 10)) AS i)
+        |  CROSS JOIN t
+        |  WHERE cum_a >= (i * nat + 9) // 10 GROUP BY i),
+        |binned AS (SELECT g.vq, g.na, g.nb,
+        |    (SELECT count(*) FROM edges WHERE edge <= g.vq) AS bin
+        |  FROM g),
+        |agg AS (SELECT bin, sum(na) AS n_ref, sum(nb) AS n_cur
+        |  FROM binned GROUP BY bin),
+        |grid AS (SELECT unnest(range(0, 10)) AS bin),
+        |p AS (SELECT CAST(grid.bin AS BIGINT) AS bin,
+        |    CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+        |    CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur,
+        |    (coalesce(n_ref, 0) + 0.5) / (nat + 5.0) AS pr,
+        |    (coalesce(n_cur, 0) + 0.5) / (nbt + 5.0) AS pc
+        |  FROM grid LEFT JOIN agg ON agg.bin = grid.bin CROSS JOIN t)
+        |SELECT bin, n_ref, n_cur,
+        |  round(sqrt(pr * pc), 6) AS bc_term,
+        |  round((sqrt(pr) - sqrt(pc)) * (sqrt(pr) - sqrt(pc)) / 2.0e0, 6)
+        |    AS hellinger2_term
+        |FROM p ORDER BY bin""".stripMargin,
+
+    // shared cohort chain (e/b/g) mirrors cohortCdf; K-rescaled CDF gap,
+    // segment widths from lead(vq); single final double division
+    "q_wasserstein" ->
+      """WITH e AS (SELECT
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq,
+        |    epoch_us(ts) AS us FROM events),
+        |b AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+        |g AS (SELECT vq,
+        |    sum(CASE WHEN us < mid THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN us >= mid THEN 1 ELSE 0 END) AS nb
+        |  FROM e CROSS JOIN b GROUP BY vq),
+        |c AS (SELECT vq, na, nb,
+        |    CAST(sum(na) OVER (ORDER BY vq) AS HUGEINT) AS cum_a,
+        |    CAST(sum(nb) OVER (ORDER BY vq) AS HUGEINT) AS cum_b,
+        |    lead(vq) OVER (ORDER BY vq) AS next_vq
+        |  FROM g),
+        |t AS (SELECT CAST(sum(na) AS HUGEINT) AS ta,
+        |    CAST(sum(nb) AS HUGEINT) AS tb FROM g),
+        |kk AS (SELECT ta, tb,
+        |    greatest(CAST(1 AS HUGEINT), (ta * tb) // 1000000000000)
+        |      AS k FROM t),
+        |s AS (SELECT CAST(sum(
+        |      (abs(cum_a * tb - cum_b * ta) // k)
+        |        * CAST(next_vq - vq AS HUGEINT)) AS HUGEINT) AS sw,
+        |    CAST(count(*) + 1 AS BIGINT) AS n_values
+        |  FROM c CROSS JOIN kk WHERE next_vq IS NOT NULL)
+        |SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+        |  n_values,
+        |  round(CAST(k AS DOUBLE) * CAST(sw AS DOUBLE)
+        |    / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE) * 1000.0e0), 6)
+        |    AS w1
+        |FROM s CROSS JOIN kk""".stripMargin,
+
+    // same chain; squared K-rescaled gap weighted by the value's
+    // multiplicity; T = k^2 * sq / (ta*tb*(ta+tb)^2)
+    "q_cramer_von_mises" ->
+      """WITH e AS (SELECT
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq,
+        |    epoch_us(ts) AS us FROM events),
+        |b AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+        |g AS (SELECT vq,
+        |    sum(CASE WHEN us < mid THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN us >= mid THEN 1 ELSE 0 END) AS nb
+        |  FROM e CROSS JOIN b GROUP BY vq),
+        |c AS (SELECT vq, na, nb,
+        |    CAST(sum(na) OVER (ORDER BY vq) AS HUGEINT) AS cum_a,
+        |    CAST(sum(nb) OVER (ORDER BY vq) AS HUGEINT) AS cum_b
+        |  FROM g),
+        |t AS (SELECT CAST(sum(na) AS HUGEINT) AS ta,
+        |    CAST(sum(nb) AS HUGEINT) AS tb FROM g),
+        |kk AS (SELECT ta, tb,
+        |    greatest(CAST(1 AS HUGEINT), (ta * tb) // 1000000000000)
+        |      AS k FROM t),
+        |s AS (SELECT CAST(sum(
+        |      (abs(cum_a * tb - cum_b * ta) // k)
+        |        * (abs(cum_a * tb - cum_b * ta) // k)
+        |        * CAST(na + nb AS HUGEINT)) AS HUGEINT) AS sq,
+        |    CAST(count(*) AS BIGINT) AS n_values
+        |  FROM c CROSS JOIN kk)
+        |SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+        |  n_values,
+        |  round(CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+        |      * CAST(sq AS DOUBLE)
+        |    / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)
+        |      * CAST(ta + tb AS DOUBLE) * CAST(ta + tb AS DOUBLE)), 6)
+        |    AS t_stat
+        |FROM s CROSS JOIN kk""".stripMargin,
+
+    // cross-pair dominance counts off the cumulative frame (linear,
+    // never the quadratic pairing); magnitude bands on the rounded value
+    "q_cliffs_delta" ->
+      """WITH e AS (SELECT
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq,
+        |    epoch_us(ts) AS us FROM events),
+        |b AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+        |g AS (SELECT vq,
+        |    sum(CASE WHEN us < mid THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN us >= mid THEN 1 ELSE 0 END) AS nb
+        |  FROM e CROSS JOIN b GROUP BY vq),
+        |c AS (SELECT vq, na, nb,
+        |    CAST(sum(na) OVER (ORDER BY vq) AS HUGEINT) AS cum_a
+        |  FROM g),
+        |t AS (SELECT CAST(sum(na) AS HUGEINT) AS ta,
+        |    CAST(sum(nb) AS HUGEINT) AS tb FROM g),
+        |s AS (SELECT
+        |    CAST(sum(CAST(nb AS HUGEINT) * (ta - cum_a)) AS HUGEINT)
+        |      AS gt,
+        |    CAST(sum(CAST(nb AS HUGEINT) * (cum_a - na)) AS HUGEINT)
+        |      AS lt
+        |  FROM c CROSS JOIN t),
+        |r AS (SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+        |    CAST(gt AS DOUBLE) AS n_gt, CAST(lt AS DOUBLE) AS n_lt,
+        |    round((CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))
+        |      / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)), 6) AS delta
+        |  FROM s CROSS JOIN t)
+        |SELECT n_a, n_b, n_gt, n_lt, delta,
+        |  CASE WHEN abs(delta) < 0.147e0 THEN 'negligible'
+        |       WHEN abs(delta) < 0.33e0 THEN 'small'
+        |       WHEN abs(delta) < 0.474e0 THEN 'medium'
+        |       ELSE 'large' END AS magnitude
+        |FROM r""".stripMargin,
+
+    // four cumulative series off one chain; cross-sums of |x-y| via the
+    // prefix identity; V-statistic form (diagonal included); energy from
+    // the ROUNDED component values, as the Spark side computes it
+    "q_energy_distance" ->
+      """WITH e AS (SELECT
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq,
+        |    epoch_us(ts) AS us FROM events),
+        |b AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+        |g AS (SELECT vq,
+        |    sum(CASE WHEN us < mid THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN us >= mid THEN 1 ELSE 0 END) AS nb
+        |  FROM e CROSS JOIN b GROUP BY vq),
+        |g2 AS (SELECT vq, na, nb, na * vq AS sa, nb * vq AS sb FROM g),
+        |c AS (SELECT vq, na, nb,
+        |    CAST(sum(na) OVER w AS HUGEINT) AS ca,
+        |    CAST(sum(nb) OVER w AS HUGEINT) AS cb,
+        |    CAST(sum(sa) OVER w AS HUGEINT) AS csa,
+        |    CAST(sum(sb) OVER w AS HUGEINT) AS csb
+        |  FROM g2 WINDOW w AS (ORDER BY vq)),
+        |t AS (SELECT CAST(sum(na) AS HUGEINT) AS ta,
+        |    CAST(sum(nb) AS HUGEINT) AS tb,
+        |    CAST(sum(sa) AS HUGEINT) AS sta,
+        |    CAST(sum(sb) AS HUGEINT) AS stb FROM g2),
+        |m AS (SELECT
+        |    CAST(sum(CAST(na AS HUGEINT) * (CAST(vq AS HUGEINT) * cb
+        |      - csb + (stb - csb) - CAST(vq AS HUGEINT) * (tb - cb)))
+        |      AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(na AS HUGEINT) * (CAST(vq AS HUGEINT) * ca
+        |      - csa + (sta - csa) - CAST(vq AS HUGEINT) * (ta - ca)))
+        |      AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(nb AS HUGEINT) * (CAST(vq AS HUGEINT) * cb
+        |      - csb + (stb - csb) - CAST(vq AS HUGEINT) * (tb - cb)))
+        |      AS HUGEINT) AS syy
+        |  FROM c CROSS JOIN t),
+        |r AS (SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+        |    round(CAST(sxy AS DOUBLE) / (CAST(ta AS DOUBLE)
+        |      * CAST(tb AS DOUBLE) * 1000.0e0), 6) AS e_xy,
+        |    round(CAST(sxx AS DOUBLE) / (CAST(ta AS DOUBLE)
+        |      * CAST(ta AS DOUBLE) * 1000.0e0), 6) AS e_xx,
+        |    round(CAST(syy AS DOUBLE) / (CAST(tb AS DOUBLE)
+        |      * CAST(tb AS DOUBLE) * 1000.0e0), 6) AS e_yy
+        |  FROM m CROSS JOIN t)
+        |SELECT n_a, n_b, e_xy, e_xx, e_yy,
+        |  round(2.0e0 * e_xy - e_xx - e_yy, 6) AS energy_d
+        |FROM r""".stripMargin,
+
     "q_drift_ks" ->
       """WITH e AS (SELECT
         |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq,

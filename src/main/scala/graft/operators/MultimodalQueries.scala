@@ -37,6 +37,10 @@ case class PHashRow(doc_id: Long, phash: Long)
 /** Per-clip 105-bit Haitsma–Kalker audio fingerprint (two packed words). */
 case class AudioFp(doc_id: Long, h0: Long, h1: Long)
 
+/** 240-bit difference hash packed into four 60-bit words. */
+case class DHashRow(doc_id: Long, w0: Long, w1: Long, w2: Long,
+                    w3: Long)
+
 /** Per-video scene-cut detection result. */
 case class SceneCut(doc_id: Long, cut_frame: Long, cut_hamming: Long,
                     n_cuts: Long)
@@ -290,7 +294,11 @@ object MultimodalQueries extends QueryPack {
     * copies): emits the CTE list from planted pixels through per-doc
     * 4×64-bit aHash words `words_<p>(doc_id, wid, wv)`. `p` prefixes
     * every stage name so two instantiations can share a WITH clause. */
-  private def imageWordsCtes(p: String): String = {
+  /** DuckDB CTE chain regenerating the quad-planted decoded raster
+    * (doc_id, i, pv) as `v_<p>` — the PNG roundtrip is lossless, so the
+    * decoded pixels ARE the generated ones. Composed by
+    * [[imageWordsCtes]] (aHash) and the dHash oracle. */
+  private def imagePixelsCtes(p: String): String = {
     import graft.engine.OracleHash._
     s"""px_$p AS (SELECT doc_id, i,
        |    CAST(doc_id * 4096 + i + 999 AS UBIGINT) AS sq,
@@ -304,7 +312,11 @@ object MultimodalQueries extends QueryPack {
        |      THEN CAST((xor(zq, zq >> 31) >> 16) % 256 AS BIGINT)
        |      ELSE CAST(xor(z3, z3 >> 31) % 256 AS BIGINT)
        |    END AS pv
-       |  FROM ${p}r3_),
+       |  FROM ${p}r3_)""".stripMargin
+  }
+
+  private def imageWordsCtes(p: String): String = {
+    s"""${imagePixelsCtes(p)},
        |tot_$p AS (SELECT doc_id, CAST(sum(pv) AS BIGINT) AS s
        |  FROM v_$p GROUP BY 1),
        |bt_$p AS (SELECT v_$p.doc_id, v_$p.i,
@@ -687,6 +699,84 @@ object MultimodalQueries extends QueryPack {
         .filter(col("d1") < col("d2"))
         .select(col("d1"), col("d2"),
           expr("bit_count(pa ^ pb)").cast("long").as("hamming"))
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // -- dHash: gradient perceptual hash on the planted quads (r15) ---------
+    // The GRADIENT lens beside q_mm_image_ahash's mean threshold and
+    // q_mm_phash's DCT: bit(r,c) = pixel(r,c) > pixel(r,c+1) — adjacent-
+    // pixel comparisons are invariant to global brightness/contrast
+    // shifts that move the aHash mean, the classic cheap-and-robust
+    // member of the perceptual-hash family. 16 rows × 15 comparisons =
+    // 240 bits packed into four 60-bit words; same real-PNG-roundtrip
+    // raster as the aHash family (lossless ⇒ the oracle regenerates
+    // pixels and replays the comparisons); quad-blocked pairing reports
+    // within-quad hamming (the planted ground truth — at 100 TB the
+    // candidate step is q_mm_image_dedup's banded multi-probe on these
+    // words).
+    "q_mm_dhash" -> ((s, d) => {
+      import s.implicits._
+      val side = 16
+      val fp = Tables.documents(s, d).select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val base = id / 4
+            val img = new java.awt.image.BufferedImage(side, side,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val r = img.getRaster
+            var i = 0
+            while (i < side * side) {
+              val zd = org.apache.spark.sql.graft.NativeExpressions
+                .splitmix64Long(id * 4096L + i + 999L)
+              val v =
+                if (java.lang.Long.remainderUnsigned(zd >>> 8, 37L) == 0L)
+                  ((zd >>> 16) & 0xffL).toInt
+                else (org.apache.spark.sql.graft.NativeExpressions
+                  .splitmix64Long(base * 256L + i) & 0xffL).toInt
+              r.setSample(i % side, i / side, 0, v)
+              i += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            val dec = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bos.toByteArray))
+            val r2 = dec.getRaster
+            val pv = Array.tabulate(side * side)(j =>
+              r2.getSample(j % side, j / side, 0))
+            val w = new Array[Long](4)
+            var rr = 0
+            while (rr < side) {
+              var cc = 0
+              while (cc < side - 1) {
+                if (pv(rr * side + cc) > pv(rr * side + cc + 1)) {
+                  val idx = rr * (side - 1) + cc
+                  w(idx / 60) |= 1L << (idx % 60)
+                }
+                cc += 1
+              }
+              rr += 1
+            }
+            DHashRow(id, w(0), w(1), w(2), w(3))
+          }
+        }
+        .toDF()
+        // one codec pass pinned across both quad-join sides
+        .transform(f0 => Pins.pin(f0))
+      val a = fp.select(expr("doc_id div 4").as("quad"),
+        col("doc_id").as("d1"), col("w0").as("a0"), col("w1").as("a1"),
+        col("w2").as("a2"), col("w3").as("a3"))
+      val b = fp.select(expr("doc_id div 4").as("quad"),
+        col("doc_id").as("d2"), col("w0").as("b0"), col("w1").as("b1"),
+        col("w2").as("b2"), col("w3").as("b3"))
+      a.join(b, Seq("quad"))
+        .filter(col("d1") < col("d2"))
+        .select(col("d1"), col("d2"),
+          (expr("bit_count(a0 ^ b0)") + expr("bit_count(a1 ^ b1)") +
+            expr("bit_count(a2 ^ b2)") + expr("bit_count(a3 ^ b3)"))
+            .cast("long").as("hamming"))
         .orderBy(col("d1"), col("d2"))
     }),
 
@@ -1209,6 +1299,29 @@ object MultimodalQueries extends QueryPack {
          |    CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
          |  FROM h a JOIN h b ON a.doc_id // 4 = b.doc_id // 4
          |    AND a.doc_id < b.doc_id)
+         |SELECT d1, d2, hamming FROM pr ORDER BY d1, d2""".stripMargin
+    },
+
+    // same planted-raster regeneration (shared imagePixelsCtes); the
+    // dHash bits replay as adjacent-pixel comparisons packed into four
+    // 60-bit words; identical quad-blocked pairing
+    "q_mm_dhash" -> {
+      s"""WITH ${imagePixelsCtes("dh")},
+         |bits AS (SELECT a.doc_id,
+         |    (a.i // 16) * 15 + (a.i % 16) AS idx,
+         |    CASE WHEN a.pv > b.pv THEN 1 ELSE 0 END AS bit
+         |  FROM v_dh a JOIN v_dh b ON b.doc_id = a.doc_id
+         |    AND b.i = a.i + 1 AND a.i % 16 < 15),
+         |w AS (SELECT doc_id, idx // 60 AS wid,
+         |    bit_or(CASE WHEN bit = 1
+         |      THEN 1::UBIGINT << CAST(idx % 60 AS INTEGER)
+         |      ELSE 0::UBIGINT END) AS wv
+         |  FROM bits GROUP BY 1, 2),
+         |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |    CAST(sum(bit_count(xor(a.wv, b.wv))) AS BIGINT) AS hamming
+         |  FROM w a JOIN w b ON a.wid = b.wid
+         |    AND a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
          |SELECT d1, d2, hamming FROM pr ORDER BY d1, d2""".stripMargin
     },
 

@@ -3496,6 +3496,108 @@ object StatsQueries extends QueryPack {
         when(den > 0.0, round(nA * num * num / den, 6)).as("lm_stat"),
         when(den > 0.0, nA * num * num / den > 3.841459)
           .as("reject_5pct"))
+    }),
+
+    // -- SAX symbolic motifs over the daily-mean series (r15) ----------------
+    // Symbolic Aggregate approXimation (Lin et al. 2003): z-normalize
+    // the daily micro-mean series, discretize into a 4-letter alphabet
+    // at the Gaussian breakpoints (−0.6745, 0, +0.6745 — quartiles of
+    // N(0,1)), and count 3-letter motifs — the "what shapes does this
+    // series keep making" readout behind q_matrix_profile's nearest-
+    // neighbor lens. Day means are the exact integer micro-quantization
+    // q_seasonal_strength uses; μ/σ are mirrored doubles off exact
+    // integer moments (σ guarded by greatest(0,·) against float-negative
+    // variance); motifs ride the calendar-bounded day window.
+    "q_sax_motifs" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val byDay = Tables.eventsWithTime(s, d)
+        .select(expr("ts_us div 86400000000").as("day"),
+          floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+            .as("vq"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("vq")).as("sq"))
+        .withColumn("xm", expr("(sq * 1000) div n"))
+      val m = byDay.agg(count(lit(1)).as("nd"), sum(col("xm")).as("sx"),
+          sum(dec(col("xm")) * dec(col("xm"))).as("sxx"))
+        .withColumn("mu",
+          col("sx").cast("double") / col("nd").cast("double"))
+        .withColumn("sig", sqrt(greatest(lit(0.0),
+          (col("sxx").cast("double") - col("sx").cast("double") *
+            col("sx").cast("double") / col("nd").cast("double")) /
+            col("nd").cast("double"))))
+      val xd = col("xm").cast("double")
+      val sym = byDay.crossJoin(broadcast(m))
+        .withColumn("sym",
+          when(xd < col("mu") - lit(0.6745) * col("sig"), "a")
+            .when(xd < col("mu"), "b")
+            .when(xd < col("mu") + lit(0.6745) * col("sig"), "c")
+            .otherwise("d"))
+      val wd = Window.orderBy(col("day"))
+      sym.withColumn("s1", lead(col("sym"), 1).over(wd))
+        .withColumn("s2", lead(col("sym"), 2).over(wd))
+        .filter(col("s2").isNotNull)
+        .withColumn("motif", concat(col("sym"), col("s1"), col("s2")))
+        .groupBy(col("motif"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          min(col("day")).as("first_day"))
+        .orderBy(col("n_occurrences").desc, col("motif").asc)
+        .limit(10)
+    }),
+
+    // -- KPSS level-stationarity test (r15) ----------------------------------
+    // The COMPLEMENT of a trend test: KPSS's null is stationarity, so it
+    // catches the series q_mann_kendall's null lets through. η =
+    // (l+1)·Σ S_t² / (n·[(l+1)γ₀ + 2Σ_{j≤l}(l+1−j)γ_j]) over
+    // milli-quantized demeaned daily counts — partial sums and Bartlett-
+    // weighted autocovariances ride the calendar-bounded day frame
+    // (position index t from a day-frame window; lags via a bounded
+    // t+j self-join, j ≤ l = ⌊4(n/100)^¼⌋). Multiplying the Bartlett
+    // weights through by (l+1) keeps the WHOLE denominator integer —
+    // no ordered float fold anywhere; one final double division.
+    "q_kpss" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val byDay = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long").as("dd"))
+        .agg(count(lit(1)).as("y"))
+      val m = byDay.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+        .withColumn("mu", col("sy").cast("double") / col("n").cast("double"))
+        .withColumn("l", floor(lit(4.0) *
+          pow(col("n").cast("double") / lit(100.0), 0.25)).cast("long"))
+      val wd = Window.orderBy(col("dd"))
+      val e = byDay.crossJoin(broadcast(m))
+        .withColumn("eu", floor((col("y").cast("double") - col("mu")) *
+          lit(1000.0) + lit(0.5)).cast("long"))
+        .withColumn("t", row_number().over(wd))
+        .select(col("t"), col("eu"), col("n"), col("l"))
+      val num = e
+        .withColumn("st", sum(col("eu")).over(
+          Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .agg(sum(dec(col("st")) * dec(col("st"))).as("ss2"))
+      val lags = e.select(col("t"), col("eu"))
+        .crossJoin(broadcast(m.select(col("l"))))
+        .withColumn("j", explode(expr("sequence(0, l)")))
+        .select((col("t") + col("j")).as("t2"), col("t"), col("j"),
+          col("eu").as("ea"))
+      val gam = lags.join(e.select(col("t").as("t2"),
+          col("eu").as("eb")), "t2")
+        .groupBy(col("j"))
+        .agg(sum(dec(col("ea")) * dec(col("eb"))).as("g"))
+      val den = gam.crossJoin(broadcast(m.select(col("l"))))
+        .agg(sum(when(col("j") === 0L, dec(col("l") + 1L) * col("g"))
+          .otherwise(dec(lit(2L)) * dec(col("l") + 1L - col("j")) *
+            col("g"))).as("den_u"))
+      num.crossJoin(broadcast(den)).crossJoin(broadcast(m))
+        .select(col("n").as("n_days"), col("l").as("l_bartlett"),
+          when(col("den_u") > dec(lit(0L)), round(
+            (col("l") + 1L).cast("double") * col("ss2").cast("double") /
+              (col("n").cast("double") * col("den_u").cast("double")),
+            6)).as("eta"),
+          when(col("den_u") > dec(lit(0L)),
+            (col("l") + 1L).cast("double") * col("ss2").cast("double") /
+              (col("n").cast("double") * col("den_u").cast("double")) >
+              0.463).as("reject_5pct"))
     })
   )
 
@@ -6304,6 +6406,83 @@ object StatsQueries extends QueryPack {
          |SELECT * FROM bf UNION ALL SELECT * FROM by_
          |ORDER BY criterion""".stripMargin
     },
+
+    // same integer day-mean chain as q_seasonal_strength; mirrored
+    // double mu/sigma; Gaussian-quartile alphabet; lead-window 3-grams
+    "q_sax_motifs" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq
+        |  FROM events),
+        |g AS (SELECT day, count(*) AS n, sum(vq) AS sq
+        |  FROM e GROUP BY 1),
+        |g2 AS (SELECT day, (sq * 1000) // n AS xm FROM g),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(xm) AS BIGINT) AS sx,
+        |    CAST(sum(CAST(xm AS HUGEINT) * xm) AS HUGEINT) AS sxx
+        |  FROM g2),
+        |mm AS (SELECT nd,
+        |    CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE) AS mu,
+        |    sqrt(greatest(0.0e0,
+        |      (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+        |        * CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE))
+        |      / CAST(nd AS DOUBLE))) AS sig
+        |  FROM m),
+        |sy AS (SELECT day,
+        |    CASE WHEN CAST(xm AS DOUBLE) < mu - 0.6745e0 * sig THEN 'a'
+        |         WHEN CAST(xm AS DOUBLE) < mu THEN 'b'
+        |         WHEN CAST(xm AS DOUBLE) < mu + 0.6745e0 * sig THEN 'c'
+        |         ELSE 'd' END AS sym
+        |  FROM g2 CROSS JOIN mm),
+        |tri AS (SELECT day,
+        |    sym || lead(sym, 1) OVER w || lead(sym, 2) OVER w AS motif
+        |  FROM sy WINDOW w AS (ORDER BY day))
+        |SELECT motif, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(min(day) AS BIGINT) AS first_day
+        |FROM tri WHERE motif IS NOT NULL GROUP BY motif
+        |ORDER BY n_occurrences DESC, motif LIMIT 10""".stripMargin,
+
+    // partial sums of milli-quantized demeaned counts; Bartlett weights
+    // multiplied through by (l+1) keep the denominator integer
+    "q_kpss" ->
+      """WITH byd AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS sy FROM byd),
+        |mm AS (SELECT n, CAST(sy AS DOUBLE) / n AS mu,
+        |    CAST(floor(4.0e0 * pow(n / 100.0e0, 0.25e0)) AS BIGINT)
+        |      AS l FROM m),
+        |e AS (SELECT CAST(row_number() OVER (ORDER BY dd) AS BIGINT)
+        |      AS t,
+        |    CAST(floor((CAST(y AS DOUBLE) - mu) * 1000.0e0 + 0.5e0)
+        |      AS BIGINT) AS eu
+        |  FROM byd CROSS JOIN mm),
+        |num AS (SELECT CAST(sum(CAST(st AS HUGEINT) * st) AS HUGEINT)
+        |    AS ss2 FROM (
+        |  SELECT CAST(sum(eu) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS st FROM e) q),
+        |g AS (SELECT j,
+        |    CAST(sum(CAST(a.eu AS HUGEINT) * b.eu) AS HUGEINT) AS g
+        |  FROM e a
+        |  CROSS JOIN (SELECT unnest(range(0, l + 1)) AS j FROM mm) js
+        |  JOIN e b ON b.t = a.t + j GROUP BY j),
+        |den AS (SELECT CAST(sum(CASE WHEN j = 0
+        |      THEN CAST(l + 1 AS HUGEINT) * g
+        |      ELSE 2 * CAST(l + 1 - j AS HUGEINT) * g END) AS HUGEINT)
+        |    AS den_u
+        |  FROM g CROSS JOIN mm)
+        |SELECT n AS n_days, l AS l_bartlett,
+        |  CASE WHEN den_u > 0 THEN
+        |    round(CAST(l + 1 AS DOUBLE) * CAST(ss2 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(den_u AS DOUBLE)), 6)
+        |  END AS eta,
+        |  CASE WHEN den_u > 0 THEN
+        |    CAST(l + 1 AS DOUBLE) * CAST(ss2 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(den_u AS DOUBLE)) > 0.463e0
+        |  END AS reject_5pct
+        |FROM num CROSS JOIN den CROSS JOIN mm""".stripMargin,
 
     // day-frame OLS residuals milli-quantized; auxiliary moments of
     // z = e_u^2 folded in HUGEINT; mirrored LM = n*R^2

@@ -1794,6 +1794,31 @@ object TextQueries extends QueryPack {
             .as("r2"))
     }),
 
+    // -- Yule's K vocabulary-richness characteristic (r15) -------------------
+    // The repetitiveness constant of the corpus vocabulary: K =
+    // 10⁴·(Σ_w c_w² − N)/N² — invariant to corpus LENGTH (unlike raw
+    // type/token ratio), so it's the cross-corpus comparable number a
+    // data-mixing dashboard tracks per source. Same tokenization chain
+    // as q_zipf_fit/q_heaps_law (norm + split); one vocab-keyed
+    // aggregate; Σc² folds in DECIMAL(38,0) — exact to ~10¹⁹ tokens.
+    // Hapax count rides along (V₁ is the Good–Turing mass estimate's
+    // numerator, q_good_turing's companion readout).
+    "q_yule_k" -> ((s, d) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val wc = Tables.documents(s, d)
+        .select(explode(split(norm(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      wc.agg(count(lit(1)).as("v_types"), sum(col("c")).as("n_tokens"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("v1_hapax"),
+          sum(dec(col("c")) * dec(col("c"))).as("sc2"))
+        .select(col("n_tokens"), col("v_types"), col("v1_hapax"),
+          round(lit(1e4) * (col("sc2").cast("double") -
+            col("n_tokens").cast("double")) /
+            (col("n_tokens").cast("double") *
+              col("n_tokens").cast("double")), 6).as("yule_k"))
+    }),
+
     // -- RAKE keyword extraction (stopword-delimited phrase scoring) --------
     // The unsupervised keyword miner (Rose et al. 2010): candidate
     // phrases are maximal runs between stopwords; each word earns
@@ -3535,6 +3560,24 @@ object TextQueries extends QueryPack {
            |ORDER BY n_tokens DESC, bucket LIMIT 20""".stripMargin,
 
       // same (ln rank, ln freq) OLS over the top-1000 words
+      // same tokenization; sum of squared counts in HUGEINT
+      "q_yule_k" ->
+        s"""WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+           |    SELECT unnest(string_split($normSql, ' ')) AS w
+           |    FROM documents) t
+           |  WHERE length(w) > 0 GROUP BY 1),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS v_types,
+           |    CAST(sum(c) AS BIGINT) AS n_tokens,
+           |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS v1_hapax,
+           |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sc2
+           |  FROM wc)
+           |SELECT n_tokens, v_types, v1_hapax,
+           |  round(1e4 * (CAST(sc2 AS DOUBLE) - CAST(n_tokens AS DOUBLE))
+           |    / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)),
+           |    6) AS yule_k
+           |FROM m""".stripMargin,
+
       "q_zipf_fit" ->
         s"""WITH wc AS (SELECT w, count(*) AS c FROM (
            |    SELECT unnest(string_split($normSql, ' ')) AS w

@@ -55,7 +55,9 @@ class QueryCorpusSpec extends AnyFunSuite {
     "q_mase_backtest",      // day-calendar series, the q_cusum class
     "q_matrix_profile",     // day-calendar series, the q_cusum class
     "q_ljung_box",          // day-calendar series (the q_acf chain)
-    "q_seasonal_strength")  // day-calendar series (the q_stl chain)
+    "q_seasonal_strength",  // day-calendar series (the q_stl chain)
+    "q_kpss",               // day-calendar series (partial sums + lags)
+    "q_sax_motifs")         // day-calendar series (symbol 3-grams)
 
   test("oracle entries reference declared queries only") {
     val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

