@@ -3498,6 +3498,111 @@ object StatsQueries extends QueryPack {
           .as("reject_5pct"))
     }),
 
+    // -- normalized spectral entropy of the daily series (r15) ---------------
+    // "Is the series one clean cycle or broadband noise?" — Shannon
+    // entropy of the normalized q_periodogram power spectrum (the
+    // forecastability feature in the tsfeatures/catch22 canon): H =
+    // −Σ p_k·ln p_k over the 8 integer DFT band powers, normalized by
+    // ln 8 (1 = flat/unforecastable, 0 = a single dominant cycle). The
+    // powers are the SAME exact integer chain as q_periodogram; each
+    // entropy term is nano-quantized then integer-summed (the natChi2P
+    // discipline), so no cross-row float fold exists on either engine.
+    "q_spectral_entropy" -> ((s, d) => {
+      val coef = s.createDataFrame(dftCoeffs).toDF("m", "cq", "sq")
+      val byDay = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long").as("dd"))
+        .agg(count(lit(1)).as("y"))
+      val d0 = byDay.agg(min(col("dd")).as("d0"))
+      val frame = byDay.crossJoin(broadcast(d0))
+        .select((col("dd") - col("d0")).as("t"), col("y"))
+        .filter(col("t") < dftWindowDays)
+      val pw = frame.withColumn("k", explode(expr("sequence(1, 8)")))
+        .withColumn("m", expr(s"(k * t) % $dftWindowDays"))
+        .join(broadcast(coef), "m")
+        .groupBy(col("k").cast("long").as("k"))
+        .agg(sum(col("y") * col("cq")).as("re_u"),
+          sum(col("y") * col("sq")).as("im_u"))
+        .select(expr("CAST((CAST(re_u AS DECIMAL(38,0)) * re_u " +
+          "+ CAST(im_u AS DECIMAL(38,0)) * im_u) " +
+          "div 1000000000000 AS BIGINT)").as("power"))
+      val tot = pw.agg(sum(col("power")).as("pt"))
+      val p = col("power").cast("double") / col("pt").cast("double")
+      pw.crossJoin(broadcast(tot))
+        .withColumn("term_u", when(col("power") > 0L && col("pt") > 0L,
+          floor(-p * log(p) * lit(1e9) + lit(0.5)).cast("long"))
+          .otherwise(0L))
+        .agg(count(lit(1)).as("n_bins"), sum(col("term_u")).as("hu"))
+        .select(col("n_bins"),
+          round(col("hu").cast("double") / lit(1e9), 6).as("h_nats"),
+          round(col("hu").cast("double") / lit(1e9) / log(lit(8.0)), 6)
+            .as("h_norm"))
+    }),
+
+    // -- permutation-entropy ordinal patterns (r15) ---------------------------
+    // Bandt–Pompe ordinal analysis of the daily-count series: each
+    // 3-day window maps to the 3-bit comparison code (y₁>y₀, y₂>y₁,
+    // y₂>y₀) — a tie-deterministic refinement of the 6 strict ordinal
+    // permutations — and the per-pattern distribution is THE
+    // model-free "how structured is this series" readout (white noise
+    // → uniform; trends/cycles → concentrated). Emitted as per-pattern
+    // rows (count, share, −p·log₂p term), the q_js_divergence shape, so
+    // the oracle gate never sums floats across rows.
+    "q_permutation_entropy" -> ((s, d) => {
+      val byDay = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long").as("dd"))
+        .agg(count(lit(1)).as("y"))
+      val wd = Window.orderBy(col("dd"))
+      val pat = byDay
+        .withColumn("y1", lead(col("y"), 1).over(wd))
+        .withColumn("y2", lead(col("y"), 2).over(wd))
+        .filter(col("y2").isNotNull)
+        .select(concat(
+          (col("y1") > col("y")).cast("int").cast("string"),
+          (col("y2") > col("y1")).cast("int").cast("string"),
+          (col("y2") > col("y")).cast("int").cast("string"))
+          .as("pattern"))
+      val cnt = pat.groupBy(col("pattern")).agg(count(lit(1)).as("n"))
+      val tot = cnt.agg(sum(col("n")).as("nt"))
+      val pr = col("n").cast("double") / col("nt").cast("double")
+      cnt.crossJoin(broadcast(tot))
+        .select(col("pattern"), col("n"),
+          round(pr, 6).as("p"),
+          round(-pr * log2(pr), 6).as("term_bits"))
+        .orderBy(col("pattern"))
+    }),
+
+    // -- turning-point randomness test (r15) ----------------------------------
+    // The oldest nonparametric "is this series random" check: count
+    // strict local extrema in the daily series; under i.i.d. data
+    // E[T] = 2(n−2)/3 and Var(T) = (16n−29)/90, so the standardized T
+    // flags both over-smoothness (trends — too few turns) and
+    // oscillation (negative autocorrelation — too many). Integer count
+    // off two day-frame offsets; one mirrored double z.
+    "q_turning_points" -> ((s, d) => {
+      val byDay = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long").as("dd"))
+        .agg(count(lit(1)).as("y"))
+      val wd = Window.orderBy(col("dd"))
+      val t = byDay
+        .withColumn("yp", lag(col("y"), 1).over(wd))
+        .withColumn("yn", lead(col("y"), 1).over(wd))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("yp").isNotNull && col("yn").isNotNull &&
+            ((col("y") > col("yp") && col("y") > col("yn")) ||
+              (col("y") < col("yp") && col("y") < col("yn"))), 1L)
+            .otherwise(0L)).as("t"))
+      val nD = col("n").cast("double")
+      val e = lit(2.0) * (nD - lit(2.0)) / lit(3.0)
+      val v = (lit(16.0) * nD - lit(29.0)) / lit(90.0)
+      val z = round((col("t").cast("double") - e) / sqrt(v), 6)
+      t.select(col("n").as("n_days"), col("t").as("n_turning"),
+        round(e, 6).as("expected"), z.as("z"),
+        (abs(z) <= lit(1.959964)).as("is_random_5pct"))
+    }),
+
     // -- SAX symbolic motifs over the daily-mean series (r15) ----------------
     // Symbolic Aggregate approXimation (Lin et al. 2003): z-normalize
     // the daily micro-mean series, discretize into a 4-letter alphabet
@@ -6406,6 +6511,92 @@ object StatsQueries extends QueryPack {
          |SELECT * FROM bf UNION ALL SELECT * FROM by_
          |ORDER BY criterion""".stripMargin
     },
+
+    // same integer DFT powers as q_periodogram; nano-quantized entropy
+    // terms integer-summed; ln-8 normalization
+    "q_spectral_entropy" -> {
+      val values = dftCoeffs
+        .map { case (m, c, sq) => s"($m, $c, $sq)" }.mkString(", ")
+      s"""WITH coef(m, cq, sq) AS (VALUES $values),
+         |byd AS (SELECT
+         |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+         |    count(*) AS y
+         |  FROM events GROUP BY 1),
+         |d0 AS (SELECT min(dd) AS d0 FROM byd),
+         |f AS (SELECT dd - d0 AS t, y FROM byd CROSS JOIN d0
+         |  WHERE dd - d0 < $dftWindowDays),
+         |fan AS (SELECT k, (k * t) % $dftWindowDays AS m, y
+         |  FROM f CROSS JOIN (SELECT unnest(range(1, 9)) AS k) ks),
+         |agg AS (SELECT k, CAST(sum(y * cq) AS BIGINT) AS re_u,
+         |    CAST(sum(y * sq) AS BIGINT) AS im_u
+         |  FROM fan JOIN coef USING (m) GROUP BY 1),
+         |pw AS (SELECT CAST((CAST(re_u AS HUGEINT) * re_u
+         |    + CAST(im_u AS HUGEINT) * im_u)
+         |    // 1000000000000 AS BIGINT) AS power FROM agg),
+         |tot AS (SELECT CAST(sum(power) AS BIGINT) AS pt FROM pw),
+         |tm AS (SELECT CASE WHEN power > 0 AND pt > 0 THEN
+         |      CAST(floor(-(CAST(power AS DOUBLE) / CAST(pt AS DOUBLE))
+         |        * ln(CAST(power AS DOUBLE) / CAST(pt AS DOUBLE))
+         |        * 1e9 + 0.5e0) AS BIGINT)
+         |    ELSE 0 END AS term_u
+         |  FROM pw CROSS JOIN tot)
+         |SELECT CAST(count(*) AS BIGINT) AS n_bins,
+         |  round(CAST(sum(term_u) AS DOUBLE) / 1e9, 6) AS h_nats,
+         |  round(CAST(sum(term_u) AS DOUBLE) / 1e9 / ln(8.0e0), 6)
+         |    AS h_norm
+         |FROM tm""".stripMargin
+    },
+
+    // 3-bit comparison codes over lead offsets; per-pattern rows
+    "q_permutation_entropy" ->
+      """WITH byd AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1),
+        |w3 AS (SELECT y, lead(y, 1) OVER (ORDER BY dd) AS y1,
+        |    lead(y, 2) OVER (ORDER BY dd) AS y2
+        |  FROM byd),
+        |pat AS (SELECT
+        |    CAST(CASE WHEN y1 > y THEN 1 ELSE 0 END AS VARCHAR)
+        |      || CAST(CASE WHEN y2 > y1 THEN 1 ELSE 0 END AS VARCHAR)
+        |      || CAST(CASE WHEN y2 > y THEN 1 ELSE 0 END AS VARCHAR)
+        |      AS pattern
+        |  FROM w3 WHERE y2 IS NOT NULL),
+        |cnt AS (SELECT pattern, CAST(count(*) AS BIGINT) AS n
+        |  FROM pat GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cnt)
+        |SELECT pattern, n,
+        |  round(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS p,
+        |  round(-(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))
+        |    * log2(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)), 6)
+        |    AS term_bits
+        |FROM cnt CROSS JOIN tot ORDER BY pattern""".stripMargin,
+
+    // strict local extrema over lag/lead; closed-form moments
+    "q_turning_points" ->
+      """WITH byd AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT y, lag(y) OVER (ORDER BY dd) AS yp,
+        |    lead(y) OVER (ORDER BY dd) AS yn
+        |  FROM byd),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN yp IS NOT NULL AND yn IS NOT NULL
+        |      AND ((y > yp AND y > yn) OR (y < yp AND y < yn))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS t
+        |  FROM w),
+        |r AS (SELECT n, t,
+        |    round(2.0e0 * (CAST(n AS DOUBLE) - 2.0e0) / 3.0e0, 6)
+        |      AS expected,
+        |    round((CAST(t AS DOUBLE)
+        |      - 2.0e0 * (CAST(n AS DOUBLE) - 2.0e0) / 3.0e0)
+        |      / sqrt((16.0e0 * CAST(n AS DOUBLE) - 29.0e0) / 90.0e0), 6)
+        |      AS z
+        |  FROM m)
+        |SELECT n AS n_days, t AS n_turning, expected, z,
+        |  abs(z) <= 1.959964e0 AS is_random_5pct
+        |FROM r""".stripMargin,
 
     // same integer day-mean chain as q_seasonal_strength; mirrored
     // double mu/sigma; Gaussian-quartile alphabet; lead-window 3-grams

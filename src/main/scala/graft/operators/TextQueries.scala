@@ -1794,6 +1794,40 @@ object TextQueries extends QueryPack {
             .as("r2"))
     }),
 
+    // -- per-source unigram KL divergence (r15) ------------------------------
+    // The data-mixing question behind q_source_temp_mix: how far does
+    // each source's unigram distribution sit from the corpus mix?
+    // KL(p_s ‖ p_corpus) = Σ_w p_sw·ln(p_sw/p_cw) — p_c > 0 wherever
+    // p_s > 0 (the corpus contains every source), so no smoothing term
+    // exists to tune. Each (source, word) term is nano-quantized then
+    // integer-summed per source (the natChi2P discipline — no
+    // cross-row float fold), over vocab-bounded keyed aggregates; the
+    // word-count frame is pinned so corpus totals and the join share
+    // one tokenize scan.
+    "q_source_kl" -> ((s, d) => {
+      val sw = graft.engine.Pins.pin(Tables.documents(s, d)
+        .select(col("source"),
+          explode(split(norm(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c")))
+      val cw = sw.groupBy(col("w")).agg(sum(col("c")).as("cc"))
+      val ns = sw.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+      val nt = sw.agg(sum(col("c")).as("nt"))
+      val ps = col("c").cast("double") / col("ns").cast("double")
+      val pc = col("cc").cast("double") / col("nt").cast("double")
+      sw.join(cw, "w")
+        .join(broadcast(ns), "source")
+        .crossJoin(broadcast(nt))
+        .withColumn("t_u",
+          floor(ps * log(ps / pc) * lit(1e9) + lit(0.5)).cast("long"))
+        .groupBy(col("source"))
+        .agg(max(col("ns")).as("n_tokens"),
+          count(lit(1)).as("vocab_size"),
+          round(sum(col("t_u")).cast("double") / lit(1e9), 6)
+            .as("kl_nats"))
+        .orderBy(col("source"))
+    }),
+
     // -- Yule's K vocabulary-richness characteristic (r15) -------------------
     // The repetitiveness constant of the corpus vocabulary: K =
     // 10⁴·(Σ_w c_w² − N)/N² — invariant to corpus LENGTH (unlike raw
@@ -3560,6 +3594,33 @@ object TextQueries extends QueryPack {
            |ORDER BY n_tokens DESC, bucket LIMIT 20""".stripMargin,
 
       // same (ln rank, ln freq) OLS over the top-1000 words
+      // vocab-keyed counts; nano-quantized per-(source,word) terms
+      // integer-summed per source
+      "q_source_kl" ->
+        s"""WITH sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+           |  FROM (SELECT source,
+           |      unnest(string_split($normSql, ' ')) AS w
+           |    FROM documents) t
+           |  WHERE length(w) > 0 GROUP BY 1, 2),
+           |cw AS (SELECT w, CAST(sum(c) AS BIGINT) AS cc
+           |  FROM sw GROUP BY 1),
+           |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns
+           |  FROM sw GROUP BY 1),
+           |nt AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM sw),
+           |tm AS (SELECT sw.source,
+           |    CAST(floor((CAST(c AS DOUBLE) / CAST(ns.ns AS DOUBLE))
+           |      * ln((CAST(c AS DOUBLE) / CAST(ns.ns AS DOUBLE))
+           |        / (CAST(cc AS DOUBLE) / CAST(nt AS DOUBLE)))
+           |      * 1e9 + 0.5e0) AS BIGINT) AS t_u
+           |  FROM sw JOIN cw USING (w) JOIN ns ON ns.source = sw.source
+           |  CROSS JOIN nt)
+           |SELECT tm.source,
+           |  CAST(max(ns.ns) AS BIGINT) AS n_tokens,
+           |  CAST(count(*) AS BIGINT) AS vocab_size,
+           |  round(CAST(sum(t_u) AS DOUBLE) / 1e9, 6) AS kl_nats
+           |FROM tm JOIN ns ON ns.source = tm.source
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
       // same tokenization; sum of squared counts in HUGEINT
       "q_yule_k" ->
         s"""WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (

@@ -230,6 +230,63 @@ class Round15Spec extends AnyFunSuite {
     assert(quads.size == 125 && quads.values.forall(_.length == 6))
   }
 
+  test("q_spectral_entropy replays from q_periodogram's own powers") {
+    val powers = SparkEntry.queries("q_periodogram")(spark, sfDir)
+      .select(col("power")).collect().map(_.getLong(0))
+    val pt = powers.sum
+    val hu = powers.filter(_ > 0).map { pw =>
+      val p = pw.toDouble / pt
+      math.floor(-p * math.log(p) * 1e9 + 0.5).toLong
+    }.sum
+    val r = SparkEntry.queries("q_spectral_entropy")(spark, sfDir).head()
+    assert(r.getLong(0) == 8)
+    assert(math.abs(r.getDouble(1) - hu / 1e9) < 1e-6,
+      s"h_nats ${r.getDouble(1)} vs periodogram replay ${hu / 1e9}")
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0 + 1e-9)
+  }
+
+  test("q_permutation_entropy: codes, coverage, and unit mass") {
+    val rows = SparkEntry.queries("q_permutation_entropy")(spark, sfDir)
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(0).matches("[01]{3}"))
+      // 010 would mean y1>y0, y2<=y1, but y2>y0 — only consistent with
+      // ties; 101 likewise. Both are reachable; all 8 codes legal.
+      assert(r.getDouble(3) >= 0.0)
+    }
+    val nDays = graft.engine.Tables.events(spark, sfDir)
+      .select(to_date(col("ts"))).distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nDays - 2,
+      "window count must be n_days - 2")
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-3)
+  }
+
+  test("q_turning_points replays against the local series") {
+    val ys = graft.engine.Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("y"))
+      .orderBy(col("d")).collect().map(_.getLong(1))
+    val t = (1 until ys.length - 1).count(i =>
+      (ys(i) > ys(i - 1) && ys(i) > ys(i + 1)) ||
+        (ys(i) < ys(i - 1) && ys(i) < ys(i + 1)))
+    val r = SparkEntry.queries("q_turning_points")(spark, sfDir).head()
+    assert(r.getLong(0) == ys.length && r.getLong(1) == t)
+    val e = 2.0 * (ys.length - 2) / 3.0
+    assert(math.abs(r.getDouble(2) - e) < 1e-6)
+  }
+
+  test("q_source_kl: Gibbs nonnegativity and token accounting") {
+    val rows = SparkEntry.queries("q_source_kl")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // each term is floor-quantized at 1e-9, so the per-source sum can
+      // undershoot true KL by at most vocab/2e9
+      assert(r.getDouble(3) >= -1e-3,
+        s"KL(${r.getString(0)}) = ${r.getDouble(3)} < 0 breaks Gibbs")
+      assert(r.getLong(2) <= r.getLong(1),
+        "vocab cannot exceed token count")
+    }
+  }
+
   test("Pins: releaseAll is idempotent and tolerates lambda-side release") {
     import graft.engine.Pins
     val df = spark.range(10).toDF("x")
