@@ -3498,6 +3498,131 @@ object StatsQueries extends QueryPack {
           .as("reject_5pct"))
     }),
 
+    // -- Hjorth parameters of the daily series (r15) --------------------------
+    // The three classical signal descriptors (Hjorth 1970): activity =
+    // var(y), mobility = √(var(Δy)/var(y)), complexity =
+    // mobility(Δy)/mobility(y) — the cheap "how noisy / how
+    // oscillatory" fingerprint logged beside q_hurst. Daily counts are
+    // integers, so all three variances come from EXACT integer moments
+    // (n·Σx² − (Σx)² in DECIMAL) over the calendar day frame; three
+    // mirrored double ratios at the end.
+    "q_hjorth_params" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val byDay = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long").as("dd"))
+        .agg(count(lit(1)).as("y"))
+      val wd = Window.orderBy(col("dd"))
+      val diffs = byDay
+        .withColumn("d1", col("y") - lag(col("y"), 1).over(wd))
+        .withColumn("d2", col("d1") - lag(col("d1"), 1).over(wd))
+      def varAgg(c: String, n: String, v: String) = Seq(
+        sum(when(col(c).isNotNull, 1L).otherwise(0L)).as(n),
+        sum(when(col(c).isNotNull, dec(col(c))).otherwise(dec(lit(0L))))
+          .as(s"s_$v"),
+        sum(when(col(c).isNotNull, dec(col(c)) * dec(col(c)))
+          .otherwise(dec(lit(0L)))).as(s"ss_$v"))
+      val aggs = varAgg("y", "n0", "v0") ++ varAgg("d1", "n1", "v1") ++
+        varAgg("d2", "n2", "v2")
+      val m = diffs.agg(aggs.head, aggs.tail: _*)
+      def vr(n: String, v: String) =
+        (col(n).cast("double") * col(s"ss_$v").cast("double") -
+          col(s"s_$v").cast("double") * col(s"s_$v").cast("double")) /
+          (col(n).cast("double") * col(n).cast("double"))
+      val (v0, v1, v2) = (vr("n0", "v0"), vr("n1", "v1"), vr("n2", "v2"))
+      m.select(col("n0").as("n_days"),
+        round(v0, 6).as("activity"),
+        when(v0 > 0.0, round(sqrt(v1 / v0), 6)).as("mobility"),
+        when(v1 > 0.0 && v0 > 0.0,
+          round(sqrt(v2 / v1) / sqrt(v1 / v0), 6)).as("complexity"))
+    }),
+
+    // -- Theil's U2 forecast-skill ratio (r15) --------------------------------
+    // The "is the model better than persistence" gate q_mase_backtest's
+    // MASE asks with absolute errors, asked with RMS: fit the OLS trend
+    // on the FIRST-half days (exact DECIMAL moments, the
+    // q_durbin_watson fit), forecast the second half, and report
+    // U2 = RMSE(model)/RMSE(naive last-value). Model errors
+    // milli-quantize; naive errors are exact integers; U2 < 1 on the
+    // rounded value means the trend beats persistence out of sample.
+    "q_theil_u2" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val byDay = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long").as("dd"))
+        .agg(count(lit(1)).as("y"))
+      val mid = byDay.agg(min(col("dd")).as("mn"), max(col("dd")).as("mx"))
+        .select(expr("(mn + mx) div 2").as("mid"))
+      val wd = Window.orderBy(col("dd"))
+      val withPrev = byDay.crossJoin(broadcast(mid))
+        .withColumn("yp", lag(col("y"), 1).over(wd))
+      val train = withPrev.filter(col("dd") < col("mid"))
+      val mTrain = train.agg(count(lit(1)).as("n"),
+        sum(dec(col("dd"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("dd")) * dec(col("dd"))).as("sxx"),
+        sum(dec(col("dd")) * dec(col("y"))).as("sxy"))
+      val nD = col("n").cast("double")
+      val bNum = nD * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")
+      val bDen = nD * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      val fit = mTrain.select(col("n").as("n_train"),
+        (bNum / bDen).as("b"),
+        ((col("sy").cast("double") - bNum / bDen *
+          col("sx").cast("double")) / nD).as("a"))
+      val test = withPrev.filter(col("dd") >= col("mid") &&
+          col("yp").isNotNull)
+        .crossJoin(broadcast(fit))
+        .withColumn("e1u", floor((col("y").cast("double") - col("a") -
+          col("b") * col("dd").cast("double")) * lit(1000.0) + lit(0.5))
+          .cast("long"))
+        .withColumn("e2", col("y") - col("yp"))
+      val agg = test.agg(max(col("n_train")).as("n_train"),
+        count(lit(1)).as("n_test"),
+        sum(dec(col("e1u")) * dec(col("e1u"))).as("se1"),
+        sum(dec(col("e2")) * dec(col("e2"))).as("se2"))
+      val rm = sqrt(col("se1").cast("double") / lit(1e6) /
+        col("n_test").cast("double"))
+      val rn = sqrt(col("se2").cast("double") /
+        col("n_test").cast("double"))
+      val u2 = round(rm / rn, 6)
+      agg.select(col("n_train"), col("n_test"),
+        round(rm, 6).as("rmse_model"), round(rn, 6).as("rmse_naive"),
+        when(col("se2") > dec(lit(0L)), u2).as("theil_u2"),
+        when(col("se2") > dec(lit(0L)), u2 < 1.0).as("model_beats_naive"))
+    }),
+
+    // -- Benjamini–Yekutieli FDR under dependence (r15) -----------------------
+    // q_bh_fdr's step-up control is only valid under independence/PRDS;
+    // BY divides each threshold by the harmonic number c(m) = Σ 1/i,
+    // giving control under ARBITRARY dependence — the conservative
+    // variant a dashboard of CORRELATED per-nation tests should run.
+    // Same natChi2P frame as q_bh_fdr/q_holm_bonferroni (the shared-
+    // statistic discipline); c(m) folds as exact pico-unit integer
+    // divisions (the Bartlett reciprocal idiom), and the step-up
+    // comparison is a pure integer cross-multiplication in DECIMAL.
+    "q_benjamini_yekutieli" -> ((s, d) => {
+      val x2 = natChi2P(s, d)
+      val ranked = x2
+        .crossJoin(broadcast(x2.agg(count(lit(1)).as("m"))))
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("pu"), col("nk"))))
+        .withColumn("cp", expr("aggregate(sequence(1L, m), " +
+          "cast(0 as bigint), (a, i) -> a + 1000000000000L div i)"))
+        .withColumn("pass", expr(
+          "cast(pu as decimal(38,0)) * m * 20 * cp <= " +
+            "cast(rnk as decimal(38,0)) * 1000000 * 1000000000000"))
+      val kstar = ranked.agg(max(when(col("pass"), col("rnk"))).as("k"))
+      ranked.crossJoin(broadcast(kstar))
+        .select(col("nk").as("nationkey"), col("n"),
+          (col("pu").cast("double") / lit(1e6)).as("p_value"),
+          col("rnk").cast("long").as("rnk"),
+          round(col("cp").cast("double") / lit(1e12), 6).as("c_m"),
+          when(col("k").isNotNull && col("rnk") <= col("k"), 1L)
+            .otherwise(0L).as("significant"))
+        .orderBy(col("nationkey"))
+    }),
+
     // -- normalized spectral entropy of the daily series (r15) ---------------
     // "Is the series one clean cycle or broadband noise?" — Shannon
     // entropy of the normalized q_periodogram power spectrum (the
@@ -6511,6 +6636,148 @@ object StatsQueries extends QueryPack {
          |SELECT * FROM bf UNION ALL SELECT * FROM by_
          |ORDER BY criterion""".stripMargin
     },
+
+    // exact integer moments of y, delta-y, delta-delta-y; three mirrored
+    // double ratios
+    "q_hjorth_params" ->
+      """WITH byd AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1),
+        |d1 AS (SELECT dd, y, y - lag(y) OVER (ORDER BY dd) AS d1
+        |  FROM byd),
+        |d2 AS (SELECT dd, y, d1, d1 - lag(d1) OVER (ORDER BY dd) AS d2
+        |  FROM d1),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN y IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n0,
+        |    CAST(sum(CAST(coalesce(y, 0) AS HUGEINT)) AS HUGEINT) AS s0,
+        |    CAST(sum(CAST(coalesce(y, 0) AS HUGEINT) * coalesce(y, 0))
+        |      AS HUGEINT) AS ss0,
+        |    CAST(sum(CASE WHEN d1 IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(sum(CAST(coalesce(d1, 0) AS HUGEINT)) AS HUGEINT) AS s1,
+        |    CAST(sum(CAST(coalesce(d1, 0) AS HUGEINT) * coalesce(d1, 0))
+        |      AS HUGEINT) AS ss1,
+        |    CAST(sum(CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n2,
+        |    CAST(sum(CAST(coalesce(d2, 0) AS HUGEINT)) AS HUGEINT) AS s2,
+        |    CAST(sum(CAST(coalesce(d2, 0) AS HUGEINT) * coalesce(d2, 0))
+        |      AS HUGEINT) AS ss2
+        |  FROM d2),
+        |v AS (SELECT n0,
+        |    (CAST(n0 AS DOUBLE) * CAST(ss0 AS DOUBLE)
+        |      - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+        |      / (CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE)) AS v0,
+        |    (CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |      / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)) AS v1,
+        |    (CAST(n2 AS DOUBLE) * CAST(ss2 AS DOUBLE)
+        |      - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+        |      / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS v2
+        |  FROM m)
+        |SELECT n0 AS n_days, round(v0, 6) AS activity,
+        |  CASE WHEN v0 > 0 THEN round(sqrt(v1 / v0), 6) END AS mobility,
+        |  CASE WHEN v1 > 0 AND v0 > 0
+        |    THEN round(sqrt(v2 / v1) / sqrt(v1 / v0), 6) END
+        |    AS complexity
+        |FROM v""".stripMargin,
+
+    // first-half OLS fit (exact moments), second-half model-vs-naive RMS
+    "q_theil_u2" ->
+      """WITH byd AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1),
+        |mid AS (SELECT (min(dd) + max(dd)) // 2 AS mid FROM byd),
+        |wp AS (SELECT dd, y, lag(y) OVER (ORDER BY dd) AS yp
+        |  FROM byd),
+        |tr AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(dd AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(dd AS HUGEINT) * dd) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(dd AS HUGEINT) * y) AS HUGEINT) AS sxy
+        |  FROM wp CROSS JOIN mid WHERE dd < mid),
+        |fit AS (SELECT n AS n_train,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+        |    (CAST(sy AS DOUBLE)
+        |      - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a
+        |  FROM tr),
+        |te AS (SELECT n_train,
+        |    CAST(floor((CAST(y AS DOUBLE) - a - b * CAST(dd AS DOUBLE))
+        |      * 1000.0e0 + 0.5e0) AS BIGINT) AS e1u,
+        |    y - yp AS e2
+        |  FROM wp CROSS JOIN mid CROSS JOIN fit
+        |  WHERE dd >= mid AND yp IS NOT NULL),
+        |ag AS (SELECT max(n_train) AS n_train,
+        |    CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(sum(CAST(e1u AS HUGEINT) * e1u) AS HUGEINT) AS se1,
+        |    CAST(sum(CAST(e2 AS HUGEINT) * e2) AS HUGEINT) AS se2
+        |  FROM te),
+        |r AS (SELECT n_train, n_test, se2,
+        |    sqrt(CAST(se1 AS DOUBLE) / 1e6 / CAST(n_test AS DOUBLE))
+        |      AS rm,
+        |    sqrt(CAST(se2 AS DOUBLE) / CAST(n_test AS DOUBLE)) AS rn
+        |  FROM ag)
+        |SELECT n_train, n_test,
+        |  round(rm, 6) AS rmse_model, round(rn, 6) AS rmse_naive,
+        |  CASE WHEN se2 > 0 THEN round(rm / rn, 6) END AS theil_u2,
+        |  CASE WHEN se2 > 0 THEN round(rm / rn, 6) < 1.0e0 END
+        |    AS model_beats_naive
+        |FROM r""".stripMargin,
+
+    // same chi2/p chain as q_bh_fdr; harmonic c(m) as exact pico-unit
+    // integer divisions; HUGEINT step-up cross-multiplication
+    "q_benjamini_yekutieli" ->
+      """WITH oc AS (SELECT CAST(c.c_nationkey AS BIGINT) AS nk,
+        |    o.o_orderstatus AS st
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |cell AS (SELECT nk, st, count(*) AS o FROM oc GROUP BY 1, 2),
+        |nat AS (SELECT nk, CAST(sum(o) AS BIGINT) AS ni
+        |  FROM cell GROUP BY 1),
+        |gshare AS (SELECT st, CAST(sum(o) AS BIGINT) AS gc
+        |  FROM cell GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cell),
+        |grid AS (SELECT nat.nk, nat.ni, gshare.st, gshare.gc
+        |  FROM nat CROSS JOIN gshare),
+        |terms AS (SELECT g.nk, g.ni, coalesce(cell.o, 0) AS o,
+        |    CAST(g.ni AS DOUBLE) * CAST(g.gc AS DOUBLE)
+        |      / CAST(tot.nn AS DOUBLE) AS e
+        |  FROM grid g LEFT JOIN cell ON cell.nk = g.nk AND cell.st = g.st
+        |  CROSS JOIN tot),
+        |tu AS (SELECT nk, ni, CAST(floor(
+        |    (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+        |      * 1e9 + 0.5e0) AS BIGINT) AS tu FROM terms),
+        |x2 AS (SELECT nk, max(ni) AS n, CAST(sum(tu) AS BIGINT) AS x2u
+        |  FROM tu GROUP BY 1),
+        |pp AS (SELECT nk, n, x2u, CAST(floor(
+        |    exp(-CAST(x2u AS DOUBLE) / 2e9) * 1e6 + 0.5e0) AS BIGINT)
+        |    AS pu FROM x2),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pp),
+        |hp AS (SELECT CAST(sum(1000000000000 // i.i) AS BIGINT) AS cp
+        |  FROM range(1, 1001) i(i) CROSS JOIN mm WHERE i.i <= m),
+        |rk AS (SELECT nk, n, pu,
+        |    row_number() OVER (ORDER BY pu, nk) AS rnk
+        |  FROM pp),
+        |ks AS (SELECT max(CASE WHEN CAST(pu AS HUGEINT) * m * 20 * cp
+        |      <= CAST(rnk AS HUGEINT) * 1000000 * 1000000000000
+        |    THEN rnk END) AS k
+        |  FROM rk CROSS JOIN mm CROSS JOIN hp)
+        |SELECT nk AS nationkey, n,
+        |  CAST(pu AS DOUBLE) / 1e6 AS p_value,
+        |  rnk,
+        |  round(CAST(cp AS DOUBLE) / 1e12, 6) AS c_m,
+        |  CAST(CASE WHEN k IS NOT NULL AND rnk <= k THEN 1 ELSE 0 END
+        |    AS BIGINT) AS significant
+        |FROM rk CROSS JOIN ks CROSS JOIN hp
+        |ORDER BY nationkey""".stripMargin,
 
     // same integer DFT powers as q_periodogram; nano-quantized entropy
     // terms integer-summed; ln-8 normalization

@@ -287,6 +287,51 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  test("q_hjorth_params replays against local integer variances") {
+    val ys = graft.engine.Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("y"))
+      .orderBy(col("d")).collect().map(_.getLong(1))
+    def popVar(xs: Array[Long]): Double = {
+      val n = xs.length.toDouble
+      (n * xs.map(x => BigInt(x) * BigInt(x)).sum.toDouble -
+        xs.sum.toDouble * xs.sum.toDouble) / (n * n)
+    }
+    val d1 = ys.sliding(2).map(p => p(1) - p(0)).toArray
+    val d2 = d1.sliding(2).map(p => p(1) - p(0)).toArray
+    val (v0, v1, v2) = (popVar(ys), popVar(d1), popVar(d2))
+    val r = SparkEntry.queries("q_hjorth_params")(spark, sfDir).head()
+    assert(r.getLong(0) == ys.length)
+    assert(math.abs(r.getDouble(1) - v0) < 1e-4)
+    assert(math.abs(r.getDouble(2) - math.sqrt(v1 / v0)) < 1e-5)
+    assert(math.abs(r.getDouble(3) -
+      math.sqrt(v2 / v1) / math.sqrt(v1 / v0)) < 1e-5)
+  }
+
+  test("q_theil_u2: RMS accounting is internally consistent") {
+    val r = SparkEntry.queries("q_theil_u2")(spark, sfDir).head()
+    val (rm, rn, u2) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(rm >= 0 && rn > 0)
+    assert(math.abs(u2 - rm / rn) < 2e-6, "U2 must equal RMSE ratio")
+    assert(r.getBoolean(5) == (u2 < 1.0))
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+  }
+
+  test("q_benjamini_yekutieli is never less conservative than BH") {
+    val by = SparkEntry.queries("q_benjamini_yekutieli")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    val bh = SparkEntry.queries("q_bh_fdr")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(by.keySet == bh.keySet)
+    by.foreach { case (nk, sig) =>
+      assert(sig <= bh(nk),
+        s"BY rejected nation $nk that BH did not — c(m) > 1 forbids it")
+    }
+    // the harmonic constant itself: c(m) >= 1, increasing in m
+    val cm = SparkEntry.queries("q_benjamini_yekutieli")(spark, sfDir)
+      .select(col("c_m")).head().getDouble(0)
+    assert(cm >= 1.0)
+  }
+
   test("Pins: releaseAll is idempotent and tolerates lambda-side release") {
     import graft.engine.Pins
     val df = spark.range(10).toDF("x")
