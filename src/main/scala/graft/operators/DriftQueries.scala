@@ -493,6 +493,71 @@ object DriftQueries extends QueryPack {
             .otherwise("large").as("magnitude"))
     }),
 
+    // -- Brunner–Munzel heteroscedastic rank test (r15) -----------------------
+    // q_mann_whitney's U assumes equal variances under H₀; Brunner–
+    // Munzel (2000) drops that — THE two-sample rank test to run when
+    // the cohorts' spreads may differ (exactly the drift scenario). The
+    // whole statistic reduces to PLACEMENTS on the cohortCdf frame: the
+    // doubled placement of an a-observation among b is qa2 = 2·cum_b −
+    // nb (and symmetrically), so means, the rank-mean difference, and
+    // both placement variances are keyed integer aggregates — never a
+    // per-observation rank materialization. Variance inner terms
+    // |ta·qa2 − Σ na·qa2| are K-rescaled (abs BEFORE the integer
+    // division — Spark's truncating div and DuckDB's flooring //
+    // disagree on negatives) so the squared fold stays in decimal(38,0)
+    // at any corpus. Large-sample normal verdict on the rounded W
+    // (Welch df also reported).
+    "q_brunner_munzel" -> ((s, d) => {
+      val cdf = cohortCdf(s, d)
+      val tot = cdf.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+      val base = cdf.crossJoin(broadcast(tot))
+        .withColumn("qa2", lit(2L) * col("cum_b") - col("nb"))
+        .withColumn("qb2", lit(2L) * col("cum_a") - col("na"))
+      val dsum = base.agg(
+        sum(expr("cast(na as decimal(38,0)) * cast(qa2 as decimal(38,0))"))
+          .as("da"),
+        sum(expr("cast(nb as decimal(38,0)) * cast(qb2 as decimal(38,0))"))
+          .as("db"))
+      val t = base.crossJoin(broadcast(dsum))
+        .withColumn("ka", expr("greatest(cast(1 as bigint), " +
+          "(2 * cast(ta as decimal(38,0)) * (ta + tb)) div 1000000000000)"))
+        .withColumn("kb", expr("greatest(cast(1 as bigint), " +
+          "(2 * cast(tb as decimal(38,0)) * (ta + tb)) div 1000000000000)"))
+        .withColumn("sa", expr("abs(cast(ta as decimal(38,0)) " +
+          "* cast(qa2 as decimal(38,0)) - da) div ka"))
+        .withColumn("sb", expr("abs(cast(tb as decimal(38,0)) " +
+          "* cast(qb2 as decimal(38,0)) - db) div kb"))
+        .agg(max(col("ta")).as("ta"), max(col("tb")).as("tb"),
+          max(col("ka")).as("ka"), max(col("kb")).as("kb"),
+          max(col("da")).as("da"), max(col("db")).as("db"),
+          sum(expr("cast(na as decimal(38,0)) * cast(sa as decimal(38,0))" +
+            " * cast(sa as decimal(38,0))")).as("tta"),
+          sum(expr("cast(nb as decimal(38,0)) * cast(sb as decimal(38,0))" +
+            " * cast(sb as decimal(38,0))")).as("ttb"))
+      val taD = col("ta").cast("double")
+      val tbD = col("tb").cast("double")
+      val s2a = col("ka").cast("double") * col("ka").cast("double") *
+        col("tta").cast("double") / (lit(4.0) * taD * taD * (taD - 1.0))
+      val s2b = col("kb").cast("double") * col("kb").cast("double") *
+        col("ttb").cast("double") / (lit(4.0) * tbD * tbD * (tbD - 1.0))
+      val rdiff = col("db").cast("double") / (lit(2.0) * tbD) -
+        col("da").cast("double") / (lit(2.0) * taD) + (tbD - taD) / 2.0
+      val den = taD * s2a + tbD * s2b
+      val w = round(taD * tbD * rdiff / ((taD + tbD) * sqrt(den)), 6)
+      val dfW = den * den /
+        ((taD * s2a) * (taD * s2a) / (taD - 1.0) +
+          (tbD * s2b) * (tbD * s2b) / (tbD - 1.0))
+      t.select(col("ta").as("n_a"), col("tb").as("n_b"),
+        round(col("db").cast("double") / (lit(2.0) * taD * tbD), 6)
+          .as("p_hat"),
+        when(col("ta") > 1L && col("tb") > 1L && den > 0.0, w)
+          .as("w_stat"),
+        when(col("ta") > 1L && col("tb") > 1L && den > 0.0,
+          round(dfW, 6)).as("df"),
+        when(col("ta") > 1L && col("tb") > 1L && den > 0.0,
+          abs(w) > 1.959964).as("reject_5pct"))
+    }),
+
     // -- two-sample energy distance (r15) ------------------------------------
     // Székely's E-statistic E = 2·E|X−Y| − E|X−X'| − E|Y−Y'| (V-statistic
     // form, diagonal included) — zero iff the distributions coincide,
@@ -681,6 +746,77 @@ object DriftQueries extends QueryPack {
         |       WHEN abs(delta) < 0.33e0 THEN 'small'
         |       WHEN abs(delta) < 0.474e0 THEN 'medium'
         |       ELSE 'large' END AS magnitude
+        |FROM r""".stripMargin,
+
+    // placements off the cohort CDF; abs-before-// keeps the K-rescaled
+    // integer division sign-safe; mirrored double finals
+    "q_brunner_munzel" ->
+      """WITH e AS (SELECT
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq,
+        |    epoch_us(ts) AS us FROM events),
+        |b AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+        |g AS (SELECT vq,
+        |    sum(CASE WHEN us < mid THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN us >= mid THEN 1 ELSE 0 END) AS nb
+        |  FROM e CROSS JOIN b GROUP BY vq),
+        |c AS (SELECT vq, na, nb,
+        |    CAST(sum(na) OVER (ORDER BY vq) AS HUGEINT) AS cum_a,
+        |    CAST(sum(nb) OVER (ORDER BY vq) AS HUGEINT) AS cum_b
+        |  FROM g),
+        |t AS (SELECT CAST(sum(na) AS HUGEINT) AS ta,
+        |    CAST(sum(nb) AS HUGEINT) AS tb FROM g),
+        |q AS (SELECT na, nb, 2 * cum_b - nb AS qa2,
+        |    2 * cum_a - na AS qb2 FROM c),
+        |ds AS (SELECT CAST(sum(CAST(na AS HUGEINT) * qa2) AS HUGEINT)
+        |      AS da,
+        |    CAST(sum(CAST(nb AS HUGEINT) * qb2) AS HUGEINT) AS db
+        |  FROM q),
+        |kk AS (SELECT greatest(CAST(1 AS HUGEINT),
+        |      (2 * ta * (ta + tb)) // 1000000000000) AS ka,
+        |    greatest(CAST(1 AS HUGEINT),
+        |      (2 * tb * (ta + tb)) // 1000000000000) AS kb
+        |  FROM t),
+        |s AS (SELECT
+        |    CAST(sum(CAST(na AS HUGEINT)
+        |      * (abs(ta * qa2 - da) // ka)
+        |      * (abs(ta * qa2 - da) // ka)) AS HUGEINT) AS tta,
+        |    CAST(sum(CAST(nb AS HUGEINT)
+        |      * (abs(tb * qb2 - db) // kb)
+        |      * (abs(tb * qb2 - db) // kb)) AS HUGEINT) AS ttb
+        |  FROM q CROSS JOIN t CROSS JOIN ds CROSS JOIN kk),
+        |f AS (SELECT CAST(ta AS DOUBLE) AS tad, CAST(tb AS DOUBLE)
+        |      AS tbd,
+        |    CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+        |    CAST(ka AS DOUBLE) * CAST(ka AS DOUBLE)
+        |      * CAST(tta AS DOUBLE)
+        |      / (4.0e0 * CAST(ta AS DOUBLE) * CAST(ta AS DOUBLE)
+        |        * (CAST(ta AS DOUBLE) - 1.0e0)) AS s2a,
+        |    CAST(kb AS DOUBLE) * CAST(kb AS DOUBLE)
+        |      * CAST(ttb AS DOUBLE)
+        |      / (4.0e0 * CAST(tb AS DOUBLE) * CAST(tb AS DOUBLE)
+        |        * (CAST(tb AS DOUBLE) - 1.0e0)) AS s2b,
+        |    CAST(db AS DOUBLE) / (2.0e0 * CAST(tb AS DOUBLE))
+        |      - CAST(da AS DOUBLE) / (2.0e0 * CAST(ta AS DOUBLE))
+        |      + (CAST(tb AS DOUBLE) - CAST(ta AS DOUBLE)) / 2.0e0
+        |      AS rdiff,
+        |    CAST(da AS DOUBLE) AS dad, CAST(db AS DOUBLE) AS dbd
+        |  FROM t CROSS JOIN ds CROSS JOIN kk CROSS JOIN s),
+        |r AS (SELECT n_a, n_b, tad, tbd,
+        |    round(dbd / (2.0e0 * tad * tbd), 6) AS p_hat,
+        |    tad * s2a + tbd * s2b AS den,
+        |    round(tad * tbd * rdiff
+        |      / ((tad + tbd) * sqrt(tad * s2a + tbd * s2b)), 6) AS w,
+        |    (tad * s2a + tbd * s2b) * (tad * s2a + tbd * s2b)
+        |      / ((tad * s2a) * (tad * s2a) / (tad - 1.0e0)
+        |        + (tbd * s2b) * (tbd * s2b) / (tbd - 1.0e0)) AS dfw
+        |  FROM f)
+        |SELECT n_a, n_b, p_hat,
+        |  CASE WHEN n_a > 1 AND n_b > 1 AND den > 0 THEN w END
+        |    AS w_stat,
+        |  CASE WHEN n_a > 1 AND n_b > 1 AND den > 0 THEN round(dfw, 6)
+        |    END AS df,
+        |  CASE WHEN n_a > 1 AND n_b > 1 AND den > 0
+        |    THEN abs(w) > 1.959964e0 END AS reject_5pct
         |FROM r""".stripMargin,
 
     // four cumulative series off one chain; cross-sums of |x-y| via the

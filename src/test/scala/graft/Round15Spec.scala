@@ -332,6 +332,37 @@ class Round15Spec extends AnyFunSuite {
     assert(cm >= 1.0)
   }
 
+  test("q_brunner_munzel matches the textbook midrank computation") {
+    val (a, b) = cohorts
+    def midranks(xs: Array[Long], in: Array[Long]): Array[Double] = {
+      // midrank of each element of xs within the sorted multiset `in`
+      val sin = in.sorted
+      xs.map { v =>
+        val lo = lowerBound(sin, v)
+        val hi = lowerBound(sin, v + 1)
+        (lo + 1 + hi).toDouble / 2.0 // (lo+1 .. hi) midpoint
+      }
+    }
+    val comb = a ++ b
+    val ra = midranks(a, comb); val rb = midranks(b, comb)
+    val rba = midranks(a, a); val rbb = midranks(b, b)
+    val (na, nb) = (a.length.toDouble, b.length.toDouble)
+    val (ram, rbm) = (ra.sum / na, rb.sum / nb)
+    val v1 = ra.zip(rba).map { case (r, ri) =>
+      val t = r - ri - ram + (na + 1) / 2; t * t }.sum / (na - 1)
+    val v2 = rb.zip(rbb).map { case (r, ri) =>
+      val t = r - ri - rbm + (nb + 1) / 2; t * t }.sum / (nb - 1)
+    val w = na * nb * (rbm - ram) / (na + nb) /
+      math.sqrt(na * v1 + nb * v2)
+    val pHat = (rbm - (nb + 1) / 2) / na
+    val r = SparkEntry.queries("q_brunner_munzel")(spark, sfDir).head()
+    assert(r.getLong(0) == a.length && r.getLong(1) == b.length)
+    assert(math.abs(r.getDouble(2) - pHat) < 1e-6,
+      s"p_hat ${r.getDouble(2)} vs textbook $pHat")
+    assert(math.abs(r.getDouble(3) - w) < 1e-4,
+      s"w ${r.getDouble(3)} vs textbook $w")
+  }
+
   test("Pins: releaseAll is idempotent and tolerates lambda-side release") {
     import graft.engine.Pins
     val df = spark.range(10).toDF("x")
