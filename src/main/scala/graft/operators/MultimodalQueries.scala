@@ -37,6 +37,13 @@ case class PHashRow(doc_id: Long, phash: Long)
 /** Per-clip 105-bit Haitsma–Kalker audio fingerprint (two packed words). */
 case class AudioFp(doc_id: Long, h0: Long, h1: Long)
 
+/** Per-frame audio energy segmentation summary. */
+case class AudioEnergy(doc_id: Long, n_active: Long, longest_run: Long,
+                       total_energy: Long)
+
+/** 8-bin intensity histogram of the decoded raster. */
+case class ImgHist(doc_id: Long, h: Array[Long])
+
 /** 240-bit difference hash packed into four 60-bit words. */
 case class DHashRow(doc_id: Long, w0: Long, w1: Long, w2: Long,
                     w3: Long)
@@ -332,12 +339,13 @@ object MultimodalQueries extends QueryPack {
   /** DuckDB twin of [[audioFingerprints]]: CTE list from planted PCM
     * through per-doc HK bits `bits_<p>(doc_id, t, k, bit)`; includes its
     * own prefixed `coef_<p>` basis VALUES table. */
-  private def audioBitsCtes(p: String): String = {
+  /** DuckDB CTE chain regenerating the quad-planted decoded PCM
+    * (doc_id, frame t, offset j, centered sample sv) as `va_<p>` — the
+    * WAV roundtrip is lossless. Composed by [[audioBitsCtes]] and the
+    * energy-segmentation oracle. */
+  private def audioSamplesCtes(p: String): String = {
     import graft.engine.OracleHash._
-    val coefVals = specBasis
-      .map { case (m, c, sq) => s"($m, $c, $sq)" }.mkString(", ")
-    s"""coef_$p(m, cq, sq2) AS (VALUES $coefVals),
-       |pa_$p AS (SELECT doc_id, i,
+    s"""pa_$p AS (SELECT doc_id, i,
        |    CAST(doc_id * 8192 + i + 777 AS UBIGINT) AS sq_,
        |    CAST((doc_id // 4) * 2048 + i AS UBIGINT) AS sr
        |  FROM documents, unnest(range(0, 1024)) AS t(i)),
@@ -349,7 +357,14 @@ object MultimodalQueries extends QueryPack {
        |      THEN CAST((xor(zq, zq >> 31) >> 16) % 256 AS BIGINT)
        |      ELSE CAST(xor(z3, z3 >> 31) % 256 AS BIGINT)
        |    END) - 128 AS sv
-       |  FROM ${p}ar3_),
+       |  FROM ${p}ar3_)""".stripMargin
+  }
+
+  private def audioBitsCtes(p: String): String = {
+    val coefVals = specBasis
+      .map { case (m, c, sq) => s"($m, $c, $sq)" }.mkString(", ")
+    s"""coef_$p(m, cq, sq2) AS (VALUES $coefVals),
+       |${audioSamplesCtes(p)},
        |fan_$p AS (SELECT doc_id, t, k, (k * j) % 64 AS m, sv
        |  FROM va_$p CROSS JOIN (SELECT unnest(range(1, 9)) AS k) ks),
        |e_$p AS (SELECT doc_id, t, k,
@@ -699,6 +714,123 @@ object MultimodalQueries extends QueryPack {
         .filter(col("d1") < col("d2"))
         .select(col("d1"), col("d2"),
           expr("bit_count(pa ^ pb)").cast("long").as("hamming"))
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // -- audio energy segmentation (r15) --------------------------------------
+    // The voice-activity-detection primitive of the audio pipeline:
+    // per-frame energy E_f = Σ sv² over the REAL-WAV-decoded clip's 16
+    // frames (exact integers ≤ 64·128²), a frame is ACTIVE when its
+    // energy exceeds the clip average (E_f·16 > ΣE — integer
+    // cross-multiply), and the per-doc readout is the active count +
+    // longest active run — what a speech curation pass uses to drop
+    // silence-heavy clips. One codec map, no shuffle beyond the sort.
+    "q_mm_audio_energy" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val base = id / 4
+            val pcm = Array.tabulate(1024) { i =>
+              val zd = org.apache.spark.sql.graft.NativeExpressions
+                .splitmix64Long(id * 8192L + i + 777L)
+              val v =
+                if (java.lang.Long.remainderUnsigned(zd >>> 8, 61L) == 0L)
+                  (zd >>> 16) & 0xffL
+                else org.apache.spark.sql.graft.NativeExpressions
+                  .splitmix64Long(base * 2048L + i) & 0xffL
+              v.toByte
+            }
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(writeWav(pcm)))
+            val dec = in.readAllBytes()
+            val e = Array.tabulate(16) { f =>
+              var acc = 0L; var j = 0
+              while (j < 64) {
+                val sv = (dec(f * 64 + j) & 0xff) - 128
+                acc += sv.toLong * sv; j += 1
+              }
+              acc
+            }
+            val te = e.sum
+            var nAct = 0L; var run = 0L; var best = 0L
+            var f = 0
+            while (f < 16) {
+              if (e(f) * 16L > te) { nAct += 1; run += 1
+                if (run > best) best = run }
+              else run = 0
+              f += 1
+            }
+            AudioEnergy(id, nAct, best, te)
+          }
+        }
+        .toDF()
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- image intensity-histogram similarity (r15) ---------------------------
+    // The HISTOGRAM lens of the image-dedup family: an 8-bin intensity
+    // histogram per decoded raster (a global-appearance feature, robust
+    // to pixel permutations the hash lenses are not), compared
+    // within-quad by the chi-square histogram distance
+    // χ² = Σ (h₁−h₂)²/(h₁+h₂) — per-bin terms micro-quantized as exact
+    // integer divisions before the 8-term fold. One codec pass pinned
+    // across both join sides; quad-blocked pairing.
+    "q_mm_image_hist" -> ((s, d) => {
+      import s.implicits._
+      val side = 16
+      val fp = Tables.documents(s, d).select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val base = id / 4
+            val img = new java.awt.image.BufferedImage(side, side,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val r = img.getRaster
+            var i = 0
+            while (i < side * side) {
+              val zd = org.apache.spark.sql.graft.NativeExpressions
+                .splitmix64Long(id * 4096L + i + 999L)
+              val v =
+                if (java.lang.Long.remainderUnsigned(zd >>> 8, 37L) == 0L)
+                  ((zd >>> 16) & 0xffL).toInt
+                else (org.apache.spark.sql.graft.NativeExpressions
+                  .splitmix64Long(base * 256L + i) & 0xffL).toInt
+              r.setSample(i % side, i / side, 0, v)
+              i += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            val dec = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bos.toByteArray))
+            val r2 = dec.getRaster
+            val h = new Array[Long](8)
+            var j = 0
+            while (j < side * side) {
+              h(r2.getSample(j % side, j / side, 0) / 32) += 1
+              j += 1
+            }
+            ImgHist(id, h)
+          }
+        }
+        .toDF()
+        .transform(f0 => Pins.pin(f0))
+      val a = fp.select(expr("doc_id div 4").as("quad"),
+        col("doc_id").as("d1"), col("h").as("ha"))
+      val b = fp.select(expr("doc_id div 4").as("quad"),
+        col("doc_id").as("d2"), col("h").as("hb"))
+      a.join(b, Seq("quad"))
+        .filter(col("d1") < col("d2"))
+        .withColumn("chi2_u", expr(
+          "aggregate(zip_with(ha, hb, (x, y) -> " +
+            "((x - y) * (x - y) * 1000000) div if(x + y = 0, 1, x + y))," +
+            " 0L, (acc, t) -> acc + t)"))
+        .select(col("d1"), col("d2"),
+          round(col("chi2_u").cast("double") / lit(1e6), 6).as("chi2"))
         .orderBy(col("d1"), col("d2"))
     }),
 
@@ -1300,6 +1432,58 @@ object MultimodalQueries extends QueryPack {
          |  FROM h a JOIN h b ON a.doc_id // 4 = b.doc_id // 4
          |    AND a.doc_id < b.doc_id)
          |SELECT d1, d2, hamming FROM pr ORDER BY d1, d2""".stripMargin
+    },
+
+    // shared audioSamplesCtes PCM replay; exact integer frame energies;
+    // gaps-and-islands longest run
+    "q_mm_audio_energy" -> {
+      s"""WITH ${audioSamplesCtes("en")},
+         |fe AS (SELECT doc_id, t,
+         |    CAST(sum(sv * sv) AS BIGINT) AS e
+         |  FROM va_en GROUP BY 1, 2),
+         |te AS (SELECT doc_id, CAST(sum(e) AS BIGINT) AS te
+         |  FROM fe GROUP BY 1),
+         |act AS (SELECT fe.doc_id, t,
+         |    CASE WHEN e * 16 > te THEN 1 ELSE 0 END AS a
+         |  FROM fe JOIN te ON fe.doc_id = te.doc_id),
+         |isl AS (SELECT doc_id, t - row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY t) AS grp
+         |  FROM act WHERE a = 1),
+         |runs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS run
+         |  FROM isl GROUP BY doc_id, grp),
+         |br AS (SELECT doc_id, max(run) AS longest_run FROM runs
+         |  GROUP BY 1),
+         |na AS (SELECT doc_id, CAST(sum(a) AS BIGINT) AS n_active
+         |  FROM act GROUP BY 1)
+         |SELECT na.doc_id, na.n_active,
+         |  coalesce(br.longest_run, 0) AS longest_run, te.te
+         |    AS total_energy
+         |FROM na LEFT JOIN br ON na.doc_id = br.doc_id
+         |JOIN te ON na.doc_id = te.doc_id
+         |ORDER BY na.doc_id""".stripMargin
+    },
+
+    // shared imagePixelsCtes raster replay; 8-bin histogram; per-bin
+    // micro-quantized integer chi-square terms
+    "q_mm_image_hist" -> {
+      s"""WITH ${imagePixelsCtes("ih")},
+         |hist AS (SELECT doc_id, pv // 32 AS bin,
+         |    CAST(count(*) AS BIGINT) AS h
+         |  FROM v_ih GROUP BY 1, 2),
+         |grid AS (SELECT d.doc_id, b.bin, coalesce(hist.h, 0) AS h
+         |  FROM (SELECT DISTINCT doc_id FROM documents) d
+         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS bin) b
+         |  LEFT JOIN hist ON hist.doc_id = d.doc_id
+         |    AND hist.bin = b.bin),
+         |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |    CAST(sum(((a.h - b.h) * (a.h - b.h) * 1000000)
+         |      // (CASE WHEN a.h + b.h = 0 THEN 1 ELSE a.h + b.h END))
+         |      AS BIGINT) AS chi2_u
+         |  FROM grid a JOIN grid b ON a.bin = b.bin
+         |    AND a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, round(CAST(chi2_u AS DOUBLE) / 1e6, 6) AS chi2
+         |FROM pr ORDER BY d1, d2""".stripMargin
     },
 
     // same planted-raster regeneration (shared imagePixelsCtes); the

@@ -1794,6 +1794,31 @@ object TextQueries extends QueryPack {
             .as("r2"))
     }),
 
+    // -- duplicated n-gram coverage per source (r15) -------------------------
+    // The "what share of this feed is boilerplate" number web-corpus
+    // reports publish (C4/RefinedWeb's duplicated-text share): for each
+    // source, the fraction of its contained 5-word shingles (distinct
+    // per doc — TextDedup.wordShingles, the dedup family's unit) that
+    // appear in MORE THAN ONE document corpus-wide. High coverage with
+    // low q_dup_clusters count = templated text spread thin, the case
+    // exact dedup misses. Shingle-keyed join (shuffle on the hash — the
+    // 100 TB shape); share as an exact integer micro-division.
+    "q_dup_ngram_coverage" -> ((s, d) => {
+      val sh = graft.engine.Pins.pin(Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(TextDedup.wordShingles(col("text"))).as("g")))
+      val cnt = sh.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      sh.join(cnt, "g")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("c") > 1L, 1L).otherwise(0L)).as("n_duplicated"))
+        .withColumn("dup_share_u",
+          expr("(n_duplicated * 1000000) div n_shingles"))
+        .select(col("source"), col("n_shingles"), col("n_duplicated"),
+          (col("dup_share_u").cast("double") / lit(1e6)).as("dup_share"))
+        .orderBy(col("source"))
+    }),
+
     // -- per-source unigram KL divergence (r15) ------------------------------
     // The data-mixing question behind q_source_temp_mix: how far does
     // each source's unigram distribution sit from the corpus mix?
@@ -3594,6 +3619,26 @@ object TextQueries extends QueryPack {
            |ORDER BY n_tokens DESC, bucket LIMIT 20""".stripMargin,
 
       // same (ln rank, ln freq) OLS over the top-1000 words
+      // same shingle chain as q_source_overlap; corpus-wide occurrence
+      // counts; exact integer micro share
+      "q_dup_ngram_coverage" ->
+        s"""WITH ${graft.engine.OracleHash.shingleCtes},
+           |ex AS (SELECT doc_id, unnest(toks) AS g FROM sh),
+           |cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS c
+           |  FROM ex GROUP BY 1),
+           |j AS (SELECT d.source, cnt.c
+           |  FROM ex JOIN documents d USING (doc_id)
+           |  JOIN cnt ON cnt.g = ex.g),
+           |agg AS (SELECT source,
+           |    CAST(count(*) AS BIGINT) AS n_shingles,
+           |    CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_duplicated
+           |  FROM j GROUP BY 1)
+           |SELECT source, n_shingles, n_duplicated,
+           |  CAST((n_duplicated * 1000000) // n_shingles AS DOUBLE) / 1e6
+           |    AS dup_share
+           |FROM agg ORDER BY source""".stripMargin,
+
       // vocab-keyed counts; nano-quantized per-(source,word) terms
       // integer-summed per source
       "q_source_kl" ->

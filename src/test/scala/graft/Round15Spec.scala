@@ -363,6 +363,52 @@ class Round15Spec extends AnyFunSuite {
       s"w ${r.getDouble(3)} vs textbook $w")
   }
 
+  test("q_mm_audio_energy: accounting invariants over every clip") {
+    val rows = SparkEntry.queries("q_mm_audio_energy")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nAct, run, te) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(run <= nAct && nAct <= 16,
+        "longest run cannot exceed active count / frame count")
+      assert(nAct < 16,
+        "all-16-frames-active is impossible: some frame sits below mean")
+      assert(te >= 0 && te <= 16L * 64L * 128L * 128L)
+    }
+  }
+
+  test("q_mm_image_hist: chi-square separates planted quads") {
+    val rows = SparkEntry.queries("q_mm_image_hist")(spark, sfDir)
+      .collect()
+    assert(rows.length == 750)
+    rows.foreach { r =>
+      assert(r.getLong(0) / 4 == r.getLong(1) / 4)
+      assert(r.getDouble(2) >= 0.0)
+      // within-quad variants share ~249/256 pixels: the 8-bin histograms
+      // can differ by at most 2*7 mass, bounding chi2 far below the
+      // cross-quad regime (~hundreds)
+      assert(r.getDouble(2) < 50.0,
+        s"within-quad hist chi2 ${r.getDouble(2)} implausibly large")
+    }
+  }
+
+  test("q_dup_ngram_coverage: shares are valid and totals reconcile") {
+    val rows = SparkEntry.queries("q_dup_ngram_coverage")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val totalShingles = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val share = r.getDouble(3)
+      assert(share >= 0.0 && share <= 1.0)
+    }
+    // cross-pin against the corpus-wide shingle frame
+    val n = graft.engine.Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.TextDedup.wordShingles(col("text")))
+        .as("g")).count()
+    assert(totalShingles == n, s"per-source shingles $totalShingles != $n")
+  }
+
   test("Pins: releaseAll is idempotent and tolerates lambda-side release") {
     import graft.engine.Pins
     val df = spark.range(10).toDF("x")
