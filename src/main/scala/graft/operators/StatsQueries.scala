@@ -3498,6 +3498,34 @@ object StatsQueries extends QueryPack {
           .as("reject_5pct"))
     }),
 
+    // -- Cohen's h effect size for proportions (r15) --------------------------
+    // The EFFECT-SIZE companion to q_ab_test's z: h = 2·asin√p₁ −
+    // 2·asin√p₂ on the arcsine-stabilized scale, the standard "is this
+    // conversion lift big enough to matter" number (0.2/0.5/0.8 bands)
+    // that a significance test alone can't give at scale (everything is
+    // significant at n = 10⁹). Same user-hash arms and purchase
+    // conversion as q_bayes_ab; four exact integers, one mirrored
+    // double expression; bands on the rounded h.
+    "q_cohens_h" -> ((s, d) => {
+      val conv = Tables.events(s, d)
+        .groupBy((col("user_id") % 2).as("arm"), col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("cv"))
+      val m = conv.agg(
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0L, col("cv")).otherwise(0L)).as("x_a"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 1L, col("cv")).otherwise(0L)).as("x_b"))
+      val h = round(lit(2.0) *
+        (asin(sqrt(col("x_a").cast("double") / col("n_a").cast("double"))) -
+          asin(sqrt(col("x_b").cast("double") / col("n_b").cast("double")))),
+        6)
+      m.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        h.as("cohens_h"),
+        when(abs(h) < 0.2, "negligible").when(abs(h) < 0.5, "small")
+          .when(abs(h) < 0.8, "medium").otherwise("large").as("magnitude"))
+    }),
+
     // -- Hjorth parameters of the daily series (r15) --------------------------
     // The three classical signal descriptors (Hjorth 1970): activity =
     // var(y), mobility = √(var(Δy)/var(y)), complexity =
@@ -6636,6 +6664,36 @@ object StatsQueries extends QueryPack {
          |SELECT * FROM bf UNION ALL SELECT * FROM by_
          |ORDER BY criterion""".stripMargin
     },
+
+    // same arm/conversion integers as q_bayes_ab; one mirrored arcsine
+    // expression; bands on the rounded h
+    "q_cohens_h" ->
+      """WITH conv AS (SELECT user_id % 2 AS arm, user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS cv
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN arm = 0 THEN cv ELSE 0 END) AS BIGINT)
+        |      AS x_a,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(sum(CASE WHEN arm = 1 THEN cv ELSE 0 END) AS BIGINT)
+        |      AS x_b
+        |  FROM conv),
+        |r AS (SELECT n_a, x_a, n_b, x_b,
+        |    round(2.0e0 * (asin(sqrt(CAST(x_a AS DOUBLE)
+        |      / CAST(n_a AS DOUBLE)))
+        |      - asin(sqrt(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)))),
+        |      6) AS cohens_h
+        |  FROM m)
+        |SELECT n_a, x_a, n_b, x_b, cohens_h,
+        |  CASE WHEN abs(cohens_h) < 0.2e0 THEN 'negligible'
+        |       WHEN abs(cohens_h) < 0.5e0 THEN 'small'
+        |       WHEN abs(cohens_h) < 0.8e0 THEN 'medium'
+        |       ELSE 'large' END AS magnitude
+        |FROM r""".stripMargin,
 
     // exact integer moments of y, delta-y, delta-delta-y; three mirrored
     // double ratios

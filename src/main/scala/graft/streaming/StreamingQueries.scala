@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import graft.engine.{QueryPack, Tables}
 
 /** Per-user running state carried by the stateful operator. */
@@ -73,6 +73,47 @@ class TtlCountProcessor extends StatefulProcessor[Long, Long, TtlEmit] {
     perBatch.update(b)
     total.update(t)
     Iterator.single(TtlEmit(key, b, t))
+  }
+}
+
+/** Session summary emitted when a user's event-time timer expires. */
+case class TimerEmit(user_id: Long, n_events: Long, timer_ms: Long)
+
+/** Per-user timer state: running event count + last event time (µs). */
+case class TimerState(n: Long, lastUs: Long)
+
+/** Event-time timer processor (the `registerTimer`/`handleExpiredTimer`
+  * half of the transformWithState API): each batch updates the user's
+  * (count, max event time) state and re-registers ONE timer at
+  * last-event-ms + 30 min; when the event-time watermark passes the
+  * timer, [[handleExpiredTimer]] emits the closed session summary. Only
+  * sessions whose gap provably elapsed BEFORE the run's final watermark
+  * emit — the stream's completeness contract, replayable in SQL. */
+class SessionTimerProcessor
+    extends StatefulProcessor[Long, (Long, Long), TimerEmit] {
+  @transient private var st: ValueState[TimerState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[TimerState]("sess",
+      Encoders.product[TimerState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                               tv: TimerValues): Iterator[TimerEmit] = {
+    val prev = if (st.exists()) st.get() else TimerState(0L, Long.MinValue)
+    var n = prev.n
+    var mx = prev.lastUs
+    rows.foreach { case (_, us) => n += 1; if (us > mx) mx = us }
+    if (prev.lastUs != Long.MinValue)
+      getHandle.deleteTimer(prev.lastUs / 1000L + 1800000L)
+    st.update(TimerState(n, mx))
+    getHandle.registerTimer(mx / 1000L + 1800000L)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                  info: ExpiredTimerInfo): Iterator[TimerEmit] = {
+    val cur = st.get()
+    Iterator.single(TimerEmit(key, cur.n, info.getExpiryTimeInMs))
   }
 }
 
@@ -560,6 +601,39 @@ object StreamingQueries extends QueryPack {
       }
     }),
 
+    // -- event-time timers: watermark-driven session close (r15) -------------
+    // The registerTimer/handleExpiredTimer half of transformWithState
+    // (q_stream_state_ttl covers the TTL half): [[SessionTimerProcessor]]
+    // re-registers one event-time timer per user at last-event + 30 min;
+    // the session summary emits ONLY when the watermark passes the
+    // timer — so the bounded run's output is exactly the users whose
+    // session gap provably elapsed before the final watermark
+    // (last_ms + 30 min < ms-floored max(ts) − 10 min), a pure-SQL
+    // predicate the oracle replays. Event-time mode DOES drain under
+    // AvailableNow (the clock is the watermark, which stabilizes —
+    // unlike processing-time mode's always-another-batch).
+    "q_stream_event_timer" -> ((s, d) => {
+      import s.implicits._
+      val confKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(confKey)
+      s.conf.set(confKey, "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+      try {
+        val typed = StreamRunner.eventsStream(s, d)
+          .withWatermark("ts_t", "10 minutes")
+          .select(col("user_id"), col("ts_us")).as[(Long, Long)]
+        val out = typed.groupByKey(_._1)
+          .transformWithState(new SessionTimerProcessor,
+            TimeMode.EventTime(), OutputMode.Append())
+        StreamRunner.runToTable(s, out.toDF(), "g_stream_event_timer",
+            "append")
+          .orderBy(col("user_id"), col("timer_ms"))
+      } finally prev match {
+        case Some(p) => s.conf.set(confKey, p)
+        case None    => s.conf.unset(confKey)
+      }
+    }),
+
     // -- transformWithState TTL: per-batch state expiry (r15) ----------------
     // The state-TTL half of the Spark-4 arbitrary-state API (VERDICT r14
     // item 6): [[TtlCountProcessor]] keeps a 1 ms processing-time-TTL'd
@@ -765,6 +839,18 @@ object StreamingQueries extends QueryPack {
 
     // fixture replay in pure SQL: midpoint split, ms-floored watermark,
     // row-level late predicate (no corpus event within 1 ms of W)
+    // completeness predicate: a session emits iff its timer (last event
+    // ms + 30 min) sits below the run's final watermark
+    "q_stream_event_timer" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |w AS (SELECT (max(us) // 1000) - 600000 AS wm FROM e),
+        |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    max(us) // 1000 + 1800000 AS timer_ms
+        |  FROM e GROUP BY 1)
+        |SELECT user_id, n_events, CAST(timer_ms AS BIGINT) AS timer_ms
+        |FROM g CROSS JOIN w WHERE timer_ms < wm
+        |ORDER BY user_id, timer_ms""".stripMargin,
+
     // batch membership replayed from the fixture's deterministic split
     // (on-time ts >= T0, the max-ts marker row(s), late ts < T0); the
     // TTL reset makes per-batch counts exactly the per-file counts

@@ -409,6 +409,40 @@ class Round15Spec extends AnyFunSuite {
     assert(totalShingles == n, s"per-source shingles $totalShingles != $n")
   }
 
+  test("q_stream_event_timer emits exactly the watermark-closed sessions") {
+    val rows = SparkEntry.queries("q_stream_event_timer")(spark, sfDir)
+      .collect()
+    val ev = graft.engine.Tables.eventsWithTime(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), max(col("ts_us")).as("mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wm = ev.map(_._3).max / 1000L - 600000L
+    val expect = ev.filter { case (_, _, mx) =>
+      mx / 1000L + 1800000L < wm
+    }.map { case (u, n, mx) => (u, n, mx / 1000L + 1800000L) }.sortBy(_._1)
+    assert(rows.length == expect.length,
+      s"${rows.length} emissions vs ${expect.length} closed sessions")
+    rows.sortBy(_.getLong(0)).zip(expect).foreach { case (r, (u, n, t)) =>
+      assert(r.getLong(0) == u && r.getLong(1) == n && r.getLong(2) == t)
+    }
+  }
+
+  test("q_cohens_h: arcsine identity and band consistency") {
+    val r = SparkEntry.queries("q_cohens_h")(spark, sfDir).head()
+    val (na, xa, nb, xb) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val h = 2.0 * (math.asin(math.sqrt(xa.toDouble / na)) -
+      math.asin(math.sqrt(xb.toDouble / nb)))
+    assert(math.abs(r.getDouble(4) - h) < 1e-6)
+    val band = math.abs(r.getDouble(4)) match {
+      case v if v < 0.2 => "negligible"
+      case v if v < 0.5 => "small"
+      case v if v < 0.8 => "medium"
+      case _            => "large"
+    }
+    assert(r.getString(5) == band)
+  }
+
   test("Pins: releaseAll is idempotent and tolerates lambda-side release") {
     import graft.engine.Pins
     val df = spark.range(10).toDF("x")
