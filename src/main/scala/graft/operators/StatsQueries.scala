@@ -3498,6 +3498,48 @@ object StatsQueries extends QueryPack {
           .as("reject_5pct"))
     }),
 
+    // -- Somers' D / Goodman–Kruskal gamma ordinal association (r15) ----------
+    // The ordinal-by-ordinal association family q_kendall_tau's
+    // continuous lens doesn't give: over FIXED-WIDTH ordinal bins
+    // (length decile × word-count decile — deterministic bins, never
+    // rank-based ntile whose tie handling differs across engines), the
+    // concordant/discordant/tied pair counts come from the BOUNDED
+    // 10×10 contingency grid crossed with itself (≤ 10⁴ cell pairs at
+    // ANY corpus size — never a row-pair join). Gamma = (C−D)/(C+D);
+    // Somers' d_yx additionally charges pairs tied on y only. All
+    // integers until two final divisions.
+    "q_somers_d" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val b = Tables.documents(s, d).select(
+        least(expr("n_chars div 100"), lit(9L)).as("xb"),
+        least(expr("size(split(text, ' ')) div 50"), lit(9L)).as("yb"))
+      val grid = b.groupBy(col("xb"), col("yb"))
+        .agg(count(lit(1)).as("n"))
+      val pairs = grid.alias("a").crossJoin(grid.alias("b"))
+      val cd = pairs.agg(
+        sum(when(col("a.xb") < col("b.xb") && col("a.yb") < col("b.yb"),
+          dec(col("a.n")) * dec(col("b.n"))).otherwise(dec(lit(0L))))
+          .as("c_pairs"),
+        sum(when(col("a.xb") < col("b.xb") && col("a.yb") > col("b.yb"),
+          dec(col("a.n")) * dec(col("b.n"))).otherwise(dec(lit(0L))))
+          .as("d_pairs"),
+        sum(when(col("a.xb") < col("b.xb") && col("a.yb") === col("b.yb"),
+          dec(col("a.n")) * dec(col("b.n"))).otherwise(dec(lit(0L))))
+          .as("ty_pairs"))
+      val tot = b.agg(count(lit(1)).as("n_docs"))
+      val cD = col("c_pairs").cast("double")
+      val dD = col("d_pairs").cast("double")
+      val tyD = col("ty_pairs").cast("double")
+      cd.crossJoin(broadcast(tot))
+        .select(col("n_docs"),
+          col("c_pairs").cast("double").as("c_pairs"),
+          col("d_pairs").cast("double").as("d_pairs"),
+          when(cD + dD > 0.0, round((cD - dD) / (cD + dD), 6))
+            .as("gamma"),
+          when(cD + dD + tyD > 0.0,
+            round((cD - dD) / (cD + dD + tyD), 6)).as("somers_d_yx"))
+    }),
+
     // -- Cohen's h effect size for proportions (r15) --------------------------
     // The EFFECT-SIZE companion to q_ab_test's z: h = 2·asin√p₁ −
     // 2·asin√p₂ on the arcsine-stabilized scale, the standard "is this
@@ -6664,6 +6706,39 @@ object StatsQueries extends QueryPack {
          |SELECT * FROM bf UNION ALL SELECT * FROM by_
          |ORDER BY criterion""".stripMargin
     },
+
+    // fixed-width ordinal bins; bounded 10x10 grid self-cross; exact
+    // HUGEINT pair counts; two mirrored final divisions
+    "q_somers_d" ->
+      """WITH b AS (SELECT
+        |    least(n_chars // 100, 9) AS xb,
+        |    least(len(string_split(text, ' ')) // 50, 9) AS yb
+        |  FROM documents),
+        |grid AS (SELECT xb, yb, CAST(count(*) AS HUGEINT) AS n
+        |  FROM b GROUP BY 1, 2),
+        |cd AS (SELECT
+        |    CAST(sum(CASE WHEN a.xb < c.xb AND a.yb < c.yb
+        |      THEN a.n * c.n ELSE 0 END) AS HUGEINT) AS c_pairs,
+        |    CAST(sum(CASE WHEN a.xb < c.xb AND a.yb > c.yb
+        |      THEN a.n * c.n ELSE 0 END) AS HUGEINT) AS d_pairs,
+        |    CAST(sum(CASE WHEN a.xb < c.xb AND a.yb = c.yb
+        |      THEN a.n * c.n ELSE 0 END) AS HUGEINT) AS ty_pairs
+        |  FROM grid a CROSS JOIN grid c),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM b)
+        |SELECT n_docs,
+        |  CAST(c_pairs AS DOUBLE) AS c_pairs,
+        |  CAST(d_pairs AS DOUBLE) AS d_pairs,
+        |  CASE WHEN CAST(c_pairs AS DOUBLE) + CAST(d_pairs AS DOUBLE) > 0
+        |    THEN round((CAST(c_pairs AS DOUBLE) - CAST(d_pairs AS DOUBLE))
+        |      / (CAST(c_pairs AS DOUBLE) + CAST(d_pairs AS DOUBLE)), 6)
+        |  END AS gamma,
+        |  CASE WHEN CAST(c_pairs AS DOUBLE) + CAST(d_pairs AS DOUBLE)
+        |      + CAST(ty_pairs AS DOUBLE) > 0
+        |    THEN round((CAST(c_pairs AS DOUBLE) - CAST(d_pairs AS DOUBLE))
+        |      / (CAST(c_pairs AS DOUBLE) + CAST(d_pairs AS DOUBLE)
+        |        + CAST(ty_pairs AS DOUBLE)), 6)
+        |  END AS somers_d_yx
+        |FROM cd CROSS JOIN tot""".stripMargin,
 
     // same arm/conversion integers as q_bayes_ab; one mirrored arcsine
     // expression; bands on the rounded h

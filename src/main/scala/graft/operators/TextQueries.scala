@@ -1794,6 +1794,32 @@ object TextQueries extends QueryPack {
             .as("r2"))
     }),
 
+    // -- per-source character entropy (r15) -----------------------------------
+    // The cheapest compressibility/quality proxy in the curation canon:
+    // Shannon entropy over the normalized character distribution, per
+    // source — gibberish and binary-ish feeds sit far from natural-
+    // language ~4.1 bits/char, and the number is comparable across
+    // sources of any size. Per-(source, char) terms nano-quantized then
+    // integer-summed (the q_source_kl discipline); one normalize scan.
+    "q_char_entropy" -> ((s, d) => {
+      val cc = Tables.documents(s, d)
+        .select(col("source"), explode(split(norm(col("text")), ""))
+          .as("ch"))
+        .filter(length(col("ch")) > 0)
+        .groupBy(col("source"), col("ch")).agg(count(lit(1)).as("c"))
+      val ns = cc.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+      val pr = col("c").cast("double") / col("ns").cast("double")
+      cc.join(broadcast(ns), "source")
+        .withColumn("t_u",
+          floor(-pr * log2(pr) * lit(1e9) + lit(0.5)).cast("long"))
+        .groupBy(col("source"))
+        .agg(max(col("ns")).as("n_chars"),
+          count(lit(1)).as("n_distinct_chars"),
+          round(sum(col("t_u")).cast("double") / lit(1e9), 6)
+            .as("entropy_bits"))
+        .orderBy(col("source"))
+    }),
+
     // -- duplicated n-gram coverage per source (r15) -------------------------
     // The "what share of this feed is boilerplate" number web-corpus
     // reports publish (C4/RefinedWeb's duplicated-text share): for each
@@ -3619,6 +3645,25 @@ object TextQueries extends QueryPack {
            |ORDER BY n_tokens DESC, bucket LIMIT 20""".stripMargin,
 
       // same (ln rank, ln freq) OLS over the top-1000 words
+      // per-(source,char) nano-quantized entropy terms integer-summed
+      "q_char_entropy" ->
+        s"""WITH cc AS (SELECT source, ch, CAST(count(*) AS BIGINT) AS c
+           |  FROM (SELECT source,
+           |      unnest(string_split($normSql, '')) AS ch
+           |    FROM documents) t
+           |  WHERE length(ch) > 0 GROUP BY 1, 2),
+           |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns
+           |  FROM cc GROUP BY 1),
+           |tm AS (SELECT cc.source, ns.ns,
+           |    CAST(floor(-(CAST(c AS DOUBLE) / CAST(ns.ns AS DOUBLE))
+           |      * log2(CAST(c AS DOUBLE) / CAST(ns.ns AS DOUBLE))
+           |      * 1e9 + 0.5e0) AS BIGINT) AS t_u
+           |  FROM cc JOIN ns ON ns.source = cc.source)
+           |SELECT source, CAST(max(ns) AS BIGINT) AS n_chars,
+           |  CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           |  round(CAST(sum(t_u) AS DOUBLE) / 1e9, 6) AS entropy_bits
+           |FROM tm GROUP BY 1 ORDER BY 1""".stripMargin,
+
       // same shingle chain as q_source_overlap; corpus-wide occurrence
       // counts; exact integer micro share
       "q_dup_ngram_coverage" ->

@@ -52,12 +52,17 @@ class QueryCorpusSpec extends AnyFunSuite {
     "q_hosmer_lemeshow",    // distinct-score frame ≤ classifier domain
     "q_optimal_threshold",  // distinct-score frame ≤ classifier domain
     "q_holm_bonferroni",    // m-row test frame (q_bh_fdr's class)
+    "q_benjamini_yekutieli", // m-row test frame (q_bh_fdr's class)
     "q_mase_backtest",      // day-calendar series, the q_cusum class
     "q_matrix_profile",     // day-calendar series, the q_cusum class
     "q_ljung_box",          // day-calendar series (the q_acf chain)
     "q_seasonal_strength",  // day-calendar series (the q_stl chain)
     "q_kpss",               // day-calendar series (partial sums + lags)
-    "q_sax_motifs")         // day-calendar series (symbol 3-grams)
+    "q_sax_motifs",         // day-calendar series (symbol 3-grams)
+    "q_hjorth_params",      // day-calendar series (lagged differences)
+    "q_permutation_entropy", // day-calendar series (ordinal 3-grams)
+    "q_theil_u2",           // day-calendar series (split fit + lag)
+    "q_turning_points")     // day-calendar series (lag/lead extrema)
 
   test("oracle entries reference declared queries only") {
     val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -443,6 +443,57 @@ class Round15Spec extends AnyFunSuite {
     assert(r.getString(5) == band)
   }
 
+  test("q_somers_d matches the brute-force ordinal pair census") {
+    val bins = graft.engine.Tables.documents(spark, sfDir)
+      .select(least(expr("n_chars div 100"), lit(9L)).as("xb"),
+        least(expr("size(split(text, ' ')) div 50"), lit(9L)).as("yb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var c = 0L; var dd = 0L; var ty = 0L
+    for (i <- bins.indices; j <- (i + 1) until bins.length) {
+      val ((x1, y1), (x2, y2)) = (bins(i), bins(j))
+      if (x1 != x2) {
+        if ((x2 - x1) * (y2 - y1) > 0) c += 1
+        else if ((x2 - x1) * (y2 - y1) < 0) dd += 1
+        else ty += 1
+      }
+    }
+    val r = SparkEntry.queries("q_somers_d")(spark, sfDir).head()
+    assert(r.getLong(0) == bins.length)
+    assert(r.getDouble(1) == c.toDouble && r.getDouble(2) == dd.toDouble)
+    assert(math.abs(r.getDouble(3) - (c - dd).toDouble / (c + dd)) < 1e-6)
+    assert(math.abs(r.getDouble(4) -
+      (c - dd).toDouble / (c + dd + ty)) < 1e-6)
+  }
+
+  test("q_char_entropy replays from a local character recount") {
+    val rows = SparkEntry.queries("q_char_entropy")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val local = graft.engine.Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .groupBy(_.getString(0))
+      .map { case (src, docs) =>
+        val chars = docs.flatMap(_.getString(1).toLowerCase.trim
+          .replaceAll("[ \t\n\f\r]+", " ").toCharArray)
+        val n = chars.length.toDouble
+        val h = chars.groupBy(identity).values.map { g =>
+          val p = g.length / n
+          math.floor(-p * (math.log(p) / math.log(2.0)) * 1e9 + 0.5) / 1e9
+        }.sum
+        src -> (chars.length.toLong,
+          chars.distinct.length.toLong, h)
+      }
+    assert(rows.keySet == local.keySet)
+    local.foreach { case (srcName, (n, dist, h)) =>
+      val (rn, rd, rh) = rows(srcName)
+      assert(rn == n, s"$srcName chars $rn vs $n")
+      assert(rd == dist)
+      assert(math.abs(rh - h) < 1e-6, s"$srcName H $rh vs $h")
+      assert(rh >= 0.0 && rh <= math.log(dist.toDouble) / math.log(2.0)
+        + 1e-9)
+    }
+  }
+
   test("Pins: releaseAll is idempotent and tolerates lambda-side release") {
     import graft.engine.Pins
     val df = spark.range(10).toDF("x")
