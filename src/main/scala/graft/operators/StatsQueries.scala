@@ -3498,6 +3498,83 @@ object StatsQueries extends QueryPack {
           .as("reject_5pct"))
     }),
 
+    // -- Gumbel block-maxima fit + return levels (r15) ------------------------
+    // The BLOCK-MAXIMA half of extreme-value theory (q_gpd_tail covers
+    // peaks-over-threshold): daily maxima of the event value follow a
+    // Gumbel in the domain-of-attraction limit; method-of-moments fit
+    // β = σ√6/π, μ = x̄ − γβ (Euler–Mascheroni), and the numbers a
+    // capacity planner actually reads — the T-block return levels
+    // x_T = μ − β·ln(−ln(1−1/T)). Daily maxima are exact milli-quantized
+    // integers; moments fold in DECIMAL; four mirrored double
+    // expressions at the end.
+    "q_gumbel_fit" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val byDay = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long").as("dd"))
+        .agg(max(floor(col("value") * lit(1000.0) + lit(0.5)).cast("long"))
+          .as("mxq"))
+      val m = byDay.agg(count(lit(1)).as("n"), sum(col("mxq")).as("s"),
+        sum(dec(col("mxq")) * dec(col("mxq"))).as("ss"))
+      val nD = col("n").cast("double")
+      val mean = col("s").cast("double") / nD
+      val vr = (nD * col("ss").cast("double") -
+        col("s").cast("double") * col("s").cast("double")) /
+        (nD * (nD - 1.0))
+      val beta = sqrt(lit(6.0) * vr) / lit(math.Pi)
+      val mu = mean - lit(0.5772156649015329) * beta
+      def rl(t: Double) =
+        (mu - beta * log(-log(lit(1.0) - lit(1.0 / t)))) / lit(1000.0)
+      m.select(col("n").as("n_days"),
+        when(col("n") > 1L, round(mu / lit(1000.0), 6)).as("mu"),
+        when(col("n") > 1L, round(beta / lit(1000.0), 6)).as("beta"),
+        when(col("n") > 1L, round(rl(10.0), 6)).as("return_level_10"),
+        when(col("n") > 1L, round(rl(100.0), 6)).as("return_level_100"))
+    }),
+
+    // -- Gaussian KDE density profile (r15) ------------------------------------
+    // The smooth-density readout q_histogram's fixed bins can't give:
+    // kernel density at 9 evenly spaced grid points over the value
+    // range, Silverman bandwidth h = 1.06·σ·n^(−1/5) off exact integer
+    // moments. The kernel sum rides the DISTINCT-VALUE frame (counts ×
+    // 9 grid points — domain-bounded, never per-row), each (grid,
+    // value) term nano-quantized then integer-summed per grid point, so
+    // no cross-row float fold exists on either engine.
+    "q_kde_profile" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val vals = Tables.events(s, d)
+        .select(floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
+          .as("vq"))
+        .groupBy(col("vq")).agg(count(lit(1)).as("cnt"))
+      val m = vals.agg(sum(col("cnt")).as("n"),
+        sum(dec(col("vq")) * dec(col("cnt"))).as("s"),
+        sum(dec(col("vq")) * dec(col("vq")) * dec(col("cnt"))).as("ss"),
+        min(col("vq")).as("lo"), max(col("vq")).as("hi"))
+      val nD = col("n").cast("double")
+      val vr = (nD * col("ss").cast("double") -
+        col("s").cast("double") * col("s").cast("double")) / (nD * nD)
+      val bw = m.select(col("n"), col("lo"), col("hi"),
+        (lit(1.06) * sqrt(vr) * pow(nD, -0.2)).as("h"))
+      val g = vals.crossJoin(broadcast(bw))
+        .withColumn("k", explode(expr("sequence(1, 9)")))
+        .withColumn("g", expr("lo + (k * (hi - lo)) div 10"))
+        .withColumn("z", (col("g").cast("double") -
+          col("vq").cast("double")) / col("h"))
+        .withColumn("t_u", floor(col("cnt").cast("double") *
+          exp(-col("z") * col("z") / lit(2.0)) * lit(1e9) + lit(0.5))
+          .cast("long"))
+      g.groupBy(col("k").cast("long").as("k"))
+        .agg(max((col("g").cast("double") / lit(1000.0))).as("grid_v"),
+          sum(col("t_u")).as("su"), max(col("n")).as("n"),
+          max(col("h")).as("h"))
+        .select(col("k"), round(col("grid_v"), 6).as("grid_v"),
+          round(col("su").cast("double") / lit(1e9) /
+            (col("n").cast("double") * col("h") / lit(1000.0)) /
+            lit(math.sqrt(2.0 * math.Pi)), 9)
+            .as("density"))
+        .orderBy(col("k"))
+    }),
+
     // -- Somers' D / Goodman–Kruskal gamma ordinal association (r15) ----------
     // The ordinal-by-ordinal association family q_kendall_tau's
     // continuous lens doesn't give: over FIXED-WIDTH ordinal bins
@@ -6706,6 +6783,73 @@ object StatsQueries extends QueryPack {
          |SELECT * FROM bf UNION ALL SELECT * FROM by_
          |ORDER BY criterion""".stripMargin
     },
+
+    // exact integer daily-max moments; mirrored Gumbel MoM + return
+    // levels
+    "q_gumbel_fit" ->
+      """WITH byd AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+        |    CAST(max(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS mxq
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(mxq) AS BIGINT) AS s,
+        |    CAST(sum(CAST(mxq AS HUGEINT) * mxq) AS HUGEINT) AS ss
+        |  FROM byd),
+        |f AS (SELECT n,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0)) AS vr
+        |  FROM m),
+        |p AS (SELECT n, mean, sqrt(6.0e0 * vr) / pi() AS beta FROM f),
+        |q AS (SELECT n, beta,
+        |    mean - 0.5772156649015329e0 * beta AS mu FROM p)
+        |SELECT n AS n_days,
+        |  CASE WHEN n > 1 THEN round(mu / 1000.0e0, 6) END AS mu,
+        |  CASE WHEN n > 1 THEN round(beta / 1000.0e0, 6) END AS beta,
+        |  CASE WHEN n > 1 THEN round((mu - beta
+        |    * ln(-ln(1.0e0 - 1.0e0 / 10.0e0))) / 1000.0e0, 6) END
+        |    AS return_level_10,
+        |  CASE WHEN n > 1 THEN round((mu - beta
+        |    * ln(-ln(1.0e0 - 1.0e0 / 100.0e0))) / 1000.0e0, 6) END
+        |    AS return_level_100
+        |FROM q""".stripMargin,
+
+    // distinct-value frame x 9 grid points; Silverman bandwidth off
+    // exact moments; nano-quantized kernel terms integer-summed
+    "q_kde_profile" ->
+      """WITH v AS (SELECT
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+        |    CAST(sum(CAST(vq AS HUGEINT) * cnt) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(vq AS HUGEINT) * vq * cnt) AS HUGEINT) AS ss,
+        |    min(vq) AS lo, max(vq) AS hi
+        |  FROM v),
+        |bw AS (SELECT n, lo, hi,
+        |    1.06e0 * sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |      * pow(CAST(n AS DOUBLE), -0.2e0) AS h
+        |  FROM m),
+        |g AS (SELECT v.vq, v.cnt, bw.n, bw.h, k.k,
+        |    lo + (k.k * (hi - lo)) // 10 AS g
+        |  FROM v CROSS JOIN bw
+        |  CROSS JOIN (SELECT unnest(range(1, 10)) AS k) k),
+        |t AS (SELECT k, g, n, h,
+        |    CAST(floor(CAST(cnt AS DOUBLE)
+        |      * exp(-((CAST(g AS DOUBLE) - CAST(vq AS DOUBLE)) / h)
+        |        * ((CAST(g AS DOUBLE) - CAST(vq AS DOUBLE)) / h)
+        |        / 2.0e0) * 1e9 + 0.5e0) AS BIGINT) AS t_u
+        |  FROM g)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |  round(max(CAST(g AS DOUBLE) / 1000.0e0), 6) AS grid_v,
+        |  round(CAST(sum(t_u) AS DOUBLE) / 1e9
+        |    / (CAST(max(n) AS DOUBLE) * max(h) / 1000.0e0)
+        |    / sqrt(2.0e0 * pi()), 9) AS density
+        |FROM t GROUP BY k ORDER BY k""".stripMargin,
 
     // fixed-width ordinal bins; bounded 10x10 grid self-cross; exact
     // HUGEINT pair counts; two mirrored final divisions

@@ -494,6 +494,42 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  test("q_gumbel_fit replays from local daily-maxima moments") {
+    val mx = graft.engine.Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(max(floor(col("value") * lit(1000.0) + lit(0.5)).cast("long"))
+        .as("m"))
+      .collect().map(_.getLong(1))
+    val n = mx.length.toDouble
+    val mean = mx.sum / n
+    val vr = (n * mx.map(v => BigInt(v) * BigInt(v)).sum.toDouble -
+      mx.sum.toDouble * mx.sum.toDouble) / (n * (n - 1))
+    val beta = math.sqrt(6.0 * vr) / math.Pi
+    val mu = mean - 0.5772156649015329 * beta
+    val r = SparkEntry.queries("q_gumbel_fit")(spark, sfDir).head()
+    assert(r.getLong(0) == mx.length)
+    assert(math.abs(r.getDouble(1) - mu / 1000.0) < 1e-4)
+    assert(math.abs(r.getDouble(2) - beta / 1000.0) < 1e-4)
+    // return levels must increase with the return period and exceed mu
+    assert(r.getDouble(4) > r.getDouble(3) && r.getDouble(3) > r.getDouble(1))
+  }
+
+  test("q_kde_profile: densities are a valid positive profile") {
+    val rows = SparkEntry.queries("q_kde_profile")(spark, sfDir)
+      .orderBy(col("k")).collect()
+    assert(rows.length == 9)
+    rows.foreach(r => assert(r.getDouble(2) > 0.0,
+      s"density at grid ${r.getDouble(1)} not positive"))
+    // grid points strictly increase across the value range
+    val gs = rows.map(_.getDouble(1))
+    assert(gs.zip(gs.tail).forall { case (a, b) => a < b })
+    // plausibility: total mass over the observed range is O(1) — the
+    // trapezoid integral over the 9-point grid must sit within (0, 2)
+    val step = gs(1) - gs(0)
+    val mass = rows.map(_.getDouble(2)).sum * step
+    assert(mass > 0.05 && mass < 2.0, s"trapezoid mass $mass implausible")
+  }
+
   test("Pins: releaseAll is idempotent and tolerates lambda-side release") {
     import graft.engine.Pins
     val df = spark.range(10).toDF("x")
