@@ -126,6 +126,13 @@ object Verify {
       }
     }
     pool.shutdownNow()
+    // Final sweep AFTER the pool is down: a zombie pool thread parked in a
+    // non-interruptible Spark call can register pins after its query's
+    // per-query release ran, and if that was the LAST query those blocks
+    // would survive for the rest of the JVM. Release is recompute-safe
+    // (an unpersisted frame a zombie still references just recomputes),
+    // so sweeping here can only reclaim, never corrupt.
+    graft.engine.Pins.releaseAll()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

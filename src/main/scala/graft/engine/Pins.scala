@@ -28,6 +28,14 @@ import org.apache.spark.storage.StorageLevel
   * through here: their lifetime is the session (a production system
   * builds an index once and serves queries from it), and releasing them
   * per query would re-run every index build per consumer.
+  *
+  * Release during a CONCURRENT zombie job is recompute-safe: unpersist
+  * only drops cached blocks, so a timed-out pool thread still computing
+  * over a released frame falls back to recomputing the lineage — correct
+  * results, just uncached. The residual risk is bookkeeping, not
+  * correctness: a zombie that pins AFTER a release swept past it leaves
+  * blocks for the next sweep (harnesses therefore also sweep once after
+  * pool shutdown).
   */
 object Pins {
   private val reg =

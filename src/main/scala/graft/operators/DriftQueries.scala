@@ -562,19 +562,37 @@ object DriftQueries extends QueryPack {
     // Székely's E-statistic E = 2·E|X−Y| − E|X−X'| − E|Y−Y'| (V-statistic
     // form, diagonal included) — zero iff the distributions coincide,
     // and in 1-D every cross-sum of |·| differences collapses to prefix
-    // sums: Σ_{x,y}|x−y| = Σ_v na_v·[vq·Cb − Sb + (Sb_tot − Sb) −
-    // vq·(tb − Cb)] over the distinct-value frame, where Cb/Sb are the
-    // other cohort's cumulative count/value-sum. ONE four-weight
-    // Dist.globalPrefixSums pass carries all four cumulative series;
-    // every fold is decimal(38,0)-exact to ~10¹⁵ rows (terms ≤ n²·10⁶).
+    // sums: Σ_{x,y}|x−y| = Σ_v na_v·[vq·(2·Cb − tb) + (Sb_tot − 2·Sb)]
+    // over the distinct-value frame, where Cb/Sb are the other cohort's
+    // cumulative count/value-sum. ONE four-weight Dist.globalPrefixSums
+    // pass carries all four cumulative series. The value-sum weights
+    // ride the Long-typed prefix helper, so they are K-rescaled BEFORE
+    // entering it (K = max(1, n·max|vq| div 10¹⁵), the q_wasserstein
+    // discipline): K = 1 — and the fold decimal(38,0)-exact — until
+    // n·max|vq| > 10¹⁵ (~10⁹ rows at milli-quantized |v|≈10⁶); beyond
+    // that the prefix sums stay bounded ≲ 2·10¹⁵ ≪ 2⁶³ at ANY corpus
+    // and K multiplies back inside the decimal fold with relative error
+    // < K·n_values/Σ|terms| (vanishing). Rescale divides abs-first
+    // (sign applied after) so Spark's truncating div and DuckDB's
+    // flooring // agree on negative vq.
     "q_energy_distance" -> ((s, d) => {
-      val grouped = quantizedEvents(s, d)
+      val grouped0 = quantizedEvents(s, d)
         .groupBy(col("vq"))
         .agg(
           sum(when(col("us") < col("mid"), 1L).otherwise(0L)).as("na"),
           sum(when(col("us") >= col("mid"), 1L).otherwise(0L)).as("nb"))
-        .withColumn("sa", col("na") * col("vq"))
-        .withColumn("sb", col("nb") * col("vq"))
+      val kf = grouped0.agg(greatest(lit(1L), expr(
+        "(cast(sum(na + nb) as decimal(38,0)) * " +
+          "cast(max(abs(vq)) as decimal(38,0))) div 1000000000000000"))
+        .as("k"))
+      def rescale(w: String) =
+        s"case when vq >= 0 then (cast($w as decimal(38,0)) * " +
+          s"cast(vq as decimal(38,0))) div k else " +
+          s"-((cast($w as decimal(38,0)) * " +
+          s"cast(-vq as decimal(38,0))) div k) end"
+      val grouped = grouped0.crossJoin(broadcast(kf))
+        .withColumn("sa", expr(rescale("na")))
+        .withColumn("sb", expr(rescale("nb")))
         .withColumn("vqd", col("vq").cast("double"))
       val cdf = graft.engine.Pins.pin(Dist.globalPrefixSums(
         grouped, "vqd", asc = true, idCol = "vq",
@@ -582,12 +600,16 @@ object DriftQueries extends QueryPack {
         outCols = Seq("ca", "cb", "csa", "csb"), p = 32))
       val tot = cdf.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"),
         sum(col("sa")).as("sta"), sum(col("sb")).as("stb"))
+      // cs/st are in K-rescaled units; multiplying K back inside the
+      // decimal fold restores original units, so the final divisors are
+      // unchanged from the exact formulation
       def cross(w: String, cc: String, cs: String, st: String,
                 to: String) = sum(expr(
         s"cast($w as decimal(38,0)) * (cast(vq as decimal(38,0)) *" +
-          s" cast($cc as decimal(38,0)) - cast($cs as decimal(38,0)) +" +
-          s" cast($st - $cs as decimal(38,0)) - cast(vq as decimal(38,0))" +
-          s" * cast($to - $cc as decimal(38,0)))"))
+          s" (2 * cast($cc as decimal(38,0)) -" +
+          s" cast($to as decimal(38,0))) + cast(k as decimal(38,0)) *" +
+          s" (cast($st as decimal(38,0)) -" +
+          s" 2 * cast($cs as decimal(38,0))))"))
       cdf.crossJoin(broadcast(tot))
         .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
           cross("na", "cb", "csb", "stb", "tb").as("sxy"),
@@ -831,7 +853,16 @@ object DriftQueries extends QueryPack {
         |    sum(CASE WHEN us < mid THEN 1 ELSE 0 END) AS na,
         |    sum(CASE WHEN us >= mid THEN 1 ELSE 0 END) AS nb
         |  FROM e CROSS JOIN b GROUP BY vq),
-        |g2 AS (SELECT vq, na, nb, na * vq AS sa, nb * vq AS sb FROM g),
+        |kk AS (SELECT greatest(CAST(1 AS HUGEINT),
+        |    (CAST(sum(na + nb) AS HUGEINT)
+        |      * CAST(max(abs(vq)) AS HUGEINT))
+        |      // 1000000000000000) AS k FROM g),
+        |g2 AS (SELECT vq, na, nb,
+        |    CASE WHEN vq >= 0 THEN (CAST(na AS HUGEINT) * vq) // k
+        |      ELSE -((CAST(na AS HUGEINT) * (-vq)) // k) END AS sa,
+        |    CASE WHEN vq >= 0 THEN (CAST(nb AS HUGEINT) * vq) // k
+        |      ELSE -((CAST(nb AS HUGEINT) * (-vq)) // k) END AS sb
+        |  FROM g CROSS JOIN kk),
         |c AS (SELECT vq, na, nb,
         |    CAST(sum(na) OVER w AS HUGEINT) AS ca,
         |    CAST(sum(nb) OVER w AS HUGEINT) AS cb,
@@ -843,16 +874,16 @@ object DriftQueries extends QueryPack {
         |    CAST(sum(sa) AS HUGEINT) AS sta,
         |    CAST(sum(sb) AS HUGEINT) AS stb FROM g2),
         |m AS (SELECT
-        |    CAST(sum(CAST(na AS HUGEINT) * (CAST(vq AS HUGEINT) * cb
-        |      - csb + (stb - csb) - CAST(vq AS HUGEINT) * (tb - cb)))
+        |    CAST(sum(CAST(na AS HUGEINT) * (CAST(vq AS HUGEINT)
+        |      * (2 * cb - tb) + k * (stb - 2 * csb)))
         |      AS HUGEINT) AS sxy,
-        |    CAST(sum(CAST(na AS HUGEINT) * (CAST(vq AS HUGEINT) * ca
-        |      - csa + (sta - csa) - CAST(vq AS HUGEINT) * (ta - ca)))
+        |    CAST(sum(CAST(na AS HUGEINT) * (CAST(vq AS HUGEINT)
+        |      * (2 * ca - ta) + k * (sta - 2 * csa)))
         |      AS HUGEINT) AS sxx,
-        |    CAST(sum(CAST(nb AS HUGEINT) * (CAST(vq AS HUGEINT) * cb
-        |      - csb + (stb - csb) - CAST(vq AS HUGEINT) * (tb - cb)))
+        |    CAST(sum(CAST(nb AS HUGEINT) * (CAST(vq AS HUGEINT)
+        |      * (2 * cb - tb) + k * (stb - 2 * csb)))
         |      AS HUGEINT) AS syy
-        |  FROM c CROSS JOIN t),
+        |  FROM c CROSS JOIN t CROSS JOIN kk),
         |r AS (SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
         |    round(CAST(sxy AS DOUBLE) / (CAST(ta AS DOUBLE)
         |      * CAST(tb AS DOUBLE) * 1000.0e0), 6) AS e_xy,

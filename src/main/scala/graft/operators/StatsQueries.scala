@@ -3560,9 +3560,14 @@ object StatsQueries extends QueryPack {
         .withColumn("g", expr("lo + (k * (hi - lo)) div 10"))
         .withColumn("z", (col("g").cast("double") -
           col("vq").cast("double")) / col("h"))
-        .withColumn("t_u", floor(col("cnt").cast("double") *
-          exp(-col("z") * col("z") / lit(2.0)) * lit(1e9) + lit(0.5))
-          .cast("long"))
+        // degenerate-input guard (single distinct value or n = 1 → h =
+        // 0, z = 0/0 = NaN; floor(NaN) diverges between the engines):
+        // gate the kernel term so the density column comes out NULL on
+        // BOTH engines instead of an engine-specific NaN/error
+        .withColumn("t_u", when(col("h") > 0.0 && col("n") > 1L,
+          floor(col("cnt").cast("double") *
+            exp(-col("z") * col("z") / lit(2.0)) * lit(1e9) + lit(0.5))
+            .cast("long")))
       g.groupBy(col("k").cast("long").as("k"))
         .agg(max((col("g").cast("double") / lit(1000.0))).as("grid_v"),
           sum(col("t_u")).as("su"), max(col("n")).as("n"),
@@ -6839,10 +6844,11 @@ object StatsQueries extends QueryPack {
         |  FROM v CROSS JOIN bw
         |  CROSS JOIN (SELECT unnest(range(1, 10)) AS k) k),
         |t AS (SELECT k, g, n, h,
-        |    CAST(floor(CAST(cnt AS DOUBLE)
-        |      * exp(-((CAST(g AS DOUBLE) - CAST(vq AS DOUBLE)) / h)
-        |        * ((CAST(g AS DOUBLE) - CAST(vq AS DOUBLE)) / h)
-        |        / 2.0e0) * 1e9 + 0.5e0) AS BIGINT) AS t_u
+        |    CASE WHEN h > 0 AND n > 1 THEN
+        |      CAST(floor(CAST(cnt AS DOUBLE)
+        |        * exp(-((CAST(g AS DOUBLE) - CAST(vq AS DOUBLE)) / h)
+        |          * ((CAST(g AS DOUBLE) - CAST(vq AS DOUBLE)) / h)
+        |          / 2.0e0) * 1e9 + 0.5e0) AS BIGINT) END AS t_u
         |  FROM g)
         |SELECT CAST(k AS BIGINT) AS k,
         |  round(max(CAST(g AS DOUBLE) / 1000.0e0), 6) AS grid_v,
@@ -7038,11 +7044,11 @@ object StatsQueries extends QueryPack {
         |    exp(-CAST(x2u AS DOUBLE) / 2e9) * 1e6 + 0.5e0) AS BIGINT)
         |    AS pu FROM x2),
         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pp),
-        |hp AS (SELECT CAST(sum(1000000000000 // i.i) AS BIGINT) AS cp
-        |  FROM range(1, 1001) i(i) CROSS JOIN mm WHERE i.i <= m),
         |rk AS (SELECT nk, n, pu,
         |    row_number() OVER (ORDER BY pu, nk) AS rnk
         |  FROM pp),
+        |hp AS (SELECT CAST(sum(1000000000000 // rnk) AS BIGINT) AS cp
+        |  FROM rk),
         |ks AS (SELECT max(CASE WHEN CAST(pu AS HUGEINT) * m * 20 * cp
         |      <= CAST(rnk AS HUGEINT) * 1000000 * 1000000000000
         |    THEN rnk END) AS k

@@ -113,6 +113,15 @@ class SessionTimerProcessor
   override def handleExpiredTimer(key: Long, tv: TimerValues,
                                   info: ExpiredTimerInfo): Iterator[TimerEmit] = {
     val cur = st.get()
+    // the session is CLOSED once its timer fires: clear the state so a
+    // later batch starts a fresh session (count from 0) instead of
+    // resuming the emitted one — without this a multi-batch source
+    // double-counts (cumulative n_events re-emitted) and per-key state
+    // never dies. The test fixture pins maxFilesPerTrigger so all rows
+    // land in one micro-batch and only the final-watermark expiry path
+    // runs; the oracle's one-row-per-user predicate relies on that
+    // single-batch shape, not on stale state surviving here.
+    st.clear()
     Iterator.single(TimerEmit(key, cur.n, info.getExpiryTimeInMs))
   }
 }
