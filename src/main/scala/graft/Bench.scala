@@ -178,7 +178,119 @@ object Bench {
     val storSamples = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     case class Rep(wall: Double, cpu: Double, load: Double,
                    gc: Double, stor: Double)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // --- indestructible-artifact machinery (VERDICT r15 item 1) ----------
+    // The driver's bench channel was unusable two rounds running (r14
+    // contaminated, r15 SIGKILLed at the wall cap → rc:124, parsed:null —
+    // the artifact was the stdout tail of a dead process). Three layers
+    // make ANY partial run self-evidencing:
+    //   1. BENCH_PROGRESS.jsonl — one line per query, flushed the moment
+    //      it completes. Survives SIGKILL; rows are reconstructable.
+    //   2. BENCH_DETAIL.json rewritten every `detailEvery` queries with
+    //      "partial":true + the done-count, so a mid-run kill still
+    //      leaves a parseable artifact with a labeled partial total.
+    //   3. A wall budget (SPARK_GRAFT_BENCH_BUDGET_S, default 2400 s —
+    //      comfortably inside the driver's cap): once elapsed + the
+    //      EMA-projected remaining cost exceeds it, the run degrades to
+    //      reps=1 for the remainder and records the first degraded query
+    //      in env.degraded_at. Coverage beats redundancy: a full set of
+    //      single-rep rows is a usable artifact; half a set of
+    //      median-of-3 rows is not.
+    val budgetS =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "2400").toDouble
+    val benchT0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - benchT0) / 1e9
+    var emaCost = 0.0
+    var degradedAt: Option[String] = None
+    val repoDir = sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo")
+    val detailPath = repoDir + "/BENCH_DETAIL.json"
+    val progressPath = repoDir + "/BENCH_PROGRESS.jsonl"
+    val detailEvery = 25
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
+    // comma decimal separator would corrupt the JSON line.
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def ent(kv: (String, Double)): String = "\"" + kv._1 + "\":" + d3(kv._2)
+    def arr(ts: Seq[Double]): String = ts.map(d3).mkString("[", ",", "]")
+    def mapJson(m: scala.collection.mutable.LinkedHashMap[String, Seq[Double]]): String =
+      m.map { case (k, ts) => "\"" + k + "\":" + arr(ts) }
+        .mkString("{", ",", "}")
+    // "mat" records the materialization mode so round-over-round totals
+    // are only compared within the same methodology (r2 used count(),
+    // which let Catalyst prune top-level sorts; r3+ use a noop write).
+    // Built fresh per write so a partial artifact carries the load
+    // average and degradation state as of the moment it was written.
+    def envJson(): String = Seq(
+      "\"started_utc\":\"" + startedAt + "\"",
+      "\"java\":\"" + sys.props.getOrElse("java.version", "?") + "\"",
+      "\"spark\":\"" + spark.version + "\"",
+      "\"master_cpus\":\"" + cpus + "\"",
+      "\"available_procs\":" + Runtime.getRuntime.availableProcessors,
+      "\"load_avg_start\":" + d3(loadStart),
+      "\"load_avg_end\":" + d3(osBean.getSystemLoadAverage),
+      "\"reps\":" + reps,
+      "\"budget_s\":" + d3(budgetS),
+      "\"degraded_at\":" +
+        degradedAt.map("\"" + _ + "\"").getOrElse("null"),
+      "\"jvm_uptime_ms_at_start\":" + jvmUptimeMs,
+      // Measurement-regime stamp (ADVICE r12): artifacts from different
+      // regimes must not be diffed raw; the stamp makes the regime
+      // machine-checkable.
+      "\"regime\":\"r16+: write-ops reps=1, tmpfs scratch, memo warmup untimed, " +
+        "cold>ceil re-repped (min), per-query pin release, adaptive reps " +
+        "(skip rep3 and report rep2 when both reps <3s and rep2<=1.1*rep1), " +
+        "wall-budget degrade to reps=1, flushed JSONL + rolling partial detail\""
+    ).mkString("{", ",", "}")
+    val results =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    // Dev-loop filter (same contract as Verify's): SPARK_GRAFT_QUERIES=
+    // q_a,q_b times just those queries. Unset = full run (driver's mode).
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None        => SparkEntry.queries
+    }
+    val nTotal = selected.size
+    // One lock covers the result maps for both writers: the main loop and
+    // the SIGTERM shutdown hook (SIGKILL can't run hooks — that's what
+    // the flushed JSONL is for).
+    val artifactLock = new Object
+    def detailJson(partial: Boolean): String = artifactLock.synchronized {
+      val total = results.map(_._2).filter(_ > 0).sum
+      val head = s"""{"metric":"total","value":${d3(total)},"unit":"sec"""" +
+        s""","n":${results.size}""" +
+        (if (partial) s""","partial":true,"n_total":$nTotal""" else "") +
+        s""","mat":"noop","env":${envJson()},"queries":{"""
+      results.sortBy(_._1).map(ent).mkString(head, ",",
+        s"""},"samples":${mapJson(triples)},"cpu_s":${mapJson(cpuTriples)}""" +
+          s""","load_1m":${mapJson(loadSamples)},"gc_s":${mapJson(gcSamples)}""" +
+          s""","storage_mb":${mapJson(storSamples)},"sf":"$sfDir"}""")
+    }
+    // anchor BENCH_DETAIL.json at the repo root (PWD may differ under the
+    // driver's launcher); write to a temp file and rename so a kill
+    // mid-write can never leave a truncated artifact
+    def writeDetail(partial: Boolean): Unit = try {
+      val tmp = new java.io.File(detailPath + ".tmp")
+      val w = new java.io.PrintWriter(tmp)
+      try w.println(detailJson(partial)) finally w.close()
+      java.nio.file.Files.move(tmp.toPath,
+        new java.io.File(detailPath).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write $detailPath: $e")
+    }
+    val finalWritten = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      if (!finalWritten.get) writeDetail(partial = true)))
+    val progW = new java.io.PrintWriter(new java.io.BufferedWriter(
+      new java.io.FileWriter(progressPath, false)))
+    progW.println(s"""{"meta":"bench-progress","started_utc":"$startedAt"""" +
+      s""","sf":"$sfDir","n_total":$nTotal,"budget_s":${d3(budgetS)}}""")
+    progW.flush()
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       def once(): Rep = {
         val load = osBean.getSystemLoadAverage
         val c0 = processCpuNanos()
@@ -192,6 +304,20 @@ object Bench {
         // can never masquerade as a measurement in round-over-round diffs
         Rep(if (ok) dt else -dt, dc, load, dg, storageMb())
       }
+      // Budget check BEFORE the query: projected = EMA of per-query total
+      // wall (all reps) × queries remaining. Sticky — once degraded the
+      // run never re-inflates (a budget exists because the cap is hard).
+      // The check arms only after 25 measured queries: the first few
+      // rows carry per-plan codegen cold cost that inflates the EMA
+      // 3-5× over the run's steady state (observed: an un-guarded check
+      // degraded at query 3 of a run that finished at 58% of budget).
+      if (degradedAt.isEmpty && emaCost > 0.0 && results.size >= 25 &&
+          elapsedS + emaCost * (nTotal - results.size) > budgetS) {
+        degradedAt = Some(name)
+        System.err.println(f"[bench] wall budget: ${elapsedS}%.0f s elapsed" +
+          f" + ${emaCost}%.2f s/query × ${nTotal - results.size} remaining" +
+          f" > ${budgetS}%.0f s — degrading to reps=1 from $name")
+      }
       val first = once()
       // A slow-but-successful first rep is NOT trusted single-shot
       // (VERDICT r14 item 1a: the repCeil single-shot rule published a
@@ -200,42 +326,85 @@ object Bench {
       // of the two, since a >repCeil wall can only be contamination
       // (every query runs far under repCeil warm on an idle box) and the
       // faster rep is the closer bound on plan cost.
+      // Adaptive reps (VERDICT r15 item 2): skip rep 3 when the first two
+      // reps show the expected cold-then-warm shape — both under 3 s and
+      // rep2 ≤ 1.1·rep1 — and report rep2 (the warm cost; a mean would
+      // re-import rep1's codegen cold start). The verdict's literal rule
+      // (reps 1-2 agree within 10%) fires on only 16/521 of r15's rows —
+      // rep1 carries per-plan codegen so it rarely agrees with rep2; the
+      // real redundancy is rep3 ≈ rep2. Replayed against r15's full
+      // sample set this rule fires on 475/521 rows, cuts measured rep
+      // wall 18.0%, and moves the total −2.6% (inside the 3% acceptance
+      // band; max per-query deviation 0.7 s). A rep2 SLOWER than 1.1·rep1
+      // falls through to rep3 — warm-slower-than-cold is a contention
+      // signal, exactly when the median needs the third sample.
+      var adaptiveV: Option[Double] = None
       val runs =
         if (first.wall <= 0 || singleRep(name)) Seq(first)
         else if (first.wall > repCeil) Seq(first, once())
-        else first +: (2 to reps).map(_ => once())
+        else if (degradedAt.isDefined || reps <= 1) Seq(first)
+        else {
+          val second = once()
+          val two = Seq(first, second)
+          val coldWarm = second.wall > 0 &&
+            first.wall < 3.0 && second.wall < 3.0 &&
+            second.wall <= 1.1 * first.wall
+          if (reps <= 2) two
+          else if (coldWarm) { adaptiveV = Some(second.wall); two }
+          else two ++ (3 to reps).map(_ => once())
+        }
       val times = runs.map(_.wall)
-      triples(name) = times
-      cpuTriples(name) = runs.map(_.cpu)
-      loadSamples(name) = runs.map(_.load)
-      gcSamples(name) = runs.map(_.gc)
-      storSamples(name) = runs.map(_.stor)
       val good = times.filter(_ > 0).sorted
       val v =
         if (good.isEmpty) times.head
         else if (first.wall > repCeil && !singleRep(name)) good.head
-        else if (good.size % 2 == 1) good(good.size / 2)
-        else (good(good.size / 2 - 1) + good(good.size / 2)) / 2.0
+        else adaptiveV.getOrElse(
+          if (good.size % 2 == 1) good(good.size / 2)
+          else (good(good.size / 2 - 1) + good(good.size / 2)) / 2.0)
+      artifactLock.synchronized {
+        triples(name) = times
+        cpuTriples(name) = runs.map(_.cpu)
+        loadSamples(name) = runs.map(_.load)
+        gcSamples(name) = runs.map(_.gc)
+        storSamples(name) = runs.map(_.stor)
+        results += (name -> v)
+      }
+      val qWall = times.map(math.abs).sum
+      emaCost = if (emaCost == 0.0) qWall else 0.3 * qWall + 0.7 * emaCost
+      progW.println(s"""{"q":"$name","v":${d3(v)},"samples":${arr(times)}""" +
+        s""","cpu_s":${arr(runs.map(_.cpu))},"gc_s":${arr(runs.map(_.gc))}""" +
+        s""","load_1m":${arr(runs.map(_.load))}""" +
+        s""","storage_mb":${arr(runs.map(_.stor))}""" +
+        s""","elapsed_s":${d3(elapsedS)}""" +
+        (if (degradedAt.isDefined) ""","degraded":true""" else "") + "}")
+      progW.flush()
+      if (results.size % detailEvery == 0 && results.size < nTotal)
+        writeDetail(partial = true)
       System.err.println(f"[bench] $name%-24s $v%8.2f s  (${times.map(t => f"$t%.2f").mkString("/")})" +
         f"  cpu(${runs.map(r => f"${r.cpu}%.2f").mkString("/")})" +
         f"  gc(${runs.map(r => f"${r.gc}%.2f").mkString("/")})" +
         (if (good.isEmpty) "  [FAILED/TIMEOUT]" else ""))
-      name -> v
     }
-    val loadEnd = osBean.getSystemLoadAverage
-    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
-    // comma decimal separator would corrupt the JSON line.
-    def d3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def ent(kv: (String, Double)): String = "\"" + kv._1 + "\":" + d3(kv._2)
+    progW.close()
+    // Final (complete) artifact. The per-rep columns: cpu_s is whole-JVM
+    // process CPU per rep (may exceed wall by up to the core count; the
+    // adjudication signal is the OTHER direction — wall ≫ cpu/cores means
+    // external load, not plan cost); load_1m is the 1-min load average at
+    // each rep's start; gc_s is JVM GC seconds; storage_mb is the
+    // block-manager residual AFTER the rep's Pins release (flat ≈
+    // SharedArtifacts baseline on a healthy run; a climb is a persist
+    // leak). Together they make a cross-round delta judgeable against rep
+    // spread and box conditions instead of re-litigating the engine.
+    writeDetail(partial = false)
+    finalWritten.set(true)
+    val total = results.map(_._2).filter(_ > 0).sum
     // The driver captures only the LAST 2000 characters of output and
     // parses the bench JSON out of that tail; the round-2 line (91 queries
     // at nanosecond precision, ~2900 chars) overflowed it and the round
     // recorded parsed:null. Keep the line comfortably under the buffer:
     // 3-decimal seconds, slowest queries first, and stop adding per-query
-    // entries at a fixed character budget. The complete map goes to
+    // entries at a fixed character budget. The complete map is in
     // BENCH_DETAIL.json alongside the repo for human diffing.
-    val total = results.map(_._2).filter(_ > 0).sum
     val byCost = results.sortBy { case (_, v) => -math.abs(v) }
     val budget = 1500
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -251,70 +420,6 @@ object Bench {
       else full = true
     }
     val omitted = results.size - kept.size
-    // "mat" records the materialization mode so round-over-round totals
-    // are only compared within the same methodology (r2 used count(),
-    // which let Catalyst prune top-level sorts; r3+ use a noop write)
-    // "samples" = the raw per-query timings behind each median; "env" =
-    // the run conditions. Together they make the artifact self-evidencing:
-    // a cross-round delta can be judged against rep spread and box load
-    // instead of re-litigating the engine.
-    val samples = triples.map { case (k, ts) =>
-      "\"" + k + "\":[" + ts.map(d3).mkString(",") + "]"
-    }.mkString("{", ",", "}")
-    // cpu_s: per-rep process CPU seconds (whole JVM, all 32 worker
-    // threads — so cpu may legitimately exceed wall by up to the core
-    // count). The adjudication signal is the OTHER direction: wall much
-    // greater than cpu/cores on a rep means the process did not have the
-    // CPU it was charged for — external load, not plan cost. load: the
-    // 1-min system load average sampled at each rep's start.
-    val cpuJson = cpuTriples.map { case (k, ts) =>
-      "\"" + k + "\":[" + ts.map(d3).mkString(",") + "]"
-    }.mkString("{", ",", "}")
-    val loadJson = loadSamples.map { case (k, ts) =>
-      "\"" + k + "\":[" + ts.map(d3).mkString(",") + "]"
-    }.mkString("{", ",", "}")
-    // gc_s: per-rep JVM garbage-collection seconds (all collectors).
-    // storage_mb: block-manager bytes (mem+disk, MB) remaining AFTER the
-    // rep's Pins release — flat ≈ SharedArtifacts baseline on a healthy
-    // run; a climb across queries is a persist leak.
-    val gcJson = gcSamples.map { case (k, ts) =>
-      "\"" + k + "\":[" + ts.map(d3).mkString(",") + "]"
-    }.mkString("{", ",", "}")
-    val storJson = storSamples.map { case (k, ts) =>
-      "\"" + k + "\":[" + ts.map(d3).mkString(",") + "]"
-    }.mkString("{", ",", "}")
-    val env = Seq(
-      "\"started_utc\":\"" + startedAt + "\"",
-      "\"java\":\"" + sys.props.getOrElse("java.version", "?") + "\"",
-      "\"spark\":\"" + spark.version + "\"",
-      "\"master_cpus\":\"" + cpus + "\"",
-      "\"available_procs\":" + Runtime.getRuntime.availableProcessors,
-      "\"load_avg_start\":" + d3(loadStart),
-      "\"load_avg_end\":" + d3(loadEnd),
-      "\"reps\":" + reps,
-      "\"jvm_uptime_ms_at_start\":" + jvmUptimeMs,
-      // Measurement-regime stamp (ADVICE r12): r12 changed what the
-      // write-maintenance numbers measure (single rep, /dev/shm scratch,
-      // shared-memo builds moved to untimed warmup). Artifacts from
-      // different regimes must not be diffed raw; the stamp makes the
-      // regime machine-checkable.
-      "\"regime\":\"r15+: write-ops reps=1, tmpfs scratch, memo warmup untimed, " +
-        "cold>ceil re-repped (min), per-query pin release\""
-    ).mkString("{", ",", "}")
-    val fullJson = results.sortBy(_._1).map(ent).mkString(
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"mat":"noop","env":$env,"queries":{""",
-      ",", s"""},"samples":$samples,"cpu_s":$cpuJson,"load_1m":$loadJson,"gc_s":$gcJson,"storage_mb":$storJson,"sf":"$sfDir"}""")
-    // anchor BENCH_DETAIL.json at the repo root (PWD may differ under the
-    // driver's launcher) and make write failures visible
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo") +
-      "/BENCH_DETAIL.json"
-    try {
-      val w = new java.io.PrintWriter(detailPath)
-      try w.println(fullJson) finally w.close()
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] could not write $detailPath: $e")
-    }
     println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","n":${results.size},"mat":"noop","queries_omitted":$omitted,"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"}""")
     spark.stop()
     pool.shutdownNow()
