@@ -102,6 +102,7 @@ object Bench {
         // per memo family triggers each build untimed:
         "q_sim_ivf",            // ivf2 l1 + fine centroids + asg2
         "q_dbscan_core",        // verified tau-neighborhood edge list (r13)
+        "q_knn_triangles_ann",  // verified top-3 ANN edge list (r16)
         "q_dedup_minhash",      // minhash signature table
         "q_adamic_adar",        // coEdges + coWedges
         "q_effective_diameter", // multiRootBfs
