@@ -24,6 +24,38 @@ import graft.engine.Tables
   */
 object StreamRunner {
 
+  // Fresh tmpfs-backed checkpoint per bounded run (r16 streaming-floor
+  // work): with no explicit checkpointLocation Spark creates the temp
+  // checkpoint under java.io.tmpdir — ext4 on this box — and every
+  // micro-batch then pays disk-journal costs for the offset-log/
+  // commit-log WRITE+RENAME pair plus one state delta file per store
+  // partition. The logs are by construction throwaway for a bounded
+  // test run (the stream drains and the query object is dropped), so
+  // memory-backed scratch changes nothing semantically; production
+  // checkpoints live on durable storage BY DESIGN and are not what the
+  // bench should measure. MUST be unique per run: a reused checkpoint
+  // resumes (offsets committed → zero-row batches → an empty memory
+  // sink). Same base-dir policy as SourceQueries.scratch.
+  private val ckptCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val ckptCleanup =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def freshCheckpoint(spark: SparkSession): String = {
+    val base = sys.env.get("SPARK_GRAFT_SCRATCH").getOrElse {
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
+    }
+    val root = s"$base/graft_ckpt/${spark.sparkContext.applicationId}"
+    if (ckptCleanup.add(root)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def del(f: java.io.File): Unit = {
+          val cs = f.listFiles(); if (cs != null) cs.foreach(del)
+          f.delete(); ()
+        }
+        del(new java.io.File(root))
+      }))
+    }
+    s"$root/c${ckptCounter.incrementAndGet()}"
+  }
+
   /** Streaming view of `events` with `ts_t` (TIMESTAMP, UTC) event time.
     * Time derivation is delegated to Tables.withEventTime, which adapts to
     * how the corpus stores `ts` (bigint ns or native timestamp[us]).
@@ -152,6 +184,7 @@ object StreamRunner {
       val q = stream.writeStream
         .format("memory")
         .queryName(name)
+        .option("checkpointLocation", freshCheckpoint(spark))
         .outputMode(mode)
         .start()
       try {
@@ -182,6 +215,7 @@ object StreamRunner {
       val q = stream.writeStream
         .format("memory")
         .queryName(name)
+        .option("checkpointLocation", freshCheckpoint(spark))
         .outputMode(mode)
         .trigger(Trigger.AvailableNow())
         .start()
@@ -236,6 +270,7 @@ object StreamRunner {
       val q = stream.writeStream
         .format("memory")
         .queryName(name)
+        .option("checkpointLocation", freshCheckpoint(spark))
         .outputMode(mode)
         .trigger(Trigger.AvailableNow())
         .start()
