@@ -396,39 +396,12 @@ object DriftQueries extends QueryPack {
     // by the exact mirrored integer K = max(1, ta·tb div 10¹²) before
     // the segment sum (the q_breusch_pagan overflow discipline), so the
     // decimal(38,0) fold holds for any corpus ≤ ~10¹² distinct values.
-    "q_wasserstein" -> ((s, d) => {
-      val grouped = graft.engine.Pins.pin(quantizedEvents(s, d)
+    "q_wasserstein" -> ((s, d) =>
+      wassersteinFrom(quantizedEvents(s, d)
         .groupBy(col("vq"))
         .agg(
           sum(when(col("us") < col("mid"), 1L).otherwise(0L)).as("na"),
-          sum(when(col("us") >= col("mid"), 1L).otherwise(0L)).as("nb"))
-        .withColumn("vqd", col("vq").cast("double"))
-        .withColumn("vq2", col("vq")))
-      val tot = grouped.agg(sum(col("na")).as("ta"),
-        sum(col("nb")).as("tb"))
-      Dist.globalPrefixSumsWithLead(grouped, "vqd", "vq",
-          weightCols = Seq("na", "nb"),
-          outCumCols = Seq("cum_a", "cum_b"),
-          leadCol = "vq2", outLeadCol = "next_vq", p = 32)
-        .crossJoin(broadcast(tot))
-        .filter(col("next_vq").isNotNull)
-        .withColumn("k", expr(
-          "greatest(cast(1 as bigint), (cast(ta as decimal(38,0)) *" +
-            " cast(tb as decimal(38,0))) div 1000000000000)"))
-        .withColumn("cd_s", expr(
-          "abs(cast(cum_a as decimal(38,0)) * cast(tb as decimal(38,0))" +
-            " - cast(cum_b as decimal(38,0)) * cast(ta as decimal(38,0)))" +
-            " div k"))
-        .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
-          (count(lit(1)) + 1).as("n_values"),
-          sum(expr("cast(cd_s as decimal(38,0))" +
-            " * cast(next_vq - vq as decimal(38,0))")).as("sw"),
-          max(col("k")).as("k"))
-        .select(col("n_a"), col("n_b"), col("n_values"),
-          round(col("k").cast("double") * col("sw").cast("double") /
-            (col("n_a").cast("double") * col("n_b").cast("double") *
-              lit(1000.0)), 6).as("w1"))
-    }),
+          sum(when(col("us") >= col("mid"), 1L).otherwise(0L)).as("nb")))),
 
     // -- two-sample Cramér–von Mises drift statistic (r15) ------------------
     // The WHOLE-CDF companion: where KS takes the max gap and W₁ the
@@ -437,30 +410,8 @@ object DriftQueries extends QueryPack {
     // moderate gaps where KS sees only the worst one. Same cohortCdf
     // frame; the gap is K-rescaled (exact mirrored integer) so the
     // squared fold stays inside decimal(38,0) at any real corpus.
-    "q_cramer_von_mises" -> ((s, d) => {
-      val cdf = graft.engine.Pins.pin(cohortCdf(s, d))
-      val tot = cdf.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
-      cdf.crossJoin(broadcast(tot))
-        .withColumn("k", expr(
-          "greatest(cast(1 as bigint), (cast(ta as decimal(38,0)) *" +
-            " cast(tb as decimal(38,0))) div 1000000000000)"))
-        .withColumn("cd_s", expr(
-          "abs(cast(cum_a as decimal(38,0)) * cast(tb as decimal(38,0))" +
-            " - cast(cum_b as decimal(38,0)) * cast(ta as decimal(38,0)))" +
-            " div k"))
-        .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
-          count(lit(1)).as("n_values"),
-          sum(expr("cast(cd_s as decimal(38,0)) *" +
-            " cast(cd_s as decimal(38,0)) *" +
-            " cast(na + nb as decimal(38,0))")).as("sq"),
-          max(col("k")).as("k"))
-        .select(col("n_a"), col("n_b"), col("n_values"),
-          round(col("k").cast("double") * col("k").cast("double") *
-            col("sq").cast("double") /
-            (col("n_a").cast("double") * col("n_b").cast("double") *
-              (col("n_a") + col("n_b")).cast("double") *
-              (col("n_a") + col("n_b")).cast("double")), 6).as("t_stat"))
-    }),
+    "q_cramer_von_mises" -> ((s, d) =>
+      cramerVonMisesFrom(graft.engine.Pins.pin(cohortCdf(s, d)))),
 
     // -- Cliff's delta ordinal effect size (r15) -----------------------------
     // The nonparametric EFFECT-SIZE companion to q_mann_whitney's test:
@@ -471,27 +422,8 @@ object DriftQueries extends QueryPack {
     // division; the conventional magnitude bands (0.147/0.33/0.474,
     // Romano et al.) label the rounded value identically on both
     // engines.
-    "q_cliffs_delta" -> ((s, d) => {
-      val cdf = graft.engine.Pins.pin(cohortCdf(s, d))
-      val tot = cdf.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
-      cdf.crossJoin(broadcast(tot))
-        .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
-          sum(expr("cast(nb as decimal(38,0)) *" +
-            " cast(ta - cum_a as decimal(38,0))")).as("gt"),
-          sum(expr("cast(nb as decimal(38,0)) *" +
-            " cast(cum_a - na as decimal(38,0))")).as("lt"))
-        .withColumn("delta", round(
-          (col("gt").cast("double") - col("lt").cast("double")) /
-            (col("n_a").cast("double") * col("n_b").cast("double")), 6))
-        .select(col("n_a"), col("n_b"),
-          col("gt").cast("double").as("n_gt"),
-          col("lt").cast("double").as("n_lt"),
-          col("delta"),
-          when(abs(col("delta")) < 0.147, "negligible")
-            .when(abs(col("delta")) < 0.33, "small")
-            .when(abs(col("delta")) < 0.474, "medium")
-            .otherwise("large").as("magnitude"))
-    }),
+    "q_cliffs_delta" -> ((s, d) =>
+      cliffsDeltaFrom(graft.engine.Pins.pin(cohortCdf(s, d)))),
 
     // -- Brunner–Munzel heteroscedastic rank test (r15) -----------------------
     // q_mann_whitney's U assumes equal variances under H₀; Brunner–
@@ -507,56 +439,10 @@ object DriftQueries extends QueryPack {
     // disagree on negatives) so the squared fold stays in decimal(38,0)
     // at any corpus. Large-sample normal verdict on the rounded W
     // (Welch df also reported).
-    "q_brunner_munzel" -> ((s, d) => {
-      val cdf = cohortCdf(s, d)
-      val tot = cdf.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
-      val base = cdf.crossJoin(broadcast(tot))
-        .withColumn("qa2", lit(2L) * col("cum_b") - col("nb"))
-        .withColumn("qb2", lit(2L) * col("cum_a") - col("na"))
-      val dsum = base.agg(
-        sum(expr("cast(na as decimal(38,0)) * cast(qa2 as decimal(38,0))"))
-          .as("da"),
-        sum(expr("cast(nb as decimal(38,0)) * cast(qb2 as decimal(38,0))"))
-          .as("db"))
-      val t = base.crossJoin(broadcast(dsum))
-        .withColumn("ka", expr("greatest(cast(1 as bigint), " +
-          "(2 * cast(ta as decimal(38,0)) * (ta + tb)) div 1000000000000)"))
-        .withColumn("kb", expr("greatest(cast(1 as bigint), " +
-          "(2 * cast(tb as decimal(38,0)) * (ta + tb)) div 1000000000000)"))
-        .withColumn("sa", expr("abs(cast(ta as decimal(38,0)) " +
-          "* cast(qa2 as decimal(38,0)) - da) div ka"))
-        .withColumn("sb", expr("abs(cast(tb as decimal(38,0)) " +
-          "* cast(qb2 as decimal(38,0)) - db) div kb"))
-        .agg(max(col("ta")).as("ta"), max(col("tb")).as("tb"),
-          max(col("ka")).as("ka"), max(col("kb")).as("kb"),
-          max(col("da")).as("da"), max(col("db")).as("db"),
-          sum(expr("cast(na as decimal(38,0)) * cast(sa as decimal(38,0))" +
-            " * cast(sa as decimal(38,0))")).as("tta"),
-          sum(expr("cast(nb as decimal(38,0)) * cast(sb as decimal(38,0))" +
-            " * cast(sb as decimal(38,0))")).as("ttb"))
-      val taD = col("ta").cast("double")
-      val tbD = col("tb").cast("double")
-      val s2a = col("ka").cast("double") * col("ka").cast("double") *
-        col("tta").cast("double") / (lit(4.0) * taD * taD * (taD - 1.0))
-      val s2b = col("kb").cast("double") * col("kb").cast("double") *
-        col("ttb").cast("double") / (lit(4.0) * tbD * tbD * (tbD - 1.0))
-      val rdiff = col("db").cast("double") / (lit(2.0) * tbD) -
-        col("da").cast("double") / (lit(2.0) * taD) + (tbD - taD) / 2.0
-      val den = taD * s2a + tbD * s2b
-      val w = round(taD * tbD * rdiff / ((taD + tbD) * sqrt(den)), 6)
-      val dfW = den * den /
-        ((taD * s2a) * (taD * s2a) / (taD - 1.0) +
-          (tbD * s2b) * (tbD * s2b) / (tbD - 1.0))
-      t.select(col("ta").as("n_a"), col("tb").as("n_b"),
-        round(col("db").cast("double") / (lit(2.0) * taD * tbD), 6)
-          .as("p_hat"),
-        when(col("ta") > 1L && col("tb") > 1L && den > 0.0, w)
-          .as("w_stat"),
-        when(col("ta") > 1L && col("tb") > 1L && den > 0.0,
-          round(dfW, 6)).as("df"),
-        when(col("ta") > 1L && col("tb") > 1L && den > 0.0,
-          abs(w) > 1.959964).as("reject_5pct"))
-    }),
+    "q_brunner_munzel" -> ((s, d) =>
+      brunnerMunzelFrom(cohortCdf(s, d))),
+
+
 
     // -- two-sample energy distance (r15) ------------------------------------
     // Székely's E-statistic E = 2·E|X−Y| − E|X−X'| − E|Y−Y'| (V-statistic
@@ -575,12 +461,20 @@ object DriftQueries extends QueryPack {
     // < K·n_values/Σ|terms| (vanishing). Rescale divides abs-first
     // (sign applied after) so Spark's truncating div and DuckDB's
     // flooring // agree on negative vq.
-    "q_energy_distance" -> ((s, d) => {
-      val grouped0 = quantizedEvents(s, d)
+    "q_energy_distance" -> ((s, d) =>
+      energyDistanceFrom(quantizedEvents(s, d)
         .groupBy(col("vq"))
         .agg(
           sum(when(col("us") < col("mid"), 1L).otherwise(0L)).as("na"),
-          sum(when(col("us") >= col("mid"), 1L).otherwise(0L)).as("nb"))
+          sum(when(col("us") >= col("mid"), 1L).otherwise(0L)).as("nb"))))
+  )
+
+  /** Energy-distance fold over a grouped (vq, na, nb) frame — factored
+    * out so ScaleStressSpec can drive the SAME expressions with
+    * synthetic 100-TB-envelope magnitudes (counts ~10¹⁰ per value,
+    * |vq| ~10⁹) against a BigInt reference. See the q_energy_distance
+    * comment for the K-rescale discipline. */
+  private[graft] def energyDistanceFrom(grouped0: DataFrame): DataFrame = {
       val kf = grouped0.agg(greatest(lit(1L), expr(
         "(cast(sum(na + nb) as decimal(38,0)) * " +
           "cast(max(abs(vq)) as decimal(38,0))) div 1000000000000000"))
@@ -628,8 +522,160 @@ object DriftQueries extends QueryPack {
           col("e_yy"),
           round(lit(2.0) * col("e_xy") - col("e_xx") - col("e_yy"), 6)
             .as("energy_d"))
-    })
-  )
+  }
+
+
+  /** Wasserstein-1 fold over a grouped (vq, na, nb) frame — factored out
+    * so ScaleStressSpec can drive the K-rescaled CDF-gap × segment-width
+    * fold at synthetic 100-TB-envelope magnitudes against a BigInt
+    * reference. See the q_wasserstein comment for the discipline. */
+  private[graft] def wassersteinFrom(grouped0: DataFrame): DataFrame = {
+      val grouped = graft.engine.Pins.pin(grouped0
+        .withColumn("vqd", col("vq").cast("double"))
+        .withColumn("vq2", col("vq")))
+      val tot = grouped.agg(sum(col("na")).as("ta"),
+        sum(col("nb")).as("tb"))
+      Dist.globalPrefixSumsWithLead(grouped, "vqd", "vq",
+          weightCols = Seq("na", "nb"),
+          outCumCols = Seq("cum_a", "cum_b"),
+          leadCol = "vq2", outLeadCol = "next_vq", p = 32)
+        .crossJoin(broadcast(tot))
+        .filter(col("next_vq").isNotNull)
+        .withColumn("k", expr(
+          "greatest(cast(1 as bigint), (cast(ta as decimal(38,0)) *" +
+            " cast(tb as decimal(38,0))) div 1000000000000)"))
+        .withColumn("cd_s", expr(
+          "abs(cast(cum_a as decimal(38,0)) * cast(tb as decimal(38,0))" +
+            " - cast(cum_b as decimal(38,0)) * cast(ta as decimal(38,0)))" +
+            " div k"))
+        .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
+          (count(lit(1)) + 1).as("n_values"),
+          sum(expr("cast(cd_s as decimal(38,0))" +
+            " * cast(next_vq - vq as decimal(38,0))")).as("sw"),
+          max(col("k")).as("k"))
+        .select(col("n_a"), col("n_b"), col("n_values"),
+          round(col("k").cast("double") * col("sw").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double") *
+              lit(1000.0)), 6).as("w1"))
+  }
+
+  /** Cramér–von Mises fold over a cohortCdf-shaped frame (vq, na, nb,
+    * cum_a, cum_b) — the SQUARED K-rescaled gap fold, factored out for
+    * ScaleStressSpec. */
+  private[graft] def cramerVonMisesFrom(cdf: DataFrame): DataFrame = {
+      val tot = cdf.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+      cdf.crossJoin(broadcast(tot))
+        .withColumn("k", expr(
+          "greatest(cast(1 as bigint), (cast(ta as decimal(38,0)) *" +
+            " cast(tb as decimal(38,0))) div 1000000000000)"))
+        .withColumn("cd_s", expr(
+          "abs(cast(cum_a as decimal(38,0)) * cast(tb as decimal(38,0))" +
+            " - cast(cum_b as decimal(38,0)) * cast(ta as decimal(38,0)))" +
+            " div k"))
+        .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
+          count(lit(1)).as("n_values"),
+          sum(expr("cast(cd_s as decimal(38,0)) *" +
+            " cast(cd_s as decimal(38,0)) *" +
+            " cast(na + nb as decimal(38,0))")).as("sq"),
+          max(col("k")).as("k"))
+        .select(col("n_a"), col("n_b"), col("n_values"),
+          round(col("k").cast("double") * col("k").cast("double") *
+            col("sq").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double") *
+              (col("n_a") + col("n_b")).cast("double") *
+              (col("n_a") + col("n_b")).cast("double")), 6).as("t_stat"))
+  }
+
+  /** Cliff's-delta fold over a cohortCdf-shaped frame — the plain
+    * decimal(38,0) dominance fold (no rescale: terms ≤ ta·tb ≤ 10²⁴ at
+    * the envelope, far inside decimal(38,0)), factored out for
+    * ScaleStressSpec. */
+  private[graft] def cliffsDeltaFrom(cdf: DataFrame): DataFrame = {
+      val tot = cdf.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+      cdf.crossJoin(broadcast(tot))
+        .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
+          sum(expr("cast(nb as decimal(38,0)) *" +
+            " cast(ta - cum_a as decimal(38,0))")).as("gt"),
+          sum(expr("cast(nb as decimal(38,0)) *" +
+            " cast(cum_a - na as decimal(38,0))")).as("lt"))
+        .withColumn("delta", round(
+          (col("gt").cast("double") - col("lt").cast("double")) /
+            (col("n_a").cast("double") * col("n_b").cast("double")), 6))
+        .select(col("n_a"), col("n_b"),
+          col("gt").cast("double").as("n_gt"),
+          col("lt").cast("double").as("n_lt"),
+          col("delta"),
+          when(abs(col("delta")) < 0.147, "negligible")
+            .when(abs(col("delta")) < 0.33, "small")
+            .when(abs(col("delta")) < 0.474, "medium")
+            .otherwise("large").as("magnitude"))
+  }
+
+  /** The cohortCdf shape (cum_a/cum_b prefix columns) built from a
+    * grouped (vq, na, nb) frame — the spec-side twin of [[cohortCdf]]
+    * for synthetic inputs. */
+  private[graft] def cdfFromGrouped(grouped: DataFrame): DataFrame =
+    Dist.globalPrefixSums(
+        grouped.withColumn("vqd", col("vq").cast("double")),
+        "vqd", asc = true, idCol = "vq",
+        weightCols = Seq("na", "nb"), outCols = Seq("cum_a", "cum_b"),
+        p = 32)
+      .drop("vqd")
+
+  /** Brunner–Munzel fold over a cohortCdf-shaped frame (vq, na, nb,
+    * cum_a, cum_b) — factored out so ScaleStressSpec can drive the
+    * abs-before-div K-rescaled variance fold (the one with SIGNED inner
+    * terms) at synthetic 100-TB-envelope magnitudes against a BigInt
+    * reference. */
+  private[graft] def brunnerMunzelFrom(cdf: DataFrame): DataFrame = {
+      val tot = cdf.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+      val base = cdf.crossJoin(broadcast(tot))
+        .withColumn("qa2", lit(2L) * col("cum_b") - col("nb"))
+        .withColumn("qb2", lit(2L) * col("cum_a") - col("na"))
+      val dsum = base.agg(
+        sum(expr("cast(na as decimal(38,0)) * cast(qa2 as decimal(38,0))"))
+          .as("da"),
+        sum(expr("cast(nb as decimal(38,0)) * cast(qb2 as decimal(38,0))"))
+          .as("db"))
+      val t = base.crossJoin(broadcast(dsum))
+        .withColumn("ka", expr("greatest(cast(1 as bigint), " +
+          "(2 * cast(ta as decimal(38,0)) * (ta + tb)) div 1000000000000)"))
+        .withColumn("kb", expr("greatest(cast(1 as bigint), " +
+          "(2 * cast(tb as decimal(38,0)) * (ta + tb)) div 1000000000000)"))
+        .withColumn("sa", expr("abs(cast(ta as decimal(38,0)) " +
+          "* cast(qa2 as decimal(38,0)) - da) div ka"))
+        .withColumn("sb", expr("abs(cast(tb as decimal(38,0)) " +
+          "* cast(qb2 as decimal(38,0)) - db) div kb"))
+        .agg(max(col("ta")).as("ta"), max(col("tb")).as("tb"),
+          max(col("ka")).as("ka"), max(col("kb")).as("kb"),
+          max(col("da")).as("da"), max(col("db")).as("db"),
+          sum(expr("cast(na as decimal(38,0)) * cast(sa as decimal(38,0))" +
+            " * cast(sa as decimal(38,0))")).as("tta"),
+          sum(expr("cast(nb as decimal(38,0)) * cast(sb as decimal(38,0))" +
+            " * cast(sb as decimal(38,0))")).as("ttb"))
+      val taD = col("ta").cast("double")
+      val tbD = col("tb").cast("double")
+      val s2a = col("ka").cast("double") * col("ka").cast("double") *
+        col("tta").cast("double") / (lit(4.0) * taD * taD * (taD - 1.0))
+      val s2b = col("kb").cast("double") * col("kb").cast("double") *
+        col("ttb").cast("double") / (lit(4.0) * tbD * tbD * (tbD - 1.0))
+      val rdiff = col("db").cast("double") / (lit(2.0) * tbD) -
+        col("da").cast("double") / (lit(2.0) * taD) + (tbD - taD) / 2.0
+      val den = taD * s2a + tbD * s2b
+      val w = round(taD * tbD * rdiff / ((taD + tbD) * sqrt(den)), 6)
+      val dfW = den * den /
+        ((taD * s2a) * (taD * s2a) / (taD - 1.0) +
+          (tbD * s2b) * (tbD * s2b) / (tbD - 1.0))
+      t.select(col("ta").as("n_a"), col("tb").as("n_b"),
+        round(col("db").cast("double") / (lit(2.0) * taD * tbD), 6)
+          .as("p_hat"),
+        when(col("ta") > 1L && col("tb") > 1L && den > 0.0, w)
+          .as("w_stat"),
+        when(col("ta") > 1L && col("tb") > 1L && den > 0.0,
+          round(dfW, 6)).as("df"),
+        when(col("ta") > 1L && col("tb") > 1L && den > 0.0,
+          abs(w) > 1.959964).as("reject_5pct"))
+  }
 
   def declaredOracle: Seq[(String, String)] = Seq(
     // identical decile edges + Laplace smoothing as q_drift_psi; per-bin
