@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import graft.engine.{QueryPack, Tables}
 
 /** Per-user running state carried by the stateful operator. */
@@ -123,6 +123,55 @@ class SessionTimerProcessor
     // single-batch shape, not on stale state surviving here.
     st.clear()
     Iterator.single(TimerEmit(key, cur.n, info.getExpiryTimeInMs))
+  }
+}
+
+/** Per-key emission from [[RecentEventsProcessor]]: the bounded
+  * recent-list readout next to the per-type map totals. */
+case class ListMapEmit(user_id: Long, n_recent: Long, recent_max_us: Long,
+                       recent_min_us: Long, n_types: Long, n_total: Long)
+
+/** ListState + MapState processor (the two `transformWithState` state
+  * variants q_stream_state_ttl/q_stream_event_timer don't exercise —
+  * VERDICT r15 item 6): per user,
+  *  - `recent` (ListState[Long]): the 5 LARGEST event timestamps seen so
+  *    far — each batch merges its rows and `put`s the trimmed top-5
+  *    back, the bounded-state discipline a 100 TB stream needs (state
+  *    per key is O(5), never O(events));
+  *  - `byType` (MapState[String, Long]): event counts keyed by type
+  *    (containsKey/getValue/updateValue/iterator all exercised).
+  * One emission per key per batch carrying the current list bounds and
+  * map totals; every emitted field is monotone in the event set, so the
+  * consumer's max-per-user readout equals the FINAL state and a SQL
+  * oracle can replay it from the corpus (ties on ts are harmless: the
+  * readout uses only count/min/max of the kept ts VALUES). */
+class RecentEventsProcessor
+    extends StatefulProcessor[Long, (Long, Long, String), ListMapEmit] {
+  @transient private var recent: ListState[Long] = _
+  @transient private var byType: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    recent = getHandle.getListState[Long]("recent",
+      Encoders.scalaLong, TTLConfig.NONE)
+    byType = getHandle.getMapState[String, Long]("byType",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, String)],
+                               tv: TimerValues): Iterator[ListMapEmit] = {
+    val batch = rows.toArray
+    batch.foreach { case (_, _, et) =>
+      val cur = if (byType.containsKey(et)) byType.getValue(et) else 0L
+      byType.updateValue(et, cur + 1L)
+    }
+    val merged = (recent.get().toArray ++ batch.map(_._2))
+      .sorted(Ordering[Long].reverse).take(5)
+    recent.put(merged) // trim on write: the list never exceeds 5 entries
+    var nTypes = 0L
+    var nTotal = 0L
+    byType.iterator().foreach { kv => nTypes += 1; nTotal += kv._2 }
+    Iterator.single(ListMapEmit(key, merged.length.toLong,
+      merged.head, merged.last, nTypes, nTotal))
   }
 }
 
@@ -692,6 +741,53 @@ object StreamingQueries extends QueryPack {
       }
     }),
 
+    // -- transformWithState ListState + MapState (r16) ----------------------
+    // The remaining Spark-4 arbitrary-state variants (VERDICT r15 item
+    // 6): [[RecentEventsProcessor]] keeps a BOUNDED top-5 recent-ts
+    // ListState plus a per-type count MapState per user, driven over the
+    // same 3-micro-batch late fixture as q_stream_state_ttl (on-time /
+    // marker / late — so the list must survive a batch whose rows are
+    // all OLDER than everything it holds, and the map accumulates
+    // across batches). Every emitted field is monotone in the event
+    // set, so max-per-user over the per-batch emissions equals the
+    // final state and the oracle replays it straight from the corpus
+    // (marker row duplicated, exactly as the fixture feeds it).
+    "q_stream_list_state" -> ((s, d) => {
+      import s.implicits._
+      val confKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(confKey)
+      s.conf.set(confKey, "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+      try {
+        val fix = StreamRunner.lateFixtureDir(s, d)
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val typed = s.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", "1") // one file per micro-batch
+          .parquet(fix)
+          .transform(Tables.withEventTime)
+          .select(col("user_id"), col("ts_us"), col("event_type"))
+          .as[(Long, Long, String)]
+        val out = typed.groupByKey(_._1)
+          .transformWithState(new RecentEventsProcessor,
+            TimeMode.None(), OutputMode.Append())
+        val expected = s.read.schema(schema).parquet(fix).count()
+        StreamRunner.runToTableUntilInput(s, out.toDF(),
+            "g_stream_list_state", "append", expected)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_batches"),
+            max(col("n_recent")).as("n_recent"),
+            max(col("recent_max_us")).as("recent_max_us"),
+            max(col("recent_min_us")).as("recent_min_us"),
+            max(col("n_types")).as("n_types"),
+            max(col("n_total")).as("n_total"))
+          .orderBy(col("user_id"))
+      } finally prev match {
+        case Some(p) => s.conf.set(confKey, p)
+        case None    => s.conf.unset(confKey)
+      }
+    }),
+
     // -- foreachBatch sink: per-micro-batch batch writes --------------------
     // THE production sink API: each micro-batch arrives as a plain
     // DataFrame with its batchId, and the writer gets full batch-API
@@ -890,6 +986,41 @@ object StreamingQueries extends QueryPack {
         |  CAST(greatest(n1, n2, n3) AS BIGINT) AS max_batch_n,
         |  true AS ttl_reset_ok
         |FROM j ORDER BY user_id""".stripMargin,
+
+    // fixture replay: events plus the duplicated max-ts marker row(s);
+    // top-5 ts per user = the bounded ListState, per-type counts = the
+    // MapState; n_batches from on-time/marker/late membership
+    "q_stream_list_state" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type
+        |  FROM events),
+        |m AS (SELECT min(us) AS mn, max(us) AS mx FROM e),
+        |t AS (SELECT (mn + mx) // 2 AS t0, mx FROM m),
+        |au AS (SELECT user_id, us, event_type FROM e
+        |  UNION ALL
+        |  SELECT user_id, us, event_type FROM e, t WHERE us = mx),
+        |nb AS (SELECT e.user_id, CAST(
+        |    max(CASE WHEN us >= t0 THEN 1 ELSE 0 END)
+        |    + max(CASE WHEN us = mx THEN 1 ELSE 0 END)
+        |    + max(CASE WHEN us < t0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_batches
+        |  FROM e, t GROUP BY 1),
+        |top5 AS (SELECT user_id, us,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY us DESC)
+        |      AS rn
+        |  FROM au),
+        |rec AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_recent,
+        |    max(us) AS recent_max_us, min(us) AS recent_min_us
+        |  FROM top5 WHERE rn <= 5 GROUP BY 1),
+        |tots AS (SELECT user_id,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |    CAST(count(*) AS BIGINT) AS n_total
+        |  FROM au GROUP BY 1)
+        |SELECT nb.user_id, nb.n_batches, rec.n_recent,
+        |  rec.recent_max_us, rec.recent_min_us, tots.n_types,
+        |  tots.n_total
+        |FROM nb JOIN rec ON nb.user_id = rec.user_id
+        |JOIN tots ON nb.user_id = tots.user_id
+        |ORDER BY nb.user_id""".stripMargin,
 
     "q_stream_late_data" ->
       """WITH e AS (SELECT epoch_us(ts) AS us FROM events),

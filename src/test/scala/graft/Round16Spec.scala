@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-16 replays: the ListState/MapState transformWithState operator
+  * (VERDICT r15 item 6) recomputed from the batch corpus. */
+class Round16Spec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val sfDir = SparkFixture.sfDir
+
+  test("q_stream_list_state: bounded ListState + MapState match a corpus replay") {
+    val rows = SparkEntry.queries("q_stream_list_state")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    // replay from the batch corpus, marker row(s) duplicated exactly as
+    // the 3-file fixture feeds them
+    val ev = graft.engine.Tables.eventsWithTime(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val mn = ev.map(_._2).min
+    val mx = ev.map(_._2).max
+    val t0 = (mn + mx) / 2
+    val marker = ev.filter(_._2 == mx)
+    val au = ev ++ marker
+    val expect = au.groupBy(_._1).map { case (u, rs) =>
+      val orig = ev.filter(_._1 == u)
+      val nBatches = (if (orig.exists(_._2 >= t0)) 1 else 0) +
+        (if (orig.exists(_._2 == mx)) 1 else 0) +
+        (if (orig.exists(_._2 < t0)) 1 else 0)
+      val top5 = rs.map(_._2).sorted(Ordering[Long].reverse).take(5)
+      (u, (nBatches.toLong, top5.length.toLong, top5.head, top5.last,
+        rs.map(_._3).distinct.length.toLong, rs.length.toLong))
+    }
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val u = r.getLong(0)
+      val (nb, nr, rmx, rmn, nt, ntot) = expect(u)
+      assert(r.getLong(1) == nb, s"user $u n_batches")
+      assert(r.getLong(2) == nr && nr <= 5L,
+        s"user $u n_recent ${r.getLong(2)} (bounded-state pin)")
+      assert(r.getLong(3) == rmx, s"user $u recent_max_us")
+      assert(r.getLong(4) == rmn, s"user $u recent_min_us (5th-largest ts)")
+      assert(r.getLong(5) == nt, s"user $u n_types")
+      assert(r.getLong(6) == ntot, s"user $u n_total")
+    }
+  }
+}
