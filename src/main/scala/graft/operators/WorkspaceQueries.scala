@@ -188,6 +188,62 @@ object WorkspaceQueries extends QueryPack {
           |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
           |""".stripMargin)
       s.sql("SELECT k, v FROM wsq.demo.`data.csv` ORDER BY k")
+    }),
+
+    // Native SQL INSERT INTO through the DSv2 catalog (r16 — the plain
+    // SupportsWrite append shape next to q_merge_native's row-level
+    // ReplaceData): appends nation-derived rows to the fixture's latest
+    // data.csv as a NEW content-addressed version, then reads back BOTH
+    // the post-image (latest advanced) and the 'stable' pin — proving
+    // the append landed AND prior versions stayed immutable, in one
+    // hashable result.
+    "q_workspace_insert" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val store = fixture()
+      s.conf.set("spark.sql.catalog.wsi",
+        classOf[graft.sources.WorkspaceCatalog].getName)
+      s.conf.set("spark.sql.catalog.wsi.root", store.mountPath.toString)
+      graft.engine.Tables.nation(s, d)
+        .filter(col("n_nationkey") >= 7 && col("n_nationkey") <= 9)
+        .select(col("n_nationkey").cast("string").as("k"),
+          (col("n_regionkey") * lit(1000)).cast("string").as("v"))
+        .createOrReplaceTempView("ws_insert_src")
+      s.sql("INSERT INTO wsi.demo.`data.csv` SELECT k, v FROM ws_insert_src")
+      s.sql(
+        """SELECT 'post_insert' AS pin, CAST(k AS INT) AS k,
+          |       CAST(v AS INT) AS v
+          |FROM wsi.demo.`data.csv`
+          |UNION ALL
+          |SELECT 'ref_stable', CAST(k AS INT), CAST(v AS INT)
+          |FROM wsi.demo.`data.csv` VERSION AS OF 'stable'
+          |ORDER BY pin, k""".stripMargin)
+    }),
+
+    // Native SQL INSERT OVERWRITE (r16 — the SupportsTruncate half):
+    // replaces the table's contents wholesale as a new version; the
+    // readback again pairs the post-image with the untouched 'stable'
+    // pin.
+    "q_workspace_overwrite" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val store = fixture()
+      s.conf.set("spark.sql.catalog.wso",
+        classOf[graft.sources.WorkspaceCatalog].getName)
+      s.conf.set("spark.sql.catalog.wso.root", store.mountPath.toString)
+      graft.engine.Tables.nation(s, d)
+        .filter(col("n_nationkey") < 3)
+        .select(col("n_nationkey").cast("string").as("k"),
+          (col("n_regionkey") + lit(700)).cast("string").as("v"))
+        .createOrReplaceTempView("ws_overwrite_src")
+      s.sql("INSERT OVERWRITE wso.demo.`data.csv` " +
+        "SELECT k, v FROM ws_overwrite_src")
+      s.sql(
+        """SELECT 'post_overwrite' AS pin, CAST(k AS INT) AS k,
+          |       CAST(v AS INT) AS v
+          |FROM wso.demo.`data.csv`
+          |UNION ALL
+          |SELECT 'ref_stable', CAST(k AS INT), CAST(v AS INT)
+          |FROM wso.demo.`data.csv` VERSION AS OF 'stable'
+          |ORDER BY pin, k""".stripMargin)
     })
   )
 
@@ -258,6 +314,31 @@ object WorkspaceQueries extends QueryPack {
         |  FROM nation WHERE n_nationkey BETWEEN 2 AND 6)
         |SELECT coalesce(s.k, t.k) AS k, coalesce(s.v, t.v) AS v
         |FROM seed t FULL OUTER JOIN src s ON t.k = s.k
-        |ORDER BY k""".stripMargin
+        |ORDER BY k""".stripMargin,
+
+    // append semantics replayed relationally: post-image = fixture seed
+    // {1:10,2:20,3:30} plus nation keys 7..9 at regionkey*1000; stable
+    // pin untouched at {1:10,2:20}
+    "q_workspace_insert" ->
+      """WITH seed(k, v) AS (VALUES (1,10),(2,20),(3,30)),
+        |src AS (SELECT CAST(n_nationkey AS INT) AS k,
+        |    CAST(n_regionkey * 1000 AS INT) AS v
+        |  FROM nation WHERE n_nationkey BETWEEN 7 AND 9),
+        |post AS (SELECT * FROM seed UNION ALL SELECT * FROM src)
+        |SELECT 'post_insert' AS pin, k, v FROM post
+        |UNION ALL
+        |SELECT 'ref_stable', k, v FROM seed WHERE k <= 2
+        |ORDER BY pin, k""".stripMargin,
+
+    // overwrite semantics: post-image = ONLY the source rows (nation
+    // keys 0..2 at regionkey+700); stable pin untouched
+    "q_workspace_overwrite" ->
+      """WITH src AS (SELECT CAST(n_nationkey AS INT) AS k,
+        |    CAST(n_regionkey + 700 AS INT) AS v
+        |  FROM nation WHERE n_nationkey < 3)
+        |SELECT 'post_overwrite' AS pin, k, v FROM src
+        |UNION ALL
+        |SELECT 'ref_stable', k, v FROM (VALUES (1,10),(2,20)) s(k, v)
+        |ORDER BY pin, k""".stripMargin
   )
 }

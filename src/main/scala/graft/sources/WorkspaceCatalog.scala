@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -182,7 +182,8 @@ private[sources] case class SnapshotWriteCtx(root: String, workspace: String,
   */
 private[sources] class CsvSnapshotTable(tableName: String, file: Path,
                                         writeCtx: SnapshotWriteCtx)
-  extends Table with SupportsRead with SupportsRowLevelOperations {
+  extends Table with SupportsRead with SupportsWrite
+  with SupportsRowLevelOperations {
 
   private val headerAndSchema: (Array[String], StructType) = {
     val head = {
@@ -197,7 +198,8 @@ private[sources] class CsvSnapshotTable(tableName: String, file: Path,
   override def name(): String = tableName
   override def schema(): StructType = headerAndSchema._2
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -212,6 +214,31 @@ private[sources] class CsvSnapshotTable(tableName: String, file: Path,
           override def createReaderFactory(): PartitionReaderFactory =
             new CsvSnapshotReaderFactory
         }
+      }
+    }
+  }
+
+  /** Plain-write half (r16 — the SECOND DSv2 write shape next to the
+    * row-level ReplaceData): `INSERT INTO` appends rows to the pinned
+    * base version's contents, `INSERT OVERWRITE` (SupportsTruncate)
+    * replaces them — either way [[SnapshotStore.commitFile]] lands the
+    * post-image as a NEW content-addressed version with `latest`
+    * advanced; the base version stays readable (same immutability the
+    * time-travel reads pin against). Lines sort lexicographically so a
+    * given logical state is byte-deterministic regardless of task
+    * parallelism or commit order. */
+  override def newWriteBuilder(lwi: LogicalWriteInfo): WriteBuilder = {
+    // map each header column to its position in the incoming rows (an
+    // INSERT with a reordered column list arrives in the DECLARED query
+    // schema, not table order)
+    val positions = headerAndSchema._1.map(lwi.schema().fieldIndex)
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new SnapshotAppendWrite(writeCtx, headerAndSchema._1, positions,
+            replace)
       }
     }
   }
@@ -242,6 +269,46 @@ private[sources] class CsvSnapshotTable(tableName: String, file: Path,
       }
     }
   }
+}
+
+/** Append/overwrite batch write: executors serialize their rows to CSV
+  * lines (same dialect + factory as the row-level write — for a plain
+  * INSERT the rows carry exactly the table columns, so the factory's
+  * right-alignment offset is 0); the driver merges with the base
+  * version's lines (append) or discards them (truncate/overwrite),
+  * sorts for byte-determinism, and commits ONE new content-addressed
+  * version. abort() is a no-op: nothing is visible until commitFile
+  * writes the new version dir and ref. */
+private[sources] class SnapshotAppendWrite(ctx: SnapshotWriteCtx,
+                                           header: Array[String],
+                                           colPositions: Array[Int],
+                                           replace: Boolean)
+  extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new CsvLinesWriterFactory(colPositions)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val newLines = messages.iterator.flatMap {
+      case CsvLinesCommit(ls) => ls
+      case _                  => Seq.empty[String]
+    }.toSeq
+    val store = new SnapshotStore(java.nio.file.Paths.get(ctx.root))
+    val baseLines =
+      if (replace) Seq.empty[String]
+      else {
+        val base = store.snapshotDir(ctx.workspace, ctx.baseVersion)
+          .resolve(WorkspacePath(ctx.relPath).value)
+        Files.readAllLines(base).asScala.toSeq.drop(1).filter(_.nonEmpty)
+      }
+    val contents = (header.mkString(",") +:
+      (baseLines ++ newLines).sorted).mkString("", "\n", "\n")
+    store.commitFile(ctx.workspace, ctx.baseVersion, ctx.relPath, contents)
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 /** Group-based ReplaceData write: executors serialize their slice of the

@@ -9,6 +9,45 @@ class Round16Spec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
   private val sfDir = SparkFixture.sfDir
 
+  test("INSERT INTO / INSERT OVERWRITE commit NEW versions; priors stay readable") {
+    val store = graft.operators.WorkspaceQueries.fixture()
+    spark.conf.set("spark.sql.catalog.wst",
+      classOf[graft.sources.WorkspaceCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wst.root", store.mountPath.toString)
+    val preLatest = store.resolve("demo", "latest").toOption.get
+    spark.sql("INSERT INTO wst.demo.`data.csv` VALUES ('9', '90')")
+    val postLatest = store.resolve("demo", "latest").toOption.get
+    assert(postLatest != preLatest,
+      "INSERT must land as a NEW content-addressed version")
+    // the pre-insert version is still readable byte-for-byte by id
+    val preRows = spark.sql(
+      s"SELECT k, v FROM wst.demo.`data.csv` VERSION AS OF '$preLatest'")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(preRows.toSeq == Seq(("1", "10"), ("2", "20"), ("3", "30")))
+    val postRows = spark.sql("SELECT k, v FROM wst.demo.`data.csv`")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(postRows.toSeq ==
+      Seq(("1", "10"), ("2", "20"), ("3", "30"), ("9", "90")))
+    // overwrite: post-image is ONLY the new rows, and the insert version
+    // remains pinned
+    spark.sql("INSERT OVERWRITE wst.demo.`data.csv` VALUES ('5', '50')")
+    val owRows = spark.sql("SELECT k, v FROM wst.demo.`data.csv`")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(owRows.toSeq == Seq(("5", "50")))
+    val midRows = spark.sql(
+      s"SELECT k, v FROM wst.demo.`data.csv` VERSION AS OF '$postLatest'")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(midRows.toSeq ==
+      Seq(("1", "10"), ("2", "20"), ("3", "30"), ("9", "90")))
+    // content-addressing determinism: re-running the same overwrite on
+    // the same base yields the same post-image CONTENT (byte-identical
+    // file), whatever id the store assigns
+    spark.sql("INSERT OVERWRITE wst.demo.`data.csv` VALUES ('5', '50')")
+    val ow2 = spark.sql("SELECT k, v FROM wst.demo.`data.csv`")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(ow2.toSeq == Seq(("5", "50")))
+  }
+
   test("q_stream_list_state: bounded ListState + MapState match a corpus replay") {
     val rows = SparkEntry.queries("q_stream_list_state")(spark, sfDir)
       .collect()
