@@ -48,6 +48,56 @@ class Round16Spec extends AnyFunSuite {
     assert(ow2.toSeq == Seq(("5", "50")))
   }
 
+  test("AQE splits a skewed sort-merge-join partition (skew=true plan pin)") {
+    // The runtime half of the skew story (q_skew_join is the MANUAL
+    // salting path; q_skew_audit the diagnostic): on a 100 TB cluster
+    // the first line of defense is AQE's OptimizeSkewedJoin, which
+    // splits oversized shuffle partitions at runtime with no plan
+    // changes. Pin that the engine's session shape actually engages it:
+    // a 90%-hot-key join under test-sized thresholds must finish with
+    // `skew=true` stamped on the SMJ node of the FINAL adaptive plan,
+    // and the split must not change results.
+    val s = spark
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.shuffle.partitions")
+    val prev = keys.map(k => k -> s.conf.getOption(k)).toMap
+    try {
+      s.conf.set("spark.sql.adaptive.enabled", "true")
+      // force SMJ (broadcast would hide the skew entirely - that IS the
+      // other mitigation, but not the one under test)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      s.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val left = s.range(0, 400000L).select(
+        when(col("id") % 100 < 90, 0L).otherwise(col("id") % 1000)
+          .as("k"),
+        col("id").as("payload"))
+      val right = s.range(0, 1000L).select(col("id").as("k"),
+        (col("id") * 2).as("w"))
+      val j = left.join(right, "k")
+        .agg(count(lit(1)).as("n"), sum(col("payload") + col("w")).as("s"))
+      val row = j.collect().head
+      // correctness is conf-independent: every left row matches exactly
+      // one right row, so n = |left|
+      assert(row.getLong(0) == 400000L)
+      val planStr = j.queryExecution.executedPlan.toString
+      assert(planStr.contains("skew=true"),
+        "final adaptive plan has no skew=true SMJ:\n" + planStr.take(1500))
+    } finally prev.foreach { case (k, vOpt) =>
+      vOpt.fold(s.conf.unset(k))(v => s.conf.set(k, v))
+    }
+  }
+
   test("q_stream_list_state: bounded ListState + MapState match a corpus replay") {
     val rows = SparkEntry.queries("q_stream_list_state")(spark, sfDir)
       .collect()
