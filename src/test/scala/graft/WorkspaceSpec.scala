@@ -198,7 +198,7 @@ class WorkspaceSpec extends AnyFunSuite {
       == Seq("1", "2"))
   }
 
-  test("SQL catalog: unknown version/workspace/table fail analysis; writes refused") {
+  test("SQL catalog: unknown version/workspace/table fail analysis; DDL refused") {
     sqlFixture()
     val spark = SparkFixture.spark
     def fails(sql: String): Unit =
@@ -207,7 +207,14 @@ class WorkspaceSpec extends AnyFunSuite {
     fails("SELECT k FROM ws.demo.`data.csv` VERSION AS OF 'zzz'")
     fails("SELECT k FROM ws.nope.`data.csv`")
     fails("SELECT k FROM ws.demo.`missing.txt`")
-    fails("INSERT INTO ws.demo.`data.csv` VALUES ('9','90')")
+    // INSERT INTO an existing table is SUPPORTED since r16
+    // (SupportsWrite append — see Round16Spec); what stays refused is
+    // DDL: the catalog creates/drops nothing (snapshot versions are the
+    // only mutation, and they go through commitFile)
+    assertThrows[UnsupportedOperationException](
+      spark.sql("CREATE TABLE ws.demo.`new.csv` (k STRING) ").collect())
+    assertThrows[UnsupportedOperationException](
+      spark.sql("DROP TABLE ws.demo.`data.csv`").collect())
   }
 
   test("SQL catalog path goes through WorkspacePath sanitization") {
