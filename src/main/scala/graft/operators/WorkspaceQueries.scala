@@ -244,6 +244,55 @@ object WorkspaceQueries extends QueryPack {
           |SELECT 'ref_stable', CAST(k AS INT), CAST(v AS INT)
           |FROM wso.demo.`data.csv` VERSION AS OF 'stable'
           |ORDER BY pin, k""".stripMargin)
+    }),
+
+    // Native SQL UPDATE through the DSv2 catalog (r16 — completes the
+    // DML verb matrix next to MERGE/INSERT/OVERWRITE/DELETE): Spark's
+    // RewriteUpdateTable turns the statement into a group-based
+    // ReplaceData over the whole-file rewrite group — matched rows take
+    // the SET expression, unmatched rows carry over verbatim — and the
+    // commit lands as a NEW content-addressed version with `latest`
+    // advanced. Readback pairs the post-image with the untouched
+    // 'stable' pin, same shape as the other write rows.
+    "q_workspace_update" -> ((s, _) => {
+      val store = fixture()
+      s.conf.set("spark.sql.catalog.wsu",
+        classOf[graft.sources.WorkspaceCatalog].getName)
+      s.conf.set("spark.sql.catalog.wsu.root", store.mountPath.toString)
+      s.sql(
+        """UPDATE wsu.demo.`data.csv`
+          |SET v = CAST(CAST(v AS INT) + 7 AS STRING)
+          |WHERE CAST(k AS INT) >= 2""".stripMargin)
+      s.sql(
+        """SELECT 'post_update' AS pin, CAST(k AS INT) AS k,
+          |       CAST(v AS INT) AS v
+          |FROM wsu.demo.`data.csv`
+          |UNION ALL
+          |SELECT 'ref_stable', CAST(k AS INT), CAST(v AS INT)
+          |FROM wsu.demo.`data.csv` VERSION AS OF 'stable'
+          |ORDER BY pin, k""".stripMargin)
+    }),
+
+    // Native SQL DELETE FROM through the DSv2 catalog (r16 — the last
+    // DML verb): RewriteDeleteFromTable keeps only the rows the
+    // predicate does NOT match and commits them as the post-image via
+    // the same group-based ReplaceData write — a new version, priors
+    // immutable (the 'stable' pin in the readback still carries the
+    // deleted key).
+    "q_workspace_delete" -> ((s, _) => {
+      val store = fixture()
+      s.conf.set("spark.sql.catalog.wsd",
+        classOf[graft.sources.WorkspaceCatalog].getName)
+      s.conf.set("spark.sql.catalog.wsd.root", store.mountPath.toString)
+      s.sql("DELETE FROM wsd.demo.`data.csv` WHERE k = '2'")
+      s.sql(
+        """SELECT 'post_delete' AS pin, CAST(k AS INT) AS k,
+          |       CAST(v AS INT) AS v
+          |FROM wsd.demo.`data.csv`
+          |UNION ALL
+          |SELECT 'ref_stable', CAST(k AS INT), CAST(v AS INT)
+          |FROM wsd.demo.`data.csv` VERSION AS OF 'stable'
+          |ORDER BY pin, k""".stripMargin)
     })
   )
 
@@ -339,6 +388,26 @@ object WorkspaceQueries extends QueryPack {
         |SELECT 'post_overwrite' AS pin, k, v FROM src
         |UNION ALL
         |SELECT 'ref_stable', k, v FROM (VALUES (1,10),(2,20)) s(k, v)
+        |ORDER BY pin, k""".stripMargin,
+
+    // UPDATE semantics replayed relationally: fixture latest seed
+    // {1:10,2:20,3:30}; rows with k >= 2 take v+7, row 1 carries over;
+    // stable pin untouched at {1:10,2:20}
+    "q_workspace_update" ->
+      """WITH seed(k, v) AS (VALUES (1,10),(2,20),(3,30))
+        |SELECT 'post_update' AS pin, k,
+        |       CASE WHEN k >= 2 THEN v + 7 ELSE v END AS v FROM seed
+        |UNION ALL
+        |SELECT 'ref_stable', k, v FROM seed WHERE k <= 2
+        |ORDER BY pin, k""".stripMargin,
+
+    // DELETE semantics: post-image = seed minus key 2; stable pin still
+    // carries the deleted key (immutability of prior versions)
+    "q_workspace_delete" ->
+      """WITH seed(k, v) AS (VALUES (1,10),(2,20),(3,30))
+        |SELECT 'post_delete' AS pin, k, v FROM seed WHERE k <> 2
+        |UNION ALL
+        |SELECT 'ref_stable', k, v FROM seed WHERE k <= 2
         |ORDER BY pin, k""".stripMargin
   )
 }

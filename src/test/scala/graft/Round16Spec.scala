@@ -48,6 +48,46 @@ class Round16Spec extends AnyFunSuite {
     assert(ow2.toSeq == Seq(("5", "50")))
   }
 
+  test("UPDATE / DELETE rewrite through ReplaceData as NEW versions; priors stay readable") {
+    val store = graft.operators.WorkspaceQueries.fixture()
+    spark.conf.set("spark.sql.catalog.wsrl",
+      classOf[graft.sources.WorkspaceCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wsrl.root", store.mountPath.toString)
+    val preLatest = store.resolve("demo", "latest").toOption.get
+    // UPDATE: matched rows take the SET expression, unmatched carry over
+    spark.sql(
+      """UPDATE wsrl.demo.`data.csv`
+        |SET v = CAST(CAST(v AS INT) + 7 AS STRING)
+        |WHERE CAST(k AS INT) >= 2""".stripMargin)
+    val postUpdate = store.resolve("demo", "latest").toOption.get
+    assert(postUpdate != preLatest,
+      "UPDATE must land as a NEW content-addressed version")
+    val updRows = spark.sql("SELECT k, v FROM wsrl.demo.`data.csv`")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(updRows.toSeq == Seq(("1", "10"), ("2", "27"), ("3", "37")))
+    // the pre-update image is still readable byte-for-byte by id
+    val preRows = spark.sql(
+      s"SELECT k, v FROM wsrl.demo.`data.csv` VERSION AS OF '$preLatest'")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(preRows.toSeq == Seq(("1", "10"), ("2", "20"), ("3", "30")))
+    // DELETE: predicate rows drop, everything else carries over; again a
+    // new version with the update image pinned
+    spark.sql("DELETE FROM wsrl.demo.`data.csv` WHERE k = '2'")
+    val postDelete = store.resolve("demo", "latest").toOption.get
+    assert(postDelete != postUpdate,
+      "DELETE must land as a NEW content-addressed version")
+    val delRows = spark.sql("SELECT k, v FROM wsrl.demo.`data.csv`")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(delRows.toSeq == Seq(("1", "10"), ("3", "37")))
+    val midRows = spark.sql(
+      s"SELECT k, v FROM wsrl.demo.`data.csv` VERSION AS OF '$postUpdate'")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(midRows.toSeq == Seq(("1", "10"), ("2", "27"), ("3", "37")))
+    // a full-table DELETE is still a valid post-image: zero data rows
+    spark.sql("DELETE FROM wsrl.demo.`data.csv` WHERE true")
+    assert(spark.sql("SELECT k, v FROM wsrl.demo.`data.csv`").count() == 0L)
+  }
+
   test("AQE splits a skewed sort-merge-join partition (skew=true plan pin)") {
     // The runtime half of the skew story (q_skew_join is the MANUAL
     // salting path; q_skew_audit the diagnostic): on a 100 TB cluster
