@@ -57,6 +57,31 @@ object CustomAggQueries extends QueryPack {
           Iterator((key, nOrders, nLines, orderCents, lineCents))
       }.toDF("orderkey", "n_orders", "n_lines", "order_cents", "line_cents")
         .orderBy(col("orderkey"))
+    }),
+
+    // -- native TypedImperativeAggregate (r16) ------------------------------
+    // Exact per-nation top-5 balances through `graft_topk`, a bounded
+    // min-heap TypedImperativeAggregate (NativeAggregates.scala) — the
+    // third and lowest rung of the UDAF ladder next to the typed
+    // `Aggregator` (q_udaf_geomean) and plain declarative aggs. The
+    // point at 100 TB: the window formulation (`row_number() <= 5`)
+    // shuffles and sorts EVERY row; this plan runs ObjectHashAggregate
+    // with a PARTIAL phase, so each map task reduces its slice to an
+    // O(k) buffer and the exchange carries only groups × k longs
+    // (Round16Spec pins the partial_graft_topk ObjectHashAggregate
+    // plan). Values-only output keeps ties multiset-exact → hashable.
+    "q_native_topk" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_nationkey"),
+          floor(col("c_acctbal") * 100.0 + lit(0.5)).cast("long")
+            .as("bal_cents"))
+        .groupBy(col("c_nationkey"))
+        .agg(expr("graft_topk(bal_cents, 5)").as("top5"))
+        .select(col("c_nationkey"),
+          posexplode(col("top5")).as(Seq("pos", "bal_cents")))
+        .select(col("c_nationkey"),
+          (col("pos") + 1).cast("long").as("rnk"), col("bal_cents"))
+        .orderBy(col("c_nationkey"), col("rnk"))
     })
   )
 
@@ -84,6 +109,20 @@ object CustomAggQueries extends QueryPack {
         |  coalesce(o.order_cents, 0) AS order_cents,
         |  coalesce(l.line_cents, 0) AS line_cents
         |FROM o FULL OUTER JOIN l ON o.k = l.k
-        |ORDER BY orderkey""".stripMargin
+        |ORDER BY orderkey""".stripMargin,
+
+    // the heap's values-only top-k == the window top-k multiset (which
+    // equal-valued ROW survived a tie is unobservable in either engine)
+    "q_native_topk" ->
+      """SELECT c_nationkey, CAST(rnk AS BIGINT) AS rnk, bal_cents
+        |FROM (
+        |  SELECT c_nationkey, bal_cents,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |                       ORDER BY bal_cents DESC) AS rnk
+        |  FROM (SELECT c_nationkey,
+        |      CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents
+        |    FROM customer))
+        |WHERE rnk <= 5
+        |ORDER BY c_nationkey, rnk""".stripMargin
   )
 }

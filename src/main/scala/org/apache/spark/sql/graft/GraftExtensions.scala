@@ -66,6 +66,9 @@ object GraftFunctions {
         require(args.length == 1, s"expected 1 argument, got ${args.length}")
         NativeExpressions.SplitMix64(args.head)
       }),
+    (FunctionIdentifier("graft_topk"),
+      info("graft_topk", "_FUNC_(v, k) - aggregate: k largest bigints, descending (bounded-heap partial agg)"),
+      binary(TopKLongs(_, _)) _),
     (FunctionIdentifier("graft_sentences"),
       info("graft_sentences", "_FUNC_(text) - UDTF: one (pos, sentence) row per sentence"),
       args => {

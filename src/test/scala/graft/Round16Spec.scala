@@ -88,6 +88,39 @@ class Round16Spec extends AnyFunSuite {
     assert(spark.sql("SELECT k, v FROM wsrl.demo.`data.csv`").count() == 0L)
   }
 
+  test("graft_topk: bounded-heap edges + partial ObjectHashAggregate plan pin") {
+    import org.apache.spark.sql.graft.LongTopKHeap
+    // heap unit edges: k > group size, duplicates, negatives, merge
+    val h = new LongTopKHeap(5)
+    Seq(3L, -7L, 3L, 10L).foreach(h.insert)
+    assert(h.sortedDesc.toSeq == Seq(10L, 3L, 3L, -7L))
+    val h2 = new LongTopKHeap(5)
+    (0L until 100L).foreach(h2.insert)
+    h2.mergeFrom(h)
+    assert(h2.sortedDesc.toSeq == Seq(99L, 98L, 97L, 96L, 95L))
+    // SQL-surface cross-check vs the window formulation on skewed data
+    // (one hot group, duplicate values straddling the k boundary)
+    graft.engine.Tables.ensureConf(spark)
+    spark.range(0, 10000L).selectExpr(
+      "id % 7 AS g", "CAST(id % 13 AS BIGINT) AS v")
+      .createOrReplaceTempView("topk_in")
+    val agg = spark.sql(
+      """SELECT g, posexplode(graft_topk(v, 4)) AS (pos, v)
+        |FROM topk_in GROUP BY g""".stripMargin)
+    val window = spark.sql(
+      """SELECT g, CAST(rnk - 1 AS INT) AS pos, v FROM (
+        |  SELECT g, v, row_number() OVER (PARTITION BY g
+        |      ORDER BY v DESC) AS rnk FROM topk_in)
+        |WHERE rnk <= 4""".stripMargin)
+    assert(agg.exceptAll(window).isEmpty && window.exceptAll(agg).isEmpty)
+    // the scale claim: a PARTIAL ObjectHashAggregate runs before the
+    // exchange, so the shuffle carries O(k) buffers, not rows
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(1200))
+    assert(plan.contains("partial_graft_topk"),
+      "no partial agg phase before the exchange:\n" + plan.take(1200))
+  }
+
   test("AQE splits a skewed sort-merge-join partition (skew=true plan pin)") {
     // The runtime half of the skew story (q_skew_join is the MANUAL
     // salting path; q_skew_audit the diagnostic): on a 100 TB cluster
