@@ -1234,6 +1234,57 @@ object PipelineQueries extends QueryPack {
             "ELSE 0 END) - (CASE WHEN tb > 0 THEN (nb * 1000000) div tb " +
             "ELSE 0 END))) div 2").as("tv_u"))
         .orderBy(col("col_name"))
+    }),
+
+    // -- entity resolution: block -> score -> assign (r16) -----------------
+    // The classic record-linkage chain over a deterministic ER benchmark:
+    // each customer's nation name gets an adjacent transposition at
+    // position c_custkey % (len-1) (a pure function of the key, so both
+    // engines build the identical dirty side), candidates are blocked on
+    // exact name LENGTH (transpositions preserve it — a realistic
+    // blocking key that keeps the join linear: |dirty| × ~4 same-length
+    // nations, broadcast dim side), each candidate scores with the
+    // native codegen'd graft_jaro_winkler (bit-exact vs DuckDB's
+    // jaro_winkler_similarity — fuzz-pinned in Round16Spec, so raw
+    // doubles ORDER BY and micro-floors agree), and the top-1 by
+    // (jw DESC, name) assigns the entity. Rolled up per true nation:
+    // assignment accuracy + summed micro-scores. At 100 TB the shape
+    // holds: blocking bounds candidates linearly, scoring is
+    // whole-stage-codegen, the argmax is a per-key window, the rollup is
+    // dim-bounded.
+    "q_entity_match" -> ((s, d) => {
+      Tables.ensureConf(s)
+      val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      val dirty = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .withColumn("p",
+          (col("c_custkey") % (length(col("n_name")) - 1)).cast("int"))
+        .select(col("c_custkey"), col("c_nationkey"),
+          concat(expr("substr(n_name, 1, p)"),
+            expr("substr(n_name, p + 2, 1)"),
+            expr("substr(n_name, p + 1, 1)"),
+            expr("substr(n_name, p + 3)")).as("dirty_name"))
+      val cand = dirty.join(
+        broadcast(nat.select(col("n_nationkey").as("cand_key"),
+          col("n_name").as("cand_name"))),
+        length(col("dirty_name")) === length(col("cand_name")))
+        .withColumn("jw",
+          expr("graft_jaro_winkler(dirty_name, cand_name)"))
+      val w = Window.partitionBy(col("c_custkey"))
+        .orderBy(col("jw").desc, col("cand_name"))
+      cand.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .join(broadcast(nat.select(col("n_nationkey"),
+          col("n_name").as("true_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("true_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("cand_key") === col("c_nationkey"), 1L)
+            .otherwise(0L)).as("n_correct"),
+          sum(floor(col("jw") * lit(1000000.0)).cast("long"))
+            .as("sum_jw_micro"))
+        .orderBy(col("true_name"))
     })
   )
 
@@ -2039,6 +2090,37 @@ object PipelineQueries extends QueryPack {
         |    - (CASE WHEN tb > 0 THEN (nb * 1000000) // tb ELSE 0 END)))
         |    // 2 AS BIGINT) AS tv_u
         |FROM vc JOIN totals USING (col_name)
-        |GROUP BY col_name ORDER BY col_name""".stripMargin
+        |GROUP BY col_name ORDER BY col_name""".stripMargin,
+
+    // the dirty side is a pure function of (c_custkey, n_name); scores
+    // ride DuckDB's native jaro_winkler_similarity, which the Spark
+    // expression matches bit-exactly (Round16Spec fuzz pin), so the
+    // ORDER BY jw DESC argmax and the micro-floor agree between engines
+    "q_entity_match" ->
+      """WITH dirty AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    substr(n_name, 1, p) || substr(n_name, p + 2, 1) ||
+        |    substr(n_name, p + 1, 1) || substr(n_name, p + 3)
+        |      AS dirty_name
+        |  FROM (SELECT c_custkey, c_nationkey, n_name,
+        |      CAST(c_custkey % (length(n_name) - 1) AS INT) AS p
+        |    FROM customer JOIN nation ON c_nationkey = n_nationkey)),
+        |best AS (
+        |  SELECT c_custkey, c_nationkey, cand_key, jw,
+        |    row_number() OVER (PARTITION BY c_custkey
+        |                       ORDER BY jw DESC, cand_name) AS rnk
+        |  FROM (SELECT d.c_custkey, d.c_nationkey,
+        |      n.n_nationkey AS cand_key, n.n_name AS cand_name,
+        |      jaro_winkler_similarity(d.dirty_name, n.n_name) AS jw
+        |    FROM dirty d
+        |    JOIN nation n ON length(d.dirty_name) = length(n.n_name)))
+        |SELECT t.n_name AS true_name, count(*) AS n,
+        |  CAST(sum(CASE WHEN b.cand_key = b.c_nationkey THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_correct,
+        |  CAST(sum(CAST(floor(b.jw * 1000000) AS BIGINT)) AS BIGINT)
+        |    AS sum_jw_micro
+        |FROM best b JOIN nation t ON b.c_nationkey = t.n_nationkey
+        |WHERE b.rnk = 1
+        |GROUP BY t.n_name ORDER BY true_name""".stripMargin
   )
 }

@@ -66,6 +66,9 @@ object GraftFunctions {
         require(args.length == 1, s"expected 1 argument, got ${args.length}")
         NativeExpressions.SplitMix64(args.head)
       }),
+    (FunctionIdentifier("graft_jaro_winkler"),
+      info("graft_jaro_winkler", "_FUNC_(a, b) - Jaro-Winkler similarity (DuckDB-bit-exact)"),
+      binary(NativeExpressions.JaroWinkler) _),
     (FunctionIdentifier("graft_topk"),
       info("graft_topk", "_FUNC_(v, k) - aggregate: k largest bigints, descending (bounded-heap partial agg)"),
       binary(TopKLongs(_, _)) _),

@@ -822,9 +822,91 @@ object NativeExpressions {
 
   private def expr(c: Column) = ExpressionUtils.expression(c)
 
+  /** Jaro–Winkler similarity of two UTF-8 byte strings — the scoring
+    * kernel for the entity-resolution rows, matched BIT-EXACTLY against
+    * DuckDB's `jaro_winkler_similarity` (fuzz-verified on 8k random
+    * pairs + the classic record-linkage battery, Round16Spec): byte
+    * (not codepoint) comparison, match window `max(l1,l2)/2 - 1`,
+    * transpositions = half the mismatched matched positions, Winkler
+    * boost p=0.1 over a ≤4-byte common prefix only when jaro > 0.7,
+    * and the empty-vs-empty quirk (0.0, not 1.0). Division order is
+    * part of the contract — do not refactor the arithmetic. */
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
+    val s1 = a.getBytes
+    val s2 = b.getBytes
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var matches = 0
+    var i = 0
+    while (i < l1) {
+      val hi = math.min(l2 - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!m2(j) && s1(i) == s2(j)) {
+          m1(i) = true; m2(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1(i) != s2(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    t /= 2
+    val md = matches.toDouble
+    var sim = (md / l1 + md / l2 + (matches - t) / md) / 3.0
+    if (sim > 0.7) {
+      val maxL = math.min(4, math.min(l1, l2))
+      var l = 0
+      while (l < maxL && s1(l) == s2(l)) l += 1
+      sim = sim + l * 0.1 * (1 - sim)
+    }
+    sim
+  }
+
+  /** `graft_jaro_winkler(a, b)` — see [[jaroWinkler]]. Codegen is a
+    * single static call, so the score runs inside the blocking join's
+    * whole-stage loop. */
+  case class JaroWinkler(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(StringType, StringType)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_jaro_winkler"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"org.apache.spark.sql.graft.NativeExpressions.jaroWinkler($a, $b)")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Column API for the native expressions. */
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProductDouble(expr(a), expr(b)))
+
+  def jaroWinklerCol(a: Column, b: Column): Column =
+    ExpressionUtils.column(JaroWinkler(expr(a), expr(b)))
 
   def sentences(text: Column): Column =
     ExpressionUtils.column(SentenceSplit(expr(text)))

@@ -121,6 +121,36 @@ class Round16Spec extends AnyFunSuite {
       "no partial agg phase before the exchange:\n" + plan.take(1200))
   }
 
+  test("graft_jaro_winkler is bit-exact vs DuckDB's jaro_winkler_similarity") {
+    import org.apache.spark.sql.graft.NativeExpressions
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double = NativeExpressions.jaroWinkler(
+      UTF8String.fromString(a), UTF8String.fromString(b))
+    // expected values computed by DuckDB 1.0 jaro_winkler_similarity —
+    // the oracle engine — and asserted with == (BIT-exact, no epsilon):
+    // the ER argmax orders raw doubles, so any ULP drift is a real bug
+    val battery = Seq(
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("", "abc", 0.0),
+      ("", "", 0.0), // DuckDB quirk: empty-vs-empty is 0, not 1
+      ("equal", "equal", 1.0),
+      ("CRATE", "TRACE", 0.7333333333333334),
+      ("ab", "ba", 0.0), // window 0: adjacent swap of a 2-char string
+      ("UNITED STATES", "UNITED KINGDOM", 0.6794871794871794),
+      ("abcdefgh", "badcfehg", 0.8333333333333334))
+    battery.foreach { case (a, b, want) =>
+      assert(jw(a, b) == want, s"jw($a, $b) = ${jw(a, b)}, want $want")
+    }
+    // interpreted eval and codegen agree (the query path runs codegen)
+    graft.engine.Tables.ensureConf(spark)
+    import spark.implicits._
+    val got = battery.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .selectExpr("graft_jaro_winkler(a, b) AS jw").collect().map(_.getDouble(0))
+    assert(got.toSeq == battery.map(_._3))
+  }
+
   test("AQE splits a skewed sort-merge-join partition (skew=true plan pin)") {
     // The runtime half of the skew story (q_skew_join is the MANUAL
     // salting path; q_skew_audit the diagnostic): on a 100 TB cluster
