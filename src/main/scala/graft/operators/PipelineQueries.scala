@@ -1236,6 +1236,49 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("col_name"))
     }),
 
+    // -- near-dup graph modularity by source (r16) --------------------------
+    // Newman modularity of the SOURCE partition over the exact-Jaccard
+    // near-dup graph: does duplication concentrate within sources (mirror
+    // farms → q_num ≫ 0) or cross them (q_num ≤ 0 → dedup must run
+    // globally, not per-source — the operational question at 100 TB)?
+    // Per source s: Q_s = m_s/m − (d_s/2m)², emitted as the EXACT
+    // integer rational q_num = 4·m·m_s − d_s² over q_den = 4·m² (no FP
+    // anywhere; exact while m < ~1.5e9 edges — q_den < 2⁶³ — beyond
+    // which the fold would move to decimal(38,0), the ScaleStressSpec
+    // discipline). Graph shape: the blocked pair join is TextDedup's
+    // (never all-pairs); everything after is degree counting on the
+    // edge list.
+    "q_modularity" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = TextDedup.exactJaccardPairs(
+          docs.select(col("doc_id"), col("text")), 0.7)
+        .select(col("d1"), col("d2"))
+      val src = docs.select(col("doc_id"), col("source"))
+      val es = pairs
+        .join(src.select(col("doc_id").as("d1"), col("source").as("s1")),
+          "d1")
+        .join(src.select(col("doc_id").as("d2"), col("source").as("s2")),
+          "d2")
+      val mRow = es.agg(count(lit(1)).as("m"))
+      val deg = es.select(col("s1").as("source"))
+        .unionAll(es.select(col("s2").as("source")))
+        .groupBy(col("source")).agg(count(lit(1)).as("d_s"))
+      val intra = es.filter(col("s1") === col("s2"))
+        .groupBy(col("s1").as("source")).agg(count(lit(1)).as("m_s"))
+      val nodes = es.select(col("d1").as("doc_id"), col("s1").as("source"))
+        .unionAll(es.select(col("d2").as("doc_id"), col("s2").as("source")))
+        .distinct()
+        .groupBy(col("source")).agg(count(lit(1)).as("n_nodes"))
+      nodes.join(deg, "source").join(intra, Seq("source"), "left")
+        .na.fill(0L, Seq("m_s"))
+        .crossJoin(broadcast(mRow))
+        .select(col("source"), col("n_nodes"), col("m_s"), col("d_s"),
+          (lit(4L) * col("m") * col("m_s") - col("d_s") * col("d_s"))
+            .as("q_num"),
+          (lit(4L) * col("m") * col("m")).as("q_den"))
+        .orderBy(col("source"))
+    }),
+
     // -- entity resolution: block -> score -> assign (r16) -----------------
     // The classic record-linkage chain over a deterministic ER benchmark:
     // each customer's nation name gets an adjacent transposition at
@@ -2091,6 +2134,31 @@ object PipelineQueries extends QueryPack {
         |    // 2 AS BIGINT) AS tv_u
         |FROM vc JOIN totals USING (col_name)
         |GROUP BY col_name ORDER BY col_name""".stripMargin,
+
+    // the same exact-Jaccard pair CTE as q_dup_clusters (reach/lbl ride
+    // along unreferenced); per-source degree counting in exact integers
+    "q_modularity" ->
+      s"""WITH RECURSIVE $dupLabelCtes,
+        |es AS (SELECT p.d1, p.d2, a.source AS s1, b.source AS s2
+        |  FROM p JOIN documents a ON p.d1 = a.doc_id
+        |  JOIN documents b ON p.d2 = b.doc_id),
+        |m AS (SELECT count(*) AS m FROM es),
+        |deg AS (SELECT source, count(*) AS d_s FROM (
+        |    SELECT s1 AS source FROM es
+        |    UNION ALL SELECT s2 FROM es) GROUP BY source),
+        |intra AS (SELECT s1 AS source, count(*) AS m_s FROM es
+        |  WHERE s1 = s2 GROUP BY s1),
+        |nodes AS (SELECT source, count(*) AS n_nodes FROM (
+        |    SELECT DISTINCT doc_id, source FROM (
+        |      SELECT d1 AS doc_id, s1 AS source FROM es
+        |      UNION ALL SELECT d2, s2 FROM es)) GROUP BY source)
+        |SELECT n.source, n.n_nodes, COALESCE(i.m_s, 0) AS m_s, deg.d_s,
+        |  CAST(4 * m.m * COALESCE(i.m_s, 0) - deg.d_s * deg.d_s
+        |    AS BIGINT) AS q_num,
+        |  CAST(4 * m.m * m.m AS BIGINT) AS q_den
+        |FROM nodes n JOIN deg USING (source)
+        |LEFT JOIN intra i USING (source) CROSS JOIN m
+        |ORDER BY source""".stripMargin,
 
     // the dirty side is a pure function of (c_custkey, n_name); scores
     // ride DuckDB's native jaro_winkler_similarity, which the Spark

@@ -509,6 +509,60 @@ object VectorQueries extends QueryPack {
         .orderBy(col("klass"))
     }),
 
+    // -- local outlier factor (r16) -----------------------------------------
+    // Breunig et al.'s LOF over the fixed 256-point panel (exact all-pairs
+    // kNN — the semantics pin; a full-corpus run rides the IVF blocking
+    // exactly like q_dbscan_core above, the established exact/blocked
+    // twin split). k = 5. Distances are micro-quantized cosine DISTANCE
+    // longs (both engines floor the same bit-exact double, graft_dot ==
+    // list_dot_product), so k-distance, reachability (with a 1-micro
+    // floor guarding duplicate points), and the reach-sums S_i are exact
+    // integers; the one FP step — LOF_i = S_i · Σ_j (1/S_j) / k² — folds
+    // the reciprocals in neighbor-id order on both sides (the
+    // q_lm_perplexity sorted-fold discipline), so the micro-floored
+    // score hashes. Outliers for a curation pipeline: lof_u ≫ 1e6 means
+    // the point is in a sparser region than its own neighbors.
+    "q_lof" -> ((s, d) => {
+      val k = 5
+      val e = emb(s, d).filter(col("vec_id") < 256)
+        .select(col("vec_id").as("id"), col("v"))
+        .withColumn("nrm", Vectors.norm(col("v")))
+      val pairs = e.select(col("id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+        .join(e.select(col("id").as("c_id"), col("v").as("cv"),
+          col("nrm").as("cn")), col("q_id") =!= col("c_id"))
+        .withColumn("dist_u",
+          floor((lit(1.0) - Vectors.dot(col("qv"), col("cv")) /
+            (col("qn") * col("cn"))) * lit(1000000.0)).cast("long"))
+        .select(col("q_id"), col("c_id"), col("dist_u"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("dist_u").asc, col("c_id").asc)
+      val knn = pairs.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("q_id"), col("c_id"), col("dist_u"))
+      val kdist = knn.groupBy(col("q_id").as("j_id"))
+        .agg(max(col("dist_u")).as("kdist_u"))
+      val sums = knn.join(kdist, col("c_id") === col("j_id"))
+        .withColumn("reach_u",
+          greatest(col("kdist_u"), col("dist_u"), lit(1L)))
+        .groupBy(col("q_id")).agg(sum(col("reach_u")).as("s_u"))
+      val recip = knn.select(col("q_id"), col("c_id"))
+        .join(sums.select(col("q_id").as("c_id"), col("s_u").as("s_j")),
+          "c_id")
+        .groupBy(col("q_id"))
+        .agg(aggregate(
+          sort_array(collect_list(struct(col("c_id"), col("s_j")))),
+          lit(0.0),
+          (acc, x) => acc + lit(1.0) / x.getField("s_j").cast("double"))
+          .as("recip_sum"))
+      sums.join(recip, "q_id")
+        .select(col("q_id").as("id"), col("s_u"),
+          floor(col("s_u").cast("double") * col("recip_sum") /
+            lit((k * k).toDouble) * lit(1000000.0)).cast("long")
+            .as("lof_u"))
+        .orderBy(col("id"))
+    }),
+
     // -- IVF ANN: centroid-partitioned approximate top-k -------------------
     // Inverted-file index: corpus vectors are assigned to their nearest
     // centroid (deterministic centroid set = first `nlist` vectors, no
@@ -2312,6 +2366,39 @@ object VectorQueries extends QueryPack {
            |      UNION ALL SELECT z FROM tri) t
            |GROUP BY vec_id ORDER BY vec_id""".stripMargin
       },
+
+      // exact panel replay: micro-quantized distances -> integer
+      // k-dist/reach/S_i; the reciprocal fold runs in c_id order in both
+      // engines (list(… ORDER BY) + left fold == Spark's sorted-struct
+      // aggregate), so the one FP stage is order-pinned
+      "q_lof" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+          |  FROM embeddings WHERE vec_id < 256),
+          |n AS (SELECT vec_id, vd,
+          |    sqrt(list_dot_product(vd, vd)) AS nrm FROM e),
+          |p AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+          |    CAST(floor((1.0 - list_dot_product(a.vd, b.vd) /
+          |      (a.nrm * b.nrm)) * 1000000) AS BIGINT) AS dist_u
+          |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+          |knn AS (SELECT q_id, c_id, dist_u FROM (
+          |    SELECT q_id, c_id, dist_u, row_number() OVER (
+          |      PARTITION BY q_id ORDER BY dist_u, c_id) AS rnk FROM p)
+          |  WHERE rnk <= 5),
+          |kd AS (SELECT q_id AS j_id, max(dist_u) AS kdist_u
+          |  FROM knn GROUP BY q_id),
+          |s AS (SELECT k.q_id, CAST(sum(greatest(kd.kdist_u, k.dist_u, 1))
+          |    AS BIGINT) AS s_u
+          |  FROM knn k JOIN kd ON k.c_id = kd.j_id GROUP BY k.q_id),
+          |r AS (SELECT k.q_id,
+          |    list_reduce(list_prepend(0.0,
+          |      list(1.0 / CAST(sj.s_u AS DOUBLE) ORDER BY k.c_id)),
+          |      (acc, x) -> acc + x) AS recip_sum
+          |  FROM knn k JOIN s sj ON k.c_id = sj.q_id GROUP BY k.q_id)
+          |SELECT s.q_id AS id, s.s_u,
+          |  CAST(floor(CAST(s.s_u AS DOUBLE) * r.recip_sum / 25.0
+          |    * 1000000) AS BIGINT) AS lof_u
+          |FROM s JOIN r ON s.q_id = r.q_id
+          |ORDER BY id""".stripMargin,
 
       // same IVF blocking CTEs; symmetrized cosine-τ pairs, keyed degree
       "q_dbscan_core" -> {
