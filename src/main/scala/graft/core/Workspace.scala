@@ -119,6 +119,36 @@ object Workspace {
     def snapshotDir(name: String, versionId: String): Path =
       wsRoot(name).resolve("objects").resolve(versionId)
 
+    /** Commit order of the workspace's versions (r16 — the reference's
+      * underlying model is a git repo, where commit order is intrinsic;
+      * this store records it as an append-only `log` file, one version
+      * id per line, written by [[commitFile]]). The change-feed table
+      * (`...@changes`) and its micro-batch stream replay versions in
+      * exactly this order. A store created before the log existed (or a
+      * hand-built fixture without one) falls back to the sorted object
+      * listing — deterministic, if not temporal. An idempotent
+      * re-commit of identical content appends its id AGAIN: the ref
+      * moved twice, which is two change events. */
+    def commitLog(name: String): Seq[String] = {
+      val f = wsRoot(name).resolve("log")
+      if (Files.exists(f))
+        Files.readAllLines(f).asScala.toSeq.filter(_.nonEmpty)
+      else versionIds(name)
+    }
+
+    private def appendLog(name: String, id: String): Unit = {
+      val f = wsRoot(name).resolve("log")
+      // seed pre-log history first so replay order stays consistent
+      // with what commitLog already reported for this store
+      if (!Files.exists(f)) {
+        val prior = versionIds(name).filterNot(_ == id)
+        Files.writeString(f, prior.map(_ + "\n").mkString)
+      }
+      Files.writeString(f, id + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+
     def workspaceExists(name: String): Boolean =
       Files.isDirectory(wsRoot(name))
 
@@ -170,6 +200,7 @@ object Workspace {
       Files.writeString(wsRoot(name).resolve("refs"),
         newRefs.toSeq.sortBy(_._1).map { case (k, v) => s"$k\t$v" }
           .mkString("", "\n", "\n"))
+      appendLog(name, id)
       id
     }
 

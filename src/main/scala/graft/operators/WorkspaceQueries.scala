@@ -293,6 +293,52 @@ object WorkspaceQueries extends QueryPack {
           |SELECT 'ref_stable', CAST(k AS INT), CAST(v AS INT)
           |FROM wsd.demo.`data.csv` VERSION AS OF 'stable'
           |ORDER BY pin, k""".stripMargin)
+    }),
+
+    // Change feed, batch shape (r16): `<path>@changes` reads the file's
+    // FULL version history off the store's commit log — one row per
+    // (version, data row) with seq = log position. The history here is
+    // fixture v1/v2 plus an INSERT (v3) and a DELETE (v4) made through
+    // the same catalog: the feed sees every DML verb as the post-image
+    // snapshot it committed — the audit/diff surface over the
+    // reference's declared versioning model.
+    "q_workspace_changes" -> ((s, _) => {
+      val store = fixture()
+      s.conf.set("spark.sql.catalog.wsc",
+        classOf[graft.sources.WorkspaceCatalog].getName)
+      s.conf.set("spark.sql.catalog.wsc.root", store.mountPath.toString)
+      s.sql("INSERT INTO wsc.demo.`data.csv` VALUES ('4', '40')")
+      s.sql("DELETE FROM wsc.demo.`data.csv` WHERE k = '2'")
+      s.sql(
+        """SELECT seq, CAST(k AS INT) AS k, CAST(v AS INT) AS v
+          |FROM wsc.demo.`data.csv@changes`
+          |ORDER BY seq, k""".stripMargin)
+    }),
+
+    // Change feed, STREAMING shape (r16): the same `@changes` table read
+    // through readStream — a custom DSv2 MicroBatchStream whose offset
+    // is the commit-log position, replaying ONE VERSION PER MICRO-BATCH
+    // via SupportsAdmissionControl (Round16Spec pins the batch count and
+    // checkpoint-resume tailing). Per-version rollup in complete mode:
+    // the CDC consumer's "what did each commit look like" view.
+    "q_stream_workspace_cdc" -> ((s, _) => {
+      val store = fixture()
+      s.conf.set("spark.sql.catalog.wscs",
+        classOf[graft.sources.WorkspaceCatalog].getName)
+      s.conf.set("spark.sql.catalog.wscs.root", store.mountPath.toString)
+      s.sql("INSERT INTO wscs.demo.`data.csv` VALUES ('9', '90')")
+      s.sql(
+        """UPDATE wscs.demo.`data.csv`
+          |SET v = CAST(CAST(v AS INT) + 5 AS STRING)
+          |WHERE CAST(k AS INT) >= 3""".stripMargin)
+      import org.apache.spark.sql.functions._
+      val feed = s.readStream.table("wscs.demo.`data.csv@changes`")
+        .groupBy(col("seq"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("v").cast("long")).as("sum_v"))
+      graft.streaming.StreamRunner
+        .runToTable(s, feed, "ws_cdc_sink", "complete")
+        .orderBy(col("seq"))
     })
   )
 
@@ -408,6 +454,26 @@ object WorkspaceQueries extends QueryPack {
         |SELECT 'post_delete' AS pin, k, v FROM seed WHERE k <> 2
         |UNION ALL
         |SELECT 'ref_stable', k, v FROM seed WHERE k <= 2
-        |ORDER BY pin, k""".stripMargin
+        |ORDER BY pin, k""".stripMargin,
+
+    // full history replay: v1/v2 from the fixture, v3 = +{4:40} insert,
+    // v4 = v3 minus key 2 — each seq is that commit's post-image
+    "q_workspace_changes" ->
+      """SELECT CAST(seq AS BIGINT) AS seq, k, v FROM (VALUES
+        |  (1, 1, 10), (1, 2, 20),
+        |  (2, 1, 10), (2, 2, 20), (2, 3, 30),
+        |  (3, 1, 10), (3, 2, 20), (3, 3, 30), (3, 4, 40),
+        |  (4, 1, 10), (4, 3, 30), (4, 4, 40)
+        |) AS t(seq, k, v)
+        |ORDER BY seq, k""".stripMargin,
+
+    // per-version rollup of the streamed feed: v3 = +{9:90} insert,
+    // v4 = UPDATE k>=3 SET v=v+5 → {1:10,2:20,3:35,9:95}
+    "q_stream_workspace_cdc" ->
+      """SELECT CAST(seq AS BIGINT) AS seq, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(sum_v AS BIGINT) AS sum_v FROM (VALUES
+        |  (1, 2, 30), (2, 3, 60), (3, 4, 150), (4, 4, 160)
+        |) AS t(seq, n_rows, sum_v)
+        |ORDER BY seq""".stripMargin
   )
 }

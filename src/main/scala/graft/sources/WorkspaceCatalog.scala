@@ -94,6 +94,22 @@ class WorkspaceCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident, "latest")
 
   override def loadTable(ident: Identifier, version: String): Table = {
+    // `<path>@changes` is the table-valued CHANGE FEED over the commit
+    // log (r16): batch read = full version history of the file;
+    // MICRO_BATCH_READ streams it one version per micro-batch. The feed
+    // is the history itself, so time travel over it is refused the same
+    // way a missing table is.
+    if (ident.name().endsWith("@changes")) {
+      if (version != "latest") throw new NoSuchTableException(ident)
+      val relPath = ident.name().stripSuffix("@changes")
+      val base = Identifier.of(ident.namespace(), relPath)
+      val (file, _) = resolveFile(base, "latest")
+      val root =
+        SQLConf.get.getConfString(s"spark.sql.catalog.$catalogName.root")
+      return new CsvChangesTable(
+        s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}",
+        file, root, ident.namespace()(0), relPath)
+    }
     val (file, vid) = resolveFile(ident, version)
     val root = SQLConf.get.getConfString(s"spark.sql.catalog.$catalogName.root")
     new CsvSnapshotTable(s"$catalogName.${ident.namespace().mkString(".")}" +
@@ -391,6 +407,191 @@ private[sources] class CsvSnapshotReaderFactory
           current = InternalRow.fromSeq((0 until p.nCols).map { i =>
             if (i < parts.length) UTF8String.fromString(parts(i)) else null
           })
+        }
+        hasNext
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Change feed over a workspace file's version history (r16): one row per
+  * (version, data row), with `seq` = 1-based position in the store's
+  * commit log and `version_id` = the content-addressed snapshot id.
+  *
+  * Two read shapes off the same partition layout (one version = one
+  * partition — versions are the store's config-sized artifacts):
+  *
+  *  - BATCH_READ: the full history in one scan — the audit/diff shape
+  *    (`SELECT ... FROM ws.demo.`data.csv@changes``).
+  *  - MICRO_BATCH_READ ([[ChangesMicroBatchStream]]): a Structured
+  *    Streaming source that replays the log ONE VERSION PER MICRO-BATCH
+  *    through `SupportsAdmissionControl` (offset = log position), then
+  *    keeps tailing — new commits become new batches, the Delta/Iceberg
+  *    CDF pattern on this store's model. `SupportsTriggerAvailableNow`
+  *    freezes the end so a bounded `Trigger.AvailableNow` run drains
+  *    exactly the versions that existed at start.
+  *
+  * The feed is append-only history: no write/truncate/row-level
+  * capabilities, and time travel over it is refused (the feed IS the
+  * history).
+  */
+private[sources] class CsvChangesTable(tableName: String, latestFile: Path,
+                                       root: String, workspace: String,
+                                       relPath: String)
+  extends Table with SupportsRead {
+
+  private val dataSchema: StructType = {
+    val head = {
+      val in = Files.newBufferedReader(latestFile)
+      try Option(in.readLine()).getOrElse("")
+      finally in.close()
+    }
+    StructType(head.split(",", -1).map(_.trim)
+      .map(c => StructField(c, StringType)))
+  }
+
+  override def name(): String = tableName
+  override def schema(): StructType = StructType(
+    StructField("seq", org.apache.spark.sql.types.LongType,
+      nullable = false) +:
+    StructField("version_id", StringType, nullable = false) +:
+    dataSchema.fields.toSeq)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+
+  private def partitionsFor(seqs: Range): Array[InputPartition] = {
+    val store = new SnapshotStore(java.nio.file.Paths.get(root))
+    val log = store.commitLog(workspace)
+    seqs.collect {
+      case i if i < log.length =>
+        val vid = log(i)
+        val file = store.snapshotDir(workspace, vid)
+          .resolve(WorkspacePath(relPath).value)
+        ChangesPartition(file.toString, (i + 1).toLong, vid,
+          dataSchema.length): InputPartition
+    }.toArray
+  }
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    val outer = this
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = outer.schema()
+        override def toBatch: Batch = new Batch {
+          override def planInputPartitions(): Array[InputPartition] = {
+            val store = new SnapshotStore(java.nio.file.Paths.get(root))
+            outer.partitionsFor(0 until store.commitLog(workspace).length)
+          }
+          override def createReaderFactory(): PartitionReaderFactory =
+            new ChangesReaderFactory
+        }
+        override def toMicroBatchStream(
+            checkpointLocation: String): org.apache.spark.sql.connector
+              .read.streaming.MicroBatchStream =
+          new ChangesMicroBatchStream(outer, root, workspace)
+      }
+    }
+  }
+
+  private[sources] def partitionsBetween(startSeq: Long,
+      endSeq: Long): Array[InputPartition] =
+    partitionsFor(startSeq.toInt until endSeq.toInt)
+}
+
+/** Offset = number of log versions already emitted. */
+private[sources] case class ChangeOffset(seq: Long)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json: String = seq.toString
+}
+
+private[sources] class ChangesMicroBatchStream(table: CsvChangesTable,
+                                               root: String,
+                                               workspace: String)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming
+    .SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private def currentEnd: Long = {
+    val store = new SnapshotStore(java.nio.file.Paths.get(root))
+    store.commitLog(workspace).length.toLong
+  }
+
+  // set by prepareForTriggerAvailableNow: an AvailableNow run drains the
+  // versions that existed when the trigger started, then stops — later
+  // commits belong to the next run
+  @volatile private var frozenEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    frozenEnd = Some(currentEnd)
+
+  override def initialOffset(): Offset = ChangeOffset(0L)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission control: advance AT MOST ONE VERSION per micro-batch
+    * regardless of the limit — a version is this source's atomic unit
+    * (one content-addressed snapshot), so per-version batching is what
+    * makes the feed's batch boundaries meaningful downstream. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val end = frozenEnd.getOrElse(currentEnd)
+    ChangeOffset(math.min(start.asInstanceOf[ChangeOffset].seq + 1, end))
+  }
+
+  override def reportLatestOffset(): Offset =
+    ChangeOffset(frozenEnd.getOrElse(currentEnd))
+
+  // MicroBatchStream requires the no-arg form; with SupportsAdmissionControl
+  // Spark drives the two-arg one, so this is only a safety net
+  override def latestOffset(): Offset =
+    ChangeOffset(frozenEnd.getOrElse(currentEnd))
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] =
+    table.partitionsBetween(start.asInstanceOf[ChangeOffset].seq,
+      end.asInstanceOf[ChangeOffset].seq)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChangesReaderFactory
+
+  override def deserializeOffset(json: String): Offset =
+    ChangeOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] case class ChangesPartition(path: String, seq: Long,
+                                             versionId: String, nCols: Int)
+  extends InputPartition
+
+private[sources] class ChangesReaderFactory extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ChangesPartition]
+    new PartitionReader[InternalRow] {
+      // a version that predates the file simply contributes no rows
+      private val lines = {
+        val f = java.nio.file.Paths.get(p.path)
+        if (Files.isRegularFile(f))
+          Files.readAllLines(f).asScala.iterator.drop(1)
+        else Iterator.empty
+      }
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        val hasNext = lines.hasNext
+        if (hasNext) {
+          val parts = lines.next().split(",", -1)
+          current = InternalRow.fromSeq(
+            p.seq +: UTF8String.fromString(p.versionId) +:
+            (0 until p.nCols).map { i =>
+              if (i < parts.length) UTF8String.fromString(parts(i)) else null
+            })
         }
         hasNext
       }

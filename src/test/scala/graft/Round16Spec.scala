@@ -88,6 +88,56 @@ class Round16Spec extends AnyFunSuite {
     assert(spark.sql("SELECT k, v FROM wsrl.demo.`data.csv`").count() == 0L)
   }
 
+  test("@changes stream: one version per micro-batch; checkpoint resume tails new commits") {
+    val store = graft.operators.WorkspaceQueries.fixture()
+    spark.conf.set("spark.sql.catalog.wscdc",
+      classOf[graft.sources.WorkspaceCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wscdc.root", store.mountPath.toString)
+    spark.sql("INSERT INTO wscdc.demo.`data.csv` VALUES ('7', '70')") // v3
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cdc_ckpt").toString
+    // memory sink refuses checkpoint recovery, and recovery is exactly
+    // what the tailing half pins — collect per-batch through foreachBatch
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[(Long, String)])]
+    def drain(): Unit = {
+      val q = spark.readStream.table("wscdc.demo.`data.csv@changes`")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          val rows = df.collect()
+            .map(r => (r.getLong(0), r.getString(2))).toSeq
+          seen.synchronized { seen += ((id, rows)); () }
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    // admission control: v1/v2/v3 arrive as THREE data batches, not one
+    val run1 = seen.toSeq.filter(_._2.nonEmpty)
+    assert(run1.length == 3, s"expected 3 per-version batches, got " +
+      seen.map(_._2.length).mkString(","))
+    assert(run1.map(_._2.length) == Seq(2, 3, 4)) // v1..v3 row counts
+    assert(run1.flatMap(_._2.map(_._1)).distinct.sorted == Seq(1L, 2L, 3L))
+    // one seq per batch — the per-version boundary is real
+    assert(run1.forall { case (_, rows) => rows.map(_._1).distinct.size == 1 })
+    // tail a NEW commit from the same checkpoint: only v4 is emitted
+    seen.clear()
+    spark.sql("DELETE FROM wscdc.demo.`data.csv` WHERE k = '1'") // v4
+    drain()
+    val run2 = seen.toSeq.filter(_._2.nonEmpty)
+    assert(run2.flatMap(_._2.map(_._1)).distinct == Seq(4L),
+      "resume must start past the committed offset")
+    assert(run2.flatMap(_._2).map(_._2).sorted == Seq("2", "3", "7"),
+      "v4 post-image = {2:20, 3:30, 7:70}")
+    // batch shape agrees with the streamed feed on the same store
+    val batch = spark.sql(
+      "SELECT count(*) FROM wscdc.demo.`data.csv@changes`").head.getLong(0)
+    assert(batch == 12L) // 2 + 3 + 4 + 3
+  }
+
   test("graft_topk: bounded-heap edges + partial ObjectHashAggregate plan pin") {
     import org.apache.spark.sql.graft.LongTopKHeap
     // heap unit edges: k > group size, duplicates, negatives, merge
