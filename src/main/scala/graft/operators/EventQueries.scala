@@ -325,6 +325,32 @@ object EventQueries extends QueryPack {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // -- frequent consecutive 3-sequences (r16) ------------------------------
+    // PrefixSpan-lite sequence mining over the per-user event stream:
+    // every consecutive event-type TRIGRAM (bigrams are
+    // q_transition_matrix's surface), with the two counts sequence
+    // mining actually reports — total occurrences and USER SUPPORT
+    // (distinct users whose stream contains the pattern). Same ordering
+    // contract as the transition matrix ((ts_us, event_id) — total and
+    // engine-stable). Scale shape: the lead window is keyed per user
+    // (parallelism follows the user hash), the rollup is vocab-bounded
+    // (≤ |types|³ rows), and occurrences/support are plain counts — the
+    // 100 TB plan is one shuffle on user_id plus a bounded aggregate.
+    "q_seq_mining" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.eventsWithTime(s, d)
+        .withColumn("t1", lead(col("event_type"), 1).over(w))
+        .withColumn("t2", lead(col("event_type"), 2).over(w))
+        .filter(col("t2").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("t1"), col("t2"))
+          .as("seq3"), col("user_id"))
+        .groupBy(col("seq3"))
+        .agg(count(lit(1)).as("occurrences"),
+          countDistinct(col("user_id")).as("user_support"))
+        .orderBy(col("seq3"))
+    }),
+
     // -- Markov steady state (long-run occupancy of the journey chain) ------
     // The q_transition_matrix follow-up: where does a user's session
     // END UP spending its time? Ten unrolled power-iteration rounds of
@@ -763,6 +789,22 @@ object EventQueries extends QueryPack {
         |  longest_start_day
         |FROM agg JOIN top USING (user_id)
         |ORDER BY agg.user_id""".stripMargin,
+
+    // same (us, event_id) total order; trigram lead pair + two counts
+    "q_seq_mining" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+        |    event_id FROM events),
+        |g AS (SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id) AS t1,
+        |    lead(event_type, 2) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id) AS t2
+        |  FROM e)
+        |SELECT event_type || '>' || t1 || '>' || t2 AS seq3,
+        |  count(*) AS occurrences,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS user_support
+        |FROM g WHERE t2 IS NOT NULL
+        |GROUP BY 1 ORDER BY seq3""".stripMargin,
 
     "q_transition_matrix" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,

@@ -1248,7 +1248,7 @@ object PipelineQueries extends QueryPack {
     // discipline). Graph shape: the blocked pair join is TextDedup's
     // (never all-pairs); everything after is degree counting on the
     // edge list.
-    "q_modularity" -> ((s, d) => {
+    "q_source_modularity" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = TextDedup.exactJaccardPairs(
           docs.select(col("doc_id"), col("text")), 0.7)
@@ -1295,7 +1295,7 @@ object PipelineQueries extends QueryPack {
     // holds: blocking bounds candidates linearly, scoring is
     // whole-stage-codegen, the argmax is a per-key window, the rollup is
     // dim-bounded.
-    "q_entity_match" -> ((s, d) => {
+    "q_er_jaro_winkler" -> ((s, d) => {
       Tables.ensureConf(s)
       val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
       val dirty = Tables.customer(s, d)
@@ -2137,7 +2137,7 @@ object PipelineQueries extends QueryPack {
 
     // the same exact-Jaccard pair CTE as q_dup_clusters (reach/lbl ride
     // along unreferenced); per-source degree counting in exact integers
-    "q_modularity" ->
+    "q_source_modularity" ->
       s"""WITH RECURSIVE $dupLabelCtes,
         |es AS (SELECT p.d1, p.d2, a.source AS s1, b.source AS s2
         |  FROM p JOIN documents a ON p.d1 = a.doc_id
@@ -2164,7 +2164,7 @@ object PipelineQueries extends QueryPack {
     // ride DuckDB's native jaro_winkler_similarity, which the Spark
     // expression matches bit-exactly (Round16Spec fuzz pin), so the
     // ORDER BY jw DESC argmax and the micro-floor agree between engines
-    "q_entity_match" ->
+    "q_er_jaro_winkler" ->
       """WITH dirty AS (
         |  SELECT c_custkey, c_nationkey,
         |    substr(n_name, 1, p) || substr(n_name, p + 2, 1) ||

@@ -3650,6 +3650,63 @@ object StatsQueries extends QueryPack {
           .when(abs(h) < 0.8, "medium").otherwise("large").as("magnitude"))
     }),
 
+    // -- Bradley-Terry pairwise-preference ranking (r16) ---------------------
+    // The preference-data workhorse (reward-model / RLHF eval): strengths
+    // p_a from pairwise duels via three unrolled MM rounds (Hunter 2004)
+    // — p'_a = W_a / Σ_b n_ab/(p_a+p_b) — in the q_markov_steady pico
+    // fixed point: every division is a DECIMAL(38,0) `div` both engines
+    // truncate identically, so no float state crosses rounds. Duels are
+    // deterministic from the corpus: per user, type a beats type b when
+    // the user fired a more often (ties/absent types contribute no
+    // comparison). A strength is floored at 1 pico so a winless type
+    // can never zero a later denominator (n·S² ≥ S² ≫ p_a+p_b keeps
+    // every term ≥ 1 anyway). Scale shape: one user-keyed count shuffle,
+    // then everything lives on the k² duel frame (localCheckpointed,
+    // k = |event types|); magnitudes stay < 1.5e27 ≪ the decimal(38,0)
+    // envelope (ScaleStressSpec's discipline).
+    "q_bradley_terry" -> ((s, d) => {
+      val S = "1000000000000"
+      val cnts = Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val duels = cnts.as("x").join(cnts.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+        .select(col("x.event_type").as("a"), col("y.event_type").as("b"),
+          when(col("x.c") > col("y.c"), 1L).otherwise(0L).as("aw"),
+          when(col("x.c") < col("y.c"), 1L).otherwise(0L).as("bw"))
+        .groupBy(col("a"), col("b"))
+        .agg(sum(col("aw")).as("wab"), sum(col("bw")).as("wba"))
+      val sym = duels
+        .select(col("a"), col("b"), col("wab").as("w"),
+          (col("wab") + col("wba")).as("n"))
+        .unionAll(duels.select(col("b"), col("a"), col("wba"),
+          col("wab") + col("wba")))
+        .filter(col("n") > 0L)
+        .localCheckpoint(true)
+      val wtot = sym.groupBy(col("a").as("t"))
+        .agg(sum(col("w")).as("wins"), sum(col("n")).as("comparisons"))
+      var p = wtot.select(col("t"), expr(s"CAST($S AS BIGINT)").as("p"))
+      for (_ <- 1 to 3) {
+        val denom = sym
+          .join(p.select(col("t").as("a"), col("p").as("pa")), "a")
+          .join(p.select(col("t").as("b"), col("p").as("pb")), "b")
+          .groupBy(col("a").as("t"))
+          .agg(sum(expr(s"(CAST(n AS DECIMAL(38,0)) * $S * $S)" +
+            " div (pa + pb)")).as("dd"))
+        p = wtot.join(denom, "t")
+          .select(col("t"), expr(
+            s"greatest(CAST((CAST(wins AS DECIMAL(38,0)) * $S * $S)" +
+            " div dd AS BIGINT), CAST(1 AS BIGINT))").as("p"))
+      }
+      val w = Window.orderBy(col("p").desc, col("t").asc)
+      wtot.join(p, "t")
+        .select(col("t").as("event_type"), col("wins"),
+          col("comparisons"), col("p").as("bt_u"),
+          row_number().over(w).cast("long").as("rnk"))
+        .orderBy(col("event_type"))
+    }),
+
     // -- Hjorth parameters of the daily series (r15) --------------------------
     // The three classical signal descriptors (Hjorth 1970): activity =
     // var(y), mobility = √(var(Δy)/var(y)), complexity =
@@ -6892,6 +6949,54 @@ object StatsQueries extends QueryPack {
 
     // same arm/conversion integers as q_bayes_ab; one mirrored arcsine
     // expression; bands on the rounded h
+    // three unrolled MM rounds in HUGEINT; `//` on positive HUGEINTs
+    // truncates exactly like Spark's DECIMAL `div`
+    "q_bradley_terry" ->
+      """WITH cnts AS (SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |duels AS (SELECT x.event_type AS a, y.event_type AS b,
+        |    CAST(sum(CASE WHEN x.c > y.c THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS wab,
+        |    CAST(sum(CASE WHEN x.c < y.c THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS wba
+        |  FROM cnts x JOIN cnts y ON x.user_id = y.user_id
+        |    AND x.event_type < y.event_type
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT a, b, wab AS w, wab + wba AS n FROM duels
+        |    WHERE wab + wba > 0
+        |  UNION ALL SELECT b, a, wba, wab + wba FROM duels
+        |    WHERE wab + wba > 0),
+        |wtot AS (SELECT a AS t, CAST(sum(w) AS BIGINT) AS wins,
+        |    CAST(sum(n) AS BIGINT) AS comparisons FROM sym GROUP BY a),
+        |p0 AS (SELECT t, CAST(1000000000000 AS HUGEINT) AS p FROM wtot),
+        |d1 AS (SELECT s.a AS t, sum((CAST(s.n AS HUGEINT)
+        |      * 1000000000000 * 1000000000000) // (pa.p + pb.p)) AS dd
+        |  FROM sym s JOIN p0 pa ON s.a = pa.t JOIN p0 pb ON s.b = pb.t
+        |  GROUP BY s.a),
+        |p1 AS (SELECT w.t, greatest((CAST(w.wins AS HUGEINT)
+        |      * 1000000000000 * 1000000000000) // d1.dd, 1) AS p
+        |  FROM wtot w JOIN d1 ON w.t = d1.t),
+        |d2 AS (SELECT s.a AS t, sum((CAST(s.n AS HUGEINT)
+        |      * 1000000000000 * 1000000000000) // (pa.p + pb.p)) AS dd
+        |  FROM sym s JOIN p1 pa ON s.a = pa.t JOIN p1 pb ON s.b = pb.t
+        |  GROUP BY s.a),
+        |p2 AS (SELECT w.t, greatest((CAST(w.wins AS HUGEINT)
+        |      * 1000000000000 * 1000000000000) // d2.dd, 1) AS p
+        |  FROM wtot w JOIN d2 ON w.t = d2.t),
+        |d3 AS (SELECT s.a AS t, sum((CAST(s.n AS HUGEINT)
+        |      * 1000000000000 * 1000000000000) // (pa.p + pb.p)) AS dd
+        |  FROM sym s JOIN p2 pa ON s.a = pa.t JOIN p2 pb ON s.b = pb.t
+        |  GROUP BY s.a),
+        |p3 AS (SELECT w.t, greatest((CAST(w.wins AS HUGEINT)
+        |      * 1000000000000 * 1000000000000) // d3.dd, 1) AS p
+        |  FROM wtot w JOIN d3 ON w.t = d3.t)
+        |SELECT w.t AS event_type, w.wins, w.comparisons,
+        |  CAST(p3.p AS BIGINT) AS bt_u,
+        |  CAST(row_number() OVER (ORDER BY p3.p DESC, w.t) AS BIGINT)
+        |    AS rnk
+        |FROM wtot w JOIN p3 ON w.t = p3.t
+        |ORDER BY event_type""".stripMargin,
+
     "q_cohens_h" ->
       """WITH conv AS (SELECT user_id % 2 AS arm, user_id,
         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)

@@ -62,7 +62,8 @@ class QueryCorpusSpec extends AnyFunSuite {
     "q_hjorth_params",      // day-calendar series (lagged differences)
     "q_permutation_entropy", // day-calendar series (ordinal 3-grams)
     "q_theil_u2",           // day-calendar series (split fit + lag)
-    "q_turning_points")     // day-calendar series (lag/lead extrema)
+    "q_turning_points",     // day-calendar series (lag/lead extrema)
+    "q_bradley_terry")      // k-row strength frame, k = |event types|
 
   test("oracle entries reference declared queries only") {
     val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
