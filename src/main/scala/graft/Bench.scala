@@ -191,16 +191,32 @@ object Bench {
     //      leaves a parseable artifact with a labeled partial total.
     //   3. A wall budget (SPARK_GRAFT_BENCH_BUDGET_S, default 2400 s —
     //      comfortably inside the driver's cap): once elapsed + the
-    //      EMA-projected remaining cost exceeds it, the run degrades to
-    //      reps=1 for the remainder and records the first degraded query
-    //      in env.degraded_at. Coverage beats redundancy: a full set of
-    //      single-rep rows is a usable artifact; half a set of
-    //      median-of-3 rows is not.
+    //      recent-median-projected remaining cost exceeds it, the run
+    //      degrades to reps=1 for the remainder and records the first
+    //      degraded query in env.degraded_at. Coverage beats redundancy:
+    //      a full set of single-rep rows is a usable artifact; half a
+    //      set of median-of-3 rows is not.
     val budgetS =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "2400").toDouble
     val benchT0 = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - benchT0) / 1e9
-    var emaCost = 0.0
+    // Per-query total walls, for the budget projection. A plain EMA over
+    // these degraded a healthy r16 run at 26% of budget: the first ~25
+    // queries carry 3-5× codegen/scan cold cost, the EMA was still ~6
+    // s/query when the check armed, and the sticky degrade then priced
+    // 501 rows as single COLD reps (q_dedup_editdist 15.2 s vs its 3.6 s
+    // honest median). The projection now uses the MEDIAN of the most
+    // recent 25 query walls — robust to both the cold head and the
+    // occasional straggler — so it only fires when the steady state
+    // itself cannot fit the budget.
+    val wallHist = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def recentMedianCost: Double = {
+      if (wallHist.isEmpty) 0.0
+      else {
+        val tail = wallHist.takeRight(25).sorted
+        tail(tail.length / 2)
+      }
+    }
     var degradedAt: Option[String] = None
     val repoDir = sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo")
     val detailPath = repoDir + "/BENCH_DETAIL.json"
@@ -312,11 +328,13 @@ object Bench {
       // rows carry per-plan codegen cold cost that inflates the EMA
       // 3-5× over the run's steady state (observed: an un-guarded check
       // degraded at query 3 of a run that finished at 58% of budget).
-      if (degradedAt.isEmpty && emaCost > 0.0 && results.size >= 25 &&
-          elapsedS + emaCost * (nTotal - results.size) > budgetS) {
+      if (degradedAt.isEmpty && recentMedianCost > 0.0 &&
+          results.size >= 25 &&
+          elapsedS + recentMedianCost * (nTotal - results.size) > budgetS) {
         degradedAt = Some(name)
         System.err.println(f"[bench] wall budget: ${elapsedS}%.0f s elapsed" +
-          f" + ${emaCost}%.2f s/query × ${nTotal - results.size} remaining" +
+          f" + ${recentMedianCost}%.2f s/query (recent median)" +
+          f" × ${nTotal - results.size} remaining" +
           f" > ${budgetS}%.0f s — degrading to reps=1 from $name")
       }
       val first = once()
@@ -371,7 +389,7 @@ object Bench {
         results += (name -> v)
       }
       val qWall = times.map(math.abs).sum
-      emaCost = if (emaCost == 0.0) qWall else 0.3 * qWall + 0.7 * emaCost
+      wallHist += qWall
       progW.println(s"""{"q":"$name","v":${d3(v)},"samples":${arr(times)}""" +
         s""","cpu_s":${arr(runs.map(_.cpu))},"gc_s":${arr(runs.map(_.gc))}""" +
         s""","load_1m":${arr(runs.map(_.load))}""" +

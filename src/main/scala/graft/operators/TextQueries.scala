@@ -89,6 +89,101 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // -- Distinct-n diversity (r16) -------------------------------------------
+    // The standard generation-diversity readout (Li et al. 2016): per
+    // source, corpus-level distinct unigrams/bigrams over total, as
+    // exact micro ratios. Low distinct-n on a source = mode collapse /
+    // template farms — the cheap first screen before q_self_bleu's
+    // overlap scoring. Docs shorter than the n-gram are excluded from
+    // BOTH sides of that n's ratio (mirrored in the oracle). Scale:
+    // explode → two vocab-bounded aggregates; no joins beyond the
+    // per-source combine.
+    "q_distinct_n" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          split(norm(col("text")), " ").as("ws"))
+      val uni = docs.filter(size(col("ws")) >= 1)
+        .select(col("source"), explode(col("ws")).as("g"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("uni_total"),
+          countDistinct(col("g")).as("uni_distinct"))
+      val bi = docs.filter(size(col("ws")) >= 2)
+        .select(col("source"), explode(expr(
+          "transform(sequence(0, size(ws) - 2)," +
+          " i -> concat(ws[i], ' ', ws[i+1]))")).as("g"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("bi_total"),
+          countDistinct(col("g")).as("bi_distinct"))
+      uni.join(bi, "source")
+        .select(col("source"), col("uni_total"), col("uni_distinct"),
+          col("bi_total"), col("bi_distinct"),
+          expr("(1000000 * uni_distinct) div uni_total").as("dist1_u"),
+          expr("(1000000 * bi_distinct) div bi_total").as("dist2_u"))
+        .orderBy(col("source"))
+    }),
+
+    // -- Self-BLEU diversity (r16) --------------------------------------------
+    // Zhu et al.'s Self-BLEU (Texygen), the overlap complement of
+    // q_distinct_n: each document scored as BLEU-2 against the REST of
+    // the corpus as references. Multi-reference clipping is exact per
+    // n-gram from two integer stats — a gram's cap for doc d is the max
+    // count over OTHER docs, i.e. m1 unless d is the UNIQUE argmax
+    // (then m2) — so the modified precisions p₁/p₂ are exact micro
+    // rationals; this is the precision-only variant (no brevity
+    // penalty), stated here because BP choices differ across
+    // implementations. The final geometric mean is the one FP step,
+    // with pinned op order √((n1/d1)·(n2/d2)). High avg self-BLEU on a
+    // source = the documents paraphrase each other — the near-dup
+    // signal at n-gram granularity. Scale: everything lives on
+    // vocab-bounded gram-count frames; no doc-pair join ever forms.
+    "q_self_bleu" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          split(norm(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+      def gramCounts(n: Int) = {
+        val g = if (n == 1)
+          docs.select(col("doc_id"), col("source"), explode(col("ws")).as("g"))
+        else
+          docs.select(col("doc_id"), col("source"), explode(expr(
+            "transform(sequence(0, size(ws) - 2)," +
+            " i -> concat(ws[i], ' ', ws[i+1]))")).as("g"))
+        g.groupBy(col("doc_id"), col("source"), col("g"))
+          .agg(count(lit(1)).as("c"))
+      }
+      def prec(n: Int, out: String) = {
+        val c = gramCounts(n)
+        val m1 = c.groupBy(col("g")).agg(max(col("c")).as("m1"))
+        val gstats = c.join(m1, "g")
+          .groupBy(col("g"))
+          .agg(max(col("m1")).as("m1"),
+            sum(when(col("c") === col("m1"), 1L).otherwise(0L)).as("at1"),
+            max(when(col("c") < col("m1"), col("c")).otherwise(0L))
+              .as("m2"))
+        c.join(gstats, "g")
+          .withColumn("cap", when(
+            col("c") === col("m1") && col("at1") === 1L, col("m2"))
+            .otherwise(col("m1")))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(sum(least(col("c"), col("cap"))).as(s"num_$n"),
+            sum(col("c")).as(s"den_$n"))
+          .withColumn(out, expr(s"(1000000 * num_$n) div den_$n"))
+      }
+      val p1 = prec(1, "p1_u")
+      val p2 = prec(2, "p2_u").drop("source")
+      p1.join(p2, "doc_id")
+        .withColumn("bleu_u", floor(sqrt(
+          (col("num_1").cast("double") / col("den_1").cast("double")) *
+          (col("num_2").cast("double") / col("den_2").cast("double"))) *
+          lit(1000000.0)).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(p1_u) div count(1)").as("p1_avg_u"),
+          expr("sum(p2_u) div count(1)").as("p2_avg_u"),
+          expr("sum(bleu_u) div count(1)").as("selfbleu_avg_u"))
+        .orderBy(col("source"))
+    }),
+
     // -- BPE merge-candidate scoring (tokenizer induction, one round) -------
     // The adjacent-symbol-pair count that drives every byte-pair-encoding
     // merge decision. The scalable formulation: corpus → word histogram
@@ -2339,6 +2434,77 @@ object TextQueries extends QueryPack {
     val normSql =
       "regexp_replace(lower(trim(text)), '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g')"
     Seq(
+      // same norm/split; bigrams via range windows; integer micro ratios
+      "q_distinct_n" ->
+        s"""WITH w AS (SELECT doc_id, source,
+           |    string_split($normSql, ' ') AS ws FROM documents),
+           |uni AS (SELECT source, count(*) AS uni_total,
+           |    CAST(count(DISTINCT g) AS BIGINT) AS uni_distinct
+           |  FROM (SELECT source, unnest(ws) AS g FROM w
+           |        WHERE len(ws) >= 1) u GROUP BY source),
+           |bi AS (SELECT source, count(*) AS bi_total,
+           |    CAST(count(DISTINCT g) AS BIGINT) AS bi_distinct
+           |  FROM (SELECT source, unnest(list_transform(
+           |      range(0, len(ws) - 1),
+           |      i -> ws[i+1] || ' ' || ws[i+2])) AS g
+           |    FROM w WHERE len(ws) >= 2) b GROUP BY source)
+           |SELECT source, uni_total, uni_distinct, bi_total, bi_distinct,
+           |  CAST((1000000 * uni_distinct) // uni_total AS BIGINT)
+           |    AS dist1_u,
+           |  CAST((1000000 * bi_distinct) // bi_total AS BIGINT)
+           |    AS dist2_u
+           |FROM uni JOIN bi USING (source) ORDER BY source""".stripMargin,
+
+      // exact multi-reference clipping from (m1, at1, m2) per gram; the
+      // geometric mean is the one FP step with the pinned op order
+      "q_self_bleu" ->
+        s"""WITH w AS (SELECT doc_id, source,
+           |    string_split($normSql, ' ') AS ws FROM documents),
+           |d2 AS (SELECT * FROM w WHERE len(ws) >= 2),
+           |c1 AS (SELECT doc_id, source, g, count(*) AS c FROM (
+           |    SELECT doc_id, source, unnest(ws) AS g FROM d2) u
+           |  GROUP BY 1, 2, 3),
+           |c2 AS (SELECT doc_id, source, g, count(*) AS c FROM (
+           |    SELECT doc_id, source, unnest(list_transform(
+           |      range(0, len(ws) - 1),
+           |      i -> ws[i+1] || ' ' || ws[i+2])) AS g FROM d2) u
+           |  GROUP BY 1, 2, 3),
+           |g1 AS (SELECT g, max(c) AS m1,
+           |    CAST(sum(CASE WHEN c = mx THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS at1,
+           |    max(CASE WHEN c < mx THEN c ELSE 0 END) AS m2
+           |  FROM (SELECT *, max(c) OVER (PARTITION BY g) AS mx FROM c1) t
+           |  GROUP BY g),
+           |g2 AS (SELECT g, max(c) AS m1,
+           |    CAST(sum(CASE WHEN c = mx THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS at1,
+           |    max(CASE WHEN c < mx THEN c ELSE 0 END) AS m2
+           |  FROM (SELECT *, max(c) OVER (PARTITION BY g) AS mx FROM c2) t
+           |  GROUP BY g),
+           |p1 AS (SELECT doc_id, source,
+           |    CAST(sum(least(c.c, CASE WHEN c.c = g.m1 AND g.at1 = 1
+           |      THEN g.m2 ELSE g.m1 END)) AS BIGINT) AS num_1,
+           |    CAST(sum(c.c) AS BIGINT) AS den_1
+           |  FROM c1 c JOIN g1 g USING (g) GROUP BY 1, 2),
+           |p2 AS (SELECT doc_id,
+           |    CAST(sum(least(c.c, CASE WHEN c.c = g.m1 AND g.at1 = 1
+           |      THEN g.m2 ELSE g.m1 END)) AS BIGINT) AS num_2,
+           |    CAST(sum(c.c) AS BIGINT) AS den_2
+           |  FROM c2 c JOIN g2 g USING (g) GROUP BY 1),
+           |per_doc AS (SELECT p1.source,
+           |    (1000000 * num_1) // den_1 AS p1_u,
+           |    (1000000 * num_2) // den_2 AS p2_u,
+           |    CAST(floor(sqrt(
+           |      (CAST(num_1 AS DOUBLE) / CAST(den_1 AS DOUBLE)) *
+           |      (CAST(num_2 AS DOUBLE) / CAST(den_2 AS DOUBLE)))
+           |      * 1000000) AS BIGINT) AS bleu_u
+           |  FROM p1 JOIN p2 USING (doc_id))
+           |SELECT source, count(*) AS n_docs,
+           |  CAST(sum(p1_u) // count(*) AS BIGINT) AS p1_avg_u,
+           |  CAST(sum(p2_u) // count(*) AS BIGINT) AS p2_avg_u,
+           |  CAST(sum(bleu_u) // count(*) AS BIGINT) AS selfbleu_avg_u
+           |FROM per_doc GROUP BY source ORDER BY source""".stripMargin,
+
       // same 5-shingle pair CTE as q_dedup_jaccard; source-keyed rate
       "q_dup_by_source" ->
         s"""WITH t AS (SELECT doc_id,

@@ -251,6 +251,206 @@ class Round16Spec extends AnyFunSuite {
     }
   }
 
+  test("q_lof matches a brute-force driver-side LOF replay") {
+    val got = SparkEntry.queries("q_lof")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val pts = graft.engine.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 256)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val nrm = pts.map { case (_, v) => math.sqrt(dot(v, v)) }
+    val ids = pts.map(_._1)
+    val n = pts.length
+    def distU(i: Int, j: Int): Long =
+      math.floor((1.0 - dot(pts(i)._2, pts(j)._2) / (nrm(i) * nrm(j))) *
+        1000000.0).toLong
+    // top-5 by (dist_u, id)
+    val knn = Array.tabulate(n) { i =>
+      (0 until n).filter(_ != i).map(j => (distU(i, j), ids(j), j))
+        .sorted.take(5)
+    }
+    val kdist = knn.map(_.map(_._1).max)
+    val s_u = Array.tabulate(n) { i =>
+      knn(i).map { case (d, _, j) => math.max(math.max(kdist(j), d), 1L) }.sum
+    }
+    (0 until n).foreach { i =>
+      val recip = knn(i).map(_._3).sortBy(j => ids(j))
+        .foldLeft(0.0)((acc, j) => acc + 1.0 / s_u(j).toDouble)
+      val lof = math.floor(s_u(i).toDouble * recip / 25.0 * 1000000.0).toLong
+      assert(got(ids(i)) == ((s_u(i), lof)), s"id ${ids(i)}")
+    }
+  }
+
+  test("q_source_modularity matches a driver-side degree-count replay") {
+    val got = SparkEntry.queries("q_source_modularity")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+    val srcOf = docs.select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = graft.functions.TextDedup.exactJaccardPairs(
+        docs.select(col("doc_id"), col("text")), 0.7)
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val m = pairs.length.toLong
+    val bySrc = scala.collection.mutable.Map
+      .empty[String, (Set[Long], Long, Long)] // nodes, m_s, d_s
+    pairs.foreach { case (a, b) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      val xa = bySrc.getOrElse(sa, (Set.empty[Long], 0L, 0L))
+      bySrc(sa) = (xa._1 + a, xa._2 + (if (sa == sb) 1L else 0L), xa._3 + 1L)
+      val xb = bySrc.getOrElse(sb, (Set.empty[Long], 0L, 0L))
+      bySrc(sb) = (xb._1 + b, xb._2, xb._3 + 1L)
+    }
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, (nodes, ms, ds)) =>
+      assert(got(src) == ((nodes.size.toLong, ms, ds,
+        4L * m * ms - ds * ds, 4L * m * m)), src)
+    }
+    // partition-quality identity: sum of contributions never exceeds q_den
+    assert(bySrc.valuesIterator.map { case (_, ms, ds) =>
+      BigInt(4L * m * ms) - BigInt(ds) * BigInt(ds)
+    }.sum <= BigInt(4L) * BigInt(m) * BigInt(m))
+  }
+
+  test("q_seq_mining matches a driver-side trigram replay") {
+    val got = SparkEntry.queries("q_seq_mining")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ev = graft.engine.Tables.eventsWithTime(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val tris = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val ts = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      ts.sliding(3).filter(_.length == 3)
+        .map(w => (w.mkString(">"), u)).toSeq
+    }
+    val expect = tris.groupBy(_._1).map { case (k, xs) =>
+      k -> ((xs.length.toLong, xs.map(_._2).distinct.length.toLong))
+    }
+    assert(got == expect)
+  }
+
+  test("q_bradley_terry matches a BigInt MM-round replay") {
+    val got = SparkEntry.queries("q_bradley_terry")(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val S = BigInt(1000000000000L)
+    val cnts = graft.engine.Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    val types = cnts.keysIterator.map(_._2).toSeq.distinct.sorted
+    val users = cnts.keysIterator.map(_._1).toSeq.distinct
+    // ordered duel tallies (w, n) per (a, b)
+    val sym = (for {
+      a <- types; b <- types if a != b
+    } yield {
+      var w = 0L; var nn = 0L
+      users.foreach { u =>
+        (cnts.get((u, a)), cnts.get((u, b))) match {
+          case (Some(ca), Some(cb)) if ca != cb =>
+            nn += 1; if (ca > cb) w += 1
+          case _ =>
+        }
+      }
+      ((a, b), (w, nn))
+    }).filter(_._2._2 > 0).toMap
+    val wins = types.map(t => t -> sym.collect {
+      case ((a, _), (w, _)) if a == t => w }.sum).toMap
+    val comps = types.map(t => t -> sym.collect {
+      case ((a, _), (_, nn)) if a == t => nn }.sum).toMap
+    var p = types.map(t => t -> S).toMap
+    for (_ <- 1 to 3) {
+      val d = types.map { t =>
+        t -> sym.collect { case ((a, b), (_, nn)) if a == t =>
+          (BigInt(nn) * S * S) / (p(t) + p(b))
+        }.sum
+      }.toMap
+      p = types.map { t =>
+        t -> ((BigInt(wins(t)) * S * S) / d(t)).max(BigInt(1))
+      }.toMap
+    }
+    val rnk = types.sortBy(t => (-p(t), t)).zipWithIndex
+      .map { case (t, i) => t -> (i + 1).toLong }.toMap
+    types.foreach { t =>
+      assert(got(t) == ((wins(t), comps(t), p(t).toLong, rnk(t))), t)
+    }
+  }
+
+  test("q_distinct_n and q_self_bleu match a driver-side n-gram replay") {
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        split(regexp_replace(lower(trim(col("text"))),
+          "[ \\t\\n\\f\\r\\x0B]+", " "), " ").as("ws"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2).toArray))
+    def grams(ws: Array[String], n: Int): Seq[String] =
+      if (n == 1) ws.toSeq
+      else ws.toSeq.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+    // distinct-n
+    val gotD = SparkEntry.queries("q_distinct_n")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      val u = ds.toSeq.flatMap(d => grams(d._3, 1))
+      val b = ds.toSeq.filter(_._3.length >= 2).flatMap(d => grams(d._3, 2))
+      val exp = (u.length.toLong, u.distinct.length.toLong,
+        b.length.toLong, b.distinct.length.toLong,
+        1000000L * u.distinct.length / u.length,
+        1000000L * b.distinct.length / b.length)
+      assert(gotD(src) == exp, src)
+    }
+    // self-BLEU: exact clipping from (m1, at1, m2) per gram
+    val gotB = SparkEntry.queries("q_self_bleu")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val d2 = docs.filter(_._3.length >= 2)
+    def prec(n: Int): Map[Long, (Long, Long)] = {
+      val byDoc = d2.map(d => d._1 ->
+        grams(d._3, n).groupBy(identity).map { case (g, xs) =>
+          g -> xs.length.toLong }).toMap
+      val gstats = byDoc.values.flatten.groupBy(_._1).map { case (g, cs) =>
+        val counts = cs.map(_._2).toSeq.sorted.reverse
+        val m1 = counts.head
+        val at1 = counts.count(_ == m1).toLong
+        val m2 = counts.find(_ < m1).getOrElse(0L)
+        g -> ((m1, at1, m2))
+      }
+      byDoc.map { case (id, cs) =>
+        val num = cs.map { case (g, c) =>
+          val (m1, at1, m2) = gstats(g)
+          math.min(c, if (c == m1 && at1 == 1L) m2 else m1)
+        }.sum
+        id -> ((num, cs.valuesIterator.sum))
+      }
+    }
+    val (pr1, pr2) = (prec(1), prec(2))
+    d2.groupBy(_._2).foreach { case (src, ds) =>
+      val rows = ds.toSeq.map { d =>
+        val (n1, de1) = pr1(d._1)
+        val (n2, de2) = pr2(d._1)
+        (1000000L * n1 / de1, 1000000L * n2 / de2,
+          math.floor(math.sqrt((n1.toDouble / de1.toDouble) *
+            (n2.toDouble / de2.toDouble)) * 1000000.0).toLong)
+      }
+      val n = rows.length.toLong
+      val exp = (n, rows.map(_._1).sum / n, rows.map(_._2).sum / n,
+        rows.map(_._3).sum / n)
+      assert(gotB(src) == exp, src)
+    }
+  }
+
   test("q_stream_list_state: bounded ListState + MapState match a corpus replay") {
     val rows = SparkEntry.queries("q_stream_list_state")(spark, sfDir)
       .collect()
