@@ -106,7 +106,8 @@ object Bench {
         "q_dedup_minhash",      // minhash signature table
         "q_adamic_adar",        // coEdges + coWedges
         "q_effective_diameter", // multiRootBfs
-        "q_bpe_pairs"           // bpeW0 word histogram
+        "q_bpe_pairs",          // bpeW0 word histogram
+        "q_dup_by_source"       // verified exact-Jaccard pair list (r16)
         ).foreach { w =>
         try timedRun(s"warmup:$w", SparkEntry.queries(w))
         catch { case _: Throwable => () }
