@@ -28,6 +28,8 @@ object Tables {
     // builder-extensions path only covers sessions built with
     // spark.sql.extensions=...GraftExtensions)
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    // custom planner strategy (broadcast point-in-interval range join)
+    org.apache.spark.sql.graft.GraftPlans.register(spark)
   }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -514,6 +514,31 @@ object JoinQueries extends QueryPack {
         .agg(count(lit(1)).as("n_cust"),
           (sum(bc).cast("double") / lit(100.0)).as("total_bal"))
         .orderBy(col("nationkey"))
+    }),
+
+    // -- Native broadcast range join (custom planner strategy, r16) --------
+    // Point-in-interval join through the engine's own physical operator
+    // (GraftRangeJoinExec — RangeJoin.scala): 128 overlapping price
+    // brackets (stride 4000, width 10000, so every order lands in 2-3
+    // brackets) probed by binary search + prefix-max walk-back instead of
+    // the O(|orders|·128) BroadcastNestedLoopJoin Spark would plan for the
+    // same non-equi predicate. The interval side rides the standard
+    // BroadcastExchange; the fact side never shuffles or sorts. Bracket
+    // bounds are multiples of 4000 — exactly representable doubles, so the
+    // lo/hi group keys hash identically in both engines; aggregates are
+    // counts only (no FP accumulation).
+    "q_range_join_native" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_totalprice"), col("o_custkey"))
+      val br = s.range(0, 128).select(
+        col("id").as("bracket_id"),
+        (col("id") * lit(4000.0)).as("lo"),
+        (col("id") * lit(4000.0) + lit(10000.0)).as("hi"))
+      org.apache.spark.sql.graft.GraftPlans
+        .rangeJoinPoint(o, br, o("o_totalprice"), br("lo"), br("hi"))
+        .groupBy(col("bracket_id"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_custs"))
+        .orderBy(col("bracket_id"))
     })
   )
 
@@ -796,6 +821,20 @@ object JoinQueries extends QueryPack {
         |                      AND o_orderpriority = '1-URGENT'))
         |SELECT nationkey, count(*) AS n_cust,
         |  CAST(sum(bc) AS DOUBLE) / 100.0 AS total_bal
-        |FROM f GROUP BY 1 ORDER BY nationkey""".stripMargin
+        |FROM f GROUP BY 1 ORDER BY nationkey""".stripMargin,
+
+    // plain inequality join replay of the custom physical operator
+    "q_range_join_native" ->
+      """WITH brackets AS (
+        |  SELECT CAST(i AS BIGINT) AS bracket_id,
+        |         i * 4000.0 AS lo, i * 4000.0 + 10000.0 AS hi
+        |  FROM range(0, 128) t(i))
+        |SELECT b.bracket_id, b.lo, b.hi,
+        |  count(*) AS n_orders,
+        |  count(DISTINCT o.o_custkey) AS n_custs
+        |FROM brackets b
+        |JOIN orders o ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        |GROUP BY 1, 2, 3
+        |ORDER BY bracket_id""".stripMargin
   )
 }

@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((ident, info, builder))
     }
     ext.injectOptimizerRule(_ => NativeDotProductRewrite)
+    ext.injectPlannerStrategy(_ => RangeJoinStrategy)
   }
 }
 

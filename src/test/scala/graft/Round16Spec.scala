@@ -487,4 +487,47 @@ class Round16Spec extends AnyFunSuite {
       assert(r.getLong(6) == ntot, s"user $u n_total")
     }
   }
+
+  test("range join plans through GraftRangeJoinExec + BroadcastExchange " +
+      "and matches the built-in non-equi join") {
+    import org.apache.spark.sql.graft.GraftPlans
+    graft.engine.Tables.ensureConf(spark)
+    val left = spark.range(0, 10000)
+      .select(col("id").as("row_id"),
+        ((col("id") * 37 + 11) % 1000).cast("double").as("p"))
+    // overlapping AND disjoint intervals, plus a degenerate empty one
+    // (lo == hi matches nothing under lo <= p < hi) and a swallowing
+    // [0, 1000) interval that matches every row — the prefix-max
+    // walk-back must find it from any binary-search position
+    val ivs = spark.createDataFrame(Seq(
+      (0L, 0.0, 250.0), (1L, 200.0, 450.0), (2L, 400.0, 650.0),
+      (3L, 600.0, 850.0), (4L, 800.0, 1000.0), (5L, 300.0, 300.0),
+      (6L, 0.0, 1000.0), (7L, 999.0, 2000.0)))
+      .toDF("iv_id", "lo", "hi")
+    val native = GraftPlans.rangeJoinPoint(left, ivs, left("p"),
+      ivs("lo"), ivs("hi"))
+    val planStr = native.queryExecution.executedPlan.toString
+    assert(planStr.contains("GraftRangeJoin"),
+      s"custom exec must plan the node:\n$planStr")
+    assert(planStr.contains("BroadcastExchange"),
+      s"interval side must ride the standard broadcast exchange:\n$planStr")
+    val expected = left.join(ivs,
+      left("p") >= ivs("lo") && left("p") < ivs("hi"))
+    assert(planStr.indexOf("GraftRangeJoin") >= 0 &&
+      !expected.queryExecution.executedPlan.toString.contains("GraftRangeJoin"),
+      "the built-in predicate join must NOT be rewritten (strategy only " +
+        "fires on the explicit node)")
+    val got = native.collect().map(r =>
+      (r.getLong(0), r.getLong(2))).sorted.toSeq
+    val want = expected.collect().map(r =>
+      (r.getLong(0), r.getLong(2))).sorted.toSeq
+    assert(got == want, s"native range join diverges: got ${got.length} " +
+      s"pairs, want ${want.length}")
+    // null point / null bound rows never match (SQL three-valued logic)
+    val nullLeft = left.select(col("row_id"),
+      when(col("row_id") % 2 === 0, col("p")).otherwise(lit(null)).as("p"))
+    val gotNull = GraftPlans.rangeJoinPoint(nullLeft, ivs, nullLeft("p"),
+      ivs("lo"), ivs("hi")).collect().map(_.getLong(0))
+    assert(gotNull.forall(_ % 2 == 0), "null points must not match")
+  }
 }
