@@ -159,6 +159,29 @@ object WorkspaceQueries extends QueryPack {
           |ORDER BY pin, k""".stripMargin)
     }),
 
+    // DSv2 scan pushdown through the catalog (r16): comparison, IN, and
+    // prefix predicates all compile into the snapshot scan
+    // (SupportsPushDownV2Filters) — the post-scan FilterExec disappears
+    // (Round16Spec pins the plan) — and the projection prunes the read
+    // schema (SupportsPushDownRequiredColumns). Results are what the
+    // un-pushed plan computes; the oracle replays the fixture literally.
+    "q_workspace_pushdown" -> ((s, _) => {
+      val store = fixture()
+      s.conf.set("spark.sql.catalog.wsp",
+        classOf[graft.sources.WorkspaceCatalog].getName)
+      s.conf.set("spark.sql.catalog.wsp.root", store.mountPath.toString)
+      s.sql(
+        """SELECT 'cmp_ge' AS leg, k, v
+          |FROM wsp.demo.`data.csv` WHERE k >= '2'
+          |UNION ALL
+          |SELECT 'in_13', k, v
+          |FROM wsp.demo.`data.csv` WHERE k IN ('1', '3')
+          |UNION ALL
+          |SELECT 'prefix_1', k, v
+          |FROM wsp.demo.`data.csv` WHERE startswith(v, '1')
+          |ORDER BY leg, k""".stripMargin)
+    }),
+
     // Native SQL MERGE INTO through the DSv2 catalog (r13 —
     // SupportsRowLevelOperations, group-based copy-on-write): the write
     // half of the reference's declared "versioning control for data
@@ -395,6 +418,16 @@ object WorkspaceQueries extends QueryPack {
         |  ('ref_stable', 1, 10), ('ref_stable', 2, 20)
         |) AS t(pin, k, v)
         |ORDER BY pin, k""".stripMargin,
+
+    // literal replay of the three pushed-predicate legs over the fixture's
+    // latest data.csv {1:10, 2:20, 3:30}
+    "q_workspace_pushdown" ->
+      """SELECT * FROM (VALUES
+        |  ('cmp_ge', '2', '20'), ('cmp_ge', '3', '30'),
+        |  ('in_13', '1', '10'), ('in_13', '3', '30'),
+        |  ('prefix_1', '1', '10')
+        |) AS t(leg, k, v)
+        |ORDER BY leg, k""".stripMargin,
 
     // MERGE semantics replayed relationally: seed {1:10,2:20,3:30} from
     // the fixture's latest data.csv, source = nation keys 2..6 with

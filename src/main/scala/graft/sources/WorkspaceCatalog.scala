@@ -217,8 +217,65 @@ private[sources] class CsvSnapshotTable(tableName: String, file: Path,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
 
+  /** Read path with scan pushdown (r16): column pruning, V2 predicate
+    * pushdown, and limit pushdown all reach the executor-side line parse.
+    * On this store a file is config-sized, so the wins are honest but
+    * small (narrower InternalRows, no post-scan FilterExec, early-exit on
+    * limit); the point is the ENGINE shape — the same three interfaces
+    * are what a petabyte-scale DSv2 source implements, and the plan pins
+    * in Round16Spec assert Catalyst actually routes all three through
+    * (`V2ScanRelationPushDown`). */
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = {
+    val path = file.toString
+    val header = headerAndSchema._1
+    val schema = headerAndSchema._2
+    new ScanBuilder
+        with SupportsPushDownRequiredColumns
+        with SupportsPushDownV2Filters
+        with SupportsPushDownLimit {
+      private var required: StructType = schema
+      private var pushed: Array[
+        org.apache.spark.sql.connector.expressions.filter.Predicate] =
+        Array.empty
+      private var limit: Int = -1
+
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        // Spark hands back a subset of the table schema (possibly empty
+        // for count(*) — zero-column rows still count)
+        required = requiredSchema
+
+      override def pushPredicates(
+          predicates: Array[
+            org.apache.spark.sql.connector.expressions.filter.Predicate]):
+          Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = {
+        val (sup, unsup) =
+          predicates.partition(p => CsvPred.compile(p, header).isDefined)
+        pushed = sup
+        unsup // Spark keeps a post-scan Filter ONLY for these
+      }
+
+      override def pushedPredicates(): Array[
+          org.apache.spark.sql.connector.expressions.filter.Predicate] =
+        pushed
+
+      // single-partition scan applies the limit AFTER the pushed
+      // predicates, so it is exact (not partial)
+      override def pushLimit(l: Int): Boolean = { limit = l; true }
+      override def isPartiallyPushed(): Boolean = false
+
+      override def build(): Scan = CsvSnapshotScan(path, header, required,
+        pushed.flatMap(p => CsvPred.compile(p, header)).toSeq,
+        pushed.map(_.toString).toSeq, limit)
+    }
+  }
+
+  /** Pushdown-FREE scan for the row-level operation path below: a
+    * group-based ReplaceData scan must return ENTIRE groups (here: the
+    * whole file) — if the UPDATE/DELETE condition were row-filtered into
+    * the scan, the non-matching rows would silently vanish from the
+    * rewritten post-image. */
+  private[sources] def plainScanBuilder(): ScanBuilder = {
     val path = file.toString
     val schema = headerAndSchema._2
     new ScanBuilder {
@@ -265,11 +322,14 @@ private[sources] class CsvSnapshotTable(tableName: String, file: Path,
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = new RowLevelOperation {
         override def command(): RowLevelOperation.Command = info.command()
-        // the target read of the row-level plan: the same whole-file
-        // scan — one file is the one (and only) rewrite group
+        // the target read of the row-level plan: the whole-file scan —
+        // one file is the one (and only) rewrite group. Deliberately the
+        // pushdown-free builder: V2ScanRelationPushDown also runs on the
+        // rewrite plan, and a row-filtered scan would drop the
+        // non-matching rows from the ReplaceData post-image.
         override def newScanBuilder(
             options: CaseInsensitiveStringMap): ScanBuilder =
-          outer.newScanBuilder(options)
+          outer.plainScanBuilder()
         override def newWriteBuilder(
             lwi: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
           override def build(): Write = new Write {
@@ -389,6 +449,172 @@ private[sources] class CsvLinesWriterFactory(colPositions: Array[Int])
 
 private[sources] case class CsvSnapshotPartition(path: String, nCols: Int)
   extends InputPartition
+
+/** Compiled, executor-serializable form of a pushed V2 predicate over the
+  * all-STRING snapshot schema. Comparison semantics are UTF8String binary
+  * order — exactly what Spark's post-scan Filter would have computed, so
+  * pushing can never change results. A column index of -1 (header column
+  * missing from a short row) evaluates as SQL NULL: comparisons false,
+  * IS_NULL true. */
+private[graft] sealed trait CsvPred extends Serializable {
+  def eval(parts: Array[String]): Boolean
+}
+
+private[graft] object CsvPred {
+  import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  private final case class Cmp(col: Int, op: String, lit: String)
+    extends CsvPred {
+    override def eval(parts: Array[String]): Boolean = {
+      if (col >= parts.length) return false // NULL operand
+      val c = UTF8String.fromString(parts(col))
+        .binaryCompare(UTF8String.fromString(lit))
+      op match {
+        case "="  => c == 0
+        case "<>" => c != 0
+        case "<"  => c < 0
+        case "<=" => c <= 0
+        case ">"  => c > 0
+        case ">=" => c >= 0
+      }
+    }
+  }
+
+  private final case class StartsWith(col: Int, lit: String) extends CsvPred {
+    override def eval(parts: Array[String]): Boolean =
+      col < parts.length && parts(col).startsWith(lit)
+  }
+
+  private final case class In(col: Int, lits: Set[String]) extends CsvPred {
+    override def eval(parts: Array[String]): Boolean =
+      col < parts.length && lits.contains(parts(col))
+  }
+
+  private final case class NullCheck(col: Int, isNull: Boolean)
+    extends CsvPred {
+    override def eval(parts: Array[String]): Boolean =
+      (col >= parts.length) == isNull
+  }
+
+  private def colIdx(e: AnyRef, header: Array[String]): Option[Int] =
+    e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        val i = header.indexOf(r.fieldNames.head)
+        if (i >= 0) Some(i) else None
+      case _ => None
+    }
+
+  // the Java-facing Literal interface (LiteralValue's Scala pickle is not
+  // readable under this build's scalac — the interface sees the same
+  // objects)
+  private def strLit(e: AnyRef): Option[String] = e match {
+    case l: Literal[_] if l.dataType == StringType && l.value != null =>
+      Some(l.value.toString)
+    case _ => None
+  }
+
+  /** None = cannot push (Spark keeps its post-scan Filter for it). Only
+    * column-vs-string-literal shapes compile; everything else stays in
+    * the engine. */
+  def compile(p: Predicate, header: Array[String]): Option[CsvPred] = {
+    val kids = p.children()
+    p.name() match {
+      case op @ ("=" | "<>" | "<" | "<=" | ">" | ">=")
+          if kids.length == 2 =>
+        (colIdx(kids(0), header), strLit(kids(1))) match {
+          case (Some(c), Some(v)) => Some(Cmp(c, op, v))
+          case _ =>
+            // literal-on-the-left mirror: flip the comparison
+            (strLit(kids(0)), colIdx(kids(1), header)) match {
+              case (Some(v), Some(c)) =>
+                val flipped = op match {
+                  case "<" => ">" case "<=" => ">="
+                  case ">" => "<" case ">=" => "<=" case other => other
+                }
+                Some(Cmp(c, flipped, v))
+              case _ => None
+            }
+        }
+      case "STARTS_WITH" if kids.length == 2 =>
+        for (c <- colIdx(kids(0), header); v <- strLit(kids(1)))
+          yield StartsWith(c, v)
+      case "IN" if kids.length >= 2 =>
+        colIdx(kids(0), header).flatMap { c =>
+          val vs = kids.drop(1).map(strLit)
+          if (vs.forall(_.isDefined)) Some(In(c, vs.flatten.toSet)) else None
+        }
+      case "IS_NULL" if kids.length == 1 =>
+        colIdx(kids(0), header).map(NullCheck(_, isNull = true))
+      case "IS_NOT_NULL" if kids.length == 1 =>
+        colIdx(kids(0), header).map(NullCheck(_, isNull = false))
+      case _ => None
+    }
+  }
+}
+
+/** Pushdown-aware scan over one snapshot file: pruned columns, compiled
+  * predicates, and an exact limit all execute inside the partition
+  * reader. `description()` surfaces the pushed state in `explain`. */
+private[graft] case class CsvSnapshotScan(path: String,
+                                          header: Array[String],
+                                          required: StructType,
+                                          preds: Seq[CsvPred],
+                                          pushedDesc: Seq[String],
+                                          limit: Int)
+  extends Scan {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"CsvSnapshotScan pushedFilters=[${pushedDesc.mkString(", ")}], " +
+      s"limit=${if (limit >= 0) limit.toString else "none"}, " +
+      s"columns=[${required.fieldNames.mkString(", ")}]"
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(CsvSnapshotScanPartition(path,
+        required.fieldNames.map(n => header.indexOf(n)), preds, limit))
+    override def createReaderFactory(): PartitionReaderFactory =
+      new CsvSnapshotScanReaderFactory
+  }
+}
+
+private[sources] case class CsvSnapshotScanPartition(path: String,
+                                                     projIdx: Array[Int],
+                                                     preds: Seq[CsvPred],
+                                                     limit: Int)
+  extends InputPartition
+
+private[sources] class CsvSnapshotScanReaderFactory
+  extends PartitionReaderFactory {
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CsvSnapshotScanPartition]
+    new PartitionReader[InternalRow] {
+      private val lines = Files.readAllLines(
+        java.nio.file.Paths.get(p.path)).asScala.iterator.drop(1)
+      private var current: InternalRow = _
+      private var emitted = 0L
+      override def next(): Boolean = {
+        if (p.limit >= 0 && emitted >= p.limit) return false
+        while (lines.hasNext) {
+          val parts = lines.next().split(",", -1)
+          if (p.preds.forall(_.eval(parts))) {
+            current = InternalRow.fromSeq(p.projIdx.toSeq.map { i =>
+              if (i >= 0 && i < parts.length)
+                UTF8String.fromString(parts(i))
+              else null
+            })
+            emitted += 1
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
 
 private[sources] class CsvSnapshotReaderFactory
   extends PartitionReaderFactory {

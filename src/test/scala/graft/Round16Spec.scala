@@ -530,4 +530,72 @@ class Round16Spec extends AnyFunSuite {
       ivs("lo"), ivs("hi")).collect().map(_.getLong(0))
     assert(gotNull.forall(_ % 2 == 0), "null points must not match")
   }
+
+  test("workspace scan pushdown: predicates, column pruning, and limit " +
+      "reach the DSv2 scan; the row-level path stays pushdown-free") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val store = graft.operators.WorkspaceQueries.fixture()
+    spark.conf.set("spark.sql.catalog.wpd",
+      classOf[graft.sources.WorkspaceCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wpd.root", store.mountPath.toString)
+
+    def scanOf(df: org.apache.spark.sql.DataFrame) = {
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.scan
+      }
+      assert(scans.length == 1, s"expected one scan:\n${df.queryExecution}")
+      scans.head
+    }
+
+    // fully-pushed predicate: no post-scan FilterExec survives, and the
+    // projection prunes the read schema to the selected column
+    val filtered = spark.sql(
+      "SELECT v FROM wpd.demo.`data.csv` WHERE k >= '2'")
+    val filterExecs = filtered.queryExecution.executedPlan.collect {
+      case f: FilterExec => f
+    }
+    assert(filterExecs.isEmpty,
+      s"predicate must be fully pushed:\n${filtered.queryExecution}")
+    scanOf(filtered) match {
+      case s: graft.sources.CsvSnapshotScan =>
+        assert(s.preds.nonEmpty, "compiled predicates must reach the scan")
+        assert(s.required.fieldNames.toSeq == Seq("v"),
+          s"read schema must be pruned, got ${s.required.fieldNames.toSeq}")
+      case other => fail(s"unexpected scan ${other.getClass}")
+    }
+    assert(filtered.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("20", "30"))
+
+    // unsupported predicate shape (column-vs-column) is NOT pushed:
+    // Spark keeps its Filter and results stay correct
+    val unpushed = spark.sql(
+      "SELECT k FROM wpd.demo.`data.csv` WHERE k = v")
+    assert(unpushed.queryExecution.executedPlan.collect {
+      case f: FilterExec => f }.nonEmpty,
+      "column-vs-column must stay a post-scan filter")
+    assert(unpushed.collect().isEmpty)
+
+    // limit pushdown stops the reader early
+    val limited = spark.sql("SELECT k FROM wpd.demo.`data.csv` LIMIT 2")
+    scanOf(limited) match {
+      case s: graft.sources.CsvSnapshotScan =>
+        assert(s.limit == 2, s"limit must be pushed, got ${s.limit}")
+      case other => fail(s"unexpected scan ${other.getClass}")
+    }
+    assert(limited.count() == 2)
+
+    // count(*) prunes to ZERO columns and still counts every row
+    val counted = spark.sql("SELECT count(*) AS n FROM wpd.demo.`data.csv`")
+    assert(counted.collect().head.getLong(0) == 3L)
+
+    // the row-level operation path must NOT row-filter its scan: an
+    // UPDATE with a selective WHERE keeps the non-matching rows in the
+    // rewritten post-image
+    spark.sql("UPDATE wpd.demo.`data.csv` SET v = '99' WHERE k = '2'")
+    val post = spark.sql("SELECT k, v FROM wpd.demo.`data.csv`")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(post == Seq(("1", "10"), ("2", "99"), ("3", "30")),
+      s"non-matching rows must survive the rewrite, got $post")
+  }
 }
