@@ -652,6 +652,43 @@ object RelationalQueries extends QueryPack {
           |ORDER BY l_returnflag""".stripMargin)
     }),
 
+    // -- SQL entry point: SQL TABLE function + LATERAL correlation (r16) ---
+    // The declarative UDTF tier next to q_sql_udf's scalar SQL function
+    // and graft_sentences' native Generator: a `CREATE FUNCTION ...
+    // RETURNS TABLE` body inlines into the plan as a correlated generator
+    // (no black-box UDF — Catalyst sees the arithmetic, whole-stage
+    // codegen applies). The function emits overlapping chunk windows
+    // (win=100 chars, step=80) for a document length — the standard
+    // training-pipeline chunking fan-out — and the LATERAL join expands
+    // every doc to its windows; integer arithmetic only, so both engines
+    // agree exactly. At 100 TB the fan-out is per-row generate (no
+    // shuffle, no join): the same plan shape explode() produces.
+    "q_sql_table_udtf" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION graft_chunk_bounds(
+          |  len INT, win INT, step INT)
+          |RETURNS TABLE (chunk_id INT, start_c INT, end_c INT)
+          |RETURN SELECT i AS chunk_id, i * step AS start_c,
+          |  least(i * step + win, len) AS end_c
+          |FROM (SELECT explode(sequence(0,
+          |  CASE WHEN len > win THEN (len - win + step - 1) DIV step
+          |       ELSE 0 END)) AS i)""".stripMargin)
+      s.sql(
+        """SELECT c.n_chunks, count(*) AS n_docs,
+          |  CAST(sum(c.covered) AS BIGINT) AS covered_chars,
+          |  CAST(sum(c.tail_len) AS BIGINT) AS tail_chars
+          |FROM (
+          |  SELECT d.doc_id, count(*) AS n_chunks, max(b.end_c) AS covered,
+          |    max(b.end_c) - max(b.start_c) AS tail_len
+          |  FROM documents d,
+          |    LATERAL graft_chunk_bounds(CAST(length(d.text) AS INT),
+          |                               100, 80) b
+          |  GROUP BY d.doc_id) c
+          |GROUP BY c.n_chunks
+          |ORDER BY c.n_chunks""".stripMargin)
+    }),
+
     // -- SQL entry point: session variables (DECLARE / SET VAR) ------------
     // Parameterized-query surface: the threshold is computed ONCE into a
     // session variable (scalar subquery at SET time), then referenced as
@@ -1273,6 +1310,26 @@ object RelationalQueries extends QueryPack {
         |FROM customer
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // chunk-window fan-out replayed with generate_series: same integer
+    // window arithmetic (win=100, step=80, last window clamps to len)
+    "q_sql_table_udtf" ->
+      """WITH b AS (
+        |  SELECT d.doc_id, i AS chunk_id, i * 80 AS start_c,
+        |    least(i * 80 + 100, length(d.text)) AS end_c
+        |  FROM documents d, LATERAL (
+        |    SELECT unnest(generate_series(0,
+        |      CASE WHEN length(d.text) > 100
+        |           THEN (length(d.text) - 100 + 79) // 80
+        |           ELSE 0 END)) AS i) g),
+        |c AS (
+        |  SELECT doc_id, count(*) AS n_chunks, max(end_c) AS covered,
+        |    max(end_c) - max(start_c) AS tail_len
+        |  FROM b GROUP BY doc_id)
+        |SELECT n_chunks, count(*) AS n_docs,
+        |  CAST(sum(covered) AS BIGINT) AS covered_chars,
+        |  CAST(sum(tail_len) AS BIGINT) AS tail_chars
+        |FROM c GROUP BY n_chunks ORDER BY n_chunks""".stripMargin,
 
     "q_pivot" ->
       """SELECT o_orderpriority,
