@@ -539,6 +539,32 @@ object JoinQueries extends QueryPack {
         .agg(count(lit(1)).as("n_orders"),
           countDistinct(col("o_custkey")).as("n_custs"))
         .orderBy(col("bracket_id"))
+    }),
+
+    // -- Storage-partitioned join (DSv2 KeyGroupedPartitioning, r16) -------
+    // Both sides are KeyedGenSource tables whose scans REPORT their
+    // key-grouped layout (SupportsReportPartitioning + HasPartitionKey,
+    // identity transform on `key`), so with v2 bucketing enabled the join
+    // AND the following per-key aggregate plan with ZERO ShuffleExchange —
+    // the Iceberg/Delta bucketed-join shape that removes the dominant cost
+    // of a 100 TB fact-fact join (Round16Spec pins the shuffle-free plan
+    // with broadcast disabled). Rows are pure integer functions of the row
+    // index, so the oracle replays both generators from range().
+    "q_spj_join" -> ((s, _) => {
+      // v2 bucketing stays on for the session: it only changes planning
+      // for DSv2 scans that report KeyGroupedPartitioning (this source);
+      // parquet scans are untouched.
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      def t(n: Long, mult: Long): DataFrame = s.read
+        .format(classOf[graft.sources.KeyedGenSource].getName)
+        .option("n", n).option("k", 32).option("mult", mult).load()
+      val a = t(8000L, 2654435761L)
+      val b = t(4000L, 40503L).withColumnRenamed("v", "w")
+      a.join(b, "key")
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("v") + col("w")).as("checksum"))
+        .orderBy(col("key"))
     })
   )
 
@@ -835,6 +861,18 @@ object JoinQueries extends QueryPack {
         |FROM brackets b
         |JOIN orders o ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
         |GROUP BY 1, 2, 3
-        |ORDER BY bracket_id""".stripMargin
+        |ORDER BY bracket_id""".stripMargin,
+
+    // both generated sides replayed from range(): row i -> (i % 32,
+    // (i * mult) % 1000003)
+    "q_spj_join" ->
+      """WITH a AS (SELECT i % 32 AS key, (i * 2654435761) % 1000003 AS v
+        |  FROM range(0, 8000) t(i)),
+        |b AS (SELECT i % 32 AS key, (i * 40503) % 1000003 AS w
+        |  FROM range(0, 4000) t(i))
+        |SELECT a.key AS key, count(*) AS n_pairs,
+        |  CAST(sum(a.v + b.w) AS BIGINT) AS checksum
+        |FROM a JOIN b ON a.key = b.key
+        |GROUP BY a.key ORDER BY a.key""".stripMargin
   )
 }

@@ -1,0 +1,105 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Storage-partitioned-join (SPJ) exemplar source: a deterministic
+  * generated table `(key BIGINT, v BIGINT)` whose scan REPORTS its
+  * key-grouped layout to Catalyst (`SupportsReportPartitioning` +
+  * `KeyGroupedPartitioning` over the identity transform of `key`, one
+  * input split per key value via `HasPartitionKey`).
+  *
+  * This is the DSv2 machinery behind shuffle-free fact-fact joins at
+  * 100 TB (Iceberg/Delta bucketed tables do exactly this): when BOTH join
+  * sides report compatible key-grouped layouts and
+  * `spark.sql.sources.v2.bucketing.enabled` is on, EnsureRequirements
+  * plans the join with ZERO ShuffleExchange — the single biggest cost on
+  * a petabyte join. Round16Spec pins the no-shuffle plan and result
+  * equality with the shuffled plan; q_spj_join carries the oracle.
+  *
+  * Rows are a pure function of the options (`n` rows, `k` key groups,
+  * `mult` value multiplier): row i has key = i % k,
+  * v = (i * mult) % 1000003 — exactly replayable in the DuckDB oracle
+  * from range(n), and exact in BIGINT for n·mult < 2^63.
+  */
+class KeyedGenSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KeyedGenSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    def opt(name: String, default: Long): Long =
+      Option(properties.get(name)).map(_.toLong).getOrElse(default)
+    new KeyedGenTable(opt("n", 1000L), opt("k", 8L).toInt,
+      opt("mult", 2654435761L))
+  }
+}
+
+private[sources] object KeyedGenSource {
+  val schema: StructType = StructType(Seq(
+    StructField("key", LongType), StructField("v", LongType)))
+  val MOD = 1000003L
+}
+
+private[sources] class KeyedGenTable(n: Long, k: Int, mult: Long)
+  extends Table with SupportsRead {
+
+  override def name(): String = s"keyed_gen(n=$n,k=$k,mult=$mult)"
+  override def schema(): StructType = KeyedGenSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  // table-level layout declaration, same shape a bucketed/partitioned
+  // catalog table advertises
+  override def partitioning(): Array[Transform] =
+    Array(Expressions.identity("key"))
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new Scan with SupportsReportPartitioning {
+      override def readSchema(): StructType = KeyedGenSource.schema
+      override def description(): String = name()
+      // the scan-level promise EnsureRequirements matches against the
+      // other join side: rows are clustered by identity(key) across
+      // exactly k input splits
+      override def outputPartitioning(): Partitioning =
+        new KeyGroupedPartitioning(
+          Array(Expressions.identity("key")), k)
+      override def toBatch: Batch = new Batch {
+        override def planInputPartitions(): Array[InputPartition] =
+          (0 until k).map(key => KeyedGenPartition(key, n, k, mult)
+            : InputPartition).toArray
+        override def createReaderFactory(): PartitionReaderFactory =
+          new KeyedGenReaderFactory
+      }
+    }
+  }
+}
+
+/** One split per key value; `partitionKey` is what Spark lines up across
+  * the two join sides. */
+private[sources] case class KeyedGenPartition(key: Int, n: Long, k: Int,
+                                              mult: Long)
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(key.toLong)
+}
+
+private[sources] class KeyedGenReaderFactory extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[KeyedGenPartition]
+    new PartitionReader[InternalRow] {
+      private var i = p.key.toLong - p.k // first row of this key group - k
+      override def next(): Boolean = { i += p.k; i < p.n }
+      override def get(): InternalRow =
+        InternalRow(p.key.toLong, (i * p.mult) % KeyedGenSource.MOD)
+      override def close(): Unit = ()
+    }
+  }
+}

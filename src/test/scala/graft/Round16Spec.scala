@@ -598,4 +598,49 @@ class Round16Spec extends AnyFunSuite {
     assert(post == Seq(("1", "10"), ("2", "99"), ("3", "30")),
       s"non-matching rows must survive the rewrite, got $post")
   }
+
+  test("storage-partitioned join: key-grouped DSv2 sides join and " +
+      "aggregate with zero shuffles, matching the shuffled plan") {
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = confs.map(c => c -> spark.conf.getOption(c))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      // AQE would convert the tiny build side to a broadcast join, which
+      // ALSO has no shuffle — disable it so the pin is unambiguous SPJ
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      def t(n: Long, mult: Long) = spark.read
+        .format(classOf[graft.sources.KeyedGenSource].getName)
+        .option("n", n).option("k", 8).option("mult", mult).load()
+      val a = t(2000L, 2654435761L)
+      val b = t(1000L, 40503L).withColumnRenamed("v", "w")
+      val agg = a.join(b, "key").groupBy("key")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("v") + col("w")).as("cs"))
+      val rows = agg.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      // post-execution plan strings: AQE hides exchanges inside leaf
+      // QueryStageExec nodes, so a typed collect() misses them — the
+      // final-plan STRING shows every Exchange either way
+      val aggStr = agg.queryExecution.executedPlan.toString
+      assert(!aggStr.contains("Exchange"),
+        s"SPJ must plan without exchanges:\n$aggStr")
+      // ground truth from the shuffled plan
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val base = a.join(b, "key").groupBy("key")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("v") + col("w")).as("cs"))
+      val want = base.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      assert(base.queryExecution.executedPlan.toString.contains("Exchange"),
+        "control plan should shuffle once bucketing is off")
+      assert(rows == want, "SPJ result must equal the shuffled result")
+      assert(rows.map(_._2).sum == 2000L / 8 * (1000L / 8) * 8,
+        "pair count sanity")
+    } finally saved.foreach {
+      case (c, Some(v)) => spark.conf.set(c, v)
+      case (c, None)    => spark.conf.unset(c)
+    }
+  }
 }
