@@ -182,6 +182,28 @@ object WorkspaceQueries extends QueryPack {
           |ORDER BY leg, k""".stripMargin)
     }),
 
+    // DSv2 COMPLETE aggregate pushdown (r16): COUNT/MIN/MAX (global and
+    // grouped, on top of pushed predicates) compute inside the partition
+    // reader — the HashAggregate disappears from the plan entirely
+    // (Round16Spec pins it). This is the DSv2 shape behind
+    // metadata-answered aggregates at scale (Iceberg/Delta stats reads):
+    // a 100 TB COUNT(*) never moves a row.
+    "q_workspace_agg_pushdown" -> ((s, _) => {
+      val store = fixture()
+      s.conf.set("spark.sql.catalog.wag",
+        classOf[graft.sources.WorkspaceCatalog].getName)
+      s.conf.set("spark.sql.catalog.wag.root", store.mountPath.toString)
+      s.sql(
+        """SELECT 'global' AS leg, '' AS k, count(*) AS n,
+          |       min(v) AS mn, max(v) AS mx
+          |FROM wag.demo.`data.csv`
+          |UNION ALL
+          |SELECT 'by_k', k, count(*), min(v), max(v)
+          |FROM wag.demo.`data.csv` WHERE v >= '20'
+          |GROUP BY k
+          |ORDER BY leg, k""".stripMargin)
+    }),
+
     // Native SQL MERGE INTO through the DSv2 catalog (r13 —
     // SupportsRowLevelOperations, group-based copy-on-write): the write
     // half of the reference's declared "versioning control for data
@@ -427,6 +449,16 @@ object WorkspaceQueries extends QueryPack {
         |  ('in_13', '1', '10'), ('in_13', '3', '30'),
         |  ('prefix_1', '1', '10')
         |) AS t(leg, k, v)
+        |ORDER BY leg, k""".stripMargin,
+
+    // literal replay of the pushed aggregates over the fixture's latest
+    // data.csv {1:10, 2:20, 3:30}
+    "q_workspace_agg_pushdown" ->
+      """SELECT leg, k, CAST(n AS BIGINT) AS n, mn, mx FROM (VALUES
+        |  ('global', '', 3, '10', '30'),
+        |  ('by_k', '2', 1, '20', '20'),
+        |  ('by_k', '3', 1, '30', '30')
+        |) AS t(leg, k, n, mn, mx)
         |ORDER BY leg, k""".stripMargin,
 
     // MERGE semantics replayed relationally: seed {1:10,2:20,3:30} from

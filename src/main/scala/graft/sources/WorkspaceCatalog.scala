@@ -233,17 +233,75 @@ private[sources] class CsvSnapshotTable(tableName: String, file: Path,
     new ScanBuilder
         with SupportsPushDownRequiredColumns
         with SupportsPushDownV2Filters
-        with SupportsPushDownLimit {
+        with SupportsPushDownLimit
+        with SupportsPushDownAggregates {
       private var required: StructType = schema
       private var pushed: Array[
         org.apache.spark.sql.connector.expressions.filter.Predicate] =
         Array.empty
       private var limit: Int = -1
+      private var aggPushed: Option[(Array[Int], Seq[CsvAggOp], StructType)] =
+        None
 
       override def pruneColumns(requiredSchema: StructType): Unit =
         // Spark hands back a subset of the table schema (possibly empty
-        // for count(*) — zero-column rows still count)
-        required = requiredSchema
+        // for count(*) — zero-column rows still count). After a complete
+        // aggregate pushdown the scan's schema IS the agg output — leave
+        // it alone.
+        if (aggPushed.isEmpty) required = requiredSchema
+
+      // Complete aggregate pushdown (single-partition scan => partial
+      // and final values coincide): COUNT(*) / COUNT(col) / MIN / MAX
+      // with optional GROUP BY on table columns. MIN/MAX use UTF8String
+      // binary order — the same order Spark's own Min/Max compute on the
+      // STRING columns this schema surfaces, so pushing cannot change
+      // results.
+      override def supportCompletePushDown(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+          : Boolean = compileAgg(agg).isDefined
+
+      override def pushAggregation(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+          : Boolean =
+        compileAgg(agg) match {
+          case Some(t) => aggPushed = Some(t); true
+          case None    => false
+        }
+
+      private def compileAgg(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+          : Option[(Array[Int], Seq[CsvAggOp], StructType)] = {
+        import org.apache.spark.sql.connector.expressions.aggregate._
+        import org.apache.spark.sql.connector.expressions.NamedReference
+        def idx(e: AnyRef): Option[Int] = e match {
+          case r: NamedReference if r.fieldNames.length == 1 =>
+            val i = header.indexOf(r.fieldNames.head)
+            if (i >= 0) Some(i) else None
+          case _ => None
+        }
+        val groups = agg.groupByExpressions.map(idx)
+        if (groups.exists(_.isEmpty)) return None
+        val ops = agg.aggregateExpressions.toSeq.map {
+          case _: CountStar => Some(CsvAggOp.Cnt(-1))
+          case c: Count if !c.isDistinct => idx(c.column).map(CsvAggOp.Cnt)
+          case m: Min => idx(m.column).map(CsvAggOp.Mn)
+          case m: Max => idx(m.column).map(CsvAggOp.Mx)
+          case _ => None
+        }
+        if (ops.exists(_.isEmpty)) return None
+        val gIdx = groups.map(_.get)
+        val oSeq = ops.map(_.get)
+        // output schema convention (mirrors the built-in JDBC pushdown):
+        // group-by columns first, then aggregate columns
+        val fields =
+          gIdx.map(i => StructField(header(i), StringType)) ++
+            oSeq.zipWithIndex.map {
+              case (CsvAggOp.Cnt(_), i) =>
+                StructField(s"agg_$i", org.apache.spark.sql.types.LongType)
+              case (_, i) => StructField(s"agg_$i", StringType)
+            }
+        Some((gIdx, oSeq, StructType(fields.toSeq)))
+      }
 
       override def pushPredicates(
           predicates: Array[
@@ -264,9 +322,16 @@ private[sources] class CsvSnapshotTable(tableName: String, file: Path,
       override def pushLimit(l: Int): Boolean = { limit = l; true }
       override def isPartiallyPushed(): Boolean = false
 
-      override def build(): Scan = CsvSnapshotScan(path, header, required,
-        pushed.flatMap(p => CsvPred.compile(p, header)).toSeq,
-        pushed.map(_.toString).toSeq, limit)
+      override def build(): Scan = aggPushed match {
+        case Some((gIdx, ops, aggSchema)) =>
+          CsvSnapshotAggScan(path, aggSchema,
+            pushed.flatMap(p => CsvPred.compile(p, header)).toSeq,
+            pushed.map(_.toString).toSeq, gIdx, ops)
+        case None =>
+          CsvSnapshotScan(path, header, required,
+            pushed.flatMap(p => CsvPred.compile(p, header)).toSeq,
+            pushed.map(_.toString).toSeq, limit)
+      }
     }
   }
 
@@ -574,6 +639,106 @@ private[graft] case class CsvSnapshotScan(path: String,
         required.fieldNames.map(n => header.indexOf(n)), preds, limit))
     override def createReaderFactory(): PartitionReaderFactory =
       new CsvSnapshotScanReaderFactory
+  }
+}
+
+/** Compiled pushed aggregate ops: col = header index, -1 = star. */
+private[graft] sealed trait CsvAggOp extends Serializable
+private[graft] object CsvAggOp {
+  final case class Cnt(col: Int) extends CsvAggOp
+  final case class Mn(col: Int) extends CsvAggOp
+  final case class Mx(col: Int) extends CsvAggOp
+}
+
+/** Completely-pushed aggregate scan: one output row per group computed
+  * inside the partition reader (exact — single partition), after the
+  * pushed predicates. */
+private[graft] case class CsvSnapshotAggScan(path: String,
+                                             aggSchema: StructType,
+                                             preds: Seq[CsvPred],
+                                             pushedDesc: Seq[String],
+                                             groupIdx: Array[Int],
+                                             ops: Seq[CsvAggOp])
+  extends Scan {
+  override def readSchema(): StructType = aggSchema
+  override def description(): String =
+    s"CsvSnapshotAggScan pushedFilters=[${pushedDesc.mkString(", ")}], " +
+      s"pushedAggregates=[${ops.mkString(", ")}], " +
+      s"groupBy=[${groupIdx.mkString(", ")}]"
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(CsvSnapshotAggPartition(path, preds, groupIdx, ops))
+    override def createReaderFactory(): PartitionReaderFactory =
+      new CsvSnapshotAggReaderFactory
+  }
+}
+
+private[sources] case class CsvSnapshotAggPartition(path: String,
+                                                    preds: Seq[CsvPred],
+                                                    groupIdx: Array[Int],
+                                                    ops: Seq[CsvAggOp])
+  extends InputPartition
+
+private[sources] class CsvSnapshotAggReaderFactory
+  extends PartitionReaderFactory {
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CsvSnapshotAggPartition]
+    // state per group: (counts per op, min/max strings per op)
+    final class G {
+      val cnt = new Array[Long](p.ops.length)
+      val str = new Array[String](p.ops.length)
+    }
+    val groups = scala.collection.mutable.LinkedHashMap.empty[Seq[String], G]
+    Files.readAllLines(java.nio.file.Paths.get(p.path)).asScala.iterator
+      .drop(1).foreach { line =>
+        val parts = line.split(",", -1)
+        if (p.preds.forall(_.eval(parts))) {
+          def at(i: Int): String = if (i < parts.length) parts(i) else null
+          val key = p.groupIdx.toSeq.map(at)
+          val g = groups.getOrElseUpdate(key, new G)
+          p.ops.zipWithIndex.foreach {
+            case (CsvAggOp.Cnt(c), i) =>
+              if (c < 0 || at(c) != null) g.cnt(i) += 1
+            case (CsvAggOp.Mn(c), i) =>
+              val v = at(c)
+              if (v != null && (g.str(i) == null ||
+                  UTF8String.fromString(v).binaryCompare(
+                    UTF8String.fromString(g.str(i))) < 0)) g.str(i) = v
+            case (CsvAggOp.Mx(c), i) =>
+              val v = at(c)
+              if (v != null && (g.str(i) == null ||
+                  UTF8String.fromString(v).binaryCompare(
+                    UTF8String.fromString(g.str(i))) > 0)) g.str(i) = v
+          }
+        }
+      }
+    // global aggregate with zero matching rows still yields one row
+    // (count 0, null min/max) — SQL semantics
+    if (p.groupIdx.isEmpty && groups.isEmpty) groups(Seq.empty) = new G
+    val it = groups.iterator
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        val has = it.hasNext
+        if (has) {
+          val (key, g) = it.next()
+          val cells = key.map(v =>
+            if (v == null) null else UTF8String.fromString(v)) ++
+            p.ops.zipWithIndex.map {
+              case (CsvAggOp.Cnt(_), i) => java.lang.Long.valueOf(g.cnt(i))
+              case (_, i) =>
+                if (g.str(i) == null) null
+                else UTF8String.fromString(g.str(i))
+            }
+          current = InternalRow.fromSeq(cells)
+        }
+        has
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
   }
 }
 

@@ -599,6 +599,43 @@ class Round16Spec extends AnyFunSuite {
       s"non-matching rows must survive the rewrite, got $post")
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX compute inside the scan, " +
+      "HashAggregate disappears, unsupported aggs fall back") {
+    val store = graft.operators.WorkspaceQueries.fixture()
+    spark.conf.set("spark.sql.catalog.wagg",
+      classOf[graft.sources.WorkspaceCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wagg.root", store.mountPath.toString)
+    // global: plan is Project over the agg scan — no aggregate exec at all
+    val g = spark.sql(
+      "SELECT count(*) AS n, min(v) AS mn, max(v) AS mx " +
+        "FROM wagg.demo.`data.csv`")
+    val gPlan = g.queryExecution.executedPlan.toString
+    assert(gPlan.contains("CsvSnapshotAggScan") &&
+      !gPlan.contains("HashAggregate") && !gPlan.contains("SortAggregate"),
+      s"global agg must be fully pushed:\n$gPlan")
+    val gr = g.collect().head
+    assert((gr.getLong(0), gr.getString(1), gr.getString(2)) ==
+      ((3L, "10", "30")))
+    // grouped + filtered: predicates and the grouped aggregate both push
+    val k = spark.sql(
+      "SELECT k, count(*) AS n FROM wagg.demo.`data.csv` " +
+        "WHERE v >= '20' GROUP BY k")
+    val kPlan = k.queryExecution.executedPlan.toString
+    assert(kPlan.contains("CsvSnapshotAggScan") &&
+      kPlan.contains("pushedFilters=[v IS NOT NULL, v >= '20']") &&
+      !kPlan.contains("HashAggregate"),
+      s"grouped agg + filter must push together:\n$kPlan")
+    assert(k.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      == Seq(("2", 1L), ("3", 1L)))
+    // count(DISTINCT) is NOT pushable: the engine keeps its aggregate and
+    // the scan falls back to the row form
+    val d = spark.sql(
+      "SELECT count(DISTINCT v) AS n FROM wagg.demo.`data.csv`")
+    assert(d.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      "distinct agg must stay in the engine")
+    assert(d.collect().head.getLong(0) == 3L)
+  }
+
   test("storage-partitioned join: key-grouped DSv2 sides join and " +
       "aggregate with zero shuffles, matching the shuffled plan") {
     val confs = Seq(
