@@ -565,6 +565,27 @@ object JoinQueries extends QueryPack {
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("v") + col("w")).as("checksum"))
         .orderBy(col("key"))
+    }),
+
+    // -- DSv2 runtime filtering / dynamic partition pruning (r16) ----------
+    // The fact side is the key-grouped KeyedGenSource; the dim side's
+    // selective filter (dkey % 13 = 3) is only known at runtime. Spark
+    // broadcasts the dim, hands the observed key set to the scan through
+    // SupportsRuntimeV2Filtering, and the scan drops 29 of its 32
+    // key-group splits BEFORE reading them (Round16Spec pins the survivor
+    // set). At 100 TB this is DPP for DSv2 fact tables: the scan reads
+    // the dimension-selected partitions only.
+    "q_runtime_filter_join" -> ((s, _) => {
+      val fact = s.read
+        .format(classOf[graft.sources.KeyedGenSource].getName)
+        .option("n", 8000L).option("k", 32).option("mult", 2654435761L)
+        .load()
+      val dim = s.range(0, 1000).select(col("id").as("dkey"))
+        .filter(col("dkey") % 13 === 3)
+      fact.join(dim, col("key") === col("dkey"))
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("checksum"))
+        .orderBy(col("key"))
     })
   )
 
@@ -873,6 +894,16 @@ object JoinQueries extends QueryPack {
         |SELECT a.key AS key, count(*) AS n_pairs,
         |  CAST(sum(a.v + b.w) AS BIGINT) AS checksum
         |FROM a JOIN b ON a.key = b.key
-        |GROUP BY a.key ORDER BY a.key""".stripMargin
+        |GROUP BY a.key ORDER BY a.key""".stripMargin,
+
+    // generator + range-derived dim replayed literally
+    "q_runtime_filter_join" ->
+      """WITH f AS (SELECT i % 32 AS key, (i * 2654435761) % 1000003 AS v
+        |  FROM range(0, 8000) t(i)),
+        |d AS (SELECT i AS dkey FROM range(0, 1000) t(i) WHERE i % 13 = 3)
+        |SELECT f.key AS key, count(*) AS n_rows,
+        |  CAST(sum(f.v) AS BIGINT) AS checksum
+        |FROM f JOIN d ON f.key = d.dkey
+        |GROUP BY f.key ORDER BY f.key""".stripMargin
   )
 }

@@ -42,10 +42,14 @@ class KeyedGenSource extends TableProvider {
   }
 }
 
-private[sources] object KeyedGenSource {
+private[graft] object KeyedGenSource {
   val schema: StructType = StructType(Seq(
     StructField("key", LongType), StructField("v", LongType)))
   val MOD = 1000003L
+  /** Last runtime-filter survivor set, for spec observability only (the
+    * driver and executors share this JVM in local mode). */
+  val lastRuntimeKeptKeys =
+    new java.util.concurrent.atomic.AtomicReference[Array[Int]](Array.empty)
 }
 
 private[sources] class KeyedGenTable(n: Long, k: Int, mult: Long)
@@ -62,7 +66,12 @@ private[sources] class KeyedGenTable(n: Long, k: Int, mult: Long)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = new ScanBuilder {
-    override def build(): Scan = new Scan with SupportsReportPartitioning {
+    override def build(): Scan = new Scan
+        with SupportsReportPartitioning
+        with SupportsRuntimeV2Filtering {
+      // keys surviving runtime filtering; starts as all k groups
+      private var keptKeys: Seq[Int] = 0 until k
+
       override def readSchema(): StructType = KeyedGenSource.schema
       override def description(): String = name()
       // the scan-level promise EnsureRequirements matches against the
@@ -70,10 +79,36 @@ private[sources] class KeyedGenTable(n: Long, k: Int, mult: Long)
       // exactly k input splits
       override def outputPartitioning(): Partitioning =
         new KeyGroupedPartitioning(
-          Array(Expressions.identity("key")), k)
+          Array(Expressions.identity("key")), keptKeys.length)
+
+      // Runtime (dynamic) partition pruning, the DSv2 half of DPP: after
+      // the dimension side of a join executes, Spark hands the observed
+      // join-key values here as an IN predicate and the scan drops whole
+      // key-group splits BEFORE reading them. At 100 TB this is the
+      // difference between scanning every partition of a fact table and
+      // scanning the three the dimension filter selects.
+      override def filterAttributes():
+          Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+        Array(Expressions.column("key"))
+
+      override def filter(predicates: Array[
+          org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+        predicates.foreach { p =>
+          if (p.name() == "IN" && p.children().nonEmpty) {
+            val vals = p.children().drop(1).flatMap {
+              case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                  if l.value != null =>
+                Some(l.value.toString.toLong)
+              case _ => None
+            }.toSet
+            keptKeys = keptKeys.filter(key => vals.contains(key.toLong))
+            KeyedGenSource.lastRuntimeKeptKeys.set(keptKeys.toArray)
+          }
+        }
+
       override def toBatch: Batch = new Batch {
         override def planInputPartitions(): Array[InputPartition] =
-          (0 until k).map(key => KeyedGenPartition(key, n, k, mult)
+          keptKeys.map(key => KeyedGenPartition(key, n, k, mult)
             : InputPartition).toArray
         override def createReaderFactory(): PartitionReaderFactory =
           new KeyedGenReaderFactory

@@ -636,6 +636,50 @@ class Round16Spec extends AnyFunSuite {
     assert(d.collect().head.getLong(0) == 3L)
   }
 
+  test("runtime V2 filtering: the dim side's observed keys prune " +
+      "key-group splits before the fact scan reads them") {
+    graft.sources.KeyedGenSource.lastRuntimeKeptKeys.set(Array.empty)
+    val fact = spark.read
+      .format(classOf[graft.sources.KeyedGenSource].getName)
+      .option("n", 8000L).option("k", 32).option("mult", 2654435761L)
+      .load()
+    val dim = spark.range(0, 1000).select(col("id").as("dkey"))
+      .filter(col("dkey") % 13 === 3)
+    val j = fact.join(dim, col("key") === col("dkey"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("cs"))
+    val rows = j.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    // dkey % 13 == 3 within 0..31 -> {3, 16, 29}: exactly those three
+    // key-group splits survive the runtime filter
+    val kept = graft.sources.KeyedGenSource.lastRuntimeKeptKeys.get.sorted
+    assert(kept.toSeq == Seq(3, 16, 29),
+      s"runtime filter must prune to the dim's keys, kept ${kept.toSeq}")
+    assert(j.queryExecution.executedPlan.toString
+      .contains("dynamicpruningexpression"),
+      "plan must carry the dynamic-pruning runtime filter")
+    // ground truth with dynamic pruning disabled
+    val saved = spark.conf
+      .getOption("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    try {
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+      val want = fact.join(dim, col("key") === col("dkey"))
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("cs"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(rows == want, "pruned result must equal the unpruned result")
+      assert(rows.map(_._1) == Seq(3L, 16L, 29L) &&
+        rows.forall(_._2 == 8000L / 32), "each kept group scans fully")
+    } finally saved match {
+      case Some(v) => spark.conf
+        .set("spark.sql.optimizer.dynamicPartitionPruning.enabled", v)
+      case None => spark.conf
+        .unset("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    }
+  }
+
   test("storage-partitioned join: key-grouped DSv2 sides join and " +
       "aggregate with zero shuffles, matching the shuffled plan") {
     val confs = Seq(
