@@ -182,6 +182,23 @@ object WorkspaceQueries extends QueryPack {
           |ORDER BY leg, k""".stripMargin)
     }),
 
+    // V2 FunctionCatalog (r16): a catalog-scoped SQL function
+    // (`<catalog>.fn.content_id`) resolved through
+    // FunctionCatalog.loadFunction — no session registration, the
+    // Iceberg-`bucket()` shape. The bound ScalarFunction's `invoke` magic
+    // method gives Spark a direct codegen call; the digest is the store's
+    // own content-addressing convention (SHA-256 first 8 bytes as hex),
+    // so SQL can derive the id a value contributes to a snapshot hash.
+    "q_catalog_function" -> ((s, _) => {
+      val store = fixture()
+      s.conf.set("spark.sql.catalog.wcf",
+        classOf[graft.sources.WorkspaceCatalog].getName)
+      s.conf.set("spark.sql.catalog.wcf.root", store.mountPath.toString)
+      s.sql(
+        """SELECT k, v, wcf.fn.content_id(v) AS vid
+          |FROM wcf.demo.`data.csv` ORDER BY k""".stripMargin)
+    }),
+
     // DSv2 COMPLETE aggregate pushdown (r16): COUNT/MIN/MAX (global and
     // grouped, on top of pushed predicates) compute inside the partition
     // reader — the HashAggregate disappears from the plan entirely
@@ -450,6 +467,13 @@ object WorkspaceQueries extends QueryPack {
         |  ('prefix_1', '1', '10')
         |) AS t(leg, k, v)
         |ORDER BY leg, k""".stripMargin,
+
+    // DuckDB's sha256 over the same UTF-8 bytes, truncated to the store's
+    // 8-byte id width
+    "q_catalog_function" ->
+      """SELECT k, v, substr(sha256(v), 1, 16) AS vid
+        |FROM (VALUES ('1','10'),('2','20'),('3','30')) t(k, v)
+        |ORDER BY k""".stripMargin,
 
     // literal replay of the pushed aggregates over the fixture's latest
     // data.csv {1:10, 2:20, 3:30}

@@ -53,7 +53,26 @@ import graft.core.Workspace.{SnapshotStore, WorkspacePath}
   * matching the bytes the reference serves verbatim); schema is
   * header-derived, all STRING, cast in SQL.
   */
-class WorkspaceCatalog extends TableCatalog with SupportsNamespaces {
+class WorkspaceCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
+
+  /** V2 catalog FUNCTIONS (r16): the remaining FunctionCatalog surface of
+    * the DSv2 catalog API — how Iceberg ships `bucket()`/`truncate()` to
+    * SQL without session-level registration. One function, `content_id`,
+    * exposes the store's own content-addressing digest (SHA-256, first 8
+    * bytes as 16 hex chars — Workspace.scala commitFile) so SQL can
+    * derive the id a value contributes to a snapshot hash. Bound form is
+    * a ScalarFunction with the `invoke` magic method — Spark plans a
+    * direct method call (codegen), with produceResult as the interpreted
+    * fallback. Namespace-agnostic: `<catalog>.fn.content_id(v)`. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "content_id"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name == "content_id") ContentIdFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   private var catalogName: String = _
 
@@ -168,6 +187,50 @@ class WorkspaceCatalog extends TableCatalog with SupportsNamespaces {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("read-only catalog")
+}
+
+/** `content_id(s STRING) -> STRING`: first 8 bytes of SHA-256(s) as hex —
+  * the store's id convention applied to one value. DuckDB-replayable as
+  * `substr(sha256(s), 1, 16)`. */
+private[graft] object ContentIdFunction
+  extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+
+  override def name(): String = "content_id"
+  override def description(): String =
+    "content_id(s) - first 8 bytes of sha256(s) as 16 hex chars"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    if (inputType.fields.length != 1 ||
+        inputType.fields(0).dataType != StringType) {
+      throw new UnsupportedOperationException(
+        s"content_id expects one STRING argument, got $inputType")
+    }
+    new ContentIdBound
+  }
+
+  private[graft] def digest(s: UTF8String): UTF8String = {
+    if (s == null) return null
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(s.getBytes).take(8).map(b => f"$b%02x").mkString
+    UTF8String.fromString(hex)
+  }
+}
+
+/** Bound form of content_id: a NAMED public class so Spark's reflective
+  * magic-method lookup (`invoke`) resolves for the codegen path;
+  * produceResult is the interpreted fallback. */
+class ContentIdBound
+  extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[UTF8String] {
+  override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+    Array(StringType)
+  override def resultType(): org.apache.spark.sql.types.DataType = StringType
+  override def name(): String = "content_id"
+  override def canonicalName(): String = "graft.content_id"
+  def invoke(s: UTF8String): UTF8String = ContentIdFunction.digest(s)
+  override def produceResult(input: InternalRow): UTF8String =
+    if (input.isNullAt(0)) null
+    else ContentIdFunction.digest(input.getUTF8String(0))
 }
 
 /** Everything the write path needs to commit a new snapshot version,

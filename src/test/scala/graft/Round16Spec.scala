@@ -636,6 +636,26 @@ class Round16Spec extends AnyFunSuite {
     assert(d.collect().head.getLong(0) == 3L)
   }
 
+  test("catalog V2 function: content_id resolves through FunctionCatalog " +
+      "and matches the store digest convention") {
+    val store = graft.operators.WorkspaceQueries.fixture()
+    spark.conf.set("spark.sql.catalog.wfn",
+      classOf[graft.sources.WorkspaceCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wfn.root", store.mountPath.toString)
+    val df = spark.sql(
+      "SELECT wfn.fn.content_id('10') AS a, wfn.fn.content_id(k) AS b " +
+        "FROM wfn.demo.`data.csv` WHERE k = '1'")
+    val r = df.collect().head
+    // sha256('10') = 4a44dc15364204a8...; first 8 bytes
+    assert(r.getString(0) == "4a44dc15364204a8")
+    // sha256('1') = 6b86b273ff34fce1...
+    assert(r.getString(1) == "6b86b273ff34fce1")
+    // SHOW FUNCTIONS surfaces the catalog function listing
+    val listed = spark.sql("SHOW FUNCTIONS IN wfn.fn").collect()
+      .map(_.getString(0))
+    assert(listed.exists(_.endsWith("content_id")), listed.mkString(","))
+  }
+
   test("runtime V2 filtering: the dim side's observed keys prune " +
       "key-group splits before the fact scan reads them") {
     graft.sources.KeyedGenSource.lastRuntimeKeptKeys.set(Array.empty)
