@@ -612,10 +612,67 @@ object EventQueries extends QueryPack {
             .as("avg_dur_sec"),
           (col("max_dur_us") / lit(1000000L)).as("max_dur_sec"))
         .orderBy(col("bucket"))
+    }),
+
+    // -- typed API: flatMapSortedGroups (r16) ------------------------------
+    // Spark 4's sorted-group iteration: the engine delivers each user's
+    // events ALREADY sorted by (ts_us, event_id) — the sort rides the
+    // shuffle's spillable sorter instead of a per-group in-memory sort,
+    // which is the difference between O(group) heap and O(1) heap when a
+    // hot user has millions of events at 100 TB. The lambda computes the
+    // longest consecutive same-type streak, an inherently ORDER-dependent
+    // scan that plain groupByKey+mapGroups could only do by materializing
+    // and sorting the group in user code. Ties: the FIRST run (in event
+    // order) reaching the max wins — replayed in the oracle with
+    // (len DESC, grp ASC).
+    "q_sorted_groups" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.eventsWithTime(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"))
+        .as[(Long, Long, Long, String)]
+      ev.groupByKey(_._1)
+        .flatMapSortedGroups(col("ts_us").asc, col("event_id").asc) {
+          (user: Long, it: Iterator[(Long, Long, Long, String)]) =>
+            var n = 0L; var cur = 0L; var best = 0L
+            var bestType: String = null; var last: String = null
+            it.foreach { row =>
+              val t = row._4
+              n += 1
+              if (t == last) cur += 1 else { cur = 1; last = t }
+              if (cur > best) { best = cur; bestType = t }
+            }
+            Iterator.single((user, n, best, bestType))
+        }
+        .toDF("user_id", "n_events", "max_streak", "streak_type")
+        .orderBy(col("user_id"))
     })
   )
 
   def declaredOracle: Seq[(String, String)] = Seq(
+    // gaps-and-islands replay of the sorted-group streak scan
+    "q_sorted_groups" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    event_type FROM events),
+        |m AS (SELECT user_id, ts_us, event_id, event_type,
+        |    CASE WHEN event_type IS DISTINCT FROM lag(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |    THEN 1 ELSE 0 END AS brk FROM e),
+        |g AS (SELECT user_id, ts_us, event_id, event_type,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS grp FROM m),
+        |runs AS (SELECT user_id, grp, min(event_type) AS et,
+        |    count(*) AS len FROM g GROUP BY 1, 2),
+        |pick AS (SELECT user_id, len, et, row_number() OVER
+        |    (PARTITION BY user_id ORDER BY len DESC, grp ASC) AS rn
+        |  FROM runs)
+        |SELECT p.user_id, c.n_events, p.len AS max_streak,
+        |  p.et AS streak_type
+        |FROM pick p
+        |JOIN (SELECT user_id, count(*) AS n_events FROM e GROUP BY 1) c
+        |  USING (user_id)
+        |WHERE p.rn = 1
+        |ORDER BY user_id""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us,
