@@ -68,6 +68,7 @@ private[sources] class KeyedGenTable(n: Long, k: Int, mult: Long)
       options: CaseInsensitiveStringMap): ScanBuilder = new ScanBuilder {
     override def build(): Scan = new Scan
         with SupportsReportPartitioning
+        with SupportsReportOrdering
         with SupportsRuntimeV2Filtering {
       // keys surviving runtime filtering; starts as all k groups
       private var keptKeys: Seq[Int] = 0 until k
@@ -80,6 +81,16 @@ private[sources] class KeyedGenTable(n: Long, k: Int, mult: Long)
       override def outputPartitioning(): Partitioning =
         new KeyGroupedPartitioning(
           Array(Expressions.identity("key")), keptKeys.length)
+
+      // per-partition order promise: every split holds a SINGLE key value,
+      // so rows are trivially sorted by key — combined with the
+      // partitioning report, a sort-merge join over two such scans plans
+      // with NO Sort either (SupportsReportOrdering kills the last
+      // per-partition pass a 100 TB co-located join would pay)
+      override def outputOrdering():
+          Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+        Array(Expressions.sort(Expressions.column("key"),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
 
       // Runtime (dynamic) partition pruning, the DSv2 half of DPP: after
       // the dimension side of a join executes, Spark hands the observed

@@ -728,6 +728,11 @@ class Round16Spec extends AnyFunSuite {
       val aggStr = agg.queryExecution.executedPlan.toString
       assert(!aggStr.contains("Exchange"),
         s"SPJ must plan without exchanges:\n$aggStr")
+      // SupportsReportOrdering: single-key splits are trivially sorted by
+      // key, so the SMJ needs no per-partition Sort either — the plan has
+      // neither shuffles NOR sorts
+      assert(!aggStr.contains("Sort "),
+        s"reported ordering must kill the SMJ sorts:\n$aggStr")
       // ground truth from the shuffled plan
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
       val base = a.join(b, "key").groupBy("key")
