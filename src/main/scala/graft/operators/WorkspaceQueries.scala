@@ -401,6 +401,31 @@ object WorkspaceQueries extends QueryPack {
       graft.streaming.StreamRunner
         .runToTable(s, feed, "ws_cdc_sink", "complete")
         .orderBy(col("seq"))
+    }),
+
+    // DSv2 STREAMING WRITE into the catalog (r16 — completes the DSv2
+    // matrix: batch read/write, streaming read (CDC), streaming write):
+    // writeStream.toTable drains a bounded events slice through the
+    // table's StreamingWrite; each epoch commits one new
+    // content-addressed version rebased on the live latest, so the
+    // stream's appends accumulate while every prior version stays
+    // pinned. Result = the post-image read back through the same
+    // catalog (seed rows + streamed rows).
+    "q_stream_workspace_sink" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val store = fixture()
+      s.conf.set("spark.sql.catalog.wsk",
+        classOf[graft.sources.WorkspaceCatalog].getName)
+      s.conf.set("spark.sql.catalog.wsk.root", store.mountPath.toString)
+      val ev = graft.streaming.StreamRunner.eventsStream(s, d)
+        .filter(col("event_id") % 500 === 0)
+        .select(col("event_id").cast("string").as("k"),
+          col("event_type").as("v"))
+      graft.streaming.StreamRunner
+        .runToCatalogTable(s, ev, "wsk.demo.`data.csv`")
+      s.sql(
+        """SELECT k, v FROM wsk.demo.`data.csv`
+          |ORDER BY CAST(k AS BIGINT), v""".stripMargin)
     })
   )
 
@@ -467,6 +492,15 @@ object WorkspaceQueries extends QueryPack {
         |  ('prefix_1', '1', '10')
         |) AS t(leg, k, v)
         |ORDER BY leg, k""".stripMargin,
+
+    // streamed slice + fixture seed, replayed relationally
+    "q_stream_workspace_sink" ->
+      """SELECT k, v FROM (
+        |  SELECT CAST(event_id AS VARCHAR) AS k, event_type AS v
+        |  FROM events WHERE event_id % 500 = 0
+        |  UNION ALL
+        |  SELECT * FROM (VALUES ('1','10'),('2','20'),('3','30')) s(k, v))
+        |ORDER BY CAST(k AS BIGINT), v""".stripMargin,
 
     // DuckDB's sha256 over the same UTF-8 bytes, truncated to the store's
     // 8-byte id width

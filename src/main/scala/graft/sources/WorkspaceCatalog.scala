@@ -278,7 +278,7 @@ private[sources] class CsvSnapshotTable(tableName: String, file: Path,
   override def schema(): StructType = headerAndSchema._2
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   /** Read path with scan pushdown (r16): column pruning, V2 predicate
     * pushdown, and limit pushdown all reach the executor-side line parse.
@@ -440,6 +440,13 @@ private[sources] class CsvSnapshotTable(tableName: String, file: Path,
         override def toBatch: BatchWrite =
           new SnapshotAppendWrite(writeCtx, headerAndSchema._1, positions,
             replace)
+        // streaming half (r16): writeStream.toTable lands each epoch as
+        // a new content-addressed version REBASED on the current latest
+        // (appends accumulate across epochs — unlike the batch write's
+        // pinned base)
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new SnapshotStreamingWrite(writeCtx, headerAndSchema._1, positions)
       }
     }
   }
@@ -544,11 +551,58 @@ private[sources] class SnapshotReplaceDataWrite(ctx: SnapshotWriteCtx,
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
+/** Streaming write (r16 — the DSv2 streaming-sink half next to the CDC
+  * streaming source): each epoch's rows append to the CURRENT latest
+  * version and land as one new content-addressed version per non-empty
+  * epoch. Content addressing makes an epoch replay after a commit-side
+  * failure idempotent when it carries the same rows (same bytes → same
+  * id → same version); the sorted-lines dialect keeps task parallelism
+  * out of the bytes. */
+private[sources] class SnapshotStreamingWrite(ctx: SnapshotWriteCtx,
+                                              header: Array[String],
+                                              colPositions: Array[Int])
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new CsvLinesWriterFactory(colPositions)
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val newLines = messages.iterator.flatMap {
+      case CsvLinesCommit(ls) => ls
+      case _                  => Seq.empty[String]
+    }.toSeq
+    if (newLines.nonEmpty) {
+      val store = new SnapshotStore(java.nio.file.Paths.get(ctx.root))
+      // rebase on the live latest so successive epochs accumulate
+      val base = store.resolve(ctx.workspace, "latest").toOption
+        .getOrElse(ctx.baseVersion)
+      val baseFile = store.snapshotDir(ctx.workspace, base)
+        .resolve(WorkspacePath(ctx.relPath).value)
+      val baseLines = Files.readAllLines(baseFile).asScala.toSeq
+        .drop(1).filter(_.nonEmpty)
+      val contents = (header.mkString(",") +:
+        (baseLines ++ newLines).sorted).mkString("", "\n", "\n")
+      store.commitFile(ctx.workspace, base, ctx.relPath, contents)
+      ()
+    }
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = ()
+}
+
 private[sources] case class CsvLinesCommit(lines: Seq[String])
   extends WriterCommitMessage
 
 private[sources] class CsvLinesWriterFactory(colPositions: Array[Int])
-  extends DataWriterFactory {
+  extends DataWriterFactory
+  with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  // streaming tasks carry an epoch id; the row serialization is identical
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    createWriter(partitionId, taskId)
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {

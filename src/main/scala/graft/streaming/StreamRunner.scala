@@ -56,6 +56,24 @@ object StreamRunner {
     s"$root/c${ckptCounter.incrementAndGet()}"
   }
 
+  /** Drain `stream` into a DSv2 catalog table via the table's
+    * STREAMING_WRITE path (writeStream.toTable), bounded with
+    * Trigger.AvailableNow and a fresh throwaway checkpoint. Used by the
+    * workspace streaming-sink operator; the table's own commit machinery
+    * (content-addressed versions) is the durable half. */
+  def runToCatalogTable(spark: SparkSession, stream: DataFrame,
+                        tableName: String): Unit = {
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", freshCheckpoint(spark))
+      .toTable(tableName)
+    try {
+      if (!q.awaitTermination(180000)) q.stop()
+    } finally {
+      if (q.isActive) q.stop()
+    }
+  }
+
   /** Streaming view of `events` with `ts_t` (TIMESTAMP, UTC) event time.
     * Time derivation is delegated to Tables.withEventTime, which adapts to
     * how the corpus stores `ts` (bigint ns or native timestamp[us]).

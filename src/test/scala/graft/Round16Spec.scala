@@ -636,6 +636,39 @@ class Round16Spec extends AnyFunSuite {
     assert(d.collect().head.getLong(0) == 3L)
   }
 
+  test("streaming write: each drained stream commits a new rebased " +
+      "version; prior versions stay pinned") {
+    val store = graft.operators.WorkspaceQueries.fixture()
+    spark.conf.set("spark.sql.catalog.wsw",
+      classOf[graft.sources.WorkspaceCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wsw.root", store.mountPath.toString)
+    val v0 = store.resolve("demo", "latest").toOption.get
+    def slice(lo: Long, hi: Long) =
+      graft.streaming.StreamRunner.eventsStream(spark, sfDir)
+        .filter(col("event_id") >= lo && col("event_id") < hi)
+        .filter(col("event_id") % 100 === 0)
+        .select(col("event_id").cast("string").as("k"),
+          col("event_type").as("v"))
+    graft.streaming.StreamRunner
+      .runToCatalogTable(spark, slice(0, 300), "wsw.demo.`data.csv`")
+    val v1 = store.resolve("demo", "latest").toOption.get
+    assert(v1 != v0, "streaming commit must land a NEW version")
+    // second stream rebases on v1 — appends accumulate
+    graft.streaming.StreamRunner
+      .runToCatalogTable(spark, slice(300, 600), "wsw.demo.`data.csv`")
+    val v2 = store.resolve("demo", "latest").toOption.get
+    assert(v2 != v1)
+    val ks = spark.sql("SELECT k FROM wsw.demo.`data.csv`")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(ks == Seq("0", "1", "100", "2", "200", "3", "300", "400", "500"),
+      s"both epochs plus seed must be present, got $ks")
+    // the pre-stream version is still byte-identical
+    val pre = spark.sql(
+      s"SELECT k FROM wsw.demo.`data.csv` VERSION AS OF '$v0'")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(pre == Seq("1", "2", "3"), "prior version must stay pinned")
+  }
+
   test("catalog V2 function: content_id resolves through FunctionCatalog " +
       "and matches the store digest convention") {
     val store = graft.operators.WorkspaceQueries.fixture()
