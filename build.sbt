@@ -30,4 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 549-query whole-stage-codegen corpus generates tens of thousands
+  // of nmethods in one JVM; with the JDK-17 default 240 MB code cache
+  // the profiled-nmethods segment saturates mid-run and the sweeper's
+  // flush/deopt churn ran a ~570 s window of the full bench at 7-17x
+  // interpreted-mode CPU (r16 session 2, PERF.md "long-JVM band").
+  "-XX:ReservedCodeCacheSize=1g",
 )
