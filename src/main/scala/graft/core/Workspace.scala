@@ -169,6 +169,24 @@ object Workspace {
     def commitFile(name: String, baseVersionId: String, rawPath: String,
                    contents: String): String = {
       val rel = WorkspacePath(rawPath)
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      commitTree(name, baseVersionId, files =>
+        files.filterNot(_._1 == rel.value) :+
+          (rel.value -> contents.getBytes(utf8)))
+    }
+
+    /** Commit a new version with `rawPath` REMOVED from the tree (the DDL
+      * DROP TABLE half, r16). Same content-addressed mechanics as
+      * commitFile: prior versions keep the file; only `latest` moves. */
+    def removeFile(name: String, baseVersionId: String,
+                   rawPath: String): String = {
+      val rel = WorkspacePath(rawPath)
+      commitTree(name, baseVersionId, _.filterNot(_._1 == rel.value))
+    }
+
+    private def commitTree(name: String, baseVersionId: String,
+        mutate: Seq[(String, Array[Byte])] => Seq[(String, Array[Byte])])
+        : String = {
       val base = snapshotDir(name, baseVersionId)
       val utf8 = java.nio.charset.StandardCharsets.UTF_8
       val baseFiles: Seq[(String, Array[Byte])] =
@@ -180,8 +198,7 @@ object Workspace {
             .toSeq
           finally st.close()
         }
-      val tree = (baseFiles.filterNot(_._1 == rel.value) :+
-        (rel.value -> contents.getBytes(utf8))).sortBy(_._1)
+      val tree = mutate(baseFiles).sortBy(_._1)
       val md = java.security.MessageDigest.getInstance("SHA-256")
       tree.foreach { case (p, b) =>
         md.update(p.getBytes(utf8)); md.update(0.toByte)
@@ -195,6 +212,9 @@ object Workspace {
           Files.createDirectories(out.getParent)
           Files.write(out, b)
         }
+        // a removal can leave the tree empty — the version dir must
+        // still exist for resolve/readback
+        Files.createDirectories(dir)
       }
       val newRefs = refs(name) + ("latest" -> id)
       Files.writeString(wsRoot(name).resolve("refs"),

@@ -182,6 +182,29 @@ object WorkspaceQueries extends QueryPack {
           |ORDER BY leg, k""".stripMargin)
     }),
 
+    // DDL CREATE TABLE AS SELECT through the DSv2 catalog (r16 —
+    // completes the verb matrix: SELECT / time travel / INSERT /
+    // OVERWRITE / MERGE / UPDATE / DELETE / streaming write / CREATE /
+    // DROP). CTAS lands twice, both versioned: a header-only file
+    // (createTable), then the query rows through the plain append write;
+    // the result reads the derived table AND the untouched base back
+    // through the same catalog.
+    "q_workspace_ctas" -> ((s, _) => {
+      val store = fixture()
+      s.conf.set("spark.sql.catalog.wct",
+        classOf[graft.sources.WorkspaceCatalog].getName)
+      s.conf.set("spark.sql.catalog.wct.root", store.mountPath.toString)
+      s.sql(
+        """CREATE TABLE wct.demo.`derived.csv` AS
+          |SELECT k, CAST(CAST(v AS INT) * 2 AS STRING) AS v
+          |FROM wct.demo.`data.csv`""".stripMargin)
+      s.sql(
+        """SELECT 'derived' AS leg, k, v FROM wct.demo.`derived.csv`
+          |UNION ALL
+          |SELECT 'base', k, v FROM wct.demo.`data.csv`
+          |ORDER BY leg, k""".stripMargin)
+    }),
+
     // V2 FunctionCatalog (r16): a catalog-scoped SQL function
     // (`<catalog>.fn.content_id`) resolved through
     // FunctionCatalog.loadFunction — no session registration, the
@@ -491,6 +514,17 @@ object WorkspaceQueries extends QueryPack {
         |  ('in_13', '1', '10'), ('in_13', '3', '30'),
         |  ('prefix_1', '1', '10')
         |) AS t(leg, k, v)
+        |ORDER BY leg, k""".stripMargin,
+
+    // CTAS replay: derived = seed with doubled v, base untouched
+    "q_workspace_ctas" ->
+      """SELECT leg, k, v FROM (
+        |  SELECT 'derived' AS leg, k, CAST(CAST(v AS INT) * 2 AS VARCHAR)
+        |    AS v
+        |  FROM (VALUES ('1','10'),('2','20'),('3','30')) d(k, v)
+        |  UNION ALL
+        |  SELECT 'base', k, v
+        |  FROM (VALUES ('1','10'),('2','20'),('3','30')) b(k, v))
         |ORDER BY leg, k""".stripMargin,
 
     // streamed slice + fixture seed, replayed relationally

@@ -174,16 +174,73 @@ class WorkspaceCatalog extends TableCatalog with SupportsNamespaces
                              cascade: Boolean): Boolean =
     throw new UnsupportedOperationException("read-only catalog")
 
+  /** DDL CREATE (r16): a new table lands as a header-only file in a NEW
+    * content-addressed version (the CTAS write then appends the query
+    * rows through the plain SupportsWrite path — two commits, both
+    * versioned, priors immutable). Store constraint surfaces honestly:
+    * the snapshot dialect is all-STRING, so non-string columns are
+    * refused — CAST in the query. Partition transforms have no physical
+    * meaning in a one-file-per-table store and are refused likewise. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException("read-only catalog")
+                           properties: util.Map[String, String]): Table = {
+    if (partitions.nonEmpty) {
+      throw new UnsupportedOperationException(
+        "workspace tables are single CSV files; partitioning not supported")
+    }
+    if (schema.fields.exists(_.dataType != StringType)) {
+      throw new UnsupportedOperationException(
+        "the snapshot store dialect is all-STRING; CAST columns to STRING")
+    }
+    val ws = ident.namespace() match {
+      case Array(one) => one
+      case _          => throw new NoSuchTableException(ident)
+    }
+    val st = store
+    if (!st.workspaceExists(ws)) throw new NoSuchNamespaceException(
+      ident.namespace())
+    val rel = WorkspacePath(ident.name()).value
+    val base = st.resolve(ws, "latest")
+      .getOrElse(throw new NoSuchNamespaceException(ident.namespace()))
+    if (Files.isRegularFile(st.snapshotDir(ws, base).resolve(rel))) {
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          ident.namespace().toSeq :+ ident.name())
+    }
+    val vid = st.commitFile(ws, base, ident.name(),
+      schema.fieldNames.mkString(",") + "\n")
+    val root = SQLConf.get.getConfString(s"spark.sql.catalog.$catalogName.root")
+    new CsvSnapshotTable(
+      s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}@$vid",
+      st.snapshotDir(ws, vid).resolve(rel),
+      SnapshotWriteCtx(root, ws, ident.name(), vid))
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException("read-only catalog")
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException("read-only catalog")
+  /** DDL DROP (r16): commits a new version with the file REMOVED — prior
+    * versions keep it (time travel still reads the dropped table at a
+    * pinned version; only `latest` moves). */
+  override def dropTable(ident: Identifier): Boolean = {
+    val ws = ident.namespace() match {
+      case Array(one) => one
+      case _          => return false
+    }
+    val st = store
+    if (!st.workspaceExists(ws)) return false
+    st.resolve(ws, "latest") match {
+      case Left(_) => false
+      case Right(base) =>
+        val rel = WorkspacePath(ident.name()).value
+        if (!Files.isRegularFile(st.snapshotDir(ws, base).resolve(rel)))
+          false
+        else {
+          st.removeFile(ws, base, ident.name())
+          true
+        }
+    }
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("read-only catalog")

@@ -669,6 +669,40 @@ class Round16Spec extends AnyFunSuite {
     assert(pre == Seq("1", "2", "3"), "prior version must stay pinned")
   }
 
+  test("DDL: CREATE TABLE / CTAS / DROP TABLE land as versions; " +
+      "priors keep the dropped table") {
+    val store = graft.operators.WorkspaceQueries.fixture()
+    spark.conf.set("spark.sql.catalog.wdl",
+      classOf[graft.sources.WorkspaceCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wdl.root", store.mountPath.toString)
+    // plain CREATE + INSERT round-trip
+    spark.sql("CREATE TABLE wdl.demo.`fresh.csv` (a STRING, b STRING)")
+    spark.sql("INSERT INTO wdl.demo.`fresh.csv` VALUES ('x', '1'), ('y', '2')")
+    assert(spark.sql("SELECT a, b FROM wdl.demo.`fresh.csv`")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq ==
+      Seq(("x", "1"), ("y", "2")))
+    // duplicate CREATE is refused
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      spark.sql("CREATE TABLE wdl.demo.`fresh.csv` (a STRING)").collect())
+    // CTAS derives from an existing table
+    spark.sql("CREATE TABLE wdl.demo.`twice.csv` AS " +
+      "SELECT k, CAST(CAST(v AS INT) * 2 AS STRING) AS v " +
+      "FROM wdl.demo.`data.csv`")
+    assert(spark.sql("SELECT v FROM wdl.demo.`twice.csv`")
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("20", "40", "60"))
+    // DROP removes from latest but prior versions still read it
+    val preDrop = store.resolve("demo", "latest").toOption.get
+    spark.sql("DROP TABLE wdl.demo.`twice.csv`")
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT v FROM wdl.demo.`twice.csv`").collect())
+    assert(spark.sql(
+      s"SELECT v FROM wdl.demo.`twice.csv` VERSION AS OF '$preDrop'")
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("20", "40", "60"),
+      "time travel must still read the dropped table at a pinned version")
+    // dropping a missing table reports false (IF EXISTS semantics)
+    assert(spark.sql("DROP TABLE IF EXISTS wdl.demo.`never.csv`") != null)
+  }
+
   test("catalog V2 function: content_id resolves through FunctionCatalog " +
       "and matches the store digest convention") {
     val store = graft.operators.WorkspaceQueries.fixture()

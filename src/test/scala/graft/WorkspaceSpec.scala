@@ -207,14 +207,19 @@ class WorkspaceSpec extends AnyFunSuite {
     fails("SELECT k FROM ws.demo.`data.csv` VERSION AS OF 'zzz'")
     fails("SELECT k FROM ws.nope.`data.csv`")
     fails("SELECT k FROM ws.demo.`missing.txt`")
-    // INSERT INTO an existing table is SUPPORTED since r16
-    // (SupportsWrite append — see Round16Spec); what stays refused is
-    // DDL: the catalog creates/drops nothing (snapshot versions are the
-    // only mutation, and they go through commitFile)
+    // INSERT INTO / CREATE TABLE / DROP TABLE are SUPPORTED since r16
+    // (SupportsWrite append + versioned DDL — see Round16Spec); what
+    // stays refused is schema/name mutation of an existing table
+    // (snapshot versions are the only mutation) and shapes the store
+    // cannot represent (non-STRING columns, partitioned tables)
     assertThrows[UnsupportedOperationException](
-      spark.sql("CREATE TABLE ws.demo.`new.csv` (k STRING) ").collect())
+      spark.sql("ALTER TABLE ws.demo.`data.csv` RENAME TO `other.csv`")
+        .collect())
     assertThrows[UnsupportedOperationException](
-      spark.sql("DROP TABLE ws.demo.`data.csv`").collect())
+      spark.sql("CREATE TABLE ws.demo.`typed.csv` (k INT)").collect())
+    assertThrows[UnsupportedOperationException](
+      spark.sql("CREATE TABLE ws.demo.`part.csv` (k STRING, p STRING) " +
+        "PARTITIONED BY (p)").collect())
   }
 
   test("SQL catalog path goes through WorkspacePath sanitization") {
