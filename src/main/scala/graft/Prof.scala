@@ -5,6 +5,10 @@ object Prof {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val s = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // pinned like Bench so a calendar-keyed probe can never silently
+      // differ from the bench path (VERDICT r15 minor #3); the forked-JVM
+      // -D flag covers sbt runs, this covers any other launcher
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
