@@ -438,8 +438,12 @@ private[sources] class CsvSnapshotTable(tableName: String, file: Path,
         pushed
 
       // single-partition scan applies the limit AFTER the pushed
-      // predicates, so it is exact (not partial)
-      override def pushLimit(l: Int): Boolean = { limit = l; true }
+      // predicates, so it is exact (not partial). Refused once an
+      // aggregate is pushed: the agg scan does not apply limits, and
+      // claiming a pushed limit there would let Spark drop its own
+      // Limit over a scan that ignores it.
+      override def pushLimit(l: Int): Boolean =
+        if (aggPushed.isDefined) false else { limit = l; true }
       override def isPartiallyPushed(): Boolean = false
 
       override def build(): Scan = aggPushed match {

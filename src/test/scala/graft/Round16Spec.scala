@@ -589,6 +589,12 @@ class Round16Spec extends AnyFunSuite {
     val counted = spark.sql("SELECT count(*) AS n FROM wpd.demo.`data.csv`")
     assert(counted.collect().head.getLong(0) == 3L)
 
+    // LIMIT over a pushed aggregate must still be enforced (the scan
+    // refuses the limit once an aggregate is pushed)
+    val aggLim = spark.sql(
+      "SELECT k, count(*) AS n FROM wpd.demo.`data.csv` GROUP BY k LIMIT 2")
+    assert(aggLim.collect().length == 2, "limit over pushed agg")
+
     // the row-level operation path must NOT row-filter its scan: an
     // UPDATE with a selective WHERE keeps the non-matching rows in the
     // rewritten post-image
@@ -701,6 +707,18 @@ class Round16Spec extends AnyFunSuite {
       "time travel must still read the dropped table at a pinned version")
     // dropping a missing table reports false (IF EXISTS semantics)
     assert(spark.sql("DROP TABLE IF EXISTS wdl.demo.`never.csv`") != null)
+    // the change feed of a CTAS'd table: versions that predate the file
+    // contribute no rows, so the feed starts at the creating version
+    spark.sql("CREATE TABLE wdl.demo.`feed.csv` AS " +
+      "SELECT k, v FROM wdl.demo.`data.csv` WHERE k = '1'")
+    // history: creating version is header-only (no rows); only the CTAS
+    // append version carries the row — every earlier version contributes
+    // nothing
+    val feed = spark.sql(
+      "SELECT seq, k, v FROM wdl.demo.`feed.csv@changes`").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    assert(feed.length == 1 && (feed.head._2, feed.head._3) == (("1", "10")),
+      s"feed must carry only the CTAS append version, got ${feed.toSeq}")
   }
 
   test("catalog V2 function: content_id resolves through FunctionCatalog " +
