@@ -107,7 +107,11 @@ object Bench {
         "q_adamic_adar",        // coEdges + coWedges
         "q_effective_diameter", // multiRootBfs
         "q_bpe_pairs",          // bpeW0 word histogram
-        "q_dup_by_source"       // verified exact-Jaccard pair list (r16)
+        "q_dup_by_source",      // verified exact-Jaccard pair list (r16)
+        "q_degree_dist",        // tradeEdges distinct pair list (r16-opt)
+        "q_drift_ks",           // cohortCdf cumulative frame (r16-opt)
+        "q_dup_clusters",       // dup-graph CC labels (r16-opt)
+        "q_triangle_count"      // per-node triangle counts (r16-opt)
         ).foreach { w =>
         try timedRun(s"warmup:$w", SparkEntry.queries(w))
         catch { case _: Throwable => () }

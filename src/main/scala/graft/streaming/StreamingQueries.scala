@@ -280,18 +280,17 @@ object StreamingQueries extends QueryPack {
     // any input rate. Driver state: 9 edge longs + 10 reference counts.
     "q_stream_drift" -> ((s, d) => {
       import graft.operators.DriftQueries
-      val cdf = DriftQueries.cohortCdf(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val (edges, naTot, refCounts) =
-        try {
-          val naTot = cdf.agg(sum(col("na"))).head().getLong(0)
-          val edges = DriftQueries.decileEdges(cdf, naTot)
-          val counts = cdf
-            .withColumn("bin", DriftQueries.binColumn(edges, col("vq")))
-            .groupBy(col("bin")).agg(sum(col("na")).as("n_ref"))
-            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-          (edges, naTot, (0 until 10).map(b => (b, counts.getOrElse(b, 0L))))
-        } finally cdf.unpersist(blocking = false)
+      val cdf = DriftQueries.cohortCdf(s, d)  // session-persisted memo
+      val (edges, naTot, refCounts) = {
+        val naTot = cdf.agg(sum(col("na"))).head().getLong(0)
+        val decEdges = DriftQueries.decileEdges(cdf, naTot)
+        val counts = cdf
+          .withColumn("bin", DriftQueries.binColumn(decEdges, col("vq")))
+          .groupBy(col("bin")).agg(sum(col("na")).as("n_ref"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        (decEdges, naTot,
+          (0 until 10).map(b => (b, counts.getOrElse(b, 0L))))
+      }
       val refBins = s.createDataFrame(refCounts).toDF("bin", "n_ref")
       val vq = floor(col("value") * lit(1000.0) + lit(0.5)).cast("long")
       val agg = StreamRunner.eventsStream(s, d)
