@@ -3375,30 +3375,47 @@ object AnalyticsQueries extends QueryPack {
       // does NOT dedupe the half-step aggregate across its two consumers
       // once AQE splits them into separate broadcast-stage builds, so
       // the lineage recomputes geometrically. The driver-scalar fold-back
-      // stays; the r16-opt win here is the memoized edge list + the
-      // broadcast hint on the score side of each half-step join.)
-      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // stays; the r16-opt wins here are the memoized edge list, the
+      // broadcast hint on the score side of each half-step join, and
+      // HALVING the job count: each half-step's L1 total is computed
+      // from the PREVIOUS score vector via the degree identity
+      // Σ_sk araw(sk) = Σ_(ck,sk)∈E h(ck) = Σ_ck h(ck)·outdeg(ck) — a
+      // node-sized cached join instead of a second pass over the
+      // edge-sized aggregate, so each half-step is ONE job (the total)
+      // plus the normalized frame's own materialization, not two. Exact
+      // DECIMAL(38,0) integer sums on both sides of the identity, so the
+      // folded-back literal is bit-identical (oracle-verified).
       var hub = e0.select(col("ck")).distinct()
         .withColumn("h", lit(hitsScale)).pinned
+      val degC = e0.groupBy(col("ck"))
+        .agg(count(lit(1)).as("odeg")).pinned
+      val degS = e0.groupBy(col("sk"))
+        .agg(count(lit(1)).as("odeg")).pinned
       var auth: DataFrame = null
       for (_ <- 1 to hitsIters) {
-        val a = e0.join(broadcast(hub), "ck").groupBy(col("sk"))
-          .agg(sum(dec(col("h"))).as("araw")).persist(MEMORY_AND_DISK)
-        val ta = a.agg(sum(col("araw"))).collect()(0).getDecimal(0)
+        // ta = Σ_ck h(ck)·outdeg(ck): materializes hub (pinned) as a side
+        // effect and never touches the edge-sized half-step frame
+        val ta = hub.join(degC, "ck")
+          .agg(sum(dec(col("h")) * dec(col("odeg"))))
+          .collect()(0).getDecimal(0)
         if (auth != null) auth.unpersist(blocking = false)
-        auth = a.select(col("sk"),
-          expr(s"(CAST($hitsScale AS DECIMAL(38,0)) * araw) div " +
-            s"CAST('$ta' AS DECIMAL(38,0))").as("a")).pinned
-        a.unpersist(blocking = false)
-        val h2 = e0.join(broadcast(auth), "sk").groupBy(col("ck"))
-          .agg(sum(dec(col("a"))).as("hraw")).persist(MEMORY_AND_DISK)
-        val th = h2.agg(sum(col("hraw"))).collect()(0).getDecimal(0)
+        auth = e0.join(broadcast(hub), "ck").groupBy(col("sk"))
+          .agg(sum(dec(col("h"))).as("araw"))
+          .select(col("sk"),
+            expr(s"(CAST($hitsScale AS DECIMAL(38,0)) * araw) div " +
+              s"CAST('$ta' AS DECIMAL(38,0))").as("a")).pinned
+        val th = auth.join(degS, "sk")
+          .agg(sum(dec(col("a")) * dec(col("odeg"))))
+          .collect()(0).getDecimal(0)
         hub.unpersist(blocking = false)
-        hub = h2.select(col("ck"),
-          expr(s"(CAST($hitsScale AS DECIMAL(38,0)) * hraw) div " +
-            s"CAST('$th' AS DECIMAL(38,0))").as("h")).pinned
-        h2.unpersist(blocking = false)
+        hub = e0.join(broadcast(auth), "sk").groupBy(col("ck"))
+          .agg(sum(dec(col("a"))).as("hraw"))
+          .select(col("ck"),
+            expr(s"(CAST($hitsScale AS DECIMAL(38,0)) * hraw) div " +
+              s"CAST('$th' AS DECIMAL(38,0))").as("h")).pinned
       }
+      // (the final hub materializes inside the output job — one BHJ+agg
+      // over cached inputs; a pre-count here would just be an extra job)
       val hubs = hub.select(lit("hub").as("role"), col("ck").as("id"),
         col("h").as("score_fp"))
       val auths = auth.select(lit("authority").as("role"),

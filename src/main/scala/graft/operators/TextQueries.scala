@@ -152,6 +152,10 @@ object TextQueries extends QueryPack {
           .agg(count(lit(1)).as("c"))
       }
       def prec(n: Int, out: String) = {
+        // (r16-opt note: pinning `c` for its three consumers was
+        // measured at 4.6 s warm vs 2.2 s unpinned — ReusedExchange
+        // already dedupes the count shuffle inside the one plan, and the
+        // persist only adds cache-write serialization. Left lazy.)
         val c = gramCounts(n)
         val m1 = c.groupBy(col("g")).agg(max(col("c")).as("m1"))
         val gstats = c.join(m1, "g")
@@ -869,6 +873,10 @@ object TextQueries extends QueryPack {
       var r = base.select(col("doc_id"), col("sid")).join(ns, "doc_id")
         .select(col("doc_id"), col("sid"),
           expr(s"${SCALE}L div n_s").as("r"))
+      // (r16-opt note: broadcasting r/wdeg per round was measured at
+      // 5.3 s warm vs 3.7 s for this SMJ shape — the per-round broadcast
+      // builds serialize on the driver and lose to the reused shuffle.
+      // Left as-is deliberately.)
       for (_ <- 1 to 5) {
         val contrib = edges
           .join(r.select(col("doc_id"), col("sid").as("j"), col("r")),
