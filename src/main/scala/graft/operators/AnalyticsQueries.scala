@@ -3576,7 +3576,7 @@ object AnalyticsQueries extends QueryPack {
     * DISTINCTness is preserved and every query's result is bit-identical
     * to the per-query mining. Bench warms the family untimed via its
     * cheapest consumer (q_degree_dist). */
-  private[operators] def tradeEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def tradeEdges(s: SparkSession, d: String): DataFrame = {
     val pairs = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(s, d)
