@@ -936,9 +936,18 @@ object AnalyticsQueries extends QueryPack {
       var dist = Tables.customer(s, d)
         .filter(pmod(col("c_custkey"), lit(50)) === 0)
         .select((col("c_custkey") * 2).as("id"), lit(0L).as("dist"))
+      // r16-opt (guide §3.1, the q_pagerank treatment): the frontier is
+      // bounded by the node count (≤ |customer|+|supplier| rows of two
+      // longs) while edges is the cached big side — broadcast the
+      // frontier so the edge cache is never re-exchanged/re-sorted per
+      // hop (before-plan: SortMergeJoin(71/120/127) + Exchange over the
+      // InMemoryTableScan each hop). Min-distances are join-strategy-
+      // independent — bit-identical output. NOTE: multiRootBfs keeps its
+      // SMJ deliberately — ITS frontier is roots × reach, not
+      // node-bounded, and must not broadcast.
       for (_ <- 1 to bfsHops) {
         val relaxed = edges
-          .join(dist.withColumnRenamed("id", "src"), "src")
+          .join(broadcast(dist.withColumnRenamed("id", "src")), "src")
           .select(col("dst").as("id"), (col("dist") + lit(1L)).as("dist"))
         dist = dist.union(relaxed)
           .groupBy(col("id")).agg(min(col("dist")).as("dist"))
